@@ -1,13 +1,115 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{RecentArticles, SourceDistribution, Timeline, Totals}
+import graft.relational.Relational
+import graft.text.{Stopwords, WordFrequencies}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is deterministic (total orderBy with
+  * tie-breaks) and every numeric output is either exact (BIGINT counts,
+  * integer-cents sums — see [[graft.relational.Money]]) or rounded
+  * identically on both sides, so the driver's DuckDB hash compare is stable.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Source distribution (reference `app.py:74-82`) — the reference's
+    * simplest complete query: scan → hash agg → pct window → sort. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    SourceDistribution(Tables.documents(spark, "/root/testdata/sf0.001"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- dashboard parity (reference app.py) ----
+    "source_distribution" -> ((s, dir) =>
+      SourceDistribution(Tables.documents(s, dir))),
+    "word_frequencies" -> ((s, dir) =>
+      WordFrequencies(Tables.documents(s, dir))),
+    "timeline_daily" -> ((s, dir) =>
+      Timeline(Tables.events(s, dir), "ts")),
+    "recent_events" -> ((s, dir) =>
+      RecentArticles(Tables.events(s, dir).select(col("event_id"), col("ts"), col("event_type"), col("user_id")),
+        5, col("ts").desc, col("event_id").desc)),
+    "totals" -> ((s, dir) => Totals.counts(s, dir)),
+    // ---- relational coverage (TPC-H-ish) ----
+    "q1_pricing_summary" -> ((s, dir) => Relational.pricingSummary(s, dir)),
+    "revenue_per_region" -> ((s, dir) => Relational.revenuePerRegion(s, dir)),
+    "top_orders_per_priority" -> ((s, dir) => Relational.topOrdersPerPriority(s, dir)),
+    "distinct_counts" -> ((s, dir) => Relational.distinctCounts(s, dir)),
+    "customers_without_big_orders" -> ((s, dir) => Relational.customersWithoutBigOrders(s, dir)),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "source_distribution" ->
+      """SELECT source, n, ROUND(n * 100.0 / SUM(n) OVER (), 1) AS pct
+        |FROM (SELECT COALESCE(source, 'Unknown') AS source, COUNT(*) AS n
+        |      FROM documents GROUP BY 1)
+        |ORDER BY n DESC, source ASC""".stripMargin,
+    "word_frequencies" ->
+      s"""SELECT word, COUNT(*) AS n
+         |FROM (SELECT UNNEST(regexp_extract_all(lower(text), '[a-zA-Z]+')) AS word
+         |      FROM documents)
+         |WHERE length(word) >= 3 AND word NOT IN ${Stopwords.sqlInList}
+         |GROUP BY word ORDER BY n DESC, word ASC LIMIT 150""".stripMargin,
+    "timeline_daily" ->
+      """WITH counts AS (
+        |  SELECT CAST(ts AS DATE) AS date, COUNT(*) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |bounds AS (SELECT MIN(date) AS lo, MAX(date) AS hi FROM counts),
+        |spine AS (
+        |  SELECT CAST(UNNEST(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS date
+        |  FROM bounds)
+        |SELECT s.date AS date, COALESCE(c.n, 0) AS n
+        |FROM spine s LEFT JOIN counts c ON s.date = c.date
+        |ORDER BY date ASC""".stripMargin,
+    "recent_events" ->
+      """SELECT event_id, ts, event_type, user_id FROM events
+        |ORDER BY ts DESC, event_id DESC LIMIT 5""".stripMargin,
+    "totals" ->
+      """SELECT (SELECT COUNT(*) FROM documents) AS n_documents,
+        |       (SELECT COUNT(*) FROM events) AS n_events,
+        |       (SELECT COUNT(*) FROM embeddings) AS n_embeddings""".stripMargin,
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * CAST(ROUND((1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "revenue_per_region" ->
+      """SELECT r_name,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "top_orders_per_priority" ->
+      """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+    "distinct_counts" ->
+      """SELECT COUNT(DISTINCT l_orderkey) AS n_orders,
+        |       COUNT(DISTINCT l_partkey) AS n_parts,
+        |       COUNT(DISTINCT l_suppkey) AS n_supps,
+        |       COUNT(*) AS n_rows
+        |FROM lineitem""".stripMargin,
+    "customers_without_big_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_custkey IS NOT NULL AND o_totalprice > 300000.0)
+        |ORDER BY c_custkey""".stripMargin,
+  )
 }
