@@ -4,8 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.analytics.{RecentArticles, SourceDistribution, Timeline, Totals}
+import graft.dedup.Dedup
 import graft.relational.Relational
-import graft.text.{Stopwords, WordFrequencies}
+import graft.similarity.Similarity
+import graft.text.{Stopwords, TextAnalysis, WordFrequencies}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -41,6 +43,28 @@ object SparkEntry {
     "top_orders_per_priority" -> ((s, dir) => Relational.topOrdersPerPriority(s, dir)),
     "distinct_counts" -> ((s, dir) => Relational.distinctCounts(s, dir)),
     "customers_without_big_orders" -> ((s, dir) => Relational.customersWithoutBigOrders(s, dir)),
+    // ---- [EXT] text analysis ----
+    "text_stats" -> ((s, dir) => TextAnalysis.stats(Tables.documents(s, dir))),
+    "lang_distribution" -> ((s, dir) => TextAnalysis.langDistribution(Tables.documents(s, dir))),
+    "doc_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
+    // ---- [EXT] dedup ----
+    "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir), "text", "doc_id")),
+    "jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", "source", 0.9)),
+    "dedup_near_minhash" -> ((s, dir) =>
+      Dedup.nearDupMinHash(Tables.documents(s, dir), "doc_id", "text", 0.9)),
+    "simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", 3)),
+    // ---- [EXT] similarity search ----
+    "knn_bruteforce" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.knnBruteForce(emb, emb.filter(col("vec_id") % 50 === 0), 5)
+    }),
+    "cosine_pairs" -> ((s, dir) => Similarity.cosinePairs(Tables.embeddings(s, dir), 0.4)),
+    "knn_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.knnLsh(emb, emb.filter(col("vec_id") % 50 === 0), 5)
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -111,5 +135,71 @@ object SparkEntry {
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
         |                        WHERE o_custkey IS NOT NULL AND o_totalprice > 300000.0)
         |ORDER BY c_custkey""".stripMargin,
+    "text_stats" ->
+      s"""SELECT doc_id,
+         |  ${TextAnalysis.sqlTokenCount("text")} AS n_tokens,
+         |  ${TextAnalysis.sqlBpeishCount("text")} AS n_bpeish,
+         |  round(${TextAnalysis.sqlMeanTokenLen("text")}, 4) AS mean_token_len,
+         |  round(${TextAnalysis.sqlAlphaRatio("text")}, 4) AS alpha_ratio,
+         |  round(${TextAnalysis.sqlStopRatio("text")}, 4) AS stop_ratio,
+         |  ${TextAnalysis.sqlQuality("text")} AS quality,
+         |  ${TextAnalysis.sqlLangId("text")} AS lang_pred
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "lang_distribution" ->
+      s"""SELECT ${TextAnalysis.sqlLangId("text")} AS lang_pred, COUNT(*) AS n
+         |FROM documents GROUP BY 1 ORDER BY lang_pred""".stripMargin,
+    // doc_fingerprints: engine-specific hash (xxhash64) — no SQL oracle;
+    // semantics pinned by FingerprintSpec (rows-only driver check).
+    "dedup_exact" ->
+      """SELECT keeper_id, n_copies FROM (
+        |  SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+        |  FROM documents GROUP BY text)
+        |ORDER BY keeper_id""".stripMargin,
+    "jaccard_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         list_distinct(regexp_extract_all(lower(text), '\S+')) AS toks
+        |  FROM documents)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(len(list_filter(a.toks, x -> list_contains(b.toks, x)))::DOUBLE /
+        |          len(list_distinct(a.toks || b.toks))::DOUBLE, 4) AS jaccard
+        |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+    // dedup_near_minhash / simhash_pairs: LSH internals are not
+    // SQL-expressible — specs cross-check MinHash output against the exact
+    // Jaccard join and pin SimHash bit semantics (rows-only driver check).
+    "knn_bruteforce" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x*x),
+        |                     (a,b) -> a+b)) AS nv
+        |  FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, v AS pv, nv AS pn FROM n WHERE vec_id % 50 = 0),
+        |s AS (
+        |  SELECT probe_id, vec_id AS cand_id,
+        |    round(list_reduce(list_transform(range(1, len(pv)+1), i -> pv[i]*v[i]),
+        |                      (a,b) -> a+b) / (pn * nv), 6) AS cosine
+        |  FROM p JOIN n ON vec_id <> probe_id),
+        |r AS (SELECT probe_id, cand_id, cosine,
+        |        row_number() OVER (PARTITION BY probe_id
+        |                           ORDER BY cosine DESC, cand_id ASC) AS rk
+        |      FROM s)
+        |SELECT probe_id, rk, cand_id, cosine FROM r WHERE rk <= 5
+        |ORDER BY probe_id, rk""".stripMargin,
+    "cosine_pairs" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x*x),
+        |                     (a,b) -> a+b)) AS nv
+        |  FROM embeddings)
+        |SELECT id_a, id_b, cosine FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_reduce(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]),
+        |                      (x,y) -> x+y) / (a.nv * b.nv), 6) AS cosine
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    // knn_lsh: approximate by design — no oracle (rows-only check);
+    // recall vs knn_bruteforce is asserted in SimilaritySpec.
   )
 }

@@ -1,0 +1,181 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextAnalysis
+
+/** [EXT] Deduplication suite for LLM-training-data pipelines (north star;
+  * the reference's own dedup is the exact URL anti-join, `crawl.py:73`).
+  *
+  * Four escalating strategies, all expression-only (no UDFs):
+  *  - exact: hash groupBy on the content key — one shuffle, linear.
+  *  - exact token-set Jaccard pairs: quadratic within a blocking key —
+  *    the verify/oracle baseline, NOT the scale path.
+  *  - MinHash + LSH banding: linear-ish scale path for Jaccard near-dup —
+  *    signatures per doc, band-bucket equi-join, exact verify on survivors.
+  *  - SimHash + Hamming banding: scale path for cosine-ish near-dup on
+  *    token multisets.
+  *
+  * At 100 TB: exact-pairs is for audits only; MinHash/SimHash shuffle
+  * (band, bucket) keys whose fan-out is tunable (bands × docs rows), and
+  * the verify join only touches candidate pairs. Signatures are
+  * per-partition map work with no state.
+  */
+object Dedup {
+
+  /** Exact dedup: keeper = min id per key (`dedup_exact` query).
+    * One hash aggregate; at scale this is the canonical map-side-combine
+    * shuffle on the key hash. */
+  def exact(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .select(col("keeper_id"), col("n_copies"))
+      .orderBy(col("keeper_id"))
+
+  /** Distinct lowercased whitespace tokens — the comparison set for
+    * Jaccard. `array_sort` makes downstream hashing order-independent. */
+  def tokenSet(text: Column): Column =
+    array_sort(array_distinct(TextAnalysis.tokens(lower(text))))
+
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** Exact token-set Jaccard near-dup pairs within a blocking key
+    * (`jaccard_pairs` query). Quadratic in the block size — the blocking
+    * column bounds the join fan-out; use MinHash below when no natural
+    * block exists. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   blockCol: String, threshold: Double): DataFrame = {
+    val t = df.select(col(idCol).as("id"), col(blockCol).as("block"),
+      tokenSet(col(textCol)).as("toks"))
+    val a = t.select(col("id").as("id_a"), col("block"), col("toks").as("toks_a"))
+    val b = t.select(col("id").as("id_b"), col("block"), col("toks").as("toks_b"))
+    a.join(b, a("block") === b("block") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("toks_a"), col("toks_b")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // ---- MinHash + LSH ----
+
+  /** Deterministic coefficients for the hash family
+    * h_i(x) = (a_i * x32 + b_i) mod (2^61 - 1), with x32 the low 32 bits of
+    * the token hash and a_i < 2^30: the product stays under 2^62, so the
+    * arithmetic never overflows a long (ANSI-mode safe — no wraparound
+    * tricks), and a_i·Δ ≠ 0 mod p for distinct 32-bit inputs makes each
+    * h_i injective. Fixed seeds: signatures are stable across runs and
+    * partitions (part of the operator contract). */
+  private def coeffs(n: Int, seed: Long): IndexedSeq[Long] = {
+    var x = seed
+    (0 until n).map { _ =>
+      // splitmix64 step — deterministic, well-mixed
+      x += 0x9e3779b97f4a7c15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+  }
+
+  private val Mersenne61 = (1L << 61) - 1
+
+  /** MinHash signature (array<long>, length numHashes) over the document's
+    * token SET. Pure per-row expression work. */
+  def minHashSignature(tokSet: Column, numHashes: Int): Column = {
+    val as = coeffs(numHashes, 42L).map(a => (a & ((1L << 30) - 1)) | 1L)
+    val bs = coeffs(numHashes, 1337L).map(b => b & ((1L << 30) - 1))
+    val hs = transform(tokSet, t => xxhash64(t).bitwiseAND(lit(0xFFFFFFFFL)))
+    array((0 until numHashes).map { i =>
+      array_min(transform(hs, h => pmod(h * lit(as(i)) + lit(bs(i)), lit(Mersenne61))))
+    }: _*)
+  }
+
+  /** MinHash/LSH near-dup pairs (`dedup_near_minhash` query).
+    *
+    * signature → split into `bands` bands of r rows → explode one row per
+    * (doc, band) → equi-self-join on (band, bucket) → distinct candidate
+    * pairs → exact Jaccard verify ≥ threshold.
+    *
+    * With numHashes=64, bands=16 (r=4): P(candidate) = 1-(1-J^4)^16, so
+    * J=0.9 is caught with prob 1-4e-8 and J=0.3 only 12% of the time —
+    * the verify step discards those cheaply.
+    */
+  def nearDupMinHash(df: DataFrame, idCol: String, textCol: String,
+                     threshold: Double = 0.9, numHashes: Int = 64,
+                     bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val docs = df.select(col(idCol).as("id"), tokenSet(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val sigs = docs.withColumn("sig", minHashSignature(col("toks"), numHashes))
+    // one row per (doc, band); bucket key hashes the band's slice
+    val banded = sigs.select(col("id"), col("toks"),
+        explode(array((0 until bands).map(lit(_)): _*)).as("band"),
+        col("sig"))
+      .select(col("id"), col("toks"), col("band"),
+        xxhash64(col("band"),
+          concat_ws(",", transform(
+            slice(col("sig"), col("band") * r + 1, lit(r)), _.cast("string"))))
+          .as("bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("toks").as("toks_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("toks").as("toks_b"))
+    val candidates = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("toks_a"), col("toks_b"))
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("toks_a"), col("toks_b")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // ---- SimHash ----
+
+  /** Per-token 64-bit hashes (compute ONCE per row — the 64 bit-position
+    * folds below reuse this array rather than re-hashing per bit). */
+  def tokenHashes(text: Column): Column =
+    transform(graft.text.TextAnalysis.tokens(lower(text)), t => xxhash64(t))
+
+  /** 64-bit SimHash from a column holding array<long> token hashes: ONE
+    * fold over the hash array accumulates a 64-wide ±1 counter vector
+    * (zip_with per token), then the counter signs fold into a long. Built
+    * with SQL-string lambdas because `shiftright(h, i)` needs a column
+    * shift amount (the Scala DSL only takes a literal). Single pass: the
+    * hash array is evaluated once even if an upstream projection inlines
+    * its definition. */
+  def simhash64FromHashes(hashColName: String): Column =
+    expr(
+      s"""aggregate(
+         |  aggregate(`$hashColName`, array_repeat(0L, 64),
+         |    (acc, h) -> zip_with(acc,
+         |      transform(sequence(0, 63), i ->
+         |        CASE WHEN (shiftright(h, i) & 1) = 1 THEN 1L ELSE -1L END),
+         |      (a, b) -> a + b)),
+         |  0L,
+         |  (acc, s) -> shiftleft(acc, 1) | CASE WHEN s > 0 THEN 1L ELSE 0L END)""".stripMargin)
+
+  /** SimHash near-dup pairs (`simhash_pairs` query): Hamming distance ≤
+    * maxDist via 4×16-bit chunk banding (pigeonhole: distance ≤ 3 implies
+    * at least one identical chunk), then exact `bit_count(xor)` verify. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4-chunk banding only guarantees recall for maxDist <= 3")
+    val docs = df.select(col(idCol).as("id"), tokenHashes(col(textCol)).as("hs"))
+      .select(col("id"), simhash64FromHashes("hs").as("sh"))
+    val chunked = docs.select(col("id"), col("sh"),
+        explode(array((0 until 4).map(lit(_)): _*)).as("chunk"))
+      .withColumn("ck", expr("shiftright(sh, chunk * 16) & 65535"))
+    val a = chunked.select(col("chunk"), col("ck"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = chunked.select(col("chunk"), col("ck"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("chunk", "ck"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)").cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+}

@@ -1,0 +1,155 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Text-analysis operators for LLM-training-data pipelines (north
+  * star, SURVEY.md §2.7 F17): token counting, quality scoring, language
+  * identification, document fingerprinting.
+  *
+  * Everything except the fingerprint hashes is built from expressions whose
+  * arithmetic can be mirrored verbatim in ANSI SQL, so each derived column
+  * is DuckDB-oracle-checkable bit-for-bit (same IEEE ops in the same order,
+  * rounded once at the end). No UDFs, no shuffle — one scan, per-row work.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens via `regexp_extract_all('\S+')` — unlike `split`,
+    * never emits empty tokens on leading/trailing/repeated whitespace, and
+    * the same call exists in DuckDB with identical semantics. */
+  def tokens(text: Column): Column =
+    regexp_extract_all(text, lit("\\S+"), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish segmentation: letter runs | digit runs | single other symbol.
+    * A cheap proxy for subword token counts (real BPE needs a merges table;
+    * this is the deterministic, regex-only stand-in). */
+  val BpePattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0))).cast("long")
+
+  /** Fraction of characters that are ASCII letters (quality signal). */
+  def alphaRatioRaw(text: Column): Column =
+    length(regexp_replace(text, "[^a-zA-Z]", "")).cast("double") /
+      nullif(length(text), lit(0)).cast("double")
+
+  /** Mean token length in characters (whitespace excluded). */
+  def meanTokenLenRaw(text: Column): Column =
+    length(regexp_replace(text, "\\s", "")).cast("double") /
+      nullif(size(tokens(text)), lit(0)).cast("double")
+
+  /** 20 high-frequency English function words — a frequency profile, not
+    * the reference's stopword set: natural English prose has a stable
+    * ~0.3-0.5 ratio of these; keyword spam and non-English text do not. */
+  val EnFunctionWords: Seq[String] = Seq(
+    "the", "and", "of", "to", "in", "is", "that", "for", "on", "with",
+    "as", "at", "by", "this", "be", "are", "was", "or", "an", "it")
+
+  def stopwordRatioRaw(text: Column): Column =
+    size(filter(tokens(lower(text)), t => t.isInCollection(EnFunctionWords)))
+      .cast("double") / nullif(size(tokens(text)), lit(0)).cast("double")
+
+  /** Composite quality score in [0,1]: alphabetic-ness, function-word
+    * profile (saturating at ratio 0.25), and length (saturating at 50
+    * tokens). Weights are part of the operator contract — the DuckDB
+    * oracle replicates this exact expression. */
+  def qualityScore(text: Column): Column =
+    round(
+      alphaRatioRaw(text) * 0.5 +
+        least(stopwordRatioRaw(text) * lit(4.0), lit(1.0)) * 0.25 +
+        least(size(tokens(text)).cast("double") / 50.0, lit(1.0)) * 0.25,
+      4)
+
+  /** Per-language marker-word profiles for the n-gram-free language-ID
+    * heuristic. Scoring = number of token occurrences hitting the profile;
+    * argmax with alphabetical precedence on ties; all-zero -> 'und'. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "es" -> Seq("el", "los", "las", "que", "una", "para", "con", "por"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "une", "dans", "pour"),
+    "zh" -> Seq("shi", "bu", "wo", "ni", "zai", "hen", "ma", "ba"))
+
+  def langScore(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(lower(text)), t => t.isInCollection(markers))).cast("long")
+
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (l, m) => l -> langScore(text, m) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((l, s), els) =>
+      when(best > 0 && s === best, lit(l)).otherwise(els)
+    }
+  }
+
+  // DuckDB-side mirrors of the expressions above, for SparkEntry.oracleSql.
+  private def sqlToks(textExpr: String) = s"regexp_extract_all($textExpr, '\\S+')"
+  private def sqlInList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ", ", ")")
+  def sqlTokenCount(t: String): String = s"len(${sqlToks(t)})"
+  def sqlBpeishCount(t: String): String =
+    s"len(regexp_extract_all($t, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))"
+  def sqlAlphaRatio(t: String): String =
+    s"(length(regexp_replace($t, '[^a-zA-Z]', '', 'g'))::DOUBLE / nullif(length($t), 0)::DOUBLE)"
+  def sqlMeanTokenLen(t: String): String =
+    s"(length(regexp_replace($t, '\\s', '', 'g'))::DOUBLE / nullif(len(${sqlToks(t)}), 0)::DOUBLE)"
+  def sqlStopRatio(t: String): String =
+    s"(len(list_filter(${sqlToks(s"lower($t)")}, x -> x IN ${sqlInList(EnFunctionWords)}))::DOUBLE" +
+      s" / nullif(len(${sqlToks(t)}), 0)::DOUBLE)"
+  def sqlQuality(t: String): String =
+    s"round(${sqlAlphaRatio(t)} * 0.5 + least(${sqlStopRatio(t)} * 4.0, 1.0) * 0.25 + " +
+      s"least(len(${sqlToks(t)})::DOUBLE / 50.0, 1.0) * 0.25, 4)"
+  def sqlLangScore(t: String, ws: Seq[String]): String =
+    s"len(list_filter(${sqlToks(s"lower($t)")}, x -> x IN ${sqlInList(ws)}))"
+  def sqlLangId(t: String): String = {
+    val scores = LangMarkers.map { case (l, m) => l -> sqlLangScore(t, m) }
+    val best = s"greatest(${scores.map(_._2).mkString(", ")})"
+    val whens = scores.map { case (l, s) =>
+      s"WHEN $best > 0 AND $s = $best THEN '$l'" }.mkString(" ")
+    s"(CASE $whens ELSE 'und' END)"
+  }
+
+  /** Full per-document stats table (the `text_stats` query). */
+  def stats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol),
+      tokenCount(t).as("n_tokens"),
+      bpeishCount(t).as("n_bpeish"),
+      round(meanTokenLenRaw(t), 4).as("mean_token_len"),
+      round(alphaRatioRaw(t), 4).as("alpha_ratio"),
+      round(stopwordRatioRaw(t), 4).as("stop_ratio"),
+      qualityScore(t).as("quality"),
+      langId(t).as("lang_pred")
+    ).orderBy(col(idCol))
+  }
+
+  /** Predicted-language distribution (the `lang_distribution` query). */
+  def langDistribution(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.groupBy(langId(col(textCol)).as("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang_pred"))
+
+  // ---- document fingerprinting (rolling-hash family) ----
+
+  /** Word n-gram shingles, lowercased. Empty array when the document has
+    * fewer than n tokens. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(lower(text))
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** 64-bit whole-document fingerprint + min-shingle rolling fingerprint
+    * (the winnowing primitive: min over the 3-gram shingle hash stream).
+    * Engine-specific hash (xxhash64) — no SQL oracle; pinned by specs. */
+  def fingerprints(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol),
+      xxhash64(t).as("fp64"),
+      array_min(transform(shingles(t, 3), s => xxhash64(s))).as("min_shingle_fp")
+    ).orderBy(col(idCol))
+  }
+}
