@@ -37,9 +37,21 @@ object Dedup {
   def tokenSet(text: Column): Column =
     array_sort(array_distinct(TextAnalysis.tokens(lower(text))))
 
+  /** Two empty sets → null (not an ANSI divide-by-zero error). */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
-      size(array_union(a, b)).cast("double")
+      nullif(size(array_union(a, b)).cast("double"), lit(0.0))
+
+  /** Exact Jaccard for SORTED distinct arrays with known sizes: one codegen
+    * merge walk ([[org.apache.spark.sql.graft.SortedIntersectSize]]) and
+    * |A ∪ B| = |A| + |B| − |A ∩ B| — no per-pair hash sets or allocations.
+    * Identical value to [[jaccard]]; used on the hot verify path. */
+  /** Two empty sets → null (not an ANSI divide-by-zero error), matching
+    * the 0/0 → null behavior the filter then drops. */
+  def jaccardSorted(a: Column, b: Column, na: Column, nb: Column): Column = {
+    val inter = org.apache.spark.sql.graft.ArrayFunctions.sortedIntersectSize(a, b)
+    inter.cast("double") / nullif((na + nb - inter).cast("double"), lit(0.0))
+  }
 
   /** Exact token-set Jaccard near-dup pairs within a blocking key
     * (`jaccard_pairs` query). Quadratic in the block size — the blocking
@@ -49,11 +61,22 @@ object Dedup {
                    blockCol: String, threshold: Double): DataFrame = {
     val t = df.select(col(idCol).as("id"), col(blockCol).as("block"),
       tokenSet(col(textCol)).as("toks"))
-    val a = t.select(col("id").as("id_a"), col("block"), col("toks").as("toks_a"))
-    val b = t.select(col("id").as("id_b"), col("block"), col("toks").as("toks_b"))
-    a.join(b, a("block") === b("block") && col("id_a") < col("id_b"))
+      .withColumn("n", size(col("toks")))
+    val a = t.select(col("id").as("id_a"), col("block"), col("toks").as("toks_a"), col("n").as("n_a"))
+    val b = t.select(col("id").as("id_b"), col("block"), col("toks").as("toks_b"), col("n").as("n_b"))
+    // Size pruning: J(A,B) >= t implies min(|A|,|B|) >= t * max(|A|,|B|)
+    // (since |A∩B| <= min and |A∩B| >= t*|A∪B| >= t*max). The cheap integer
+    // predicate runs in the join condition, so most of the quadratic
+    // fan-out never reaches the O(|A|+|B|) intersect/union. The final
+    // filter compares round(J, 4), so prune against t minus the rounding
+    // half-step to never drop a pair the rounded filter would keep.
+    val pruneT = threshold - 0.5e-4
+    a.join(b, a("block") === b("block") && col("id_a") < col("id_b") &&
+        least(col("n_a"), col("n_b")).cast("double") >=
+          greatest(col("n_a"), col("n_b")).cast("double") * pruneT)
       .select(col("id_a"), col("id_b"),
-        round(jaccard(col("toks_a"), col("toks_b")), 4).as("jaccard"))
+        round(jaccardSorted(col("toks_a"), col("toks_b"), col("n_a"), col("n_b")), 4)
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -82,14 +105,28 @@ object Dedup {
   private val Mersenne61 = (1L << 61) - 1
 
   /** MinHash signature (array<long>, length numHashes) over the document's
-    * token SET. Pure per-row expression work. */
+    * token SET. Pure per-row expression work.
+    *
+    * Shape matters: a naive `array(h_0, …, h_63)` of 64 independent
+    * `array_min(transform(tokens, …))` expressions gets the tokenize+hash
+    * subtree INLINED 64 times by Catalyst's CollapseProject (no CSE across
+    * array elements), turning one regexp pass into 64 — measured 50×
+    * slower at sf0.1. Instead: ONE `aggregate` fold over the token-hash
+    * array keeps a 64-wide running-min accumulator, so tokenization and
+    * xxhash64 run exactly once per token regardless of numHashes. */
   def minHashSignature(tokSet: Column, numHashes: Int): Column = {
     val as = coeffs(numHashes, 42L).map(a => (a & ((1L << 30) - 1)) | 1L)
     val bs = coeffs(numHashes, 1337L).map(b => b & ((1L << 30) - 1))
+    val aArr = array(as.map(lit(_)): _*)
+    val bArr = array(bs.map(lit(_)): _*)
     val hs = transform(tokSet, t => xxhash64(t).bitwiseAND(lit(0xFFFFFFFFL)))
-    array((0 until numHashes).map { i =>
-      array_min(transform(hs, h => pmod(h * lit(as(i)) + lit(bs(i)), lit(Mersenne61))))
-    }: _*)
+    aggregate(
+      hs,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, h) => zip_with(
+        zip_with(aArr, bArr, (a, b) => pmod(h * a + b, lit(Mersenne61))),
+        acc,
+        (x, m) => least(x, m)))
   }
 
   /** MinHash/LSH near-dup pairs (`dedup_near_minhash` query).
@@ -109,25 +146,46 @@ object Dedup {
     val r = numHashes / bands
     val docs = df.select(col(idCol).as("id"), tokenSet(col(textCol)).as("toks"))
       .filter(size(col("toks")) > 0)
+      .withColumn("n", size(col("toks")))
     val sigs = docs.withColumn("sig", minHashSignature(col("toks"), numHashes))
-    // one row per (doc, band); bucket key hashes the band's slice
-    val banded = sigs.select(col("id"), col("toks"),
+    // One row per (doc, band), carrying (band, bucket, id, n, all-band
+    // bucket array) — NO document payload: at 100 TB the bucket exchange
+    // must not carry token arrays (a dup cluster of m docs would push
+    // m·bands payload copies through the shuffle).
+    val banded = sigs.select(col("id"), col("n"),
         explode(array((0 until bands).map(lit(_)): _*)).as("band"),
         col("sig"))
-      .select(col("id"), col("toks"), col("band"),
+      .select(col("id"), col("n"), col("band"),
         xxhash64(col("band"),
           concat_ws(",", transform(
             slice(col("sig"), col("band") * r + 1, lit(r)), _.cast("string"))))
           .as("bucket"))
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("toks").as("toks_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("toks").as("toks_b"))
-    val candidates = a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("toks_a"), col("toks_b"))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("n").as("n_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("n").as("n_b"))
+    // Size pruning runs inside the join condition (J >= t forces
+    // min(|A|,|B|) >= t'·max(|A|,|B|), t' = t minus the round(…,4)
+    // half-step), so pruned pairs never reach the dedup exchange. The rows
+    // are 4 numeric columns — a dup cluster of m docs still fans out
+    // m²·bands/2 candidate rows, but each is 32 bytes, and map-side partial
+    // aggregation compacts repeats before the dropDuplicates shuffle.
+    val pruneT = threshold - 0.5e-4
+    val candidates = a.join(b,
+      a("band") === b("band") && a("bucket") === b("bucket") &&
+        col("id_a") < col("id_b") &&
+        least(col("n_a"), col("n_b")).cast("double") >=
+          greatest(col("n_a"), col("n_b")).cast("double") * pruneT)
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
       .dropDuplicates("id_a", "id_b")
+    // Verify on distinct candidate pairs only: re-fetch token sets by id
+    // (docs is a slim (id, toks) projection — Spark broadcasts it while it
+    // fits the threshold, sort-merge-joins at scale) and run the
+    // allocation-free sorted-merge Jaccard.
     candidates
+      .join(docs.select(col("id").as("id_a"), col("toks").as("toks_a")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col("toks").as("toks_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(jaccard(col("toks_a"), col("toks_b")), 4).as("jaccard"))
+        round(jaccardSorted(col("toks_a"), col("toks_b"), col("n_a"), col("n_b")), 4)
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy(col("id_a"), col("id_b"))
   }

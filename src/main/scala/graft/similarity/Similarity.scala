@@ -28,7 +28,16 @@ object Similarity {
     * promotion orders would not). */
   def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
+  /** Codegen'd native loop ([[org.apache.spark.sql.graft.DotProduct]]);
+    * identical summation order to the HOF form below and DuckDB's
+    * `list_reduce`, so oracle values are unchanged bit-for-bit. */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VectorFunctions.dotNative(a, b)
+
+  /** The declarative higher-order-function equivalent — kept as the
+    * cross-check in SimilaritySpec (interpreted; ~40× slower in all-pairs
+    * joins). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -79,32 +88,59 @@ object Similarity {
     Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-bucket id: bit j = [v · h_j > 0]. One long per vector. */
+  /** Sign-bucket id over a slice of the plane family: bit j = [v · h_j > 0].
+    * One long per (vector, table). */
   def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, j) =>
       val plane = array(p.map(lit(_)): _*)
       when(dot(v, plane) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** LSH-bucketed approximate kNN (`knn_lsh` query): candidates sharing the
-    * probe's exact bucket are re-ranked exactly. Misses neighbors that land
-    * in adjacent buckets — recall/cost is tuned by numPlanes (fewer planes
-    * → bigger buckets → higher recall, more re-rank work). */
-  def knnLsh(candidates: DataFrame, probes: DataFrame, k: Int, numPlanes: Int = 8,
+  /** Multi-table LSH-bucketed approximate kNN (`knn_lsh` query).
+    *
+    * OR-amplification — the random-hyperplane analog of MinHash banding:
+    * `tables` independent hash tables of `bitsPerTable` hyperplane sign
+    * bits each; a candidate is considered if it shares the probe's bucket
+    * in ANY table, then re-ranked by exact cosine. With p = 1 − θ/π the
+    * per-plane agreement, recall = 1 − (1 − p^bits)^tables: at 8×8 defaults
+    * a same-cluster neighbor (θ≈30°, p≈0.83) is caught with prob ~0.86
+    * while an unrelated vector (θ≈90°, p=0.5) survives a table only 0.4%
+    * of the time — the re-rank pool stays a small fraction of the corpus.
+    * A single table (tables=1) degenerates to near-zero recall on
+    * clustered data; this shape is the scale path: candidate generation is
+    * an equi-join on (table, bucket), never a cross product.
+    *
+    * Defaults (6 bits × 12 tables) target the driver fixtures, whose
+    * nearest neighbors sit at θ≈72° (near-random data): recall ≈ 0.44 with
+    * a re-rank pool ≈ 17% of the corpus. On real embedding corpora where
+    * neighbors sit at θ≤30°, the same defaults give recall ≥ 0.99 with a
+    * far smaller pool; raise bitsPerTable as neighbors get tighter. */
+  def knnLsh(candidates: DataFrame, probes: DataFrame, k: Int,
+             bitsPerTable: Int = 6, tables: Int = 12,
              dim: Int = 64, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val planes = hyperplanes(numPlanes, dim)
-    val cand = candidates.select(col(idCol).as("cand_id"), asDouble(col(vecCol)).as("cv"))
-      .withColumn("cn", norm(col("cv")))
-      .withColumn("bucket", lshBucket(col("cv"), planes))
-    val prob = probes.select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("pv"))
-      .withColumn("pn", norm(col("pv")))
-      .withColumn("bucket", lshBucket(col("pv"), planes))
+    val planes = hyperplanes(bitsPerTable * tables, dim)
+    def bucketed(df: DataFrame, id: String, v: String, n: String) = {
+      val base = df.select(col(idCol).as(id), asDouble(col(vecCol)).as(v))
+        .withColumn(n, norm(col(v)))
+      // One native expression computes every table's bucket in a single
+      // matrix-vector pass (the composed per-plane form built a ~5000-leaf
+      // expression tree that broke out of codegen).
+      val buckets = org.apache.spark.sql.graft.VectorFunctions
+        .lshTableBuckets(col(v), planes, bitsPerTable)
+      base.select(col(id), col(v), col(n), posexplode(buckets).as(Seq("table", "bucket")))
+    }
+    val cand = bucketed(candidates, "cand_id", "cv", "cn")
+    val prob = bucketed(probes, "probe_id", "pv", "pn")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("cand_id").asc)
-    cand.join(broadcast(prob), Seq("bucket"))
+    cand.join(broadcast(prob), Seq("table", "bucket"))
       .filter(col("cand_id") =!= col("probe_id"))
+      // Cosine BEFORE the pair-dedup: a pair colliding in t tables computes
+      // the (codegen'd) dot t times, but the dedup exchange then carries 3
+      // narrow columns instead of two 64-double vectors per row.
       .select(col("probe_id"), col("cand_id"),
         round(dot(col("pv"), col("cv")) / (col("pn") * col("cn")), 6).as("cosine"))
+      .dropDuplicates("probe_id", "cand_id")
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("probe_id"), col("rk"), col("cand_id"), col("cosine"))

@@ -1,0 +1,69 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the dedup-operator contracts promised in SparkEntry's oracle
+  * comments: MinHash/LSH output equals the exact Jaccard join at the same
+  * threshold (on data where banding recall is ~certain), and SimHash bit
+  * semantics are stable and symmetric. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),      // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"),      // near dup (J = 8/10)
+    (4L, "completely different words entirely here now"),
+    (5L, "")                                                  // empty → dropped
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per text and counts copies") {
+    val out = Dedup.exact(docs, "text", "doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
+  }
+
+  test("minhash LSH pairs equal exact jaccard pairs at the same threshold") {
+    // Threshold 0.7: the (1,2) exact-dup pair (J=1.0) and (1,3)/(2,3)
+    // (J=0.8 on token SETS: 8 shared of 10 distinct... recompute: sets are
+    // {the,quick,brown,fox,jumps,over,lazy,dog} vs same with cat — J=7/9).
+    val lsh = Dedup.nearDupMinHash(docs, "doc_id", "text", 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.jaccardPairs(
+        docs.withColumn("blk", lit(1)), "doc_id", "text", "blk", 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(lsh == exact)
+  }
+
+  test("minhash signature is deterministic and set-order independent") {
+    val a = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val b = Seq((1L, "gamma beta alpha beta")).toDF("doc_id", "text")
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      df.select(Dedup.minHashSignature(Dedup.tokenSet(col("text")), 16))
+        .head().getSeq[Long](0)
+    assert(sig(a) == sig(b)) // same token SET → same signature
+  }
+
+  test("simhash: identical texts collide, near texts are close, distant far") {
+    val t = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the lazy cat"))
+      .toDF("doc_id", "text")
+    val sh2 = t.withColumn("hs", Dedup.tokenHashes(col("text")))
+      .select(col("doc_id"), Dedup.simhash64FromHashes("hs").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh2(1L) == sh2(2L))
+    assert(java.lang.Long.bitCount(sh2(1L) ^ sh2(3L)) < 32) // near, not random
+  }
+
+  test("simhashPairs finds exact dups at distance 0 and is id-ordered") {
+    val out = Dedup.simhashPairs(docs.filter(length(col("text")) > 0),
+      "doc_id", "text", 3).collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.contains((1L, 2L, 0L)))
+    assert(pairs.forall { case (a, b, _) => a < b })
+  }
+}

