@@ -5,8 +5,10 @@ import org.apache.spark.sql.functions._
 
 import graft.analytics.{RecentArticles, SourceDistribution, Timeline, Totals}
 import graft.dedup.Dedup
+import graft.ingest.{Dates, Ingest}
 import graft.relational.Relational
 import graft.similarity.Similarity
+import graft.streaming.EventWindows
 import graft.text.{Stopwords, TextAnalysis, WordFrequencies}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -65,6 +67,35 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.knnLsh(emb, emb.filter(col("vec_id") % 50 === 0), 5)
     }),
+    // ---- ingest path (reference crawl.py E1) ----
+    "ingest_articles" -> ((s, _) => {
+      import s.implicits._
+      val listings = IngestFixture.listings.toDF("source", "html")
+      val pages = IngestFixture.pages.toDF("sources", "html")
+      Ingest.run(listings, pages, Seq.empty[String].toDF("sources"))
+        .select("title", "sources", "content", "source", "published_at")
+        .orderBy("sources")
+    }),
+    "ingest_dedup_antijoin" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      docs.select(col("doc_id"), col("text"))
+        .join(docs.filter(col("doc_id") % 3 === 0).select(col("text")),
+          Seq("text"), "left_anti")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+    "parse_published" -> ((s, _) => {
+      import s.implicits._
+      IngestFixture.rawDates.toDF("raw")
+        .select(col("raw"),
+          date_format(Dates.parsePublished(col("raw")), "yyyy-MM-dd HH:mm:ss").as("ts_str"))
+        .orderBy(col("raw"))
+    }),
+    // ---- [EXT] event-time windows + JSON (streaming-capable shapes) ----
+    "events_hourly" -> ((s, dir) => EventWindows.tumblingHourly(Tables.events(s, dir))),
+    "events_sliding" -> ((s, dir) => EventWindows.slidingHourly(Tables.events(s, dir))),
+    "events_sessions" -> ((s, dir) => EventWindows.userSessions(Tables.events(s, dir))),
+    "events_props_json" -> ((s, dir) => EventWindows.propsStats(Tables.events(s, dir))),
+    "approx_distinct_users" -> ((s, dir) => EventWindows.distinctUsers(Tables.events(s, dir))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -201,5 +232,79 @@ object SparkEntry {
         |WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin,
     // knn_lsh: approximate by design — no oracle (rows-only check);
     // recall vs knn_bruteforce is asserted in SimilaritySpec.
+    "ingest_articles" ->
+      """SELECT * FROM (VALUES
+        |  ('Title One', 'https://ex.com/a/1', 'Body 1.',
+        |   'https://ex.com/list', '2024-01-01'),
+        |  ('Title Two', 'https://ex.com/a/2', E'Body 2a.\nBody 2b.',
+        |   'https://ex.com/list', CAST(NULL AS VARCHAR))
+        |) t(title, sources, content, source, published_at)
+        |ORDER BY sources""".stripMargin,
+    "ingest_dedup_antijoin" ->
+      """SELECT doc_id FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM documents e
+        |                  WHERE e.doc_id % 3 = 0 AND e.text = d.text)
+        |ORDER BY doc_id""".stripMargin,
+    "parse_published" -> {
+      val values = graft.IngestFixture.rawDates
+        .map(r => s"('${r.replace("'", "''")}')").mkString(", ")
+      s"""SELECT raw, strftime(${Dates.duckDbParse("raw")}, '%Y-%m-%d %H:%M:%S') AS ts_str
+         |FROM (VALUES $values) t(raw)
+         |ORDER BY raw""".stripMargin
+    },
+    "events_hourly" ->
+      """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
+    "events_sliding" ->
+      """SELECT ws, COUNT(*) AS n FROM (
+        |  SELECT time_bucket(INTERVAL 15 MINUTE, ts) - (k.k * INTERVAL '15 MINUTE') AS ws
+        |  FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) k(k)
+        |  WHERE ts IS NOT NULL)
+        |GROUP BY ws ORDER BY ws""".stripMargin,
+    "events_sessions" ->
+      """WITH m AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM events WHERE ts IS NOT NULL),
+        |s AS (SELECT user_id, ts,
+        |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                         ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |       MAX(ts) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+    "events_props_json" ->
+      """SELECT event_type, COUNT(k) AS n_with_k, CAST(SUM(k) AS BIGINT) AS sum_k,
+        |       MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM (SELECT event_type, json_extract(props, '$.k')::BIGINT AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // approx_distinct_users: HLL++ is engine-specific — no oracle; the
+    // rsd error bound vs exact counts is asserted in StreamingSpec.
   )
+}
+
+/** Inline page fixtures for the ingest driver queries (deterministic —
+  * the same literals are embedded in the DuckDB oracle VALUES). */
+object IngestFixture {
+  val listings: Seq[(String, String)] = Seq(
+    ("https://ex.com/list",
+      """<article><a href="/a/1">one</a></article>
+        |<article><a href="/a/2">two</a></article>
+        |<article><p>no link, skipped</p></article>""".stripMargin))
+
+  val pages: Seq[(String, String)] = Seq(
+    ("https://ex.com/a/1",
+      "<h1>Title One</h1><p>Body 1.</p><time datetime=\"2024-01-01\">x</time>"),
+    ("https://ex.com/a/2",
+      "<title>Title Two</title><p>Body 2a.</p><p>Body 2b.</p>"))
+
+  val rawDates: Seq[String] = Seq(
+    "2024-03-01T10:15:30", "2024-07-04 08:30:00", "2024-03-01",
+    "March 1, 2024", "Mar 15, 2024", "01/03/2024", "not a date",
+    " 2024-12-25 ")
 }

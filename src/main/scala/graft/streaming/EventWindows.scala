@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.relational.Money
+
+/** ST5 [EXT]: tumbling / sliding / session windows over the `events`
+  * stream table, plus F15 JSON-props extraction.
+  *
+  * Every query here is written against a plain DataFrame so the SAME
+  * expression tree serves batch (driver oracle checks) and Structured
+  * Streaming (`readStream` input + watermark — see [[StreamingIngest]]):
+  * Spark's unified semantics make the batch result the ground truth for
+  * the streaming one.
+  *
+  * Aggregated measures use exact integer-scaled sums ([[Money]]) so
+  * hash-compares against the single-threaded DuckDB oracle cannot drift
+  * on double summation order.
+  *
+  * Scale: tumbling/sliding windows are hash aggregates on (window, keys) —
+  * partial+final with map-side combine, one shuffle. Session windows
+  * shuffle on user and merge per key; state size is bounded by the gap
+  * via watermark in streaming mode.
+  */
+object EventWindows {
+
+  /** Hourly tumbling counts + exact value sums, per event type. */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Money.sumMoney(col("value")).as("sum_value"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("ws"), col("event_type"))
+
+  /** Sliding 1-hour windows every 15 minutes (each event lands in 4). */
+  def slidingHourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("n"))
+      .orderBy(col("ws"))
+
+  /** Per-user sessions with a 30-minute inactivity gap: Spark's
+    * `session_window` (streaming-capable). Session end = last event +
+    * gap, so `n_events` and bounds are what a gaps-and-islands SQL
+    * computes. */
+  def userSessions(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** F15: JSON props → typed column; per-type stats over the extracted
+    * value (`events.props` is a JSON string like `{"k": 87}`). */
+  def propsStats(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  /** A8 [EXT]: exact vs approximate distinct users per event type.
+    * `approx_count_distinct` is HLL++-based and engine-specific, so the
+    * oracle covers the exact column; the approx column's error bound is
+    * pinned by spec instead. */
+  def distinctUsers(events: DataFrame, rsd: Double = 0.05): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id"), rsd).as("n_approx"))
+      .orderBy(col("event_type"))
+}

@@ -1,0 +1,70 @@
+package graft.ingest
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** E1 pipeline semantics over inline page tables: candidate explode,
+  * anti-join dedup (incl. idempotent re-ingest — `crawl.py:73-75`), and
+  * record shape. */
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val listingHtml =
+    """<article><a href="/a/1">one</a></article>
+      |<article><a href="/a/2">two</a></article>
+      |<article><p>no link, skipped</p></article>""".stripMargin
+
+  private def listings = Seq(("https://ex.com/list", listingHtml)).toDF("source", "html")
+
+  private def pages = Seq(
+    ("https://ex.com/a/1",
+      "<h1>Title One</h1><p>Body 1.</p><time datetime=\"2024-01-01\">x</time>"),
+    ("https://ex.com/a/2",
+      "<title>Title Two</title><p>Body 2a.</p><p>Body 2b.</p>")
+  ).toDF("sources", "html")
+
+  private def empty = Seq.empty[String].toDF("sources")
+
+  test("candidates: one row per linked block, absolute urls") {
+    val c = Ingest.candidates(listings).collect()
+    assert(c.map(_.getString(1)).toSeq ==
+      Seq("https://ex.com/a/1", "https://ex.com/a/2"))
+  }
+
+  test("anti-join dedup: re-ingest of the same batch inserts nothing") {
+    val first = Ingest.run(listings, pages, empty)
+    assert(first.count() == 2)
+    val existingAfter = first.select("sources")
+    val second = Ingest.run(listings, pages, existingAfter)
+    assert(second.count() == 0)
+  }
+
+  test("records carry the writer shape with extraction fallbacks") {
+    val recs = Ingest.run(listings, pages, empty)
+      .orderBy("sources").collect()
+    val r1 = recs(0)
+    assert(r1.getAs[String]("title") == "Title One")
+    assert(r1.getAs[String]("content") == "Body 1.")
+    assert(r1.getAs[String]("published_at") == "2024-01-01")
+    val r2 = recs(1)
+    assert(r2.getAs[String]("title") == "Title Two")
+    assert(r2.getAs[String]("content") == "Body 2a.\nBody 2b.")
+    assert(r2.getAs[String]("published_at") == null)
+    assert(recs.forall(_.getAs[String]("source") == "https://ex.com/list"))
+  }
+
+  test("newCounts groups inserted rows per seed source") {
+    val out = Ingest.newCounts(Ingest.run(listings, pages, empty)).collect()
+    assert(out.length == 1 && out(0).getLong(1) == 2)
+  }
+
+  test("lenient date parse: cascade formats, null on garbage") {
+    val df = Seq("2024-03-01T10:15:30+00:00", "2024-03-01T10:15:30",
+      "2024-03-01 10:15:30", "2024-03-01", "March 1, 2024", "Mar 1, 2024",
+      "01/03/2024", "not a date", " 2024-03-01 ").toDF("raw")
+    val parsed = df.select(Dates.parsePublished($"raw").as("ts")).collect()
+    assert(parsed.count(_.isNullAt(0)) == 1)
+    assert(parsed(3).getTimestamp(0).toString.startsWith("2024-03-01"))
+    assert(parsed(8).getTimestamp(0).toString.startsWith("2024-03-01")) // trimmed
+  }
+}

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** ST1-ST5 semantics: cross-micro-batch dedup state, streaming windowed
+  * aggregation agreeing with its batch twin, watermark behavior. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dropDuplicates state dedups across micro-batches (ST2)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String)]
+    val q = StreamingIngest.dedupStream(in.toDF().toDF("sources", "title"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      in.addData(("u1", "a"), ("u2", "b"), ("u1", "dup-in-batch"))
+      q.processAllAvailable()
+      in.addData(("u1", "dup-across-batch"), ("u3", "c"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").select("sources").as[String]
+        .collect().sorted
+      assert(got.toSeq == Seq("u1", "u2", "u3"))
+    } finally q.stop()
+  }
+
+  test("streaming tumbling window agg matches the batch twin (ST5/ST3)") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      ("2024-01-01 00:10:00", "click", 1.0),
+      ("2024-01-01 00:50:00", "click", 2.0),
+      ("2024-01-01 01:05:00", "view", 3.0),
+      ("2024-01-01 00:20:00", "view", 4.0)) // late arrival, still counted
+    val in = MemoryStream[(String, String, Double)]
+    val toEvents = (df: org.apache.spark.sql.DataFrame) => df
+      .toDF("raw_ts", "event_type", "value")
+      .select(to_timestamp($"raw_ts").as("ts"), $"event_type", $"value")
+    val q = EventWindows.tumblingHourly(toEvents(in.toDF()))
+      .writeStream.format("memory").queryName("tumble_out")
+      .outputMode("complete").start()
+    try {
+      in.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      in.addData(rows.drop(3): _*)   // late event for the 00:00 window
+      q.processAllAvailable()
+      val streaming = spark.table("tumble_out")
+        .orderBy("ws", "event_type").collect().map(_.toSeq).toSeq
+      val batch = EventWindows.tumblingHourly(toEvents(rows.toDF()))
+        .collect().map(_.toSeq).toSeq
+      assert(streaming == batch)
+    } finally q.stop()
+  }
+
+  test("approx distinct stays within rsd bounds of exact (A8)") {
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val rows = EventWindows.distinctUsers(events).collect()
+    rows.foreach { r =>
+      val exact = r.getLong(1).toDouble
+      val approx = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact < 0.15,
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+}
