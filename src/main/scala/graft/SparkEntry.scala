@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.analytics.{RecentArticles, SourceDistribution, Timeline, Totals}
 import graft.dedup.Dedup
 import graft.ingest.{Dates, Ingest}
+import graft.multimodal.Multimodal
 import graft.relational.Relational
 import graft.similarity.Similarity
 import graft.streaming.EventWindows
@@ -96,6 +97,11 @@ object SparkEntry {
     "events_sessions" -> ((s, dir) => EventWindows.userSessions(Tables.events(s, dir))),
     "events_props_json" -> ((s, dir) => EventWindows.propsStats(Tables.events(s, dir))),
     "approx_distinct_users" -> ((s, dir) => EventWindows.distinctUsers(Tables.events(s, dir))),
+    // ---- [EXT] multimodal columns (binary payload + typed metadata) ----
+    "multimodal_features" -> ((s, dir) =>
+      Multimodal.featureSummary(Multimodal.mediaFromDocuments(Tables.documents(s, dir)))),
+    "multimodal_frames" -> ((s, dir) =>
+      Multimodal.frameIndex(Multimodal.mediaFromDocuments(Tables.documents(s, dir)))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -285,6 +291,18 @@ object SparkEntry {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // approx_distinct_users: HLL++ is engine-specific — no oracle; the
     // rsd error bound vs exact counts is asserted in StreamingSpec.
+    "multimodal_features" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 1 THEN 'audio' WHEN 2 THEN 'video'
+        |                  ELSE 'image' END AS kind,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  16 AS feat_dim
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "multimodal_frames" ->
+      """SELECT doc_id AS media_id,
+        |  UNNEST(generate_series(0, strlen(text) % 7)) AS frame_idx
+        |FROM documents WHERE doc_id % 3 = 2
+        |ORDER BY media_id, frame_idx""".stripMargin,
   )
 }
 

@@ -1,0 +1,42 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the multimodal plumbing: schema, determinism, 1→N frame shape,
+  * and partition-local execution (payloads never shuffle). */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media = Multimodal.mediaFromDocuments(
+    Seq((1L, "alpha beta"), (2L, "gamma"), (3L, "delta epsilon zeta"))
+      .toDF("doc_id", "text"))
+
+  test("media table: kind cycles, payload is utf-8 bytes") {
+    val rows = media.orderBy("media_id").collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("audio", "video", "image"))
+    assert(new String(rows(0).getAs[Array[Byte]]("data"), "UTF-8") == "alpha beta")
+  }
+
+  test("decodeFeatures: fixed dim, correct byte counts, deterministic") {
+    val f1 = Multimodal.decodeFeatures(media).orderBy("media_id").collect()
+    val f2 = Multimodal.decodeFeatures(media).orderBy("media_id").collect()
+    assert(f1.map(_.getLong(2)).toSeq == Seq(10L, 5L, 18L))
+    assert(f1.forall(_.getInt(3) == Multimodal.FeatureDim))
+    assert(f1.forall(_.getSeq[Float](4).length == Multimodal.FeatureDim))
+    assert(f1.map(_.getSeq[Float](4)).toSeq == f2.map(_.getSeq[Float](4)).toSeq)
+  }
+
+  test("sampleFrames: only videos, n_frames = len%7+1, frames tile the payload") {
+    val frames = Multimodal.sampleFrames(media).orderBy("media_id", "frame_idx").collect()
+    assert(frames.forall(_.getLong(0) == 2L)) // only doc 2 is video
+    assert(frames.length == ("gamma".length % 7) + 1) // 5%7+1 = 6
+    val joined = frames.flatMap(_.getAs[Array[Byte]]("frame")).toSeq
+    assert(new String(joined.toArray, "UTF-8") == "gamma")
+  }
+
+  test("decode plan is a narrow map — no exchange above the scan") {
+    val plan = Multimodal.decodeFeatures(media).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+}
