@@ -46,6 +46,9 @@ object SparkEntry {
     "top_orders_per_priority" -> ((s, dir) => Relational.topOrdersPerPriority(s, dir)),
     "distinct_counts" -> ((s, dir) => Relational.distinctCounts(s, dir)),
     "customers_without_big_orders" -> ((s, dir) => Relational.customersWithoutBigOrders(s, dir)),
+    "set_ops" -> ((s, dir) => Relational.setOps(s, dir)),
+    "daily_order_deltas" -> ((s, dir) => Relational.dailyOrderDeltas(s, dir)),
+    "pricing_rollup" -> ((s, dir) => Relational.pricingRollup(s, dir)),
     // ---- [EXT] text analysis ----
     "text_stats" -> ((s, dir) => TextAnalysis.stats(Tables.documents(s, dir))),
     "lang_distribution" -> ((s, dir) => TextAnalysis.langDistribution(Tables.documents(s, dir))),
@@ -58,6 +61,8 @@ object SparkEntry {
       Dedup.nearDupMinHash(Tables.documents(s, dir), "doc_id", "text", 0.9)),
     "simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", 3)),
+    "ngram_jaccard_pairs" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", "source", 3, 0.8)),
     // ---- [EXT] similarity search ----
     "knn_bruteforce" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -206,6 +211,50 @@ object SparkEntry {
     // dedup_near_minhash / simhash_pairs: LSH internals are not
     // SQL-expressible — specs cross-check MinHash output against the exact
     // Jaccard join and pin SimHash bit semantics (rows-only driver check).
+    "ngram_jaccard_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(
+        |      range(1, len(regexp_extract_all(lower(text), '\S+')) - 1),
+        |      i -> regexp_extract_all(lower(text), '\S+')[i] || ' ' ||
+        |           regexp_extract_all(lower(text), '\S+')[i+1] || ' ' ||
+        |           regexp_extract_all(lower(text), '\S+')[i+2])) AS shl
+        |  FROM documents)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(len(list_filter(a.shl, x -> list_contains(b.shl, x)))::DOUBLE /
+        |          nullif(len(list_distinct(a.shl || b.shl)), 0)::DOUBLE, 4) AS jaccard
+        |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+    "set_ops" ->
+      """SELECT c_custkey, op FROM (
+        |  SELECT c_custkey, 'union' AS op FROM (
+        |    SELECT c_custkey FROM customer WHERE c_custkey <= 100
+        |    UNION SELECT c_custkey FROM customer WHERE c_custkey > 50)
+        |  UNION ALL
+        |  SELECT c_custkey, 'intersect' AS op FROM (
+        |    SELECT c_custkey FROM customer WHERE c_custkey <= 100
+        |    INTERSECT SELECT c_custkey FROM customer WHERE c_custkey > 50)
+        |  UNION ALL
+        |  SELECT c_custkey, 'except' AS op FROM (
+        |    SELECT c_custkey FROM customer WHERE c_custkey <= 100
+        |    EXCEPT SELECT c_custkey FROM customer WHERE c_custkey > 50))
+        |ORDER BY op, c_custkey""".stripMargin,
+    "daily_order_deltas" ->
+      """WITH d AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n
+        |  FROM orders GROUP BY 1)
+        |SELECT d, n, LAG(n) OVER (ORDER BY d) AS prev_n,
+        |       n - COALESCE(LAG(n) OVER (ORDER BY d), 0) AS delta
+        |FROM d ORDER BY d""".stripMargin,
+    "pricing_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+        |       COALESCE(l_linestatus, 'ALL') AS status,
+        |       COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
     "knn_bruteforce" ->
       """WITH n AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,

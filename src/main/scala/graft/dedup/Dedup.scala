@@ -58,9 +58,22 @@ object Dedup {
     * column bounds the join fan-out; use MinHash below when no natural
     * block exists. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   blockCol: String, threshold: Double): DataFrame = {
+                   blockCol: String, threshold: Double): DataFrame =
+    setJaccardPairs(df, idCol, blockCol, tokenSet(col(textCol)), threshold)
+
+  /** n-gram (shingle) Jaccard near-dup pairs: same join, comparison sets
+    * are word n-grams — order-sensitive where token-set Jaccard is not
+    * ("a b c" vs "c b a" share all tokens but no 2-grams). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        blockCol: String, n: Int, threshold: Double): DataFrame =
+    setJaccardPairs(df, idCol, blockCol,
+      array_sort(array_distinct(
+        graft.text.TextAnalysis.shingles(col(textCol), n))), threshold)
+
+  private def setJaccardPairs(df: DataFrame, idCol: String, blockCol: String,
+                              setExpr: Column, threshold: Double): DataFrame = {
     val t = df.select(col(idCol).as("id"), col(blockCol).as("block"),
-      tokenSet(col(textCol)).as("toks"))
+      setExpr.as("toks"))
       .withColumn("n", size(col("toks")))
     val a = t.select(col("id").as("id_a"), col("block"), col("toks").as("toks_a"), col("n").as("n_a"))
     val b = t.select(col("id").as("id_b"), col("block"), col("toks").as("toks_b"), col("n").as("n_b"))

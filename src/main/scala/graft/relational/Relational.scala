@@ -93,4 +93,41 @@ object Relational {
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .orderBy(col("c_custkey"))
   }
+
+  /** SO3: union / intersect / except as one labeled result. Operand sets
+    * are customer-key slices so every branch is a pushed-down scan. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val lo = c.filter(col("c_custkey") <= 100).select(col("c_custkey"))
+    val hi = c.filter(col("c_custkey") > 50).select(col("c_custkey"))
+    lo.union(hi).distinct().withColumn("op", lit("union"))
+      .unionByName(lo.intersect(hi).withColumn("op", lit("intersect")))
+      .unionByName(lo.except(hi).withColumn("op", lit("except")))
+      .orderBy(col("op"), col("c_custkey"))
+  }
+
+  /** W6 analytic windows: lag/lead day-over-day deltas on the daily order
+    * count — one shuffle-free window over an ordered aggregate. */
+  def dailyOrderDeltas(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("d"))
+    Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .withColumn("delta", col("n") - coalesce(col("prev_n"), lit(0L)))
+      .orderBy(col("d"))
+  }
+
+  /** §2.4 grouping sets: ROLLUP over (returnflag, linestatus) — subtotal
+    * and grand-total rows come from the same single-pass hash aggregate. */
+  def pricingRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        Money.sumMoney(col("l_extendedprice")).as("sum_price"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n_rows"), col("sum_price"))
+      .orderBy(col("flag"), col("status"))
 }
