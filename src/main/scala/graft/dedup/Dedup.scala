@@ -33,9 +33,11 @@ object Dedup {
       .orderBy(col("keeper_id"))
 
   /** Distinct lowercased whitespace tokens — the comparison set for
-    * Jaccard. `array_sort` makes downstream hashing order-independent. */
+    * Jaccard, sorted so downstream hashing/merging is order-independent.
+    * `sort_array`, not `array_sort`: the latter desugars to a lambda
+    * comparator that disqualifies the whole stage from codegen. */
   def tokenSet(text: Column): Column =
-    array_sort(array_distinct(TextAnalysis.tokens(lower(text))))
+    sort_array(array_distinct(TextAnalysis.tokens(lower(text))))
 
   /** Two empty sets → null (not an ANSI divide-by-zero error). */
   def jaccard(a: Column, b: Column): Column =
@@ -80,17 +82,22 @@ object Dedup {
     // Size pruning: J(A,B) >= t implies min(|A|,|B|) >= t * max(|A|,|B|)
     // (since |A∩B| <= min and |A∩B| >= t*|A∪B| >= t*max). The cheap integer
     // predicate runs in the join condition, so most of the quadratic
-    // fan-out never reaches the O(|A|+|B|) intersect/union. The final
-    // filter compares round(J, 4), so prune against t minus the rounding
-    // half-step to never drop a pair the rounded filter would keep.
+    // fan-out never reaches the O(|A|+|B|) intersect walk. The final filter
+    // compares round(J, 4), so prune against t minus the rounding half-step
+    // to never drop a pair the rounded filter would keep.
+    //
+    // The Jaccard threshold itself is ALSO part of the join condition, and
+    // deliberately LAST: a trailing `.filter` would be pushed into the join
+    // by Catalyst and land AHEAD of the prune in the rebuilt conjunction
+    // (predicates evaluate left-to-right), making every candidate pay the
+    // O(|A|+|B|) walk — observed as a plan regression before this shape.
     val pruneT = threshold - 0.5e-4
+    val jac = round(jaccardSorted(col("toks_a"), col("toks_b"), col("n_a"), col("n_b")), 4)
     a.join(b, a("block") === b("block") && col("id_a") < col("id_b") &&
         least(col("n_a"), col("n_b")).cast("double") >=
-          greatest(col("n_a"), col("n_b")).cast("double") * pruneT)
-      .select(col("id_a"), col("id_b"),
-        round(jaccardSorted(col("toks_a"), col("toks_b"), col("n_a"), col("n_b")), 4)
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+          greatest(col("n_a"), col("n_b")).cast("double") * pruneT &&
+        jac >= threshold)
+      .select(col("id_a"), col("id_b"), jac.as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
   }
 

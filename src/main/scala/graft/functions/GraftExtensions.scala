@@ -1,0 +1,53 @@
+// In org.apache.spark.sql.graft for access to FunctionRegistry's
+// private[sql] ExpressionBuilder plumbing via expressionInfo helpers.
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** `SparkSessionExtensions` installer exposing graft's native expressions
+  * to SQL:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)   // or
+  *   .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
+  * ...
+  * spark.sql("SELECT graft_dot(a.v, b.v) FROM ...")
+  * }}}
+  *
+  * Registration is additive — no built-in rule, strategy, or function is
+  * altered (SURVEY §4: Catalyst is sufficient for parity; our extensions
+  * are performance expressions only).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "scala_udf")
+
+  private val functions: Seq[
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - codegen dot product of two array<double>"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    (FunctionIdentifier("graft_sorted_intersect_size"),
+      info("graft_sorted_intersect_size",
+        "graft_sorted_intersect_size(a, b) - |A∩B| of sorted distinct string arrays"),
+      (args: Seq[Expression]) => SortedIntersectSize(args(0), args(1))))
+
+  /** Register into an ALREADY RUNNING session (the extensions config only
+    * applies at builder time). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (id, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+    }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan contracts the 100 TB design depends on: column pruning
+  * into the parquet scan, predicate pushdown, broadcast of dimension
+  * sides, and heap top-k instead of global sorts. A regression here can
+  * pass every value check and still be catastrophic at scale. */
+class PlanQualitySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("source_distribution scan prunes to the one needed column") {
+    val plan = planOf(SparkEntry.queries("source_distribution")(spark, dir))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("source"), readSchema)
+    assert(!readSchema.contains("text"), s"text column not pruned: $readSchema")
+  }
+
+  test("filters reach the parquet scan as pushed filters") {
+    val q = Tables.documents(spark, dir)
+      .filter(col("lang") === "en" && col("n_chars") > 100)
+      .select(col("doc_id"))
+    val plan = planOf(q)
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("IsNotNull(lang)") || plan.contains("EqualTo(lang,en)"), plan)
+  }
+
+  test("dimension joins broadcast; the fact side never does") {
+    val plan = planOf(SparkEntry.queries("revenue_per_region")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // orders is the streamed fact: it must not appear under a
+    // BroadcastExchange subtree. Cheap proxy: exactly the two dim tables
+    // and customer (small vs orders) may broadcast, never orders.
+    val broadcastIdx = plan.linesIterator.zipWithIndex
+      .filter(_._1.contains("BroadcastExchange")).map(_._2).toSeq
+    assert(broadcastIdx.nonEmpty)
+    assert(!plan.contains("BroadcastExchange (orders"), plan)
+  }
+
+  test("top-k by recency is TakeOrderedAndProject, not a global sort") {
+    val plan = planOf(SparkEntry.queries("recent_events")(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("whole-stage codegen covers the dedup verify pipeline") {
+    // AQE finalizes (and codegen-wraps) stages only on execution, so run
+    // the query and inspect the executed plan.
+    val df = SparkEntry.queries("jaccard_pairs")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // codegen'd operators print with a `*(stageId)` prefix; the join and
+    // the tokenize projection must be inside a codegen stage (sort_array,
+    // not array_sort — a lambda comparator would evict the whole stage).
+    assert(plan.contains("*(") && plan.contains("*(2) BroadcastHashJoin")
+      || plan.contains("*(1) BroadcastHashJoin"), plan)
+  }
+
+  test("cheap size-prune precedes the jaccard walk in the join condition") {
+    // Catalyst pushes the jaccard filter into the join; the library keeps
+    // it LAST in the conjunction so the O(|A|+|B|) merge walk only runs on
+    // size-plausible pairs. A regression reorders it first.
+    val plan = planOf(SparkEntry.queries("jaccard_pairs")(spark, dir))
+    val joinLine = plan.linesIterator.find(l =>
+      l.contains("least") && l.contains("graft_sorted_intersect_size")).getOrElse(plan)
+    assert(joinLine.indexOf("least") < joinLine.indexOf("graft_sorted_intersect_size"),
+      joinLine)
+  }
+
+  test("aggregates are partial+final (map-side combine present)") {
+    val plan = planOf(SparkEntry.queries("events_hourly")(spark, dir))
+    val hashAggs = plan.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate:\n$plan")
+  }
+}

@@ -1,0 +1,70 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{GraftExtensions, VectorFunctions, ArrayFunctions}
+
+/** The native expressions: value parity with the declarative forms,
+  * codegen + interpreted agreement, and SQL registration. */
+class ExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dotNative equals the HOF fold bit-for-bit") {
+    val df = Seq((Array(1.5, -2.0, 3.25), Array(0.5, 4.0, -1.0))).toDF("a", "b")
+    val hof = df.select(
+      aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0.0), (s, x) => s + x))
+      .head().getDouble(0)
+    val native = df.select(VectorFunctions.dotNative($"a", $"b")).head().getDouble(0)
+    assert(native == hof)
+    assert(native == 1.5 * 0.5 + (-2.0) * 4.0 + 3.25 * (-1.0))
+  }
+
+  test("dot: null array -> null; length mismatch -> shorter prefix") {
+    val df = Seq((Some(Array(1.0, 2.0)), None: Option[Array[Double]]),
+      (Some(Array(1.0, 2.0, 99.0)), Some(Array(3.0, 4.0))))
+      .toDF("a", "b")
+    val out = df.select(VectorFunctions.dotNative($"a", $"b")).collect()
+    assert(out(0).isNullAt(0))
+    assert(out(1).getDouble(0) == 11.0)
+  }
+
+  test("sortedIntersectSize equals size(array_intersect) on sorted sets") {
+    val df = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("a"), Seq[String]()),
+      (Seq[String](), Seq[String]()),
+      (Seq("a", "b"), Seq("a", "b"))).toDF("a", "b")
+    val got = df.select(ArrayFunctions.sortedIntersectSize($"a", $"b")).as[Long].collect()
+    val ref = df.select(size(array_intersect($"a", $"b")).cast("long")).as[Long].collect()
+    assert(got.toSeq == ref.toSeq && got.toSeq == Seq(2L, 0L, 0L, 2L))
+  }
+
+  test("expressions survive interpreted mode (codegen off) with same values") {
+    val prev = spark.conf.getOption("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+      assert(df.select(VectorFunctions.dotNative($"a", $"b")).head().getDouble(0) == 32.0)
+      val s = Seq((Seq("x", "y"), Seq("y", "z"))).toDF("a", "b")
+      assert(s.select(ArrayFunctions.sortedIntersectSize($"a", $"b")).head().getLong(0) == 1L)
+    } finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.wholeStage", v)
+        case None => spark.conf.unset("spark.sql.codegen.wholeStage")
+      }
+    }
+  }
+
+  test("GraftExtensions registers SQL functions") {
+    // getOrCreate reuses the shared test session (builder-time extensions
+    // don't apply), so use the running-session registration path.
+    GraftExtensions.register(spark)
+    val out = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+      "graft_sorted_intersect_size(array('a','b'), array('b','c')) AS n")
+      .head()
+    assert(out.getDouble(0) == 11.0 && out.getLong(1) == 1L)
+  }
+}
