@@ -164,8 +164,19 @@ object Dedup {
                      bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val docs = df.select(col(idCol).as("id"), tokenSet(col(textCol)).as("toks"))
+    // Jaccard is a function of the token SET alone, so collapse exact-
+    // duplicate sets to one representative before any LSH work: signatures,
+    // banding fan-out and verification all run per DISTINCT set (web-scale
+    // corpora are exact-dup-heavy, so this shrinks the quadratic bucket
+    // fan-out by the dup factor squared), then member pairs expand back at
+    // the end — provably the same output: members share their rep's
+    // signature and Jaccard, and within-group pairs are J = 1.0 by
+    // definition.
+    val allDocs = df.select(col(idCol).as("id"), tokenSet(col(textCol)).as("toks"))
       .filter(size(col("toks")) > 0)
+    val groups = allDocs.groupBy(col("toks"))
+      .agg(min(col("id")).as("rep"), sort_array(collect_list(col("id"))).as("members"))
+    val docs = groups.select(col("rep").as("id"), col("toks"))
       .withColumn("n", size(col("toks")))
     val sigs = docs.withColumn("sig", minHashSignature(col("toks"), numHashes))
     // One row per (doc, band), carrying (band, bucket, id, n, all-band
@@ -200,13 +211,30 @@ object Dedup {
     // (docs is a slim (id, toks) projection — Spark broadcasts it while it
     // fits the threshold, sort-merge-joins at scale) and run the
     // allocation-free sorted-merge Jaccard.
-    candidates
+    val repPairs = candidates
       .join(docs.select(col("id").as("id_a"), col("toks").as("toks_a")), Seq("id_a"))
       .join(docs.select(col("id").as("id_b"), col("toks").as("toks_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(jaccardSorted(col("toks_a"), col("toks_b"), col("n_a"), col("n_b")), 4)
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    // Expand verified rep pairs to all member cross pairs (same Jaccard —
+    // identical token sets), normalized to id_a < id_b.
+    val crossPairs = repPairs
+      .join(groups.select(col("rep").as("id_a"), col("members").as("members_a")), Seq("id_a"))
+      .join(groups.select(col("rep").as("id_b"), col("members").as("members_b")), Seq("id_b"))
+      .select(explode(col("members_a")).as("ma"), col("members_b"), col("jaccard"))
+      .select(col("ma"), explode(col("members_b")).as("mb"), col("jaccard"))
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("jaccard"))
+    // Within-group pairs: exact dups, J = 1.0 (>= any threshold <= 1).
+    val withinPairs = groups
+      .filter(size(col("members")) > 1)
+      .select(explode(col("members")).as("id_a"), col("members"))
+      .select(col("id_a"), explode(col("members")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", lit(1.0))
+    crossPairs.unionByName(withinPairs)
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -217,23 +245,14 @@ object Dedup {
   def tokenHashes(text: Column): Column =
     transform(graft.text.TextAnalysis.tokens(lower(text)), t => xxhash64(t))
 
-  /** 64-bit SimHash from a column holding array<long> token hashes: ONE
-    * fold over the hash array accumulates a 64-wide ±1 counter vector
-    * (zip_with per token), then the counter signs fold into a long. Built
-    * with SQL-string lambdas because `shiftright(h, i)` needs a column
-    * shift amount (the Scala DSL only takes a literal). Single pass: the
-    * hash array is evaluated once even if an upstream projection inlines
-    * its definition. */
+  /** 64-bit SimHash from a column holding array<long> token hashes — the
+    * native one-pass expression
+    * ([[org.apache.spark.sql.graft.SimHash64]]; the earlier nested-
+    * `aggregate` HOF form allocated two 64-wide arrays per token per row
+    * and ran interpreted — it produced identical values, pinned by
+    * DedupSpec). */
   def simhash64FromHashes(hashColName: String): Column =
-    expr(
-      s"""aggregate(
-         |  aggregate(`$hashColName`, array_repeat(0L, 64),
-         |    (acc, h) -> zip_with(acc,
-         |      transform(sequence(0, 63), i ->
-         |        CASE WHEN (shiftright(h, i) & 1) = 1 THEN 1L ELSE -1L END),
-         |      (a, b) -> a + b)),
-         |  0L,
-         |  (acc, s) -> shiftleft(acc, 1) | CASE WHEN s > 0 THEN 1L ELSE 0L END)""".stripMargin)
+    org.apache.spark.sql.graft.ArrayFunctions.simHash64(col(hashColName))
 
   /** SimHash near-dup pairs (`simhash_pairs` query): Hamming distance ≤
     * maxDist via 4×16-bit chunk banding (pigeonhole: distance ≤ 3 implies

@@ -81,10 +81,85 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** 64-bit SimHash from an `array<long>` of token hashes, in one pass.
+  *
+  * The declarative form (nested `aggregate` holding a 64-wide ±1 counter
+  * array updated via `zip_with` per token) allocates two arrays per token
+  * per row and runs interpreted — it was a bench hotspot. This expression
+  * keeps the 64 counters in a primitive local array inside codegen.
+  *
+  * Bit packing matches the declarative fold exactly (counter for hash bit
+  * i lands at position 63−i): same long values, so signatures are stable
+  * across the implementations.
+  *
+  * Null elements are skipped (token hash arrays never contain them).
+  */
+case class SimHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override def nullSafeEval(v: Any): Any = {
+    val hs = v.asInstanceOf[ArrayData]
+    val counters = new Array[Int](64)
+    var i = 0
+    while (i < hs.numElements()) {
+      if (!hs.isNullAt(i)) {
+        val h = hs.getLong(i)
+        var b = 0
+        while (b < 64) {
+          counters(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { out = (out << 1) | (if (counters(b) > 0) 1L else 0L); b += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val c = ctx.freshName("counters")
+      val out = ctx.freshName("out")
+      s"""
+         |int[] $c = new int[64];
+         |for (int $i = 0; $i < $v.numElements(); $i++) {
+         |  if (!$v.isNullAt($i)) {
+         |    long $h = $v.getLong($i);
+         |    for (int $b = 0; $b < 64; $b++) {
+         |      $c[$b] += (((($h >>> $b) & 1L) == 1L) ? 1 : -1);
+         |    }
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  $out = ($out << 1) | (($c[$b] > 0) ? 1L : 0L);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ArrayFunctions {
 
   /** Codegen'd |A ∩ B| for sorted, distinct string arrays. */
   def sortedIntersectSize(a: Column, b: Column): Column =
     ExpressionUtils.column(
       SortedIntersectSize(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Codegen'd 64-bit SimHash over token hashes; see [[SimHash64]]. */
+  def simHash64(tokenHashes: Column): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(tokenHashes)))
 }
