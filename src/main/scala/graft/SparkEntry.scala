@@ -8,7 +8,7 @@ import graft.dedup.Dedup
 import graft.ingest.{Dates, Ingest}
 import graft.multimodal.Multimodal
 import graft.relational.Relational
-import graft.similarity.Similarity
+import graft.similarity.{Ivf, Similarity}
 import graft.streaming.EventWindows
 import graft.text.{Stopwords, TextAnalysis, WordFrequencies}
 
@@ -63,6 +63,8 @@ object SparkEntry {
       Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", 3)),
     "ngram_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", "source", 3, 0.8)),
+    "dedup_keepers" -> ((s, dir) =>
+      Dedup.nearDupKeepers(Tables.documents(s, dir), "doc_id", "text", "source", 0.9)),
     // ---- [EXT] similarity search ----
     "knn_bruteforce" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -72,6 +74,12 @@ object SparkEntry {
     "knn_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.knnLsh(emb, emb.filter(col("vec_id") % 50 === 0), 5)
+    }),
+    // knn_ivf: KMeans coarse-quantizer IVF — centroids are engine-specific
+    // (rows-only driver check; exactness + recall pinned in SimilaritySpec)
+    "knn_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ivf.knnIvf(emb, emb.filter(col("vec_id") % 50 === 0), 5)
     }),
     // ---- ingest path (reference crawl.py E1) ----
     "ingest_articles" -> ((s, _) => {
@@ -226,6 +234,26 @@ object SparkEntry {
         |          nullif(len(list_distinct(a.shl || b.shl)), 0)::DOUBLE, 4) AS jaccard
         |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+    "dedup_keepers" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, source,
+        |         list_distinct(regexp_extract_all(lower(text), '\S+')) AS toks
+        |  FROM documents),
+        |jp AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      round(len(list_filter(a.toks, x -> list_contains(b.toks, x)))::DOUBLE /
+        |            len(list_distinct(a.toks || b.toks))::DOUBLE, 4) AS jaccard
+        |    FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |  WHERE jaccard >= 0.9),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+        |          UNION ALL SELECT id_b, id_a FROM jp),
+        |reach AS (
+        |  SELECT doc_id AS id, doc_id AS label FROM documents
+        |  UNION
+        |  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id)
+        |SELECT id AS doc_id, MIN(label) AS keeper_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "set_ops" ->
       """SELECT c_custkey, op FROM (
         |  SELECT c_custkey, 'union' AS op FROM (

@@ -238,6 +238,53 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  // ---- near-dup clustering ----
+
+  /** Connected components over a near-dup pair graph → per-doc keeper
+    * (= min doc id in the component; singletons keep themselves).
+    *
+    * Iterative min-label propagation: each round every node takes the min
+    * of its own label and its neighbors' labels; converges in O(diameter)
+    * rounds (near-dup clusters are dense, so typically 2-3). Lineage is
+    * cut per round with `localCheckpoint` — without it the loop builds an
+    * exponentially deep plan. At 100 TB-scale graphs the same loop runs
+    * with star-contraction (large-star/small-star) to bound rounds on
+    * long chains; the per-round shape here (join labels⋈edges, groupBy
+    * min) is already the distributed-safe form — no driver-side state.
+    */
+  def clusterKeepers(ids: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val idName = ids.columns.head
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = ids.select(col(idName).as("id")).withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = labels.join(edges, col("id") === col("src"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.unionByName(prop)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      converged = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels = next
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("keeper_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Keeper assignment from the EXACT blocked Jaccard pairs (oracle-safe:
+    * the pair set is deterministic SQL, so the component labels are too).
+    * For corpus-scale runs feed [[nearDupMinHash]] pairs instead. */
+  def nearDupKeepers(df: DataFrame, idCol: String, textCol: String,
+                     blockCol: String, threshold: Double): DataFrame =
+    clusterKeepers(
+      df.select(col(idCol)),
+      jaccardPairs(df, idCol, textCol, blockCol, threshold))
+
   // ---- SimHash ----
 
   /** Per-token 64-bit hashes (compute ONCE per row — the 64 bit-position

@@ -59,6 +59,15 @@ class DedupSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(sh2(1L) ^ sh2(3L)) < 32) // near, not random
   }
 
+  test("clusterKeepers: transitive closure, min-id keeper, singletons self") {
+    val ids = (1L to 6L).toDF("doc_id")
+    // chain 1-2, 2-3 (one component), pair 4-5, singleton 6
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = Dedup.clusterKeepers(ids, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
   test("simhashPairs finds exact dups at distance 0 and is id-ordered") {
     val out = Dedup.simhashPairs(docs.filter(length(col("text")) > 0),
       "doc_id", "text", 3).collect()

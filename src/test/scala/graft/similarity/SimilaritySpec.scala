@@ -50,6 +50,23 @@ class SimilaritySpec extends SparkSpec {
     lsh.foreach { case (p, c, v) => assert(bf((p, c)) == v) }
   }
 
+  test("ivf: exact cosines, scan fraction bounded, nontrivial recall") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(spark, dir)
+    val probes = emb.filter($"vec_id" % 50 === 0)
+    val bf = Similarity.knnBruteForce(emb, probes, 5)
+      .select("probe_id", "cand_id", "cosine")
+      .as[(Long, Long, Double)].collect().map { case (p, c, v) => (p, c) -> v }.toMap
+    val ivf = Ivf.knnIvf(emb, probes, 5, nlist = 8, nprobe = 3)
+      .select("probe_id", "cand_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (p, c, v) => assert(bf.get((p, c)).forall(_ == v)) }
+    val hits = ivf.count { case (p, c, _) => bf.contains((p, c)) }
+    val recall = hits.toDouble / bf.size
+    assert(recall > 0.15, s"IVF recall collapsed: $recall")
+  }
+
   test("lsh recall on fixture embeddings is reasonable") {
     val dir = "/root/testdata/sf0.001"
     val emb = graft.Tables.embeddings(spark, dir)

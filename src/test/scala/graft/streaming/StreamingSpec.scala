@@ -53,6 +53,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source ingest: AvailableNow batches, dedup state survives restart (ST1/ST2)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val (inDir, outDir, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    def drop(batch: Seq[(String, String)], name: String): Unit =
+      batch.toDF("source", "html").coalesce(1).write.mode("append").parquet(inDir)
+    def runOnce(): Unit = {
+      val cands = graft.ingest.Ingest.candidates(
+        StreamingIngest.pagesStream(spark, inDir))
+      val q = StreamingIngest.writer(
+        StreamingIngest.dedupStream(cands), outDir, ckpt, everySixHours = false).start()
+      q.awaitTermination()
+    }
+    val listing1 =
+      """<article><a href="/a/1">x</a></article>
+        |<article><a href="/a/2">y</a></article>""".stripMargin
+    drop(Seq(("https://ex.com/l", listing1)), "b1")
+    runOnce()
+    assert(spark.read.parquet(outDir).count() == 2)
+    // second drop repeats /a/2 and adds /a/3: only /a/3 must append
+    val listing2 =
+      """<article><a href="/a/2">y</a></article>
+        |<article><a href="/a/3">z</a></article>""".stripMargin
+    drop(Seq(("https://ex.com/l", listing2)), "b2")
+    runOnce()
+    val out = spark.read.parquet(outDir).select("sources").as[String].collect().sorted
+    assert(out.toSeq == Seq("https://ex.com/a/1", "https://ex.com/a/2", "https://ex.com/a/3"))
+  }
+
   test("approx distinct stays within rsd bounds of exact (A8)") {
     val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
     val rows = EventWindows.distinctUsers(events).collect()
