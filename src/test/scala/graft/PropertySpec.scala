@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY §5.3). Each property runs a real
+  * Spark job, so the iteration count is kept small — the point is
+  * randomized STRUCTURE (dup patterns, gaps, empty edge cases), not volume. */
+class PropertySpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic property loop over fixed seeds (no scalatest-scalacheck
+    * bridge in the offline dep set; fixed seeds also make CI stable). */
+  private def forAll[A](gen: Gen[A], n: Int = 8)(f: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      f(gen.pureApply(Gen.Parameters.default.withSize(30), Seed(42L + i)))
+    }
+  private def forAll2[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb))(t => f(t._1, t._2))
+  private def whenever(c: Boolean)(f: => Unit): Unit = if (c) f
+
+  private val urlGen = Gen.listOf(Gen.oneOf((1 to 12).map(i => s"https://ex.com/a/$i")))
+
+  test("anti-join dedup is idempotent and equals set difference on keys") {
+    forAll2(urlGen, urlGen) { (cand: List[String], existing: List[String]) =>
+      val c = cand.toDF("sources")
+      val e = existing.toDF("sources")
+      val once = graft.ingest.Ingest.newCandidates(c, e)
+      val got = once.select("sources").as[String].collect().toSet
+      assert(got == cand.toSet -- existing.toSet)
+      // idempotence: re-ingesting after appending yields nothing new
+      val after = e.select("sources").union(once.select("sources"))
+      assert(graft.ingest.Ingest.newCandidates(c, after).isEmpty)
+    }
+  }
+
+  test("word counts are partition-merge invariant (partial agg correctness)") {
+    val textGen = Gen.listOf(Gen.oneOf("alpha beta", "beta gamma delta", "", "Alpha ALPHA"))
+    forAll(textGen) { texts: List[String] =>
+      whenever(texts.nonEmpty) {
+        val df1 = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text").repartition(1)
+        val df7 = df1.repartition(7)
+        def counts(df: org.apache.spark.sql.DataFrame) =
+          graft.text.WordFrequencies(df).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        assert(counts(df1) == counts(df7))
+      }
+    }
+  }
+
+  test("date spine densely covers [min, max] with zero-filled gaps") {
+    val dayGen = Gen.nonEmptyListOf(Gen.choose(0, 60))
+    forAll(dayGen) { offsets: List[Int] =>
+      val rows = offsets.zipWithIndex.map { case (d, i) =>
+        (i.toLong, java.sql.Timestamp.valueOf(s"2024-01-01 12:00:00").toInstant
+          .plusSeconds(d * 86400L))
+      }
+      val df = rows.map { case (id, ts) => (id, java.sql.Timestamp.from(ts)) }
+        .toDF("event_id", "ts")
+      val out = graft.analytics.Timeline(df, "ts").collect()
+      val dates = out.map(_.getDate(0).toLocalDate)
+      // dense: every day between min and max present exactly once, ordered
+      assert(dates.length ==
+        java.time.temporal.ChronoUnit.DAYS.between(dates.head, dates.last) + 1)
+      assert(dates.sliding(2).forall {
+        case Array(a, b) => a.plusDays(1) == b
+        case _ => true
+      })
+      // counts sum to input size; gap days are zero
+      assert(out.map(_.getLong(1)).sum == offsets.length)
+    }
+  }
+
+  test("jaccardSorted equals the intersect/union form on arbitrary sets") {
+    val setGen = Gen.listOf(Gen.oneOf("a", "b", "cc", "ddd", "e", "f"))
+    forAll2(setGen, setGen) { (xs: List[String], ys: List[String]) =>
+      val df = Seq((xs.distinct.sorted, ys.distinct.sorted)).toDF("a", "b")
+        .withColumn("na", size(col("a"))).withColumn("nb", size(col("b")))
+      val viaWalk = df.select(
+        graft.dedup.Dedup.jaccardSorted(col("a"), col("b"), col("na"), col("nb"))).head()
+      val viaSets = df.select(
+        graft.dedup.Dedup.jaccard(col("a"), col("b"))).head()
+      if (viaSets.isNullAt(0)) assert(viaWalk.isNullAt(0))
+      else assert(viaWalk.getDouble(0) == viaSets.getDouble(0))
+    }
+  }
+}
