@@ -24,8 +24,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => DotProductRewrite)
+  }
 }
 
 object GraftExtensions {

@@ -51,4 +51,34 @@ object StreamingIngest {
     spark.readStream
       .schema("source STRING, html STRING")
       .parquet(dir)
+
+  /** The 100 TB dedup shape (ST2 scale path, SURVEY §2.8): instead of
+    * unbounded `dropDuplicates` state in the state store, each micro-batch
+    * anti-joins against the SINK's own key set and appends only novel
+    * rows. State never grows in the streaming engine — the "state" IS the
+    * sink (in production: a compacted key-index table maintained beside
+    * it; here: the sink's `sources` column directly). Restarts need no
+    * state migration — the checkpoint only tracks source progress. */
+  def dedupViaSinkIndex(candidates: DataFrame, sinkPath: String,
+                        checkpoint: String): DataStreamWriter[Row] = {
+    require(candidates.isStreaming)
+    val spark = candidates.sparkSession
+    candidates.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val existing =
+          try spark.read.parquet(sinkPath).select("sources")
+          catch { case _: Exception => // first batch: sink doesn't exist yet
+            spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField(
+                  "sources", org.apache.spark.sql.types.StringType))))
+          }
+        batch.dropDuplicates("sources")
+          .join(existing, Seq("sources"), "left_anti")
+          .write.mode("append").parquet(sinkPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+  }
 }

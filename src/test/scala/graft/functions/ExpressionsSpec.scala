@@ -57,6 +57,29 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("DotProductRewrite turns the HOF idiom into the native expression") {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = Seq(org.apache.spark.sql.graft.DotProductRewrite)
+    try {
+      // non-literal input (range-derived) so constant folding can't
+      // collapse the expression before the rewrite is observable
+      val base = spark.range(3).select(
+        transform(sequence(lit(0L), $"id" + 1), i => (i + 1).cast("double")).as("a"),
+        transform(sequence(lit(0L), $"id" + 1), i => (i + 2).cast("double")).as("b"))
+      val df = base.select(aggregate(zip_with($"a", $"b", (x, y) => x * y),
+        lit(0.0), (s, x) => s + x).as("d"))
+      assert(df.queryExecution.optimizedPlan.toString.contains("graft_dot"),
+        df.queryExecution.optimizedPlan.toString)
+      // id=0: a=[1,2], b=[2,3] -> 1*2 + 2*3 = 8
+      assert(df.orderBy("d").head().getDouble(0) == 8.0)
+      // non-matching shape (seed 1.0) is left untouched
+      val other = base.select(aggregate(zip_with($"a", $"b", (x, y) => x * y),
+        lit(1.0), (s, x) => s + x).as("d"))
+      assert(!other.queryExecution.optimizedPlan.toString.contains("graft_dot"))
+      assert(other.orderBy("d").head().getDouble(0) == 9.0)
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("GraftExtensions registers SQL functions") {
     // getOrCreate reuses the shared test session (builder-time extensions
     // don't apply), so use the running-session registration path.

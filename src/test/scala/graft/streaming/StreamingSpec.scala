@@ -81,6 +81,25 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq == Seq("https://ex.com/a/1", "https://ex.com/a/2", "https://ex.com/a/3"))
   }
 
+  test("sink-index dedup: anti-join per micro-batch, no engine state (ST2 scale path)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sinkidx").toString
+    val (inDir, sink, ckpt) = (s"$root/in", s"$root/sink", s"$root/ckpt")
+    def drop(html: String): Unit =
+      Seq(("https://ex.com/l", html)).toDF("source", "html")
+        .coalesce(1).write.mode("append").parquet(inDir)
+    def runOnce(): Unit = {
+      val cands = graft.ingest.Ingest.candidates(StreamingIngest.pagesStream(spark, inDir))
+      val q = StreamingIngest.dedupViaSinkIndex(cands, sink, ckpt).start()
+      q.awaitTermination()
+    }
+    drop("""<article><a href="/a/1">x</a></article><article><a href="/a/2">y</a></article>""")
+    runOnce()
+    drop("""<article><a href="/a/2">y</a></article><article><a href="/a/3">z</a></article>""")
+    runOnce()
+    val keys = spark.read.parquet(sink).select("sources").as[String].collect().sorted
+    assert(keys.toSeq == Seq("https://ex.com/a/1", "https://ex.com/a/2", "https://ex.com/a/3"))
+  }
+
   test("approx distinct stays within rsd bounds of exact (A8)") {
     val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
     val rows = EventWindows.distinctUsers(events).collect()
