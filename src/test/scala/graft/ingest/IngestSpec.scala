@@ -58,6 +58,23 @@ class IngestSpec extends SparkSpec {
     assert(out.length == 1 && out(0).getLong(1) == 2)
   }
 
+  test("ST4 fault isolation: malformed pages degrade per-record, never fail the batch") {
+    val badPages = Seq(
+      ("https://ex.com/a/1", "<h1>Unclosed <p>oops"),          // broken markup
+      ("https://ex.com/a/2", ""),                              // empty page
+      ("https://ex.com/a/3", null.asInstanceOf[String]))       // null html
+      .toDF("sources", "html")
+    val listings3 = Seq(("https://ex.com/list",
+      """<article><a href="/a/1">1</a></article>
+        |<article><a href="/a/2">2</a></article>
+        |<article><a href="/a/3">3</a></article>""".stripMargin)).toDF("source", "html")
+    val recs = Ingest.run(listings3, badPages, empty).orderBy("sources").collect()
+    assert(recs.length == 3) // every record survives with fallbacks
+    assert(recs.forall(_.getAs[String]("title") == "No Title Found"))
+    assert(recs.forall(r => r.getAs[String]("content") == "" || r.getAs[String]("content") == null))
+    assert(recs.forall(_.getAs[String]("published_at") == null))
+  }
+
   test("lenient date parse: cascade formats, null on garbage") {
     val df = Seq("2024-03-01T10:15:30+00:00", "2024-03-01T10:15:30",
       "2024-03-01 10:15:30", "2024-03-01", "March 1, 2024", "Mar 1, 2024",

@@ -100,6 +100,39 @@ class StreamingSpec extends SparkSpec {
     assert(keys.toSeq == Seq("https://ex.com/a/1", "https://ex.com/a/2", "https://ex.com/a/3"))
   }
 
+  test("watermark would CHANGE semantics: late rows drop in append mode (ST3)") {
+    // Parity keeps windows unwatermarked (complete/update mode) because the
+    // reference accepts arbitrarily late publish dates. This pins the
+    // divergence a watermark would introduce: a row later than the
+    // watermark is EXCLUDED from its (already emitted) window.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String, Double)]
+    val agg = in.toDF().toDF("raw_ts", "event_type", "value")
+      .select(to_timestamp($"raw_ts").as("ts"), $"event_type", $"value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".as("ws"), $"n")
+    val q = agg.writeStream.format("memory").queryName("wm_out")
+      .outputMode("append").start()
+    try {
+      in.addData(("2024-01-01 00:10:00", "click", 1.0))
+      q.processAllAvailable()
+      // advance watermark beyond 01:10 → the 00:00 window finalizes
+      in.addData(("2024-01-01 02:00:00", "click", 1.0))
+      q.processAllAvailable()
+      // this late row belongs to the finalized 00:00 window → dropped
+      in.addData(("2024-01-01 00:20:00", "late", 1.0))
+      q.processAllAvailable()
+      in.addData(("2024-01-01 04:00:00", "click", 1.0))
+      q.processAllAvailable()
+      val w0 = spark.table("wm_out")
+        .filter($"ws" === java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+        .select("n").as[Long].collect()
+      assert(w0.toSeq == Seq(1L)) // late row NOT counted — unlike batch recompute
+    } finally q.stop()
+  }
+
   test("approx distinct stays within rsd bounds of exact (A8)") {
     val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
     val rows = EventWindows.distinctUsers(events).collect()
