@@ -254,8 +254,12 @@ object Dedup {
     */
   def clusterKeepers(ids: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val idName = ids.columns.head
+    // Materialize edges ONCE — every propagation round re-reads them, and
+    // without the checkpoint each round would re-run the (expensive)
+    // upstream pair join.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
     var labels = ids.select(col(idName).as("id")).withColumn("label", col("id"))
       .localCheckpoint(true)
     var converged = false
