@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // month-name date patterns (Dates.SparkFormats "MMMM d, yyyy") are
+  // locale-sensitive; pin English so parse results match the DuckDB
+  // oracle's %B regardless of host locale
+  "-Duser.language=en", "-Duser.country=US",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
