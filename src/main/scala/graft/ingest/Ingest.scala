@@ -48,12 +48,18 @@ object Ingest {
       .filter(col("sources").isNotNull)
 
   /** J1: candidates not yet in `existing` (match on exact `sources`).
-    * Candidate URLs discovered twice in one batch collapse to one row
-    * (the reference's sequential loop inserts then probes, so the second
-    * hit of a URL within a run is also skipped). */
-  def newCandidates(candidates: DataFrame, existing: DataFrame): DataFrame =
-    candidates.dropDuplicates("sources")
-      .join(existing.select("sources"), Seq("sources"), "left_anti")
+    * Candidate URLs discovered twice in one batch collapse to one row,
+    * keeping the MIN discovering seed — `dropDuplicates` would keep an
+    * arbitrary one, making re-runs nondeterministic. (The reference's
+    * sequential loop keeps the first listing's hit; min(source) is our
+    * deterministic stand-in for "first".) */
+  def newCandidates(candidates: DataFrame, existing: DataFrame): DataFrame = {
+    val deduped =
+      if (candidates.columns.contains("source"))
+        candidates.groupBy(col("sources")).agg(min(col("source")).as("source"))
+      else candidates.dropDuplicates("sources")
+    deduped.join(existing.select("sources"), Seq("sources"), "left_anti")
+  }
 
   /** Full record extraction given fetched article pages(sources, html).
     * Output matches the writer shape `crawl.py:104-111`. */
