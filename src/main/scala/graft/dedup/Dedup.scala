@@ -174,8 +174,13 @@ object Dedup {
     // definition.
     val allDocs = df.select(col(idCol).as("id"), tokenSet(col(textCol)).as("toks"))
       .filter(size(col("toks")) > 0)
+    // Materialized once: the group table feeds SIX plan branches (both
+    // sides of banding, both sides of verify, both sides of expansion) —
+    // without the checkpoint each branch re-runs scan + tokenize + the
+    // group-by-token-set shuffle. (At cluster scale: persist/cache.)
     val groups = allDocs.groupBy(col("toks"))
       .agg(min(col("id")).as("rep"), sort_array(collect_list(col("id"))).as("members"))
+      .localCheckpoint(true)
     val docs = groups.select(col("rep").as("id"), col("toks"))
       .withColumn("n", size(col("toks")))
     val sigs = docs.withColumn("sig", minHashSignature(col("toks"), numHashes))
