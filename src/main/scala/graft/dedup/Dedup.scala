@@ -74,9 +74,14 @@ object Dedup {
 
   private def setJaccardPairs(df: DataFrame, idCol: String, blockCol: String,
                               setExpr: Column, threshold: Double): DataFrame = {
+    // Materialized once: the prepared table feeds both join sides, and
+    // CollapseProject would otherwise inline the (expensive) set
+    // expression into every reference — tokenize/shingle ran up to 4× per
+    // row before this. (At cluster scale: persist/cache.)
     val t = df.select(col(idCol).as("id"), col(blockCol).as("block"),
       setExpr.as("toks"))
       .withColumn("n", size(col("toks")))
+      .localCheckpoint(true)
     val a = t.select(col("id").as("id_a"), col("block"), col("toks").as("toks_a"), col("n").as("n_a"))
     val b = t.select(col("id").as("id_b"), col("block"), col("toks").as("toks_b"), col("n").as("n_b"))
     // Size pruning: J(A,B) >= t implies min(|A|,|B|) >= t * max(|A|,|B|)
