@@ -115,6 +115,10 @@ object SparkEntry {
       Multimodal.featureSummary(Multimodal.mediaFromDocuments(Tables.documents(s, dir)))),
     "multimodal_frames" -> ((s, dir) =>
       Multimodal.frameIndex(Multimodal.mediaFromDocuments(Tables.documents(s, dir)))),
+    "multimodal_resize" -> ((s, dir) =>
+      Multimodal.resize(Multimodal.mediaFromDocuments(Tables.documents(s, dir)), 64)
+        .select(col("media_id"), col("kind"), col("orig_bytes"), col("resized_bytes"))
+        .orderBy(col("media_id"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -380,6 +384,16 @@ object SparkEntry {
         |  UNNEST(generate_series(0, strlen(text) % 7)) AS frame_idx
         |FROM documents WHERE doc_id % 3 = 2
         |ORDER BY media_id, frame_idx""".stripMargin,
+    // resize stub arithmetic: keep every k-th byte (k = n div target),
+    // capped at target; payloads <= target pass through
+    "multimodal_resize" ->
+      """SELECT doc_id AS media_id, 'image' AS kind,
+        |  CAST(strlen(text) AS BIGINT) AS orig_bytes,
+        |  CAST(CASE WHEN strlen(text) <= 64 THEN strlen(text)
+        |       ELSE LEAST(64, (strlen(text) - 1) // GREATEST(1, strlen(text) // 64) + 1)
+        |       END AS BIGINT) AS resized_bytes
+        |FROM documents WHERE doc_id % 3 = 0
+        |ORDER BY media_id""".stripMargin,
   )
 }
 

@@ -75,6 +75,32 @@ object Multimodal {
       .toDF()
   }
 
+  /** Resize (image → image): binary-in/binary-out per-row transform, the
+    * shape a real resampler plugs into. The payload transform is a STUB
+    * (deterministic byte decimation to a target "resolution"); schema and
+    * metadata handling are real: output rows carry the original id/kind,
+    * the new payload, and both sizes for audit. */
+  def resize(media: DataFrame, targetBytes: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "data").as[MediaRow]
+      .filter(_.kind == "image")
+      .map { m =>
+        val n = m.data.length
+        val resized =
+          if (n <= targetBytes) m.data
+          else {
+            // ====== STUB ====== real resampling happens here; the fake
+            // keeps every k-th byte to hit ~targetBytes deterministically
+            val step = math.max(1, n / targetBytes)
+            m.data.indices.collect { case i if i % step == 0 => m.data(i) }
+              .take(targetBytes).toArray
+          }
+        (m.media_id, m.kind, n.toLong, resized.length.toLong, resized)
+      }
+      .toDF("media_id", "kind", "orig_bytes", "resized_bytes", "data")
+  }
+
   /** Frame sampling (video → 1..N frame rows): the 1→N generator shape.
     * Frame count is a deterministic function of payload size (STUB for
     * container demuxing); frames are byte slices (STUB for decoded

@@ -35,6 +35,21 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(joined.toArray, "UTF-8") == "gamma")
   }
 
+  test("resize: images only, bounded size, deterministic, small stays intact") {
+    val out = Multimodal.resize(media, targetBytes = 8).orderBy("media_id").collect()
+    assert(out.forall(_.getString(1) == "image")) // only doc 3 is image
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(2) == 18L)                   // "delta epsilon zeta"
+    assert(r.getLong(3) <= 8L)
+    assert(r.getAs[Array[Byte]]("data").length == r.getLong(3))
+    val again = Multimodal.resize(media, 8).orderBy("media_id").collect()
+    assert(again.head.getAs[Array[Byte]]("data").toSeq == r.getAs[Array[Byte]]("data").toSeq)
+    // payload already under target passes through untouched
+    val big = Multimodal.resize(media, 1000).collect()
+    assert(big.head.getLong(2) == big.head.getLong(3))
+  }
+
   test("decode plan is a narrow map — no exchange above the scan") {
     val plan = Multimodal.decodeFeatures(media).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
