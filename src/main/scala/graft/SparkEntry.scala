@@ -71,6 +71,8 @@ object SparkEntry {
       Similarity.knnBruteForce(emb, emb.filter(col("vec_id") % 50 === 0), 5)
     }),
     "cosine_pairs" -> ((s, dir) => Similarity.cosinePairs(Tables.embeddings(s, dir), 0.4)),
+    "embedding_dedup_keepers" -> ((s, dir) =>
+      Similarity.embeddingDedupKeepers(Tables.embeddings(s, dir), 0.4)),
     "knn_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.knnLsh(emb, emb.filter(col("vec_id") % 50 === 0), 5)
@@ -319,6 +321,27 @@ object SparkEntry {
         |WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin,
     // knn_lsh: approximate by design — no oracle (rows-only check);
     // recall vs knn_bruteforce is asserted in SimilaritySpec.
+    "embedding_dedup_keepers" ->
+      """WITH RECURSIVE n AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x*x),
+        |                     (a,b) -> a+b)) AS nv
+        |  FROM embeddings),
+        |cp AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |      round(list_reduce(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]),
+        |                        (x,y) -> x+y) / (a.nv * b.nv), 6) AS cosine
+        |    FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |  WHERE cosine >= 0.4),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM cp
+        |          UNION ALL SELECT id_b, id_a FROM cp),
+        |reach AS (
+        |  SELECT vec_id AS id, vec_id AS label FROM embeddings
+        |  UNION
+        |  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id)
+        |SELECT id AS vec_id, MIN(label) AS keeper_vec_id
+        |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
     "ingest_articles" ->
       """SELECT * FROM (VALUES
         |  ('Title One', 'https://ex.com/a/1', 'Body 1.',

@@ -81,6 +81,19 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Embedding-space near-dup dedup: cosine-threshold pairs → connected
+    * components → per-vector keeper (min id). The full dedup decision for
+    * "semantically identical" items, reusing the generic component
+    * labeler; at corpus scale feed LSH/IVF candidate pairs instead of the
+    * all-pairs audit join. */
+  def embeddingDedupKeepers(emb: DataFrame, threshold: Double,
+                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    graft.dedup.Dedup.clusterKeepers(
+        emb.select(col(idCol)),
+        cosinePairs(emb, threshold, idCol, vecCol))
+      .withColumnRenamed("doc_id", "vec_id")
+      .withColumnRenamed("keeper_id", "keeper_vec_id")
+
   /** Deterministic pseudo-random hyperplanes (unit-free — only the sign of
     * the projection matters). Fixed seed: buckets are stable across runs. */
   def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
