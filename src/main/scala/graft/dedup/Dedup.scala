@@ -272,6 +272,12 @@ object Dedup {
       .localCheckpoint(true)
     var labels = ids.select(col(idName).as("id")).withColumn("label", col("id"))
       .localCheckpoint(true)
+    // Convergence via the label sum: min-propagation only ever DECREASES
+    // labels, so an unchanged sum means a fixpoint — one cheap aggregate
+    // per round instead of a join-compare.
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("label"))).head().getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -280,9 +286,9 @@ object Dedup {
       val next = labels.unionByName(prop)
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint(true)
-      converged = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.label") =!= col("o.label"))
-        .isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
       labels = next
       i += 1
     }
