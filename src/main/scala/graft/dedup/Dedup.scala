@@ -78,7 +78,7 @@ object Dedup {
     // CollapseProject would otherwise inline the (expensive) set
     // expression into every reference — tokenize/shingle ran up to 4× per
     // row before this. (At cluster scale: persist/cache.)
-    val t = df.select(col(idCol).as("id"), col(blockCol).as("block"),
+    val t = graft.Par.widen(df).select(col(idCol).as("id"), col(blockCol).as("block"),
       setExpr.as("toks"))
       .withColumn("n", size(col("toks")))
       .localCheckpoint(true)
@@ -98,7 +98,12 @@ object Dedup {
     // O(|A|+|B|) walk — observed as a plan regression before this shape.
     val pruneT = threshold - 0.5e-4
     val jac = round(jaccardSorted(col("toks_a"), col("toks_b"), col("n_a"), col("n_b")), 4)
-    a.join(b, a("block") === b("block") && col("id_a") < col("id_b") &&
+    // Broadcast the build side: block cardinality is small by contract
+    // (it's the audit-scoped blocking key), so a sort-merge join on block
+    // collapses to ~|blocks| parallel tasks; a broadcast hash join streams
+    // the probe side at full partition parallelism instead. The audit
+    // scope that bounds the quadratic fan-out bounds the broadcast too.
+    a.join(broadcast(b), a("block") === b("block") && col("id_a") < col("id_b") &&
         least(col("n_a"), col("n_b")).cast("double") >=
           greatest(col("n_a"), col("n_b")).cast("double") * pruneT &&
         jac >= threshold)
@@ -177,7 +182,8 @@ object Dedup {
     // the end — provably the same output: members share their rep's
     // signature and Jaccard, and within-group pairs are J = 1.0 by
     // definition.
-    val allDocs = df.select(col(idCol).as("id"), tokenSet(col(textCol)).as("toks"))
+    val allDocs = graft.Par.widen(df)
+      .select(col(idCol).as("id"), tokenSet(col(textCol)).as("toks"))
       .filter(size(col("toks")) > 0)
     // Materialized once: the group table feeds SIX plan branches (both
     // sides of banding, both sides of verify, both sides of expansion) —
@@ -193,6 +199,9 @@ object Dedup {
     // bucket array) — NO document payload: at 100 TB the bucket exchange
     // must not carry token arrays (a dup cluster of m docs would push
     // m·bands payload copies through the shuffle).
+    // Checkpointed: banded feeds the hot-bucket aggregate AND both join
+    // sides — without it each branch re-runs the (expensive) signature
+    // fold. 4 narrow columns × bands rows per distinct set — small.
     val banded = sigs.select(col("id"), col("n"),
         explode(array((0 until bands).map(lit(_)): _*)).as("band"),
         col("sig"))
@@ -201,8 +210,20 @@ object Dedup {
           concat_ws(",", transform(
             slice(col("sig"), col("band") * r + 1, lit(r)), _.cast("string"))))
           .as("bucket"))
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("n").as("n_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("n").as("n_b"))
+      .localCheckpoint(true)
+    // Drop singleton buckets BEFORE the self-join: a bucket with one
+    // member can't produce a pair, and on realistic corpora the long tail
+    // of singletons is most of the banded rows — pruning them keeps the
+    // tail out of the join exchange entirely. Map-side partial counts make
+    // the (band, bucket) aggregate cheap; the semi-join back is on the
+    // same key the join shuffles on anyway.
+    val hotBuckets = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bkt_n"))
+      .filter(col("bkt_n") > 1)
+      .select(col("band"), col("bucket"))
+    val hotBanded = banded.join(hotBuckets, Seq("band", "bucket"))
+    val a = hotBanded.select(col("band"), col("bucket"), col("id").as("id_a"), col("n").as("n_a"))
+    val b = hotBanded.select(col("band"), col("bucket"), col("id").as("id_b"), col("n").as("n_b"))
     // Size pruning runs inside the join condition (J >= t forces
     // min(|A|,|B|) >= t'·max(|A|,|B|), t' = t minus the round(…,4)
     // half-step), so pruned pairs never reach the dedup exchange. The rows
@@ -263,37 +284,62 @@ object Dedup {
     * min) is already the distributed-safe form — no driver-side state.
     */
   def clusterKeepers(ids: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
     val idName = ids.columns.head
-    // Materialize edges ONCE — every propagation round re-reads them, and
-    // without the checkpoint each round would re-run the (expensive)
-    // upstream pair join.
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // Materialize the PAIRS once, BEFORE the symmetric expansion: without
+    // this the (expensive — it's the whole upstream near-dup join) pair
+    // plan would re-run per derived branch.
+    val p = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
       .localCheckpoint(true)
-    var labels = ids.select(col(idName).as("id")).withColumn("label", col("id"))
-      .localCheckpoint(true)
+    // The LOOP runs on co-partitioned RDDs, not DataFrames: each round is
+    // semantically trivial (join labels with edges, take per-node min) but
+    // a DataFrame loop pays Catalyst analysis + optimization + whole-stage
+    // codegen compile PER ROUND — measured at ~0.4 s/round against
+    // kilobytes of data, the dominant cost of dedup_keepers /
+    // embedding_dedup_keepers. With a fixed HashPartitioner the
+    // labels⋈edges join is narrow (both sides pre-hashed, zero shuffle)
+    // and the only per-round movement is the reduceByKey of propagated
+    // labels — the same distributed shape as before, minus the planner.
+    // This is the GraphX-style "genuine iterative" RDD exception; the
+    // DataFrame API remains the operator's boundary.
+    //
+    // Partition count scales with the graph (~1M directed edges per
+    // partition, floor 4), not with the session shuffle width sized for
+    // the big scans upstream.
+    val nParts = math.max(4L, 2L * p.count() / 1000000L).toInt
+    val part = new org.apache.spark.HashPartitioner(nParts)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = p.as[(Long, Long)].rdd
+      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .partitionBy(part).persist(lvl)
+    var labels = ids.select(col(idName).cast("long")).as[Long].rdd
+      .map(id => (id, id)).partitionBy(part).persist(lvl)
     // Convergence via the label sum: min-propagation only ever DECREASES
     // labels, so an unchanged sum means a fixpoint — one cheap aggregate
-    // per round instead of a join-compare.
-    def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("label"))).head().getLong(0)
+    // per round instead of a join-compare. BigInt accumulation: exact for
+    // any id range (a wrapping long sum could in principle alias two
+    // distinct states), and an empty input folds to 0 instead of NULL.
+    def labelSum(rdd: org.apache.spark.rdd.RDD[(Long, Long)]): BigInt =
+      rdd.aggregate(BigInt(0))((acc, kv) => acc + kv._2, _ + _)
     var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val prop = labels.join(edges, col("id") === col("src"))
-        .select(col("dst").as("id"), col("label"))
-      val next = labels.unionByName(prop)
-        .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint(true)
-      val nextSum = labelSum(next)
+      val prop = labels.join(edges, part)
+        .map { case (_, (lab, dst)) => (dst, lab) }
+      val next = labels.union(prop)
+        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+        .persist(lvl)
+      val nextSum = labelSum(next) // also materializes `next`
       converged = nextSum == prevSum
       prevSum = nextSum
+      labels.unpersist(blocking = false)
       labels = next
       i += 1
     }
-    labels.select(col("id").as("doc_id"), col("label").as("keeper_id"))
-      .orderBy(col("doc_id"))
+    edges.unpersist(blocking = false)
+    labels.toDF("doc_id", "keeper_id").orderBy(col("doc_id"))
   }
 
   /** Keeper assignment from the EXACT blocked Jaccard pairs (oracle-safe:
@@ -327,7 +373,8 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "4-chunk banding only guarantees recall for maxDist <= 3")
-    val docs = df.select(col(idCol).as("id"), tokenHashes(col(textCol)).as("hs"))
+    val docs = graft.Par.widen(df)
+      .select(col(idCol).as("id"), tokenHashes(col(textCol)).as("hs"))
       .select(col("id"), simhash64FromHashes("hs").as("sh"))
     val chunked = docs.select(col("id"), col("sh"),
         explode(array((0 until 4).map(lit(_)): _*)).as("chunk"))

@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.functions.sqrt
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Native codegen dot product over two `array<double>` columns.
   *
@@ -155,6 +155,114 @@ case class LshTableBuckets(
     copy(child = newChild)
 }
 
+/** The `nprobe` nearest centroids (by squared L2 distance, centroid-id
+  * tie-break ascending) for one vector, as `array<int>` of centroid ids
+  * ordered nearest-first.
+  *
+  * Replaces the crossJoin(broadcast(centroids)) + row_number() window
+  * argmin that materialized rows × nlist through a shuffle just to take a
+  * per-row minimum: the centroid matrix (nlist ≤ a few thousand rows —
+  * driver-bounded by construction, never data-scale) rides along as a
+  * codegen reference object and each row pays one tight FMA loop, zero
+  * shuffle, zero row blow-up. With nprobe=1 this is plain argmin (the IVF
+  * list assignment); probes use nprobe>1 and explode the result.
+  *
+  * Score per centroid c: |c|² − 2·v·c (the row's own |v|² is constant
+  * across centroids, so dropped — same ordering as full L2 distance).
+  */
+case class NearestCentroids(
+    child: Expression,
+    centers: IndexedSeq[IndexedSeq[Double]],
+    nprobe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  require(centers.nonEmpty && nprobe >= 1,
+    "need at least one centroid and nprobe >= 1")
+  private val numCenters = centers.length
+  private val take = math.min(nprobe, numCenters)
+  @transient private lazy val centerMatrix: Array[Array[Double]] =
+    centers.map(_.toArray).toArray
+  @transient private lazy val cnorm2: Array[Double] =
+    centerMatrix.map(c => c.map(x => x * x).sum)
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_nearest_centroids"
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val dim = x.numElements()
+    val bestScore = new Array[Double](take)
+    val bestId = new Array[Int](take)
+    var filled = 0
+    var c = 0
+    while (c < numCenters) {
+      val p = centerMatrix(c)
+      val n = math.min(dim, p.length)
+      var d = 0.0
+      var i = 0
+      while (i < n) { d += x.getDouble(i) * p(i); i += 1 }
+      val s = cnorm2(c) - 2.0 * d
+      // Insertion keeps (score asc, cid asc): strictly-less shifts, so an
+      // equal score never displaces an earlier (smaller) centroid id.
+      if (filled < take || s < bestScore(filled - 1)) {
+        var j = math.min(filled, take - 1)
+        while (j > 0 && s < bestScore(j - 1)) {
+          bestScore(j) = bestScore(j - 1); bestId(j) = bestId(j - 1); j -= 1
+        }
+        bestScore(j) = s; bestId(j) = c
+        if (filled < take) filled += 1
+      }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      java.util.Arrays.copyOf(bestId, filled))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centersRef = ctx.addReferenceObj("centers", centerMatrix, "double[][]")
+    val cnorm2Ref = ctx.addReferenceObj("cnorm2", cnorm2, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val s = ctx.freshName("s")
+      val p = ctx.freshName("p")
+      val bestScore = ctx.freshName("bestScore")
+      val bestId = ctx.freshName("bestId")
+      val filled = ctx.freshName("filled")
+      s"""
+         |double[] $bestScore = new double[$take];
+         |int[] $bestId = new int[$take];
+         |int $filled = 0;
+         |for (int $c = 0; $c < $numCenters; $c++) {
+         |  double[] $p = $centersRef[$c];
+         |  int $n = java.lang.Math.min($v.numElements(), $p.length);
+         |  double $d = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) { $d += $v.getDouble($i) * $p[$i]; }
+         |  double $s = $cnorm2Ref[$c] - 2.0 * $d;
+         |  if ($filled < $take || $s < $bestScore[$filled - 1]) {
+         |    int $j = java.lang.Math.min($filled, $take - 1);
+         |    while ($j > 0 && $s < $bestScore[$j - 1]) {
+         |      $bestScore[$j] = $bestScore[$j - 1]; $bestId[$j] = $bestId[$j - 1]; $j--;
+         |    }
+         |    $bestScore[$j] = $s; $bestId[$j] = $c;
+         |    if ($filled < $take) $filled++;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+         |  java.util.Arrays.copyOf($bestId, $filled));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Public wrappers (importable without touching Spark-internal packages). */
 object VectorFunctions {
 
@@ -170,4 +278,10 @@ object VectorFunctions {
     ExpressionUtils.column(LshTableBuckets(
       ExpressionUtils.expression(v),
       planes.map(_.toIndexedSeq).toIndexedSeq, bitsPerTable))
+
+  /** The nprobe nearest centroid ids, nearest-first; see [[NearestCentroids]]. */
+  def nearestCentroids(v: Column, centers: Seq[Seq[Double]], nprobe: Int): Column =
+    ExpressionUtils.column(NearestCentroids(
+      ExpressionUtils.expression(v),
+      centers.map(_.toIndexedSeq).toIndexedSeq, nprobe))
 }

@@ -11,67 +11,75 @@ import Similarity.{asDouble, dot, norm}
 /** [EXT] IVF (inverted-file) approximate kNN — the second scale path next
   * to [[Similarity.knnLsh]]:
   *
-  *  1. fit a coarse quantizer (KMeans, `nlist` centroids, fixed seed) on
-  *     the candidate corpus — one-time, sampled at 100 TB;
-  *  2. assign every candidate to its nearest centroid (its "list") — a
-  *     broadcast argmin against `nlist` rows, narrow and shuffle-free;
+  *  1. fit a coarse quantizer (KMeans, `nlist` centroids, fixed seed) on a
+  *     bounded SAMPLE of the candidate corpus — the fit cost is capped by
+  *     `maxFitRows`, independent of corpus size;
+  *  2. assign every candidate to its nearest centroid (its "list") via a
+  *     per-row argmin expression over the broadcast centroid matrix
+  *     ([[org.apache.spark.sql.graft.NearestCentroids]]) — narrow,
+  *     shuffle-free, no row blow-up;
   *  3. per probe, search the `nprobe` nearest lists only, exact-cosine
   *     re-rank inside them.
   *
   * Scan fraction ≈ nprobe/nlist of the corpus per probe (vs 100% for
   * brute force); recall depends on how well lists capture the metric's
-  * neighborhoods. Assignment and search are plain equi-joins on the list
-  * id — at scale the corpus is written bucketed/partitioned BY list id,
-  * so a probe reads only its nprobe partitions (partition pruning does
-  * the work storage-side).
+  * neighborhoods. Search is a plain equi-join on the list id — at scale
+  * the corpus is written bucketed/partitioned BY list id, so a probe reads
+  * only its nprobe partitions (partition pruning does the work
+  * storage-side).
   */
 object Ivf {
 
-  /** Centroid table (cid, center, cnorm2) from a seeded KMeans fit. */
+  /** Centroid matrix (row index = centroid/list id) from a seeded KMeans
+    * fit over at most `maxFitRows` sampled candidate vectors.
+    *
+    * The sample bound is what makes the quantizer viable at 100 TB: the
+    * fit touches ≤ maxFitRows vectors no matter the corpus size (the
+    * sizing `count` is a column-pruned metadata-cheap pass; KMeans itself
+    * then iterates over the cached sample only), and `setMaxIter` caps the
+    * pass count. Centroids are engine-specific — downstream checks are
+    * rows-only plus the recall spec — so sampling does not affect any
+    * oracle. `clusterCenters` lives on the driver already; its size is
+    * bounded by nlist (a config), never by data scale.
+    */
   def fitCentroids(candidates: DataFrame, nlist: Int,
-                   vecCol: String = "embedding", seed: Long = 42L): DataFrame = {
-    val spark = candidates.sparkSession
-    import spark.implicits._
-    val feats = candidates
-      .select(array_to_vector(asDouble(col(vecCol))).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features")
+                   vecCol: String = "embedding", seed: Long = 42L,
+                   maxFitRows: Long = 100000L,
+                   maxIter: Int = 10): IndexedSeq[IndexedSeq[Double]] = {
+    val vecs = candidates.select(asDouble(col(vecCol)).as("arr"))
+    val total = vecs.count()
+    val sampled =
+      if (total > maxFitRows) vecs.sample(withReplacement = false,
+        fraction = maxFitRows.toDouble / total, seed = seed)
+      else vecs
+    val feats = sampled.select(array_to_vector(col("arr")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("features")
       .fit(feats)
-    model.clusterCenters.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toArray) }
-      .toDF("cid", "center")
-      .withColumn("cnorm2", dot(col("center"), col("center")))
-  }
-
-  /** Rank of each (row, centroid) pair by L2 distance; rank 1 = own list.
-    * dist² = |v|² − 2·v·c + |c|² (|v|² is constant per row → dropped). */
-  private def centroidRanks(rows: DataFrame, centroids: DataFrame,
-                            idCol: String, vecCol: String): DataFrame = {
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("score").asc, col("cid").asc)
-    rows.crossJoin(broadcast(centroids))
-      .withColumn("score", col("cnorm2") - lit(2.0) * dot(col(vecCol), col("center")))
-      .withColumn("crank", row_number().over(w))
-      .drop("center", "cnorm2", "score")
+    model.clusterCenters.map(_.toArray.toIndexedSeq).toIndexedSeq
   }
 
   /** IVF approximate kNN. Returns (probe_id, rk, cand_id, cosine) like
     * the brute-force and LSH variants. */
   def knnIvf(candidates: DataFrame, probes: DataFrame, k: Int,
              nlist: Int = 16, nprobe: Int = 4,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val centroids = fitCentroids(candidates, nlist, vecCol)
-    val cand = centroidRanks(
-      candidates.select(col(idCol).as("cand_id"), asDouble(col(vecCol)).as("cv"))
-        .withColumn("cn", norm(col("cv"))),
-      centroids, "cand_id", "cv")
-      .filter(col("crank") === 1)                 // own list
-      .withColumnRenamed("cid", "list")
-    val prob = centroidRanks(
-      probes.select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("pv"))
-        .withColumn("pn", norm(col("pv"))),
-      centroids, "probe_id", "pv")
-      .filter(col("crank") <= nprobe)             // nprobe nearest lists
-      .withColumnRenamed("cid", "list")
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             maxFitRows: Long = 100000L): DataFrame = {
+    val centers = fitCentroids(candidates, nlist, vecCol, maxFitRows = maxFitRows)
+    def nearest(v: org.apache.spark.sql.Column, n: Int) =
+      org.apache.spark.sql.graft.VectorFunctions.nearestCentroids(v, centers, n)
+    // Own list = argmin over the centroid matrix — one expression per row.
+    val cand = graft.Par.widen(candidates)
+      .select(col(idCol).as("cand_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+      .withColumn("list", element_at(nearest(col("cv"), 1), 1))
+    // nprobe nearest lists per probe: one expression + explode (probe side
+    // is tiny and broadcast below, so the fan-out is |probes| × nprobe).
+    val prob = probes
+      .select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("pv"))
+      .withColumn("pn", norm(col("pv")))
+      .select(col("probe_id"), col("pv"), col("pn"),
+        explode(nearest(col("pv"), nprobe)).as("list"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("cand_id").asc)
     cand.join(broadcast(prob), Seq("list"))

@@ -51,7 +51,8 @@ object Similarity {
     */
   def knnBruteForce(candidates: DataFrame, probes: DataFrame, k: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cand = candidates.select(col(idCol).as("cand_id"), asDouble(col(vecCol)).as("cv"))
+    val cand = graft.Par.widen(candidates)
+      .select(col(idCol).as("cand_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
     val prob = probes.select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("pv"))
       .withColumn("pn", norm(col("pv")))
@@ -70,8 +71,13 @@ object Similarity {
     * near-dup audit. Quadratic: keep for bounded id ranges / samples. */
   def cosinePairs(emb: DataFrame, threshold: Double,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val t = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    // Materialized once: t feeds BOTH join sides, and without the
+    // checkpoint scan + float→double cast + norm run once per side (the
+    // same CollapseProject diamond as Dedup.setJaccardPairs). (At cluster
+    // scale: persist/cache.)
+    val t = graft.Par.widen(emb).select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("n", norm(col("v")))
+      .localCheckpoint(true)
     val a = t.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
     val b = t.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
@@ -133,7 +139,7 @@ object Similarity {
              dim: Int = 64, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val planes = hyperplanes(bitsPerTable * tables, dim)
     def bucketed(df: DataFrame, id: String, v: String, n: String) = {
-      val base = df.select(col(idCol).as(id), asDouble(col(vecCol)).as(v))
+      val base = graft.Par.widen(df).select(col(idCol).as(id), asDouble(col(vecCol)).as(v))
         .withColumn(n, norm(col(v)))
       // One native expression computes every table's bucket in a single
       // matrix-vector pass (the composed per-plane form built a ~5000-leaf
