@@ -55,6 +55,22 @@ object Dedup {
     inter.cast("double") / nullif((na + nb - inter).cast("double"), lit(0.0))
   }
 
+  /** [[jaccardSorted]] for ≥-threshold filters: the merge walk bails once
+    * the intersection provably can't reach the threshold (J ≥ t forces
+    * |A∩B| ≥ t·(|A|+|B|)/(1+t)). Verify joins reject ~98% of candidates,
+    * and a rejected pair's underestimated J stays under the filter bound
+    * (monotonicity of I/(S−I)), so outputs are identical to the exact
+    * form — floor() keeps the bound conservative against FP rounding, and
+    * the half-step slack mirrors the round(…,4) comparison downstream. */
+  def jaccardSortedBounded(a: Column, b: Column, na: Column, nb: Column,
+                           threshold: Double): Column = {
+    val t = threshold - 0.5e-4
+    val minInter = floor((na + nb).cast("double") * lit(t / (1.0 + t))).cast("long")
+    val inter = org.apache.spark.sql.graft.ArrayFunctions
+      .sortedIntersectSizeBounded(a, b, minInter)
+    inter.cast("double") / nullif((na + nb - inter).cast("double"), lit(0.0))
+  }
+
   /** Exact token-set Jaccard near-dup pairs within a blocking key
     * (`jaccard_pairs` query). Quadratic in the block size — the blocking
     * column bounds the join fan-out; use MinHash below when no natural
@@ -97,7 +113,8 @@ object Dedup {
     // (predicates evaluate left-to-right), making every candidate pay the
     // O(|A|+|B|) walk — observed as a plan regression before this shape.
     val pruneT = threshold - 0.5e-4
-    val jac = round(jaccardSorted(col("toks_a"), col("toks_b"), col("n_a"), col("n_b")), 4)
+    val jac = round(jaccardSortedBounded(col("toks_a"), col("toks_b"),
+      col("n_a"), col("n_b"), threshold), 4)
     // Broadcast the build side: block cardinality is small by contract
     // (it's the audit-scoped blocking key), so a sort-merge join on block
     // collapses to ~|blocks| parallel tasks; a broadcast hash join streams
@@ -194,22 +211,26 @@ object Dedup {
       .localCheckpoint(true)
     val docs = groups.select(col("rep").as("id"), col("toks"))
       .withColumn("n", size(col("toks")))
-    val sigs = docs.withColumn("sig", minHashSignature(col("toks"), numHashes))
-    // One row per (doc, band), carrying (band, bucket, id, n, all-band
-    // bucket array) — NO document payload: at 100 TB the bucket exchange
+    // All band buckets per doc in ONE projection, checkpointed so the
+    // signature fold (the expensive part) runs exactly once per distinct
+    // set: referencing `sig` 16× in a single array() would get the whole
+    // fold INLINED 16× by CollapseProject (no CSE) — the round-1 lesson.
+    val bucketArr = docs
+      .withColumn("sig", minHashSignature(col("toks"), numHashes))
+      .select(col("id"), col("n"),
+        array((0 until bands).map(bd =>
+          xxhash64(lit(bd), concat_ws(",", transform(
+            slice(col("sig"), lit(bd * r + 1), lit(r)), _.cast("string"))))): _*)
+          .as("buckets"))
+      .localCheckpoint(true)
+    // One row per (doc, band), carrying (id, n, all-band bucket array,
+    // band, bucket) — NO document payload: at 100 TB the bucket exchange
     // must not carry token arrays (a dup cluster of m docs would push
-    // m·bands payload copies through the shuffle).
-    // Checkpointed: banded feeds the hot-bucket aggregate AND both join
-    // sides — without it each branch re-runs the (expensive) signature
-    // fold. 4 narrow columns × bands rows per distinct set — small.
-    val banded = sigs.select(col("id"), col("n"),
-        explode(array((0 until bands).map(lit(_)): _*)).as("band"),
-        col("sig"))
-      .select(col("id"), col("n"), col("band"),
-        xxhash64(col("band"),
-          concat_ws(",", transform(
-            slice(col("sig"), col("band") * r + 1, lit(r)), _.cast("string"))))
-          .as("bucket"))
+    // m·bands payload copies through the shuffle). The bucket ARRAY
+    // (bands × 8 bytes) rides along to power first-match pair dedup below.
+    val banded = bucketArr
+      .select(col("id"), col("n"), col("buckets"),
+        posexplode(col("buckets")).as(Seq("band", "bucket")))
       .localCheckpoint(true)
     // Drop singleton buckets BEFORE the self-join: a bucket with one
     // member can't produce a pair, and on realistic corpora the long tail
@@ -222,22 +243,35 @@ object Dedup {
       .filter(col("bkt_n") > 1)
       .select(col("band"), col("bucket"))
     val hotBanded = banded.join(hotBuckets, Seq("band", "bucket"))
-    val a = hotBanded.select(col("band"), col("bucket"), col("id").as("id_a"), col("n").as("n_a"))
-    val b = hotBanded.select(col("band"), col("bucket"), col("id").as("id_b"), col("n").as("n_b"))
+    val a = hotBanded.select(col("band"), col("bucket"), col("id").as("id_a"),
+      col("n").as("n_a"), col("buckets").as("buckets_a"))
+    val b = hotBanded.select(col("band"), col("bucket"), col("id").as("id_b"),
+      col("n").as("n_b"), col("buckets").as("buckets_b"))
     // Size pruning runs inside the join condition (J >= t forces
     // min(|A|,|B|) >= t'·max(|A|,|B|), t' = t minus the round(…,4)
-    // half-step), so pruned pairs never reach the dedup exchange. The rows
-    // are 4 numeric columns — a dup cluster of m docs still fans out
-    // m²·bands/2 candidate rows, but each is 32 bytes, and map-side partial
-    // aggregation compacts repeats before the dropDuplicates shuffle.
+    // half-step), so pruned pairs never reach the verify exchange.
+    //
+    // First-match-band dedup, LAST in the condition: a pair colliding in k
+    // bands would otherwise surface k times and need a corpus-scale
+    // dropDuplicates; keeping it only where the FIRST equal bucket
+    // position is this row's band emits every pair exactly once, so the
+    // former multi-10⁷-row dedup exchange disappears entirely. The check
+    // is a ≤bands long-compare codegen loop
+    // ([[org.apache.spark.sql.graft.FirstEqualIndex]]).
     val pruneT = threshold - 0.5e-4
     val candidates = a.join(b,
       a("band") === b("band") && a("bucket") === b("bucket") &&
         col("id_a") < col("id_b") &&
         least(col("n_a"), col("n_b")).cast("double") >=
-          greatest(col("n_a"), col("n_b")).cast("double") * pruneT)
+          greatest(col("n_a"), col("n_b")).cast("double") * pruneT &&
+        org.apache.spark.sql.graft.ArrayFunctions
+          .firstEqualIndex(col("buckets_a"), col("buckets_b")) === a("band"))
       .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
-      .dropDuplicates("id_a", "id_b")
+      // Rebalance before the verify walk: candidate output inherits the
+      // band-join's partitioning, where one mega-bucket's pairs land
+      // together — without this exchange (1/16 the size of the one
+      // dropDuplicates needed) the verify stage is straggler-bound.
+      .repartition(col("id_a"), col("id_b"))
     // Verify on distinct candidate pairs only: re-fetch token sets by id
     // (docs is a slim (id, toks) projection — Spark broadcasts it while it
     // fits the threshold, sort-merge-joins at scale) and run the
@@ -246,7 +280,8 @@ object Dedup {
       .join(docs.select(col("id").as("id_a"), col("toks").as("toks_a")), Seq("id_a"))
       .join(docs.select(col("id").as("id_b"), col("toks").as("toks_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(jaccardSorted(col("toks_a"), col("toks_b"), col("n_a"), col("n_b")), 4)
+        round(jaccardSortedBounded(col("toks_a"), col("toks_b"),
+          col("n_a"), col("n_b"), threshold), 4)
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
     // Expand verified rep pairs to all member cross pairs (same Jaccard —

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** |A ∩ B| for two SORTED string arrays, as a single merge walk.
@@ -152,6 +152,142 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** [[SortedIntersectSize]] with an early-exit lower bound: the walk stops
+  * as soon as the intersection can no longer reach `minInter`
+  * (current count + min(remaining) < minInter).
+  *
+  * Near-dup verify joins reject ~98% of LSH candidates, and a rejected
+  * pair's Jaccard value never surfaces (the ≥-threshold filter drops the
+  * row) — so an UNDERESTIMATE on pairs that provably can't reach the
+  * bound is value-preserving: returned count ≤ true count < minInter
+  * keeps jac(I) = I/(S−I) monotonic-below-threshold, while pairs that can
+  * reach it walk to completion and return the exact size. Callers derive
+  * minInter from the same threshold the filter uses (minus the rounding
+  * half-step), so no boundary pair is ever mis-dropped.
+  *
+  * Same sorted/distinct input contract as [[SortedIntersectSize]].
+  */
+case class SortedIntersectSizeBounded(
+    first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType), ArrayType(StringType), LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sorted_intersect_size_bounded"
+
+  override def nullSafeEval(a: Any, b: Any, m: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val minInter = m.asInstanceOf[Long]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var n = 0L
+    while (i < nx && j < ny) {
+      if (x.isNullAt(i)) i += 1
+      else if (y.isNullAt(j)) j += 1
+      else {
+        val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        if (c == 0) { n += 1; i += 1; j += 1 }
+        else {
+          if (c < 0) i += 1 else j += 1
+          if (n + math.min(nx - i, ny - j) < minInter) return n
+        }
+      }
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, m) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      s"""
+         |int $i = 0; int $j = 0; long $n = 0L;
+         |while ($i < $a.numElements() && $j < $b.numElements()) {
+         |  if ($a.isNullAt($i)) { $i++; }
+         |  else if ($b.isNullAt($j)) { $j++; }
+         |  else {
+         |    int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |    if ($c == 0) { $n++; $i++; $j++; }
+         |    else {
+         |      if ($c < 0) { $i++; } else { $j++; }
+         |      if ($n + java.lang.Math.min($a.numElements() - $i, $b.numElements() - $j) < $m) {
+         |        break;
+         |      }
+         |    }
+         |  }
+         |}
+         |${ev.value} = $n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** Index of the first position where two `array<long>` columns hold equal
+  * values, or -1 if none.
+  *
+  * The LSH pair-dedup primitive: banded rows carry the doc's FULL per-band
+  * bucket array, and the band self-join keeps a candidate pair only where
+  * `firstEqualIndex(buckets_a, buckets_b) = band` — each pair then survives
+  * in exactly ONE band, so the join output is globally duplicate-free and
+  * the former 10⁷-row `dropDuplicates` exchange disappears. Cost: a ≤bands
+  * long-compare loop per raw bucket collision, evaluated inside the join's
+  * whole-stage codegen.
+  *
+  * Positions where either side is null never match (null buckets don't
+  * occur in practice; xxhash64 output is non-null).
+  */
+case class FirstEqualIndex(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_first_equal_index"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i) && x.getLong(i) == y.getLong(i)) return i
+      i += 1
+    }
+    -1
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val res = ctx.freshName("res")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $res = -1;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i) && $a.getLong($i) == $b.getLong($i)) {
+         |    $res = $i; break;
+         |  }
+         |}
+         |${ev.value} = $res;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object ArrayFunctions {
 
   /** Codegen'd |A ∩ B| for sorted, distinct string arrays. */
@@ -162,4 +298,16 @@ object ArrayFunctions {
   /** Codegen'd 64-bit SimHash over token hashes; see [[SimHash64]]. */
   def simHash64(tokenHashes: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(tokenHashes)))
+
+  /** Codegen'd |A ∩ B| with early exit below minInter; see
+    * [[SortedIntersectSizeBounded]]. */
+  def sortedIntersectSizeBounded(a: Column, b: Column, minInter: Column): Column =
+    ExpressionUtils.column(SortedIntersectSizeBounded(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b),
+      ExpressionUtils.expression(minInter)))
+
+  /** Codegen'd first-equal-position of two long arrays; see [[FirstEqualIndex]]. */
+  def firstEqualIndex(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      FirstEqualIndex(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }
