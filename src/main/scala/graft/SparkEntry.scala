@@ -65,6 +65,12 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", "source", 3, 0.8)),
     "dedup_keepers" -> ((s, dir) =>
       Dedup.nearDupKeepers(Tables.documents(s, dir), "doc_id", "text", "source", 0.9)),
+    // The 100 TB composition end-to-end: MinHash banding -> exact verify
+    // -> connected components, corpus-wide (no blocking key). The oracle
+    // runs the exact quadratic CC: LSH misses a J>=0.9 pair with prob
+    // ~4e-8 per pair under pinned seeds, so the outputs hash-match.
+    "dedup_keepers_scaled" -> ((s, dir) =>
+      Dedup.nearDupKeepersScaled(Tables.documents(s, dir), "doc_id", "text", 0.9)),
     // ---- [EXT] similarity search ----
     "knn_bruteforce" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -219,7 +225,7 @@ object SparkEntry {
         |SELECT id_a, id_b, jaccard FROM (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    round(len(list_filter(a.toks, x -> list_contains(b.toks, x)))::DOUBLE /
-        |          len(list_distinct(a.toks || b.toks))::DOUBLE, 4) AS jaccard
+        |          nullif(len(list_distinct(a.toks || b.toks)), 0)::DOUBLE, 4) AS jaccard
         |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.9 ORDER BY id_a, id_b""".stripMargin,
     // dedup_near_minhash / simhash_pairs: LSH internals are not
@@ -249,8 +255,28 @@ object SparkEntry {
         |  SELECT id_a, id_b FROM (
         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |      round(len(list_filter(a.toks, x -> list_contains(b.toks, x)))::DOUBLE /
-        |            len(list_distinct(a.toks || b.toks))::DOUBLE, 4) AS jaccard
+        |            nullif(len(list_distinct(a.toks || b.toks)), 0)::DOUBLE, 4) AS jaccard
         |    FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |  WHERE jaccard >= 0.9),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+        |          UNION ALL SELECT id_b, id_a FROM jp),
+        |reach AS (
+        |  SELECT doc_id AS id, doc_id AS label FROM documents
+        |  UNION
+        |  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id)
+        |SELECT id AS doc_id, MIN(label) AS keeper_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "dedup_keepers_scaled" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |         list_distinct(regexp_extract_all(lower(text), '\S+')) AS toks
+        |  FROM documents),
+        |jp AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      round(len(list_filter(a.toks, x -> list_contains(b.toks, x)))::DOUBLE /
+        |            nullif(len(list_distinct(a.toks || b.toks)), 0)::DOUBLE, 4) AS jaccard
+        |    FROM t a JOIN t b ON a.doc_id < b.doc_id)
         |  WHERE jaccard >= 0.9),
         |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
         |          UNION ALL SELECT id_b, id_a FROM jp),

@@ -130,29 +130,18 @@ object Dedup {
 
   // ---- MinHash + LSH ----
 
-  /** Deterministic coefficients for the hash family
-    * h_i(x) = (a_i * x32 + b_i) mod (2^61 - 1), with x32 the low 32 bits of
-    * the token hash and a_i < 2^30: the product stays under 2^62, so the
-    * arithmetic never overflows a long (ANSI-mode safe — no wraparound
-    * tricks), and a_i·Δ ≠ 0 mod p for distinct 32-bit inputs makes each
-    * h_i injective. Fixed seeds: signatures are stable across runs and
-    * partitions (part of the operator contract). */
-  private def coeffs(n: Int, seed: Long): IndexedSeq[Long] = {
-    var x = seed
-    (0 until n).map { _ =>
-      // splitmix64 step — deterministic, well-mixed
-      x += 0x9e3779b97f4a7c15L
-      var z = x
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
-  }
-
-  private val Mersenne61 = (1L << 61) - 1
-
   /** MinHash signature (array<long>, length numHashes) over the document's
     * token SET. Pure per-row expression work.
+    *
+    * Hash family: component i of a token is `xxhash64(tokenHash, i)` — a
+    * full 64-bit mix per (token, component), deterministic across runs and
+    * partitions (part of the operator contract). An earlier affine family
+    * `(a·x + b) mod 2⁶¹−1` with a < 2³⁰ (sized to dodge ANSI overflow) was
+    * nearly MONOTONE in x — the product wraps the modulus at most once —
+    * so every "independent" component degenerated to argmin(x) and J=0.9
+    * pairs could share ZERO of 16 bands (observed on the sf0.001 fixture;
+    * pinned by DedupSpec's scaled-keepers equivalence test). xxhash64 over
+    * two longs has no such structure and no overflow concerns.
     *
     * Shape matters: a naive `array(h_0, …, h_63)` of 64 independent
     * `array_min(transform(tokens, …))` expressions gets the tokenize+hash
@@ -160,20 +149,14 @@ object Dedup {
     * array elements), turning one regexp pass into 64 — measured 50×
     * slower at sf0.1. Instead: ONE `aggregate` fold over the token-hash
     * array keeps a 64-wide running-min accumulator, so tokenization and
-    * xxhash64 run exactly once per token regardless of numHashes. */
+    * the string hash run exactly once per token regardless of numHashes. */
   def minHashSignature(tokSet: Column, numHashes: Int): Column = {
-    val as = coeffs(numHashes, 42L).map(a => (a & ((1L << 30) - 1)) | 1L)
-    val bs = coeffs(numHashes, 1337L).map(b => b & ((1L << 30) - 1))
-    val aArr = array(as.map(lit(_)): _*)
-    val bArr = array(bs.map(lit(_)): _*)
-    val hs = transform(tokSet, t => xxhash64(t).bitwiseAND(lit(0xFFFFFFFFL)))
+    val idxArr = array((0 until numHashes).map(i => lit(i.toLong)): _*)
+    val hs = transform(tokSet, t => xxhash64(t))
     aggregate(
       hs,
       array_repeat(lit(Long.MaxValue), numHashes),
-      (acc, h) => zip_with(
-        zip_with(aArr, bArr, (a, b) => pmod(h * a + b, lit(Mersenne61))),
-        acc,
-        (x, m) => least(x, m)))
+      (acc, h) => zip_with(idxArr, acc, (i, m) => least(xxhash64(h, i), m)))
   }
 
   /** MinHash/LSH near-dup pairs (`dedup_near_minhash` query).
@@ -385,6 +368,22 @@ object Dedup {
     clusterKeepers(
       df.select(col(idCol)),
       jaccardPairs(df, idCol, textCol, blockCol, threshold))
+
+  /** Keeper assignment via the SCALED pair path (`dedup_keepers_scaled`
+    * query): MinHash banding → exact verify ([[nearDupMinHash]]) →
+    * connected components — the corpus-wide composition you actually run
+    * at 100 TB, with no blocking key required.
+    *
+    * Output equals exact corpus-wide Jaccard keepers up to LSH recall: at
+    * J ≥ threshold = 0.9 with 16 bands × 4 rows a qualifying pair is
+    * missed with probability (1 − J⁴)¹⁶ ≈ 4e-8, and signatures are
+    * seed-pinned, so on a given corpus the output is deterministic (the
+    * DuckDB oracle runs the exact quadratic CC and hash-matches). */
+  def nearDupKeepersScaled(df: DataFrame, idCol: String, textCol: String,
+                           threshold: Double): DataFrame =
+    clusterKeepers(
+      df.select(col(idCol)),
+      nearDupMinHash(df, idCol, textCol, threshold))
 
   // ---- SimHash ----
 

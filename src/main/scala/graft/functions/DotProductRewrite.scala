@@ -23,6 +23,14 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   * `containsNull = false` (what `transform(_.cast("double"))` over
   * non-null float embeddings produces).
   *
+  * Ragged-length caveat: `zip_with` null-pads the shorter side, so the
+  * HOF form yields NULL for unequal lengths while DotProduct truncates to
+  * min(len) — the rewrite must not turn a NULL into a number for any user
+  * query the session-wide rule touches. Same-expression inputs (the
+  * self-dot in norms) are trivially equal-length and rewrite directly;
+  * otherwise the rewrite emits `if (size(a) = size(b)) dot(a, b) else
+  * null`, which preserves the NULL exactly.
+  *
   * Fires only on the exact shape (multiply-zip, 0.0 seed, add-merge,
   * identity finish, both sides `array<double>` without null elements) —
   * anything else is left untouched. Registered by [[GraftExtensions]] via
@@ -72,6 +80,8 @@ object DotProductRewrite extends Rule[LogicalPlan] {
           AddLambda(),
           IdentityFinish())
           if nonNullDoubleArray(left) && nonNullDoubleArray(right) =>
-        DotProduct(left, right)
+        if (left.semanticEquals(right)) DotProduct(left, right)
+        else If(EqualTo(Size(left), Size(right)),
+          DotProduct(left, right), Literal(null, DoubleType))
     }
 }

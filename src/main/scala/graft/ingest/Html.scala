@@ -27,12 +27,16 @@ object Html extends Serializable {
       m.group(1).toLowerCase -> Option(m.group(2)).getOrElse(m.group(3))
     }.toMap
 
-  /** bs4 `.get_text()` analog: drop tags, decode the common entities. */
+  /** bs4 `.get_text()` analog: drop tags, decode the common entities.
+    * `&amp;` decodes LAST (standard chained-replacement order), so
+    * pre-escaped entities like `&amp;lt;` yield `&lt;` — matching bs4 —
+    * instead of double-decoding to `<`. */
   def text(html: String): String = {
     if (html == null) return ""
     TagStrip.replaceAllIn(html, "")
-      .replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&lt;", "<").replace("&gt;", ">")
       .replace("&quot;", "\"").replace("&#39;", "'").replace("&nbsp;", " ")
+      .replace("&amp;", "&")
   }
 
   private def blockRe(tag: String): Regex =

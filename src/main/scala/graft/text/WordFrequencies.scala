@@ -16,6 +16,12 @@ import org.apache.spark.sql.functions._
   * Tie order at rank k is library-internal in the reference; we pin
   * (count desc, word asc) for determinism (SURVEY §2.5 W3).
   *
+  * Recorded divergence: WordCloud defaults `normalize_plurals=True`
+  * (merges "word"/"words" into one bar before the top-150 cut); we count
+  * surface forms verbatim — the oracle-checked contract is raw unigram
+  * frequency, and a locale-blind plural merge would corrupt non-English
+  * corpora the engine must also serve.
+  *
   * Scale shape: explode → filter (codegen, stays in the scan stage) →
   * hash aggregate with map-side partial combine (one shuffle keyed by word)
   * → `TakeOrderedAndProject` top-k (per-partition heaps, no global sort).

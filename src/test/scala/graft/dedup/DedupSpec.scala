@@ -68,6 +68,22 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
   }
 
+  test("scaled keepers (minhash->verify->CC) equal exact corpus-wide keepers") {
+    // The 100 TB composition must land on the same components as the
+    // exact quadratic path: at threshold 0.9 a qualifying pair escapes
+    // 16x4 banding with prob ~4e-8, so on the sf0.001 fixture equality is
+    // exact (seed-pinned, deterministic).
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val scaled = Dedup.nearDupKeepersScaled(d, "doc_id", "text", 0.9)
+      .as[(Long, Long)].collect().toSeq
+    val exact = Dedup.clusterKeepers(
+        d.select(col("doc_id")),
+        Dedup.jaccardPairs(d.withColumn("blk", lit(1)), "doc_id", "text", "blk", 0.9))
+      .as[(Long, Long)].collect().toSeq
+    assert(scaled.nonEmpty)
+    assert(scaled == exact)
+  }
+
   test("simhashPairs finds exact dups at distance 0 and is id-ordered") {
     val out = Dedup.simhashPairs(docs.filter(length(col("text")) > 0),
       "doc_id", "text", 3).collect()
