@@ -1,5 +1,15 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark main: one JSON line with per-query seconds.
+  *
+  * Hygiene (round-1 verdict): a sacrificial warmup action runs BEFORE any
+  * timing so JVM/codegen startup (~5 s) isn't charged to whichever query
+  * iterates first, and per-query failures print to stderr with a negative
+  * sentinel in the JSON instead of being silently swallowed into a
+  * plausible-looking time.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,15 +20,33 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warmup: a real scan+agg through the parquet reader and codegen paths.
+    try Tables.documents(spark, sfDir).count()
+    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
+    var failures = 0
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch {
+          case e: Throwable =>
+            failures += 1
+            System.err.println(s"[bench] $name FAILED: $e")
+            false
+        }
+      val sec = (System.nanoTime() - t0) / 1e9
+      // Let the ContextCleaner reclaim the query's localCheckpoint blocks:
+      // they're freed on GC (weak refs), and without a nudge they pile up
+      // in storage memory across the run, evicting/spilling later queries'
+      // working set — measured as a 3× slowdown on the heavy dedup queries
+      // late in the bench.
+      System.gc()
+      name -> (if (ok) sec else -sec)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ > 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failures":$failures}""")
     spark.stop()
   }
 }

@@ -464,5 +464,10 @@ object IngestFixture {
   val rawDates: Seq[String] = Seq(
     "2024-03-01T10:15:30", "2024-07-04 08:30:00", "2024-03-01",
     "March 1, 2024", "Mar 15, 2024", "01/03/2024", "not a date",
-    " 2024-12-25 ")
+    " 2024-12-25 ",
+    // dateutil-breadth forms (app.py:90): RFC-2822 with zone name and
+    // offset, bare dd-Mon-yyyy, month-name+time, slash-ISO
+    "Tue, 01 Mar 2024 10:15:30 GMT", "Fri, 05 Jul 2024 23:59:01 +0200",
+    "01 Mar 2024 10:15:30", "15 Mar 2024", "March 1, 2024 10:30 AM",
+    "2024/03/01", "Sat, 32 Jan 2024 00:00:00 GMT")
 }

@@ -172,6 +172,38 @@ object Dedup {
   def nearDupMinHash(df: DataFrame, idCol: String, textCol: String,
                      threshold: Double = 0.9, numHashes: Int = 64,
                      bands: Int = 16): DataFrame = {
+    val (groups, repPairs) = minHashRepPairs(df, idCol, textCol, threshold, numHashes, bands)
+    // Expand verified rep pairs to all member cross pairs (same Jaccard —
+    // identical token sets), normalized to id_a < id_b.
+    val crossPairs = repPairs
+      .join(groups.select(col("rep").as("id_a"), col("members").as("members_a")), Seq("id_a"))
+      .join(groups.select(col("rep").as("id_b"), col("members").as("members_b")), Seq("id_b"))
+      .select(explode(col("members_a")).as("ma"), col("members_b"), col("jaccard"))
+      .select(col("ma"), explode(col("members_b")).as("mb"), col("jaccard"))
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("jaccard"))
+    // Within-group pairs: exact dups, J = 1.0 (>= any threshold <= 1).
+    val withinPairs = groups
+      .filter(size(col("members")) > 1)
+      .select(explode(col("members")).as("id_a"), col("members"))
+      .select(col("id_a"), explode(col("members")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", lit(1.0))
+    crossPairs.unionByName(withinPairs)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Shared MinHash/LSH core: exact-dup rep-grouping, banding, candidate
+    * join, exact verify — everything up to (but not including) member
+    * expansion. Returns (groups(toks, rep, members) — checkpointed —,
+    * repPairs(id_a, id_b, jaccard) over group REPRESENTATIVES). Callers
+    * choose the tail: [[nearDupMinHash]] expands every member pair;
+    * [[nearDupKeepersScaled]] runs connected components on the rep graph
+    * (cliques of exact dups collapse to one node) and only then fans out
+    * members. */
+  private def minHashRepPairs(df: DataFrame, idCol: String, textCol: String,
+                              threshold: Double, numHashes: Int,
+                              bands: Int): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     // Jaccard is a function of the token SET alone, so collapse exact-
@@ -267,24 +299,7 @@ object Dedup {
           col("n_a"), col("n_b"), threshold), 4)
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    // Expand verified rep pairs to all member cross pairs (same Jaccard —
-    // identical token sets), normalized to id_a < id_b.
-    val crossPairs = repPairs
-      .join(groups.select(col("rep").as("id_a"), col("members").as("members_a")), Seq("id_a"))
-      .join(groups.select(col("rep").as("id_b"), col("members").as("members_b")), Seq("id_b"))
-      .select(explode(col("members_a")).as("ma"), col("members_b"), col("jaccard"))
-      .select(col("ma"), explode(col("members_b")).as("mb"), col("jaccard"))
-      .select(least(col("ma"), col("mb")).as("id_a"),
-        greatest(col("ma"), col("mb")).as("id_b"), col("jaccard"))
-    // Within-group pairs: exact dups, J = 1.0 (>= any threshold <= 1).
-    val withinPairs = groups
-      .filter(size(col("members")) > 1)
-      .select(explode(col("members")).as("id_a"), col("members"))
-      .select(col("id_a"), explode(col("members")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", lit(1.0))
-    crossPairs.unionByName(withinPairs)
-      .orderBy(col("id_a"), col("id_b"))
+    (groups, repPairs)
   }
 
   // ---- near-dup clustering ----
@@ -380,10 +395,26 @@ object Dedup {
     * seed-pinned, so on a given corpus the output is deterministic (the
     * DuckDB oracle runs the exact quadratic CC and hash-matches). */
   def nearDupKeepersScaled(df: DataFrame, idCol: String, textCol: String,
-                           threshold: Double): DataFrame =
-    clusterKeepers(
-      df.select(col(idCol)),
-      nearDupMinHash(df, idCol, textCol, threshold))
+                           threshold: Double): DataFrame = {
+    val (groups, repPairs) = minHashRepPairs(df, idCol, textCol, threshold, 64, 16)
+    // Components over the REP graph only: a clique of m exact dups is one
+    // node here, so CC touches ~|distinct sets| edges instead of the m²
+    // member fan-out the pair query materializes. A group's rep is its min
+    // member id, so the component's min rep IS the component's min doc id
+    // — members inherit their rep's label unchanged.
+    val repKeepers = clusterKeepers(groups.select(col("rep")), repPairs)
+      .select(col("doc_id").as("rep"), col("keeper_id"))
+    val memberKeepers = groups
+      .select(col("rep"), explode(col("members")).as("doc_id"))
+      .join(repKeepers, Seq("rep"))
+      .select(col("doc_id"), col("keeper_id"))
+    // Docs with empty token sets never entered a group: singletons.
+    df.select(col(idCol).cast("long").as("doc_id"))
+      .join(memberKeepers, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("keeper_id"), col("doc_id")).as("keeper_id"))
+      .orderBy(col("doc_id"))
+  }
 
   // ---- SimHash ----
 

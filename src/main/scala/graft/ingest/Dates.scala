@@ -8,41 +8,67 @@ import org.apache.spark.sql.functions._
   *
   * Parity contract: parse the formats the reference WRITER can actually
   * emit (`crawl.py:88-100` — ISO-8601 from `<time datetime>`, meta-tag
-  * content, and common free-text forms), null on anything else; the
-  * caller filters nulls exactly like the reference's `continue`. Built on
-  * `try_to_timestamp` so ANSI mode never turns a bad date into a failed
-  * job (ST4 failure isolation).
+  * content, and common free-text forms) plus the wider shapes dateutil
+  * accepts from real pages (RFC-2822 `Tue, 01 Mar 2024 10:15:30 GMT`,
+  * month-name-with-time, `yyyy/mm/dd`, `dd Mon yyyy`), null on anything
+  * else; the caller filters nulls exactly like the reference's
+  * `continue`. Built on `try_to_timestamp` so ANSI mode never turns a bad
+  * date into a failed job (ST4 failure isolation).
+  *
+  * RFC-2822's leading weekday is stripped BEFORE the cascade (both
+  * engines, same regex): Spark's datetime patterns can format but not
+  * parse 'E', and the weekday is redundant with the date anyway —
+  * dateutil likewise ignores it. Offset-bearing forms normalize to the
+  * session zone (UTC, pinned in build.sbt), which DuckDB's `%z` mirrors.
   */
 object Dates {
 
   /** Pattern cascade, first match wins. Each Spark pattern has the DuckDB
     * `try_strptime` twin used by the oracle — keep the two lists in sync. */
   val SparkFormats: Seq[String] = Seq(
-    "yyyy-MM-dd'T'HH:mm:ssXXX",   // 2024-03-01T10:15:30+00:00 / Z
-    "yyyy-MM-dd'T'HH:mm:ss",      // 2024-03-01T10:15:30
-    "yyyy-MM-dd HH:mm:ss",        // 2024-03-01 10:15:30
-    "yyyy-MM-dd",                 // 2024-03-01
-    "MMMM d, yyyy",               // March 1, 2024
-    "MMM d, yyyy",                // Mar 1, 2024
-    "dd/MM/yyyy")                 // 01/03/2024
+    "yyyy-MM-dd'T'HH:mm:ssXXX",        // 2024-03-01T10:15:30+00:00 / Z
+    "yyyy-MM-dd'T'HH:mm:ss",           // 2024-03-01T10:15:30
+    "yyyy-MM-dd HH:mm:ss",             // 2024-03-01 10:15:30
+    "yyyy-MM-dd",                      // 2024-03-01
+    "dd MMM yyyy HH:mm:ss 'GMT'",      // (RFC-2822, weekday stripped) … GMT
+    "dd MMM yyyy HH:mm:ss xx",         // (RFC-2822) … +0200
+    "dd MMM yyyy HH:mm:ss",            // 01 Mar 2024 10:15:30
+    "dd MMM yyyy",                     // 15 Mar 2024
+    "MMMM d, yyyy h:mm a",             // March 1, 2024 10:30 AM
+    "MMMM d, yyyy",                    // March 1, 2024
+    "MMM d, yyyy",                     // Mar 1, 2024
+    "yyyy/MM/dd",                      // 2024/03/01
+    "dd/MM/yyyy")                      // 01/03/2024
 
   val DuckDbFormats: Seq[String] = Seq(
     "%Y-%m-%dT%H:%M:%S%z",
     "%Y-%m-%dT%H:%M:%S",
     "%Y-%m-%d %H:%M:%S",
     "%Y-%m-%d",
+    "%d %b %Y %H:%M:%S GMT",
+    "%d %b %Y %H:%M:%S %z",
+    "%d %b %Y %H:%M:%S",
+    "%d %b %Y",
+    "%B %-d, %Y %-I:%M %p",
     "%B %-d, %Y",
     "%b %-d, %Y",
+    "%Y/%m/%d",
     "%d/%m/%Y")
+
+  private val WeekdayPrefix = "^(Mon|Tue|Wed|Thu|Fri|Sat|Sun),\\s*"
 
   /** Null-safe lenient parse: first format in the cascade that accepts the
     * string; null when none do. */
-  def parsePublished(raw: Column): Column =
-    coalesce(SparkFormats.map(f => try_to_timestamp(trim(raw), lit(f))): _*)
+  def parsePublished(raw: Column): Column = {
+    val pre = regexp_replace(trim(raw), WeekdayPrefix, "")
+    coalesce(SparkFormats.map(f => try_to_timestamp(pre, lit(f))): _*)
+  }
 
   /** DuckDB expression mirroring [[parsePublished]] for oracle SQL. */
-  def duckDbParse(rawExpr: String): String =
+  def duckDbParse(rawExpr: String): String = {
+    val pre = s"regexp_replace(trim($rawExpr), '$WeekdayPrefix', '')"
     "COALESCE(" +
-      DuckDbFormats.map(f => s"try_strptime(trim($rawExpr), '$f')").mkString(", ") +
+      DuckDbFormats.map(f => s"try_strptime($pre, '$f')").mkString(", ") +
       ")"
+  }
 }

@@ -78,6 +78,29 @@ object Ingest {
   def run(listings: DataFrame, articlePages: DataFrame, existing: DataFrame): DataFrame =
     records(newCandidates(candidates(listings), existing), articlePages)
 
+  /** E1 with LIVE page enrichment through the [[Fetcher]] seam (S3,
+    * `crawl.py:77-79`): article pages are fetched per partition instead of
+    * joined from a pre-fetched table; everything around the fetch — the
+    * selector cascade, anti-join dedup, extraction — is the same plan as
+    * [[run]]. Candidates are materialized once so the fetch's side effects
+    * run exactly once per URL (the pages branch is the only consumer of
+    * the fetched HTML). Listings arrive the same way via
+    * [[fetchListings]]. */
+  def runFetched(listings: DataFrame, existing: DataFrame, fetcher: Fetcher): DataFrame = {
+    val cands = newCandidates(candidates(listings), existing).localCheckpoint(true)
+    // null html = failed fetch -> row skipped, like the reference's
+    // except/continue (crawl.py:116-124) and like a missing row in the
+    // table-join path (inner join).
+    records(cands, Fetcher.pagesFor(cands, "sources", fetcher)
+      .filter(col("html").isNotNull))
+  }
+
+  /** S2: seed URLs → listings(source, html), one pooled client per
+    * partition (`crawl.py:32-36`). */
+  def fetchListings(seeds: DataFrame, seedCol: String, fetcher: Fetcher): DataFrame =
+    Fetcher.pagesFor(seeds, seedCol, fetcher)
+      .withColumnRenamed("sources", "source")
+
   /** A7: per-source inserted-count summary (`crawl.py:127-133`). */
   def newCounts(ingested: DataFrame): DataFrame =
     ingested.groupBy(col("source")).agg(count(lit(1)).as("new_count"))

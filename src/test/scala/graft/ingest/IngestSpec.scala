@@ -84,4 +84,53 @@ class IngestSpec extends SparkSpec {
     assert(parsed(3).getTimestamp(0).toString.startsWith("2024-03-01"))
     assert(parsed(8).getTimestamp(0).toString.startsWith("2024-03-01")) // trimmed
   }
+
+  test("runFetched through the Fetcher seam matches the table-join path") {
+    FetcherProbe.opens.set(0)
+    val pageMap = Map(
+      "https://ex.com/a/1" ->
+        "<h1>Title One</h1><p>Body 1.</p><time datetime=\"2024-01-01\">x</time>",
+      "https://ex.com/a/2" ->
+        "<title>Title Two</title><p>Body 2a.</p><p>Body 2b.</p>")
+    val fetched = Ingest.runFetched(listings, empty, new FetcherProbe(pageMap))
+      .select("title", "sources", "content", "source", "published_at")
+      .orderBy("sources").collect().toSeq
+    val joined = Ingest.run(listings, pages, empty)
+      .select("title", "sources", "content", "source", "published_at")
+      .orderBy("sources").collect().toSeq
+    assert(fetched == joined)
+    // one client open per non-empty partition, not per URL
+    val parts = FetcherProbe.opens.get()
+    assert(parts >= 1 && parts <= 2, s"expected one open per partition, got $parts for 2 urls")
+  }
+
+  test("fetcher failures isolate per record (failed url skipped, no throw)") {
+    val f = Fetcher.fromMap(Map("https://ex.com/a/1" -> "<h1>T</h1><p>B</p>"))
+    val out = Ingest.runFetched(listings, empty, f)
+      .select("sources", "title").orderBy("sources").collect()
+    assert(out.length == 1) // failed fetch skipped, like reference continue
+    assert(out(0).getString(1) == "T")
+  }
+
+  test("fetchListings feeds the same pipeline (S2 seam)") {
+    val seeds = Seq("https://ex.com/list").toDF("url")
+    val l = Ingest.fetchListings(seeds, "url", Fetcher.fromMap(Map(
+      "https://ex.com/list" -> listingHtml)))
+    val c = Ingest.candidates(l).collect()
+    assert(c.map(_.getString(1)).toSeq ==
+      Seq("https://ex.com/a/1", "https://ex.com/a/2"))
+  }
+}
+
+/** Counts client opens — `fetch` runs once per partition, so the counter
+  * equals the number of (non-empty) partitions the URLs arrived in. */
+class FetcherProbe(pages: Map[String, String]) extends Fetcher {
+  override def fetch(urls: Iterator[String]): Iterator[(String, String)] = {
+    FetcherProbe.opens.incrementAndGet() // "open one client"
+    urls.map(u => (u, pages.getOrElse(u, null)))
+  }
+}
+
+object FetcherProbe {
+  val opens = new java.util.concurrent.atomic.AtomicInteger(0)
 }
