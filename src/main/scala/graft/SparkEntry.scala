@@ -79,6 +79,11 @@ object SparkEntry {
     "cosine_pairs" -> ((s, dir) => Similarity.cosinePairs(Tables.embeddings(s, dir), 0.4)),
     "embedding_dedup_keepers" -> ((s, dir) =>
       Similarity.embeddingDedupKeepers(Tables.embeddings(s, dir), 0.4)),
+    // LSH-candidate feed -> exact verify -> CC: the 100 TB embedding-dedup
+    // composition. Approximate pair recall by design (rows-only check;
+    // refinement vs the exact path pinned in SimilaritySpec).
+    "embedding_dedup_keepers_scaled" -> ((s, dir) =>
+      Similarity.embeddingDedupKeepersScaled(Tables.embeddings(s, dir), 0.4)),
     "knn_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.knnLsh(emb, emb.filter(col("vec_id") % 50 === 0), 5)

@@ -100,6 +100,62 @@ object Similarity {
       .withColumnRenamed("doc_id", "vec_id")
       .withColumnRenamed("keeper_id", "keeper_vec_id")
 
+  /** Embedding near-dup keepers via the LSH candidate feed
+    * (`embedding_dedup_keepers_scaled` query) — the corpus-scale
+    * composition: multi-table sign-bucket candidates (equi-join on
+    * (table, bucket), each pair surfaced once via first-matching-table) →
+    * exact cosine verify ≥ threshold → connected components.
+    *
+    * Same labeler, same verify arithmetic as [[embeddingDedupKeepers]];
+    * the only approximation is pair RECALL: a qualifying pair is found
+    * with prob 1 − (1 − p^bits)^tables, p = 1 − θ/π. At near-dup
+    * thresholds (cos ≥ 0.95, θ ≤ 18°, defaults 6×12) that is ≥ 0.9999;
+    * at looser thresholds raise `tables` or lower `bitsPerTable`. Missed
+    * pairs can only SPLIT a component, never merge two — pinned by the
+    * refinement spec. Rows-only driver check (approximate by design). */
+  def embeddingDedupKeepersScaled(emb: DataFrame, threshold: Double,
+                                  bitsPerTable: Int = 6, tables: Int = 12,
+                                  dim: Int = 64, idCol: String = "vec_id",
+                                  vecCol: String = "embedding"): DataFrame = {
+    val planes = hyperplanes(bitsPerTable * tables, dim)
+    // Narrow bucket table: id + per-table bucket array; vectors stay out
+    // of the candidate exchange (re-fetched by id for the verify, like the
+    // MinHash path) — at 100 TB the banded shuffle carries ~8B per table
+    // per row, never the embedding payload.
+    val base = graft.Par.widen(emb)
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("n", norm(col("v")))
+      .withColumn("buckets", org.apache.spark.sql.graft.VectorFunctions
+        .lshTableBuckets(col("v"), planes, bitsPerTable))
+      .localCheckpoint(true)
+    val banded = base
+      .select(col("id"), col("buckets"),
+        posexplode(col("buckets")).as(Seq("table", "bucket")))
+    val a = banded.select(col("table"), col("bucket"), col("id").as("id_a"),
+      col("buckets").as("buckets_a"))
+    val b = banded.select(col("table"), col("bucket"), col("id").as("id_b"),
+      col("buckets").as("buckets_b"))
+    // First-matching-table dedup (same trick as the MinHash band join):
+    // each colliding pair survives in exactly one table — no
+    // dropDuplicates exchange.
+    val candidates = a.join(b,
+      a("table") === b("table") && a("bucket") === b("bucket") &&
+        col("id_a") < col("id_b") &&
+        org.apache.spark.sql.graft.ArrayFunctions
+          .firstEqualIndex(col("buckets_a"), col("buckets_b")) === a("table"))
+      .select(col("id_a"), col("id_b"))
+      .repartition(col("id_a"), col("id_b"))
+    val pairs = candidates
+      .join(base.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+    graft.dedup.Dedup.clusterKeepers(emb.select(col(idCol)), pairs)
+      .withColumnRenamed("doc_id", "vec_id")
+      .withColumnRenamed("keeper_id", "keeper_vec_id")
+  }
+
   /** Deterministic pseudo-random hyperplanes (unit-free — only the sign of
     * the projection matters). Fixed seed: buckets are stable across runs. */
   def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {

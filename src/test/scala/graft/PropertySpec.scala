@@ -86,4 +86,27 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       else assert(viaWalk.getDouble(0) == viaSets.getDouble(0))
     }
   }
+
+  test("star-contraction CC equals min-label CC on random graphs (incl. chains)") {
+    val edgeGen = for {
+      n <- Gen.choose(8, 40)
+      // a chain fragment (min-label's worst case) plus random cross edges
+      chainKeep <- Gen.listOfN(n - 1, Gen.prob(0.7))
+      extra <- Gen.listOfN(n / 2, Gen.zip(Gen.choose(0, n - 1), Gen.choose(0, n - 1)))
+    } yield {
+      val chain = (0 until n - 1).zip(chainKeep).collect { case (i, true) => (i.toLong, i + 1L) }
+      val rand = extra.collect { case (a, b) if a != b => (math.min(a, b).toLong, math.max(a, b).toLong) }
+      (n, (chain ++ rand).distinct)
+    }
+    forAll(edgeGen, n = 5) { case (n, edges) =>
+      val ids = (0L until n.toLong).toDF("doc_id")
+      val pairs = if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+                  else edges.toDF("id_a", "id_b")
+      val minLabel = graft.dedup.Dedup.clusterKeepers(ids, pairs, maxIter = 64)
+        .as[(Long, Long)].collect().toSeq
+      val star = graft.dedup.Dedup.clusterKeepersStar(ids, pairs)
+        .as[(Long, Long)].collect().toSeq
+      assert(star == minLabel)
+    }
+  }
 }

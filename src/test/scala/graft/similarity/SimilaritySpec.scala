@@ -67,6 +67,29 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.15, s"IVF recall collapsed: $recall")
   }
 
+  test("scaled embedding keepers refine the exact keepers (no false merges)") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(spark, dir)
+    val exact = Similarity.embeddingDedupKeepers(emb, 0.4)
+      .as[(Long, Long)].collect().toMap
+    val scaled = Similarity.embeddingDedupKeepersScaled(emb, 0.4)
+      .as[(Long, Long)].collect().toMap
+    assert(scaled.keySet == exact.keySet)
+    // LSH can only MISS pairs -> scaled components subdivide exact ones:
+    // two ids the scaled path merges must be merged by the exact path too.
+    val byScaledKeeper = scaled.groupBy(_._2).values
+    byScaledKeeper.foreach { grp =>
+      val exactKeepers = grp.keys.map(exact).toSet
+      assert(exactKeepers.size == 1,
+        s"scaled path merged ids across exact components: $grp")
+    }
+    // and it should still find most of the structure on this fixture
+    val nontrivialScaled = scaled.count { case (id, k) => id != k }
+    val nontrivialExact = exact.count { case (id, k) => id != k }
+    assert(nontrivialScaled >= nontrivialExact / 2,
+      s"scaled path lost most cluster structure: $nontrivialScaled vs $nontrivialExact")
+  }
+
   test("lsh recall on fixture embeddings is reasonable") {
     val dir = "/root/testdata/sf0.001"
     val emb = graft.Tables.embeddings(spark, dir)
