@@ -59,6 +59,59 @@ object Ivf {
     model.clusterCenters.map(_.toArray.toIndexedSeq).toIndexedSeq
   }
 
+  /** Write the candidate corpus PARTITIONED BY its IVF list id — the
+    * storage layout that makes probe-time pruning a metadata operation:
+    * a probe touching `nprobe` of `nlist` lists reads only those
+    * directories, so the scan fraction is enforced by the filesystem
+    * listing, not by post-scan filtering. The per-row fields (cand_id,
+    * cv as array<double>, cn) are exactly what [[knnIvfStored]] needs —
+    * no re-normalization at read time. */
+  def writeListPartitioned(candidates: DataFrame,
+                           centers: IndexedSeq[IndexedSeq[Double]],
+                           path: String,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): Unit =
+    graft.Par.widen(candidates)
+      .select(col(idCol).as("cand_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+      .withColumn("list",
+        element_at(org.apache.spark.sql.graft.VectorFunctions
+          .nearestCentroids(col("cv"), centers, 1), 1))
+      .write.mode("overwrite").partitionBy("list").parquet(path)
+
+  /** kNN over a [[writeListPartitioned]] store. The probes' nprobe list
+    * ids are collected (probes are small by contract — they broadcast)
+    * and pushed as an `IN` partition filter, so only the needed list
+    * directories are scanned — PlanQualitySpec pins the partition-filter
+    * shape. Same output contract as [[knnIvf]]. */
+  def knnIvfStored(spark: org.apache.spark.sql.SparkSession, path: String,
+                   centers: IndexedSeq[IndexedSeq[Double]],
+                   probes: DataFrame, k: Int, nprobe: Int = 4,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def nearest(v: org.apache.spark.sql.Column, n: Int) =
+      org.apache.spark.sql.graft.VectorFunctions.nearestCentroids(v, centers, n)
+    val prob = probes
+      .select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("pv"))
+      .withColumn("pn", norm(col("pv")))
+      .select(col("probe_id"), col("pv"), col("pn"),
+        explode(nearest(col("pv"), nprobe)).as("list"))
+      .localCheckpoint(true)
+    val neededLists = prob.select(col("list")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val cand = spark.read.parquet(path)
+      .filter(col("list").isin(neededLists.map(Integer.valueOf): _*))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    cand.join(broadcast(prob), Seq("list"))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("cand_id"),
+        round(dot(col("pv"), col("cv")) / (col("pn") * col("cn")), 6).as("cosine"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("rk"), col("cand_id"), col("cosine"))
+      .orderBy(col("probe_id"), col("rk"))
+  }
+
   /** IVF approximate kNN. Returns (probe_id, rk, cand_id, cosine) like
     * the brute-force and LSH variants. */
   def knnIvf(candidates: DataFrame, probes: DataFrame, k: Int,

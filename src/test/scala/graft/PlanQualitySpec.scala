@@ -76,4 +76,27 @@ class PlanQualitySpec extends SparkSpec {
     val hashAggs = plan.linesIterator.count(_.contains("HashAggregate"))
     assert(hashAggs >= 2, s"expected partial+final HashAggregate:\n$plan")
   }
+
+  test("minhash candidate join dedups via first-match band, not an exchange") {
+    // The band self-join must carry the first-equal-band predicate in its
+    // condition (each pair emitted exactly once) — reintroducing a
+    // dropDuplicates would resurrect the multi-10M-row dedup exchange.
+    val plan = planOf(SparkEntry.queries("dedup_near_minhash")(spark, dir))
+    assert(plan.contains("graft_first_equal_index"), plan)
+  }
+
+  test("IVF assigns lists with the argmin expression, no crossJoin+window") {
+    val plan = planOf(SparkEntry.queries("knn_ivf")(spark, dir))
+    assert(plan.contains("graft_nearest_centroids"), plan)
+    assert(!plan.contains("CartesianProduct"), s"nlist-times row blow-up is back:\n$plan")
+    // exactly one Window (the per-probe rank), not one per centroid table
+    assert(plan.linesIterator.count(_.startsWith("Window")) <= 1
+      || plan.linesIterator.count(_.contains(") Window")) <= 1, plan)
+  }
+
+  test("jaccard block join broadcasts the build side (no key-skewed SMJ)") {
+    val plan = planOf(SparkEntry.queries("jaccard_pairs")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"block-key SMJ collapses parallelism:\n$plan")
+  }
 }

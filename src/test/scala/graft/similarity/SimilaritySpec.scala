@@ -90,6 +90,26 @@ class SimilaritySpec extends SparkSpec {
       s"scaled path lost most cluster structure: $nontrivialScaled vs $nontrivialExact")
   }
 
+  test("list-partitioned IVF store prunes partitions and matches in-memory IVF") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(spark, dir)
+    val centers = Ivf.fitCentroids(emb, nlist = 8)
+    val store = java.nio.file.Files.createTempDirectory("ivf_store").toString
+    Ivf.writeListPartitioned(emb, centers, store)
+    val probes = emb.filter($"vec_id".isin(0, 250))
+    val stored = Ivf.knnIvfStored(spark, store, centers, probes, 5, nprobe = 2)
+    // pruning: the scan carries a partition filter on list and reads
+    // fewer lists than exist
+    val scanPlan = stored.queryExecution.executedPlan.toString
+    assert(scanPlan.contains("PartitionFilters"), "no partition filter on the store scan")
+    val inMem = Ivf.knnIvf(emb, probes, 5, nlist = 8, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val fromStore = stored
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(fromStore == inMem)
+    assert(fromStore.nonEmpty)
+  }
+
   test("lsh recall on fixture embeddings is reasonable") {
     val dir = "/root/testdata/sf0.001"
     val emb = graft.Tables.embeddings(spark, dir)
