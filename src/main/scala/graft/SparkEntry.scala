@@ -49,6 +49,10 @@ object SparkEntry {
     "set_ops" -> ((s, dir) => Relational.setOps(s, dir)),
     "daily_order_deltas" -> ((s, dir) => Relational.dailyOrderDeltas(s, dir)),
     "pricing_rollup" -> ((s, dir) => Relational.pricingRollup(s, dir)),
+    // Skew mitigation ops, oracle-proven value-identical to their direct
+    // forms (the salt is an internal spreading detail).
+    "salted_group_count" -> ((s, dir) => Relational.saltedGroupCount(s, dir)),
+    "salted_join_agg" -> ((s, dir) => Relational.saltedJoinAgg(s, dir)),
     // ---- [EXT] text analysis ----
     "text_stats" -> ((s, dir) => TextAnalysis.stats(Tables.documents(s, dir))),
     "lang_distribution" -> ((s, dir) => TextAnalysis.langDistribution(Tables.documents(s, dir))),
@@ -312,6 +316,13 @@ object SparkEntry {
         |SELECT d, n, LAG(n) OVER (ORDER BY d) AS prev_n,
         |       n - COALESCE(LAG(n) OVER (ORDER BY d), 0) AS delta
         |FROM d ORDER BY d""".stripMargin,
+    "salted_group_count" ->
+      """SELECT l_returnflag AS key, COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY key""".stripMargin,
+    "salted_join_agg" ->
+      """SELECT n_name, COUNT(*) AS n_suppliers
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY n_name""".stripMargin,
     "pricing_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
         |       COALESCE(l_linestatus, 'ALL') AS status,

@@ -130,4 +130,26 @@ object Relational {
         coalesce(col("l_linestatus"), lit("ALL")).as("status"),
         col("n_rows"), col("sum_price"))
       .orderBy(col("flag"), col("status"))
+
+  /** Skew-safe two-phase count over the return-flag key
+    * (`salted_group_count` query) — value-identical to a direct
+    * groupBy-count for any distribution; the oracle IS the direct
+    * GROUP BY, proving the equivalence. */
+  def saltedGroupCount(spark: SparkSession, dir: String): DataFrame =
+    Skew.saltedCount(Tables.lineitem(spark, dir), col("l_returnflag"))
+      .orderBy(col("key"))
+
+  /** Salted replicate-join of supplier against the small nation dim
+    * (`salted_join_agg` query), aggregated per nation — value-identical
+    * to the plain equi-join the oracle runs. */
+  def saltedJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val supp = Tables.supplier(spark, dir)
+      .select(col("s_nationkey").as("nationkey"), col("s_suppkey"))
+    val nat = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("nationkey"), col("n_name"))
+    Skew.saltedJoin(supp, nat, "nationkey")
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"))
+      .orderBy(col("n_name"))
+  }
 }
