@@ -238,54 +238,82 @@ object Dedup {
             slice(col("sig"), lit(bd * r + 1), lit(r)), _.cast("string"))))): _*)
           .as("buckets"))
       .localCheckpoint(true)
-    // One row per (doc, band), carrying (id, n, all-band bucket array,
-    // band, bucket) — NO document payload: at 100 TB the bucket exchange
-    // must not carry token arrays (a dup cluster of m docs would push
-    // m·bands payload copies through the shuffle). The bucket ARRAY
-    // (bands × 8 bytes) rides along to power first-match pair dedup below.
+    // One row per (doc, band): (id, n, all-band bucket array, band,
+    // bucket) — NO document payload: at 100 TB the bucket exchange must
+    // not carry token arrays (a dup cluster of m docs would push m·bands
+    // payload copies through the shuffle). The bucket ARRAY (bands × 8
+    // bytes) rides along to power first-match pair dedup below.
     val banded = bucketArr
       .select(col("id"), col("n"), col("buckets"),
         posexplode(col("buckets")).as(Seq("band", "bucket")))
-      .localCheckpoint(true)
-    // Drop singleton buckets BEFORE the self-join: a bucket with one
-    // member can't produce a pair, and on realistic corpora the long tail
-    // of singletons is most of the banded rows — pruning them keeps the
-    // tail out of the join exchange entirely. Map-side partial counts make
-    // the (band, bucket) aggregate cheap; the semi-join back is on the
-    // same key the join shuffles on anyway.
-    val hotBuckets = banded.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("bkt_n"))
-      .filter(col("bkt_n") > 1)
-      .select(col("band"), col("bucket"))
-    val hotBanded = banded.join(hotBuckets, Seq("band", "bucket"))
-    val a = hotBanded.select(col("band"), col("bucket"), col("id").as("id_a"),
-      col("n").as("n_a"), col("buckets").as("buckets_a"))
-    val b = hotBanded.select(col("band"), col("bucket"), col("id").as("id_b"),
-      col("n").as("n_b"), col("buckets").as("buckets_b"))
-    // Size pruning runs inside the join condition (J >= t forces
-    // min(|A|,|B|) >= t'·max(|A|,|B|), t' = t minus the round(…,4)
-    // half-step), so pruned pairs never reach the verify exchange.
-    //
-    // First-match-band dedup, LAST in the condition: a pair colliding in k
-    // bands would otherwise surface k times and need a corpus-scale
-    // dropDuplicates; keeping it only where the FIRST equal bucket
-    // position is this row's band emits every pair exactly once, so the
-    // former multi-10⁷-row dedup exchange disappears entirely. The check
-    // is a ≤bands long-compare codegen loop
-    // ([[org.apache.spark.sql.graft.FirstEqualIndex]]).
+    // Candidate pairs are GENERATED per (band, bucket) group, not
+    // self-joined: the members of each bucket are collected once (one
+    // groupBy of the narrow banded rows — singleton buckets drop here for
+    // free) and a typed flatMap runs the pair loop in plain JVM code.
+    // The declarative band equi-self-join computed the same ~Σm² pair
+    // candidates but paid a hash-probe + row-copy + condition-eval per
+    // MATCH ITERATION (~10⁸ on dense corpora — measured as the dominant
+    // query cost); here an iteration is a few array reads. This is the
+    // measured last-resort imperative exception the design doc allows —
+    // the surrounding plan (groupBy, verify join, expansion) stays
+    // declarative. Per-pair semantics are IDENTICAL to the join form:
+    //  - sorted by set size, a two-pointer window applies the size prune
+    //    (J ≥ t forces min(|A|,|B|) ≥ t'·max — same double arithmetic);
+    //  - a pair is emitted only in its FIRST matching band (no global
+    //    dropDuplicates needed), ids normalized to id_a < id_b.
+    // The mega-bucket of a dense corpus is one group = one task; its pair
+    // loop is tens of ms, and the emitted survivors rebalance right after.
     val pruneT = threshold - 0.5e-4
-    val candidates = a.join(b,
-      a("band") === b("band") && a("bucket") === b("bucket") &&
-        col("id_a") < col("id_b") &&
-        least(col("n_a"), col("n_b")).cast("double") >=
-          greatest(col("n_a"), col("n_b")).cast("double") * pruneT &&
-        org.apache.spark.sql.graft.ArrayFunctions
-          .firstEqualIndex(col("buckets_a"), col("buckets_b")) === a("band"))
-      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
-      // Rebalance before the verify walk: candidate output inherits the
-      // band-join's partitioning, where one mega-bucket's pairs land
-      // together — without this exchange (1/16 the size of the one
-      // dropDuplicates needed) the verify stage is straggler-bound.
+    val spark0 = df.sparkSession
+    import spark0.implicits._
+    val candidates = banded
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(struct(col("id"), col("n"), col("buckets"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(col("band"), col("ms"))
+      .as[(Int, Seq[(Long, Int, Seq[Long])])]
+      .flatMap { case (band, ms) =>
+        val m = ms.length
+        val ids = new Array[Long](m)
+        val ns = new Array[Int](m)
+        val bks = new Array[Array[Long]](m)
+        val order = ms.toArray.sortBy(_._2)
+        var i = 0
+        while (i < m) {
+          val t = order(i)
+          ids(i) = t._1; ns(i) = t._2; bks(i) = t._3.toArray
+          i += 1
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Int)]
+        var lo = 0
+        var j = 1
+        while (j < m) {
+          val nj = ns(j)
+          while (lo < j && ns(lo).toDouble < nj.toDouble * pruneT) lo += 1
+          var i2 = lo
+          while (i2 < j) {
+            // first equal bucket position decides the owning band
+            val ba = bks(i2); val bb = bks(j)
+            var k = 0
+            var fe = -1
+            val kn = math.min(ba.length, bb.length)
+            while (fe < 0 && k < kn) { if (ba(k) == bb(k)) fe = k; k += 1 }
+            if (fe == band && ids(i2) != ids(j)) {
+              val (a, b) = if (ids(i2) < ids(j)) (ids(i2), ids(j)) else (ids(j), ids(i2))
+              val (na, nb) = if (ids(i2) < ids(j)) (ns(i2), ns(j)) else (ns(j), ns(i2))
+              out += ((a, b, na, nb))
+            }
+            i2 += 1
+          }
+          j += 1
+        }
+        out
+      }
+      .toDF("id_a", "id_b", "n_a", "n_b")
+      // Rebalance before the verify walk: generated pairs inherit the
+      // bucket grouping, where one mega-bucket's pairs land together —
+      // without this (small) exchange the verify stage is
+      // straggler-bound.
       .repartition(col("id_a"), col("id_b"))
     // Verify on distinct candidate pairs only: re-fetch token sets by id
     // (docs is a slim (id, toks) projection — Spark broadcasts it while it

@@ -77,12 +77,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(hashAggs >= 2, s"expected partial+final HashAggregate:\n$plan")
   }
 
-  test("minhash candidate join dedups via first-match band, not an exchange") {
-    // The band self-join must carry the first-equal-band predicate in its
-    // condition (each pair emitted exactly once) — reintroducing a
-    // dropDuplicates would resurrect the multi-10M-row dedup exchange.
+  test("minhash candidates come from the per-bucket generator, not a self-join") {
+    // Candidate pairs are generated inside a typed flatMap over collected
+    // (band, bucket) groups (first-match-band dedup in plain JVM code) —
+    // the plan must show the object-generator shape and neither a
+    // band-bucket self-join's 10⁸ match iterations nor a global pair
+    // dropDuplicates exchange.
     val plan = planOf(SparkEntry.queries("dedup_near_minhash")(spark, dir))
-    assert(plan.contains("graft_first_equal_index"), plan)
+    assert(plan.contains("SerializeFromObject"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
   }
 
   test("IVF assigns lists with the argmin expression, no crossJoin+window") {
