@@ -49,6 +49,8 @@ object SparkEntry {
     "set_ops" -> ((s, dir) => Relational.setOps(s, dir)),
     "daily_order_deltas" -> ((s, dir) => Relational.dailyOrderDeltas(s, dir)),
     "pricing_rollup" -> ((s, dir) => Relational.pricingRollup(s, dir)),
+    "pricing_cube" -> ((s, dir) => Relational.pricingCube(s, dir)),
+    "order_percentiles" -> ((s, dir) => Relational.orderPercentiles(s, dir)),
     // Skew mitigation ops, oracle-proven value-identical to their direct
     // forms (the salt is an internal spreading detail).
     "salted_group_count" -> ((s, dir) => Relational.saltedGroupCount(s, dir)),
@@ -316,6 +318,21 @@ object SparkEntry {
         |SELECT d, n, LAG(n) OVER (ORDER BY d) AS prev_n,
         |       n - COALESCE(LAG(n) OVER (ORDER BY d), 0) AS delta
         |FROM d ORDER BY d""".stripMargin,
+    "pricing_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+        |       COALESCE(l_linestatus, 'ALL') AS status,
+        |       COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+    "order_percentiles" ->
+      """SELECT o_orderpriority,
+        |       round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |       round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+        |       round(quantile_cont(o_totalprice, 0.99), 2) AS p99,
+        |       COUNT(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     "salted_group_count" ->
       """SELECT l_returnflag AS key, COUNT(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY key""".stripMargin,

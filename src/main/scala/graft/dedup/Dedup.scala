@@ -193,6 +193,28 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Per-document signature/bucket table (id, toks, n, buckets) — the
+    * unit the streaming near-dup index persists and batches LSH against
+    * ([[graft.streaming.StreamingIngest.nearDupDedupViaSinkIndex]]).
+    * Checkpointed so the signature fold runs once per doc (the 16 bucket
+    * expressions would otherwise each inline it via CollapseProject). */
+  def signatureTable(df: DataFrame, idCol: String, textCol: String,
+                     numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    graft.Par.widen(df)
+      .select(col(idCol).cast("long").as("doc_id"), tokenSet(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("n", size(col("toks")))
+      .withColumn("sig", minHashSignature(col("toks"), numHashes))
+      .localCheckpoint(true)
+      .select(col("doc_id"), col("toks"), col("n"),
+        array((0 until bands).map(bd =>
+          xxhash64(lit(bd), concat_ws(",", transform(
+            slice(col("sig"), lit(bd * r + 1), lit(r)), _.cast("string"))))): _*)
+          .as("buckets"))
+  }
+
   /** Shared MinHash/LSH core: exact-dup rep-grouping, banding, candidate
     * join, exact verify — everything up to (but not including) member
     * expansion. Returns (groups(toks, rep, members) — checkpointed —,

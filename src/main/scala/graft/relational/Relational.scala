@@ -152,4 +152,35 @@ object Relational {
       .agg(count(lit(1)).as("n_suppliers"))
       .orderBy(col("n_name"))
   }
+
+  /** CUBE over (returnflag, linestatus) (`pricing_cube` query): all four
+    * grouping-set combinations in one pass — same shuffle as the rollup,
+    * wider grouping-id expansion. */
+  def pricingCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        Money.sumMoney(col("l_extendedprice")).as("sum_price"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n_rows"), col("sum_price"))
+      .orderBy(col("flag"), col("status"))
+
+  /** Exact interpolated percentiles of order totals per priority
+    * (`order_percentiles` query). `percentile` (exact, linear
+    * interpolation) — not `percentile_approx` — so DuckDB's
+    * `quantile_cont` computes the identical value; both sides round to
+    * cents for a stable hash. At 100 TB use `percentile_approx` and a
+    * rows-only check instead — the exact form is the oracle-able
+    * baseline, same pairing as the dedup suite. */
+  def orderPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 2).as("p99"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
 }

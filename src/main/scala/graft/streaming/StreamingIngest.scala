@@ -59,6 +59,84 @@ object StreamingIngest {
     * sink (in production: a compacted key-index table maintained beside
     * it; here: the sink's `sources` column directly). Restarts need no
     * state migration — the checkpoint only tracks source progress. */
+  /** Streaming NEAR-dup dedup — the LLM-pipeline composition as a stream
+    * (ST2 [EXT]): each micro-batch
+    *
+    *  1. resolves near-dups WITHIN the batch (MinHash → verify → CC,
+    *     [[graft.dedup.Dedup.nearDupKeepersScaled]] — keepers survive);
+    *  2. LSH-probes the batch survivors against the PERSISTED signature
+    *     index ((band, bucket) equi-join, narrow ids only), exact-Jaccard
+    *     verifies candidates, and drops batch docs that near-match any
+    *     already-ingested doc;
+    *  3. appends novel docs to the sink and their signatures to the index.
+    *
+    * Like [[dedupViaSinkIndex]], the streaming engine holds NO state —
+    * the signature index beside the sink is the state, so it survives
+    * restarts, is compactable offline, and its size is one row per UNIQUE
+    * ingested doc (near-dups never enter). At 100 TB the index is a
+    * bucketed table on (band, bucket); here parquet + the same joins. */
+  def nearDupDedupViaSinkIndex(docs: DataFrame, sinkPath: String,
+                               indexPath: String, checkpoint: String,
+                               threshold: Double = 0.9,
+                               idCol: String = "doc_id",
+                               textCol: String = "text"): DataStreamWriter[Row] = {
+    require(docs.isStreaming)
+    import org.apache.spark.sql.functions._
+    import graft.dedup.Dedup
+    val spark = docs.sparkSession
+    docs.writeStream
+      .foreachBatch { (batch0: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val batch = batch0.localCheckpoint(true)
+        if (batch.count() > 0) {
+          // 1. within-batch near-dup: keep component keepers only
+          val keepers = Dedup.nearDupKeepersScaled(batch, idCol, textCol, threshold)
+            .filter(col("doc_id") === col("keeper_id"))
+            .select(col("doc_id").as("_keep_id"))
+          val survivors = batch
+            .join(keepers, batch(idCol).cast("long") === col("_keep_id"))
+            .drop("_keep_id")
+            .localCheckpoint(true)
+          // 2. cross-batch probe against the signature index
+          val sigT = Dedup.signatureTable(survivors, idCol, textCol)
+            .localCheckpoint(true)
+          val index =
+            try spark.read.parquet(indexPath)
+            catch { case _: Exception => null } // first batch: no index yet
+          val dupIds =
+            if (index == null) spark.emptyDataFrame.select(lit(0L).as("dup_id")).limit(0)
+            else {
+              val bb = sigT.select(col("doc_id").as("bid"),
+                posexplode(col("buckets")).as(Seq("band", "bucket")))
+              val ib = index.select(col("doc_id").as("iid"),
+                posexplode(col("buckets")).as(Seq("band", "bucket")))
+              // narrow candidate ids through the bucket join; token sets
+              // re-fetched by id for the verify (payload-free exchange,
+              // same discipline as the batch path)
+              val cand = bb.join(ib, Seq("band", "bucket"))
+                .select(col("bid"), col("iid")).dropDuplicates("bid", "iid")
+              cand
+                .join(sigT.select(col("doc_id").as("bid"), col("toks").as("btoks"),
+                  col("n").as("bn")), Seq("bid"))
+                .join(index.select(col("doc_id").as("iid"), col("toks").as("itoks"),
+                  col("n").as("in_")), Seq("iid"))
+                .filter(round(Dedup.jaccardSortedBounded(col("btoks"), col("itoks"),
+                  col("bn"), col("in_"), threshold), 4) >= threshold)
+                .select(col("bid").as("dup_id")).distinct()
+            }
+          // 3. append novel docs + their signatures
+          val novel = survivors
+            .join(dupIds, survivors(idCol).cast("long") === col("dup_id"), "left_anti")
+            .localCheckpoint(true)
+          novel.write.mode("append").parquet(sinkPath)
+          sigT.join(novel.select(col(idCol).cast("long").as("doc_id")), Seq("doc_id"))
+            .write.mode("append").parquet(indexPath)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+  }
+
   def dedupViaSinkIndex(candidates: DataFrame, sinkPath: String,
                         checkpoint: String): DataStreamWriter[Row] = {
     require(candidates.isStreaming)

@@ -100,6 +100,35 @@ class StreamingSpec extends SparkSpec {
     assert(keys.toSeq == Seq("https://ex.com/a/1", "https://ex.com/a/2", "https://ex.com/a/3"))
   }
 
+  test("streaming near-dup dedup: within-batch and cross-batch via signature index") {
+    val root = java.nio.file.Files.createTempDirectory("graft_neardup").toString
+    val (inDir, sink, idx, ckpt) = (s"$root/in", s"$root/sink", s"$root/idx", s"$root/ckpt")
+    def drop(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+    def runOnce(): Unit = {
+      val docs = spark.readStream.schema("doc_id LONG, text STRING").parquet(inDir)
+      val q = StreamingIngest.nearDupDedupViaSinkIndex(docs, sink, idx, ckpt, 0.9).start()
+      q.awaitTermination()
+    }
+    val base = "the quick brown fox jumps over the lazy dog and keeps on running far"
+    // batch 1: doc 1 and its near-dup 2 (one-token drift), unrelated 3
+    drop(Seq(
+      (1L, base),
+      (2L, base + " x"),                     // J = 14/15 >= 0.9 vs doc 1
+      (3L, "completely different content entirely unrelated to anything else")))
+    runOnce()
+    // batch 2: near-dup of doc 1 again (4), and a novel doc (5)
+    drop(Seq(
+      (4L, base + " y"),                     // near-dup of ingested doc 1
+      (5L, "yet another body of text with no overlap worth speaking about")))
+    runOnce()
+    val kept = spark.read.parquet(sink).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L, 5L), s"kept=$kept")
+    // index holds exactly the unique docs' signatures
+    val idxIds = spark.read.parquet(idx).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(idxIds == Seq(1L, 3L, 5L), s"index=$idxIds")
+  }
+
   test("watermark would CHANGE semantics: late rows drop in append mode (ST3)") {
     // Parity keeps windows unwatermarked (complete/update mode) because the
     // reference accepts arbitrarily late publish dates. This pins the
