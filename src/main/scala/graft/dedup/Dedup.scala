@@ -577,20 +577,58 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "4-chunk banding only guarantees recall for maxDist <= 3")
+    val spark0 = df.sparkSession
+    import spark0.implicits._
     val docs = graft.Par.widen(df)
-      .select(col(idCol).as("id"), tokenHashes(col(textCol)).as("hs"))
+      .select(col(idCol).cast("long").as("id"), tokenHashes(col(textCol)).as("hs"))
       .select(col("id"), simhash64FromHashes("hs").as("sh"))
     val chunked = docs.select(col("id"), col("sh"),
         explode(array((0 until 4).map(lit(_)): _*)).as("chunk"))
       .withColumn("ck", expr("shiftright(sh, chunk * 16) & 65535"))
-    val a = chunked.select(col("chunk"), col("ck"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = chunked.select(col("chunk"), col("ck"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("chunk", "ck"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)").cast("long"))
-      .filter(col("hamming") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+    // Same generator shape as the MinHash path: collect each (chunk, ck)
+    // bucket once (singletons drop in the groupBy) and run the pair loop
+    // in plain JVM code — the signature rides along (8 bytes), so the
+    // Hamming verify happens inside the loop and only final pairs leave.
+    // A pair surfaces only in its FIRST shared chunk, so output is
+    // globally duplicate-free with no dropDuplicates exchange.
+    chunked
+      .groupBy(col("chunk"), col("ck"))
+      .agg(collect_list(struct(col("id"), col("sh"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(col("chunk"), col("ms"))
+      .as[(Int, Seq[(Long, Long)])]
+      .flatMap { case (chunk, ms) =>
+        val m = ms.length
+        val arr = ms.toArray
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        var i = 0
+        while (i < m) {
+          var j = i + 1
+          while (j < m) {
+            val (ida, sha) = arr(i)
+            val (idb, shb) = arr(j)
+            if (ida != idb) {
+              val x = sha ^ shb
+              // first shared 16-bit chunk owns the pair
+              var fe = -1
+              var k = 0
+              while (fe < 0 && k < 4) {
+                if (((x >>> (k * 16)) & 0xFFFFL) == 0L) fe = k
+                k += 1
+              }
+              val hamming = java.lang.Long.bitCount(x)
+              if (fe == chunk && hamming <= maxDist) {
+                if (ida < idb) out += ((ida, idb, hamming.toLong))
+                else out += ((idb, ida, hamming.toLong))
+              }
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out
+      }
+      .toDF("id_a", "id_b", "hamming")
       .orderBy(col("id_a"), col("id_b"))
   }
 }

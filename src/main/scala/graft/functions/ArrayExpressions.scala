@@ -288,6 +288,59 @@ case class FirstEqualIndex(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `\S+` tokenization as a byte-level scan — value-identical to
+  * `regexp_extract_all(text, '\\S+', 0)`:
+  *
+  * Java's default `\s` is exactly the five ASCII bytes
+  * { space, \t, \n, \x0B, \f, \r } (no UNICODE_CHARACTER_CLASS), and in
+  * UTF-8 every byte of a multi-byte code point is ≥ 0x80, so splitting on
+  * those byte values reproduces the regex for EVERY input — pinned
+  * against the regexp form by TokenizeParitySpec and by every
+  * token-based oracle query. The regex engine cost (NFA state machine +
+  * per-token Matcher allocations) was a measurable slice of the dedup
+  * tokenize stages; this is one linear pass sharing the string's byte
+  * array. Generated code calls the static helper, so the surrounding
+  * stage keeps whole-stage codegen.
+  */
+case class SplitWhitespace(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_split_ws"
+
+  override def nullSafeEval(v: Any): Any =
+    SplitWhitespace.split(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = org.apache.spark.sql.graft.SplitWhitespace.split($v);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SplitWhitespace {
+  private def isWs(b: Byte): Boolean =
+    b == 0x20 || b == 0x09 || b == 0x0A || b == 0x0B || b == 0x0C || b == 0x0D
+
+  /** One pass over the UTF-8 bytes; tokens share the backing array. */
+  def split(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val out = new scala.collection.mutable.ArrayBuffer[AnyRef](8)
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      val start = i
+      while (i < n && !isWs(bytes(i))) i += 1
+      if (i > start) out += UTF8String.fromBytes(bytes, start, i - start)
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
 object ArrayFunctions {
 
   /** Codegen'd |A ∩ B| for sorted, distinct string arrays. */
@@ -305,6 +358,10 @@ object ArrayFunctions {
     ExpressionUtils.column(SortedIntersectSizeBounded(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b),
       ExpressionUtils.expression(minInter)))
+
+  /** Byte-level `\S+` tokenizer, regex-equivalent; see [[SplitWhitespace]]. */
+  def splitWhitespace(text: Column): Column =
+    ExpressionUtils.column(SplitWhitespace(ExpressionUtils.expression(text)))
 
   /** Codegen'd first-equal-position of two long arrays; see [[FirstEqualIndex]]. */
   def firstEqualIndex(a: Column, b: Column): Column =

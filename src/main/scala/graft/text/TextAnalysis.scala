@@ -17,7 +17,15 @@ object TextAnalysis {
   /** Whitespace tokens via `regexp_extract_all('\S+')` — unlike `split`,
     * never emits empty tokens on leading/trailing/repeated whitespace, and
     * the same call exists in DuckDB with identical semantics. */
+  /** `\S+` tokens — the native byte-scan expression, value-identical to
+    * `regexp_extract_all(text, "\\S+", 0)` (the DuckDB oracles keep the
+    * regex form; TokenizeParitySpec pins the equivalence incl. unicode
+    * and control-char edges). */
   def tokens(text: Column): Column =
+    org.apache.spark.sql.graft.ArrayFunctions.splitWhitespace(text)
+
+  /** The regex form, kept as the parity cross-check. */
+  def tokensRegex(text: Column): Column =
     regexp_extract_all(text, lit("\\S+"), lit(0))
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
