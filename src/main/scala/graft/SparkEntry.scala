@@ -71,6 +71,10 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", "source", 3, 0.8)),
     "dedup_keepers" -> ((s, dir) =>
       Dedup.nearDupKeepers(Tables.documents(s, dir), "doc_id", "text", "source", 0.9)),
+    // End-to-end corpus cleaning: quality floor -> language gate ->
+    // near-dup keepers. One oracle pins the whole composition.
+    "corpus_clean" -> ((s, dir) =>
+      graft.pipeline.CorpusClean(Tables.documents(s, dir))),
     // The 100 TB composition end-to-end: MinHash banding -> exact verify
     // -> connected components, corpus-wide (no blocking key). The oracle
     // runs the exact quadratic CC: LSH misses a J>=0.9 pair with prob
@@ -277,6 +281,34 @@ object SparkEntry {
         |  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id)
         |SELECT id AS doc_id, MIN(label) AS keeper_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "corpus_clean" -> {
+      val q = graft.text.TextAnalysis.sqlQuality("text")
+      val l = graft.text.TextAnalysis.sqlLangId("text")
+      s"""WITH RECURSIVE filtered AS (
+         |  SELECT doc_id, source, text FROM documents
+         |  WHERE $q >= 0.5 AND $l = 'en'),
+         |t AS (
+         |  SELECT doc_id, source,
+         |         list_distinct(regexp_extract_all(lower(text), '\\S+')) AS toks
+         |  FROM filtered),
+         |jp AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |      round(len(list_filter(a.toks, x -> list_contains(b.toks, x)))::DOUBLE /
+         |            nullif(len(list_distinct(a.toks || b.toks)), 0)::DOUBLE, 4) AS jaccard
+         |    FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id)
+         |  WHERE jaccard >= 0.9),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+         |          UNION ALL SELECT id_b, id_a FROM jp),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS label FROM filtered
+         |  UNION
+         |  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id),
+         |keepers AS (SELECT id, MIN(label) AS keeper_id FROM reach GROUP BY id)
+         |SELECT f.doc_id, f.source, $q AS quality
+         |FROM filtered f JOIN keepers k ON f.doc_id = k.id AND k.keeper_id = f.doc_id
+         |ORDER BY f.doc_id""".stripMargin
+    },
     "dedup_keepers_scaled" ->
       """WITH RECURSIVE t AS (
         |  SELECT doc_id,

@@ -1,0 +1,49 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+
+/** The end-to-end training-corpus cleaning composition
+  * (`corpus_clean` query) — what an LLM-data user actually runs:
+  *
+  * {{{ documents → quality floor → language gate → near-dup keepers → clean corpus }}}
+  *
+  * Each stage is an operator the library already oracle-checks in
+  * isolation; this query pins the COMPOSITION end-to-end against one
+  * DuckDB recursive-CTE oracle (filters inside the CTE, CC over the
+  * filtered pair graph), so stage-ordering regressions (e.g. deduping
+  * before filtering, which changes which doc becomes a component's
+  * keeper) hash-mismatch immediately.
+  *
+  * Order matters and is part of the contract: filter FIRST, then dedup —
+  * a near-dup cluster whose min-id member fails the quality gate must
+  * elect a new keeper among the survivors, exactly what running CC on the
+  * filtered graph yields. At 100 TB swap the blocked exact pair feed for
+  * [[Dedup.nearDupKeepersScaled]] — same keepers up to LSH recall (see
+  * `dedup_keepers_scaled`).
+  */
+object CorpusClean {
+
+  def apply(docs: DataFrame, minQuality: Double = 0.5, lang: String = "en",
+            dedupThreshold: Double = 0.9,
+            idCol: String = "doc_id", textCol: String = "text",
+            blockCol: String = "source"): DataFrame = {
+    val filtered = docs
+      .filter(TextAnalysis.qualityScore(col(textCol)) >= minQuality &&
+        TextAnalysis.langId(col(textCol)) === lang)
+      .localCheckpoint(true) // feeds the pair join, the CC ids, and the output
+    val keepers = Dedup
+      .nearDupKeepers(filtered, idCol, textCol, blockCol, dedupThreshold)
+      .filter(col("doc_id") === col("keeper_id"))
+      .select(col("doc_id"))
+    filtered
+      .join(keepers, filtered(idCol) === keepers("doc_id"))
+      .select(filtered(idCol),
+        col(blockCol),
+        TextAnalysis.qualityScore(col(textCol)).as("quality"))
+      .orderBy(col(idCol))
+  }
+}

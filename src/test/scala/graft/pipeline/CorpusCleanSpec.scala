@@ -1,0 +1,35 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the corpus-clean composition ORDER: filter first, then dedup — a
+  * near-dup cluster whose min-id member fails the quality gate must
+  * re-elect its keeper among the survivors. The wrong order (dedup before
+  * filter) would drop the survivor as a dup of an already-filtered doc. */
+class CorpusCleanSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("keeper re-election: surviving near-dup stays when its cluster min fails the gate") {
+    val base = "the quick brown fox and the lazy dog of it is in that it went to " +
+      "the market and bought some of the best fresh bread in town today"
+    val digits = "9" * 400
+    val docs = Seq(
+      (1L, s"$base $digits", "src1"), // near-dup of 2, quality sunk by digit run
+      (2L, base, "src1"),             // good quality, same cluster as 1
+      (3L, "the cat sat on the mat and it was happy to be in the sun all of the day", "src1"))
+      .toDF("doc_id", "text", "source")
+    // preconditions: 1 fails the gate, 2 and 3 pass, (1,2) are near-dups
+    val q = docs.select(col("doc_id"),
+      graft.text.TextAnalysis.qualityScore(col("text")).as("q"))
+      .as[(Long, Double)].collect().toMap
+    assert(q(1L) < 0.5, s"fixture drifted: q(1)=${q(1L)}")
+    assert(q(2L) >= 0.5 && q(3L) >= 0.5, s"fixture drifted: $q")
+    val j = docs.filter(col("doc_id").isin(1, 2))
+    val pairs = graft.dedup.Dedup.jaccardPairs(j, "doc_id", "text", "source", 0.9)
+    assert(pairs.count() == 1, "fixture drifted: (1,2) must be a >=0.9 pair")
+    // the composition: 1 filtered out, 2 re-elected keeper, 3 kept
+    val clean = CorpusClean(docs).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(clean == Seq(2L, 3L), s"clean=$clean")
+  }
+}
