@@ -101,7 +101,7 @@ object Html extends Serializable {
     val h1 = blockRe("h1").findFirstMatchIn(html).map(m => text(m.group(2)).trim)
     val t = h1.orElse(
       blockRe("title").findFirstMatchIn(html).map(m => text(m.group(2)).trim))
-    t.filter(_ => true).getOrElse("No Title Found")
+    t.getOrElse("No Title Found")
   }
 
   /** All `<p>` texts, stripped, empties dropped, joined with "\n"
