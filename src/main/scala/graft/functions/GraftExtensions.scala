@@ -44,7 +44,24 @@ object GraftExtensions {
     (FunctionIdentifier("graft_sorted_intersect_size"),
       info("graft_sorted_intersect_size",
         "graft_sorted_intersect_size(a, b) - |A∩B| of sorted distinct string arrays"),
-      (args: Seq[Expression]) => SortedIntersectSize(args(0), args(1))))
+      (args: Seq[Expression]) => SortedIntersectSize(args(0), args(1))),
+    (FunctionIdentifier("graft_sorted_intersect_size_bounded"),
+      info("graft_sorted_intersect_size_bounded",
+        "graft_sorted_intersect_size_bounded(a, b, minInter) - |A∩B| with early " +
+          "exit once the bound is unreachable (exact at or above minInter)"),
+      (args: Seq[Expression]) => SortedIntersectSizeBounded(args(0), args(1), args(2))),
+    (FunctionIdentifier("graft_simhash64"),
+      info("graft_simhash64",
+        "graft_simhash64(hashes) - 64-bit SimHash of an array<long> of token hashes"),
+      (args: Seq[Expression]) => SimHash64(args(0))),
+    (FunctionIdentifier("graft_first_equal_index"),
+      info("graft_first_equal_index",
+        "graft_first_equal_index(a, b) - first position where two array<long> agree, -1 if none"),
+      (args: Seq[Expression]) => FirstEqualIndex(args(0), args(1))),
+    (FunctionIdentifier("graft_split_ws"),
+      info("graft_split_ws",
+        "graft_split_ws(text) - \\S+ tokens via a byte scan, regex-identical"),
+      (args: Seq[Expression]) => SplitWhitespace(args(0))))
 
   /** Register into an ALREADY RUNNING session (the extensions config only
     * applies at builder time). */

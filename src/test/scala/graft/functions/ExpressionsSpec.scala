@@ -89,5 +89,15 @@ class ExpressionsSpec extends SparkSpec {
       "graft_sorted_intersect_size(array('a','b'), array('b','c')) AS n")
       .head()
     assert(out.getDouble(0) == 11.0 && out.getLong(1) == 1L)
+    val out2 = spark.sql(
+      "SELECT graft_sorted_intersect_size_bounded(array('a','b'), array('b','c'), 1L) AS nb, " +
+      "graft_first_equal_index(array(1L, 7L), array(2L, 7L)) AS fe, " +
+      "graft_split_ws('  a  b\tc ') AS toks, " +
+      "graft_simhash64(array(0L)) AS sh")
+      .head()
+    assert(out2.getLong(0) == 1L)
+    assert(out2.getInt(1) == 1)
+    assert(out2.getSeq[String](2) == Seq("a", "b", "c"))
+    assert(out2.getLong(3) == 0L) // hash 0: every bit counter at -1 -> all zero bits
   }
 }
