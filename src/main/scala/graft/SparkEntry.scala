@@ -51,6 +51,9 @@ object SparkEntry {
     "pricing_rollup" -> ((s, dir) => Relational.pricingRollup(s, dir)),
     "pricing_cube" -> ((s, dir) => Relational.pricingCube(s, dir)),
     "order_percentiles" -> ((s, dir) => Relational.orderPercentiles(s, dir)),
+    // sketch-based percentiles: engine-specific values, rows-only check;
+    // error vs the exact form bounded in RelationalSpec
+    "order_percentiles_approx" -> ((s, dir) => Relational.orderPercentilesApprox(s, dir)),
     // Skew mitigation ops, oracle-proven value-identical to their direct
     // forms (the salt is an internal spreading detail).
     "salted_group_count" -> ((s, dir) => Relational.saltedGroupCount(s, dir)),
@@ -133,6 +136,16 @@ object SparkEntry {
     "events_sessions" -> ((s, dir) => EventWindows.userSessions(Tables.events(s, dir))),
     "events_props_json" -> ((s, dir) => EventWindows.propsStats(Tables.events(s, dir))),
     "approx_distinct_users" -> ((s, dir) => EventWindows.distinctUsers(Tables.events(s, dir))),
+    // media -> stub-decoded feature vectors -> exact kNN: the multimodal/
+    // similarity composition end-to-end. Feature values are the decoder
+    // stub's (deterministic, engine-specific) -> rows-only check;
+    // MultimodalSpec pins determinism across runs.
+    "media_embedding_knn" -> ((s, dir) => {
+      val feats = Multimodal.decodeFeatures(
+        Multimodal.mediaFromDocuments(Tables.documents(s, dir)))
+        .select(col("media_id").as("vec_id"), col("features").as("embedding"))
+      Similarity.knnBruteForce(feats, feats.filter(col("vec_id") % 100 === 0), 3)
+    }),
     // ---- [EXT] multimodal columns (binary payload + typed metadata) ----
     "multimodal_features" -> ((s, dir) =>
       Multimodal.featureSummary(Multimodal.mediaFromDocuments(Tables.documents(s, dir)))),

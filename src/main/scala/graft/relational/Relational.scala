@@ -183,4 +183,19 @@ object Relational {
         round(expr("percentile(o_totalprice, 0.99)"), 2).as("p99"),
         count(lit(1)).as("n_orders"))
       .orderBy(col("o_orderpriority"))
+
+  /** The 100 TB percentile swap (`order_percentiles_approx` query):
+    * `percentile_approx` (t-digest-style sketch, single pass, mergeable
+    * partials) in the same shape as [[orderPercentiles]]. Engine-specific
+    * values — rows-only driver check; RelationalSpec bounds the error
+    * against the exact form. */
+  def orderPercentilesApprox(spark: SparkSession, dir: String, accuracy: Int = 10000): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr(s"percentile_approx(o_totalprice, 0.5, $accuracy)"), 2).as("p50"),
+        round(expr(s"percentile_approx(o_totalprice, 0.9, $accuracy)"), 2).as("p90"),
+        round(expr(s"percentile_approx(o_totalprice, 0.99, $accuracy)"), 2).as("p99"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
 }

@@ -54,4 +54,13 @@ class MultimodalSpec extends SparkSpec {
     val plan = Multimodal.decodeFeatures(media).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  test("media -> features -> kNN composition is deterministic across runs") {
+    def run() = graft.SparkEntry.queries("media_embedding_knn")(
+      spark, "/root/testdata/sf0.001").collect().toSeq
+    val a = run()
+    val b = run()
+    assert(a.nonEmpty)
+    assert(a == b)
+  }
 }

@@ -30,4 +30,22 @@ class SkewSpec extends SparkSpec {
     assert(salted == direct)
     assert(salted.count(_.head == "hot") == 900)
   }
+
+  test("approx percentiles stay within 2.5% of exact at high accuracy") {
+    // percentile_approx returns an actual data point while the exact form
+    // interpolates; at sf0.001 a priority group holds ~150 orders, so the
+    // gap to the nearest real point bounds the error, not the sketch.
+    val dir = "/root/testdata/sf0.001"
+    val exact = graft.relational.Relational.orderPercentiles(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = graft.relational.Relational.orderPercentilesApprox(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, (e50, e90, e99)) =>
+      val (a50, a90, a99) = approx(k)
+      assert(math.abs(a50 - e50) / e50 < 0.025, s"$k p50: $a50 vs $e50")
+      assert(math.abs(a90 - e90) / e90 < 0.025, s"$k p90: $a90 vs $e90")
+      assert(math.abs(a99 - e99) / e99 < 0.025, s"$k p99: $a99 vs $e99")
+    }
+  }
 }
