@@ -20,11 +20,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warmup: a real scan+agg through the parquet reader and codegen paths.
-    try Tables.documents(spark, sfDir).count()
+    // Warmup: exercise the scan, the dedup/minhash codegen paths, and the
+    // vector arithmetic on tiny slices so first-query timings measure the
+    // query, not JVM/codegen startup (whichever query runs first otherwise
+    // absorbs several seconds of compilation).
+    try {
+      Tables.documents(spark, sfDir).count()
+      graft.dedup.Dedup.nearDupMinHash(
+        Tables.documents(spark, sfDir).limit(200), "doc_id", "text", 0.9).count()
+      graft.similarity.Similarity.cosinePairs(
+        Tables.embeddings(spark, sfDir).limit(100), 0.4).count()
+    }
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
     var failures = 0
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Sorted order: deterministic run-to-run, independent of Map hashing.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -45,7 +55,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ > 0).sum
+    val total = results.map(_._2).filter(_ > 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failures":$failures}""")
     spark.stop()
   }
