@@ -30,5 +30,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // locale-sensitive; pin English so parse results match the DuckDB
   // oracle's %B regardless of host locale
   "-Duser.language=en", "-Duser.country=US",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Heap sized for local[32]: 32 executor threads share this single JVM's
+  // unified memory (the target box has 128 GiB). Xms = Xmx with
+  // AlwaysPreTouch: dynamic heap EXPANSION was measured as multi-second
+  // kernel-side stalls (40-50% sys CPU zeroing fresh pages) that always
+  // landed on whichever heavy query first grew the heap — observed as
+  // nondeterministic 3-28x slowdowns of the first big dedup query of a
+  // run. Pre-touching moves that cost to JVM startup, before anything is
+  // timed.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  "-XX:+AlwaysPreTouch",
 )

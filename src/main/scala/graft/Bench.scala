@@ -14,10 +14,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // Shuffle files + spilled blocks on tmpfs when available: the bench
+    // box's virtio disk has bursty latency (measured 2x run-to-run fsync
+    // throughput swings) that lands on whichever query is mid-shuffle.
+    // Harness-level setting only — on a real cluster local dirs come from
+    // the cluster manager (and shuffle data wouldn't fit in RAM anyway).
+    val localDir =
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-bench" else null
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+    val spark = (if (localDir != null) b.config("spark.local.dir", localDir) else b)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup: exercise the scan, the dedup/minhash codegen paths, and the
@@ -45,12 +53,16 @@ object Bench {
             false
         }
       val sec = (System.nanoTime() - t0) / 1e9
-      // Let the ContextCleaner reclaim the query's localCheckpoint blocks:
-      // they're freed on GC (weak refs), and without a nudge they pile up
-      // in storage memory across the run, evicting/spilling later queries'
-      // working set — measured as a 3× slowdown on the heavy dedup queries
-      // late in the bench.
-      System.gc()
+      // Reclaim the query's localCheckpoint / persisted blocks
+      // DETERMINISTICALLY: the previous System.gc() nudge relied on the
+      // ContextCleaner's weak-ref queue racing the next query — under
+      // unlucky timing stale blocks piled up in storage memory and pushed
+      // the heavy dedup queries into eviction thrash (observed 3-28×
+      // slowdowns on otherwise identical runs). Queries are self-contained
+      // plans rebuilt from parquet each iteration, so dropping every
+      // persistent RDD between them is always safe.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
       name -> (if (ok) sec else -sec)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

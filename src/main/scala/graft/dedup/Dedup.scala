@@ -149,7 +149,13 @@ object Dedup {
     * array elements), turning one regexp pass into 64 — measured 50×
     * slower at sf0.1. Instead: ONE `aggregate` fold over the token-hash
     * array keeps a 64-wide running-min accumulator, so tokenization and
-    * the string hash run exactly once per token regardless of numHashes. */
+    * the string hash run exactly once per token regardless of numHashes.
+    *
+    * This declarative form is the REFERENCE implementation: the hot paths
+    * use the native one-pass [[org.apache.spark.sql.graft.MinHashBandBuckets]]
+    * (HOF folds run interpreted with boxed per-token accumulators), and
+    * ExpressionsSpec pins the native expression's components against this
+    * column chain. */
   def minHashSignature(tokSet: Column, numHashes: Int): Column = {
     val idxArr = array((0 until numHashes).map(i => lit(i.toLong)): _*)
     val hs = transform(tokSet, t => xxhash64(t))
@@ -199,21 +205,16 @@ object Dedup {
     * Checkpointed so the signature fold runs once per doc (the 16 bucket
     * expressions would otherwise each inline it via CollapseProject). */
   def signatureTable(df: DataFrame, idCol: String, textCol: String,
-                     numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
+                     numHashes: Int = 64, bands: Int = 16): DataFrame =
+    // One projection: the native expression folds signature AND band
+    // buckets in a single pass, so there is nothing for CollapseProject to
+    // re-inline and the former checkpoint-between-sig-and-buckets is gone.
     graft.Par.widen(df)
       .select(col(idCol).cast("long").as("doc_id"), tokenSet(col(textCol)).as("toks"))
       .filter(size(col("toks")) > 0)
-      .withColumn("n", size(col("toks")))
-      .withColumn("sig", minHashSignature(col("toks"), numHashes))
-      .localCheckpoint(true)
-      .select(col("doc_id"), col("toks"), col("n"),
-        array((0 until bands).map(bd =>
-          xxhash64(lit(bd), concat_ws(",", transform(
-            slice(col("sig"), lit(bd * r + 1), lit(r)), _.cast("string"))))): _*)
-          .as("buckets"))
-  }
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"),
+        org.apache.spark.sql.graft.ArrayFunctions
+          .minHashBandBuckets(col("toks"), numHashes, bands).as("buckets"))
 
   /** Shared MinHash/LSH core: exact-dup rep-grouping, banding, candidate
     * join, exact verify — everything up to (but not including) member
@@ -223,11 +224,10 @@ object Dedup {
     * [[nearDupKeepersScaled]] runs connected components on the rep graph
     * (cliques of exact dups collapse to one node) and only then fans out
     * members. */
-  private def minHashRepPairs(df: DataFrame, idCol: String, textCol: String,
+  private[graft] def minHashRepPairs(df: DataFrame, idCol: String, textCol: String,
                               threshold: Double, numHashes: Int,
                               bands: Int): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
     // Jaccard is a function of the token SET alone, so collapse exact-
     // duplicate sets to one representative before any LSH work: signatures,
     // banding fan-out and verification all run per DISTINCT set (web-scale
@@ -248,24 +248,22 @@ object Dedup {
       .localCheckpoint(true)
     val docs = groups.select(col("rep").as("id"), col("toks"))
       .withColumn("n", size(col("toks")))
-    // All band buckets per doc in ONE projection, checkpointed so the
-    // signature fold (the expensive part) runs exactly once per distinct
-    // set: referencing `sig` 16× in a single array() would get the whole
-    // fold INLINED 16× by CollapseProject (no CSE) — the round-1 lesson.
-    val bucketArr = docs
-      .withColumn("sig", minHashSignature(col("toks"), numHashes))
-      .select(col("id"), col("n"),
-        array((0 until bands).map(bd =>
-          xxhash64(lit(bd), concat_ws(",", transform(
-            slice(col("sig"), lit(bd * r + 1), lit(r)), _.cast("string"))))): _*)
-          .as("buckets"))
-      .localCheckpoint(true)
+    // All band buckets per doc in ONE native expression pass
+    // ([[org.apache.spark.sql.graft.MinHashBandBuckets]]): signature fold
+    // and per-band bucket hashing stay in whole-stage codegen with a
+    // primitive accumulator, replacing the interpreted `aggregate`/
+    // `zip_with` fold plus 16 string-concat bucket projections (and the
+    // checkpoint that kept CollapseProject from re-inlining that fold —
+    // a single expression node has nothing to re-inline).
     // One row per (doc, band): (id, n, all-band bucket array, band,
     // bucket) — NO document payload: at 100 TB the bucket exchange must
     // not carry token arrays (a dup cluster of m docs would push m·bands
     // payload copies through the shuffle). The bucket ARRAY (bands × 8
     // bytes) rides along to power first-match pair dedup below.
-    val banded = bucketArr
+    val banded = docs
+      .select(col("id"), col("n"),
+        org.apache.spark.sql.graft.ArrayFunctions
+          .minHashBandBuckets(col("toks"), numHashes, bands).as("buckets"))
       .select(col("id"), col("n"), col("buckets"),
         posexplode(col("buckets")).as(Seq("band", "bucket")))
     // Candidate pairs are GENERATED per (band, bucket) group, not

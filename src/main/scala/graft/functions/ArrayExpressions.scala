@@ -341,6 +341,94 @@ object SplitWhitespace {
   }
 }
 
+/** MinHash signature + LSH band buckets for an `array<string>` token SET,
+  * in one pass: `bucket[bd] = xxhash64(bd, sig[bd·r] … sig[bd·r+r−1])`
+  * where `sig[k] = min over tokens t of xxhash64(xxhash64(t), k)` —
+  * exactly the component family of [[graft.dedup.Dedup.minHashSignature]]
+  * (xxhash64 chains reproduced via [[XXH64]] statics; parity pinned by
+  * ExpressionsSpec against the declarative `xxhash64(...)` column chain).
+  *
+  * Why native: the declarative form is an `aggregate` fold carrying a
+  * numHashes-wide accumulator updated via `zip_with` per token — Catalyst
+  * HOFs run interpreted, so that is numHashes interpreted `least`/`xxhash64`
+  * evals AND two boxed array allocations per token per row; it was the
+  * dominant CPU of the MinHash dedup queries. Here the accumulator is a
+  * primitive long[], the inner token hash is computed once per token, and
+  * the generated code is one static call, keeping the surrounding
+  * projection in whole-stage codegen.
+  *
+  * The r signature components of a band are folded straight into the
+  * band's bucket (one long per band leaves the expression), so callers
+  * never materialize the signature and nothing here needs a checkpoint to
+  * dodge CollapseProject re-inlining — it's a single expression node.
+  *
+  * Null elements are skipped (token sets never contain them).
+  */
+case class MinHashBandBuckets(child: Expression, numHashes: Int, bands: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  require(numHashes % bands == 0, "bands must divide numHashes")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_band_buckets"
+
+  override def nullSafeEval(v: Any): Any =
+    MinHashBandBuckets.compute(v.asInstanceOf[ArrayData], numHashes, bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = org.apache.spark.sql.graft.MinHashBandBuckets.compute(" +
+        s"$v, $numHashes, $bands);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashBandBuckets {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  private final val Seed = 42L // XxHash64's default seed (xxhash64(...) SQL)
+
+  def compute(tokens: ArrayData, numHashes: Int, bands: Int): ArrayData = {
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        // xxhash64(tok) = hashUTF8String(tok, seed);
+        // xxhash64(th, k) = hashLong(k, hashLong(th, seed)) — hoist the
+        // inner hash out of the component loop.
+        val th = XXH64.hashUTF8String(tokens.getUTF8String(i), Seed)
+        val inner = XXH64.hashLong(th, Seed)
+        var k = 0
+        while (k < numHashes) {
+          val h = XXH64.hashLong(k.toLong, inner)
+          if (h < sig(k)) sig(k) = h
+          k += 1
+        }
+      }
+      i += 1
+    }
+    val r = numHashes / bands
+    val buckets = new Array[Long](bands)
+    var bd = 0
+    var k = 0
+    while (bd < bands) {
+      // xxhash64(bd, sig[k0] … sig[k0+r−1]): the same left-to-right chain
+      // the variadic xxhash64(...) column computes.
+      var h = XXH64.hashLong(bd.toLong, Seed)
+      var j = 0
+      while (j < r) { h = XXH64.hashLong(sig(k), h); k += 1; j += 1 }
+      buckets(bd) = h
+      bd += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buckets)
+  }
+}
+
 object ArrayFunctions {
 
   /** Codegen'd |A ∩ B| for sorted, distinct string arrays. */
@@ -358,6 +446,11 @@ object ArrayFunctions {
     ExpressionUtils.column(SortedIntersectSizeBounded(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b),
       ExpressionUtils.expression(minInter)))
+
+  /** Codegen'd MinHash LSH band buckets; see [[MinHashBandBuckets]]. */
+  def minHashBandBuckets(tokens: Column, numHashes: Int, bands: Int): Column =
+    ExpressionUtils.column(
+      MinHashBandBuckets(ExpressionUtils.expression(tokens), numHashes, bands))
 
   /** Byte-level `\S+` tokenizer, regex-equivalent; see [[SplitWhitespace]]. */
   def splitWhitespace(text: Column): Column =

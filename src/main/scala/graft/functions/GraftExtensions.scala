@@ -61,7 +61,13 @@ object GraftExtensions {
     (FunctionIdentifier("graft_split_ws"),
       info("graft_split_ws",
         "graft_split_ws(text) - \\S+ tokens via a byte scan, regex-identical"),
-      (args: Seq[Expression]) => SplitWhitespace(args(0))))
+      (args: Seq[Expression]) => SplitWhitespace(args(0))),
+    (FunctionIdentifier("graft_minhash_band_buckets"),
+      info("graft_minhash_band_buckets",
+        "graft_minhash_band_buckets(tokens, numHashes, bands) - one-pass MinHash " +
+          "signature folded into per-band LSH buckets (array<long>, length bands)"),
+      (args: Seq[Expression]) => MinHashBandBuckets(args(0),
+        args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int])))
 
   /** Register into an ALREADY RUNNING session (the extensions config only
     * applies at builder time). */

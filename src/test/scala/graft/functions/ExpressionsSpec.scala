@@ -80,6 +80,34 @@ class ExpressionsSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("minHashBandBuckets equals the declarative xxhash64 chain") {
+    // Expected buckets built ONLY from public column functions: the HOF
+    // signature fold (graft.dedup.Dedup.minHashSignature) then
+    // xxhash64(band, sig[band*r] .. sig[band*r+r-1]) per band — the exact
+    // chain MinHashBandBuckets.compute reproduces via XXH64 statics.
+    val numHashes = 8
+    val bands = 4
+    val r = numHashes / bands
+    val df = Seq(
+      Seq("alpha", "beta", "gamma", "delta"),
+      Seq("alpha"),
+      Seq[String]()).toDF("toks")
+    val sigDf = df.withColumn("sig",
+      graft.dedup.Dedup.minHashSignature($"toks", numHashes))
+    val expected = sigDf.select(array((0 until bands).map(bd =>
+        xxhash64((lit(bd.toLong) +: (0 until r).map(k =>
+          element_at($"sig", bd * r + k + 1))): _*)): _*).as("b"))
+      .as[Seq[Long]].collect()
+    val got = df.select(ArrayFunctions.minHashBandBuckets($"toks", numHashes, bands).as("b"))
+      .as[Seq[Long]].collect()
+    assert(got.toSeq == expected.toSeq)
+    // and a distinct-permutation invariance sanity: same SET, same buckets
+    val p = Seq(Seq("delta", "gamma", "beta", "alpha").sorted).toDF("toks")
+      .select(ArrayFunctions.minHashBandBuckets($"toks", numHashes, bands).as("b"))
+      .as[Seq[Long]].head()
+    assert(p == got(0).toSeq)
+  }
+
   test("GraftExtensions registers SQL functions") {
     // getOrCreate reuses the shared test session (builder-time extensions
     // don't apply), so use the running-session registration path.
@@ -99,5 +127,8 @@ class ExpressionsSpec extends SparkSpec {
     assert(out2.getInt(1) == 1)
     assert(out2.getSeq[String](2) == Seq("a", "b", "c"))
     assert(out2.getLong(3) == 0L) // hash 0: every bit counter at -1 -> all zero bits
+    val mh = spark.sql(
+      "SELECT graft_minhash_band_buckets(array('a','b'), 4, 2) AS b").head()
+    assert(mh.getSeq[Long](0).length == 2)
   }
 }
