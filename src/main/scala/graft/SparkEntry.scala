@@ -136,6 +136,33 @@ object SparkEntry {
     "events_sessions" -> ((s, dir) => EventWindows.userSessions(Tables.events(s, dir))),
     "events_props_json" -> ((s, dir) => EventWindows.propsStats(Tables.events(s, dir))),
     "approx_distinct_users" -> ((s, dir) => EventWindows.distinctUsers(Tables.events(s, dir))),
+    // As-of join: each purchase event picks up the user's most recent
+    // prior-or-equal click (point-in-time lookup; union-and-sweep form,
+    // one shuffle). DuckDB ASOF LEFT JOIN is the oracle.
+    "events_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.relational.AsOf.asofJoin(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        ev.filter(col("event_type") === "click"),
+        "user_id", "ts", "ts",
+        Seq("event_id" -> "click_event_id", "value" -> "click_value"),
+        tieBreak = Some("event_id"))
+        .orderBy(col("event_id"))
+    }),
+    // ---- [EXT] corpus curation ----
+    "sample_deterministic" -> ((s, dir) =>
+      graft.pipeline.Curation.sampleDeterministic(Tables.documents(s, dir), "text", 1000)
+        .select(col("doc_id"), col("source"),
+          graft.pipeline.Curation.sampleBucket(col("text")).as("bucket"))
+        .orderBy(col("doc_id"))),
+    "curation_quota" -> ((s, dir) =>
+      graft.pipeline.Curation.quotaPerGroup(Tables.documents(s, dir), "source", 20,
+        Seq(col("n_chars").desc, col("doc_id").asc))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("rk"))
+        .orderBy(col("source"), col("rk"))),
+    "repetition_stats" -> ((s, dir) =>
+      graft.pipeline.Curation.repetitionStats(Tables.documents(s, dir))),
     // media -> stub-decoded feature vectors -> exact kNN: the multimodal/
     // similarity composition end-to-end. Feature values are the decoder
     // stub's (deterministic, engine-specific) -> rows-only check;
@@ -499,6 +526,45 @@ object SparkEntry {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // approx_distinct_users: HLL++ is engine-specific — no oracle; the
     // rsd error bound vs exact counts is asserted in StreamingSpec.
+    "events_asof_join" ->
+      """SELECT p.event_id AS event_id, p.user_id AS user_id, p.ts AS ts,
+        |       c.event_id AS click_event_id, c.value AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY event_id""".stripMargin,
+    "sample_deterministic" ->
+      """SELECT doc_id, source,
+        |  CAST(('0x' || substring(md5(text), 1, 8))::UBIGINT % 10000 AS BIGINT) AS bucket
+        |FROM documents
+        |WHERE ('0x' || substring(md5(text), 1, 8))::UBIGINT % 10000 < 1000
+        |ORDER BY doc_id""".stripMargin,
+    "curation_quota" ->
+      """SELECT doc_id, source, n_chars, rk FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id ASC) AS rk
+        |  FROM documents)
+        |WHERE rk <= 20 ORDER BY source, rk""".stripMargin,
+    // repetition_stats oracle: the RELATIONAL formulation (explode bigrams
+    // -> group -> max/sum) of the same signals the Spark side computes
+    // per-row via a sorted-run fold — pinning the two formulations equal.
+    "repetition_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+        |b AS (
+        |  SELECT doc_id, len(toks) AS n_tokens,
+        |    len(list_distinct(toks)) AS n_distinct,
+        |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bgs
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, bg, COUNT(*) AS c
+        |  FROM (SELECT doc_id, UNNEST(bgs) AS bg FROM b) GROUP BY 1, 2),
+        |m AS (SELECT doc_id, MAX(c) AS mx, CAST(SUM(c) AS BIGINT) AS tot FROM c GROUP BY 1)
+        |SELECT b.doc_id AS doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+        |  round(1.0 - n_distinct::DOUBLE / nullif(n_tokens, 0)::DOUBLE, 4) AS dup_token_frac,
+        |  round(m.mx::DOUBLE / nullif(m.tot, 0)::DOUBLE, 4) AS top_bigram_frac
+        |FROM b LEFT JOIN m ON b.doc_id = m.doc_id ORDER BY doc_id""".stripMargin,
     "multimodal_features" ->
       """SELECT doc_id AS media_id,
         |  CASE doc_id % 3 WHEN 1 THEN 'audio' WHEN 2 THEN 'video'

@@ -1,0 +1,83 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [EXT] Corpus-curation operators for LLM-training-data pipelines:
+  * reproducible sampling, per-group quotas, and repetition-based quality
+  * signals (the Gopher-style "repetitious documents are low quality"
+  * heuristics). All per-row expression work or a single window/top-k —
+  * no operator here shuffles more than once.
+  */
+object Curation {
+
+  /** Stable 0..9999 bucket from the md5 of a key column — the reproducible
+    * sampling primitive: the same row lands in the same bucket in ANY
+    * engine (md5 prefix as an integer), so a sample drawn today can be
+    * re-drawn, extended (rate 5% ⊃ rate 1%), or audited years later.
+    * Content keys (the text itself) make the sample duplicate-consistent:
+    * exact copies sample together. Engine-seeded `df.sample()` offers no
+    * such contract. */
+  def sampleBucket(key: Column): Column =
+    conv(substring(md5(key), 1, 8), 16, 10).cast("long") % 10000
+
+  /** Keep rows whose bucket < rateBp (basis points: 1000 = 10%). A pure
+    * per-row filter — pushes to the scan, no shuffle, trivially parallel
+    * at any scale. */
+  def sampleDeterministic(df: DataFrame, keyCol: String, rateBp: Int): DataFrame =
+    df.filter(sampleBucket(col(keyCol)) < rateBp)
+
+  /** At most k rows per group, chosen by the given ordering (e.g. best-
+    * quality-first) — the "cap each source/language at N documents"
+    * curation step. One shuffle on the group key; `row_number` needs no
+    * global sort. Ties must be broken by the ordering for determinism —
+    * include a unique column. */
+  def quotaPerGroup(df: DataFrame, groupCol: String, k: Int,
+                    ordering: Seq[Column]): DataFrame =
+    df.withColumn("rk",
+        row_number().over(Window.partitionBy(col(groupCol)).orderBy(ordering: _*)))
+      .filter(col("rk") <= k)
+
+  /** Per-document repetition signals (`repetition_stats` query):
+    *
+    *  - `dup_token_frac` = 1 − |distinct tokens| / |tokens| — high for
+    *    docs that repeat a small vocabulary;
+    *  - `top_bigram_frac` = occurrences of the most frequent word bigram /
+    *    total bigrams — high for boilerplate/spam with a repeated phrase.
+    *
+    * Both are PER-ROW expressions — no explode, no shuffle: the bigram
+    * mode is a longest-equal-run fold over the sorted bigram array
+    * (sorting groups equal bigrams, so the longest run IS the max count).
+    * The relational formulation (explode → groupBy(doc, bigram) → max)
+    * shuffles the entire bigram stream — at 100 TB that is the corpus
+    * re-keyed per bigram; the fold keeps the work where the row lives.
+    * The DuckDB oracle uses the relational form, pinning both
+    * formulations equal.
+    *
+    * Documents with no tokens (or no bigrams) yield NULL for the affected
+    * fraction — 0/0 is not a measurement. */
+  def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val toks = graft.text.TextAnalysis.tokens(lower(col(textCol)))
+    val bg = sort_array(graft.text.TextAnalysis.shingles(col(textCol), 2))
+    val maxRun = aggregate(
+      bg,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    graft.Par.widen(docs).select(
+      col(idCol),
+      size(toks).cast("long").as("n_tokens"),
+      round(lit(1.0) - size(array_distinct(toks)).cast("double") /
+        nullif(size(toks).cast("double"), lit(0.0)), 4).as("dup_token_frac"),
+      round(maxRun.cast("double") /
+        nullif(size(bg).cast("double"), lit(0.0)), 4).as("top_bigram_frac"))
+      .orderBy(col(idCol))
+  }
+}

@@ -1,0 +1,63 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Curation operators: sampling contract (deterministic, nested-rates,
+  * duplicate-consistent), quota caps, repetition-signal values. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "alpha beta gamma", "s1"),
+    (2L, "alpha beta gamma", "s1"), // exact dup of 1
+    (3L, "delta epsilon", "s1"),
+    (4L, "zeta eta theta iota", "s2"),
+    (5L, "kappa", "s2")
+  ).toDF("doc_id", "text", "source")
+
+  test("sampleDeterministic is stable and rate-nested") {
+    val at5000 = Curation.sampleDeterministic(docs, "text", 5000)
+      .select("doc_id").as[Long].collect().toSet
+    val again = Curation.sampleDeterministic(docs, "text", 5000)
+      .select("doc_id").as[Long].collect().toSet
+    assert(at5000 == again) // no RNG: identical on every run
+    val at2000 = Curation.sampleDeterministic(docs, "text", 2000)
+      .select("doc_id").as[Long].collect().toSet
+    assert(at2000.subsetOf(at5000)) // smaller rate is a subset of larger
+    // content-keyed: exact duplicates sample together
+    assert(at5000.contains(1L) == at5000.contains(2L))
+  }
+
+  test("sampleBucket covers 0..9999 and is md5-derived") {
+    val buckets = Curation.sampleDeterministic(docs, "text", 10000)
+    assert(buckets.count() == 5) // rate 100% keeps everything
+    val vals = docs.select(Curation.sampleBucket($"text")).as[Long].collect()
+    assert(vals.forall(b => b >= 0 && b < 10000))
+  }
+
+  test("quotaPerGroup caps each group by the given order") {
+    val out = Curation.quotaPerGroup(docs, "source", 2,
+      Seq($"doc_id".asc)).select("source", "doc_id", "rk")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out == Set(("s1", 1L, 1), ("s1", 2L, 2), ("s2", 4L, 1), ("s2", 5L, 2)))
+  }
+
+  test("repetitionStats: fold matches hand-computed signals") {
+    val d = Seq(
+      (1L, "a b a b a"),  // toks 5, distinct 2; bigrams: a-b x2, b-a x2 -> 2/4
+      (2L, "x y z"),      // all distinct; bigrams x-y, y-z -> 1/2
+      (3L, "w"),          // 1 token: no bigrams -> null
+      (4L, "q q q q")     // 1 distinct of 4; bigram q-q x3 -> 3/3
+    ).toDF("doc_id", "text")
+    val out = Curation.repetitionStats(d).collect()
+      .map(r => r.getLong(0) -> (
+        r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(out(1L) == ((5L, 1.0 - 2.0 / 5.0, 0.5)))
+    assert(out(2L) == ((3L, 1.0 - 3.0 / 3.0, 0.5)))
+    assert(out(3L) == ((1L, 0.0, null)))
+    assert(out(4L) == ((4L, 0.75, 1.0)))
+  }
+}
