@@ -163,6 +163,25 @@ object SparkEntry {
         .orderBy(col("source"), col("rk"))),
     "repetition_stats" -> ((s, dir) =>
       graft.pipeline.Curation.repetitionStats(Tables.documents(s, dir))),
+    "boilerplate_ngrams" -> ((s, dir) =>
+      TextAnalysis.frequentShingles(Tables.documents(s, dir), "text", 3, 5L)),
+    // Sampled estimate: deterministic subsample -> scaled counts. Sampling
+    // error around the threshold is by design -> rows-only check;
+    // CurationSpec pins the estimate on a planted corpus.
+    "boilerplate_ngrams_sampled" -> ((s, dir) =>
+      graft.pipeline.Curation.boilerplateSampled(Tables.documents(s, dir),
+        "text", 3, 5L, 2000)),
+    // Range join: each event matched to the session interval containing
+    // it (binned equi-join, one shuffle — not a nested-loop theta join).
+    "events_in_sessions" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.relational.RangeJoin.pointInInterval(
+        ev.select(col("event_id"), col("user_id"), col("ts")),
+        EventWindows.userSessions(ev),
+        "ts", "session_start", "session_end", Seq("user_id"),
+        Seq("session_start" -> "session_start"), binSeconds = 1800L)
+        .orderBy(col("event_id"))
+    }),
     // media -> stub-decoded feature vectors -> exact kNN: the multimodal/
     // similarity composition end-to-end. Feature values are the decoder
     // stub's (deterministic, engine-specific) -> rows-only check;
@@ -539,6 +558,35 @@ object SparkEntry {
         |FROM documents
         |WHERE ('0x' || substring(md5(text), 1, 8))::UBIGINT % 10000 < 1000
         |ORDER BY doc_id""".stripMargin,
+    "boilerplate_ngrams" ->
+      """WITH t AS (
+        |  SELECT regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+        |s AS (
+        |  SELECT UNNEST(list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |  FROM t)
+        |SELECT shingle, COUNT(*) AS df FROM s GROUP BY 1 HAVING df >= 5
+        |ORDER BY df DESC, shingle ASC""".stripMargin,
+    // boilerplate_ngrams_sampled: sampling estimate — rows-only by design.
+    "events_in_sessions" ->
+      """WITH m AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM events WHERE ts IS NOT NULL),
+        |s AS (SELECT user_id, ts,
+        |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                         ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m),
+        |sess AS (SELECT user_id, MIN(ts) AS session_start,
+        |                MAX(ts) + INTERVAL 30 MINUTE AS session_end
+        |         FROM s GROUP BY user_id, sid)
+        |SELECT e.event_id AS event_id, e.user_id AS user_id, e.ts AS ts,
+        |       sess.session_start AS session_start
+        |FROM events e JOIN sess ON e.user_id = sess.user_id
+        |  AND e.ts >= sess.session_start AND e.ts < sess.session_end
+        |ORDER BY event_id""".stripMargin,
     "curation_quota" ->
       """SELECT doc_id, source, n_chars, rk FROM (
         |  SELECT doc_id, source, n_chars,

@@ -39,6 +39,26 @@ object Curation {
         row_number().over(Window.partitionBy(col(groupCol)).orderBy(ordering: _*)))
       .filter(col("rk") <= k)
 
+  /** Sampled boilerplate mining (`boilerplate_ngrams_sampled` query): run
+    * [[graft.text.TextAnalysis.frequentShingles]] over a deterministic
+    * md5-bucket sample and scale counts back up (`df_est = df_sample ·
+    * 10000 / rateBp`). The 100 TB first cut: the full-corpus shingle
+    * shuffle touches every (doc, shingle) pair, the sampled one `rate` of
+    * it — and because the sample is deterministic, the estimate is
+    * reproducible, re-drawable at a higher rate, and its survivors can be
+    * counted exactly afterwards. Estimates carry sampling error (binomial
+    * on df), so the threshold is applied to the SCALED estimate; a shingle
+    * at exactly minDf can land either side — rows-only check, error bound
+    * pinned by CurationSpec on a planted corpus. */
+  def boilerplateSampled(docs: DataFrame, textCol: String, n: Int,
+                         minDf: Long, rateBp: Int): DataFrame =
+    graft.text.TextAnalysis
+      .frequentShingles(sampleDeterministic(docs, textCol, rateBp), textCol, n, 1L)
+      .withColumn("df_est", floor(col("df") * 10000L / rateBp))
+      .filter(col("df_est") >= minDf)
+      .select(col("shingle"), col("df_est"))
+      .orderBy(col("df_est").desc, col("shingle").asc)
+
   /** Per-document repetition signals (`repetition_stats` query):
     *
     *  - `dup_token_frac` = 1 − |distinct tokens| / |tokens| — high for

@@ -1,0 +1,63 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Range (interval-containment) join — match each point row to the
+  * interval rows containing its timestamp: `start <= t < end`, plus
+  * optional equi-keys. The second temporal-join operator Spark lacks as a
+  * built-in (alongside [[AsOf]]).
+  *
+  * Spark plans a raw `t >= start && t < end` condition as a nested-loop
+  * join — |points| × |intervals| comparisons (per equi-key group at best).
+  * This implementation BINS time instead:
+  *
+  *  - each interval explodes to one row per `binSeconds`-wide bin it
+  *    overlaps;
+  *  - each point maps to exactly ONE bin (`floor(t / bin)`);
+  *  - equi-join on (keys…, bin), then the exact containment predicate
+  *    filters survivors.
+  *
+  * A (point, interval) match meets in exactly one bin — the point's — so
+  * the join output needs NO de-duplication pass. Work is |points| +
+  * Σ(interval span / bin) join rows: linear, shuffled once on (keys, bin),
+  * hash-joinable. Pick `binSeconds` near the MEDIAN interval length: too
+  * small fans intervals out, too large piles unrelated rows into a bucket
+  * (both only cost, never correctness — the exact predicate still runs).
+  * Degenerate long intervals (span ≫ bin) are the known cost; split those
+  * into a separate broadcast side if they are few, as at 100 TB they
+  * usually are.
+  */
+object RangeJoin {
+
+  /** Inner point-in-interval join.
+    *
+    * @param payload (intervalColumn, outputName) pairs to attach to each
+    *                matched point row (renamed to dodge collisions).
+    */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+                      tCol: String, startCol: String, endCol: String,
+                      keyCols: Seq[String], payload: Seq[(String, String)],
+                      binSeconds: Long): DataFrame = {
+    require(binSeconds > 0, "binSeconds must be positive")
+    val binMicros = binSeconds * 1000000L
+    def binOf(c: Column): Column = floor(unix_micros(c) / binMicros)
+
+    val p = points.withColumn("__bin", binOf(col(tCol)))
+    // Interval bins: floor(start/bin) .. floor((end - 1µs)/bin) — the end
+    // bound is exclusive, so an interval ending exactly on a bin edge must
+    // not claim the next bin.
+    val i = intervals
+      .withColumn("__bin", explode(sequence(
+        binOf(col(startCol)),
+        floor((unix_micros(col(endCol)) - 1) / binMicros))))
+      .select((keyCols.map(col) :+ col("__bin") :+ col(startCol) :+ col(endCol)) ++
+        payload.map { case (src, out) => col(src).as(s"__pay_$out") }: _*)
+
+    val cond = (keyCols.map(k => p(k) === i(k)) :+ (p("__bin") === i("__bin")) :+
+      (p(tCol) >= i(startCol)) :+ (p(tCol) < i(endCol))).reduce(_ && _)
+    p.join(i, cond)
+      .select(points.columns.map(p(_)) ++
+        payload.map { case (_, out) => col(s"__pay_$out").as(out) }: _*)
+  }
+}

@@ -151,6 +151,27 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Corpus-wide boilerplate mining (`boilerplate_ngrams` query): word
+    * n-grams by DOCUMENT frequency — each document votes once per distinct
+    * shingle (`array_distinct` before the explode), so a doc repeating its
+    * own phrase doesn't inflate the corpus count. High-df n-grams are
+    * navigation chrome / license headers / templates — the removal list a
+    * training-data pipeline subtracts before dedup.
+    *
+    * Scale shape: explode → hash aggregate keyed by shingle with map-side
+    * partial combine — one shuffle whose payload is (shingle, partial
+    * count), already collapsed per map task. The `HAVING df >= minDf`
+    * prunes post-agg (correct, the count must finish first); at 100 TB the
+    * cheaper first cut is [[graft.pipeline.Curation.boilerplateSampled]] —
+    * mine a deterministic sample, then count exactly only the survivors. */
+  def frequentShingles(docs: DataFrame, textCol: String, n: Int,
+                       minDf: Long): DataFrame =
+    graft.Par.widen(docs)
+      .select(explode(array_distinct(shingles(col(textCol), n))).as("shingle"))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .orderBy(col("df").desc, col("shingle").asc)
+
   /** 64-bit whole-document fingerprint + min-shingle rolling fingerprint
     * (the winnowing primitive: min over the 3-gram shingle hash stream).
     * Engine-specific hash (xxhash64) — no SQL oracle; pinned by specs. */

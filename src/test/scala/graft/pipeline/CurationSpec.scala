@@ -43,6 +43,30 @@ class CurationSpec extends SparkSpec {
     assert(out == Set(("s1", 1L, 1), ("s1", 2L, 2), ("s2", 4L, 1), ("s2", 5L, 2)))
   }
 
+  test("boilerplateSampled finds planted boilerplate with a scaled estimate") {
+    // 200 docs, 50% carry the same boilerplate phrase; unique filler makes
+    // every other 3-gram's df = 1.
+    val corpus = (1 to 200).map { i =>
+      val filler = s"u$i v$i w$i x$i"
+      val text = if (i % 2 == 0) s"visit our great site $filler" else filler
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    val exact = graft.text.TextAnalysis.frequentShingles(corpus, "text", 3, 5L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact("visit our great") == 100L)
+    val est = Curation.boilerplateSampled(corpus, "text", 3, 5L, 5000)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // df 100 at a 50% sample: estimate within a generous binomial bound,
+    // and deterministic — the same value on every run.
+    assert(est.contains("visit our great"))
+    assert(math.abs(est("visit our great") - 100L) <= 30L)
+    val again = Curation.boilerplateSampled(corpus, "text", 3, 5L, 5000)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == again)
+    // df-1 fillers can never reach the threshold, even scaled
+    assert(!est.keys.exists(_.startsWith("u")))
+  }
+
   test("repetitionStats: fold matches hand-computed signals") {
     val d = Seq(
       (1L, "a b a b a"),  // toks 5, distinct 2; bigrams: a-b x2, b-a x2 -> 2/4
