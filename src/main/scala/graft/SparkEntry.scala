@@ -171,6 +171,17 @@ object SparkEntry {
     "boilerplate_ngrams_sampled" -> ((s, dir) =>
       graft.pipeline.Curation.boilerplateSampled(Tables.documents(s, dir),
         "text", 3, 5L, 2000)),
+    // Data mixing: per-source sampling rates (the dataset-assembly
+    // recipe), md5-bucket deterministic like sample_deterministic.
+    "corpus_mix" -> ((s, dir) =>
+      graft.pipeline.Curation.mixCorpus(Tables.documents(s, dir), "text", "source",
+        Map("src0" -> 10000, "src1" -> 5000, "src2" -> 2500, "src3" -> 500))
+        .select(col("doc_id"), col("source")).orderBy(col("doc_id"))),
+    // GPT-style concat-then-chunk packing via the distributed prefix sum;
+    // CurationSpec pins it equal to the single-window semantic form.
+    "sequence_packing" -> ((s, dir) =>
+      graft.pipeline.Curation.packChunksScalable(Tables.documents(s, dir),
+        "doc_id", "text", 512L)),
     // Range join: each event matched to the session interval containing
     // it (binned equi-join, one shuffle — not a nested-loop theta join).
     "events_in_sessions" -> ((s, dir) => {
@@ -587,6 +598,31 @@ object SparkEntry {
         |FROM events e JOIN sess ON e.user_id = sess.user_id
         |  AND e.ts >= sess.session_start AND e.ts < sess.session_end
         |ORDER BY event_id""".stripMargin,
+    "corpus_mix" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    ('0x' || substring(md5(text), 1, 8))::UBIGINT % 10000 AS bucket,
+        |    CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+        |                WHEN 'src2' THEN 2500 WHEN 'src3' THEN 500 END AS rate
+        |  FROM documents)
+        |WHERE rate IS NOT NULL AND bucket < rate
+        |ORDER BY doc_id""".stripMargin,
+    "sequence_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(lower(text), '\S+'))::BIGINT AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n_tokens,
+        |    SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |      - n_tokens AS off
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |  CAST(FLOOR(off / 512.0) AS BIGINT) AS chunk_id,
+        |  CASE WHEN n_tokens = 0 THEN 0
+        |       ELSE CAST(FLOOR((off + n_tokens - 1) / 512.0) AS BIGINT)
+        |            - CAST(FLOOR(off / 512.0) AS BIGINT) + 1 END AS n_chunks
+        |FROM o ORDER BY doc_id""".stripMargin,
     "curation_quota" ->
       """SELECT doc_id, source, n_chars, rk FROM (
         |  SELECT doc_id, source, n_chars,

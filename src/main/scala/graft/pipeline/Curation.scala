@@ -59,6 +59,99 @@ object Curation {
       .select(col("shingle"), col("df_est"))
       .orderBy(col("df_est").desc, col("shingle").asc)
 
+  /** Deterministic data mixing (`corpus_mix` query): per-source sampling
+    * rates — the "2 parts web, 1 part code, 0.1 parts forums" recipe of
+    * LLM dataset assembly — applied with the same md5-bucket primitive as
+    * [[sampleDeterministic]], so the mix is reproducible and each rate is
+    * individually rate-nested (raising one source's rate only ADDS rows).
+    * Unlisted sources drop (rate 0). The rate lookup is a broadcast join
+    * against a literal table — no per-row map lookup UDF, no shuffle of
+    * the corpus. */
+  def mixCorpus(df: DataFrame, keyCol: String, sourceCol: String,
+                ratesBp: Map[String, Int]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rates = ratesBp.toSeq.toDF(sourceCol, "__rate_bp")
+    df.join(broadcast(rates), Seq(sourceCol))
+      .filter(sampleBucket(col(keyCol)) < col("__rate_bp"))
+      .drop("__rate_bp")
+  }
+
+  /** GPT-style sequence packing (`sequence_packing` query): documents are
+    * conceptually concatenated in a fixed order and cut into fixed
+    * token-budget chunks; each document reports the chunk its first token
+    * lands in and how many chunks it spans. Pure window arithmetic — the
+    * running token total per (ordered) corpus — so the whole assignment is
+    * one window pass, no iteration, and any engine reproduces it exactly:
+    *
+    *   offset      = cumulative tokens BEFORE the doc
+    *   chunk_id    = floor(offset / budget)
+    *   n_chunks    = floor((offset + n_tokens - 1) / budget) − chunk_id + 1
+    *
+    * The single-partition window over the global order is the honest
+    * semantic statement; at 100 TB the same arithmetic runs hierarchically
+    * (per-partition sums → broadcast per-partition offsets — the standard
+    * distributed prefix-sum), which [[packChunksScalable]] implements with
+    * identical output. Empty docs (0 tokens) span 0 chunks and sit at the
+    * boundary offset. */
+  def packChunks(docs: DataFrame, idCol: String, textCol: String,
+                 budget: Long): DataFrame = {
+    val nTok = size(graft.text.TextAnalysis.tokens(lower(col(textCol)))).cast("long")
+    val w = Window.orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(idCol), nTok.as("n_tokens"))
+      .withColumn("offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col(idCol), col("n_tokens"),
+        floor(col("offset") / budget).as("chunk_id"),
+        when(col("n_tokens") === 0, lit(0L)).otherwise(
+          floor((col("offset") + col("n_tokens") - 1) / budget) -
+            floor(col("offset") / budget) + 1).as("n_chunks"))
+      .orderBy(col(idCol))
+  }
+
+  /** [[packChunks]] as a distributed prefix sum: token counts aggregate
+    * per range-partition, the tiny per-partition totals broadcast back as
+    * starting offsets, and the per-row running sum stays inside each
+    * partition — no single-partition window. Output is IDENTICAL
+    * (CurationSpec pins it); this is the form that runs at 100 TB. */
+  def packChunksScalable(docs: DataFrame, idCol: String, textCol: String,
+                         budget: Long, parts: Int = 0): DataFrame = {
+    val spark = docs.sparkSession
+    val nParts = if (parts > 0) parts else spark.sparkContext.defaultParallelism
+    val nTok = size(graft.text.TextAnalysis.tokens(lower(col(textCol)))).cast("long")
+    // Range-partition by id so partition order == global order, then two
+    // passes: (1) per-partition token totals -> cumulative starting
+    // offsets on the driver (|parts| longs); (2) per-partition running sum
+    // + broadcast base offset.
+    val base = docs.select(col(idCol).as("__id"), nTok.as("n_tokens"))
+      .repartitionByRange(nParts, col("__id"))
+      .sortWithinPartitions(col("__id"))
+    val perPart = base.withColumn("__pid", spark_partition_id())
+    val totals = perPart.groupBy(col("__pid"))
+      .agg(sum(col("n_tokens")).as("__tot"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val starts = {
+      val maxPid = if (totals.isEmpty) -1 else totals.keys.max
+      val arr = new Array[Long](maxPid + 2)
+      var acc = 0L
+      (0 to maxPid).foreach { p => arr(p) = acc; acc += totals.getOrElse(p, 0L) }
+      arr
+    }
+    val startCol = element_at(
+      array(starts.toIndexedSeq.map(lit(_)): _*), col("__pid") + 1)
+    val wp = Window.partitionBy(col("__pid")).orderBy(col("__id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perPart
+      .withColumn("offset",
+        startCol + sum(col("n_tokens")).over(wp) - col("n_tokens"))
+      .select(col("__id").as(idCol), col("n_tokens"),
+        floor(col("offset") / budget).as("chunk_id"),
+        when(col("n_tokens") === 0, lit(0L)).otherwise(
+          floor((col("offset") + col("n_tokens") - 1) / budget) -
+            floor(col("offset") / budget) + 1).as("n_chunks"))
+      .orderBy(col(idCol))
+  }
+
   /** Per-document repetition signals (`repetition_stats` query):
     *
     *  - `dup_token_frac` = 1 − |distinct tokens| / |tokens| — high for

@@ -43,6 +43,44 @@ class CurationSpec extends SparkSpec {
     assert(out == Set(("s1", 1L, 1), ("s1", 2L, 2), ("s2", 4L, 1), ("s2", 5L, 2)))
   }
 
+  test("mixCorpus applies per-source rates; unlisted sources drop") {
+    val mixed = Curation.mixCorpus(docs, "text", "source",
+      Map("s1" -> 10000)).select("doc_id").as[Long].collect().toSet
+    assert(mixed == Set(1L, 2L, 3L)) // s1 at 100%, s2 unlisted -> dropped
+    // raising one source's rate only adds rows (per-source nesting)
+    val lo = Curation.mixCorpus(docs, "text", "source",
+      Map("s1" -> 2000, "s2" -> 5000)).select("doc_id").as[Long].collect().toSet
+    val hi = Curation.mixCorpus(docs, "text", "source",
+      Map("s1" -> 8000, "s2" -> 5000)).select("doc_id").as[Long].collect().toSet
+    assert(lo.subsetOf(hi))
+  }
+
+  test("packChunks: offsets, chunk ids, straddling spans") {
+    val d = Seq(
+      (1L, Seq.fill(300)("t").mkString(" ")), // off 0    -> chunk 0, 1 chunk
+      (2L, Seq.fill(300)("t").mkString(" ")), // off 300  -> chunk 0, spans 2
+      (3L, ""),                               // off 600  -> chunk 1, 0 chunks
+      (4L, Seq.fill(500)("t").mkString(" ")), // off 600, ends 1099 -> chunk 1, spans 2
+      (5L, Seq.fill(1200)("t").mkString(" ")) // off 1100 -> chunk 2, spans 3
+    ).toDF("doc_id", "text")
+    val out = Curation.packChunks(d, "doc_id", "text", 512L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(1L -> ((0L, 1L)), 2L -> ((0L, 2L)), 3L -> ((1L, 0L)),
+      4L -> ((1L, 2L)), 5L -> ((2L, 3L))))
+  }
+
+  test("packChunksScalable equals the single-window form") {
+    val d = (1 to 200).map(i =>
+      (i.toLong, Seq.fill(i % 37 + 1)("t").mkString(" "))).toDF("doc_id", "text")
+    val semantic = Curation.packChunks(d, "doc_id", "text", 64L)
+      .collect().map(_.toSeq).toSeq
+    for (parts <- Seq(1, 3, 8)) {
+      val scalable = Curation.packChunksScalable(d, "doc_id", "text", 64L, parts)
+        .collect().map(_.toSeq).toSeq
+      assert(scalable == semantic, s"parts=$parts")
+    }
+  }
+
   test("boilerplateSampled finds planted boilerplate with a scaled estimate") {
     // 200 docs, 50% carry the same boilerplate phrase; unique filler makes
     // every other 3-gram's df = 1.
