@@ -107,6 +107,12 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Ivf.knnIvf(emb, emb.filter(col("vec_id") % 50 === 0), 5)
     }),
+    // knn_pq: product-quantized ADC search (32x-compressed codes) —
+    // codebooks engine-specific -> rows-only; recall pinned in PqSpec.
+    "knn_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.similarity.Pq.knnPq(emb, emb.filter(col("vec_id") % 50 === 0), 5)
+    }),
     // ---- ingest path (reference crawl.py E1) ----
     "ingest_articles" -> ((s, _) => {
       import s.implicits._
