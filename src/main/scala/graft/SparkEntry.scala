@@ -113,6 +113,12 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       graft.similarity.Pq.knnPq(emb, emb.filter(col("vec_id") % 50 === 0), 5)
     }),
+    // knn_ivf_pq: IVF list pruning + ADC over codes — the billion-scale
+    // composition; rows-only, recall pinned in PqSpec.
+    "knn_ivf_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.similarity.Pq.knnIvfPq(emb, emb.filter(col("vec_id") % 50 === 0), 5)
+    }),
     // ---- ingest path (reference crawl.py E1) ----
     "ingest_articles" -> ((s, _) => {
       import s.implicits._

@@ -187,4 +187,76 @@ object Pq {
     val books = fitCodebooks(candidates, m, ksub, vecCol)
     knnPqAdc(encode(candidates, books, idCol, vecCol), probes, books, k, idCol, vecCol)
   }
+
+  /** IVF-PQ (`knn_ivf_pq` query) — the standard billion-scale ANN layout:
+    * a coarse IVF quantizer prunes the corpus to `nprobe` of `nlist`
+    * inverted lists per probe, and PQ/ADC scores only the survivors from
+    * their m-byte codes. Plan shape: candidates carry (list, codes) — one
+    * narrow projection; the probe side explodes to (probe, list) pairs and
+    * broadcasts with its LUT; the join is an EQUI-join on the list id
+    * (hash-joinable, unlike [[knnPqAdc]]'s full-scan nested loop), so scan
+    * fraction ≈ nprobe/nlist of the code table per probe. At storage
+    * scale, write the codes partitioned by list id (the
+    * [[Ivf.writeListPartitioned]] layout) and the pruning becomes a
+    * filesystem listing. */
+  def knnIvfPq(candidates: DataFrame, probes: DataFrame, k: Int,
+               nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val centers = Ivf.fitCentroids(candidates, nlist, vecCol)
+    val books = fitCodebooks(candidates, m, ksub, vecCol)
+    val dsub = books.head.head.length
+    def nearest(v: org.apache.spark.sql.Column, n: Int) =
+      org.apache.spark.sql.graft.VectorFunctions.nearestCentroids(v, centers, n)
+    val codeCols = (0 until m).map { s =>
+      element_at(org.apache.spark.sql.graft.VectorFunctions.nearestCentroids(
+        slice(col("cv"), s * dsub + 1, dsub), books(s), 1), 1)
+    }
+    val cand = graft.Par.widen(candidates)
+      .select(col(idCol).as("cand_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("list", element_at(nearest(col("cv"), 1), 1))
+      .select(col("cand_id"), col("list"), array(codeCols: _*).as("codes"))
+    // Probe side: LUTs driver-side as in knnPqAdc, plus the nprobe lists.
+    val probeRows = probes.select(col(idCol).cast("long"), asDouble(col(vecCol)))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val luts = probeRows.toSeq.map { case (pid, pv) =>
+      val lut = new Array[Double](m * ksub)
+      var s = 0
+      while (s < m) {
+        var j = 0
+        while (j < ksub) {
+          var d2 = 0.0
+          var t = 0
+          while (t < dsub) {
+            val diff = pv(s * dsub + t) - books(s)(j)(t)
+            d2 += diff * diff
+            t += 1
+          }
+          lut(s * ksub + j) = d2
+          j += 1
+        }
+        s += 1
+      }
+      (pid, lut.toSeq)
+    }.toDF("probe_id", "lut")
+    val prob = probes
+      .select(col(idCol).cast("long").as("probe_id"),
+        explode(nearest(asDouble(col(vecCol)), nprobe)).as("list"))
+      .join(luts, Seq("probe_id"))
+    val score = aggregate(
+      sequence(lit(0), lit(m - 1)),
+      lit(0.0),
+      (acc, s) => acc +
+        element_at(col("lut"), s * ksub + element_at(col("codes"), s + 1) + 1))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc_dist").asc, col("cand_id").asc)
+    cand.join(broadcast(prob), Seq("list"))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("cand_id"), round(score, 6).as("adc_dist"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("rk"), col("cand_id"), col("adc_dist"))
+      .orderBy(col("probe_id"), col("rk"))
+  }
 }

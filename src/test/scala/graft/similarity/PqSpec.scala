@@ -55,6 +55,24 @@ class PqSpec extends SparkSpec {
       s"mean recall ${recalls.sum / recalls.size}")
   }
 
+  test("IVF-PQ: equi-join on list, results are a high-recall subset path") {
+    val probes = corpus.filter($"vec_id" % 40 === 0)
+    val full = Pq.knnPq(corpus, probes, k = 10, m = 4, ksub = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val pruned = Pq.knnIvfPq(corpus, probes, k = 10,
+        nlist = 6, nprobe = 3, m = 4, ksub = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // list pruning can only drop candidates; on 3 tight clusters with
+    // nprobe=3 the own-cluster neighbors survive, so overlap stays high
+    val overlaps = full.keys.toSeq.map { pid =>
+      (pruned.getOrElse(pid, Set.empty) intersect full(pid)).size.toDouble / full(pid).size
+    }
+    assert(overlaps.sum / overlaps.size >= 0.5,
+      s"mean ivfpq-vs-pq overlap ${overlaps.sum / overlaps.size}")
+  }
+
   test("fit + encode + search is deterministic across runs") {
     val probes = corpus.filter($"vec_id" === 0)
     val a = Pq.knnPq(corpus, probes, 5, m = 4, ksub = 8).collect().map(_.toSeq).toSeq
