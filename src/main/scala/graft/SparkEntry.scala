@@ -194,6 +194,21 @@ object SparkEntry {
     "sequence_packing" -> ((s, dir) =>
       graft.pipeline.Curation.packChunksScalable(Tables.documents(s, dir),
         "doc_id", "text", 512L)),
+    // Benchmark decontamination: flag docs sharing >= 5 distinct 3-grams
+    // with the "benchmark" slice (doc_id % 97 == 0 stands in for an eval
+    // suite); broadcast bench shingles, one groupBy on doc_id.
+    "decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.pipeline.Curation.decontaminate(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 97 === 0), "text", 3, 5L)
+    }),
+    // PII scrub on an inline fixture with known PII (VALUES oracle runs
+    // the same RE2-safe regex literals).
+    "pii_redact" -> ((s, _) => {
+      import s.implicits._
+      graft.pipeline.Pii.scrub(
+        PiiFixture.docs.toDF("doc_id", "text"), "doc_id", "text")
+    }),
     // Range join: each event matched to the session interval containing
     // it (binned equi-join, one shuffle — not a nested-loop theta join).
     "events_in_sessions" -> ((s, dir) => {
@@ -610,6 +625,43 @@ object SparkEntry {
         |FROM events e JOIN sess ON e.user_id = sess.user_id
         |  AND e.ts >= sess.session_start AND e.ts < sess.session_end
         |ORDER BY event_id""".stripMargin,
+    "decontaminate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id, UNNEST(list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+        |  FROM tok),
+        |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+        |o AS (
+        |  SELECT d.doc_id, COUNT(*) AS n_overlap
+        |  FROM sh d JOIN bench USING (sh) GROUP BY 1)
+        |SELECT t.doc_id AS doc_id,
+        |  COALESCE(o.n_overlap, 0) AS n_overlap,
+        |  CAST(COALESCE(o.n_overlap, 0) >= 5 AS INT) AS contaminated
+        |FROM tok t LEFT JOIN o ON t.doc_id = o.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "pii_redact" -> {
+      val values = PiiFixture.docs
+        .map { case (id, t) => s"($id, '${t.replace("'", "''")}')" }
+        .mkString(",\n        ")
+      s"""WITH masked AS (
+         |  SELECT doc_id, text,
+         |    regexp_replace(text, '${graft.pipeline.Pii.EmailRe}', '<EMAIL>', 'g') AS t1
+         |  FROM (VALUES
+         |        $values) t(doc_id, text)),
+         |m2 AS (
+         |  SELECT doc_id, text, t1,
+         |    regexp_replace(t1, '${graft.pipeline.Pii.Ipv4Re}', '<IP>', 'g') AS t2
+         |  FROM masked)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |  CAST(len(regexp_extract_all(text, '${graft.pipeline.Pii.EmailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t1, '${graft.pipeline.Pii.Ipv4Re}')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(t2, '${graft.pipeline.Pii.PhoneRe}')) AS BIGINT) AS n_phones,
+         |  regexp_replace(t2, '${graft.pipeline.Pii.PhoneRe}', '<PHONE>', 'g') AS redacted
+         |FROM m2
+         |ORDER BY doc_id""".stripMargin
+    },
     "corpus_mix" ->
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source,
@@ -688,6 +740,17 @@ object SparkEntry {
 
 /** Inline page fixtures for the ingest driver queries (deterministic —
   * the same literals are embedded in the DuckDB oracle VALUES). */
+/** Inline PII corpus (the synthetic documents contain no PII, so the scrub
+  * query gets its own fixture; the same literals feed the VALUES oracle). */
+object PiiFixture {
+  val docs: Seq[(Long, String)] = Seq(
+    (1L, "contact alice.smith+spam@example.co.uk or call +1 (555) 123-4567 today"),
+    (2L, "server at 192.168.1.254 responded; backup at 10.0.0.7 did not"),
+    (3L, "no sensitive content here, just words and the number 42"),
+    (4L, "mail bob@corp.io and carol_d@mail.example.org from 555-867-5309"),
+    (5L, "edge: version 1.2.3.4 of the lib pinged 8.8.8.8 at dawn"))
+}
+
 object IngestFixture {
   val listings: Seq[(String, String)] = Seq(
     ("https://ex.com/list",

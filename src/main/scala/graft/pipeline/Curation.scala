@@ -152,6 +152,34 @@ object Curation {
       .orderBy(col(idCol))
   }
 
+  /** Benchmark decontamination (`decontaminate` query): flag documents
+    * whose n-gram overlap with an evaluation/benchmark corpus reaches a
+    * threshold — the standard guard against test-set leakage into
+    * training data. Benchmark suites are small by contract, so their
+    * distinct shingle set BROADCASTS; per doc, the overlap count is one
+    * semi-structured join + a groupBy on doc id (one shuffle keyed by the
+    * id, not by the shingle — the corpus-wide shingle stream never
+    * re-keys). Docs with no overlap report 0 via the left join back. */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    benchmark: DataFrame, benchTextCol: String,
+                    n: Int, overlapThreshold: Long): DataFrame = {
+    import graft.text.TextAnalysis.shingles
+    val benchSh = benchmark
+      .select(explode(array_distinct(shingles(col(benchTextCol), n))).as("sh"))
+      .distinct()
+    val docSh = graft.Par.widen(docs)
+      .select(col(idCol), explode(array_distinct(shingles(col(textCol), n))).as("sh"))
+    val overlap = docSh.join(broadcast(benchSh), Seq("sh"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
+    docs.select(col(idCol))
+      .join(overlap, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) >= overlapThreshold)
+          .cast("int").as("contaminated"))
+      .orderBy(col(idCol))
+  }
+
   /** Per-document repetition signals (`repetition_stats` query):
     *
     *  - `dup_token_frac` = 1 − |distinct tokens| / |tokens| — high for

@@ -1,0 +1,46 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** PII scrubbing: counts, masking order, and non-PII passthrough. */
+class PiiSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("counts and redaction on mixed PII") {
+    val d = Seq((1L, "write a@b.io from 10.0.0.1 or dial 555-123-9876 now"))
+      .toDF("doc_id", "text")
+    val r = Pii.scrub(d, "doc_id", "text").head()
+    assert(r.getLong(1) == 1L && r.getLong(2) == 1L && r.getLong(3) == 1L)
+    assert(r.getString(4) == "write <EMAIL> from <IP> or dial <PHONE> now")
+  }
+
+  test("IPs are masked before the phone pass can eat their digit runs") {
+    val d = Seq((1L, "host 192.168.100.200 up")).toDF("doc_id", "text")
+    val r = Pii.scrub(d, "doc_id", "text").head()
+    assert(r.getString(4) == "host <IP> up")
+    assert(r.getLong(2) == 1L && r.getLong(3) == 0L)
+  }
+
+  test("clean text is untouched") {
+    val d = Seq((1L, "nothing to see 42 here")).toDF("doc_id", "text")
+    val r = Pii.scrub(d, "doc_id", "text").head()
+    assert(r.getLong(1) == 0L && r.getLong(2) == 0L && r.getLong(3) == 0L)
+    assert(r.getString(4) == "nothing to see 42 here")
+  }
+
+  test("decontaminate flags docs sharing n-grams with the benchmark") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog entirely"),
+      (2L, "completely different words appear in this one document"),
+      (3L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+    val bench = Seq(Tuple1("the quick brown fox jumps over hills")).toDF("text")
+    val out = Curation.decontaminate(docs, "doc_id", "text", bench, "text", 3, 3L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    // doc 1 shares "the quick brown", "quick brown fox", "brown fox jumps",
+    // "fox jumps over" = 4; doc 3 shares 3; doc 2 shares 0
+    assert(out(1L) == ((4L, 1)))
+    assert(out(3L) == ((3L, 1)))
+    assert(out(2L) == ((0L, 0)))
+  }
+}
