@@ -38,6 +38,14 @@ object Bench {
         Tables.documents(spark, sfDir).limit(200), "doc_id", "text", 0.9).count()
       graft.similarity.Similarity.cosinePairs(
         Tables.embeddings(spark, sfDir).limit(100), 0.4).count()
+      // window/regexp/explode families (asof sweep, curation, shingles)
+      graft.pipeline.Curation.repetitionStats(
+        Tables.documents(spark, sfDir).limit(100)).count()
+      graft.relational.AsOf.asofJoin(
+        Tables.events(spark, sfDir).limit(500),
+        Tables.events(spark, sfDir).limit(500),
+        "user_id", "ts", "ts", Seq("event_id" -> "prior_id"),
+        tieBreak = Some("event_id")).count()
     }
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
     var failures = 0
