@@ -7,11 +7,16 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // Same tmpfs shuffle-dir hardening as Bench: the box's virtio disk
+    // has bursty latency; correctness runs shouldn't stall on it either.
+    val localDir =
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-verify" else null
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    val spark = (if (localDir != null) b.config("spark.local.dir", localDir) else b)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
