@@ -50,7 +50,13 @@ object Pii {
     * follow the masking precedence: each class is counted on the text
     * with the higher-precedence classes already masked, so an IPv4's
     * digit run is never double-reported as a phone number. */
-  def scrub(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def scrub(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    scrubUnordered(docs, idCol, textCol).orderBy(col(idCol))
+
+  /** [[scrub]] without the final sort — the form that runs unchanged on a
+    * STREAMING DataFrame (global sorts are illegal mid-stream; per-row
+    * expressions are engine-mode-agnostic). StreamingSpec pins parity. */
+  def scrubUnordered(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t0 = col(textCol)
     val t1 = regexp_replace(t0, EmailRe, "<EMAIL>")
     val t2 = regexp_replace(t1, Ipv4Re, "<IP>")
@@ -60,6 +66,5 @@ object Pii {
       ipCount(t1).as("n_ips"),
       phoneCount(t2).as("n_phones"),
       regexp_replace(t2, PhoneRe, "<PHONE>").as("redacted"))
-      .orderBy(col(idCol))
   }
 }

@@ -87,6 +87,61 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("asofJoin equals the naive per-row max-scan on random series") {
+    // left/right: (key, t) with deliberately colliding timestamps
+    val rowsGen = for {
+      nl <- Gen.choose(1, 15)
+      nr <- Gen.choose(0, 15)
+      l <- Gen.listOfN(nl, Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 12L)))
+      r <- Gen.listOfN(nr, Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 12L)))
+    } yield (l, r.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) })
+    forAll(rowsGen, n = 6) { case (l, r) =>
+      val left = l.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        .toDF("k", "t", "lid")
+      val right = r.toDF("k", "t", "rid")
+      val got = graft.relational.AsOf.asofJoin(left, right, "k", "t", "t",
+          Seq("rid" -> "rid"), tieBreak = Some("rid"))
+        .collect().map(x => x.getLong(2) -> (if (x.isNullAt(3)) -1L else x.getLong(3))).toMap
+      // naive: for each left row, max (t, rid) among right rows with
+      // same key and t' <= t
+      val expected = l.zipWithIndex.map { case ((k, t), i) =>
+        val elig = r.filter { case (rk, rt, _) => rk == k && rt <= t }
+        i.toLong -> (if (elig.isEmpty) -1L
+                     else elig.maxBy { case (_, rt, rid) => (rt, rid) }._3)
+      }.toMap
+      assert(got == expected)
+    }
+  }
+
+  test("rangeJoin equals the naive theta join on random intervals") {
+    val gen = for {
+      np <- Gen.choose(1, 12)
+      ni <- Gen.choose(0, 8)
+      ps <- Gen.listOfN(np, Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 50L)))
+      is <- Gen.listOfN(ni, for {
+        k <- Gen.choose(0L, 2L)
+        s <- Gen.choose(0L, 45L)
+        len <- Gen.choose(1L, 30L)
+      } yield (k, s, s + len))
+    } yield (ps, is)
+    forAll(gen, n = 6) { case (ps, is) =>
+      def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+      val points = ps.zipWithIndex.map { case ((k, t), i) =>
+        (i.toLong, k, ts(t)) }.toDF("pid", "k", "t")
+      val intervals = is.zipWithIndex.map { case ((k, s, e), i) =>
+        (k, ts(s), ts(e), i.toLong) }.toDF("k", "s", "e", "iid")
+      val got = graft.relational.RangeJoin.pointInInterval(points, intervals,
+          "t", "s", "e", Seq("k"), Seq("iid" -> "iid"), binSeconds = 7L)
+        .collect().map(x => (x.getLong(0), x.getLong(3))).toSet
+      val expected = (for {
+        ((pk, pt), pi) <- ps.zipWithIndex
+        ((ik, s, e), ii) <- is.zipWithIndex
+        if ik == pk && pt >= s && pt < e
+      } yield (pi.toLong, ii.toLong)).toSet
+      assert(got == expected)
+    }
+  }
+
   test("star-contraction CC equals min-label CC on random graphs (incl. chains)") {
     val edgeGen = for {
       n <- Gen.choose(8, 40)

@@ -9,6 +9,30 @@ import org.apache.spark.sql.functions._
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("stateless curation ops run unchanged on streams (PII scrub parity)") {
+    // PII scrubbing and repetition stats are pure per-row expressions, so
+    // the SAME function applies to a streaming DataFrame — batch/stream
+    // parity is structural, not reimplemented. (The orderBy is dropped
+    // here: a global sort is meaningless mid-stream.)
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "mail a@b.io or call 555-123-9876 now"),
+      (2L, "server 10.0.0.1 is fine"))
+    val in = MemoryStream[(Long, String)]
+    val q = graft.pipeline.Pii.scrubUnordered(in.toDF().toDF("doc_id", "text"),
+        "doc_id", "text")
+      .writeStream.format("memory").queryName("pii_out")
+      .outputMode("append").start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("pii_out").collect().map(_.toSeq).toSet
+      val batch = graft.pipeline.Pii.scrubUnordered(rows.toDF("doc_id", "text"),
+        "doc_id", "text").collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("dropDuplicates state dedups across micro-batches (ST2)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, String)]
