@@ -194,6 +194,11 @@ object SparkEntry {
     "sequence_packing" -> ((s, dir) =>
       graft.pipeline.Curation.packChunksScalable(Tables.documents(s, dir),
         "doc_id", "text", 512L)),
+    // The full corpus assembly line in one composition: PII scrub ->
+    // quality floor -> exact dedup -> decontaminate -> deterministic 80%
+    // sample -> sequence packing. One DuckDB WITH-chain replays it all.
+    "corpus_pipeline" -> ((s, dir) =>
+      graft.pipeline.CorpusPipeline(Tables.documents(s, dir))),
     // Benchmark decontamination: flag docs sharing >= 5 distinct 3-grams
     // with the "benchmark" slice (doc_id % 97 == 0 stands in for an eval
     // suite); broadcast bench shingles, one groupBy on doc_id.
@@ -625,6 +630,51 @@ object SparkEntry {
         |FROM events e JOIN sess ON e.user_id = sess.user_id
         |  AND e.ts >= sess.session_start AND e.ts < sess.session_end
         |ORDER BY event_id""".stripMargin,
+    "corpus_pipeline" -> {
+      import graft.pipeline.Pii
+      s"""WITH scrub AS (
+         |  SELECT doc_id,
+         |    regexp_replace(regexp_replace(regexp_replace(text,
+         |      '${Pii.EmailRe}', '<EMAIL>', 'g'),
+         |      '${Pii.Ipv4Re}', '<IP>', 'g'),
+         |      '${Pii.PhoneRe}', '<PHONE>', 'g') AS red
+         |  FROM documents),
+         |tok AS (
+         |  SELECT doc_id, red, regexp_extract_all(lower(red), '\\S+') AS toks FROM scrub),
+         |quality AS (SELECT * FROM tok WHERE len(toks) >= 20),
+         |keep AS (
+         |  SELECT doc_id, red, toks FROM (
+         |    SELECT doc_id, red, toks, MIN(doc_id) OVER (PARTITION BY red) AS keeper
+         |    FROM quality)
+         |  WHERE doc_id = keeper),
+         |benchsh AS (
+         |  SELECT DISTINCT UNNEST(list_distinct(list_transform(range(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+         |  FROM tok WHERE doc_id % 97 = 0),
+         |docsh AS (
+         |  SELECT doc_id, UNNEST(list_distinct(list_transform(range(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+         |  FROM keep),
+         |ovl AS (
+         |  SELECT d.doc_id, COUNT(*) AS n FROM docsh d JOIN benchsh USING (sh) GROUP BY 1),
+         |clean AS (
+         |  SELECT k.doc_id, k.red, len(k.toks)::BIGINT AS n_tokens
+         |  FROM keep k LEFT JOIN ovl o ON k.doc_id = o.doc_id
+         |  WHERE COALESCE(o.n, 0) < 5),
+         |sampled AS (
+         |  SELECT doc_id, n_tokens FROM clean
+         |  WHERE ('0x' || substring(md5(red), 1, 8))::UBIGINT % 10000 < 8000),
+         |o2 AS (
+         |  SELECT doc_id, n_tokens,
+         |    SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS off
+         |  FROM sampled)
+         |SELECT doc_id, n_tokens,
+         |  CAST(FLOOR(off / 512.0) AS BIGINT) AS chunk_id,
+         |  CASE WHEN n_tokens = 0 THEN 0
+         |       ELSE CAST(FLOOR((off + n_tokens - 1) / 512.0) AS BIGINT)
+         |            - CAST(FLOOR(off / 512.0) AS BIGINT) + 1 END AS n_chunks
+         |FROM o2 ORDER BY doc_id""".stripMargin
+    },
     "decontaminate" ->
       """WITH tok AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),

@@ -1,0 +1,54 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [EXT] The full training-corpus assembly line as ONE composition
+  * (`corpus_pipeline` query) — every stage is an operator this library
+  * already ships, chained the way a 100 TB data pipeline actually runs:
+  *
+  *  1. PII scrub ([[Pii.redact]] — per-row regexps);
+  *  2. quality floor (≥ 20 tokens on the scrubbed text);
+  *  3. exact dedup (keeper = min doc id per identical scrubbed text — a
+  *     window min, no join; [[graft.dedup.Dedup.exact]] semantics);
+  *  4. benchmark decontamination ([[Curation.decontaminate]]: the
+  *     doc_id % 97 slice stands in for an eval suite; contaminated docs
+  *     drop, including the benchmark docs themselves);
+  *  5. deterministic 80% sample ([[Curation.sampleDeterministic]],
+  *     content-keyed on the scrubbed text);
+  *  6. GPT-style sequence packing ([[Curation.packChunks]], budget 512).
+  *
+  * Oracle-checked END TO END: each stage is ANSI-expressible, so one
+  * DuckDB WITH-chain replays the whole line and hash-compares the final
+  * chunk assignment — the strongest composition check in the suite
+  * (`corpus_clean` covers the near-dup variant of stage 3).
+  *
+  * Scale shape: stages 1-2 are scan-stage expressions; 3 is one hash
+  * shuffle on the text; 4 is a broadcast semi-join + a groupBy on doc id;
+  * 5 is a filter; 6 is the distributed prefix sum. Nothing quadratic,
+  * nothing driver-bound.
+  */
+object CorpusPipeline {
+
+  def apply(docs: DataFrame, budget: Long = 512L,
+            minTokens: Int = 20, sampleBp: Int = 8000,
+            benchMod: Int = 97, overlapThreshold: Long = 5L): DataFrame = {
+    val scrubbed = docs.select(col("doc_id"), Pii.redact(col("text")).as("red"))
+    val quality = scrubbed
+      .filter(size(graft.text.TextAnalysis.tokens(lower(col("red")))) >= minTokens)
+    val keepers = quality
+      .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy(col("red"))))
+      .filter(col("doc_id") === col("keeper"))
+      .select(col("doc_id"), col("red"))
+    val decontaminated = Curation.decontaminate(
+        keepers, "doc_id", "red",
+        scrubbed.filter(col("doc_id") % benchMod === 0), "red",
+        3, overlapThreshold)
+      .filter(col("contaminated") === 0)
+      .select(col("doc_id"))
+      .join(keepers, Seq("doc_id"))
+    val sampled = Curation.sampleDeterministic(decontaminated, "red", sampleBp)
+    Curation.packChunks(sampled, "doc_id", "red", budget)
+  }
+}
