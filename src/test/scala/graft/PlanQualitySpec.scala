@@ -88,6 +88,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("minhash banding runs the native one-pass expression inside codegen") {
+    // The signature+bucket fold must stay the single MinHashBandBuckets
+    // expression (one pass per row) — a regression to the interpreted
+    // aggregate/zip_with HOF form would show ArrayAggregate/zip_with in
+    // the banding projection and lose whole-stage codegen there.
+    val df = SparkEntry.queries("dedup_near_minhash")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_minhash_band_buckets"), plan)
+    val bandingLine = plan.linesIterator
+      .find(_.contains("graft_minhash_band_buckets")).get
+    assert(!bandingLine.contains("aggregate(") && !bandingLine.contains("zip_with"),
+      bandingLine)
+  }
+
+  test("asof and range joins never plan a nested loop") {
+    for (q <- Seq("events_asof_join", "events_in_sessions")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, dir))
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), s"$q:\n$plan")
+    }
+  }
+
   test("IVF assigns lists with the argmin expression, no crossJoin+window") {
     val plan = planOf(SparkEntry.queries("knn_ivf")(spark, dir))
     assert(plan.contains("graft_nearest_centroids"), plan)
