@@ -84,6 +84,11 @@ object SparkEntry {
     // ~4e-8 per pair under pinned seeds, so the outputs hash-match.
     "dedup_keepers_scaled" -> ((s, dir) =>
       Dedup.nearDupKeepersScaled(Tables.documents(s, dir), "doc_id", "text", 0.9)),
+    // Winnowing partial-overlap pairs: containment detection whole-set
+    // MinHash misses. xxhash64 fingerprints -> rows-only; guarantees
+    // pinned in WinnowSpec.
+    "winnow_overlaps" -> ((s, dir) =>
+      graft.dedup.Winnow.overlaps(Tables.documents(s, dir), "doc_id", "text")),
     // ---- [EXT] similarity search ----
     "knn_bruteforce" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)

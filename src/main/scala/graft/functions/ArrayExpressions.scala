@@ -429,6 +429,77 @@ object MinHashBandBuckets {
   }
 }
 
+/** Winnowing fingerprint selection (Schleimer et al., "Winnowing: Local
+  * Algorithms for Document Fingerprinting"): the DISTINCT minima of every
+  * `w`-wide sliding window over a hash stream. Guarantees any shared
+  * substring of ≥ w+n−1 tokens between two documents yields at least one
+  * shared fingerprint — the partial-CONTAINMENT detector that whole-set
+  * MinHash misses (a doc pasted inside a 100× larger doc barely moves
+  * whole-set Jaccard but shares every windowed fingerprint).
+  *
+  * Native because the declarative form — `transform(sequence(...), i ->
+  * array_min(slice(hs, i, w)))` — re-evaluates the hash-stream subtree per
+  * window position inside the HOF lambda (no CSE), going O(len·w) with
+  * interpreted eval per element. Here: one monotonic-deque pass, O(len).
+  *
+  * Output order is the first-occurrence order of each selected value;
+  * callers treat it as a set. Null elements are skipped.
+  */
+case class WinnowMins(child: Expression, w: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  require(w >= 1, "window must be >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow_mins"
+
+  override def nullSafeEval(v: Any): Any =
+    WinnowMins.compute(v.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = org.apache.spark.sql.graft.WinnowMins.compute($v, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowMins {
+  def compute(hs: ArrayData, w: Int): ArrayData = {
+    val n = hs.numElements()
+    val vals = new Array[Long](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (!hs.isNullAt(i)) { vals(m) = hs.getLong(i); m += 1 }
+      i += 1
+    }
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    if (m > 0) {
+      val win = math.min(w, m)
+      // monotonic deque of indices; head = argmin of the current window
+      val deque = new Array[Int](m)
+      var head = 0
+      var tail = 0 // exclusive
+      i = 0
+      while (i < m) {
+        while (tail > head && vals(deque(tail - 1)) >= vals(i)) tail -= 1
+        deque(tail) = i; tail += 1
+        if (deque(head) <= i - win) head += 1
+        if (i >= win - 1) out.add(vals(deque(head)))
+        i += 1
+      }
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next().longValue(); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+}
+
 object ArrayFunctions {
 
   /** Codegen'd |A ∩ B| for sorted, distinct string arrays. */
@@ -446,6 +517,10 @@ object ArrayFunctions {
     ExpressionUtils.column(SortedIntersectSizeBounded(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b),
       ExpressionUtils.expression(minInter)))
+
+  /** Codegen'd winnowing window-min fingerprints; see [[WinnowMins]]. */
+  def winnowMins(hashes: Column, w: Int): Column =
+    ExpressionUtils.column(WinnowMins(ExpressionUtils.expression(hashes), w))
 
   /** Codegen'd MinHash LSH band buckets; see [[MinHashBandBuckets]]. */
   def minHashBandBuckets(tokens: Column, numHashes: Int, bands: Int): Column =

@@ -67,7 +67,13 @@ object GraftExtensions {
         "graft_minhash_band_buckets(tokens, numHashes, bands) - one-pass MinHash " +
           "signature folded into per-band LSH buckets (array<long>, length bands)"),
       (args: Seq[Expression]) => MinHashBandBuckets(args(0),
-        args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int])))
+        args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int])),
+    (FunctionIdentifier("graft_winnow_mins"),
+      info("graft_winnow_mins",
+        "graft_winnow_mins(hashes, w) - distinct w-window minima of a hash " +
+          "stream (winnowing fingerprint selection)"),
+      (args: Seq[Expression]) => WinnowMins(args(0),
+        args(1).eval().asInstanceOf[Int])))
 
   /** Register into an ALREADY RUNNING session (the extensions config only
     * applies at builder time). */
