@@ -57,7 +57,7 @@ object RangeJoin {
     val cond = (keyCols.map(k => p(k) === i(k)) :+ (p("__bin") === i("__bin")) :+
       (p(tCol) >= i(startCol)) :+ (p(tCol) < i(endCol))).reduce(_ && _)
     p.join(i, cond)
-      .select(points.columns.map(p(_)) ++
+      .select(points.columns.toSeq.map(p(_)) ++
         payload.map { case (_, out) => col(s"__pay_$out").as(out) }: _*)
   }
 }

@@ -99,7 +99,7 @@ object Ivf {
     val neededLists = prob.select(col("list")).distinct()
       .collect().map(_.getInt(0)).sorted
     val cand = spark.read.parquet(path)
-      .filter(col("list").isin(neededLists.map(Integer.valueOf): _*))
+      .filter(col("list").isin(neededLists.toSeq.map(Integer.valueOf): _*))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("cand_id").asc)
     cand.join(broadcast(prob), Seq("list"))

@@ -48,6 +48,12 @@ class ExpressionsSpec extends SparkSpec {
       assert(df.select(VectorFunctions.dotNative($"a", $"b")).head().getDouble(0) == 32.0)
       val s = Seq((Seq("x", "y"), Seq("y", "z"))).toDF("a", "b")
       assert(s.select(ArrayFunctions.sortedIntersectSize($"a", $"b")).head().getLong(0) == 1L)
+      val mh = Seq(Tuple1(Seq("a", "b"))).toDF("toks")
+        .select(ArrayFunctions.minHashBandBuckets($"toks", 8, 4)).as[Seq[Long]].head()
+      assert(mh.length == 4)
+      val wm = Seq(Tuple1(Seq(9L, 3L, 7L, 5L))).toDF("hs")
+        .select(ArrayFunctions.winnowMins($"hs", 2)).as[Seq[Long]].head()
+      assert(wm.toSet == Set(3L, 5L))
     } finally {
       spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
       prev match {
@@ -130,5 +136,8 @@ class ExpressionsSpec extends SparkSpec {
     val mh = spark.sql(
       "SELECT graft_minhash_band_buckets(array('a','b'), 4, 2) AS b").head()
     assert(mh.getSeq[Long](0).length == 2)
+    val wm = spark.sql(
+      "SELECT graft_winnow_mins(array(9L, 3L, 7L, 5L), 2) AS w").head()
+    assert(wm.getSeq[Long](0).toSet == Set(3L, 5L))
   }
 }
