@@ -31,6 +31,22 @@ object StreamingIngest {
     candidates.dropDuplicates("sources")
   }
 
+  /** Bounded-state streaming dedup: `dropDuplicatesWithinWatermark`
+    * expires key state once a key's event time falls behind the watermark
+    * — the state-store cost becomes O(keys per watermark window) instead
+    * of O(all keys ever). Correct wherever duplicates arrive CLOSE
+    * TOGETHER (retry storms, at-least-once sources, double-fires); it is
+    * NOT the reference's dedup (re-crawls months apart would re-insert) —
+    * that contract keeps [[dedupStream]] / the sink-index path. Pinned by
+    * StreamingSpec: in-window dups drop, state survives only the window. */
+  def dedupStreamBounded(candidates: DataFrame, tsCol: String,
+                         window: String = "1 hour"): DataFrame = {
+    require(candidates.isStreaming, "use Ingest.newCandidates for batch")
+    candidates
+      .withWatermark(tsCol, window)
+      .dropDuplicatesWithinWatermark("sources")
+  }
+
   /** Append-mode parquet sink with the reference's cadence. */
   def writer(deduped: DataFrame, path: String, checkpoint: String,
              everySixHours: Boolean = true): DataStreamWriter[Row] = {

@@ -33,6 +33,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark: in-window dups drop, state is bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, java.sql.Timestamp)]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val q = StreamingIngest.dedupStreamBounded(
+        in.toDF().toDF("sources", "ts"), "ts", "10 minutes")
+      .writeStream.format("memory").queryName("bounded_out")
+      .outputMode("append").start()
+    try {
+      in.addData(("u1", ts("2024-01-01 10:00:00")), ("u1", ts("2024-01-01 10:02:00")),
+        ("u2", ts("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      // advance event time far past the watermark window, then repeat u1:
+      // its state has expired, so the late re-occurrence is emitted again
+      // (the documented divergence from the unbounded contract).
+      in.addData(("u3", ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      in.addData(("u1", ts("2024-01-01 12:01:00")))
+      q.processAllAvailable()
+      val got = spark.table("bounded_out").select("sources").as[String]
+        .collect().toSeq.sorted
+      assert(got == Seq("u1", "u1", "u2", "u3"), got.toString)
+    } finally q.stop()
+  }
+
   test("dropDuplicates state dedups across micro-batches (ST2)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, String)]
