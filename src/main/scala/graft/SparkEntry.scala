@@ -199,6 +199,11 @@ object SparkEntry {
     "sequence_packing" -> ((s, dir) =>
       graft.pipeline.Curation.packChunksScalable(Tables.documents(s, dir),
         "doc_id", "text", 512L)),
+    // Sliding-window chunk expansion (64-token chunks, 16 overlap) — the
+    // RAG/pretraining chunk-text generator.
+    "chunk_texts" -> ((s, dir) =>
+      graft.pipeline.Curation.chunkTexts(Tables.documents(s, dir),
+        "doc_id", "text", 64, 16)),
     // The full corpus assembly line in one composition: PII scrub ->
     // quality floor -> exact dedup -> decontaminate -> deterministic 80%
     // sample -> sequence packing. One DuckDB WITH-chain replays it all.
@@ -717,6 +722,21 @@ object SparkEntry {
          |FROM m2
          |ORDER BY doc_id""".stripMargin
     },
+    "chunk_texts" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    [x FOR x IN range(1, len(toks) + 1, 48) IF x = 1 OR x + 16 <= len(toks)] AS starts
+        |  FROM t WHERE len(toks) > 0),
+        |u AS (
+        |  SELECT doc_id, toks, n,
+        |    UNNEST(list_transform(range(1, len(starts) + 1),
+        |      j -> {'idx': j - 1, 'st': starts[j]})) AS w
+        |  FROM s)
+        |SELECT doc_id, CAST(w.idx AS BIGINT) AS chunk_idx,
+        |  array_to_string(list_slice(toks, w.st, least(w.st + 63, n)), ' ') AS chunk_text
+        |FROM u ORDER BY doc_id, chunk_idx""".stripMargin,
     "corpus_mix" ->
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source,

@@ -39,6 +39,41 @@ object Curation {
         row_number().over(Window.partitionBy(col(groupCol)).orderBy(ordering: _*)))
       .filter(col("rk") <= k)
 
+  /** Sliding-window chunk EXPANSION (`chunk_texts` query): emit the actual
+    * chunk rows — `chunkTokens`-wide token windows stepping by
+    * `chunkTokens − overlap` — per document, the RAG/pretraining prep step
+    * that [[packChunks]]'s assignment arithmetic feeds. Pure per-row
+    * explode: chunk starts are a `sequence`, texts are `slice` +
+    * `concat_ws` over the token array — no shuffle, fan-out ≈
+    * n_tokens/step per doc. The final short window is kept (standard
+    * practice: a trailing partial chunk still trains); empty docs emit
+    * nothing. */
+  def chunkTexts(docs: DataFrame, idCol: String, textCol: String,
+                 chunkTokens: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens, "need 0 <= overlap < chunkTokens")
+    val step = chunkTokens - overlap
+    val toks = graft.text.TextAnalysis.tokens(lower(col(textCol)))
+    val n = size(col("toks"))
+    // Keep a window only if it contributes at least one NEW token beyond
+    // the previous window's coverage — for a non-first start that means
+    // start + overlap <= n_tokens (a later start only re-slices tokens the
+    // previous window already emitted). The final kept window may be
+    // short (a trailing partial chunk still trains).
+    val starts = filter(
+      sequence(lit(1), n, lit(step)),
+      s => s === 1 || (s + lit(overlap)) <= n)
+    graft.Par.widen(docs)
+      .select(col(idCol), toks.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col(idCol),
+        posexplode(transform(starts,
+          start => concat_ws(" ", slice(col("toks"), start, lit(chunkTokens)))))
+          .as(Seq("chunk_idx", "chunk_text")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk_text"))
+      .orderBy(col(idCol), col("chunk_idx"))
+  }
+
   /** Sampled boilerplate mining (`boilerplate_ngrams_sampled` query): run
     * [[graft.text.TextAnalysis.frequentShingles]] over a deterministic
     * md5-bucket sample and scale counts back up (`df_est = df_sample ·

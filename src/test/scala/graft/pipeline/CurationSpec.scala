@@ -69,6 +69,21 @@ class CurationSpec extends SparkSpec {
       4L -> ((1L, 2L)), 5L -> ((2L, 3L))))
   }
 
+  test("chunkTexts: overlapping windows, short tail kept, redundant tail dropped") {
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // chunk 8 / overlap 4
+      (2L, "a b"),                                    // single short chunk
+      (3L, "")                                        // no tokens -> no rows
+    ).toDF("doc_id", "text")
+    val out = Curation.chunkTexts(d, "doc_id", "text", 8, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // doc 1: starts 1 and 5 (start 9 adds no new token beyond [5..10])
+    assert(out.toSeq == Seq(
+      (1L, 0L, (1 to 8).map(i => s"t$i").mkString(" ")),
+      (1L, 1L, (5 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, 0L, "a b")))
+  }
+
   test("packChunksScalable equals the single-window form") {
     val d = (1 to 200).map(i =>
       (i.toLong, Seq.fill(i % 37 + 1)("t").mkString(" "))).toDF("doc_id", "text")
