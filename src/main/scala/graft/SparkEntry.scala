@@ -180,6 +180,8 @@ object SparkEntry {
         .orderBy(col("source"), col("rk"))),
     "repetition_stats" -> ((s, dir) =>
       graft.pipeline.Curation.repetitionStats(Tables.documents(s, dir))),
+    "curation_report" -> ((s, dir) =>
+      graft.pipeline.Curation.report(Tables.documents(s, dir))),
     "boilerplate_ngrams" -> ((s, dir) =>
       TextAnalysis.frequentShingles(Tables.documents(s, dir), "text", 3, 5L)),
     // Sampled estimate: deterministic subsample -> scaled counts. Sampling
@@ -762,6 +764,21 @@ object SparkEntry {
         |       ELSE CAST(FLOOR((off + n_tokens - 1) / 512.0) AS BIGINT)
         |            - CAST(FLOOR(off / 512.0) AS BIGINT) + 1 END AS n_chunks
         |FROM o ORDER BY doc_id""".stripMargin,
+    "curation_report" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    len(regexp_extract_all(lower(text), '\S+'))::BIGINT AS n_tok,
+        |    len(list_distinct(regexp_extract_all(lower(text), '\S+')))::BIGINT AS n_dis
+        |  FROM documents)
+        |SELECT source,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+        |  round(CAST(SUM(n_tok) AS BIGINT)::DOUBLE / COUNT(*), 4) AS mean_tokens,
+        |  round(CAST(SUM(n_dis) AS BIGINT)::DOUBLE /
+        |    nullif(CAST(SUM(n_tok) AS BIGINT), 0)::DOUBLE, 4) AS distinct_token_ratio,
+        |  round(CAST(SUM(CASE WHEN n_tok < 20 THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+        |    * 100.0 / COUNT(*), 1) AS pct_short
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
     "curation_quota" ->
       """SELECT doc_id, source, n_chars, rk FROM (
         |  SELECT doc_id, source, n_chars,

@@ -187,6 +187,36 @@ object Curation {
       .orderBy(col(idCol))
   }
 
+  /** Per-source curation report (`curation_report` query): the audit table
+    * a pipeline owner reads before choosing mix rates — document counts,
+    * token mass, vocabulary-diversity ratio, and the short-doc fraction,
+    * per source. One hash aggregate.
+    *
+    * Determinism discipline: every aggregated value is an INTEGER sum
+    * (token counts, distinct-token counts, flag counts) with a single
+    * division at the end — averaging per-row doubles would make the
+    * result depend on float summation ORDER, which differs between
+    * engines and even between partitionings of the same engine. */
+  def report(docs: DataFrame, sourceCol: String = "source",
+             textCol: String = "text", shortDocTokens: Int = 20): DataFrame = {
+    val toks = graft.text.TextAnalysis.tokens(lower(col(textCol)))
+    graft.Par.widen(docs)
+      .select(col(sourceCol),
+        size(toks).cast("long").as("n_tok"),
+        size(array_distinct(toks)).cast("long").as("n_dis"))
+      .groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("sum_tokens"),
+        round(sum(col("n_tok")).cast("double") / count(lit(1)), 4).as("mean_tokens"),
+        round(sum(col("n_dis")).cast("double") /
+          nullif(sum(col("n_tok")).cast("double"), lit(0.0)), 4)
+          .as("distinct_token_ratio"),
+        round(sum(when(col("n_tok") < shortDocTokens, 1L).otherwise(0L))
+          .cast("double") * 100.0 / count(lit(1)), 1).as("pct_short"))
+      .orderBy(col(sourceCol))
+  }
+
   /** Benchmark decontamination (`decontaminate` query): flag documents
     * whose n-gram overlap with an evaluation/benchmark corpus reaches a
     * threshold — the standard guard against test-set leakage into
