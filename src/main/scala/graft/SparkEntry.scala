@@ -84,6 +84,11 @@ object SparkEntry {
     // ~4e-8 per pair under pinned seeds, so the outputs hash-match.
     "dedup_keepers_scaled" -> ((s, dir) =>
       Dedup.nearDupKeepersScaled(Tables.documents(s, dir), "doc_id", "text", 0.9)),
+    // Cluster-size histogram of the scaled dedup path — the audit
+    // artifact, and another end-to-end oracle check of MinHash->CC.
+    "dedup_cluster_sizes" -> ((s, dir) =>
+      Dedup.clusterSizeHistogram(
+        Dedup.nearDupKeepersScaled(Tables.documents(s, dir), "doc_id", "text", 0.9))),
     // Winnowing partial-overlap pairs: containment detection whole-set
     // MinHash misses. xxhash64 fingerprints -> rows-only; guarantees
     // pinned in WinnowSpec.
@@ -443,6 +448,30 @@ object SparkEntry {
         |  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id)
         |SELECT id AS doc_id, MIN(label) AS keeper_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "dedup_cluster_sizes" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |         list_distinct(regexp_extract_all(lower(text), '\S+')) AS toks
+        |  FROM documents),
+        |jp AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      round(len(list_filter(a.toks, x -> list_contains(b.toks, x)))::DOUBLE /
+        |            nullif(len(list_distinct(a.toks || b.toks)), 0)::DOUBLE, 4) AS jaccard
+        |    FROM t a JOIN t b ON a.doc_id < b.doc_id)
+        |  WHERE jaccard >= 0.9),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+        |          UNION ALL SELECT id_b, id_a FROM jp),
+        |reach AS (
+        |  SELECT doc_id AS id, doc_id AS label FROM documents
+        |  UNION
+        |  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id),
+        |keep AS (
+        |  SELECT id AS doc_id, MIN(label) AS keeper_id FROM reach GROUP BY id),
+        |sizes AS (
+        |  SELECT keeper_id, COUNT(*) AS cluster_size FROM keep GROUP BY 1)
+        |SELECT cluster_size, COUNT(*) AS n_clusters
+        |FROM sizes GROUP BY 1 ORDER BY cluster_size""".stripMargin,
     "set_ops" ->
       """SELECT c_custkey, op FROM (
         |  SELECT c_custkey, 'union' AS op FROM (

@@ -553,6 +553,18 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Cluster-size histogram over a keeper assignment — the dedup AUDIT
+    * artifact (`dedup_cluster_sizes` query): how many clusters of each
+    * size the corpus holds (size 1 = unique docs). Two small hash
+    * aggregates over the keeper table; feeding it the scaled MinHash→CC
+    * keepers makes the histogram an end-to-end oracle check of the whole
+    * scale path (the exact recursive-CTE CC must produce the identical
+    * distribution). */
+  def clusterSizeHistogram(keepers: DataFrame): DataFrame =
+    keepers.groupBy(col("keeper_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size"))
+
   // ---- SimHash ----
 
   /** Per-token 64-bit hashes (compute ONCE per row — the 64 bit-position
