@@ -23,6 +23,22 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap sizing: the 16g + AlwaysPreTouch combo is tuned for the 128 GiB
+// bench box (see the comment below) but would fail JVM startup — or
+// eagerly zero 16 GiB — on a smaller contributor/CI machine. Auto-shrink
+// on boxes with less physical RAM; SPARK_DRIVER_MEM always overrides.
+val physGiB: Long = try {
+  java.lang.management.ManagementFactory
+    .getPlatformMXBean(classOf[com.sun.management.OperatingSystemMXBean])
+    .getTotalMemorySize >> 30
+} catch { case _: Throwable => 0L }
+val driverMem = sys.env.getOrElse("SPARK_DRIVER_MEM",
+  if (physGiB >= 48) "16g" else if (physGiB >= 12) "4g" else "2g")
+// Pre-touch only where the big heap fits comfortably (or was explicitly
+// requested) — on a small box it just slows startup for no benefit.
+val preTouch =
+  if (physGiB >= 48 || sys.env.contains("SPARK_DRIVER_MEM"))
+    Seq("-XX:+AlwaysPreTouch") else Seq.empty[String]
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
@@ -38,7 +54,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // nondeterministic 3-28x slowdowns of the first big dedup query of a
   // run. Pre-touching moves that cost to JVM startup, before anything is
   // timed.
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-  "-XX:+AlwaysPreTouch",
-)
+  s"-Xms$driverMem",
+  s"-Xmx$driverMem",
+) ++ preTouch

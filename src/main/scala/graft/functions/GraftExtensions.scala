@@ -32,6 +32,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  /** Fold a foldable SQL argument to Int, accepting any integral numeric
+    * literal (`4`, `4L`, a SMALLINT cast, …). A bare `asInstanceOf[Int]`
+    * would throw an opaque ClassCastException on a BIGINT literal. */
+  private def intArg(fn: String, pos: Int, e: Expression): Int = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn: argument ${pos + 1} must be an integer literal, got non-foldable ${e.sql}")
+    e.eval() match {
+      case n: java.lang.Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${pos + 1} must be an integer literal, got $other")
+    }
+  }
+
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
       "", "", "", "", "", "", "scala_udf")
@@ -67,13 +80,14 @@ object GraftExtensions {
         "graft_minhash_band_buckets(tokens, numHashes, bands) - one-pass MinHash " +
           "signature folded into per-band LSH buckets (array<long>, length bands)"),
       (args: Seq[Expression]) => MinHashBandBuckets(args(0),
-        args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int])),
+        intArg("graft_minhash_band_buckets", 1, args(1)),
+        intArg("graft_minhash_band_buckets", 2, args(2)))),
     (FunctionIdentifier("graft_winnow_mins"),
       info("graft_winnow_mins",
         "graft_winnow_mins(hashes, w) - distinct w-window minima of a hash " +
           "stream (winnowing fingerprint selection)"),
       (args: Seq[Expression]) => WinnowMins(args(0),
-        args(1).eval().asInstanceOf[Int])))
+        intArg("graft_winnow_mins", 1, args(1)))))
 
   /** Register into an ALREADY RUNNING session (the extensions config only
     * applies at builder time). */

@@ -58,9 +58,17 @@ object AsOf {
       lit(null).cast(tieType).as("__tie"),
       struct(leftCols.map(col): _*).as("__lrow"),
       lit(null).cast(payType).as("__p"))
-    val r = right.select(
-      col(rightTsCol).as("__t"), tieCol.as("__tie"), payStruct.as("__p"),
-      col(keyCol).as("__k"))
+    // SQL join semantics: a NULL key or NULL timestamp on the right can
+    // never be an as-of match (NULL = NULL is not true, NULL <= ts is not
+    // true). Without this filter the window's nulls-first ordering would
+    // carry a NULL-ts right payload to every left row, and partitionBy
+    // would match NULL keys to each other. Left NULL-ts/key rows then
+    // naturally keep a NULL payload (nothing sorts before them).
+    val r = right
+      .filter(col(rightTsCol).isNotNull && col(keyCol).isNotNull)
+      .select(
+        col(rightTsCol).as("__t"), tieCol.as("__tie"), payStruct.as("__p"),
+        col(keyCol).as("__k"))
       .select(col("__k"), col("__t"), lit(0).as("__side"), col("__tie"),
         lit(null).cast(leftType).as("__lrow"), col("__p"))
 

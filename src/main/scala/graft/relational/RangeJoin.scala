@@ -47,7 +47,14 @@ object RangeJoin {
     // Interval bins: floor(start/bin) .. floor((end - 1µs)/bin) — the end
     // bound is exclusive, so an interval ending exactly on a bin edge must
     // not claim the next bin.
+    // Degenerate intervals (end <= start) contain no point — drop them
+    // BEFORE the explode: their stop bin falls below the start bin and
+    // Spark's 2-arg sequence() would generate a DESCENDING bin range (2
+    // spurious rows for a zero-length interval; a huge array for a corrupt
+    // end far before start). The exact predicate would still filter the
+    // matches, but the fan-out is pure waste and a potential OOM.
     val i = intervals
+      .filter(col(endCol) > col(startCol))
       .withColumn("__bin", explode(sequence(
         binOf(col(startCol)),
         floor((unix_micros(col(endCol)) - 1) / binMicros))))

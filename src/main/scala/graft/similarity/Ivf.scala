@@ -1,7 +1,5 @@
 package graft.similarity
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -30,33 +28,27 @@ import Similarity.{asDouble, dot, norm}
   */
 object Ivf {
 
-  /** Centroid matrix (row index = centroid/list id) from a seeded KMeans
+  /** Centroid matrix (row index = centroid/list id) from a seeded k-means
     * fit over at most `maxFitRows` sampled candidate vectors.
     *
     * The sample bound is what makes the quantizer viable at 100 TB: the
     * fit touches ≤ maxFitRows vectors no matter the corpus size (the
-    * sizing `count` is a column-pruned metadata-cheap pass; KMeans itself
-    * then iterates over the cached sample only), and `setMaxIter` caps the
-    * pass count. Centroids are engine-specific — downstream checks are
-    * rows-only plus the recall spec — so sampling does not affect any
-    * oracle. `clusterCenters` lives on the driver already; its size is
-    * bounded by nlist (a config), never by data scale.
+    * sizing `count` is a column-pruned metadata-cheap pass), and `maxIter`
+    * caps the pass count. The Lloyd loop itself runs driver-side on the
+    * collected sample via [[LocalKMeans]] — an earlier draft used Spark-ML
+    * `KMeans.fit`, whose scheduler overhead cost multi-seconds per fit
+    * regardless of sample size. Centroids are engine-specific — downstream
+    * checks are rows-only plus the recall spec — so sampling does not
+    * affect any oracle. The centroid matrix lives on the driver; its size
+    * is bounded by nlist (a config), never by data scale.
     */
   def fitCentroids(candidates: DataFrame, nlist: Int,
                    vecCol: String = "embedding", seed: Long = 42L,
                    maxFitRows: Long = 100000L,
                    maxIter: Int = 10): IndexedSeq[IndexedSeq[Double]] = {
-    val vecs = candidates.select(asDouble(col(vecCol)).as("arr"))
-    val total = vecs.count()
-    val sampled =
-      if (total > maxFitRows) vecs.sample(withReplacement = false,
-        fraction = maxFitRows.toDouble / total, seed = seed)
-      else vecs
-    val feats = sampled.select(array_to_vector(col("arr")).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
-      .setFeaturesCol("features")
-      .fit(feats)
-    model.clusterCenters.map(_.toArray.toIndexedSeq).toIndexedSeq
+    val rows = LocalKMeans.sampleRows(candidates, vecCol, maxFitRows, seed)
+    LocalKMeans.lloyd(rows, nlist, maxIter, seed)
+      .map(_.toIndexedSeq).toIndexedSeq
   }
 
   /** Write the candidate corpus PARTITIONED BY its IVF list id — the

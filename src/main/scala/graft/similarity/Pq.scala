@@ -48,67 +48,16 @@ object Pq {
                    vecCol: String = "embedding", seed: Long = 42L,
                    maxFitRows: Long = 20000L,
                    maxIter: Int = 10): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
-    val vecs = candidates.select(asDouble(col(vecCol)).as("arr"))
-    val total = vecs.count()
-    val sampled =
-      if (total > maxFitRows) vecs.sample(withReplacement = false,
-        fraction = maxFitRows.toDouble / total, seed = seed)
-      else vecs
-    val rows: Array[Array[Double]] =
-      sampled.collect().map(_.getSeq[Double](0).toArray)
+    val rows = LocalKMeans.sampleRows(candidates, vecCol, maxFitRows, seed)
     require(rows.nonEmpty, "cannot fit PQ codebooks on an empty corpus")
     val dim = rows.head.length
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
     (0 until m).map { s =>
       val sub = rows.map(r => java.util.Arrays.copyOfRange(r, s * dsub, (s + 1) * dsub))
-      localLloyd(sub, ksub, maxIter, seed + s)
+      LocalKMeans.lloyd(sub, ksub, maxIter, seed + s)
         .map(_.toIndexedSeq).toIndexedSeq
     }
-  }
-
-  /** Seeded Lloyd's k-means on in-memory rows: deterministic shuffled
-    * init, empty clusters keep their previous center. */
-  private def localLloyd(rows: Array[Array[Double]], k: Int, maxIter: Int,
-                         seed: Long): Array[Array[Double]] = {
-    val n = rows.length
-    val d = rows.head.length
-    val rnd = new scala.util.Random(seed)
-    val centers = rnd.shuffle((0 until n).toVector).take(math.min(k, n))
-      .map(i => rows(i).clone).toArray.padTo(k, rows(0).clone)
-    var iter = 0
-    while (iter < maxIter) {
-      val sums = Array.fill(k)(new Array[Double](d))
-      val counts = new Array[Int](k)
-      var i = 0
-      while (i < n) {
-        val r = rows(i)
-        var best = 0
-        var bestD = Double.MaxValue
-        var c = 0
-        while (c < k) {
-          var d2 = 0.0
-          var t = 0
-          while (t < d) { val x = r(t) - centers(c)(t); d2 += x * x; t += 1 }
-          if (d2 < bestD) { bestD = d2; best = c }
-          c += 1
-        }
-        var t = 0
-        while (t < d) { sums(best)(t) += r(t); t += 1 }
-        counts(best) += 1
-        i += 1
-      }
-      var c = 0
-      while (c < k) {
-        if (counts(c) > 0) {
-          var t = 0
-          while (t < d) { centers(c)(t) = sums(c)(t) / counts(c); t += 1 }
-        }
-        c += 1
-      }
-      iter += 1
-    }
-    centers
   }
 
   /** Encode to (idCol, codes array<int> of length m): per subspace, the

@@ -139,5 +139,14 @@ class ExpressionsSpec extends SparkSpec {
     val wm = spark.sql(
       "SELECT graft_winnow_mins(array(9L, 3L, 7L, 5L), 2) AS w").head()
     assert(wm.getSeq[Long](0).toSet == Set(3L, 5L))
+    // Integer-literal params accept any integral numeric type (4L used to
+    // throw an opaque ClassCastException), and a non-literal errors clearly.
+    val wmL = spark.sql(
+      "SELECT graft_winnow_mins(array(9L, 3L, 7L, 5L), 2L) AS w").head()
+    assert(wmL.getSeq[Long](0).toSet == Set(3L, 5L))
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_winnow_mins(array(1L), cast(rand()*2+1 AS INT))").head()
+    }
+    assert(err.getMessage.contains("integer literal"), err.getMessage)
   }
 }

@@ -49,6 +49,26 @@ class AsOfSpec extends SparkSpec {
     assert(out("a") == 52L && out("b") == 52L)
   }
 
+  test("NULL timestamps/keys never match (SQL semantics, like DuckDB ASOF)") {
+    val jl = (x: Long) => java.lang.Long.valueOf(x)
+    val nul = null.asInstanceOf[java.lang.Long]
+    val l = Seq(
+      (jl(1L), jl(10L), "a"),      // normal: must pick rid 51, NOT a null-ts row
+      (jl(1L), nul, "null_ts"),    // NULL left ts -> no match
+      (nul, jl(10L), "null_key")   // NULL left key -> no match
+    ).toDF("k", "t", "tag")
+    val r = Seq(
+      (jl(1L), jl(5L), jl(51L)),
+      (jl(1L), nul, jl(99L)),      // NULL right ts: must never be carried
+      (nul, jl(1L), jl(98L))       // NULL right key: must never match null_key
+    ).toDF("k", "t", "rid")
+    val out = AsOf.asofJoin(l, r, "k", "t", "t", Seq("rid" -> "rid"),
+        tieBreak = Some("rid"))
+      .collect().map(x => x.getString(2) ->
+        (if (x.isNullAt(3)) -1L else x.getLong(3))).toMap
+    assert(out == Map("a" -> 51L, "null_ts" -> -1L, "null_key" -> -1L))
+  }
+
   test("plan: exactly one shuffle, no cartesian/nested-loop join") {
     val df = run
     df.collect() // finalize the adaptive plan before inspecting it

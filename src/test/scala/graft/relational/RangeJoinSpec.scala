@@ -52,6 +52,21 @@ class RangeJoinSpec extends SparkSpec {
     assert(!run(1800L).select("pid").as[Long].collect().contains(3L))
   }
 
+  test("degenerate intervals (end <= start) match nothing and never fan out") {
+    // Zero-length and reversed intervals can't contain any point under
+    // [start, end). The reversed one ends ~2 years before it starts — before
+    // the guard, sequence() would generate a DESCENDING multi-thousand-bin
+    // array for it (wasted fan-out, OOM risk at scale).
+    val bad = Seq(
+      ("u1", ts("2024-01-01 10:00:00"), ts("2024-01-01 10:00:00"), "Z"), // empty
+      ("u1", ts("2024-01-01 10:00:00"), ts("2022-01-01 10:00:00"), "R")  // reversed
+    ).toDF("k", "s", "e", "label")
+    val out = RangeJoin.pointInInterval(points, intervals.unionByName(bad),
+      "t", "s", "e", Seq("k"), Seq("label" -> "label"), 1800L)
+      .select($"pid", $"label").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "A"), (2L, "A"), (4L, "B")))
+  }
+
   test("plan: equi-join on (key, bin) — no nested-loop/cartesian") {
     val df = run(1800L)
     df.collect()
