@@ -107,6 +107,11 @@ object SparkEntry {
     // refinement vs the exact path pinned in SimilaritySpec).
     "embedding_dedup_keepers_scaled" -> ((s, dir) =>
       Similarity.embeddingDedupKeepersScaled(Tables.embeddings(s, dir), 0.4)),
+    // SemDeDup: k-means-partitioned semantic dedup — quadratic work bounded
+    // structurally per cluster. Cluster fit is engine-specific -> rows-only;
+    // SimilaritySpec pins the refinement property vs the exact keepers.
+    "semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedupKeepers(Tables.embeddings(s, dir), 0.4, nClusters = 8)),
     "knn_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.knnLsh(emb, emb.filter(col("vec_id") % 50 === 0), 5)
@@ -224,6 +229,19 @@ object SparkEntry {
       graft.pipeline.Curation.decontaminate(docs, "doc_id", "text",
         docs.filter(col("doc_id") % 97 === 0), "text", 3, 5L)
     }),
+    // Bloom-prefiltered decontamination: bit-probe drops non-overlapping
+    // shingles before the exact verify join. No false negatives + exact
+    // verify => row-identical to `decontaminate`; same oracle hash-checks it.
+    "decontaminate_bloom" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.pipeline.Curation.decontaminateBloom(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 97 === 0), "text", 3, 5L)
+    }),
+    // Deterministic content-keyed train/val/test split (90/5/5).
+    "corpus_split" -> ((s, dir) =>
+      graft.pipeline.Curation.splitCorpus(Tables.documents(s, dir), "text", 500, 500)
+        .select(col("doc_id"), col("source"), col("split"))
+        .orderBy(col("doc_id"))),
     // PII scrub on an inline fixture with known PII (VALUES oracle runs
     // the same RE2-safe regex literals).
     "pii_redact" -> ((s, _) => {
@@ -263,9 +281,38 @@ object SparkEntry {
         .orderBy(col("media_id"))),
   )
 
+  /** Exact-decontamination oracle — shared verbatim by `decontaminate` and
+    * `decontaminate_bloom`: the Bloom pass is a prefilter with no false
+    * negatives followed by the exact verify, so both queries must produce
+    * row-identical output. */
+  private val DecontaminateSql =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+      |sh AS (
+      |  SELECT doc_id, UNNEST(list_distinct(list_transform(range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+      |  FROM tok),
+      |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+      |o AS (
+      |  SELECT d.doc_id, COUNT(*) AS n_overlap
+      |  FROM sh d JOIN bench USING (sh) GROUP BY 1)
+      |SELECT t.doc_id AS doc_id,
+      |  COALESCE(o.n_overlap, 0) AS n_overlap,
+      |  CAST(COALESCE(o.n_overlap, 0) >= 5 AS INT) AS contaminated
+      |FROM tok t LEFT JOIN o ON t.doc_id = o.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "decontaminate_bloom" -> DecontaminateSql,
+    "corpus_split" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN ('0x' || substring(md5(text), 1, 8))::UBIGINT % 10000 < 9000 THEN 'train'
+        |       WHEN ('0x' || substring(md5(text), 1, 8))::UBIGINT % 10000 < 9500 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     "source_distribution" ->
       """SELECT source, n, ROUND(n * 100.0 / SUM(n) OVER (), 1) AS pct
         |FROM (SELECT COALESCE(source, 'Unknown') AS source, COUNT(*) AS n
@@ -716,22 +763,7 @@ object SparkEntry {
          |            - CAST(FLOOR(off / 512.0) AS BIGINT) + 1 END AS n_chunks
          |FROM o2 ORDER BY doc_id""".stripMargin
     },
-    "decontaminate" ->
-      """WITH tok AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
-        |sh AS (
-        |  SELECT doc_id, UNNEST(list_distinct(list_transform(range(1, len(toks) - 1),
-        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
-        |  FROM tok),
-        |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
-        |o AS (
-        |  SELECT d.doc_id, COUNT(*) AS n_overlap
-        |  FROM sh d JOIN bench USING (sh) GROUP BY 1)
-        |SELECT t.doc_id AS doc_id,
-        |  COALESCE(o.n_overlap, 0) AS n_overlap,
-        |  CAST(COALESCE(o.n_overlap, 0) >= 5 AS INT) AS contaminated
-        |FROM tok t LEFT JOIN o ON t.doc_id = o.doc_id
-        |ORDER BY doc_id""".stripMargin,
+    "decontaminate" -> DecontaminateSql,
     "pii_redact" -> {
       val values = PiiFixture.docs
         .map { case (id, t) => s"($id, '${t.replace("'", "''")}')" }

@@ -28,6 +28,27 @@ object Curation {
   def sampleDeterministic(df: DataFrame, keyCol: String, rateBp: Int): DataFrame =
     df.filter(sampleBucket(col(keyCol)) < rateBp)
 
+  /** Deterministic train/val/test split (`corpus_split` query): name a
+    * split for each row from its [[sampleBucket]] — the last `testBp` basis
+    * points are test, the `valBp` before them val, the rest train.
+    *
+    * Content-keyed (key = the text itself), so exact duplicates land in
+    * the SAME split — no train/test leakage through copies — and the
+    * assignment is reproducible in any engine and stable under corpus
+    * growth (adding documents never moves an existing one, unlike
+    * `randomSplit`, whose assignment depends on partitioning and sampler
+    * state). Pure per-row expression: no shuffle, no RNG state. */
+  def splitCorpus(df: DataFrame, keyCol: String,
+                  valBp: Int, testBp: Int): DataFrame = {
+    require(valBp >= 0 && testBp >= 0 && valBp + testBp <= 10000,
+      "need valBp, testBp >= 0 with valBp + testBp <= 10000")
+    val b = sampleBucket(col(keyCol))
+    df.withColumn("split",
+      when(b < 10000 - valBp - testBp, "train")
+        .when(b < 10000 - testBp, "val")
+        .otherwise("test"))
+  }
+
   /** At most k rows per group, chosen by the given ordering (e.g. best-
     * quality-first) — the "cap each source/language at N documents"
     * curation step. One shuffle on the group key; `row_number` needs no
@@ -234,6 +255,61 @@ object Curation {
       .distinct()
     val docSh = graft.Par.widen(docs)
       .select(col(idCol), explode(array_distinct(shingles(col(textCol), n))).as("sh"))
+    val overlap = docSh.join(broadcast(benchSh), Seq("sh"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
+    docs.select(col(idCol))
+      .join(overlap, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) >= overlapThreshold)
+          .cast("int").as("contaminated"))
+      .orderBy(col(idCol))
+  }
+
+  /** Bloom-prefiltered decontamination (`decontaminate_bloom` query) — the
+    * 100 TB shape of [[decontaminate]], same exact OUTPUT:
+    *
+    *  1. build a Bloom filter over the benchmark's distinct shingle hashes
+    *     (one small aggregation; the filter is `numBits/8` bytes regardless
+    *     of corpus size and ships to executors as a task-binary literal);
+    *  2. probe every corpus shingle with Spark's codegen'd
+    *     `BloomFilterMightContain` — a bit-test per shingle, inside
+    *     whole-stage codegen, NO join — which discards the overwhelming
+    *     majority of the corpus shingle stream at the scan;
+    *  3. exact-verify only the survivors against the real shingle set
+    *     (the broadcast semi-join of [[decontaminate]]); Bloom false
+    *     positives die here, and Bloom filters have no false negatives, so
+    *     the result is row-identical to the exact operator — this query is
+    *     HASH-CHECKED against the same oracle.
+    *
+    * Why it matters at scale: [[decontaminate]]'s broadcast join already
+    * avoids a shuffle, but it still drives every corpus shingle through a
+    * hash-relation probe and keeps the full benchmark set on every
+    * executor. The Bloom pass reduces the exact join's input from
+    * |corpus shingles| to |true overlaps| + fpp·|corpus shingles|, and is
+    * the piece that survives when the "small" side outgrows a broadcast
+    * hash relation (a 100M-shingle benchmark suite is a ~250 MB Bloom at
+    * 20 bits/item vs multiple GB as a hash relation). */
+  def decontaminateBloom(docs: DataFrame, idCol: String, textCol: String,
+                         benchmark: DataFrame, benchTextCol: String,
+                         n: Int, overlapThreshold: Long,
+                         bitsPerItem: Int = 20): DataFrame = {
+    import graft.text.TextAnalysis.shingles
+    import org.apache.spark.sql.graft.BloomFunctions
+    val benchSh = benchmark
+      .select(explode(array_distinct(shingles(col(benchTextCol), n))).as("sh"))
+      .distinct()
+      .localCheckpoint(true) // one pass feeds both the Bloom build and the verify join
+    // Size from the actual distinct-shingle count (cheap: benchmarks are
+    // small by contract — and the count is free off the checkpoint).
+    val items = math.max(benchSh.count(), 1L)
+    val bloom = benchSh
+      .agg(BloomFunctions.bloomFilterAgg(xxhash64(col("sh")), items,
+        math.min(items * bitsPerItem, 1L << 27)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val docSh = graft.Par.widen(docs)
+      .select(col(idCol), explode(array_distinct(shingles(col(textCol), n))).as("sh"))
+      .filter(BloomFunctions.mightContain(bloom, xxhash64(col("sh"))))
     val overlap = docSh.join(broadcast(benchSh), Seq("sh"))
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
     docs.select(col(idCol))

@@ -156,6 +156,56 @@ object Similarity {
       .withColumnRenamed("keeper_id", "keeper_vec_id")
   }
 
+  /** SemDeDup-style semantic dedup (`semantic_dedup` query; Abbas et al.
+    * 2023, "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): k-means partitions the embedding space, pairwise
+    * cosine runs ONLY within a cluster, threshold edges → connected
+    * components → keepers.
+    *
+    * The third embedding-dedup scale path next to the all-pairs audit
+    * ([[embeddingDedupKeepers]]) and the LSH feed
+    * ([[embeddingDedupKeepersScaled]]): where LSH bounds work
+    * probabilistically per pair, SemDeDup bounds it structurally —
+    * quadratic only within a cluster, Σ|cluster|² total, tunable by
+    * `nClusters` (the paper runs 50k clusters over 1e9+ embeddings; the
+    * cluster fit is the same bounded-sample [[LocalKMeans]] discipline as
+    * IVF). Cross-cluster near-dups are missed BY DESIGN (the paper's
+    * trade); missed edges can only split components, never merge — so the
+    * output refines the exact keepers (pinned by spec, like the LSH
+    * variant). Keeper election is min-id, the engine-wide dedup convention
+    * (the paper keeps the lowest-centroid-similarity member; election
+    * choice doesn't change WHICH docs are duplicates, only which one
+    * survives).
+    *
+    * Cluster assignment depends on the fitted centroids (engine-specific)
+    * → rows-only driver check. */
+  def semanticDedupKeepers(emb: DataFrame, threshold: Double,
+                           nClusters: Int = 16, idCol: String = "vec_id",
+                           vecCol: String = "embedding",
+                           maxFitRows: Long = 100000L): DataFrame = {
+    val centers = Ivf.fitCentroids(emb, nClusters, vecCol, maxFitRows = maxFitRows)
+    val base = graft.Par.widen(emb)
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("n", norm(col("v")))
+      .withColumn("cluster", element_at(org.apache.spark.sql.graft.VectorFunctions
+        .nearestCentroids(col("v"), centers, 1), 1))
+      .localCheckpoint(true) // one scan feeds both self-join sides
+    val a = base.select(col("cluster"), col("id").as("id_a"),
+      col("v").as("va"), col("n").as("na"))
+    val b = base.select(col("cluster"), col("id").as("id_b"),
+      col("v").as("vb"), col("n").as("nb"))
+    // Equi-join on the cluster id: hash-joinable, work bounded by
+    // Σ|cluster|² — never a corpus-wide cross product.
+    val pairs = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+    graft.dedup.Dedup.clusterKeepers(emb.select(col(idCol)), pairs)
+      .withColumnRenamed("doc_id", "vec_id")
+      .withColumnRenamed("keeper_id", "keeper_vec_id")
+  }
+
   /** Deterministic pseudo-random hyperplanes (unit-free — only the sign of
     * the projection matters). Fixed seed: buckets are stable across runs. */
   def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {

@@ -36,6 +36,24 @@ class CurationSpec extends SparkSpec {
     assert(vals.forall(b => b >= 0 && b < 10000))
   }
 
+  test("splitCorpus: bucket-ranged, duplicate-consistent, exhaustive") {
+    val out = Curation.splitCorpus(docs, "text", 500, 500)
+      .select($"doc_id", Curation.sampleBucket($"text").as("b"), $"split")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length == 5) // every row gets exactly one split
+    out.foreach { case (_, b, s) =>
+      val expect = if (b < 9000) "train" else if (b < 9500) "val" else "test"
+      assert(s == expect, s"bucket $b -> $s")
+    }
+    // content-keyed: the exact duplicates (docs 1, 2) share a split
+    val byId = out.map(t => t._1 -> t._3).toMap
+    assert(byId(1L) == byId(2L))
+    // stable across runs
+    val again = Curation.splitCorpus(docs, "text", 500, 500)
+      .select($"doc_id", $"split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == byId)
+  }
+
   test("quotaPerGroup caps each group by the given order") {
     val out = Curation.quotaPerGroup(docs, "source", 2,
       Seq($"doc_id".asc)).select("source", "doc_id", "rk")

@@ -43,4 +43,39 @@ class PiiSpec extends SparkSpec {
     assert(out(3L) == ((3L, 1)))
     assert(out(2L) == ((0L, 0)))
   }
+
+  test("decontaminateBloom is row-identical to exact decontaminate") {
+    // Hand fixture + the real documents table: the Bloom pass must be a
+    // pure prefilter (no false negatives; false positives die in the
+    // exact verify), so outputs match row-for-row on both.
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog entirely"),
+      (2L, "completely different words appear in this one document"),
+      (3L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+    val bench = Seq(Tuple1("the quick brown fox jumps over hills")).toDF("text")
+    val exact = Curation.decontaminate(docs, "doc_id", "text", bench, "text", 3, 3L)
+    val bloom = Curation.decontaminateBloom(docs, "doc_id", "text", bench, "text", 3, 3L)
+    assert(bloom.collect().toSeq == exact.collect().toSeq)
+
+    val real = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rbench = real.filter($"doc_id" % 97 === 0)
+    val e2 = Curation.decontaminate(real, "doc_id", "text", rbench, "text", 3, 5L)
+    val b2 = Curation.decontaminateBloom(real, "doc_id", "text", rbench, "text", 3, 5L)
+    assert(b2.collect().toSeq == e2.collect().toSeq)
+  }
+
+  test("bloom filter: no false negatives, bounded false positives") {
+    import org.apache.spark.sql.graft.BloomFunctions
+    val members = spark.range(0, 2000).select(xxhash64($"id").as("h"))
+    val bloom = members
+      .agg(BloomFunctions.bloomFilterAgg($"h", 2000L, 2000L * 20).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val inHits = members.filter(BloomFunctions.mightContain(bloom, $"h")).count()
+    assert(inHits == 2000L) // every inserted item must probe true
+    val outHits = spark.range(1000000, 1020000)
+      .select(xxhash64($"id").as("h"))
+      .filter(BloomFunctions.mightContain(bloom, $"h")).count()
+    // ~0.6% expected fpp at 20 bits/item; allow generous slack
+    assert(outHits < 1000L, s"false-positive rate too high: $outHits / 20000")
+  }
 }

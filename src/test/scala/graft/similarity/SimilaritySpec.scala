@@ -90,6 +90,32 @@ class SimilaritySpec extends SparkSpec {
       s"scaled path lost most cluster structure: $nontrivialScaled vs $nontrivialExact")
   }
 
+  test("semantic (SemDeDup) keepers refine the exact keepers") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(spark, dir)
+    val exact = Similarity.embeddingDedupKeepers(emb, 0.4)
+      .as[(Long, Long)].collect().toMap
+    val sem = Similarity.semanticDedupKeepers(emb, 0.4, nClusters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(sem.keySet == exact.keySet)
+    // Cross-cluster edges are missed BY DESIGN -> SemDeDup components
+    // subdivide exact ones: ids it merges must be exact-merged too.
+    sem.groupBy(_._2).values.foreach { grp =>
+      val exactKeepers = grp.keys.map(exact).toSet
+      assert(exactKeepers.size == 1,
+        s"SemDeDup merged ids across exact components: $grp")
+    }
+    // and within-cluster pairs should still catch real duplicate structure
+    val nontrivialSem = sem.count { case (id, k) => id != k }
+    val nontrivialExact = exact.count { case (id, k) => id != k }
+    assert(nontrivialSem >= nontrivialExact / 3,
+      s"SemDeDup lost most cluster structure: $nontrivialSem vs $nontrivialExact")
+    // determinism: the seeded fit gives identical output across runs
+    val again = Similarity.semanticDedupKeepers(emb, 0.4, nClusters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(again == sem)
+  }
+
   test("list-partitioned IVF store prunes partitions and matches in-memory IVF") {
     val dir = "/root/testdata/sf0.001"
     val emb = graft.Tables.embeddings(spark, dir)
