@@ -194,6 +194,22 @@ object SparkEntry {
       graft.pipeline.Curation.report(Tables.documents(s, dir))),
     "boilerplate_ngrams" -> ((s, dir) =>
       TextAnalysis.frequentShingles(Tables.documents(s, dir), "text", 3, 5L)),
+    // TF-IDF-flavored keyword extraction with integer-only ranking (the
+    // rare-source gate is the IDF, so the result is engine-exact). Bigrams:
+    // the fixtures' token vocabulary is corpus-wide, phrases discriminate.
+    "distinctive_terms" -> ((s, dir) =>
+      TextAnalysis.distinctiveTerms(Tables.documents(s, dir), "source", "text", 2, 3, 10)),
+    // Median/MAD robust outlier report per event type (exact interpolated
+    // percentile == DuckDB quantile_cont, as order_percentiles pinned).
+    "value_outliers" -> ((s, dir) =>
+      EventWindows.valueOutliers(Tables.events(s, dir))),
+    // Morton interleave codes — the Z-order layout primitive; pure integer
+    // bit arithmetic, reproduced exactly by the DuckDB oracle.
+    "zorder_codes" -> ((s, dir) =>
+      Tables.orders(s, dir).select(col("o_orderkey"),
+        graft.sources.ZOrder.morton2(
+          col("o_custkey") % 1024, col("o_orderkey") % 1024, 10).as("z"))
+        .orderBy(col("o_orderkey"))),
     // Sampled estimate: deterministic subsample -> scaled counts. Sampling
     // error around the threshold is by design -> rows-only check;
     // CurationSpec pins the estimate on a planted corpus.
@@ -764,6 +780,54 @@ object SparkEntry {
          |FROM o2 ORDER BY doc_id""".stripMargin
     },
     "decontaminate" -> DecontaminateSql,
+    "distinctive_terms" ->
+      """WITH tok AS (
+        |  SELECT COALESCE(source, 'Unknown') AS source,
+        |         regexp_extract_all(lower(text), '\S+') AS toks
+        |  FROM documents),
+        |t AS (
+        |  SELECT source, UNNEST(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS term
+        |  FROM tok),
+        |tf AS (SELECT source, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        |sf AS (SELECT term, COUNT(*) AS n_sources FROM tf GROUP BY 1
+        |       HAVING COUNT(*) <= 3),
+        |r AS (SELECT tf.source, tf.term, tf.tf, sf.n_sources,
+        |        ROW_NUMBER() OVER (PARTITION BY tf.source
+        |                           ORDER BY tf.tf DESC, tf.term ASC) AS rk
+        |      FROM tf JOIN sf USING (term))
+        |SELECT source, CAST(rk AS BIGINT) AS rk, term, tf, n_sources
+        |FROM r WHERE rk <= 10
+        |ORDER BY source, rk""".stripMargin,
+    "value_outliers" ->
+      """WITH m AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |d AS (
+        |  SELECT e.event_type, e.value, m.med
+        |  FROM events e JOIN m USING (event_type)
+        |  WHERE e.value IS NOT NULL),
+        |s AS (
+        |  SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+        |  FROM d GROUP BY 1)
+        |SELECT d.event_type AS event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(ANY_VALUE(d.med), 4) AS med,
+        |  ROUND(s.mad, 4) AS mad,
+        |  CAST(SUM(CASE WHEN abs(d.value - d.med) > 3 * s.mad
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM d JOIN s USING (event_type)
+        |GROUP BY d.event_type, s.mad
+        |ORDER BY event_type""".stripMargin,
+    "zorder_codes" -> {
+      // The same static bit-interleave formula morton2 builds, in SQL.
+      val x = "(o_custkey % 1024)"
+      val y = "(o_orderkey % 1024)"
+      val z = (0 until 10).map(i =>
+        s"((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" | ")
+      s"SELECT o_orderkey, CAST($z AS BIGINT) AS z FROM orders ORDER BY o_orderkey"
+    },
     "pii_redact" -> {
       val values = PiiFixture.docs
         .map { case (id, t) => s"($id, '${t.replace("'", "''")}')" }

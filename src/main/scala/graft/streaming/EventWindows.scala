@@ -63,6 +63,39 @@ object EventWindows {
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
+  /** Robust outlier report (`value_outliers` query): per event type, the
+    * median/MAD gate — a value is an outlier when |v − median| > k·MAD
+    * (MAD = median absolute deviation). Unlike mean/stddev z-scores, the
+    * thresholds themselves are outlier-resistant: one corrupt 1e12 value
+    * shifts a mean arbitrarily but moves a median by at most one rank.
+    *
+    * Exact interpolated `percentile` (the same function the
+    * `order_percentiles` oracle proved equal to DuckDB `quantile_cont`),
+    * two aggregate passes (median, then MAD over |v − median|) with the
+    * tiny per-type medians broadcast back — the events stream itself never
+    * re-shuffles. At 100 TB swap `percentile` for `percentile_approx`
+    * exactly as [[graft.relational.Relational.orderPercentilesApprox]]
+    * does. Derived medians are rounded once at the end; the outlier
+    * comparison runs on unrounded IEEE-exact arithmetic (+, −, ·). */
+  def valueOutliers(events: DataFrame, k: Double = 3.0): DataFrame = {
+    val vals = events.filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    val med = vals.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val withMed = vals.join(broadcast(med), Seq("event_type"))
+    val mad = withMed
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+    withMed.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(first(col("med")), 4).as("med"),
+        round(first(col("mad")), 4).as("mad"),
+        sum(when(abs(col("value") - col("med")) > lit(k) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
   /** A8 [EXT]: exact vs approximate distinct users per event type.
     * `approx_count_distinct` is HLL++-based and engine-specific, so the
     * oracle covers the exact column; the approx column's error bound is

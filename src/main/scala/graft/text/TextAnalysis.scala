@@ -172,6 +172,42 @@ object TextAnalysis {
       .filter(col("df") >= minDf)
       .orderBy(col("df").desc, col("shingle").asc)
 
+  /** Distinctive terms per source (`distinctive_terms` query): the top-k
+    * word n-grams of each source among n-grams appearing in at most
+    * `maxSources` distinct sources — TF-IDF-flavored keyword extraction
+    * with an INTEGER-ONLY ranking (within-source count desc, term asc). A
+    * float `tf·log(N/df)` score would hash-differently across engines
+    * (libm log); the rare-term gate IS the IDF and the count IS the TF, so
+    * the ranking is engine-exact. Corpus-wide phrases (stopword runs,
+    * boilerplate) appear in every source and die at the gate — no stopword
+    * list needed. n ≥ 2 is the useful setting: single tokens draw from a
+    * shared vocabulary, phrases are where sources differ.
+    *
+    * Scale shape: shingle/explode → hash aggregate on (source, term) with
+    * map-side combine [shuffle 1, carries counts not text] → term
+    * source-frequency over those pairs [shuffle 2, one row per distinct
+    * (source, term)] → equi-join back on term [3] → per-source top-k
+    * window [4]. Nothing quadratic, every exchanged row is a few dozen
+    * bytes. */
+  def distinctiveTerms(docs: DataFrame, sourceCol: String, textCol: String,
+                       n: Int, maxSources: Int, k: Int): DataFrame = {
+    val tf = graft.Par.widen(docs)
+      .select(coalesce(col(sourceCol), lit("Unknown")).as("source"),
+        explode(shingles(col(textCol), n)).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val sf = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("n_sources"))
+      .filter(col("n_sources") <= maxSources)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("tf").desc, col("term").asc)
+    tf.join(sf, Seq("term"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("rk"), col("term"), col("tf"), col("n_sources"))
+      .orderBy(col("source"), col("rk"))
+  }
+
   /** 64-bit whole-document fingerprint + min-shingle rolling fingerprint
     * (the winnowing primitive: min over the 3-gram shingle hash stream).
     * Engine-specific hash (xxhash64) — no SQL oracle; pinned by specs. */

@@ -211,6 +211,20 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("valueOutliers: median/MAD flags the planted outlier, resists it too") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val ev = Seq(1.0, 2.0, 3.0, 4.0, 100.0).zipWithIndex.map { case (v, i) =>
+      (i.toLong, ts, i.toLong, "click", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventWindows.valueOutliers(ev).head()
+    // median 3, |dev| = [2,1,0,1,97] -> MAD 1; only 100.0 exceeds 3*MAD.
+    // The 100.0 outlier does NOT drag the thresholds (robustness): a
+    // mean/stddev gate over the same data (mean=22, sd~43.5) flags nothing.
+    assert(r.getString(0) == "click" && r.getLong(1) == 5L)
+    assert(r.getDouble(2) == 3.0 && r.getDouble(3) == 1.0)
+    assert(r.getLong(4) == 1L)
+  }
+
   test("approx distinct stays within rsd bounds of exact (A8)") {
     val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
     val rows = EventWindows.distinctUsers(events).collect()

@@ -55,4 +55,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0).getLong(2) == out(1).getLong(2))            // and same min shingle
     assert(out(2).isNullAt(2))                                // < 3 tokens → null
   }
+
+  test("distinctiveTerms: rare-source gate kills common phrases, ranks by tf") {
+    val docs = Seq(
+      (1L, "alpha beta alpha beta gamma", "s1"), // "alpha beta" x2
+      (2L, "alpha beta delta", "s1"),
+      (3L, "alpha beta nu nu", "s2"),
+      (4L, "alpha beta xi", "s3")
+    ).toDF("doc_id", "text", "source")
+    // "alpha beta" appears in all 3 sources -> gated at maxSources=2;
+    // per-source ranking is (tf desc, term asc).
+    val out = TextAnalysis.distinctiveTerms(docs, "source", "text", 2, 2, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(!out.exists(_._3 == "alpha beta"))
+    val s1 = out.filter(_._1 == "s1").sortBy(_._2)
+    assert(s1.map(t => (t._3, t._4)).toSeq ==
+      Seq(("beta alpha", 1L), ("beta delta", 1L), ("beta gamma", 1L)))
+    assert(out.filter(_._1 == "s2").map(_._3).toSeq == Seq("beta nu", "nu nu"))
+    // NULL source folds into 'Unknown' (matches source_distribution)
+    val withNull = docs.unionByName(
+      Seq((5L, "omicron pi", null.asInstanceOf[String])).toDF("doc_id", "text", "source"))
+    val u = TextAnalysis.distinctiveTerms(withNull, "source", "text", 2, 2, 10)
+      .filter($"source" === "Unknown").collect()
+    assert(u.map(_.getString(2)).toSeq == Seq("omicron pi"))
+  }
 }
