@@ -203,6 +203,14 @@ object SparkEntry {
     // percentile == DuckDB quantile_cont, as order_percentiles pinned).
     "value_outliers" -> ((s, dir) =>
       EventWindows.valueOutliers(Tables.events(s, dir))),
+    "value_histogram" -> ((s, dir) =>
+      EventWindows.valueHistogram(Tables.events(s, dir), 10.0)),
+    // SCD2: the keyed change stream -> validity intervals (the layout AsOf
+    // and RangeJoin consume). One shuffle, two window passes.
+    "scd2_history" -> ((s, dir) =>
+      graft.relational.Scd.history(Tables.events(s, dir),
+        "user_id", "ts", "event_type", "event_id")
+        .orderBy(col("user_id"), col("valid_from"), col("state"))),
     // Morton interleave codes — the Z-order layout primitive; pure integer
     // bit arithmetic, reproduced exactly by the DuckDB oracle.
     "zorder_codes" -> ((s, dir) =>
@@ -799,6 +807,29 @@ object SparkEntry {
         |SELECT source, CAST(rk AS BIGINT) AS rk, term, tf, n_sources
         |FROM r WHERE rk <= 10
         |ORDER BY source, rk""".stripMargin,
+    "value_histogram" ->
+      """SELECT CAST(FLOOR(value / 10.0) AS BIGINT) AS bin,
+        |  ROUND(CAST(FLOOR(value / 10.0) AS BIGINT) * 10.0, 4) AS lo,
+        |  COUNT(*) AS n
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1 ORDER BY bin""".stripMargin,
+    "scd2_history" ->
+      """WITH c AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    LAG(ts) OVER w AS prev_ts,
+        |    LAG(event_type) OVER w AS prev
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |ch AS (
+        |  SELECT user_id, ts, event_id, event_type FROM c
+        |  WHERE prev_ts IS NULL OR prev IS DISTINCT FROM event_type),
+        |iv AS (
+        |  SELECT user_id, event_type AS state, ts AS valid_from,
+        |    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |  FROM ch)
+        |SELECT user_id, state, valid_from, valid_to,
+        |  CAST(valid_to IS NULL AS INT) AS is_current
+        |FROM iv ORDER BY user_id, valid_from, state""".stripMargin,
     "value_outliers" ->
       """WITH m AS (
         |  SELECT event_type, quantile_cont(value, 0.5) AS med

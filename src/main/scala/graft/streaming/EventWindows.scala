@@ -63,6 +63,17 @@ object EventWindows {
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
+  /** Fixed-width histogram of `value` (`value_histogram` query): one hash
+    * aggregate keyed by the bin index — map-side combined, one shuffle of
+    * (bin, partial count) pairs, independent of row count. `floor(v/w)` is
+    * IEEE-exact division + floor, so bin edges are engine-identical. */
+  def valueHistogram(events: DataFrame, binWidth: Double): DataFrame =
+    events.filter(col("value").isNotNull)
+      .groupBy(floor(col("value") / binWidth).as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"), round(col("bin") * binWidth, 4).as("lo"), col("n"))
+      .orderBy(col("bin"))
+
   /** Robust outlier report (`value_outliers` query): per event type, the
     * median/MAD gate — a value is an outlier when |v − median| > k·MAD
     * (MAD = median absolute deviation). Unlike mean/stddev z-scores, the
