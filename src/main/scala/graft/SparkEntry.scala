@@ -205,6 +205,12 @@ object SparkEntry {
       EventWindows.valueOutliers(Tables.events(s, dir))),
     "value_histogram" -> ((s, dir) =>
       EventWindows.valueHistogram(Tables.events(s, dir), 10.0)),
+    // Strictly-ordered funnel: step k counts only after step k-1's
+    // first-touch time. view -> click -> purchase over the event stream.
+    "event_funnel" -> ((s, dir) =>
+      EventWindows.funnel(Tables.events(s, dir), Seq("view", "click", "purchase"))),
+    "retention_cohorts" -> ((s, dir) =>
+      EventWindows.retentionCohorts(Tables.events(s, dir))),
     // SCD2: the keyed change stream -> validity intervals (the layout AsOf
     // and RangeJoin consume). One shuffle, two window passes.
     "scd2_history" -> ((s, dir) =>
@@ -807,6 +813,33 @@ object SparkEntry {
         |SELECT source, CAST(rk AS BIGINT) AS rk, term, tf, n_sources
         |FROM r WHERE rk <= 10
         |ORDER BY source, rk""".stripMargin,
+    "event_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' AND ts IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+        |SELECT step, name, n_users FROM (VALUES
+        |  (1, 'view',     (SELECT CAST(COUNT(*) AS BIGINT) FROM s1)),
+        |  (2, 'click',    (SELECT CAST(COUNT(*) AS BIGINT) FROM s2)),
+        |  (3, 'purchase', (SELECT CAST(COUNT(*) AS BIGINT) FROM s3))
+        |) AS t(step, name, n_users)
+        |ORDER BY step""".stripMargin,
+    "retention_cohorts" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |c AS (SELECT user_id, MIN(day) AS cohort FROM ev GROUP BY 1)
+        |SELECT c.cohort AS cohort,
+        |  date_diff('day', c.cohort, ev.day) AS day_offset,
+        |  COUNT(DISTINCT ev.user_id) AS n_users
+        |FROM ev JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin,
     "value_histogram" ->
       """SELECT CAST(FLOOR(value / 10.0) AS BIGINT) AS bin,
         |  ROUND(CAST(FLOOR(value / 10.0) AS BIGINT) * 10.0, 4) AS lo,

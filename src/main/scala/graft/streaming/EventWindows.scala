@@ -63,6 +63,61 @@ object EventWindows {
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
+  /** Ordered-funnel completion (`event_funnel` query): per step, how many
+    * users reached it, where step k counts only if it happens STRICTLY
+    * AFTER the user's step-(k−1) completion time (first-touch attribution:
+    * each step's completion is the user's EARLIEST qualifying event). The
+    * product-analytics staple over a raw event stream.
+    *
+    * Shape: one hash aggregation per step over only that step's events
+    * (the type filter pushes to the scan), each joined back on user_id —
+    * k small (key, ts) tables, never the event payload; no window over the
+    * whole stream, no per-user collect. Funnels are short (k ≤ ~6), so k
+    * pruned passes beat one full-stream sort at 100 TB. */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    val ev = events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val first = ev.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val times = steps.indices.drop(1).foldLeft(first) { (acc, i) =>
+      val nxt = ev.filter(col("event_type") === steps(i))
+        .join(acc.select(col("user_id"), col(s"t$i")), Seq("user_id"))
+        .filter(col("ts") > col(s"t$i"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as(s"t${i + 1}"))
+      acc.join(nxt, Seq("user_id"), "left")
+    }
+    // One row of step counts (count ignores the NULLs of users who fell
+    // out), materialized once, then melted to (step, name, n_users).
+    val counts = times.agg(
+      count(col("t1")).as("n1"),
+      steps.indices.drop(1).map(i => count(col(s"t${i + 1}")).as(s"n${i + 1}")): _*)
+      .localCheckpoint(true)
+    steps.indices.map(i =>
+        counts.select(lit(i + 1).as("step"), lit(steps(i)).as("name"),
+          col(s"n${i + 1}").as("n_users")))
+      .reduce(_ unionByName _)
+      .orderBy(col("step"))
+  }
+
+  /** Day-grain retention cohorts (`retention_cohorts` query): users
+    * grouped by their FIRST-seen day; for each (cohort, day offset) the
+    * distinct users active that day. Integer date arithmetic only —
+    * engine-exact. Two shuffles (per-user min, then the cohort hash agg);
+    * the join back is on user_id, carrying one date per row. */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val ev = events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohorts = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    ev.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort"),
+        datediff(col("day"), col("cohort")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort"), col("day_offset"))
+  }
+
   /** Fixed-width histogram of `value` (`value_histogram` query): one hash
     * aggregate keyed by the bin index — map-side combined, one shuffle of
     * (bin, partial count) pairs, independent of row count. `floor(v/w)` is

@@ -120,6 +120,27 @@ class PlanQualitySpec extends SparkSpec {
       || plan.linesIterator.count(_.contains(") Window")) <= 1, plan)
   }
 
+  test("bloom decontamination probes at the scan, before any join") {
+    // The Bloom pass must be a Filter(might_contain) on the corpus-shingle
+    // side BELOW the exact-verify join — pruning before the join is the
+    // entire point. A regression that reorders it above the join (or loses
+    // it) keeps values identical (the exact join re-verifies) but re-grows
+    // the join input to the full corpus shingle stream.
+    val df = SparkEntry.queries("decontaminate_bloom")(spark, dir)
+    df.collect()
+    // executedPlan.toString prints children BELOW their parent: the
+    // Filter(might_contain) must appear after (= beneath) the first join.
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val lines = plan.linesIterator.toSeq
+    val probeIdx = lines.indexWhere(l =>
+      l.contains("Filter") && l.contains("might_contain"))
+    val joinIdx = lines.indexWhere(_.contains("HashJoin"))
+    assert(probeIdx >= 0, plan)
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      s"bloom probe not beneath the verify join:\n$plan")
+  }
+
   test("jaccard block join broadcasts the build side (no key-skewed SMJ)") {
     val plan = planOf(SparkEntry.queries("jaccard_pairs")(spark, dir))
     assert(plan.contains("BroadcastHashJoin"), plan)

@@ -211,6 +211,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnel: strictly ordered steps, first-touch times, drop-off counts") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1 completes the whole funnel in order
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (2L, ts("2024-01-01 11:00:00"), 1L, "click"),
+      (3L, ts("2024-01-01 12:00:00"), 1L, "purchase"),
+      // u2 clicks BEFORE viewing: the click must not count, nor the
+      // purchase that follows only the out-of-order click
+      (4L, ts("2024-01-02 09:00:00"), 2L, "click"),
+      (5L, ts("2024-01-02 10:00:00"), 2L, "view"),
+      (6L, ts("2024-01-02 10:30:00"), 2L, "purchase"),
+      // u3 views only
+      (7L, ts("2024-01-03 10:00:00"), 3L, "view"),
+      // u2 clicks again after the view -> click counts, purchase doesn't
+      // (its only purchase predates the qualifying click)
+      (8L, ts("2024-01-02 11:00:00"), 2L, "click")
+    ).map { case (id, t, u, k) => (id, t, u, k, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventWindows.funnel(ev, Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1, "view", 3L), (2, "click", 2L), (3, "purchase", 1L)))
+  }
+
+  test("retentionCohorts: first-seen day anchors the offsets") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L), // u1 cohort Jan 1
+      (2L, ts("2024-01-03 10:00:00"), 1L), // u1 back on day +2
+      (3L, ts("2024-01-01 23:00:00"), 2L), // u2 cohort Jan 1
+      (4L, ts("2024-01-03 01:00:00"), 2L), // u2 also day +2
+      (5L, ts("2024-01-02 09:00:00"), 3L)  // u3 cohort Jan 2, never returns
+    ).map { case (id, t, u) => (id, t, u, "view", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventWindows.retentionCohorts(ev)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 0L, 2L), ("2024-01-01", 2L, 2L), ("2024-01-02", 0L, 1L)))
+  }
+
   test("valueOutliers: median/MAD flags the planted outlier, resists it too") {
     val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val ev = Seq(1.0, 2.0, 3.0, 4.0, 100.0).zipWithIndex.map { case (v, i) =>
