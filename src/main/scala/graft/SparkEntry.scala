@@ -209,6 +209,24 @@ object SparkEntry {
     // first-touch time. view -> click -> purchase over the event stream.
     "event_funnel" -> ((s, dir) =>
       EventWindows.funnel(Tables.events(s, dir), Seq("view", "click", "purchase"))),
+    // Day x type pivot with an EXPLICIT column contract (no distinct-scan).
+    "events_pivot" -> ((s, dir) =>
+      EventWindows.dailyTypePivot(Tables.events(s, dir),
+        Seq("click", "error", "purchase", "signup", "view"))),
+    // Quality-proportional deterministic sampling: bucket < quality*10000.
+    "sample_weighted" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.pipeline.Curation.sampleWeighted(docs, "text",
+        TextAnalysis.qualityScore(col("text")))
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          graft.pipeline.Curation.sampleBucket(col("text")).as("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+    // Whole-source mirror detection: shared distinct 3-gram counts per
+    // source pair.
+    "source_overlap_matrix" -> ((s, dir) =>
+      TextAnalysis.sourceOverlapMatrix(Tables.documents(s, dir), "source", "text", 3)),
     "retention_cohorts" -> ((s, dir) =>
       EventWindows.retentionCohorts(Tables.events(s, dir))),
     // SCD2: the keyed change stream -> validity intervals (the layout AsOf
@@ -813,6 +831,36 @@ object SparkEntry {
         |SELECT source, CAST(rk AS BIGINT) AS rk, term, tf, n_sources
         |FROM r WHERE rk <= 10
         |ORDER BY source, rk""".stripMargin,
+    "events_pivot" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS "view"
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY 1 ORDER BY day""".stripMargin,
+    "sample_weighted" -> {
+      val q = graft.text.TextAnalysis.sqlQuality("text")
+      s"""SELECT doc_id, source, $q AS quality,
+         |  CAST(('0x' || substring(md5(text), 1, 8))::UBIGINT % 10000 AS BIGINT) AS bucket
+         |FROM documents
+         |WHERE CAST(('0x' || substring(md5(text), 1, 8))::UBIGINT % 10000 AS BIGINT) < $q * 10000.0
+         |ORDER BY doc_id""".stripMargin
+    },
+    "source_overlap_matrix" ->
+      """WITH tok AS (
+        |  SELECT COALESCE(source, 'Unknown') AS source,
+        |         regexp_extract_all(lower(text), '\S+') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT source, sh FROM (
+        |    SELECT source, UNNEST(list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+        |    FROM tok))
+        |SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+        |FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "event_funnel" ->
       """WITH s1 AS (
         |  SELECT user_id, MIN(ts) AS t1 FROM events

@@ -28,6 +28,19 @@ object Curation {
   def sampleDeterministic(df: DataFrame, keyCol: String, rateBp: Int): DataFrame =
     df.filter(sampleBucket(col(keyCol)) < rateBp)
 
+  /** Quality-weighted deterministic sampling (`sample_weighted` query):
+    * keep a row with probability `weight` (∈ [0,1], e.g. a quality score)
+    * — the "sample good documents more" curation step (DoReMi/DataComp-
+    * style quality-proportional selection) — while KEEPING the
+    * [[sampleBucket]] contract: content-keyed (duplicates decide
+    * together), reproducible in any engine, re-drawable, and NESTED under
+    * any uniform sample with rate ≥ max weight. Pure per-row expression:
+    * the same row survives iff its bucket < weight·10000, no RNG state.
+    * The weight must be a deterministic expression both engines compute
+    * identically (quality scores here are IEEE-exact by construction). */
+  def sampleWeighted(df: DataFrame, keyCol: String, weight: Column): DataFrame =
+    df.filter(sampleBucket(col(keyCol)).cast("double") < weight * 10000.0)
+
   /** Deterministic train/val/test split (`corpus_split` query): name a
     * split for each row from its [[sampleBucket]] — the last `testBp` basis
     * points are test, the `valBp` before them val, the rest train.

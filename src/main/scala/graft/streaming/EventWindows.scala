@@ -63,6 +63,21 @@ object EventWindows {
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
+  /** Day × event-type pivot (`events_pivot` query): one row per day, one
+    * count column per type. The type list is EXPLICIT — `pivot(col)`
+    * without values runs an extra distinct-collect job over the stream and
+    * bakes a data-dependent schema (both wrong at 100 TB; a pivot's
+    * columns are a contract, not a discovery). Plan is a single hash
+    * aggregate on day — the pivot compiles to conditional counts, not a
+    * join per type. */
+  def dailyTypePivot(events: DataFrame, types: Seq[String]): DataFrame =
+    events.filter(col("ts").isNotNull)
+      .groupBy(to_date(col("ts")).as("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .orderBy(col("day"))
+
   /** Ordered-funnel completion (`event_funnel` query): per step, how many
     * users reached it, where step k counts only if it happens STRICTLY
     * AFTER the user's step-(k−1) completion time (first-touch attribution:

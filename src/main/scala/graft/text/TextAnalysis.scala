@@ -208,6 +208,33 @@ object TextAnalysis {
       .orderBy(col("source"), col("rk"))
   }
 
+  /** Cross-source overlap matrix (`source_overlap_matrix` query): for each
+    * source pair, how many distinct n-gram shingles they share — the
+    * corpus-level audit behind "is source B just a scrape of source A"
+    * (pairs with near-total overlap are mirror candidates for
+    * whole-SOURCE dedup before any per-document pass).
+    *
+    * Shape: distinct (source, shingle) pairs [one agg shuffle on the
+    * shingle stream] → self-equi-join on shingle [second shuffle] →
+    * count per source pair. Fan-out per shingle is bounded by the number
+    * of sources carrying it (≤ |sources|, a config-scale constant — never
+    * corpus-scale); the output is at most |sources|² rows. */
+  def sourceOverlapMatrix(docs: DataFrame, sourceCol: String, textCol: String,
+                          n: Int): DataFrame = {
+    val sh = graft.Par.widen(docs)
+      .select(coalesce(col(sourceCol), lit("Unknown")).as("source"),
+        explode(array_distinct(shingles(col(textCol), n))).as("sh"))
+      .distinct()
+      .localCheckpoint(true) // one shingle pass feeds both join sides
+    val a = sh.select(col("source").as("source_a"), col("sh"))
+    val b = sh.select(col("source").as("source_b"), col("sh"))
+    a.join(b, Seq("sh"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** 64-bit whole-document fingerprint + min-shingle rolling fingerprint
     * (the winnowing primitive: min over the 3-gram shingle hash stream).
     * Engine-specific hash (xxhash64) — no SQL oracle; pinned by specs. */

@@ -54,6 +54,20 @@ class CurationSpec extends SparkSpec {
     assert(again == byId)
   }
 
+  test("sampleWeighted: probability-proportional, deterministic, nested") {
+    // weight 1.0 keeps everything; weight 0.0 keeps nothing
+    assert(Curation.sampleWeighted(docs, "text", lit(1.0)).count() == 5)
+    assert(Curation.sampleWeighted(docs, "text", lit(0.0)).count() == 0)
+    // weighted sample nests inside any uniform sample with rate >= weight
+    val w = Curation.sampleWeighted(docs, "text", lit(0.3))
+      .select("doc_id").as[Long].collect().toSet
+    val u = Curation.sampleDeterministic(docs, "text", 3000)
+      .select("doc_id").as[Long].collect().toSet
+    assert(w == u) // constant weight 0.3 IS the 30% uniform sample
+    // duplicates decide together (content key)
+    assert(w.contains(1L) == w.contains(2L))
+  }
+
   test("quotaPerGroup caps each group by the given order") {
     val out = Curation.quotaPerGroup(docs, "source", 2,
       Seq($"doc_id".asc)).select("source", "doc_id", "rk")

@@ -235,6 +235,23 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq == Seq((1, "view", 3L), (2, "click", 2L), (3, "purchase", 1L)))
   }
 
+  test("dailyTypePivot: explicit columns, zero-filled, matches long counts") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (2L, ts("2024-01-01 11:00:00"), 1L, "view"),
+      (3L, ts("2024-01-01 12:00:00"), 2L, "click"),
+      (4L, ts("2024-01-02 12:00:00"), 2L, "purchase")
+    ).map { case (id, t, u, k) => (id, t, u, k, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventWindows.dailyTypePivot(ev, Seq("view", "click", "purchase"))
+    assert(out.columns.toSeq == Seq("day", "view", "click", "purchase"))
+    val rows = out.collect().map(r =>
+      (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      ("2024-01-01", 2L, 1L, 0L), ("2024-01-02", 0L, 0L, 1L)))
+  }
+
   test("retentionCohorts: first-seen day anchors the offsets") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(

@@ -56,6 +56,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2).isNullAt(2))                                // < 3 tokens → null
   }
 
+  test("sourceOverlapMatrix: counts shared distinct shingles once per pair") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps", "s1"),
+      (2L, "the quick brown fox jumps", "s2"),   // mirror of s1
+      (3L, "the quick brown fox jumps", "s2"),   // dup inside s2: no double count
+      (4L, "entirely different words here now", "s3")
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.sourceOverlapMatrix(docs, "source", "text", 3)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    // s1/s2 share the 3 shingles of the sentence; s3 shares nothing
+    assert(out == Map(("s1", "s2") -> 3L))
+  }
+
   test("distinctiveTerms: rare-source gate kills common phrases, ranks by tf") {
     val docs = Seq(
       (1L, "alpha beta alpha beta gamma", "s1"), // "alpha beta" x2
