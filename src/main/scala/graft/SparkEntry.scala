@@ -78,6 +78,11 @@ object SparkEntry {
     // near-dup keepers. One oracle pins the whole composition.
     "corpus_clean" -> ((s, dir) =>
       graft.pipeline.CorpusClean(Tables.documents(s, dir))),
+    // Same composition with the corpus-wide MinHash->verify->CC dedup feed
+    // (no blocking key) — the form you'd run at 100 TB. Oracle: corpus-wide
+    // exact quadratic CC (LSH misses a J>=0.9 pair with prob ~4e-8).
+    "corpus_clean_scaled" -> ((s, dir) =>
+      graft.pipeline.CorpusClean.scaled(Tables.documents(s, dir))),
     // The 100 TB composition end-to-end: MinHash banding -> exact verify
     // -> connected components, corpus-wide (no blocking key). The oracle
     // runs the exact quadratic CC: LSH misses a J>=0.9 pair with prob
@@ -511,6 +516,36 @@ object SparkEntry {
          |      round(len(list_filter(a.toks, x -> list_contains(b.toks, x)))::DOUBLE /
          |            nullif(len(list_distinct(a.toks || b.toks)), 0)::DOUBLE, 4) AS jaccard
          |    FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id)
+         |  WHERE jaccard >= 0.9),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+         |          UNION ALL SELECT id_b, id_a FROM jp),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS label FROM filtered
+         |  UNION
+         |  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id),
+         |keepers AS (SELECT id, MIN(label) AS keeper_id FROM reach GROUP BY id)
+         |SELECT f.doc_id, f.source, $q AS quality
+         |FROM filtered f JOIN keepers k ON f.doc_id = k.id AND k.keeper_id = f.doc_id
+         |ORDER BY f.doc_id""".stripMargin
+    },
+    "corpus_clean_scaled" -> {
+      val q = graft.text.TextAnalysis.sqlQuality("text")
+      val l = graft.text.TextAnalysis.sqlLangId("text")
+      // corpus_clean's oracle MINUS the `a.source = b.source` block
+      // predicate: the scaled path dedups corpus-wide.
+      s"""WITH RECURSIVE filtered AS (
+         |  SELECT doc_id, source, text FROM documents
+         |  WHERE $q >= 0.5 AND $l = 'en'),
+         |t AS (
+         |  SELECT doc_id,
+         |         list_distinct(regexp_extract_all(lower(text), '\\S+')) AS toks
+         |  FROM filtered),
+         |jp AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |      round(len(list_filter(a.toks, x -> list_contains(b.toks, x)))::DOUBLE /
+         |            nullif(len(list_distinct(a.toks || b.toks)), 0)::DOUBLE, 4) AS jaccard
+         |    FROM t a JOIN t b ON a.doc_id < b.doc_id)
          |  WHERE jaccard >= 0.9),
          |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
          |          UNION ALL SELECT id_b, id_a FROM jp),

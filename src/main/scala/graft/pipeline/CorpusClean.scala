@@ -30,13 +30,35 @@ object CorpusClean {
   def apply(docs: DataFrame, minQuality: Double = 0.5, lang: String = "en",
             dedupThreshold: Double = 0.9,
             idCol: String = "doc_id", textCol: String = "text",
-            blockCol: String = "source"): DataFrame = {
+            blockCol: String = "source"): DataFrame =
+    build(docs, minQuality, lang, idCol, textCol, blockCol,
+      f => Dedup.nearDupKeepers(f, idCol, textCol, blockCol, dedupThreshold))
+
+  /** The 100 TB variant (`corpus_clean_scaled` query): identical stages,
+    * but the dedup feed is the CORPUS-WIDE MinHash→verify→CC path
+    * ([[Dedup.nearDupKeepersScaled]]) — no blocking key, bucketed
+    * candidate generation. Note the semantics differ from [[apply]] by
+    * design: the exact path dedups within `blockCol` blocks (the audit
+    * contract), this one across the whole corpus (what you actually want
+    * at scale — cross-source mirrors merge). Equal to corpus-wide exact
+    * Jaccard up to LSH recall (a J ≥ 0.9 pair is missed with prob ≈ 4e-8),
+    * so the DuckDB oracle runs the corpus-wide quadratic CC and
+    * hash-matches — the same oracle discipline as `dedup_keepers_scaled`. */
+  def scaled(docs: DataFrame, minQuality: Double = 0.5, lang: String = "en",
+             dedupThreshold: Double = 0.9,
+             idCol: String = "doc_id", textCol: String = "text",
+             blockCol: String = "source"): DataFrame =
+    build(docs, minQuality, lang, idCol, textCol, blockCol,
+      f => Dedup.nearDupKeepersScaled(f, idCol, textCol, dedupThreshold))
+
+  private def build(docs: DataFrame, minQuality: Double, lang: String,
+                    idCol: String, textCol: String, blockCol: String,
+                    keepersOf: DataFrame => DataFrame): DataFrame = {
     val filtered = docs
       .filter(TextAnalysis.qualityScore(col(textCol)) >= minQuality &&
         TextAnalysis.langId(col(textCol)) === lang)
       .localCheckpoint(true) // feeds the pair join, the CC ids, and the output
-    val keepers = Dedup
-      .nearDupKeepers(filtered, idCol, textCol, blockCol, dedupThreshold)
+    val keepers = keepersOf(filtered)
       .filter(col("doc_id") === col("keeper_id"))
       .select(col("doc_id"))
     filtered

@@ -32,4 +32,24 @@ class CorpusCleanSpec extends SparkSpec {
     val clean = CorpusClean(docs).select("doc_id").as[Long].collect().sorted.toSeq
     assert(clean == Seq(2L, 3L), s"clean=$clean")
   }
+
+  test("scaled (corpus-wide) survivors are a subset of the blocked survivors") {
+    // Corpus-wide dedup merges every pair the blocked path merges PLUS
+    // cross-source mirrors: each blocked component sits inside a corpus-
+    // wide one, and a doc that is min of the bigger component is min of
+    // its sub-component — so scaled survivors ⊆ blocked survivors.
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, dir)
+    val blocked = CorpusClean(docs).select("doc_id").as[Long].collect().toSet
+    val scaled = CorpusClean.scaled(docs).select("doc_id").as[Long].collect().toSet
+    assert(scaled.subsetOf(blocked), s"extra scaled survivors: ${scaled -- blocked}")
+    assert(scaled.nonEmpty)
+    // and both compositions apply the same quality/language gate: every
+    // survivor set is drawn from the same filtered universe
+    val gated = docs.filter(
+      graft.text.TextAnalysis.qualityScore(col("text")) >= 0.5 &&
+        graft.text.TextAnalysis.langId(col("text")) === "en")
+      .select("doc_id").as[Long].collect().toSet
+    assert(blocked.subsetOf(gated))
+  }
 }
