@@ -232,6 +232,12 @@ object SparkEntry {
     // source pair.
     "source_overlap_matrix" -> ((s, dir) =>
       TextAnalysis.sourceOverlapMatrix(Tables.documents(s, dir), "source", "text", 3)),
+    // Vocabulary build + id encoding (OOV -> 0): cleaning -> ids -> packing.
+    "vocab_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.encodeTokens(docs, "doc_id", "text",
+        TextAnalysis.vocabulary(docs, "text", 20))
+    }),
     "retention_cohorts" -> ((s, dir) =>
       EventWindows.retentionCohorts(Tables.events(s, dir))),
     // SCD2: the keyed change stream -> validity intervals (the layout AsOf
@@ -883,6 +889,25 @@ object SparkEntry {
          |WHERE CAST(('0x' || substring(md5(text), 1, 8))::UBIGINT % 10000 AS BIGINT) < $q * 10000.0
          |ORDER BY doc_id""".stripMargin
     },
+    "vocab_encode" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+        |  FROM documents),
+        |vc AS (
+        |  SELECT token, COUNT(*) AS n FROM (
+        |    SELECT UNNEST(toks) AS token FROM tok) GROUP BY 1),
+        |vocab AS (
+        |  SELECT token,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS BIGINT) AS token_id
+        |  FROM vc ORDER BY n DESC, token ASC LIMIT 20),
+        |e AS (
+        |  SELECT doc_id, UNNEST(list_transform(range(1, len(toks) + 1),
+        |    i -> {'pos': i, 'token': toks[i]})) AS u
+        |  FROM tok),
+        |e2 AS (SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.token AS token FROM e)
+        |SELECT e2.doc_id, e2.pos, COALESCE(v.token_id, 0) AS token_id
+        |FROM e2 LEFT JOIN vocab v USING (token)
+        |ORDER BY doc_id, pos""".stripMargin,
     "source_overlap_matrix" ->
       """WITH tok AS (
         |  SELECT COALESCE(source, 'Unknown') AS source,

@@ -208,6 +208,45 @@ object TextAnalysis {
       .orderBy(col("source"), col("rk"))
   }
 
+  /** Top-`size` token vocabulary by corpus frequency, ids assigned by
+    * (count desc, token asc) — integer-only ordering, so the id map is
+    * engine-exact and stable. Returns (token, token_id ∈ 1..size).
+    *
+    * One hash aggregate over the token stream (map-side combined), then a
+    * top-`size` heap (`TakeOrderedAndProject` — never a global sort) and a
+    * row_number over the ≤size survivors. The single-partition window is
+    * deliberate: a vocabulary is a CONFIG-SCALE artifact (30k-200k rows),
+    * never corpus-scale — same driver-side discipline as the k-means
+    * centroid matrix. */
+  def vocabulary(docs: DataFrame, textCol: String, size: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("token").asc)
+    graft.Par.widen(docs)
+      .select(explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(size)
+      .withColumn("token_id", row_number().over(w).cast("long"))
+      .select(col("token"), col("token_id"))
+  }
+
+  /** Id-encode documents against a vocabulary (`vocab_encode` query): one
+    * row per token position, OOV → id 0 (the <unk> convention). The step
+    * between cleaning and sequence packing in a training-data pipeline.
+    *
+    * posexplode (pure fan-out, no shuffle) → broadcast join against the
+    * config-scale vocab — the token stream itself never re-keys; at 100 TB
+    * this is a map-only stage. */
+  def encodeTokens(docs: DataFrame, idCol: String, textCol: String,
+                   vocab: DataFrame): DataFrame =
+    graft.Par.widen(docs)
+      .select(col(idCol),
+        posexplode(tokens(lower(col(textCol)))).as(Seq("pos0", "token")))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .select(col(idCol), (col("pos0") + 1).cast("long").as("pos"),
+        coalesce(col("token_id"), lit(0L)).as("token_id"))
+      .orderBy(col(idCol), col("pos"))
+
   /** Cross-source overlap matrix (`source_overlap_matrix` query): for each
     * source pair, how many distinct n-gram shingles they share — the
     * corpus-level audit behind "is source B just a scrape of source A"
