@@ -77,6 +77,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ > 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failures":$failures}""")
+    // Compact FINAL line (round-4 verdict): the driver's tail capture once
+    // truncated the head of the (long) per-query line above, losing the
+    // first ~15 entries. This short trailer is always intact and carries
+    // the headline numbers: total over ALL queries, failure count, query
+    // count, and the top-10 slowest (the ones worth reading first).
+    val slowest = results.filter(_._2 > 0).sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_queries":${results.size},"failures":$failures,"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

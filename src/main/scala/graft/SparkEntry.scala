@@ -291,10 +291,14 @@ object SparkEntry {
     // Bloom-prefiltered decontamination: bit-probe drops non-overlapping
     // shingles before the exact verify join. No false negatives + exact
     // verify => row-identical to `decontaminate`; same oracle hash-checks it.
+    // expectedItems: caller-supplied upper bound on the benchmark's
+    // distinct shingles — skips the sizing count() job (the filter only
+    // gets some spare bits; output unchanged).
     "decontaminate_bloom" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       graft.pipeline.Curation.decontaminateBloom(docs, "doc_id", "text",
-        docs.filter(col("doc_id") % 97 === 0), "text", 3, 5L)
+        docs.filter(col("doc_id") % 97 === 0), "text", 3, 5L,
+        expectedItems = 1000000L)
     }),
     // Deterministic content-keyed train/val/test split (90/5/5).
     "corpus_split" -> ((s, dir) =>

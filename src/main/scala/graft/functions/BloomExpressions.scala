@@ -25,9 +25,23 @@ object BloomFunctions {
     *
     * `expectedItems` sizes the filter; `numBits` caps its memory
     * (m = items·20 bits ≈ 0.63% false-positive rate at the default
-    * loading). Both must be positive literals. */
+    * loading). Both must be positive literals.
+    *
+    * Conf dependency (round-4 advice): `BloomFilterAggregate` silently
+    * clamps its arguments via `Math.min` against
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` (default 2^26)
+    * and `.maxNumItems` (default 4M) — above ~3.3M items the filter would
+    * quietly get fewer bits than requested, raising the fpp without any
+    * error. Correctness of graft's bloom users is unaffected (they all
+    * exact-verify survivors), but the prefilter's benefit would shrink, so
+    * raise the two session confs to cover the request before building. */
   def bloomFilterAgg(itemHash: Column, expectedItems: Long, numBits: Long): Column = {
     require(expectedItems > 0 && numBits > 0, "need positive items/bits")
+    val conf = org.apache.spark.sql.SparkSession.active.conf
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    if (conf.get(bitsKey).toLong < numBits) conf.set(bitsKey, numBits)
+    if (conf.get(itemsKey).toLong < expectedItems) conf.set(itemsKey, expectedItems)
     ExpressionUtils.column(new BloomFilterAggregate(
       ExpressionUtils.expression(itemHash),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression())

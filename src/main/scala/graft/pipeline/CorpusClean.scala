@@ -43,12 +43,17 @@ object CorpusClean {
     * at scale — cross-source mirrors merge). Equal to corpus-wide exact
     * Jaccard up to LSH recall (a J ≥ 0.9 pair is missed with prob ≈ 4e-8),
     * so the DuckDB oracle runs the corpus-wide quadratic CC and
-    * hash-matches — the same oracle discipline as `dedup_keepers_scaled`. */
+    * hash-matches — the same oracle discipline as `dedup_keepers_scaled`.
+    *
+    * `sourceCol` is carried through to the OUTPUT projection only — unlike
+    * [[apply]]'s `blockCol` it is NOT a blocking key (renamed per round-4
+    * advice: the scaled dedup is corpus-wide by design, and a parameter
+    * named `blockCol` invited callers to believe blocking was honored). */
   def scaled(docs: DataFrame, minQuality: Double = 0.5, lang: String = "en",
              dedupThreshold: Double = 0.9,
              idCol: String = "doc_id", textCol: String = "text",
-             blockCol: String = "source"): DataFrame =
-    build(docs, minQuality, lang, idCol, textCol, blockCol,
+             sourceCol: String = "source"): DataFrame =
+    build(docs, minQuality, lang, idCol, textCol, sourceCol,
       f => Dedup.nearDupKeepersScaled(f, idCol, textCol, dedupThreshold))
 
   private def build(docs: DataFrame, minQuality: Double, lang: String,

@@ -306,16 +306,21 @@ object Curation {
   def decontaminateBloom(docs: DataFrame, idCol: String, textCol: String,
                          benchmark: DataFrame, benchTextCol: String,
                          n: Int, overlapThreshold: Long,
-                         bitsPerItem: Int = 20): DataFrame = {
+                         bitsPerItem: Int = 20,
+                         expectedItems: Long = -1L): DataFrame = {
     import graft.text.TextAnalysis.shingles
     import org.apache.spark.sql.graft.BloomFunctions
     val benchSh = benchmark
       .select(explode(array_distinct(shingles(col(benchTextCol), n))).as("sh"))
       .distinct()
       .localCheckpoint(true) // one pass feeds both the Bloom build and the verify join
-    // Size from the actual distinct-shingle count (cheap: benchmarks are
-    // small by contract — and the count is free off the checkpoint).
-    val items = math.max(benchSh.count(), 1L)
+    // Size from `expectedItems` when the caller knows (or bounds) the
+    // benchmark's distinct-shingle count — one Spark job fewer (round-4
+    // advice). Oversizing only wastes filter bits, undersizing only raises
+    // fpp: the exact verify join keeps the OUTPUT identical either way, so
+    // a rough upper bound is a fine input. Fallback: count off the
+    // checkpoint (cheap — benchmarks are small by contract).
+    val items = if (expectedItems > 0) expectedItems else math.max(benchSh.count(), 1L)
     val bloom = benchSh
       .agg(BloomFunctions.bloomFilterAgg(xxhash64(col("sh")), items,
         math.min(items * bitsPerItem, 1L << 27)).as("bf"))

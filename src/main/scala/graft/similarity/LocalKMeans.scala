@@ -23,7 +23,14 @@ import Similarity.asDouble
   */
 private[similarity] object LocalKMeans {
 
-  /** Sample ≤ maxFitRows vectors of `vecCol` to the driver (one job). */
+  /** Sample ~maxFitRows vectors of `vecCol` to the driver (one job).
+    *
+    * Bernoulli `df.sample` bounds the count in EXPECTATION only — the
+    * collected sample can overshoot by a few percent — so the hard
+    * driver-memory bound is enforced after the collect: the array is
+    * truncated to maxFitRows rows (round-4 advice). Truncation order is
+    * the collect order (partition order), which is stable for a fixed
+    * input/partitioning, so fits stay deterministic run-to-run. */
   def sampleRows(candidates: DataFrame, vecCol: String, maxFitRows: Long,
                  seed: Long): Array[Array[Double]] = {
     val vecs = candidates.select(asDouble(col(vecCol)).as("arr"))
@@ -32,7 +39,9 @@ private[similarity] object LocalKMeans {
       if (total > maxFitRows) vecs.sample(withReplacement = false,
         fraction = maxFitRows.toDouble / total, seed = seed)
       else vecs
-    sampled.collect().map(_.getSeq[Double](0).toArray)
+    sampled.collect()
+      .take(math.min(maxFitRows, Int.MaxValue.toLong).toInt)
+      .map(_.getSeq[Double](0).toArray)
   }
 
   /** Seeded Lloyd's k-means on in-memory rows: deterministic shuffled
