@@ -99,6 +99,40 @@ object SparkEntry {
     // pinned in WinnowSpec.
     "winnow_overlaps" -> ((s, dir) =>
       graft.dedup.Winnow.overlaps(Tables.documents(s, dir), "doc_id", "text")),
+    // ---- [EXT] exact sub-document dedup (paragraph / token-span) ----
+    // Keep-first paragraph dedup on a multi-paragraph fixture (the corpus
+    // fixtures are single-line): repeated license/nav/footer paragraphs
+    // are removed from every doc after their first occurrence; documents
+    // rebuild from kept paragraphs in order. Plain window+groupBy -> full
+    // DuckDB oracle.
+    "paragraph_dedup" -> ((s, _) => {
+      import s.implicits._
+      graft.dedup.ParagraphDedup.dedupParagraphs(
+        ParagraphFixture.docs.toDF("doc_id", "text"), "doc_id", "text")
+    }),
+    // RefinedWeb df-threshold policy: only paragraphs occurring >= 3
+    // times corpus-wide are deduped; the 2-occurrence repeat survives in
+    // both its docs (vs paragraph_dedup, which removes it).
+    "paragraph_dedup_df" -> ((s, _) => {
+      import s.implicits._
+      graft.dedup.ParagraphDedup.dedupParagraphs(
+        ParagraphFixture.docs.toDF("doc_id", "text"), "doc_id", "text",
+        minOccurrences = 3L)
+    }),
+    // The removed-spans audit: every repeated paragraph with occurrence/
+    // doc counts and its keeper position.
+    "paragraph_dedup_audit" -> ((s, _) => {
+      import s.implicits._
+      graft.dedup.ParagraphDedup.audit(
+        graft.dedup.ParagraphDedup.paragraphUnits(
+          ParagraphFixture.docs.toDF("doc_id", "text"), "doc_id", "text"))
+    }),
+    // Same operator at token-block granularity over the corpus table (the
+    // Lee-et-al. exact-span form for paragraph-free text): 20-token
+    // blocks, keep-first. Exercises the corpus-scale path + oracle.
+    "span_dedup" -> ((s, dir) =>
+      graft.dedup.ParagraphDedup.dedupSpans(Tables.documents(s, dir),
+        "doc_id", "text", 20)),
     // ---- [EXT] similarity search ----
     "knn_bruteforce" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -365,9 +399,95 @@ object SparkEntry {
       |FROM tok t LEFT JOIN o ON t.doc_id = o.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Shared paragraph-dedup oracle prefix: fixture VALUES -> split on
+    * blank lines -> 0-based idx -> normalize (collapse ws + trim + lower,
+    * the [[graft.dedup.ParagraphDedup.normalize]] contract) -> keep-first
+    * window. `paragraph_dedup`, `paragraph_dedup_df`, and
+    * `paragraph_dedup_audit` all build on it. */
+  private def paragraphCte: String = {
+    val values = ParagraphFixture.docs
+      .map { case (id, t) =>
+        s"($id, e'${t.replace("'", "''").replace("\n", "\\n")}')" }
+      .mkString(",\n        ")
+    s"""WITH d AS (SELECT * FROM (VALUES
+       |        $values) t(doc_id, text)),
+       |u AS (
+       |  SELECT doc_id, CAST(w.i - 1 AS BIGINT) AS idx, w.raw AS raw,
+       |    lower(trim(regexp_replace(w.raw, '\\s+', ' ', 'g'))) AS norm
+       |  FROM (
+       |    SELECT doc_id, UNNEST(list_transform(range(1, len(parts) + 1),
+       |      i -> {'i': i, 'raw': parts[i]})) AS w
+       |    FROM (SELECT doc_id, regexp_split_to_array(text, '\\n{2,}') AS parts FROM d))),
+       |uu AS (SELECT * FROM u WHERE norm <> ''),
+       |m AS (
+       |  SELECT doc_id, idx, raw, norm,
+       |    ROW_NUMBER() OVER (PARTITION BY norm ORDER BY doc_id, idx) AS rn,
+       |    COUNT(*) OVER (PARTITION BY norm) AS n_occ
+       |  FROM uu)""".stripMargin
+  }
+
+  /** Cleaned-documents tail of the paragraph oracle, parameterized by the
+    * df threshold (minOcc = 2 -> plain keep-first). */
+  private def paragraphCleanSql(minOcc: Long): String =
+    s"""$paragraphCte,
+       |k AS (SELECT * FROM m WHERE rn = 1 OR n_occ < $minOcc),
+       |agg AS (
+       |  SELECT doc_id, string_agg(raw, e'\\n\\n' ORDER BY idx) AS text_clean,
+       |    CAST(COUNT(*) AS BIGINT) AS n_kept
+       |  FROM k GROUP BY 1),
+       |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_units FROM uu GROUP BY 1)
+       |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       |  COALESCE(agg.text_clean, '') AS text_clean,
+       |  COALESCE(agg.n_kept, 0) AS n_kept,
+       |  COALESCE(tot.n_units, 0) - COALESCE(agg.n_kept, 0) AS n_removed
+       |FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id
+       |       LEFT JOIN tot ON d.doc_id = tot.doc_id
+       |ORDER BY doc_id""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "paragraph_dedup" -> paragraphCleanSql(2L),
+    "paragraph_dedup_df" -> paragraphCleanSql(3L),
+    "paragraph_dedup_audit" ->
+      s"""$paragraphCte,
+         |a AS (
+         |  SELECT norm, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |  FROM uu GROUP BY 1),
+         |k1 AS (SELECT norm, CAST(doc_id AS BIGINT) AS keeper_doc_id,
+         |         idx AS keeper_idx FROM m WHERE rn = 1)
+         |SELECT a.norm AS paragraph, n_occurrences, n_docs, keeper_doc_id, keeper_idx
+         |FROM a JOIN k1 ON a.norm = k1.norm
+         |WHERE n_occurrences >= 2
+         |ORDER BY n_occurrences DESC, paragraph ASC""".stripMargin,
+    "span_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+        |u AS (
+        |  SELECT doc_id, CAST((s - 1) // 20 AS BIGINT) AS idx,
+        |    array_to_string(list_slice(toks, s, least(s + 19, len(toks))), ' ') AS raw
+        |  FROM (SELECT doc_id, toks, UNNEST(range(1, len(toks) + 1, 20)) AS s
+        |        FROM t WHERE len(toks) > 0)),
+        |uu AS (SELECT doc_id, idx, raw, lower(raw) AS norm FROM u),
+        |m AS (
+        |  SELECT doc_id, idx, raw, norm,
+        |    ROW_NUMBER() OVER (PARTITION BY norm ORDER BY doc_id, idx) AS rn,
+        |    COUNT(*) OVER (PARTITION BY norm) AS n_occ
+        |  FROM uu),
+        |k AS (SELECT * FROM m WHERE rn = 1 OR n_occ < 2),
+        |agg AS (
+        |  SELECT doc_id, string_agg(raw, ' ' ORDER BY idx) AS text_clean,
+        |    CAST(COUNT(*) AS BIGINT) AS n_kept
+        |  FROM k GROUP BY 1),
+        |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_units FROM uu GROUP BY 1)
+        |SELECT d.doc_id AS doc_id,
+        |  COALESCE(agg.text_clean, '') AS text_clean,
+        |  COALESCE(agg.n_kept, 0) AS n_kept,
+        |  COALESCE(tot.n_units, 0) - COALESCE(agg.n_kept, 0) AS n_removed
+        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        |       LEFT JOIN tot ON d.doc_id = tot.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "decontaminate_bloom" -> DecontaminateSql,
     "corpus_split" ->
       """SELECT doc_id, source,
@@ -1142,6 +1262,31 @@ object PiiFixture {
     (3L, "no sensitive content here, just words and the number 42"),
     (4L, "mail bob@corp.io and carol_d@mail.example.org from 555-867-5309"),
     (5L, "edge: version 1.2.3.4 of the lib pinged 8.8.8.8 at dawn"))
+}
+
+/** Inline multi-paragraph corpus for the paragraph-dedup queries (the
+  * synthetic documents table is single-line text, so paragraph structure
+  * needs its own fixture; the same literals feed the VALUES oracle).
+  * Engineered edges: a case/whitespace variant of the license paragraph
+  * (doc 3 — normalization must merge it), a pure-boilerplate doc (5 —
+  * must come back empty), a whitespace-only paragraph (doc 7 — dropped,
+  * counted neither kept nor removed), and a 2-occurrence repeat (docs
+  * 7/8 — removed at minOccurrences=2, SURVIVES at 3). */
+object ParagraphFixture {
+  private val License =
+    "This document is licensed under the Creative Commons Attribution license."
+  private val Nav = "Home | About | Contact | Privacy Policy"
+  private val Subscribe = "Subscribe to our newsletter for weekly updates."
+  val docs: Seq[(Long, String)] = Seq(
+    (1L, s"$License\n\nSpark shuffles data between stages when keys change.\n\n$Nav"),
+    (2L, s"$License\n\nBroadcast joins avoid shuffles for small dimension tables.\n\n$Nav"),
+    (3L, "  this   DOCUMENT is Licensed under the creative commons attribution license.  " +
+      s"\n\nPartition pruning skips files outside the predicate range.\n\n$Subscribe"),
+    (4L, s"$Nav\n\n$Subscribe\n\nAdaptive execution re-plans joins at runtime using observed sizes."),
+    (5L, s"$License\n\n$Nav\n\n$Subscribe"),
+    (6L, "A wholly unique document with a single paragraph."),
+    (7L, s"Columnar formats let scans skip unread columns.\n\n   \n\n$Subscribe"),
+    (8L, s"Columnar formats let scans skip unread columns.\n\n$License"))
 }
 
 object IngestFixture {
