@@ -238,6 +238,12 @@ object SparkEntry {
     // the fixtures' token vocabulary is corpus-wide, phrases discriminate.
     "distinctive_terms" -> ((s, dir) =>
       TextAnalysis.distinctiveTerms(Tables.documents(s, dir), "source", "text", 2, 3, 10)),
+    // BM25 relevance scoring: per-row tf expressions + one corpus-stats
+    // aggregate, top-k heap. Identical float expression tree (and ln) on
+    // the DuckDB side, rounded to 4 decimals -> full oracle.
+    "bm25_topk" -> ((s, dir) =>
+      graft.text.Relevance.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+        Seq("spark", "vector", "customer"), 15)),
     // Median/MAD robust outlier report per event type (exact interpolated
     // percentile == DuckDB quantile_cont, as order_percentiles pinned).
     "value_outliers" -> ((s, dir) =>
@@ -461,6 +467,8 @@ object SparkEntry {
          |FROM a JOIN k1 ON a.norm = k1.norm
          |WHERE n_occurrences >= 2
          |ORDER BY n_occurrences DESC, paragraph ASC""".stripMargin,
+    "bm25_topk" ->
+      graft.text.Relevance.sqlBm25TopK(Seq("spark", "vector", "customer"), 15),
     "span_dedup" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
