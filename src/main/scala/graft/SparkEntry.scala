@@ -293,12 +293,20 @@ object SparkEntry {
         graft.sources.ZOrder.morton2(
           col("o_custkey") % 1024, col("o_orderkey") % 1024, 10).as("z"))
         .orderBy(col("o_orderkey"))),
-    // Sampled estimate: deterministic subsample -> scaled counts. Sampling
-    // error around the threshold is by design -> rows-only check;
-    // CurationSpec pins the estimate on a planted corpus.
+    // Sampled estimate: deterministic md5-bucket subsample -> scaled
+    // counts. The sample is engine-reproducible and the estimate one
+    // rounded division, so this carries a FULL oracle (upgraded from
+    // rows-only per the round-4 verdict); CurationSpec still pins the
+    // estimate-vs-exact error on a planted corpus.
     "boilerplate_ngrams_sampled" -> ((s, dir) =>
       graft.pipeline.Curation.boilerplateSampled(Tables.documents(s, dir),
         "text", 3, 5L, 2000)),
+    // Sampled source-overlap: the 100 TB form of source_overlap_matrix
+    // (shingle-keyed deterministic sample -> scaled estimates). Full
+    // oracle for the same reason.
+    "source_overlap_sampled" -> ((s, dir) =>
+      TextAnalysis.sourceOverlapSampled(Tables.documents(s, dir),
+        "source", "text", 3, 2000)),
     // Data mixing: per-source sampling rates (the dataset-assembly
     // recipe), md5-bucket deterministic like sample_deterministic.
     "corpus_mix" -> ((s, dir) =>
@@ -919,7 +927,35 @@ object SparkEntry {
         |  FROM t)
         |SELECT shingle, COUNT(*) AS df FROM s GROUP BY 1 HAVING df >= 5
         |ORDER BY df DESC, shingle ASC""".stripMargin,
-    // boilerplate_ngrams_sampled: sampling estimate — rows-only by design.
+    "boilerplate_ngrams_sampled" ->
+      """WITH s AS (
+        |  SELECT text FROM documents
+        |  WHERE ('0x' || substring(md5(text), 1, 8))::UBIGINT % 10000 < 2000),
+        |t AS (SELECT regexp_extract_all(lower(text), '\S+') AS toks FROM s),
+        |sh AS (
+        |  SELECT UNNEST(list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |  FROM t),
+        |c AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1)
+        |SELECT shingle, CAST(FLOOR(df * 10000 / 2000) AS BIGINT) AS df_est
+        |FROM c WHERE FLOOR(df * 10000 / 2000) >= 5
+        |ORDER BY df_est DESC, shingle ASC""".stripMargin,
+    "source_overlap_sampled" ->
+      """WITH tok AS (
+        |  SELECT COALESCE(source, 'Unknown') AS source,
+        |         regexp_extract_all(lower(text), '\S+') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT source, sh FROM (
+        |    SELECT source, UNNEST(list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+        |    FROM tok)
+        |  WHERE ('0x' || substring(md5(sh), 1, 8))::UBIGINT % 10000 < 2000)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_sampled,
+        |  CAST(FLOOR(COUNT(*) * 10000 / 2000) AS BIGINT) AS n_shared_est
+        |FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "events_in_sessions" ->
       """WITH m AS (
         |  SELECT user_id, ts,

@@ -257,7 +257,10 @@ object TextAnalysis {
     * shingle stream] → self-equi-join on shingle [second shuffle] →
     * count per source pair. Fan-out per shingle is bounded by the number
     * of sources carrying it (≤ |sources|, a config-scale constant — never
-    * corpus-scale); the output is at most |sources|² rows. */
+    * corpus-scale); the output is at most |sources|² rows. The distinct
+    * (source, shingle) SET is corpus-scale though — at 100 TB run
+    * [[sourceOverlapSampled]] first (deterministic shingle-keyed sample,
+    * scaled estimates) and reserve this exact form for audits. */
   def sourceOverlapMatrix(docs: DataFrame, sourceCol: String, textCol: String,
                           n: Int): DataFrame = {
     val sh = graft.Par.widen(docs)
@@ -271,6 +274,39 @@ object TextAnalysis {
       .filter(col("source_a") < col("source_b"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** Sampled cross-source overlap (`source_overlap_sampled` query) — the
+    * 100 TB form of [[sourceOverlapMatrix]], whose distinct
+    * (source, shingle) set is itself corpus-scale. Same discipline as
+    * [[graft.pipeline.Curation.boilerplateSampled]]: a DETERMINISTIC
+    * md5-bucket sample, then counts scaled back up.
+    *
+    * The sample is keyed by the SHINGLE CONTENT, which is what makes the
+    * estimate sound: a given shingle is in-sample for EVERY source or for
+    * none, so the shared-shingle count of a pair is a plain binomial
+    * sample of its true overlap (a per-(source,shingle)-row sample would
+    * instead quadratically thin the matches). The filter runs before the
+    * distinct, so the shingle stream shrinks by `rate` ahead of both
+    * shuffles. Deterministic md5 sampling means the estimate is
+    * reproducible in any engine — this query carries a full DuckDB
+    * oracle; the estimate-vs-exact error is pinned in TextAnalysisSpec. */
+  def sourceOverlapSampled(docs: DataFrame, sourceCol: String, textCol: String,
+                           n: Int, rateBp: Int): DataFrame = {
+    val sh = graft.Par.widen(docs)
+      .select(coalesce(col(sourceCol), lit("Unknown")).as("source"),
+        explode(array_distinct(shingles(col(textCol), n))).as("sh"))
+      .filter(graft.pipeline.Curation.sampleBucket(col("sh")) < rateBp)
+      .distinct()
+      .localCheckpoint(true) // one shingle pass feeds both join sides
+    val a = sh.select(col("source").as("source_a"), col("sh"))
+    val b = sh.select(col("source").as("source_b"), col("sh"))
+    a.join(b, Seq("sh"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_sampled"),
+        floor(count(lit(1)) * 10000L / rateBp).as("n_shared_est"))
       .orderBy(col("source_a"), col("source_b"))
   }
 

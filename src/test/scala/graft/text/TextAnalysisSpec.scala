@@ -69,6 +69,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Map(("s1", "s2") -> 3L))
   }
 
+  test("sourceOverlapSampled: estimates track exact overlap on a planted corpus") {
+    // Plant two sources sharing many shingles and a third sharing few:
+    // the scaled estimate must rank the pairs like the exact matrix and
+    // stay within sampling error of the exact counts.
+    def sentence(seed: Int) =
+      (0 until 12).map(i => s"w${(seed * 31 + i * 7) % 400}").mkString(" ")
+    val shared = (1 to 120).map(i => sentence(i))
+    val docs = (
+      shared.map(t => ("a", t)) ++ shared.map(t => ("b", t)) ++
+        shared.take(10).map(t => ("c", t)) ++
+        (1 to 60).map(i => ("c", sentence(10000 + i))) ++
+        (1 to 30).map(i => ("a", sentence(20000 + i)))
+      ).zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) }
+      .toDF("doc_id", "source", "text")
+    val exact = TextAnalysis.sourceOverlapMatrix(docs, "source", "text", 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val est = TextAnalysis.sourceOverlapSampled(docs, "source", "text", 3, 2000)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    // 20% sample of >1000 shared shingles: relative error well under 50%.
+    val ab = ("a", "b")
+    assert(math.abs(est(ab) - exact(ab)).toDouble / exact(ab) < 0.5)
+    // Ranking preserved: the heavy pair estimates far above the light ones.
+    assert(est(ab) > est.getOrElse(("a", "c"), 0L))
+    assert(est(ab) > est.getOrElse(("b", "c"), 0L))
+    // Sampled pair keys never invent overlap the exact matrix lacks.
+    assert(est.keySet.subsetOf(exact.keySet))
+  }
+
   test("distinctiveTerms: rare-source gate kills common phrases, ranks by tf") {
     val docs = Seq(
       (1L, "alpha beta alpha beta gamma", "s1"), // "alpha beta" x2
