@@ -94,6 +94,17 @@ object SparkEntry {
     "dedup_cluster_sizes" -> ((s, dir) =>
       Dedup.clusterSizeHistogram(
         Dedup.nearDupKeepersScaled(Tables.documents(s, dir), "doc_id", "text", 0.9))),
+    // Incremental snapshot dedup: the odd-id half arrives as a new batch
+    // and dedups against the even-id history via its signature index
+    // alone — no CC recompute over history. LSH internals -> rows-only;
+    // union-equivalence to the full recompute pinned in DedupSpec.
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val index = Dedup.signatureTable(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      Dedup.newKeepers(docs.filter(col("doc_id") % 2 =!= 0),
+        "doc_id", "text", index, 0.9)
+    }),
     // Winnowing partial-overlap pairs: containment detection whole-set
     // MinHash misses. xxhash64 fingerprints -> rows-only; guarantees
     // pinned in WinnowSpec.

@@ -553,6 +553,71 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental batch dedup (`dedup_incremental` query): near-dup-dedup
+    * an INCOMING batch against a persisted corpus-history signature index
+    * — the batch twin of
+    * [[graft.streaming.StreamingIngest.nearDupDedupViaSinkIndex]], and
+    * the operator that makes snapshot-over-snapshot corpus builds
+    * incremental: history is represented ONLY by its [[signatureTable]]
+    * rows (doc_id, toks, n, buckets — persist the KEEPERS' signatures),
+    * so no connected-components recompute ever touches historical docs.
+    *
+    *  1. signature the incoming batch (one pass);
+    *  2. LSH bucket equi-join incoming × index → payload-free candidate
+    *     ids → exact Jaccard verify on re-fetched token sets → per
+    *     incoming doc, its min matching existing id;
+    *  3. [[nearDupKeepersScaled]] WITHIN the batch (incoming batches
+    *     carry their own dups);
+    *  4. a batch component with ANY history match dedups to the min
+    *     existing id its members matched (novel = 0 for all members);
+    *     otherwise its min incoming id becomes a NEW keeper.
+    *
+    * Output: (doc_id, keeper_id, novel) per incoming doc. Equals the full
+    * recompute over history ∪ batch wherever LSH recall is exhaustive and
+    * the index holds one signature per historical component (the
+    * persisted-keepers contract) — pinned by DedupSpec's
+    * union-equivalence test; like all LSH paths this is rows-only at the
+    * driver gate.
+    *
+    * Scale shape: the index never re-shuffles per batch (it arrives
+    * pre-bucketed from parquet; the bucket join keys both sides the same
+    * way), the candidate exchange carries ids only, and batch-internal CC
+    * touches just the batch. Per-batch cost is O(|batch| + matches) —
+    * independent of corpus history size. */
+  def newKeepers(incoming: DataFrame, idCol: String, textCol: String,
+                 index: DataFrame, threshold: Double,
+                 numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val sigT = signatureTable(incoming, idCol, textCol, numHashes, bands)
+      .localCheckpoint(true) // feeds the bucket join AND the verify re-fetch
+    val bb = sigT.select(col("doc_id").as("bid"),
+      posexplode(col("buckets")).as(Seq("band", "bucket")))
+    val ib = index.select(col("doc_id").as("iid"),
+      posexplode(col("buckets")).as(Seq("band", "bucket")))
+    val cand = bb.join(ib, Seq("band", "bucket"))
+      .select(col("bid"), col("iid")).dropDuplicates("bid", "iid")
+    val matches = cand
+      .join(sigT.select(col("doc_id").as("bid"), col("toks").as("btoks"),
+        col("n").as("bn")), Seq("bid"))
+      .join(index.select(col("doc_id").as("iid"), col("toks").as("itoks"),
+        col("n").as("in_")), Seq("iid"))
+      .filter(round(jaccardSortedBounded(col("btoks"), col("itoks"),
+        col("bn"), col("in_"), threshold), 4) >= threshold)
+      .groupBy(col("bid")).agg(min(col("iid")).as("ex_keeper"))
+    // Batch-internal components, then lift each component's history match
+    // (min over members) to the whole component: a doc chained to history
+    // only THROUGH a batch sibling still dedups away.
+    val inKeepers = nearDupKeepersScaled(incoming, idCol, textCol, threshold)
+    val compMatch = inKeepers
+      .join(matches, inKeepers("doc_id") === matches("bid"))
+      .groupBy(col("keeper_id")).agg(min(col("ex_keeper")).as("comp_ex"))
+    inKeepers.join(compMatch, Seq("keeper_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp_ex"), col("keeper_id")).as("keeper_id"),
+        (col("comp_ex").isNull && col("doc_id") === col("keeper_id"))
+          .cast("int").as("novel"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Cluster-size histogram over a keeper assignment — the dedup AUDIT
     * artifact (`dedup_cluster_sizes` query): how many clusters of each
     * size the corpus holds (size 1 = unique docs). Two small hash

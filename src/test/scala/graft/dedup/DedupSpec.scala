@@ -84,6 +84,44 @@ class DedupSpec extends SparkSpec {
     assert(scaled == exact)
   }
 
+  test("newKeepers: incremental batch dedup equals the full recompute") {
+    // 20-token sentences; a one-token change gives J = 19/21 ~ 0.9048 >=
+    // 0.9, caught by 16x4 banding with prob ~1-4e-8 — recall is
+    // exhaustive here, so incremental must EQUAL the full recompute.
+    def s20(tag: String) = (1 to 20).map(i => s"$tag$i").mkString(" ")
+    def variant(tag: String) = ((1 to 19).map(i => s"$tag$i") :+ "changed").mkString(" ")
+    val existing = Seq(
+      (1L, s20("s")), (2L, variant("s")),      // cluster {1,2}, keeper 1
+      (3L, s20("t"))                           // singleton keeper
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (11L, s20("s")),      // exact text of existing keeper 1
+      (12L, s20("u")),      // new cluster keeper
+      (13L, variant("u")),  // near-dup of 12 -> follows it
+      (14L, s20("v")),      // novel singleton
+      (15L, variant("s"))   // matches keeper 1 via J(15,1)=0.9048
+    ).toDF("doc_id", "text")
+    // Persisted-keepers contract: index holds only existing keepers' sigs.
+    val exKeepers = Dedup.nearDupKeepersScaled(existing, "doc_id", "text", 0.9)
+      .filter(col("doc_id") === col("keeper_id")).select(col("doc_id"))
+    val index = Dedup.signatureTable(
+      existing.join(exKeepers, Seq("doc_id")), "doc_id", "text")
+    val inc = Dedup.newKeepers(incoming, "doc_id", "text", index, 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(inc == Map(
+      11L -> (1L, 0), 12L -> (12L, 1), 13L -> (12L, 0),
+      14L -> (14L, 1), 15L -> (1L, 0)))
+    // Union-equivalence: keepers and assignments match the full recompute
+    // over history ∪ batch for every incoming doc.
+    val full = Dedup.nearDupKeepersScaled(existing.unionByName(incoming),
+        "doc_id", "text", 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incoming.select("doc_id").as[Long].collect().forall(d =>
+      full(d) == inc(d)._1))
+    assert(inc.collect { case (d, (_, 1)) => d }.toSet ==
+      full.collect { case (d, k) if d >= 11L && d == k => d }.toSet)
+  }
+
   test("simhashPairs finds exact dups at distance 0 and is id-ordered") {
     val out = Dedup.simhashPairs(docs.filter(length(col("text")) > 0),
       "doc_id", "text", 3).collect()
