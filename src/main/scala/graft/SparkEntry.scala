@@ -335,6 +335,7 @@ object SparkEntry {
       graft.pipeline.Curation.chunkTexts(Tables.documents(s, dir),
         "doc_id", "text", 64, 16)),
     // The full corpus assembly line in one composition: PII scrub ->
+    // df-thresholded exact span dedup (20-token blocks, df >= 3) ->
     // quality floor -> exact dedup -> decontaminate -> deterministic 80%
     // sample -> sequence packing. One DuckDB WITH-chain replays it all.
     "corpus_pipeline" -> ((s, dir) =>
@@ -995,18 +996,34 @@ object SparkEntry {
          |      '${Pii.Ipv4Re}', '<IP>', 'g'),
          |      '${Pii.PhoneRe}', '<PHONE>', 'g') AS red
          |  FROM documents),
+         |tok0 AS (
+         |  SELECT doc_id, regexp_extract_all(lower(red), '\\S+') AS toks FROM scrub),
+         |benchsh AS (
+         |  SELECT DISTINCT UNNEST(list_distinct(list_transform(range(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+         |  FROM tok0 WHERE doc_id % 97 = 0),
+         |su AS (
+         |  SELECT doc_id, CAST((s - 1) // 20 AS BIGINT) AS idx,
+         |    array_to_string(list_slice(stoks, s, least(s + 19, len(stoks))), ' ') AS raw
+         |  FROM (SELECT doc_id, stoks, UNNEST(range(1, len(stoks) + 1, 20)) AS s
+         |        FROM (SELECT doc_id, regexp_extract_all(red, '\\S+') AS stoks FROM scrub)
+         |        WHERE len(stoks) > 0)),
+         |sm AS (
+         |  SELECT doc_id, idx, raw,
+         |    ROW_NUMBER() OVER (PARTITION BY lower(raw) ORDER BY doc_id, idx) AS rn,
+         |    COUNT(*) OVER (PARTITION BY lower(raw)) AS n_occ
+         |  FROM su),
+         |sd AS (
+         |  SELECT doc_id, string_agg(raw, ' ' ORDER BY idx) AS red
+         |  FROM sm WHERE rn = 1 OR n_occ < 3 GROUP BY 1),
          |tok AS (
-         |  SELECT doc_id, red, regexp_extract_all(lower(red), '\\S+') AS toks FROM scrub),
+         |  SELECT doc_id, red, regexp_extract_all(lower(red), '\\S+') AS toks FROM sd),
          |quality AS (SELECT * FROM tok WHERE len(toks) >= 20),
          |keep AS (
          |  SELECT doc_id, red, toks FROM (
          |    SELECT doc_id, red, toks, MIN(doc_id) OVER (PARTITION BY red) AS keeper
          |    FROM quality)
          |  WHERE doc_id = keeper),
-         |benchsh AS (
-         |  SELECT DISTINCT UNNEST(list_distinct(list_transform(range(1, len(toks) - 1),
-         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
-         |  FROM tok WHERE doc_id % 97 = 0),
          |docsh AS (
          |  SELECT doc_id, UNNEST(list_distinct(list_transform(range(1, len(toks) - 1),
          |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh

@@ -105,13 +105,16 @@ object ParagraphDedup {
       .withColumn("kept", col("rn") === 1 || col("n_occ") < minOccurrences)
   }
 
-  /** Cleaned documents: (doc_id, text_clean, n_kept, n_removed) for EVERY
-    * input document — kept units rejoined with `sep` in original order; a
-    * document whose every unit was removed (pure boilerplate) comes back
-    * with text_clean = "". */
-  def cleaned(docs: DataFrame, idCol: String, units: DataFrame,
-              minOccurrences: Long = 2L, sep: String = "\n\n"): DataFrame = {
-    val agged = keepFirst(units, minOccurrences)
+  /** Per-document rebuild over only the documents that HAD units:
+    * (doc_id, text_clean, n_kept, n_removed). The composition form —
+    * no all-input-documents join and no output sort, so pipelines
+    * ([[graft.pipeline.CorpusPipeline]]) can chain it without paying a
+    * Sort they immediately destroy. A document whose every unit was
+    * removed still appears (text_clean = ""); a document that produced
+    * no units (empty/whitespace-only) is absent. */
+  def rebuilt(units: DataFrame, minOccurrences: Long = 2L,
+              sep: String = "\n\n"): DataFrame =
+    keepFirst(units, minOccurrences)
       .groupBy(col("doc_id"))
       .agg(
         // collect_list skips the nulls `when` leaves for removed units;
@@ -123,6 +126,14 @@ object ParagraphDedup {
           s => s.getField("raw"))).as("text_clean"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("kept"), 0L).otherwise(1L)).as("n_removed"))
+
+  /** Cleaned documents: (doc_id, text_clean, n_kept, n_removed) for EVERY
+    * input document — kept units rejoined with `sep` in original order; a
+    * document whose every unit was removed (pure boilerplate) comes back
+    * with text_clean = "". */
+  def cleaned(docs: DataFrame, idCol: String, units: DataFrame,
+              minOccurrences: Long = 2L, sep: String = "\n\n"): DataFrame = {
+    val agged = rebuilt(units, minOccurrences, sep)
     docs.select(col(idCol).cast("long").as("doc_id"))
       .join(agged, Seq("doc_id"), "left")
       .select(col("doc_id"),

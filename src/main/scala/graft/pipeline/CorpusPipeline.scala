@@ -9,33 +9,48 @@ import org.apache.spark.sql.functions._
   * already ships, chained the way a 100 TB data pipeline actually runs:
   *
   *  1. PII scrub ([[Pii.redact]] — per-row regexps);
-  *  2. quality floor (≥ 20 tokens on the scrubbed text);
-  *  3. exact dedup (keeper = min doc id per identical scrubbed text — a
+  *  2. exact sub-document dedup ([[graft.dedup.ParagraphDedup]] at
+  *     token-span granularity: `spanTokens`-wide blocks, keep-first,
+  *     df-thresholded — a block is removed only when it occurs
+  *     `spanMinOcc`-or-more times corpus-wide, the RefinedWeb
+  *     boilerplate policy. Rare 2-copy repeats survive, so the exact
+  *     whole-doc dedup downstream stays non-redundant);
+  *  3. quality floor (≥ 20 tokens on the span-deduped text);
+  *  4. exact dedup (keeper = min doc id per identical cleaned text — a
   *     window min, no join; [[graft.dedup.Dedup.exact]] semantics);
-  *  4. benchmark decontamination ([[Curation.decontaminate]]: the
-  *     doc_id % 97 slice stands in for an eval suite; contaminated docs
-  *     drop, including the benchmark docs themselves);
-  *  5. deterministic 80% sample ([[Curation.sampleDeterministic]],
-  *     content-keyed on the scrubbed text);
-  *  6. GPT-style sequence packing ([[Curation.packChunks]], budget 512).
+  *  5. benchmark decontamination ([[Curation.decontaminate]]: the
+  *     doc_id % 97 slice stands in for an eval suite, matched against
+  *     the UNMODIFIED scrubbed text — an eval set is external, the
+  *     pipeline doesn't get to dedup it; contaminated docs drop,
+  *     including the benchmark docs themselves);
+  *  6. deterministic 80% sample ([[Curation.sampleDeterministic]],
+  *     content-keyed on the cleaned text);
+  *  7. GPT-style sequence packing ([[Curation.packChunks]], budget 512).
   *
   * Oracle-checked END TO END: each stage is ANSI-expressible, so one
   * DuckDB WITH-chain replays the whole line and hash-compares the final
   * chunk assignment — the strongest composition check in the suite
-  * (`corpus_clean` covers the near-dup variant of stage 3).
+  * (`corpus_clean` covers the near-dup variant of stage 4).
   *
-  * Scale shape: stages 1-2 are scan-stage expressions; 3 is one hash
-  * shuffle on the text; 4 is a broadcast semi-join + a groupBy on doc id;
-  * 5 is a filter; 6 is the distributed prefix sum. Nothing quadratic,
-  * nothing driver-bound.
+  * Scale shape: stages 1 is scan-stage expressions; 2 is one exchange
+  * keyed by the normalized span + one groupBy on doc id (linear, no
+  * fan-out — see [[graft.dedup.ParagraphDedup]]); 3 is a filter; 4 is
+  * one hash shuffle on the text; 5 is a broadcast semi-join + a groupBy
+  * on doc id; 6 is a filter; 7 is the distributed prefix sum. Nothing
+  * quadratic, nothing driver-bound.
   */
 object CorpusPipeline {
 
   def apply(docs: DataFrame, budget: Long = 512L,
             minTokens: Int = 20, sampleBp: Int = 8000,
-            benchMod: Int = 97, overlapThreshold: Long = 5L): DataFrame = {
+            benchMod: Int = 97, overlapThreshold: Long = 5L,
+            spanTokens: Int = 20, spanMinOcc: Long = 3L): DataFrame = {
     val scrubbed = docs.select(col("doc_id"), Pii.redact(col("text")).as("red"))
-    val quality = scrubbed
+    val spanDeduped = graft.dedup.ParagraphDedup.rebuilt(
+        graft.dedup.ParagraphDedup.spanUnits(scrubbed, "doc_id", "red", spanTokens),
+        spanMinOcc, sep = " ")
+      .select(col("doc_id"), col("text_clean").as("red"))
+    val quality = spanDeduped
       .filter(size(graft.text.TextAnalysis.tokens(lower(col("red")))) >= minTokens)
     val keepers = quality
       .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy(col("red"))))
