@@ -348,6 +348,21 @@ object SparkEntry {
       graft.pipeline.Curation.decontaminate(docs, "doc_id", "text",
         docs.filter(col("doc_id") % 97 === 0), "text", 3, 5L)
     }),
+    // Heavy-hitter tokens: distributed Misra-Gries sketch (bounded
+    // memory, no token-stream shuffle) + exact recount of the <= 2000
+    // candidates. Output provably equals the naive global top list above
+    // the N/(capacity+1) threshold -> full oracle despite the sketch.
+    "heavy_hitters" -> ((s, dir) =>
+      graft.text.HeavyHitters.topTokens(Tables.documents(s, dir), "text",
+        capacity = 2000, topK = 50)),
+    // Graded contamination: per-doc overlap FRACTION against the
+    // benchmark slice — the length-normalized policy form (drop when
+    // >= X% of a doc's 3-grams appear in the eval suite).
+    "contamination_scores" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.pipeline.Curation.contaminationScores(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 97 === 0), "text", 3)
+    }),
     // Bloom-prefiltered decontamination: bit-probe drops non-overlapping
     // shingles before the exact verify join. No false negatives + exact
     // verify => row-identical to `decontaminate`; same oracle hash-checks it.
@@ -517,6 +532,31 @@ object SparkEntry {
         |       LEFT JOIN tot ON d.doc_id = tot.doc_id
         |ORDER BY doc_id""".stripMargin,
     "decontaminate_bloom" -> DecontaminateSql,
+    "heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT UNNEST(regexp_extract_all(lower(text), '\S+')) AS token FROM documents),
+        |tot AS (SELECT COUNT(*) AS n FROM tok),
+        |c AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY 1)
+        |SELECT c.token AS token, c.n AS n
+        |FROM c, tot WHERE c.n * 2001 > tot.n
+        |ORDER BY c.n DESC, c.token ASC LIMIT 50""".stripMargin,
+    "contamination_scores" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+        |shl AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shs
+        |  FROM tok),
+        |sh AS (SELECT doc_id, UNNEST(shs) AS sh FROM shl),
+        |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+        |o AS (
+        |  SELECT d.doc_id, COUNT(*) AS n_overlap
+        |  FROM sh d JOIN bench USING (sh) GROUP BY 1)
+        |SELECT s.doc_id AS doc_id, len(s.shs)::BIGINT AS n_shingles,
+        |  COALESCE(o.n_overlap, 0) AS n_overlap,
+        |  round(COALESCE(o.n_overlap, 0) / nullif(len(s.shs), 0)::DOUBLE, 4) AS overlap_frac
+        |FROM shl s LEFT JOIN o ON s.doc_id = o.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "corpus_split" ->
       """SELECT doc_id, source,
         |  CASE WHEN ('0x' || substring(md5(text), 1, 8))::UBIGINT % 10000 < 9000 THEN 'train'

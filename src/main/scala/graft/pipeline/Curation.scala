@@ -279,6 +279,41 @@ object Curation {
       .orderBy(col(idCol))
   }
 
+  /** Graded contamination scores (`contamination_scores` query) — the
+    * fraction form of [[decontaminate]]: a fixed absolute threshold
+    * over-flags long documents (more shingles, more chance overlap) and
+    * under-flags short ones, so eval-overlap policies are usually stated
+    * as "drop when ≥ X% of the document's n-grams appear in the
+    * benchmark". Per doc: its distinct-shingle count, the overlap count,
+    * and overlap_frac = round(n_overlap / n_shingles, 4) (NULL when the
+    * document has no n-grams — 0/0 is not a measurement).
+    *
+    * Same scale shape as [[decontaminate]]: the benchmark's distinct
+    * shingles broadcast; the corpus shingle stream is filtered at the
+    * scan and only (id, counts) re-key — one shuffle keyed by doc id.
+    * The denominator rides the same per-row projection (a
+    * `size(array_distinct(...))` expression), costing no extra pass. */
+  def contaminationScores(docs: DataFrame, idCol: String, textCol: String,
+                          benchmark: DataFrame, benchTextCol: String,
+                          n: Int): DataFrame = {
+    import graft.text.TextAnalysis.shingles
+    val benchSh = benchmark
+      .select(explode(array_distinct(shingles(col(benchTextCol), n))).as("sh"))
+      .distinct()
+    val docSh = graft.Par.widen(docs)
+      .select(col(idCol), explode(array_distinct(shingles(col(textCol), n))).as("sh"))
+    val overlap = docSh.join(broadcast(benchSh), Seq("sh"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
+    docs.select(col(idCol),
+        size(array_distinct(shingles(col(textCol), n))).cast("long").as("n_shingles"))
+      .join(overlap, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("n_overlap"), lit(0L)).cast("double") /
+          nullif(col("n_shingles").cast("double"), lit(0.0)), 4).as("overlap_frac"))
+      .orderBy(col(idCol))
+  }
+
   /** Bloom-prefiltered decontamination (`decontaminate_bloom` query) — the
     * 100 TB shape of [[decontaminate]], same exact OUTPUT:
     *
