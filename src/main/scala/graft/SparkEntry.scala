@@ -58,6 +58,13 @@ object SparkEntry {
     // forms (the salt is an internal spreading detail).
     "salted_group_count" -> ((s, dir) => Relational.saltedGroupCount(s, dir)),
     "salted_join_agg" -> ((s, dir) => Relational.saltedJoinAgg(s, dir)),
+    // Integer fixed-point PageRank over the part co-purchase graph:
+    // iterative co-partitioned RDD rounds (one exchange per iteration),
+    // long-division arithmetic -> bit-identical across engines, so an
+    // ITERATIVE algorithm gets a full hash-checked oracle (the DuckDB
+    // side unrolls the 10 rounds as a WITH-chain).
+    "part_pagerank" -> ((s, dir) =>
+      graft.analytics.PageRank.copurchaseParts(Tables.lineitem(s, dir))),
     // ---- [EXT] text analysis ----
     "text_stats" -> ((s, dir) => TextAnalysis.stats(Tables.documents(s, dir))),
     "lang_distribution" -> ((s, dir) => TextAnalysis.langDistribution(Tables.documents(s, dir))),
@@ -348,6 +355,12 @@ object SparkEntry {
       graft.pipeline.Curation.decontaminate(docs, "doc_id", "text",
         docs.filter(col("doc_id") % 97 === 0), "text", 3, 5L)
     }),
+    // Bigram LM scoring (CCNet-style quality signal): per-doc
+    // predictability cost under the corpus's own bigram model, in
+    // integer micro-nats so the iterative-free float pipeline still
+    // hash-matches DuckDB.
+    "lm_scores" -> ((s, dir) =>
+      graft.text.LmScore.scores(Tables.documents(s, dir), "doc_id", "text")),
     // Heavy-hitter tokens: distributed Misra-Gries sketch (bounded
     // memory, no token-stream shuffle) + exact recount of the <= 2000
     // candidates. Output provably equals the naive global top list above
@@ -532,6 +545,8 @@ object SparkEntry {
         |       LEFT JOIN tot ON d.doc_id = tot.doc_id
         |ORDER BY doc_id""".stripMargin,
     "decontaminate_bloom" -> DecontaminateSql,
+    "part_pagerank" -> graft.analytics.PageRank.sqlCopurchaseParts(),
+    "lm_scores" -> graft.text.LmScore.sqlScores,
     "heavy_hitters" ->
       """WITH tok AS (
         |  SELECT UNNEST(regexp_extract_all(lower(text), '\S+')) AS token FROM documents),

@@ -1,0 +1,140 @@
+package graft.analytics
+
+import org.apache.spark.HashPartitioner
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
+
+/** [EXT] PageRank in integer fixed-point arithmetic (`part_pagerank`
+  * query) — graph centrality for catalog/link analysis, built so the
+  * result is EXACTLY reproducible across engines and therefore carries a
+  * full DuckDB oracle (rare for an iterative float algorithm).
+  *
+  * Why integers: float PageRank sums in-neighbor contributions, and
+  * float addition is non-associative — a different partition/reduce
+  * order produces a different last bit, which a hash-compare oracle
+  * would flag. Here every rank is a fixed-point long (`scale` = 1e12
+  * units = rank 1.0 spread over the graph), contributions use long
+  * division, and integer addition IS associative — any reduce order,
+  * any partitioning, any engine gives bit-identical ranks.
+  *
+  * Per iteration (damping d as an integer percentage):
+  *   contrib(u→v) = (r(u)·d ∕ 100) ∕ outdeg(u)        (long division)
+  *   r'(v)        = teleport + Σ contrib(u→v),
+  *   teleport     = (scale·(100−d) ∕ 100) ∕ |V|
+  * Truncation leaks a few units per node per round — bounded by
+  * |V|·iterations units total (≈1e-7 of the mass here), deterministic,
+  * and identical in the oracle, which replays the same divisions.
+  *
+  * Execution shape: the GraphX-style genuine-iterative RDD exception
+  * (see [[graft.dedup.Dedup.clusterKeepers]] for the rationale — a
+  * DataFrame loop would pay Catalyst replanning per round). Adjacency
+  * and node RDDs are hash-partitioned ONCE and persisted; each round's
+  * adjacency⋈ranks join is then narrow (zero shuffle) and the only
+  * per-round movement is the reduceByKey of contributions — one
+  * exchange per iteration, the irreducible PageRank cost. Dangling
+  * nodes cannot occur on a symmetrized graph (every node has out-edges);
+  * for general edge lists the mass of dangling nodes simply leaks,
+  * matching the oracle's replay.
+  *
+  * Scale: |E| edges per round through one exchange; partition count
+  * follows the graph size, not the corpus-scan shuffle width.
+  */
+object PageRank {
+
+  val Scale: Long = 1000000000000L
+
+  /** Ranks over the node set of `edges` (directed (src, dst) pairs,
+    * deduplicated): (node, rank_fp) with rank_fp in `Scale` fixed-point
+    * units, ordered by node. */
+  def ranks(edges: DataFrame, srcCol: String, dstCol: String,
+            iterations: Int = 10, dampingPct: Int = 85): DataFrame = {
+    require(iterations >= 1, "need iterations >= 1")
+    require(dampingPct >= 0 && dampingPct <= 100, "dampingPct is a percentage")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // Materialize the (possibly expensive) edge derivation once; the
+    // loop re-reads it every round.
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    val nParts = math.max(4L, e.count() / 1000000L).toInt
+    val part = new HashPartitioner(nParts)
+    val lvl = StorageLevel.MEMORY_AND_DISK
+    val adj = e.as[(Long, Long)].rdd
+      .groupByKey(part).mapValues(_.toArray).persist(lvl)
+    val nodes = e.select(col("src").as("v"))
+      .union(e.select(col("dst"))).distinct()
+      .as[Long].rdd.map(v => (v, ())).partitionBy(part).persist(lvl)
+    val n = nodes.count()
+    require(n > 0, "PageRank needs a non-empty graph")
+    val teleport = Scale * (100L - dampingPct) / 100L / n
+    var ranks = nodes.mapValues(_ => Scale / n)
+    for (_ <- 1 to iterations) {
+      val contribs = adj.join(ranks)
+        .flatMap { case (_, (dsts, r)) =>
+          val c = r * dampingPct / 100L / dsts.length
+          dsts.iterator.map(d => (d, c))
+        }
+        .reduceByKey(part, _ + _)
+      // Nodes with no in-edges fall back to teleport alone; the left
+      // join is narrow (both sides share `part`).
+      ranks = nodes.leftOuterJoin(contribs)
+        .mapValues { case (_, c) => teleport + c.getOrElse(0L) }
+    }
+    val schema = StructType(Seq(
+      StructField("node", LongType, nullable = false),
+      StructField("rank_fp", LongType, nullable = false)))
+    spark.createDataFrame(ranks.map { case (v, r) => Row(v, r) }, schema)
+      .orderBy(col("node"))
+  }
+
+  /** Co-purchase part graph: parts sharing an order are linked (both
+    * directions, deduplicated) — the symmetric projection of the
+    * order–part bipartite graph. Per-order fan-out is quadratic in the
+    * order's DISTINCT part count, which TPC-H-style data bounds at a
+    * handful — the self-join shuffles on the order key once. */
+  def copurchaseEdges(lineitem: DataFrame): DataFrame = {
+    val li = graft.Par.widen(lineitem)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
+      .select(col("a.p").as("src"), col("b.p").as("dst"))
+  }
+
+  /** `part_pagerank` query: centrality of parts in the co-purchase
+    * graph — (part_id, rank_fp). */
+  def copurchaseParts(lineitem: DataFrame, iterations: Int = 10): DataFrame =
+    ranks(copurchaseEdges(lineitem), "src", "dst", iterations)
+      .select(col("node").as("part_id"), col("rank_fp"))
+
+  /** DuckDB mirror of [[copurchaseParts]]: the iteration unrolls into a
+    * WITH-chain (one CTE per round) replaying the exact long divisions —
+    * `//` floors and all quantities are non-negative, so it agrees with
+    * the JVM's truncating division everywhere. */
+  def sqlCopurchaseParts(iterations: Int = 10, dampingPct: Int = 85): String = {
+    val iters = (1 to iterations).map { k =>
+      s"""r$k AS (
+         |  SELECT n.v AS v, CAST(tp.t + COALESCE(c.s, 0) AS BIGINT) AS r
+         |  FROM nodes n CROSS JOIN tp LEFT JOIN (
+         |    SELECT e.dst AS v,
+         |      CAST(SUM(r.r * $dampingPct // 100 // dg.d) AS BIGINT) AS s
+         |    FROM e JOIN r${k - 1} r ON e.src = r.v JOIN deg dg ON dg.src = e.src
+         |    GROUP BY 1) c ON n.v = c.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e AS (
+       |  SELECT DISTINCT a.p AS src, b.p AS dst
+       |  FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p),
+       |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+       |nodes AS (SELECT DISTINCT src AS v FROM e),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |tp AS (SELECT CAST($Scale * ${100 - dampingPct} // 100 // n AS BIGINT) AS t FROM nn),
+       |r0 AS (SELECT v, CAST($Scale // n AS BIGINT) AS r FROM nodes CROSS JOIN nn),
+       |$iters
+       |SELECT v AS part_id, r AS rank_fp FROM r$iterations ORDER BY part_id""".stripMargin
+  }
+}

@@ -1,0 +1,62 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the fixed-point PageRank contract: mass conservation up to
+  * documented truncation, symmetry, ordering by centrality, determinism
+  * under partitioning, and multi-edge idempotence. */
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sym(pairs: (Long, Long)*) =
+    pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+
+  test("symmetric pair splits rank equally; mass conserved up to truncation") {
+    val out = PageRank.ranks(sym((1L, 2L)), "src", "dst", iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == out(2L))
+    val total = out.values.sum
+    // Each round truncates < 1 unit per node at the teleport and < 1 per
+    // contribution: loss is tiny relative to Scale.
+    assert(total <= PageRank.Scale && total > PageRank.Scale - 1000L)
+  }
+
+  test("star center outranks leaves; leaves tie") {
+    val out = PageRank.ranks(sym((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)),
+        "src", "dst").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(2L, 3L, 4L, 5L).map(out).distinct.size == 1)
+    assert(out(1L) > out(2L))
+  }
+
+  test("partitioning and duplicate edges do not change ranks") {
+    val base = sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+    val a = PageRank.ranks(base.repartition(1), "src", "dst").collect().toSeq
+    val b = PageRank.ranks(base.union(base).repartition(13), "src", "dst")
+      .collect().toSeq
+    assert(a == b)
+  }
+
+  test("copurchase edges symmetrize the order-part projection") {
+    val li = Seq((100L, 1L), (100L, 2L), (100L, 2L), (101L, 2L), (101L, 3L),
+        (102L, 9L))
+      .toDF("l_orderkey", "l_partkey")
+    val e = PageRank.copurchaseEdges(li).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(e == Set((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)))
+    // part 9 never co-occurs: not a node
+    val nodes = PageRank.copurchaseParts(li).select("part_id")
+      .as[Long].collect().toSet
+    assert(nodes == Set(1L, 2L, 3L))
+  }
+
+  test("more central part ranks higher in the copurchase graph") {
+    // part 5 co-occurs with everyone; 6/7/8 only with 5.
+    val li = Seq((1L, 5L), (1L, 6L), (2L, 5L), (2L, 7L), (3L, 5L), (3L, 8L))
+      .toDF("l_orderkey", "l_partkey")
+    val out = PageRank.copurchaseParts(li)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(5L) > out(6L))
+    assert(out(6L) == out(7L) && out(7L) == out(8L))
+  }
+}
