@@ -355,6 +355,20 @@ object SparkEntry {
       graft.pipeline.Curation.decontaminate(docs, "doc_id", "text",
         docs.filter(col("doc_id") % 97 === 0), "text", 3, 5L)
     }),
+    // BPE tokenizer training: exact word dict (one agg, bounded
+    // TakeOrdered) -> driver merge loop -> merge table. Engine-internal
+    // loop -> rows-only; hand-computed merges + round-trip pinned in
+    // BpeSpec.
+    "bpe_merges" -> ((s, dir) =>
+      graft.text.Bpe.mergesTable(s,
+        graft.text.Bpe.fitMerges(Tables.documents(s, dir), "text", 200))),
+    // Applying the trained merges: per-doc piece counts + compression
+    // ratio. Broadcast rank table, per-partition map, no shuffle.
+    "bpe_encode_stats" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.text.Bpe.encodeStats(docs, "doc_id", "text",
+        graft.text.Bpe.fitMerges(docs, "text", 200))
+    }),
     // Bigram LM scoring (CCNet-style quality signal): per-doc
     // predictability cost under the corpus's own bigram model, in
     // integer micro-nats so the iterative-free float pipeline still

@@ -1,0 +1,163 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/** [EXT] Byte-pair-encoding tokenizer training + application
+  * (`bpe_merges` / `bpe_encode_stats` queries) — the missing half of the
+  * tokenizer story: [[TextAnalysis.vocabulary]]/`vocab_encode` map whole
+  * words to ids, but a training-data pipeline also TRAINS the subword
+  * vocabulary it will tokenize with (Sennrich et al. 2016; every GPT/
+  * Llama-style stack runs this once per corpus refresh).
+  *
+  * Training follows the standard shape, which is deliberately NOT an
+  * all-corpus iteration: BPE fits on the word-frequency DICTIONARY, not
+  * the token stream. The engine computes exact word counts distributed
+  * (one map-combined hash aggregate — the same cost class as
+  * `word_frequencies`), takes the top `maxVocabWords` words by (count
+  * desc, word asc) — a bounded TakeOrdered, the [[graft.similarity
+  * .LocalKMeans]] bounded-fit discipline — and runs the merge loop on
+  * the driver over that dictionary. At 100 TB the dictionary is still
+  * vocabulary-scale (millions of rows, kilobytes each), so the collect
+  * is bounded and the cluster never re-scans the corpus per merge.
+  *
+  * Determinism: merge selection breaks frequency ties by (left asc,
+  * right asc), so the merge list is a pure function of the dictionary.
+  * Encoding applies merges greedily by rank (lowest rank first — the
+  * exact inverse of training order), per token, in a per-partition map
+  * with the rank table broadcast: no shuffle, no per-row JVM boxing
+  * beyond the token split the tokenizer contract already implies.
+  *
+  * Both queries are rows-only by nature (the merge loop is engine
+  * internals, like the k-means fits); BpeSpec pins hand-computed merges
+  * on the Sennrich corpus, the round-trip invariant (concatenating a
+  * token's pieces reproduces the token), rank-monotone application, and
+  * sample-bound behavior.
+  */
+object Bpe {
+
+  /** Exact word-frequency dictionary, bounded to the top `maxVocabWords`
+    * by (count desc, word asc). */
+  def wordDict(docs: DataFrame, textCol: String,
+               maxVocabWords: Int): Array[(String, Long)] = {
+    graft.Par.widen(docs)
+      .select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w").asc)
+      .limit(maxVocabWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+  }
+
+  /** Driver-side merge loop over a word dictionary: `nMerges` rounds of
+    * count-adjacent-pairs → pick (count desc, left asc, right asc) →
+    * merge everywhere. O(nMerges · Σ|word symbols|). */
+  private[text] def fitOnDict(dict: Array[(String, Long)],
+                              nMerges: Int): Seq[(String, String)] = {
+    var words: Array[(Array[String], Long)] =
+      dict.map { case (w, n) => (w.map(_.toString).toArray, n) }
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    var done = false
+    while (round < nMerges && !done) {
+      val counts = mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + n)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val best = counts.toSeq.minBy { case ((l, r), n) => (-n, l, r) }._1
+        merges += best
+        val joined = best._1 + best._2
+        words = words.map { case (syms, n) =>
+          if (syms.length < 2) (syms, n)
+          else {
+            val out = mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == best._1 && syms(i + 1) == best._2) {
+                out += joined; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.toArray, n)
+          }
+        }
+        round += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Train `nMerges` BPE merges on `textCol`: Seq of (left, right) in
+    * merge order (rank 0 first). */
+  def fitMerges(docs: DataFrame, textCol: String, nMerges: Int,
+                maxVocabWords: Int = 100000): Seq[(String, String)] =
+    fitOnDict(wordDict(docs, textCol, maxVocabWords), nMerges)
+
+  /** The merge list as a DataFrame (`bpe_merges` query):
+    * (rank, left, right, piece). */
+  def mergesTable(spark: SparkSession,
+                  merges: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((l, r), i) => (i.toLong, l, r, l + r) }
+      .toDF("rank", "left", "right", "piece")
+  }
+
+  /** Greedy rank-order BPE encode of one token (lowest-rank adjacent
+    * pair merges first — training-order inverse). */
+  private[text] def encodeToken(token: String,
+                                rank: collection.Map[(String, String), Int]): Array[String] = {
+    var syms = token.map(_.toString).toArray
+    var go = syms.length > 1
+    while (go) {
+      var bestIdx = -1
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestIdx = i }
+        i += 1
+      }
+      if (bestIdx < 0) go = false
+      else {
+        val merged = syms(bestIdx) + syms(bestIdx + 1)
+        syms = (syms.take(bestIdx) :+ merged) ++ syms.drop(bestIdx + 2)
+        go = syms.length > 1
+      }
+    }
+    syms
+  }
+
+  /** Per-document encode statistics (`bpe_encode_stats` query):
+    * (doc_id, n_tokens, n_pieces, compression = round(tokens∕pieces, 4)).
+    * The merge-rank table broadcasts; the encode is a per-partition map
+    * over the token arrays — no shuffle, payloads never re-key. */
+  def encodeStats(docs: DataFrame, idCol: String, textCol: String,
+                  merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    val rankMap = merges.zipWithIndex.toMap
+    val bc = spark.sparkContext.broadcast(rankMap)
+    val enc = udf { toks: Seq[String] =>
+      var pieces = 0L
+      toks.foreach { t => pieces += encodeToken(t, bc.value).length }
+      pieces
+    }
+    graft.Par.widen(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextAnalysis.tokens(lower(col(textCol))).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        enc(col("toks")).as("n_pieces"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"), col("n_pieces"),
+        round(col("n_tokens").cast("double") /
+          col("n_pieces").cast("double"), 4).as("compression"))
+      .orderBy(col("doc_id"))
+  }
+}
