@@ -207,6 +207,30 @@ object SparkEntry {
           Seq("text"), "left_anti")
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
+    // URL canonicalization: the scale form of the crawler's link-dedup
+    // key (byte-equal URLs re-crawl the same page under case/port/
+    // tracking-param/fragment noise). Pure string expressions, mirrored
+    // 1:1 in the oracle — the hash-check IS the cross-engine parity pin.
+    "canonical_urls" -> ((s, _) => {
+      import s.implicits._
+      val u = UrlFixture.urls.toDF("id", "url")
+      u.select(col("id"), col("url"),
+          graft.ingest.Urls.canonicalize(col("url")).as("canon"))
+        .orderBy(col("id"))
+    }),
+    // Dedup by canonical form: keeper = min id per canon (1/8 and 3/4
+    // collide only after canonicalization).
+    "canonical_url_dedup" -> ((s, _) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val u = UrlFixture.urls.toDF("id", "url")
+        .select(col("id"), graft.ingest.Urls.canonicalize(col("url")).as("canon"))
+      u.withColumn("keeper_id",
+          min(col("id")).over(Window.partitionBy(col("canon"))))
+        .select(col("id"), col("canon"), col("keeper_id"),
+          (col("id") === col("keeper_id")).cast("int").as("is_keeper"))
+        .orderBy(col("id"))
+    }),
     "parse_published" -> ((s, _) => {
       import s.implicits._
       IngestFixture.rawDates.toDF("raw")
@@ -512,9 +536,31 @@ object SparkEntry {
        |       LEFT JOIN tot ON d.doc_id = tot.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** VALUES CTE over [[UrlFixture]] for the canonicalization oracles. */
+  private def urlValuesCte: String = {
+    val values = UrlFixture.urls
+      .map { case (id, u) => s"($id, '${u.replace("'", "''")}')" }
+      .mkString(",\n        ")
+    s"""WITH d AS (SELECT * FROM (VALUES
+       |        $values) t(id, url))""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "canonical_urls" ->
+      s"""$urlValuesCte
+         |SELECT CAST(id AS BIGINT) AS id, url,
+         |  ${graft.ingest.Urls.sqlCanonicalize("url")} AS canon
+         |FROM d ORDER BY id""".stripMargin,
+    "canonical_url_dedup" ->
+      s"""$urlValuesCte,
+         |c AS (SELECT CAST(id AS BIGINT) AS id,
+         |        ${graft.ingest.Urls.sqlCanonicalize("url")} AS canon
+         |      FROM d)
+         |SELECT id, canon, MIN(id) OVER (PARTITION BY canon) AS keeper_id,
+         |  CAST(id = MIN(id) OVER (PARTITION BY canon) AS INT) AS is_keeper
+         |FROM c ORDER BY id""".stripMargin,
     "paragraph_dedup" -> paragraphCleanSql(2L),
     "paragraph_dedup_df" -> paragraphCleanSql(3L),
     "paragraph_dedup_audit" ->
@@ -1413,6 +1459,27 @@ object PiiFixture {
   * must come back empty), a whitespace-only paragraph (doc 7 — dropped,
   * counted neither kept nor removed), and a 2-occurrence repeat (docs
   * 7/8 — removed at minOccurrences=2, SURVIVES at 3). */
+/** Gnarly-URL fixture for the canonicalization queries: case games,
+  * default and non-default ports, tracking params, unsorted params,
+  * fragments, trailing and duplicate slashes, empty paths, a scheme-less
+  * malformed link, and two pairs (1/8, 3/4) that only collide AFTER
+  * canonicalization. */
+object UrlFixture {
+  val urls: Seq[(Long, String)] = Seq(
+    (1L, "https://Example.COM:443/Path/To/Page?utm_source=x&b=2&a=1#frag"),
+    (2L, "HTTP://example.com:80//a//b/?z=1&y=2&"),
+    (3L, "https://example.com/"),
+    (4L, "https://example.com#top"),
+    (5L, "https://example.com/a?fbclid=abc123"),
+    (6L, "relative/path#section"),
+    (7L, "http://example.com:8080/x?port=kept"),
+    (8L, "https://example.com/Path/To/Page?a=1&utm_medium=m&b=2"),
+    (9L, " https://blog.example.com/posts/spark-tips/ "),
+    (10L, "ftp://Files.Example.com:21/pub/data.csv"),
+    (11L, "https://example.com/search?q=spark+sql&gclid=1&lang=en"),
+    (12L, "https://example.com/a/b/c///"))
+}
+
 object ParagraphFixture {
   private val License =
     "This document is licensed under the Creative Commons Attribution license."

@@ -1,0 +1,87 @@
+package graft.ingest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** [EXT] URL canonicalization (`canonical_urls` / `canonical_url_dedup`
+  * queries) — the scale form of the reference's link dedup: the crawler
+  * anti-joins candidate links against stored URLs byte-for-byte
+  * (crawl.py:56,63 via the `link` key), which treats
+  * `HTTP://Example.com/a?utm_source=x#top` and `http://example.com/a` as
+  * different pages and re-crawls them. At corpus scale the dedup key
+  * must be the CANONICAL form.
+  *
+  * Canonicalization contract (each step a pure string expression, so the
+  * whole operator lives in whole-stage codegen and mirrors 1:1 into the
+  * DuckDB oracle — the oracle hash-check IS the cross-engine parity pin):
+  *
+  *  1. trim surrounding whitespace; drop the fragment (`#...`);
+  *  2. scheme and authority lowercase (path/query case is significant);
+  *  3. default ports stripped (`:80` for http, `:443` for https);
+  *  4. empty path → `/`; trailing slashes dropped (all of them; the
+  *     root path stays `/`); duplicate interior slashes are KEPT (they
+  *     can be significant to servers);
+  *  5. query: parameters split on `&`, empties dropped, tracking params
+  *     removed (`utm_*`, `fbclid`, `gclid`), the rest sorted
+  *     byte-lexicographically and rejoined; an emptied query drops its
+  *     `?`;
+  *  6. URLs without a `scheme://` prefix pass through steps 1 only
+  *     (relative links are resolved against a base by
+  *     [[Html.resolveUrl]] BEFORE canonicalization, so a scheme-less
+  *     input here is malformed — normalize nothing, lose nothing).
+  *
+  * Documented simplifications vs RFC 3986 full normalization: no
+  * percent-encoding case-folding, no dot-segment resolution (resolveUrl
+  * already handles those for crawl-sourced links), userinfo lowercases
+  * with the authority.
+  */
+object Urls {
+
+  private val SchemeRe = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+  private val AuthRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)"
+  private val PathRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
+  private val QueryRe = "\\?([^#]*)"
+  private val TrackingRe = "^(utm_[^=]*|fbclid|gclid)="
+
+  /** Canonical form of `url` as a single codegen-friendly expression. */
+  def canonicalize(url: Column): Column = {
+    val u = regexp_replace(trim(url), "#.*$", "")
+    val scheme = lower(regexp_extract(u, SchemeRe, 1))
+    val auth0 = lower(regexp_extract(u, AuthRe, 1))
+    val auth = when(scheme === "http", regexp_replace(auth0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth0, ":443$", ""))
+      .otherwise(auth0)
+    val path0 = rtrim(regexp_extract(u, PathRe, 1), "/")
+    val path = when(path0 === "", "/").otherwise(path0)
+    val q = array_join(
+      array_sort(filter(split(regexp_extract(u, QueryRe, 1), "&"),
+        x => x =!= "" && !x.rlike(TrackingRe))), "&")
+    when(scheme === "", u).otherwise(
+      concat(scheme, lit("://"), auth, path,
+        when(q === "", "").otherwise(concat(lit("?"), q))))
+  }
+
+  /** DuckDB mirror of [[canonicalize]] over a column named `colName` —
+    * same regexes, same step order. The query CASE compares through
+    * COALESCE because DuckDB's `array_to_string([])` is NULL where
+    * Spark's `array_join` is ''. */
+  def sqlCanonicalize(colName: String): String = {
+    val u = s"regexp_replace(trim($colName), '#.*$$', '')"
+    s"""CASE WHEN regexp_extract($u, '$SchemeRe', 1) = '' THEN $u ELSE
+       |  lower(regexp_extract($u, '$SchemeRe', 1)) || '://' ||
+       |  CASE lower(regexp_extract($u, '$SchemeRe', 1))
+       |    WHEN 'http' THEN regexp_replace(lower(regexp_extract($u, '$AuthRe', 1)), ':80$$', '')
+       |    WHEN 'https' THEN regexp_replace(lower(regexp_extract($u, '$AuthRe', 1)), ':443$$', '')
+       |    ELSE lower(regexp_extract($u, '$AuthRe', 1)) END ||
+       |  CASE WHEN rtrim(regexp_extract($u, '$PathRe', 1), '/') = '' THEN '/'
+       |       ELSE rtrim(regexp_extract($u, '$PathRe', 1), '/') END ||
+       |  CASE WHEN COALESCE(array_to_string(list_sort(list_filter(
+       |           string_split(regexp_extract($u, '\\?([^#]*)', 1), '&'),
+       |           x -> x <> '' AND NOT regexp_matches(x, '$TrackingRe'))), '&'), '') = ''
+       |       THEN ''
+       |       ELSE '?' || array_to_string(list_sort(list_filter(
+       |           string_split(regexp_extract($u, '\\?([^#]*)', 1), '&'),
+       |           x -> x <> '' AND NOT regexp_matches(x, '$TrackingRe'))), '&') END
+       |END""".stripMargin
+  }
+}

@@ -1,0 +1,53 @@
+package graft.ingest
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the URL canonicalization contract step by step. */
+class UrlsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("url").select(Urls.canonicalize(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+
+  test("case, default port, fragment, tracking params, param order") {
+    assert(canon("https://Example.COM:443/Path?utm_source=x&b=2&a=1#frag") ==
+      Seq("https://example.com/Path?a=1&b=2"))
+    assert(canon("HTTP://example.com:80/a") == Seq("http://example.com/a"))
+  }
+
+  test("non-default ports and other schemes keep their port") {
+    assert(canon("http://example.com:8080/x") == Seq("http://example.com:8080/x"))
+    assert(canon("ftp://Files.example.com:21/pub") == Seq("ftp://files.example.com:21/pub"))
+    // :443 is only default for https, :80 only for http
+    assert(canon("http://example.com:443/x") == Seq("http://example.com:443/x"))
+  }
+
+  test("path normalization: empty -> /, trailing slashes drop, interior kept") {
+    assert(canon("https://example.com") == Seq("https://example.com/"))
+    assert(canon("https://example.com/") == Seq("https://example.com/"))
+    assert(canon("https://example.com/a/b///") == Seq("https://example.com/a/b"))
+    assert(canon("https://example.com//a//b") == Seq("https://example.com//a//b"))
+  }
+
+  test("query handling: empties drop, tracking-only query drops the ?") {
+    assert(canon("https://e.com/a?fbclid=1") == Seq("https://e.com/a"))
+    assert(canon("https://e.com/a?gclid=1&utm_campaign=c&q=x") ==
+      Seq("https://e.com/a?q=x"))
+    assert(canon("https://e.com/a?z=1&y=2&") == Seq("https://e.com/a?y=2&z=1"))
+    // a param merely CONTAINING 'utm_' later isn't tracking
+    assert(canon("https://e.com/a?xutm_b=1") == Seq("https://e.com/a?xutm_b=1"))
+  }
+
+  test("scheme-less inputs pass through trimmed and defragmented") {
+    assert(canon(" relative/path#section ") == Seq("relative/path"))
+    assert(canon("mailto:user@example.com") == Seq("mailto:user@example.com"))
+  }
+
+  test("canonicalization is idempotent") {
+    val fixture = graft.UrlFixture.urls.map(_._2)
+    val once = canon(fixture: _*)
+    assert(canon(once: _*) == once)
+  }
+}
