@@ -244,6 +244,12 @@ object SparkEntry {
     "events_sessions" -> ((s, dir) => EventWindows.userSessions(Tables.events(s, dir))),
     "events_props_json" -> ((s, dir) => EventWindows.propsStats(Tables.events(s, dir))),
     "approx_distinct_users" -> ((s, dir) => EventWindows.distinctUsers(Tables.events(s, dir))),
+    // Stream-stream-capable interval join run batch: purchases pick up
+    // ALL clicks of the same user in the prior 30 min (AsOf keeps one).
+    // Same function streams with watermarked state; parity pinned in
+    // StreamJoinSpec.
+    "events_interval_join" -> ((s, dir) =>
+      graft.streaming.StreamJoin.purchasesWithPriorClicks(Tables.events(s, dir))),
     // As-of join: each purchase event picks up the user's most recent
     // prior-or-equal click (point-in-time lookup; union-and-sweep form,
     // one shuffle). DuckDB ASOF LEFT JOIN is the oracle.
@@ -1032,6 +1038,15 @@ object SparkEntry {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // approx_distinct_users: HLL++ is engine-specific — no oracle; the
     // rsd error bound vs exact counts is asserted in StreamingSpec.
+    "events_interval_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id AS user_id, p.ts AS purchase_ts,
+        |       c.event_id AS click_id, c.ts AS click_ts
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND p.ts IS NOT NULL AND c.ts IS NOT NULL
+        |ORDER BY purchase_id, click_id""".stripMargin,
     "events_asof_join" ->
       """SELECT p.event_id AS event_id, p.user_id AS user_id, p.ts AS ts,
         |       c.event_id AS click_event_id, c.value AS click_value
