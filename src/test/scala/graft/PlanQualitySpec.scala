@@ -146,4 +146,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), s"block-key SMJ collapses parallelism:\n$plan")
   }
+
+  test("bm25 never explodes the token stream; corpus stats broadcast back") {
+    val plan = planOf(SparkEntry.queries("bm25_topk")(spark, dir))
+    // tf's are per-row filter() expressions: no Generate (explode) node
+    // may appear — the naive formulation re-keys the whole corpus.
+    assert(!plan.contains("Generate"), s"token stream exploded:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"single stats row should broadcast:\n$plan")
+  }
+
+  test("interval join plans on the key with a band filter, never a nested loop") {
+    val plan = planOf(SparkEntry.queries("events_interval_join")(spark, dir))
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("decontamination family scans prune to id + text only") {
+    val plan = planOf(SparkEntry.queries("contamination_scores")(spark, dir))
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.nonEmpty)
+    assert(readSchemas.forall(s => !s.contains("source") && !s.contains("lang")),
+      s"unneeded columns read:\n${readSchemas.mkString("\n")}")
+  }
 }
