@@ -405,6 +405,11 @@ object SparkEntry {
     // hash-matches DuckDB.
     "lm_scores" -> ((s, dir) =>
       graft.text.LmScore.scores(Tables.documents(s, dir), "doc_id", "text")),
+    // The curation loop closed: LM cost -> exact-percentile corpus cut
+    // (data-derived, not a magic constant) -> filter. CCNet's
+    // perplexity-head policy.
+    "lm_quality_floor" -> ((s, dir) =>
+      graft.text.LmScore.qualityFloor(Tables.documents(s, dir), "doc_id", "text")),
     // Heavy-hitter tokens: distributed Misra-Gries sketch (bounded
     // memory, no token-stream shuffle) + exact recount of the <= 2000
     // candidates. Output provably equals the naive global top list above
@@ -613,6 +618,7 @@ object SparkEntry {
     "decontaminate_bloom" -> DecontaminateSql,
     "part_pagerank" -> graft.analytics.PageRank.sqlCopurchaseParts(),
     "lm_scores" -> graft.text.LmScore.sqlScores,
+    "lm_quality_floor" -> graft.text.LmScore.sqlQualityFloor(),
     "heavy_hitters" ->
       """WITH tok AS (
         |  SELECT UNNEST(regexp_extract_all(lower(text), '\S+')) AS token FROM documents),

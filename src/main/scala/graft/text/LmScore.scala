@@ -79,6 +79,32 @@ object LmScore {
       .orderBy(col("doc_id"))
   }
 
+  /** LM-quality floor (`lm_quality_floor` query) — the curation loop
+    * closed: [[scores]] feeds a robust corpus threshold (exact
+    * interpolated percentile, the [[graft.relational.Relational
+    * .orderPercentiles]] discipline) and documents costlier than the
+    * `q`-quantile drop — CCNet's "keep the head/middle of the
+    * perplexity distribution" policy with a data-derived cut instead of
+    * a magic constant. One extra single-row aggregate broadcast back;
+    * `percentile_approx` is the documented 100 TB swap. */
+  def qualityFloor(docs: DataFrame, idCol: String, textCol: String,
+                   q: Double = 0.5): DataFrame = {
+    val s = scores(docs, idCol, textCol)
+    val cut = s.agg(expr(s"percentile(avg_cost_micro, $q)").as("cut"))
+    s.crossJoin(broadcast(cut))
+      .filter(col("avg_cost_micro") <= col("cut"))
+      .select(col("doc_id"), col("n_bigrams"), col("avg_cost_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror of [[qualityFloor]]. */
+  def sqlQualityFloor(q: Double = 0.5): String =
+    s"""WITH s AS (${sqlScores.replace("ORDER BY doc_id", "")}),
+       |m AS (SELECT quantile_cont(avg_cost_micro, $q) AS cut FROM s)
+       |SELECT doc_id, n_bigrams, avg_cost_micro
+       |FROM s, m WHERE avg_cost_micro <= m.cut
+       |ORDER BY doc_id""".stripMargin
+
   /** DuckDB mirror of [[scores]] over `documents`. */
   def sqlScores: String =
     """WITH tok AS (

@@ -31,6 +31,16 @@ class LmScoreSpec extends SparkSpec {
     assert(out(1L) < out(99L)) // repeated fluent phrasing beats unique junk
   }
 
+  test("quality floor keeps the at-or-below-median half") {
+    val docs = ((1 to 8).map(i => (i.toLong, "the quick brown fox")) :+
+      (9L, "qzx zxq xqz")).toDF("doc_id", "text")
+    val kept = LmScore.qualityFloor(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    // 8 identical fluent docs share the minimum cost = the median; the
+    // junk doc sits above it and drops.
+    assert(kept == (1L to 8L).toSet)
+  }
+
   test("documents without bigrams are absent; case folds") {
     val docs = Seq((1L, "Solo"), (2L, ""), (3L, "Two TOKENS"), (4L, "two tokens"))
       .toDF("doc_id", "text")
