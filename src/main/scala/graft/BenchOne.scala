@@ -12,6 +12,12 @@ object BenchOne {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, sfDir).count()
       println(f"BENCHONE $name ${(System.nanoTime()-t0)/1e9}%.2f sec rows=$n")
+      // Same inter-query cleanup as Bench: leaked persist/localCheckpoint
+      // blocks from iterative operators thrash later queries' storage
+      // memory (observed 3-28× slowdowns) — exactly the misleading warm
+      // numbers this tool exists to avoid.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

@@ -151,6 +151,19 @@ object SparkEntry {
     "span_dedup" -> ((s, dir) =>
       graft.dedup.ParagraphDedup.dedupSpans(Tables.documents(s, dir),
         "doc_id", "text", 20)),
+    // Overlapping-stride substring dedup (the ExactSubstr approximation):
+    // 20-token windows every 5 tokens, md5-keyed marking, removed
+    // intervals merged per doc before the token-level rebuild. Catches
+    // block-boundary-straddling duplicates span_dedup misses
+    // (SubstringDedupSpec plants one).
+    "substring_dedup" -> ((s, dir) =>
+      graft.dedup.SubstringDedup.cleaned(Tables.documents(s, dir),
+        "doc_id", "text", width = 20, stride = 5)),
+    // WHAT-was-removed report for the same parameters: every repeated
+    // window with occurrence/doc counts and its keeper position.
+    "substring_dedup_audit" -> ((s, dir) =>
+      graft.dedup.SubstringDedup.audit(Tables.documents(s, dir),
+        "doc_id", "text", width = 20, stride = 5)),
     // ---- [EXT] similarity search ----
     "knn_bruteforce" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -547,6 +560,29 @@ object SparkEntry {
        |       LEFT JOIN tot ON d.doc_id = tot.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** Shared substring-dedup oracle prefix (mirrors
+    * [[graft.dedup.SubstringDedup.windows]] at width=20, stride=5 over
+    * `documents`): explicit whitespace class `[ \t\x0B\f\r\n]` (the
+    * SplitWhitespace byte set — RE2's `\S` EXCLUDES \x0B, so the class is
+    * pinned rather than inherited), overlapping starts with the tail
+    * window, md5-keyed keep-first marking. */
+  private def substringCte: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0B\f\r]+') AS toks
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, CAST(s AS BIGINT) AS start,
+      |    lower(array_to_string(list_slice(toks, s, s + 19), ' ')) AS norm
+      |  FROM (SELECT doc_id, toks,
+      |          UNNEST(list_distinct(list_append(
+      |            range(1, len(toks) - 18, 5), len(toks) - 19))) AS s
+      |        FROM t WHERE len(toks) >= 20)),
+      |m AS (
+      |  SELECT doc_id, start, norm, md5(norm) AS h,
+      |    ROW_NUMBER() OVER (PARTITION BY md5(norm) ORDER BY doc_id, start) AS rn,
+      |    COUNT(*) OVER (PARTITION BY md5(norm)) AS n_occ
+      |  FROM w)""".stripMargin
+
   /** VALUES CTE over [[UrlFixture]] for the canonicalization oracles. */
   private def urlValuesCte: String = {
     val values = UrlFixture.urls
@@ -615,6 +651,54 @@ object SparkEntry {
         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
         |       LEFT JOIN tot ON d.doc_id = tot.doc_id
         |ORDER BY doc_id""".stripMargin,
+    "substring_dedup" ->
+      s"""$substringCte,
+         |r AS (SELECT doc_id, start, start + 19 AS fin
+         |      FROM m WHERE rn > 1 AND n_occ >= 2),
+         |i AS (
+         |  SELECT doc_id, start, fin,
+         |    MAX(fin) OVER (PARTITION BY doc_id ORDER BY start
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_fin
+         |  FROM r),
+         |g AS (
+         |  SELECT doc_id, start, fin,
+         |    SUM(CASE WHEN prev_fin IS NULL OR start > prev_fin + 1
+         |        THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY start) AS island
+         |  FROM i),
+         |mi AS (SELECT doc_id, MIN(start) AS rm_start, MAX(fin) AS rm_end
+         |       FROM g GROUP BY doc_id, island),
+         |tok AS (
+         |  SELECT doc_id, CAST(p AS BIGINT) AS pos, toks[p] AS tok
+         |  FROM (SELECT doc_id, toks, UNNEST(range(1, len(toks) + 1)) AS p
+         |        FROM t)),
+         |kept AS (
+         |  SELECT tok.* FROM tok
+         |  WHERE NOT EXISTS (SELECT 1 FROM mi
+         |    WHERE mi.doc_id = tok.doc_id
+         |      AND tok.pos BETWEEN mi.rm_start AND mi.rm_end)),
+         |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+         |        CAST(COUNT(*) AS BIGINT) AS n_kept FROM kept GROUP BY 1),
+         |tot AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t)
+         |SELECT d.doc_id AS doc_id, COALESCE(agg.text_clean, '') AS text_clean,
+         |  COALESCE(tot.n_tokens, 0) AS n_tokens,
+         |  COALESCE(tot.n_tokens, 0) - COALESCE(agg.n_kept, 0) AS n_removed
+         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+         |     LEFT JOIN tot ON d.doc_id = tot.doc_id
+         |ORDER BY doc_id""".stripMargin,
+    "substring_dedup_audit" ->
+      s"""$substringCte,
+         |a AS (SELECT h, norm, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         |        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |      FROM m GROUP BY 1, 2),
+         |k1 AS (SELECT h, CAST(doc_id AS BIGINT) AS keeper_doc_id,
+         |         start AS keeper_start
+         |       FROM m WHERE rn = 1)
+         |SELECT a.norm AS passage, n_occurrences, n_docs,
+         |  keeper_doc_id, keeper_start
+         |FROM a JOIN k1 ON a.h = k1.h
+         |WHERE n_occurrences >= 2
+         |ORDER BY n_occurrences DESC, passage ASC""".stripMargin,
     "decontaminate_bloom" -> DecontaminateSql,
     "part_pagerank" -> graft.analytics.PageRank.sqlCopurchaseParts(),
     "lm_scores" -> graft.text.LmScore.sqlScores,
@@ -1459,8 +1543,6 @@ object SparkEntry {
   )
 }
 
-/** Inline page fixtures for the ingest driver queries (deterministic —
-  * the same literals are embedded in the DuckDB oracle VALUES). */
 /** Inline PII corpus (the synthetic documents contain no PII, so the scrub
   * query gets its own fixture; the same literals feed the VALUES oracle). */
 object PiiFixture {
@@ -1472,14 +1554,6 @@ object PiiFixture {
     (5L, "edge: version 1.2.3.4 of the lib pinged 8.8.8.8 at dawn"))
 }
 
-/** Inline multi-paragraph corpus for the paragraph-dedup queries (the
-  * synthetic documents table is single-line text, so paragraph structure
-  * needs its own fixture; the same literals feed the VALUES oracle).
-  * Engineered edges: a case/whitespace variant of the license paragraph
-  * (doc 3 — normalization must merge it), a pure-boilerplate doc (5 —
-  * must come back empty), a whitespace-only paragraph (doc 7 — dropped,
-  * counted neither kept nor removed), and a 2-occurrence repeat (docs
-  * 7/8 — removed at minOccurrences=2, SURVIVES at 3). */
 /** Gnarly-URL fixture for the canonicalization queries: case games,
   * default and non-default ports, tracking params, unsorted params,
   * fragments, trailing and duplicate slashes, empty paths, a scheme-less
@@ -1501,6 +1575,14 @@ object UrlFixture {
     (12L, "https://example.com/a/b/c///"))
 }
 
+/** Inline multi-paragraph corpus for the paragraph-dedup queries (the
+  * synthetic documents table is single-line text, so paragraph structure
+  * needs its own fixture; the same literals feed the VALUES oracle).
+  * Engineered edges: a case/whitespace variant of the license paragraph
+  * (doc 3 — normalization must merge it), a pure-boilerplate doc (5 —
+  * must come back empty), a whitespace-only paragraph (doc 7 — dropped,
+  * counted neither kept nor removed), and a 2-occurrence repeat (docs
+  * 7/8 — removed at minOccurrences=2, SURVIVES at 3). */
 object ParagraphFixture {
   private val License =
     "This document is licensed under the Creative Commons Attribution license."
@@ -1518,6 +1600,8 @@ object ParagraphFixture {
     (8L, s"Columnar formats let scans skip unread columns.\n\n$License"))
 }
 
+/** Inline page fixtures for the ingest driver queries (deterministic —
+  * the same literals are embedded in the DuckDB oracle VALUES). */
 object IngestFixture {
   val listings: Seq[(String, String)] = Seq(
     ("https://ex.com/list",

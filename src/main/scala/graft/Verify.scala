@@ -22,6 +22,14 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Dev convenience: extra args past (sfDir, outDir) restrict the dump
     // to the named queries — the driver always passes exactly two.
+    // Unknown names fail fast: a typo'd filter would otherwise dump a
+    // partial (or empty) tree with exit 0 and read as a clean run.
+    val unknown = only.filterNot(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"[verify] unknown query name(s): ${unknown.mkString(", ")}")
+      spark.stop(); sys.exit(2)
+    }
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(only.toSet).toMap

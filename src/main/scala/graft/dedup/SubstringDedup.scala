@@ -1,0 +1,185 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [EXT] Overlapping-stride exact substring deduplication — the
+  * SQL-expressible approximation of Lee et al.'s suffix-array
+  * `ExactSubstr` operator ("Deduplicating Training Data Makes Language
+  * Models Better"), closing the granularity gap left by
+  * [[ParagraphDedup.spanUnits]]: non-overlapping fixed blocks miss a
+  * duplicated passage that straddles a block boundary in one document
+  * but not the other (SubstringDedupSpec plants exactly that case —
+  * `dedupSpans` provably misses it, this operator catches it).
+  *
+  * Unit model: for each document's whitespace-token array (length n),
+  * windows of `width` tokens start at positions 1, 1+stride, 1+2·stride,
+  * … plus always the tail start n−width+1, so every token is covered by
+  * at least one full-width window. Windows are matched on the md5 of
+  * their normalized (lowercased, single-space-joined) text. The FIRST
+  * occurrence corpus-wide in (doc_id, start) order is the keeper; later
+  * occurrences of a window occurring `minOccurrences`-or-more times mark
+  * their token interval [start, start+width−1] removed. Per document,
+  * removed intervals are MERGED (overlapping or adjacent collapse to
+  * one span — a duplicated passage longer than `width` matched by
+  * several staggered windows becomes a single removed span), and the
+  * document is rebuilt from the tokens outside every merged interval.
+  *
+  * Approximation contract vs true suffix-array ExactSubstr (documented,
+  * spec-pinned): (a) minimum detected match length is `width` tokens —
+  * same role as ExactSubstr's 50-token minimum; (b) a residue shorter
+  * than `width` at either end of a duplicated passage can survive
+  * (window alignment granularity); (c) two copies are detected only when
+  * their token offsets agree modulo `stride` — `stride = 1` removes this
+  * caveat at width× unit fan-out, and the production middle ground is
+  * content-anchored starts (anchor where md5(token) ≡ 0 mod stride),
+  * which aligns copies at any offset with the same expected fan-out.
+  *
+  * Everything is relational — posexplode, two norm-keyed window
+  * functions, a gaps-and-islands interval merge, one range anti-join —
+  * so both outputs carry full DuckDB oracles (`substring_dedup`,
+  * `substring_dedup_audit`), unlike the probabilistic near-dup family.
+  *
+  * Scale shape (100 TB): the marking exchange is keyed by md5(norm) and
+  * carries ONLY (doc_id, start, h) — 8-byte ids plus a 32-hex key, NOT
+  * the window text, so the stride-factor (width/stride) window fan-out
+  * never multiplies payload bytes through a shuffle (the paragraph
+  * operator's scaladoc calls this the "key by a 128-bit content hash"
+  * production variant; here it is the implementation, and md5 keeps the
+  * oracle engine-exact). Both analytic windows share one Exchange; the
+  * interval merge re-keys by doc_id (windows + groupBy share that
+  * Exchange too); the rebuild anti-join is an equi-join on doc_id with
+  * the interval bound as a residual filter — never a nested loop — and
+  * merged intervals per doc are few. Token arrays themselves never
+  * shuffle; only (doc_id, pos, tok) rows reach the rebuild exchange,
+  * the same linear cost class as `span_dedup`.
+  */
+object SubstringDedup {
+
+  /** Token table (doc_id, pos, tok), pos 1-based — the
+    * [[graft.text.TextAnalysis.tokens]] whitespace contract. Pure
+    * per-row fan-out. */
+  private def tokenTable(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    graft.Par.widen(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
+        graft.text.TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        col("tok"))
+
+  /** Window-start array for an n-token doc: 1, 1+stride, … ≤ n−width+1,
+    * plus the tail start n−width+1 (duplicate-free). Empty when n < width. */
+  private def startsExpr(n: Column, width: Int, stride: Int): Column =
+    array_distinct(concat(
+      sequence(lit(1), n - width + 1, lit(stride)),
+      array(n - width + 1)))
+
+  /** Window occurrences (doc_id, start, h[, norm]) — one row per
+    * overlapping window; h = md5 of the normalized window text. `norm`
+    * is carried only when `withText` (the audit path needs the passage;
+    * the dedup path ships ids + hash only). */
+  def windows(docs: DataFrame, idCol: String, textCol: String,
+              width: Int, stride: Int, withText: Boolean = false): DataFrame = {
+    require(width > 0, "need width > 0")
+    require(stride > 0 && stride <= width,
+      "need 0 < stride <= width (stride > width leaves uncovered gaps)")
+    val base = graft.Par.widen(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
+        graft.text.TextAnalysis.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= width)
+      .select(col("doc_id"), col("toks"),
+        explode(startsExpr(size(col("toks")), width, stride)).as("start"))
+      .withColumn("norm",
+        lower(concat_ws(" ", slice(col("toks"), col("start"), lit(width)))))
+      .select(col("doc_id"), col("start").cast("long").as("start"),
+        md5(col("norm")).as("h"), col("norm"))
+    if (withText) base else base.drop("norm")
+  }
+
+  /** Keep-first marking: rn (by (doc_id, start)) and corpus occurrence
+    * count per window hash. One Exchange — both windows key by h. */
+  private def marked(wins: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("start"))
+    val wc = Window.partitionBy(col("h"))
+    wins.withColumn("rn", row_number().over(w))
+      .withColumn("n_occ", count(lit(1)).over(wc))
+  }
+
+  /** Merged removed intervals (doc_id, rm_start, rm_end): non-keeper
+    * occurrences of windows with n_occ >= minOccurrences contribute
+    * [start, start+width−1]; overlapping-or-adjacent intervals collapse
+    * via gaps-and-islands (running max of prior ends → island ids). */
+  def removedIntervals(wins: DataFrame, width: Int,
+                       minOccurrences: Long = 2L): DataFrame = {
+    require(minOccurrences >= 2, "minOccurrences < 2 would remove nothing's copies")
+    val removed = marked(wins)
+      .filter(col("rn") > 1 && col("n_occ") >= minOccurrences)
+      .select(col("doc_id"), col("start"),
+        (col("start") + width - 1).as("fin"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+    val prevFin = max(col("fin")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    removed
+      .withColumn("new_island",
+        when(prevFin.isNull || col("start") > prevFin + 1, 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("start")).as("rm_start"), max(col("fin")).as("rm_end"))
+      .select(col("doc_id"), col("rm_start"), col("rm_end"))
+  }
+
+  /** Cleaned documents (doc_id, text_clean, n_tokens, n_removed) for
+    * EVERY input document: tokens inside any merged removed interval are
+    * dropped, the rest rejoin with single spaces in original order. A
+    * doc shorter than `width` (or with nothing removed) passes through
+    * token-rejoined; a fully-removed doc comes back "". */
+  def cleaned(docs: DataFrame, idCol: String, textCol: String,
+              width: Int, stride: Int, minOccurrences: Long = 2L): DataFrame = {
+    val toks = tokenTable(docs, idCol, textCol)
+    val rm = removedIntervals(
+      windows(docs, idCol, textCol, width, stride), width, minOccurrences)
+    val kept = toks.join(rm,
+      toks("doc_id") === rm("doc_id") &&
+        toks("pos") >= rm("rm_start") && toks("pos") <= rm("rm_end"),
+      "left_anti")
+    val agged = kept.groupBy(col("doc_id"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos").as("pos"), col("tok").as("tok")))),
+          s => s.getField("tok"))).as("text_clean"),
+        count(lit(1)).as("n_kept"))
+    // Token totals come from the DOCS scan, not the kept rows — a fully
+    // removed document has no kept rows, and deriving n_tokens from them
+    // would silently report (n_tokens = 0, n_removed = 0) for exactly the
+    // documents the operator hit hardest.
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        size(graft.text.TextAnalysis.tokens(col(textCol))).cast("long")
+          .as("n_tokens"))
+      .join(agged, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Removed-passage audit: every window text occurring
+    * `minOccurrences`-or-more times, with occurrence/document counts and
+    * keeper position — the WHAT-was-removed report (high-n_docs rows are
+    * cross-site boilerplate). Carries the passage text, so this path
+    * groups by (h, norm); the md5 key still keeps the sort keys short. */
+  def audit(docs: DataFrame, idCol: String, textCol: String,
+            width: Int, stride: Int, minOccurrences: Long = 2L): DataFrame =
+    windows(docs, idCol, textCol, width, stride, withText = true)
+      .groupBy(col("h"), col("norm"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(struct(col("doc_id").as("doc_id"), col("start").as("start"))).as("first"))
+      .filter(col("n_occurrences") >= minOccurrences)
+      .select(col("norm").as("passage"),
+        col("n_occurrences"), col("n_docs"),
+        col("first").getField("doc_id").as("keeper_doc_id"),
+        col("first").getField("start").as("keeper_start"))
+      .orderBy(col("n_occurrences").desc, col("passage").asc)
+}

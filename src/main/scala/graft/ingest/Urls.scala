@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 
 /** [EXT] URL canonicalization (`canonical_urls` / `canonical_url_dedup`
   * queries) — the scale form of the reference's link dedup: the crawler
-  * anti-joins candidate links against stored URLs byte-for-byte
-  * (crawl.py:56,63 via the `link` key), which treats
+  * probes the store for each candidate URL byte-for-byte
+  * (crawl.py:73, `find_one({'sources': url})`), which treats
   * `HTTP://Example.com/a?utm_source=x#top` and `http://example.com/a` as
   * different pages and re-crawls them. At corpus scale the dedup key
   * must be the CANONICAL form.

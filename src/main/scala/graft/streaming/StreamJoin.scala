@@ -52,7 +52,12 @@ object StreamJoin {
   }
 
   /** The driver-query instantiation: purchases pick up all clicks of the
-    * same user in the preceding `windowSeconds` (default 30 min). */
+    * same user in the preceding `windowSeconds` (default 30 min).
+    *
+    * BATCH-ONLY: the trailing total-order `.orderBy` (for the oracle's
+    * deterministic compare) is unsupported on append-mode streams. For
+    * streaming reuse call [[intervalJoin]] directly (as StreamJoinSpec
+    * does) and skip the sort. */
   def purchasesWithPriorClicks(events: DataFrame,
                                windowSeconds: Long = 1800L): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
