@@ -423,6 +423,18 @@ object SparkEntry {
     // perplexity-head policy.
     "lm_quality_floor" -> ((s, dir) =>
       graft.text.LmScore.qualityFloor(Tables.documents(s, dir), "doc_id", "text")),
+    // Trigram LM with stupid backoff (rational alpha = 4/10 folded into
+    // the integer log argument): repeated trigrams score by MLE,
+    // singletons back off to the Laplace bigram conditional. More
+    // context per prediction than lm_scores; same micro-nat discipline,
+    // full oracle.
+    "lm_scores_trigram" -> ((s, dir) =>
+      graft.text.LmScore.scoresTrigram(Tables.documents(s, dir), "doc_id", "text")),
+    // The documented 100 TB swap as a real operator: df>=3 head costs
+    // broadcast, tail occurrences charged the constant singleton cost —
+    // the scoring join is map-side, the token stream never shuffles.
+    "lm_scores_pruned" -> ((s, dir) =>
+      graft.text.LmScore.prunedScores(Tables.documents(s, dir), "doc_id", "text")),
     // Heavy-hitter tokens: distributed Misra-Gries sketch (bounded
     // memory, no token-stream shuffle) + exact recount of the <= 2000
     // candidates. Output provably equals the naive global top list above
@@ -703,6 +715,8 @@ object SparkEntry {
     "part_pagerank" -> graft.analytics.PageRank.sqlCopurchaseParts(),
     "lm_scores" -> graft.text.LmScore.sqlScores,
     "lm_quality_floor" -> graft.text.LmScore.sqlQualityFloor(),
+    "lm_scores_trigram" -> graft.text.LmScore.sqlScoresTrigram(),
+    "lm_scores_pruned" -> graft.text.LmScore.sqlScoresPruned(),
     "heavy_hitters" ->
       """WITH tok AS (
         |  SELECT UNNEST(regexp_extract_all(lower(text), '\S+')) AS token FROM documents),

@@ -86,7 +86,16 @@ object LmScore {
     * `q`-quantile drop — CCNet's "keep the head/middle of the
     * perplexity distribution" policy with a data-derived cut instead of
     * a magic constant. One extra single-row aggregate broadcast back;
-    * `percentile_approx` is the documented 100 TB swap. */
+    * `percentile_approx` is the documented 100 TB swap.
+    *
+    * Cross-engine parity note: the hash-checked oracle rests on Spark
+    * `percentile` and DuckDB `quantile_cont` producing bit-identical
+    * interpolated doubles. That holds for DYADIC `q` (0.5, 0.25, 0.75,
+    * …: the interpolation fraction is exact in binary); a non-dyadic `q`
+    * can differ by a ulp between engines and flip a document sitting
+    * exactly on the cut. Keep `q` dyadic (the default 0.5 is), or
+    * switch the cut to the exact k-th order statistic (an integer)
+    * before relying on the oracle at other quantiles. */
   def qualityFloor(docs: DataFrame, idCol: String, textCol: String,
                    q: Double = 0.5): DataFrame = {
     val s = scores(docs, idCol, textCol)
@@ -104,6 +113,201 @@ object LmScore {
        |SELECT doc_id, n_bigrams, avg_cost_micro
        |FROM s, m WHERE avg_cost_micro <= m.cut
        |ORDER BY doc_id""".stripMargin
+
+  /** Integer micro-nat cost per distinct trigram under STUPID BACKOFF
+    * (Brants et al., "Large Language Models in Machine Translation"):
+    *
+    *   S(w3|w1 w2) = c(w1w2w3) ∕ c(w1w2)            if c(w1w2w3) ≥ minCount
+    *               = α · (c(w2w3)+1) ∕ (c(w2)+V)    otherwise
+    *
+    * i.e. trust the trigram MLE where the trigram repeats, else back off
+    * to the LAPLACE bigram conditional scaled by α. On a self-fit corpus
+    * every scored trigram has count ≥ 1, so the backoff gate is the
+    * `minCount` threshold (default 2): singleton trigrams are exactly
+    * the degenerate self-fit cases (c3 = 1, often c2 = 1 ⇒ MLE cost 0
+    * for unique gibberish) and get the backed-off estimate instead.
+    *
+    * α is a RATIONAL (alphaNum ∕ alphaDen, default 4∕10 — Brants'
+    * recommended 0.4) folded INSIDE the single log argument as integer
+    * multiplications, so the micro-nat discipline is unchanged: each
+    * distinct trigram costs ⌊ln(num ∕ den) · 1e6⌋ with num, den exact
+    * BIGINTs, num ≥ den ⇒ cost ≥ 0, one libm call, and the per-doc sum
+    * stays an order-independent integer the DuckDB oracle hash-matches.
+    *
+    * Scale shape: three count aggregates (map-combined) for the uni/bi/
+    * trigram tables; the cost table joins the trigram table to the
+    * bigram table twice (leading bigram for the MLE, trailing bigram
+    * for the backoff) and the unigram table once, all keyed equi-joins
+    * on model-table keys (distinct n-grams, sublinear in corpus size);
+    * scoring re-keys the corpus trigram stream once — same two-exchange
+    * class as the bigram model. */
+  def trigramCostTable(docs: DataFrame, textCol: String,
+                       minCount: Long = 2L, alphaNum: Long = 4L,
+                       alphaDen: Long = 10L): DataFrame = {
+    require(minCount >= 2, "minCount < 2 never backs off on a self-fit corpus")
+    require(alphaNum > 0 && alphaDen >= alphaNum,
+      "need 0 < alpha = alphaNum/alphaDen <= 1")
+    val uni = graft.Par.widen(docs)
+      .select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val big = graft.Par.widen(docs)
+      .select(explode(TextAnalysis.shingles(col(textCol), 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    val tri = graft.Par.widen(docs)
+      .select(explode(TextAnalysis.shingles(col(textCol), 3)).as("tg"))
+      .groupBy(col("tg")).agg(count(lit(1)).as("c3"))
+    val parts = split(col("tg"), " ")
+    val keyed = tri
+      .withColumn("lead2", concat_ws(" ", slice(parts, 1, 2)))
+      .withColumn("trail2", concat_ws(" ", slice(parts, 2, 2)))
+      .withColumn("w2", parts.getItem(1))
+    keyed
+      .join(big.select(col("bg").as("lead2"), col("cb").as("c2")), Seq("lead2"))
+      .join(big.select(col("bg").as("trail2"), col("cb").as("cb23")), Seq("trail2"))
+      .join(uni.select(col("w").as("w2"), col("cu").as("cu2")), Seq("w2"))
+      .crossJoin(broadcast(vocab))
+      .select(col("tg"),
+        when(col("c3") >= minCount,
+          floor(log(col("c2").cast("double") / col("c3").cast("double")) *
+            lit(1000000.0)))
+          .otherwise(
+            floor(log((lit(alphaDen) * (col("cu2") + col("v"))).cast("double") /
+              (lit(alphaNum) * (col("cb23") + lit(1L))).cast("double")) *
+              lit(1000000.0)))
+          .cast("long").as("c"))
+  }
+
+  /** Per-document trigram LM cost (`lm_scores_trigram` query):
+    * (doc_id, n_trigrams, total_cost_micro, avg_cost_micro) for every
+    * document with at least one trigram (≥ 3 tokens). Strictly better
+    * fluency signal than [[scores]] — more context per prediction
+    * (CCNet uses a 5-gram KenLM; trigram+backoff is the same family). */
+  def scoresTrigram(docs: DataFrame, idCol: String, textCol: String,
+                    minCount: Long = 2L): DataFrame = {
+    val cost = trigramCostTable(docs, textCol, minCount)
+    graft.Par.widen(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(TextAnalysis.shingles(col(textCol), 3)).as("tg"))
+      .join(cost, Seq("tg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("c")).as("total_cost_micro"))
+      .select(col("doc_id"), col("n_trigrams"), col("total_cost_micro"),
+        expr("total_cost_micro div n_trigrams").as("avg_cost_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Broadcast-head pruned LM scoring (`lm_scores_pruned` query) — the
+    * 100 TB swap the [[bigramCostTable]] scaladoc documents, as a real
+    * operator: keep exact costs only for HEAD bigrams (corpus count ≥
+    * `minDf`), charge every tail occurrence the constant singleton cost
+    * ⌊ln((1+V) ∕ 2) · 1e6⌋. The head table is sublinear in the corpus
+    * (df-thresholded distinct bigrams) and explicitly `broadcast()`, so
+    * the scoring join is map-side — the corpus token stream is never
+    * shuffled for scoring; the only wide exchanges left are the model
+    * fit's count aggregates (LmScoreSpec pins the BroadcastHashJoin and
+    * the k=1 ≡ exact equivalence; the estimate-vs-exact error is
+    * bounded there too, the `boilerplate_ngrams_sampled` discipline).
+    * Extra column `n_backoff` = tail occurrences charged the constant —
+    * the estimate-quality signal (0 at minDf=1). */
+  def prunedScores(docs: DataFrame, idCol: String, textCol: String,
+                   minDf: Long = 3L): DataFrame = {
+    val toks = TextAnalysis.tokens(lower(col(textCol)))
+    val uni = graft.Par.widen(docs)
+      .select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val big = graft.Par.widen(docs)
+      .select(explode(TextAnalysis.shingles(col(textCol), 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    val head = big.filter(col("cb") >= minDf)
+      .join(uni, split(col("bg"), " ").getItem(0) === col("w"))
+      .crossJoin(broadcast(vocab))
+      .select(col("bg"),
+        floor(log((col("cu") + col("v")).cast("double") /
+          (col("cb") + lit(1L)).cast("double")) *
+          lit(1000000.0)).cast("long").as("c"))
+    val tailCost = floor(log((lit(1L) + col("v")).cast("double") / lit(2.0)) *
+      lit(1000000.0)).cast("long")
+    graft.Par.widen(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(TextAnalysis.shingles(col(textCol), 2)).as("bg"))
+      .join(broadcast(head), Seq("bg"), "left")
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("c"), tailCost)).as("total_cost_micro"),
+        sum(when(col("c").isNull, 1L).otherwise(0L)).as("n_backoff"))
+      .select(col("doc_id"), col("n_bigrams"), col("total_cost_micro"),
+        expr("total_cost_micro div n_bigrams").as("avg_cost_micro"),
+        col("n_backoff"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror of [[scoresTrigram]] over `documents`. */
+  def sqlScoresTrigram(minCount: Long = 2L, alphaNum: Long = 4L,
+                       alphaDen: Long = 10L): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks FROM documents),
+       |tg AS (
+       |  SELECT doc_id, UNNEST(list_transform(range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS tg
+       |  FROM tok),
+       |bgs AS (
+       |  SELECT UNNEST(list_transform(range(1, len(toks)),
+       |    i -> toks[i] || ' ' || toks[i+1])) AS bg
+       |  FROM tok),
+       |u AS (SELECT w, COUNT(*) AS cu FROM (SELECT UNNEST(toks) AS w FROM tok) GROUP BY 1),
+       |v AS (SELECT COUNT(*) AS v FROM u),
+       |b AS (SELECT bg, COUNT(*) AS cb FROM bgs GROUP BY 1),
+       |t3 AS (SELECT tg, COUNT(*) AS c3 FROM tg GROUP BY 1),
+       |cost AS (
+       |  SELECT t3.tg,
+       |    CASE WHEN t3.c3 >= $minCount THEN
+       |      CAST(FLOOR(ln(b1.cb::DOUBLE / t3.c3::DOUBLE) * 1000000.0) AS BIGINT)
+       |    ELSE
+       |      CAST(FLOOR(ln(($alphaDen * (u.cu + v.v))::DOUBLE /
+       |        ($alphaNum * (b2.cb + 1))::DOUBLE) * 1000000.0) AS BIGINT)
+       |    END AS c
+       |  FROM t3
+       |  JOIN b b1 ON b1.bg = split_part(t3.tg, ' ', 1) || ' ' || split_part(t3.tg, ' ', 2)
+       |  JOIN b b2 ON b2.bg = split_part(t3.tg, ' ', 2) || ' ' || split_part(t3.tg, ' ', 3)
+       |  JOIN u ON u.w = split_part(t3.tg, ' ', 2)
+       |  CROSS JOIN v),
+       |d AS (
+       |  SELECT tg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       |    CAST(SUM(cost.c) AS BIGINT) AS total_cost_micro
+       |  FROM tg JOIN cost ON tg.tg = cost.tg GROUP BY 1)
+       |SELECT doc_id, n_trigrams, total_cost_micro,
+       |  total_cost_micro // n_trigrams AS avg_cost_micro
+       |FROM d ORDER BY doc_id""".stripMargin
+
+  /** DuckDB mirror of [[prunedScores]] over `documents`. */
+  def sqlScoresPruned(minDf: Long = 3L): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks FROM documents),
+       |bg AS (
+       |  SELECT doc_id, UNNEST(list_transform(range(1, len(toks)),
+       |    i -> toks[i] || ' ' || toks[i+1])) AS bg
+       |  FROM tok),
+       |u AS (SELECT w, COUNT(*) AS cu FROM (SELECT UNNEST(toks) AS w FROM tok) GROUP BY 1),
+       |v AS (SELECT COUNT(*) AS v FROM u),
+       |b AS (SELECT bg, COUNT(*) AS cb FROM bg GROUP BY 1),
+       |head AS (
+       |  SELECT b.bg,
+       |    CAST(FLOOR(ln((u.cu + v.v)::DOUBLE / (b.cb + 1)::DOUBLE) * 1000000.0) AS BIGINT) AS c
+       |  FROM b JOIN u ON u.w = split_part(b.bg, ' ', 1) CROSS JOIN v
+       |  WHERE b.cb >= $minDf),
+       |d AS (
+       |  SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(COALESCE(head.c,
+       |      CAST(FLOOR(ln((1 + v.v)::DOUBLE / 2::DOUBLE) * 1000000.0) AS BIGINT)))
+       |      AS BIGINT) AS total_cost_micro,
+       |    CAST(SUM(CASE WHEN head.c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff
+       |  FROM bg LEFT JOIN head ON bg.bg = head.bg CROSS JOIN v GROUP BY 1)
+       |SELECT doc_id, n_bigrams, total_cost_micro,
+       |  total_cost_micro // n_bigrams AS avg_cost_micro, n_backoff
+       |FROM d ORDER BY doc_id""".stripMargin
 
   /** DuckDB mirror of [[scores]] over `documents`. */
   def sqlScores: String =

@@ -41,6 +41,71 @@ class LmScoreSpec extends SparkSpec {
     assert(kept == (1L to 8L).toSet)
   }
 
+  test("hand-computed trigram stupid-backoff costs") {
+    // Corpus: "a b c" x2, "a b d". Unigrams a=3,b=3,c=2,d=1 -> V=4.
+    // Bigrams "a b"=3, "b c"=2, "b d"=1. Trigrams "a b c"=2, "a b d"=1.
+    // "a b c": c3=2 >= minCount -> MLE ln(c("a b")/c3) = ln(3/2).
+    // "a b d": singleton -> backoff ln((10*(c(b)+V)) / (4*(c("b d")+1)))
+    //          = ln(70/8).
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b d"))
+      .toDF("doc_id", "text")
+    val out = LmScore.scoresTrigram(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val mle = math.floor(math.log(3.0 / 2.0) * 1e6).toLong
+    val backoff = math.floor(math.log(70.0 / 8.0) * 1e6).toLong
+    assert(out(1L) == (1L, mle))
+    assert(out(2L) == (1L, mle))
+    assert(out(3L) == (1L, backoff))
+    // Backoff must undo the self-fit degeneracy: the singleton trigram
+    // costs MORE than the repeated one (unsmoothed MLE would give it 0).
+    assert(backoff > mle && mle > 0L)
+  }
+
+  test("trigram scorer preserves the fluency ordering") {
+    val common = (1 to 20).map(_ => "the quick brown fox jumps").mkString(" ")
+    val docs = ((1 to 10).map(i => (i.toLong, common)) :+
+      (99L, "zxq qzx xqz qxz zqx wvu uvw")).toDF("doc_id", "text")
+    val out = LmScore.scoresTrigram(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out.values.forall(_ >= 0L))
+    assert(out(1L) < out(99L))
+  }
+
+  test("pruned scoring with minDf=1 is exactly the full scorer") {
+    val docs = ((1 to 6).map(i => (i.toLong, "the quick brown fox jumps")) :+
+      (7L, "one rare sentence here") :+ (8L, "the quick red fox"))
+      .toDF("doc_id", "text")
+    val exact = LmScore.scores(docs, "doc_id", "text")
+      .collect().map(_.toSeq).toSeq
+    val pruned = LmScore.prunedScores(docs, "doc_id", "text", minDf = 1L)
+    val rows = pruned.collect()
+    assert(rows.map(_.toSeq.dropRight(1)).toSeq == exact)
+    assert(rows.forall(_.getLong(4) == 0L)) // no backoff at minDf = 1
+  }
+
+  test("pruned scoring broadcasts the head and bounds the estimate error") {
+    val docs = ((1 to 6).map(i => (i.toLong, "the quick brown fox jumps")) :+
+      (7L, "one rare sentence here") :+ (8L, "the quick red fox"))
+      .toDF("doc_id", "text")
+    val pruned = LmScore.prunedScores(docs, "doc_id", "text", minDf = 3L)
+    // The scale point: the scoring join must be map-side.
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    val est = pruned.collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(4))).toMap
+    val exact = LmScore.scores(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // Tail bigrams exist (docs 7/8 are rare) and get the constant charge.
+    assert(est.values.exists(_._2 > 0L))
+    // Head costs are exact, so the estimate differs only on tail
+    // occurrences, each off by at most its own true cost vs the
+    // singleton constant — bound the relative error per doc.
+    exact.foreach { case (id, t) =>
+      val rel = math.abs(est(id)._1 - t).toDouble / t.max(1L)
+      assert(rel <= 0.6, s"doc $id: exact=$t est=${est(id)._1} rel=$rel")
+    }
+  }
+
   test("documents without bigrams are absent; case folds") {
     val docs = Seq((1L, "Solo"), (2L, ""), (3L, "Two TOKENS"), (4L, "two tokens"))
       .toDF("doc_id", "text")
