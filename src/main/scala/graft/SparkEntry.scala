@@ -137,6 +137,21 @@ object SparkEntry {
         ParagraphFixture.docs.toDF("doc_id", "text"), "doc_id", "text",
         minOccurrences = 3L)
     }),
+    // Incremental paragraph dedup: docs 1-4 are history (only their
+    // norm-hash index is consulted), docs 5-8 arrive as a batch and
+    // dedup against the index + keep-first among themselves — history
+    // text is never re-read. Full oracle (the probe is plain relational
+    // algebra).
+    "paragraph_dedup_incremental" -> ((s, _) => {
+      import s.implicits._
+      val all = ParagraphFixture.docs.toDF("doc_id", "text")
+      val hist = all.filter(col("doc_id") <= 4)
+      val batch = all.filter(col("doc_id") >= 5)
+      graft.dedup.ParagraphDedup.dedupParagraphsIncremental(
+        batch, "doc_id", "text",
+        graft.dedup.ParagraphDedup.paragraphIndex(
+          graft.dedup.ParagraphDedup.paragraphUnits(hist, "doc_id", "text")))
+    }),
     // The removed-spans audit: every repeated paragraph with occurrence/
     // doc counts and its keeper position.
     "paragraph_dedup_audit" -> ((s, _) => {
@@ -435,6 +450,14 @@ object SparkEntry {
     // the scoring join is map-side, the token stream never shuffles.
     "lm_scores_pruned" -> ((s, dir) =>
       graft.text.LmScore.prunedScores(Tables.documents(s, dir), "doc_id", "text")),
+    // Trained quality classifier: hashed-feature linear model, weak
+    // labels from the LM-cost median split, 10 rounds of integer
+    // fixed-point GD with a hard sigmoid (no libm in the loop) — the
+    // whole TRAINING RUN replays as an unrolled DuckDB WITH-chain, so
+    // even the learned weights are hash-checked.
+    "quality_classifier" -> ((s, dir) =>
+      graft.pipeline.QualityClassifier.classify(
+        Tables.documents(s, dir), "doc_id", "text")),
     // Heavy-hitter tokens: distributed Misra-Gries sketch (bounded
     // memory, no token-stream shuffle) + exact recount of the <= 2000
     // candidates. Output provably equals the naive global top list above
@@ -622,6 +645,29 @@ object SparkEntry {
          |FROM c ORDER BY id""".stripMargin,
     "paragraph_dedup" -> paragraphCleanSql(2L),
     "paragraph_dedup_df" -> paragraphCleanSql(3L),
+    "paragraph_dedup_incremental" ->
+      s"""$paragraphCte,
+         |hist AS (SELECT DISTINCT norm FROM uu WHERE doc_id <= 4),
+         |bu AS (
+         |  SELECT doc_id, idx, raw, norm,
+         |    ROW_NUMBER() OVER (PARTITION BY norm ORDER BY doc_id, idx) AS rn
+         |  FROM uu WHERE doc_id >= 5),
+         |k AS (SELECT * FROM bu
+         |      WHERE rn = 1 AND norm NOT IN (SELECT norm FROM hist)),
+         |agg AS (
+         |  SELECT doc_id, string_agg(raw, e'\\n\\n' ORDER BY idx) AS text_clean,
+         |    CAST(COUNT(*) AS BIGINT) AS n_kept
+         |  FROM k GROUP BY 1),
+         |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_units
+         |        FROM uu WHERE doc_id >= 5 GROUP BY 1)
+         |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         |  COALESCE(agg.text_clean, '') AS text_clean,
+         |  COALESCE(agg.n_kept, 0) AS n_kept,
+         |  COALESCE(tot.n_units, 0) - COALESCE(agg.n_kept, 0) AS n_removed
+         |FROM (SELECT doc_id FROM d WHERE doc_id >= 5) d
+         |  LEFT JOIN agg ON d.doc_id = agg.doc_id
+         |  LEFT JOIN tot ON d.doc_id = tot.doc_id
+         |ORDER BY doc_id""".stripMargin,
     "paragraph_dedup_audit" ->
       s"""$paragraphCte,
          |a AS (
@@ -717,6 +763,7 @@ object SparkEntry {
     "lm_quality_floor" -> graft.text.LmScore.sqlQualityFloor(),
     "lm_scores_trigram" -> graft.text.LmScore.sqlScoresTrigram(),
     "lm_scores_pruned" -> graft.text.LmScore.sqlScoresPruned(),
+    "quality_classifier" -> graft.pipeline.QualityClassifier.sqlClassifier(),
     "heavy_hitters" ->
       """WITH tok AS (
         |  SELECT UNNEST(regexp_extract_all(lower(text), '\S+')) AS token FROM documents),

@@ -162,6 +162,72 @@ object ParagraphDedup {
         col("first").getField("idx").as("keeper_idx"))
       .orderBy(col("n_occurrences").desc, col("paragraph").asc)
 
+  /** Persisted paragraph index over a corpus's units — the incremental
+    * state: one row per DISTINCT normalized paragraph, keyed by md5 so
+    * the stored index carries a 32-hex key + keeper position, never the
+    * paragraph text. Written once (e.g. partitioned parquet bucketed by
+    * h); batches probe it and append their novel norms. */
+  def paragraphIndex(units: DataFrame): DataFrame =
+    units.groupBy(md5(col("norm")).as("h"))
+      .agg(min(struct(col("doc_id").as("doc_id"), col("idx").as("idx"))).as("first"))
+      .select(col("h"), col("first").getField("doc_id").as("keeper_doc_id"),
+        col("first").getField("idx").as("keeper_idx"))
+
+  /** The index after absorbing a batch: existing entries win (their
+    * keeper positions are history); the batch contributes one entry per
+    * norm the index has never seen. */
+  def indexAfterBatch(index: DataFrame, batchUnits: DataFrame): DataFrame =
+    index.unionByName(
+      paragraphIndex(batchUnits)
+        .join(index.select(col("h")), Seq("h"), "left_anti"))
+
+  /** [EXT] INCREMENTAL paragraph dedup (`paragraph_dedup_incremental`
+    * query) — the [[Dedup.newKeepers]] discipline at paragraph
+    * granularity: clean a new batch against the persisted norm-hash
+    * index WITHOUT recomputing history. A batch paragraph is removed iff
+    * its norm is already in the index (its keeper lives in history) or a
+    * batch sibling with a smaller (doc_id, idx) carries the same norm
+    * (keep-first within the batch); batch documents rebuild from their
+    * kept units. Equals the batch rows of a FULL
+    * [[dedupParagraphs]](history ∪ batch, minOccurrences = 2) recompute
+    * whenever history doc ids precede batch doc ids (the append-only
+    * corpus contract) — ParagraphDedupSpec pins the union-equivalence.
+    * (The df-threshold policy needs corpus-wide occurrence counts; an
+    * index carrying per-norm counts would extend this the same way.
+    * Plain keep-first is implemented, matching `newKeepers`.)
+    *
+    * Scale shape: per-batch cost is O(|batch units| + index matches) —
+    * the index is probed by an equi-join on h (pre-bucketed storage
+    * makes it shuffle-free on the index side) and history text is never
+    * re-read. This is the operator that makes 100 TB paragraph-clean
+    * corpus builds incremental. */
+  def dedupParagraphsIncremental(batch: DataFrame, idCol: String,
+                                 textCol: String, index: DataFrame,
+                                 splitRe: String = "\\n{2,}"): DataFrame = {
+    val units = paragraphUnits(batch, idCol, textCol, splitRe)
+      .withColumn("h", md5(col("norm")))
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("idx"))
+    val marked = units
+      .join(index.select(col("h"), lit(1).as("__hist")), Seq("h"), "left")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("kept", col("__hist").isNull && col("rn") === 1)
+    val agged = marked.groupBy(col("doc_id"))
+      .agg(
+        concat_ws("\n\n", transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("idx").as("idx"), col("raw").as("raw"))))),
+          s => s.getField("raw"))).as("text_clean"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_removed"))
+    batch.select(col(idCol).cast("long").as("doc_id"))
+      .join(agged, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Paragraph-granularity dedup end-to-end (`paragraph_dedup` /
     * `paragraph_dedup_df` queries). */
   def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,

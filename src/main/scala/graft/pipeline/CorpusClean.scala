@@ -56,6 +56,24 @@ object CorpusClean {
     build(docs, minQuality, lang, idCol, textCol, sourceCol,
       f => Dedup.nearDupKeepersScaled(f, idCol, textCol, dedupThreshold))
 
+  /** [[apply]] with the TRAINED quality gate composed in front: documents
+    * the [[QualityClassifier]] rejects (keep = 0) never reach the
+    * heuristic quality/language filters or the dedup pair feed — the
+    * model-based pre-gate the production pipelines run (classifier +
+    * perplexity + heuristics, each cutting the next stage's input).
+    * Classifier training sees the UNGATED corpus (its weak labels need
+    * the full LM cost distribution); only the survivors flow on. */
+  def withClassifierGate(docs: DataFrame, minQuality: Double = 0.5,
+                         lang: String = "en", dedupThreshold: Double = 0.9,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         blockCol: String = "source"): DataFrame = {
+    val verdicts = QualityClassifier.classify(docs, idCol, textCol)
+      .filter(col("keep") === 1).select(col("doc_id").as("__keep_id"))
+    val gated = docs.join(verdicts, docs(idCol) === col("__keep_id"))
+      .drop("__keep_id")
+    apply(gated, minQuality, lang, dedupThreshold, idCol, textCol, blockCol)
+  }
+
   private def build(docs: DataFrame, minQuality: Double, lang: String,
                     idCol: String, textCol: String, blockCol: String,
                     keepersOf: DataFrame => DataFrame): DataFrame = {

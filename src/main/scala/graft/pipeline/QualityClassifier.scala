@@ -1,0 +1,215 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.text.{LmScore, TextAnalysis}
+
+/** [EXT] Trained document-quality classifier (`quality_classifier`
+  * query) — the fastText-style supervised gate the standard LLM-data
+  * pipeline pairs with perplexity filtering (CCNet/GPT-3/LLaMA all run
+  * a wiki-vs-crawl classifier next to the LM score). Here the training
+  * signal is self-supervised: documents at-or-below the corpus median
+  * bigram-LM cost ([[LmScore.scores]]) are weak POSITIVES, the rest
+  * weak negatives — the classifier then generalizes that split onto
+  * hashed lexical features, which is exactly the production recipe with
+  * the labeled wiki set swapped out for an in-corpus proxy.
+  *
+  * Model: logistic-regression-shaped linear model over HASHED
+  * bag-of-words features (md5-bucket token hashing, `numBuckets` dims —
+  * the same engine-reproducible primitive as
+  * [[Curation.sampleDeterministic]]), trained by `iters` rounds of
+  * full-batch gradient descent with a HARD sigmoid
+  * σ(z) = clamp(½ + z∕4, 0, 1). Everything is integer fixed-point
+  * (micro-units): weights are integer micro-logits, the hard sigmoid is
+  * one exact power-of-two floor (z∕4 is exact in binary for |z| < 2⁵³),
+  * gradients are exact integer sums (order-independent), and the update
+  * divides non-negative integers (truncation ≡ floor in both engines).
+  * NO transcendental call anywhere in the loop — unlike a true-sigmoid
+  * trainer there is no per-iteration libm parity risk — so the ENTIRE
+  * training run plus inference replays as a DuckDB WITH-chain
+  * ([[sqlClassifier]] unrolls the iterations, the
+  * [[graft.analytics.PageRank]] discipline) and the query is
+  * hash-checked end-to-end: features, labels, every weight update, and
+  * every score. Training is deterministic by construction (zero init +
+  * deterministic data), which subsumes "seeded".
+  *
+  * Scale shape (100 TB): the feature table (doc_id, bucket, count) is
+  * built once (one map-combined aggregate) and persisted; each of the
+  * `iters` rounds is [broadcast-join the numBuckets-row weight vector →
+  * per-doc agg → join labels → per-bucket agg], i.e. one doc-keyed
+  * exchange and one numBuckets-wide reduce per round — the classic
+  * distributed full-batch GD shape. Only the numBuckets gradient rows
+  * ever reach the driver (bounded, like the PQ codebooks). Inference is
+  * one broadcast join + per-doc agg. Result materializes eagerly and
+  * every pinned block is dropped on exit (PageRank's hygiene).
+  */
+object QualityClassifier {
+
+  /** Stable feature bucket from the md5 of a token — engine-exact in
+    * DuckDB as `('0x' || substring(md5(tok), 1, 8))::UBIGINT % n`. */
+  def bucket(tok: Column, numBuckets: Int): Column =
+    conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % numBuckets
+
+  /** Hashed bag-of-words feature table (doc_id, j, x): token counts per
+    * md5 bucket over lowercased whitespace tokens. */
+  def features(docs: DataFrame, idCol: String, textCol: String,
+               numBuckets: Int): DataFrame =
+    graft.Par.widen(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("tok"))
+      .groupBy(col("doc_id"), bucket(col("tok"), numBuckets).as("j"))
+      .agg(count(lit(1)).as("x"))
+
+  /** Weak labels (doc_id, y), y ∈ {0, 1000000}: positive iff the doc's
+    * avg bigram-LM cost is at-or-below the corpus median (a dyadic
+    * quantile — engine-exact, see [[LmScore.qualityFloor]]). Docs
+    * without bigrams carry no label and don't train (they still get
+    * scored). */
+  def weakLabels(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val s = LmScore.scores(docs, idCol, textCol)
+    val cut = s.agg(expr("percentile(avg_cost_micro, 0.5D)").as("cut"))
+    s.crossJoin(broadcast(cut))
+      .select(col("doc_id"),
+        when(col("avg_cost_micro") <= col("cut"), 1000000L).otherwise(0L).as("y"))
+  }
+
+  /** Hard sigmoid in micro-units: clamp(500000 + ⌊z∕4⌋, 0, 1e6). The
+    * ∕4 is a power of two, so the double division is EXACT for any
+    * |z| < 2⁵³ and the floor is engine-identical even for negative z. */
+  private def sigmaMicro(z: Column): Column =
+    least(greatest(lit(500000L) +
+      floor(z.cast("double") / lit(4.0)).cast("long"), lit(0L)), lit(1000000L))
+
+  /** `iters` rounds of full-batch GD; returns the integer micro-logit
+    * weight vector. Each round runs distributed (per-doc z agg, labeled
+    * error, per-bucket gradient agg) and only the numBuckets gradient
+    * rows are collected. Update: w ← w ∓ (|g|·lrNum) div (lrDen·n) —
+    * non-negative operands, so Spark's truncating `div`, JVM `/`, and
+    * DuckDB `//` all agree. */
+  def trainWeights(feats: DataFrame, labels: DataFrame, numBuckets: Int,
+                   iters: Int, lrNum: Long, lrDen: Long): Array[Long] = {
+    val spark = feats.sparkSession
+    import spark.implicits._
+    val n = labels.count()
+    require(n > 0, "no labeled documents to train on")
+    var w = Array.fill(numBuckets)(0L)
+    for (_ <- 1 to iters) {
+      val wDf = w.zipWithIndex
+        .map { case (wv, j) => (j.toLong, wv) }.toSeq.toDF("j", "w")
+      val z = feats.join(broadcast(wDf), Seq("j"))
+        .groupBy(col("doc_id")).agg(sum(col("w") * col("x")).as("z"))
+      val e = z.join(labels, Seq("doc_id"))
+        .select(col("doc_id"), (sigmaMicro(col("z")) - col("y")).as("e"))
+      val g = feats.join(e, Seq("doc_id"))
+        .groupBy(col("j")).agg(sum(col("e") * col("x")).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      w = w.zipWithIndex.map { case (wv, j) =>
+        val gj = g.getOrElse(j.toLong, 0L)
+        val step = math.abs(gj) * lrNum / (lrDen * n)
+        if (gj > 0) wv - step else wv + step
+      }
+    }
+    w
+  }
+
+  /** End-to-end train + score (`quality_classifier` query):
+    * (doc_id, score_micro, keep) for EVERY input document; keep = 1 iff
+    * score ≥ 500000. A document with no tokens scores z = 0 → exactly
+    * 500000 → kept (no evidence against it). */
+  def classify(docs: DataFrame, idCol: String, textCol: String,
+               numBuckets: Int = 256, iters: Int = 10,
+               lrNum: Long = 1L, lrDen: Long = 16L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lvl = StorageLevel.MEMORY_AND_DISK
+    val feats = features(docs, idCol, textCol, numBuckets).persist(lvl)
+    val labels = weakLabels(docs, idCol, textCol).persist(lvl)
+    val w = trainWeights(feats, labels, numBuckets, iters, lrNum, lrDen)
+    val wDf = w.zipWithIndex.map { case (wv, j) => (j.toLong, wv) }
+      .toSeq.toDF("j", "w")
+    val z = feats.join(broadcast(wDf), Seq("j"))
+      .groupBy(col("doc_id")).agg(sum(col("w") * col("x")).as("z"))
+    val score = sigmaMicro(coalesce(col("z"), lit(0L)))
+    val out = docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(z, Seq("doc_id"), "left")
+      .select(col("doc_id"), score.as("score_micro"),
+        when(score >= 500000L, 1).otherwise(0).cast("int").as("keep"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    feats.unpersist(false); labels.unpersist(false)
+    out
+  }
+
+  /** DuckDB mirror of [[classify]] over `documents`: the full training
+    * loop unrolled as `iters` CTE rounds (z → error → gradient → weight
+    * update), then inference. Every intermediate is integer (or an
+    * exact power-of-two floor), so the chain hash-matches bit-for-bit.
+    * Every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and each
+    * round references the previous round's weights twice, so inlining
+    * re-expands the whole upstream chain ~2× per round — exponential
+    * plan blowup (observed: minutes instead of milliseconds at 10
+    * rounds). Materialization makes the oracle evaluate each round
+    * once, like the engine does. */
+  def sqlClassifier(numBuckets: Int = 256, iters: Int = 10,
+                    lrNum: Long = 1L, lrDen: Long = 16L): String = {
+    def sigma(z: String): String =
+      s"LEAST(GREATEST(500000 + CAST(FLOOR(($z) / 4.0) AS BIGINT), 0), 1000000)"
+    val head =
+      s"""WITH tok AS MATERIALIZED (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks FROM documents),
+         |bg AS MATERIALIZED (
+         |  SELECT doc_id, UNNEST(list_transform(range(1, len(toks)),
+         |    i -> toks[i] || ' ' || toks[i+1])) AS bg
+         |  FROM tok),
+         |u AS MATERIALIZED (SELECT w, COUNT(*) AS cu FROM (SELECT UNNEST(toks) AS w FROM tok) GROUP BY 1),
+         |v AS MATERIALIZED (SELECT COUNT(*) AS v FROM u),
+         |b AS MATERIALIZED (SELECT bg, COUNT(*) AS cb FROM bg GROUP BY 1),
+         |cost AS MATERIALIZED (
+         |  SELECT b.bg,
+         |    CAST(FLOOR(ln((u.cu + v.v)::DOUBLE / (b.cb + 1)::DOUBLE) * 1000000.0) AS BIGINT) AS c
+         |  FROM b JOIN u ON u.w = split_part(b.bg, ' ', 1) CROSS JOIN v),
+         |lm AS MATERIALIZED (
+         |  SELECT bg.doc_id,
+         |    CAST(SUM(cost.c) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS avg_cost_micro
+         |  FROM bg JOIN cost ON bg.bg = cost.bg GROUP BY 1),
+         |cut AS MATERIALIZED (SELECT quantile_cont(avg_cost_micro, 0.5) AS cut FROM lm),
+         |labels AS MATERIALIZED (
+         |  SELECT lm.doc_id,
+         |    CAST(CASE WHEN lm.avg_cost_micro <= cut.cut THEN 1000000 ELSE 0 END AS BIGINT) AS y
+         |  FROM lm CROSS JOIN cut),
+         |nl AS MATERIALIZED (SELECT COUNT(*) AS n FROM labels),
+         |feats AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substring(md5(tok), 1, 8))::UBIGINT % $numBuckets AS BIGINT) AS j,
+         |    CAST(COUNT(*) AS BIGINT) AS x
+         |  FROM (SELECT doc_id, UNNEST(toks) AS tok FROM tok)
+         |  GROUP BY 1, 2),
+         |w0 AS MATERIALIZED (SELECT CAST(UNNEST(range(0, $numBuckets)) AS BIGINT) AS j,
+         |              CAST(0 AS BIGINT) AS w)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s""",
+         |z$k AS MATERIALIZED (SELECT f.doc_id, CAST(SUM(w.w * f.x) AS BIGINT) AS z
+         |       FROM feats f JOIN w${k - 1} w ON f.j = w.j GROUP BY 1),
+         |e$k AS MATERIALIZED (SELECT z.doc_id, ${sigma("z.z")} - l.y AS e
+         |       FROM z$k z JOIN labels l ON z.doc_id = l.doc_id),
+         |g$k AS MATERIALIZED (SELECT f.j, CAST(SUM(e.e * f.x) AS BIGINT) AS g
+         |       FROM feats f JOIN e$k e ON f.doc_id = e.doc_id GROUP BY 1),
+         |w$k AS MATERIALIZED (SELECT w.j,
+         |         w.w + (GREATEST(-COALESCE(g.g, 0), 0) * $lrNum) // ($lrDen * nl.n)
+         |             - (GREATEST(COALESCE(g.g, 0), 0) * $lrNum) // ($lrDen * nl.n) AS w
+         |       FROM w${k - 1} w LEFT JOIN g$k g ON w.j = g.j CROSS JOIN nl)""".stripMargin
+    }.mkString
+    val tail =
+      s""",
+         |zf AS MATERIALIZED (SELECT f.doc_id, CAST(SUM(w.w * f.x) AS BIGINT) AS z
+         |       FROM feats f JOIN w$iters w ON f.j = w.j GROUP BY 1)
+         |SELECT d.doc_id AS doc_id,
+         |  ${sigma("COALESCE(zf.z, 0)")} AS score_micro,
+         |  CAST(${sigma("COALESCE(zf.z, 0)")} >= 500000 AS INT) AS keep
+         |FROM documents d LEFT JOIN zf ON d.doc_id = zf.doc_id
+         |ORDER BY doc_id""".stripMargin
+    head + rounds + tail
+  }
+}

@@ -77,22 +77,19 @@ object Pq {
       .select(col(idCol).as("cand_id"), array(codeCols: _*).as("codes"))
   }
 
-  /** ADC kNN over an encoded corpus: (probe_id, rk, cand_id, adc_dist) —
-    * adc_dist is the approximate squared L2, ascending. */
-  def knnPqAdc(encoded: DataFrame, probes: DataFrame,
-               codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
-               k: Int, idCol: String = "vec_id",
-               vecCol: String = "embedding"): DataFrame = {
-    val spark = encoded.sparkSession
+  /** Probe LUT table (probe_id, lut) built driver-side (probes are small
+    * by contract): lut[s·ksub + j] = ||q_s − codebook[s][j]||². */
+  private def lutTable(probes: DataFrame,
+                       codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
+                       idCol: String, vecCol: String): DataFrame = {
+    val spark = probes.sparkSession
     import spark.implicits._
     val m = codebooks.length
     val ksub = codebooks.head.length
     val dsub = codebooks.head.head.length
-    // Probe LUTs driver-side (probes are small by contract): for probe q,
-    // lut[s*ksub + j] = ||q_s − codebook[s][j]||².
     val probeRows = probes.select(col(idCol).cast("long"), asDouble(col(vecCol)))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val luts = probeRows.toSeq.map { case (pid, pv) =>
+    probeRows.toSeq.map { case (pid, pv) =>
       val lut = new Array[Double](m * ksub)
       var s = 0
       while (s < m) {
@@ -112,17 +109,31 @@ object Pq {
       }
       (pid, lut.toSeq)
     }.toDF("probe_id", "lut")
-    // score = Σ_s lut[s·ksub + codes[s]] — m array lookups per (cand,
-    // probe) pair, summed by a bounded fold over the subspace indices.
-    val score = aggregate(
+  }
+
+  /** ADC score = Σ_s lut[s·ksub + codes[s]] — m array lookups per
+    * (cand, probe) pair, summed by a bounded fold over subspace ids. */
+  private def adcScore(m: Int, ksub: Int): org.apache.spark.sql.Column =
+    aggregate(
       sequence(lit(0), lit(m - 1)),
       lit(0.0),
       (acc, s) => acc +
         element_at(col("lut"), s * ksub + element_at(col("codes"), s + 1) + 1))
+
+  /** ADC kNN over an encoded corpus: (probe_id, rk, cand_id, adc_dist) —
+    * adc_dist is the approximate squared L2, ascending. */
+  def knnPqAdc(encoded: DataFrame, probes: DataFrame,
+               codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
+               k: Int, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    val ksub = codebooks.head.length
+    val luts = lutTable(probes, codebooks, idCol, vecCol)
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("adc_dist").asc, col("cand_id").asc)
     encoded.join(broadcast(luts), col("cand_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("cand_id"), round(score, 6).as("adc_dist"))
+      .select(col("probe_id"), col("cand_id"),
+        round(adcScore(m, ksub), 6).as("adc_dist"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("probe_id"), col("rk"), col("cand_id"), col("adc_dist"))
@@ -167,42 +178,82 @@ object Pq {
       .withColumn("list", element_at(nearest(col("cv"), 1), 1))
       .select(col("cand_id"), col("list"), array(codeCols: _*).as("codes"))
     // Probe side: LUTs driver-side as in knnPqAdc, plus the nprobe lists.
-    val probeRows = probes.select(col(idCol).cast("long"), asDouble(col(vecCol)))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val luts = probeRows.toSeq.map { case (pid, pv) =>
-      val lut = new Array[Double](m * ksub)
-      var s = 0
-      while (s < m) {
-        var j = 0
-        while (j < ksub) {
-          var d2 = 0.0
-          var t = 0
-          while (t < dsub) {
-            val diff = pv(s * dsub + t) - books(s)(j)(t)
-            d2 += diff * diff
-            t += 1
-          }
-          lut(s * ksub + j) = d2
-          j += 1
-        }
-        s += 1
-      }
-      (pid, lut.toSeq)
-    }.toDF("probe_id", "lut")
+    val luts = lutTable(probes, books, idCol, vecCol)
     val prob = probes
       .select(col(idCol).cast("long").as("probe_id"),
         explode(nearest(asDouble(col(vecCol)), nprobe)).as("list"))
       .join(luts, Seq("probe_id"))
-    val score = aggregate(
-      sequence(lit(0), lit(m - 1)),
-      lit(0.0),
-      (acc, s) => acc +
-        element_at(col("lut"), s * ksub + element_at(col("codes"), s + 1) + 1))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("adc_dist").asc, col("cand_id").asc)
     cand.join(broadcast(prob), Seq("list"))
       .filter(col("cand_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("cand_id"), round(score, 6).as("adc_dist"))
+      .select(col("probe_id"), col("cand_id"),
+        round(adcScore(m, ksub), 6).as("adc_dist"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("rk"), col("cand_id"), col("adc_dist"))
+      .orderBy(col("probe_id"), col("rk"))
+  }
+
+  /** Write the PQ-encoded corpus PARTITIONED BY its IVF list id — the
+    * stored IVF-PQ layout (what FAISS's IVFPQ is on disk): each row
+    * carries only (cand_id, codes) — m small ints, NOT the float vector
+    * — under directories keyed by list. A probe's nprobe lists are then
+    * a filesystem listing away, and the bytes read per probe are
+    * ≈ (nprobe∕nlist) · m-bytes-per-row of the corpus: both pruning
+    * dimensions (rows via lists, bytes via codes) enforced by storage. */
+  def writeIvfPqStore(candidates: DataFrame,
+                      centers: IndexedSeq[IndexedSeq[Double]],
+                      codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
+                      path: String,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Unit = {
+    val m = codebooks.length
+    val dsub = codebooks.head.head.length
+    val codeCols = (0 until m).map { s =>
+      element_at(org.apache.spark.sql.graft.VectorFunctions.nearestCentroids(
+        slice(col("cv"), s * dsub + 1, dsub), codebooks(s), 1), 1)
+    }
+    graft.Par.widen(candidates)
+      .select(col(idCol).as("cand_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("list",
+        element_at(org.apache.spark.sql.graft.VectorFunctions
+          .nearestCentroids(col("cv"), centers, 1), 1))
+      .select(col("cand_id"), col("list"), array(codeCols: _*).as("codes"))
+      .write.mode("overwrite").partitionBy("list").parquet(path)
+  }
+
+  /** kNN over a [[writeIvfPqStore]] store: the probes' nprobe list ids
+    * are collected (probes are small by contract) and pushed as an `IN`
+    * partition filter — only those list directories are scanned
+    * (SimilaritySpec pins the PartitionFilters plan shape) — then ADC
+    * scores the surviving code rows. Identical output to [[knnIvfPq]]
+    * when given the same (seeded, deterministic) centers/codebooks. */
+  def knnIvfPqStored(spark: org.apache.spark.sql.SparkSession, path: String,
+                     centers: IndexedSeq[IndexedSeq[Double]],
+                     codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
+                     probes: DataFrame, k: Int, nprobe: Int = 4,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    val ksub = codebooks.head.length
+    val luts = lutTable(probes, codebooks, idCol, vecCol)
+    val prob = probes
+      .select(col(idCol).cast("long").as("probe_id"),
+        explode(org.apache.spark.sql.graft.VectorFunctions.nearestCentroids(
+          asDouble(col(vecCol)), centers, nprobe)).as("list"))
+      .join(luts, Seq("probe_id"))
+      .localCheckpoint(true)
+    val neededLists = prob.select(col("list")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val cand = spark.read.parquet(path)
+      .filter(col("list").isin(neededLists.toSeq.map(Integer.valueOf): _*))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc_dist").asc, col("cand_id").asc)
+    cand.join(broadcast(prob), Seq("list"))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("cand_id"),
+        round(adcScore(m, ksub), 6).as("adc_dist"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("probe_id"), col("rk"), col("cand_id"), col("adc_dist"))

@@ -43,6 +43,45 @@ class ParagraphDedupSpec extends SparkSpec {
     assert(out(7L) == ("zeta body", 1L, 1L))
   }
 
+  test("incremental batch clean equals the full recompute's batch rows") {
+    // History = docs 1-4, batch = docs 5-7 (append-only id order — the
+    // union-equivalence precondition). The incremental path sees only
+    // history's norm-hash INDEX, never its text.
+    val hist = docs.filter(col("doc_id") <= 4)
+    val batch = docs.filter(col("doc_id") >= 5)
+    val incr = ParagraphDedup.dedupParagraphsIncremental(batch, "doc_id", "text",
+        ParagraphDedup.paragraphIndex(
+          ParagraphDedup.paragraphUnits(hist, "doc_id", "text")))
+      .collect().map(_.toSeq).toSeq
+    val full = ParagraphDedup.dedupParagraphs(docs, "doc_id", "text")
+      .filter(col("doc_id") >= 5)
+      .collect().map(_.toSeq).toSeq
+    assert(incr == full)
+  }
+
+  test("index after batch keeps history keepers and adds only novel norms") {
+    val hist = docs.filter(col("doc_id") <= 4)
+    val batch = docs.filter(col("doc_id") >= 5)
+    val histUnits = ParagraphDedup.paragraphUnits(hist, "doc_id", "text")
+    val idx0 = ParagraphDedup.paragraphIndex(histUnits)
+    val idx1 = ParagraphDedup.indexAfterBatch(idx0,
+      ParagraphDedup.paragraphUnits(batch, "doc_id", "text"))
+    val entries = idx1.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // One entry per distinct norm across history ∪ batch, no dup keys.
+    assert(entries.size == idx1.count())
+    // The boilerplate norm keeps its HISTORY keeper (doc 1, idx 1)...
+    val boilerKey = md5Hex("all rights reserved.")
+    assert(entries(boilerKey) == (1L, 1L))
+    // ...and batch-novel norms enter keyed by their batch keeper.
+    val novelKey = md5Hex("rare repeat")
+    assert(entries(novelKey) == (6L, 0L))
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
   test("df threshold keeps repeats below minOccurrences") {
     // boiler occurs 4x (>= 3: deduped); "rare repeat" 2x (< 3: survives).
     val out = ParagraphDedup.dedupParagraphs(docs, "doc_id", "text",

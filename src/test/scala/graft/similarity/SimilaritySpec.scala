@@ -136,6 +136,30 @@ class SimilaritySpec extends SparkSpec {
     assert(fromStore.nonEmpty)
   }
 
+  test("stored IVF-PQ layout prunes partitions, drops vectors, matches in-memory") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(spark, dir)
+    val centers = Ivf.fitCentroids(emb, nlist = 8)
+    val books = Pq.fitCodebooks(emb, m = 8, ksub = 16)
+    val store = java.nio.file.Files.createTempDirectory("ivfpq_store").toString
+    Pq.writeIvfPqStore(emb, centers, books, store)
+    // Compression contract: the stored rows carry codes, never the vector.
+    val storedSchema = spark.read.parquet(store).schema.fieldNames.toSet
+    assert(storedSchema == Set("cand_id", "codes", "list"))
+    val probes = emb.filter($"vec_id".isin(0, 250))
+    val stored = Pq.knnIvfPqStored(spark, store, centers, books, probes, 5, nprobe = 2)
+    // No full scan: the store read must carry a partition filter on list.
+    val plan = stored.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), "no partition filter on the store scan")
+    // Same seeded fit inside knnIvfPq -> identical centers/books -> equal output.
+    val inMem = Pq.knnIvfPq(emb, probes, 5, nlist = 8, nprobe = 2, m = 8, ksub = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val fromStore = stored
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(fromStore == inMem)
+    assert(fromStore.nonEmpty)
+  }
+
   test("lsh recall on fixture embeddings is reasonable") {
     val dir = "/root/testdata/sf0.001"
     val emb = graft.Tables.embeddings(spark, dir)
