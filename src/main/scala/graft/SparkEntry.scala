@@ -90,6 +90,12 @@ object SparkEntry {
     // exact quadratic CC (LSH misses a J>=0.9 pair with prob ~4e-8).
     "corpus_clean_scaled" -> ((s, dir) =>
       graft.pipeline.CorpusClean.scaled(Tables.documents(s, dir))),
+    // corpus_clean with the TRAINED classifier gate in front: the model's
+    // rejects never reach the heuristic filters or the dedup pair feed.
+    // The oracle replays classifier training AND the cleaning chain in
+    // one WITH-chain — the full classifier-gated pipeline is hash-checked.
+    "corpus_clean_classified" -> ((s, dir) =>
+      graft.pipeline.CorpusClean.withClassifierGate(Tables.documents(s, dir))),
     // The 100 TB composition end-to-end: MinHash banding -> exact verify
     // -> connected components, corpus-wide (no blocking key). The oracle
     // runs the exact quadratic CC: LSH misses a J>=0.9 pair with prob
@@ -535,7 +541,7 @@ object SparkEntry {
     * row-identical output. */
   private val DecontaminateSql =
     """WITH tok AS (
-      |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+') AS toks FROM documents),
       |sh AS (
       |  SELECT doc_id, UNNEST(list_distinct(list_transform(range(1, len(toks) - 1),
       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
@@ -564,7 +570,7 @@ object SparkEntry {
        |        $values) t(doc_id, text)),
        |u AS (
        |  SELECT doc_id, CAST(w.i - 1 AS BIGINT) AS idx, w.raw AS raw,
-       |    lower(trim(regexp_replace(w.raw, '\\s+', ' ', 'g'))) AS norm
+       |    lower(trim(regexp_replace(w.raw, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS norm
        |  FROM (
        |    SELECT doc_id, UNNEST(list_transform(range(1, len(parts) + 1),
        |      i -> {'i': i, 'raw': parts[i]})) AS w
@@ -684,7 +690,7 @@ object SparkEntry {
       graft.text.Relevance.sqlBm25TopK(Seq("spark", "vector", "customer"), 15),
     "span_dedup" ->
       """WITH t AS (
-        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0B\f\r]+') AS toks FROM documents),
         |u AS (
         |  SELECT doc_id, CAST((s - 1) // 20 AS BIGINT) AS idx,
         |    array_to_string(list_slice(toks, s, least(s + 19, len(toks))), ' ') AS raw
@@ -766,7 +772,7 @@ object SparkEntry {
     "quality_classifier" -> graft.pipeline.QualityClassifier.sqlClassifier(),
     "heavy_hitters" ->
       """WITH tok AS (
-        |  SELECT UNNEST(regexp_extract_all(lower(text), '\S+')) AS token FROM documents),
+        |  SELECT UNNEST(regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+')) AS token FROM documents),
         |tot AS (SELECT COUNT(*) AS n FROM tok),
         |c AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY 1)
         |SELECT c.token AS token, c.n AS n
@@ -774,7 +780,7 @@ object SparkEntry {
         |ORDER BY c.n DESC, c.token ASC LIMIT 50""".stripMargin,
     "contamination_scores" ->
       """WITH tok AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+') AS toks FROM documents),
         |shl AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shs
@@ -884,7 +890,7 @@ object SparkEntry {
     "jaccard_pairs" ->
       """WITH t AS (
         |  SELECT doc_id, source,
-        |         list_distinct(regexp_extract_all(lower(text), '\S+')) AS toks
+        |         list_distinct(regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+')) AS toks
         |  FROM documents)
         |SELECT id_a, id_b, jaccard FROM (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -899,10 +905,10 @@ object SparkEntry {
       """WITH t AS (
         |  SELECT doc_id, source,
         |    list_distinct(list_transform(
-        |      range(1, len(regexp_extract_all(lower(text), '\S+')) - 1),
-        |      i -> regexp_extract_all(lower(text), '\S+')[i] || ' ' ||
-        |           regexp_extract_all(lower(text), '\S+')[i+1] || ' ' ||
-        |           regexp_extract_all(lower(text), '\S+')[i+2])) AS shl
+        |      range(1, len(regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+')) - 1),
+        |      i -> regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+')[i] || ' ' ||
+        |           regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+')[i+1] || ' ' ||
+        |           regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+')[i+2])) AS shl
         |  FROM documents)
         |SELECT id_a, id_b, jaccard FROM (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -913,7 +919,7 @@ object SparkEntry {
     "dedup_keepers" ->
       """WITH RECURSIVE t AS (
         |  SELECT doc_id, source,
-        |         list_distinct(regexp_extract_all(lower(text), '\S+')) AS toks
+        |         list_distinct(regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+')) AS toks
         |  FROM documents),
         |jp AS (
         |  SELECT id_a, id_b FROM (
@@ -938,7 +944,41 @@ object SparkEntry {
          |  WHERE $q >= 0.5 AND $l = 'en'),
          |t AS (
          |  SELECT doc_id, source,
-         |         list_distinct(regexp_extract_all(lower(text), '\\S+')) AS toks
+         |         list_distinct(regexp_extract_all(lower(text), '[^ \\t\\n\\x0B\\f\\r]+')) AS toks
+         |  FROM filtered),
+         |jp AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |      round(len(list_filter(a.toks, x -> list_contains(b.toks, x)))::DOUBLE /
+         |            nullif(len(list_distinct(a.toks || b.toks)), 0)::DOUBLE, 4) AS jaccard
+         |    FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id)
+         |  WHERE jaccard >= 0.9),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+         |          UNION ALL SELECT id_b, id_a FROM jp),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS label FROM filtered
+         |  UNION
+         |  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id),
+         |keepers AS (SELECT id, MIN(label) AS keeper_id FROM reach GROUP BY id)
+         |SELECT f.doc_id, f.source, $q AS quality
+         |FROM filtered f JOIN keepers k ON f.doc_id = k.id AND k.keeper_id = f.doc_id
+         |ORDER BY f.doc_id""".stripMargin
+    },
+    "corpus_clean_classified" -> {
+      val q = graft.text.TextAnalysis.sqlQuality("text")
+      val l = graft.text.TextAnalysis.sqlLangId("text")
+      // The classifier chain (ending in qc), then corpus_clean's chain
+      // reading from the gated docs instead of raw documents.
+      s"""WITH RECURSIVE ${graft.pipeline.QualityClassifier.sqlClassifierCtes()},
+         |kept AS MATERIALIZED (
+         |  SELECT d.doc_id, d.source, d.text FROM documents d
+         |  JOIN qc ON d.doc_id = qc.doc_id AND qc.keep = 1),
+         |filtered AS (
+         |  SELECT doc_id, source, text FROM kept
+         |  WHERE $q >= 0.5 AND $l = 'en'),
+         |t AS (
+         |  SELECT doc_id, source,
+         |         list_distinct(regexp_extract_all(lower(text), '[^ \\t\\n\\x0B\\f\\r]+')) AS toks
          |  FROM filtered),
          |jp AS (
          |  SELECT id_a, id_b FROM (
@@ -968,7 +1008,7 @@ object SparkEntry {
          |  WHERE $q >= 0.5 AND $l = 'en'),
          |t AS (
          |  SELECT doc_id,
-         |         list_distinct(regexp_extract_all(lower(text), '\\S+')) AS toks
+         |         list_distinct(regexp_extract_all(lower(text), '[^ \\t\\n\\x0B\\f\\r]+')) AS toks
          |  FROM filtered),
          |jp AS (
          |  SELECT id_a, id_b FROM (
@@ -991,7 +1031,7 @@ object SparkEntry {
     "dedup_keepers_scaled" ->
       """WITH RECURSIVE t AS (
         |  SELECT doc_id,
-        |         list_distinct(regexp_extract_all(lower(text), '\S+')) AS toks
+        |         list_distinct(regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+')) AS toks
         |  FROM documents),
         |jp AS (
         |  SELECT id_a, id_b FROM (
@@ -1011,7 +1051,7 @@ object SparkEntry {
     "dedup_cluster_sizes" ->
       """WITH RECURSIVE t AS (
         |  SELECT doc_id,
-        |         list_distinct(regexp_extract_all(lower(text), '\S+')) AS toks
+        |         list_distinct(regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+')) AS toks
         |  FROM documents),
         |jp AS (
         |  SELECT id_a, id_b FROM (
@@ -1213,7 +1253,7 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "boilerplate_ngrams" ->
       """WITH t AS (
-        |  SELECT regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+        |  SELECT regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+') AS toks FROM documents),
         |s AS (
         |  SELECT UNNEST(list_distinct(list_transform(range(1, len(toks) - 1),
         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
@@ -1224,7 +1264,7 @@ object SparkEntry {
       """WITH s AS (
         |  SELECT text FROM documents
         |  WHERE ('0x' || substring(md5(text), 1, 8))::UBIGINT % 10000 < 2000),
-        |t AS (SELECT regexp_extract_all(lower(text), '\S+') AS toks FROM s),
+        |t AS (SELECT regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+') AS toks FROM s),
         |sh AS (
         |  SELECT UNNEST(list_distinct(list_transform(range(1, len(toks) - 1),
         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
@@ -1236,7 +1276,7 @@ object SparkEntry {
     "source_overlap_sampled" ->
       """WITH tok AS (
         |  SELECT COALESCE(source, 'Unknown') AS source,
-        |         regexp_extract_all(lower(text), '\S+') AS toks
+        |         regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+') AS toks
         |  FROM documents),
         |sh AS (
         |  SELECT DISTINCT source, sh FROM (
@@ -1278,7 +1318,7 @@ object SparkEntry {
          |      '${Pii.PhoneRe}', '<PHONE>', 'g') AS red
          |  FROM documents),
          |tok0 AS (
-         |  SELECT doc_id, regexp_extract_all(lower(red), '\\S+') AS toks FROM scrub),
+         |  SELECT doc_id, regexp_extract_all(lower(red), '[^ \\t\\n\\x0B\\f\\r]+') AS toks FROM scrub),
          |benchsh AS (
          |  SELECT DISTINCT UNNEST(list_distinct(list_transform(range(1, len(toks) - 1),
          |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
@@ -1287,7 +1327,7 @@ object SparkEntry {
          |  SELECT doc_id, CAST((s - 1) // 20 AS BIGINT) AS idx,
          |    array_to_string(list_slice(stoks, s, least(s + 19, len(stoks))), ' ') AS raw
          |  FROM (SELECT doc_id, stoks, UNNEST(range(1, len(stoks) + 1, 20)) AS s
-         |        FROM (SELECT doc_id, regexp_extract_all(red, '\\S+') AS stoks FROM scrub)
+         |        FROM (SELECT doc_id, regexp_extract_all(red, '[^ \\t\\n\\x0B\\f\\r]+') AS stoks FROM scrub)
          |        WHERE len(stoks) > 0)),
          |sm AS (
          |  SELECT doc_id, idx, raw,
@@ -1298,7 +1338,7 @@ object SparkEntry {
          |  SELECT doc_id, string_agg(raw, ' ' ORDER BY idx) AS red
          |  FROM sm WHERE rn = 1 OR n_occ < 3 GROUP BY 1),
          |tok AS (
-         |  SELECT doc_id, red, regexp_extract_all(lower(red), '\\S+') AS toks FROM sd),
+         |  SELECT doc_id, red, regexp_extract_all(lower(red), '[^ \\t\\n\\x0B\\f\\r]+') AS toks FROM sd),
          |quality AS (SELECT * FROM tok WHERE len(toks) >= 20),
          |keep AS (
          |  SELECT doc_id, red, toks FROM (
@@ -1333,7 +1373,7 @@ object SparkEntry {
     "distinctive_terms" ->
       """WITH tok AS (
         |  SELECT COALESCE(source, 'Unknown') AS source,
-        |         regexp_extract_all(lower(text), '\S+') AS toks
+        |         regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+') AS toks
         |  FROM documents),
         |t AS (
         |  SELECT source, UNNEST(list_transform(range(1, len(toks)),
@@ -1368,7 +1408,7 @@ object SparkEntry {
     },
     "vocab_encode" ->
       """WITH tok AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+') AS toks
         |  FROM documents),
         |vc AS (
         |  SELECT token, COUNT(*) AS n FROM (
@@ -1388,7 +1428,7 @@ object SparkEntry {
     "source_overlap_matrix" ->
       """WITH tok AS (
         |  SELECT COALESCE(source, 'Unknown') AS source,
-        |         regexp_extract_all(lower(text), '\S+') AS toks
+        |         regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+') AS toks
         |  FROM documents),
         |sh AS (
         |  SELECT DISTINCT source, sh FROM (
@@ -1500,7 +1540,7 @@ object SparkEntry {
     },
     "chunk_texts" ->
       """WITH t AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+') AS toks FROM documents),
         |s AS (
         |  SELECT doc_id, toks, len(toks) AS n,
         |    [x FOR x IN range(1, len(toks) + 1, 48) IF x = 1 OR x + 16 <= len(toks)] AS starts
@@ -1525,7 +1565,7 @@ object SparkEntry {
     "sequence_packing" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |    len(regexp_extract_all(lower(text), '\S+'))::BIGINT AS n_tokens
+        |    len(regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+'))::BIGINT AS n_tokens
         |  FROM documents),
         |o AS (
         |  SELECT doc_id, n_tokens,
@@ -1541,8 +1581,8 @@ object SparkEntry {
     "curation_report" ->
       """WITH t AS (
         |  SELECT source,
-        |    len(regexp_extract_all(lower(text), '\S+'))::BIGINT AS n_tok,
-        |    len(list_distinct(regexp_extract_all(lower(text), '\S+')))::BIGINT AS n_dis
+        |    len(regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+'))::BIGINT AS n_tok,
+        |    len(list_distinct(regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+')))::BIGINT AS n_dis
         |  FROM documents)
         |SELECT source,
         |  COUNT(*) AS n_docs,
@@ -1565,7 +1605,7 @@ object SparkEntry {
     // per-row via a sorted-run fold — pinning the two formulations equal.
     "repetition_stats" ->
       """WITH t AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+') AS toks FROM documents),
         |b AS (
         |  SELECT doc_id, len(toks) AS n_tokens,
         |    len(list_distinct(toks)) AS n_distinct,

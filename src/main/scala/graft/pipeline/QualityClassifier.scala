@@ -153,12 +153,22 @@ object QualityClassifier {
     * rounds). Materialization makes the oracle evaluate each round
     * once, like the engine does. */
   def sqlClassifier(numBuckets: Int = 256, iters: Int = 10,
-                    lrNum: Long = 1L, lrDen: Long = 16L): String = {
+                    lrNum: Long = 1L, lrDen: Long = 16L): String =
+    s"""WITH ${sqlClassifierCtes(numBuckets, iters, lrNum, lrDen)}
+       |SELECT doc_id, score_micro, keep FROM qc ORDER BY doc_id""".stripMargin
+
+  /** The [[sqlClassifier]] chain WITHOUT the leading `WITH` or final
+    * SELECT, ending in a `qc(doc_id, score_micro, keep)` CTE — so a
+    * composed oracle (e.g. `corpus_clean_classified`) can prepend it to
+    * its own chain and join `qc` as the gate, exactly as
+    * [[CorpusClean.withClassifierGate]] composes [[classify]]. */
+  def sqlClassifierCtes(numBuckets: Int = 256, iters: Int = 10,
+                        lrNum: Long = 1L, lrDen: Long = 16L): String = {
     def sigma(z: String): String =
       s"LEAST(GREATEST(500000 + CAST(FLOOR(($z) / 4.0) AS BIGINT), 0), 1000000)"
     val head =
-      s"""WITH tok AS MATERIALIZED (
-         |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks FROM documents),
+      s"""tok AS MATERIALIZED (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[^ \\t\\n\\x0B\\f\\r]+') AS toks FROM documents),
          |bg AS MATERIALIZED (
          |  SELECT doc_id, UNNEST(list_transform(range(1, len(toks)),
          |    i -> toks[i] || ' ' || toks[i+1])) AS bg
@@ -204,12 +214,12 @@ object QualityClassifier {
     val tail =
       s""",
          |zf AS MATERIALIZED (SELECT f.doc_id, CAST(SUM(w.w * f.x) AS BIGINT) AS z
-         |       FROM feats f JOIN w$iters w ON f.j = w.j GROUP BY 1)
-         |SELECT d.doc_id AS doc_id,
-         |  ${sigma("COALESCE(zf.z, 0)")} AS score_micro,
-         |  CAST(${sigma("COALESCE(zf.z, 0)")} >= 500000 AS INT) AS keep
-         |FROM documents d LEFT JOIN zf ON d.doc_id = zf.doc_id
-         |ORDER BY doc_id""".stripMargin
+         |       FROM feats f JOIN w$iters w ON f.j = w.j GROUP BY 1),
+         |qc AS MATERIALIZED (
+         |  SELECT d.doc_id AS doc_id,
+         |    ${sigma("COALESCE(zf.z, 0)")} AS score_micro,
+         |    CAST(${sigma("COALESCE(zf.z, 0)")} >= 500000 AS INT) AS keep
+         |  FROM documents d LEFT JOIN zf ON d.doc_id = zf.doc_id)""".stripMargin
     head + rounds + tail
   }
 }

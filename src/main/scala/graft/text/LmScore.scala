@@ -248,7 +248,7 @@ object LmScore {
   def sqlScoresTrigram(minCount: Long = 2L, alphaNum: Long = 4L,
                        alphaDen: Long = 10L): String =
     s"""WITH tok AS (
-       |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks FROM documents),
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[^ \\t\\n\\x0B\\f\\r]+') AS toks FROM documents),
        |tg AS (
        |  SELECT doc_id, UNNEST(list_transform(range(1, len(toks) - 1),
        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS tg
@@ -285,7 +285,7 @@ object LmScore {
   /** DuckDB mirror of [[prunedScores]] over `documents`. */
   def sqlScoresPruned(minDf: Long = 3L): String =
     s"""WITH tok AS (
-       |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks FROM documents),
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[^ \\t\\n\\x0B\\f\\r]+') AS toks FROM documents),
        |bg AS (
        |  SELECT doc_id, UNNEST(list_transform(range(1, len(toks)),
        |    i -> toks[i] || ' ' || toks[i+1])) AS bg
@@ -312,7 +312,7 @@ object LmScore {
   /** DuckDB mirror of [[scores]] over `documents`. */
   def sqlScores: String =
     """WITH tok AS (
-      |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+') AS toks FROM documents),
       |bg AS (
       |  SELECT doc_id, UNNEST(list_transform(range(1, len(toks)),
       |    i -> toks[i] || ' ' || toks[i+1])) AS bg

@@ -101,7 +101,7 @@ object Relevance {
         s" / (s.sum_dl::DOUBLE / s.n::DOUBLE)))"
     }.mkString("\n      |      + ")
     s"""WITH t AS (
-      |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks FROM documents),
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[^ \\t\\n\\x0B\\f\\r]+') AS toks FROM documents),
       |d AS (
       |  SELECT doc_id, len(toks)::BIGINT AS dl,
       |    $tfDefs

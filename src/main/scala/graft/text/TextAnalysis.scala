@@ -14,13 +14,13 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens via `regexp_extract_all('\S+')` — unlike `split`,
-    * never emits empty tokens on leading/trailing/repeated whitespace, and
-    * the same call exists in DuckDB with identical semantics. */
   /** `\S+` tokens — the native byte-scan expression, value-identical to
-    * `regexp_extract_all(text, "\\S+", 0)` (the DuckDB oracles keep the
-    * regex form; TokenizeParitySpec pins the equivalence incl. unicode
-    * and control-char edges). */
+    * `regexp_extract_all(text, "\\S+", 0)` (Java `\s`, which INCLUDES
+    * \x0B; the DuckDB oracles pin the same byte set explicitly as
+    * `'[^ \t\n\x0B\f\r]+'` because RE2's `\s` excludes \x0B;
+    * TokenizeParitySpec pins the equivalence incl. unicode and
+    * control-char edges). Unlike `split`, never emits empty tokens on
+    * leading/trailing/repeated whitespace. */
   def tokens(text: Column): Column =
     org.apache.spark.sql.graft.ArrayFunctions.splitWhitespace(text)
 
@@ -91,7 +91,7 @@ object TextAnalysis {
   }
 
   // DuckDB-side mirrors of the expressions above, for SparkEntry.oracleSql.
-  private def sqlToks(textExpr: String) = s"regexp_extract_all($textExpr, '\\S+')"
+  private def sqlToks(textExpr: String) = s"regexp_extract_all($textExpr, '[^ \\t\\n\\x0B\\f\\r]+')"
   private def sqlInList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ", ", ")")
   def sqlTokenCount(t: String): String = s"len(${sqlToks(t)})"
   def sqlBpeishCount(t: String): String =
