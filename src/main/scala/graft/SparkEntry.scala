@@ -81,6 +81,11 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", "source", 3, 0.8)),
     "dedup_keepers" -> ((s, dir) =>
       Dedup.nearDupKeepers(Tables.documents(s, dir), "doc_id", "text", "source", 0.9)),
+    // Same clusters, best-quality representative: production dedup keeps
+    // the cleanest copy, not the lowest id.
+    "dedup_keepers_quality" -> ((s, dir) =>
+      Dedup.nearDupKeepersByQuality(
+        Tables.documents(s, dir), "doc_id", "text", "source", 0.9)),
     // End-to-end corpus cleaning: quality floor -> language gate ->
     // near-dup keepers. One oracle pins the whole composition.
     "corpus_clean" -> ((s, dir) =>
@@ -395,6 +400,21 @@ object SparkEntry {
       graft.pipeline.Curation.mixCorpus(Tables.documents(s, dir), "text", "source",
         Map("src0" -> 10000, "src1" -> 5000, "src2" -> 2500, "src3" -> 500))
         .select(col("doc_id"), col("source")).orderBy(col("doc_id"))),
+    // Temperature mixing: α=0.5 downsample-only flattening (kept counts
+    // ∝ n^α) — rates derived from the data, not a hand map; sqrt keeps
+    // the derived integer rate engine-exact.
+    "corpus_mix_temperature" -> ((s, dir) =>
+      graft.pipeline.Curation.mixCorpusTemperature(
+        Tables.documents(s, dir), "text", "source")
+        .select(col("doc_id"), col("source")).orderBy(col("doc_id"))),
+    // Seeded global shuffle: hierarchical rank (shard prefix + per-shard
+    // window + offset join) == global md5 order, pinned by the oracle's
+    // single ROW_NUMBER.
+    "corpus_shuffle" -> ((s, dir) =>
+      graft.pipeline.Curation.shuffleCorpus(
+        Tables.documents(s, dir), "text", "mix42", 64)
+        .select(col("doc_id"), col("shard"), col("shuffle_pos"))
+        .orderBy(col("shuffle_pos"))),
     // GPT-style concat-then-chunk packing via the distributed prefix sum;
     // CurationSpec pins it equal to the single-window semantic form.
     "sequence_packing" -> ((s, dir) =>
@@ -936,6 +956,37 @@ object SparkEntry {
         |  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id)
         |SELECT id AS doc_id, MIN(label) AS keeper_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "dedup_keepers_quality" -> {
+      val q = graft.text.TextAnalysis.sqlQuality("text")
+      // dedup_keepers' clusters (min-label as the cluster id), then the
+      // per-cluster quality election.
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, source,
+         |         list_distinct(regexp_extract_all(lower(text), '[^ \\t\\n\\x0B\\f\\r]+')) AS toks
+         |  FROM documents),
+         |jp AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |      round(len(list_filter(a.toks, x -> list_contains(b.toks, x)))::DOUBLE /
+         |            nullif(len(list_distinct(a.toks || b.toks)), 0)::DOUBLE, 4) AS jaccard
+         |    FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id)
+         |  WHERE jaccard >= 0.9),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+         |          UNION ALL SELECT id_b, id_a FROM jp),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS label FROM documents
+         |  UNION
+         |  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id),
+         |lab AS (SELECT id AS doc_id, MIN(label) AS cl FROM reach GROUP BY id),
+         |qs AS (SELECT doc_id, $q AS q FROM documents),
+         |rep AS (
+         |  SELECT cl, doc_id AS keeper_id,
+         |    ROW_NUMBER() OVER (PARTITION BY cl ORDER BY q DESC, doc_id ASC) AS rn
+         |  FROM lab JOIN qs USING (doc_id))
+         |SELECT l.doc_id, r.keeper_id
+         |FROM lab l JOIN rep r ON l.cl = r.cl AND r.rn = 1
+         |ORDER BY l.doc_id""".stripMargin
+    },
     "corpus_clean" -> {
       val q = graft.text.TextAnalysis.sqlQuality("text")
       val l = graft.text.TextAnalysis.sqlLangId("text")
@@ -1562,6 +1613,29 @@ object SparkEntry {
         |  FROM documents)
         |WHERE rate IS NOT NULL AND bucket < rate
         |ORDER BY doc_id""".stripMargin,
+    "corpus_mix_temperature" ->
+      """WITH c AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+        |m AS (SELECT MIN(n) AS nmin FROM c),
+        |r AS (
+        |  SELECT c.source,
+        |    CAST(FLOOR(10000.0 * sqrt(m.nmin::DOUBLE / c.n::DOUBLE)) AS BIGINT) AS rate_bp
+        |  FROM c CROSS JOIN m)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN r ON d.source = r.source
+        |WHERE ('0x' || substring(md5(d.text), 1, 8))::UBIGINT % 10000 < r.rate_bp
+        |ORDER BY d.doc_id""".stripMargin,
+    // The oracle states the shuffle's SEMANTIC: one global ROW_NUMBER
+    // over the seeded hash. The engine computes the same rank
+    // hierarchically (shard prefix + per-shard window + offsets).
+    "corpus_shuffle" ->
+      """WITH hs AS (
+        |  SELECT doc_id, md5('mix42:' || text) AS h FROM documents)
+        |SELECT doc_id,
+        |  CAST(FLOOR((('0x' || substring(h, 1, 8))::UBIGINT * 64)::DOUBLE
+        |             / 4294967296.0) AS INT) AS shard,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) AS BIGINT) AS shuffle_pos
+        |FROM hs ORDER BY shuffle_pos""".stripMargin,
     "sequence_packing" ->
       """WITH t AS (
         |  SELECT doc_id,

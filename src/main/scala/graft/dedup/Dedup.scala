@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.text.TextAnalysis
 
@@ -520,6 +521,47 @@ object Dedup {
     clusterKeepers(
       df.select(col(idCol)),
       jaccardPairs(df, idCol, textCol, blockCol, threshold))
+
+  /** Re-elect each near-dup cluster's representative by QUALITY
+    * (`dedup_keepers_quality` query): production dedup keeps the BEST
+    * copy of a duplicated document, not the lowest-id one — near-dup
+    * clusters routinely contain one clean original and several
+    * boilerplate-wrapped or truncated variants. Takes any
+    * (doc_id, keeper_id) cluster assignment (the keeper_id is reused as
+    * the cluster label — [[clusterKeepers]]' min-label IS a canonical
+    * label) and reassigns every member to the cluster's
+    * max-[[graft.text.TextAnalysis.qualityScore]] member, ties broken by
+    * ascending doc_id (singleton clusters keep themselves — their only
+    * member maximizes trivially).
+    *
+    * Scale shape: one exchange keyed by cluster label for the election
+    * window, then the members⋈reps join reuses that same partitioning —
+    * no corpus re-shuffle, no driver state. The quality score is the
+    * IEEE-exact per-row expression the corpus_clean oracles already
+    * hash-check, so this query carries a full oracle too. */
+  def electKeepersByQuality(labels: DataFrame, docs: DataFrame,
+                            idCol: String, textCol: String): DataFrame = {
+    val q = docs.select(col(idCol).cast("long").as("doc_id"),
+      graft.text.TextAnalysis.qualityScore(col(textCol)).as("__q"))
+    val lab = labels.select(col("doc_id").cast("long").as("doc_id"),
+      col("keeper_id").cast("long").as("__cl"))
+    val w = Window.partitionBy(col("__cl"))
+      .orderBy(col("__q").desc, col("doc_id").asc)
+    val reps = lab.join(q, Seq("doc_id"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("__cl"), col("doc_id").as("keeper_id"))
+    lab.join(reps, Seq("__cl"))
+      .select(col("doc_id"), col("keeper_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[nearDupKeepers]] with the quality election composed on top. */
+  def nearDupKeepersByQuality(df: DataFrame, idCol: String, textCol: String,
+                              blockCol: String, threshold: Double): DataFrame =
+    electKeepersByQuality(
+      nearDupKeepers(df, idCol, textCol, blockCol, threshold),
+      df, idCol, textCol)
 
   /** Keeper assignment via the SCALED pair path (`dedup_keepers_scaled`
     * query): MinHash banding → exact verify ([[nearDupMinHash]]) →

@@ -146,6 +146,80 @@ object Curation {
       .drop("__rate_bp")
   }
 
+  /** Temperature-scaled source mixing (`corpus_mix_temperature` query):
+    * the multilingual/domain-balancing sampler (XLM-R/mT5's α-temperature
+    * recipe) in its downsampling-only form. With per-source counts n_i
+    * and temperature α = 0.5, each source keeps
+    * rate_i = (n_min ∕ n_i)^(1−α) = sqrt(n_min ∕ n_i), so expected kept
+    * counts are ∝ n_i^α: the smallest source keeps everything and large
+    * sources are flattened toward it. Rows are selected by the same
+    * content-keyed [[sampleBucket]] primitive as [[mixCorpus]], so the
+    * draw is reproducible, duplicate-consistent, and rate-nested.
+    *
+    * Cross-engine exactness: rate_bp = floor(10000 · sqrt(n_min∕n_i)).
+    * Division and sqrt are single correctly-rounded IEEE ops and the
+    * multiply-by-10000 + floor sit below 2⁵³, so both engines produce the
+    * SAME integer rate — the query hash-matches. α is pinned at 0.5
+    * because sqrt is the exactly-rounded dyadic case (α = 0.25 would be
+    * sqrt∘sqrt, etc.); arbitrary pow() carries cross-engine ulp risk.
+    *
+    * Scale shape: one tiny per-source count agg (map-combined), a
+    * broadcast rate join, then a pure per-row filter — the corpus itself
+    * never shuffles. */
+  def mixCorpusTemperature(df: DataFrame, keyCol: String,
+                           sourceCol: String): DataFrame = {
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+    val nmin = counts.agg(min(col("__n")).as("__nmin"))
+    val rates = counts.crossJoin(broadcast(nmin))
+      .select(col(sourceCol),
+        floor(lit(10000.0) *
+          sqrt(col("__nmin").cast("double") / col("__n").cast("double")))
+          .cast("long").as("__rate_bp"))
+    df.join(broadcast(rates), Seq(sourceCol))
+      .filter(sampleBucket(col(keyCol)) < col("__rate_bp"))
+      .drop("__rate_bp")
+  }
+
+  /** Deterministic global corpus shuffle (`corpus_shuffle` query): a
+    * seeded total order over documents — the training-order
+    * randomization step (epoch shuffles, curriculum-free pretraining) —
+    * as pure relational algebra. Each row's sort key is
+    * md5(seed ‖ ':' ‖ key); `shuffle_pos` is its 1-based global rank
+    * (ties broken by `tieCol` — md5-equal rows are content-equal, so the
+    * tie-break only fixes duplicate order) and `shard` is
+    * floor(h₃₂ · nShards ∕ 2³²) over the hash's first 32 bits.
+    *
+    * Because lowercase fixed-width hex compares lexicographically as its
+    * numeric value and `shard` is monotone in the hash PREFIX, ordering
+    * by (shard, h, tie) EQUALS ordering by (h, tie) — so the global rank
+    * is computed hierarchically (the [[packChunks]]/scalable prefix-sum
+    * discipline): one exchange on shard, a per-shard `row_number`, and a
+    * broadcast nShards-row cumulative-offset join. No global single-
+    * partition window, no driver collect; a new seed is a brand-new,
+    * uncorrelated order. The ∕2³² step is a power-of-two double divide —
+    * exact — so both engines compute identical shards. */
+  def shuffleCorpus(df: DataFrame, keyCol: String, seed: String,
+                    nShards: Int = 1024,
+                    tieCol: String = "doc_id"): DataFrame = {
+    val h = md5(concat_ws(":", lit(seed), col(keyCol)))
+    val withH = df.withColumn("__h", h)
+      .withColumn("shard",
+        floor(conv(substring(col("__h"), 1, 8), 16, 10).cast("long")
+          .cast("double") * nShards / 4294967296.0).cast("int"))
+    val wIn = Window.partitionBy(col("shard"))
+      .orderBy(col("__h"), col(tieCol))
+    val posIn = withH.withColumn("__p", row_number().over(wIn).cast("long"))
+    val sizes = posIn.groupBy(col("shard")).agg(count(lit(1)).as("__c"))
+    val wOff = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = sizes
+      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
+      .select(col("shard"), col("__off"))
+    posIn.join(broadcast(offs), Seq("shard"))
+      .withColumn("shuffle_pos", col("__off") + col("__p"))
+      .drop("__h", "__p", "__off")
+  }
+
   /** GPT-style sequence packing (`sequence_packing` query): documents are
     * conceptually concatenated in a fixed order and cut into fixed
     * token-budget chunks; each document reports the chunk its first token

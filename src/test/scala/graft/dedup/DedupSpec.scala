@@ -84,6 +84,30 @@ class DedupSpec extends SparkSpec {
     assert(scaled == exact)
   }
 
+  test("electKeepersByQuality: best-quality member represents the cluster") {
+    // Docs 1/2/3 form one near-dup cluster: the texts share 8 of 10
+    // distinct tokens (J = 0.8 >= 0.7). Doc 3 is the CLEAN copy — its
+    // tenth token is alphabetic where 1/2 carry digit junk — so its
+    // alpha-ratio term (and thus qualityScore) is strictly higher while
+    // stop-ratio and length terms are identical across the cluster.
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog 12345678", "b"),
+      (2L, "the quick brown fox jumps over the lazy dog 12345678", "b"), // exact dup
+      (3L, "the quick brown fox jumps over the lazy dog abcdefgh", "b"), // clean near dup
+      (4L, "completely different words entirely here now", "b")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.nearDupKeepersByQuality(corpus, "doc_id", "text", "source", 0.7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Quality sanity: 3 strictly out-scores 1/2 (alpha 43/52 vs 35/52),
+    // so it is elected over the min-id keeper 1.
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 4L))
+    // Ties (docs 1 and 2 are byte-identical) break by min doc_id.
+    val tied = Dedup.nearDupKeepersByQuality(
+      corpus.filter($"doc_id" =!= 3L), "doc_id", "text", "source", 0.7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tied == Map(1L -> 1L, 2L -> 1L, 4L -> 4L))
+  }
+
   test("newKeepers: incremental batch dedup equals the full recompute") {
     // 20-token sentences; a one-token change gives J = 19/21 ~ 0.9048 >=
     // 0.9, caught by 16x4 banding with prob ~1-4e-8 — recall is

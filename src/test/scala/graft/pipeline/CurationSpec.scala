@@ -87,6 +87,56 @@ class CurationSpec extends SparkSpec {
     assert(lo.subsetOf(hi))
   }
 
+  test("mixCorpusTemperature: smallest source intact, rates flatten as n^alpha") {
+    // Sources sized 40 / 10: nmin = 10, so rates are
+    // sqrt(10/40) = 0.5 -> 5000 bp for "big" and 10000 bp for "small".
+    val corpus = (
+      (1 to 40).map(i => (i.toLong, s"big doc number $i with words", "big")) ++
+        (41 to 50).map(i => (i.toLong, s"small doc number $i here", "small"))
+      ).toDF("doc_id", "text", "source")
+    val kept = Curation.mixCorpusTemperature(corpus, "text", "source")
+    val bySource = kept.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rate 10000 keeps the whole smallest source.
+    assert(bySource("small") == 10L)
+    // The big source passes through the SAME bucket filter at 5000 bp as
+    // a hand-applied sampleDeterministic — the rate derivation is the
+    // only new logic.
+    val expectBig = Curation.sampleDeterministic(
+        corpus.filter($"source" === "big"), "text", 5000)
+      .select("doc_id").as[Long].collect().toSet
+    val gotBig = kept.filter($"source" === "big")
+      .select("doc_id").as[Long].collect().toSet
+    assert(gotBig == expectBig)
+    // Determinism.
+    val again = Curation.mixCorpusTemperature(corpus, "text", "source")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == kept.select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("shuffleCorpus: hierarchical rank equals the global seeded order") {
+    val corpus = (1 to 97).map(i => (i.toLong, s"document body $i", "s"))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.shuffleCorpus(corpus, "text", "seedA", nShards = 8)
+    val rows = out.select($"doc_id", $"shard", $"shuffle_pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // shuffle_pos is a permutation of 1..n.
+    assert(rows.map(_._3).sorted.toSeq == (1L to 97L).toSeq)
+    // Hierarchical rank == the semantic single-window rank by (h, id).
+    val semantic = corpus
+      .withColumn("h", md5(concat_ws(":", lit("seedA"), $"text")))
+      .orderBy($"h", $"doc_id")
+      .select("doc_id").as[Long].collect().toSeq
+    val byPos = rows.sortBy(_._3).map(_._1).toSeq
+    assert(byPos == semantic)
+    // Shards are monotone along the order: pos order never decreases shard.
+    assert(rows.sortBy(_._3).map(_._2).toSeq == rows.map(_._2).sorted.toSeq)
+    // A different seed is a genuinely different permutation.
+    val other = Curation.shuffleCorpus(corpus, "text", "seedB", nShards = 8)
+      .orderBy($"shuffle_pos").select("doc_id").as[Long].collect().toSeq
+    assert(other != byPos)
+  }
+
   test("packChunks: offsets, chunk ids, straddling spans") {
     val d = Seq(
       (1L, Seq.fill(300)("t").mkString(" ")), // off 0    -> chunk 0, 1 chunk
