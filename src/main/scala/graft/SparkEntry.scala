@@ -484,6 +484,30 @@ object SparkEntry {
     "quality_classifier" -> ((s, dir) =>
       graft.pipeline.QualityClassifier.classify(
         Tables.documents(s, dir), "doc_id", "text")),
+    // Gopher rule gate: the Rae-et-al. heuristic signals, pure per-row
+    // codegen expressions (zero joins/shuffles before the output sort).
+    "gopher_rules" -> ((s, dir) =>
+      graft.text.GopherRules.signals(Tables.documents(s, dir))),
+    // Same signals over a planted fixture exercising every rule branch
+    // (bullets, ellipses, symbols, short docs, prose that PASSES).
+    "gopher_rules_edge" -> ((s, _) => {
+      import s.implicits._
+      graft.text.GopherRules.signals(
+        GopherFixture.docs.toDF("doc_id", "text"))
+    }),
+    // C4 line/page cleaning over multi-line planted pages (documents
+    // are single-line by construction): terminal-punct + min-words +
+    // no-javascript line rule, lorem-ipsum/brace/min-lines page rule.
+    "c4_filters" -> ((s, _) => {
+      import s.implicits._
+      graft.pipeline.C4Filters.clean(
+        C4Fixture.docs.toDF("doc_id", "text"))
+    }),
+    // DSIR hashed-n-gram importance weights toward the src0 slice as
+    // the in-domain target; integer micro-nat log-ratio sums.
+    "dsir_weights" -> ((s, dir) =>
+      graft.pipeline.Dsir.weights(
+        Tables.documents(s, dir), col("source") === "src0")),
     // Heavy-hitter tokens: distributed Misra-Gries sketch (bounded
     // memory, no token-stream shuffle) + exact recount of the <= 2000
     // candidates. Output provably equals the naive global top list above
@@ -790,6 +814,13 @@ object SparkEntry {
     "lm_scores_trigram" -> graft.text.LmScore.sqlScoresTrigram(),
     "lm_scores_pruned" -> graft.text.LmScore.sqlScoresPruned(),
     "quality_classifier" -> graft.pipeline.QualityClassifier.sqlClassifier(),
+    "gopher_rules" -> graft.text.GopherRules.sqlSignals("documents"),
+    "gopher_rules_edge" ->
+      graft.text.GopherRules.sqlSignals(valuesRel(GopherFixture.docs)),
+    "c4_filters" ->
+      graft.pipeline.C4Filters.sqlClean(valuesRel(C4Fixture.docs)),
+    "dsir_weights" ->
+      graft.pipeline.Dsir.sqlWeights("documents", "source = 'src0'"),
     "heavy_hitters" ->
       """WITH tok AS (
         |  SELECT UNNEST(regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+')) AS token FROM documents),
@@ -1716,6 +1747,16 @@ object SparkEntry {
         |FROM documents WHERE doc_id % 3 = 0
         |ORDER BY media_id""".stripMargin,
   )
+
+  /** Render an inline fixture as a DuckDB VALUES relation aliased
+    * t(doc_id, text). Newlines become `chr(10)` concats so the emitted
+    * SQL stays single-escaped through the JSON dump. */
+  private def valuesRel(docs: Seq[(Long, String)]): String = {
+    val rows = docs.map { case (id, t) =>
+      s"($id, '${t.replace("'", "''").replace("\n", "' || chr(10) || '")}')"
+    }.mkString(",\n          ")
+    s"(VALUES\n          $rows) t(doc_id, text)"
+  }
 }
 
 /** Inline PII corpus (the synthetic documents contain no PII, so the scrub
@@ -1727,6 +1768,67 @@ object PiiFixture {
     (3L, "no sensitive content here, just words and the number 42"),
     (4L, "mail bob@corp.io and carol_d@mail.example.org from 555-867-5309"),
     (5L, "edge: version 1.2.3.4 of the lib pinged 8.8.8.8 at dawn"))
+}
+
+/** Edge corpus for the Gopher rule signals: the synthetic documents are
+  * single-line low-stopword word soup (every doc fails the stop-hits
+  * rule), so this fixture plants one document per rule branch — a
+  * genuine PASS, bullet walls, ellipsis walls, symbol spam, digit spam,
+  * over-long tokens, a too-short doc, the four-dot edge, and the empty
+  * string (NULL-ratio parity). */
+object GopherFixture {
+  private val prose =
+    "The committee met with the board to review all of the plans that " +
+    "have been made for the coming year and they agreed that the work " +
+    "should continue with the same care and attention to detail that " +
+    "the team have shown before because the results of the effort were " +
+    "clear to everyone and the plan will be ready to share with all of " +
+    "the members next week after the final review is complete there."
+  val docs: Seq[(Long, String)] = Seq(
+    (1L, prose),                                  // passes every rule
+    (2L, "- alpha item one here\n- beta item two here\n* gamma item three\n" +
+         "\t- delta four\n• epsilon five\n- zeta six\n- eta seven\n" +
+         "* theta eight\n- iota nine\nonly prose line of the page"),
+    (3L, "the first thought trails off...\nthe second does too... \n" +
+         "and the third as well...\t\na final plain line of the text"),
+    (4L, "### heading spam ## with #tags# and more... dots... here... " +
+         "plus #extra #hash #marks everywhere... in the text"),
+    (5L, "just nine words of text in this tiny doc"),
+    (6L, "supercalifragilisticexpialidocious pneumonoultramicroscopicsilicovolcanoconiosis " +
+         "antidisestablishmentarianism floccinaucinihilipilification " +
+         "honorificabilitudinitatibus incomprehensibilities"),
+    (7L, "1234 5678 9012 3456 7890 1234 5678 9012 3456 7890 " +
+         "the and of 42 17 93 55 28 61 84"),
+    (8L, "dots.... four in the a row with to of and"),
+    (9L, ""))
+}
+
+/** Multi-line pages for the C4 line filters (the synthetic documents are
+  * single-line): kept/dropped line variants plus each page-level drop. */
+object C4Fixture {
+  val docs: Seq[(Long, String)] = Seq(
+    (1L, "This is the first good sentence of the page.\n" +
+         "short line.\n" +
+         "this line has plenty of words but no terminal punctuation\n" +
+         "Enable javascript to view the comments on this page.\n" +
+         "Is this a fine question sentence with enough words?\n" +
+         "An exclamation sentence with plenty of words here!\n" +
+         "He said \"this quoted sentence ends with a quote mark.\"\n" +
+         "   A sentence with trailing spaces after the period.   "),
+    (2L, "A perfectly fine long sentence number one here.\n" +
+         "This page however mentions Lorem Ipsum filler text.\n" +
+         "A perfectly fine long sentence number three here.\n" +
+         "A perfectly fine long sentence number four here."),
+    (3L, "A good long sentence before the code block starts.\n" +
+         "function f() { return 42; }\n" +
+         "Another good long sentence right after the code.\n" +
+         "And one more good long sentence to close it."),
+    (4L, "Only one good long sentence lives on this page.\n" +
+         "plus a short tail.\n" +
+         "and nothing else without punctuation"),
+    (5L, "Exactly three good sentences make this page survive.\n" +
+         "Here then is the second of the three sentences.\n" +
+         "And here at last is the third full sentence."))
 }
 
 /** Gnarly-URL fixture for the canonicalization queries: case games,

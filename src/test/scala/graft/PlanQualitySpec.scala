@@ -168,4 +168,31 @@ class PlanQualitySpec extends SparkSpec {
     assert(readSchemas.forall(s => !s.contains("source") && !s.contains("lang")),
       s"unneeded columns read:\n${readSchemas.mkString("\n")}")
   }
+
+  test("rule gates are shuffle-free projections (Gopher/C4)") {
+    // Both operators must be scan -> project(-> filter) -> output sort:
+    // no join, no aggregate, no Generate. The only Exchange allowed is
+    // the final sort's range partitioning.
+    for (name <- Seq("gopher_rules", "c4_filters")) {
+      val plan = planOf(SparkEntry.queries(name)(spark, dir))
+      assert(!plan.contains("Join"), s"$name joins:\n$plan")
+      assert(!plan.contains("Generate"), s"$name explodes:\n$plan")
+      assert(!plan.contains("HashAggregate"), s"$name aggregates:\n$plan")
+      val exchanges = plan.linesIterator.count(_.trim.startsWith("Exchange"))
+      assert(exchanges <= 1, s"$name extra shuffles:\n$plan")
+    }
+  }
+
+  test("DSIR weight table broadcasts; the token stream never shuffles raw") {
+    val df = SparkEntry.queries("dsir_weights")(spark, dir)
+    df.collect()
+    // AQE's printed string appends the pre-adaptive "Initial Plan" —
+    // judge only what actually ran.
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // The bucket-weight side must reach the doc-token stream as a
+    // broadcast; a sort-merge join here would shuffle the whole token
+    // stream by feature bucket.
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"token stream shuffled:\n$plan")
+  }
 }
