@@ -508,6 +508,20 @@ object SparkEntry {
     "dsir_weights" -> ((s, dir) =>
       graft.pipeline.Dsir.weights(
         Tables.documents(s, dir), col("source") === "src0")),
+    // Per-source unigram KL vs the corpus: the drift analytics behind
+    // mixture design. Integer micro-nat numerators -> full oracle.
+    "source_kl" -> ((s, dir) =>
+      graft.text.SourceDivergence.sourceKl(Tables.documents(s, dir))),
+    // Gate-attrition funnel: raw -> gopher -> quality floor -> exact
+    // dedup survivor counts, one scan + one agg. Thresholds tuned for
+    // the synthetic word-soup corpus (stop_hits is 1 there by
+    // construction; the word-count cut is the discriminating rule).
+    // (quality floor 0.65: the synthetic corpus's quality scores span
+    // 0.46-0.75, so the default 0.5 would pass every gopher survivor.)
+    "curation_funnel" -> ((s, dir) =>
+      graft.pipeline.Curation.curationFunnel(
+        Tables.documents(s, dir), th = FunnelThresholds,
+        minQuality = 0.65)),
     // Heavy-hitter tokens: distributed Misra-Gries sketch (bounded
     // memory, no token-stream shuffle) + exact recount of the <= 2000
     // candidates. Output provably equals the naive global top list above
@@ -821,6 +835,11 @@ object SparkEntry {
       graft.pipeline.C4Filters.sqlClean(valuesRel(C4Fixture.docs)),
     "dsir_weights" ->
       graft.pipeline.Dsir.sqlWeights("documents", "source = 'src0'"),
+    "curation_funnel" ->
+      graft.pipeline.Curation.sqlFunnel("documents", FunnelThresholds,
+        minQuality = 0.65),
+    "source_kl" ->
+      graft.text.SourceDivergence.sqlSourceKl("documents"),
     "heavy_hitters" ->
       """WITH tok AS (
         |  SELECT UNNEST(regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+')) AS token FROM documents),
@@ -1747,6 +1766,13 @@ object SparkEntry {
         |FROM documents WHERE doc_id % 3 = 0
         |ORDER BY media_id""".stripMargin,
   )
+
+  /** Funnel thresholds tuned to the synthetic corpus: the word-count
+    * floor discriminates (doc lengths straddle 40) while the stop-hits
+    * rule is relaxed to 1 ('the' is the only required word the word-soup
+    * generator emits). */
+  private val FunnelThresholds =
+    graft.text.GopherRules.Thresholds(minWords = 40L, minStopHits = 1L)
 
   /** Render an inline fixture as a DuckDB VALUES relation aliased
     * t(doc_id, text). Newlines become `chr(10)` concats so the emitted

@@ -220,6 +220,59 @@ object Curation {
       .drop("__h", "__p", "__off")
   }
 
+  /** Gate-attrition funnel (`curation_funnel` query): the per-stage
+    * survivor counts every corpus release publishes (FineWeb/RefinedWeb
+    * ablation tables) — how many documents remain after each cleaning
+    * gate, in order: raw → Gopher rule gate ([[graft.text.GopherRules]],
+    * thresholds caller-tuned) → quality-score floor → exact dedup.
+    *
+    * Scale shape: this is NOT four filtered re-scans. Each gate becomes
+    * a cumulative per-row flag in ONE pass, and all four counts come out
+    * of a single aggregation (`count_distinct` of the content hash,
+    * restricted to quality survivors, counts the exact-dedup keepers
+    * without a window); `stack` unpivots the one result row. One scan,
+    * one exchange, at any corpus size. */
+  def curationFunnel(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text",
+                     th: graft.text.GopherRules.Thresholds =
+                       graft.text.GopherRules.Thresholds(),
+                     minQuality: Double = 0.5): DataFrame = {
+    val t = col(textCol)
+    val g1 = graft.text.GopherRules.passExpr(t, th)
+    val g2 = g1 && graft.text.TextAnalysis.qualityScore(t) >= minQuality
+    val flags = docs.select(g1.as("__g1"), g2.as("__g2"), md5(t).as("__h"))
+    flags.agg(
+        count(lit(1)).as("raw"),
+        sum(when(col("__g1"), 1L).otherwise(0L)).as("gopher"),
+        sum(when(col("__g2"), 1L).otherwise(0L)).as("quality"),
+        countDistinct(when(col("__g2"), col("__h"))).as("exact_dedup"))
+      .selectExpr("stack(4, 0, 'raw', raw, 1, 'gopher', gopher, " +
+        "2, 'quality', quality, 3, 'exact_dedup', exact_dedup) " +
+        "as (stage, gate, n_docs)")
+      .orderBy(col("stage"))
+  }
+
+  /** DuckDB mirror of [[curationFunnel]]. */
+  def sqlFunnel(from: String,
+                th: graft.text.GopherRules.Thresholds =
+                  graft.text.GopherRules.Thresholds(),
+                minQuality: Double = 0.5): String = {
+    val pass = graft.text.GopherRules.sqlPassExpr("text", th)
+    val q = graft.text.TextAnalysis.sqlQuality("text")
+    s"""WITH f AS (
+       |  SELECT COUNT(*) AS raw,
+       |    SUM(CASE WHEN $pass THEN 1 ELSE 0 END) AS gopher,
+       |    SUM(CASE WHEN $pass AND $q >= $minQuality THEN 1 ELSE 0 END) AS quality,
+       |    COUNT(DISTINCT CASE WHEN $pass AND $q >= $minQuality
+       |                        THEN md5(text) END) AS exact_dedup
+       |  FROM $from)
+       |SELECT 0 AS stage, 'raw' AS gate, CAST(raw AS BIGINT) AS n_docs FROM f
+       |UNION ALL SELECT 1, 'gopher', CAST(gopher AS BIGINT) FROM f
+       |UNION ALL SELECT 2, 'quality', CAST(quality AS BIGINT) FROM f
+       |UNION ALL SELECT 3, 'exact_dedup', CAST(exact_dedup AS BIGINT) FROM f
+       |ORDER BY stage""".stripMargin
+  }
+
   /** GPT-style sequence packing (`sequence_packing` query): documents are
     * conceptually concatenated in a fixed order and cut into fixed
     * token-budget chunks; each document reports the chunk its first token

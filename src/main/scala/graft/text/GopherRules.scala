@@ -46,6 +46,19 @@ object GopherRules {
   val RequiredWords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** The rule bounds, parameterized: every production pipeline tunes
+    * these (FineWeb, RefinedWeb, Dolma all ship adjusted cuts); the
+    * defaults are Gopher's published values. Thresholds compare against
+    * the ROUNDED signals, so any instance stays engine-exact. */
+  final case class Thresholds(minWords: Long = 50L, maxWords: Long = 100000L,
+                              minMeanWordLen: Double = 3.0,
+                              maxMeanWordLen: Double = 10.0,
+                              maxSymbolRatio: Double = 0.1,
+                              maxBulletFrac: Double = 0.9,
+                              maxEllipsisFrac: Double = 0.3,
+                              minAlphaFrac: Double = 0.8,
+                              minStopHits: Long = 2L)
+
   private val BulletRe = "^[ \t]*[-*•]"
   private val EllipsisRe = "[.][.][.][ \t]*$"
 
@@ -53,10 +66,11 @@ object GopherRules {
     ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(lit_), ""))) /
       lit_.length).cast("long")
 
-  /** Signal table: one row per document, ordered by id. */
-  def signals(docs: DataFrame, idCol: String = "doc_id",
-              textCol: String = "text"): DataFrame = {
-    val t = col(textCol)
+  /** The seven ROUNDED signal expressions over a text column, in output
+    * order. Shared by [[signals]] and [[passExpr]] so a standalone gate
+    * (e.g. [[graft.pipeline.Curation.curationFunnel]]) evaluates the
+    * byte-identical rules without materializing the signal table. */
+  private def signalCols(t: Column): Seq[(String, Column)] = {
     val toks = TextAnalysis.tokens(t)
     val nWords = size(toks).cast("long")
     val nWordsD = nullif(nWords, lit(0L)).cast("double")
@@ -67,32 +81,55 @@ object GopherRules {
     val stopHits = size(array_intersect(
       array_distinct(TextAnalysis.tokens(lower(t))),
       array(RequiredWords.map(lit): _*))).cast("long")
+    Seq(
+      "n_words" -> nWords,
+      "mean_word_len" -> round(TextAnalysis.meanTokenLenRaw(t), 4),
+      "frac_alpha_words" ->
+        round(size(filter(toks, w => w.rlike("[a-zA-Z]"))).cast("double") /
+          nWordsD, 4),
+      "symbol_ratio" ->
+        round((occurrences(t, "#") + occurrences(t, "...")).cast("double") /
+          nWordsD, 4),
+      "frac_bullet_lines" -> fracLines(BulletRe),
+      "frac_ellipsis_lines" -> fracLines(EllipsisRe),
+      "stop_hits" -> stopHits)
+  }
+
+  /** The pass conjunction as a standalone per-row expression. */
+  def passExpr(t: Column, th: Thresholds = Thresholds()): Column = {
+    val s = signalCols(t).toMap
+    s("n_words").between(th.minWords, th.maxWords) &&
+      s("mean_word_len").between(th.minMeanWordLen, th.maxMeanWordLen) &&
+      s("symbol_ratio") < th.maxSymbolRatio &&
+      s("frac_bullet_lines") < th.maxBulletFrac &&
+      s("frac_ellipsis_lines") < th.maxEllipsisFrac &&
+      s("frac_alpha_words") > th.minAlphaFrac &&
+      s("stop_hits") >= th.minStopHits
+  }
+
+  /** Signal table: one row per document, ordered by id. */
+  def signals(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text",
+              th: Thresholds = Thresholds()): DataFrame = {
+    val t = col(textCol)
     val sig = docs.select(
-      col(idCol),
-      nWords.as("n_words"),
-      round(TextAnalysis.meanTokenLenRaw(t), 4).as("mean_word_len"),
-      round(size(filter(toks, w => w.rlike("[a-zA-Z]"))).cast("double") /
-        nWordsD, 4).as("frac_alpha_words"),
-      round((occurrences(t, "#") + occurrences(t, "...")).cast("double") /
-        nWordsD, 4).as("symbol_ratio"),
-      fracLines(BulletRe).as("frac_bullet_lines"),
-      fracLines(EllipsisRe).as("frac_ellipsis_lines"),
-      stopHits.as("stop_hits"))
+      col(idCol) +: signalCols(t).map { case (n, c) => c.as(n) }: _*)
     sig.withColumn("pass",
-        col("n_words").between(50L, 100000L) &&
-        col("mean_word_len").between(3.0, 10.0) &&
-        col("symbol_ratio") < 0.1 &&
-        col("frac_bullet_lines") < 0.9 &&
-        col("frac_ellipsis_lines") < 0.3 &&
-        col("frac_alpha_words") > 0.8 &&
-        col("stop_hits") >= 2L)
+        col("n_words").between(th.minWords, th.maxWords) &&
+        col("mean_word_len").between(th.minMeanWordLen, th.maxMeanWordLen) &&
+        col("symbol_ratio") < th.maxSymbolRatio &&
+        col("frac_bullet_lines") < th.maxBulletFrac &&
+        col("frac_ellipsis_lines") < th.maxEllipsisFrac &&
+        col("frac_alpha_words") > th.minAlphaFrac &&
+        col("stop_hits") >= th.minStopHits)
       .orderBy(col(idCol))
   }
 
   /** Documents surviving the gate (the composable form). */
   def gate(docs: DataFrame, idCol: String = "doc_id",
-           textCol: String = "text"): DataFrame =
-    docs.join(signals(docs, idCol, textCol)
+           textCol: String = "text",
+           th: Thresholds = Thresholds()): DataFrame =
+    docs.join(signals(docs, idCol, textCol, th)
       .filter(col("pass")).select(col(idCol)), Seq(idCol))
 
   // ---- DuckDB mirror (RE2 \s excludes \x0B, so the token byte set is
@@ -101,9 +138,31 @@ object GopherRules {
   private def sqlToks(t: String) =
     s"regexp_extract_all($t, '[^ \\t\\n\\x0B\\f\\r]+')"
 
+  /** The pass conjunction as inline DuckDB SQL over a text expression —
+    * the 1:1 mirror of [[passExpr]] for composed oracles. */
+  def sqlPassExpr(t: String, th: Thresholds = Thresholds()): String = {
+    val req = RequiredWords.map(w => s"'$w'").mkString("[", ", ", "]")
+    val nw = s"len(${sqlToks(t)})"
+    val nwd = s"nullif($nw, 0)::DOUBLE"
+    val lines = s"string_split($t, chr(10))"
+    s"""($nw BETWEEN ${th.minWords} AND ${th.maxWords}
+       | AND round(length(regexp_replace($t, '\\s', '', 'g'))::DOUBLE / $nwd, 4)
+       |     BETWEEN ${th.minMeanWordLen} AND ${th.maxMeanWordLen}
+       | AND round(((length($t) - length(replace($t, '#', ''))) +
+       |            (length($t) - length(replace($t, '...', ''))) / 3)::DOUBLE /
+       |           $nwd, 4) < ${th.maxSymbolRatio}
+       | AND round(len(list_filter($lines, l -> regexp_matches(l, '^[ \\t]*[-*•]')))::DOUBLE /
+       |           len($lines)::DOUBLE, 4) < ${th.maxBulletFrac}
+       | AND round(len(list_filter($lines, l -> regexp_matches(l, '[.][.][.][ \\t]*$$')))::DOUBLE /
+       |           len($lines)::DOUBLE, 4) < ${th.maxEllipsisFrac}
+       | AND round(len(list_filter(${sqlToks(t)}, w -> regexp_matches(w, '[a-zA-Z]')))::DOUBLE /
+       |           $nwd, 4) > ${th.minAlphaFrac}
+       | AND len(list_intersect(list_distinct(${sqlToks(s"lower($t)")}), $req)) >= ${th.minStopHits})""".stripMargin
+  }
+
   /** Oracle SQL over a relation exposing (doc_id, text). `from` is the
     * source relation (a table name or a VALUES CTE alias). */
-  def sqlSignals(from: String): String = {
+  def sqlSignals(from: String, th: Thresholds = Thresholds()): String = {
     val req = RequiredWords.map(w => s"'$w'").mkString("[", ", ", "]")
     s"""WITH sig AS (
        |  SELECT doc_id,
@@ -122,10 +181,13 @@ object GopherRules {
        |    len(list_intersect(list_distinct(${sqlToks("lower(text)")}), $req)) AS stop_hits
        |  FROM $from)
        |SELECT *,
-       |  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
-       |   AND symbol_ratio < 0.1 AND frac_bullet_lines < 0.9
-       |   AND frac_ellipsis_lines < 0.3 AND frac_alpha_words > 0.8
-       |   AND stop_hits >= 2) AS pass
+       |  (n_words BETWEEN ${th.minWords} AND ${th.maxWords}
+       |   AND mean_word_len BETWEEN ${th.minMeanWordLen} AND ${th.maxMeanWordLen}
+       |   AND symbol_ratio < ${th.maxSymbolRatio}
+       |   AND frac_bullet_lines < ${th.maxBulletFrac}
+       |   AND frac_ellipsis_lines < ${th.maxEllipsisFrac}
+       |   AND frac_alpha_words > ${th.minAlphaFrac}
+       |   AND stop_hits >= ${th.minStopHits}) AS pass
        |FROM sig ORDER BY doc_id""".stripMargin
   }
 }

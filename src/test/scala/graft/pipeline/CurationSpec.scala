@@ -114,6 +114,34 @@ class CurationSpec extends SparkSpec {
     assert(again == kept.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("curationFunnel: every stage drops its planted documents") {
+    // 6 docs: 2 clean prose (one duplicated byte-for-byte = 3 rows),
+    // 1 too-short (gopher kills), 1 clean prose with low quality
+    // (digit-heavy -> alpha-ratio term sinks below the floor).
+    val prose = "the cat and the dog have come to the house of the " +
+      "friend that was with them and they all be happy to stay for " +
+      "the night with all of the food that the host have made " +
+      "with care and with joy for every one of the guests there now"
+    val lowQ = prose.replaceAll(
+      "\\b(cat|dog|house|friend|night|food|host|care|joy)\\b", "99999")
+    val docs = Seq(
+      (1L, prose), (2L, prose),              // exact dups, both pass gates
+      (3L, prose + " extra final word"),     // distinct, passes
+      (4L, "too short to pass the gate"),    // gopher: n_words < 50
+      (5L, lowQ)                             // passes gopher, fails quality
+    ).toDF("doc_id", "text")
+    val th = graft.text.GopherRules.Thresholds(minStopHits = 2L)
+    // 0.85 sits between the digit-swapped doc (~0.80: alpha-ratio term
+    // sinks) and the clean prose (~0.89).
+    val out = Curation.curationFunnel(docs, "doc_id", "text", th,
+        minQuality = 0.85)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out("raw") == 5)
+    assert(out("gopher") == 4)       // doc 4 dropped
+    assert(out("quality") == 3)      // doc 5 dropped
+    assert(out("exact_dedup") == 2)  // docs 1/2 collapse
+  }
+
   test("shuffleCorpus: hierarchical rank equals the global seeded order") {
     val corpus = (1 to 97).map(i => (i.toLong, s"document body $i", "s"))
       .toDF("doc_id", "text", "source")
