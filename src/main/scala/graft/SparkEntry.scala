@@ -512,6 +512,14 @@ object SparkEntry {
     // mixture design. Integer micro-nat numerators -> full oracle.
     "source_kl" -> ((s, dir) =>
       graft.text.SourceDivergence.sourceKl(Tables.documents(s, dir))),
+    // Sentence-aware chunking over the multi-line fixture pages (the
+    // synthetic documents carry no punctuation): a sentence straddling
+    // the budget goes WHOLE to its first token's chunk.
+    "sentence_chunks" -> ((s, _) => {
+      import s.implicits._
+      graft.text.Sentences.sentenceChunks(
+        C4Fixture.docs.toDF("doc_id", "text"), budgetTokens = 20)
+    }),
     // Gate-attrition funnel: raw -> gopher -> quality floor -> exact
     // dedup survivor counts, one scan + one agg. Thresholds tuned for
     // the synthetic word-soup corpus (stop_hits is 1 there by
@@ -840,6 +848,9 @@ object SparkEntry {
         minQuality = 0.65),
     "source_kl" ->
       graft.text.SourceDivergence.sqlSourceKl("documents"),
+    "sentence_chunks" ->
+      graft.text.Sentences.sqlSentenceChunks(
+        valuesRel(C4Fixture.docs), budgetTokens = 20),
     "heavy_hitters" ->
       """WITH tok AS (
         |  SELECT UNNEST(regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+')) AS token FROM documents),

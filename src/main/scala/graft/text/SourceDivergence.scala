@@ -33,11 +33,17 @@ object SourceDivergence {
 
   def sourceKl(docs: DataFrame, sourceCol: String = "source",
                textCol: String = "text"): DataFrame = {
+    // The pair table feeds three consumers (the term join, the
+    // vocab-sized token totals, the per-source totals); Catalyst does
+    // not share common subtrees, so checkpoint it once or the corpus
+    // explode+agg runs three times. (At cluster scale: persist/cache —
+    // same note as Dedup.scala:97.)
     val pairs = graft.Par.widen(docs)
       .select(col(sourceCol),
         explode(TextAnalysis.tokens(lower(col(textCol)))).as("__tok"))
       .groupBy(col(sourceCol), col("__tok"))
       .agg(count(lit(1)).as("__cst"))
+      .localCheckpoint(true)
     val tokTotals = pairs.groupBy(col("__tok"))
       .agg(sum(col("__cst")).as("__ct"))
     val srcTotals = pairs.groupBy(col(sourceCol))

@@ -163,6 +163,13 @@ class CurationSpec extends SparkSpec {
     val other = Curation.shuffleCorpus(corpus, "text", "seedB", nShards = 8)
       .orderBy($"shuffle_pos").select("doc_id").as[Long].collect().toSeq
     assert(other != byPos)
+    // shuffle_pos is invariant to the shard count — sharding is pure
+    // parallelism, never part of the order's semantics.
+    for (n <- Seq(1, 3, 64)) {
+      val again = Curation.shuffleCorpus(corpus, "text", "seedA", nShards = n)
+        .orderBy($"shuffle_pos").select("doc_id").as[Long].collect().toSeq
+      assert(again == byPos, s"nShards=$n changed the order")
+    }
   }
 
   test("packChunks: offsets, chunk ids, straddling spans") {
