@@ -431,6 +431,12 @@ object SparkEntry {
     // sample -> sequence packing. One DuckDB WITH-chain replays it all.
     "corpus_pipeline" -> ((s, dir) =>
       graft.pipeline.CorpusPipeline(Tables.documents(s, dir))),
+    // Same line with the Gopher rule gate switched on at stage 3b
+    // (tuned thresholds — see FunnelThresholds); the WITH-chain oracle
+    // extends by one predicate, everything downstream shifts with it.
+    "corpus_pipeline_gated" -> ((s, dir) =>
+      graft.pipeline.CorpusPipeline(Tables.documents(s, dir),
+        gopherTh = Some(FunnelThresholds))),
     // Benchmark decontamination: flag docs sharing >= 5 distinct 3-grams
     // with the "benchmark" slice (doc_id % 97 == 0 stands in for an eval
     // suite); broadcast bench shingles, one groupBy on doc_id.
@@ -621,6 +627,74 @@ object SparkEntry {
       |  CAST(COALESCE(o.n_overlap, 0) >= 5 AS INT) AS contaminated
       |FROM tok t LEFT JOIN o ON t.doc_id = o.doc_id
       |ORDER BY doc_id""".stripMargin
+
+  /** The `corpus_pipeline` WITH-chain, parameterized by the optional
+    * Gopher-gate predicate (stage 3b): `corpus_pipeline` passes None,
+    * `corpus_pipeline_gated` passes
+    * [[graft.text.GopherRules.sqlPassExpr]] over the span-deduped text
+    * — ONE predicate difference, so the two oracles can never drift. */
+  private def corpusPipelineSql(gopherPred: Option[String]): String = {
+    import graft.pipeline.Pii
+    val gate = gopherPred.map(p => s" AND $p").getOrElse("")
+    s"""WITH scrub AS (
+       |  SELECT doc_id,
+       |    regexp_replace(regexp_replace(regexp_replace(text,
+       |      '${Pii.EmailRe}', '<EMAIL>', 'g'),
+       |      '${Pii.Ipv4Re}', '<IP>', 'g'),
+       |      '${Pii.PhoneRe}', '<PHONE>', 'g') AS red
+       |  FROM documents),
+       |tok0 AS (
+       |  SELECT doc_id, regexp_extract_all(lower(red), '[^ \\t\\n\\x0B\\f\\r]+') AS toks FROM scrub),
+       |benchsh AS (
+       |  SELECT DISTINCT UNNEST(list_distinct(list_transform(range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+       |  FROM tok0 WHERE doc_id % 97 = 0),
+       |su AS (
+       |  SELECT doc_id, CAST((s - 1) // 20 AS BIGINT) AS idx,
+       |    array_to_string(list_slice(stoks, s, least(s + 19, len(stoks))), ' ') AS raw
+       |  FROM (SELECT doc_id, stoks, UNNEST(range(1, len(stoks) + 1, 20)) AS s
+       |        FROM (SELECT doc_id, regexp_extract_all(red, '[^ \\t\\n\\x0B\\f\\r]+') AS stoks FROM scrub)
+       |        WHERE len(stoks) > 0)),
+       |sm AS (
+       |  SELECT doc_id, idx, raw,
+       |    ROW_NUMBER() OVER (PARTITION BY lower(raw) ORDER BY doc_id, idx) AS rn,
+       |    COUNT(*) OVER (PARTITION BY lower(raw)) AS n_occ
+       |  FROM su),
+       |sd AS (
+       |  SELECT doc_id, string_agg(raw, ' ' ORDER BY idx) AS red
+       |  FROM sm WHERE rn = 1 OR n_occ < 3 GROUP BY 1),
+       |tok AS (
+       |  SELECT doc_id, red, regexp_extract_all(lower(red), '[^ \\t\\n\\x0B\\f\\r]+') AS toks FROM sd),
+       |quality AS (SELECT * FROM tok WHERE len(toks) >= 20$gate),
+       |keep AS (
+       |  SELECT doc_id, red, toks FROM (
+       |    SELECT doc_id, red, toks, MIN(doc_id) OVER (PARTITION BY red) AS keeper
+       |    FROM quality)
+       |  WHERE doc_id = keeper),
+       |docsh AS (
+       |  SELECT doc_id, UNNEST(list_distinct(list_transform(range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+       |  FROM keep),
+       |ovl AS (
+       |  SELECT d.doc_id, COUNT(*) AS n FROM docsh d JOIN benchsh USING (sh) GROUP BY 1),
+       |clean AS (
+       |  SELECT k.doc_id, k.red, len(k.toks)::BIGINT AS n_tokens
+       |  FROM keep k LEFT JOIN ovl o ON k.doc_id = o.doc_id
+       |  WHERE COALESCE(o.n, 0) < 5),
+       |sampled AS (
+       |  SELECT doc_id, n_tokens FROM clean
+       |  WHERE ('0x' || substring(md5(red), 1, 8))::UBIGINT % 10000 < 8000),
+       |o2 AS (
+       |  SELECT doc_id, n_tokens,
+       |    SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS off
+       |  FROM sampled)
+       |SELECT doc_id, n_tokens,
+       |  CAST(FLOOR(off / 512.0) AS BIGINT) AS chunk_id,
+       |  CASE WHEN n_tokens = 0 THEN 0
+       |       ELSE CAST(FLOOR((off + n_tokens - 1) / 512.0) AS BIGINT)
+       |            - CAST(FLOOR(off / 512.0) AS BIGINT) + 1 END AS n_chunks
+       |FROM o2 ORDER BY doc_id""".stripMargin
+  }
 
   /** Shared paragraph-dedup oracle prefix: fixture VALUES -> split on
     * blank lines -> 0-based idx -> normalize (collapse ws + trim + lower,
@@ -1420,67 +1494,9 @@ object SparkEntry {
         |FROM events e JOIN sess ON e.user_id = sess.user_id
         |  AND e.ts >= sess.session_start AND e.ts < sess.session_end
         |ORDER BY event_id""".stripMargin,
-    "corpus_pipeline" -> {
-      import graft.pipeline.Pii
-      s"""WITH scrub AS (
-         |  SELECT doc_id,
-         |    regexp_replace(regexp_replace(regexp_replace(text,
-         |      '${Pii.EmailRe}', '<EMAIL>', 'g'),
-         |      '${Pii.Ipv4Re}', '<IP>', 'g'),
-         |      '${Pii.PhoneRe}', '<PHONE>', 'g') AS red
-         |  FROM documents),
-         |tok0 AS (
-         |  SELECT doc_id, regexp_extract_all(lower(red), '[^ \\t\\n\\x0B\\f\\r]+') AS toks FROM scrub),
-         |benchsh AS (
-         |  SELECT DISTINCT UNNEST(list_distinct(list_transform(range(1, len(toks) - 1),
-         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
-         |  FROM tok0 WHERE doc_id % 97 = 0),
-         |su AS (
-         |  SELECT doc_id, CAST((s - 1) // 20 AS BIGINT) AS idx,
-         |    array_to_string(list_slice(stoks, s, least(s + 19, len(stoks))), ' ') AS raw
-         |  FROM (SELECT doc_id, stoks, UNNEST(range(1, len(stoks) + 1, 20)) AS s
-         |        FROM (SELECT doc_id, regexp_extract_all(red, '[^ \\t\\n\\x0B\\f\\r]+') AS stoks FROM scrub)
-         |        WHERE len(stoks) > 0)),
-         |sm AS (
-         |  SELECT doc_id, idx, raw,
-         |    ROW_NUMBER() OVER (PARTITION BY lower(raw) ORDER BY doc_id, idx) AS rn,
-         |    COUNT(*) OVER (PARTITION BY lower(raw)) AS n_occ
-         |  FROM su),
-         |sd AS (
-         |  SELECT doc_id, string_agg(raw, ' ' ORDER BY idx) AS red
-         |  FROM sm WHERE rn = 1 OR n_occ < 3 GROUP BY 1),
-         |tok AS (
-         |  SELECT doc_id, red, regexp_extract_all(lower(red), '[^ \\t\\n\\x0B\\f\\r]+') AS toks FROM sd),
-         |quality AS (SELECT * FROM tok WHERE len(toks) >= 20),
-         |keep AS (
-         |  SELECT doc_id, red, toks FROM (
-         |    SELECT doc_id, red, toks, MIN(doc_id) OVER (PARTITION BY red) AS keeper
-         |    FROM quality)
-         |  WHERE doc_id = keeper),
-         |docsh AS (
-         |  SELECT doc_id, UNNEST(list_distinct(list_transform(range(1, len(toks) - 1),
-         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
-         |  FROM keep),
-         |ovl AS (
-         |  SELECT d.doc_id, COUNT(*) AS n FROM docsh d JOIN benchsh USING (sh) GROUP BY 1),
-         |clean AS (
-         |  SELECT k.doc_id, k.red, len(k.toks)::BIGINT AS n_tokens
-         |  FROM keep k LEFT JOIN ovl o ON k.doc_id = o.doc_id
-         |  WHERE COALESCE(o.n, 0) < 5),
-         |sampled AS (
-         |  SELECT doc_id, n_tokens FROM clean
-         |  WHERE ('0x' || substring(md5(red), 1, 8))::UBIGINT % 10000 < 8000),
-         |o2 AS (
-         |  SELECT doc_id, n_tokens,
-         |    SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS off
-         |  FROM sampled)
-         |SELECT doc_id, n_tokens,
-         |  CAST(FLOOR(off / 512.0) AS BIGINT) AS chunk_id,
-         |  CASE WHEN n_tokens = 0 THEN 0
-         |       ELSE CAST(FLOOR((off + n_tokens - 1) / 512.0) AS BIGINT)
-         |            - CAST(FLOOR(off / 512.0) AS BIGINT) + 1 END AS n_chunks
-         |FROM o2 ORDER BY doc_id""".stripMargin
-    },
+    "corpus_pipeline" -> corpusPipelineSql(None),
+    "corpus_pipeline_gated" -> corpusPipelineSql(
+      Some(graft.text.GopherRules.sqlPassExpr("red", FunnelThresholds))),
     "decontaminate" -> DecontaminateSql,
     "distinctive_terms" ->
       """WITH tok AS (

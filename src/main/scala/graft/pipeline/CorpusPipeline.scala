@@ -15,7 +15,10 @@ import org.apache.spark.sql.functions._
   *     `spanMinOcc`-or-more times corpus-wide, the RefinedWeb
   *     boilerplate policy. Rare 2-copy repeats survive, so the exact
   *     whole-doc dedup downstream stays non-redundant);
-  *  3. quality floor (≥ 20 tokens on the span-deduped text);
+  *  3. quality floor (≥ 20 tokens on the span-deduped text), plus an
+  *     OPTIONAL Gopher rule gate ([[graft.text.GopherRules.passExpr]],
+  *     caller-tuned thresholds) on the same text — rule gates before
+  *     dedup, cheapest first (`corpus_pipeline_gated` runs it on);
   *  4. exact dedup (keeper = min doc id per identical cleaned text — a
   *     window min, no join; [[graft.dedup.Dedup.exact]] semantics);
   *  5. benchmark decontamination ([[Curation.decontaminate]]: the
@@ -44,14 +47,21 @@ object CorpusPipeline {
   def apply(docs: DataFrame, budget: Long = 512L,
             minTokens: Int = 20, sampleBp: Int = 8000,
             benchMod: Int = 97, overlapThreshold: Long = 5L,
-            spanTokens: Int = 20, spanMinOcc: Long = 3L): DataFrame = {
+            spanTokens: Int = 20, spanMinOcc: Long = 3L,
+            gopherTh: Option[graft.text.GopherRules.Thresholds] = None)
+      : DataFrame = {
     val scrubbed = docs.select(col("doc_id"), Pii.redact(col("text")).as("red"))
     val spanDeduped = graft.dedup.ParagraphDedup.rebuilt(
         graft.dedup.ParagraphDedup.spanUnits(scrubbed, "doc_id", "red", spanTokens),
         spanMinOcc, sep = " ")
       .select(col("doc_id"), col("text_clean").as("red"))
-    val quality = spanDeduped
+    val floored = spanDeduped
       .filter(size(graft.text.TextAnalysis.tokens(lower(col("red")))) >= minTokens)
+    // Stage 3b (optional): the Gopher rule gate on the span-deduped
+    // text — rule gates before dedup, cheapest-first ordering. Another
+    // scan-stage filter; the plan shape is unchanged.
+    val quality = gopherTh.fold(floored)(th =>
+      floored.filter(graft.text.GopherRules.passExpr(col("red"), th)))
     val keepers = quality
       .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy(col("red"))))
       .filter(col("doc_id") === col("keeper"))
