@@ -501,6 +501,19 @@ object SparkEntry {
       graft.text.GopherRules.signals(
         GopherFixture.docs.toDF("doc_id", "text"))
     }),
+    // Gopher repetition gate (A1.2, the A1.1 companion): dup line/para
+    // fractions + top/dup n-gram char fractions, all per-row sort+fold
+    // expressions; the oracle replays them relationally.
+    "gopher_repetition" -> ((s, dir) =>
+      graft.text.GopherRepetition.signals(Tables.documents(s, dir))),
+    // Same signals over planted multi-line repeats (documents are
+    // single-line): dup lines, dup paragraphs, a stuffed bigram, an
+    // overlapping 5-gram run, a repeated 10-gram sentence.
+    "gopher_repetition_edge" -> ((s, _) => {
+      import s.implicits._
+      graft.text.GopherRepetition.signals(
+        RepetitionFixture.docs.toDF("doc_id", "text"))
+    }),
     // C4 line/page cleaning over multi-line planted pages (documents
     // are single-line by construction): terminal-punct + min-words +
     // no-javascript line rule, lorem-ipsum/brace/min-lines page rule.
@@ -913,6 +926,10 @@ object SparkEntry {
     "gopher_rules" -> graft.text.GopherRules.sqlSignals("documents"),
     "gopher_rules_edge" ->
       graft.text.GopherRules.sqlSignals(valuesRel(GopherFixture.docs)),
+    "gopher_repetition" ->
+      graft.text.GopherRepetition.sqlSignals("documents"),
+    "gopher_repetition_edge" ->
+      graft.text.GopherRepetition.sqlSignals(valuesRel(RepetitionFixture.docs)),
     "c4_filters" ->
       graft.pipeline.C4Filters.sqlClean(valuesRel(C4Fixture.docs)),
     "dsir_weights" ->
@@ -1854,6 +1871,39 @@ object GopherFixture {
          "the and of 42 17 93 55 28 61 84"),
     (8L, "dots.... four in the a row with to of and"),
     (9L, ""))
+}
+
+/** Planted repeats for the Gopher repetition signals (the synthetic
+  * documents are single-line, so the line/paragraph rules never fire on
+  * them): a clean multi-line page that PASSES, a duplicated line, a
+  * duplicated paragraph, a stuffed bigram, a doc whose ONLY violation
+  * is a twice-occurring 5-gram (distinct filler dilutes every shorter
+  * n-gram under its cut, demonstrating the threshold ladder), a
+  * repeated 10-gram sentence (which necessarily drags its sub-n-grams
+  * over their cuts too — the ladder is monotone downward), the empty
+  * doc, and a tiny all-distinct doc that must NOT fire the top-n-gram
+  * rule. */
+object RepetitionFixture {
+  private val fiveGram = "one two three four five"
+  private val tenGram =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+  val docs: Seq[(Long, String)] = Seq(
+    (1L, "the morning report covers local news from the harbor district\n" +
+         "a second line adds fresh detail about evening market trading\n" +
+         "closing notes thank readers for their continued weekly support\n" +
+         "nothing on this page repeats so every fraction stays small\n" +
+         "a final sentence rounds out the sample with calm words"),
+    (2L, "subscribe to our newsletter today\nsome genuine article content\n" +
+         "subscribe to our newsletter today\nmore real words in between\n" +
+         "subscribe to our newsletter today"),
+    (3L, "news update for the town\n\nnews update for the town\n\n" +
+         "fresh other words now"),
+    (4L, "best price best price best price now with some other calm words here"),
+    (5L, fiveGram + " " + (1 to 60).map(i => s"w$i").mkString(" ") +
+         " " + fiveGram),
+    (6L, tenGram + " filler words sit between the copies " + tenGram),
+    (7L, ""),
+    (8L, "tiny doc here"))
 }
 
 /** Multi-line pages for the C4 line filters (the synthetic documents are

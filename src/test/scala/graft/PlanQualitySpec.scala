@@ -183,6 +183,18 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("repetition signals shuffle no data by key (per-row folds only)") {
+    // scan -> widen(round-robin) -> project -> output sort: the n-gram
+    // statistics are per-row sort+fold expressions, so no join, no
+    // aggregate, no Generate, and never an Exchange hashpartitioning —
+    // the relational formulation lives only in the DuckDB oracle.
+    val plan = planOf(SparkEntry.queries("gopher_repetition")(spark, dir))
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Generate"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("hashpartitioning"), plan)
+  }
+
   test("DSIR weight table broadcasts; the token stream never shuffles raw") {
     val df = SparkEntry.queries("dsir_weights")(spark, dir)
     df.collect()
