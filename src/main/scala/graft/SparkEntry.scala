@@ -437,6 +437,13 @@ object SparkEntry {
     "corpus_pipeline_gated" -> ((s, dir) =>
       graft.pipeline.CorpusPipeline(Tables.documents(s, dir),
         gopherTh = Some(FunnelThresholds))),
+    // Both optional gates on: rules (3b) AND repetition (3c). The
+    // WITH-chain oracle grows the rule predicate plus a repetition
+    // semi-join (the relational replay of the per-row folds).
+    "corpus_pipeline_full" -> ((s, dir) =>
+      graft.pipeline.CorpusPipeline(Tables.documents(s, dir),
+        gopherTh = Some(FunnelThresholds),
+        repetitionTh = Some(RepetitionThresholds))),
     // Benchmark decontamination: flag docs sharing >= 5 distinct 3-grams
     // with the "benchmark" slice (doc_id % 97 == 0 stands in for an eval
     // suite); broadcast bench shingles, one groupBy on doc_id.
@@ -646,9 +653,20 @@ object SparkEntry {
     * `corpus_pipeline_gated` passes
     * [[graft.text.GopherRules.sqlPassExpr]] over the span-deduped text
     * — ONE predicate difference, so the two oracles can never drift. */
-  private def corpusPipelineSql(gopherPred: Option[String]): String = {
+  private def corpusPipelineSql(
+      gopherPred: Option[String],
+      repetitionTh: Option[graft.text.GopherRepetition.Thresholds] = None)
+      : String = {
     import graft.pipeline.Pii
-    val gate = gopherPred.map(p => s" AND $p").getOrElse("")
+    val gate = gopherPred.map(p => s" AND $p").getOrElse("") +
+      repetitionTh.map { th =>
+        // The repetition gate over the span-deduped text, as a semi-join
+        // against the relational signal subquery (Spark applies the same
+        // conjunction as a per-row fold expression).
+        val sig = graft.text.GopherRepetition.sqlSignals(
+          "(SELECT doc_id, red AS text FROM sd) rsrc", th)
+        s" AND doc_id IN (SELECT doc_id FROM ($sig) rs WHERE rs.pass)"
+      }.getOrElse("")
     s"""WITH scrub AS (
        |  SELECT doc_id,
        |    regexp_replace(regexp_replace(regexp_replace(text,
@@ -1514,6 +1532,9 @@ object SparkEntry {
     "corpus_pipeline" -> corpusPipelineSql(None),
     "corpus_pipeline_gated" -> corpusPipelineSql(
       Some(graft.text.GopherRules.sqlPassExpr("red", FunnelThresholds))),
+    "corpus_pipeline_full" -> corpusPipelineSql(
+      Some(graft.text.GopherRules.sqlPassExpr("red", FunnelThresholds)),
+      Some(RepetitionThresholds)),
     "decontaminate" -> DecontaminateSql,
     "distinctive_terms" ->
       """WITH tok AS (
@@ -1817,6 +1838,16 @@ object SparkEntry {
     * generator emits). */
   private val FunnelThresholds =
     graft.text.GopherRules.Thresholds(minWords = 40L, minStopHits = 1L)
+
+  /** Repetition cuts tuned to the synthetic corpus (Gopher's published
+    * cuts drop nothing that survives the rule gate here — small-vocab
+    * word soup repeats bigrams mildly, never line/paragraph-wise): the
+    * tightened top-2-gram and dup-5-gram fractions make stage 3c a REAL
+    * filter at sf0.01, so the `corpus_pipeline_full` hash-match checks
+    * discrimination, not just wiring. */
+  private val RepetitionThresholds =
+    graft.text.GopherRepetition.Thresholds(maxTop2Frac = 0.12,
+      maxDup5Frac = 0.10)
 
   /** Render an inline fixture as a DuckDB VALUES relation aliased
     * t(doc_id, text). Newlines become `chr(10)` concats so the emitted

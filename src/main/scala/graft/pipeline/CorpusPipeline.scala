@@ -18,7 +18,10 @@ import org.apache.spark.sql.functions._
   *  3. quality floor (≥ 20 tokens on the span-deduped text), plus an
   *     OPTIONAL Gopher rule gate ([[graft.text.GopherRules.passExpr]],
   *     caller-tuned thresholds) on the same text — rule gates before
-  *     dedup, cheapest first (`corpus_pipeline_gated` runs it on);
+  *     dedup, cheapest first (`corpus_pipeline_gated` runs it on) —
+  *     and an OPTIONAL Gopher repetition gate
+  *     ([[graft.text.GopherRepetition.passExpr]]; `corpus_pipeline_full`
+  *     runs both);
   *  4. exact dedup (keeper = min doc id per identical cleaned text — a
   *     window min, no join; [[graft.dedup.Dedup.exact]] semantics);
   *  5. benchmark decontamination ([[Curation.decontaminate]]: the
@@ -48,7 +51,8 @@ object CorpusPipeline {
             minTokens: Int = 20, sampleBp: Int = 8000,
             benchMod: Int = 97, overlapThreshold: Long = 5L,
             spanTokens: Int = 20, spanMinOcc: Long = 3L,
-            gopherTh: Option[graft.text.GopherRules.Thresholds] = None)
+            gopherTh: Option[graft.text.GopherRules.Thresholds] = None,
+            repetitionTh: Option[graft.text.GopherRepetition.Thresholds] = None)
       : DataFrame = {
     val scrubbed = docs.select(col("doc_id"), Pii.redact(col("text")).as("red"))
     val spanDeduped = graft.dedup.ParagraphDedup.rebuilt(
@@ -60,8 +64,14 @@ object CorpusPipeline {
     // Stage 3b (optional): the Gopher rule gate on the span-deduped
     // text — rule gates before dedup, cheapest-first ordering. Another
     // scan-stage filter; the plan shape is unchanged.
-    val quality = gopherTh.fold(floored)(th =>
+    val ruleGated = gopherTh.fold(floored)(th =>
       floored.filter(graft.text.GopherRules.passExpr(col("red"), th)))
+    // Stage 3c (optional): the Gopher REPETITION gate
+    // ([[graft.text.GopherRepetition.passExpr]]) on the same text —
+    // still a per-row scan-stage filter (the n-gram statistics are
+    // sort+folds over each doc's own shingles, no keyed exchange).
+    val quality = repetitionTh.fold(ruleGated)(th =>
+      ruleGated.filter(graft.text.GopherRepetition.passExpr(col("red"), th)))
     val keepers = quality
       .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy(col("red"))))
       .filter(col("doc_id") === col("keeper"))

@@ -45,6 +45,20 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(ids == Set(1L, 3L))
   }
 
+  test("repetition gate drops exactly the stuffed doc at stage 3c") {
+    // Doc 7 repeats one bigram heavily (top-2-gram fraction over any
+    // reasonable cut); doc 6 is distinct filler. With the gate OFF both
+    // survive; with it ON only the stuffed doc drops — the stage is a
+    // real filter, not wiring.
+    val stuffed = ("buy now " * 12) + body("s")
+    val docs = Seq((6L, body("p")), (7L, stuffed)).toDF("doc_id", "text")
+    def ids(th: Option[graft.text.GopherRepetition.Thresholds]) =
+      CorpusPipeline(docs, sampleBp = 10000, benchMod = 1000000,
+        repetitionTh = th).select("doc_id").as[Long].collect().toSet
+    assert(ids(None) == Set(6L, 7L))
+    assert(ids(Some(graft.text.GopherRepetition.Thresholds())) == Set(6L))
+  }
+
   test("contaminated docs drop; benchmark members drop with them") {
     // benchMod = 7 puts doc 0 in the benchmark slice. Doc 9 (not a
     // member) shares > 5 distinct 3-grams with it, so it must drop; the
