@@ -72,10 +72,17 @@ object CorpusPipeline {
     // sort+folds over each doc's own shingles, no keyed exchange).
     val quality = repetitionTh.fold(ruleGated)(th =>
       ruleGated.filter(graft.text.GopherRepetition.passExpr(col("red"), th)))
+    // `keepers` feeds THREE consumers (the decontamination probe, its
+    // broadcast doc-id build, and the join-back), and column pruning
+    // makes the three subtrees non-identical, so exchange reuse never
+    // fires — without a checkpoint the whole scrub→span-dedup→gate
+    // chain runs three times (measured 3× at sf0.1). Same discipline
+    // as [[CorpusClean]]: one checkpoint per reused stage.
     val keepers = quality
       .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy(col("red"))))
       .filter(col("doc_id") === col("keeper"))
       .select(col("doc_id"), col("red"))
+      .localCheckpoint(true)
     val decontaminated = Curation.decontaminate(
         keepers, "doc_id", "red",
         scrubbed.filter(col("doc_id") % benchMod === 0), "red",
