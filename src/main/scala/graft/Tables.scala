@@ -14,16 +14,27 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as raw nanos (legacy conf) and convert to a
-    * microsecond timestamp with exact integer division — the fixtures carry
-    * no sub-microsecond component (verified), and DuckDB reads the same
-    * column as µs TIMESTAMP, so oracle comparisons line up. */
+  /** `events.ts` has shipped in two fixture generations: parquet
+    * TIMESTAMP(NANOS) (which Spark's vectorized reader only surfaces as raw
+    * nanos via the legacy conf) and TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    * (which Spark reads as TIMESTAMP_NTZ). The loader adapts to whichever
+    * schema arrives: a Long column is nanos and is converted with exact
+    * integer division; an NTZ/timestamp column is cast to the session-TZ
+    * timestamp (the session TZ is pinned to UTC, so the instant is
+    * unchanged). DuckDB reads both generations as µs TIMESTAMP, so oracle
+    * comparisons line up either way. */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other =>
+        throw new IllegalStateException(s"events.ts: unexpected type $other")
+    }
   }
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "lineitem")
