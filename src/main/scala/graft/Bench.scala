@@ -11,6 +11,28 @@ import org.apache.spark.sql.SparkSession
   * plausible-looking time.
   */
 object Bench {
+  /** Reclaim the query's localCheckpoint / persisted blocks
+    * DETERMINISTICALLY: a System.gc() nudge relied on the ContextCleaner's
+    * weak-ref queue racing the next query — under unlucky timing stale
+    * blocks piled up in storage memory and pushed the heavy dedup queries
+    * into eviction thrash (observed 3-28× slowdowns on otherwise identical
+    * runs). Queries are self-contained plans rebuilt from parquet each
+    * iteration, so dropping every persistent RDD between them is always
+    * safe — but unpersisting a locally-checkpointed RDD logs a
+    * "cannot be recomputed after unpersisting" WARN per block, which buried
+    * real errors in the bench tail. Those warnings describe exactly the
+    * rebuild-from-parquet behavior the bench depends on, so drop the log
+    * level around the cleanup and restore it after.
+    */
+  private def dropPersisted(spark: SparkSession): Unit = {
+    val sc = spark.sparkContext
+    sc.setLogLevel("ERROR")
+    try {
+      sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+    } finally sc.setLogLevel("WARN")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -61,16 +83,7 @@ object Bench {
             false
         }
       val sec = (System.nanoTime() - t0) / 1e9
-      // Reclaim the query's localCheckpoint / persisted blocks
-      // DETERMINISTICALLY: the previous System.gc() nudge relied on the
-      // ContextCleaner's weak-ref queue racing the next query — under
-      // unlucky timing stale blocks piled up in storage memory and pushed
-      // the heavy dedup queries into eviction thrash (observed 3-28×
-      // slowdowns on otherwise identical runs). Queries are self-contained
-      // plans rebuilt from parquet each iteration, so dropping every
-      // persistent RDD between them is always safe.
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-      spark.catalog.clearCache()
+      dropPersisted(spark)
       name -> (if (ok) sec else -sec)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -91,8 +104,7 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] retime $name FAILED: $e") }
       val sec = (System.nanoTime() - t0) / 1e9
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-      spark.catalog.clearCache()
+      dropPersisted(spark)
       sec
     }
     val slowNames = results.filter(_._2 > 0).sortBy(-_._2).take(10).map(_._1)

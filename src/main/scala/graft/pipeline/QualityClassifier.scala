@@ -2,7 +2,6 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.text.{LmScore, TextAnalysis}
 
@@ -35,15 +34,16 @@ import graft.text.{LmScore, TextAnalysis}
   * every score. Training is deterministic by construction (zero init +
   * deterministic data), which subsumes "seeded".
   *
-  * Scale shape (100 TB): the feature table (doc_id, bucket, count) is
-  * built once (one map-combined aggregate) and persisted; each of the
-  * `iters` rounds is [broadcast-join the numBuckets-row weight vector →
-  * per-doc agg → join labels → per-bucket agg], i.e. one doc-keyed
-  * exchange and one numBuckets-wide reduce per round — the classic
-  * distributed full-batch GD shape. Only the numBuckets gradient rows
-  * ever reach the driver (bounded, like the PQ codebooks). Inference is
-  * one broadcast join + per-doc agg. Result materializes eagerly and
-  * every pinned block is dropped on exit (PageRank's hygiene).
+  * Scale shape (100 TB): the feature table is built once (one
+  * map-combined aggregate), folded to one array row per doc, joined to
+  * the iteration-invariant labels once, and checkpointed; each of the
+  * `iters` rounds is then a SINGLE stage — a map pass computing the
+  * per-doc error with the numBuckets weights inlined as a literal array
+  * (zero joins, zero doc-keyed exchanges) followed by a map-combined
+  * per-bucket gradient reduce. Only the numBuckets gradient rows ever
+  * reach the driver (bounded, like the PQ codebooks). Inference is one
+  * array fold per doc. Result materializes eagerly and every pinned
+  * block is dropped on exit (PageRank's hygiene).
   */
 object QualityClassifier {
 
@@ -82,28 +82,40 @@ object QualityClassifier {
     least(greatest(lit(500000L) +
       floor(z.cast("double") / lit(4.0)).cast("long"), lit(0L)), lit(1000000L))
 
-  /** `iters` rounds of full-batch GD; returns the integer micro-logit
-    * weight vector. Each round runs distributed (per-doc z agg, labeled
-    * error, per-bucket gradient agg) and only the numBuckets gradient
-    * rows are collected. Update: w ← w ∓ (|g|·lrNum) div (lrDen·n) —
-    * non-negative operands, so Spark's truncating `div`, JVM `/`, and
-    * DuckDB `//` all agree. */
-  def trainWeights(feats: DataFrame, labels: DataFrame, numBuckets: Int,
-                   iters: Int, lrNum: Long, lrDen: Long): Array[Long] = {
-    val spark = feats.sparkSession
-    import spark.implicits._
-    val n = labels.count()
+  /** The per-doc dot product z = Σ w[j]·x over a `fs: array<struct<j,x>>`
+    * column, with the weight vector inlined as a numBuckets-literal
+    * array — one expression fold per doc, NO per-doc join and NO
+    * shuffle. Exact: integer accumulator, order-independent. (Measured
+    * alternative: shipping the weights as a broadcast one-row array
+    * column kept the plan shape constant across GD iterations but ran
+    * ~3× slower cold — the higher-order fold is interpreted either way,
+    * and the per-iteration broadcast cross-join cost more than the
+    * literal re-plan.) */
+  private def zExpr(w: Array[Long]): Column = {
+    val wLit = array(w.map(lit): _*)
+    aggregate(col("fs"), lit(0L), (acc, f) =>
+      acc + element_at(wLit, (f.getField("j") + 1).cast("int")) * f.getField("x"))
+  }
+
+  /** `iters` rounds of full-batch GD over the pre-joined training table
+    * `train(fs: array<struct<j,x>>, y)`; returns the integer micro-logit
+    * weight vector. Each round is ONE stage: a map pass computes the
+    * per-doc error e = σ(z) − y with the weights inlined as a literal
+    * array (no weight-table join, no per-doc shuffle — the round-6 shape
+    * paid both, twice per round), then explode + map-combined agg reduces
+    * to the numBuckets gradient rows, the only rows that reach the
+    * driver. Update: w ← w ∓ (|g|·lrNum) div (lrDen·n) — non-negative
+    * operands, so Spark's truncating `div`, JVM `/`, and DuckDB `//` all
+    * agree. */
+  private def trainWeights(train: DataFrame, n: Long, numBuckets: Int,
+                           iters: Int, lrNum: Long, lrDen: Long): Array[Long] = {
     require(n > 0, "no labeled documents to train on")
     var w = Array.fill(numBuckets)(0L)
     for (_ <- 1 to iters) {
-      val wDf = w.zipWithIndex
-        .map { case (wv, j) => (j.toLong, wv) }.toSeq.toDF("j", "w")
-      val z = feats.join(broadcast(wDf), Seq("j"))
-        .groupBy(col("doc_id")).agg(sum(col("w") * col("x")).as("z"))
-      val e = z.join(labels, Seq("doc_id"))
-        .select(col("doc_id"), (sigmaMicro(col("z")) - col("y")).as("e"))
-      val g = feats.join(e, Seq("doc_id"))
-        .groupBy(col("j")).agg(sum(col("e") * col("x")).as("g"))
+      val g = train
+        .select((sigmaMicro(zExpr(w)) - col("y")).as("e"),
+          explode(col("fs")).as("f"))
+        .groupBy(col("f.j").as("j")).agg(sum(col("e") * col("f.x")).as("g"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       w = w.zipWithIndex.map { case (wv, j) =>
         val gj = g.getOrElse(j.toLong, 0L)
@@ -121,16 +133,23 @@ object QualityClassifier {
   def classify(docs: DataFrame, idCol: String, textCol: String,
                numBuckets: Int = 256, iters: Int = 10,
                lrNum: Long = 1L, lrDen: Long = 16L): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val lvl = StorageLevel.MEMORY_AND_DISK
-    val feats = features(docs, idCol, textCol, numBuckets).persist(lvl)
-    val labels = weakLabels(docs, idCol, textCol).persist(lvl)
-    val w = trainWeights(feats, labels, numBuckets, iters, lrNum, lrDen)
-    val wDf = w.zipWithIndex.map { case (wv, j) => (j.toLong, wv) }
-      .toSeq.toDF("j", "w")
-    val z = feats.join(broadcast(wDf), Seq("j"))
-      .groupBy(col("doc_id")).agg(sum(col("w") * col("x")).as("z"))
+    // Pre-aggregate the feature table to one array row per doc and
+    // pre-join the (iteration-invariant) labels ONCE, then eagerly
+    // localCheckpoint both tables: every GD iteration reads materialized
+    // per-doc arrays — the round-6 loop re-ran a weight-table join plus a
+    // doc-keyed shuffle twice per iteration; this shape runs zero joins
+    // and only the numBuckets-wide gradient reduce per iteration.
+    val featsArr = features(docs, idCol, textCol, numBuckets)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("j"), col("x"))).as("fs"))
+      .localCheckpoint(true)
+    val labels = weakLabels(docs, idCol, textCol).localCheckpoint(true)
+    // Every labeled doc has features (a label needs a bigram ⇒ ≥ 2 tokens),
+    // so the inner join loses nothing.
+    val train = featsArr.join(labels, Seq("doc_id"))
+      .select(col("fs"), col("y")).localCheckpoint(true)
+    val w = trainWeights(train, labels.count(), numBuckets, iters, lrNum, lrDen)
+    val z = featsArr.select(col("doc_id"), zExpr(w).as("z"))
     val score = sigmaMicro(coalesce(col("z"), lit(0L)))
     val out = docs.select(col(idCol).cast("long").as("doc_id"))
       .join(z, Seq("doc_id"), "left")
@@ -138,7 +157,7 @@ object QualityClassifier {
         when(score >= 500000L, 1).otherwise(0).cast("int").as("keep"))
       .orderBy(col("doc_id"))
       .localCheckpoint(true)
-    feats.unpersist(false); labels.unpersist(false)
+    featsArr.unpersist(false); labels.unpersist(false); train.unpersist(false)
     out
   }
 
