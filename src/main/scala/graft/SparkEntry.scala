@@ -190,6 +190,12 @@ object SparkEntry {
     "substring_dedup_audit" -> ((s, dir) =>
       graft.dedup.SubstringDedup.audit(Tables.documents(s, dir),
         "doc_id", "text", width = 20, stride = 5)),
+    // Content-anchored variant: windows start where md5(lower(token)) ≡ 0
+    // mod 5 — copies align at ANY offset (fixed-stride needs offsets to
+    // agree mod stride), same expected 1/5 start density.
+    "substring_dedup_anchored" -> ((s, dir) =>
+      graft.dedup.SubstringDedup.cleaned(Tables.documents(s, dir),
+        "doc_id", "text", width = 20, stride = 5, anchored = true)),
     // ---- [EXT] similarity search ----
     "knn_bruteforce" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -778,22 +784,71 @@ object SparkEntry {
     * SplitWhitespace byte set — RE2's `\S` EXCLUDES \x0B, so the class is
     * pinned rather than inherited), overlapping starts with the tail
     * window, md5-keyed keep-first marking. */
-  private def substringCte: String =
-    """WITH t AS (
-      |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0B\f\r]+') AS toks
+  private def substringCte: String = substringCteFor(
+    "list_distinct(list_append(range(1, len(toks) - 18, 5), len(toks) - 19))")
+
+  /** Content-anchored start rule (SubstringDedup `anchored = true`):
+    * starts where the md5 first-8-hex bucket of the lowercased token is
+    * 0 mod 5 — DuckDB's `range` upper bound is exclusive, so
+    * `len - 18` covers inclusive starts 1 … len−19. */
+  private def substringAnchoredCte: String = substringCteFor(
+    """list_filter(range(1, len(toks) - 18),
+      |            s -> ('0x' || substring(md5(lower(toks[s])), 1, 8))::UBIGINT % 5 = 0)""".stripMargin)
+
+  private def substringCteFor(startsList: String): String =
+    s"""WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+') AS toks
       |  FROM documents),
       |w AS (
       |  SELECT doc_id, CAST(s AS BIGINT) AS start,
       |    lower(array_to_string(list_slice(toks, s, s + 19), ' ')) AS norm
       |  FROM (SELECT doc_id, toks,
-      |          UNNEST(list_distinct(list_append(
-      |            range(1, len(toks) - 18, 5), len(toks) - 19))) AS s
+      |          UNNEST($startsList) AS s
       |        FROM t WHERE len(toks) >= 20)),
       |m AS (
       |  SELECT doc_id, start, norm, md5(norm) AS h,
       |    ROW_NUMBER() OVER (PARTITION BY md5(norm) ORDER BY doc_id, start) AS rn,
       |    COUNT(*) OVER (PARTITION BY md5(norm)) AS n_occ
       |  FROM w)""".stripMargin
+
+  /** Full substring-dedup oracle (interval merge + token rebuild) over
+    * either start-rule CTE — one shared tail so the fixed-stride and
+    * anchored variants cannot drift. */
+  private def substringDedupSql(cte: String): String =
+    s"""$cte,
+       |r AS (SELECT doc_id, start, start + 19 AS fin
+       |      FROM m WHERE rn > 1 AND n_occ >= 2),
+       |i AS (
+       |  SELECT doc_id, start, fin,
+       |    MAX(fin) OVER (PARTITION BY doc_id ORDER BY start
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_fin
+       |  FROM r),
+       |g AS (
+       |  SELECT doc_id, start, fin,
+       |    SUM(CASE WHEN prev_fin IS NULL OR start > prev_fin + 1
+       |        THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY start) AS island
+       |  FROM i),
+       |mi AS (SELECT doc_id, MIN(start) AS rm_start, MAX(fin) AS rm_end
+       |       FROM g GROUP BY doc_id, island),
+       |tok AS (
+       |  SELECT doc_id, CAST(p AS BIGINT) AS pos, toks[p] AS tok
+       |  FROM (SELECT doc_id, toks, UNNEST(range(1, len(toks) + 1)) AS p
+       |        FROM t)),
+       |kept AS (
+       |  SELECT tok.* FROM tok
+       |  WHERE NOT EXISTS (SELECT 1 FROM mi
+       |    WHERE mi.doc_id = tok.doc_id
+       |      AND tok.pos BETWEEN mi.rm_start AND mi.rm_end)),
+       |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+       |        CAST(COUNT(*) AS BIGINT) AS n_kept FROM kept GROUP BY 1),
+       |tot AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t)
+       |SELECT d.doc_id AS doc_id, COALESCE(agg.text_clean, '') AS text_clean,
+       |  COALESCE(tot.n_tokens, 0) AS n_tokens,
+       |  COALESCE(tot.n_tokens, 0) - COALESCE(agg.n_kept, 0) AS n_removed
+       |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+       |     LEFT JOIN tot ON d.doc_id = tot.doc_id
+       |ORDER BY doc_id""".stripMargin
 
   /** VALUES CTE over [[UrlFixture]] for the canonicalization oracles. */
   private def urlValuesCte: String = {
@@ -886,41 +941,8 @@ object SparkEntry {
         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
         |       LEFT JOIN tot ON d.doc_id = tot.doc_id
         |ORDER BY doc_id""".stripMargin,
-    "substring_dedup" ->
-      s"""$substringCte,
-         |r AS (SELECT doc_id, start, start + 19 AS fin
-         |      FROM m WHERE rn > 1 AND n_occ >= 2),
-         |i AS (
-         |  SELECT doc_id, start, fin,
-         |    MAX(fin) OVER (PARTITION BY doc_id ORDER BY start
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_fin
-         |  FROM r),
-         |g AS (
-         |  SELECT doc_id, start, fin,
-         |    SUM(CASE WHEN prev_fin IS NULL OR start > prev_fin + 1
-         |        THEN 1 ELSE 0 END)
-         |      OVER (PARTITION BY doc_id ORDER BY start) AS island
-         |  FROM i),
-         |mi AS (SELECT doc_id, MIN(start) AS rm_start, MAX(fin) AS rm_end
-         |       FROM g GROUP BY doc_id, island),
-         |tok AS (
-         |  SELECT doc_id, CAST(p AS BIGINT) AS pos, toks[p] AS tok
-         |  FROM (SELECT doc_id, toks, UNNEST(range(1, len(toks) + 1)) AS p
-         |        FROM t)),
-         |kept AS (
-         |  SELECT tok.* FROM tok
-         |  WHERE NOT EXISTS (SELECT 1 FROM mi
-         |    WHERE mi.doc_id = tok.doc_id
-         |      AND tok.pos BETWEEN mi.rm_start AND mi.rm_end)),
-         |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
-         |        CAST(COUNT(*) AS BIGINT) AS n_kept FROM kept GROUP BY 1),
-         |tot AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t)
-         |SELECT d.doc_id AS doc_id, COALESCE(agg.text_clean, '') AS text_clean,
-         |  COALESCE(tot.n_tokens, 0) AS n_tokens,
-         |  COALESCE(tot.n_tokens, 0) - COALESCE(agg.n_kept, 0) AS n_removed
-         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
-         |     LEFT JOIN tot ON d.doc_id = tot.doc_id
-         |ORDER BY doc_id""".stripMargin,
+    "substring_dedup" -> substringDedupSql(substringCte),
+    "substring_dedup_anchored" -> substringDedupSql(substringAnchoredCte),
     "substring_dedup_audit" ->
       s"""$substringCte,
          |a AS (SELECT h, norm, CAST(COUNT(*) AS BIGINT) AS n_occurrences,

@@ -32,9 +32,12 @@ import org.apache.spark.sql.functions._
   * than `width` at either end of a duplicated passage can survive
   * (window alignment granularity); (c) two copies are detected only when
   * their token offsets agree modulo `stride` — `stride = 1` removes this
-  * caveat at width× unit fan-out, and the production middle ground is
+  * caveat at width× unit fan-out, and the production middle ground,
   * content-anchored starts (anchor where md5(token) ≡ 0 mod stride),
-  * which aligns copies at any offset with the same expected fan-out.
+  * is implemented here as `anchored = true` (`substring_dedup_anchored`
+  * query): copies align at any offset with the same expected fan-out,
+  * trading guaranteed coverage for alignment-freedom (see
+  * [[anchoredStartsExpr]]).
   *
   * Everything is relational — posexplode, two norm-keyed window
   * functions, a gaps-and-islands interval merge, one range anti-join —
@@ -76,21 +79,44 @@ object SubstringDedup {
       sequence(lit(1), n - width + 1, lit(stride)),
       array(n - width + 1)))
 
+  /** CONTENT-ANCHORED window starts — the documented production middle
+    * ground for approximation caveat (c): a window starts at every
+    * position p ≤ n−width+1 whose token hashes to bucket 0 mod `stride`
+    * (`md5` first-8-hex-digits bucket, the [[graft.pipeline.QualityClassifier.bucket]]
+    * primitive, lowercased to match the norm contract). Anchor-ness is a
+    * property of the TOKEN, not the offset, so two copies of a passage
+    * anchor at the same passage-relative positions regardless of where
+    * each copy sits in its document — shifted copies align at ANY offset,
+    * at the same expected 1∕stride start density as the fixed-stride
+    * form. The content-defined-chunking tradeoff (documented, spec
+    * pinned): anchor placement is probabilistic, so an unlucky
+    * anchor-free region is not covered by any window (the fixed-stride
+    * form covers every token; it just can't align shifted copies). */
+  private def anchoredStartsExpr(toks: Column, width: Int, stride: Int): Column =
+    filter(sequence(lit(1), size(toks) - width + 1), p =>
+      conv(substring(md5(lower(element_at(toks, p))), 1, 8), 16, 10)
+        .cast("long") % stride === 0)
+
   /** Window occurrences (doc_id, start, h[, norm]) — one row per
     * overlapping window; h = md5 of the normalized window text. `norm`
     * is carried only when `withText` (the audit path needs the passage;
-    * the dedup path ships ids + hash only). */
+    * the dedup path ships ids + hash only). `anchored` switches the
+    * start rule from fixed-stride to content-anchored
+    * ([[anchoredStartsExpr]]); everything downstream is identical. */
   def windows(docs: DataFrame, idCol: String, textCol: String,
-              width: Int, stride: Int, withText: Boolean = false): DataFrame = {
+              width: Int, stride: Int, withText: Boolean = false,
+              anchored: Boolean = false): DataFrame = {
     require(width > 0, "need width > 0")
     require(stride > 0 && stride <= width,
       "need 0 < stride <= width (stride > width leaves uncovered gaps)")
+    val starts =
+      if (anchored) anchoredStartsExpr(col("toks"), width, stride)
+      else startsExpr(size(col("toks")), width, stride)
     val base = graft.Par.widen(docs)
       .select(col(idCol).cast("long").as("doc_id"),
         graft.text.TextAnalysis.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= width)
-      .select(col("doc_id"), col("toks"),
-        explode(startsExpr(size(col("toks")), width, stride)).as("start"))
+      .select(col("doc_id"), col("toks"), explode(starts).as("start"))
       .withColumn("norm",
         lower(concat_ws(" ", slice(col("toks"), col("start"), lit(width)))))
       .select(col("doc_id"), col("start").cast("long").as("start"),
@@ -135,10 +161,12 @@ object SubstringDedup {
     * doc shorter than `width` (or with nothing removed) passes through
     * token-rejoined; a fully-removed doc comes back "". */
   def cleaned(docs: DataFrame, idCol: String, textCol: String,
-              width: Int, stride: Int, minOccurrences: Long = 2L): DataFrame = {
+              width: Int, stride: Int, minOccurrences: Long = 2L,
+              anchored: Boolean = false): DataFrame = {
     val toks = tokenTable(docs, idCol, textCol)
     val rm = removedIntervals(
-      windows(docs, idCol, textCol, width, stride), width, minOccurrences)
+      windows(docs, idCol, textCol, width, stride, anchored = anchored),
+      width, minOccurrences)
     val kept = toks.join(rm,
       toks("doc_id") === rm("doc_id") &&
         toks("pos") >= rm("rm_start") && toks("pos") <= rm("rm_end"),

@@ -121,6 +121,62 @@ class SubstringDedupSpec extends SparkSpec {
     assert(rows(R.toLowerCase) == (2L, 2L, 6L, 6L))
   }
 
+  // ---- content-anchored starts (`anchored = true`) ----
+
+  /** The operator's md5-bucket anchor rule, replicated in plain JVM code
+    * so the fixture can be CONSTRUCTED around it: a token anchors iff
+    * its lowercased md5 first-8-hex value is 0 mod stride. */
+  private def isAnchor(tok: String, stride: Int): Boolean = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(tok.toLowerCase.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(8), 16) % stride == 0
+  }
+
+  /** First token in `pool` with the requested anchor-ness — fixture
+    * construction stays valid whatever md5 says about any given word. */
+  private def pick(pool: Iterator[String], anchor: Boolean): String =
+    pool.find(isAnchor(_, 3) == anchor).get
+
+  test("anchored starts catch an offset-shifted duplicate fixed stride provably misses") {
+    // Passage S: an ANCHOR token + 7 non-anchor tokens (exactly width).
+    // Doc 10 carries S at offset 1, doc 11 at offset 2 — shift 1, and
+    // 1 % 3 != 0, so no fixed-stride window pair aligns. All filler is
+    // non-anchor and differs between the docs.
+    val a = pick(Iterator.from(0).map(i => s"anchor$i"), anchor = true)
+    def nonAnchors(prefix: String, n: Int) =
+      Iterator.from(0).map(i => s"$prefix$i").filter(!isAnchor(_, 3)).take(n).toSeq
+    val s8 = a +: nonAnchors("p", 7)
+    val c = nonAnchors("c", 6)
+    val d = nonAnchors("d", 7)
+    val shifted = Seq(
+      (10L, (s8 ++ c).mkString(" ")),
+      (11L, ((d.head +: s8) ++ d.tail).mkString(" "))
+    ).toDF("doc_id", "text")
+
+    val fixed = SubstringDedup.cleaned(shifted, "doc_id", "text", 8, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(fixed.values.forall(_ == 0L),
+      s"fixed stride should miss the shift-1 copy, removed: $fixed")
+
+    val anch = SubstringDedup.cleaned(shifted, "doc_id", "text", 8, 3,
+        anchored = true)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(anch(10L) == ((s8 ++ c).mkString(" "), 14L, 0L)) // keeper untouched
+    assert(anch(11L) == (d.mkString(" "), 15L, 8L))
+  }
+
+  test("anchored mode is idempotent too") {
+    val once = SubstringDedup.cleaned(docs, "doc_id", "text", 8, 3,
+      anchored = true).select("doc_id", "text_clean")
+    val twice = SubstringDedup.cleaned(once, "doc_id", "text_clean", 8, 3,
+        anchored = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(twice.values.forall(_ == 0L), s"second pass removed units: $twice")
+  }
+
   test("idempotence: re-running on cleaned output removes nothing") {
     val once = SubstringDedup.cleaned(docs, "doc_id", "text", 8, 3)
       .select("doc_id", "text_clean")
