@@ -153,6 +153,63 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
   }
 
+  /** Streaming SUB-DOCUMENT dedup (ST2 [EXT]) — incremental paragraph
+    * dedup as a stream: each micro-batch cleans its documents against the
+    * PERSISTED norm-hash paragraph index
+    * ([[graft.dedup.ParagraphDedup.dedupParagraphsIncremental]] — a batch
+    * paragraph is dropped iff its norm is already indexed, or a batch
+    * sibling with a smaller (doc_id, idx) carries it), appends the
+    * cleaned documents to the sink, and appends the batch's NOVEL norms
+    * to the index. The streaming engine holds NO state: the index beside
+    * the sink is the state (one 32-hex row per distinct paragraph ever
+    * seen — never the text), so it survives restarts and is compactable
+    * offline; at 100 TB it is a bucketed table on h and the per-batch
+    * probe is shuffle-free on the index side. Equals the batch rows of a
+    * full [[graft.dedup.ParagraphDedup.dedupParagraphs]] recompute over
+    * history ∪ batch under the append-only corpus contract
+    * (StreamingSpec pins streaming == batch).
+    *
+    * Ordering subtlety the eager checkpoints exist for: `cleanedBatch`
+    * and `novel` both READ the index path lazily — materialize both
+    * BEFORE appending to that same path, or the batch would observe its
+    * own paragraphs as history and remove everything. */
+  def paragraphDedupViaSinkIndex(docs: DataFrame, sinkPath: String,
+                                 indexPath: String, checkpoint: String,
+                                 idCol: String = "doc_id",
+                                 textCol: String = "text",
+                                 splitRe: String = "\\n{2,}"): DataStreamWriter[Row] = {
+    require(docs.isStreaming)
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.dedup.ParagraphDedup
+    val spark = docs.sparkSession
+    docs.writeStream
+      .foreachBatch { (batch0: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val batch = batch0.localCheckpoint(true)
+        if (batch.count() > 0) {
+          val index =
+            try spark.read.parquet(indexPath)
+            catch { case _: Exception => // first batch: no index yet
+              spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+                StructType(Seq(StructField("h", StringType),
+                  StructField("keeper_doc_id", LongType),
+                  StructField("keeper_idx", LongType))))
+            }
+          val cleanedBatch = ParagraphDedup.dedupParagraphsIncremental(
+            batch, idCol, textCol, index, splitRe).localCheckpoint(true)
+          val novel = ParagraphDedup.paragraphIndex(
+              ParagraphDedup.paragraphUnits(batch, idCol, textCol, splitRe))
+            .join(index.select(col("h")), Seq("h"), "left_anti")
+            .localCheckpoint(true)
+          cleanedBatch.write.mode("append").parquet(sinkPath)
+          novel.write.mode("append").parquet(indexPath)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+  }
+
   def dedupViaSinkIndex(candidates: DataFrame, sinkPath: String,
                         checkpoint: String): DataStreamWriter[Row] = {
     require(candidates.isStreaming)

@@ -178,6 +178,47 @@ class StreamingSpec extends SparkSpec {
     assert(idxIds == Seq(1L, 3L, 5L), s"index=$idxIds")
   }
 
+  test("streaming paragraph dedup: cross-batch duplicate paragraphs drop via the norm index") {
+    val root = java.nio.file.Files.createTempDirectory("graft_paradedup").toString
+    val (inDir, sink, idx, ckpt) = (s"$root/in", s"$root/sink", s"$root/idx", s"$root/ckpt")
+    def drop(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+    def runOnce(): Unit = {
+      val docs = spark.readStream.schema("doc_id LONG, text STRING").parquet(inDir)
+      val q = StreamingIngest.paragraphDedupViaSinkIndex(docs, sink, idx, ckpt).start()
+      q.awaitTermination()
+    }
+    val boiler = "subscribe to our newsletter for updates"
+    val b1 = Seq(
+      (1L, s"alpha beta gamma\n\n$boiler"),
+      (2L, "unique first paragraph\n\nanother unique one"))
+    val b2 = Seq(
+      (3L, s"fresh content here\n\n$boiler"),     // cross-batch dup paragraph
+      (4L, boiler))                               // pure boilerplate doc
+    drop(b1); runOnce()
+    drop(b2); runOnce()
+    val out = spark.read.parquet(sink)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(1L) == (s"alpha beta gamma\n\n$boiler", 2L, 0L)) // keeper batch untouched
+    assert(out(3L) == ("fresh content here", 1L, 1L))
+    assert(out(4L) == ("", 0L, 1L))
+    // streaming == batch: the two micro-batches must equal one full
+    // recompute over the whole corpus (append-only contract).
+    val full = graft.dedup.ParagraphDedup
+      .dedupParagraphs((b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out == full, s"streaming $out != batch $full")
+    // the index carries one norm-hash row per distinct paragraph, no text:
+    // 4 from batch 1 + "fresh content here" from batch 2 (boiler not re-added)
+    val idxRows = spark.read.parquet(idx)
+    assert(idxRows.count() == 5L)
+    assert(idxRows.columns.toSeq == Seq("h", "keeper_doc_id", "keeper_idx"))
+  }
+
   test("watermark would CHANGE semantics: late rows drop in append mode (ST3)") {
     // Parity keeps windows unwatermarked (complete/update mode) because the
     // reference accepts arbitrarily late publish dates. This pins the
