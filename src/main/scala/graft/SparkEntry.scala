@@ -450,6 +450,18 @@ object SparkEntry {
       graft.pipeline.CorpusPipeline(Tables.documents(s, dir),
         gopherTh = Some(FunnelThresholds),
         repetitionTh = Some(RepetitionThresholds))),
+    // FineWeb-style end-to-end preset over the line-structured fixture
+    // (the synthetic documents are single-line, so the C4 stage needs
+    // real pages): C4 line-clean -> Gopher rules -> Gopher repetition ->
+    // ANCHORED substring dedup -> exact dedup -> decontaminate ->
+    // DSIR per-token-average floor -> seeded shuffle -> pack. One DuckDB
+    // WITH-chain replays all nine stages.
+    "corpus_pipeline_fineweb" -> ((s, dir) => {
+      import s.implicits._
+      graft.pipeline.FineWebPipeline(
+        FineWebFixture.docs.toDF("doc_id", "text"),
+        gopherTh = FineWebRuleThresholds)
+    }),
     // Benchmark decontamination: flag docs sharing >= 5 distinct 3-grams
     // with the "benchmark" slice (doc_id % 97 == 0 stands in for an eval
     // suite); broadcast bench shingles, one groupBy on doc_id.
@@ -1552,6 +1564,9 @@ object SparkEntry {
         |  AND e.ts >= sess.session_start AND e.ts < sess.session_end
         |ORDER BY event_id""".stripMargin,
     "corpus_pipeline" -> corpusPipelineSql(None),
+    "corpus_pipeline_fineweb" ->
+      graft.pipeline.FineWebPipeline.sqlPipeline(
+        valuesRel(FineWebFixture.docs), gopherTh = FineWebRuleThresholds),
     "corpus_pipeline_gated" -> corpusPipelineSql(
       Some(graft.text.GopherRules.sqlPassExpr("red", FunnelThresholds))),
     "corpus_pipeline_full" -> corpusPipelineSql(
@@ -1871,6 +1886,12 @@ object SparkEntry {
     graft.text.GopherRepetition.Thresholds(maxTop2Frac = 0.12,
       maxDup5Frac = 0.10)
 
+  /** Gopher rule cuts for the FineWeb fixture pages (short multi-line
+    * prose): the word floor drops to 20 so a 3-line page can pass while
+    * doc 6's 15-word page still fails, and one stop hit suffices. */
+  private val FineWebRuleThresholds =
+    graft.text.GopherRules.Thresholds(minWords = 20L, minStopHits = 1L)
+
   /** Render an inline fixture as a DuckDB VALUES relation aliased
     * t(doc_id, text). Newlines become `chr(10)` concats so the emitted
     * SQL stays single-escaped through the JSON dump. */
@@ -1985,6 +2006,74 @@ object C4Fixture {
     (5L, "Exactly three good sentences make this page survive.\n" +
          "Here then is the second of the three sentences.\n" +
          "And here at last is the third full sentence."))
+}
+
+/** Line-structured corpus for the FineWeb end-to-end preset — every stage
+  * gets a designated victim (validated in FineWebPipelineSpec):
+  * C4 page kills (3 braces, 4 lorem-ipsum, 5 thin), a C4 line kill inside
+  * a survivor (2), a Gopher-rules kill (6, under the word floor), a
+  * repetition kill (7, duplicated lines), an offset-shifted shared
+  * passage for the ANCHORED substring dedup (8 keeper / 9 loser — the
+  * shared 25-token passage sits at different token offsets), an
+  * exact-dup pair whose leading tokens are all non-anchors so it reaches
+  * the exact stage intact (11 keeper / 13 loser), a contaminated doc
+  * sharing two sentences with the benchmark slice (12), the benchmark
+  * doc itself (20, `% 10`), and DSIR targets (9, 21, `% 3` among
+  * survivors) vs the common-vocabulary docs the per-token weight floor
+  * drops. */
+object FineWebFixture {
+  private val passage =
+    "the ancient library held countless scrolls from forgotten ages of distant history.\n" +
+    "scholars traveled great distances to study the rare manuscripts kept safely stored within."
+  val docs: Seq[(Long, String)] = Seq(
+    (1L, "morning light spread slowly across the quiet valley floor.\n" +
+         "farmers walked out early to tend their growing fields.\n" +
+         "children played beside the river while elders watched calmly.\n" +
+         "evening brought a gentle rain that cooled the warm earth."),
+    (2L, "click here\n" +
+         "please visit our javascript page for more details now.\n" +
+         "travelers crossed the old wooden bridge before sunrise today.\n" +
+         "merchants sold spices and cloth in the crowded market square.\n" +
+         "lanterns glowed softly along the narrow cobbled streets tonight."),
+    (3L, "this page contains code like {var x = 1} inside.\n" +
+         "the parser should reject every page that has braces.\n" +
+         "three more words complete this line properly today friend."),
+    (4L, "Lorem ipsum dolor sit amet consectetur adipiscing elit sed.\n" +
+         "the filler text above marks this page as boilerplate.\n" +
+         "nothing here should ever survive the cleaning stage today."),
+    (5L, "only two proper lines exist within this short page.\n" +
+         "that is one line fewer than the cleaner requires."),
+    (6L, "five short words end here.\n" +
+         "the line also stays tiny.\n" +
+         "of course this stops now."),
+    (7L, "the same sentence repeats again and again without change.\n" +
+         "the same sentence repeats again and again without change.\n" +
+         "the same sentence repeats again and again without change.\n" +
+         "the same sentence repeats again and again without change.\n" +
+         "one different closing line ends this strange page quietly."),
+    (8L, "archivists opened the heavy eastern door.\n" + passage + "\n" +
+         "visitors often remained inside reading until the lamps burned low."),
+    (9L, "seven caretakers guarded the heavy eastern door.\n" + passage + "\n" +
+         "copied chronicles filled the lower shelves beyond the great staircase.\n" +
+         "apprentices carried fresh candles upstairs every single winter evening."),
+    (11L, "matching mirrored replica volumes repeat every word precisely today.\n" +
+          "the deduplicator must keep only the earliest copy.\n" +
+          "later copies should quietly disappear now."),
+    (12L, "the benchmark suite contains famous questions about rivers.\n" +
+          "which long river crosses the largest desert on earth.\n" +
+          "students answered the difficult geography quiz with ease."),
+    (13L, "matching mirrored replica volumes repeat every word precisely today.\n" +
+          "the deduplicator must keep only the earliest copy.\n" +
+          "later copies should quietly disappear now."),
+    (14L, "zephyr quartz vortex jumbled kaleidoscope fragments drifted with haze.\n" +
+          "prism nebula quasar flux shimmered behind murky violet fog.\n" +
+          "glyph runes etched obsidian tablets humming with arcane static."),
+    (21L, "quiet market mornings brought farmers and merchants to the river.\n" +
+          "the old library beside the bridge stored countless village records.\n" +
+          "children watched lanterns glow along the valley streets each evening."),
+    (20L, "the benchmark suite contains famous questions about rivers.\n" +
+          "which long river crosses the largest desert on earth.\n" +
+          "examiners graded every answer sheet before the deadline passed."))
 }
 
 /** Gnarly-URL fixture for the canonicalization queries: case games,

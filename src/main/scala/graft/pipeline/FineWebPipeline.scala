@@ -1,0 +1,219 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.{GopherRepetition, GopherRules, TextAnalysis}
+
+/** [EXT] The FineWeb-style end-to-end corpus preset
+  * (`corpus_pipeline_fineweb` query) — the published web-corpus recipe
+  * (Penedo et al. 2024's FineWeb ordering, which itself composes C4 and
+  * Gopher) chained from operators this library already ships:
+  *
+  *  1. C4 line/page cleaning ([[C4Filters.clean]] — drops chrome lines,
+  *     kills lorem-ipsum/brace/thin pages);
+  *  2. Gopher RULE gate ([[GopherRules.passExpr]], caller-tuned);
+  *  3. Gopher REPETITION gate ([[GopherRepetition.passExpr]]);
+  *  4. content-ANCHORED substring dedup
+  *     ([[graft.dedup.SubstringDedup.cleaned]] `anchored = true` — copies
+  *     align at any offset) + a post-dedup token floor;
+  *  5. exact dedup (min-id keeper per identical cleaned text);
+  *  6. benchmark decontamination ([[Curation.decontaminate]] against the
+  *     C4-cleaned `doc_id % benchMod` slice — the eval set is external,
+  *     it does not get deduped first);
+  *  7. DSIR-weighted selection ([[Dsir.weights]] toward the
+  *     `doc_id % targetMod` in-domain slice; keep docs whose PER-TOKEN
+  *     average weight clears `minAvgWeightMicro` — the sum is
+  *     length-dominated, the average is the resemblance signal. The
+  *     floor(sum∕n) is one correctly-rounded IEEE divide + floor, so
+  *     both engines compute the identical integer);
+  *  8. deterministic seeded shuffle ([[Curation.shuffleCorpus]] —
+  *     hierarchical rank, no single-partition sort);
+  *  9. GPT-style sequence packing in SHUFFLE order ([[Curation.packChunks]]
+  *     arithmetic over `shuffle_pos`).
+  *
+  * Output: (doc_id, shuffle_pos, n_tokens, chunk_id, n_chunks) ordered by
+  * shuffle_pos. Every stage is ANSI-expressible, so ONE DuckDB WITH-chain
+  * ([[sqlPipeline]]) replays the whole line — the drift guard: a change to
+  * any stage's semantics breaks the end-to-end hash.
+  *
+  * Scale shape: stages 1-3 are scan-stage per-row expressions; 4 is the
+  * payload-free md5-keyed marking exchange + doc-keyed rebuild; 5 is one
+  * hash shuffle on the text; 6 is a broadcast semi-join + doc-keyed agg;
+  * 7 is a broadcast weight-table join + doc-keyed agg; 8 is the
+  * hierarchical shard rank; 9's window is the documented prefix-sum
+  * ([[Curation.packChunksScalable]] is the 100 TB drop-in). Nothing
+  * quadratic, nothing driver-bound beyond the 256-row DSIR weight table.
+  */
+object FineWebPipeline {
+
+  def apply(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+            minWordsPerLine: Int = 5, minLines: Int = 3,
+            gopherTh: GopherRules.Thresholds = GopherRules.Thresholds(),
+            repetitionTh: GopherRepetition.Thresholds = GopherRepetition.Thresholds(),
+            width: Int = 20, stride: Int = 5, minTokens: Int = 20,
+            benchMod: Int = 10, shingleN: Int = 3, overlapThreshold: Long = 5L,
+            targetMod: Int = 3, dsirBuckets: Int = 256,
+            minAvgWeightMicro: Long = -400000L,
+            seed: String = "fineweb", nShards: Int = 16,
+            budget: Long = 64L): DataFrame = {
+    // 1. C4 line/page cleaning — the cleaned text becomes THE text.
+    val c4 = C4Filters.clean(docs, idCol, textCol, minWordsPerLine, minLines)
+      .select(col(idCol).cast("long").as("doc_id"), col("clean_text").as("text"))
+    // 2+3. Gopher rule + repetition gates: pure per-row filters.
+    val gated = c4
+      .filter(GopherRules.passExpr(col("text"), gopherTh))
+      .filter(GopherRepetition.passExpr(col("text"), repetitionTh))
+    // 4. anchored substring dedup + token floor. The rebuild joins tokens
+    // with single spaces, so downstream stages see space-joined text on
+    // both engines.
+    val sub = graft.dedup.SubstringDedup
+      .cleaned(gated, "doc_id", "text", width, stride, anchored = true)
+      .select(col("doc_id"), col("text_clean").as("text"))
+      .filter(size(TextAnalysis.tokens(col("text"))) >= minTokens)
+    // 5. exact dedup — feeds the decontamination probe AND the join-back,
+    // so checkpoint once (the CorpusPipeline discipline).
+    val keepers = sub
+      .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy(col("text"))))
+      .filter(col("doc_id") === col("keeper"))
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint(true)
+    // 6. decontaminate against the C4-cleaned benchmark slice (bench docs
+    // self-match and drop too — the eval set never enters the corpus).
+    val bench = c4.filter(col("doc_id") % benchMod === 0)
+    val clean = Curation.decontaminate(keepers, "doc_id", "text",
+        bench, "text", shingleN, overlapThreshold)
+      .filter(col("contaminated") === 0)
+      .select(col("doc_id"))
+      .join(keepers, Seq("doc_id"))
+      .withColumn("n_tokens", size(TextAnalysis.tokens(col("text"))).cast("long"))
+      .localCheckpoint(true) // feeds the DSIR weight build + the join-back
+    // 7. DSIR per-token-average floor.
+    val wts = Dsir.weights(clean, col("doc_id") % targetMod === 0,
+      "doc_id", "text", dsirBuckets)
+    val sampled = clean.join(wts, Seq("doc_id"))
+      .filter(floor(col("dsir_weight").cast("double") / col("n_tokens").cast("double"))
+        .cast("long") >= minAvgWeightMicro)
+      .select(col("doc_id"), col("text"), col("n_tokens"))
+    // 8+9. seeded shuffle, then pack in shuffle order.
+    val shuffled = Curation.shuffleCorpus(sampled, "text", seed, nShards)
+    val w = Window.orderBy(col("shuffle_pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    shuffled.select(col("doc_id"), col("shuffle_pos"), col("n_tokens"))
+      .withColumn("offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("shuffle_pos"), col("n_tokens"),
+        floor(col("offset") / budget).as("chunk_id"),
+        when(col("n_tokens") === 0, lit(0L)).otherwise(
+          floor((col("offset") + col("n_tokens") - 1) / budget) -
+            floor(col("offset") / budget) + 1).as("n_chunks"))
+      .orderBy(col("shuffle_pos"))
+  }
+
+  /** The whole line as ONE DuckDB WITH-chain over a relation exposing
+    * (doc_id, text) — parameter defaults match [[apply]]. */
+  def sqlPipeline(from: String,
+                  minWordsPerLine: Int = 5, minLines: Int = 3,
+                  gopherTh: GopherRules.Thresholds = GopherRules.Thresholds(),
+                  repetitionTh: GopherRepetition.Thresholds = GopherRepetition.Thresholds(),
+                  width: Int = 20, stride: Int = 5, minTokens: Int = 20,
+                  benchMod: Int = 10, shingleN: Int = 3, overlapThreshold: Long = 5L,
+                  targetMod: Int = 3, dsirBuckets: Int = 256,
+                  minAvgWeightMicro: Long = -400000L,
+                  seed: String = "fineweb", budget: Long = 64L): String = {
+    require(shingleN == 3, "oracle shingle CTEs are written for n = 3")
+    val tok = "[^ \\t\\n\\x0B\\f\\r]+"
+    val wm1 = width - 1          // slice end offset
+    val wm2 = width - 2          // range upper bound for starts (exclusive)
+    val rulesPass = GopherRules.sqlPassExpr("text", gopherTh)
+    val repSig = GopherRepetition.sqlSignals("g0", repetitionTh)
+    s"""WITH d AS (SELECT * FROM $from),
+       |c4k AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split(text, chr(10)), l ->
+       |      regexp_matches(trim(l), '[.!?"]$$')
+       |      AND len(regexp_extract_all(l, '$tok')) >= $minWordsPerLine
+       |      AND NOT contains(lower(l), 'javascript')) AS kept
+       |  FROM d),
+       |c4 AS (
+       |  SELECT doc_id, array_to_string(kept, chr(10)) AS ctext FROM c4k
+       |  WHERE NOT contains(lower(text), 'lorem ipsum')
+       |    AND NOT contains(text, '{') AND len(kept) >= $minLines),
+       |g0 AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, ctext AS text FROM c4),
+       |g AS (SELECT doc_id, text FROM g0
+       |      WHERE $rulesPass
+       |        AND doc_id IN (SELECT doc_id FROM ($repSig) rs WHERE rs.pass)),
+       |t AS (SELECT doc_id, regexp_extract_all(text, '$tok') AS toks FROM g),
+       |w AS (
+       |  SELECT doc_id, CAST(s AS BIGINT) AS start,
+       |    lower(array_to_string(list_slice(toks, s, s + $wm1), ' ')) AS norm
+       |  FROM (SELECT doc_id, toks,
+       |          UNNEST(list_filter(range(1, len(toks) - $wm2),
+       |            s -> ('0x' || substring(md5(lower(toks[s])), 1, 8))::UBIGINT % $stride = 0)) AS s
+       |        FROM t WHERE len(toks) >= $width)),
+       |m AS (SELECT doc_id, start,
+       |        ROW_NUMBER() OVER (PARTITION BY md5(norm) ORDER BY doc_id, start) AS rn,
+       |        COUNT(*) OVER (PARTITION BY md5(norm)) AS n_occ
+       |      FROM w),
+       |r AS (SELECT doc_id, start, start + $wm1 AS fin FROM m WHERE rn > 1 AND n_occ >= 2),
+       |i AS (SELECT doc_id, start, fin,
+       |        MAX(fin) OVER (PARTITION BY doc_id ORDER BY start
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_fin FROM r),
+       |gg AS (SELECT doc_id, start, fin,
+       |        SUM(CASE WHEN prev_fin IS NULL OR start > prev_fin + 1 THEN 1 ELSE 0 END)
+       |          OVER (PARTITION BY doc_id ORDER BY start) AS island FROM i),
+       |mi AS (SELECT doc_id, MIN(start) AS rm_start, MAX(fin) AS rm_end
+       |       FROM gg GROUP BY doc_id, island),
+       |tk AS (SELECT doc_id, CAST(p AS BIGINT) AS pos, toks[p] AS tok
+       |       FROM (SELECT doc_id, toks, UNNEST(range(1, len(toks) + 1)) AS p FROM t)),
+       |kp AS (SELECT tk.* FROM tk WHERE NOT EXISTS (SELECT 1 FROM mi
+       |        WHERE mi.doc_id = tk.doc_id AND tk.pos BETWEEN mi.rm_start AND mi.rm_end)),
+       |sdagg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text FROM kp GROUP BY 1),
+       |sd AS (SELECT t.doc_id, COALESCE(sdagg.text, '') AS text
+       |       FROM t LEFT JOIN sdagg USING (doc_id)),
+       |fl AS (SELECT doc_id, text, regexp_extract_all(lower(text), '$tok') AS ltoks
+       |       FROM sd WHERE len(regexp_extract_all(lower(text), '$tok')) >= $minTokens),
+       |keep AS (SELECT doc_id, text, ltoks FROM (
+       |          SELECT doc_id, text, ltoks, MIN(doc_id) OVER (PARTITION BY text) AS keeper
+       |          FROM fl)
+       |         WHERE doc_id = keeper),
+       |benchsh AS (SELECT DISTINCT UNNEST(list_distinct(list_transform(range(1, len(btoks) - 1),
+       |              i -> btoks[i] || ' ' || btoks[i+1] || ' ' || btoks[i+2]))) AS sh
+       |            FROM (SELECT regexp_extract_all(lower(text), '$tok') AS btoks
+       |                  FROM g0 WHERE doc_id % $benchMod = 0)),
+       |docsh AS (SELECT doc_id, UNNEST(list_distinct(list_transform(range(1, len(ltoks) - 1),
+       |            i -> ltoks[i] || ' ' || ltoks[i+1] || ' ' || ltoks[i+2]))) AS sh FROM keep),
+       |ovl AS (SELECT d2.doc_id, COUNT(*) AS n FROM docsh d2 JOIN benchsh USING (sh) GROUP BY 1),
+       |clean AS (SELECT k.doc_id, k.text, k.ltoks FROM keep k LEFT JOIN ovl o USING (doc_id)
+       |          WHERE COALESCE(o.n, 0) < $overlapThreshold),
+       |dtok AS (SELECT doc_id, (doc_id % $targetMod = 0) AS is_t,
+       |           ('0x' || substring(md5(tok), 1, 8))::UBIGINT % $dsirBuckets AS f
+       |         FROM (SELECT doc_id, UNNEST(ltoks) AS tok FROM clean)),
+       |dcnt AS (SELECT f, SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct, COUNT(*) AS cr
+       |         FROM dtok GROUP BY f),
+       |dtot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM dcnt),
+       |dwt AS (SELECT f, CAST(FLOOR(ln(((ct + 1) * (nr + $dsirBuckets))::DOUBLE /
+       |            ((cr + 1) * (nt + $dsirBuckets))::DOUBLE) * 1000000.0) AS BIGINT) AS w
+       |        FROM dcnt CROSS JOIN dtot),
+       |dw AS (SELECT c.doc_id, COALESCE(s.s, 0) AS wgt FROM clean c LEFT JOIN (
+       |         SELECT dtok.doc_id, CAST(SUM(dwt.w) AS BIGINT) AS s
+       |         FROM dtok JOIN dwt USING (f) GROUP BY dtok.doc_id) s USING (doc_id)),
+       |samp AS (SELECT c.doc_id, c.text, CAST(len(c.ltoks) AS BIGINT) AS n_tokens
+       |         FROM clean c JOIN dw USING (doc_id)
+       |         WHERE CAST(FLOOR(dw.wgt::DOUBLE / len(c.ltoks)::DOUBLE) AS BIGINT)
+       |               >= $minAvgWeightMicro),
+       |shf AS (SELECT doc_id, n_tokens,
+       |          CAST(ROW_NUMBER() OVER (ORDER BY md5('$seed:' || text), doc_id) AS BIGINT)
+       |            AS shuffle_pos
+       |        FROM samp),
+       |o2 AS (SELECT doc_id, shuffle_pos, n_tokens,
+       |         SUM(n_tokens) OVER (ORDER BY shuffle_pos ROWS UNBOUNDED PRECEDING) - n_tokens AS off
+       |       FROM shf)
+       |SELECT doc_id, shuffle_pos, n_tokens,
+       |  CAST(FLOOR(off / $budget.0) AS BIGINT) AS chunk_id,
+       |  CASE WHEN n_tokens = 0 THEN 0
+       |       ELSE CAST(FLOOR((off + n_tokens - 1) / $budget.0) AS BIGINT)
+       |            - CAST(FLOOR(off / $budget.0) AS BIGINT) + 1 END AS n_chunks
+       |FROM o2 ORDER BY shuffle_pos""".stripMargin
+  }
+}

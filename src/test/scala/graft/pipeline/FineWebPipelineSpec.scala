@@ -1,0 +1,77 @@
+package graft.pipeline
+
+import graft.{FineWebFixture, SparkSpec}
+import graft.text.GopherRules
+import org.apache.spark.sql.functions._
+
+/** Pins the FineWeb preset's per-stage attrition on the engineered
+  * fixture — every stage must claim exactly its designated victims
+  * (see [[graft.FineWebFixture]]); the end-to-end values are
+  * hash-checked against the DuckDB WITH-chain by the driver gate. */
+class FineWebPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val th = GopherRules.Thresholds(minWords = 20L, minStopHits = 1L)
+  private def fixture = FineWebFixture.docs.toDF("doc_id", "text")
+
+  private def run(minAvgWeightMicro: Long = -400000L) =
+    FineWebPipeline(fixture, gopherTh = th,
+        minAvgWeightMicro = minAvgWeightMicro)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+
+  test("C4 stage kills the brace, lorem-ipsum, and thin pages") {
+    val ids = C4Filters.clean(fixture).select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(3L) && !ids.contains(4L) && !ids.contains(5L))
+    assert(Set(1L, 2L, 6L, 7L, 8L, 9L, 11L, 12L, 13L, 14L, 20L, 21L).subsetOf(ids))
+  }
+
+  test("gates: rules drop the short page, repetition drops the repeated-line page") {
+    val c4 = C4Filters.clean(fixture)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val afterRules = c4.filter(GopherRules.passExpr(col("text"), th))
+      .select("doc_id").as[Long].collect().toSet
+    assert(!afterRules.contains(6L), "doc 6 is under the 20-word floor")
+    assert(afterRules.contains(7L), "doc 7 passes rules; repetition must catch it")
+    val afterRep = c4.filter(GopherRules.passExpr(col("text"), th))
+      .filter(graft.text.GopherRepetition.passExpr(col("text")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(!afterRep.contains(7L), "doc 7's 4x duplicated line must fail the gate")
+  }
+
+  test("end-to-end survivors and the per-stage victims in between") {
+    // With the DSIR floor disabled, everything that reaches stage 7
+    // survives: 13 fell to exact dedup (intact twin of 11 — its leading
+    // tokens are non-anchors, so substring dedup could not touch it
+    // first), 12 and 20 fell to decontamination, 2/8/11 are still here.
+    val noFloor = run(minAvgWeightMicro = Long.MinValue)
+    assert(noFloor.keySet == Set(1L, 2L, 8L, 9L, 11L, 14L, 21L),
+      s"pre-DSIR survivors wrong: ${noFloor.keySet}")
+    // The real floor then keeps the two targets (9, 21) and the docs
+    // whose per-token weight clears it, dropping the common-vocabulary
+    // pages 2, 8, 11.
+    val out = run()
+    assert(out.keySet == Set(1L, 9L, 14L, 21L), s"survivors wrong: ${out.keySet}")
+    // Substring dedup hit doc 9 (shared passage at a SHIFTED offset —
+    // only the anchored start rule aligns it with doc 8's copy): its
+    // surviving token count is far below its gated size, while keeper
+    // doc 8 stayed intact at 41 tokens pre-DSIR.
+    assert(out(9L)._2 == 24L, s"doc 9 should keep 24 tokens, got ${out(9L)._2}")
+    assert(noFloor(8L)._2 == 41L, s"doc 8 (keeper) must stay intact")
+    // Packing: 118 tokens over budget 64 span chunks 0 and 1, shuffle
+    // positions are the contiguous ranks 1..4.
+    assert(out.values.map(_._1).toSeq.sorted == Seq(1L, 2L, 3L, 4L))
+    assert(out.values.map(_._2).sum == 118L)
+    assert(out.values.map(_._3).max == 1L)
+  }
+
+  test("seed changes the order, not the membership") {
+    val a = FineWebPipeline(fixture, gopherTh = th)
+      .select("doc_id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    val b = FineWebPipeline(fixture, gopherTh = th, seed = "other-seed")
+      .select("doc_id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    assert(a.keySet == b.keySet)
+    assert(a != b, "a new seed must produce a different permutation")
+  }
+}
