@@ -195,6 +195,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("hashpartitioning"), plan)
   }
 
+  test("substring-dedup marking exchange ships ids and hashes, never window text") {
+    // The dedup path (withText = false) projects norm away into md5(norm)
+    // BEFORE the h-keyed window exchange, so the stride-factor window
+    // fan-out never multiplies text bytes through a shuffle. Holds for
+    // both start rules.
+    for (anchored <- Seq(false, true)) {
+      val wins = graft.dedup.SubstringDedup.windows(
+        Tables.documents(spark, dir), "doc_id", "text", 20, 5,
+        anchored = anchored)
+      val plan = planOf(graft.dedup.SubstringDedup.removedIntervals(wins, 20))
+      assert(plan.contains("hashpartitioning(h"),
+        s"anchored=$anchored: expected the h-keyed marking exchange:\n$plan")
+      assert(!plan.contains("norm"),
+        s"anchored=$anchored: window text survived into the physical plan")
+    }
+  }
+
   test("DSIR weight table broadcasts; the token stream never shuffles raw") {
     val df = SparkEntry.queries("dsir_weights")(spark, dir)
     df.collect()
