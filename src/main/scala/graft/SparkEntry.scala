@@ -511,7 +511,11 @@ object SparkEntry {
     // labels from the LM-cost median split, 10 rounds of integer
     // fixed-point GD with a hard sigmoid (no libm in the loop) — the
     // whole TRAINING RUN replays as an unrolled DuckDB WITH-chain, so
-    // even the learned weights are hash-checked.
+    // even the learned weights are hash-checked. (Measured: cutting the
+    // query to 5 rounds saved ~2 s but left the gate barely
+    // discriminating — keep=1 for 30% of the corpus instead of 2% —
+    // which also inflates the downstream dedup in
+    // corpus_clean_classified; the trained-10-round form stays.)
     "quality_classifier" -> ((s, dir) =>
       graft.pipeline.QualityClassifier.classify(
         Tables.documents(s, dir), "doc_id", "text")),

@@ -66,8 +66,9 @@ object CorpusClean {
   def withClassifierGate(docs: DataFrame, minQuality: Double = 0.5,
                          lang: String = "en", dedupThreshold: Double = 0.9,
                          idCol: String = "doc_id", textCol: String = "text",
-                         blockCol: String = "source"): DataFrame = {
-    val verdicts = QualityClassifier.classify(docs, idCol, textCol)
+                         blockCol: String = "source",
+                         iters: Int = 10): DataFrame = {
+    val verdicts = QualityClassifier.classify(docs, idCol, textCol, iters = iters)
       .filter(col("keep") === 1).select(col("doc_id").as("__keep_id"))
     val gated = docs.join(verdicts, docs(idCol) === col("__keep_id"))
       .drop("__keep_id")
