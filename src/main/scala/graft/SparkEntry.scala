@@ -196,6 +196,20 @@ object SparkEntry {
     "substring_dedup_anchored" -> ((s, dir) =>
       graft.dedup.SubstringDedup.cleaned(Tables.documents(s, dir),
         "doc_id", "text", width = 20, stride = 5, anchored = true)),
+    // Incremental substring dedup: docs < 250 are history (only their
+    // window-hash index is consulted — history text never re-read), the
+    // rest arrive as a batch and dedup against the index + keep-first
+    // among themselves. Full oracle (the probe is plain relational
+    // algebra); union-equivalence with the full recompute is spec-pinned.
+    "substring_dedup_incremental" -> ((s, dir) => {
+      val all = Tables.documents(s, dir)
+      graft.dedup.SubstringDedup.cleanedIncremental(
+        all.filter(col("doc_id") >= 250), "doc_id", "text",
+        graft.dedup.SubstringDedup.windowIndex(
+          graft.dedup.SubstringDedup.windows(
+            all.filter(col("doc_id") < 250), "doc_id", "text", 20, 5)),
+        width = 20, stride = 5)
+    }),
     // ---- [EXT] similarity search ----
     "knn_bruteforce" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -959,6 +973,48 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "substring_dedup" -> substringDedupSql(substringCte),
     "substring_dedup_anchored" -> substringDedupSql(substringAnchoredCte),
+    "substring_dedup_incremental" ->
+      s"""$substringCte,
+         |hist AS (SELECT DISTINCT md5(norm) AS h FROM w WHERE doc_id < 250),
+         |bm AS (
+         |  SELECT doc_id, start, md5(norm) AS h,
+         |    ROW_NUMBER() OVER (PARTITION BY md5(norm) ORDER BY doc_id, start) AS rn
+         |  FROM w WHERE doc_id >= 250),
+         |r AS (SELECT doc_id, start, start + 19 AS fin FROM bm
+         |      WHERE rn > 1 OR h IN (SELECT h FROM hist)),
+         |i AS (
+         |  SELECT doc_id, start, fin,
+         |    MAX(fin) OVER (PARTITION BY doc_id ORDER BY start
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_fin
+         |  FROM r),
+         |g AS (
+         |  SELECT doc_id, start, fin,
+         |    SUM(CASE WHEN prev_fin IS NULL OR start > prev_fin + 1
+         |        THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY start) AS island
+         |  FROM i),
+         |mi AS (SELECT doc_id, MIN(start) AS rm_start, MAX(fin) AS rm_end
+         |       FROM g GROUP BY doc_id, island),
+         |tok AS (
+         |  SELECT doc_id, CAST(p AS BIGINT) AS pos, toks[p] AS tok
+         |  FROM (SELECT doc_id, toks, UNNEST(range(1, len(toks) + 1)) AS p
+         |        FROM t WHERE doc_id >= 250)),
+         |kept AS (
+         |  SELECT tok.* FROM tok
+         |  WHERE NOT EXISTS (SELECT 1 FROM mi
+         |    WHERE mi.doc_id = tok.doc_id
+         |      AND tok.pos BETWEEN mi.rm_start AND mi.rm_end)),
+         |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+         |        CAST(COUNT(*) AS BIGINT) AS n_kept FROM kept GROUP BY 1),
+         |tot AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+         |        FROM t WHERE doc_id >= 250)
+         |SELECT d.doc_id AS doc_id, COALESCE(agg.text_clean, '') AS text_clean,
+         |  COALESCE(tot.n_tokens, 0) AS n_tokens,
+         |  COALESCE(tot.n_tokens, 0) - COALESCE(agg.n_kept, 0) AS n_removed
+         |FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) d
+         |     LEFT JOIN agg ON d.doc_id = agg.doc_id
+         |     LEFT JOIN tot ON d.doc_id = tot.doc_id
+         |ORDER BY doc_id""".stripMargin,
     "substring_dedup_audit" ->
       s"""$substringCte,
          |a AS (SELECT h, norm, CAST(COUNT(*) AS BIGINT) AS n_occurrences,

@@ -133,17 +133,10 @@ object SubstringDedup {
       .withColumn("n_occ", count(lit(1)).over(wc))
   }
 
-  /** Merged removed intervals (doc_id, rm_start, rm_end): non-keeper
-    * occurrences of windows with n_occ >= minOccurrences contribute
-    * [start, start+width−1]; overlapping-or-adjacent intervals collapse
-    * via gaps-and-islands (running max of prior ends → island ids). */
-  def removedIntervals(wins: DataFrame, width: Int,
-                       minOccurrences: Long = 2L): DataFrame = {
-    require(minOccurrences >= 2, "minOccurrences < 2 would remove nothing's copies")
-    val removed = marked(wins)
-      .filter(col("rn") > 1 && col("n_occ") >= minOccurrences)
-      .select(col("doc_id"), col("start"),
-        (col("start") + width - 1).as("fin"))
+  /** Gaps-and-islands merge of (doc_id, start, fin) interval rows:
+    * overlapping-or-adjacent intervals collapse (running max of prior
+    * ends → island ids) to (doc_id, rm_start, rm_end). */
+  private def mergeIntervals(removed: DataFrame): DataFrame = {
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("start"))
     val prevFin = max(col("fin")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
     removed
@@ -155,6 +148,18 @@ object SubstringDedup {
       .select(col("doc_id"), col("rm_start"), col("rm_end"))
   }
 
+  /** Merged removed intervals (doc_id, rm_start, rm_end): non-keeper
+    * occurrences of windows with n_occ >= minOccurrences contribute
+    * [start, start+width−1]; intervals collapse via [[mergeIntervals]]. */
+  def removedIntervals(wins: DataFrame, width: Int,
+                       minOccurrences: Long = 2L): DataFrame = {
+    require(minOccurrences >= 2, "minOccurrences < 2 would remove nothing's copies")
+    mergeIntervals(marked(wins)
+      .filter(col("rn") > 1 && col("n_occ") >= minOccurrences)
+      .select(col("doc_id"), col("start"),
+        (col("start") + width - 1).as("fin")))
+  }
+
   /** Cleaned documents (doc_id, text_clean, n_tokens, n_removed) for
     * EVERY input document: tokens inside any merged removed interval are
     * dropped, the rest rejoin with single spaces in original order. A
@@ -162,11 +167,16 @@ object SubstringDedup {
     * token-rejoined; a fully-removed doc comes back "". */
   def cleaned(docs: DataFrame, idCol: String, textCol: String,
               width: Int, stride: Int, minOccurrences: Long = 2L,
-              anchored: Boolean = false): DataFrame = {
-    val toks = tokenTable(docs, idCol, textCol)
-    val rm = removedIntervals(
+              anchored: Boolean = false): DataFrame =
+    rebuildOutside(docs, idCol, textCol, removedIntervals(
       windows(docs, idCol, textCol, width, stride, anchored = anchored),
-      width, minOccurrences)
+      width, minOccurrences))
+
+  /** Rebuild every doc from the tokens OUTSIDE the merged removed
+    * intervals: (doc_id, text_clean, n_tokens, n_removed). */
+  private def rebuildOutside(docs: DataFrame, idCol: String, textCol: String,
+                             rm: DataFrame): DataFrame = {
+    val toks = tokenTable(docs, idCol, textCol)
     val kept = toks.join(rm,
       toks("doc_id") === rm("doc_id") &&
         toks("pos") >= rm("rm_start") && toks("pos") <= rm("rm_end"),
@@ -190,6 +200,55 @@ object SubstringDedup {
         col("n_tokens"),
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Persisted window-hash index over a corpus — the incremental state:
+    * one row per DISTINCT window hash with its keep-first keeper
+    * position; 32-hex key + two longs, never the window text. The
+    * [[ParagraphDedup.paragraphIndex]] discipline at substring
+    * granularity. */
+  def windowIndex(wins: DataFrame): DataFrame =
+    wins.groupBy(col("h"))
+      .agg(min(struct(col("doc_id").as("doc_id"), col("start").as("start"))).as("first"))
+      .select(col("h"), col("first").getField("doc_id").as("keeper_doc_id"),
+        col("first").getField("start").as("keeper_start"))
+
+  /** The index after absorbing a batch: existing entries win; the batch
+    * contributes one entry per window hash the index has never seen. */
+  def indexAfterBatch(index: DataFrame, batchWins: DataFrame): DataFrame =
+    index.unionByName(
+      windowIndex(batchWins)
+        .join(index.select(col("h")), Seq("h"), "left_anti"))
+
+  /** [EXT] INCREMENTAL substring dedup (`substring_dedup_incremental`
+    * query) — [[ParagraphDedup.dedupParagraphsIncremental]]'s discipline
+    * at window granularity: clean a new batch against the persisted
+    * window-hash index WITHOUT re-reading history text. A batch window
+    * occurrence is removed iff its hash is already indexed (its keeper
+    * lives in history) or a batch sibling with a smaller (doc_id, start)
+    * carries the same hash (keep-first within the batch); removed
+    * intervals merge and batch documents rebuild exactly as in
+    * [[cleaned]]. Equals the batch rows of a FULL [[cleaned]] recompute
+    * over history ∪ batch (minOccurrences = 2) whenever history doc ids
+    * precede batch doc ids — SubstringDedupSpec pins the
+    * union-equivalence.
+    *
+    * Scale shape: per-batch cost is O(|batch windows| + index matches) —
+    * the index probe is an equi-join on h (shuffle-free on a
+    * pre-bucketed index), and the exchange still ships (doc_id, start,
+    * h) only. The operator that keeps 100 TB substring-clean corpus
+    * builds incremental. */
+  def cleanedIncremental(batch: DataFrame, idCol: String, textCol: String,
+                         index: DataFrame, width: Int, stride: Int,
+                         anchored: Boolean = false): DataFrame = {
+    val wins = windows(batch, idCol, textCol, width, stride, anchored = anchored)
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("start"))
+    val removed = wins
+      .join(index.select(col("h"), lit(1).as("__hist")), Seq("h"), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("__hist").isNotNull || col("rn") > 1)
+      .select(col("doc_id"), col("start"), (col("start") + width - 1).as("fin"))
+    rebuildOutside(batch, idCol, textCol, mergeIntervals(removed))
   }
 
   /** Removed-passage audit: every window text occurring

@@ -177,6 +177,49 @@ class SubstringDedupSpec extends SparkSpec {
     assert(twice.values.forall(_ == 0L), s"second pass removed units: $twice")
   }
 
+  // ---- incremental form (persisted window-hash index) ----
+
+  test("incremental equals the batch rows of a full recompute (union-equivalence)") {
+    // History = docs 1-5, batch = docs 6-9: R's cross-split copy (doc 6
+    // hist keeper / doc 7 batch), the whole-doc pair 8/9 inside the
+    // batch, and Q's copy crossing the split (doc 3 hist / doc 4 batch).
+    val hist = docs.filter($"doc_id" <= 5)
+    val batch = docs.filter($"doc_id" >= 6)
+    val index = SubstringDedup.windowIndex(
+      SubstringDedup.windows(hist, "doc_id", "text", 8, 3))
+    val inc = SubstringDedup.cleanedIncremental(batch, "doc_id", "text",
+        index, 8, 3)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val full = cleanedMap.filterKeys(_ >= 6L).toMap
+    assert(inc == full, s"incremental $inc != full-recompute batch rows $full")
+    // The cross-split duplicate really was removed via the INDEX (history
+    // text never re-read): doc 7 loses R against doc 6's indexed windows.
+    assert(inc(7L)._3 == 8L)
+  }
+
+  test("index absorption adds only novel window hashes, keepers immutable") {
+    val hist = docs.filter($"doc_id" <= 5)
+    val batch = docs.filter($"doc_id" >= 6)
+    val index = SubstringDedup.windowIndex(
+      SubstringDedup.windows(hist, "doc_id", "text", 8, 3))
+    val batchWins = SubstringDedup.windows(batch, "doc_id", "text", 8, 3)
+    val after = SubstringDedup.indexAfterBatch(index, batchWins)
+    val afterMap = after.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // every pre-existing entry survives byte-identically
+    index.collect().foreach { r =>
+      assert(afterMap(r.getString(0)) == (r.getLong(1), r.getLong(2)),
+        s"history keeper for ${r.getString(0)} changed")
+    }
+    // and the union index equals one built from scratch over everything
+    val scratch = SubstringDedup.windowIndex(
+        SubstringDedup.windows(docs, "doc_id", "text", 8, 3))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(afterMap == scratch)
+  }
+
   test("idempotence: re-running on cleaned output removes nothing") {
     val once = SubstringDedup.cleaned(docs, "doc_id", "text", 8, 3)
       .select("doc_id", "text_clean")
