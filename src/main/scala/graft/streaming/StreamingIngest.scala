@@ -210,6 +210,56 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
   }
 
+  /** Streaming SUBSTRING dedup (ST2 [EXT]) — the
+    * [[paragraphDedupViaSinkIndex]] composition at window granularity:
+    * each micro-batch cleans its documents against the persisted
+    * window-hash index
+    * ([[graft.dedup.SubstringDedup.cleanedIncremental]]), appends the
+    * cleaned documents to the sink, and appends the batch's novel window
+    * hashes to the index. Same no-engine-state / restart-safe contract;
+    * same materialize-before-append ordering (both reads of the index
+    * path are lazy). `anchored = true` gives the offset-independent
+    * start rule. */
+  def substringDedupViaSinkIndex(docs: DataFrame, sinkPath: String,
+                                 indexPath: String, checkpoint: String,
+                                 idCol: String = "doc_id",
+                                 textCol: String = "text",
+                                 width: Int = 20, stride: Int = 5,
+                                 anchored: Boolean = false): DataStreamWriter[Row] = {
+    require(docs.isStreaming)
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.dedup.SubstringDedup
+    val spark = docs.sparkSession
+    docs.writeStream
+      .foreachBatch { (batch0: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val batch = batch0.localCheckpoint(true)
+        if (batch.count() > 0) {
+          val index =
+            try spark.read.parquet(indexPath)
+            catch { case _: Exception => // first batch: no index yet
+              spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+                StructType(Seq(StructField("h", StringType),
+                  StructField("keeper_doc_id", LongType),
+                  StructField("keeper_start", LongType))))
+            }
+          val cleanedBatch = SubstringDedup.cleanedIncremental(
+            batch, idCol, textCol, index, width, stride, anchored)
+            .localCheckpoint(true)
+          val novel = SubstringDedup.windowIndex(
+              SubstringDedup.windows(batch, idCol, textCol, width, stride,
+                anchored = anchored))
+            .join(index.select(col("h")), Seq("h"), "left_anti")
+            .localCheckpoint(true)
+          cleanedBatch.write.mode("append").parquet(sinkPath)
+          novel.write.mode("append").parquet(indexPath)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+  }
+
   def dedupViaSinkIndex(candidates: DataFrame, sinkPath: String,
                         checkpoint: String): DataStreamWriter[Row] = {
     require(candidates.isStreaming)

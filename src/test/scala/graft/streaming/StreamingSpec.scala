@@ -219,6 +219,36 @@ class StreamingSpec extends SparkSpec {
     assert(idxRows.columns.toSeq == Seq("h", "keeper_doc_id", "keeper_idx"))
   }
 
+  test("streaming substring dedup: cross-batch repeated passage drops via the window index") {
+    val root = java.nio.file.Files.createTempDirectory("graft_subdedup").toString
+    val (inDir, sink, idx, ckpt) = (s"$root/in", s"$root/sink", s"$root/idx", s"$root/ckpt")
+    def drop(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+    def runOnce(): Unit = {
+      val docs = spark.readStream.schema("doc_id LONG, text STRING").parquet(inDir)
+      val q = StreamingIngest.substringDedupViaSinkIndex(docs, sink, idx, ckpt,
+        width = 8, stride = 3).start()
+      q.awaitTermination()
+    }
+    val passage = "the quick brown fox jumps over seven lazy"  // 8 tokens
+    val b1 = Seq(
+      (1L, s"$passage alpha beta gamma delta"),
+      (2L, "completely unrelated words fill this other document nicely"))
+    val b2 = Seq(
+      (3L, s"x1 x2 x3 $passage tail words here"))  // passage at a stride-aligned offset
+    drop(b1); runOnce()
+    drop(b2); runOnce()
+    val out = spark.read.parquet(sink)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
+    assert(out(1L)._2 == 0L, "batch-1 keeper must stay intact")
+    // streaming == one full batch recompute over history ∪ batch
+    val full = graft.dedup.SubstringDedup
+      .cleaned((b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text", 8, 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
+    assert(out == full, s"streaming $out != batch $full")
+    assert(out(3L)._2 == 8L, s"doc 3 must lose the 8-token passage: ${out(3L)}")
+  }
+
   test("watermark would CHANGE semantics: late rows drop in append mode (ST3)") {
     // Parity keeps windows unwatermarked (complete/update mode) because the
     // reference accepts arbitrarily late publish dates. This pins the
