@@ -66,6 +66,15 @@ class FineWebPipelineSpec extends SparkSpec {
     assert(out.values.map(_._3).max == 1L)
   }
 
+  test("output is invariant to input partitioning") {
+    // Every stage is content-keyed or hierarchically ranked, so the
+    // physical layout of the input must not leak into the result — the
+    // property that makes the composition reproducible on a cluster.
+    val a = FineWebPipeline(fixture, gopherTh = th).collect().toSeq
+    val b = FineWebPipeline(fixture.repartition(7), gopherTh = th).collect().toSeq
+    assert(a == b, s"partitioning changed the output:\n$a\nvs\n$b")
+  }
+
   test("seed changes the order, not the membership") {
     val a = FineWebPipeline(fixture, gopherTh = th)
       .select("doc_id", "shuffle_pos").as[(Long, Long)].collect().toMap
