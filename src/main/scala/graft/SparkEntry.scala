@@ -476,6 +476,15 @@ object SparkEntry {
         FineWebFixture.docs.toDF("doc_id", "text"),
         gopherTh = FineWebRuleThresholds)
     }),
+    // The preset's ablation table: per-stage survivor counts, computed
+    // from the SAME stage frames the packed corpus ships (shared
+    // construction — funnel and corpus can't drift).
+    "fineweb_funnel" -> ((s, dir) => {
+      import s.implicits._
+      graft.pipeline.FineWebPipeline.funnel(
+        FineWebFixture.docs.toDF("doc_id", "text"),
+        gopherTh = FineWebRuleThresholds)
+    }),
     // Benchmark decontamination: flag docs sharing >= 5 distinct 3-grams
     // with the "benchmark" slice (doc_id % 97 == 0 stands in for an eval
     // suite); broadcast bench shingles, one groupBy on doc_id.
@@ -1626,6 +1635,9 @@ object SparkEntry {
     "corpus_pipeline" -> corpusPipelineSql(None),
     "corpus_pipeline_fineweb" ->
       graft.pipeline.FineWebPipeline.sqlPipeline(
+        valuesRel(FineWebFixture.docs), gopherTh = FineWebRuleThresholds),
+    "fineweb_funnel" ->
+      graft.pipeline.FineWebPipeline.sqlFunnel(
         valuesRel(FineWebFixture.docs), gopherTh = FineWebRuleThresholds),
     "corpus_pipeline_gated" -> corpusPipelineSql(
       Some(graft.text.GopherRules.sqlPassExpr("red", FunnelThresholds))),

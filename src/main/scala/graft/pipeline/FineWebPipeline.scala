@@ -48,16 +48,21 @@ import graft.text.{GopherRepetition, GopherRules, TextAnalysis}
   */
 object FineWebPipeline {
 
-  def apply(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-            minWordsPerLine: Int = 5, minLines: Int = 3,
-            gopherTh: GopherRules.Thresholds = GopherRules.Thresholds(),
-            repetitionTh: GopherRepetition.Thresholds = GopherRepetition.Thresholds(),
-            width: Int = 20, stride: Int = 5, minTokens: Int = 20,
-            benchMod: Int = 10, shingleN: Int = 3, overlapThreshold: Long = 5L,
-            targetMod: Int = 3, dsirBuckets: Int = 256,
-            minAvgWeightMicro: Long = -400000L,
-            seed: String = "fineweb", nShards: Int = 16,
-            budget: Long = 64L): DataFrame = {
+  /** The intermediate stage frames, exposed so [[apply]] (the packed
+    * corpus) and [[funnel]] (the per-stage survivor counts) share ONE
+    * construction — the two can't drift. */
+  final case class Stages(c4: DataFrame, gated: DataFrame, sub: DataFrame,
+                          keepers: DataFrame, clean: DataFrame,
+                          sampled: DataFrame)
+
+  def stages(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+             minWordsPerLine: Int = 5, minLines: Int = 3,
+             gopherTh: GopherRules.Thresholds = GopherRules.Thresholds(),
+             repetitionTh: GopherRepetition.Thresholds = GopherRepetition.Thresholds(),
+             width: Int = 20, stride: Int = 5, minTokens: Int = 20,
+             benchMod: Int = 10, shingleN: Int = 3, overlapThreshold: Long = 5L,
+             targetMod: Int = 3, dsirBuckets: Int = 256,
+             minAvgWeightMicro: Long = -400000L): Stages = {
     // 1. C4 line/page cleaning — the cleaned text becomes THE text.
     val c4 = C4Filters.clean(docs, idCol, textCol, minWordsPerLine, minLines)
       .select(col(idCol).cast("long").as("doc_id"), col("clean_text").as("text"))
@@ -96,8 +101,25 @@ object FineWebPipeline {
       .filter(floor(col("dsir_weight").cast("double") / col("n_tokens").cast("double"))
         .cast("long") >= minAvgWeightMicro)
       .select(col("doc_id"), col("text"), col("n_tokens"))
+    Stages(c4, gated, sub, keepers, clean, sampled)
+  }
+
+  def apply(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+            minWordsPerLine: Int = 5, minLines: Int = 3,
+            gopherTh: GopherRules.Thresholds = GopherRules.Thresholds(),
+            repetitionTh: GopherRepetition.Thresholds = GopherRepetition.Thresholds(),
+            width: Int = 20, stride: Int = 5, minTokens: Int = 20,
+            benchMod: Int = 10, shingleN: Int = 3, overlapThreshold: Long = 5L,
+            targetMod: Int = 3, dsirBuckets: Int = 256,
+            minAvgWeightMicro: Long = -400000L,
+            seed: String = "fineweb", nShards: Int = 16,
+            budget: Long = 64L): DataFrame = {
+    val st = stages(docs, idCol, textCol, minWordsPerLine, minLines,
+      gopherTh, repetitionTh, width, stride, minTokens,
+      benchMod, shingleN, overlapThreshold, targetMod, dsirBuckets,
+      minAvgWeightMicro)
     // 8+9. seeded shuffle, then pack in shuffle order.
-    val shuffled = Curation.shuffleCorpus(sampled, "text", seed, nShards)
+    val shuffled = Curation.shuffleCorpus(st.sampled, "text", seed, nShards)
     val w = Window.orderBy(col("shuffle_pos"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     shuffled.select(col("doc_id"), col("shuffle_pos"), col("n_tokens"))
@@ -110,6 +132,40 @@ object FineWebPipeline {
       .orderBy(col("shuffle_pos"))
   }
 
+  /** Per-stage survivor counts (`fineweb_funnel` query) — the ablation
+    * table a corpus release publishes for THIS preset: (stage, gate,
+    * n_docs) for raw → c4 → gates → substring+floor → exact_dedup →
+    * decontaminate → dsir. Stage frames come from [[stages]], so the
+    * funnel counts EXACTLY what [[apply]] ships (shared construction, no
+    * drift); the checkpointed stages make the seven counts cheap. The
+    * sampling/shuffle/pack stages don't change membership beyond
+    * `sampled`, so `dsir` is the final corpus size. */
+  def funnel(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+             minWordsPerLine: Int = 5, minLines: Int = 3,
+             gopherTh: GopherRules.Thresholds = GopherRules.Thresholds(),
+             repetitionTh: GopherRepetition.Thresholds = GopherRepetition.Thresholds(),
+             width: Int = 20, stride: Int = 5, minTokens: Int = 20,
+             benchMod: Int = 10, shingleN: Int = 3, overlapThreshold: Long = 5L,
+             targetMod: Int = 3, dsirBuckets: Int = 256,
+             minAvgWeightMicro: Long = -400000L): DataFrame = {
+    val st = stages(docs, idCol, textCol, minWordsPerLine, minLines,
+      gopherTh, repetitionTh, width, stride, minTokens,
+      benchMod, shingleN, overlapThreshold, targetMod, dsirBuckets,
+      minAvgWeightMicro)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq(
+      (0L, "raw", docs.count()),
+      (1L, "c4", st.c4.count()),
+      (2L, "gates", st.gated.count()),
+      (3L, "substring_floor", st.sub.count()),
+      (4L, "exact_dedup", st.keepers.count()),
+      (5L, "decontaminate", st.clean.count()),
+      (6L, "dsir", st.sampled.count()))
+      .toDF("stage", "gate", "n_docs")
+      .orderBy(col("stage"))
+  }
+
   /** The whole line as ONE DuckDB WITH-chain over a relation exposing
     * (doc_id, text) — parameter defaults match [[apply]]. */
   def sqlPipeline(from: String,
@@ -120,7 +176,57 @@ object FineWebPipeline {
                   benchMod: Int = 10, shingleN: Int = 3, overlapThreshold: Long = 5L,
                   targetMod: Int = 3, dsirBuckets: Int = 256,
                   minAvgWeightMicro: Long = -400000L,
-                  seed: String = "fineweb", budget: Long = 64L): String = {
+                  seed: String = "fineweb", budget: Long = 64L): String =
+    sqlCtes(from, minWordsPerLine, minLines, gopherTh, repetitionTh,
+      width, stride, minTokens, benchMod, shingleN, overlapThreshold,
+      targetMod, dsirBuckets, minAvgWeightMicro) +
+      s""",
+         |shf AS (SELECT doc_id, n_tokens,
+         |          CAST(ROW_NUMBER() OVER (ORDER BY md5('$seed:' || text), doc_id) AS BIGINT)
+         |            AS shuffle_pos
+         |        FROM samp),
+         |o2 AS (SELECT doc_id, shuffle_pos, n_tokens,
+         |         SUM(n_tokens) OVER (ORDER BY shuffle_pos ROWS UNBOUNDED PRECEDING) - n_tokens AS off
+         |       FROM shf)
+         |SELECT doc_id, shuffle_pos, n_tokens,
+         |  CAST(FLOOR(off / $budget.0) AS BIGINT) AS chunk_id,
+         |  CASE WHEN n_tokens = 0 THEN 0
+         |       ELSE CAST(FLOOR((off + n_tokens - 1) / $budget.0) AS BIGINT)
+         |            - CAST(FLOOR(off / $budget.0) AS BIGINT) + 1 END AS n_chunks
+         |FROM o2 ORDER BY shuffle_pos""".stripMargin
+
+  /** DuckDB mirror of [[funnel]] — the same CTE chain, counted per
+    * stage. */
+  def sqlFunnel(from: String,
+                minWordsPerLine: Int = 5, minLines: Int = 3,
+                gopherTh: GopherRules.Thresholds = GopherRules.Thresholds(),
+                repetitionTh: GopherRepetition.Thresholds = GopherRepetition.Thresholds(),
+                width: Int = 20, stride: Int = 5, minTokens: Int = 20,
+                benchMod: Int = 10, shingleN: Int = 3, overlapThreshold: Long = 5L,
+                targetMod: Int = 3, dsirBuckets: Int = 256,
+                minAvgWeightMicro: Long = -400000L): String =
+    sqlCtes(from, minWordsPerLine, minLines, gopherTh, repetitionTh,
+      width, stride, minTokens, benchMod, shingleN, overlapThreshold,
+      targetMod, dsirBuckets, minAvgWeightMicro) +
+      """
+        |SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS gate,
+        |       CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_docs
+        |UNION ALL SELECT 1, 'c4', (SELECT COUNT(*) FROM g0)
+        |UNION ALL SELECT 2, 'gates', (SELECT COUNT(*) FROM g)
+        |UNION ALL SELECT 3, 'substring_floor', (SELECT COUNT(*) FROM fl)
+        |UNION ALL SELECT 4, 'exact_dedup', (SELECT COUNT(*) FROM keep)
+        |UNION ALL SELECT 5, 'decontaminate', (SELECT COUNT(*) FROM clean)
+        |UNION ALL SELECT 6, 'dsir', (SELECT COUNT(*) FROM samp)
+        |ORDER BY stage""".stripMargin
+
+  private def sqlCtes(from: String,
+                      minWordsPerLine: Int, minLines: Int,
+                      gopherTh: GopherRules.Thresholds,
+                      repetitionTh: GopherRepetition.Thresholds,
+                      width: Int, stride: Int, minTokens: Int,
+                      benchMod: Int, shingleN: Int, overlapThreshold: Long,
+                      targetMod: Int, dsirBuckets: Int,
+                      minAvgWeightMicro: Long): String = {
     require(shingleN == 3, "oracle shingle CTEs are written for n = 3")
     val tok = "[^ \\t\\n\\x0B\\f\\r]+"
     val wm1 = width - 1          // slice end offset
@@ -201,19 +307,6 @@ object FineWebPipeline {
        |samp AS (SELECT c.doc_id, c.text, CAST(len(c.ltoks) AS BIGINT) AS n_tokens
        |         FROM clean c JOIN dw USING (doc_id)
        |         WHERE CAST(FLOOR(dw.wgt::DOUBLE / len(c.ltoks)::DOUBLE) AS BIGINT)
-       |               >= $minAvgWeightMicro),
-       |shf AS (SELECT doc_id, n_tokens,
-       |          CAST(ROW_NUMBER() OVER (ORDER BY md5('$seed:' || text), doc_id) AS BIGINT)
-       |            AS shuffle_pos
-       |        FROM samp),
-       |o2 AS (SELECT doc_id, shuffle_pos, n_tokens,
-       |         SUM(n_tokens) OVER (ORDER BY shuffle_pos ROWS UNBOUNDED PRECEDING) - n_tokens AS off
-       |       FROM shf)
-       |SELECT doc_id, shuffle_pos, n_tokens,
-       |  CAST(FLOOR(off / $budget.0) AS BIGINT) AS chunk_id,
-       |  CASE WHEN n_tokens = 0 THEN 0
-       |       ELSE CAST(FLOOR((off + n_tokens - 1) / $budget.0) AS BIGINT)
-       |            - CAST(FLOOR(off / $budget.0) AS BIGINT) + 1 END AS n_chunks
-       |FROM o2 ORDER BY shuffle_pos""".stripMargin
+       |               >= $minAvgWeightMicro)""".stripMargin
   }
 }

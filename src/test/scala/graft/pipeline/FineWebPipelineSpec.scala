@@ -66,6 +66,20 @@ class FineWebPipelineSpec extends SparkSpec {
     assert(out.values.map(_._3).max == 1L)
   }
 
+  test("funnel reports the per-stage attrition of exactly this fixture") {
+    val f = FineWebPipeline.funnel(fixture, gopherTh = th)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(f == Map(
+      "raw" -> 15L,             // all fixture docs
+      "c4" -> 12L,              // −3 (brace, lorem-ipsum, thin pages)
+      "gates" -> 10L,           // −2 (word floor, repeated lines)
+      "substring_floor" -> 10L, // doc 9 loses its passage but clears the floor
+      "exact_dedup" -> 9L,      // −1 (twin 13)
+      "decontaminate" -> 7L,    // −2 (contaminated 12, benchmark 20)
+      "dsir" -> 4L),            // −3 (below the per-token weight floor)
+      s"funnel drifted: $f")
+  }
+
   test("output is invariant to input partitioning") {
     // Every stage is content-keyed or hierarchically ranked, so the
     // physical layout of the input must not leak into the result — the
