@@ -530,6 +530,10 @@ object SparkEntry {
     // the scoring join is map-side, the token stream never shuffles.
     "lm_scores_pruned" -> ((s, dir) =>
       graft.text.LmScore.prunedScores(Tables.documents(s, dir), "doc_id", "text")),
+    // CCNet head/middle/tail perplexity terciles: integer rank
+    // arithmetic (ntile), no float quantile boundary — full oracle.
+    "lm_perplexity_buckets" -> ((s, dir) =>
+      graft.text.LmScore.perplexityBuckets(Tables.documents(s, dir))),
     // Trained quality classifier: hashed-feature linear model, weak
     // labels from the LM-cost median split, 10 rounds of integer
     // fixed-point GD with a hard sigmoid (no libm in the loop) — the
@@ -1043,6 +1047,7 @@ object SparkEntry {
     "lm_quality_floor" -> graft.text.LmScore.sqlQualityFloor(),
     "lm_scores_trigram" -> graft.text.LmScore.sqlScoresTrigram(),
     "lm_scores_pruned" -> graft.text.LmScore.sqlScoresPruned(),
+    "lm_perplexity_buckets" -> graft.text.LmScore.sqlPerplexityBuckets,
     "quality_classifier" -> graft.pipeline.QualityClassifier.sqlClassifier(),
     "gopher_rules" -> graft.text.GopherRules.sqlSignals("documents"),
     "gopher_rules_edge" ->

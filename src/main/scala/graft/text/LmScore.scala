@@ -114,6 +114,45 @@ object LmScore {
        |FROM s, m WHERE avg_cost_micro <= m.cut
        |ORDER BY doc_id""".stripMargin
 
+  /** CCNet perplexity buckets (`lm_perplexity_buckets` query) —
+    * Wenzek et al. 2020's head/middle/tail split: every scored document
+    * is assigned the tercile of its LM cost (head = cheapest third =
+    * most fluent; CCNet trains on head+middle and ships tail for
+    * auditing). `ntile` is pure integer rank arithmetic (bucket =
+    * ⌊(rank−1)·3 ∕ n⌋ + 1 with ties broken by doc id), so unlike a
+    * quantile-interpolation cut there is NO float boundary to disagree
+    * on — the query carries a full hash-checked oracle at every corpus
+    * size.
+    *
+    * Scale note: the global `ntile` window is the honest semantic
+    * statement; at 100 TB the identical assignment is computed
+    * hierarchically — per-shard `row_number` + broadcast shard offsets
+    * ([[graft.pipeline.Curation.shuffleCorpus]]'s rank discipline) and
+    * the closed form above — with no single-partition window. */
+  def perplexityBuckets(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = scores(docs, idCol, textCol)
+    s.withColumn("bucket",
+        ntile(3).over(Window.orderBy(col("avg_cost_micro"), col("doc_id"))))
+      .select(col("doc_id"), col("n_bigrams"), col("avg_cost_micro"),
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === 2, "middle")
+          .otherwise("tail").as("tier"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror of [[perplexityBuckets]]. */
+  def sqlPerplexityBuckets: String =
+    s"""WITH s AS (${sqlScores.replace("ORDER BY doc_id", "")}),
+       |b AS (SELECT doc_id, n_bigrams, avg_cost_micro,
+       |        NTILE(3) OVER (ORDER BY avg_cost_micro, doc_id) AS bucket
+       |      FROM s)
+       |SELECT doc_id, n_bigrams, avg_cost_micro,
+       |  CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+       |       ELSE 'tail' END AS tier
+       |FROM b ORDER BY doc_id""".stripMargin
+
   /** Integer micro-nat cost per distinct trigram under STUPID BACKOFF
     * (Brants et al., "Large Language Models in Machine Translation"):
     *

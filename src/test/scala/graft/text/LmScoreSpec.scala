@@ -41,6 +41,26 @@ class LmScoreSpec extends SparkSpec {
     assert(kept == (1L to 8L).toSet)
   }
 
+  test("perplexity buckets: terciles ordered by cost, sizes differ by at most one") {
+    // 7 docs with strictly increasing junk content → distinct costs.
+    val docs = ((1 to 4).map(i => (i.toLong, "the quick brown fox jumps high")) ++
+      Seq((5L, "the quick zxq fox"), (6L, "qzx zxq the fox"), (7L, "qzx zxq xqz qxz")))
+      .toDF("doc_id", "text")
+    val out = LmScore.perplexityBuckets(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    val byTier = out.groupBy(_._3).view.mapValues(_.map(_._2).toSeq).toMap
+    // NTILE(3) of 7 rows: sizes 3, 2, 2, larger buckets first.
+    assert(byTier("head").size == 3 && byTier("middle").size == 2 &&
+      byTier("tail").size == 2, s"sizes wrong: $out")
+    // tier boundaries respect the cost order
+    assert(byTier("head").max <= byTier("middle").min)
+    assert(byTier("middle").max <= byTier("tail").min)
+    // the fluent quadruplet is the head + one; pure junk is tail
+    assert(out.find(_._1 == 7L).get._3 == "tail")
+    assert((1L to 4L).forall(i =>
+      Set("head", "middle")(out.find(_._1 == i).get._3)))
+  }
+
   test("hand-computed trigram stupid-backoff costs") {
     // Corpus: "a b c" x2, "a b d". Unigrams a=3,b=3,c=2,d=1 -> V=4.
     // Bigrams "a b"=3, "b c"=2, "b d"=1. Trigrams "a b c"=2, "a b d"=1.
