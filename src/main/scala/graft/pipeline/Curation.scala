@@ -305,23 +305,25 @@ object Curation {
       .orderBy(col(idCol))
   }
 
-  /** [[packChunks]] as a distributed prefix sum: token counts aggregate
-    * per range-partition, the tiny per-partition totals broadcast back as
-    * starting offsets, and the per-row running sum stays inside each
-    * partition — no single-partition window. Output is IDENTICAL
-    * (CurationSpec pins it); this is the form that runs at 100 TB. */
-  def packChunksScalable(docs: DataFrame, idCol: String, textCol: String,
-                         budget: Long, parts: Int = 0): DataFrame = {
-    val spark = docs.sparkSession
+  /** The distributed-prefix-sum pack over ANY total order: `df` must
+    * carry `orderCol` (unique, defines the concatenation order) and
+    * `n_tokens`; all other columns ride through. Token counts aggregate
+    * per range-partition, the tiny per-partition totals broadcast back
+    * as starting offsets, and the per-row running sum stays inside each
+    * partition — no single-partition window. The form that runs at
+    * 100 TB; [[packChunksScalable]] (id order) and
+    * [[FineWebPipeline]] (shuffle order) are both this operator. */
+  def packByOrder(df: DataFrame, orderCol: String, budget: Long,
+                  parts: Int = 0): DataFrame = {
+    val spark = df.sparkSession
     val nParts = if (parts > 0) parts else spark.sparkContext.defaultParallelism
-    val nTok = size(graft.text.TextAnalysis.tokens(lower(col(textCol)))).cast("long")
-    // Range-partition by id so partition order == global order, then two
-    // passes: (1) per-partition token totals -> cumulative starting
-    // offsets on the driver (|parts| longs); (2) per-partition running sum
-    // + broadcast base offset.
-    val base = docs.select(col(idCol).as("__id"), nTok.as("n_tokens"))
-      .repartitionByRange(nParts, col("__id"))
-      .sortWithinPartitions(col("__id"))
+    // Range-partition by the order column so partition order == global
+    // order, then two passes: (1) per-partition token totals ->
+    // cumulative starting offsets on the driver (|parts| longs); (2)
+    // per-partition running sum + broadcast base offset.
+    val base = df
+      .repartitionByRange(nParts, col(orderCol))
+      .sortWithinPartitions(col(orderCol))
     val perPart = base.withColumn("__pid", spark_partition_id())
     val totals = perPart.groupBy(col("__pid"))
       .agg(sum(col("n_tokens")).as("__tot"))
@@ -335,16 +337,28 @@ object Curation {
     }
     val startCol = element_at(
       array(starts.toIndexedSeq.map(lit(_)): _*), col("__pid") + 1)
-    val wp = Window.partitionBy(col("__pid")).orderBy(col("__id"))
+    val wp = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     perPart
       .withColumn("offset",
         startCol + sum(col("n_tokens")).over(wp) - col("n_tokens"))
-      .select(col("__id").as(idCol), col("n_tokens"),
-        floor(col("offset") / budget).as("chunk_id"),
+      .withColumn("chunk_id", floor(col("offset") / budget))
+      .withColumn("n_chunks",
         when(col("n_tokens") === 0, lit(0L)).otherwise(
           floor((col("offset") + col("n_tokens") - 1) / budget) -
-            floor(col("offset") / budget) + 1).as("n_chunks"))
+            floor(col("offset") / budget) + 1))
+      .drop("__pid", "offset")
+  }
+
+  /** [[packChunks]] as a distributed prefix sum via [[packByOrder]].
+    * Output is IDENTICAL to the window form (CurationSpec pins it). */
+  def packChunksScalable(docs: DataFrame, idCol: String, textCol: String,
+                         budget: Long, parts: Int = 0): DataFrame = {
+    val nTok = size(graft.text.TextAnalysis.tokens(lower(col(textCol)))).cast("long")
+    packByOrder(docs.select(col(idCol).as("__id"), nTok.as("n_tokens")),
+        "__id", budget, parts)
+      .select(col("__id").as(idCol), col("n_tokens"),
+        col("chunk_id"), col("n_chunks"))
       .orderBy(col(idCol))
   }
 

@@ -42,9 +42,10 @@ import graft.text.{GopherRepetition, GopherRules, TextAnalysis}
   * payload-free md5-keyed marking exchange + doc-keyed rebuild; 5 is one
   * hash shuffle on the text; 6 is a broadcast semi-join + doc-keyed agg;
   * 7 is a broadcast weight-table join + doc-keyed agg; 8 is the
-  * hierarchical shard rank; 9's window is the documented prefix-sum
-  * ([[Curation.packChunksScalable]] is the 100 TB drop-in). Nothing
-  * quadratic, nothing driver-bound beyond the 256-row DSIR weight table.
+  * hierarchical shard rank; 9 is the hierarchical prefix-sum pack
+  * ([[Curation.packByOrder]] — no single-partition window anywhere in
+  * the preset). Nothing quadratic, nothing driver-bound beyond the
+  * 256-row DSIR weight table and the per-partition pack offsets.
   */
 object FineWebPipeline {
 
@@ -118,17 +119,16 @@ object FineWebPipeline {
       gopherTh, repetitionTh, width, stride, minTokens,
       benchMod, shingleN, overlapThreshold, targetMod, dsirBuckets,
       minAvgWeightMicro)
-    // 8+9. seeded shuffle, then pack in shuffle order.
+    // 8+9. seeded shuffle, then pack in SHUFFLE order — via the
+    // hierarchical prefix sum ([[Curation.packByOrder]]), so even the
+    // pack stage has no single-partition window: the whole preset is
+    // scale-shaped end to end.
     val shuffled = Curation.shuffleCorpus(st.sampled, "text", seed, nShards)
-    val w = Window.orderBy(col("shuffle_pos"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    shuffled.select(col("doc_id"), col("shuffle_pos"), col("n_tokens"))
-      .withColumn("offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+    Curation.packByOrder(
+        shuffled.select(col("doc_id"), col("shuffle_pos"), col("n_tokens")),
+        "shuffle_pos", budget)
       .select(col("doc_id"), col("shuffle_pos"), col("n_tokens"),
-        floor(col("offset") / budget).as("chunk_id"),
-        when(col("n_tokens") === 0, lit(0L)).otherwise(
-          floor((col("offset") + col("n_tokens") - 1) / budget) -
-            floor(col("offset") / budget) + 1).as("n_chunks"))
+        col("chunk_id"), col("n_chunks"))
       .orderBy(col("shuffle_pos"))
   }
 
