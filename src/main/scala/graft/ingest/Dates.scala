@@ -20,6 +20,13 @@ import org.apache.spark.sql.functions._
   * parse 'E', and the weekday is redundant with the date anyway —
   * dateutil likewise ignores it. Offset-bearing forms normalize to the
   * session zone (UTC, pinned in build.sbt), which DuckDB's `%z` mirrors.
+  *
+  * Ambiguous slash dates follow dateutil's DEFAULT resolution
+  * (`dayfirst=False`, what the reference actually runs): '01/03/2024'
+  * is January 3 (month-first), '13/03/2024' is March 13 (the invalid
+  * month-first parse falls through to day-first). The cascade encodes
+  * this as MM/dd BEFORE dd/MM — both engines reject month 13 rather
+  * than rolling it over, so the fallback is engine-exact.
   */
 object Dates {
 
@@ -34,11 +41,14 @@ object Dates {
     "dd MMM yyyy HH:mm:ss xx",         // (RFC-2822) … +0200
     "dd MMM yyyy HH:mm:ss",            // 01 Mar 2024 10:15:30
     "dd MMM yyyy",                     // 15 Mar 2024
+    "d MMMM yyyy",                     // 15 March 2024 (full month name)
     "MMMM d, yyyy h:mm a",             // March 1, 2024 10:30 AM
     "MMMM d, yyyy",                    // March 1, 2024
     "MMM d, yyyy",                     // Mar 1, 2024
     "yyyy/MM/dd",                      // 2024/03/01
-    "dd/MM/yyyy")                      // 01/03/2024
+    "yyyy.MM.dd",                      // 2024.03.01
+    "MM/dd/yyyy",                      // 01/03/2024 → Jan 3 (dateutil default)
+    "dd/MM/yyyy")                      // 13/03/2024 → Mar 13 (month-first fails)
 
   val DuckDbFormats: Seq[String] = Seq(
     "%Y-%m-%dT%H:%M:%S%z",
@@ -49,10 +59,13 @@ object Dates {
     "%d %b %Y %H:%M:%S %z",
     "%d %b %Y %H:%M:%S",
     "%d %b %Y",
+    "%-d %B %Y",
     "%B %-d, %Y %-I:%M %p",
     "%B %-d, %Y",
     "%b %-d, %Y",
     "%Y/%m/%d",
+    "%Y.%m.%d",
+    "%m/%d/%Y",
     "%d/%m/%Y")
 
   private val WeekdayPrefix = "^(Mon|Tue|Wed|Thu|Fri|Sat|Sun),\\s*"

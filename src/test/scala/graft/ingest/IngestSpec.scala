@@ -85,6 +85,21 @@ class IngestSpec extends SparkSpec {
     assert(parsed(8).getTimestamp(0).toString.startsWith("2024-03-01")) // trimmed
   }
 
+  test("ambiguous slash dates follow dateutil's default month-first rule") {
+    // The reference runs dateutil.parser.parse with dayfirst=False:
+    // '01/03/2024' is JANUARY 3; a month slot > 12 falls through to the
+    // day-first form, so '13/03/2024' is March 13 — the cascade must not
+    // roll month 13 over.
+    val df = Seq("01/03/2024", "13/03/2024", "15 March 2024", "2024.03.01")
+      .toDF("raw")
+    val parsed = df.select(Dates.parsePublished($"raw").as("ts"))
+      .collect().map(_.getTimestamp(0).toString.take(10))
+    assert(parsed(0) == "2024-01-03", s"month-first expected: ${parsed(0)}")
+    assert(parsed(1) == "2024-03-13", s"day-first fallback expected: ${parsed(1)}")
+    assert(parsed(2) == "2024-03-15") // full month name
+    assert(parsed(3) == "2024-03-01") // dotted ISO
+  }
+
   test("runFetched through the Fetcher seam matches the table-join path") {
     FetcherProbe.opens.set(0)
     val pageMap = Map(
