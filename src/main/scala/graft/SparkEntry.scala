@@ -534,6 +534,12 @@ object SparkEntry {
     // arithmetic (ntile), no float quantile boundary — full oracle.
     "lm_perplexity_buckets" -> ((s, dir) =>
       graft.text.LmScore.perplexityBuckets(Tables.documents(s, dir))),
+    // Per-source TOKEN budget (mixture design is stated in tokens, not
+    // docs): take docs in content-keyed order until the inclusive
+    // running token sum would cross 400 per source.
+    "token_quota" -> ((s, dir) =>
+      graft.pipeline.Curation.quotaTokensPerSource(
+        Tables.documents(s, dir), "doc_id", "source", "text", 400L)),
     // Trained quality classifier: hashed-feature linear model, weak
     // labels from the LM-cost median split, 10 rounds of integer
     // fixed-point GD with a hard sigmoid (no libm in the loop) — the
@@ -1048,6 +1054,20 @@ object SparkEntry {
     "lm_scores_trigram" -> graft.text.LmScore.sqlScoresTrigram(),
     "lm_scores_pruned" -> graft.text.LmScore.sqlScoresPruned(),
     "lm_perplexity_buckets" -> graft.text.LmScore.sqlPerplexityBuckets,
+    "token_quota" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tokens,
+        |    ('0x' || substring(md5(text), 1, 8))::UBIGINT % 10000 AS b,
+        |    md5(text) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY b, h, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens, cum_tokens
+        |FROM c WHERE cum_tokens <= 400 ORDER BY doc_id""".stripMargin,
     "quality_classifier" -> graft.pipeline.QualityClassifier.sqlClassifier(),
     "gopher_rules" -> graft.text.GopherRules.sqlSignals("documents"),
     "gopher_rules_edge" ->

@@ -73,6 +73,34 @@ object Curation {
         row_number().over(Window.partitionBy(col(groupCol)).orderBy(ordering: _*)))
       .filter(col("rk") <= k)
 
+  /** Per-source TOKEN budgets (`token_quota` query) — the quota corpus
+    * releases actually publish ("X billion tokens of web, Y of code"):
+    * [[quotaPerGroup]] caps document COUNTS, but mixture design is
+    * stated in tokens. Documents are taken per source in the
+    * deterministic content-keyed order ([[sampleBucket]], doc id
+    * tie-break — the same order a re-run or a grown corpus reproduces)
+    * until the running token total would exceed `budgetTokens`: a
+    * document is kept iff its INCLUSIVE running sum fits the budget, so
+    * the boundary document that would cross it drops (standard
+    * stop-before-exceeding; a single over-budget document yields an
+    * empty source rather than a blown budget).
+    *
+    * One shuffle keyed by source (the window); the token count is a
+    * per-row expression on the same pass. Skewed sources are bounded:
+    * the running sum is a streaming frame, never a materialized group. */
+  def quotaTokensPerSource(df: DataFrame, idCol: String, sourceCol: String,
+                           textCol: String, budgetTokens: Long): DataFrame = {
+    val nTok = size(graft.text.TextAnalysis.tokens(lower(col(textCol)))).cast("long")
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(sampleBucket(col(textCol)), md5(col(textCol)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), col(sourceCol), col(textCol), nTok.as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .drop(textCol)
+      .filter(col("cum_tokens") <= budgetTokens)
+      .orderBy(col(idCol))
+  }
+
   /** Sliding-window chunk EXPANSION (`chunk_texts` query): emit the actual
     * chunk rows — `chunkTokens`-wide token windows stepping by
     * `chunkTokens − overlap` — per document, the RAG/pretraining prep step

@@ -213,6 +213,30 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("token quota stops before exceeding each source's budget") {
+    val docs = Seq(
+      (1L, "a", "w1 w2 w3 w4"), (2L, "a", "x1 x2 x3 x4"),
+      (3L, "a", "y1 y2 y3 y4"), (4L, "a", "z1 z2 z3 z4"),
+      (5L, "b", "one single document with far too many tokens to ever fit"),
+      (6L, "c", "tiny doc here")
+    ).toDF("doc_id", "source", "text")
+    val out = Curation.quotaTokensPerSource(docs, "doc_id", "source", "text", 10L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // source a: 4-token docs, budget 10 -> exactly 2 fit (the 3rd would
+    // reach 12); which two is the deterministic content-hash order's call.
+    val a = out.filter(_._2 == "a")
+    assert(a.length == 2 && a.map(_._3).sum == 8L && a.forall(_._4 <= 10L), a.toSeq)
+    // source b: the single 11-token doc overshoots alone -> empty source.
+    assert(!out.exists(_._2 == "b"), out.toSeq)
+    // source c: under budget, kept whole.
+    assert(out.count(_._2 == "c") == 1)
+    // deterministic under repartitioning
+    val re = Curation.quotaTokensPerSource(docs.repartition(5), "doc_id",
+        "source", "text", 10L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(re.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+  }
+
   test("boilerplateSampled finds planted boilerplate with a scaled estimate") {
     // 200 docs, 50% carry the same boilerplate phrase; unique filler makes
     // every other 3-gram's df = 1.
