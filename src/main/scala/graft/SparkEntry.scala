@@ -420,6 +420,15 @@ object SparkEntry {
       graft.pipeline.Curation.mixCorpus(Tables.documents(s, dir), "text", "source",
         Map("src0" -> 10000, "src1" -> 5000, "src2" -> 2500, "src3" -> 500))
         .select(col("doc_id"), col("source")).orderBy(col("doc_id"))),
+    // Mixing with rates ABOVE 1 (DoReMi weights): rate 2.5 = every doc
+    // twice + a content-chosen half a third time, each copy numbered by
+    // epoch so packing can interleave repeats.
+    "corpus_mix_epochs" -> ((s, dir) =>
+      graft.pipeline.Curation.mixCorpusWithRepetition(
+        Tables.documents(s, dir), "text", "source",
+        Map("src0" -> 25000, "src1" -> 10000, "src2" -> 5000))
+        .select(col("doc_id"), col("source"), col("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))),
     // Temperature mixing: α=0.5 downsample-only flattening (kept counts
     // ∝ n^α) — rates derived from the data, not a hand map; sqrt keeps
     // the derived integer rate engine-exact.
@@ -1862,6 +1871,20 @@ object SparkEntry {
         |  FROM documents)
         |WHERE rate IS NOT NULL AND bucket < rate
         |ORDER BY doc_id""".stripMargin,
+    "corpus_mix_epochs" ->
+      """WITH j AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substring(md5(text), 1, 8))::UBIGINT % 10000 AS bucket,
+        |    CASE source WHEN 'src0' THEN 25000 WHEN 'src1' THEN 10000
+        |                WHEN 'src2' THEN 5000 END AS rate
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, source,
+        |    UNNEST(range(1, (rate // 10000)
+        |      + CASE WHEN bucket < rate % 10000 THEN 1 ELSE 0 END + 1)) AS epoch
+        |  FROM j WHERE rate IS NOT NULL)
+        |SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch
+        |FROM e ORDER BY doc_id, epoch""".stripMargin,
     "corpus_mix_temperature" ->
       """WITH c AS (
         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1),

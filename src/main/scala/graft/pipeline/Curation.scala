@@ -174,6 +174,35 @@ object Curation {
       .drop("__rate_bp")
   }
 
+  /** Mixing with rates ABOVE 1 (`corpus_mix_epochs` query): DoReMi-style
+    * domain weights routinely exceed 1.0, which [[mixCorpus]]'s
+    * keep-or-drop filter cannot express — a rate of 2.5 means every
+    * document appears twice and HALF the documents (content-chosen, the
+    * same [[sampleBucket]] draw) a third time. Each emitted copy carries
+    * an `epoch` number (1-based), so downstream shuffling/packing can
+    * interleave repeats instead of clustering them. Fractional-part
+    * selection is bucket < rate mod 10000 — the uniform-sample contract,
+    * so the output is reproducible, duplicate-consistent, and monotone
+    * in the rate (raising a rate only ADDS copies). Unlisted sources
+    * drop. Pure per-row fan-out after a broadcast rate join — the corpus
+    * never shuffles. */
+  def mixCorpusWithRepetition(df: DataFrame, keyCol: String, sourceCol: String,
+                              ratesBp: Map[String, Int]): DataFrame = {
+    require(ratesBp.values.forall(_ >= 0), "rates must be non-negative")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rates = ratesBp.toSeq.toDF(sourceCol, "__rate_bp")
+    val copies = (expr("__rate_bp div 10000") +
+      when(sampleBucket(col(keyCol)) < col("__rate_bp") % 10000, 1)
+        .otherwise(0)).cast("int")
+    df.join(broadcast(rates), Seq(sourceCol))
+      .withColumn("__copies", copies)
+      .select(df.columns.map(col) :+
+        explode(when(col("__copies") >= 1, sequence(lit(1), col("__copies")))
+          .otherwise(array().cast("array<int>"))).as("epoch"): _*)
+      .withColumn("epoch", col("epoch").cast("long"))
+  }
+
   /** Temperature-scaled source mixing (`corpus_mix_temperature` query):
     * the multilingual/domain-balancing sampler (XLM-R/mT5's α-temperature
     * recipe) in its downsampling-only form. With per-source counts n_i

@@ -237,6 +237,29 @@ class CurationSpec extends SparkSpec {
     assert(re.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
   }
 
+  test("repetition mixing: whole epochs for all, fractional epoch content-chosen") {
+    val docs = (1 to 40).map(i =>
+      (i.toLong, if (i <= 20) "up" else "keep", s"document number $i body"))
+      .toDF("doc_id", "source", "text")
+    val out = Curation.mixCorpusWithRepetition(docs, "text", "source",
+        Map("up" -> 25000, "keep" -> 10000))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("epoch")))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    // rate 2.5: every 'up' doc twice, a bucket-chosen subset three times.
+    (1L to 20L).foreach { i =>
+      assert(byDoc(i) == Seq(1L, 2L) || byDoc(i) == Seq(1L, 2L, 3L), s"doc $i: ${byDoc(i)}")
+    }
+    val triples = (1L to 20L).count(byDoc(_).size == 3)
+    assert(triples > 0 && triples < 20, s"fractional epoch should split the source: $triples")
+    // rate 1.0: exactly one copy each.
+    (21L to 40L).foreach(i => assert(byDoc(i) == Seq(1L)))
+    // monotone in the rate: raising 2.5 -> 3.0 only ADDS copies.
+    val raised = Curation.mixCorpusWithRepetition(docs, "text", "source",
+        Map("up" -> 30000, "keep" -> 10000))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("epoch"))).toSet
+    assert(out.toSet.subsetOf(raised))
+  }
+
   test("boilerplateSampled finds planted boilerplate with a scaled estimate") {
     // 200 docs, 50% carry the same boilerplate phrase; unique filler makes
     // every other 3-gram's df = 1.
