@@ -124,7 +124,8 @@ object SparkEntry {
         "doc_id", "text", index, 0.9)
     }),
     // Winnowing partial-overlap pairs: containment detection whole-set
-    // MinHash misses. xxhash64 fingerprints -> rows-only; guarantees
+    // MinHash misses. md5-prefix fingerprints (r7) -> the sliding
+    // window-min set replays relationally, FULL oracle; guarantees
     // pinned in WinnowSpec.
     "winnow_overlaps" -> ((s, dir) =>
       graft.dedup.Winnow.overlaps(Tables.documents(s, dir), "doc_id", "text")),
@@ -1063,6 +1064,32 @@ object SparkEntry {
     "lm_scores_trigram" -> graft.text.LmScore.sqlScoresTrigram(),
     "lm_scores_pruned" -> graft.text.LmScore.sqlScoresPruned(),
     "lm_perplexity_buckets" -> graft.text.LmScore.sqlPerplexityBuckets,
+    // Winnowing: per-doc sliding window-min SET over md5-prefix shingle
+    // hashes (win = LEAST(window, stream length) — the native
+    // expression's short-doc rule), boilerplate buckets (> 64 docs)
+    // dropped, pair counts over qualifying fingerprints.
+    "winnow_overlaps" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+        |      s -> CAST(('0x' || substring(md5(s), 1, 15))::UBIGINT AS BIGINT)) AS hs
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+') AS toks
+        |        FROM documents)),
+        |f AS (
+        |  SELECT DISTINCT doc_id, fp FROM (
+        |    SELECT doc_id,
+        |      UNNEST(list_transform(range(1, len(hs) - LEAST(4, len(hs)) + 2),
+        |        i -> list_min(list_slice(hs, i, i + LEAST(4, len(hs)) - 1)))) AS fp
+        |    FROM h WHERE len(hs) >= 1)),
+        |b AS (SELECT fp FROM f GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 64),
+        |p AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b
+        |      FROM f a JOIN f b2 ON a.fp = b2.fp AND a.doc_id < b2.doc_id
+        |      JOIN b ON a.fp = b.fp)
+        |SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     "token_quota" ->
       """WITH t AS (
         |  SELECT doc_id, source,

@@ -24,8 +24,12 @@ import org.apache.spark.sql.functions._
   * removal, not pairwise comparison; dropped buckets are the standard
   * winnowing practice and only lose already-boilerplate matches).
   *
-  * Fingerprints are xxhash64-based — engine-specific, so the
-  * `winnow_overlaps` query is rows-only; WinnowSpec pins the containment
+  * Fingerprints are the md5-prefix hash (first 15 hex digits → a 60-bit
+  * non-negative long — the repo's engine-reproducible primitive widened
+  * past the bucket modulus), so winnowing replays relationally and the
+  * `winnow_overlaps` query carries a FULL oracle: the window-min SET is
+  * tie-rule-independent, and DuckDB computes the same sliding minima
+  * with `list_min(list_slice(...))`. WinnowSpec pins the containment
   * guarantee and the boilerplate-bucket cap.
   */
 object Winnow {
@@ -33,7 +37,8 @@ object Winnow {
   /** Distinct winnowed fingerprints of the lowercased n-gram stream. */
   def fingerprints(text: org.apache.spark.sql.Column, n: Int, window: Int) =
     org.apache.spark.sql.graft.ArrayFunctions.winnowMins(
-      transform(graft.text.TextAnalysis.shingles(text, n), s => xxhash64(s)),
+      transform(graft.text.TextAnalysis.shingles(text, n),
+        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")),
       window)
 
   /** Pairs of documents sharing ≥ `minShared` winnowed fingerprints:
