@@ -1064,6 +1064,40 @@ object SparkEntry {
     "lm_scores_trigram" -> graft.text.LmScore.sqlScoresTrigram(),
     "lm_scores_pruned" -> graft.text.LmScore.sqlScoresPruned(),
     "lm_perplexity_buckets" -> graft.text.LmScore.sqlPerplexityBuckets,
+    // SimHash: replay the bit votes per (doc, bit) over md5-prefix token
+    // hashes, assemble the signed 64-bit signature (vote for hash bit b
+    // lands at output bit 63-b; the b=0 term is the two's-complement
+    // MSB), then ALL-PAIRS exact Hamming <= 3 — the 4x16 chunk banding
+    // guarantees the operator's output EQUALS this exact form.
+    "simhash_pairs" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+') AS toks
+        |  FROM documents),
+        |hs AS (
+        |  SELECT doc_id,
+        |    UNNEST(list_transform(toks,
+        |      t -> CAST(('0x' || substring(md5(t), 1, 15))::UBIGINT AS BIGINT))) AS h
+        |  FROM tk),
+        |v AS (
+        |  SELECT doc_id, bb.b AS b, SUM(((h >> bb.b) & 1) * 2 - 1) AS cnt
+        |  FROM hs CROSS JOIN (SELECT UNNEST(range(0, 64)) AS b) bb
+        |  GROUP BY 1, 2),
+        |sig0 AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN cnt > 0 THEN
+        |      CASE WHEN b = 0 THEN -9223372036854775807 - 1
+        |           ELSE CAST(1 AS BIGINT) << CAST(63 - b AS INTEGER) END
+        |      ELSE 0 END) AS BIGINT) AS sh
+        |  FROM v GROUP BY 1),
+        |sig AS (
+        |  SELECT d.doc_id, COALESCE(s.sh, 0) AS sh
+        |  FROM documents d LEFT JOIN sig0 s USING (doc_id)),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+        |    CAST(bit_count(xor(a.sh, b2.sh)) AS BIGINT) AS hamming
+        |  FROM sig a JOIN sig b2 ON a.doc_id < b2.doc_id)
+        |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     // Winnowing: per-doc sliding window-min SET over md5-prefix shingle
     // hashes (win = LEAST(window, stream length) — the native
     // expression's short-doc rule), boilerplate buckets (> 64 docs)

@@ -674,10 +674,17 @@ object Dedup {
 
   // ---- SimHash ----
 
-  /** Per-token 64-bit hashes (compute ONCE per row — the 64 bit-position
-    * folds below reuse this array rather than re-hashing per bit). */
+  /** Per-token hashes (compute ONCE per row — the 64 bit-position folds
+    * below reuse this array rather than re-hashing per bit). md5-prefix
+    * 60-bit (first 15 hex digits), the engine-reproducible primitive:
+    * both engines derive the identical longs, so the SimHash bit votes —
+    * and therefore `simhash_pairs` — replay relationally in DuckDB and
+    * the query carries a FULL oracle. (Bits 60-63 of every token hash are
+    * 0, so the signature's four lowest output bits are constant — the
+    * banding pigeonhole over four 16-bit chunks is unaffected.) */
   def tokenHashes(text: Column): Column =
-    transform(graft.text.TextAnalysis.tokens(lower(text)), t => xxhash64(t))
+    transform(graft.text.TextAnalysis.tokens(lower(text)),
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
 
   /** 64-bit SimHash from a column holding array<long> token hashes — the
     * native one-pass expression
