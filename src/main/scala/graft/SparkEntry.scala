@@ -1064,6 +1064,16 @@ object SparkEntry {
     "lm_scores_trigram" -> graft.text.LmScore.sqlScoresTrigram(),
     "lm_scores_pruned" -> graft.text.LmScore.sqlScoresPruned(),
     "lm_perplexity_buckets" -> graft.text.LmScore.sqlPerplexityBuckets,
+    "doc_fingerprints" ->
+      """SELECT doc_id,
+        |  CAST(('0x' || substring(md5(text), 1, 15))::UBIGINT AS BIGINT) AS doc_fp,
+        |  list_min(list_transform(
+        |    list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+        |    s -> CAST(('0x' || substring(md5(s), 1, 15))::UBIGINT AS BIGINT))) AS min_shingle_fp
+        |FROM (SELECT doc_id, text, regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+') AS toks
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     // SimHash: replay the bit votes per (doc, bit) over md5-prefix token
     // hashes, assemble the signed 64-bit signature (vote for hash bit b
     // lands at output bit 63-b; the b=0 term is the two's-complement

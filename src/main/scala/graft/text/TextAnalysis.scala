@@ -310,15 +310,18 @@ object TextAnalysis {
       .orderBy(col("source_a"), col("source_b"))
   }
 
-  /** 64-bit whole-document fingerprint + min-shingle rolling fingerprint
-    * (the winnowing primitive: min over the 3-gram shingle hash stream).
-    * Engine-specific hash (xxhash64) — no SQL oracle; pinned by specs. */
+  /** Whole-document fingerprint + min-shingle rolling fingerprint (the
+    * winnowing primitive: min over the 3-gram shingle hash stream). Both
+    * are the md5-prefix 60-bit hash (first 15 hex digits — the
+    * engine-reproducible primitive, switched from xxhash64 in r7), so
+    * the `doc_fingerprints` query carries a full hash-checked oracle. */
   def fingerprints(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val t = col(textCol)
+    def fp(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
     docs.select(
       col(idCol),
-      xxhash64(t).as("fp64"),
-      array_min(transform(shingles(t, 3), s => xxhash64(s))).as("min_shingle_fp")
+      fp(t).as("doc_fp"),
+      array_min(transform(shingles(t, 3), s => fp(s))).as("min_shingle_fp")
     ).orderBy(col(idCol))
   }
 }
