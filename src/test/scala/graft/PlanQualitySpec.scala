@@ -212,6 +212,24 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("repetition mixing broadcasts rates; the corpus never shuffles") {
+    val plan = planOf(SparkEntry.queries("corpus_mix_epochs")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"corpus shuffled for a rate join:\n$plan")
+  }
+
+  test("token quota plans exactly one keyed exchange (the source window)") {
+    // The formatted plan prints exchange arguments on their own line:
+    // `Arguments: hashpartitioning(source...)`. One keyed exchange (the
+    // window) — the only other Exchange is the output sort's range
+    // partitioning.
+    val plan = planOf(SparkEntry.queries("token_quota")(spark, dir))
+    val keyed = plan.linesIterator
+      .count(l => l.contains("Arguments: hashpartitioning"))
+    assert(keyed == 1, s"expected one source-keyed exchange, got $keyed:\n$plan")
+    assert(plan.contains("hashpartitioning(source"), plan)
+  }
+
   test("DSIR weight table broadcasts; the token stream never shuffles raw") {
     val df = SparkEntry.queries("dsir_weights")(spark, dir)
     df.collect()
