@@ -71,6 +71,14 @@ object SparkEntry {
     "doc_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
     // ---- [EXT] dedup ----
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir), "text", "doc_id")),
+    // Incremental exact dedup: docs < 250 are history (only their
+    // content-hash index is consulted), the rest arrive as a batch —
+    // O(batch) per batch at any history size. Full oracle.
+    "dedup_exact_incremental" -> ((s, dir) => {
+      val all = Tables.documents(s, dir)
+      Dedup.exactIncremental(all.filter(col("doc_id") >= 250), "doc_id", "text",
+        Dedup.exactIndex(all.filter(col("doc_id") < 250), "doc_id", "text"))
+    }),
     "jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", "source", 0.9)),
     "dedup_near_minhash" -> ((s, dir) =>
@@ -1285,6 +1293,12 @@ object SparkEntry {
         |  SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
         |  FROM documents GROUP BY text)
         |ORDER BY keeper_id""".stripMargin,
+    "dedup_exact_incremental" ->
+      """WITH hist AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 250),
+        |b AS (SELECT md5(text) AS h, doc_id FROM documents WHERE doc_id >= 250)
+        |SELECT MIN(doc_id) AS keeper_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM b WHERE h NOT IN (SELECT h FROM hist)
+        |GROUP BY h ORDER BY keeper_id""".stripMargin,
     "jaccard_pairs" ->
       """WITH t AS (
         |  SELECT doc_id, source,

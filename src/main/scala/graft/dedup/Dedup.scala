@@ -33,6 +33,43 @@ object Dedup {
       .select(col("keeper_id"), col("n_copies"))
       .orderBy(col("keeper_id"))
 
+  /** Persisted content-hash index over a corpus — the incremental state
+    * for EXACT dedup (the [[graft.dedup.ParagraphDedup.paragraphIndex]]
+    * discipline at whole-document granularity): one row per distinct
+    * md5(text) with its keep-first keeper id, never the text. */
+  def exactIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("h"))
+      .agg(min(col(idCol).cast("long")).as("keeper_id"))
+
+  /** The index after absorbing a batch: existing entries win (their
+    * keepers are history); the batch contributes one entry per hash the
+    * index has never seen. */
+  def exactIndexAfterBatch(index: DataFrame, batch: DataFrame,
+                           idCol: String, textCol: String): DataFrame =
+    index.unionByName(
+      exactIndex(batch, idCol, textCol)
+        .join(index.select(col("h")), Seq("h"), "left_anti"))
+
+  /** [EXT] INCREMENTAL exact dedup (`dedup_exact_incremental` query) —
+    * the most common production dedup step: new-batch keepers against
+    * the persisted content-hash index, WITHOUT re-reading history.
+    * Output: (keeper_id, n_copies) for every batch hash the index has
+    * never seen (n_copies counts batch occurrences). Equals the batch-
+    * keeper rows of a full [[exact]] recompute over history ∪ batch
+    * whenever history doc ids precede batch doc ids (append-only
+    * contract) — DedupSpec pins the union-equivalence. Per-batch cost:
+    * one map-combined hash agg + an anti-join probe of the index
+    * (shuffle-free on a pre-bucketed index) — O(batch) at any history
+    * size. */
+  def exactIncremental(batch: DataFrame, idCol: String, textCol: String,
+                       index: DataFrame): DataFrame =
+    batch.select(md5(col(textCol)).as("h"), col(idCol).cast("long").as("id"))
+      .join(index.select(col("h")), Seq("h"), "left_anti")
+      .groupBy(col("h"))
+      .agg(min(col("id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .select(col("keeper_id"), col("n_copies"))
+      .orderBy(col("keeper_id"))
+
   /** Distinct lowercased whitespace tokens — the comparison set for
     * Jaccard, sorted so downstream hashing/merging is order-independent.
     * `sort_array`, not `array_sort`: the latter desugars to a lambda

@@ -24,6 +24,37 @@ class DedupSpec extends SparkSpec {
       Seq((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
   }
 
+  test("incremental exact dedup equals the batch keepers of a full recompute") {
+    // History = docs 1-2, batch = docs 3-6: doc 6 repeats doc 1's text
+    // (cross-batch duplicate — must vanish via the index), docs 4/5 are
+    // an in-batch pair, doc 3 is novel.
+    val all = Seq(
+      (1L, "the quick brown fox jumps"), (2L, "some other history document"),
+      (3L, "a genuinely new batch document"),
+      (4L, "twin batch pages here"), (5L, "twin batch pages here"),
+      (6L, "the quick brown fox jumps")
+    ).toDF("doc_id", "text")
+    val hist = all.filter($"doc_id" <= 2)
+    val batch = all.filter($"doc_id" >= 3)
+    val inc = Dedup.exactIncremental(batch, "doc_id", "text",
+        Dedup.exactIndex(hist, "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(inc == Seq((3L, 1L), (4L, 2L)), s"got $inc")
+    // union-equivalence: the full recompute's batch-side keepers with
+    // history-unseen hashes are exactly the incremental output.
+    val full = Dedup.exact(all, "text", "doc_id")
+      .filter($"keeper_id" >= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(inc == full, s"incremental $inc != full batch keepers $full")
+    // index absorption: history keepers immutable, union == from-scratch.
+    val after = Dedup.exactIndexAfterBatch(
+        Dedup.exactIndex(hist, "doc_id", "text"), batch, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val scratch = Dedup.exactIndex(all, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after == scratch)
+  }
+
   test("minhash LSH pairs equal exact jaccard pairs at the same threshold") {
     // Threshold 0.7: the (1,2) exact-dup pair (J=1.0) and (1,3)/(2,3)
     // (J=0.8 on token SETS: 8 shared of 10 distinct... recompute: sets are
