@@ -1310,9 +1310,45 @@ object SparkEntry {
         |          nullif(len(list_distinct(a.toks || b.toks)), 0)::DOUBLE, 4) AS jaccard
         |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.9 ORDER BY id_a, id_b""".stripMargin,
-    // dedup_near_minhash / simhash_pairs: LSH internals are not
-    // SQL-expressible — specs cross-check MinHash output against the exact
-    // Jaccard join and pin SimHash bit semantics (rows-only driver check).
+    // MinHash/LSH replayed relationally (r8): md5-prefix component hashes
+    // -> per-(doc, component) min -> 16 band 4-tuples -> candidate pairs
+    // share >= 1 band -> exact Jaccard verify. Banding at doc granularity
+    // equals the engine's rep granularity: identical token sets have
+    // identical signatures, so members pair iff their reps do, and
+    // within-group pairs (J = 1.0) share every band. Bucket hashing is
+    // equality-preserving (60-bit md5 prefix), so tuple equality here is
+    // the engine's bucket equality.
+    "dedup_near_minhash" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_sort(list_distinct(regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+'))) AS toks
+        |  FROM documents),
+        |t AS (SELECT doc_id, toks, len(toks) AS n FROM tk WHERE len(toks) > 0),
+        |comp AS (
+        |  SELECT tt.doc_id, kk.k AS k,
+        |    MIN(CAST(('0x' || substring(md5(tt.tok || ':' || CAST(kk.k AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT)) AS s
+        |  FROM (SELECT doc_id, UNNEST(toks) AS tok FROM t) tt
+        |  CROSS JOIN (SELECT UNNEST(range(0, 64)) AS k) kk
+        |  GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, list(s ORDER BY k) AS sg FROM comp GROUP BY 1),
+        |band AS (
+        |  SELECT doc_id, bb.b AS band,
+        |    CAST(sg[bb.b*4+1] AS VARCHAR) || ',' || CAST(sg[bb.b*4+2] AS VARCHAR) || ',' ||
+        |    CAST(sg[bb.b*4+3] AS VARCHAR) || ',' || CAST(sg[bb.b*4+4] AS VARCHAR) AS bkey
+        |  FROM sig CROSS JOIN (SELECT UNNEST(range(0, 16)) AS b) bb),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        |  FROM band a JOIN band c ON a.band = c.band AND a.bkey = c.bkey
+        |    AND a.doc_id < c.doc_id),
+        |jp AS (
+        |  SELECT cand.id_a, cand.id_b,
+        |    round(len(list_filter(x.toks, e -> list_contains(y.toks, e)))::DOUBLE /
+        |          nullif(len(list_distinct(x.toks || y.toks)), 0)::DOUBLE, 4) AS jaccard
+        |  FROM cand JOIN t x ON cand.id_a = x.doc_id JOIN t y ON cand.id_b = y.doc_id)
+        |SELECT id_a, id_b, jaccard FROM jp WHERE jaccard >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+    // simhash_pairs: full oracle below (bit votes over md5-prefix token
+    // hashes replayed relationally since r7).
     "ngram_jaccard_pairs" ->
       """WITH t AS (
         |  SELECT doc_id, source,

@@ -136,8 +136,13 @@ object Dedup {
       setExpr.as("toks"))
       .withColumn("n", size(col("toks")))
       .localCheckpoint(true)
-    val a = t.select(col("id").as("id_a"), col("block"), col("toks").as("toks_a"), col("n").as("n_a"))
-    val b = t.select(col("id").as("id_b"), col("block"), col("toks").as("toks_b"), col("n").as("n_b"))
+    // Distinct key names per side: `a("block") === b("block")` over two
+    // projections of the SAME checkpointed table is the ambiguous-self-join
+    // shape `failAmbiguousSelfJoin` exists to reject — dataset-id
+    // disambiguation happened to rewrite it correctly, but it warned
+    // ("trivially true equals predicate") on every run and read as latent.
+    val a = t.select(col("id").as("id_a"), col("block").as("block_a"), col("toks").as("toks_a"), col("n").as("n_a"))
+    val b = t.select(col("id").as("id_b"), col("block").as("block_b"), col("toks").as("toks_b"), col("n").as("n_b"))
     // Size pruning: J(A,B) >= t implies min(|A|,|B|) >= t * max(|A|,|B|)
     // (since |A∩B| <= min and |A∩B| >= t*|A∪B| >= t*max). The cheap integer
     // predicate runs in the join condition, so most of the quadratic
@@ -158,7 +163,7 @@ object Dedup {
     // collapses to ~|blocks| parallel tasks; a broadcast hash join streams
     // the probe side at full partition parallelism instead. The audit
     // scope that bounds the quadratic fan-out bounds the broadcast too.
-    a.join(broadcast(b), a("block") === b("block") && col("id_a") < col("id_b") &&
+    a.join(broadcast(b), col("block_a") === col("block_b") && col("id_a") < col("id_b") &&
         least(col("n_a"), col("n_b")).cast("double") >=
           greatest(col("n_a"), col("n_b")).cast("double") * pruneT &&
         jac >= threshold)
@@ -171,39 +176,58 @@ object Dedup {
   /** MinHash signature (array<long>, length numHashes) over the document's
     * token SET. Pure per-row expression work.
     *
-    * Hash family: component i of a token is `xxhash64(tokenHash, i)` — a
-    * full 64-bit mix per (token, component), deterministic across runs and
-    * partitions (part of the operator contract). An earlier affine family
-    * `(a·x + b) mod 2⁶¹−1` with a < 2³⁰ (sized to dodge ANSI overflow) was
-    * nearly MONOTONE in x — the product wraps the modulus at most once —
-    * so every "independent" component degenerated to argmin(x) and J=0.9
-    * pairs could share ZERO of 16 bands (observed on the sf0.001 fixture;
-    * pinned by DedupSpec's scaled-keepers equivalence test). xxhash64 over
-    * two longs has no such structure and no overflow concerns.
+    * Hash family (r8): component i of token t is the md5-prefix 60-bit
+    * hash `low60(md5(t ++ ":" ++ i))` — the ENGINE-REPRODUCIBLE primitive
+    * SimHash/winnowing/fingerprints adopted in r7 (both engines derive the
+    * identical longs via `conv(substring(md5(x),1,15),16,10)` / DuckDB
+    * `('0x' || substring(md5(x),1,15))::UBIGINT`), which is what gives
+    * `dedup_near_minhash` its FULL band-bucket oracle. A fresh digest per
+    * (token, component) is trivially non-monotone in the token — the r6
+    * failure mode (an affine family whose every component degenerated to
+    * argmin of the token hash, so J=0.9 pairs shared zero bands) cannot
+    * recur, and DedupSpec's scaled-keepers equivalence still pins recall.
     *
     * Shape matters: a naive `array(h_0, …, h_63)` of 64 independent
-    * `array_min(transform(tokens, …))` expressions gets the tokenize+hash
+    * `array_min(transform(tokens, …))` expressions gets the tokenize
     * subtree INLINED 64 times by Catalyst's CollapseProject (no CSE across
     * array elements), turning one regexp pass into 64 — measured 50×
-    * slower at sf0.1. Instead: ONE `aggregate` fold over the token-hash
-    * array keeps a 64-wide running-min accumulator, so tokenization and
-    * the string hash run exactly once per token regardless of numHashes.
+    * slower at sf0.1. Instead: ONE `aggregate` fold over the token array
+    * keeps a 64-wide running-min accumulator, so tokenization runs exactly
+    * once per token regardless of numHashes.
     *
     * This declarative form is the REFERENCE implementation: the hot paths
     * use the native one-pass [[org.apache.spark.sql.graft.MinHashBandBuckets]]
-    * (HOF folds run interpreted with boxed per-token accumulators), and
-    * ExpressionsSpec pins the native expression's components against this
-    * column chain. */
+    * (HOF folds run interpreted with boxed per-token accumulators; 64 md5
+    * digests per token run ~free in compiled code but the fold around them
+    * does not), and ExpressionsSpec pins the native expression's components
+    * against this column chain. */
   def minHashSignature(tokSet: Column, numHashes: Int): Column = {
     val idxArr = array((0 until numHashes).map(i => lit(i.toLong)): _*)
-    val hs = transform(tokSet, t => xxhash64(t))
     aggregate(
-      hs,
+      tokSet,
       array_repeat(lit(Long.MaxValue), numHashes),
-      (acc, h) => zip_with(idxArr, acc, (i, m) => least(xxhash64(h, i), m)))
+      (acc, t) => zip_with(idxArr, acc, (i, m) =>
+        least(conv(substring(md5(concat(t, lit(":"), i.cast("string"))), 1, 15),
+          16, 10).cast("long"), m)))
   }
 
-  /** MinHash/LSH near-dup pairs (`dedup_near_minhash` query).
+  /** Declarative twin of the native expression's band-bucket fold:
+    * `low60(md5(bd ++ ":" ++ sig[bd·r],…))` per band, decimal renderings —
+    * pinned equal to [[org.apache.spark.sql.graft.MinHashBandBuckets]] by
+    * ExpressionsSpec. */
+  def minHashBandBucketsDeclarative(sig: Column, numHashes: Int, bands: Int): Column = {
+    val r = numHashes / bands
+    array((0 until bands).map { bd =>
+      val parts = concat_ws(",",
+        (0 until r).map(j => element_at(sig, bd * r + j + 1).cast("string")): _*)
+      conv(substring(md5(concat(lit(s"$bd:"), parts)), 1, 15), 16, 10).cast("long")
+    }: _*)
+  }
+
+  /** MinHash/LSH near-dup pairs (`dedup_near_minhash` query — FULL oracle
+    * since r8: the md5-prefix hash family replays relationally, so DuckDB
+    * rebuilds signatures, band 4-tuples, candidate pairs and the exact
+    * Jaccard verify and the outputs hash-match).
     *
     * signature → split into `bands` bands of r rows → explode one row per
     * (doc, band) → equi-self-join on (band, bucket) → distinct candidate

@@ -342,11 +342,20 @@ object SplitWhitespace {
 }
 
 /** MinHash signature + LSH band buckets for an `array<string>` token SET,
-  * in one pass: `bucket[bd] = xxhash64(bd, sig[bd·r] … sig[bd·r+r−1])`
-  * where `sig[k] = min over tokens t of xxhash64(xxhash64(t), k)` —
-  * exactly the component family of [[graft.dedup.Dedup.minHashSignature]]
-  * (xxhash64 chains reproduced via [[XXH64]] statics; parity pinned by
-  * ExpressionsSpec against the declarative `xxhash64(...)` column chain).
+  * in one pass, on the md5-prefix ENGINE-REPRODUCIBLE hash family:
+  * `sig[k] = min over tokens t of low60(md5(t ++ ":" ++ k))` and
+  * `bucket[bd] = low60(md5(bd ++ ":" ++ sig[bd·r],…,sig[bd·r+r−1]))`
+  * (decimal renderings, comma-separated) — exactly the component family of
+  * [[graft.dedup.Dedup.minHashSignature]], where low60 is the first 15 hex
+  * digits of the digest read as base-16 (the same primitive SimHash /
+  * winnowing / fingerprints adopted in r7: DuckDB replays it as
+  * `('0x' || substring(md5(x), 1, 15))::UBIGINT`, which is what upgrades
+  * `dedup_near_minhash` from rows-only to a FULL band-bucket oracle).
+  * Parity with the declarative md5 column chain is pinned by
+  * ExpressionsSpec. The r6 lesson stands: the family must be non-monotone
+  * in the token hash (an affine family degenerated every component to
+  * argmin(x)); a fresh cryptographic digest per (token, component) has no
+  * such structure.
   *
   * Why native: the declarative form is an `aggregate` fold carrying a
   * numHashes-wide accumulator updated via `zip_with` per token — Catalyst
@@ -387,25 +396,49 @@ case class MinHashBandBuckets(child: Expression, numHashes: Int, bands: Int)
 }
 
 object MinHashBandBuckets {
-  import org.apache.spark.sql.catalyst.expressions.XXH64
 
-  private final val Seed = 42L // XxHash64's default seed (xxhash64(...) SQL)
+  // MessageDigest is stateful and not thread-safe: one MD5 instance per
+  // executor thread, reused across rows (digest() leaves it reset).
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  // Pre-rendered ASCII decimal bytes for component indexes (numHashes is
+  // 64 in every caller; 1024 leaves headroom without a per-hash format).
+  private val compBytes: Array[Array[Byte]] =
+    Array.tabulate(1024)(i =>
+      String.valueOf(i).getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+
+  /** First 15 hex digits of the digest as a base-16 value = the big-endian
+    * u64 of bytes 0-7 with the low nibble dropped — always in [0, 2⁶⁰),
+    * so the long is non-negative and `conv(substring(md5(x),1,15),16,10)`
+    * / DuckDB `('0x' || substring(md5(x),1,15))::UBIGINT` agree exactly. */
+  private def low60(d: Array[Byte]): Long =
+    (((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) | ((d(2) & 0xFFL) << 40) |
+      ((d(3) & 0xFFL) << 32) | ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
+      ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)) >>> 4
 
   def compute(tokens: ArrayData, numHashes: Int, bands: Int): ArrayData = {
+    val md = mdLocal.get()
     val sig = new Array[Long](numHashes)
     java.util.Arrays.fill(sig, Long.MaxValue)
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
       if (!tokens.isNullAt(i)) {
-        // xxhash64(tok) = hashUTF8String(tok, seed);
-        // xxhash64(th, k) = hashLong(k, hashLong(th, seed)) — hoist the
-        // inner hash out of the component loop.
-        val th = XXH64.hashUTF8String(tokens.getUTF8String(i), Seed)
-        val inner = XXH64.hashLong(th, Seed)
+        // low60(md5(token ++ ":" ++ k)) per component — the token's UTF-8
+        // bytes feed the digest directly (md5(string) in both engines
+        // hashes the UTF-8 encoding), index appended as ASCII decimal.
+        val tb = tokens.getUTF8String(i).getBytes
         var k = 0
         while (k < numHashes) {
-          val h = XXH64.hashLong(k.toLong, inner)
+          md.reset()
+          md.update(tb)
+          md.update(':'.toByte)
+          md.update(if (k < compBytes.length) compBytes(k)
+                    else String.valueOf(k).getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          val h = low60(md.digest())
           if (h < sig(k)) sig(k) = h
           k += 1
         }
@@ -414,15 +447,23 @@ object MinHashBandBuckets {
     }
     val r = numHashes / bands
     val buckets = new Array[Long](bands)
+    val sb = new java.lang.StringBuilder(r * 20 + 8)
     var bd = 0
     var k = 0
     while (bd < bands) {
-      // xxhash64(bd, sig[k0] … sig[k0+r−1]): the same left-to-right chain
-      // the variadic xxhash64(...) column computes.
-      var h = XXH64.hashLong(bd.toLong, Seed)
+      // low60(md5("bd:s0,s1,…,s(r−1)")) — decimal renderings, so the
+      // declarative chain (concat + cast-to-string + md5) and DuckDB
+      // rebuild the identical digest input.
+      sb.setLength(0)
+      sb.append(bd).append(':')
       var j = 0
-      while (j < r) { h = XXH64.hashLong(sig(k), h); k += 1; j += 1 }
-      buckets(bd) = h
+      while (j < r) {
+        if (j > 0) sb.append(',')
+        sb.append(sig(k)); k += 1; j += 1
+      }
+      md.reset()
+      md.update(sb.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      buckets(bd) = low60(md.digest())
       bd += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(buckets)

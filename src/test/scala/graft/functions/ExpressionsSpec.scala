@@ -86,23 +86,21 @@ class ExpressionsSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = prev
   }
 
-  test("minHashBandBuckets equals the declarative xxhash64 chain") {
+  test("minHashBandBuckets equals the declarative md5-prefix chain") {
     // Expected buckets built ONLY from public column functions: the HOF
-    // signature fold (graft.dedup.Dedup.minHashSignature) then
-    // xxhash64(band, sig[band*r] .. sig[band*r+r-1]) per band — the exact
-    // chain MinHashBandBuckets.compute reproduces via XXH64 statics.
+    // signature fold (graft.dedup.Dedup.minHashSignature) then the md5
+    // band fold (minHashBandBucketsDeclarative) — the exact digest inputs
+    // MinHashBandBuckets.compute rebuilds byte-for-byte.
     val numHashes = 8
     val bands = 4
-    val r = numHashes / bands
     val df = Seq(
       Seq("alpha", "beta", "gamma", "delta"),
       Seq("alpha"),
       Seq[String]()).toDF("toks")
     val sigDf = df.withColumn("sig",
       graft.dedup.Dedup.minHashSignature($"toks", numHashes))
-    val expected = sigDf.select(array((0 until bands).map(bd =>
-        xxhash64((lit(bd.toLong) +: (0 until r).map(k =>
-          element_at($"sig", bd * r + k + 1))): _*)): _*).as("b"))
+    val expected = sigDf.select(
+        graft.dedup.Dedup.minHashBandBucketsDeclarative($"sig", numHashes, bands).as("b"))
       .as[Seq[Long]].collect()
     val got = df.select(ArrayFunctions.minHashBandBuckets($"toks", numHashes, bands).as("b"))
       .as[Seq[Long]].collect()
