@@ -549,9 +549,12 @@ object SparkEntry {
     "lm_scores_pruned" -> ((s, dir) =>
       graft.text.LmScore.prunedScores(Tables.documents(s, dir), "doc_id", "text")),
     // CCNet head/middle/tail perplexity terciles: integer rank
-    // arithmetic (ntile), no float quantile boundary — full oracle.
+    // arithmetic, no float quantile boundary — full oracle. Bound to the
+    // hierarchical-rank form (r8): per-shard row_number + broadcast
+    // offsets + closed-form tercile, no single-partition window; pinned
+    // output-identical to the global-ntile reference in LmScoreSpec.
     "lm_perplexity_buckets" -> ((s, dir) =>
-      graft.text.LmScore.perplexityBuckets(Tables.documents(s, dir))),
+      graft.text.LmScore.perplexityBucketsScalable(Tables.documents(s, dir))),
     // Per-source TOKEN budget (mixture design is stated in tokens, not
     // docs): take docs in content-keyed order until the inclusive
     // running token sum would cross 400 per source.

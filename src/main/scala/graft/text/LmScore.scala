@@ -124,17 +124,75 @@ object LmScore {
     * on — the query carries a full hash-checked oracle at every corpus
     * size.
     *
-    * Scale note: the global `ntile` window is the honest semantic
-    * statement; at 100 TB the identical assignment is computed
-    * hierarchically — per-shard `row_number` + broadcast shard offsets
-    * ([[graft.pipeline.Curation.shuffleCorpus]]'s rank discipline) and
-    * the closed form above — with no single-partition window. */
+    * This reference form runs a global `ntile` window (single-partition
+    * sort — fine only as the semantic statement and in specs);
+    * [[perplexityBucketsScalable]] computes the IDENTICAL assignment
+    * hierarchically and is what the `lm_perplexity_buckets` query binds
+    * to. LmScoreSpec pins the two output-equal. */
   def perplexityBuckets(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val s = scores(docs, idCol, textCol)
     s.withColumn("bucket",
         ntile(3).over(Window.orderBy(col("avg_cost_micro"), col("doc_id"))))
+      .select(col("doc_id"), col("n_bigrams"), col("avg_cost_micro"),
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === 2, "middle")
+          .otherwise("tail").as("tier"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[perplexityBuckets]] without the single-partition window — the
+    * 100 TB form (`lm_perplexity_buckets` query since r8), built on the
+    * [[graft.pipeline.Curation.shuffleCorpus]] hierarchical-rank
+    * discipline:
+    *
+    *  1. deterministic MONOTONE shard = linear bin of `avg_cost_micro`
+    *     over its global [min, max] (one cheap broadcast agg; same cost →
+    *     same shard, shard monotone in cost, so ordering by (shard, cost,
+    *     doc_id) equals the global (cost, doc_id) order — NOT a sampled
+    *     range partitioning, whose per-branch re-evaluation could
+    *     disagree between the rank and size branches);
+    *  2. per-shard `row_number` (the only windows are per-shard);
+    *  3. broadcast ≤nShards-row cumulative-offset join → exact global
+    *     rank;
+    *  4. closed-form bucket = ⌊(rank−1)·3 ∕ n⌋ + 1, integer `div` — for
+    *     k = 3 this is PROVABLY ntile's big-buckets-first split at every
+    *     n (n = 3q+1 → sizes q+1,q,q; n = 3q+2 → q+1,q+1,q), so the
+    *     output is bit-identical to the reference form (LmScoreSpec pins
+    *     it) and the `ntile`-based DuckDB oracle is unchanged.
+    *
+    * Skew bound: a shard holds only documents whose integer cost falls in
+    * its bin — worst case is a single massively-repeated cost value, the
+    * same mass a global sort would put on one boundary anyway. */
+  def perplexityBucketsScalable(docs: DataFrame, idCol: String = "doc_id",
+                                textCol: String = "text",
+                                nShards: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = scores(docs, idCol, textCol)
+    val bounds = s.agg(min(col("avg_cost_micro")).as("__lo"),
+      max(col("avg_cost_micro")).as("__hi"))
+    val sharded = s.crossJoin(broadcast(bounds))
+      .withColumn("__shard",
+        least(lit(nShards - 1).cast("long"),
+          floor((col("avg_cost_micro") - col("__lo")).cast("double") * nShards /
+            (col("__hi") - col("__lo") + 1L).cast("double")).cast("long")))
+      .drop("__lo", "__hi")
+    val wIn = Window.partitionBy(col("__shard"))
+      .orderBy(col("avg_cost_micro"), col("doc_id"))
+    val posIn = sharded.withColumn("__p", row_number().over(wIn).cast("long"))
+    val sizes = posIn.groupBy(col("__shard")).agg(count(lit(1)).as("__c"))
+    // bounded input: ≤ nShards aggregated rows through this global window
+    val wOff = Window.orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = sizes
+      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
+      .select(col("__shard"), col("__off"))
+    val total = sizes.agg(sum(col("__c")).as("__n"))
+    posIn.join(broadcast(offs), Seq("__shard"))
+      .crossJoin(broadcast(total))
+      .withColumn("__rank", col("__off") + col("__p"))
+      .withColumn("bucket", expr("((__rank - 1) * 3) div __n") + 1L)
       .select(col("doc_id"), col("n_bigrams"), col("avg_cost_micro"),
         when(col("bucket") === 1, "head")
           .when(col("bucket") === 2, "middle")
