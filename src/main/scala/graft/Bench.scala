@@ -26,11 +26,15 @@ object Bench {
     */
   private def dropPersisted(spark: SparkSession): Unit = {
     val sc = spark.sparkContext
+    // restore whatever level was in effect, not a hard-coded WARN — a run
+    // configured at another verbosity shouldn't be silently reset here.
+    val prev = org.apache.logging.log4j.LogManager.getRootLogger
+      .asInstanceOf[org.apache.logging.log4j.core.Logger].getLevel
     sc.setLogLevel("ERROR")
     try {
       sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
-    } finally sc.setLogLevel("WARN")
+    } finally sc.setLogLevel(prev.name())
   }
 
   def main(args: Array[String]): Unit = {

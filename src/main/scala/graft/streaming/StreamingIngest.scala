@@ -24,6 +24,22 @@ import org.apache.spark.sql.Row
   */
 object StreamingIngest {
 
+  /** Read a persisted sink-side index, distinguishing "not written yet"
+    * (first batch → None) from a genuine read failure. The earlier form
+    * caught ANY exception as "no index": a transient or corrupt-file
+    * error would silently yield an empty index, so the batch skipped
+    * cross-batch dedup (duplicates enter the sink) AND re-appended
+    * already-indexed hashes — duplicate index rows then multiply sink
+    * rows through every later batch's left join. An existence check
+    * before the read keeps the first-batch path and lets real errors
+    * propagate to the streaming engine's retry. */
+  private def readIndexIfExists(spark: SparkSession,
+                                path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(path)) else None
+  }
+
   /** Streaming dedup over a stream of candidate records. Input: any
     * streaming DataFrame with a `sources` column. */
   def dedupStream(candidates: DataFrame): DataFrame = {
@@ -115,12 +131,14 @@ object StreamingIngest {
           // 2. cross-batch probe against the signature index
           val sigT = Dedup.signatureTable(survivors, idCol, textCol)
             .localCheckpoint(true)
-          val index =
-            try spark.read.parquet(indexPath)
-            catch { case _: Exception => null } // first batch: no index yet
-          val dupIds =
-            if (index == null) spark.emptyDataFrame.select(lit(0L).as("dup_id")).limit(0)
-            else {
+          val indexOpt = readIndexIfExists(spark, indexPath)
+          val dupIds = indexOpt match {
+            case None => spark.emptyDataFrame.select(lit(0L).as("dup_id")).limit(0)
+            case Some(index0) =>
+              // at-least-once defense: a replayed batch may have appended
+              // its signatures twice — one row per doc_id restores the
+              // candidate join's contract.
+              val index = index0.dropDuplicates("doc_id")
               val bb = sigT.select(col("doc_id").as("bid"),
                 posexplode(col("buckets")).as(Seq("band", "bucket")))
               val ib = index.select(col("doc_id").as("iid"),
@@ -172,7 +190,17 @@ object StreamingIngest {
     * Ordering subtlety the eager checkpoints exist for: `cleanedBatch`
     * and `novel` both READ the index path lazily — materialize both
     * BEFORE appending to that same path, or the batch would observe its
-    * own paragraphs as history and remove everything. */
+    * own paragraphs as history and remove everything.
+    *
+    * Restart caveat (all three sink-index paths): `foreachBatch` is
+    * at-least-once and the two appends (sink, then index) are not
+    * atomic, so a crash BETWEEN them replays the batch against an index
+    * that already holds the batch's own hashes — the replay's cleaned
+    * rows land emptied beside the earlier correct sink rows. The
+    * dropDuplicates-on-read defense keeps the INDEX correct through a
+    * replay; exactly-once sinks need batchId-keyed overwrite paths (a
+    * sink-format concern, out of scope here — production deployments put
+    * both writes behind a transactional table format). */
   def paragraphDedupViaSinkIndex(docs: DataFrame, sinkPath: String,
                                  indexPath: String, checkpoint: String,
                                  idCol: String = "doc_id",
@@ -187,14 +215,16 @@ object StreamingIngest {
       .foreachBatch { (batch0: org.apache.spark.sql.Dataset[Row], _: Long) =>
         val batch = batch0.localCheckpoint(true)
         if (batch.count() > 0) {
-          val index =
-            try spark.read.parquet(indexPath)
-            catch { case _: Exception => // first batch: no index yet
+          // at-least-once defense: dropDuplicates("h") — a replayed batch
+          // may have appended its novel norms twice, and duplicate h rows
+          // would multiply paragraph rows through the incremental join.
+          val index = readIndexIfExists(spark, indexPath)
+            .map(_.dropDuplicates("h"))
+            .getOrElse( // first batch: no index yet
               spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
                 StructType(Seq(StructField("h", StringType),
                   StructField("keeper_doc_id", LongType),
-                  StructField("keeper_idx", LongType))))
-            }
+                  StructField("keeper_idx", LongType)))))
           val cleanedBatch = ParagraphDedup.dedupParagraphsIncremental(
             batch, idCol, textCol, index, splitRe).localCheckpoint(true)
           val novel = ParagraphDedup.paragraphIndex(
@@ -235,14 +265,15 @@ object StreamingIngest {
       .foreachBatch { (batch0: org.apache.spark.sql.Dataset[Row], _: Long) =>
         val batch = batch0.localCheckpoint(true)
         if (batch.count() > 0) {
-          val index =
-            try spark.read.parquet(indexPath)
-            catch { case _: Exception => // first batch: no index yet
+          // same at-least-once dropDuplicates("h") defense as the
+          // paragraph path.
+          val index = readIndexIfExists(spark, indexPath)
+            .map(_.dropDuplicates("h"))
+            .getOrElse( // first batch: no index yet
               spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
                 StructType(Seq(StructField("h", StringType),
                   StructField("keeper_doc_id", LongType),
-                  StructField("keeper_start", LongType))))
-            }
+                  StructField("keeper_start", LongType)))))
           val cleanedBatch = SubstringDedup.cleanedIncremental(
             batch, idCol, textCol, index, width, stride, anchored)
             .localCheckpoint(true)
@@ -266,14 +297,13 @@ object StreamingIngest {
     val spark = candidates.sparkSession
     candidates.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
-        val existing =
-          try spark.read.parquet(sinkPath).select("sources")
-          catch { case _: Exception => // first batch: sink doesn't exist yet
+        val existing = readIndexIfExists(spark, sinkPath)
+          .map(_.select("sources"))
+          .getOrElse( // first batch: sink doesn't exist yet
             spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
               org.apache.spark.sql.types.StructType(Seq(
                 org.apache.spark.sql.types.StructField(
-                  "sources", org.apache.spark.sql.types.StringType))))
-          }
+                  "sources", org.apache.spark.sql.types.StringType)))))
         batch.dropDuplicates("sources")
           .join(existing, Seq("sources"), "left_anti")
           .write.mode("append").parquet(sinkPath)
