@@ -503,6 +503,27 @@ object SparkEntry {
         FineWebFixture.docs.toDF("doc_id", "text"),
         gopherTh = FineWebRuleThresholds)
     }),
+    // Incremental FineWeb preset: docs < 9 are history — only their
+    // persisted state (window-hash index, content-hash index, fixed
+    // bench, additive DSIR counts) is consulted, history text never
+    // re-read; docs >= 9 arrive as a batch. The split exercises the
+    // cross-batch window-index probe (doc 9's passage matches history
+    // doc 8), within-batch exact dedup (11 vs 13), fixed-bench
+    // decontamination (12 vs bench doc 20), and the merged-counts DSIR
+    // floor (14). Full oracle: the union-equivalence contract says the
+    // result IS the batch rows of the full recompute, so DuckDB replays
+    // the whole nine-stage chain and selects doc_id >= 9.
+    "fineweb_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val all = FineWebFixture.docs.toDF("doc_id", "text")
+      val st = graft.pipeline.FineWebPipeline.state(
+        all.filter(col("doc_id") < 9),
+        graft.pipeline.FineWebPipeline.benchSlice(all),
+        gopherTh = FineWebRuleThresholds)
+      graft.pipeline.FineWebPipeline.incremental(
+        all.filter(col("doc_id") >= 9), st,
+        gopherTh = FineWebRuleThresholds)
+    }),
     // Benchmark decontamination: flag docs sharing >= 5 distinct 3-grams
     // with the "benchmark" slice (doc_id % 97 == 0 stands in for an eval
     // suite); broadcast bench shingles, one groupBy on doc_id.
@@ -1797,6 +1818,10 @@ object SparkEntry {
     "fineweb_funnel" ->
       graft.pipeline.FineWebPipeline.sqlFunnel(
         valuesRel(FineWebFixture.docs), gopherTh = FineWebRuleThresholds),
+    "fineweb_incremental" ->
+      graft.pipeline.FineWebPipeline.sqlIncremental(
+        valuesRel(FineWebFixture.docs), split = 9L,
+        gopherTh = FineWebRuleThresholds),
     "corpus_pipeline_gated" -> corpusPipelineSql(
       Some(graft.text.GopherRules.sqlPassExpr("red", FunnelThresholds))),
     "corpus_pipeline_full" -> corpusPipelineSql(

@@ -38,16 +38,29 @@ object Dsir {
   def featureBucket(tok: Column, buckets: Int): Column =
     conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % buckets
 
-  /** (f, w) integer micro-nat weight table from target/raw corpora. */
-  def weightTable(raw: DataFrame, isTarget: Column, textCol: String,
-                  buckets: Int): DataFrame = {
-    val toks = graft.Par.widen(raw)
+  /** (f, ct, cr) per-bucket target/raw occurrence counts — the ADDITIVE
+    * form of the model: counts over a corpus union are the per-corpus
+    * count sums ([[mergeCounts]]), so an incremental pipeline persists
+    * THIS table (≤ `buckets` rows) and absorbs each batch by addition —
+    * no history re-read ([[FineWebPipeline.incremental]]'s DSIR state). */
+  def countTable(raw: DataFrame, isTarget: Column, textCol: String,
+                 buckets: Int): DataFrame =
+    graft.Par.widen(raw)
       .select(isTarget.as("__t"),
         explode(TextAnalysis.tokens(lower(col(textCol)))).as("__tok"))
       .select(col("__t"), featureBucket(col("__tok"), buckets).as("f"))
-    val counts = toks.groupBy(col("f")).agg(
-      sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),
-      count(lit(1)).as("cr"))
+      .groupBy(col("f")).agg(
+        sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+
+  /** Count tables added bucket-wise: counts(A ∪ B) for disjoint corpora. */
+  def mergeCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("f"))
+      .agg(sum(col("ct")).as("ct"), sum(col("cr")).as("cr"))
+
+  /** (f, w) weight table from a (possibly merged) count table — totals
+    * Nt/Nr are the count sums, so the table is self-contained. */
+  def weightTableFromCounts(counts: DataFrame, buckets: Int): DataFrame = {
     val totals = counts.agg(
       sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
     counts.crossJoin(broadcast(totals)).select(col("f"),
@@ -56,21 +69,34 @@ object Dsir {
         lit(1000000.0)).cast("long").as("w"))
   }
 
-  /** Per-document importance weight in micro-nats, ordered by id. */
-  def weights(raw: DataFrame, isTarget: Column, idCol: String = "doc_id",
-              textCol: String = "text", buckets: Int = 256): DataFrame = {
-    val wt = weightTable(raw, isTarget, textCol, buckets)
-    val docTok = graft.Par.widen(raw)
+  /** (f, w) integer micro-nat weight table from target/raw corpora. */
+  def weightTable(raw: DataFrame, isTarget: Column, textCol: String,
+                  buckets: Int): DataFrame =
+    weightTableFromCounts(countTable(raw, isTarget, textCol, buckets), buckets)
+
+  /** Per-document weight sums against an EXPLICIT weight table — the
+    * apply-side half of [[weights]], split out so incremental callers can
+    * score a batch with a table built from merged history+batch counts. */
+  def weightsFromTable(docs: DataFrame, wt: DataFrame,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       buckets: Int = 256): DataFrame = {
+    val docTok = graft.Par.widen(docs)
       .select(col(idCol),
         explode(TextAnalysis.tokens(lower(col(textCol)))).as("__tok"))
       .select(col(idCol), featureBucket(col("__tok"), buckets).as("f"))
     val sums = docTok.join(broadcast(wt), Seq("f"))
       .groupBy(col(idCol)).agg(sum(col("w")).as("__s"))
-    raw.select(col(idCol)).join(sums, Seq(idCol), "left")
+    docs.select(col(idCol)).join(sums, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("__s"), lit(0L)).as("dsir_weight"))
       .orderBy(col(idCol))
   }
+
+  /** Per-document importance weight in micro-nats, ordered by id. */
+  def weights(raw: DataFrame, isTarget: Column, idCol: String = "doc_id",
+              textCol: String = "text", buckets: Int = 256): DataFrame =
+    weightsFromTable(raw, weightTable(raw, isTarget, textCol, buckets),
+      idCol, textCol, buckets)
 
   /** DuckDB mirror: target = rows of `from` satisfying `targetPred`. */
   def sqlWeights(from: String, targetPred: String,

@@ -56,6 +56,26 @@ object FineWebPipeline {
                           keepers: DataFrame, clean: DataFrame,
                           sampled: DataFrame)
 
+  /** Stage-1 C4 cleaning with the preset's column contract
+    * (doc_id, text) — shared by [[stages]], [[incrementalStages]], and
+    * [[benchSlice]] so the three can't diverge on the cleaned text. */
+  def c4Stage(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text",
+              minWordsPerLine: Int = 5, minLines: Int = 3): DataFrame =
+    C4Filters.clean(docs, idCol, textCol, minWordsPerLine, minLines)
+      .select(col(idCol).cast("long").as("doc_id"), col("clean_text").as("text"))
+
+  /** The default benchmark slice: the C4-cleaned `doc_id % benchMod`
+    * rows of `docs`. [[stages]] derives this internally when no explicit
+    * bench is passed; incremental callers build it ONCE from the fixed
+    * eval set and persist it ([[state]]). */
+  def benchSlice(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text",
+                 minWordsPerLine: Int = 5, minLines: Int = 3,
+                 benchMod: Int = 10): DataFrame =
+    c4Stage(docs, idCol, textCol, minWordsPerLine, minLines)
+      .filter(col("doc_id") % benchMod === 0)
+
   def stages(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
              minWordsPerLine: Int = 5, minLines: Int = 3,
              gopherTh: GopherRules.Thresholds = GopherRules.Thresholds(),
@@ -63,10 +83,10 @@ object FineWebPipeline {
              width: Int = 20, stride: Int = 5, minTokens: Int = 20,
              benchMod: Int = 10, shingleN: Int = 3, overlapThreshold: Long = 5L,
              targetMod: Int = 3, dsirBuckets: Int = 256,
-             minAvgWeightMicro: Long = -400000L): Stages = {
+             minAvgWeightMicro: Long = -400000L,
+             benchOverride: Option[DataFrame] = None): Stages = {
     // 1. C4 line/page cleaning — the cleaned text becomes THE text.
-    val c4 = C4Filters.clean(docs, idCol, textCol, minWordsPerLine, minLines)
-      .select(col(idCol).cast("long").as("doc_id"), col("clean_text").as("text"))
+    val c4 = c4Stage(docs, idCol, textCol, minWordsPerLine, minLines)
     // 2+3. Gopher rule + repetition gates: pure per-row filters.
     val gated = c4
       .filter(GopherRules.passExpr(col("text"), gopherTh))
@@ -87,7 +107,7 @@ object FineWebPipeline {
       .localCheckpoint(true)
     // 6. decontaminate against the C4-cleaned benchmark slice (bench docs
     // self-match and drop too — the eval set never enters the corpus).
-    val bench = c4.filter(col("doc_id") % benchMod === 0)
+    val bench = benchOverride.getOrElse(c4.filter(col("doc_id") % benchMod === 0))
     val clean = Curation.decontaminate(keepers, "doc_id", "text",
         bench, "text", shingleN, overlapThreshold)
       .filter(col("contaminated") === 0)
@@ -104,6 +124,182 @@ object FineWebPipeline {
       .select(col("doc_id"), col("text"), col("n_tokens"))
     Stages(c4, gated, sub, keepers, clean, sampled)
   }
+
+  // ------------------------------------------------------------------
+  // INCREMENTAL preset (`fineweb_incremental` query) — the production
+  // shape of the whole line: clean a NEW batch against history without
+  // re-reading history text, by composing the persisted per-stage state
+  // this library's incremental operators already define:
+  //
+  //  - `windowIndex`  — history's anchored window-hash index
+  //    ([[graft.dedup.SubstringDedup.windowIndex]] over the GATED stage;
+  //    32-hex key + keeper position, never the window text) for stage 4;
+  //  - `contentIndex` — history's content-hash index over the
+  //    post-substring, post-floor texts
+  //    ([[graft.dedup.Dedup.exactIndex]]) for stage 5;
+  //  - `bench`        — the FIXED eval set (benchmark suites are small
+  //    and known upfront; persisting the rows themselves is cheaper than
+  //    any sketch) for stage 6;
+  //  - `dsirCounts`   — the ADDITIVE per-bucket (f, ct, cr) token counts
+  //    over history's decontaminated docs ([[Dsir.countTable]]; ≤
+  //    `dsirBuckets` rows) for stage 7 — merged with the batch's counts
+  //    they reproduce the weight table a full recompute would build.
+  //
+  // (The paragraph-norm index composes the same way for presets that
+  // include [[graft.dedup.ParagraphDedup]]; THIS preset's granularities
+  // are window + whole-document, so it has no paragraph stage.)
+  //
+  // Contract (FineWebPipelineSpec pins it across splits AND across
+  // chained batches): whenever history doc ids precede batch doc ids
+  // (append-only corpus) and the bench set is the fixed eval set,
+  //
+  //   incremental(batch, state(history, bench))
+  //     == the batch rows of stages(history ∪ batch).sampled.
+  //
+  // Why each stage preserves it: 1-3 are per-row; 4 is
+  // [[graft.dedup.SubstringDedup.cleanedIncremental]]'s pinned
+  // union-equivalence (history occurrences always win keep-first, and a
+  // history window is never un-removed by new data); 5's min-id keeper
+  // can only be a history doc when the hash is indexed (ids are
+  // monotone), else the batch min — the anti-join + within-batch window
+  // below; 6 is per-row against a FIXED set; 7's weight table from
+  // merged counts is bit-identical to the full-recompute table because
+  // counts are additive and history's clean set is STABLE under appends
+  // (stages 4-5 keepers never flip to batch docs; stage 6's bench is
+  // fixed). Stages 8-9 (shuffle, pack) are per-training-run steps over
+  // the assembled corpus, not per-batch — the incremental deliverable is
+  // the cleaned, selected (doc_id, text, n_tokens) rows.
+  //
+  // Scale: per-batch cost is O(|batch|) joins against pre-bucketed
+  // indexes; the state grows by novel hashes only ([[stateAfterBatch]]),
+  // and dsirCounts stays ≤ `dsirBuckets` rows forever.
+  // ------------------------------------------------------------------
+
+  /** The persisted history state an incremental FineWeb build carries. */
+  final case class IncrementalState(windowIndex: DataFrame,
+                                    contentIndex: DataFrame,
+                                    bench: DataFrame,
+                                    dsirCounts: DataFrame)
+
+  /** Batch-side stage frames, exposed so [[incremental]] (the cleaned
+    * rows) and [[stateAfterBatch]] (the state update) share one
+    * construction. */
+  final case class IncStages(gated: DataFrame, sub: DataFrame,
+                             clean: DataFrame, sampled: DataFrame)
+
+  /** Build the incremental state from a history corpus and the fixed
+    * eval set (in production each frame is a persisted table; bench must
+    * expose (doc_id, text)). History is replayed through [[stages]] with
+    * the SAME fixed bench so the state describes exactly the corpus an
+    * incremental build extends. */
+  def state(history: DataFrame, bench: DataFrame,
+            idCol: String = "doc_id", textCol: String = "text",
+            minWordsPerLine: Int = 5, minLines: Int = 3,
+            gopherTh: GopherRules.Thresholds = GopherRules.Thresholds(),
+            repetitionTh: GopherRepetition.Thresholds = GopherRepetition.Thresholds(),
+            width: Int = 20, stride: Int = 5, minTokens: Int = 20,
+            shingleN: Int = 3, overlapThreshold: Long = 5L,
+            targetMod: Int = 3, dsirBuckets: Int = 256,
+            minAvgWeightMicro: Long = -400000L): IncrementalState = {
+    val st = stages(history, idCol, textCol, minWordsPerLine, minLines,
+      gopherTh, repetitionTh, width, stride, minTokens,
+      benchMod = 1 /* unused: benchOverride set */, shingleN, overlapThreshold,
+      targetMod, dsirBuckets, minAvgWeightMicro, benchOverride = Some(bench))
+    IncrementalState(
+      windowIndex = graft.dedup.SubstringDedup.windowIndex(
+        graft.dedup.SubstringDedup.windows(st.gated, "doc_id", "text",
+          width, stride, anchored = true)),
+      contentIndex = graft.dedup.Dedup.exactIndex(st.sub, "doc_id", "text"),
+      bench = bench,
+      dsirCounts = Dsir.countTable(st.clean,
+        col("doc_id") % targetMod === 0, "text", dsirBuckets))
+  }
+
+  /** Run a new batch through stages 1-7 against the history state. */
+  def incrementalStages(batch: DataFrame, st: IncrementalState,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        minWordsPerLine: Int = 5, minLines: Int = 3,
+                        gopherTh: GopherRules.Thresholds = GopherRules.Thresholds(),
+                        repetitionTh: GopherRepetition.Thresholds = GopherRepetition.Thresholds(),
+                        width: Int = 20, stride: Int = 5, minTokens: Int = 20,
+                        shingleN: Int = 3, overlapThreshold: Long = 5L,
+                        targetMod: Int = 3, dsirBuckets: Int = 256,
+                        minAvgWeightMicro: Long = -400000L): IncStages = {
+    // 1-3. per-row stages, identical to the full preset.
+    val c4 = c4Stage(batch, idCol, textCol, minWordsPerLine, minLines)
+    val gated = c4
+      .filter(GopherRules.passExpr(col("text"), gopherTh))
+      .filter(GopherRepetition.passExpr(col("text"), repetitionTh))
+    // 4. anchored substring dedup against the window-hash index
+    //    (+ keep-first among batch siblings) + the token floor.
+    val sub = graft.dedup.SubstringDedup
+      .cleanedIncremental(gated, "doc_id", "text", st.windowIndex,
+        width, stride, anchored = true)
+      .select(col("doc_id"), col("text_clean").as("text"))
+      .filter(size(TextAnalysis.tokens(col("text"))) >= minTokens)
+    // 5. exact dedup: a batch text already in history drops via the
+    //    content-hash probe; among batch siblings the min id keeps.
+    val keepers = sub
+      .withColumn("__h", md5(col("text")))
+      .join(st.contentIndex.select(col("h")), col("__h") === col("h"), "left_anti")
+      .drop("__h")
+      .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy(col("text"))))
+      .filter(col("doc_id") === col("keeper"))
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint(true)
+    // 6. decontaminate against the FIXED eval set.
+    val clean = Curation.decontaminate(keepers, "doc_id", "text",
+        st.bench, "text", shingleN, overlapThreshold)
+      .filter(col("contaminated") === 0)
+      .select(col("doc_id"))
+      .join(keepers, Seq("doc_id"))
+      .withColumn("n_tokens", size(TextAnalysis.tokens(col("text"))).cast("long"))
+      .localCheckpoint(true)
+    // 7. DSIR floor with the weight table rebuilt from MERGED counts —
+    //    bit-identical to the table a full recompute would build.
+    val counts = Dsir.mergeCounts(st.dsirCounts,
+      Dsir.countTable(clean, col("doc_id") % targetMod === 0, "text", dsirBuckets))
+    val wts = Dsir.weightsFromTable(clean,
+      Dsir.weightTableFromCounts(counts, dsirBuckets), "doc_id", "text", dsirBuckets)
+    val sampled = clean.join(wts, Seq("doc_id"))
+      .filter(floor(col("dsir_weight").cast("double") / col("n_tokens").cast("double"))
+        .cast("long") >= minAvgWeightMicro)
+      .select(col("doc_id"), col("text"), col("n_tokens"))
+    IncStages(gated, sub, clean, sampled)
+  }
+
+  /** The incremental preset's output: the batch's cleaned, selected
+    * (doc_id, text, n_tokens) rows, ordered by id. */
+  def incremental(batch: DataFrame, st: IncrementalState,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  minWordsPerLine: Int = 5, minLines: Int = 3,
+                  gopherTh: GopherRules.Thresholds = GopherRules.Thresholds(),
+                  repetitionTh: GopherRepetition.Thresholds = GopherRepetition.Thresholds(),
+                  width: Int = 20, stride: Int = 5, minTokens: Int = 20,
+                  shingleN: Int = 3, overlapThreshold: Long = 5L,
+                  targetMod: Int = 3, dsirBuckets: Int = 256,
+                  minAvgWeightMicro: Long = -400000L): DataFrame =
+    incrementalStages(batch, st, idCol, textCol, minWordsPerLine, minLines,
+      gopherTh, repetitionTh, width, stride, minTokens, shingleN,
+      overlapThreshold, targetMod, dsirBuckets, minAvgWeightMicro)
+      .sampled.orderBy(col("doc_id"))
+
+  /** The state after absorbing a batch (for the NEXT batch): indexes
+    * grow by their novel hashes only; counts add. Chaining preserves the
+    * union-equivalence contract whenever batch ids stay monotone. */
+  def stateAfterBatch(st: IncrementalState, inc: IncStages,
+                      width: Int = 20, stride: Int = 5,
+                      targetMod: Int = 3, dsirBuckets: Int = 256): IncrementalState =
+    IncrementalState(
+      windowIndex = graft.dedup.SubstringDedup.indexAfterBatch(st.windowIndex,
+        graft.dedup.SubstringDedup.windows(inc.gated, "doc_id", "text",
+          width, stride, anchored = true)),
+      contentIndex = graft.dedup.Dedup.exactIndexAfterBatch(st.contentIndex,
+        inc.sub, "doc_id", "text"),
+      bench = st.bench,
+      dsirCounts = Dsir.mergeCounts(st.dsirCounts,
+        Dsir.countTable(inc.clean, col("doc_id") % targetMod === 0,
+          "text", dsirBuckets)))
 
   def apply(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
             minWordsPerLine: Int = 5, minLines: Int = 3,
@@ -194,6 +390,28 @@ object FineWebPipeline {
          |       ELSE CAST(FLOOR((off + n_tokens - 1) / $budget.0) AS BIGINT)
          |            - CAST(FLOOR(off / $budget.0) AS BIGINT) + 1 END AS n_chunks
          |FROM o2 ORDER BY shuffle_pos""".stripMargin
+
+  /** DuckDB mirror of [[incremental]] with history = `doc_id < split`,
+    * batch = the rest, bench = the full fixed slice: BY the
+    * union-equivalence contract, the incremental result IS the batch
+    * rows of the full recompute — so the oracle replays the FULL
+    * WITH-chain and selects the batch rows, cross-checking the
+    * equivalence theorem itself against the engine's genuinely
+    * incremental path. */
+  def sqlIncremental(from: String, split: Long,
+                     minWordsPerLine: Int = 5, minLines: Int = 3,
+                     gopherTh: GopherRules.Thresholds = GopherRules.Thresholds(),
+                     repetitionTh: GopherRepetition.Thresholds = GopherRepetition.Thresholds(),
+                     width: Int = 20, stride: Int = 5, minTokens: Int = 20,
+                     benchMod: Int = 10, shingleN: Int = 3, overlapThreshold: Long = 5L,
+                     targetMod: Int = 3, dsirBuckets: Int = 256,
+                     minAvgWeightMicro: Long = -400000L): String =
+    sqlCtes(from, minWordsPerLine, minLines, gopherTh, repetitionTh,
+      width, stride, minTokens, benchMod, shingleN, overlapThreshold,
+      targetMod, dsirBuckets, minAvgWeightMicro) +
+      s"""
+         |SELECT doc_id, text, n_tokens FROM samp
+         |WHERE doc_id >= $split ORDER BY doc_id""".stripMargin
 
   /** DuckDB mirror of [[funnel]] — the same CTE chain, counted per
     * stage. */

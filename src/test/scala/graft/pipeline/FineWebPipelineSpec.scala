@@ -89,6 +89,49 @@ class FineWebPipelineSpec extends SparkSpec {
     assert(a == b, s"partitioning changed the output:\n$a\nvs\n$b")
   }
 
+  test("incremental == batch rows of the full recompute, across splits") {
+    // The union-equivalence contract at preset scope: splits chosen so
+    // each cross-batch mechanism fires at least once — 9 puts keeper 8
+    // in history and shifted copy 9 in the batch (window-index probe);
+    // 12 puts twin 11 in history and 13 in the batch (content-index
+    // probe); 5 puts nearly everything in the batch (within-batch
+    // paths). The bench is the FIXED full slice in both forms.
+    val all = fixture
+    val bench = FineWebPipeline.benchSlice(all)
+    val full = FineWebPipeline.stages(all, gopherTh = th).sampled
+    for (split <- Seq(5L, 9L, 12L)) {
+      val st = FineWebPipeline.state(all.filter(col("doc_id") < split), bench,
+        gopherTh = th)
+      val inc = FineWebPipeline.incremental(all.filter(col("doc_id") >= split),
+          st, gopherTh = th)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val expect = full.filter(col("doc_id") >= split)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(inc == expect, s"split $split drifted:\n$inc\nvs\n$expect")
+    }
+  }
+
+  test("incremental state composes across chained batches") {
+    // state → batch1 → stateAfterBatch → batch2 must equal the full
+    // recompute's batch rows — the invariant that makes a corpus build
+    // append-only forever (and the streaming foreachBatch contract).
+    val all = fixture
+    val bench = FineWebPipeline.benchSlice(all)
+    val st0 = FineWebPipeline.state(all.filter(col("doc_id") < 9), bench,
+      gopherTh = th)
+    val b1 = all.filter(col("doc_id") >= 9 && col("doc_id") < 13)
+    val b2 = all.filter(col("doc_id") >= 13)
+    val inc1 = FineWebPipeline.incrementalStages(b1, st0, gopherTh = th)
+    val st1 = FineWebPipeline.stateAfterBatch(st0, inc1)
+    val inc2 = FineWebPipeline.incrementalStages(b2, st1, gopherTh = th)
+    val got = (inc1.sampled.collect() ++ inc2.sampled.collect())
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val expect = FineWebPipeline.stages(all, gopherTh = th).sampled
+      .filter(col("doc_id") >= 9)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == expect, s"chained batches drifted:\n$got\nvs\n$expect")
+  }
+
   test("seed changes the order, not the membership") {
     val a = FineWebPipeline(fixture, gopherTh = th)
       .select("doc_id", "shuffle_pos").as[(Long, Long)].collect().toMap
