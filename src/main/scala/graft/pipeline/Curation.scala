@@ -267,6 +267,7 @@ object Curation {
       .orderBy(col("__h"), col(tieCol))
     val posIn = withH.withColumn("__p", row_number().over(wIn).cast("long"))
     val sizes = posIn.groupBy(col("shard")).agg(count(lit(1)).as("__c"))
+    // bounded input: ≤ nShards aggregated rows through this global window
     val wOff = Window.orderBy(col("shard"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = sizes
@@ -350,6 +351,8 @@ object Curation {
   def packChunks(docs: DataFrame, idCol: String, textCol: String,
                  budget: Long): DataFrame = {
     val nTok = size(graft.text.TextAnalysis.tokens(lower(col(textCol)))).cast("long")
+    // DELIBERATE global window: this is the semantic reference twin only
+    // — queries and pipelines bind to packChunksScalable/packByOrder.
     val w = Window.orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs.select(col(idCol), nTok.as("n_tokens"))

@@ -153,22 +153,27 @@ object FineWebPipeline {
   // chained batches): whenever history doc ids precede batch doc ids
   // (append-only corpus) and the bench set is the fixed eval set,
   //
-  //   incremental(batch, state(history, bench))
-  //     == the batch rows of stages(history ∪ batch).sampled.
+  //   CLEANING (stages 1-6): incrementalStages(batch, state).clean
+  //     == the batch rows of stages(history ∪ batch).clean — and this
+  //     composes across any number of chained batches;
+  //   SELECTION (stage 7): equivalence needs the FINAL counts, so
+  //     incremental(batch, state).sampled == the batch rows of the full
+  //     recompute's .sampled exactly when `state` covers all other data
+  //     (the last/only batch — the `fineweb_incremental` query's case);
+  //     mid-build, selection re-runs at release time ([[dsirSelect]]
+  //     over the accumulated clean rows + merged counts).
   //
-  // Why each stage preserves it: 1-3 are per-row; 4 is
+  // Why stages 1-6 preserve it: 1-3 are per-row; 4 is
   // [[graft.dedup.SubstringDedup.cleanedIncremental]]'s pinned
   // union-equivalence (history occurrences always win keep-first, and a
   // history window is never un-removed by new data); 5's min-id keeper
   // can only be a history doc when the hash is indexed (ids are
   // monotone), else the batch min — the anti-join + within-batch window
-  // below; 6 is per-row against a FIXED set; 7's weight table from
-  // merged counts is bit-identical to the full-recompute table because
-  // counts are additive and history's clean set is STABLE under appends
-  // (stages 4-5 keepers never flip to batch docs; stage 6's bench is
-  // fixed). Stages 8-9 (shuffle, pack) are per-training-run steps over
-  // the assembled corpus, not per-batch — the incremental deliverable is
-  // the cleaned, selected (doc_id, text, n_tokens) rows.
+  // below; 6 is per-row against a FIXED set — and history's clean set
+  // is STABLE under appends (stages 4-5 keepers never flip to batch
+  // docs; stage 6's bench is fixed), which is what makes the additive
+  // count state faithful. Stages 8-9 (shuffle, pack) are
+  // per-training-run steps over the assembled corpus, not per-batch.
   //
   // Scale: per-batch cost is O(|batch|) joins against pre-bucketed
   // indexes; the state grows by novel hashes only ([[stateAfterBatch]]),
@@ -255,17 +260,35 @@ object FineWebPipeline {
       .join(keepers, Seq("doc_id"))
       .withColumn("n_tokens", size(TextAnalysis.tokens(col("text"))).cast("long"))
       .localCheckpoint(true)
-    // 7. DSIR floor with the weight table rebuilt from MERGED counts —
-    //    bit-identical to the table a full recompute would build.
+    // 7. DSIR floor with the weight table rebuilt from MERGED counts.
+    //    NOTE the scope of this stage's equivalence: the weight table
+    //    depends on the counts of the WHOLE corpus, so `sampled` equals
+    //    the full-recompute selection only when `st` already covers all
+    //    other data (a final batch / the query's single-batch case).
+    //    Mid-build, `clean` is the append-only deliverable and selection
+    //    re-runs at release time over the final counts ([[dsirSelect]])
+    //    — mirroring how DSIR is used in practice: clean incrementally,
+    //    select against the finished importance estimate.
     val counts = Dsir.mergeCounts(st.dsirCounts,
       Dsir.countTable(clean, col("doc_id") % targetMod === 0, "text", dsirBuckets))
+    IncStages(gated, sub, clean,
+      dsirSelect(clean, counts, dsirBuckets, minAvgWeightMicro))
+  }
+
+  /** Release-time DSIR selection: the stage-7 floor over accumulated
+    * clean rows (doc_id, text, n_tokens) and a FINAL count table —
+    * exactly the full preset's selection when `counts` covers the whole
+    * corpus ([[Dsir.mergeCounts]] of every batch's table; StreamingSpec
+    * pins sink + final counts == full recompute). */
+  def dsirSelect(clean: DataFrame, counts: DataFrame,
+                 dsirBuckets: Int = 256,
+                 minAvgWeightMicro: Long = -400000L): DataFrame = {
     val wts = Dsir.weightsFromTable(clean,
       Dsir.weightTableFromCounts(counts, dsirBuckets), "doc_id", "text", dsirBuckets)
-    val sampled = clean.join(wts, Seq("doc_id"))
+    clean.join(wts, Seq("doc_id"))
       .filter(floor(col("dsir_weight").cast("double") / col("n_tokens").cast("double"))
         .cast("long") >= minAvgWeightMicro)
       .select(col("doc_id"), col("text"), col("n_tokens"))
-    IncStages(gated, sub, clean, sampled)
   }
 
   /** The incremental preset's output: the batch's cleaned, selected

@@ -109,6 +109,8 @@ object Relational {
   /** W6 analytic windows: lag/lead day-over-day deltas on the daily order
     * count — one shuffle-free window over an ordered aggregate. */
   def dailyOrderDeltas(spark: SparkSession, dir: String): DataFrame = {
+    // bounded input: the global lag window reads per-day AGGREGATE rows
+    // (≤ |distinct order dates|), never the orders table itself.
     val w = Window.orderBy(col("d"))
     Tables.orders(spark, dir)
       .groupBy(to_date(col("o_orderdate")).as("d"))

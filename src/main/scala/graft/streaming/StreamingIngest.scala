@@ -291,6 +291,81 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
   }
 
+  /** Streaming FineWeb preset (ST2 [EXT] at PRESET scope) — the
+    * [[graft.pipeline.FineWebPipeline.incremental]] composition under
+    * `foreachBatch`: each micro-batch runs stages 1-7 against the
+    * persisted state triple under `stateDir` (window-hash index,
+    * content-hash index, additive DSIR counts; `bench` is the fixed
+    * eval set, passed as a static frame), appends the CLEANED
+    * (doc_id, text, n_tokens) rows — stages 1-6 — to the sink, and
+    * appends each index's NOVEL rows + the batch's count rows to the
+    * state. The count table re-aggregates on read, so appends ARE the
+    * merge. DSIR selection (stage 7) depends on whole-corpus counts, so
+    * it is a RELEASE-time step, not a per-batch one:
+    * [[graft.pipeline.FineWebPipeline.dsirSelect]] over the sink + the
+    * final count table — StreamingSpec pins that composition equal to
+    * one full recompute. Same no-engine-state /
+    * materialize-before-append / at-least-once contract as the other
+    * sink-index paths. */
+  def fineWebViaSinkIndex(docs: DataFrame, bench: DataFrame,
+                          sinkPath: String, stateDir: String,
+                          checkpoint: String,
+                          gopherTh: graft.text.GopherRules.Thresholds =
+                            graft.text.GopherRules.Thresholds(),
+                          width: Int = 20, stride: Int = 5,
+                          targetMod: Int = 3, dsirBuckets: Int = 256): DataStreamWriter[Row] = {
+    require(docs.isStreaming)
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.pipeline.{Dsir, FineWebPipeline}
+    val spark = docs.sparkSession
+    def empty(fields: (String, org.apache.spark.sql.types.DataType)*): DataFrame =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(fields.map { case (n, t) => StructField(n, t) }))
+    docs.writeStream
+      .foreachBatch { (batch0: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val batch = batch0.localCheckpoint(true)
+        if (batch.count() > 0) {
+          val winIdx = readIndexIfExists(spark, s"$stateDir/window_index")
+            .map(_.dropDuplicates("h"))
+            .getOrElse(empty("h" -> StringType, "keeper_doc_id" -> LongType,
+              "keeper_start" -> LongType))
+          val cntIdx = readIndexIfExists(spark, s"$stateDir/content_index")
+            .map(_.dropDuplicates("h"))
+            .getOrElse(empty("h" -> StringType, "keeper_id" -> LongType))
+          val counts = readIndexIfExists(spark, s"$stateDir/dsir_counts")
+            .map(_.groupBy(col("f")).agg(sum(col("ct")).as("ct"),
+              sum(col("cr")).as("cr")))
+            .getOrElse(empty("f" -> LongType, "ct" -> LongType, "cr" -> LongType))
+          val st = FineWebPipeline.IncrementalState(winIdx, cntIdx, bench, counts)
+          val inc = FineWebPipeline.incrementalStages(batch, st,
+            gopherTh = gopherTh, width = width, stride = stride,
+            targetMod = targetMod, dsirBuckets = dsirBuckets)
+          // materialize EVERYTHING before appending — all three state
+          // paths are read lazily by the plans above. (inc.clean is
+          // already eagerly checkpointed inside incrementalStages.)
+          val novelWins = graft.dedup.SubstringDedup.windowIndex(
+              graft.dedup.SubstringDedup.windows(inc.gated, "doc_id", "text",
+                width, stride, anchored = true))
+            .join(winIdx.select(col("h")), Seq("h"), "left_anti")
+            .localCheckpoint(true)
+          val novelContent = graft.dedup.Dedup.exactIndex(inc.sub, "doc_id", "text")
+            .join(cntIdx.select(col("h")), Seq("h"), "left_anti")
+            .localCheckpoint(true)
+          val batchCounts = Dsir.countTable(inc.clean,
+              col("doc_id") % targetMod === 0, "text", dsirBuckets)
+            .localCheckpoint(true)
+          inc.clean.write.mode("append").parquet(sinkPath)
+          novelWins.write.mode("append").parquet(s"$stateDir/window_index")
+          novelContent.write.mode("append").parquet(s"$stateDir/content_index")
+          batchCounts.write.mode("append").parquet(s"$stateDir/dsir_counts")
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+  }
+
   def dedupViaSinkIndex(candidates: DataFrame, sinkPath: String,
                         checkpoint: String): DataStreamWriter[Row] = {
     require(candidates.isStreaming)

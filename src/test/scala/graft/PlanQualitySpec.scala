@@ -242,4 +242,40 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), s"token stream shuffled:\n$plan")
   }
+
+  test("no unbounded global window in any registered query's plan") {
+    // The single-partition-window audit: every logical Window with an
+    // EMPTY partition spec in a registered query's optimized plan must
+    // be on the allowlist below, each entry justified by a bounded
+    // input (aggregate rows / post-limit rows), never document- or
+    // event-scale rows. Checkpointed stage interiors are truncated out
+    // of the final plan, so their windows are audited by their own
+    // operator specs (e.g. LmScoreSpec pins the hierarchical bucket
+    // form) — this test guards the assembled query surface.
+    val allow: Map[String, String] = Map(
+      "source_distribution" -> "pct-of-total over <= |sources| aggregated rows (A6 parity form)",
+      "daily_order_deltas" -> "lag over per-day aggregate rows (<= |order dates|)",
+      "bm25_topk" -> "rank over <= k rows after the TakeOrdered limit",
+      "vocab_encode" -> "vocab id assignment over <= size rows after the TakeOrdered limit",
+      "corpus_shuffle" -> "shard-offset prefix sum over <= nShards aggregate rows",
+      "corpus_mix_temperature" -> "temperature weights over <= |sources| aggregate rows",
+      "lm_perplexity_buckets" -> "shard-offset prefix sum over <= nShards aggregate rows",
+      "corpus_pipeline" -> "shard-offset prefix sum over <= nShards aggregate rows",
+      "corpus_pipeline_gated" -> "shard-offset prefix sum over <= nShards aggregate rows",
+      "corpus_pipeline_full" -> "shard-offset prefix sum over <= nShards aggregate rows",
+      "corpus_pipeline_fineweb" -> "shard-offset prefix sum over <= nShards aggregate rows")
+    val offenders = scala.collection.mutable.SortedMap[String, Int]()
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, dir)
+      val n = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }.size
+      if (n > 0) offenders(name) = n
+    }
+    val bad = offenders.keySet.diff(allow.keySet)
+    assert(bad.isEmpty,
+      s"unallowlisted global windows (justify bounded input or fix): " +
+        s"${bad.map(n => s"$n(${offenders(n)})").mkString(", ")}")
+  }
 }

@@ -112,24 +112,39 @@ class FineWebPipelineSpec extends SparkSpec {
   }
 
   test("incremental state composes across chained batches") {
-    // state → batch1 → stateAfterBatch → batch2 must equal the full
-    // recompute's batch rows — the invariant that makes a corpus build
-    // append-only forever (and the streaming foreachBatch contract).
+    // state → batch1 → stateAfterBatch → batch2: the CLEANING stages
+    // (1-6) must equal the full recompute's batch rows — the invariant
+    // that makes a corpus build append-only forever — and release-time
+    // DSIR selection over the accumulated clean rows + final merged
+    // counts must equal the full recompute's selection. (Per-batch
+    // `sampled` intentionally uses the counts known SO FAR — selection
+    // is global, so mid-build batches finalize at release, not on
+    // arrival.)
     val all = fixture
     val bench = FineWebPipeline.benchSlice(all)
-    val st0 = FineWebPipeline.state(all.filter(col("doc_id") < 9), bench,
-      gopherTh = th)
+    val hist = all.filter(col("doc_id") < 9)
+    val st0 = FineWebPipeline.state(hist, bench, gopherTh = th)
     val b1 = all.filter(col("doc_id") >= 9 && col("doc_id") < 13)
     val b2 = all.filter(col("doc_id") >= 13)
     val inc1 = FineWebPipeline.incrementalStages(b1, st0, gopherTh = th)
     val st1 = FineWebPipeline.stateAfterBatch(st0, inc1)
     val inc2 = FineWebPipeline.incrementalStages(b2, st1, gopherTh = th)
-    val got = (inc1.sampled.collect() ++ inc2.sampled.collect())
-      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
-    val expect = FineWebPipeline.stages(all, gopherTh = th).sampled
-      .filter(col("doc_id") >= 9)
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
-    assert(got == expect, s"chained batches drifted:\n$got\nvs\n$expect")
+    def rows(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val full = FineWebPipeline.stages(all, gopherTh = th)
+    val gotClean = rows(inc1.clean.collect() ++ inc2.clean.collect())
+    val expectClean = rows(full.clean.filter(col("doc_id") >= 9).collect())
+    assert(gotClean == expectClean,
+      s"chained cleaning drifted:\n$gotClean\nvs\n$expectClean")
+    // release-time selection: history clean ∪ both batches' clean rows,
+    // scored with the fully-merged count table.
+    val st2 = FineWebPipeline.stateAfterBatch(st1, inc2)
+    val allClean = FineWebPipeline.stages(hist, gopherTh = th,
+        benchOverride = Some(bench)).clean
+      .unionByName(inc1.clean).unionByName(inc2.clean)
+    val got = rows(FineWebPipeline.dsirSelect(allClean, st2.dsirCounts).collect())
+    val expect = rows(full.sampled.collect())
+    assert(got == expect, s"release-time selection drifted:\n$got\nvs\n$expect")
   }
 
   test("seed changes the order, not the membership") {

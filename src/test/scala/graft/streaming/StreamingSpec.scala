@@ -249,6 +249,54 @@ class StreamingSpec extends SparkSpec {
     assert(out(3L)._2 == 8L, s"doc 3 must lose the 8-token passage: ${out(3L)}")
   }
 
+  test("streaming FineWeb preset: two micro-batches + release-time select == full recompute") {
+    // The incremental preset under foreachBatch — the sink-index
+    // discipline at PRESET scope: state (window index, content index,
+    // DSIR counts) lives beside the sink, bench is the fixed eval set.
+    // The sink accumulates the CLEANED rows (stages 1-6, append-only
+    // equivalent across batches); DSIR selection needs whole-corpus
+    // counts, so it runs once at release time over sink + final counts
+    // — the composition must equal one full FineWebPipeline recompute.
+    // The batch split puts exact-twin 13 one batch AFTER its keeper 11
+    // (content-index probe) and contaminated 12 after bench doc 20
+    // entered the fixed bench (stable per-row decontamination).
+    val th = graft.text.GopherRules.Thresholds(minWords = 20L, minStopHits = 1L)
+    val root = java.nio.file.Files.createTempDirectory("graft_fineweb_stream").toString
+    val (inDir, sink, state, ckpt) = (s"$root/in", s"$root/sink", s"$root/state", s"$root/ckpt")
+    val all = graft.FineWebFixture.docs
+    val bench = graft.pipeline.FineWebPipeline.benchSlice(all.toDF("doc_id", "text"))
+      .localCheckpoint(true)
+    def drop(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+    def runOnce(): Unit = {
+      val docs = spark.readStream.schema("doc_id LONG, text STRING").parquet(inDir)
+      val q = StreamingIngest.fineWebViaSinkIndex(docs, bench, sink, state, ckpt,
+        gopherTh = th).start()
+      q.awaitTermination()
+    }
+    drop(all.filter(_._1 <= 11L)); runOnce()
+    drop(all.filter(_._1 > 11L)); runOnce()
+    val fullStages = graft.pipeline.FineWebPipeline
+      .stages(all.toDF("doc_id", "text"), gopherTh = th)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // stages 1-6: the sink holds exactly the full recompute's clean rows
+    val sinkDf = spark.read.parquet(sink)
+    assert(rows(sinkDf) == rows(fullStages.clean),
+      "streamed clean rows != full recompute clean rows")
+    // release-time stage 7 over sink + final merged counts
+    val finalCounts = spark.read.parquet(s"$state/dsir_counts")
+      .groupBy($"f").agg(sum($"ct").as("ct"), sum($"cr").as("cr"))
+    val selected = graft.pipeline.FineWebPipeline.dsirSelect(sinkDf, finalCounts)
+    assert(rows(selected) == rows(fullStages.sampled),
+      "release-time selection != full recompute selection")
+    // state stays payload-free: the content index is one 32-hex row per
+    // distinct post-floor text — twin 13 added nothing.
+    val cnt = spark.read.parquet(s"$state/content_index")
+    assert(cnt.columns.toSeq == Seq("h", "keeper_id"))
+    assert(cnt.count() == cnt.dropDuplicates("h").count())
+  }
+
   test("watermark would CHANGE semantics: late rows drop in append mode (ST3)") {
     // Parity keeps windows unwatermarked (complete/update mode) because the
     // reference accepts arbitrarily late publish dates. This pins the
