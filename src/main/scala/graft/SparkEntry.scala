@@ -241,6 +241,11 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.knnLsh(emb, emb.filter(col("vec_id") % 50 === 0), 5)
     }),
+    // The deterministic half of knn_lsh with a FULL oracle: per-(vector,
+    // table) sign buckets replayed in DuckDB from the printed plane
+    // constants (exact double round-trip, same left-assoc accumulation).
+    "lsh_bucket_assignments" -> ((s, dir) =>
+      Similarity.lshBucketAssignments(Tables.embeddings(s, dir))),
     // knn_ivf: KMeans coarse-quantizer IVF — centroids are engine-specific
     // (rows-only driver check; exactness + recall pinned in SimilaritySpec)
     "knn_ivf" -> ((s, dir) => {
@@ -1657,6 +1662,7 @@ object SparkEntry {
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin,
     // knn_lsh: approximate by design — no oracle (rows-only check);
+    "lsh_bucket_assignments" -> Similarity.sqlLshBuckets(),
     // recall vs knn_bruteforce is asserted in SimilaritySpec.
     "embedding_dedup_keepers" ->
       """WITH RECURSIVE n AS (

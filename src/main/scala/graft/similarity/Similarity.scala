@@ -213,6 +213,55 @@ object Similarity {
     Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Full LSH bucket-assignment table for [[knnLsh]]'s plane family
+    * (`lsh_bucket_assignments` query): (vec_id, tbl, bucket) for every
+    * vector × table — the deterministic HALF of the ANN pipeline, split
+    * out so it can carry a FULL oracle: the plane constants are fixed
+    * doubles, `Double.toString` round-trips them exactly into SQL, and
+    * the native [[graft.functions.LshTableBuckets]] loop accumulates
+    * each projection left-to-right — the same association as the printed
+    * left-assoc SQL chain, so both engines compute bit-identical
+    * projections and identical sign buckets ([[sqlLshBuckets]]). What
+    * stays rows-only in `knn_lsh` is just the float cosine re-rank. */
+  def lshBucketAssignments(emb: DataFrame, bitsPerTable: Int = 6,
+                           tables: Int = 12, dim: Int = 64,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    val planes = hyperplanes(bitsPerTable * tables, dim)
+    graft.Par.widen(emb)
+      .select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .select(col(idCol), posexplode(org.apache.spark.sql.graft.VectorFunctions
+        .lshTableBuckets(col("v"), planes, bitsPerTable)).as(Seq("tbl", "bucket")))
+      .select(col(idCol), col("tbl").cast("long").as("tbl"), col("bucket"))
+      .orderBy(col(idCol), col("tbl"))
+  }
+
+  /** DuckDB mirror of [[lshBucketAssignments]] over the `embeddings`
+    * table: every plane component prints via `Double.toString` (exact
+    * round-trip), each dot replays as a left-associated chain matching
+    * the native loop's accumulation order, bucket bit j adds 2^j when
+    * the projection is positive. */
+  def sqlLshBuckets(bitsPerTable: Int = 6, tables: Int = 12,
+                    dim: Int = 64): String = {
+    val planes = hyperplanes(bitsPerTable * tables, dim)
+    val tableExprs = (0 until tables).map { t =>
+      val bits = (0 until bitsPerTable).map { b =>
+        val p = planes(t * bitsPerTable + b)
+        val dot = p.zipWithIndex.map { case (c, i) =>
+          s"CAST(embedding[${i + 1}] AS DOUBLE) * $c"
+        }.mkString(" + ")
+        s"CASE WHEN ($dot) > 0 THEN ${1L << b} ELSE 0 END"
+      }.mkString(" + ")
+      s"($bits)"
+    }
+    s"""WITH b AS (
+       |  SELECT vec_id, [${tableExprs.mkString(",\n    ")}] AS l
+       |  FROM embeddings)
+       |SELECT vec_id, CAST(UNNEST(range(0, $tables)) AS BIGINT) AS tbl,
+       |       CAST(UNNEST(l) AS BIGINT) AS bucket
+       |FROM b ORDER BY vec_id, tbl""".stripMargin
+  }
+
   /** Sign-bucket id over a slice of the plane family: bit j = [v · h_j > 0].
     * One long per (vector, table). */
   def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column =
