@@ -317,6 +317,12 @@ object SparkEntry {
     "events_sessions" -> ((s, dir) => EventWindows.userSessions(Tables.events(s, dir))),
     "events_props_json" -> ((s, dir) => EventWindows.propsStats(Tables.events(s, dir))),
     "approx_distinct_users" -> ((s, dir) => EventWindows.distinctUsers(Tables.events(s, dir))),
+    // Engine-reproducible HLL (vs Spark's internal HLL++ above): 60-bit
+    // md5-prefix hash, integer rho chain, exact dyadic 2^-M terms folded
+    // in bucket order — the sketch ESTIMATE itself hash-matches DuckDB.
+    "hll_distinct_users" -> ((s, dir) =>
+      graft.relational.Hll.distinctWithExact(Tables.events(s, dir),
+        "user_id", "event_type")),
     // Stream-stream-capable interval join run batch: purchases pick up
     // ALL clicks of the same user in the prior 30 min (AsOf keeps one).
     // Same function streams with watermarked state; parity pinned in
@@ -1738,6 +1744,10 @@ object SparkEntry {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // approx_distinct_users: HLL++ is engine-specific — no oracle; the
     // rsd error bound vs exact counts is asserted in StreamingSpec.
+    // hll_distinct_users: the graft HLL is engine-REPRODUCIBLE, so its
+    // estimate carries a full oracle.
+    "hll_distinct_users" ->
+      graft.relational.Hll.sqlDistinctWithExact("events", "user_id", "event_type"),
     "events_interval_join" ->
       """SELECT p.event_id AS purchase_id, p.user_id AS user_id, p.ts AS purchase_ts,
         |       c.event_id AS click_id, c.ts AS click_ts
