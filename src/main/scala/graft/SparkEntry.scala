@@ -54,6 +54,21 @@ object SparkEntry {
     // sketch-based percentiles: engine-specific values, rows-only check;
     // error vs the exact form bounded in RelationalSpec
     "order_percentiles_approx" -> ((s, dir) => Relational.orderPercentilesApprox(s, dir)),
+    // Engine-reproducible quantile sketch (vs the t-digest above): an
+    // integer cent-histogram whose ESTIMATE hash-matches DuckDB; width
+    // $100 -> error < $100 absolute, spec-pinned against the exact form.
+    "order_percentiles_sketch" -> ((s, dir) => {
+      import graft.relational.QuantileSketch
+      val w = 10000L
+      val sk = QuantileSketch.sketch(Tables.orders(s, dir),
+        QuantileSketch.cents(col("o_totalprice")), w, "o_orderpriority")
+      QuantileSketch.quantiles(sk, w,
+          Seq("p50c" -> 0.5, "p90c" -> 0.9, "p99c" -> 0.99), "o_orderpriority")
+        .select(col("o_orderpriority"), col("n").as("n_orders"),
+          round(col("p50c") / 100.0, 2).as("p50"),
+          round(col("p90c") / 100.0, 2).as("p90"),
+          round(col("p99c") / 100.0, 2).as("p99"))
+    }),
     // Skew mitigation ops, oracle-proven value-identical to their direct
     // forms (the salt is an internal spreading detail).
     "salted_group_count" -> ((s, dir) => Relational.saltedGroupCount(s, dir)),
@@ -1361,7 +1376,8 @@ object SparkEntry {
         |t AS (SELECT doc_id, toks, len(toks) AS n FROM tk WHERE len(toks) > 0),
         |comp AS (
         |  SELECT tt.doc_id, kk.k AS k,
-        |    MIN(CAST(('0x' || substring(md5(tt.tok || ':' || CAST(kk.k AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT)) AS s
+        |    MIN(CAST(('0x' || substring(md5(tt.tok || ':' || CAST(kk.k // 2 AS VARCHAR)),
+        |                        CAST(1 + 16 * (kk.k % 2) AS INTEGER), 15))::UBIGINT AS BIGINT)) AS s
         |  FROM (SELECT doc_id, UNNEST(toks) AS tok FROM t) tt
         |  CROSS JOIN (SELECT UNNEST(range(0, 64)) AS k) kk
         |  GROUP BY 1, 2),
@@ -1622,6 +1638,44 @@ object SparkEntry {
         |       round(quantile_cont(o_totalprice, 0.99), 2) AS p99,
         |       COUNT(*) AS n_orders
         |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    // The sketch estimate replayed exactly: same integer cent-histogram,
+    // same crossing-bucket rule, same interpolation arithmetic. The
+    // ::DOUBLE casts matter — a bare 0.9 literal is DECIMAL in DuckDB
+    // and CEIL(decimal·n) can differ by one rank from the double product
+    // Spark computes.
+    "order_percentiles_sketch" ->
+      """WITH sk AS (
+        |  SELECT o_orderpriority,
+        |    CAST(FLOOR(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)::DOUBLE / 10000) AS BIGINT) AS bucket,
+        |    COUNT(*) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |c AS (
+        |  SELECT o_orderpriority, bucket, cnt,
+        |    SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bucket) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM sk),
+        |p50 AS (SELECT o_orderpriority, bucket * 10000 +
+        |          CAST(FLOOR(10000.0::DOUBLE * (r - cum + cnt) / CAST(cnt AS DOUBLE)) AS BIGINT) AS pc
+        |        FROM (SELECT *, CAST(CEIL(0.5::DOUBLE * n) AS BIGINT) AS r FROM c)
+        |        WHERE cum - cnt < r AND r <= cum),
+        |p90 AS (SELECT o_orderpriority, bucket * 10000 +
+        |          CAST(FLOOR(10000.0::DOUBLE * (r - cum + cnt) / CAST(cnt AS DOUBLE)) AS BIGINT) AS pc
+        |        FROM (SELECT *, CAST(CEIL(0.9::DOUBLE * n) AS BIGINT) AS r FROM c)
+        |        WHERE cum - cnt < r AND r <= cum),
+        |p99 AS (SELECT o_orderpriority, bucket * 10000 +
+        |          CAST(FLOOR(10000.0::DOUBLE * (r - cum + cnt) / CAST(cnt AS DOUBLE)) AS BIGINT) AS pc
+        |        FROM (SELECT *, CAST(CEIL(0.99::DOUBLE * n) AS BIGINT) AS r FROM c)
+        |        WHERE cum - cnt < r AND r <= cum),
+        |cnts AS (SELECT o_orderpriority, CAST(SUM(cnt) AS BIGINT) AS n_orders FROM sk GROUP BY 1)
+        |SELECT cnts.o_orderpriority, cnts.n_orders,
+        |  ROUND(CAST(p50.pc AS DOUBLE) / 100.0, 2) AS p50,
+        |  ROUND(CAST(p90.pc AS DOUBLE) / 100.0, 2) AS p90,
+        |  ROUND(CAST(p99.pc AS DOUBLE) / 100.0, 2) AS p99
+        |FROM cnts
+        |JOIN p50 USING (o_orderpriority)
+        |JOIN p90 USING (o_orderpriority)
+        |JOIN p99 USING (o_orderpriority)
+        |ORDER BY o_orderpriority""".stripMargin,
     "salted_group_count" ->
       """SELECT l_returnflag AS key, COUNT(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY key""".stripMargin,

@@ -342,20 +342,23 @@ object SplitWhitespace {
 }
 
 /** MinHash signature + LSH band buckets for an `array<string>` token SET,
-  * in one pass, on the md5-prefix ENGINE-REPRODUCIBLE hash family:
-  * `sig[k] = min over tokens t of low60(md5(t ++ ":" ++ k))` and
+  * in one pass, on the md5 ENGINE-REPRODUCIBLE hash family: one digest
+  * `md5(t ++ ":" ++ j)` per (token, component PAIR) yields
+  * `sig[2j] = min over t of low60(digest)` (hex chars 1-15) and
+  * `sig[2j+1] = min over t of high60(digest)` (hex chars 17-31) — two
+  * disjoint 60-bit ranges of a cryptographic digest are independent hash
+  * functions, at HALF the digest count of one-md5-per-component (md5 is
+  * the dominant CPU of every MinHash dedup query). Then
   * `bucket[bd] = low60(md5(bd ++ ":" ++ sig[bd·r],…,sig[bd·r+r−1]))`
-  * (decimal renderings, comma-separated) — exactly the component family of
-  * [[graft.dedup.Dedup.minHashSignature]], where low60 is the first 15 hex
-  * digits of the digest read as base-16 (the same primitive SimHash /
-  * winnowing / fingerprints adopted in r7: DuckDB replays it as
-  * `('0x' || substring(md5(x), 1, 15))::UBIGINT`, which is what upgrades
-  * `dedup_near_minhash` from rows-only to a FULL band-bucket oracle).
-  * Parity with the declarative md5 column chain is pinned by
-  * ExpressionsSpec. The r6 lesson stands: the family must be non-monotone
-  * in the token hash (an affine family degenerated every component to
-  * argmin(x)); a fresh cryptographic digest per (token, component) has no
-  * such structure.
+  * (decimal renderings, comma-separated) — exactly the component family
+  * of [[graft.dedup.Dedup.minHashSignature]]. DuckDB replays both halves
+  * as `('0x' || substring(md5(x), 1 + 16·(k % 2), 15))::UBIGINT`, which
+  * is what upgrades `dedup_near_minhash` from rows-only to a FULL
+  * band-bucket oracle. Parity with the declarative md5 column chain is
+  * pinned by ExpressionsSpec. The r6 lesson stands: the family must be
+  * non-monotone in the token hash (an affine family degenerated every
+  * component to argmin(x)); fresh cryptographic digest bits per
+  * component have no such structure.
   *
   * Why native: the declarative form is an `aggregate` fold carrying a
   * numHashes-wide accumulator updated via `zip_with` per token — Catalyst
@@ -378,6 +381,7 @@ case class MinHashBandBuckets(child: Expression, numHashes: Int, bands: Int)
     with ExpectsInputTypes {
 
   require(numHashes % bands == 0, "bands must divide numHashes")
+  require(numHashes % 2 == 0, "components come in digest pairs")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -419,6 +423,13 @@ object MinHashBandBuckets {
       ((d(3) & 0xFFL) << 32) | ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
       ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)) >>> 4
 
+  /** Hex chars 17-31 as a base-16 value: bytes 8-15 with the low nibble
+    * dropped — DuckDB `('0x' || substring(md5(x), 17, 15))::UBIGINT`. */
+  private def high60(d: Array[Byte]): Long =
+    (((d(8) & 0xFFL) << 56) | ((d(9) & 0xFFL) << 48) | ((d(10) & 0xFFL) << 40) |
+      ((d(11) & 0xFFL) << 32) | ((d(12) & 0xFFL) << 24) | ((d(13) & 0xFFL) << 16) |
+      ((d(14) & 0xFFL) << 8) | (d(15) & 0xFFL)) >>> 4
+
   def compute(tokens: ArrayData, numHashes: Int, bands: Int): ArrayData = {
     val md = mdLocal.get()
     val sig = new Array[Long](numHashes)
@@ -427,20 +438,27 @@ object MinHashBandBuckets {
     var i = 0
     while (i < n) {
       if (!tokens.isNullAt(i)) {
-        // low60(md5(token ++ ":" ++ k)) per component — the token's UTF-8
-        // bytes feed the digest directly (md5(string) in both engines
-        // hashes the UTF-8 encoding), index appended as ASCII decimal.
+        // ONE digest per (token, component PAIR): md5(token ++ ":" ++ j)
+        // yields components 2j (hex chars 1-15) and 2j+1 (chars 17-31) —
+        // disjoint 60-bit ranges of one digest are independent hash
+        // functions, and halving the digest count halves the dominant
+        // CPU of every MinHash dedup query (md5 is ~2× slower than the
+        // pre-r8 xxhash64 chain; this claws that back). The token's
+        // UTF-8 bytes feed the digest directly, index as ASCII decimal.
         val tb = tokens.getUTF8String(i).getBytes
-        var k = 0
-        while (k < numHashes) {
+        var j = 0
+        while (j < numHashes / 2) {
           md.reset()
           md.update(tb)
           md.update(':'.toByte)
-          md.update(if (k < compBytes.length) compBytes(k)
-                    else String.valueOf(k).getBytes(java.nio.charset.StandardCharsets.US_ASCII))
-          val h = low60(md.digest())
-          if (h < sig(k)) sig(k) = h
-          k += 1
+          md.update(if (j < compBytes.length) compBytes(j)
+                    else String.valueOf(j).getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          val d = md.digest()
+          val lo = low60(d)
+          if (lo < sig(2 * j)) sig(2 * j) = lo
+          val hi = high60(d)
+          if (hi < sig(2 * j + 1)) sig(2 * j + 1) = hi
+          j += 1
         }
       }
       i += 1
