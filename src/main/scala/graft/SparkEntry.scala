@@ -529,6 +529,13 @@ object SparkEntry {
         FineWebFixture.docs.toDF("doc_id", "text"),
         gopherTh = FineWebRuleThresholds)
     }),
+    // CCNet-style preset (Wenzek et al. ordering): paragraph dedup ->
+    // language gate -> self-fit LM perplexity tiers, tail cut. One
+    // DuckDB WITH-chain replays all three stages.
+    "corpus_pipeline_ccnet" -> ((s, dir) => {
+      import s.implicits._
+      graft.pipeline.CcNetPipeline(CcNetFixture.docs.toDF("doc_id", "text"))
+    }),
     // Incremental FineWeb preset: docs < 9 are history — only their
     // persisted state (window-hash index, content-hash index, fixed
     // bench, additive DSIR counts) is consulted, history text never
@@ -1892,6 +1899,8 @@ object SparkEntry {
       graft.pipeline.FineWebPipeline.sqlIncremental(
         valuesRel(FineWebFixture.docs), split = 9L,
         gopherTh = FineWebRuleThresholds),
+    "corpus_pipeline_ccnet" ->
+      graft.pipeline.CcNetPipeline.sqlPipeline(valuesRel(CcNetFixture.docs)),
     "corpus_pipeline_gated" -> corpusPipelineSql(
       Some(graft.text.GopherRules.sqlPassExpr("red", FunnelThresholds))),
     "corpus_pipeline_full" -> corpusPipelineSql(
@@ -2444,6 +2453,28 @@ object UrlFixture {
   * must come back empty), a whitespace-only paragraph (doc 7 — dropped,
   * counted neither kept nor removed), and a 2-occurrence repeat (docs
   * 7/8 — removed at minOccurrences=2, SURVIVES at 3). */
+/** Fixture for the CCNet preset: every stage has designated victims —
+  * repeated License/Nav paragraphs (stage-1 paragraph dedup; doc 4 is
+  * ALL boilerplate and vanishes), a French doc and a gibberish doc
+  * (stage-2 language gate), and an English doc of rare vocabulary whose
+  * self-fit bigram cost lands it in the tail tier (stage-3 cut). */
+object CcNetFixture {
+  private val License =
+    "This document is licensed under the terms of the open content license."
+  private val Nav = "Home | About | Contact | Privacy"
+  val docs: Seq[(Long, String)] = Seq(
+    (1L, s"$License\n\nthe quick brown fox jumps over the lazy dog and runs to the river.\n\n$Nav"),
+    (2L, s"$License\n\nthe cat sat on the mat and the dog sat on the rug by the door.\n\n$Nav"),
+    (3L, s"the sun rose over the hills and the farmers went to the fields early.\n\n$Nav"),
+    (4L, s"$License\n\n$Nav"),
+    (5L, "le vieux port de la ville est dans la brume et les bateaux dorment pour la nuit."),
+    (6L, "zorp blick frumble quax vantor miskle dron plif warx jentu klavor brint."),
+    (7L, "the rain fell on the roof and the children listened to the storm in the dark."),
+    (8L, "the baker made bread in the morning and the town came to the shop for it."),
+    (9L, "quantum chromodynamics explains that confinement of the color charge is in the gluon field."),
+    (10L, "the teacher read the book to the class and the students wrote notes in the hall."))
+}
+
 object ParagraphFixture {
   private val License =
     "This document is licensed under the Creative Commons Attribution license."

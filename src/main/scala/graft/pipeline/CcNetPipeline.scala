@@ -1,0 +1,113 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.text.{LmScore, TextAnalysis}
+
+/** [EXT] The CCNet-style corpus preset (`corpus_pipeline_ccnet` query) —
+  * Wenzek et al. 2020's published ordering ("CCNet: Extracting High
+  * Quality Monolingual Datasets from Web Crawl Data"), the sibling of
+  * the [[FineWebPipeline]] preset, chained from operators this library
+  * already ships:
+  *
+  *  1. PARAGRAPH-level exact dedup
+  *     ([[graft.dedup.ParagraphDedup.dedupParagraphs]], keep-first) —
+  *     CCNet dedups on paragraph hashes before anything else, which
+  *     also strips boilerplate (license/nav blocks repeat corpus-wide);
+  *     documents whose every paragraph was removed drop out;
+  *  2. language ID gate ([[TextAnalysis.langId]] == `lang`) — CCNet
+  *     keeps one target language per corpus (fastText there, the
+  *     marker-word argmax here — same shape, engine-reproducible);
+  *  3. LM perplexity TIERS over the survivors
+  *     ([[LmScore.perplexityBucketsScalable]] — the hierarchical-rank
+  *     form; CCNet's head/middle/tail split by a language-model score,
+  *     self-fit bigram model here) — the tail tier (highest perplexity)
+  *     is cut, head+middle ship, mirroring CCNet's standard "keep
+  *     head+middle" recipe.
+  *
+  * Output: (doc_id, n_bigrams, avg_cost_micro, tier ∈ {head, middle})
+  * ordered by doc_id — every stage is ANSI-expressible, so ONE DuckDB
+  * WITH-chain ([[sqlPipeline]]) replays the whole line and the query
+  * hash-checks end to end.
+  *
+  * Scale shape: stage 1 is the norm-keyed paragraph marking exchange
+  * (ids + 32-hex norms, never text) + doc-keyed rebuild; stage 2 a
+  * per-row codegen filter; stage 3 two token-stream aggregates (unigram
+  * + bigram counts, map-side combined), a broadcast cost-table join,
+  * and the hierarchical rank — no single-partition window anywhere
+  * (the ntile twin exists only in specs). Nothing quadratic.
+  */
+object CcNetPipeline {
+
+  def apply(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+            lang: String = "en", splitRe: String = "\\n{2,}",
+            nShards: Int = 1024): DataFrame = {
+    // 1. paragraph dedup; fully-boilerplate docs (nothing kept) drop.
+    val pd = graft.dedup.ParagraphDedup
+      .dedupParagraphs(docs, idCol, textCol, minOccurrences = 2L, splitRe)
+      .filter(col("n_kept") > 0)
+      .select(col("doc_id"), col("text_clean").as("text"))
+    // 2. language gate. Checkpoint: the survivor set feeds the LM FIT
+    //    and the scoring pass — one materialization, two consumers.
+    val lg = pd.filter(TextAnalysis.langId(col("text")) === lang)
+      .localCheckpoint(true)
+    // 3. self-fit perplexity tiers; cut the tail.
+    LmScore.perplexityBucketsScalable(lg, "doc_id", "text", nShards)
+      .filter(col("tier") =!= "tail")
+      .orderBy(col("doc_id"))
+  }
+
+  /** The whole line as ONE DuckDB WITH-chain over a relation exposing
+    * (doc_id, text). Mirrors: the paragraph oracle's norm/keep-first
+    * CTEs, [[TextAnalysis.sqlLangId]], the bigram-LM cost CTEs of
+    * `lm_scores`, and the `ntile` tercile (provably identical to the
+    * scalable closed-form split). */
+  def sqlPipeline(from: String, lang: String = "en"): String =
+    s"""WITH d0 AS (SELECT * FROM $from),
+       |u AS (
+       |  SELECT doc_id, CAST(w.i - 1 AS BIGINT) AS idx, w.raw AS raw,
+       |    lower(trim(regexp_replace(w.raw, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS norm
+       |  FROM (
+       |    SELECT doc_id, UNNEST(list_transform(range(1, len(parts) + 1),
+       |      i -> {'i': i, 'raw': parts[i]})) AS w
+       |    FROM (SELECT doc_id, regexp_split_to_array(text, '\\n{2,}') AS parts FROM d0))),
+       |uu AS (SELECT * FROM u WHERE norm <> ''),
+       |m AS (
+       |  SELECT doc_id, idx, raw,
+       |    ROW_NUMBER() OVER (PARTITION BY norm ORDER BY doc_id, idx) AS rn,
+       |    COUNT(*) OVER (PARTITION BY norm) AS n_occ
+       |  FROM uu),
+       |k AS (SELECT * FROM m WHERE rn = 1 OR n_occ < 2),
+       |pd AS (SELECT doc_id, string_agg(raw, e'\\n\\n' ORDER BY idx) AS text
+       |       FROM k GROUP BY 1),
+       |lg AS (SELECT doc_id, text FROM pd
+       |       WHERE ${TextAnalysis.sqlLangId("text")} = '$lang'),
+       |tok AS (SELECT doc_id,
+       |          regexp_extract_all(lower(text), '[^ \\t\\n\\x0B\\f\\r]+') AS toks
+       |        FROM lg),
+       |bg AS (SELECT doc_id, UNNEST(list_transform(range(1, len(toks)),
+       |         i -> toks[i] || ' ' || toks[i+1])) AS bg
+       |       FROM tok),
+       |uw AS (SELECT w, COUNT(*) AS cu
+       |       FROM (SELECT UNNEST(toks) AS w FROM tok) GROUP BY 1),
+       |v AS (SELECT COUNT(*) AS v FROM uw),
+       |b AS (SELECT bg, COUNT(*) AS cb FROM bg GROUP BY 1),
+       |cost AS (
+       |  SELECT b.bg,
+       |    CAST(FLOOR(ln((uw.cu + v.v)::DOUBLE / (b.cb + 1)::DOUBLE) * 1000000.0) AS BIGINT) AS c
+       |  FROM b JOIN uw ON uw.w = split_part(b.bg, ' ', 1) CROSS JOIN v),
+       |sc AS (
+       |  SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(cost.c) AS BIGINT) AS total_cost_micro
+       |  FROM bg JOIN cost ON bg.bg = cost.bg GROUP BY 1),
+       |s AS (SELECT doc_id, n_bigrams,
+       |        total_cost_micro // n_bigrams AS avg_cost_micro
+       |      FROM sc),
+       |t AS (SELECT doc_id, n_bigrams, avg_cost_micro,
+       |        NTILE(3) OVER (ORDER BY avg_cost_micro, doc_id) AS bucket
+       |      FROM s)
+       |SELECT doc_id, n_bigrams, avg_cost_micro,
+       |  CASE bucket WHEN 1 THEN 'head' ELSE 'middle' END AS tier
+       |FROM t WHERE bucket <= 2 ORDER BY doc_id""".stripMargin
+}

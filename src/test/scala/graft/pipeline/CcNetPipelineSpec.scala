@@ -1,0 +1,50 @@
+package graft.pipeline
+
+import graft.{CcNetFixture, SparkSpec}
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Pins the CCNet preset's per-stage attrition on the engineered
+  * fixture; end-to-end values are hash-checked against the DuckDB
+  * WITH-chain by the driver gate. */
+class CcNetPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture = CcNetFixture.docs.toDF("doc_id", "text")
+
+  test("stage 1: paragraph dedup strips boilerplate; all-boilerplate doc vanishes") {
+    val pd = graft.dedup.ParagraphDedup
+      .dedupParagraphs(fixture, "doc_id", "text")
+      .filter(col("n_kept") > 0)
+    val ids = pd.select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(4L), "doc 4 is License+Nav only — both are dups")
+    assert(ids == Set(1L, 2L, 3L, 5L, 6L, 7L, 8L, 9L, 10L))
+    // doc 2 keeps only its unique middle paragraph (License/Nav first
+    // occurrences live in doc 1).
+    val d2 = pd.filter(col("doc_id") === 2L).select("text_clean")
+      .as[String].head()
+    assert(d2.startsWith("the cat sat") && !d2.contains("licensed"))
+  }
+
+  test("stage 2: language gate drops the French and gibberish docs") {
+    val langs = fixture
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(langs(5L) == "fr" && langs(6L) == "und")
+    assert(Seq(1L, 2L, 3L, 7L, 8L, 9L, 10L).forall(langs(_) == "en"))
+  }
+
+  test("end-to-end: tail tier is cut — rare-vocab doc 9 and boilerplate-heavy doc 1") {
+    val out = CcNetPipeline(fixture)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out.keySet == Set(2L, 3L, 7L, 8L, 10L), s"kept set drifted: ${out.keySet}")
+    assert(out.values.toSet == Set("head", "middle"))
+    assert(out.values.count(_ == "head") == 3, "ntile big-buckets-first: 7 -> 3,2,2")
+  }
+
+  test("output is invariant to input partitioning") {
+    val a = CcNetPipeline(fixture).collect().toSeq
+    val b = CcNetPipeline(fixture.repartition(7)).collect().toSeq
+    assert(a == b)
+  }
+}
