@@ -366,6 +366,60 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
   }
 
+  /** Streaming CCNet preset (ST2 [EXT] at preset scope, the
+    * [[fineWebViaSinkIndex]] sibling): each micro-batch runs the
+    * preset's per-batch stages — incremental paragraph dedup against
+    * the persisted norm-hash index, then the per-row language gate —
+    * and appends survivors to the sink and the batch's NOVEL norms to
+    * the index. The index absorbs norms from ALL batch docs (including
+    * language-rejected ones): in the full recompute, paragraph dedup
+    * runs BEFORE the gate, so a rejected doc's paragraphs still claim
+    * keep-first. Perplexity tiering (stage 3) is a RELEASE-time step —
+    * the self-fit LM depends on the whole survivor corpus, exactly the
+    * [[graft.pipeline.FineWebPipeline.dsirSelect]] boundary: run
+    * [[graft.text.LmScore.perplexityBucketsScalable]] over the sink and
+    * cut the tail (StreamingSpec pins the composition == one full
+    * [[graft.pipeline.CcNetPipeline]] recompute). */
+  def ccNetViaSinkIndex(docs: DataFrame, sinkPath: String,
+                        indexPath: String, checkpoint: String,
+                        lang: String = "en",
+                        idCol: String = "doc_id", textCol: String = "text",
+                        splitRe: String = "\\n{2,}"): DataStreamWriter[Row] = {
+    require(docs.isStreaming)
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.dedup.ParagraphDedup
+    val spark = docs.sparkSession
+    docs.writeStream
+      .foreachBatch { (batch0: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val batch = batch0.localCheckpoint(true)
+        if (batch.count() > 0) {
+          val index = readIndexIfExists(spark, indexPath)
+            .map(_.dropDuplicates("h"))
+            .getOrElse(
+              spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+                StructType(Seq(StructField("h", StringType),
+                  StructField("keeper_doc_id", LongType),
+                  StructField("keeper_idx", LongType)))))
+          val cleanedBatch = ParagraphDedup.dedupParagraphsIncremental(
+              batch, idCol, textCol, index, splitRe)
+            .filter(col("n_kept") > 0)
+            .select(col("doc_id"), col("text_clean").as("text"))
+            .filter(graft.text.TextAnalysis.langId(col("text")) === lang)
+            .localCheckpoint(true)
+          val novel = ParagraphDedup.paragraphIndex(
+              ParagraphDedup.paragraphUnits(batch, idCol, textCol, splitRe))
+            .join(index.select(col("h")), Seq("h"), "left_anti")
+            .localCheckpoint(true)
+          cleanedBatch.write.mode("append").parquet(sinkPath)
+          novel.write.mode("append").parquet(indexPath)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+  }
+
   def dedupViaSinkIndex(candidates: DataFrame, sinkPath: String,
                         checkpoint: String): DataStreamWriter[Row] = {
     require(candidates.isStreaming)

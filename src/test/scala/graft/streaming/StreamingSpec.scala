@@ -297,6 +297,40 @@ class StreamingSpec extends SparkSpec {
     assert(cnt.count() == cnt.dropDuplicates("h").count())
   }
 
+  test("streaming CCNet preset: two micro-batches + release-time tiers == full recompute") {
+    // Per-batch stages: incremental paragraph dedup via the norm index
+    // + language gate; stage 3 (self-fit perplexity tiers) runs once at
+    // release time over the sink — the dsirSelect boundary at CCNet
+    // scope. Split after doc 2: the License/Nav first occurrences live
+    // in batch 1 (doc 1), so batch 2's copies (doc 3's Nav, doc 4's
+    // License+Nav) must dedup via the INDEX, not in-batch — and doc 4
+    // must vanish entirely against index-only history.
+    val root = java.nio.file.Files.createTempDirectory("graft_ccnet_stream").toString
+    val (inDir, sink, idx, ckpt) = (s"$root/in", s"$root/sink", s"$root/idx", s"$root/ckpt")
+    val all = graft.CcNetFixture.docs
+    def drop(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+    def runOnce(): Unit = {
+      val docs = spark.readStream.schema("doc_id LONG, text STRING").parquet(inDir)
+      val q = StreamingIngest.ccNetViaSinkIndex(docs, sink, idx, ckpt).start()
+      q.awaitTermination()
+    }
+    drop(all.filter(_._1 <= 2L)); runOnce()
+    drop(all.filter(_._1 > 2L)); runOnce()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val released = graft.text.LmScore
+      .perplexityBucketsScalable(spark.read.parquet(sink), "doc_id", "text")
+      .filter($"tier" =!= "tail")
+    val full = graft.pipeline.CcNetPipeline(all.toDF("doc_id", "text"))
+    assert(rows(released) == rows(full),
+      "streamed clean + release-time tiers != full CCNet recompute")
+    // doc 4 (all boilerplate, arriving batch 2 against batch-1 index
+    // entries) must not be in the sink at all.
+    val sunk = spark.read.parquet(sink).select("doc_id").as[Long].collect().toSet
+    assert(!sunk.contains(4L) && !sunk.contains(5L) && !sunk.contains(6L))
+  }
+
   test("watermark would CHANGE semantics: late rows drop in append mode (ST3)") {
     // Parity keeps windows unwatermarked (complete/update mode) because the
     // reference accepts arbitrarily late publish dates. This pins the
