@@ -1565,6 +1565,47 @@ object SparkEntry {
          |FROM filtered f JOIN keepers k ON f.doc_id = k.id AND k.keeper_id = f.doc_id
          |ORDER BY f.doc_id""".stripMargin
     },
+    // dedup_incremental: FULL oracle since r8 — the exact-form discipline
+    // of dedup_keepers_scaled applied to the batch-vs-index composition:
+    // exact batch-internal CC + exact cross-batch J>=0.9 matches with the
+    // component lift. Valid because dedup_keepers_scaled's corpus-wide
+    // exact==LSH hash equality covers every pair, including those
+    // crossing this query's doc_id%2 split.
+    "dedup_incremental" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |         list_distinct(regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+')) AS toks
+        |  FROM documents),
+        |bt AS (SELECT * FROM t WHERE doc_id % 2 = 1),
+        |ht AS (SELECT * FROM t WHERE doc_id % 2 = 0),
+        |jp AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      round(len(list_filter(a.toks, x -> list_contains(b.toks, x)))::DOUBLE /
+        |            nullif(len(list_distinct(a.toks || b.toks)), 0)::DOUBLE, 4) AS jaccard
+        |    FROM bt a JOIN bt b ON a.doc_id < b.doc_id)
+        |  WHERE jaccard >= 0.9),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+        |          UNION ALL SELECT id_b, id_a FROM jp),
+        |reach AS (
+        |  SELECT doc_id AS id, doc_id AS label FROM bt
+        |  UNION
+        |  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id),
+        |cc AS (SELECT id AS doc_id, MIN(label) AS keeper_id FROM reach GROUP BY id),
+        |xm AS (
+        |  SELECT bid, MIN(iid) AS ex_keeper FROM (
+        |    SELECT a.doc_id AS bid, h.doc_id AS iid,
+        |      round(len(list_filter(a.toks, x -> list_contains(h.toks, x)))::DOUBLE /
+        |            nullif(len(list_distinct(a.toks || h.toks)), 0)::DOUBLE, 4) AS jaccard
+        |    FROM bt a CROSS JOIN ht h)
+        |  WHERE jaccard >= 0.9 GROUP BY bid),
+        |cm AS (SELECT cc.keeper_id, MIN(xm.ex_keeper) AS comp_ex
+        |       FROM cc JOIN xm ON cc.doc_id = xm.bid GROUP BY 1)
+        |SELECT cc.doc_id,
+        |  COALESCE(cm.comp_ex, cc.keeper_id) AS keeper_id,
+        |  CASE WHEN cm.comp_ex IS NULL AND cc.doc_id = cc.keeper_id
+        |       THEN 1 ELSE 0 END AS novel
+        |FROM cc LEFT JOIN cm USING (keeper_id) ORDER BY cc.doc_id""".stripMargin,
     "dedup_keepers_scaled" ->
       """WITH RECURSIVE t AS (
         |  SELECT doc_id,
