@@ -164,4 +164,58 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       assert(star == minLabel)
     }
   }
+
+  test("quantile sketch: estimate within width of the rank statistic, merge exact") {
+    val centsGen = for {
+      n <- Gen.choose(30, 200)
+      vs <- Gen.listOfN(n, Gen.choose(100L, 5000000L))
+    } yield vs
+    forAll(centsGen, n = 5) { cents =>
+      val w = 10000L
+      val df = cents.zipWithIndex.map { case (c, i) => (i.toLong, c) }.toDF("id", "c")
+      val sk = graft.relational.QuantileSketch.sketch(
+        df.withColumn("g", lit("x")), col("c"), w, "g")
+      val est = graft.relational.QuantileSketch
+        .quantiles(sk, w, Seq("p50" -> 0.5, "p90" -> 0.9), "g")
+        .collect().map(r => (r.getLong(2), r.getLong(3))).head
+      val sorted = cents.sorted
+      def atRank(q: Double) = sorted((math.ceil(q * sorted.length).toLong.max(1L) - 1).toInt)
+      assert(math.abs(est._1 - atRank(0.5)) < w, s"p50 ${est._1} vs ${atRank(0.5)}")
+      assert(math.abs(est._2 - atRank(0.9)) < w, s"p90 ${est._2} vs ${atRank(0.9)}")
+      // merge of any split is the whole sketch
+      val (a, b) = cents.zipWithIndex.partition(_._2 % 3 == 0)
+      def skOf(vs: Seq[(Long, Int)]) = graft.relational.QuantileSketch.sketch(
+        vs.map { case (c, i) => (i.toLong, c) }.toDF("id", "c")
+          .withColumn("g", lit("x")), col("c"), w, "g")
+      val merged = graft.relational.QuantileSketch.merge(skOf(a), skOf(b))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val whole = sk.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(merged == whole)
+    }
+  }
+
+  test("hll: error within 3x rsd across random key sets; merge equals whole") {
+    val keysGen = for {
+      n <- Gen.choose(50, 400)
+      ks <- Gen.listOfN(n, Gen.choose(0L, 100000L))
+    } yield ks
+    forAll(keysGen, n = 5) { keys =>
+      val df = keys.map(k => ("g", k)).toDF("g", "k")
+      val out = graft.relational.Hll.distinctWithExact(df, "k", "g")
+        .collect().map(r => (r.getLong(1), r.getLong(2))).head
+      val (exact, est) = out
+      assert(exact == keys.distinct.size.toLong)
+      val err = math.abs(est - exact).toDouble / exact
+      assert(err < 0.15, s"exact $exact vs hll $est (err $err)")
+      val (a, b) = keys.partition(_ % 2 == 0)
+      def skOf(ks: Seq[Long]) = graft.relational.Hll.sketch(
+        ks.map(k => ("g", k)).toDF("g", "k"), "k", "g")
+      val parts = Seq(a, b).filter(_.nonEmpty).map(skOf)
+      val merged = graft.relational.Hll.merge(parts: _*)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val whole = skOf(keys).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(merged == whole)
+    }
+  }
 }
