@@ -536,6 +536,11 @@ object SparkEntry {
       import s.implicits._
       graft.pipeline.CcNetPipeline(CcNetFixture.docs.toDF("doc_id", "text"))
     }),
+    // The CCNet preset's ablation table, from the SAME stage frames.
+    "ccnet_funnel" -> ((s, dir) => {
+      import s.implicits._
+      graft.pipeline.CcNetPipeline.funnel(CcNetFixture.docs.toDF("doc_id", "text"))
+    }),
     // Incremental FineWeb preset: docs < 9 are history — only their
     // persisted state (window-hash index, content-hash index, fixed
     // bench, additive DSIR counts) is consulted, history text never
@@ -1942,6 +1947,8 @@ object SparkEntry {
         gopherTh = FineWebRuleThresholds),
     "corpus_pipeline_ccnet" ->
       graft.pipeline.CcNetPipeline.sqlPipeline(valuesRel(CcNetFixture.docs)),
+    "ccnet_funnel" ->
+      graft.pipeline.CcNetPipeline.sqlFunnel(valuesRel(CcNetFixture.docs)),
     "corpus_pipeline_gated" -> corpusPipelineSql(
       Some(graft.text.GopherRules.sqlPassExpr("red", FunnelThresholds))),
     "corpus_pipeline_full" -> corpusPipelineSql(

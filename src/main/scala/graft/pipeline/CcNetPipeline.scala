@@ -40,9 +40,13 @@ import graft.text.{LmScore, TextAnalysis}
   */
 object CcNetPipeline {
 
-  def apply(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-            lang: String = "en", splitRe: String = "\\n{2,}",
-            nShards: Int = 1024): DataFrame = {
+  /** Stage frames, shared by [[apply]] and [[funnel]] so the ablation
+    * table counts exactly what the corpus ships. */
+  final case class Stages(pd: DataFrame, lg: DataFrame, tiers: DataFrame)
+
+  def stages(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+             lang: String = "en", splitRe: String = "\\n{2,}",
+             nShards: Int = 1024): Stages = {
     // 1. paragraph dedup; fully-boilerplate docs (nothing kept) drop.
     val pd = graft.dedup.ParagraphDedup
       .dedupParagraphs(docs, idCol, textCol, minOccurrences = 2L, splitRe)
@@ -52,10 +56,37 @@ object CcNetPipeline {
     //    and the scoring pass — one materialization, two consumers.
     val lg = pd.filter(TextAnalysis.langId(col("text")) === lang)
       .localCheckpoint(true)
-    // 3. self-fit perplexity tiers; cut the tail.
-    LmScore.perplexityBucketsScalable(lg, "doc_id", "text", nShards)
+    // 3. self-fit perplexity tiers; the tail is cut by the callers.
+    Stages(pd, lg,
+      LmScore.perplexityBucketsScalable(lg, "doc_id", "text", nShards))
+  }
+
+  def apply(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+            lang: String = "en", splitRe: String = "\\n{2,}",
+            nShards: Int = 1024): DataFrame =
+    stages(docs, idCol, textCol, lang, splitRe, nShards).tiers
       .filter(col("tier") =!= "tail")
       .orderBy(col("doc_id"))
+
+  /** Per-stage survivor counts (`ccnet_funnel` query) — the preset's
+    * ablation table, from the SAME stage frames [[apply]] ships: raw →
+    * paragraph_dedup → language → tiers_kept. Scored-doc membership can
+    * shrink once more at the tier stage (a doc whose cleaned text has
+    * < 2 tokens produces no bigrams and cannot be tiered), so
+    * `tiers_kept` counts the shipped corpus exactly. */
+  def funnel(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+             lang: String = "en", splitRe: String = "\\n{2,}",
+             nShards: Int = 1024): DataFrame = {
+    val st = stages(docs, idCol, textCol, lang, splitRe, nShards)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq(
+      (0L, "raw", docs.count()),
+      (1L, "paragraph_dedup", st.pd.count()),
+      (2L, "language", st.lg.count()),
+      (3L, "tiers_kept", st.tiers.filter(col("tier") =!= "tail").count()))
+      .toDF("stage", "gate", "n_docs")
+      .orderBy(col("stage"))
   }
 
   /** The whole line as ONE DuckDB WITH-chain over a relation exposing
@@ -64,6 +95,24 @@ object CcNetPipeline {
     * `lm_scores`, and the `ntile` tercile (provably identical to the
     * scalable closed-form split). */
   def sqlPipeline(from: String, lang: String = "en"): String =
+    sqlCtes(from, lang) +
+      """
+        |SELECT doc_id, n_bigrams, avg_cost_micro,
+        |  CASE bucket WHEN 1 THEN 'head' ELSE 'middle' END AS tier
+        |FROM t WHERE bucket <= 2 ORDER BY doc_id""".stripMargin
+
+  /** DuckDB mirror of [[funnel]] — the same CTE chain, counted. */
+  def sqlFunnel(from: String, lang: String = "en"): String =
+    sqlCtes(from, lang) +
+      """
+        |SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS gate,
+        |       CAST((SELECT COUNT(*) FROM d0) AS BIGINT) AS n_docs
+        |UNION ALL SELECT 1, 'paragraph_dedup', (SELECT COUNT(*) FROM pd)
+        |UNION ALL SELECT 2, 'language', (SELECT COUNT(*) FROM lg)
+        |UNION ALL SELECT 3, 'tiers_kept', (SELECT COUNT(*) FROM t WHERE bucket <= 2)
+        |ORDER BY stage""".stripMargin
+
+  private def sqlCtes(from: String, lang: String): String =
     s"""WITH d0 AS (SELECT * FROM $from),
        |u AS (
        |  SELECT doc_id, CAST(w.i - 1 AS BIGINT) AS idx, w.raw AS raw,
@@ -106,8 +155,5 @@ object CcNetPipeline {
        |      FROM sc),
        |t AS (SELECT doc_id, n_bigrams, avg_cost_micro,
        |        NTILE(3) OVER (ORDER BY avg_cost_micro, doc_id) AS bucket
-       |      FROM s)
-       |SELECT doc_id, n_bigrams, avg_cost_micro,
-       |  CASE bucket WHEN 1 THEN 'head' ELSE 'middle' END AS tier
-       |FROM t WHERE bucket <= 2 ORDER BY doc_id""".stripMargin
+       |      FROM s)""".stripMargin
 }
