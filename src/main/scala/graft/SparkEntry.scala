@@ -338,6 +338,12 @@ object SparkEntry {
     "hll_distinct_users" -> ((s, dir) =>
       graft.relational.Hll.distinctWithExact(Tables.events(s, dir),
         "user_id", "event_type")),
+    // Engine-reproducible Count-Min sketch: point-frequency estimates for
+    // the exact top-30 tokens — md5-prefix cell hashes, integer counters,
+    // min across D rows; estimates hash-match the DuckDB replay.
+    "cms_word_counts" -> ((s, dir) =>
+      graft.relational.CountMin.wordCountsWithExact(
+        Tables.documents(s, dir), "text", 30)),
     // Stream-stream-capable interval join run batch: purchases pick up
     // ALL clicks of the same user in the prior 30 min (AsOf keeps one).
     // Same function streams with watermarked state; parity pinned in
@@ -723,6 +729,17 @@ object SparkEntry {
       graft.pipeline.Curation.splitCorpus(Tables.documents(s, dir), "text", 500, 500)
         .select(col("doc_id"), col("source"), col("split"))
         .orderBy(col("doc_id"))),
+    // Snapshot diff between two deterministic fixture "versions": old =
+    // ids % 7 != 0; new = ids % 5 != 0 with a " v2" suffix on ids % 11
+    // == 0 — added/removed/changed via (id, md5) full-outer join.
+    "corpus_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val oldV = docs.filter(col("doc_id") % 7 =!= 0)
+      val newV = docs.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      graft.pipeline.SnapshotDiff.snapshotDiff(oldV, newV, "doc_id", "text")
+    }),
     // PII scrub on an inline fixture with known PII (VALUES oracle runs
     // the same RE2-safe regex literals).
     "pii_redact" -> ((s, _) => {
@@ -1270,6 +1287,7 @@ object SparkEntry {
         |       ELSE 'test' END AS split
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    "corpus_diff" -> graft.pipeline.SnapshotDiff.sqlDiff("documents"),
     "source_distribution" ->
       """SELECT source, n, ROUND(n * 100.0 / SUM(n) OVER (), 1) AS pct
         |FROM (SELECT COALESCE(source, 'Unknown') AS source, COUNT(*) AS n
@@ -1855,6 +1873,10 @@ object SparkEntry {
     // estimate carries a full oracle.
     "hll_distinct_users" ->
       graft.relational.Hll.sqlDistinctWithExact("events", "user_id", "event_type"),
+    // cms_word_counts: Count-Min cells are md5-prefix hashes and the
+    // counters pure integers — the estimates replay exactly.
+    "cms_word_counts" ->
+      graft.relational.CountMin.sqlWordCounts("documents", 30),
     "events_interval_join" ->
       """SELECT p.event_id AS purchase_id, p.user_id AS user_id, p.ts AS purchase_ts,
         |       c.event_id AS click_id, c.ts AS click_ts
