@@ -576,6 +576,15 @@ object SparkEntry {
       graft.pipeline.Curation.decontaminate(docs, "doc_id", "text",
         docs.filter(col("doc_id") % 97 === 0), "text", 3, 5L)
     }),
+    // Fuzzy decontamination: MinHash-LSH candidates against the benchmark
+    // slice, exact Jaccard verify >= 0.8 — catches paraphrased/re-wrapped
+    // benchmark leaks exact n-gram overlap misses. Full oracle: the
+    // md5-prefix family lets DuckDB replay banding AND verify.
+    "decontaminate_fuzzy" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.pipeline.Curation.decontaminateFuzzy(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", 0.8)
+    }),
     // BPE tokenizer training: exact word dict (one agg, bounded
     // TakeOrdered) -> driver merge loop -> merge table. Engine-internal
     // loop -> rows-only; hand-computed merges + round-trip pinned in
@@ -1977,6 +1986,8 @@ object SparkEntry {
       Some(graft.text.GopherRules.sqlPassExpr("red", FunnelThresholds)),
       Some(RepetitionThresholds)),
     "decontaminate" -> DecontaminateSql,
+    "decontaminate_fuzzy" ->
+      graft.pipeline.Curation.sqlDecontaminateFuzzy("documents", 0.8),
     "distinctive_terms" ->
       """WITH tok AS (
         |  SELECT COALESCE(source, 'Unknown') AS source,

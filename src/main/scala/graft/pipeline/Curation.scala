@@ -480,6 +480,103 @@ object Curation {
       .orderBy(col(idCol))
   }
 
+  /** [EXT] FUZZY decontamination (`decontaminate_fuzzy` query) — the
+    * near-duplicate form of [[decontaminate]]: exact/Bloom n-gram overlap
+    * misses benchmark text that was lightly paraphrased, re-wrapped, or
+    * truncated before it leaked into the corpus, so release pipelines
+    * also drop training docs whose token-set Jaccard with ANY benchmark
+    * doc clears a threshold (the MinHash-LSH discipline of
+    * [[graft.dedup.Dedup.nearDupMinHash]] pointed across tables instead
+    * of at itself).
+    *
+    * Composition: [[graft.dedup.Dedup.signatureTable]] on both sides →
+    * band-bucket equi-join (corpus × benchmark candidates share ≥ 1 of
+    * 16 bands; ids only through the exchange) → exact sorted-merge
+    * Jaccard verify ≥ threshold → per-doc flag. At threshold 0.8 a
+    * qualifying pair is missed with probability (1 − 0.8⁴)¹⁶ ≈ 2·10⁻⁴;
+    * the md5-prefix hash family is engine-reproducible, so the DuckDB
+    * oracle replays signatures, banding, candidates AND the verify —
+    * the output hash-matches by construction, not by recall luck.
+    *
+    * Output: (doc_id, n_bench_matches, j_max) for every FLAGGED corpus
+    * doc (j_max = its highest verified benchmark Jaccard, rounded to 4;
+    * a benchmark doc present verbatim in the corpus flags itself at
+    * 1.0), ordered by doc id — the takedown list a release publishes.
+    *
+    * Scale shape: the benchmark side is small by nature (eval suites,
+    * not corpora) — its banded rows and token sets broadcast; the corpus
+    * side streams through one signature pass. Nothing quadratic in the
+    * corpus, no corpus-keyed shuffle at all. */
+  def decontaminateFuzzy(docs: DataFrame, idCol: String, textCol: String,
+                         benchmark: DataFrame, benchIdCol: String,
+                         benchTextCol: String, threshold: Double,
+                         numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    import graft.dedup.Dedup
+    val d = Dedup.signatureTable(docs, idCol, textCol, numHashes, bands)
+      .localCheckpoint(true) // feeds the bucket join AND the verify re-fetch
+    val b = Dedup.signatureTable(
+        benchmark.select(col(benchIdCol).as("__bid"), col(benchTextCol).as("__btxt")),
+        "__bid", "__btxt", numHashes, bands)
+      .select(col("doc_id").as("bench_id"), col("toks").as("btoks"),
+        col("n").as("bn"), col("buckets").as("bbuckets"))
+      .localCheckpoint(true)
+    val db = d.select(col("doc_id"),
+      posexplode(col("buckets")).as(Seq("band", "bucket")))
+    val bb = b.select(col("bench_id"),
+      posexplode(col("bbuckets")).as(Seq("band", "bucket")))
+    val cand = db.join(broadcast(bb), Seq("band", "bucket"))
+      .select(col("doc_id"), col("bench_id")).dropDuplicates("doc_id", "bench_id")
+    cand
+      .join(d.select(col("doc_id"), col("toks"), col("n")), Seq("doc_id"))
+      .join(broadcast(b.select(col("bench_id"), col("btoks"), col("bn"))),
+        Seq("bench_id"))
+      .select(col("doc_id"),
+        round(Dedup.jaccardSortedBounded(col("toks"), col("btoks"),
+          col("n"), col("bn"), threshold), 4).as("j"))
+      .filter(col("j") >= threshold)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bench_matches"), max(col("j")).as("j_max"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror of [[decontaminateFuzzy]] for the fixture convention
+    * (benchmark = `doc_id % 97 == 0`): full band-bucket replay — the
+    * `dedup_near_minhash` oracle CTEs computed over corpus and benchmark
+    * sides, joined across tables. Band equality uses the component CSV
+    * (bucket hashing is equality-preserving, so tuple equality here is
+    * the engine's bucket equality). */
+  def sqlDecontaminateFuzzy(from: String, threshold: Double): String =
+    s"""WITH tk AS (
+       |  SELECT doc_id,
+       |    list_sort(list_distinct(regexp_extract_all(lower(text), '[^ \\t\\n\\x0B\\f\\r]+'))) AS toks
+       |  FROM $from),
+       |t AS (SELECT doc_id, toks, len(toks) AS n FROM tk WHERE len(toks) > 0),
+       |comp AS (
+       |  SELECT tt.doc_id, kk.k AS k,
+       |    MIN(CAST(('0x' || substring(md5(tt.tok || ':' || CAST(kk.k // 2 AS VARCHAR)),
+       |                        CAST(1 + 16 * (kk.k % 2) AS INTEGER), 15))::UBIGINT AS BIGINT)) AS s
+       |  FROM (SELECT doc_id, UNNEST(toks) AS tok FROM t) tt
+       |  CROSS JOIN (SELECT UNNEST(range(0, 64)) AS k) kk
+       |  GROUP BY 1, 2),
+       |sig AS (SELECT doc_id, list(s ORDER BY k) AS sg FROM comp GROUP BY 1),
+       |band AS (
+       |  SELECT doc_id, bb.b AS band,
+       |    CAST(sg[bb.b*4+1] AS VARCHAR) || ',' || CAST(sg[bb.b*4+2] AS VARCHAR) || ',' ||
+       |    CAST(sg[bb.b*4+3] AS VARCHAR) || ',' || CAST(sg[bb.b*4+4] AS VARCHAR) AS bkey
+       |  FROM sig CROSS JOIN (SELECT UNNEST(range(0, 16)) AS b) bb),
+       |cand AS (
+       |  SELECT DISTINCT d.doc_id, c.doc_id AS bench_id
+       |  FROM band d JOIN band c ON d.band = c.band AND d.bkey = c.bkey
+       |  WHERE c.doc_id % 97 = 0),
+       |jp AS (
+       |  SELECT cand.doc_id, cand.bench_id,
+       |    round(len(list_filter(x.toks, e -> list_contains(y.toks, e)))::DOUBLE /
+       |          nullif(len(list_distinct(x.toks || y.toks)), 0)::DOUBLE, 4) AS j
+       |  FROM cand JOIN t x ON cand.doc_id = x.doc_id JOIN t y ON cand.bench_id = y.doc_id)
+       |SELECT doc_id, COUNT(*) AS n_bench_matches, MAX(j) AS j_max
+       |FROM jp WHERE j >= $threshold
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Graded contamination scores (`contamination_scores` query) — the
     * fraction form of [[decontaminate]]: a fixed absolute threshold
     * over-flags long documents (more shingles, more chance overlap) and

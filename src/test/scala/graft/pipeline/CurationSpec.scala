@@ -301,4 +301,45 @@ class CurationSpec extends SparkSpec {
     assert(out(3L) == ((1L, 0.0, null)))
     assert(out(4L) == ((4L, 0.75, 1.0)))
   }
+
+  test("decontaminateFuzzy: verbatim leak at 1.0, near-dup flagged, clean doc not") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"), // verbatim bench
+      (2L, "the quick brown fox jumps over the lazy cat today"), // 1-token paraphrase
+      (3L, "completely unrelated text about spark and parquet files")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today")
+    ).toDF("doc_id", "text")
+    val out = Curation.decontaminateFuzzy(corpus, "doc_id", "text",
+        bench, "doc_id", "text", 0.8)
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // doc 1: identical token set -> J = 1.0; doc 2: 9 shared tokens of 11
+    // distinct union (dog vs cat) -> J = 0.8182 >= 0.8; doc 3: clean.
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L) === ((1L, 1.0)))
+    assert(out(2L)._2 >= 0.8 && out(2L)._2 < 1.0)
+  }
+
+  test("decontaminateFuzzy matches brute-force cross-Jaccard on the fixture") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val bench = docs.filter($"doc_id" % 97 === 0)
+    val got = Curation.decontaminateFuzzy(docs, "doc_id", "text",
+        bench, "doc_id", "text", 0.8)
+      .as[(Long, Long, Double)].collect().toSeq
+    // exact quadratic reference: every corpus x bench pair
+    val ts = graft.dedup.Dedup.tokenSet(col("text"))
+    val d = docs.select($"doc_id", ts.as("toks")).filter(size($"toks") > 0)
+    val b = bench.select($"doc_id".as("bench_id"), ts.as("btoks"))
+      .filter(size($"btoks") > 0)
+    val want = d.crossJoin(b)
+      .select($"doc_id",
+        round(graft.dedup.Dedup.jaccard($"toks", $"btoks"), 4).as("j"))
+      .filter($"j" >= 0.8)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n"), max($"j").as("jm"))
+      .orderBy($"doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === want)
+  }
 }
