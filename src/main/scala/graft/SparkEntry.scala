@@ -86,6 +86,10 @@ object SparkEntry {
     "doc_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
     // ---- [EXT] dedup ----
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir), "text", "doc_id")),
+    // Soft dedup: every copy kept, weighted 1/n_copies in integer micro-
+    // units — the data-constrained-training alternative to dropping.
+    "dedup_weights" -> ((s, dir) =>
+      Dedup.duplicationWeights(Tables.documents(s, dir), "doc_id", "text")),
     // Incremental exact dedup: docs < 250 are history (only their
     // content-hash index is consulted), the rest arrive as a batch —
     // O(batch) per batch at any history size. Full oracle.
@@ -1382,6 +1386,10 @@ object SparkEntry {
         |  SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
         |  FROM documents GROUP BY text)
         |ORDER BY keeper_id""".stripMargin,
+    "dedup_weights" ->
+      """SELECT doc_id, COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies,
+        |  1000000 // COUNT(*) OVER (PARTITION BY md5(text)) AS weight_micro
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_exact_incremental" ->
       """WITH hist AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 250),
         |b AS (SELECT md5(text) AS h, doc_id FROM documents WHERE doc_id >= 250)

@@ -70,6 +70,28 @@ object Dedup {
       .select(col("keeper_id"), col("n_copies"))
       .orderBy(col("keeper_id"))
 
+  /** [EXT] SOFT dedup (`dedup_weights` query): instead of dropping
+    * duplicates, weight every copy by the inverse of its duplication
+    * count — the data-constrained-training policy (repeating data has
+    * diminishing returns, but dropping it outright wastes signal; a
+    * sampler that draws docs ∝ weight sees each distinct CONTENT with
+    * equal total mass). Output per doc: its content-group size and
+    * weight_micro = ⌊10⁶ ∕ n_copies⌋ (integer micro-units so the value
+    * is engine-exact; a group's copies sum to 10⁶ up to the floor).
+    *
+    * Scale shape: ONE exchange keyed by md5(text) for the group-count
+    * window — the same key the exact-dedup aggregate shuffles on, and
+    * the (id, 16-byte hash) projection means payloads never ride it. */
+  def duplicationWeights(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col("h"))
+    graft.Par.widen(df)
+      .select(col(idCol).cast("long").as("doc_id"), md5(col(textCol)).as("h"))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .select(col("doc_id"), col("n_copies"),
+        expr("1000000 div n_copies").cast("long").as("weight_micro"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Distinct lowercased whitespace tokens — the comparison set for
     * Jaccard, sorted so downstream hashing/merging is order-independent.
     * `sort_array`, not `array_sort`: the latter desugars to a lambda

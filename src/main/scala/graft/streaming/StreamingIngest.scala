@@ -40,6 +40,31 @@ object StreamingIngest {
     if (fs.exists(p)) Some(spark.read.parquet(path)) else None
   }
 
+  /** [EXT] Mergeable-sketch maintenance under streaming — ST2's sketch
+    * face. Each micro-batch writes ITS OWN sketch table to a
+    * batch-keyed partition directory (`overwrite` per batch), and "the
+    * sketch" at read time is the family's merge over all partitions
+    * ([[graft.relational.CountMin.merge]]'s groupBy-sum,
+    * [[graft.relational.Hll.merge]]'s groupBy-max — both associative,
+    * so per-batch parts ARE valid incremental state, ≤ cells rows per
+    * batch). Unlike the sink-index APPENDS above, replay safety here
+    * is structural, not a caveat: re-firing batch N under at-least-once
+    * rewrites the same `batch_id=N` partition instead of
+    * double-counting into an accumulated table. */
+  def sketchViaBatchParts(docs: DataFrame, sketchOf: DataFrame => DataFrame,
+                          sketchPath: String,
+                          checkpoint: String): DataStreamWriter[Row] = {
+    require(docs.isStreaming)
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        sketchOf(batch).write.mode("overwrite")
+          .parquet(s"$sketchPath/batch_id=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+  }
+
   /** Streaming dedup over a stream of candidate records. Input: any
     * streaming DataFrame with a `sources` column. */
   def dedupStream(candidates: DataFrame): DataFrame = {

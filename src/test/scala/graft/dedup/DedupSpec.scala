@@ -177,6 +177,14 @@ class DedupSpec extends SparkSpec {
       full.collect { case (d, k) if d >= 11L && d == k => d }.toSet)
   }
 
+  test("duplicationWeights: inverse-copy micro weights, singletons at 1e6") {
+    val out = Dedup.duplicationWeights(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 2L, 500000L), (2L, 2L, 500000L), // exact-dup pair halves
+      (3L, 1L, 1000000L), (4L, 1L, 1000000L), (5L, 1L, 1000000L)))
+  }
+
   test("simhashPairs finds exact dups at distance 0 and is id-ordered") {
     val out = Dedup.simhashPairs(docs.filter(length(col("text")) > 0),
       "doc_id", "text", 3).collect()

@@ -331,6 +331,39 @@ class StreamingSpec extends SparkSpec {
     assert(!sunk.contains(4L) && !sunk.contains(5L) && !sunk.contains(6L))
   }
 
+  test("streaming CMS sketch: merged batch parts == one batch sketch; replay idempotent") {
+    import org.apache.spark.sql.functions.{col, lower}
+    val root = java.nio.file.Files.createTempDirectory("graft_cms_stream").toString
+    val (inDir, skDir, ckpt) = (s"$root/in", s"$root/sk", s"$root/ckpt")
+    val all = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    def drop(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+    def sketchOf(df: org.apache.spark.sql.DataFrame) =
+      graft.relational.CountMin.sketchTokens(df,
+        graft.text.TextAnalysis.tokens(lower(col("text"))))
+    def runOnce(): Unit = {
+      val docs = spark.readStream.schema("doc_id LONG, text STRING").parquet(inDir)
+      val q = StreamingIngest.sketchViaBatchParts(docs, sketchOf, skDir, ckpt).start()
+      q.awaitTermination()
+    }
+    drop(all.filter(_._1 < 250L)); runOnce()
+    drop(all.filter(_._1 >= 250L)); runOnce()
+    val merged = graft.relational.CountMin.merge(
+      spark.read.parquet(skDir).select($"r", $"c", $"cnt"))
+    val whole = sketchOf(all.toDF("doc_id", "text"))
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty,
+      "merged streamed sketch != one-shot batch sketch")
+    // structural idempotence: re-writing a batch partition (the
+    // at-least-once replay) leaves the merged sketch unchanged
+    sketchOf(all.filter(_._1 < 250L).toDF("doc_id", "text"))
+      .write.mode("overwrite").parquet(s"$skDir/batch_id=0")
+    val replayed = graft.relational.CountMin.merge(
+      spark.read.parquet(skDir).select($"r", $"c", $"cnt"))
+    assert(replayed.exceptAll(whole).isEmpty && whole.exceptAll(replayed).isEmpty,
+      "replayed batch partition changed the merged sketch")
+  }
+
   test("watermark would CHANGE semantics: late rows drop in append mode (ST3)") {
     // Parity keeps windows unwatermarked (complete/update mode) because the
     // reference accepts arbitrarily late publish dates. This pins the
