@@ -247,8 +247,10 @@ object SparkEntry {
     "embedding_dedup_keepers" -> ((s, dir) =>
       Similarity.embeddingDedupKeepers(Tables.embeddings(s, dir), 0.4)),
     // LSH-candidate feed -> exact verify -> CC: the 100 TB embedding-dedup
-    // composition. Approximate pair recall by design (rows-only check;
-    // refinement vs the exact path pinned in SimilaritySpec).
+    // composition. FULL oracle since r8: DuckDB replays the sign buckets
+    // from printed plane constants, so recall is part of the contract,
+    // not luck; refinement vs the exact path stays pinned in
+    // SimilaritySpec.
     "embedding_dedup_keepers_scaled" -> ((s, dir) =>
       Similarity.embeddingDedupKeepersScaled(Tables.embeddings(s, dir), 0.4)),
     // SemDeDup: k-means-partitioned semantic dedup — quadratic work bounded
@@ -1833,6 +1835,12 @@ object SparkEntry {
         |  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id)
         |SELECT id AS vec_id, MIN(label) AS keeper_vec_id
         |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
+    // embedding_dedup_keepers_scaled: FULL oracle since r8 — sign buckets
+    // replay from printed plane constants, DISTINCT shared-bucket pairs
+    // equal the engine's first-matching-table candidate set, verify uses
+    // the cosine_pairs arithmetic, CC the recursive-CTE discipline.
+    "embedding_dedup_keepers_scaled" ->
+      Similarity.sqlEmbeddingDedupKeepersScaled(0.4),
     "ingest_articles" ->
       """SELECT * FROM (VALUES
         |  ('Title One', 'https://ex.com/a/1', 'Body 1.',

@@ -112,7 +112,10 @@ object Similarity {
     * thresholds (cos ≥ 0.95, θ ≤ 18°, defaults 6×12) that is ≥ 0.9999;
     * at looser thresholds raise `tables` or lower `bitsPerTable`. Missed
     * pairs can only SPLIT a component, never merge two — pinned by the
-    * refinement spec. Rows-only driver check (approximate by design). */
+    * refinement spec. FULL oracle since r8
+    * ([[sqlEmbeddingDedupKeepersScaled]]): the plane constants replay
+    * exactly, so the whole LSH → verify → CC composition hash-matches
+    * DuckDB — the approximation is pinned, not excused. */
   def embeddingDedupKeepersScaled(emb: DataFrame, threshold: Double,
                                   bitsPerTable: Int = 6, tables: Int = 12,
                                   dim: Int = 64, idCol: String = "vec_id",
@@ -131,18 +134,23 @@ object Similarity {
     val banded = base
       .select(col("id"), col("buckets"),
         posexplode(col("buckets")).as(Seq("table", "bucket")))
-    val a = banded.select(col("table"), col("bucket"), col("id").as("id_a"),
-      col("buckets").as("buckets_a"))
-    val b = banded.select(col("table"), col("bucket"), col("id").as("id_b"),
-      col("buckets").as("buckets_b"))
+    // Distinct key names per side: joining two projections of the SAME
+    // checkpointed table on same-named columns is the ambiguous-self-join
+    // shape that warns ("trivially true equals predicate") even when
+    // dataset-id disambiguation rewrites it correctly — the
+    // setJaccardPairs fix applied here too.
+    val a = banded.select(col("table").as("table_a"), col("bucket").as("bucket_a"),
+      col("id").as("id_a"), col("buckets").as("buckets_a"))
+    val b = banded.select(col("table").as("table_b"), col("bucket").as("bucket_b"),
+      col("id").as("id_b"), col("buckets").as("buckets_b"))
     // First-matching-table dedup (same trick as the MinHash band join):
     // each colliding pair survives in exactly one table — no
     // dropDuplicates exchange.
     val candidates = a.join(b,
-      a("table") === b("table") && a("bucket") === b("bucket") &&
+      col("table_a") === col("table_b") && col("bucket_a") === col("bucket_b") &&
         col("id_a") < col("id_b") &&
         org.apache.spark.sql.graft.ArrayFunctions
-          .firstEqualIndex(col("buckets_a"), col("buckets_b")) === a("table"))
+          .firstEqualIndex(col("buckets_a"), col("buckets_b")) === col("table_a"))
       .select(col("id_a"), col("id_b"))
       .repartition(col("id_a"), col("id_b"))
     val pairs = candidates
@@ -242,9 +250,20 @@ object Similarity {
     * the native loop's accumulation order, bucket bit j adds 2^j when
     * the projection is positive. */
   def sqlLshBuckets(bitsPerTable: Int = 6, tables: Int = 12,
-                    dim: Int = 64): String = {
+                    dim: Int = 64): String =
+    s"""WITH b AS (
+       |  SELECT vec_id, [${sqlLshBucketArray(bitsPerTable, tables, dim)}] AS l
+       |  FROM embeddings)
+       |SELECT vec_id, CAST(UNNEST(range(0, $tables)) AS BIGINT) AS tbl,
+       |       CAST(UNNEST(l) AS BIGINT) AS bucket
+       |FROM b ORDER BY vec_id, tbl""".stripMargin
+
+  /** The per-table sign-bucket expressions as a SQL array-literal body —
+    * shared by [[sqlLshBuckets]] and [[sqlEmbeddingDedupKeepersScaled]]
+    * so the two oracles can never disagree on the plane family. */
+  private def sqlLshBucketArray(bitsPerTable: Int, tables: Int, dim: Int): String = {
     val planes = hyperplanes(bitsPerTable * tables, dim)
-    val tableExprs = (0 until tables).map { t =>
+    (0 until tables).map { t =>
       val bits = (0 until bitsPerTable).map { b =>
         val p = planes(t * bitsPerTable + b)
         val dot = p.zipWithIndex.map { case (c, i) =>
@@ -253,14 +272,51 @@ object Similarity {
         s"CASE WHEN ($dot) > 0 THEN ${1L << b} ELSE 0 END"
       }.mkString(" + ")
       s"($bits)"
-    }
-    s"""WITH b AS (
-       |  SELECT vec_id, [${tableExprs.mkString(",\n    ")}] AS l
-       |  FROM embeddings)
-       |SELECT vec_id, CAST(UNNEST(range(0, $tables)) AS BIGINT) AS tbl,
-       |       CAST(UNNEST(l) AS BIGINT) AS bucket
-       |FROM b ORDER BY vec_id, tbl""".stripMargin
+    }.mkString(",\n    ")
   }
+
+  /** DuckDB mirror of [[embeddingDedupKeepersScaled]] — the FULL oracle
+    * for the LSH-fed embedding dedup (r8): replay the sign buckets from
+    * the printed plane constants ([[sqlLshBucketArray]]), take DISTINCT
+    * pairs sharing ≥ 1 (table, bucket) — the same candidate SET the
+    * engine's first-matching-table trick emits exactly once — verify
+    * with the `cosine_pairs` left-assoc float arithmetic, and label
+    * components with the recursive-CTE min-reachable-label CC the
+    * `dedup_keepers` oracle established. Every piece reuses an
+    * already-green discipline; composing them is what upgrades this
+    * query from rows-only to hash-checked. */
+  def sqlEmbeddingDedupKeepersScaled(threshold: Double, bitsPerTable: Int = 6,
+                                     tables: Int = 12, dim: Int = 64): String =
+    s"""WITH RECURSIVE n AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x*x),
+       |                     (a,b) -> a+b)) AS nv
+       |  FROM embeddings),
+       |b AS (
+       |  SELECT vec_id, [${sqlLshBucketArray(bitsPerTable, tables, dim)}] AS l
+       |  FROM embeddings),
+       |bb AS (
+       |  SELECT vec_id, t AS tbl, l[t+1] AS bucket
+       |  FROM b CROSS JOIN (SELECT UNNEST(range(0, $tables)) AS t)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+       |  FROM bb a JOIN bb c ON a.tbl = c.tbl AND a.bucket = c.bucket
+       |    AND a.vec_id < c.vec_id),
+       |cp AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT cand.id_a, cand.id_b,
+       |      round(list_reduce(list_transform(range(1, len(x.v)+1), i -> x.v[i]*y.v[i]),
+       |                        (p,q) -> p+q) / (x.nv * y.nv), 6) AS cosine
+       |    FROM cand JOIN n x ON cand.id_a = x.vec_id JOIN n y ON cand.id_b = y.vec_id)
+       |  WHERE cosine >= $threshold),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM cp
+       |          UNION ALL SELECT id_b, id_a FROM cp),
+       |reach AS (
+       |  SELECT vec_id AS id, vec_id AS label FROM embeddings
+       |  UNION
+       |  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id)
+       |SELECT id AS vec_id, MIN(label) AS keeper_vec_id
+       |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin
 
   /** Sign-bucket id over a slice of the plane family: bit j = [v · h_j > 0].
     * One long per (vector, table). */
