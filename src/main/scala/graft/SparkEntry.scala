@@ -1811,9 +1811,11 @@ object SparkEntry {
         |                      (x,y) -> x+y) / (a.nv * b.nv), 6) AS cosine
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin,
-    // knn_lsh: approximate by design — no oracle (rows-only check);
+    // knn_lsh: FULL oracle since r8 — bucket replay + the knn_bruteforce
+    // rank tail over the LSH candidate set; recall vs knn_bruteforce is
+    // additionally asserted in SimilaritySpec.
+    "knn_lsh" -> Similarity.sqlKnnLsh(5),
     "lsh_bucket_assignments" -> Similarity.sqlLshBuckets(),
-    // recall vs knn_bruteforce is asserted in SimilaritySpec.
     "embedding_dedup_keepers" ->
       """WITH RECURSIVE n AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -229,8 +229,10 @@ object Similarity {
     * the native [[graft.functions.LshTableBuckets]] loop accumulates
     * each projection left-to-right — the same association as the printed
     * left-assoc SQL chain, so both engines compute bit-identical
-    * projections and identical sign buckets ([[sqlLshBuckets]]). What
-    * stays rows-only in `knn_lsh` is just the float cosine re-rank. */
+    * projections and identical sign buckets ([[sqlLshBuckets]]). Since
+    * r8 the cosine re-rank replays too ([[sqlKnnLsh]]), so `knn_lsh`
+    * itself carries a full oracle; this table remains the standalone
+    * bucket-layer check. */
   def lshBucketAssignments(emb: DataFrame, bitsPerTable: Int = 6,
                            tables: Int = 12, dim: Int = 64,
                            idCol: String = "vec_id",
@@ -317,6 +319,43 @@ object Similarity {
        |  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id)
        |SELECT id AS vec_id, MIN(label) AS keeper_vec_id
        |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin
+
+  /** DuckDB mirror of [[knnLsh]] for the fixture probe convention
+    * (`vec_id % 50 == 0`) — the FULL oracle for `knn_lsh` (r8): bucket
+    * replay from printed plane constants, DISTINCT shared-bucket
+    * (probe, candidate) pairs, then the `knn_bruteforce` oracle's exact
+    * rank tail (same left-assoc cosine, same (cosine desc, cand asc)
+    * window) restricted to the LSH candidates. The ANN's recall is
+    * thereby hash-checked, not just spec-bounded. */
+  def sqlKnnLsh(k: Int, bitsPerTable: Int = 6, tables: Int = 12,
+                dim: Int = 64): String =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x*x),
+       |                     (a,b) -> a+b)) AS nv
+       |  FROM embeddings),
+       |b AS (
+       |  SELECT vec_id, [${sqlLshBucketArray(bitsPerTable, tables, dim)}] AS l
+       |  FROM embeddings),
+       |bb AS (
+       |  SELECT vec_id, t AS tbl, l[t+1] AS bucket
+       |  FROM b CROSS JOIN (SELECT UNNEST(range(0, $tables)) AS t)),
+       |cand AS (
+       |  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS cand_id
+       |  FROM bb p JOIN bb c ON p.tbl = c.tbl AND p.bucket = c.bucket
+       |  WHERE p.vec_id % 50 = 0 AND c.vec_id <> p.vec_id),
+       |s AS (
+       |  SELECT cand.probe_id, cand.cand_id,
+       |    round(list_reduce(list_transform(range(1, len(x.v)+1), i -> x.v[i]*y.v[i]),
+       |                      (a,b) -> a+b) / (x.nv * y.nv), 6) AS cosine
+       |  FROM cand JOIN n x ON cand.probe_id = x.vec_id
+       |            JOIN n y ON cand.cand_id = y.vec_id),
+       |r AS (SELECT probe_id, cand_id, cosine,
+       |        row_number() OVER (PARTITION BY probe_id
+       |                           ORDER BY cosine DESC, cand_id ASC) AS rk
+       |      FROM s)
+       |SELECT probe_id, rk, cand_id, cosine FROM r WHERE rk <= $k
+       |ORDER BY probe_id, rk""".stripMargin
 
   /** Sign-bucket id over a slice of the plane family: bit j = [v · h_j > 0].
     * One long per (vector, table). */
