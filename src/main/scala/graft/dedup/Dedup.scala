@@ -199,19 +199,23 @@ object Dedup {
     * token SET. Pure per-row expression work.
     *
     * Hash family (r8): ONE digest `md5(t ++ ":" ++ j)` per (token,
-    * component pair) — component 2j is hex chars 1-15 read as base-16,
-    * component 2j+1 is chars 17-31 (two disjoint 60-bit digest ranges
-    * are independent hash functions at half the digest count; md5 is the
-    * family's dominant CPU). The ENGINE-REPRODUCIBLE primitive
-    * SimHash/winnowing/fingerprints adopted in r7: both engines derive
-    * identical longs via `conv(substring(md5(x), 1 + 16·(i mod 2), 15),
-    * 16, 10)` / DuckDB's `('0x' || substring(...))::UBIGINT`, which is
-    * what gives `dedup_near_minhash` its FULL band-bucket oracle. Fresh
-    * digest bits per component are trivially non-monotone in the token —
-    * the r6 failure mode (an affine family whose every component
-    * degenerated to argmin of the token hash, so J=0.9 pairs shared zero
-    * bands) cannot recur, and DedupSpec's scaled-keepers equivalence
-    * still pins recall.
+    * component QUAD) — components 4j..4j+3 are its four disjoint
+    * 8-hex-char ranges read as base-16 u32s (independent hash functions
+    * at a quarter of the digest count; md5 is the family's dominant CPU,
+    * and 32-bit minima are ample: a within-set argmin tie needs a 2⁻³²
+    * component collision, and a band key is r=4 components = 128 bits).
+    * The ENGINE-REPRODUCIBLE primitive SimHash/winnowing/fingerprints
+    * adopted in r7: both engines derive identical longs via
+    * `conv(substring(md5(x), 1 + 8·(i mod 4), 8), 16, 10)` / DuckDB's
+    * `('0x' || substring(...))::UBIGINT`, which is what gives
+    * `dedup_near_minhash` its FULL band-bucket oracle. Fresh digest bits
+    * per component are trivially non-monotone in the token — the r6
+    * failure mode (an affine family whose every component degenerated to
+    * argmin of the token hash, so J=0.9 pairs shared zero bands) cannot
+    * recur, and DedupSpec's scaled-keepers equivalence still pins
+    * recall. NOTE: changing the family invalidates any PERSISTED
+    * signature index ([[signatureTable]]) built by an earlier build —
+    * rebuild indexes when upgrading across hash-family versions.
     *
     * Shape matters: a naive `array(h_0, …, h_63)` of 64 independent
     * `array_min(transform(tokens, …))` expressions gets the tokenize
@@ -228,16 +232,16 @@ object Dedup {
     * does not), and ExpressionsSpec pins the native expression's components
     * against this column chain. */
   def minHashSignature(tokSet: Column, numHashes: Int): Column = {
-    require(numHashes % 2 == 0, "components come in digest pairs")
+    require(numHashes % 4 == 0, "components come in digest quads")
     val idxArr = array((0 until numHashes).map(i => lit(i.toLong)): _*)
     aggregate(
       tokSet,
       array_repeat(lit(Long.MaxValue), numHashes),
       (acc, t) => zip_with(idxArr, acc, (i, m) => {
         val digest = md5(concat(t, lit(":"),
-          floor(i / 2).cast("long").cast("string")))
-        val start = (lit(1) + lit(16) * pmod(i, lit(2))).cast("int")
-        least(conv(digest.substr(start, lit(15)), 16, 10).cast("long"), m)
+          floor(i / 4).cast("long").cast("string")))
+        val start = (lit(1) + lit(8) * pmod(i, lit(4))).cast("int")
+        least(conv(digest.substr(start, lit(8)), 16, 10).cast("long"), m)
       }))
   }
 

@@ -343,16 +343,17 @@ object SplitWhitespace {
 
 /** MinHash signature + LSH band buckets for an `array<string>` token SET,
   * in one pass, on the md5 ENGINE-REPRODUCIBLE hash family: one digest
-  * `md5(t ++ ":" ++ j)` per (token, component PAIR) yields
-  * `sig[2j] = min over t of low60(digest)` (hex chars 1-15) and
-  * `sig[2j+1] = min over t of high60(digest)` (hex chars 17-31) — two
-  * disjoint 60-bit ranges of a cryptographic digest are independent hash
-  * functions, at HALF the digest count of one-md5-per-component (md5 is
-  * the dominant CPU of every MinHash dedup query). Then
+  * `md5(t ++ ":" ++ j)` per (token, component QUAD) yields
+  * `sig[4j+q] = min over t of u32(digest bytes 4q..4q+3)` (hex chars
+  * 8q+1..8q+8) — four disjoint 32-bit ranges of a cryptographic digest
+  * are independent hash functions, at a QUARTER of the digest count of
+  * one-md5-per-component (md5 is the dominant CPU of every MinHash
+  * dedup query; 32-bit minima are ample — an argmin tie needs a 2⁻³²
+  * collision and a band key is r=4 components = 128 bits). Then
   * `bucket[bd] = low60(md5(bd ++ ":" ++ sig[bd·r],…,sig[bd·r+r−1]))`
   * (decimal renderings, comma-separated) — exactly the component family
-  * of [[graft.dedup.Dedup.minHashSignature]]. DuckDB replays both halves
-  * as `('0x' || substring(md5(x), 1 + 16·(k % 2), 15))::UBIGINT`, which
+  * of [[graft.dedup.Dedup.minHashSignature]]. DuckDB replays components
+  * as `('0x' || substring(md5(x), 1 + 8·(k % 4), 8))::UBIGINT`, which
   * is what upgrades `dedup_near_minhash` from rows-only to a FULL
   * band-bucket oracle. Parity with the declarative md5 column chain is
   * pinned by ExpressionsSpec. The r6 lesson stands: the family must be
@@ -381,7 +382,7 @@ case class MinHashBandBuckets(child: Expression, numHashes: Int, bands: Int)
     with ExpectsInputTypes {
 
   require(numHashes % bands == 0, "bands must divide numHashes")
-  require(numHashes % 2 == 0, "components come in digest pairs")
+  require(numHashes % 4 == 0, "components come in digest quads")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -423,12 +424,13 @@ object MinHashBandBuckets {
       ((d(3) & 0xFFL) << 32) | ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
       ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)) >>> 4
 
-  /** Hex chars 17-31 as a base-16 value: bytes 8-15 with the low nibble
-    * dropped — DuckDB `('0x' || substring(md5(x), 17, 15))::UBIGINT`. */
-  private def high60(d: Array[Byte]): Long =
-    (((d(8) & 0xFFL) << 56) | ((d(9) & 0xFFL) << 48) | ((d(10) & 0xFFL) << 40) |
-      ((d(11) & 0xFFL) << 32) | ((d(12) & 0xFFL) << 24) | ((d(13) & 0xFFL) << 16) |
-      ((d(14) & 0xFFL) << 8) | (d(15) & 0xFFL)) >>> 4
+  /** Hex chars 8q+1..8q+8 as a base-16 value = the big-endian u32 of
+    * digest bytes 4q..4q+3 — always in [0, 2³²), so
+    * `conv(substring(md5(x), 1+8q, 8), 16, 10)` / DuckDB
+    * `('0x' || substring(md5(x), 1+8q, 8))::UBIGINT` agree exactly. */
+  private def u32At(d: Array[Byte], off: Int): Long =
+    ((d(off) & 0xFFL) << 24) | ((d(off + 1) & 0xFFL) << 16) |
+      ((d(off + 2) & 0xFFL) << 8) | (d(off + 3) & 0xFFL)
 
   def compute(tokens: ArrayData, numHashes: Int, bands: Int): ArrayData = {
     val md = mdLocal.get()
@@ -438,26 +440,31 @@ object MinHashBandBuckets {
     var i = 0
     while (i < n) {
       if (!tokens.isNullAt(i)) {
-        // ONE digest per (token, component PAIR): md5(token ++ ":" ++ j)
-        // yields components 2j (hex chars 1-15) and 2j+1 (chars 17-31) —
-        // disjoint 60-bit ranges of one digest are independent hash
-        // functions, and halving the digest count halves the dominant
-        // CPU of every MinHash dedup query (md5 is ~2× slower than the
-        // pre-r8 xxhash64 chain; this claws that back). The token's
-        // UTF-8 bytes feed the digest directly, index as ASCII decimal.
+        // ONE digest per (token, component QUAD): md5(token ++ ":" ++ j)
+        // yields components 4j..4j+3 from its four disjoint 8-hex-char
+        // ranges. The token's UTF-8 bytes feed the digest directly,
+        // index as ASCII decimal.
         val tb = tokens.getUTF8String(i).getBytes
         var j = 0
-        while (j < numHashes / 2) {
+        while (j < numHashes / 4) {
           md.reset()
           md.update(tb)
           md.update(':'.toByte)
           md.update(if (j < compBytes.length) compBytes(j)
                     else String.valueOf(j).getBytes(java.nio.charset.StandardCharsets.US_ASCII))
           val d = md.digest()
-          val lo = low60(d)
-          if (lo < sig(2 * j)) sig(2 * j) = lo
-          val hi = high60(d)
-          if (hi < sig(2 * j + 1)) sig(2 * j + 1) = hi
+          // FOUR 32-bit components per digest (r8: was two 60-bit halves;
+          // quartering→halving the digest count again halves the dominant
+          // CPU): disjoint 8-hex-char ranges are independent hash
+          // functions, and 32-bit minima keep the banding discipline —
+          // a band key is r=4 components = 128 bits of entropy, and
+          // within-set argmin ties need a 2⁻³² component collision.
+          var q = 0
+          while (q < 4) {
+            val u32 = u32At(d, 4 * q)
+            if (u32 < sig(4 * j + q)) sig(4 * j + q) = u32
+            q += 1
+          }
           j += 1
         }
       }

@@ -553,8 +553,8 @@ object Curation {
        |t AS (SELECT doc_id, toks, len(toks) AS n FROM tk WHERE len(toks) > 0),
        |comp AS (
        |  SELECT tt.doc_id, kk.k AS k,
-       |    MIN(CAST(('0x' || substring(md5(tt.tok || ':' || CAST(kk.k // 2 AS VARCHAR)),
-       |                        CAST(1 + 16 * (kk.k % 2) AS INTEGER), 15))::UBIGINT AS BIGINT)) AS s
+       |    MIN(CAST(('0x' || substring(md5(tt.tok || ':' || CAST(kk.k // 4 AS VARCHAR)),
+       |                        CAST(1 + 8 * (kk.k % 4) AS INTEGER), 8))::UBIGINT AS BIGINT)) AS s
        |  FROM (SELECT doc_id, UNNEST(toks) AS tok FROM t) tt
        |  CROSS JOIN (SELECT UNNEST(range(0, 64)) AS k) kk
        |  GROUP BY 1, 2),
