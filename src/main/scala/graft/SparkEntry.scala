@@ -609,6 +609,14 @@ object SparkEntry {
     // predictability cost under the corpus's own bigram model, in
     // integer micro-nats so the iterative-free float pipeline still
     // hash-matches DuckDB.
+    // Cross-fit LM (CCNet's real shape): model fit on the target-
+    // language slice, every doc priced under it — OOV bigrams back off
+    // to the first token's unigram mass instead of dropping.
+    "lm_scores_crossfit" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.text.LmScore.scoresCrossFit(docs, "doc_id", "text",
+        docs.filter(col("lang") === "en"), "text")
+    }),
     "lm_scores" -> ((s, dir) =>
       graft.text.LmScore.scores(Tables.documents(s, dir), "doc_id", "text")),
     // The curation loop closed: LM cost -> exact-percentile corpus cut
@@ -1162,6 +1170,7 @@ object SparkEntry {
     "decontaminate_bloom" -> DecontaminateSql,
     "part_pagerank" -> graft.analytics.PageRank.sqlCopurchaseParts(),
     "lm_scores" -> graft.text.LmScore.sqlScores,
+    "lm_scores_crossfit" -> graft.text.LmScore.sqlScoresCrossFit,
     "lm_quality_floor" -> graft.text.LmScore.sqlQualityFloor(),
     "lm_scores_trigram" -> graft.text.LmScore.sqlScoresTrigram(),
     "lm_scores_pruned" -> graft.text.LmScore.sqlScoresPruned(),

@@ -79,6 +79,87 @@ object LmScore {
       .orderBy(col("doc_id"))
   }
 
+  /** [EXT] CROSS-FIT LM scoring (`lm_scores_crossfit` query) — the shape
+    * CCNet actually runs (Wenzek et al. fit the KenLM on the TARGET
+    * domain, not on the corpus being scored): fit the Laplace bigram
+    * model on `modelDocs` (here: the target-language slice), score every
+    * document of `docs` under it. Self-fit [[scores]] can never see an
+    * out-of-vocabulary bigram; cross-fit must price them — an unseen
+    * bigram backs off to its first token's unigram mass,
+    * c = ⌊ln(c_model(w1) + V) · 1e6⌋ (the `c(bg)+1 = 1` branch of the
+    * same Laplace formula; an unseen w1 degenerates to ⌊ln(V) · 1e6⌋),
+    * so foreign-domain text scores strictly costlier instead of being
+    * silently dropped by the model join.
+    *
+    * Scale shape: the model corpus is the bounded clean target (a wiki
+    * slice, not the crawl), so its unigram and bigram-cost tables
+    * BROADCAST — scoring is one map-side pass over the corpus bigram
+    * stream plus the per-doc aggregate; the corpus is never re-keyed by
+    * token. Same integer micro-nat discipline as [[scores]] → full
+    * oracle. */
+  def scoresCrossFit(docs: DataFrame, idCol: String, textCol: String,
+                     modelDocs: DataFrame, modelTextCol: String): DataFrame = {
+    val cost = bigramCostTable(modelDocs, modelTextCol)
+    val uni = graft.Par.widen(modelDocs)
+      .select(explode(TextAnalysis.tokens(lower(col(modelTextCol)))).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    graft.Par.widen(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(TextAnalysis.shingles(col(textCol), 2)).as("bg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .join(broadcast(cost), Seq("bg"), "left")
+      .join(broadcast(uni), Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        coalesce(col("c"),
+          floor(log((coalesce(col("cu"), lit(0L)) + col("v")).cast("double")) *
+            lit(1000000.0)).cast("long")).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("c")).as("total_cost_micro"))
+      .select(col("doc_id"), col("n_bigrams"), col("total_cost_micro"),
+        expr("total_cost_micro div n_bigrams").as("avg_cost_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror of [[scoresCrossFit]] with model = `lang = 'en'`. */
+  def sqlScoresCrossFit: String =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+') AS toks FROM documents),
+      |mtok AS (
+      |  SELECT regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+') AS toks
+      |  FROM documents WHERE lang = 'en'),
+      |bg AS (
+      |  SELECT doc_id, UNNEST(list_transform(range(1, len(toks)),
+      |    i -> toks[i] || ' ' || toks[i+1])) AS bg
+      |  FROM tok),
+      |u AS (SELECT w, COUNT(*) AS cu FROM (SELECT UNNEST(toks) AS w FROM mtok) GROUP BY 1),
+      |v AS (SELECT COUNT(*) AS v FROM u),
+      |mb AS (
+      |  SELECT bg, COUNT(*) AS cb FROM (
+      |    SELECT UNNEST(list_transform(range(1, len(toks)),
+      |      i -> toks[i] || ' ' || toks[i+1])) AS bg
+      |    FROM mtok) GROUP BY 1),
+      |cost AS (
+      |  SELECT mb.bg,
+      |    CAST(FLOOR(ln((u.cu + v.v)::DOUBLE / (mb.cb + 1)::DOUBLE) * 1000000.0) AS BIGINT) AS c
+      |  FROM mb JOIN u ON u.w = split_part(mb.bg, ' ', 1) CROSS JOIN v),
+      |priced AS (
+      |  SELECT bg.doc_id,
+      |    COALESCE(cost.c,
+      |      CAST(FLOOR(ln((COALESCE(u.cu, 0) + v.v)::DOUBLE) * 1000000.0) AS BIGINT)) AS c
+      |  FROM bg
+      |  LEFT JOIN cost ON bg.bg = cost.bg
+      |  LEFT JOIN u ON u.w = split_part(bg.bg, ' ', 1)
+      |  CROSS JOIN v),
+      |d AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |    CAST(SUM(c) AS BIGINT) AS total_cost_micro
+      |  FROM priced GROUP BY 1)
+      |SELECT doc_id, n_bigrams, total_cost_micro,
+      |  total_cost_micro // n_bigrams AS avg_cost_micro
+      |FROM d ORDER BY doc_id""".stripMargin
+
   /** LM-quality floor (`lm_quality_floor` query) — the curation loop
     * closed: [[scores]] feeds a robust corpus threshold (exact
     * interpolated percentile, the [[graft.relational.Relational

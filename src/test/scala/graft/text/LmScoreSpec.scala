@@ -169,4 +169,33 @@ class LmScoreSpec extends SparkSpec {
     assert(out.keySet == Set(3L, 4L))
     assert(out(3L) == out(4L)) // lowercasing merges the bigram stats
   }
+
+  test("cross-fit: in-domain text prices below out-of-domain; OOV priced not dropped") {
+    val model = Seq(
+      (100L, "the cat sat on the mat"),
+      (101L, "the cat sat on the rug")
+    ).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),   // in-domain: every bigram seen
+      (2L, "quantum flux capacitor array") // fully out-of-vocabulary
+    ).toDF("doc_id", "text")
+    val out = LmScore.scoresCrossFit(docs, "doc_id", "text", model, "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    // OOV doc is present (3 bigrams) — priced by backoff, not dropped by
+    // the model join — and strictly costlier per bigram than in-domain.
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(2L)._1 === 3L)
+    assert(out(2L)._2 > out(1L)._2)
+    // fully-unseen bigram with unseen w1 costs exactly floor(ln(V)*1e6):
+    // model vocab V = 6 distinct tokens (the cat sat on mat rug)
+    val vCost = math.floor(math.log(6.0) * 1e6).toLong
+    assert(out(2L)._2 === vCost) // all three bigrams hit the ln(V) branch
+  }
+
+  test("cross-fit with model == corpus equals the self-fit scorer") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val self = LmScore.scores(docs, "doc_id", "text")
+    val cross = LmScore.scoresCrossFit(docs, "doc_id", "text", docs, "text")
+    assert(cross.exceptAll(self).isEmpty && self.exceptAll(cross).isEmpty)
+  }
 }
