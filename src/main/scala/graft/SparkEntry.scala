@@ -548,6 +548,15 @@ object SparkEntry {
       import s.implicits._
       graft.pipeline.CcNetPipeline(CcNetFixture.docs.toDF("doc_id", "text"))
     }),
+    // The paper's actual stage-3 shape: the LM fit on the metadata-
+    // trusted lang='en' slice (Wenzek et al. fit on Wikipedia), the
+    // langId-gated survivors priced under it with OOV backoff.
+    "corpus_pipeline_ccnet_crossfit" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.pipeline.CcNetPipeline.applyCrossFit(
+        docs.select(col("doc_id"), col("text")),
+        docs.filter(col("lang") === "en"))
+    }),
     // The CCNet preset's ablation table, from the SAME stage frames.
     "ccnet_funnel" -> ((s, dir) => {
       import s.implicits._
@@ -2005,6 +2014,8 @@ object SparkEntry {
         gopherTh = FineWebRuleThresholds),
     "corpus_pipeline_ccnet" ->
       graft.pipeline.CcNetPipeline.sqlPipeline(valuesRel(CcNetFixture.docs)),
+    "corpus_pipeline_ccnet_crossfit" ->
+      graft.pipeline.CcNetPipeline.sqlPipelineCrossFit("documents"),
     "ccnet_funnel" ->
       graft.pipeline.CcNetPipeline.sqlFunnel(valuesRel(CcNetFixture.docs)),
     "corpus_pipeline_gated" -> corpusPipelineSql(

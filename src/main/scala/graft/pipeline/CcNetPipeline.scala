@@ -46,7 +46,8 @@ object CcNetPipeline {
 
   def stages(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
              lang: String = "en", splitRe: String = "\\n{2,}",
-             nShards: Int = 1024): Stages = {
+             nShards: Int = 1024,
+             crossFitModel: Option[DataFrame] = None): Stages = {
     // 1. paragraph dedup; fully-boilerplate docs (nothing kept) drop.
     val pd = graft.dedup.ParagraphDedup
       .dedupParagraphs(docs, idCol, textCol, minOccurrences = 2L, splitRe)
@@ -56,10 +57,29 @@ object CcNetPipeline {
     //    and the scoring pass — one materialization, two consumers.
     val lg = pd.filter(TextAnalysis.langId(col("text")) === lang)
       .localCheckpoint(true)
-    // 3. self-fit perplexity tiers; the tail is cut by the callers.
-    Stages(pd, lg,
-      LmScore.perplexityBucketsScalable(lg, "doc_id", "text", nShards))
+    // 3. perplexity tiers; the tail is cut by the callers. Self-fit by
+    //    default; with a crossFitModel this is the PAPER's shape — the
+    //    LM fit on the trusted target corpus (Wenzek et al. fit KenLM on
+    //    Wikipedia), survivors priced under it with OOV backoff.
+    val tiers = crossFitModel match {
+      case Some(m) =>
+        LmScore.perplexityBucketsCrossFit(lg, "doc_id", "text", m, "text", nShards)
+      case None =>
+        LmScore.perplexityBucketsScalable(lg, "doc_id", "text", nShards)
+    }
+    Stages(pd, lg, tiers)
   }
+
+  /** The preset with the CROSS-FIT stage 3 (`corpus_pipeline_ccnet_crossfit`
+    * query): model = the metadata-trusted target slice, scored corpus =
+    * the langId-gated survivors. Same stages 1-2, same tail cut. */
+  def applyCrossFit(docs: DataFrame, modelDocs: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    lang: String = "en", splitRe: String = "\\n{2,}",
+                    nShards: Int = 1024): DataFrame =
+    stages(docs, idCol, textCol, lang, splitRe, nShards, Some(modelDocs)).tiers
+      .filter(col("tier") =!= "tail")
+      .orderBy(col("doc_id"))
 
   def apply(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
             lang: String = "en", splitRe: String = "\\n{2,}",
@@ -111,6 +131,72 @@ object CcNetPipeline {
         |UNION ALL SELECT 2, 'language', (SELECT COUNT(*) FROM lg)
         |UNION ALL SELECT 3, 'tiers_kept', (SELECT COUNT(*) FROM t WHERE bucket <= 2)
         |ORDER BY stage""".stripMargin
+
+  /** DuckDB mirror of [[applyCrossFit]] with model = `lang = 'en'` rows
+    * of the same relation: stages 1-2 CTEs unchanged; stage 3 fits the
+    * unigram/bigram tables on the model slice and prices the survivors'
+    * bigram stream with the OOV-backoff COALESCE of `lm_scores_crossfit`. */
+  def sqlPipelineCrossFit(from: String, lang: String = "en",
+                          modelLang: String = "en"): String =
+    s"""WITH d0 AS (SELECT * FROM $from),
+       |u AS (
+       |  SELECT doc_id, CAST(w.i - 1 AS BIGINT) AS idx, w.raw AS raw,
+       |    lower(trim(regexp_replace(w.raw, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS norm
+       |  FROM (
+       |    SELECT doc_id, UNNEST(list_transform(range(1, len(parts) + 1),
+       |      i -> {'i': i, 'raw': parts[i]})) AS w
+       |    FROM (SELECT doc_id, regexp_split_to_array(text, '\\n{2,}') AS parts FROM d0))),
+       |uu AS (SELECT * FROM u WHERE norm <> ''),
+       |m AS (
+       |  SELECT doc_id, idx, raw,
+       |    ROW_NUMBER() OVER (PARTITION BY norm ORDER BY doc_id, idx) AS rn,
+       |    COUNT(*) OVER (PARTITION BY norm) AS n_occ
+       |  FROM uu),
+       |k AS (SELECT * FROM m WHERE rn = 1 OR n_occ < 2),
+       |pd AS (SELECT doc_id, string_agg(raw, e'\\n\\n' ORDER BY idx) AS text
+       |       FROM k GROUP BY 1),
+       |lg AS (SELECT doc_id, text FROM pd
+       |       WHERE ${TextAnalysis.sqlLangId("text")} = '$lang'),
+       |mtok AS (SELECT regexp_extract_all(lower(text), '[^ \\t\\n\\x0B\\f\\r]+') AS toks
+       |         FROM d0 WHERE lang = '$modelLang'),
+       |tok AS (SELECT doc_id,
+       |          regexp_extract_all(lower(text), '[^ \\t\\n\\x0B\\f\\r]+') AS toks
+       |        FROM lg),
+       |bg AS (SELECT doc_id, UNNEST(list_transform(range(1, len(toks)),
+       |         i -> toks[i] || ' ' || toks[i+1])) AS bg
+       |       FROM tok),
+       |uw AS (SELECT w, COUNT(*) AS cu
+       |       FROM (SELECT UNNEST(toks) AS w FROM mtok) GROUP BY 1),
+       |v AS (SELECT COUNT(*) AS v FROM uw),
+       |mb AS (SELECT bg, COUNT(*) AS cb FROM (
+       |         SELECT UNNEST(list_transform(range(1, len(toks)),
+       |           i -> toks[i] || ' ' || toks[i+1])) AS bg
+       |         FROM mtok) GROUP BY 1),
+       |cost AS (
+       |  SELECT mb.bg,
+       |    CAST(FLOOR(ln((uw.cu + v.v)::DOUBLE / (mb.cb + 1)::DOUBLE) * 1000000.0) AS BIGINT) AS c
+       |  FROM mb JOIN uw ON uw.w = split_part(mb.bg, ' ', 1) CROSS JOIN v),
+       |priced AS (
+       |  SELECT bg.doc_id,
+       |    COALESCE(cost.c,
+       |      CAST(FLOOR(ln((COALESCE(uw.cu, 0) + v.v)::DOUBLE) * 1000000.0) AS BIGINT)) AS c
+       |  FROM bg
+       |  LEFT JOIN cost ON bg.bg = cost.bg
+       |  LEFT JOIN uw ON uw.w = split_part(bg.bg, ' ', 1)
+       |  CROSS JOIN v),
+       |sc AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(c) AS BIGINT) AS total_cost_micro
+       |  FROM priced GROUP BY 1),
+       |s AS (SELECT doc_id, n_bigrams,
+       |        total_cost_micro // n_bigrams AS avg_cost_micro
+       |      FROM sc),
+       |t AS (SELECT doc_id, n_bigrams, avg_cost_micro,
+       |        NTILE(3) OVER (ORDER BY avg_cost_micro, doc_id) AS bucket
+       |      FROM s)
+       |SELECT doc_id, n_bigrams, avg_cost_micro,
+       |  CASE bucket WHEN 1 THEN 'head' ELSE 'middle' END AS tier
+       |FROM t WHERE bucket <= 2 ORDER BY doc_id""".stripMargin
 
   private def sqlCtes(from: String, lang: String): String =
     s"""WITH d0 AS (SELECT * FROM $from),

@@ -248,9 +248,24 @@ object LmScore {
     * same mass a global sort would put on one boundary anyway. */
   def perplexityBucketsScalable(docs: DataFrame, idCol: String = "doc_id",
                                 textCol: String = "text",
-                                nShards: Int = 1024): DataFrame = {
+                                nShards: Int = 1024): DataFrame =
+    bucketsFromScores(scores(docs, idCol, textCol), nShards)
+
+  /** [[perplexityBucketsScalable]] under a CROSS-FIT model
+    * ([[scoresCrossFit]]): the Wenzek-et-al. shape — tiers of the corpus
+    * by perplexity under the TARGET-domain model, OOV priced by backoff.
+    * Same hierarchical rank, same closed-form terciles. */
+  def perplexityBucketsCrossFit(docs: DataFrame, idCol: String, textCol: String,
+                                modelDocs: DataFrame, modelTextCol: String,
+                                nShards: Int = 1024): DataFrame =
+    bucketsFromScores(
+      scoresCrossFit(docs, idCol, textCol, modelDocs, modelTextCol), nShards)
+
+  /** The hierarchical-rank tercile tail over any (doc_id, n_bigrams,
+    * avg_cost_micro) score table — shared by the self-fit and cross-fit
+    * bucket forms. */
+  private def bucketsFromScores(s: DataFrame, nShards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val s = scores(docs, idCol, textCol)
     val bounds = s.agg(min(col("avg_cost_micro")).as("__lo"),
       max(col("avg_cost_micro")).as("__hi"))
     val sharded = s.crossJoin(broadcast(bounds))

@@ -47,4 +47,24 @@ class CcNetPipelineSpec extends SparkSpec {
     val b = CcNetPipeline(fixture.repartition(7)).collect().toSeq
     assert(a == b)
   }
+
+  test("cross-fit stage 3: off-model vocabulary is pushed toward the tail") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val model = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("lang") === "en")
+    val crossKept = CcNetPipeline.applyCrossFit(docs, model)
+      .select("doc_id").as[Long].collect().toSet
+    val selfKept = CcNetPipeline(docs)
+      .select("doc_id").as[Long].collect().toSet
+    // same stages 1-2 -> same scored population; both keep ~2/3 of it
+    assert(crossKept.nonEmpty && selfKept.nonEmpty)
+    assert(math.abs(crossKept.size - selfKept.size) <= 1,
+      "tercile cut sizes must agree between fit variants")
+    // the MODELS differ, so the kept SETS genuinely differ — the
+    // cross-fit stage is not a re-labeled self-fit
+    assert(crossKept != selfKept,
+      "cross-fit unexpectedly identical to self-fit on mixed-domain docs")
+  }
 }
