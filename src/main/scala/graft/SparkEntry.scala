@@ -376,6 +376,11 @@ object SparkEntry {
         .select(col("doc_id"), col("source"),
           graft.pipeline.Curation.sampleBucket(col("text")).as("bucket"))
         .orderBy(col("doc_id"))),
+    // Class-balanced eval-set sampling: exactly min(k, |label|) vectors
+    // per label in content-keyed md5 order.
+    "balanced_sample" -> ((s, dir) =>
+      graft.pipeline.Curation.balancedSample(
+        Tables.embeddings(s, dir), "label", "vec_id", 20)),
     "curation_quota" -> ((s, dir) =>
       graft.pipeline.Curation.quotaPerGroup(Tables.documents(s, dir), "source", 20,
         Seq(col("n_chars").desc, col("doc_id").asc))
@@ -1944,6 +1949,13 @@ object SparkEntry {
         |FROM documents
         |WHERE ('0x' || substring(md5(text), 1, 8))::UBIGINT % 10000 < 1000
         |ORDER BY doc_id""".stripMargin,
+    "balanced_sample" ->
+      """SELECT label, vec_id FROM (
+        |  SELECT label, vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY label
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        |  FROM embeddings)
+        |WHERE rn <= 20 ORDER BY label, vec_id""".stripMargin,
     "boilerplate_ngrams" ->
       """WITH t AS (
         |  SELECT regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+') AS toks FROM documents),

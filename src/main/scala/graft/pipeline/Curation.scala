@@ -28,6 +28,30 @@ object Curation {
   def sampleDeterministic(df: DataFrame, keyCol: String, rateBp: Int): DataFrame =
     df.filter(sampleBucket(col(keyCol)) < rateBp)
 
+  /** [EXT] Class-BALANCED deterministic sample (`balanced_sample` query):
+    * exactly min(k, |class|) rows per class, chosen by the content-keyed
+    * md5 order (same reproducibility contract as [[sampleBucket]]; ties
+    * broken by the key) — the eval-set construction that prevents class
+    * skew from leaking into benchmark composition. Output keeps the
+    * class and key columns, ordered (class, key).
+    *
+    * Scale shape: one exchange keyed by class for the per-class rank
+    * window. A mega-class bounds that window's partition at the class
+    * size; for k ≪ |class| at 100 TB, pre-filter with
+    * [[sampleDeterministic]] at a rate comfortably above k∕|class|
+    * (the nested-sample contract keeps the same winners), then rank the
+    * survivors — the same two-step the token-quota discipline uses. */
+  def balancedSample(df: DataFrame, classCol: String, keyCol: String,
+                     k: Int): DataFrame = {
+    val w = Window.partitionBy(col(classCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.select(col(classCol), col(keyCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col(classCol), col(keyCol))
+      .orderBy(col(classCol), col(keyCol))
+  }
+
   /** Quality-weighted deterministic sampling (`sample_weighted` query):
     * keep a row with probability `weight` (∈ [0,1], e.g. a quality score)
     * — the "sample good documents more" curation step (DoReMi/DataComp-

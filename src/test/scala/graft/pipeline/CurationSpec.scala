@@ -302,6 +302,22 @@ class CurationSpec extends SparkSpec {
     assert(out(4L) == ((4L, 0.75, 1.0)))
   }
 
+  test("balancedSample: exactly min(k, class size) per class, deterministic") {
+    val rows = Seq(
+      ("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
+      ("b", 5L), ("b", 6L),
+      ("c", 7L)
+    ).toDF("cls", "id")
+    val out = Curation.balancedSample(rows, "cls", "id", 3)
+      .as[(String, Long)].collect().toSeq
+    val byClass = out.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(byClass === Map("a" -> 3, "b" -> 2, "c" -> 1))
+    // deterministic across partitionings
+    val out2 = Curation.balancedSample(rows.repartition(5), "cls", "id", 3)
+      .as[(String, Long)].collect().toSeq
+    assert(out === out2)
+  }
+
   test("decontaminateFuzzy: verbatim leak at 1.0, near-dup flagged, clean doc not") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"), // verbatim bench
