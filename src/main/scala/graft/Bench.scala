@@ -12,17 +12,33 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   /** Reclaim the query's localCheckpoint / persisted blocks
-    * DETERMINISTICALLY: a System.gc() nudge relied on the ContextCleaner's
-    * weak-ref queue racing the next query — under unlucky timing stale
-    * blocks piled up in storage memory and pushed the heavy dedup queries
-    * into eviction thrash (observed 3-28× slowdowns on otherwise identical
-    * runs). Queries are self-contained plans rebuilt from parquet each
-    * iteration, so dropping every persistent RDD between them is always
-    * safe — but unpersisting a locally-checkpointed RDD logs a
-    * "cannot be recomputed after unpersisting" WARN per block, which buried
-    * real errors in the bench tail. Those warnings describe exactly the
-    * rebuild-from-parquet behavior the bench depends on, so drop the log
-    * level around the cleanup and restore it after.
+    * DETERMINISTICALLY: a System.gc() nudge alone relied on the
+    * ContextCleaner's weak-ref queue racing the next query — under unlucky
+    * timing stale blocks piled up in storage memory and pushed the heavy
+    * dedup queries into eviction thrash (observed 3-28× slowdowns on
+    * otherwise identical runs). Queries are self-contained plans rebuilt
+    * from parquet each iteration, so dropping every persistent RDD between
+    * them is always safe — but unpersisting a locally-checkpointed RDD logs
+    * a "cannot be recomputed after unpersisting" WARN per block, which
+    * buried real errors in the bench tail. Those warnings describe exactly
+    * the rebuild-from-parquet behavior the bench depends on, so drop the
+    * log level around the cleanup and restore it after.
+    *
+    * The blocking unpersist is NOT sufficient on its own, though: a long
+    * sweep accumulates ~10 GiB of dead heap (driver-side task results,
+    * broadcast remnants, codegen classes) that G1 never collects between
+    * queries on the pre-touched 16 GiB heap — the r8 final bench's
+    * median-of-3 retimes of the heaviest queries inflated 2-3×
+    * (corpus_pipeline_full 8.9 s sweep → 29.4 s retime) purely from
+    * old-gen pressure landing mid-query. Reproduced and isolated with a
+    * probe run: after a ~125-query sweep the same query took 24.9 s with
+    * 9.8 GiB of garbage on the heap and 8.2 s right after a full GC left
+    * 0.2 GiB live. So AFTER the deterministic unpersist (timing has
+    * already stopped — none of this is charged to the query), nudge a full
+    * GC so every query starts against a clean heap, the same condition a
+    * fresh JVM gives. This also lets the ContextCleaner reap dead
+    * broadcast/shuffle state promptly instead of whenever G1 gets around
+    * to it.
     */
   private def dropPersisted(spark: SparkSession): Unit = {
     val sc = spark.sparkContext
@@ -35,6 +51,7 @@ object Bench {
       sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
     } finally sc.setLogLevel(prev.name())
+    System.gc()
   }
 
   def main(args: Array[String]): Unit = {
