@@ -38,17 +38,24 @@ object StreamJoin {
                    windowSeconds: Long,
                    watermarkDelay: Option[String] = None): DataFrame = {
     require(windowSeconds > 0, "need windowSeconds > 0")
+    // Distinct key names per side: both inputs are routinely projections
+    // of the SAME source table (purchases/clicks of one event stream), so
+    // `l(key) === r(key)` is the ambiguous-self-join shape that relies on
+    // dataset-id disambiguation and warns "trivially true equals
+    // predicate" on every run — rename the right key instead (the Dedup
+    // setJaccardPairs discipline). The temp name is dropped by the final
+    // projection; ts columns are distinct per contract (caller renames).
+    val rk = s"__rk_$keyCol"
     val l = watermarkDelay.fold(left)(d => left.withWatermark(leftTsCol, d))
-      .as("l")
     val r = watermarkDelay.fold(right)(d => right.withWatermark(rightTsCol, d))
-      .as("r")
+      .withColumnRenamed(keyCol, rk)
     val joined = l.join(r,
-      col(s"l.$keyCol") === col(s"r.$keyCol") &&
-        col(s"r.$rightTsCol") >= col(s"l.$leftTsCol") -
+      col(keyCol) === col(rk) &&
+        col(rightTsCol) >= col(leftTsCol) -
           expr(s"INTERVAL $windowSeconds SECONDS") &&
-        col(s"r.$rightTsCol") <= col(s"l.$leftTsCol"))
-    joined.select(col("l.*") +:
-      right.columns.filter(_ != keyCol).map(c => col(s"r.$c")): _*)
+        col(rightTsCol) <= col(leftTsCol))
+    joined.select(left.columns.map(col(_)) ++
+      right.columns.filter(_ != keyCol).map(col(_)): _*)
   }
 
   /** The driver-query instantiation: purchases pick up all clicks of the
