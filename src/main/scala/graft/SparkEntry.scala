@@ -501,6 +501,19 @@ object SparkEntry {
     "sequence_packing" -> ((s, dir) =>
       graft.pipeline.Curation.packChunksScalable(Tables.documents(s, dir),
         "doc_id", "text", 512L)),
+    // Packing-efficiency audit: concat-chunk waste vs pad-per-doc waste
+    // and the boundary-contamination counts, one row, from the same
+    // prefix-sum assignment sequence_packing pins.
+    "packing_efficiency" -> ((s, dir) =>
+      graft.pipeline.Curation.packingEfficiency(Tables.documents(s, dir),
+        "doc_id", "text", 512L)),
+    // Per-(source, lang) release rollup with subtotals and exact-dup pct.
+    "release_manifest" -> ((s, dir) =>
+      graft.pipeline.Curation.releaseManifest(Tables.documents(s, dir))),
+    // Per-doc cross-document duplication exposure: fraction of the doc's
+    // distinct 3-gram shingles shared with >= 5 documents corpus-wide.
+    "ngram_novelty" -> ((s, dir) =>
+      TextAnalysis.ngramNovelty(Tables.documents(s, dir), "doc_id", "text", 3, 5L)),
     // Sliding-window chunk expansion (64-token chunks, 16 overlap) — the
     // RAG/pretraining chunk-text generator.
     "chunk_texts" -> ((s, dir) =>
@@ -2283,6 +2296,87 @@ object SparkEntry {
         |       ELSE CAST(FLOOR((off + n_tokens - 1) / 512.0) AS BIGINT)
         |            - CAST(FLOOR(off / 512.0) AS BIGINT) + 1 END AS n_chunks
         |FROM o ORDER BY doc_id""".stripMargin,
+    "packing_efficiency" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+'))::BIGINT AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n_tokens,
+        |    SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |      - n_tokens AS off
+        |  FROM t),
+        |p AS (
+        |  SELECT n_tokens,
+        |    CASE WHEN n_tokens = 0 THEN 0
+        |         ELSE CAST(FLOOR((off + n_tokens - 1) / 512.0) AS BIGINT)
+        |              - CAST(FLOOR(off / 512.0) AS BIGINT) + 1 END AS nc
+        |  FROM o),
+        |a AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |    COALESCE(SUM(n_tokens), 0)::BIGINT AS total_tokens,
+        |    COALESCE(SUM(CASE WHEN nc > 1 THEN 1 ELSE 0 END), 0)::BIGINT AS straddling_docs,
+        |    COALESCE(SUM(GREATEST(nc - 1, 0)), 0)::BIGINT AS boundaries_crossed,
+        |    COALESCE(SUM(CASE WHEN n_tokens = 0 THEN 0
+        |      ELSE CAST(FLOOR((n_tokens + 511) / 512.0) AS BIGINT) END), 0)::BIGINT
+        |      AS padded_chunks
+        |  FROM p),
+        |b AS (
+        |  SELECT *, CAST(FLOOR((total_tokens + 511) / 512.0) AS BIGINT) AS n_chunks
+        |  FROM a)
+        |SELECT n_docs, total_tokens, n_chunks,
+        |  (n_chunks * 512 - total_tokens)::BIGINT AS tail_waste,
+        |  straddling_docs, boundaries_crossed, padded_chunks,
+        |  (padded_chunks * 512 - total_tokens)::BIGINT AS padded_waste,
+        |  round((n_chunks * 512 - total_tokens)::DOUBLE * 100.0 /
+        |    nullif((n_chunks * 512)::DOUBLE, 0), 4) AS pct_tail_waste,
+        |  round((padded_chunks * 512 - total_tokens)::DOUBLE * 100.0 /
+        |    nullif((padded_chunks * 512)::DOUBLE, 0), 4) AS pct_padded_waste
+        |FROM b""".stripMargin,
+    "release_manifest" ->
+      """WITH t AS (
+        |  SELECT COALESCE(source, 'Unknown') AS source,
+        |    COALESCE(lang, 'und') AS lang,
+        |    md5(text) AS h,
+        |    len(regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+'))::BIGINT AS n_tok
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, lang,
+        |    COUNT(*) AS n_docs,
+        |    CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+        |    CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct_contents
+        |  FROM t GROUP BY ROLLUP (source, lang))
+        |SELECT COALESCE(source, 'TOTAL') AS source, COALESCE(lang, 'ALL') AS lang,
+        |  n_docs, sum_tokens, n_distinct_contents,
+        |  round((n_docs - n_distinct_contents)::DOUBLE * 100.0 / n_docs::DOUBLE, 4)
+        |    AS pct_dup
+        |FROM g
+        |ORDER BY source, lang""".stripMargin,
+    "ngram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, UNNEST(list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT doc_id, substring(md5(s), 1, 15) AS h FROM sh),
+        |dfc AS (
+        |  SELECT h, COUNT(*) AS df FROM pairs GROUP BY h),
+        |per_doc AS (
+        |  SELECT p.doc_id,
+        |    COUNT(*)::BIGINT AS n_shingles,
+        |    SUM(CASE WHEN d.df >= 5 THEN 1 ELSE 0 END)::BIGINT AS n_common
+        |  FROM pairs p JOIN dfc d USING (h)
+        |  GROUP BY p.doc_id)
+        |SELECT t.doc_id,
+        |  COALESCE(n_shingles, 0)::BIGINT AS n_shingles,
+        |  COALESCE(n_common, 0)::BIGINT AS n_common,
+        |  round(COALESCE(n_common, 0)::DOUBLE * 100.0 /
+        |    nullif(COALESCE(n_shingles, 0)::DOUBLE, 0), 4) AS pct_common
+        |FROM toks t LEFT JOIN per_doc USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
     "curation_report" ->
       """WITH t AS (
         |  SELECT source,

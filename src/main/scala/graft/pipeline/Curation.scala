@@ -446,6 +446,91 @@ object Curation {
       .orderBy(col(idCol))
   }
 
+  /** Packing-efficiency audit (`packing_efficiency` query): ONE summary
+    * row a pipeline owner reads when choosing the sequence budget —
+    * GPT-style concat-then-chunk packing versus the pad-every-doc
+    * alternative at the same budget.
+    *
+    *  - `n_chunks` = ⌈total_tokens ∕ budget⌉ and `tail_waste` =
+    *    n_chunks·budget − total_tokens: concat packing wastes tokens only
+    *    in the final partial chunk;
+    *  - `boundaries_crossed` = Σ max(per-doc n_chunks − 1, 0) — how many
+    *    chunk boundaries cut through a document (the attention-
+    *    contamination points concat packing pays for its density), and
+    *    `straddling_docs` = docs split across ≥ 2 chunks;
+    *  - `padded_chunks` / `padded_waste` = the one-sequence-per-doc
+    *    alternative (each doc split into ⌈n∕budget⌉ sequences, the last
+    *    padded to the budget);
+    *  - `pct_tail_waste` / `pct_padded_waste` = each policy's wasted
+    *    fraction of its own token grid — the two numbers the budget
+    *    decision weighs against the boundary count.
+    *
+    * Integer sums with two final divisions (the cross-engine determinism
+    * discipline), computed by ONE aggregate over the same prefix-sum
+    * assignment `sequence_packing` hash-checks — no extra corpus scan,
+    * and the straddle statistics inherit that oracle's pinning. */
+  def packingEfficiency(docs: DataFrame, idCol: String, textCol: String,
+                        budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val packed = packChunksScalable(docs, idCol, textCol, budget)
+    packed
+      .agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("total_tokens"),
+        coalesce(sum(when(col("n_chunks") > 1, 1L).otherwise(0L)), lit(0L))
+          .as("straddling_docs"),
+        coalesce(sum(greatest(col("n_chunks") - lit(1L), lit(0L))), lit(0L))
+          .as("boundaries_crossed"),
+        coalesce(sum(expr(
+          s"case when n_tokens = 0 then cast(0 as bigint) " +
+            s"else (n_tokens + ${budget - 1}) div $budget end")), lit(0L))
+          .as("padded_chunks"))
+      .withColumn("n_chunks", expr(s"(total_tokens + ${budget - 1}) div $budget"))
+      .withColumn("tail_waste", col("n_chunks") * budget - col("total_tokens"))
+      .withColumn("padded_waste", col("padded_chunks") * budget - col("total_tokens"))
+      .select(col("n_docs"), col("total_tokens"), col("n_chunks"),
+        col("tail_waste"), col("straddling_docs"), col("boundaries_crossed"),
+        col("padded_chunks"), col("padded_waste"),
+        round(col("tail_waste").cast("double") * 100.0 /
+          nullif((col("n_chunks") * budget).cast("double"), lit(0.0)), 4)
+          .as("pct_tail_waste"),
+        round(col("padded_waste").cast("double") * 100.0 /
+          nullif((col("padded_chunks") * budget).cast("double"), lit(0.0)), 4)
+          .as("pct_padded_waste"))
+  }
+
+  /** Release manifest (`release_manifest` query): the per-(source, lang)
+    * rollup a corpus release ships beside the data — document counts,
+    * token mass, distinct-content counts and the exact-duplicate
+    * percentage, with subtotal rows per source and a grand total
+    * (`ROLLUP`). Group keys are null-coalesced BEFORE the rollup
+    * ('Unknown'/'und'), so a null in the output is always a rollup
+    * subtotal and the TOTAL/ALL relabeling is unambiguous.
+    *
+    * Scale shape: one grouping-sets aggregate; the distinct-content count
+    * makes Spark expand each row ×3 (one per grouping) keyed by the
+    * 16-byte content hash — payloads never ride the exchange, and the
+    * expansion factor is the (constant) number of rollup levels. */
+  def releaseManifest(docs: DataFrame, sourceCol: String = "source",
+                      langCol: String = "lang", textCol: String = "text"): DataFrame = {
+    val base = graft.Par.widen(docs).select(
+      coalesce(col(sourceCol), lit("Unknown")).as("source"),
+      coalesce(col(langCol), lit("und")).as("lang"),
+      md5(col(textCol)).as("h"),
+      size(graft.text.TextAnalysis.tokens(lower(col(textCol)))).cast("long").as("n_tok"))
+    base.rollup(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("sum_tokens"),
+        countDistinct(col("h")).as("n_distinct_contents"))
+      .select(
+        coalesce(col("source"), lit("TOTAL")).as("source"),
+        coalesce(col("lang"), lit("ALL")).as("lang"),
+        col("n_docs"), col("sum_tokens"), col("n_distinct_contents"),
+        round((col("n_docs") - col("n_distinct_contents")).cast("double") * 100.0 /
+          col("n_docs").cast("double"), 4).as("pct_dup"))
+      .orderBy(col("source"), col("lang"))
+  }
+
   /** Per-source curation report (`curation_report` query): the audit table
     * a pipeline owner reads before choosing mix rates — document counts,
     * token mass, vocabulary-diversity ratio, and the short-doc fraction,

@@ -172,6 +172,49 @@ object TextAnalysis {
       .filter(col("df") >= minDf)
       .orderBy(col("df").desc, col("shingle").asc)
 
+  /** Per-document n-gram novelty (`ngram_novelty` query): what fraction
+    * of a document's DISTINCT word n-grams also appear in at least
+    * `minDf` documents corpus-wide — the cross-document duplication
+    * exposure of each doc. High `pct_common` marks template/boilerplate-
+    * heavy documents that survive exact and near dedup (they share
+    * phrases with many docs without being a near-duplicate of ANY single
+    * one); curation pipelines use it as a per-doc removal or downweight
+    * signal beside the within-doc [[graft.text.GopherRepetition]] gate
+    * and the corpus-level [[frequentShingles]] list.
+    *
+    * Scale shape: shingles collapse to their md5-prefix (15 hex chars,
+    * 60 bits) immediately, so both exchanges — the document-frequency
+    * aggregate and the df join back to (doc, h) pairs — carry
+    * (id, 15-byte hash) rows, never phrase text. Hash collisions merge
+    * two shingles' df counts; at 60 bits that is vanishing, and the
+    * DuckDB oracle replays the SAME hashing so the check is exact either
+    * way. Docs with fewer than n tokens have no shingles: n_shingles = 0
+    * and a null fraction (kept via the left join — absence from the pair
+    * table must not drop the doc from the audit). */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int, minDf: Long): DataFrame = {
+    val pairs = graft.Par.widen(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(array_distinct(shingles(col(textCol), n))).as("shingle"))
+      .select(col("doc_id"), substring(md5(col("shingle")), 1, 15).as("h"))
+    // Each doc votes once per distinct shingle (array_distinct above), so
+    // df is true document frequency — the frequentShingles discipline.
+    val dfCounts = pairs.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val perDoc = pairs.join(dfCounts, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_common"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round(coalesce(col("n_common"), lit(0L)).cast("double") * 100.0 /
+          nullif(coalesce(col("n_shingles"), lit(0L)).cast("double"), lit(0.0)), 4)
+          .as("pct_common"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Distinctive terms per source (`distinctive_terms` query): the top-k
     * word n-grams of each source among n-grams appearing in at most
     * `maxSources` distinct sources — TF-IDF-flavored keyword extraction

@@ -358,4 +358,63 @@ class CurationSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSeq
     assert(got === want)
   }
+
+  test("packingEfficiency: hand-computed waste and straddle counts") {
+    // token counts by doc_id order: 3, 510, 2, 0 -> offsets 0, 3, 513, 515
+    val d = Seq(
+      (1L, "a b c"),
+      (2L, Seq.fill(510)("t").mkString(" ")),
+      (3L, "x y"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val row = Curation.packingEfficiency(d, "doc_id", "text", 512L)
+      .collect().head
+    assert(row.getAs[Long]("n_docs") === 4L)
+    assert(row.getAs[Long]("total_tokens") === 515L)
+    assert(row.getAs[Long]("n_chunks") === 2L)         // ceil(515/512)
+    assert(row.getAs[Long]("tail_waste") === 509L)     // 1024 - 515
+    // doc 2 spans offsets [3, 512] -> chunks 0 and 1: the only straddler
+    assert(row.getAs[Long]("straddling_docs") === 1L)
+    assert(row.getAs[Long]("boundaries_crossed") === 1L)
+    // pad-per-doc: ceil(3/512) + ceil(510/512) + ceil(2/512) = 3 sequences
+    assert(row.getAs[Long]("padded_chunks") === 3L)
+    assert(row.getAs[Long]("padded_waste") === 3 * 512L - 515L)
+    assert(row.getAs[Double]("pct_tail_waste") === math.rint(509.0 * 100 / 1024 * 1e4) / 1e4)
+  }
+
+  test("packingEfficiency on an empty corpus is all-zero, no nulls except pcts") {
+    val d = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val row = Curation.packingEfficiency(d, "doc_id", "text", 512L).collect().head
+    assert(row.getAs[Long]("n_docs") === 0L)
+    assert(row.getAs[Long]("total_tokens") === 0L)
+    assert(row.getAs[Long]("n_chunks") === 0L)
+    assert(row.getAs[Long]("tail_waste") === 0L)
+    assert(row.isNullAt(row.fieldIndex("pct_tail_waste"))) // 0/0 -> null
+  }
+
+  test("releaseManifest: subtotals and totals are consistent, dups counted") {
+    val d = Seq(
+      (1L, "alpha beta", "s1", "en"),
+      (2L, "alpha beta", "s1", "en"),  // exact dup of 1
+      (3L, "gamma delta epsilon", "s1", "id"),
+      (4L, "zeta", "s2", "en"),
+      (5L, "eta theta", null.asInstanceOf[String], null.asInstanceOf[String])
+    ).toDF("doc_id", "text", "source", "lang")
+    val out = Curation.releaseManifest(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_tokens"),
+          r.getAs[Long]("n_distinct_contents"), r.getAs[Double]("pct_dup"))))
+      .toMap
+    // leaf rows
+    assert(out(("s1", "en")) === ((2L, 4L, 1L, 50.0)))
+    assert(out(("s1", "id")) === ((1L, 3L, 1L, 0.0)))
+    assert(out(("s2", "en")) === ((1L, 1L, 1L, 0.0)))
+    assert(out(("Unknown", "und"))._1 === 1L) // null keys coalesced pre-rollup
+    // per-source subtotal and grand total
+    assert(out(("s1", "ALL"))._1 === 3L)
+    assert(out(("s1", "ALL"))._3 === 2L) // distinct contents within s1
+    assert(out(("TOTAL", "ALL"))._1 === 5L)
+    assert(out(("TOTAL", "ALL"))._2 === out.collect {
+      case ((s, l), v) if s != "TOTAL" && l != "ALL" => v._2 }.sum)
+  }
 }

@@ -121,4 +121,47 @@ class TextAnalysisSpec extends SparkSpec {
       .filter($"source" === "Unknown").collect()
     assert(u.map(_.getString(2)).toSeq == Seq("omicron pi"))
   }
+
+  test("ngramNovelty: common fraction, unique doc, short doc nulls") {
+    // "the quick brown fox" contributes trigrams "the quick brown" and
+    // "quick brown fox" to docs 1-3; doc 4 shares nothing; doc 5 is too
+    // short for any trigram.
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox sleeps"),
+      (3L, "see the quick brown fox"),
+      (4L, "completely unrelated text here"),
+      (5L, "too short")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(docs, "doc_id", "text", 3, 3L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))).toMap
+    // doc 1: 3 trigrams, 2 of them in >= 3 docs
+    assert(out(1L)._1 === 3L)
+    assert(out(1L)._2 === 2L)
+    assert(out(1L)._3 === math.rint(2.0 * 100 / 3 * 1e4) / 1e4)
+    // doc 3: same two common trigrams out of 3
+    assert(out(3L)._2 === 2L)
+    // doc 4: nothing shared
+    assert(out(4L) === ((2L, 0L, 0.0)))
+    // doc 5: no trigrams -> null fraction, still present
+    assert(out(5L)._1 === 0L)
+    assert(out(5L)._3.isNaN)
+  }
+
+  test("ngramNovelty counts a doc once per distinct shingle") {
+    // doc 1 repeats its phrase: df must stay 2 (docs 1 and 2), not 3.
+    val docs = Seq(
+      (1L, "a b c x a b c"),   // trigram "a b c" twice in one doc
+      (2L, "a b c y"),
+      (3L, "p q r s")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(docs, "doc_id", "text", 3, 2L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // only "a b c" reaches df >= 2; docs 1 and 2 each count it once
+    assert(out(1L) === 1L)
+    assert(out(2L) === 1L)
+    assert(out(3L) === 0L)
+  }
 }
