@@ -510,6 +510,12 @@ object SparkEntry {
     // Per-(source, lang) release rollup with subtotals and exact-dup pct.
     "release_manifest" -> ((s, dir) =>
       graft.pipeline.Curation.releaseManifest(Tables.documents(s, dir))),
+    // The INCREMENTAL manifest: additive counts + mergeable HLL content
+    // sketch rolled up from state alone — release cost independent of
+    // corpus size. The oracle replays each level's sketch directly; the
+    // engine's bucket-max rollup matching it IS the mergeability pin.
+    "release_manifest_sketch" -> ((s, dir) =>
+      graft.pipeline.Curation.releaseManifestSketch(Tables.documents(s, dir))),
     // Per-doc cross-document duplication exposure: fraction of the doc's
     // distinct 3-gram shingles shared with >= 5 documents corpus-wide.
     "ngram_novelty" -> ((s, dir) =>
@@ -2352,6 +2358,8 @@ object SparkEntry {
         |    AS pct_dup
         |FROM g
         |ORDER BY source, lang""".stripMargin,
+    "release_manifest_sketch" ->
+      graft.pipeline.Curation.sqlReleaseManifestSketch("documents"),
     "ngram_novelty" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+') AS toks

@@ -531,6 +531,141 @@ object Curation {
       .orderBy(col("source"), col("lang"))
   }
 
+  // ---- incremental release manifest (mergeable state) ----
+
+  /** Additive half of the INCREMENTAL manifest state: per-(source, lang)
+    * document and token counts for one batch. Merging batches is a
+    * groupBy-sum ([[mergeManifestCounts]]) — the state is ≤ |source×lang|
+    * rows forever, so a 100 TB corpus's manifest is maintained from
+    * per-batch partials without ever re-reading history. Group keys are
+    * null-coalesced exactly like [[releaseManifest]]. */
+  def manifestCounts(docs: DataFrame, sourceCol: String = "source",
+                     langCol: String = "lang", textCol: String = "text"): DataFrame =
+    graft.Par.widen(docs).select(
+        coalesce(col(sourceCol), lit("Unknown")).as("source"),
+        coalesce(col(langCol), lit("und")).as("lang"),
+        size(graft.text.TextAnalysis.tokens(lower(col(textCol)))).cast("long").as("n_tok"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
+
+  /** Sketch half of the incremental manifest state: the per-(source,
+    * lang) [[graft.relational.Hll]] sketch of document CONTENTS — the
+    * mergeable stand-in for `n_distinct_contents`, which is not additively
+    * maintainable (a batch can't know which of its contents history
+    * already holds without probing it; the sketch merges by bucket-max
+    * and never needs to). ≤ |source×lang|·2^P rows. */
+  def manifestSketch(docs: DataFrame, sourceCol: String = "source",
+                     langCol: String = "lang", textCol: String = "text"): DataFrame =
+    graft.relational.Hll.sketch(
+      docs.select(
+        coalesce(col(sourceCol), lit("Unknown")).as("source"),
+        coalesce(col(langCol), lit("und")).as("lang"),
+        col(textCol).as("__content")),
+      "__content", "source", "lang")
+
+  /** Merge any number of batch count tables: groupBy-sum. */
+  def mergeManifestCounts(parts: DataFrame*): DataFrame =
+    parts.reduce(_ unionByName _)
+      .groupBy(col("source"), col("lang"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_tokens")).as("sum_tokens"))
+
+  /** Release-time manifest from the merged incremental state
+    * (`release_manifest_sketch` query): the [[releaseManifest]] rollup —
+    * leaf rows, per-source subtotals, grand total — derived WITHOUT
+    * touching the corpus. Counts re-aggregate additively per level; the
+    * content sketch rolls up by the same bucket-max that merges batches
+    * (an HLL of a union IS the max of the HLLs), so
+    * `n_hll_contents` estimates each level's distinct-content count from
+    * state alone. All three levels read the ≤ |source×lang|·(2^P+1)-row
+    * state — release cost is independent of corpus size. */
+  def releaseManifestSketch(counts: DataFrame, sketch: DataFrame): DataFrame = {
+    val hll = graft.relational.Hll
+    def level(gs: Seq[String]): DataFrame = {
+      val c = if (gs.isEmpty)
+        counts.agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_tokens")).as("sum_tokens"))
+      else
+        counts.groupBy(gs.map(col): _*)
+          .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_tokens")).as("sum_tokens"))
+      val sk = hll.merge(sketch.select((gs ++ Seq("bucket", "mj")).map(col): _*))
+      val est = hll.estimate(sk, gs: _*)
+      (if (gs.isEmpty) c.crossJoin(est) else c.join(est, gs))
+        .withColumnRenamed("n_hll", "n_hll_contents")
+    }
+    val leaf = level(Seq("source", "lang"))
+    val bySource = level(Seq("source")).withColumn("lang", lit("ALL"))
+    val total = level(Seq.empty)
+      .withColumn("source", lit("TOTAL")).withColumn("lang", lit("ALL"))
+    val cols = Seq("source", "lang", "n_docs", "sum_tokens", "n_hll_contents")
+    leaf.select(cols.map(col): _*)
+      .unionByName(bySource.select(cols.map(col): _*))
+      .unionByName(total.select(cols.map(col): _*))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  /** One-shot composition over a corpus (the registered query): state →
+    * release. Incremental callers build the state per batch and merge. */
+  def releaseManifestSketch(docs: DataFrame): DataFrame =
+    releaseManifestSketch(manifestCounts(docs), manifestSketch(docs))
+
+  /** DuckDB mirror of the one-shot [[releaseManifestSketch]] over a
+    * relation exposing (source, lang, text). The oracle replays each
+    * rollup level's sketch DIRECTLY over that level's rows (one UNION ALL
+    * fans each doc to its three levels, then one generic chain); the
+    * engine rolls the per-leaf state up by bucket-max instead — equal
+    * because max is associative, which is exactly the mergeability claim
+    * the hash-match pins. Hash/rho/estimate arithmetic is
+    * [[graft.relational.Hll.sqlDistinctWithExact]]'s, verbatim. */
+  def sqlReleaseManifestSketch(from: String = "documents"): String = {
+    val hll = graft.relational.Hll
+    val M = hll.M
+    val restBits = 60 - hll.P
+    val rhoMax = restBits + 1
+    val rhoChain = (1 to restBits)
+      .map(k => s"WHEN rest >= ${1L << (restBits - k)} THEN $k")
+      .mkString(" ")
+    s"""WITH t AS (
+       |  SELECT COALESCE(source, 'Unknown') AS source,
+       |    COALESCE(lang, 'und') AS lang,
+       |    len(regexp_extract_all(lower(text), '[^ \\t\\n\\x0B\\f\\r]+'))::BIGINT AS n_tok,
+       |    ('0x' || substring(md5(CAST(text AS VARCHAR)), 1, 15))::UBIGINT::BIGINT AS hv
+       |  FROM $from),
+       |br AS (
+       |  SELECT source, lang, n_tok, hv >> $restBits AS bucket,
+       |    CASE $rhoChain ELSE $rhoMax END AS rho
+       |  FROM (SELECT *, hv & ${(1L << restBits) - 1L} AS rest FROM t)),
+       |brx AS (
+       |  SELECT source, lang, n_tok, bucket, rho FROM br
+       |  UNION ALL SELECT source, 'ALL', n_tok, bucket, rho FROM br
+       |  UNION ALL SELECT 'TOTAL', 'ALL', n_tok, bucket, rho FROM br),
+       |c AS (
+       |  SELECT source, lang, COUNT(*) AS n_docs,
+       |    CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+       |  FROM brx GROUP BY 1, 2),
+       |sk AS (SELECT source, lang, bucket, MAX(rho) AS mj
+       |  FROM brx GROUP BY 1, 2, 3),
+       |g AS (
+       |  SELECT source, lang, list(mj ORDER BY bucket) AS arr, COUNT(*) AS n_obs
+       |  FROM sk GROUP BY 1, 2),
+       |est AS (
+       |  SELECT source, lang,
+       |    CAST($M - n_obs AS DOUBLE)
+       |      + list_reduce(list_prepend(0.0,
+       |          list_transform(arr, x -> 1.0 / CAST(1::BIGINT << x AS DOUBLE))),
+       |          (a, b) -> a + b) AS s,
+       |    $M - n_obs AS zeros
+       |  FROM g),
+       |fin AS (
+       |  SELECT source, lang,
+       |    CASE WHEN ${hll.alphaM2} / s <= ${2.5 * M} AND zeros > 0
+       |         THEN ${M.toDouble} * ln(${M.toDouble} / CAST(zeros AS DOUBLE))
+       |         ELSE ${hll.alphaM2} / s END AS est
+       |  FROM est)
+       |SELECT c.source, c.lang, c.n_docs, c.sum_tokens,
+       |  CAST(FLOOR(fin.est) AS BIGINT) AS n_hll_contents
+       |FROM c JOIN fin USING (source, lang)
+       |ORDER BY source, lang""".stripMargin
+  }
+
   /** Per-source curation report (`curation_report` query): the audit table
     * a pipeline owner reads before choosing mix rates — document counts,
     * token mass, vocabulary-diversity ratio, and the short-doc fraction,

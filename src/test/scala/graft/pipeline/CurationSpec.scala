@@ -392,6 +392,40 @@ class CurationSpec extends SparkSpec {
     assert(row.isNullAt(row.fieldIndex("pct_tail_waste"))) // 0/0 -> null
   }
 
+  test("releaseManifestSketch: merged batch states == one-shot; counts exact") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = docs.filter($"doc_id" < 25)
+    val b = docs.filter($"doc_id" >= 25)
+    // incremental: per-batch state, merged, then released
+    val mergedCounts = Curation.mergeManifestCounts(
+      Curation.manifestCounts(a), Curation.manifestCounts(b))
+    val mergedSketch = graft.relational.Hll.merge(
+      Curation.manifestSketch(a), Curation.manifestSketch(b))
+    val inc = Curation.releaseManifestSketch(mergedCounts, mergedSketch)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_tokens"),
+          r.getAs[Long]("n_hll_contents")))).toMap
+    val oneShot = Curation.releaseManifestSketch(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_tokens"),
+          r.getAs[Long]("n_hll_contents")))).toMap
+    assert(inc === oneShot) // state merge is lossless, estimates included
+    // counts agree exactly with the exact-rollup manifest
+    val exact = Curation.releaseManifest(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_tokens"),
+          r.getAs[Long]("n_distinct_contents")))).toMap
+    assert(inc.keySet === exact.keySet)
+    exact.foreach { case (k, (nd, st, ndc)) =>
+      assert(inc(k)._1 === nd)
+      assert(inc(k)._2 === st)
+      // sketch estimate within the HLL error regime of the exact count
+      val est = inc(k)._3
+      assert(math.abs(est - ndc) <= math.max(3.0, 0.2 * ndc),
+        s"$k: est $est vs exact $ndc")
+    }
+  }
+
   test("releaseManifest: subtotals and totals are consistent, dups counted") {
     val d = Seq(
       (1L, "alpha beta", "s1", "en"),
