@@ -501,6 +501,17 @@ object SparkEntry {
     "sequence_packing" -> ((s, dir) =>
       graft.pipeline.Curation.packChunksScalable(Tables.documents(s, dir),
         "doc_id", "text", 512L)),
+    // Contamination-free bin packing (Krell-et-al. SPFHP): whole docs
+    // only, histogram-driven best-fit-decreasing on the driver, broadcast
+    // slot arithmetic. Rows-only by declared design (driver loop, like
+    // BPE); contract pinned by CurationSpec.
+    "sequence_packing_bins" -> ((s, dir) => {
+      val chunks = graft.pipeline.Curation.chunkTexts(
+        Tables.documents(s, dir), "doc_id", "text", 64, 0)
+        .select((col("doc_id") * 100000 + col("chunk_idx")).as("item_id"),
+          col("chunk_text"))
+      graft.pipeline.Curation.packBinsHistogram(chunks, "item_id", "chunk_text", 128)
+    }),
     // Packing-efficiency audit: concat-chunk waste vs pad-per-doc waste
     // and the boundary-contamination counts, one row, from the same
     // prefix-sum assignment sequence_packing pins.
@@ -520,6 +531,19 @@ object SparkEntry {
     // distinct 3-gram shingles shared with >= 5 documents corpus-wide.
     "ngram_novelty" -> ((s, dir) =>
       TextAnalysis.ngramNovelty(Tables.documents(s, dir), "doc_id", "text", 3, 5L)),
+    // The incremental face: per-batch df partials merged by sum, the
+    // batch scored against corpus-wide state (history = doc_id < 250
+    // fixture convention). The oracle scores batch docs against df over
+    // ALL docs — sum-merge == whole-corpus counts is what it pins.
+    "ngram_novelty_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val history = docs.filter(col("doc_id") < 250)
+      val batch = docs.filter(col("doc_id") >= 250)
+      val state = TextAnalysis.mergeShingleCounts(
+        TextAnalysis.shingleDfCounts(history, "text", 3),
+        TextAnalysis.shingleDfCounts(batch, "text", 3))
+      TextAnalysis.ngramNoveltyFromCounts(batch, "doc_id", "text", 3, 5L, state)
+    }),
     // Sliding-window chunk expansion (64-token chunks, 16 overlap) — the
     // RAG/pretraining chunk-text generator.
     "chunk_texts" -> ((s, dir) =>
@@ -2384,6 +2408,33 @@ object SparkEntry {
         |  round(COALESCE(n_common, 0)::DOUBLE * 100.0 /
         |    nullif(COALESCE(n_shingles, 0)::DOUBLE, 0), 4) AS pct_common
         |FROM toks t LEFT JOIN per_doc USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+    "ngram_novelty_incremental" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, UNNEST(list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT doc_id, substring(md5(s), 1, 15) AS h FROM sh),
+        |dfc AS (
+        |  SELECT h, COUNT(*) AS df FROM pairs GROUP BY h),
+        |per_doc AS (
+        |  SELECT p.doc_id,
+        |    COUNT(*)::BIGINT AS n_shingles,
+        |    SUM(CASE WHEN d.df >= 5 THEN 1 ELSE 0 END)::BIGINT AS n_common
+        |  FROM pairs p JOIN dfc d USING (h)
+        |  WHERE p.doc_id >= 250
+        |  GROUP BY p.doc_id)
+        |SELECT t.doc_id,
+        |  COALESCE(n_shingles, 0)::BIGINT AS n_shingles,
+        |  COALESCE(n_common, 0)::BIGINT AS n_common,
+        |  round(COALESCE(n_common, 0)::DOUBLE * 100.0 /
+        |    nullif(COALESCE(n_shingles, 0)::DOUBLE, 0), 4) AS pct_common
+        |FROM toks t LEFT JOIN per_doc USING (doc_id)
+        |WHERE t.doc_id >= 250
         |ORDER BY t.doc_id""".stripMargin,
     "curation_report" ->
       """WITH t AS (

@@ -531,6 +531,118 @@ object Curation {
       .orderBy(col("source"), col("lang"))
   }
 
+  /** Histogram bin packing WITHOUT cross-document contamination
+    * (`sequence_packing_bins` query) — the Krell-et-al. alternative to
+    * concat-then-chunk ([[packChunks]]): every sequence holds only WHOLE
+    * documents (no attention contamination, no boundary splits), packed
+    * to minimize padding via shortest-pack-first histogram packing:
+    *
+    *  1. ONE aggregate collects the token-length histogram — ≤ `budget`
+    *     rows to the driver (the bounded-collect contract; item lengths
+    *     must be ≤ budget — pre-chunk longer docs with [[chunkTexts]],
+    *     enforced on the collected histogram);
+    *  2. the driver runs best-fit-decreasing over histogram COUNTS, not
+    *     items: strategies (length multisets with pack counts) split off
+    *     counted groups, so driver state is O(#strategies · #lengths),
+    *     independent of corpus size;
+    *  3. items rank within their length class (content-keyed md5 order —
+    *     deterministic, partitioning-invariant) and a broadcast slot
+    *     table maps each (length, rank) to its (strategy, instance) by
+    *     closed-form arithmetic: seq_id = strategy offset + slot div
+    *     multiplicity.
+    *
+    * Output: (item_id, n_tokens, seq_id, seq_fill) — seq_fill is the
+    * sequence's total token load (padding = budget − seq_fill). Empty
+    * items (0 tokens) are dropped (they occupy no space). Rows-only at
+    * the driver gate by declared design — the strategy construction is
+    * an engine-internal loop like BPE/k-means — with the contract pinned
+    * by CurationSpec: a hand-traced packing, exactly-once assignment, no
+    * overfull sequence, waste ≤ the pad-per-doc alternative, and
+    * partitioning invariance.
+    *
+    * Scale shape: one histogram aggregate + one length-keyed rank window
+    * + one broadcast join. The window partitions by length class; a
+    * mega-class (millions of same-length items) serializes that class's
+    * rank — the documented mitigation is the same pre-filter two-step as
+    * [[balancedSample]]. */
+  def packBinsHistogram(items: DataFrame, idCol: String, textCol: String,
+                        budget: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val spark = items.sparkSession
+    import spark.implicits._
+    val nTok = size(graft.text.TextAnalysis.tokens(lower(col(textCol)))).cast("int")
+    val base = graft.Par.widen(items)
+      .select(col(idCol).cast("long").as("item_id"), nTok.as("n_tokens"),
+        md5(col(textCol)).as("__h"))
+      .filter(col("n_tokens") > 0)
+      .localCheckpoint(true) // feeds the histogram collect AND the ranked join
+    val hist = base.groupBy(col("n_tokens")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val tooLong = hist.keys.filter(_ > budget)
+    require(tooLong.isEmpty,
+      s"items longer than budget=$budget (lengths ${tooLong.toSeq.sorted.take(5)}); " +
+        "pre-chunk with chunkTexts")
+    // SPFHP over counts: place each length class (descending) into the
+    // open strategy group with the SMALLEST remaining capacity that fits,
+    // splitting counted groups. FIFO within a capacity — deterministic.
+    import scala.collection.mutable
+    final class Strat(val lengths: Vector[Int], val rem: Int, var count: Long)
+    val open = mutable.TreeMap.empty[Int, mutable.Queue[Strat]]
+    val created = mutable.ArrayBuffer.empty[Strat]
+    def enqueue(s: Strat): Unit =
+      if (s.rem > 0) open.getOrElseUpdate(s.rem, mutable.Queue.empty) += s
+    hist.keys.toSeq.sorted(Ordering[Int].reverse).foreach { l =>
+      var c = hist(l)
+      while (c > 0) {
+        val entry = { val it = open.iteratorFrom(l); if (it.hasNext) Some(it.next()) else None }
+        entry match {
+          case Some((rem, q)) =>
+            val s = q.head
+            val k = math.min(c, s.count)
+            s.count -= k
+            if (s.count == 0) { q.dequeue(); if (q.isEmpty) open.remove(rem) }
+            val ns = new Strat(s.lengths :+ l, rem - l, k)
+            created += ns
+            enqueue(ns)
+            c -= k
+          case None =>
+            val ns = new Strat(Vector(l), budget - l, c)
+            created += ns
+            enqueue(ns)
+            c = 0L
+        }
+      }
+    }
+    // Final strategies: groups still holding packs, in creation order
+    // (each pack's multiset lives in exactly one group — splits move
+    // counts to the child). Slot table: for each (length, strategy), the
+    // global rank range of that length's slots and the arithmetic to map
+    // a rank to its sequence id.
+    val strategies = created.filter(_.count > 0).toVector
+    val offsets = strategies.scanLeft(0L)(_ + _.count)
+    val cum = mutable.Map.empty[Int, Long].withDefaultValue(0L)
+    val rows = mutable.ArrayBuffer.empty[(Int, Long, Int, Long, Long, Int)]
+    strategies.zipWithIndex.foreach { case (s, i) =>
+      val fill = budget - s.rem
+      s.lengths.groupBy(identity).toSeq.sortBy(_._1).foreach { case (l, occ) =>
+        val m = occ.size
+        rows += ((l, cum(l), m, s.count, offsets(i), fill))
+        cum(l) += m.toLong * s.count
+      }
+    }
+    val slots = rows.toSeq
+      .toDF("l", "cum_start", "m", "strat_count", "seq_offset", "seq_fill")
+    val w = Window.partitionBy(col("n_tokens")).orderBy(col("__h"), col("item_id"))
+    base.withColumn("__r", row_number().over(w).cast("long") - 1)
+      .join(broadcast(slots), col("n_tokens") === col("l") &&
+        col("__r") >= col("cum_start") &&
+        col("__r") < col("cum_start") + col("m") * col("strat_count"))
+      .select(col("item_id"), col("n_tokens"),
+        expr("seq_offset + (__r - cum_start) div m").as("seq_id"),
+        col("seq_fill"))
+      .orderBy(col("item_id"))
+  }
+
   // ---- incremental release manifest (mergeable state) ----
 
   /** Additive half of the INCREMENTAL manifest state: per-(source, lang)

@@ -215,6 +215,58 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Additive half of INCREMENTAL [[ngramNovelty]]: per-batch shingle
+    * document-frequency counts keyed by the md5 prefix — (h, df), merged
+    * across append-only batches by groupBy-sum ([[mergeShingleCounts]]).
+    * The state is ≤ |distinct shingles| rows of (15-byte hash, long) and
+    * never holds phrase text; a 100 TB corpus maintains it from batch
+    * partials without re-reading history (the
+    * [[graft.pipeline.Dsir]] count-table discipline). */
+  def shingleDfCounts(docs: DataFrame, textCol: String, n: Int): DataFrame =
+    graft.Par.widen(docs)
+      .select(explode(array_distinct(shingles(col(textCol), n))).as("shingle"))
+      .select(substring(md5(col("shingle")), 1, 15).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+
+  /** Merge shingle-df count tables: groupBy-sum — valid because batches
+    * are disjoint document sets (append-only contract), so each doc's
+    * distinct-shingle votes land in exactly one partial. */
+  def mergeShingleCounts(parts: DataFrame*): DataFrame =
+    parts.reduce(_ unionByName _)
+      .groupBy(col("h")).agg(sum(col("df")).as("df"))
+
+  /** Score a batch against the MERGED corpus-wide df state — the
+    * incremental face of [[ngramNovelty]] (`ngram_novelty_incremental`
+    * query): per batch doc, the fraction of its distinct shingles with
+    * corpus-wide df ≥ minDf. Identical to running [[ngramNovelty]] over
+    * the whole corpus and keeping the batch rows (sum-merge ≡ whole-corpus
+    * counts — the full oracle states exactly that); per-release cost is
+    * O(batch + |state probe|), history never re-read. `counts` must
+    * already include the batch's own partial (merge it in first): the
+    * inner probe treats the state as the complete corpus vocabulary, so
+    * scoring against history-only state would silently drop the batch's
+    * novel shingles from n_shingles. */
+  def ngramNoveltyFromCounts(batch: DataFrame, idCol: String, textCol: String,
+                             n: Int, minDf: Long, counts: DataFrame): DataFrame = {
+    val pairs = graft.Par.widen(batch)
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(array_distinct(shingles(col(textCol), n))).as("shingle"))
+      .select(col("doc_id"), substring(md5(col("shingle")), 1, 15).as("h"))
+    val perDoc = pairs.join(counts, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_common"))
+    batch.select(col(idCol).cast("long").as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round(coalesce(col("n_common"), lit(0L)).cast("double") * 100.0 /
+          nullif(coalesce(col("n_shingles"), lit(0L)).cast("double"), lit(0.0)), 4)
+          .as("pct_common"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Distinctive terms per source (`distinctive_terms` query): the top-k
     * word n-grams of each source among n-grams appearing in at most
     * `maxSources` distinct sources — TF-IDF-flavored keyword extraction

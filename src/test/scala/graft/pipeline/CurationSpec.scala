@@ -392,6 +392,60 @@ class CurationSpec extends SparkSpec {
     assert(row.isNullAt(row.fieldIndex("pct_tail_waste"))) // 0/0 -> null
   }
 
+  test("packBinsHistogram: hand-traced SPFHP bins, fills, exactly-once") {
+    // token lengths 6, 5, 3, 3, 2, 1 at budget 8 pack as {6,2} {5,3} {3,1}
+    def words(n: Int, tag: String) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val items = Seq(
+      (1L, words(6, "a")), (2L, words(5, "b")), (3L, words(3, "c")),
+      (4L, words(3, "d")), (5L, words(2, "e")), (6L, words(1, "f"))
+    ).toDF("doc_id", "text")
+    val out = Curation.packBinsHistogram(items, "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    assert(out.map(_._1).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L, 6L)) // exactly once
+    val bins = out.groupBy(_._3).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(bins.size === 3)
+    assert(bins.values.toSet === Set(Seq(2, 6), Seq(3, 5), Seq(1, 3)))
+    // seq_fill equals the bin's token load; nothing overfull
+    out.groupBy(_._3).foreach { case (_, members) =>
+      val load = members.map(_._2).sum
+      assert(load <= 8)
+      assert(members.forall(_._4 == load))
+    }
+  }
+
+  test("packBinsHistogram: invariants on fixture chunks") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val chunks = Curation.chunkTexts(docs, "doc_id", "text", 64, 0)
+      .select((col("doc_id") * 100000 + col("chunk_idx")).as("item_id"),
+        col("chunk_text"))
+    val out = Curation.packBinsHistogram(chunks, "item_id", "chunk_text", 128)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    // exactly-once over the non-empty chunks
+    assert(out.map(_._1).distinct.length === out.length)
+    // no sequence over budget; fill consistent
+    out.groupBy(_._3).foreach { case (_, ms) =>
+      val load = ms.map(_._2).sum
+      assert(load <= 128)
+      assert(ms.forall(_._4 == load))
+    }
+    // never worse than pad-per-doc (each item its own sequence)
+    val nSeqs = out.map(_._3).distinct.length
+    assert(nSeqs <= out.length)
+    // deterministic under repartitioning
+    val again = Curation.packBinsHistogram(chunks.repartition(7), "item_id",
+        "chunk_text", 128)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
+  test("packBinsHistogram rejects items longer than the budget") {
+    val items = Seq((1L, (1 to 20).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Curation.packBinsHistogram(items, "doc_id", "text", 8).collect()
+    }
+    assert(e.getMessage.contains("chunkTexts"))
+  }
+
   test("releaseManifestSketch: merged batch states == one-shot; counts exact") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val a = docs.filter($"doc_id" < 25)

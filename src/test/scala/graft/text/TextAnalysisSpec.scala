@@ -150,6 +150,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(5L)._3.isNaN)
   }
 
+  test("ngramNoveltyFromCounts over merged batch partials == full recompute") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val history = docs.filter($"doc_id" < 25)
+    val batch = docs.filter($"doc_id" >= 25)
+    val state = TextAnalysis.mergeShingleCounts(
+      TextAnalysis.shingleDfCounts(history, "text", 3),
+      TextAnalysis.shingleDfCounts(batch, "text", 3))
+    val inc = TextAnalysis.ngramNoveltyFromCounts(batch, "doc_id", "text", 3, 3L, state)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val full = TextAnalysis.ngramNovelty(docs, "doc_id", "text", 3, 3L)
+      .filter($"doc_id" >= 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(inc === full)
+  }
+
   test("ngramNovelty counts a doc once per distinct shingle") {
     // doc 1 repeats its phrase: df must stay 2 (docs 1 and 2), not 3.
     val docs = Seq(
