@@ -539,9 +539,13 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       val history = docs.filter(col("doc_id") < 250)
       val batch = docs.filter(col("doc_id") >= 250)
+      // Materialized once, mirroring the production shape where state is
+      // persisted parquet — without it the probe join re-derives both
+      // count partials (re-scanning history) per consumer.
       val state = TextAnalysis.mergeShingleCounts(
         TextAnalysis.shingleDfCounts(history, "text", 3),
         TextAnalysis.shingleDfCounts(batch, "text", 3))
+        .localCheckpoint(true)
       TextAnalysis.ngramNoveltyFromCounts(batch, "doc_id", "text", 3, 5L, state)
     }),
     // Sliding-window chunk expansion (64-token chunks, 16 overlap) — the

@@ -715,9 +715,15 @@ object Curation {
   }
 
   /** One-shot composition over a corpus (the registered query): state →
-    * release. Incremental callers build the state per batch and merge. */
+    * release. Incremental callers build the state per batch and merge.
+    * The state frames are materialized once (≤ |source×lang|·(2^P+1)
+    * rows): the three rollup levels each consume both frames, and
+    * without the checkpoint every level would re-scan and re-hash the
+    * whole corpus — 6 scans instead of 2. (Incremental callers read
+    * state from parquet, which is already materialized.) */
   def releaseManifestSketch(docs: DataFrame): DataFrame =
-    releaseManifestSketch(manifestCounts(docs), manifestSketch(docs))
+    releaseManifestSketch(manifestCounts(docs).localCheckpoint(true),
+      manifestSketch(docs).localCheckpoint(true))
 
   /** DuckDB mirror of the one-shot [[releaseManifestSketch]] over a
     * relation exposing (source, lang, text). The oracle replays each
