@@ -527,6 +527,9 @@ object SparkEntry {
     // engine's bucket-max rollup matching it IS the mergeability pin.
     "release_manifest_sketch" -> ((s, dir) =>
       graft.pipeline.Curation.releaseManifestSketch(Tables.documents(s, dir))),
+    // Good-Turing count-of-counts: the Zipf-health audit of the corpus.
+    "token_spectrum" -> ((s, dir) =>
+      TextAnalysis.tokenSpectrum(Tables.documents(s, dir), "text")),
     // Per-doc cross-document duplication exposure: fraction of the doc's
     // distinct 3-gram shingles shared with >= 5 documents corpus-wide.
     "ngram_novelty" -> ((s, dir) =>
@@ -2388,6 +2391,13 @@ object SparkEntry {
         |ORDER BY source, lang""".stripMargin,
     "release_manifest_sketch" ->
       graft.pipeline.Curation.sqlReleaseManifestSketch("documents"),
+    "token_spectrum" ->
+      """WITH tok AS (
+        |  SELECT UNNEST(regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+')) AS tok
+        |  FROM documents),
+        |occ AS (SELECT tok, COUNT(*) AS occ FROM tok GROUP BY tok)
+        |SELECT occ, COUNT(*) AS n_types, CAST(SUM(occ) AS BIGINT) AS token_mass
+        |FROM occ GROUP BY occ ORDER BY occ""".stripMargin,
     "ngram_novelty" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+') AS toks

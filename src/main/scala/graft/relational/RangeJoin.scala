@@ -53,16 +53,24 @@ object RangeJoin {
     // spurious rows for a zero-length interval; a huge array for a corrupt
     // end far before start). The exact predicate would still filter the
     // matches, but the fan-out is pure waste and a potential OOM.
+    // Distinct names on the interval side: points and intervals are
+    // routinely projections of the SAME table (events vs their session
+    // windows), so `p(k) === i(k)` is the ambiguous-self-join shape that
+    // relies on dataset-id disambiguation and warns "trivially true
+    // equals predicate" — rename instead (the Dedup/StreamJoin
+    // discipline); the final projection drops the temp names.
     val i = intervals
       .filter(col(endCol) > col(startCol))
-      .withColumn("__bin", explode(sequence(
+      .withColumn("__ibin", explode(sequence(
         binOf(col(startCol)),
         floor((unix_micros(col(endCol)) - 1) / binMicros))))
-      .select((keyCols.map(col) :+ col("__bin") :+ col(startCol) :+ col(endCol)) ++
+      .select((keyCols.map(k => col(k).as(s"__ik_$k")) :+ col("__ibin") :+
+        col(startCol).as("__istart") :+ col(endCol).as("__iend")) ++
         payload.map { case (src, out) => col(src).as(s"__pay_$out") }: _*)
 
-    val cond = (keyCols.map(k => p(k) === i(k)) :+ (p("__bin") === i("__bin")) :+
-      (p(tCol) >= i(startCol)) :+ (p(tCol) < i(endCol))).reduce(_ && _)
+    val cond = (keyCols.map(k => p(k) === col(s"__ik_$k")) :+
+      (p("__bin") === col("__ibin")) :+
+      (p(tCol) >= col("__istart")) :+ (p(tCol) < col("__iend"))).reduce(_ && _)
     p.join(i, cond)
       .select(points.columns.toSeq.map(p(_)) ++
         payload.map { case (_, out) => col(s"__pay_$out").as(out) }: _*)

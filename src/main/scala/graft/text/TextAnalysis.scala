@@ -215,6 +215,25 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Token count-of-counts spectrum (`token_spectrum` query): how many
+    * distinct tokens occur exactly once, twice, … — the Good-Turing
+    * frequency-of-frequencies table and the standard corpus-health audit
+    * (a natural corpus is Zipfian: a large singleton tail, smoothly
+    * thinning; template/machine-generated corpora show spikes).
+    * Per row: the occurrence count, the number of distinct token types
+    * at that count, and the total token mass they carry. Two map-side-
+    * combined hash aggregates — the first keyed by token (the same
+    * exchange every word-count query pays), the second by the (tiny)
+    * count domain. */
+  def tokenSpectrum(docs: DataFrame, textCol: String): DataFrame =
+    graft.Par.widen(docs)
+      .select(explode(tokens(lower(col(textCol)))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("occ"))
+      .groupBy(col("occ"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("occ")).as("token_mass"))
+      .orderBy(col("occ"))
+
   /** Additive half of INCREMENTAL [[ngramNovelty]]: per-batch shingle
     * document-frequency counts keyed by the md5 prefix — (h, df), merged
     * across append-only batches by groupBy-sum ([[mergeShingleCounts]]).

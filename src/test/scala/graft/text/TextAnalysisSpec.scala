@@ -150,6 +150,14 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(5L)._3.isNaN)
   }
 
+  test("tokenSpectrum: hand-computed count-of-counts") {
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenSpectrum(docs, "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // a:2 b:2 c:1 -> one singleton type (mass 1), two doubleton types (mass 4)
+    assert(out === Seq((1L, 1L, 1L), (2L, 2L, 4L)))
+  }
+
   test("ngramNoveltyFromCounts over merged batch partials == full recompute") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val history = docs.filter($"doc_id" < 25)
