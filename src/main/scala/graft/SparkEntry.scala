@@ -530,6 +530,10 @@ object SparkEntry {
     // Good-Turing count-of-counts: the Zipf-health audit of the corpus.
     "token_spectrum" -> ((s, dir) =>
       TextAnalysis.tokenSpectrum(Tables.documents(s, dir), "text")),
+    // Quality-curriculum training order: ascending quality tiers,
+    // seeded shuffle within each tier, hierarchical ranks throughout.
+    "curriculum_order" -> ((s, dir) =>
+      graft.pipeline.Curation.curriculumOrder(Tables.documents(s, dir))),
     // Per-doc cross-document duplication exposure: fraction of the doc's
     // distinct 3-gram shingles shared with >= 5 documents corpus-wide.
     "ngram_novelty" -> ((s, dir) =>
@@ -2391,6 +2395,22 @@ object SparkEntry {
         |ORDER BY source, lang""".stripMargin,
     "release_manifest_sketch" ->
       graft.pipeline.Curation.sqlReleaseManifestSketch("documents"),
+    // One NTILE + one ROW_NUMBER state the curriculum semantic; the
+    // engine's closed-form tier (== NTILE) and hierarchical (shard,
+    // hash) rank (prefix-monotone => hash order) reproduce it exactly.
+    "curriculum_order" -> {
+      val q = s"COALESCE(${TextAnalysis.sqlQuality("text")}, 0.0)"
+      s"""WITH q AS (SELECT doc_id, text, $q AS q FROM documents),
+         |r AS (SELECT doc_id, text, q,
+         |        NTILE(3) OVER (ORDER BY q, doc_id) AS tier FROM q),
+         |p AS (SELECT doc_id, q, tier,
+         |        CAST(ROW_NUMBER() OVER (
+         |          ORDER BY tier, md5('cur42:' || text), doc_id) AS BIGINT)
+         |          AS train_pos
+         |      FROM r)
+         |SELECT doc_id, q AS quality, tier, train_pos
+         |FROM p ORDER BY train_pos""".stripMargin
+    },
     "token_spectrum" ->
       """WITH tok AS (
         |  SELECT UNNEST(regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+')) AS tok

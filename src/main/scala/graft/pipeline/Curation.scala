@@ -302,6 +302,76 @@ object Curation {
       .drop("__h", "__p", "__off")
   }
 
+  /** Quality-curriculum training order (`curriculum_order` query):
+    * assign every document a deterministic training position where the
+    * corpus ascends through quality tiers — weakest documents first,
+    * best last (the anneal-phase convention: the cleanest data meets the
+    * lowest learning rates), shuffled WITHIN each tier by a seeded
+    * content hash so no tier has internal ordering bias.
+    *
+    *  - tier: rank by (quality asc, doc_id) → ⌊(rank−1)·tiers∕n⌋+1 —
+    *    equal-size tiers, the [[graft.text.LmScore]] closed-form bucket
+    *    (== NTILE);
+    *  - train_pos: global position = cumulative (tier, hash-shard)
+    *    offset + within-shard row number — the [[shuffleCorpus]]
+    *    hierarchical-rank discipline applied within tiers. The hash
+    *    shard is prefix-monotone in the hash, so (shard, hash) order IS
+    *    hash order and one relational ROW_NUMBER over (tier, md5, id)
+    *    states the whole semantic for the oracle.
+    *
+    * Null quality (empty docs) coalesces to 0.0 — semantically worst,
+    * and it pins the Spark/DuckDB null-ordering divergence shut. Both
+    * rank passes are per-shard windows; the only global windows run over
+    * ≤ nShards and ≤ tiers·nShards aggregated rows. */
+  def curriculumOrder(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", tiers: Int = 3,
+                      seed: String = "cur42", nShards: Int = 256): DataFrame = {
+    require(tiers > 0, "need tiers > 0")
+    val base = graft.Par.widen(docs).select(
+        col(idCol).cast("long").as("doc_id"),
+        coalesce(graft.text.TextAnalysis.qualityScore(col(textCol)), lit(0.0)).as("q"),
+        md5(concat_ws(":", lit(seed), col(textCol))).as("__h"))
+      .localCheckpoint(true) // feeds both rank passes
+    // Pass 1: quality rank -> tier. Shard by the (bounded, rounded) score
+    // value itself; within-shard row_number; bounded offset window.
+    val sharded = base.withColumn("__shard",
+      least(lit(nShards - 1), floor(col("q") * nShards).cast("int")))
+    val wIn = Window.partitionBy(col("__shard")).orderBy(col("q"), col("doc_id"))
+    val posIn = sharded.withColumn("__p", row_number().over(wIn).cast("long"))
+    val sizes = posIn.groupBy(col("__shard")).agg(count(lit(1)).as("__c"))
+    // bounded input: ≤ nShards aggregated rows through this global window
+    val wOff = Window.orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = sizes
+      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
+      .select(col("__shard"), col("__off"))
+    val total = sizes.agg(sum(col("__c")).as("__n"))
+    val tiered = posIn.join(broadcast(offs), Seq("__shard"))
+      .crossJoin(broadcast(total))
+      .withColumn("tier", expr(s"(((__off + __p) - 1) * $tiers) div __n") + 1L)
+      .select(col("doc_id"), col("q"), col("__h"), col("tier"))
+    // Pass 2: within-tier seeded shuffle -> global train position. The
+    // cumulative offsets run over (tier, hash shard) in order, so the
+    // offset + within-shard position IS the global position.
+    val sh2 = tiered.withColumn("__s2",
+      floor(conv(substring(col("__h"), 1, 8), 16, 10).cast("long")
+        .cast("double") * nShards / 4294967296.0).cast("int"))
+    val w2 = Window.partitionBy(col("tier"), col("__s2"))
+      .orderBy(col("__h"), col("doc_id"))
+    val pos2 = sh2.withColumn("__p2", row_number().over(w2).cast("long"))
+    val sizes2 = pos2.groupBy(col("tier"), col("__s2")).agg(count(lit(1)).as("__c2"))
+    // bounded input: ≤ tiers·nShards aggregated rows through this window
+    val wOff2 = Window.orderBy(col("tier"), col("__s2"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs2 = sizes2
+      .withColumn("__o2", coalesce(sum(col("__c2")).over(wOff2), lit(0L)))
+      .select(col("tier"), col("__s2"), col("__o2"))
+    pos2.join(broadcast(offs2), Seq("tier", "__s2"))
+      .withColumn("train_pos", col("__o2") + col("__p2"))
+      .select(col("doc_id"), col("q").as("quality"), col("tier"), col("train_pos"))
+      .orderBy(col("train_pos"))
+  }
+
   /** Gate-attrition funnel (`curation_funnel` query): the per-stage
     * survivor counts every corpus release publishes (FineWeb/RefinedWeb
     * ablation tables) — how many documents remain after each cleaning

@@ -392,6 +392,29 @@ class CurationSpec extends SparkSpec {
     assert(row.isNullAt(row.fieldIndex("pct_tail_waste"))) // 0/0 -> null
   }
 
+  test("curriculumOrder: tiers ascend with quality, positions are a permutation") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val n = docs.count()
+    val out = Curation.curriculumOrder(docs)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    assert(out.length === n)
+    // positions are exactly 1..n and tier is monotone along them
+    assert(out.map(_._4).sorted.toSeq === (1L to n).toSeq)
+    val byPos = out.sortBy(_._4)
+    assert(byPos.map(_._3).toSeq === byPos.map(_._3).sorted.toSeq)
+    // every doc in tier 1 has quality <= every doc in tier 3
+    val q1max = out.filter(_._3 == 1L).map(_._2).max
+    val q3min = out.filter(_._3 == 3L).map(_._2).min
+    assert(q1max <= q3min)
+    // near-equal tier sizes
+    val sizes = out.groupBy(_._3).view.mapValues(_.length).values.toSeq
+    assert(sizes.max - sizes.min <= 1)
+    // deterministic under repartitioning
+    val again = Curation.curriculumOrder(docs.repartition(7))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
   test("packBinsHistogram: hand-traced SPFHP bins, fills, exactly-once") {
     // token lengths 6, 5, 3, 3, 2, 1 at budget 8 pack as {6,2} {5,3} {3,1}
     def words(n: Int, tag: String) = (1 to n).map(i => s"$tag$i").mkString(" ")
