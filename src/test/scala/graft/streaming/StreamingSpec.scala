@@ -364,6 +364,47 @@ class StreamingSpec extends SparkSpec {
       "replayed batch partition changed the merged sketch")
   }
 
+  test("streaming manifest: released from merged batch parts == one-shot") {
+    // The incremental release manifest's streaming face: both state
+    // tables (additive counts, mergeable HLL content sketch) maintain
+    // per-batch partials through the same overwrite-per-batch-partition
+    // discipline as the CMS sketch — release from merged parts must
+    // equal the one-shot manifest over the union.
+    val root = java.nio.file.Files.createTempDirectory("graft_manifest_stream").toString
+    val (inDir, cDir, sDir) = (s"$root/in", s"$root/counts", s"$root/sketch")
+    val all = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"source", $"lang", $"text")
+    val rows = all.as[(Long, String, String, String)].collect().toSeq
+    def drop(rs: Seq[(Long, String, String, String)]): Unit =
+      rs.toDF("doc_id", "source", "lang", "text")
+        .coalesce(1).write.mode("append").parquet(inDir)
+    def runOnce(stateDir: String, ckpt: String,
+                f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+      val docs = spark.readStream
+        .schema("doc_id LONG, source STRING, lang STRING, text STRING")
+        .parquet(inDir)
+      val q = StreamingIngest.sketchViaBatchParts(docs, f, stateDir, ckpt).start()
+      q.awaitTermination()
+    }
+    def runBoth(): Unit = {
+      runOnce(cDir, s"$root/ck_c", graft.pipeline.Curation.manifestCounts(_))
+      runOnce(sDir, s"$root/ck_s", graft.pipeline.Curation.manifestSketch(_))
+    }
+    drop(rows.filter(_._1 < 250L)); runBoth()
+    drop(rows.filter(_._1 >= 250L)); runBoth()
+    val counts = graft.pipeline.Curation.mergeManifestCounts(
+      spark.read.parquet(cDir).select($"source", $"lang", $"n_docs", $"sum_tokens"))
+    val sketch = graft.relational.Hll.merge(
+      spark.read.parquet(sDir).select($"source", $"lang", $"bucket", $"mj"))
+    def rel(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val released = rel(graft.pipeline.Curation.releaseManifestSketch(counts, sketch))
+    val oneShot = rel(graft.pipeline.Curation.releaseManifestSketch(all))
+    assert(released == oneShot,
+      "streamed manifest state released != one-shot manifest")
+  }
+
   test("watermark would CHANGE semantics: late rows drop in append mode (ST3)") {
     // Parity keeps windows unwatermarked (complete/update mode) because the
     // reference accepts arbitrarily late publish dates. This pins the
