@@ -8,7 +8,7 @@ import graft.dedup.Dedup
 import graft.ingest.{Dates, Ingest}
 import graft.multimodal.Multimodal
 import graft.relational.Relational
-import graft.similarity.{Ivf, Similarity}
+import graft.similarity.{FittedOracle, Ivf, Pq, Similarity}
 import graft.streaming.EventWindows
 import graft.text.{Stopwords, TextAnalysis, WordFrequencies}
 
@@ -254,10 +254,16 @@ object SparkEntry {
     "embedding_dedup_keepers_scaled" -> ((s, dir) =>
       Similarity.embeddingDedupKeepersScaled(Tables.embeddings(s, dir), 0.4)),
     // SemDeDup: k-means-partitioned semantic dedup — quadratic work bounded
-    // structurally per cluster. Cluster fit is engine-specific -> rows-only;
-    // SimilaritySpec pins the refinement property vs the exact keepers.
-    "semantic_dedup" -> ((s, dir) =>
-      Similarity.semanticDedupKeepers(Tables.embeddings(s, dir), 0.4, nClusters = 8)),
+    // structurally per cluster. FULL oracle since r9: the seeded
+    // deterministic cluster fit is stashed in FittedOracle and its
+    // centroids print into the DuckDB replay as exact constants;
+    // SimilaritySpec still pins the refinement property vs exact keepers.
+    "semantic_dedup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val centers = Ivf.fitCentroids(emb, 8)
+      FittedOracle.semCenters = Some(centers)
+      Similarity.semanticDedupKeepersWith(centers, emb, 0.4)
+    }),
     "knn_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.knnLsh(emb, emb.filter(col("vec_id") % 50 === 0), 5)
@@ -267,23 +273,34 @@ object SparkEntry {
     // constants (exact double round-trip, same left-assoc accumulation).
     "lsh_bucket_assignments" -> ((s, dir) =>
       Similarity.lshBucketAssignments(Tables.embeddings(s, dir))),
-    // knn_ivf: KMeans coarse-quantizer IVF — centroids are engine-specific
-    // (rows-only driver check; exactness + recall pinned in SimilaritySpec)
+    // knn_ivf: KMeans coarse-quantizer IVF. FULL oracle since r9: the
+    // seeded deterministic fit is stashed and its centroids print into
+    // the DuckDB replay (the r8 LSH plane-constant recipe); recall vs
+    // brute force stays pinned in SimilaritySpec.
     "knn_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Ivf.knnIvf(emb, emb.filter(col("vec_id") % 50 === 0), 5)
+      val centers = Ivf.fitCentroids(emb, 16)
+      FittedOracle.ivfCenters = Some(centers)
+      Ivf.knnIvfWith(centers, emb, emb.filter(col("vec_id") % 50 === 0), 5)
     }),
-    // knn_pq: product-quantized ADC search (32x-compressed codes) —
-    // codebooks engine-specific -> rows-only; recall pinned in PqSpec.
+    // knn_pq: product-quantized ADC search (32x-compressed codes). FULL
+    // oracle since r9 via printed codebooks; recall pinned in PqSpec.
     "knn_pq" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      graft.similarity.Pq.knnPq(emb, emb.filter(col("vec_id") % 50 === 0), 5)
+      val books = Pq.fitCodebooks(emb, 8, 16)
+      FittedOracle.pqBooks = Some(books)
+      Pq.knnPqWith(books, emb, emb.filter(col("vec_id") % 50 === 0), 5)
     }),
     // knn_ivf_pq: IVF list pruning + ADC over codes — the billion-scale
-    // composition; rows-only, recall pinned in PqSpec.
+    // composition. FULL oracle since r9 (printed centroids + codebooks);
+    // recall pinned in PqSpec.
     "knn_ivf_pq" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      graft.similarity.Pq.knnIvfPq(emb, emb.filter(col("vec_id") % 50 === 0), 5)
+      val centers = Ivf.fitCentroids(emb, 16)
+      val books = Pq.fitCodebooks(emb, 8, 16)
+      FittedOracle.ivfPqCenters = Some(centers)
+      FittedOracle.ivfPqBooks = Some(books)
+      Pq.knnIvfPqWith(centers, books, emb, emb.filter(col("vec_id") % 50 === 0), 5)
     }),
     // ---- ingest path (reference crawl.py E1) ----
     "ingest_articles" -> ((s, _) => {
@@ -2511,6 +2528,9 @@ object SparkEntry {
         |  round(1.0 - n_distinct::DOUBLE / nullif(n_tokens, 0)::DOUBLE, 4) AS dup_token_frac,
         |  round(m.mx::DOUBLE / nullif(m.tot, 0)::DOUBLE, 4) AS top_bigram_frac
         |FROM b LEFT JOIN m ON b.doc_id = m.doc_id ORDER BY doc_id""".stripMargin,
+    // media stub features (md5-prefix discipline, r9) -> brute-force kNN:
+    // the whole multimodal/similarity composition replays in DuckDB.
+    "media_embedding_knn" -> Multimodal.sqlMediaEmbeddingKnn(3),
     "multimodal_features" ->
       """SELECT doc_id AS media_id,
         |  CASE doc_id % 3 WHEN 1 THEN 'audio' WHEN 2 THEN 'video'
@@ -2533,7 +2553,12 @@ object SparkEntry {
         |       END AS BIGINT) AS resized_bytes
         |FROM documents WHERE doc_id % 3 = 0
         |ORDER BY media_id""".stripMargin,
-  )
+  ) ++
+    // Printed-constant oracles for the k-means ANN family: present only
+    // after the corresponding query has run and stashed its seeded
+    // deterministic fit (Verify executes every query before dumping this
+    // map — see FittedOracle). Absent → the driver's rows-only fallback.
+    FittedOracle.oracleEntries
 
   /** Funnel thresholds tuned to the synthetic corpus: the word-count
     * floor discriminates (doc lengths straddle 40) while the stop-hits

@@ -42,18 +42,30 @@ object Multimodal {
         (col("doc_id") % 3 + 1).cast("int")).as("kind"),
       encode(col("text"), "UTF-8").as("data"))
 
-  /** ====== STUB ====== deterministic fake of a media decoder: a rolling
-    * byte-mix in place of pixel/sample decoding. A real deployment swaps
-    * ONLY this function for an actual codec call; the partition shape,
-    * schema and everything downstream are unchanged. */
-  private[multimodal] def fakeDecode(data: Array[Byte]): Array[Float] = {
+  /** ====== STUB ====== deterministic fake of a media decoder in place of
+    * pixel/sample decoding. A real deployment swaps ONLY this function for
+    * an actual codec call; the partition shape, schema and everything
+    * downstream are unchanged.
+    *
+    * Feature j = u32(md5(payload ∥ ":j")[0..3]) / 2³² as float32 — the
+    * repo's engine-reproducible md5-prefix discipline (r9), chosen over
+    * the earlier FNV byte-roll so DuckDB can replay the features
+    * (`md5(text || ':' || j)`) and `media_embedding_knn` carries a full
+    * oracle instead of a rows-only check. The digest instance is the
+    * per-partition "codec" handle, constructed once per partition. */
+  private[multimodal] def fakeDecode(md: java.security.MessageDigest,
+                                     data: Array[Byte]): Array[Float] = {
     val out = new Array[Float](FeatureDim)
-    var acc = 1469598103934665603L // FNV offset basis — any fixed seed
-    var i = 0
-    while (i < data.length) {
-      acc = (acc ^ (data(i) & 0xffL)) * 1099511628211L
-      out(i % FeatureDim) += ((acc >>> 32).toInt % 1000) / 1000.0f
-      i += 1
+    var j = 0
+    while (j < FeatureDim) {
+      md.reset()
+      md.update(data)
+      md.update((":" + j).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val h = md.digest()
+      val u32 = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+        ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+      out(j) = (u32.toDouble / 4294967296.0).toFloat
+      j += 1
     }
     out
   }
@@ -67,8 +79,9 @@ object Multimodal {
       .mapPartitions { rows =>
         // ====== STUB ====== a real codec/session is constructed HERE,
         // once per partition, and closed when the iterator drains.
+        val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { m =>
-          val feats = fakeDecode(m.data)
+          val feats = fakeDecode(md, m.data)
           FeatureRow(m.media_id, m.kind, m.data.length.toLong, FeatureDim, feats)
         }
       }
@@ -133,4 +146,36 @@ object Multimodal {
     sampleFrames(media)
       .select(col("media_id"), col("frame_idx"))
       .orderBy(col("media_id"), col("frame_idx"))
+
+  /** DuckDB mirror of the `media_embedding_knn` query (FULL oracle since
+    * r9): the md5-prefix stub features replay as
+    * `md5(text || ':' || j)` → u32 prefix / 2³² → FLOAT (DuckDB's
+    * double→float32 cast rounds to nearest-even exactly like Scala's
+    * `.toFloat`), then the `knn_bruteforce` oracle tail — float→double
+    * cast before arithmetic, left-assoc dot/norm folds, the
+    * (cosine desc, cand asc) window — over the probe convention
+    * `media_id % 100 == 0`. */
+  def sqlMediaEmbeddingKnn(k: Int): String =
+    s"""WITH f AS (
+       |  SELECT doc_id AS vec_id,
+       |    list_transform(range(0, $FeatureDim), jj ->
+       |      CAST(CAST(CAST(('0x' || substring(md5(text || ':' || CAST(jj AS VARCHAR)), 1, 8))::UBIGINT
+       |        AS DOUBLE) / 4294967296.0 AS FLOAT) AS DOUBLE)) AS v
+       |  FROM documents),
+       |n AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)) AS nv
+       |  FROM f),
+       |s AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+       |    round(list_reduce(list_transform(range(1, len(p.v)+1), i -> p.v[i]*c.v[i]),
+       |                      (a,b) -> a+b) / (p.nv * c.nv), 6) AS cosine
+       |  FROM n p CROSS JOIN n c
+       |  WHERE p.vec_id % 100 = 0 AND c.vec_id <> p.vec_id),
+       |r AS (SELECT probe_id, cand_id, cosine,
+       |        row_number() OVER (PARTITION BY probe_id
+       |                           ORDER BY cosine DESC, cand_id ASC) AS rk
+       |      FROM s)
+       |SELECT probe_id, rk, cand_id, cosine FROM r WHERE rk <= $k
+       |ORDER BY probe_id, rk""".stripMargin
 }

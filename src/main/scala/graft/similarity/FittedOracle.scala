@@ -1,0 +1,68 @@
+package graft.similarity
+
+/** Printed-constant channel from query execution to oracle SQL — the
+  * k-means analog of the r8 LSH plane-constant recipe that gave
+  * `lsh_bucket_assignments` its full oracle.
+  *
+  * The ANN quantizers ([[Ivf.fitCentroids]], [[Pq.fitCodebooks]]) are
+  * seeded, deterministic, bounded-sample driver fits — so their fitted
+  * centroids/codebooks are plain `Double` constants once a query has run.
+  * `graft.Verify` executes every registered query BEFORE it dumps
+  * `SparkEntry.oracleSql` (Verify.scala), so a query closure can stash its
+  * fit here and the oracle builder prints it into the SQL via
+  * `Double.toString` (exact shortest-representation round-trip: DuckDB's
+  * strtod parses back the identical bit pattern). When a fit has not run
+  * (e.g. a filtered dev dump), the corresponding oracle entry is simply
+  * omitted and the driver records the weaker rows-only check — never a
+  * stale or mismatched oracle.
+  *
+  * Thread-safety: Verify runs queries sequentially; `@volatile` covers the
+  * dump-after-run visibility.
+  */
+object FittedOracle {
+
+  @volatile var ivfCenters: Option[IndexedSeq[IndexedSeq[Double]]] = None
+  @volatile var pqBooks: Option[IndexedSeq[IndexedSeq[IndexedSeq[Double]]]] = None
+  @volatile var ivfPqCenters: Option[IndexedSeq[IndexedSeq[Double]]] = None
+  @volatile var ivfPqBooks: Option[IndexedSeq[IndexedSeq[IndexedSeq[Double]]]] = None
+  @volatile var semCenters: Option[IndexedSeq[IndexedSeq[Double]]] = None
+
+  /** Exact decimal print: Java's shortest round-trip representation, which
+    * DuckDB's parser maps back to the same double (scientific notation
+    * like `1.0E-5` included). */
+  def d(x: Double): String = {
+    require(!x.isNaN && !x.isInfinite, s"non-finite constant in oracle: $x")
+    x.toString
+  }
+
+  def arr(v: Seq[Double]): String = v.map(d).mkString("[", ", ", "]")
+
+  /** |c|² exactly as [[org.apache.spark.sql.graft.NearestCentroids]]
+    * precomputes it (`c.map(x => x*x).sum` — left fold), printed as a
+    * constant so the SQL replay never re-derives it in a different order. */
+  def n2(v: Seq[Double]): Double = v.map(x => x * x).sum
+
+  /** Centroid VALUES body: `(cid, n2, cv)` rows, cid = row index. */
+  def centroidValues(centers: IndexedSeq[IndexedSeq[Double]]): String =
+    centers.zipWithIndex.map { case (c, i) =>
+      s"($i, ${d(n2(c))}, ${arr(c)})"
+    }.mkString(",\n    ")
+
+  /** PQ codebook VALUES body: `(s, j, n2, cv)` rows over all subspaces. */
+  def codebookValues(books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]]): String =
+    books.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (c, j) =>
+        s"($s, $j, ${d(n2(c))}, ${arr(c)})"
+      }
+    }.mkString(",\n    ")
+
+  /** The oracle entries whose SQL depends on a stashed fit — appended to
+    * `SparkEntry.oracleSql` after the queries have run. */
+  def oracleEntries: Map[String, String] =
+    (ivfCenters.map(c => "knn_ivf" -> Ivf.sqlKnnIvf(c, k = 5, nprobe = 4)) ++
+      pqBooks.map(b => "knn_pq" -> Pq.sqlKnnPq(b, k = 5)) ++
+      (for { c <- ivfPqCenters; b <- ivfPqBooks }
+        yield "knn_ivf_pq" -> Pq.sqlKnnIvfPq(c, b, k = 5, nprobe = 4)) ++
+      semCenters.map(c =>
+        "semantic_dedup" -> Similarity.sqlSemanticDedupKeepers(c, 0.4))).toMap
+}

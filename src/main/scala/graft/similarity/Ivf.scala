@@ -109,8 +109,18 @@ object Ivf {
   def knnIvf(candidates: DataFrame, probes: DataFrame, k: Int,
              nlist: Int = 16, nprobe: Int = 4,
              idCol: String = "vec_id", vecCol: String = "embedding",
-             maxFitRows: Long = 100000L): DataFrame = {
-    val centers = fitCentroids(candidates, nlist, vecCol, maxFitRows = maxFitRows)
+             maxFitRows: Long = 100000L): DataFrame =
+    knnIvfWith(fitCentroids(candidates, nlist, vecCol, maxFitRows = maxFitRows),
+      candidates, probes, k, nprobe, idCol, vecCol)
+
+  /** [[knnIvf]] over an already-fitted centroid matrix — split out so the
+    * registered query can stash the fit in [[FittedOracle]] (the printed
+    * constants make the DuckDB oracle replayable) and so a production
+    * caller can reuse one quantizer across batches. */
+  def knnIvfWith(centers: IndexedSeq[IndexedSeq[Double]],
+                 candidates: DataFrame, probes: DataFrame, k: Int,
+                 nprobe: Int = 4,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     def nearest(v: org.apache.spark.sql.Column, n: Int) =
       org.apache.spark.sql.graft.VectorFunctions.nearestCentroids(v, centers, n)
     // Own list = argmin over the centroid matrix — one expression per row.
@@ -136,4 +146,55 @@ object Ivf {
       .select(col("probe_id"), col("rk"), col("cand_id"), col("cosine"))
       .orderBy(col("probe_id"), col("rk"))
   }
+
+  /** DuckDB mirror of [[knnIvfWith]] for the fixture probe convention
+    * (`vec_id % 50 == 0`) — the FULL oracle for `knn_ivf` (r9): the
+    * fitted centroids print as exact `Double.toString` constants
+    * ([[FittedOracle]]), assignment replays the native
+    * [[org.apache.spark.sql.graft.NearestCentroids]] score
+    * (`|c|² − 2·v·c`, dot accumulated left-to-right = `list_reduce`,
+    * |c|² itself a printed constant), ties broken by lower centroid id
+    * exactly like the expression's strictly-less insertion sort, and the
+    * cosine re-rank is the `knn_bruteforce` oracle tail restricted to the
+    * nprobe-list candidates. */
+  def sqlKnnIvf(centers: IndexedSeq[IndexedSeq[Double]], k: Int,
+                nprobe: Int): String =
+    s"""WITH cent AS (
+       |  FROM (VALUES
+       |    ${FittedOracle.centroidValues(centers)}) cent(cid, n2, cv)),
+       |n AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x*x),
+       |                     (a,b) -> a+b)) AS nv
+       |  FROM embeddings),
+       |sc0 AS (
+       |  SELECT n.vec_id, cent.cid,
+       |    cent.n2 - 2.0 * list_reduce(
+       |      list_transform(range(1, len(n.v)+1), i -> n.v[i] * cent.cv[i]),
+       |      (a,b) -> a+b) AS sco
+       |  FROM n CROSS JOIN cent),
+       |sc AS (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id
+       |                       ORDER BY sco ASC, cid ASC) AS rn
+       |  FROM sc0),
+       |asg AS (SELECT vec_id AS cand_id, cid AS list FROM sc WHERE rn = 1),
+       |pl AS (SELECT vec_id AS probe_id, cid AS list FROM sc
+       |       WHERE rn <= $nprobe AND vec_id % 50 = 0),
+       |cand AS (
+       |  SELECT pl.probe_id, asg.cand_id
+       |  FROM pl JOIN asg ON pl.list = asg.list
+       |  WHERE asg.cand_id <> pl.probe_id),
+       |s2 AS (
+       |  SELECT cand.probe_id, cand.cand_id,
+       |    round(list_reduce(list_transform(range(1, len(x.v)+1), i -> x.v[i]*y.v[i]),
+       |                      (a,b) -> a+b) / (x.nv * y.nv), 6) AS cosine
+       |  FROM cand JOIN n x ON cand.probe_id = x.vec_id
+       |            JOIN n y ON cand.cand_id = y.vec_id),
+       |r AS (SELECT probe_id, cand_id, cosine,
+       |        row_number() OVER (PARTITION BY probe_id
+       |                           ORDER BY cosine DESC, cand_id ASC) AS rk
+       |      FROM s2)
+       |SELECT probe_id, rk, cand_id, cosine FROM r WHERE rk <= $k
+       |ORDER BY probe_id, rk""".stripMargin
 }

@@ -143,10 +143,17 @@ object Pq {
   /** Fit + encode + search in one call (the `knn_pq` query). */
   def knnPq(candidates: DataFrame, probes: DataFrame, k: Int,
             m: Int = 8, ksub: Int = 16,
-            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val books = fitCodebooks(candidates, m, ksub, vecCol)
+            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    knnPqWith(fitCodebooks(candidates, m, ksub, vecCol),
+      candidates, probes, k, idCol, vecCol)
+
+  /** [[knnPq]] over already-fitted codebooks — split out so the registered
+    * query can stash the fit in [[FittedOracle]] for the printed-constant
+    * DuckDB replay, and so one codebook set can price many batches. */
+  def knnPqWith(books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
+                candidates: DataFrame, probes: DataFrame, k: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     knnPqAdc(encode(candidates, books, idCol, vecCol), probes, books, k, idCol, vecCol)
-  }
 
   /** IVF-PQ (`knn_ivf_pq` query) — the standard billion-scale ANN layout:
     * a coarse IVF quantizer prunes the corpus to `nprobe` of `nlist`
@@ -161,11 +168,20 @@ object Pq {
     * filesystem listing. */
   def knnIvfPq(candidates: DataFrame, probes: DataFrame, k: Int,
                nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
-               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = candidates.sparkSession
-    import spark.implicits._
-    val centers = Ivf.fitCentroids(candidates, nlist, vecCol)
-    val books = fitCodebooks(candidates, m, ksub, vecCol)
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    knnIvfPqWith(Ivf.fitCentroids(candidates, nlist, vecCol),
+      fitCodebooks(candidates, m, ksub, vecCol),
+      candidates, probes, k, nprobe, idCol, vecCol)
+
+  /** [[knnIvfPq]] over an already-fitted coarse quantizer + codebooks —
+    * the [[FittedOracle]] stash point (see [[knnPqWith]]). */
+  def knnIvfPqWith(centers: IndexedSeq[IndexedSeq[Double]],
+                   books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
+                   candidates: DataFrame, probes: DataFrame, k: Int,
+                   nprobe: Int = 4,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = books.length
+    val ksub = books.head.length
     val dsub = books.head.head.length
     def nearest(v: org.apache.spark.sql.Column, n: Int) =
       org.apache.spark.sql.graft.VectorFunctions.nearestCentroids(v, centers, n)
@@ -258,5 +274,112 @@ object Pq {
       .filter(col("rk") <= k)
       .select(col("probe_id"), col("rk"), col("cand_id"), col("adc_dist"))
       .orderBy(col("probe_id"), col("rk"))
+  }
+
+  /** Shared WITH-fragments of the PQ oracles: the printed codebook table,
+    * double-cast vectors, per-(vector, subspace) assignment scores
+    * (replaying the native `NearestCentroids` |c|²−2·v·c form over the
+    * subvector, left-assoc), per-vector code lists, and per-probe flat
+    * ADC LUTs (the exact full-L2² driver loop of [[lutTable]], `ORDER BY
+    * s, j` giving the same `s·ksub+j` flat layout). */
+  private def sqlPqCommon(books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]]): String = {
+    val dsub = books.head.head.length
+    s"""cb AS (
+       |  FROM (VALUES
+       |    ${FittedOracle.codebookValues(books)}) cb(s, j, n2, cv)),
+       |n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |psc AS (
+       |  SELECT n.vec_id, cb.s, cb.j,
+       |    cb.n2 - 2.0 * list_reduce(
+       |      list_transform(range(1, $dsub + 1), t -> n.v[cb.s*$dsub + t] * cb.cv[t]),
+       |      (a,b) -> a+b) AS sco
+       |  FROM n CROSS JOIN cb),
+       |codes AS (
+       |  SELECT vec_id, list(j ORDER BY s) AS codes FROM (
+       |    SELECT vec_id, s, j,
+       |      row_number() OVER (PARTITION BY vec_id, s
+       |                         ORDER BY sco ASC, j ASC) AS rn
+       |    FROM psc) WHERE rn = 1 GROUP BY vec_id),
+       |lut0 AS (
+       |  SELECT n.vec_id AS probe_id, cb.s, cb.j,
+       |    list_reduce(
+       |      list_transform(range(1, $dsub + 1),
+       |        t -> (n.v[cb.s*$dsub + t] - cb.cv[t]) * (n.v[cb.s*$dsub + t] - cb.cv[t])),
+       |      (a,b) -> a+b) AS d2
+       |  FROM n CROSS JOIN cb WHERE n.vec_id % 50 = 0),
+       |lutl AS (SELECT probe_id, list(d2 ORDER BY s, j) AS lut
+       |         FROM lut0 GROUP BY probe_id)""".stripMargin
+  }
+
+  /** The ADC fold as a SQL expression: Σ_s lut[s·ksub + codes[s] ] with
+    * the same ascending-subspace left-assoc order as [[adcScore]]. */
+  private def sqlAdc(m: Int, ksub: Int): String =
+    s"""round(list_reduce(
+       |      list_transform(range(0, $m), u -> l.lut[u*$ksub + c.codes[u+1] + 1]),
+       |      (a,b) -> a+b), 6)""".stripMargin
+
+  /** DuckDB mirror of [[knnPqWith]] for the fixture probe convention
+    * (`vec_id % 50 == 0`) — the FULL oracle for `knn_pq` (r9): fitted
+    * codebooks print as exact `Double.toString` constants
+    * ([[FittedOracle]]); encoding, the probe LUTs, and the ADC fold all
+    * replay with the engine's exact float-op order, so the quantized
+    * distances hash-match bit-for-bit. */
+  def sqlKnnPq(books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]], k: Int): String = {
+    val m = books.length
+    val ksub = books.head.length
+    s"""WITH ${sqlPqCommon(books)},
+       |adc AS (
+       |  SELECT l.probe_id, c.vec_id AS cand_id,
+       |    ${sqlAdc(m, ksub)} AS adc_dist
+       |  FROM lutl l CROSS JOIN codes c WHERE c.vec_id <> l.probe_id),
+       |r AS (SELECT probe_id, cand_id, adc_dist,
+       |        row_number() OVER (PARTITION BY probe_id
+       |                           ORDER BY adc_dist ASC, cand_id ASC) AS rk
+       |      FROM adc)
+       |SELECT probe_id, rk, cand_id, adc_dist FROM r WHERE rk <= $k
+       |ORDER BY probe_id, rk""".stripMargin
+  }
+
+  /** DuckDB mirror of [[knnIvfPqWith]] — the FULL oracle for `knn_ivf_pq`
+    * (r9): [[Ivf.sqlKnnIvf]]'s printed-centroid list assignment + nprobe
+    * probe lists compose with [[sqlKnnPq]]'s code/LUT replay; the join is
+    * on the list id exactly like the engine's equi-join, and each
+    * (probe, cand) pair is unique by construction (one list per
+    * candidate), so no DISTINCT is needed. */
+  def sqlKnnIvfPq(centers: IndexedSeq[IndexedSeq[Double]],
+                  books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
+                  k: Int, nprobe: Int): String = {
+    val m = books.length
+    val ksub = books.head.length
+    s"""WITH cent AS (
+       |  FROM (VALUES
+       |    ${FittedOracle.centroidValues(centers)}) cent(cid, n2, cv)),
+       |${sqlPqCommon(books)},
+       |csc AS (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id
+       |                       ORDER BY sco ASC, cid ASC) AS rn
+       |  FROM (
+       |    SELECT n.vec_id, cent.cid,
+       |      cent.n2 - 2.0 * list_reduce(
+       |        list_transform(range(1, len(n.v)+1), i -> n.v[i] * cent.cv[i]),
+       |        (a,b) -> a+b) AS sco
+       |    FROM n CROSS JOIN cent)),
+       |asg AS (SELECT vec_id AS cand_id, cid AS list FROM csc WHERE rn = 1),
+       |pl AS (SELECT vec_id AS probe_id, cid AS list FROM csc
+       |       WHERE rn <= $nprobe AND vec_id % 50 = 0),
+       |adc AS (
+       |  SELECT pl.probe_id, asg.cand_id,
+       |    ${sqlAdc(m, ksub)} AS adc_dist
+       |  FROM pl JOIN asg ON pl.list = asg.list
+       |          JOIN codes c ON c.vec_id = asg.cand_id
+       |          JOIN lutl l ON l.probe_id = pl.probe_id
+       |  WHERE asg.cand_id <> pl.probe_id),
+       |r AS (SELECT probe_id, cand_id, adc_dist,
+       |        row_number() OVER (PARTITION BY probe_id
+       |                           ORDER BY adc_dist ASC, cand_id ASC) AS rk
+       |      FROM adc)
+       |SELECT probe_id, rk, cand_id, adc_dist FROM r WHERE rk <= $k
+       |ORDER BY probe_id, rk""".stripMargin
   }
 }

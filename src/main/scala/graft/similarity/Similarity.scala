@@ -190,8 +190,18 @@ object Similarity {
   def semanticDedupKeepers(emb: DataFrame, threshold: Double,
                            nClusters: Int = 16, idCol: String = "vec_id",
                            vecCol: String = "embedding",
-                           maxFitRows: Long = 100000L): DataFrame = {
-    val centers = Ivf.fitCentroids(emb, nClusters, vecCol, maxFitRows = maxFitRows)
+                           maxFitRows: Long = 100000L): DataFrame =
+    semanticDedupKeepersWith(
+      Ivf.fitCentroids(emb, nClusters, vecCol, maxFitRows = maxFitRows),
+      emb, threshold, idCol, vecCol)
+
+  /** [[semanticDedupKeepers]] over an already-fitted cluster matrix — the
+    * [[FittedOracle]] stash point that lets `semantic_dedup` carry a full
+    * printed-centroid DuckDB oracle (r9). */
+  def semanticDedupKeepersWith(centers: IndexedSeq[IndexedSeq[Double]],
+                               emb: DataFrame, threshold: Double,
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding"): DataFrame = {
     val base = graft.Par.widen(emb)
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("n", norm(col("v")))
@@ -213,6 +223,51 @@ object Similarity {
       .withColumnRenamed("doc_id", "vec_id")
       .withColumnRenamed("keeper_id", "keeper_vec_id")
   }
+
+  /** DuckDB mirror of [[semanticDedupKeepersWith]] — the FULL oracle for
+    * `semantic_dedup` (r9): cluster assignment replays the native
+    * `NearestCentroids` score over the printed centroid constants
+    * ([[FittedOracle]], same argmin tie-break), the within-cluster pair
+    * join + cosine verify reuse the `cosine_pairs` left-assoc float
+    * arithmetic, and the component labeling is the recursive-CTE
+    * min-reachable-label CC shared with the dedup-keeper oracles. */
+  def sqlSemanticDedupKeepers(centers: IndexedSeq[IndexedSeq[Double]],
+                              threshold: Double): String =
+    s"""WITH RECURSIVE cent AS (
+       |  FROM (VALUES
+       |    ${FittedOracle.centroidValues(centers)}) cent(cid, n2, cv)),
+       |n AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x*x),
+       |                     (a,b) -> a+b)) AS nv
+       |  FROM embeddings),
+       |sc AS (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id
+       |                       ORDER BY sco ASC, cid ASC) AS rn
+       |  FROM (
+       |    SELECT n.vec_id, cent.cid,
+       |      cent.n2 - 2.0 * list_reduce(
+       |        list_transform(range(1, len(n.v)+1), i -> n.v[i] * cent.cv[i]),
+       |        (a,b) -> a+b) AS sco
+       |    FROM n CROSS JOIN cent)),
+       |asg AS (SELECT vec_id, cid AS cluster FROM sc WHERE rn = 1),
+       |cp AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |      round(list_reduce(list_transform(range(1, len(x.v)+1), i -> x.v[i]*y.v[i]),
+       |                        (p,q) -> p+q) / (x.nv * y.nv), 6) AS cosine
+       |    FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |    JOIN n x ON a.vec_id = x.vec_id JOIN n y ON b.vec_id = y.vec_id)
+       |  WHERE cosine >= $threshold),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM cp
+       |          UNION ALL SELECT id_b, id_a FROM cp),
+       |reach AS (
+       |  SELECT vec_id AS id, vec_id AS label FROM embeddings
+       |  UNION
+       |  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id)
+       |SELECT id AS vec_id, MIN(label) AS keeper_vec_id
+       |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin
 
   /** Deterministic pseudo-random hyperplanes (unit-free — only the sign of
     * the projection matters). Fixed seed: buckets are stable across runs. */
