@@ -82,6 +82,24 @@ object SparkEntry {
       graft.analytics.PageRank.copurchaseParts(Tables.lineitem(s, dir))),
     // ---- [EXT] text analysis ----
     "text_stats" -> ((s, dir) => TextAnalysis.stats(Tables.documents(s, dir))),
+    // Unicode NFC canonicalization (r9) — the stage ahead of dedup keys
+    // and tokenization: NFD suffixes are planted on odd doc ids (composed
+    // NFC on even), and norm_md5 proves both engines collapse them to the
+    // same canonical bytes while raw_md5 pins that they differed. Full
+    // oracle via DuckDB's nfc_normalize; NormalizeSpec pins the dedup
+    // catch (an NFD/NFC duplicate pair exact dedup misses raw and finds
+    // post-normalization).
+    "normalize_text" -> ((s, dir) => {
+      val suffix = when(col("doc_id") % 2 === 0,
+        lit(" café Ångström"))     // NFC: composed é, Å, ö
+        .otherwise(lit(" café Ångström")) // NFD: combining marks
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          md5(concat(col("text"), suffix)).as("raw_md5"),
+          md5(org.apache.spark.sql.graft.ArrayFunctions.nfcNormalize(
+            concat(col("text"), suffix))).as("norm_md5"))
+        .orderBy(col("doc_id"))
+    }),
     "lang_distribution" -> ((s, dir) => TextAnalysis.langDistribution(Tables.documents(s, dir))),
     "doc_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
     // ---- [EXT] dedup ----
@@ -403,6 +421,23 @@ object SparkEntry {
         Seq(col("n_chars").desc, col("doc_id").asc))
         .select(col("doc_id"), col("source"), col("n_chars"), col("rk"))
         .orderBy(col("source"), col("rk"))),
+    // Per-registered-domain caps (RefinedWeb's domain-skew gate): URLs
+    // derived deterministically from doc ids with a deliberately skewed
+    // host mix — 6 of 10 hosts are subdomains of one domain, plus a
+    // two-label-suffix case — so the cap must collapse subdomains onto
+    // the eTLD+1 to be right. Full oracle: the registered-domain
+    // expression mirrors 1:1 into DuckDB.
+    "domain_caps" -> ((s, dir) => {
+      val hosts = array(DomainCapHosts.map(lit(_)): _*)
+      val docs = Tables.documents(s, dir)
+        .withColumn("url", concat(lit("https://"),
+          element_at(hosts, (col("doc_id") % 10 + 1).cast("int")),
+          lit("/"), col("source"), lit("/"), col("doc_id")))
+      graft.pipeline.Curation.domainCaps(docs, "url", 50,
+        Seq(col("n_chars").desc, col("doc_id").asc))
+        .select(col("doc_id"), col("domain"), col("n_chars"), col("rk"))
+        .orderBy(col("domain"), col("rk"))
+    }),
     "repetition_stats" -> ((s, dir) =>
       graft.pipeline.Curation.repetitionStats(Tables.documents(s, dir))),
     "curation_report" -> ((s, dir) =>
@@ -1472,6 +1507,19 @@ object SparkEntry {
          |  ${TextAnalysis.sqlQuality("text")} AS quality,
          |  ${TextAnalysis.sqlLangId("text")} AS lang_pred
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // normalize_text: the NFC/NFD suffixes print as raw UTF-8 into the
+    // SQL (composed on even ids, combining-mark decomposed on odd);
+    // DuckDB's nfc_normalize is the oracle for the engine's NfcNormalize.
+    "normalize_text" -> {
+      val nfc = " café Ångström"
+      val nfd = " café Ångström"
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    text || CASE WHEN doc_id % 2 = 0 THEN '$nfc' ELSE '$nfd' END AS raw
+         |  FROM documents)
+         |SELECT doc_id, md5(raw) AS raw_md5, md5(nfc_normalize(raw)) AS norm_md5
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
     "lang_distribution" ->
       s"""SELECT ${TextAnalysis.sqlLangId("text")} AS lang_pred, COUNT(*) AS n
          |FROM documents GROUP BY 1 ORDER BY lang_pred""".stripMargin,
@@ -2509,6 +2557,24 @@ object SparkEntry {
         |                       ORDER BY n_chars DESC, doc_id ASC) AS rk
         |  FROM documents)
         |WHERE rk <= 20 ORDER BY source, rk""".stripMargin,
+    "domain_caps" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, n_chars,
+         |    'https://' || [${DomainCapHosts.map(h => s"'$h'").mkString(", ")}]
+         |      [CAST(doc_id % 10 AS INT) + 1] ||
+         |      '/' || source || '/' || CAST(doc_id AS VARCHAR) AS url
+         |  FROM documents),
+         |d AS (
+         |  SELECT doc_id, n_chars,
+         |    ${graft.ingest.Urls.sqlRegisteredDomain("url")} AS domain
+         |  FROM u),
+         |r AS (
+         |  SELECT doc_id, domain, n_chars,
+         |    ROW_NUMBER() OVER (PARTITION BY domain
+         |                       ORDER BY n_chars DESC, doc_id ASC) AS rk
+         |  FROM d)
+         |SELECT doc_id, domain, n_chars, rk FROM r WHERE rk <= 50
+         |ORDER BY domain, rk""".stripMargin,
     // repetition_stats oracle: the RELATIONAL formulation (explode bigrams
     // -> group -> max/sum) of the same signals the Spark side computes
     // per-row via a sorted-run fold — pinning the two formulations equal.
@@ -2559,6 +2625,16 @@ object SparkEntry {
     // deterministic fit (Verify executes every query before dumping this
     // map — see FittedOracle). Absent → the driver's rows-only fallback.
     FittedOracle.oracleEntries
+
+  /** Host mix for the `domain_caps` fixture URLs: deliberately
+    * domain-skewed (6/10 hosts under one registered domain) plus a
+    * two-label public-suffix case, so the cap is only correct if
+    * subdomains collapse to eTLD+1 and `foo.co.uk` survives intact. */
+  private val DomainCapHosts = Seq(
+    "news.example.com", "blog.example.com", "shop.example.com",
+    "example.com", "cdn.example.com", "static.example.com",
+    "mirror.openweb.org", "data.openweb.org",
+    "docs.data.net", "archive.foo.co.uk")
 
   /** Funnel thresholds tuned to the synthetic corpus: the word-count
     * floor discriminates (doc lengths straddle 40) while the stop-hits

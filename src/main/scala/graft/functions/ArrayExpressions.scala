@@ -608,6 +608,48 @@ object WinnowMins {
   }
 }
 
+/** Unicode NFC normalization of a string (`normalize_text` query, the
+  * canonicalization stage AHEAD of dedup keys and tokenization): visually
+  * identical NFC/NFD variants ("café" composed vs e+combining-acute) hash
+  * differently and defeat exact AND near dedup; normalizing first makes
+  * the dedup key canonical. DuckDB's `nfc_normalize` implements the same
+  * Unicode normalization, so queries over normalized text carry full
+  * oracles. Case-folding stays a separate composable step (`lower`), as
+  * in the CCNet/C4 pipelines.
+  *
+  * Native expression (vs a UDF) to stay inside whole-stage codegen in
+  * scan-stage projections; the implementation fast-paths the
+  * already-normalized case (all-ASCII text, the overwhelming majority of
+  * web corpora) with a zero-allocation check.
+  */
+case class NfcNormalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+
+  override def nullSafeEval(v: Any): Any =
+    NfcNormalize.normalize(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = org.apache.spark.sql.graft.NfcNormalize.normalize($v);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  def normalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
 object ArrayFunctions {
 
   /** Codegen'd |A ∩ B| for sorted, distinct string arrays. */
@@ -638,6 +680,10 @@ object ArrayFunctions {
   /** Byte-level `\S+` tokenizer, regex-equivalent; see [[SplitWhitespace]]. */
   def splitWhitespace(text: Column): Column =
     ExpressionUtils.column(SplitWhitespace(ExpressionUtils.expression(text)))
+
+  /** Codegen'd Unicode NFC normalization; see [[NfcNormalize]]. */
+  def nfcNormalize(text: Column): Column =
+    ExpressionUtils.column(NfcNormalize(ExpressionUtils.expression(text)))
 
   /** Codegen'd first-equal-position of two long arrays; see [[FirstEqualIndex]]. */
   def firstEqualIndex(a: Column, b: Column): Column =

@@ -87,7 +87,12 @@ object GraftExtensions {
         "graft_winnow_mins(hashes, w) - distinct w-window minima of a hash " +
           "stream (winnowing fingerprint selection)"),
       (args: Seq[Expression]) => WinnowMins(args(0),
-        intArg("graft_winnow_mins", 1, args(1)))))
+        intArg("graft_winnow_mins", 1, args(1)))),
+    (FunctionIdentifier("graft_nfc"),
+      info("graft_nfc",
+        "graft_nfc(text) - Unicode NFC normalization (canonicalize before " +
+          "dedup keys/tokenization); DuckDB mirror: nfc_normalize"),
+      (args: Seq[Expression]) => NfcNormalize(args(0))))
 
   /** Register into an ALREADY RUNNING session (the extensions config only
     * applies at builder time). */

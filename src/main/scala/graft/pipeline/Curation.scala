@@ -97,6 +97,22 @@ object Curation {
         row_number().over(Window.partitionBy(col(groupCol)).orderBy(ordering: _*)))
       .filter(col("rk") <= k)
 
+  /** Per-registered-domain document caps (`domain_caps` query) — the
+    * RefinedWeb-style domain-skew defense every web corpus needs: a few
+    * registered domains contribute a huge share of crawled pages, and
+    * uncapped they dominate the training mixture. Key =
+    * [[graft.ingest.Urls.registeredDomain]] (subdomains collapse onto
+    * their eTLD+1), cap = [[quotaPerGroup]]'s per-group `row_number`
+    * discipline under the caller's ordering (best-first; include a
+    * unique tie-break). One shuffle on the domain key; the extreme skew
+    * of web domains is exactly what `row_number` handles — the window
+    * streams each domain's partition, no group materialization. */
+  def domainCaps(df: DataFrame, urlCol: String, cap: Int,
+                 ordering: Seq[Column]): DataFrame =
+    quotaPerGroup(
+      df.withColumn("domain", graft.ingest.Urls.registeredDomain(col(urlCol))),
+      "domain", cap, ordering)
+
   /** Per-source TOKEN budgets (`token_quota` query) — the quota corpus
     * releases actually publish ("X billion tokens of web, Y of code"):
     * [[quotaPerGroup]] caps document COUNTS, but mixture design is

@@ -50,4 +50,45 @@ class UrlsSpec extends SparkSpec {
     val once = canon(fixture: _*)
     assert(canon(once: _*) == once)
   }
+
+  private def regDom(urls: String*): Seq[String] =
+    urls.toDF("url").select(Urls.registeredDomain(col("url")).as("d"))
+      .collect().map(_.getString(0)).toSeq
+
+  test("registeredDomain: subdomains collapse to eTLD+1") {
+    assert(regDom("https://news.example.com/a", "http://blog.example.com/b",
+      "https://example.com/c", "https://a.b.c.example.com/d") ==
+      Seq("example.com", "example.com", "example.com", "example.com"))
+  }
+
+  test("registeredDomain: two-label public suffixes keep their third label") {
+    assert(regDom("https://archive.foo.co.uk/x", "https://foo.co.uk/y",
+      "https://deep.sub.bar.com.au/z") ==
+      Seq("foo.co.uk", "foo.co.uk", "bar.com.au"))
+  }
+
+  test("registeredDomain: userinfo and port strip; IPv4 and bare hosts pass") {
+    assert(regDom("https://user:pw@News.Example.COM:8443/a") == Seq("example.com"))
+    assert(regDom("http://192.168.0.1:8080/x") == Seq("192.168.0.1"))
+    assert(regDom("http://localhost/x") == Seq("localhost"))
+  }
+
+  test("domainCaps: exactly the cap survives per registered domain, best-first") {
+    val docs = (1L to 40L).map { i =>
+      val host = if (i % 4 == 0) "example.com"
+                 else if (i % 2 == 0) "news.example.com"
+                 else "data.openweb.org"
+      (i, s"https://$host/p/$i", 1000 - i)
+    }.toDF("id", "url", "len")
+    val out = graft.pipeline.Curation
+      .domainCaps(docs, "url", 3, Seq(col("len").desc, col("id").asc))
+      .select($"id", $"domain", $"rk")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    // 20 docs under example.com (both hosts merged), 20 under openweb.org;
+    // cap 3 keeps the three longest (= lowest ids) of each.
+    assert(out.count(_._2 == "example.com") == 3)
+    assert(out.count(_._2 == "openweb.org") == 3)
+    assert(out.filter(_._2 == "example.com").map(_._1).sorted == Seq(2L, 4L, 6L))
+    assert(out.filter(_._2 == "openweb.org").map(_._1).sorted == Seq(1L, 3L, 5L))
+  }
 }
