@@ -553,6 +553,14 @@ object SparkEntry {
     "sequence_packing" -> ((s, dir) =>
       graft.pipeline.Curation.packChunksScalable(Tables.documents(s, dir),
         "doc_id", "text", 512L)),
+    // Packing in BPE-piece units (what trainers budget in): same
+    // prefix-sum assignment, n_tokens from the broadcast-rank encode.
+    // Rows-only by declared design (driver-fit merges, like bpe_*).
+    "sequence_packing_bpe" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.pipeline.Curation.packChunksBpe(docs, "doc_id", "text",
+        graft.text.Bpe.fitMerges(docs, "text", 200), 512L)
+    }),
     // Contamination-free bin packing (Krell-et-al. SPFHP): whole docs
     // only, histogram-driven best-fit-decreasing on the driver, broadcast
     // slot arithmetic. Rows-only by declared design (driver loop, like

@@ -520,6 +520,29 @@ object Curation {
       .drop("__pid", "offset")
   }
 
+  /** [[packChunksScalable]] with BPE-piece budgets
+    * (`sequence_packing_bpe` query): identical prefix-sum assignment,
+    * but `n_tokens` comes from [[graft.text.Bpe.pieceCounts]] — the
+    * tokenizer-unit accounting trainers actually budget in (a 512-token
+    * context is 512 BPE pieces, not 512 whitespace words; whitespace
+    * counts under-fill or overflow sequences whenever compression ≠ 1).
+    * Same scale shape: broadcast merge ranks, per-partition encode, the
+    * packByOrder two-pass prefix sum — no new shuffle. Rows-only by
+    * declared design (the merge list is a driver fit, like the whole
+    * `bpe_*` family); CurationSpec pins structure-equality with the
+    * whitespace twin on a counts-coincident fixture and divergence where
+    * compression differs. */
+  def packChunksBpe(docs: DataFrame, idCol: String, textCol: String,
+                    merges: Seq[(String, String)], budget: Long,
+                    parts: Int = 0): DataFrame =
+    packByOrder(
+        graft.text.Bpe.pieceCounts(docs, idCol, textCol, merges)
+          .withColumnRenamed(idCol, "__id"),
+        "__id", budget, parts)
+      .select(col("__id").as(idCol), col("n_tokens"),
+        col("chunk_id"), col("n_chunks"))
+      .orderBy(col(idCol))
+
   /** [[packChunks]] as a distributed prefix sum via [[packByOrder]].
     * Output is IDENTICAL to the window form (CurationSpec pins it). */
   def packChunksScalable(docs: DataFrame, idCol: String, textCol: String,

@@ -134,6 +134,27 @@ object Bpe {
     syms
   }
 
+  /** Per-document BPE PIECE counts as a packing unit
+    * (doc id, n_tokens = Σ pieces over the doc's whitespace tokens):
+    * trainers budget sequences in TOKENIZER units, not whitespace words,
+    * so packing/quota arithmetic needs this as its `n_tokens` source
+    * ([[graft.pipeline.Curation.packChunksBpe]]). Merge ranks broadcast;
+    * the encode is a per-partition map — no shuffle. */
+  def pieceCounts(docs: DataFrame, idCol: String, textCol: String,
+                  merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(merges.zipWithIndex.toMap)
+    val enc = udf { toks: Seq[String] =>
+      var pieces = 0L
+      toks.foreach { t => pieces += encodeToken(t, bc.value).length }
+      pieces
+    }
+    graft.Par.widen(docs)
+      .select(col(idCol).cast("long").as(idCol),
+        TextAnalysis.tokens(lower(col(textCol))).as("toks"))
+      .select(col(idCol), enc(col("toks")).as("n_tokens"))
+  }
+
   /** Per-document encode statistics (`bpe_encode_stats` query):
     * (doc_id, n_tokens, n_pieces, compression = round(tokens∕pieces, 4)).
     * The merge-rank table broadcasts; the encode is a per-partition map

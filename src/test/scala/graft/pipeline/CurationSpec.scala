@@ -213,6 +213,26 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("packChunksBpe: equals the whitespace twin when pieces==words, diverges under compression") {
+    val d = (1 to 60).map(i =>
+      (i.toLong, Seq.fill(i % 7 + 1)("ab").mkString(" "))).toDF("doc_id", "text")
+    val ws = Curation.packChunksScalable(d, "doc_id", "text", 16L)
+      .collect().map(_.toSeq).toSeq
+    // ("a","b") merges every token into ONE piece: counts coincide with
+    // whitespace words, so the whole pack structure must be identical.
+    val merged = Curation.packChunksBpe(d, "doc_id", "text", Seq(("a", "b")), 16L)
+      .collect().map(_.toSeq).toSeq
+    assert(merged == ws)
+    // No merges: each "ab" token is 2 char pieces — counts double and the
+    // chunk assignment must shift (whitespace accounting would overflow
+    // real sequences here).
+    val wsTok = ws.map(r => r.head -> r(1)).toMap
+    val none = Curation.packChunksBpe(d, "doc_id", "text", Seq.empty, 16L)
+      .collect().map(_.toSeq).toSeq
+    assert(none.forall(r => r(1) == 2L * wsTok(r.head).asInstanceOf[Long]))
+    assert(none != ws)
+  }
+
   test("token quota stops before exceeding each source's budget") {
     val docs = Seq(
       (1L, "a", "w1 w2 w3 w4"), (2L, "a", "x1 x2 x3 x4"),

@@ -249,6 +249,106 @@ class StreamingSpec extends SparkSpec {
     assert(out(3L)._2 == 8L, s"doc 3 must lose the 8-token passage: ${out(3L)}")
   }
 
+  test("mid-stream index compaction is transparent (paragraph, window, exact schemas)") {
+    // IndexMaintenanceSpec proves compaction correct OFFLINE; this pins
+    // that it is safe MID-STREAM: compact the persisted index between
+    // micro-batches (write-new-then-swap, the rewriteCompacted contract)
+    // and the finished stream must equal the never-compacted full
+    // recompute — for each compactable index schema.
+    import graft.dedup.IndexMaintenance
+    def compactDir(path: String): Unit = {
+      val tmp = path + "_compacted"
+      IndexMaintenance.rewriteCompacted(spark, path, tmp, numFiles = 2)
+      val old = new java.io.File(path)
+      org.apache.commons.io.FileUtils.deleteDirectory(old)
+      assert(new java.io.File(tmp).renameTo(old), s"swap failed for $path")
+    }
+
+    // -- paragraph norm index (h, keeper_doc_id, keeper_idx) --
+    locally {
+      val root = java.nio.file.Files.createTempDirectory("graft_mc_para").toString
+      val (inDir, sink, idx, ckpt) = (s"$root/in", s"$root/sink", s"$root/idx", s"$root/ckpt")
+      def runOnce(): Unit = {
+        val docs = spark.readStream.schema("doc_id LONG, text STRING").parquet(inDir)
+        val q = StreamingIngest.paragraphDedupViaSinkIndex(docs, sink, idx, ckpt).start()
+        q.awaitTermination()
+      }
+      val boiler = "subscribe to our newsletter for updates"
+      val b1 = Seq((1L, s"alpha beta gamma\n\n$boiler"),
+        (2L, "unique first paragraph\n\nanother unique one"))
+      val b2 = Seq((3L, s"fresh content here\n\n$boiler"), (4L, boiler))
+      b1.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+      runOnce()
+      compactDir(idx)
+      b2.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+      runOnce()
+      val out = spark.read.parquet(sink).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+      val full = graft.dedup.ParagraphDedup
+        .dedupParagraphs((b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text")
+        .collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+      assert(out == full, s"compacted-mid-stream $out != batch $full")
+    }
+
+    // -- window index (h, keeper_doc_id, keeper_start) --
+    locally {
+      val root = java.nio.file.Files.createTempDirectory("graft_mc_sub").toString
+      val (inDir, sink, idx, ckpt) = (s"$root/in", s"$root/sink", s"$root/idx", s"$root/ckpt")
+      def runOnce(): Unit = {
+        val docs = spark.readStream.schema("doc_id LONG, text STRING").parquet(inDir)
+        val q = StreamingIngest.substringDedupViaSinkIndex(docs, sink, idx, ckpt,
+          width = 8, stride = 3).start()
+        q.awaitTermination()
+      }
+      val passage = "the quick brown fox jumps over seven lazy"
+      val b1 = Seq((1L, s"$passage alpha beta gamma delta"),
+        (2L, "completely unrelated words fill this other document nicely"))
+      val b2 = Seq((3L, s"x1 x2 x3 $passage tail words here"))
+      b1.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+      runOnce()
+      compactDir(idx)
+      b2.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+      runOnce()
+      val out = spark.read.parquet(sink)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
+      val full = graft.dedup.SubstringDedup
+        .cleaned((b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text", 8, 3)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
+      assert(out == full, s"compacted-mid-stream $out != batch $full")
+    }
+
+    // -- exact content index (h, keeper_id) + window index, preset scope --
+    locally {
+      val th = graft.text.GopherRules.Thresholds(minWords = 20L, minStopHits = 1L)
+      val root = java.nio.file.Files.createTempDirectory("graft_mc_fw").toString
+      val (inDir, sink, state, ckpt) = (s"$root/in", s"$root/sink", s"$root/state", s"$root/ckpt")
+      val all = graft.FineWebFixture.docs
+      val bench = graft.pipeline.FineWebPipeline.benchSlice(all.toDF("doc_id", "text"))
+        .localCheckpoint(true)
+      def runOnce(): Unit = {
+        val docs = spark.readStream.schema("doc_id LONG, text STRING").parquet(inDir)
+        val q = StreamingIngest.fineWebViaSinkIndex(docs, bench, sink, state, ckpt,
+          gopherTh = th).start()
+        q.awaitTermination()
+      }
+      all.filter(_._1 <= 11L).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(inDir)
+      runOnce()
+      compactDir(s"$state/content_index") // exact (h, keeper_id) schema
+      compactDir(s"$state/window_index")  // (dsir_counts is additive — not an h-index)
+      all.filter(_._1 > 11L).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(inDir)
+      runOnce()
+      val fullStages = graft.pipeline.FineWebPipeline
+        .stages(all.toDF("doc_id", "text"), gopherTh = th)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows(spark.read.parquet(sink)) == rows(fullStages.clean),
+        "mid-stream-compacted FineWeb sink != full recompute clean rows")
+    }
+  }
+
   test("streaming FineWeb preset: two micro-batches + release-time select == full recompute") {
     // The incremental preset under foreachBatch — the sink-index
     // discipline at PRESET scope: state (window index, content index,
