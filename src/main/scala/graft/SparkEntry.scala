@@ -428,15 +428,34 @@ object SparkEntry {
     // the eTLD+1 to be right. Full oracle: the registered-domain
     // expression mirrors 1:1 into DuckDB.
     "domain_caps" -> ((s, dir) => {
-      val hosts = array(DomainCapHosts.map(lit(_)): _*)
-      val docs = Tables.documents(s, dir)
-        .withColumn("url", concat(lit("https://"),
-          element_at(hosts, (col("doc_id") % 10 + 1).cast("int")),
-          lit("/"), col("source"), lit("/"), col("doc_id")))
-      graft.pipeline.Curation.domainCaps(docs, "url", 50,
-        Seq(col("n_chars").desc, col("doc_id").asc))
+      graft.pipeline.Curation.domainCaps(
+          withFixtureUrls(Tables.documents(s, dir)), "url", 50,
+          Seq(col("n_chars").desc, col("doc_id").asc))
         .select(col("doc_id"), col("domain"), col("n_chars"), col("rk"))
         .orderBy(col("domain"), col("rk"))
+    }),
+    // URL blocklist at eTLD+1: every subdomain of a blocked registered
+    // domain drops (6 of the 10 fixture hosts fall under example.com —
+    // the gate only works if it keys on the registered domain).
+    "domain_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      val docs = withFixtureUrls(Tables.documents(s, dir))
+      val blocked = Seq("example.com", "foo.co.uk").toDF("domain")
+      graft.pipeline.Curation.excludeByKey(docs,
+          graft.ingest.Urls.registeredDomain(col("url")), blocked)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+    // Takedown/opt-out requests keyed by CONTENT HASH: the request list
+    // (docs ≡ 0 mod 97 stand in for requested items) removes every copy
+    // of the content — exact duplicates of a requested doc drop too.
+    "takedown_requests" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val requests = docs.filter(col("doc_id") % 97 === 0)
+        .select(md5(col("text")).as("h"))
+      graft.pipeline.Curation.excludeByKey(docs, md5(col("text")), requests)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
     }),
     "repetition_stats" -> ((s, dir) =>
       graft.pipeline.Curation.repetitionStats(Tables.documents(s, dir))),
@@ -2567,10 +2586,7 @@ object SparkEntry {
         |WHERE rk <= 20 ORDER BY source, rk""".stripMargin,
     "domain_caps" ->
       s"""WITH u AS (
-         |  SELECT doc_id, n_chars,
-         |    'https://' || [${DomainCapHosts.map(h => s"'$h'").mkString(", ")}]
-         |      [CAST(doc_id % 10 AS INT) + 1] ||
-         |      '/' || source || '/' || CAST(doc_id AS VARCHAR) AS url
+         |  SELECT doc_id, n_chars, $sqlFixtureUrl AS url
          |  FROM documents),
          |d AS (
          |  SELECT doc_id, n_chars,
@@ -2583,6 +2599,19 @@ object SparkEntry {
          |  FROM d)
          |SELECT doc_id, domain, n_chars, rk FROM r WHERE rk <= 50
          |ORDER BY domain, rk""".stripMargin,
+    "domain_blocklist" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, source, $sqlFixtureUrl AS url
+         |  FROM documents)
+         |SELECT doc_id, source FROM u
+         |WHERE ${graft.ingest.Urls.sqlRegisteredDomain("url")}
+         |      NOT IN ('example.com', 'foo.co.uk')
+         |ORDER BY doc_id""".stripMargin,
+    "takedown_requests" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE md5(text) NOT IN
+        |  (SELECT md5(text) FROM documents WHERE doc_id % 97 = 0)
+        |ORDER BY doc_id""".stripMargin,
     // repetition_stats oracle: the RELATIONAL formulation (explode bigrams
     // -> group -> max/sum) of the same signals the Spark side computes
     // per-row via a sorted-run fold — pinning the two formulations equal.
@@ -2643,6 +2672,20 @@ object SparkEntry {
     "example.com", "cdn.example.com", "static.example.com",
     "mirror.openweb.org", "data.openweb.org",
     "docs.data.net", "archive.foo.co.uk")
+
+  /** Deterministic per-doc URLs over the skewed host mix — shared by the
+    * `domain_caps` / `domain_blocklist` queries and their oracles. */
+  private def withFixtureUrls(docs: DataFrame): DataFrame =
+    docs.withColumn("url", concat(lit("https://"),
+      element_at(array(DomainCapHosts.map(lit(_)): _*),
+        (col("doc_id") % 10 + 1).cast("int")),
+      lit("/"), col("source"), lit("/"), col("doc_id")))
+
+  /** The fixture-URL construction as DuckDB SQL (the oracle twin of
+    * [[withFixtureUrls]]). */
+  private def sqlFixtureUrl: String =
+    s"'https://' || [${DomainCapHosts.map(h => s"'$h'").mkString(", ")}]" +
+      "[CAST(doc_id % 10 AS INT) + 1] || '/' || source || '/' || CAST(doc_id AS VARCHAR)"
 
   /** Funnel thresholds tuned to the synthetic corpus: the word-count
     * floor discriminates (doc lengths straddle 40) while the stop-hits

@@ -113,6 +113,24 @@ object Curation {
       df.withColumn("domain", graft.ingest.Urls.registeredDomain(col(urlCol))),
       "domain", cap, ordering)
 
+  /** Release-compliance exclusion (`takedown_requests` /
+    * `domain_blocklist` queries): drop every row whose key appears in
+    * the exclusion list. Two keys cover the real cases: CONTENT HASH —
+    * a takedown/opt-out request removes ALL copies of the content, not
+    * just the requested id (the legally meaningful semantic, and why the
+    * key is the hash, not the id) — and REGISTERED DOMAIN
+    * ([[graft.ingest.Urls.registeredDomain]]) for URL blocklists.
+    * Exclusion lists are human-curated and therefore small by contract →
+    * broadcast LEFT ANTI join; the corpus side never re-keys or
+    * shuffles. The list's FIRST column is the key. */
+  def excludeByKey(df: DataFrame, key: Column, excluded: DataFrame): DataFrame = {
+    val k = excluded.columns.head
+    df.withColumn("__xk", key)
+      .join(broadcast(excluded.select(col(k).as("__xk")).distinct()),
+        Seq("__xk"), "left_anti")
+      .drop("__xk")
+  }
+
   /** Per-source TOKEN budgets (`token_quota` query) — the quota corpus
     * releases actually publish ("X billion tokens of web, Y of code"):
     * [[quotaPerGroup]] caps document COUNTS, but mixture design is

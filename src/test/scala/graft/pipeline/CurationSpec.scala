@@ -213,6 +213,27 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("excludeByKey: content-hash takedown sweeps every copy; domain blocklist catches subdomains") {
+    // docs 1 and 2 are exact duplicates — a takedown request for doc 1's
+    // CONTENT must remove doc 2 as well (hash key, not id key).
+    val requests = docs.filter($"doc_id" === 1L).select(md5($"text").as("h"))
+    val kept = Curation.excludeByKey(docs, md5(col("text")), requests)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(3L, 4L, 5L))
+    // blocklist keyed on registered domain: the subdomain URL drops too.
+    val urls = Seq(
+      (1L, "https://news.blocked.com/a"), (2L, "https://blocked.com/b"),
+      (3L, "https://fine.org/c")).toDF("id", "url")
+    val blocked = Seq("blocked.com").toDF("domain")
+    val left = Curation.excludeByKey(urls,
+        graft.ingest.Urls.registeredDomain(col("url")), blocked)
+      .select($"id").as[Long].collect().toSeq
+    assert(left == Seq(3L))
+    // empty exclusion list is the identity
+    assert(Curation.excludeByKey(docs, md5(col("text")),
+      Seq.empty[String].toDF("h")).count() == docs.count())
+  }
+
   test("packChunksBpe: equals the whitespace twin when pieces==words, diverges under compression") {
     val d = (1 to 60).map(i =>
       (i.toLong, Seq.fill(i % 7 + 1)("ab").mkString(" "))).toDF("doc_id", "text")
