@@ -101,6 +101,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     "lang_distribution" -> ((s, dir) => TextAnalysis.langDistribution(Tables.documents(s, dir))),
+    // Writing-system profile over a planted multi-script corpus (the
+    // ASCII fixture text stands in for latin docs; ids ≢ 0 mod 5 swap in
+    // a non-latin sample so counts AND the dominant script vary).
+    "script_mix" -> ((s, dir) => {
+      val planted = Tables.documents(s, dir).withColumn("text",
+        when(col("doc_id") % 5 === 0, col("text")).otherwise(
+          element_at(array(ScriptSamples.map(lit(_)): _*),
+            (col("doc_id") % 5).cast("int"))))
+      TextAnalysis.scriptMix(planted)
+    }),
     "doc_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
     // ---- [EXT] dedup ----
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir), "text", "doc_id")),
@@ -1537,6 +1547,28 @@ object SparkEntry {
     // normalize_text: the NFC/NFD suffixes print as raw UTF-8 into the
     // SQL (composed on even ids, combining-mark decomposed on odd);
     // DuckDB's nfc_normalize is the oracle for the engine's NfcNormalize.
+    // script_mix: RE2 range twins of the Java ranges; dominant via the
+    // same greatest + first-in-order CASE chain.
+    "script_mix" -> {
+      val planted = "CASE WHEN doc_id % 5 = 0 THEN text ELSE " +
+        s"[${ScriptSamples.map(s => s"'$s'").mkString(", ")}]" +
+        "[CAST(doc_id % 5 AS INT)] END"
+      val counts = TextAnalysis.ScriptRangesSql.map { case (n, r) =>
+        n -> TextAnalysis.sqlScriptCount("t", r)
+      }
+      val mx = s"greatest(${counts.map(c => s"n_${c._1}").mkString(", ")})"
+      val dominant = counts.map { case (n, _) =>
+        s"WHEN $mx > 0 AND n_$n = $mx THEN '$n'"
+      }.mkString("CASE ", " ", " ELSE 'none' END")
+      s"""WITH p AS (SELECT doc_id, $planted AS t FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |    ${counts.map { case (n, e) => s"CAST($e AS BIGINT) AS n_$n" }.mkString(",\n    ")}
+         |  FROM p)
+         |SELECT doc_id, ${counts.map(c => s"n_${c._1}").mkString(", ")},
+         |  $dominant AS dominant_script
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
     "normalize_text" -> {
       val nfc = " café Ångström"
       val nfd = " café Ångström"
@@ -2672,6 +2704,11 @@ object SparkEntry {
     "example.com", "cdn.example.com", "static.example.com",
     "mirror.openweb.org", "data.openweb.org",
     "docs.data.net", "archive.foo.co.uk")
+
+  /** Non-latin samples planted by `script_mix` (index = doc_id mod 5,
+    * 1-based into this list; mod 0 keeps the latin fixture text). */
+  private val ScriptSamples = Seq(
+    "привет мир сегодня", "你好世界今天", "γεια σου κόσμε", "مرحبا بالعالم")
 
   /** Deterministic per-doc URLs over the skewed host mix — shared by the
     * `domain_caps` / `domain_blocklist` queries and their oracles. */

@@ -90,6 +90,58 @@ object TextAnalysis {
     }
   }
 
+  /** Unicode script classes for [[scriptMix]] — BMP code-point ranges,
+    * written once per engine (Java regex `\ uXXXX` escapes here, RE2
+    * `\ x{...}` in [[ScriptRangesSql]]; the NAME keys must stay aligned).
+    * Canonical order doubles as the dominant-script tie-break. Latin
+    * includes the Latin-1/Extended accented block; CJK covers kana,
+    * unified ideographs, and hangul. A production deployment extends the
+    * table — the expression shape is range-count + argmax either way. */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "A-Za-z\\u00C0-\\u024F",
+    "cyrillic" -> "\\u0400-\\u04FF",
+    "greek" -> "\\u0370-\\u03FF",
+    "cjk" -> "\\u3040-\\u30FF\\u3400-\\u9FFF\\uAC00-\\uD7AF",
+    "arabic" -> "\\u0600-\\u06FF")
+
+  /** RE2 twins of [[ScriptRanges]] for the DuckDB oracle. */
+  val ScriptRangesSql: Seq[(String, String)] = Seq(
+    "latin" -> "A-Za-z\\x{00C0}-\\x{024F}",
+    "cyrillic" -> "\\x{0400}-\\x{04FF}",
+    "greek" -> "\\x{0370}-\\x{03FF}",
+    "cjk" -> "\\x{3040}-\\x{30FF}\\x{3400}-\\x{9FFF}\\x{AC00}-\\x{D7AF}",
+    "arabic" -> "\\x{0600}-\\x{06FF}")
+
+  /** Character count of `text` inside one script's ranges (chars, not
+    * bytes — `length` after stripping everything else). */
+  def scriptCount(text: Column, ranges: String): Column =
+    length(regexp_replace(text, s"[^$ranges]", ""))
+
+  /** Per-document writing-system profile (`script_mix` query) — the
+    * script-coverage gate CCNet-class pipelines run beside language ID
+    * (a "ru" prediction over latin-only text is a transliteration or a
+    * mislabel; script counts catch it): per-script character counts plus
+    * the dominant script (first-in-canonical-order wins ties, "none"
+    * when no script character appears). Pure per-row regex counts —
+    * scan-stage, shuffle-free. */
+  def scriptMix(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val counts = ScriptRanges.map { case (n, r) => n -> scriptCount(col(textCol), r) }
+    val mx = greatest(counts.map(_._2): _*)
+    val dominant = counts.foldRight(lit("none")) { case ((n, c), els) =>
+      when(mx > 0 && c === mx, lit(n)).otherwise(els)
+    }
+    docs.select(
+      (col(idCol) +:
+        counts.map { case (n, c) => c.cast("long").as(s"n_$n") }) :+
+        dominant.as("dominant_script"): _*)
+      .orderBy(col(idCol))
+  }
+
+  /** DuckDB mirror of one script count (RE2 ranges). */
+  def sqlScriptCount(t: String, ranges: String): String =
+    s"length(regexp_replace($t, '[^$ranges]', '', 'g'))"
+
   // DuckDB-side mirrors of the expressions above, for SparkEntry.oracleSql.
   private def sqlToks(textExpr: String) = s"regexp_extract_all($textExpr, '[^ \\t\\n\\x0B\\f\\r]+')"
   private def sqlInList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ", ", ")")

@@ -187,4 +187,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) === 1L)
     assert(out(3L) === 0L)
   }
+
+  test("scriptMix: per-script counts, dominance, ties and none") {
+    val docs = Seq(
+      (1L, "hello world"),            // latin only
+      (2L, "привет мир"),             // cyrillic only
+      (3L, "hi привет"),              // tie 2-6 -> cyrillic dominates
+      (4L, "你好"),                    // cjk
+      (5L, "12345 !!"),               // no script chars at all
+      (6L, "ab яб")                   // exact 2-2 tie -> latin (canonical order)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scriptMix(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getString(6))).toMap
+    assert(out(1L) == ((10L, 0L, 0L, "latin")))
+    assert(out(2L) == ((0L, 9L, 0L, "cyrillic")))
+    assert(out(3L) == ((2L, 6L, 0L, "cyrillic")))
+    assert(out(4L) == ((0L, 0L, 2L, "cjk")))
+    assert(out(5L) == ((0L, 0L, 0L, "none")))
+    assert(out(6L) == ((2L, 2L, 0L, "latin")))
+  }
 }
