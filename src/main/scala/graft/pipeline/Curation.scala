@@ -125,9 +125,11 @@ object Curation {
     * shuffles. The list's FIRST column is the key. */
   def excludeByKey(df: DataFrame, key: Column, excluded: DataFrame): DataFrame = {
     val k = excluded.columns.head
+    // No distinct on the list: LEFT ANTI output is unchanged by duplicate
+    // keys, and dropping it keeps the plan a single broadcast — no
+    // list-side shuffle (PlanQualitySpec pins the shape).
     df.withColumn("__xk", key)
-      .join(broadcast(excluded.select(col(k).as("__xk")).distinct()),
-        Seq("__xk"), "left_anti")
+      .join(broadcast(excluded.select(col(k).as("__xk"))), Seq("__xk"), "left_anti")
       .drop("__xk")
   }
 

@@ -243,6 +243,34 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"token stream shuffled:\n$plan")
   }
 
+  test("exclusion lists broadcast as anti-joins; the corpus never shuffles (r9)") {
+    for (q <- Seq("takedown_requests", "domain_blocklist")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, dir))
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+        s"$q must anti-join against a broadcast list:\n$plan")
+      // the only exchanges allowed are the broadcast of the list and the
+      // final presentation sort — never a hash-partitioned corpus shuffle
+      assert(!plan.contains("Arguments: hashpartitioning"),
+        s"$q shuffled the corpus by key:\n$plan")
+    }
+  }
+
+  test("domain caps plan exactly one keyed exchange (the domain window)") {
+    val plan = planOf(SparkEntry.queries("domain_caps")(spark, dir))
+    val keyed = plan.linesIterator
+      .count(_.contains("Arguments: hashpartitioning"))
+    assert(keyed == 1, s"expected exactly the domain-window exchange, got $keyed:\n$plan")
+    assert(plan.contains("hashpartitioning(domain"), plan)
+  }
+
+  test("script and NFC profiling are scan-stage projections, shuffle-free") {
+    for (q <- Seq("script_mix", "normalize_text")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, dir))
+      assert(!plan.contains("Arguments: hashpartitioning"),
+        s"$q must not shuffle by key:\n$plan")
+    }
+  }
+
   test("no unbounded global window in any registered query's plan") {
     // The single-partition-window audit: every logical Window with an
     // EMPTY partition spec in a registered query's optimized plan must
