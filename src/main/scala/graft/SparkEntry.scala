@@ -584,11 +584,13 @@ object SparkEntry {
         "doc_id", "text", 512L)),
     // Packing in BPE-piece units (what trainers budget in): same
     // prefix-sum assignment, n_tokens from the broadcast-rank encode.
-    // Rows-only by declared design (driver-fit merges, like bpe_*).
+    // FULL oracle since r9 (printed merges + recursive-CTE encode +
+    // the sequence_packing prefix-sum replay).
     "sequence_packing_bpe" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      graft.pipeline.Curation.packChunksBpe(docs, "doc_id", "text",
-        graft.text.Bpe.fitMerges(docs, "text", 200), 512L)
+      val merges = graft.text.Bpe.fitMerges(docs, "text", 200)
+      FittedOracle.bpePackMerges = Some(merges)
+      graft.pipeline.Curation.packChunksBpe(docs, "doc_id", "text", merges, 512L)
     }),
     // Contamination-free bin packing (Krell-et-al. SPFHP): whole docs
     // only, histogram-driven best-fit-decreasing on the driver, broadcast
@@ -756,11 +758,14 @@ object SparkEntry {
       graft.text.Bpe.mergesTable(s,
         graft.text.Bpe.fitMerges(Tables.documents(s, dir), "text", 200))),
     // Applying the trained merges: per-doc piece counts + compression
-    // ratio. Broadcast rank table, per-partition map, no shuffle.
+    // ratio. Broadcast rank table, per-partition map, no shuffle. FULL
+    // oracle since r9: the fitted merges print into a recursive-CTE
+    // greedy-encode replay (FittedOracle).
     "bpe_encode_stats" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      graft.text.Bpe.encodeStats(docs, "doc_id", "text",
-        graft.text.Bpe.fitMerges(docs, "text", 200))
+      val merges = graft.text.Bpe.fitMerges(docs, "text", 200)
+      FittedOracle.bpeStatsMerges = Some(merges)
+      graft.text.Bpe.encodeStats(docs, "doc_id", "text", merges)
     }),
     // Bigram LM scoring (CCNet-style quality signal): per-doc
     // predictability cost under the corpus's own bigram model, in

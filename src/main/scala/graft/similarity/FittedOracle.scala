@@ -26,6 +26,13 @@ object FittedOracle {
   @volatile var ivfPqCenters: Option[IndexedSeq[IndexedSeq[Double]]] = None
   @volatile var ivfPqBooks: Option[IndexedSeq[IndexedSeq[IndexedSeq[Double]]]] = None
   @volatile var semCenters: Option[IndexedSeq[IndexedSeq[Double]]] = None
+  // Fitted BPE merge lists (r9): like the k-means fits, `Bpe.fitMerges`
+  // is a deterministic driver fit — printable into SQL; the greedy
+  // encode then replays as a recursive CTE ([[graft.text.Bpe]] SQL
+  // builders). One slot per query: same fit today, but they must never
+  // silently couple.
+  @volatile var bpeStatsMerges: Option[Seq[(String, String)]] = None
+  @volatile var bpePackMerges: Option[Seq[(String, String)]] = None
 
   /** Exact decimal print: Java's shortest round-trip representation, which
     * DuckDB's parser maps back to the same double (scientific notation
@@ -64,5 +71,9 @@ object FittedOracle {
       (for { c <- ivfPqCenters; b <- ivfPqBooks }
         yield "knn_ivf_pq" -> Pq.sqlKnnIvfPq(c, b, k = 5, nprobe = 4)) ++
       semCenters.map(c =>
-        "semantic_dedup" -> Similarity.sqlSemanticDedupKeepers(c, 0.4))).toMap
+        "semantic_dedup" -> Similarity.sqlSemanticDedupKeepers(c, 0.4)) ++
+      bpeStatsMerges.map(m =>
+        "bpe_encode_stats" -> graft.text.Bpe.sqlEncodeStats(m)) ++
+      bpePackMerges.map(m =>
+        "sequence_packing_bpe" -> graft.text.Bpe.sqlPackChunksBpe(m, 512L))).toMap
 }

@@ -134,6 +134,86 @@ object Bpe {
     syms
   }
 
+  private def sqlQuote(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** Shared WITH-fragments of the BPE oracles (r9): the fitted merge
+    * list printed as a VALUES table (the [[graft.similarity.FittedOracle]]
+    * printed-constant recipe), and the greedy [[encodeToken]] loop
+    * replayed as a RECURSIVE CTE over the corpus's DISTINCT tokens —
+    * each step merges the (lowest-rank, then leftmost) adjacent pair,
+    * exactly the Scala loop's strictly-less argmin; the final state is
+    * the minimum-length row per token (each merge shrinks the list by
+    * one, so min(len) IS the fixpoint). Character splitting is by BMP
+    * code unit on both engines (Java char == DuckDB character on the
+    * BMP; astral-plane input is out of contract for the [a-z] corpus).
+    * Cost is bounded by |distinct tokens| · max token length — the
+    * vocabulary, not the corpus. */
+  private def sqlBpeCommon(merges: Seq[(String, String)]): String = {
+    val rows = merges.zipWithIndex
+      .map { case ((l, r), i) => s"($i, ${sqlQuote(l)}, ${sqlQuote(r)})" }
+      .mkString(",\n    ")
+    s"""m(rank, l, r) AS (FROM (VALUES
+       |    $rows)),
+       |dtok AS (
+       |  SELECT DISTINCT UNNEST(regexp_extract_all(lower(text), '[^ \\t\\n\\x0B\\f\\r]+')) AS tok
+       |  FROM documents),
+       |rec AS (
+       |  SELECT tok,
+       |    list_transform(range(1, length(tok)+1), i -> tok[CAST(i AS INT)]) AS syms
+       |  FROM dtok
+       |  UNION ALL
+       |  SELECT tok,
+       |    list_concat(list_concat(
+       |      syms[1:CAST(bi AS INT)-1],
+       |      [syms[CAST(bi AS INT)] || syms[CAST(bi AS INT)+1]]),
+       |      syms[CAST(bi AS INT)+2:]) AS syms
+       |  FROM (
+       |    SELECT tok, syms,
+       |      (SELECT u.i FROM (SELECT UNNEST(range(1, len(syms))) AS i) u
+       |         JOIN m ON m.l = syms[CAST(u.i AS INT)] AND m.r = syms[CAST(u.i AS INT)+1]
+       |       ORDER BY m.rank, u.i LIMIT 1) AS bi
+       |    FROM rec) WHERE bi IS NOT NULL),
+       |pieces AS (SELECT tok, MIN(len(syms)) AS np FROM rec GROUP BY tok),
+       |dt AS (
+       |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[^ \\t\\n\\x0B\\f\\r]+')) AS tok
+       |  FROM documents),
+       |doc_pieces AS (
+       |  SELECT dt.doc_id, COUNT(*) AS n_tokens,
+       |    CAST(SUM(pieces.np) AS BIGINT) AS n_pieces
+       |  FROM dt JOIN pieces USING (tok) GROUP BY dt.doc_id)""".stripMargin
+  }
+
+  /** DuckDB mirror of [[encodeStats]] over the fitted merges — the FULL
+    * oracle for `bpe_encode_stats` (r9). */
+  def sqlEncodeStats(merges: Seq[(String, String)]): String =
+    s"""WITH RECURSIVE ${sqlBpeCommon(merges)}
+       |SELECT doc_id, n_tokens, n_pieces,
+       |  round(n_tokens::DOUBLE / n_pieces::DOUBLE, 4) AS compression
+       |FROM doc_pieces WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin
+
+  /** DuckDB mirror of [[graft.pipeline.Curation.packChunksBpe]] — the
+    * FULL oracle for `sequence_packing_bpe` (r9): the recursive-CTE
+    * piece counts feed the same prefix-sum chunk arithmetic the
+    * `sequence_packing` oracle pins (id order, inclusive running sum
+    * minus self as the offset). Docs with zero tokens pack 0 pieces and
+    * span 0 chunks. */
+  def sqlPackChunksBpe(merges: Seq[(String, String)], budget: Long): String =
+    s"""WITH RECURSIVE ${sqlBpeCommon(merges)},
+       |np AS (
+       |  SELECT d.doc_id, COALESCE(p.n_pieces, 0) AS n_tokens
+       |  FROM documents d LEFT JOIN doc_pieces p ON d.doc_id = p.doc_id),
+       |o AS (
+       |  SELECT doc_id, n_tokens,
+       |    SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS off
+       |  FROM np)
+       |SELECT doc_id, n_tokens,
+       |  CAST(floor(off / $budget.0) AS BIGINT) AS chunk_id,
+       |  CASE WHEN n_tokens = 0 THEN 0
+       |       ELSE CAST(floor((off + n_tokens - 1) / $budget.0) -
+       |                 floor(off / $budget.0) + 1 AS BIGINT) END AS n_chunks
+       |FROM o ORDER BY doc_id""".stripMargin
+
   /** Per-document BPE PIECE counts as a packing unit
     * (doc id, n_tokens = Σ pieces over the doc's whitespace tokens):
     * trainers budget sequences in TOKENIZER units, not whitespace words,
