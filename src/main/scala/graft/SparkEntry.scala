@@ -2257,6 +2257,10 @@ object SparkEntry {
          |WHERE CAST(('0x' || substring(md5(text), 1, 8))::UBIGINT % 10000 AS BIGINT) < $q * 10000.0
          |ORDER BY doc_id""".stripMargin
     },
+    // bpe_merges: the one fit whose output IS the fit — the oracle
+    // recomputes the training loop itself as a recursive CTE (printed
+    // constants would be circular here).
+    "bpe_merges" -> graft.text.Bpe.sqlMerges(200),
     "vocab_encode" ->
       """WITH tok AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+') AS toks

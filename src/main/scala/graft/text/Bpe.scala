@@ -183,6 +183,84 @@ object Bpe {
        |  FROM dt JOIN pieces USING (tok) GROUP BY dt.doc_id)""".stripMargin
   }
 
+  /** DuckDB replay of the TRAINING loop itself ([[wordDict]] +
+    * [[fitOnDict]]) — the FULL oracle for `bpe_merges` (r9), and the one
+    * fit oracle that cannot use printed constants: the query's output IS
+    * the fit, so printing it would be circular. Instead the recursive
+    * CTE recomputes it from the corpus: a single state row carries every
+    * vocab word's segmentation plus the merge list; each step counts
+    * adjacent pairs weighted by word frequency (dedup by
+    * first-occurrence index — `list_distinct` can't hash structs),
+    * elects the (count desc, left asc, right asc) argmax via a
+    * `list_reduce` tournament, and merges left-to-right non-overlapping.
+    * The non-overlap scan replays as pure positional arithmetic: a
+    * match at i is taken iff its distance into the maximal consecutive
+    * match run is even — exactly the `i += 2` greedy. Lambda-parameter
+    * binding uses the `list_transform([x], v -> …)[1]` idiom (DuckDB
+    * v1.0 has no let and no 3-arg list_reduce). Cost per step is
+    * O(Σ|word|²) over the VOCABULARY — corpus-size-independent, like
+    * the driver loop it mirrors. Recursion ends early when no adjacent
+    * pairs remain (every word fully merged), matching `fitOnDict`'s
+    * `done` flag. */
+  def sqlMerges(nMerges: Int, maxVocabWords: Int = 100000): String = {
+    val tokRe = "[^ \\t\\n\\x0B\\f\\r]+"
+    // match-position list of word `wd.s` against the elected pair
+    val mExpr = "list_transform(range(1, len(wd.s)+1), i -> " +
+      "CASE WHEN i < len(wd.s) THEN wd.s[CAST(i AS INT)] = best.l AND " +
+      "wd.s[CAST(i AS INT)+1] = best.r ELSE false END)"
+    // greedy non-overlap selection: even offset into the consecutive run
+    val selExpr = "list_transform(range(1, len(m)+1), i -> " +
+      "m[CAST(i AS INT)] AND ((i - COALESCE(list_max(list_filter(range(1, i), " +
+      "j -> NOT m[CAST(j AS INT)])), 0) - 1) % 2 = 0))"
+    val newSyms = "flatten(list_transform(range(1, len(sel)+1), i -> " +
+      "CASE WHEN sel[CAST(i AS INT)] THEN [wd.s[CAST(i AS INT)] || wd.s[CAST(i AS INT)+1]] " +
+      "WHEN i > 1 AND sel[CAST(i AS INT)-1] THEN [] " +
+      "ELSE [wd.s[CAST(i AS INT)]] END))"
+    val mergeWord = s"list_transform([$mExpr], m -> " +
+      s"list_transform([$selExpr], sel -> $newSyms)[1])[1]"
+    val pairs = "flatten(list_transform(words, wd -> " +
+      "list_transform(range(1, len(wd.s)), i -> " +
+      "{'l': wd.s[CAST(i AS INT)], 'r': wd.s[CAST(i AS INT)+1], 'w': wd.n})))"
+    val best = "list_reduce(list_transform(" +
+      "list_filter(range(1, len(pairs)+1), i -> " +
+      "len(list_filter(range(1, i), j -> pairs[CAST(j AS INT)].l = pairs[CAST(i AS INT)].l " +
+      "AND pairs[CAST(j AS INT)].r = pairs[CAST(i AS INT)].r)) = 0), " +
+      "k -> {'c': list_sum(list_transform(pairs, q -> CASE WHEN q.l = pairs[CAST(k AS INT)].l " +
+      "AND q.r = pairs[CAST(k AS INT)].r THEN q.w ELSE 0 END)), " +
+      "'l': pairs[CAST(k AS INT)].l, 'r': pairs[CAST(k AS INT)].r}), " +
+      "(a, b) -> CASE WHEN b.c > a.c OR (b.c = a.c AND (b.l < a.l OR (b.l = a.l AND b.r < a.r))) " +
+      "THEN b ELSE a END)"
+    s"""WITH RECURSIVE
+       |dict AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM (
+       |    SELECT UNNEST(regexp_extract_all(lower(text), '$tokRe')) AS w FROM documents)
+       |  GROUP BY w ORDER BY n DESC, w ASC LIMIT $maxVocabWords),
+       |init AS (
+       |  SELECT 0 AS round,
+       |    list({'s': list_transform(range(1, length(w)+1), i -> w[CAST(i AS INT)]), 'n': n}) AS words,
+       |    []::STRUCT(l VARCHAR, r VARCHAR)[] AS ms
+       |  FROM dict),
+       |rec AS (
+       |  SELECT round, words, ms FROM init
+       |  UNION ALL
+       |  SELECT round + 1,
+       |    list_transform(words, wd ->
+       |      CASE WHEN len(wd.s) < 2 THEN wd ELSE {'s': $mergeWord, 'n': wd.n} END) AS words,
+       |    list_append(ms, {'l': best.l, 'r': best.r}) AS ms
+       |  FROM (
+       |    SELECT round, words, ms, $best AS best
+       |    FROM (SELECT round, words, ms, $pairs AS pairs
+       |          FROM rec WHERE round < $nMerges)
+       |    WHERE len(pairs) > 0)),
+       |fin AS (SELECT ms FROM rec ORDER BY round DESC LIMIT 1)
+       |SELECT CAST(x.rank AS BIGINT) AS rank, x.l AS "left", x.r AS "right",
+       |       x.l || x.r AS piece
+       |FROM (SELECT UNNEST(list_transform(range(1, len(ms)+1),
+       |        i -> {'rank': i-1, 'l': ms[CAST(i AS INT)].l, 'r': ms[CAST(i AS INT)].r})) AS x
+       |      FROM fin)
+       |ORDER BY rank""".stripMargin
+  }
+
   /** DuckDB mirror of [[encodeStats]] over the fitted merges — the FULL
     * oracle for `bpe_encode_stats` (r9). */
   def sqlEncodeStats(merges: Seq[(String, String)]): String =
