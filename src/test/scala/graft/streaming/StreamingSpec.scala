@@ -33,6 +33,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("compliance exclusion runs unchanged on streams (stream-static anti-join)") {
+    // excludeByKey is a stream-static broadcast anti-join — stateless, so
+    // the SAME operator applies mid-ingest: takedown'd content never
+    // reaches the sink, including exact copies arriving later.
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "the requested document body"),
+      (2L, "the requested document body"), // exact copy — must drop too
+      (3L, "unrelated content"))
+    val requests = Seq("the requested document body").toDF("t")
+      .select(md5(col("t")).as("h"))
+    val in = MemoryStream[(Long, String)]
+    val q = graft.pipeline.Curation.excludeByKey(
+        in.toDF().toDF("doc_id", "text"), md5(col("text")), requests)
+      .writeStream.format("memory").queryName("excl_out")
+      .outputMode("append").start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("excl_out").collect().map(_.toSeq).toSet
+      val batch = graft.pipeline.Curation.excludeByKey(
+          rows.toDF("doc_id", "text"), md5(col("text")), requests)
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(streamed.map(_.head) == Set(3L))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark: in-window dups drop, state is bounded") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, java.sql.Timestamp)]
