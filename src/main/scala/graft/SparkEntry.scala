@@ -311,6 +311,21 @@ object SparkEntry {
       FittedOracle.ivfCenters = Some(centers)
       Ivf.knnIvfWith(centers, emb, emb.filter(col("vec_id") % 50 === 0), 5)
     }),
+    // The STORED IVF layout under the gate (r9): corpus written
+    // list-partitioned, probe lists pushed as a partition filter — only
+    // nprobe/nlist of the directories are scanned (SimilaritySpec pins
+    // the PartitionFilters shape) — and the result must still equal the
+    // in-memory knn_ivf, which the shared printed-centroid oracle
+    // enforces.
+    "knn_ivf_stored" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val centers = Ivf.fitCentroids(emb, 16)
+      FittedOracle.ivfStoredCenters = Some(centers)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivf_store").toString
+      Ivf.writeListPartitioned(emb, centers, path)
+      Ivf.knnIvfStored(s, path, centers, emb.filter(col("vec_id") % 50 === 0), 5)
+    }),
     // knn_pq: product-quantized ADC search (32x-compressed codes). FULL
     // oracle since r9 via printed codebooks; recall pinned in PqSpec.
     "knn_pq" -> ((s, dir) => {

@@ -26,6 +26,7 @@ object FittedOracle {
   @volatile var ivfPqCenters: Option[IndexedSeq[IndexedSeq[Double]]] = None
   @volatile var ivfPqBooks: Option[IndexedSeq[IndexedSeq[IndexedSeq[Double]]]] = None
   @volatile var semCenters: Option[IndexedSeq[IndexedSeq[Double]]] = None
+  @volatile var ivfStoredCenters: Option[IndexedSeq[IndexedSeq[Double]]] = None
   // Fitted BPE merge lists (r9): like the k-means fits, `Bpe.fitMerges`
   // is a deterministic driver fit — printable into SQL; the greedy
   // encode then replays as a recursive CTE ([[graft.text.Bpe]] SQL
@@ -72,6 +73,11 @@ object FittedOracle {
         yield "knn_ivf_pq" -> Pq.sqlKnnIvfPq(c, b, k = 5, nprobe = 4)) ++
       semCenters.map(c =>
         "semantic_dedup" -> Similarity.sqlSemanticDedupKeepers(c, 0.4)) ++
+      // Same replay as knn_ivf: the stored layout changes WHERE bytes
+      // live (list-partitioned directories, pruned scans), never WHAT
+      // the query returns.
+      ivfStoredCenters.map(c =>
+        "knn_ivf_stored" -> Ivf.sqlKnnIvf(c, k = 5, nprobe = 4)) ++
       bpeStatsMerges.map(m =>
         "bpe_encode_stats" -> graft.text.Bpe.sqlEncodeStats(m)) ++
       bpePackMerges.map(m =>
