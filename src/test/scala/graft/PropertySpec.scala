@@ -218,4 +218,64 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       assert(merged == whole)
     }
   }
+
+  test("excludeByKey equals key-set difference and is idempotent (r9)") {
+    val rowsGen = Gen.listOf(Gen.zip(Gen.choose(1L, 40L), Gen.oneOf("a", "b", "c", "d")))
+    val listGen = Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e"))
+    forAll2(rowsGen, listGen) { (rows, excl) =>
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("id", "k")
+        val ex = excl.toDF("k")
+        val out = graft.pipeline.Curation.excludeByKey(df, col("k"), ex)
+          .collect().map(r => (r.getLong(0), r.getString(1))).toList
+        val want = rows.filterNot { case (_, k) => excl.contains(k) }
+        assert(out.sorted == want.sorted)
+        val twice = graft.pipeline.Curation.excludeByKey(
+            out.toDF("id", "k"), col("k"), ex)
+          .collect().map(r => (r.getLong(0), r.getString(1))).toList
+        assert(twice.sorted == out.sorted)
+      }
+    }
+  }
+
+  test("domainCaps: at most cap per registered domain, winners by the order (r9)") {
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      hosts <- Gen.listOfN(n, Gen.oneOf(
+        "x.site.com", "y.site.com", "site.com", "other.org", "m.other.org"))
+    } yield hosts.zipWithIndex.map { case (h, i) => (i.toLong, s"https://$h/p/$i") }
+    forAll(gen, n = 5) { rows =>
+      val df = rows.toDF("id", "url")
+      val out = graft.pipeline.Curation
+        .domainCaps(df, "url", 4, Seq(col("id").asc))
+        .collect().map(r => (r.getLong(0), r.getString(2))).toList
+      val byDom = out.groupBy(_._2)
+      assert(byDom.values.forall(_.size <= 4))
+      // winners per domain = the cap lowest ids of that registered domain
+      val expectDoms = rows.map { case (i, u) =>
+        i -> (if (u.contains("site.com")) "site.com" else "other.org")
+      }
+      expectDoms.groupBy(_._2).foreach { case (dom, members) =>
+        val want = members.map(_._1).sorted.take(4).toSet
+        assert(byDom.getOrElse(dom, Nil).map(_._1).toSet == want, s"domain $dom")
+      }
+    }
+  }
+
+  test("nfcNormalize agrees with java.text.Normalizer and is idempotent (r9)") {
+    val charGen = Gen.oneOf[String](
+      "a", "z", "é", "é", "Å", "Å", "ö", "ö", "中", " ", "1")
+    val sGen = Gen.listOf(charGen).map(_.mkString)
+    forAll(sGen) { s =>
+      val out = Seq(s).toDF("t")
+        .select(org.apache.spark.sql.graft.ArrayFunctions.nfcNormalize(col("t")))
+        .collect().head.getString(0)
+      val want = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+      assert(out == want)
+      val again = Seq(out).toDF("t")
+        .select(org.apache.spark.sql.graft.ArrayFunctions.nfcNormalize(col("t")))
+        .collect().head.getString(0)
+      assert(again == out)
+    }
+  }
 }
