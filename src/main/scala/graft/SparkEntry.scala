@@ -459,6 +459,25 @@ object SparkEntry {
         .select(col("doc_id"), col("domain"), col("n_chars"), col("rk"))
         .orderBy(col("domain"), col("rk"))
     }),
+    // The incremental face under the gate (r9): two chained batches
+    // against the persisted per-domain tally must equal one first-come
+    // pass over the union — the union-equivalence oracle (arrival order
+    // = doc_id, so the one-shot SQL replays it exactly).
+    "domain_caps_incremental" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val docs = withFixtureUrls(Tables.documents(s, dir))
+      val empty = s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("domain", StringType),
+          StructField("n_kept", LongType))))
+      val (k1, s1) = graft.pipeline.Curation.domainCapsIncremental(
+        docs.filter(col("doc_id") < 250), empty, "url", 50, Seq(col("doc_id").asc))
+      val (k2, _) = graft.pipeline.Curation.domainCapsIncremental(
+        docs.filter(col("doc_id") >= 250), s1.localCheckpoint(true),
+        "url", 50, Seq(col("doc_id").asc))
+      k1.unionByName(k2)
+        .select(col("doc_id"), col("domain"))
+        .orderBy(col("doc_id"))
+    }),
     // URL blocklist at eTLD+1: every subdomain of a blocked registered
     // domain drops (6 of the 10 fixture hosts fall under example.com —
     // the gate only works if it keys on the registered domain).
@@ -2655,6 +2674,20 @@ object SparkEntry {
          |  FROM d)
          |SELECT doc_id, domain, n_chars, rk FROM r WHERE rk <= 50
          |ORDER BY domain, rk""".stripMargin,
+    "domain_caps_incremental" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, $sqlFixtureUrl AS url
+         |  FROM documents),
+         |d AS (
+         |  SELECT doc_id,
+         |    ${graft.ingest.Urls.sqlRegisteredDomain("url")} AS domain
+         |  FROM u),
+         |r AS (
+         |  SELECT doc_id, domain,
+         |    ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id ASC) AS rk
+         |  FROM d)
+         |SELECT doc_id, domain FROM r WHERE rk <= 50
+         |ORDER BY doc_id""".stripMargin,
     "domain_blocklist" ->
       s"""WITH u AS (
          |  SELECT doc_id, source, $sqlFixtureUrl AS url

@@ -113,6 +113,35 @@ object Curation {
       df.withColumn("domain", graft.ingest.Urls.registeredDomain(col(urlCol))),
       "domain", cap, ordering)
 
+  /** INCREMENTAL per-domain caps — [[domainCaps]] at ingest time: a
+    * batch is admitted against the PERSISTED per-domain tally
+    * (`state(domain, n_kept)`) without re-reading history, the
+    * append-only discipline of the dedup indexes. Semantics are
+    * first-come-first-kept (arrival order is the cap order — an
+    * already-shipped doc can't be evicted by a later better one), so
+    * chained batches equal one [[domainCaps]] pass over the union
+    * ordered by arrival (CurationSpec pins it). Shape: one shuffle on
+    * the domain key for the within-batch rank, a broadcast join of the
+    * tally (≤ |domains| rows), and the new state is the old tally plus
+    * the batch's kept counts — state size is bounded by the domain
+    * universe, never the corpus. Returns (kept rows, new state). */
+  def domainCapsIncremental(batch: DataFrame, state: DataFrame, urlCol: String,
+                            cap: Int, ordering: Seq[Column]): (DataFrame, DataFrame) = {
+    val withDom = batch.withColumn("domain",
+      graft.ingest.Urls.registeredDomain(col(urlCol)))
+    val ranked = withDom.withColumn("__rk",
+      row_number().over(Window.partitionBy(col("domain")).orderBy(ordering: _*)))
+    val kept = ranked
+      .join(broadcast(state.select(col("domain"), col("n_kept"))), Seq("domain"), "left")
+      .filter(col("__rk") <= lit(cap) - coalesce(col("n_kept"), lit(0L)))
+      .drop("__rk", "n_kept")
+      .localCheckpoint(true) // feeds the output AND the state update once
+    val newState = state.select(col("domain"), col("n_kept"))
+      .unionByName(kept.groupBy(col("domain")).agg(count(lit(1)).as("n_kept")))
+      .groupBy(col("domain")).agg(sum(col("n_kept")).as("n_kept"))
+    (kept, newState)
+  }
+
   /** Release-compliance exclusion (`takedown_requests` /
     * `domain_blocklist` queries): drop every row whose key appears in
     * the exclusion list. Two keys cover the real cases: CONTENT HASH —

@@ -65,6 +65,49 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
   }
 
+  /** [EXT] Streaming per-domain caps (r9) — the RefinedWeb domain-skew
+    * gate at ingest time, over the same batch-keyed-partition state
+    * discipline as [[sketchViaBatchParts]]: each micro-batch admits rows
+    * against the per-domain tally of all EARLIER batches
+    * ([[graft.pipeline.Curation.domainCapsIncremental]],
+    * first-come-first-kept), appends survivors to the sink, and
+    * OVERWRITES its own `batch_id=N` partition with its kept counts —
+    * so the tally read (`batch_id < N`) is deterministic under
+    * at-least-once replay (a re-fired batch rewrites its partition
+    * rather than double-counting; sink re-appends share the sink-index
+    * family's documented compaction story). State is ≤ |domains| rows
+    * per batch. StreamingSpec pins batches == one [[graft.pipeline
+    * .Curation.domainCaps]] pass in arrival order. */
+  def domainCapsViaBatchState(docs: DataFrame, sinkPath: String,
+                              statePath: String, checkpoint: String,
+                              urlCol: String, cap: Int,
+                              ordering: Seq[org.apache.spark.sql.Column]): DataStreamWriter[Row] = {
+    require(docs.isStreaming)
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val spark = docs.sparkSession
+    docs.writeStream
+      .foreachBatch { (batch0: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        val batch = batch0.localCheckpoint(true)
+        if (batch.count() > 0) {
+          val tally = readIndexIfExists(spark, statePath)
+            .map(_.filter(col("batch_id") < batchId)
+              .groupBy(col("domain")).agg(sum(col("n_kept")).as("n_kept")))
+            .getOrElse(spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+              StructType(Seq(StructField("domain", StringType),
+                StructField("n_kept", LongType)))))
+          val (kept, _) = graft.pipeline.Curation.domainCapsIncremental(
+            batch, tally, urlCol, cap, ordering)
+          kept.write.mode("append").parquet(sinkPath)
+          kept.groupBy(col("domain")).agg(count(lit(1)).as("n_kept"))
+            .write.mode("overwrite").parquet(s"$statePath/batch_id=$batchId")
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+  }
+
   /** Streaming dedup over a stream of candidate records. Input: any
     * streaming DataFrame with a `sources` column. */
   def dedupStream(candidates: DataFrame): DataFrame = {

@@ -213,6 +213,38 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("domainCapsIncremental: chained batches equal one first-come pass; state bounded") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val all = (1L to 30L).map { i =>
+      val host = if (i % 3 == 0) "a.site.com"
+                 else if (i % 3 == 1) "b.site.com" else "other.org"
+      (i, s"https://$host/p/$i")
+    }
+    def df(rows: Seq[(Long, String)]) = rows.toDF("id", "url")
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("domain", StringType),
+        StructField("n_kept", LongType))))
+    // three arrival-ordered batches against persisted tallies
+    val (k1, s1) = Curation.domainCapsIncremental(
+      df(all.filter(_._1 <= 10)), empty, "url", 7, Seq(col("id").asc))
+    val (k2, s2) = Curation.domainCapsIncremental(
+      df(all.filter(r => r._1 > 10 && r._1 <= 20)), s1.localCheckpoint(true),
+      "url", 7, Seq(col("id").asc))
+    val (k3, s3) = Curation.domainCapsIncremental(
+      df(all.filter(_._1 > 20)), s2.localCheckpoint(true),
+      "url", 7, Seq(col("id").asc))
+    val streamedIds = (k1.select("id").collect() ++ k2.select("id").collect() ++
+      k3.select("id").collect()).map(_.getLong(0)).sorted.toSeq
+    // one-shot first-come caps over the union, arrival (id) order
+    val oneShot = Curation.domainCaps(df(all), "url", 7, Seq(col("id").asc))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(streamedIds == oneShot)
+    // the tally equals the kept counts and stays bounded by the domains
+    val tally = s3.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tally == Map("site.com" -> 7L, "other.org" -> 7L))
+  }
+
   test("excludeByKey: content-hash takedown sweeps every copy; domain blocklist catches subdomains") {
     // docs 1 and 2 are exact duplicates — a takedown request for doc 1's
     // CONTENT must remove doc 2 as well (hash key, not id key).

@@ -277,6 +277,36 @@ class StreamingSpec extends SparkSpec {
     assert(out(3L)._2 == 8L, s"doc 3 must lose the 8-token passage: ${out(3L)}")
   }
 
+  test("streaming domain caps: chained batches == one first-come pass; state bounded") {
+    val root = java.nio.file.Files.createTempDirectory("graft_domcap").toString
+    val (inDir, sink, state, ckpt) = (s"$root/in", s"$root/sink", s"$root/state", s"$root/ckpt")
+    val all = (1L to 30L).map { i =>
+      val host = if (i % 3 == 0) "a.site.com"
+                 else if (i % 3 == 1) "b.site.com" else "other.org"
+      (i, s"https://$host/p/$i")
+    }
+    def drop(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("id", "url").coalesce(1).write.mode("append").parquet(inDir)
+    def runOnce(): Unit = {
+      val docs = spark.readStream.schema("id LONG, url STRING").parquet(inDir)
+      val q = StreamingIngest.domainCapsViaBatchState(docs, sink, state, ckpt,
+        "url", 7, Seq(col("id").asc)).start()
+      q.awaitTermination()
+    }
+    drop(all.filter(_._1 <= 15)); runOnce()
+    drop(all.filter(_._1 > 15)); runOnce()
+    val streamed = spark.read.parquet(sink).select("id").as[Long].collect().sorted.toSeq
+    val oneShot = graft.pipeline.Curation
+      .domainCaps(all.toDF("id", "url"), "url", 7, Seq(col("id").asc))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(streamed == oneShot, s"streamed $streamed != one-shot $oneShot")
+    // tally over all batch partitions == kept counts, bounded by domains
+    val tally = spark.read.parquet(state)
+      .groupBy($"domain").agg(sum($"n_kept").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tally == Map("site.com" -> 7L, "other.org" -> 7L))
+  }
+
   test("mid-stream index compaction is transparent (paragraph, window, exact schemas)") {
     // IndexMaintenanceSpec proves compaction correct OFFLINE; this pins
     // that it is safe MID-STREAM: compact the persisted index between
