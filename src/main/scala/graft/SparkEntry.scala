@@ -716,6 +716,22 @@ object SparkEntry {
         FineWebFixture.docs.toDF("doc_id", "text"),
         gopherTh = FineWebRuleThresholds)
     }),
+    // RefinedWeb-style preset (r9) over the documents table with the
+    // skewed fixture URLs: blocklist -> NFC -> language -> Gopher gates
+    // -> exact dedup -> MinHash near-dedup -> per-domain caps. The NFC
+    // stage sits AHEAD of every key, the placement it was built for.
+    "corpus_pipeline_refinedweb" -> ((s, dir) =>
+      graft.pipeline.RefinedWebPipeline(
+        withFixtureUrls(Tables.documents(s, dir)),
+        blocked = Seq("foo.co.uk"),
+        gopherTh = FunnelThresholds, repetitionTh = RepetitionThresholds,
+        cap = 15)),
+    "refinedweb_funnel" -> ((s, dir) =>
+      graft.pipeline.RefinedWebPipeline.funnel(
+        withFixtureUrls(Tables.documents(s, dir)),
+        blocked = Seq("foo.co.uk"),
+        gopherTh = FunnelThresholds, repetitionTh = RepetitionThresholds,
+        cap = 15)),
     // The preset's ablation table: per-stage survivor counts, computed
     // from the SAME stage frames the packed corpus ships (shared
     // construction — funnel and corpus can't drift).
@@ -2234,6 +2250,18 @@ object SparkEntry {
     "corpus_pipeline_fineweb" ->
       graft.pipeline.FineWebPipeline.sqlPipeline(
         valuesRel(FineWebFixture.docs), gopherTh = FineWebRuleThresholds),
+    "corpus_pipeline_refinedweb" ->
+      graft.pipeline.RefinedWebPipeline.sqlPipeline(
+        s"(SELECT doc_id, text, $sqlFixtureUrl AS url FROM documents)",
+        blocked = Seq("foo.co.uk"),
+        gopherTh = FunnelThresholds, repetitionTh = RepetitionThresholds,
+        cap = 15),
+    "refinedweb_funnel" ->
+      graft.pipeline.RefinedWebPipeline.sqlFunnel(
+        s"(SELECT doc_id, text, $sqlFixtureUrl AS url FROM documents)",
+        blocked = Seq("foo.co.uk"),
+        gopherTh = FunnelThresholds, repetitionTh = RepetitionThresholds,
+        cap = 15),
     "fineweb_funnel" ->
       graft.pipeline.FineWebPipeline.sqlFunnel(
         valuesRel(FineWebFixture.docs), gopherTh = FineWebRuleThresholds),

@@ -1,0 +1,67 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The RefinedWeb preset end-to-end on a fixture where EVERY stage bites —
+  * including the round's headline composition: an NFD-encoded duplicate
+  * that escapes exact AND near dedup on raw bytes and collapses only
+  * because NFC normalization runs ahead of the dedup keys. */
+class RefinedWebPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val th = graft.text.GopherRules.Thresholds(minWords = 5L, minStopHits = 1L)
+  private val composed = "the café menu lists nine warm drinks daily"
+  private val decomposed =
+    java.text.Normalizer.normalize(composed, java.text.Normalizer.Form.NFD)
+
+  private def docs = Seq(
+    (1L, composed, "https://a.site.com/1"),
+    (2L, decomposed, "https://b.site.com/2"),             // NFC twin of 1
+    (3L, "the blocked page content stays readable here", "https://x.foo.co.uk/3"),
+    (4L, "der die das und ist nicht ein mit gut", "https://a.site.com/4"),
+    (5L, "the end", "https://a.site.com/5"),              // < minWords
+    (6L, "the spam spam spam spam spam spam spam spam spam spam",
+      "https://a.site.com/6"),                            // repetition gate
+    (7L, "the quick brown fox jumps over the lazy dog today", "https://a.site.com/7"),
+    (8L, "the quick brown fox jumps over the lazy dog today", "https://b.site.com/8"),
+    (9L, "the quick brown fox jumps over the lazy dog today extra", "https://a.site.com/9"),
+    (10L, "the first capped domain doc reads fine", "https://x.otherdom.org/10"),
+    (11L, "the second capped domain doc looks good", "https://x.otherdom.org/11"),
+    (12L, "the third capped domain doc waits long", "https://y.otherdom.org/12")
+  ).toDF("doc_id", "text", "url")
+
+  test("every stage cuts its planted doc; NFC twin collapses; caps bind") {
+    val out = RefinedWebPipeline(docs, blocked = Seq("foo.co.uk"),
+        gopherTh = th, cap = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set(1L, 7L, 10L, 11L),
+      s"kept ${out.keySet.toSeq.sorted}")
+    assert(out(1L) == "site.com" && out(10L) == "otherdom.org")
+  }
+
+  test("the NFD twin escapes both dedups on RAW bytes — NFC placement is load-bearing") {
+    // exact: byte-different hashes
+    assert(graft.dedup.Dedup.exact(
+      Seq((1L, composed), (2L, decomposed)).toDF("doc_id", "text"),
+      "text", "doc_id").count() == 2)
+    // near-dup: the accented token differs -> J = 7/9 < 0.9
+    val a = composed.toLowerCase.split("\\s+").distinct.toSet
+    val b = decomposed.toLowerCase.split("\\s+").distinct.toSet
+    val j = a.intersect(b).size.toDouble / a.union(b).size
+    assert(j < 0.9, s"raw jaccard $j")
+  }
+
+  test("funnel counts the planted cuts stage by stage") {
+    val f = RefinedWebPipeline.funnel(docs, blocked = Seq("foo.co.uk"),
+        gopherTh = th, cap = 2)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(f("raw") == 12L)
+    assert(f("url_blocklist") == 11L)   // -3 (blocked eTLD+1, subdomain)
+    assert(f("language") == 10L)        // -4 (German)
+    assert(f("gopher_gates") == 8L)     // -5 (short), -6 (repetition)
+    assert(f("exact_dedup") == 6L)      // -2 (NFC twin), -8 (exact copy)
+    assert(f("near_dedup") == 5L)       // -9 (J = 0.9 near-dup of 7)
+    assert(f("domain_caps") == 4L)      // -12 (third doc of otherdom.org)
+  }
+}
