@@ -108,6 +108,131 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
   }
 
+  /** [EXT] Streaming RefinedWeb preset (r9) — the
+    * [[graft.pipeline.RefinedWebPipeline]] line under `foreachBatch`,
+    * composing the three persisted-state disciplines this file already
+    * proves: stages 1-4 (URL blocklist, NFC, language, Gopher gates) are
+    * stateless per-row filters; stage 5 probes the content-hash index
+    * (novel hashes append); stage 6 runs within-batch near-dup keepers
+    * plus the cross-batch signature-index probe (admitted docs'
+    * signatures append — INCLUDING docs the caps later drop, because a
+    * future near-dup of a cap-dropped doc must still drop, exactly as
+    * in the full recompute); stage 7 admits against the per-domain
+    * tally kept as batch-keyed partitions (`caps/batch_id=N`,
+    * overwrite-on-replay — [[domainCapsViaBatchState]]'s discipline).
+    * With id-ordered arrival, the finished stream equals one full
+    * [[graft.pipeline.RefinedWebPipeline]] recompute (StreamingSpec
+    * pins it); the at-least-once caveats are the sink-index family's. */
+  def refinedWebViaSinkState(docs: DataFrame, sinkPath: String,
+                             stateDir: String, checkpoint: String,
+                             blocked: Seq[String] = Seq.empty,
+                             lang: String = "en",
+                             gopherTh: graft.text.GopherRules.Thresholds =
+                               graft.text.GopherRules.Thresholds(),
+                             repetitionTh: graft.text.GopherRepetition.Thresholds =
+                               graft.text.GopherRepetition.Thresholds(),
+                             threshold: Double = 0.9, cap: Int = 100,
+                             urlCol: String = "url", idCol: String = "doc_id",
+                             textCol: String = "text"): DataStreamWriter[Row] = {
+    require(docs.isStreaming)
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.dedup.Dedup
+    val spark = docs.sparkSession
+    def empty(fields: (String, org.apache.spark.sql.types.DataType)*): DataFrame =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(fields.map { case (n, t) => StructField(n, t) }))
+    docs.writeStream
+      .foreachBatch { (batch0: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        val batch = batch0.localCheckpoint(true)
+        if (batch.count() > 0) {
+          // stages 1-4: stateless gates, NFC ahead of every key
+          val dom = batch.withColumn("domain",
+            graft.ingest.Urls.registeredDomain(col(urlCol)))
+          val gated =
+            (if (blocked.isEmpty) dom
+             else dom.filter(!col("domain").isin(blocked: _*)))
+              .select(col(idCol).cast("long").as("doc_id"), col("domain"),
+                col(textCol).as("text"))
+              .withColumn("text",
+                org.apache.spark.sql.graft.ArrayFunctions.nfcNormalize(col("text")))
+              .filter(graft.text.TextAnalysis.langId(col("text")) === lang)
+              .filter(graft.text.GopherRules.passExpr(col("text"), gopherTh))
+              .filter(graft.text.GopherRepetition.passExpr(col("text"), repetitionTh))
+              .localCheckpoint(true)
+          // stage 5: exact dedup against the content-hash index
+          val cntIdx = readIndexIfExists(spark, s"$stateDir/content_index")
+            .map(_.dropDuplicates("h"))
+            .getOrElse(empty("h" -> StringType, "keeper_id" -> LongType))
+          val novelHashes = Dedup.exactIndex(gated, "doc_id", "text")
+            .join(cntIdx.select(col("h")), Seq("h"), "left_anti")
+            .localCheckpoint(true)
+          val exact = gated.withColumn("h", md5(col("text")))
+            .join(novelHashes.select(col("h"), col("keeper_id")), Seq("h"))
+            .filter(col("doc_id") === col("keeper_id"))
+            .select(col("doc_id"), col("domain"), col("text"))
+            .localCheckpoint(true)
+          // stage 6: within-batch near-dup keepers + signature-index probe
+          val keepers = Dedup.nearDupKeepersScaled(exact, "doc_id", "text", threshold)
+            .filter(col("doc_id") === col("keeper_id"))
+            .select(col("doc_id").as("_keep_id"))
+          val survivors = exact
+            .join(keepers, exact("doc_id") === col("_keep_id"))
+            .drop("_keep_id")
+            .localCheckpoint(true)
+          val sigT = Dedup.signatureTable(survivors, "doc_id", "text")
+            .localCheckpoint(true)
+          val dupIds = readIndexIfExists(spark, s"$stateDir/sig_index") match {
+            case None => spark.emptyDataFrame.select(lit(0L).as("dup_id")).limit(0)
+            case Some(index0) =>
+              val index = index0.dropDuplicates("doc_id")
+              val bb = sigT.select(col("doc_id").as("bid"),
+                posexplode(col("buckets")).as(Seq("band", "bucket")))
+              val ib = index.select(col("doc_id").as("iid"),
+                posexplode(col("buckets")).as(Seq("band", "bucket")))
+              val cand = bb.join(ib, Seq("band", "bucket"))
+                .select(col("bid"), col("iid")).dropDuplicates("bid", "iid")
+              cand
+                .join(sigT.select(col("doc_id").as("bid"), col("toks").as("btoks"),
+                  col("n").as("bn")), Seq("bid"))
+                .join(index.select(col("doc_id").as("iid"), col("toks").as("itoks"),
+                  col("n").as("in_")), Seq("iid"))
+                .filter(round(Dedup.jaccardSortedBounded(col("btoks"), col("itoks"),
+                  col("bn"), col("in_"), threshold), 4) >= threshold)
+                .select(col("bid").as("dup_id")).distinct()
+          }
+          val novel = survivors
+            .join(dupIds, survivors("doc_id") === col("dup_id"), "left_anti")
+            .localCheckpoint(true)
+          // stage 7: per-domain caps against the batch-keyed tally
+          val tally = readIndexIfExists(spark, s"$stateDir/caps")
+            .map(_.filter(col("batch_id") < batchId)
+              .groupBy(col("domain")).agg(sum(col("n_kept")).as("n_kept")))
+            .getOrElse(empty("domain" -> StringType, "n_kept" -> LongType))
+          val kept = novel
+            .withColumn("__rk", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(col("domain")).orderBy(col("doc_id"))))
+            .join(broadcast(tally), Seq("domain"), "left")
+            .filter(col("__rk") <= lit(cap) - coalesce(col("n_kept"), lit(0L)))
+            .drop("__rk", "n_kept")
+            .localCheckpoint(true)
+          // materialized above; now land sink + all three state tables
+          kept.write.mode("append").parquet(sinkPath)
+          novelHashes.write.mode("append").parquet(s"$stateDir/content_index")
+          // signatures of the stage-6 ADMITTED docs only (dup docs'
+          // clusters are already represented by their history keeper)
+          sigT.join(novel.select(col("doc_id")), Seq("doc_id"))
+            .write.mode("append").parquet(s"$stateDir/sig_index")
+          kept.groupBy(col("domain")).agg(count(lit(1)).as("n_kept"))
+            .write.mode("overwrite").parquet(s"$stateDir/caps/batch_id=$batchId")
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+  }
+
   /** Streaming dedup over a stream of candidate records. Input: any
     * streaming DataFrame with a `sources` column. */
   def dedupStream(candidates: DataFrame): DataFrame = {

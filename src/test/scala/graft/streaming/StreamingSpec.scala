@@ -277,6 +277,52 @@ class StreamingSpec extends SparkSpec {
     assert(out(3L)._2 == 8L, s"doc 3 must lose the 8-token passage: ${out(3L)}")
   }
 
+  test("streaming RefinedWeb preset: two micro-batches == one full recompute") {
+    val th = graft.text.GopherRules.Thresholds(minWords = 5L, minStopHits = 1L)
+    val composed = "the café menu lists nine warm drinks daily"
+    val decomposed =
+      java.text.Normalizer.normalize(composed, java.text.Normalizer.Form.NFD)
+    // the RefinedWebPipelineSpec fixture, split so the NFC twin (2), the
+    // exact copy (8), the near-dup (9), and a capped doc (12) all arrive
+    // AFTER their keepers — every state table must answer across batches.
+    val all = Seq(
+      (1L, composed, "https://a.site.com/1"),
+      (2L, decomposed, "https://b.site.com/2"),
+      (3L, "the blocked page content stays readable here", "https://x.foo.co.uk/3"),
+      (4L, "der die das und ist nicht ein mit gut", "https://a.site.com/4"),
+      (5L, "the end", "https://a.site.com/5"),
+      (6L, "the spam spam spam spam spam spam spam spam spam spam",
+        "https://a.site.com/6"),
+      (7L, "the quick brown fox jumps over the lazy dog today", "https://a.site.com/7"),
+      (8L, "the quick brown fox jumps over the lazy dog today", "https://b.site.com/8"),
+      (9L, "the quick brown fox jumps over the lazy dog today extra", "https://a.site.com/9"),
+      (10L, "the first capped domain doc reads fine", "https://x.otherdom.org/10"),
+      (11L, "the second capped domain doc looks good", "https://x.otherdom.org/11"),
+      (12L, "the third capped domain doc waits long", "https://y.otherdom.org/12"))
+    val root = java.nio.file.Files.createTempDirectory("graft_rw_stream").toString
+    val (inDir, sink, state, ckpt) = (s"$root/in", s"$root/sink", s"$root/state", s"$root/ckpt")
+    def drop(rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("doc_id", "text", "url").coalesce(1).write.mode("append").parquet(inDir)
+    def runOnce(): Unit = {
+      val docs = spark.readStream.schema("doc_id LONG, text STRING, url STRING").parquet(inDir)
+      val q = StreamingIngest.refinedWebViaSinkState(docs, sink, state, ckpt,
+        blocked = Seq("foo.co.uk"), gopherTh = th, cap = 2).start()
+      q.awaitTermination()
+    }
+    drop(all.filter(_._1 <= 7L)); runOnce()
+    drop(all.filter(_._1 > 7L)); runOnce()
+    val streamed = spark.read.parquet(sink)
+      .select("doc_id", "domain")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val full = graft.pipeline.RefinedWebPipeline(
+        all.toDF("doc_id", "text", "url"),
+        blocked = Seq("foo.co.uk"), gopherTh = th, cap = 2)
+      .select("doc_id", "domain")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == full, s"streamed $streamed != full $full")
+    assert(streamed.map(_._1) == Set(1L, 7L, 10L, 11L))
+  }
+
   test("streaming domain caps: chained batches == one first-come pass; state bounded") {
     val root = java.nio.file.Files.createTempDirectory("graft_domcap").toString
     val (inDir, sink, state, ckpt) = (s"$root/in", s"$root/sink", s"$root/state", s"$root/ckpt")
