@@ -57,7 +57,11 @@ object RefinedWebPipeline {
              repetitionTh: GopherRepetition.Thresholds = GopherRepetition.Thresholds(),
              threshold: Double = 0.9, cap: Int = 100,
              idCol: String = "doc_id", textCol: String = "text"): Stages = {
-    val dom = docs.withColumn("domain",
+    // Widen FIRST: the interpreted HOF gates (langId markers, repetition
+    // folds) are the preset's per-row CPU, and a small parquet scan
+    // arrives in 1-2 partitions — without the repartition they run
+    // near-single-threaded (measured 6× on the repetition stage).
+    val dom = graft.Par.widen(docs).withColumn("domain",
       graft.ingest.Urls.registeredDomain(col(urlCol)))
     val urlGated =
       (if (blocked.isEmpty) dom else dom.filter(!col("domain").isin(blocked: _*)))
@@ -81,9 +85,13 @@ object RefinedWebPipeline {
       .localCheckpoint(true)
     val keepers = graft.dedup.Dedup
       .nearDupKeepersScaled(exact, "doc_id", "text", threshold)
+    // Checkpoint: the MinHash composition is the preset's dominant CPU;
+    // without this the funnel's near_dedup count and the caps stage each
+    // re-run it (measured ~2× the stage cost at sf0.1).
     val fuzzy = exact.join(
       keepers.filter(col("doc_id") === col("keeper_id")).select(col("doc_id")),
       Seq("doc_id"))
+      .localCheckpoint(true)
     val capped = fuzzy
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("domain")).orderBy(col("doc_id"))))

@@ -146,8 +146,10 @@ object StreamingIngest {
       .foreachBatch { (batch0: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         val batch = batch0.localCheckpoint(true)
         if (batch.count() > 0) {
-          // stages 1-4: stateless gates, NFC ahead of every key
-          val dom = batch.withColumn("domain",
+          // stages 1-4: stateless gates, NFC ahead of every key. Widen:
+          // a micro-batch arrives in one file's worth of partitions and
+          // the interpreted gates would otherwise run single-threaded.
+          val dom = graft.Par.widen(batch.toDF()).withColumn("domain",
             graft.ingest.Urls.registeredDomain(col(urlCol)))
           val gated =
             (if (blocked.isEmpty) dom
