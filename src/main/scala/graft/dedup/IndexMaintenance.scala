@@ -43,11 +43,19 @@ object IndexMaintenance {
   /** One row per `h`, earliest keeper tuple wins (min over the struct of
     * the non-key columns, in their schema order — keeper ids/positions
     * lead in every index schema, so struct-min is keeper-min). */
-  def compact(index: DataFrame): DataFrame = {
-    val valCols = index.columns.filterNot(_ == "h").toSeq
-    index.groupBy(col("h"))
+  def compact(index: DataFrame): DataFrame = compactBy(index, "h")
+
+  /** [[compact]] generalized over the key column (r9): the signature
+    * index the near-dup streaming faces persist is keyed by `doc_id`
+    * (one signature row per admitted doc), not by a hash — the same
+    * replay-debt argument applies, with min-struct as the deterministic
+    * tiebreak (signature rows for one doc are identical by construction,
+    * so any winner is THE row). */
+  def compactBy(index: DataFrame, keyCol: String): DataFrame = {
+    val valCols = index.columns.filterNot(_ == keyCol).toSeq
+    index.groupBy(col(keyCol))
       .agg(min(struct(valCols.map(col): _*)).as("first"))
-      .select(col("h") +: valCols.map(c => col("first").getField(c).as(c)): _*)
+      .select(col(keyCol) +: valCols.map(c => col("first").getField(c).as(c)): _*)
   }
 
   /** Read an appended index directory, [[compact]] it, and rewrite it as
@@ -57,8 +65,14 @@ object IndexMaintenance {
     * overwrite the live index in place while a stream is running. */
   def rewriteCompacted(spark: SparkSession, inPath: String, outPath: String,
                        numFiles: Int): Unit =
-    compact(spark.read.parquet(inPath))
-      .repartitionByRange(numFiles, col("h"))
-      .sortWithinPartitions("h")
+    rewriteCompactedBy(spark, inPath, outPath, "h", numFiles)
+
+  /** [[rewriteCompacted]] over an arbitrary key column (the `doc_id`-keyed
+    * signature index case). */
+  def rewriteCompactedBy(spark: SparkSession, inPath: String, outPath: String,
+                         keyCol: String, numFiles: Int): Unit =
+    compactBy(spark.read.parquet(inPath), keyCol)
+      .repartitionByRange(numFiles, col(keyCol))
+      .sortWithinPartitions(keyCol)
       .write.mode("overwrite").parquet(outPath)
 }

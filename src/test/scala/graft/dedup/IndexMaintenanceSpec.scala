@@ -65,4 +65,18 @@ class IndexMaintenanceSpec extends SparkSpec {
       .filter(f => f.getName.endsWith(".parquet"))
     assert(files.length <= 2)
   }
+
+  test("compactBy: doc_id-keyed signature index — replay dups collapse, idempotent") {
+    val docs = Tables.documents(spark, dir).limit(50)
+    val sig = Dedup.signatureTable(docs, "doc_id", "text")
+    // a replayed batch appended every row twice
+    val corrupted = sig.unionByName(sig)
+    val compacted = IndexMaintenance.compactBy(corrupted, "doc_id")
+    assert(compacted.count() == sig.count())
+    assert(compacted.select("doc_id").distinct().count() == compacted.count())
+    // idempotent, and equal to the clean index row-for-row
+    val again = IndexMaintenance.compactBy(compacted, "doc_id")
+    assert(same(again, compacted))
+    assert(same(compacted, sig))
+  }
 }

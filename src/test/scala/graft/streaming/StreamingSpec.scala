@@ -310,6 +310,18 @@ class StreamingSpec extends SparkSpec {
       q.awaitTermination()
     }
     drop(all.filter(_._1 <= 7L)); runOnce()
+    // compact BOTH dedup state tables between batches (write-new-then-swap)
+    // — the stream must not notice (the sig index is doc_id-keyed:
+    // compactBy/rewriteCompactedBy's case).
+    def compactDir(path: String, key: String): Unit = {
+      val tmp = path + "_c"
+      graft.dedup.IndexMaintenance.rewriteCompactedBy(spark, path, tmp, key, 2)
+      val old = new java.io.File(path)
+      org.apache.commons.io.FileUtils.deleteDirectory(old)
+      assert(new java.io.File(tmp).renameTo(old))
+    }
+    compactDir(s"$state/content_index", "h")
+    compactDir(s"$state/sig_index", "doc_id")
     drop(all.filter(_._1 > 7L)); runOnce()
     val streamed = spark.read.parquet(sink)
       .select("doc_id", "domain")
