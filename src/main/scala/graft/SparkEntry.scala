@@ -321,8 +321,11 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val centers = Ivf.fitCentroids(emb, 16)
       FittedOracle.ivfStoredCenters = Some(centers)
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_ivf_store").toString
+      // One FIXED scratch dir per (user, sf dir), overwritten each run —
+      // a fresh createTempDirectory per invocation accumulated a corpus
+      // copy on every Verify/Bench/spec pass.
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_store_" +
+        s"${System.getProperty("user.name", "u")}_${dir.hashCode.toHexString}"
       Ivf.writeListPartitioned(emb, centers, path)
       Ivf.knnIvfStored(s, path, centers, emb.filter(col("vec_id") % 50 === 0), 5)
     }),
@@ -994,9 +997,10 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
     // media -> stub-decoded feature vectors -> exact kNN: the multimodal/
-    // similarity composition end-to-end. Feature values are the decoder
-    // stub's (deterministic, engine-specific) -> rows-only check;
-    // MultimodalSpec pins determinism across runs.
+    // similarity composition end-to-end. FULL oracle since r9: the
+    // md5-prefix stub features replay in DuckDB
+    // (Multimodal.sqlMediaEmbeddingKnn); MultimodalSpec still pins
+    // determinism across runs.
     "media_embedding_knn" -> ((s, dir) => {
       val feats = Multimodal.decodeFeatures(
         Multimodal.mediaFromDocuments(Tables.documents(s, dir)))

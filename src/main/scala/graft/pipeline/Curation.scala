@@ -126,10 +126,20 @@ object Curation {
     * the batch's kept counts — state size is bounded by the domain
     * universe, never the corpus. Returns (kept rows, new state). */
   def domainCapsIncremental(batch: DataFrame, state: DataFrame, urlCol: String,
-                            cap: Int, ordering: Seq[Column]): (DataFrame, DataFrame) = {
-    val withDom = batch.withColumn("domain",
-      graft.ingest.Urls.registeredDomain(col(urlCol)))
-    val ranked = withDom.withColumn("__rk",
+                            cap: Int, ordering: Seq[Column]): (DataFrame, DataFrame) =
+    domainCapsIncrementalOnDomain(
+      batch.withColumn("domain", graft.ingest.Urls.registeredDomain(col(urlCol))),
+      state, cap, ordering)
+
+  /** The admit core of [[domainCapsIncremental]] over a batch that
+    * ALREADY carries a `domain` column — the one implementation of the
+    * first-come cap semantics, shared with the preset streaming face
+    * ([[graft.streaming.StreamingIngest.refinedWebViaSinkState]]'s
+    * stage 7), so the CurationSpec pins cover both callers. */
+  def domainCapsIncrementalOnDomain(batch: DataFrame, state: DataFrame,
+                                    cap: Int,
+                                    ordering: Seq[Column]): (DataFrame, DataFrame) = {
+    val ranked = batch.withColumn("__rk",
       row_number().over(Window.partitionBy(col("domain")).orderBy(ordering: _*)))
     val kept = ranked
       .join(broadcast(state.select(col("domain"), col("n_kept"))), Seq("domain"), "left")

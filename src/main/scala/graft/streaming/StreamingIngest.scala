@@ -108,17 +108,49 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
   }
 
+  /** Cross-batch near-dup probe shared by [[nearDupDedupViaSinkIndex]]
+    * and [[refinedWebViaSinkState]]: LSH-join the batch signature table
+    * against the persisted index on (band, bucket) — narrow ids only —
+    * then exact-Jaccard verify; returns the batch doc ids that
+    * near-match ANY indexed doc. The `dropDuplicates("doc_id")` on the
+    * index read is the at-least-once replay defense (a replayed append
+    * can land a doc's signature twice). */
+  private def crossBatchNearDupIds(sigT: DataFrame, index0: DataFrame,
+                                   threshold: Double): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.dedup.Dedup
+    val index = index0.dropDuplicates("doc_id")
+    val bb = sigT.select(col("doc_id").as("bid"),
+      posexplode(col("buckets")).as(Seq("band", "bucket")))
+    val ib = index.select(col("doc_id").as("iid"),
+      posexplode(col("buckets")).as(Seq("band", "bucket")))
+    val cand = bb.join(ib, Seq("band", "bucket"))
+      .select(col("bid"), col("iid")).dropDuplicates("bid", "iid")
+    cand
+      .join(sigT.select(col("doc_id").as("bid"), col("toks").as("btoks"),
+        col("n").as("bn")), Seq("bid"))
+      .join(index.select(col("doc_id").as("iid"), col("toks").as("itoks"),
+        col("n").as("in_")), Seq("iid"))
+      .filter(round(Dedup.jaccardSortedBounded(col("btoks"), col("itoks"),
+        col("bn"), col("in_"), threshold), 4) >= threshold)
+      .select(col("bid").as("dup_id")).distinct()
+  }
+
   /** [EXT] Streaming RefinedWeb preset (r9) — the
     * [[graft.pipeline.RefinedWebPipeline]] line under `foreachBatch`,
     * composing the three persisted-state disciplines this file already
     * proves: stages 1-4 (URL blocklist, NFC, language, Gopher gates) are
     * stateless per-row filters; stage 5 probes the content-hash index
-    * (novel hashes append); stage 6 runs within-batch near-dup keepers
-    * plus the cross-batch signature-index probe (admitted docs'
-    * signatures append — INCLUDING docs the caps later drop, because a
-    * future near-dup of a cap-dropped doc must still drop, exactly as
-    * in the full recompute); stage 7 admits against the per-domain
-    * tally kept as batch-keyed partitions (`caps/batch_id=N`,
+    * (novel hashes append); stage 6 reproduces the full recompute's
+    * COMPONENT-TRANSITIVE near-dup semantics: every exact-stage doc's
+    * signature probes the index, a batch cluster drops when ANY member
+    * near-matches history (that member connects the cluster into an
+    * earlier component in the one-shot CC), and EVERY exact-stage doc's
+    * signature appends — admitted, cluster-dropped, or cap-dropped —
+    * because the CC reaches through dropped docs too (a doc matching
+    * only a dropped doc must still drop; the index is the component
+    * map, not the admission list); stage 7 admits against the
+    * per-domain tally kept as batch-keyed partitions (`caps/batch_id=N`,
     * overwrite-on-replay — [[domainCapsViaBatchState]]'s discipline).
     * With id-ordered arrival, the finished stream equals one full
     * [[graft.pipeline.RefinedWebPipeline]] recompute (StreamingSpec
@@ -174,58 +206,49 @@ object StreamingIngest {
             .filter(col("doc_id") === col("keeper_id"))
             .select(col("doc_id"), col("domain"), col("text"))
             .localCheckpoint(true)
-          // stage 6: within-batch near-dup keepers + signature-index probe
-          val keepers = Dedup.nearDupKeepersScaled(exact, "doc_id", "text", threshold)
-            .filter(col("doc_id") === col("keeper_id"))
-            .select(col("doc_id").as("_keep_id"))
-          val survivors = exact
-            .join(keepers, exact("doc_id") === col("_keep_id"))
-            .drop("_keep_id")
-            .localCheckpoint(true)
-          val sigT = Dedup.signatureTable(survivors, "doc_id", "text")
+          // stage 6: near-dup against history ∪ batch with the FULL
+          // recompute's component-transitive semantics (the contract the
+          // StreamingSpec pin states): signatures of EVERY exact-stage
+          // doc probe the index — not just within-batch keepers — and a
+          // whole batch cluster drops when ANY member near-matches
+          // history (in the one-shot CC that member connects the cluster
+          // into an earlier component, so its keeper loses the
+          // min-id election). Admitted = clusters untouched by history,
+          // represented by their within-batch keeper.
+          val keeperOf = Dedup
+            .nearDupKeepersScaled(exact, "doc_id", "text", threshold)
+            .localCheckpoint(true) // feeds the cluster lift AND the keeper pick
+          val sigT = Dedup.signatureTable(exact, "doc_id", "text")
             .localCheckpoint(true)
           val dupIds = readIndexIfExists(spark, s"$stateDir/sig_index") match {
             case None => spark.emptyDataFrame.select(lit(0L).as("dup_id")).limit(0)
-            case Some(index0) =>
-              val index = index0.dropDuplicates("doc_id")
-              val bb = sigT.select(col("doc_id").as("bid"),
-                posexplode(col("buckets")).as(Seq("band", "bucket")))
-              val ib = index.select(col("doc_id").as("iid"),
-                posexplode(col("buckets")).as(Seq("band", "bucket")))
-              val cand = bb.join(ib, Seq("band", "bucket"))
-                .select(col("bid"), col("iid")).dropDuplicates("bid", "iid")
-              cand
-                .join(sigT.select(col("doc_id").as("bid"), col("toks").as("btoks"),
-                  col("n").as("bn")), Seq("bid"))
-                .join(index.select(col("doc_id").as("iid"), col("toks").as("itoks"),
-                  col("n").as("in_")), Seq("iid"))
-                .filter(round(Dedup.jaccardSortedBounded(col("btoks"), col("itoks"),
-                  col("bn"), col("in_"), threshold), 4) >= threshold)
-                .select(col("bid").as("dup_id")).distinct()
+            case Some(index0) => crossBatchNearDupIds(sigT, index0, threshold)
           }
-          val novel = survivors
-            .join(dupIds, survivors("doc_id") === col("dup_id"), "left_anti")
+          val dupClusters = keeperOf
+            .join(dupIds, keeperOf("doc_id") === col("dup_id"))
+            .select(col("keeper_id")).distinct()
+          val novel = exact
+            .join(keeperOf.filter(col("doc_id") === col("keeper_id"))
+              .join(dupClusters, Seq("keeper_id"), "left_anti")
+              .select(col("doc_id")), Seq("doc_id"))
             .localCheckpoint(true)
-          // stage 7: per-domain caps against the batch-keyed tally
+          // stage 7: per-domain caps against the batch-keyed tally — the
+          // same admit core CurationSpec pins (novel already carries its
+          // domain column)
           val tally = readIndexIfExists(spark, s"$stateDir/caps")
             .map(_.filter(col("batch_id") < batchId)
               .groupBy(col("domain")).agg(sum(col("n_kept")).as("n_kept")))
             .getOrElse(empty("domain" -> StringType, "n_kept" -> LongType))
-          val kept = novel
-            .withColumn("__rk", row_number().over(
-              org.apache.spark.sql.expressions.Window
-                .partitionBy(col("domain")).orderBy(col("doc_id"))))
-            .join(broadcast(tally), Seq("domain"), "left")
-            .filter(col("__rk") <= lit(cap) - coalesce(col("n_kept"), lit(0L)))
-            .drop("__rk", "n_kept")
-            .localCheckpoint(true)
+          val (kept, _) = graft.pipeline.Curation.domainCapsIncrementalOnDomain(
+            novel, tally, cap, Seq(col("doc_id").asc))
           // materialized above; now land sink + all three state tables
           kept.write.mode("append").parquet(sinkPath)
           novelHashes.write.mode("append").parquet(s"$stateDir/content_index")
-          // signatures of the stage-6 ADMITTED docs only (dup docs'
-          // clusters are already represented by their history keeper)
-          sigT.join(novel.select(col("doc_id")), Seq("doc_id"))
-            .write.mode("append").parquet(s"$stateDir/sig_index")
+          // signatures of EVERY exact-stage doc — admitted, cluster-dropped,
+          // or cap-dropped: the full recompute's CC reaches through all of
+          // them, so a future doc matching only a dropped doc must still
+          // drop (the index is the component map, not the admission list)
+          sigT.write.mode("append").parquet(s"$stateDir/sig_index")
           kept.groupBy(col("domain")).agg(count(lit(1)).as("n_kept"))
             .write.mode("overwrite").parquet(s"$stateDir/caps/batch_id=$batchId")
         }
@@ -326,32 +349,10 @@ object StreamingIngest {
           // 2. cross-batch probe against the signature index
           val sigT = Dedup.signatureTable(survivors, idCol, textCol)
             .localCheckpoint(true)
-          val indexOpt = readIndexIfExists(spark, indexPath)
-          val dupIds = indexOpt match {
+          val dupIds = readIndexIfExists(spark, indexPath) match {
             case None => spark.emptyDataFrame.select(lit(0L).as("dup_id")).limit(0)
-            case Some(index0) =>
-              // at-least-once defense: a replayed batch may have appended
-              // its signatures twice — one row per doc_id restores the
-              // candidate join's contract.
-              val index = index0.dropDuplicates("doc_id")
-              val bb = sigT.select(col("doc_id").as("bid"),
-                posexplode(col("buckets")).as(Seq("band", "bucket")))
-              val ib = index.select(col("doc_id").as("iid"),
-                posexplode(col("buckets")).as(Seq("band", "bucket")))
-              // narrow candidate ids through the bucket join; token sets
-              // re-fetched by id for the verify (payload-free exchange,
-              // same discipline as the batch path)
-              val cand = bb.join(ib, Seq("band", "bucket"))
-                .select(col("bid"), col("iid")).dropDuplicates("bid", "iid")
-              cand
-                .join(sigT.select(col("doc_id").as("bid"), col("toks").as("btoks"),
-                  col("n").as("bn")), Seq("bid"))
-                .join(index.select(col("doc_id").as("iid"), col("toks").as("itoks"),
-                  col("n").as("in_")), Seq("iid"))
-                .filter(round(Dedup.jaccardSortedBounded(col("btoks"), col("itoks"),
-                  col("bn"), col("in_"), threshold), 4) >= threshold)
-                .select(col("bid").as("dup_id")).distinct()
-            }
+            case Some(index0) => crossBatchNearDupIds(sigT, index0, threshold)
+          }
           // 3. append novel docs + their signatures
           val novel = survivors
             .join(dupIds, survivors(idCol).cast("long") === col("dup_id"), "left_anti")

@@ -282,6 +282,8 @@ class StreamingSpec extends SparkSpec {
     val composed = "the café menu lists nine warm drinks daily"
     val decomposed =
       java.text.Normalizer.normalize(composed, java.text.Normalizer.Form.NFD)
+    // 19 distinct tokens (incl. 'the') — the chain docs' shared base.
+    val ChainBase = Seq("the") ++ (1 to 18).map(i => s"cw$i")
     // the RefinedWebPipelineSpec fixture, split so the NFC twin (2), the
     // exact copy (8), the near-dup (9), and a capped doc (12) all arrive
     // AFTER their keepers — every state table must answer across batches.
@@ -298,7 +300,16 @@ class StreamingSpec extends SparkSpec {
       (9L, "the quick brown fox jumps over the lazy dog today extra", "https://a.site.com/9"),
       (10L, "the first capped domain doc reads fine", "https://x.otherdom.org/10"),
       (11L, "the second capped domain doc looks good", "https://x.otherdom.org/11"),
-      (12L, "the third capped domain doc waits long", "https://y.otherdom.org/12"))
+      (12L, "the third capped domain doc waits long", "https://y.otherdom.org/12"),
+      // cross-batch near-dup CHAIN (the component-transitivity case): A
+      // arrives in batch 1; B (J(A,B)=19/20) in batch 2 — dropped; C
+      // (J(B,C)=20/22 ≥ 0.9 but J(A,C)=19/22 < 0.9) in batch 3 — the
+      // full recompute connects A-B-C into one component and keeps only
+      // A, so the stream must drop C via B's INDEXED-though-dropped
+      // signature.
+      (20L, ChainBase.mkString(" "), "https://a.chain.net/20"),
+      (21L, (ChainBase :+ "x1").mkString(" "), "https://b.chain.net/21"),
+      (22L, (ChainBase ++ Seq("x1", "y2", "z3")).mkString(" "), "https://c.chain.net/22"))
     val root = java.nio.file.Files.createTempDirectory("graft_rw_stream").toString
     val (inDir, sink, state, ckpt) = (s"$root/in", s"$root/sink", s"$root/state", s"$root/ckpt")
     def drop(rows: Seq[(Long, String, String)]): Unit =
@@ -309,7 +320,7 @@ class StreamingSpec extends SparkSpec {
         blocked = Seq("foo.co.uk"), gopherTh = th, cap = 2).start()
       q.awaitTermination()
     }
-    drop(all.filter(_._1 <= 7L)); runOnce()
+    drop(all.filter(r => r._1 <= 7L || r._1 == 20L)); runOnce()
     // compact BOTH dedup state tables between batches (write-new-then-swap)
     // — the stream must not notice (the sig index is doc_id-keyed:
     // compactBy/rewriteCompactedBy's case).
@@ -322,7 +333,8 @@ class StreamingSpec extends SparkSpec {
     }
     compactDir(s"$state/content_index", "h")
     compactDir(s"$state/sig_index", "doc_id")
-    drop(all.filter(_._1 > 7L)); runOnce()
+    drop(all.filter(r => (r._1 > 7L && r._1 <= 12L) || r._1 == 21L)); runOnce()
+    drop(all.filter(_._1 == 22L)); runOnce()
     val streamed = spark.read.parquet(sink)
       .select("doc_id", "domain")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
@@ -332,7 +344,9 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id", "domain")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(streamed == full, s"streamed $streamed != full $full")
-    assert(streamed.map(_._1) == Set(1L, 7L, 10L, 11L))
+    // chain: only A (20) survives — C (22) dropped via B's
+    // indexed-though-dropped signature, exactly like the one-shot CC
+    assert(streamed.map(_._1) == Set(1L, 7L, 10L, 11L, 20L))
   }
 
   test("streaming domain caps: chained batches == one first-come pass; state bounded") {
