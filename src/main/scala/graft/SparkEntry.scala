@@ -321,11 +321,16 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val centers = Ivf.fitCentroids(emb, 16)
       FittedOracle.ivfStoredCenters = Some(centers)
-      // One FIXED scratch dir per (user, sf dir), overwritten each run —
-      // a fresh createTempDirectory per invocation accumulated a corpus
-      // copy on every Verify/Bench/spec pass.
+      // One scratch dir per (user, sf dir, Spark app): the full
+      // sanitized dir string kills hashCode collisions across sf dirs,
+      // and the app id isolates concurrent JVMs (a Bench run beside a
+      // Verify run raced overwrite-vs-read on a shared path). Per-app
+      // dirs would accumulate across runs, so register a shutdown
+      // delete; within one app, reruns overwrite in place.
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_store_" +
-        s"${System.getProperty("user.name", "u")}_${dir.hashCode.toHexString}"
+        s"${System.getProperty("user.name", "u")}_" +
+        s"${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_${s.sparkContext.applicationId}"
+      IvfStoreScratch.deleteOnExit(path)
       Ivf.writeListPartitioned(emb, centers, path)
       Ivf.knnIvfStored(s, path, centers, emb.filter(col("vec_id") % 50 === 0), 5)
     }),
@@ -2692,13 +2697,11 @@ object SparkEntry {
         |  FROM documents)
         |WHERE rk <= 20 ORDER BY source, rk""".stripMargin,
     "domain_caps" ->
-      s"""WITH u AS (
+      s"""WITH ${graft.ingest.Psl.sqlPslCte},
+         |u AS (
          |  SELECT doc_id, n_chars, $sqlFixtureUrl AS url
          |  FROM documents),
-         |d AS (
-         |  SELECT doc_id, n_chars,
-         |    ${graft.ingest.Urls.sqlRegisteredDomain("url")} AS domain
-         |  FROM u),
+         |${graft.ingest.Psl.sqlDomainCtes("u", "doc_id", Seq("n_chars"), "url", "d")},
          |r AS (
          |  SELECT doc_id, domain, n_chars,
          |    ROW_NUMBER() OVER (PARTITION BY domain
@@ -2707,13 +2710,11 @@ object SparkEntry {
          |SELECT doc_id, domain, n_chars, rk FROM r WHERE rk <= 50
          |ORDER BY domain, rk""".stripMargin,
     "domain_caps_incremental" ->
-      s"""WITH u AS (
+      s"""WITH ${graft.ingest.Psl.sqlPslCte},
+         |u AS (
          |  SELECT doc_id, $sqlFixtureUrl AS url
          |  FROM documents),
-         |d AS (
-         |  SELECT doc_id,
-         |    ${graft.ingest.Urls.sqlRegisteredDomain("url")} AS domain
-         |  FROM u),
+         |${graft.ingest.Psl.sqlDomainCtes("u", "doc_id", Seq.empty, "url", "d")},
          |r AS (
          |  SELECT doc_id, domain,
          |    ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id ASC) AS rk
@@ -2721,12 +2722,13 @@ object SparkEntry {
          |SELECT doc_id, domain FROM r WHERE rk <= 50
          |ORDER BY doc_id""".stripMargin,
     "domain_blocklist" ->
-      s"""WITH u AS (
+      s"""WITH ${graft.ingest.Psl.sqlPslCte},
+         |u AS (
          |  SELECT doc_id, source, $sqlFixtureUrl AS url
-         |  FROM documents)
-         |SELECT doc_id, source FROM u
-         |WHERE ${graft.ingest.Urls.sqlRegisteredDomain("url")}
-         |      NOT IN ('example.com', 'foo.co.uk')
+         |  FROM documents),
+         |${graft.ingest.Psl.sqlDomainCtes("u", "doc_id", Seq("source"), "url", "d")}
+         |SELECT doc_id, source FROM d
+         |WHERE domain NOT IN ('example.com', 'foo.co.uk')
          |ORDER BY doc_id""".stripMargin,
     "takedown_requests" ->
       """SELECT doc_id, source FROM documents
@@ -2797,7 +2799,7 @@ object SparkEntry {
   /** Non-latin samples planted by `script_mix` (index = doc_id mod 5,
     * 1-based into this list; mod 0 keeps the latin fixture text). */
   private val ScriptSamples = Seq(
-    "привет мир сегодня", "你好世界今天", "γεια σου κόσμε", "مرحبا بالعالم")
+    "привет мир сегодня", "你好世界今天 𠀀😀", "γεια σου κόσμε", "مرحبا بالعالم")
 
   /** Deterministic per-doc URLs over the skewed host mix — shared by the
     * `domain_caps` / `domain_blocklist` queries and their oracles. */
@@ -2845,6 +2847,20 @@ object SparkEntry {
     }.mkString(",\n          ")
     s"(VALUES\n          $rows) t(doc_id, text)"
   }
+}
+
+/** Shutdown cleanup for the per-app IVF store scratch dirs (`knn_ivf_stored`):
+  * per-app paths can't collide across concurrent JVMs, but they would
+  * accumulate in tmp across runs without this. Registration is idempotent
+  * per path; the delete runs once at JVM exit. */
+object IvfStoreScratch {
+  private val registered = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  def deleteOnExit(path: String): Unit =
+    if (registered.add(path)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+        catch { case _: java.io.IOException => () }))
+    }
 }
 
 /** Inline PII corpus (the synthetic documents contain no PII, so the scrub

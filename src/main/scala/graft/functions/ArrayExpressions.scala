@@ -402,19 +402,6 @@ case class MinHashBandBuckets(child: Expression, numHashes: Int, bands: Int)
 
 object MinHashBandBuckets {
 
-  // MessageDigest is stateful and not thread-safe: one MD5 instance per
-  // executor thread, reused across rows (digest() leaves it reset).
-  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
-  // Pre-rendered ASCII decimal bytes for component indexes (numHashes is
-  // 64 in every caller; 1024 leaves headroom without a per-hash format).
-  private val compBytes: Array[Array[Byte]] =
-    Array.tabulate(1024)(i =>
-      String.valueOf(i).getBytes(java.nio.charset.StandardCharsets.US_ASCII))
-
   // Per-token md5-component memo (r9): token text follows a Zipf law, so
   // across a partition the SAME head tokens pay the numHashes/4 digests
   // over and over — the md5 family's dominant CPU (the r8 verdict's
@@ -423,36 +410,73 @@ object MinHashBandBuckets {
   // output-invariant (ExpressionsSpec's native==declarative pin still
   // holds) and turns the head of the distribution into array copies.
   // Sizing: 8192 entries × (key + numHashes ints + map overhead) ≈ 3 MB
-  // per executor thread — bounded, independent of corpus size. The key is
-  // the token's raw bytes via the 1:1 ISO-8859-1 decode (NOT UTF-8: an
-  // invalid byte sequence would re-encode differently and change the
-  // digest vs the declarative chain, which hashes the original bytes).
+  // per executor thread — bounded, independent of corpus size.
+  //
+  // r10: the key is the token's UTF8String itself (bytes-equality hash),
+  // so a cache HIT costs zero allocation — the r9 form paid a byte-array
+  // copy plus an ISO-8859-1 String decode per LOOKUP; keys are cloned
+  // only on insert (the probe object may point into a reused unsafe
+  // buffer). Raw-byte identity is preserved trivially: the key IS the
+  // raw bytes.
   private val CacheEntries = 8192
   private final class TokenCache(val numHashes: Int)
-      extends java.util.LinkedHashMap[String, Array[Int]](1024, 0.75f, true) {
+      extends java.util.LinkedHashMap[UTF8String, Array[Int]](1024, 0.75f, true) {
     override def removeEldestEntry(
-        e: java.util.Map.Entry[String, Array[Int]]): Boolean =
+        e: java.util.Map.Entry[UTF8String, Array[Int]]): Boolean =
       size() > CacheEntries
   }
-  private val cacheLocal = new ThreadLocal[TokenCache]
+
+  // r10: all per-thread mutable state in one holder — the hand-rolled
+  // allocation-free [[Md5]] (replacing MessageDigest: no provider
+  // indirection, no internal buffering, no 16-byte array per digest; the
+  // cache-MISS path and the per-row band digests were the remaining cost
+  // after the r9 memo), a reusable input buffer, and the memo.
+  private final class Scratch {
+    val md5 = new Md5
+    val out = new Array[Byte](16)
+    var buf = new Array[Byte](512)
+    var cache: TokenCache = null
+    def ensure(n: Int): Array[Byte] = {
+      if (buf.length < n) buf = new Array[Byte](Integer.highestOneBit(n) * 2)
+      buf
+    }
+  }
+  private val scratchLocal = new ThreadLocal[Scratch] {
+    override def initialValue(): Scratch = new Scratch
+  }
+
+  /** ASCII decimal of `v >= 0` into `buf` at `off`; returns end offset. */
+  private def writeDecimal(buf: Array[Byte], off: Int, v: Long): Int = {
+    if (v == 0) { buf(off) = '0'; return off + 1 }
+    var digits = 0
+    var t = v
+    while (t > 0) { digits += 1; t /= 10 }
+    var end = off + digits
+    t = v
+    var i = end - 1
+    while (t > 0) { buf(i) = ('0' + (t % 10).toInt).toByte; t /= 10; i -= 1 }
+    end
+  }
 
   /** The numHashes u32 components of one token: digest quad j =
     * md5(token ++ ":" ++ j), components 4j..4j+3 its four disjoint
-    * big-endian u32 byte ranges, stored as Int bit patterns. */
-  private def tokenComponents(md: java.security.MessageDigest,
-                              tb: Array[Byte], numHashes: Int): Array[Int] = {
+    * big-endian u32 byte ranges, stored as Int bit patterns. The token
+    * bytes are written into the scratch buffer ONCE; only the decimal
+    * suffix is rewritten per quad. */
+  private def tokenComponents(s: Scratch, tok: UTF8String,
+                              numHashes: Int): Array[Int] = {
+    val tlen = tok.numBytes()
+    val buf = s.ensure(tlen + 12)
+    tok.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET)
+    buf(tlen) = ':'
     val comps = new Array[Int](numHashes)
     var j = 0
     while (j < numHashes / 4) {
-      md.reset()
-      md.update(tb)
-      md.update(':'.toByte)
-      md.update(if (j < compBytes.length) compBytes(j)
-                else String.valueOf(j).getBytes(java.nio.charset.StandardCharsets.US_ASCII))
-      val d = md.digest()
+      val len = writeDecimal(buf, tlen + 1, j.toLong)
+      s.md5.digest(buf, len, s.out)
       var q = 0
       while (q < 4) {
-        comps(4 * j + q) = u32At(d, 4 * q).toInt
+        comps(4 * j + q) = u32At(s.out, 4 * q).toInt
         q += 1
       }
       j += 1
@@ -478,12 +502,10 @@ object MinHashBandBuckets {
       ((d(off + 2) & 0xFFL) << 8) | (d(off + 3) & 0xFFL)
 
   def compute(tokens: ArrayData, numHashes: Int, bands: Int): ArrayData = {
-    val md = mdLocal.get()
-    var cache = cacheLocal.get()
-    if (cache == null || cache.numHashes != numHashes) {
-      cache = new TokenCache(numHashes)
-      cacheLocal.set(cache)
-    }
+    val s = scratchLocal.get()
+    if (s.cache == null || s.cache.numHashes != numHashes)
+      s.cache = new TokenCache(numHashes)
+    val cache = s.cache
     val sig = new Array[Long](numHashes)
     java.util.Arrays.fill(sig, Long.MaxValue)
     val n = tokens.numElements()
@@ -495,13 +517,13 @@ object MinHashBandBuckets {
         // ranges (r8: four 32-bit components per digest — disjoint
         // cryptographic digest ranges are independent hash functions,
         // and a band key is r=4 components = 128 bits). Head tokens hit
-        // the per-thread memo and skip the digests entirely (r9).
-        val tb = tokens.getUTF8String(i).getBytes
-        val key = new String(tb, java.nio.charset.StandardCharsets.ISO_8859_1)
-        var comps = cache.get(key)
+        // the per-thread memo and skip the digests entirely (r9);
+        // the probe allocates nothing (r10 — see TokenCache).
+        val tok = tokens.getUTF8String(i)
+        var comps = cache.get(tok)
         if (comps == null) {
-          comps = tokenComponents(md, tb, numHashes)
-          cache.put(key, comps)
+          comps = tokenComponents(s, tok, numHashes)
+          cache.put(tok.clone(), comps)
         }
         var k = 0
         while (k < numHashes) {
@@ -514,23 +536,23 @@ object MinHashBandBuckets {
     }
     val r = numHashes / bands
     val buckets = new Array[Long](bands)
-    val sb = new java.lang.StringBuilder(r * 20 + 8)
+    // low60(md5("bd:s0,s1,…,s(r−1)")) — decimal renderings written
+    // straight into the scratch buffer, so the declarative chain
+    // (concat + cast-to-string + md5) and DuckDB rebuild the identical
+    // digest input without a String round-trip.
+    val buf = s.ensure(r * 21 + 12)
     var bd = 0
     var k = 0
     while (bd < bands) {
-      // low60(md5("bd:s0,s1,…,s(r−1)")) — decimal renderings, so the
-      // declarative chain (concat + cast-to-string + md5) and DuckDB
-      // rebuild the identical digest input.
-      sb.setLength(0)
-      sb.append(bd).append(':')
+      var off = writeDecimal(buf, 0, bd.toLong)
+      buf(off) = ':'; off += 1
       var j = 0
       while (j < r) {
-        if (j > 0) sb.append(',')
-        sb.append(sig(k)); k += 1; j += 1
+        if (j > 0) { buf(off) = ','; off += 1 }
+        off = writeDecimal(buf, off, sig(k)); k += 1; j += 1
       }
-      md.reset()
-      md.update(sb.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
-      buckets(bd) = low60(md.digest())
+      s.md5.digest(buf, off, s.out)
+      buckets(bd) = low60(s.out)
       bd += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(buckets)
@@ -650,6 +672,41 @@ object NfcNormalize {
   }
 }
 
+/** Registered domain (eTLD+1) of a lowercased host under the full Public
+  * Suffix List ([[graft.ingest.Psl]] — vendored public data, parsed once
+  * per JVM from the application jar, so executors need no broadcast).
+  * Native expression (vs a UDF) for the same reason as [[NfcNormalize]]:
+  * the domain key is computed in scan-stage projections ahead of the
+  * domain-caps exchange and must stay inside whole-stage codegen. The
+  * DuckDB mirror is [[graft.ingest.Psl.sqlDomainCtes]]'s candidate-suffix
+  * equi-join over the SAME printed rule table. */
+case class RegisteredDomain(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_registered_domain"
+
+  override def nullSafeEval(v: Any): Any =
+    RegisteredDomain.compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = org.apache.spark.sql.graft.RegisteredDomain.compute($v);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RegisteredDomain {
+  def compute(host: UTF8String): UTF8String = {
+    val h = host.toString
+    val d = graft.ingest.Psl.registeredDomainOf(h)
+    if (d eq h) host else UTF8String.fromString(d)
+  }
+}
+
 object ArrayFunctions {
 
   /** Codegen'd |A ∩ B| for sorted, distinct string arrays. */
@@ -684,6 +741,10 @@ object ArrayFunctions {
   /** Codegen'd Unicode NFC normalization; see [[NfcNormalize]]. */
   def nfcNormalize(text: Column): Column =
     ExpressionUtils.column(NfcNormalize(ExpressionUtils.expression(text)))
+
+  /** Codegen'd PSL eTLD+1 lookup; see [[RegisteredDomain]]. */
+  def registeredDomain(host: Column): Column =
+    ExpressionUtils.column(RegisteredDomain(ExpressionUtils.expression(host)))
 
   /** Codegen'd first-equal-position of two long arrays; see [[FirstEqualIndex]]. */
   def firstEqualIndex(a: Column, b: Column): Column =

@@ -61,16 +61,6 @@ object Urls {
         when(q === "", "").otherwise(concat(lit("?"), q))))
   }
 
-  /** Multi-label public suffixes recognized by [[registeredDomain]] — a
-    * representative subset of the Public Suffix List covering the common
-    * ccTLD second-level registries. A production deployment swaps in the
-    * full PSL (it's a flat data file; the expression shape is unchanged);
-    * the subset keeps the operator dependency-free in this build. */
-  val MultiLabelSuffixes: Seq[String] = Seq(
-    "co.uk", "org.uk", "gov.uk", "ac.uk", "com.au", "net.au", "org.au",
-    "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "com.mx", "co.in",
-    "co.kr", "co.za", "com.tr", "com.ar")
-
   /** Hostname of `url`: lowercased authority minus userinfo and port.
     * Scheme-less input → empty string (resolve relative links first, as
     * with [[canonicalize]]). IPv6 bracket literals are out of scope
@@ -80,38 +70,24 @@ object Urls {
       regexp_replace(lower(regexp_extract(trim(url), AuthRe, 1)), "^[^@]*@", ""),
       ":[0-9]+$", "")
 
+  /** [[host]] as DuckDB SQL — same regexes, same step order. */
+  def sqlHost(colName: String): String =
+    s"regexp_replace(regexp_replace(lower(regexp_extract(trim($colName), " +
+      s"'$AuthRe', 1)), '^[^@]*@', ''), ':[0-9]+$$', '')"
+
   /** Registered domain (eTLD+1) of `url` — the per-domain cap key of
     * RefinedWeb-style curation ("at most N documents per registered
     * domain"): subdomains collapse (`news.example.com` and
-    * `blog.example.com` are both `example.com`), two-label public
-    * suffixes keep their third label (`archive.foo.co.uk` → `foo.co.uk`),
-    * IPv4 literals and bare single-label hosts pass through. Pure string
-    * expressions — codegen-friendly, mirrors 1:1 into DuckDB
-    * ([[sqlRegisteredDomain]]). */
-  def registeredDomain(url: Column): Column = {
-    val h = host(url)
-    val labels = split(h, "\\.")
-    val n = size(labels)
-    val last2 = array_join(slice(labels, -2, 2), ".")
-    val last3 = array_join(slice(labels, -3, 3), ".")
-    when(h.rlike("^[0-9.]+$"), h)
-      .when(n <= 2, h)
-      .when(last2.isin(MultiLabelSuffixes: _*), last3)
-      .otherwise(last2)
-  }
-
-  /** DuckDB mirror of [[registeredDomain]] over a column named `colName`
-    * — same regexes, same suffix subset, same branch order. */
-  def sqlRegisteredDomain(colName: String): String = {
-    val h = s"regexp_replace(regexp_replace(lower(regexp_extract(trim($colName), " +
-      s"'$AuthRe', 1)), '^[^@]*@', ''), ':[0-9]+$$', '')"
-    val suffixes = MultiLabelSuffixes.map(s => s"'$s'").mkString(", ")
-    s"""CASE WHEN regexp_matches($h, '^[0-9.]+$$') THEN $h
-       |  WHEN len(string_split($h, '.')) <= 2 THEN $h
-       |  WHEN array_to_string(string_split($h, '.')[-2:], '.') IN ($suffixes)
-       |    THEN array_to_string(string_split($h, '.')[-3:], '.')
-       |  ELSE array_to_string(string_split($h, '.')[-2:], '.') END""".stripMargin
-  }
+    * `blog.example.com` are both `example.com`), public suffixes keep one
+    * more label (`archive.foo.co.uk` → `foo.co.uk`, `a.b.github.io` →
+    * `b.github.io` — the full Public Suffix List including wildcard,
+    * exception, and private-registry rules; [[Psl]]), IPv4 literals and
+    * bare single-label hosts pass through. The lookup is the codegen'd
+    * [[org.apache.spark.sql.graft.RegisteredDomain]] expression; the
+    * DuckDB mirror is [[Psl.sqlDomainCtes]]'s candidate-suffix equi-join
+    * over the same printed rule table. */
+  def registeredDomain(url: Column): Column =
+    org.apache.spark.sql.graft.ArrayFunctions.registeredDomain(host(url))
 
   /** DuckDB mirror of [[canonicalize]] over a column named `colName` —
     * same regexes, same step order. The query CASE compares through

@@ -44,19 +44,31 @@ object CcNetPipeline {
     * table counts exactly what the corpus ships. */
   final case class Stages(pd: DataFrame, lg: DataFrame, tiers: DataFrame)
 
+  /** `materialize` pins the shared language-gate frame (default
+    * `localCheckpoint(true)` — single-JVM-correct; a cluster deployment
+    * that must survive executor loss passes `_.persist(DISK_ONLY)` or a
+    * reliable-checkpoint wrapper instead). Output is
+    * materializer-invariant (CcNetPipelineSpec pins it). */
   def stages(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
              lang: String = "en", splitRe: String = "\\n{2,}",
              nShards: Int = 1024,
-             crossFitModel: Option[DataFrame] = None): Stages = {
+             crossFitModel: Option[DataFrame] = None,
+             materialize: DataFrame => DataFrame = _.localCheckpoint(true)): Stages = {
+    // 0. NFC normalization (r10) AHEAD of the paragraph-norm hashing —
+    // the RefinedWeb placement proof applies here too: NFD twins of a
+    // boilerplate paragraph would otherwise escape the norm-keyed dedup
+    // (CcNetPipelineSpec plants one). The cross-fit model slice gets the
+    // same treatment in [[applyCrossFit]], so fit and scoring agree.
+    val nfcDocs = docs.withColumn(textCol,
+      org.apache.spark.sql.graft.ArrayFunctions.nfcNormalize(col(textCol)))
     // 1. paragraph dedup; fully-boilerplate docs (nothing kept) drop.
     val pd = graft.dedup.ParagraphDedup
-      .dedupParagraphs(docs, idCol, textCol, minOccurrences = 2L, splitRe)
+      .dedupParagraphs(nfcDocs, idCol, textCol, minOccurrences = 2L, splitRe)
       .filter(col("n_kept") > 0)
       .select(col("doc_id"), col("text_clean").as("text"))
-    // 2. language gate. Checkpoint: the survivor set feeds the LM FIT
+    // 2. language gate. Materialize: the survivor set feeds the LM FIT
     //    and the scoring pass — one materialization, two consumers.
-    val lg = pd.filter(TextAnalysis.langId(col("text")) === lang)
-      .localCheckpoint(true)
+    val lg = materialize(pd.filter(TextAnalysis.langId(col("text")) === lang))
     // 3. perplexity tiers; the tail is cut by the callers. Self-fit by
     //    default; with a crossFitModel this is the PAPER's shape — the
     //    LM fit on the trusted target corpus (Wenzek et al. fit KenLM on
@@ -77,14 +89,18 @@ object CcNetPipeline {
                     idCol: String = "doc_id", textCol: String = "text",
                     lang: String = "en", splitRe: String = "\\n{2,}",
                     nShards: Int = 1024): DataFrame =
-    stages(docs, idCol, textCol, lang, splitRe, nShards, Some(modelDocs)).tiers
+    stages(docs, idCol, textCol, lang, splitRe, nShards,
+      Some(modelDocs.withColumn("text",
+        org.apache.spark.sql.graft.ArrayFunctions.nfcNormalize(col("text"))))).tiers
       .filter(col("tier") =!= "tail")
       .orderBy(col("doc_id"))
 
   def apply(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
             lang: String = "en", splitRe: String = "\\n{2,}",
-            nShards: Int = 1024): DataFrame =
-    stages(docs, idCol, textCol, lang, splitRe, nShards).tiers
+            nShards: Int = 1024,
+            materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame =
+    stages(docs, idCol, textCol, lang, splitRe, nShards,
+      materialize = materialize).tiers
       .filter(col("tier") =!= "tail")
       .orderBy(col("doc_id"))
 
@@ -138,7 +154,7 @@ object CcNetPipeline {
     * bigram stream with the OOV-backoff COALESCE of `lm_scores_crossfit`. */
   def sqlPipelineCrossFit(from: String, lang: String = "en",
                           modelLang: String = "en"): String =
-    s"""WITH d0 AS (SELECT * FROM $from),
+    s"""WITH d0 AS (SELECT * REPLACE (nfc_normalize(text) AS text) FROM $from),
        |u AS (
        |  SELECT doc_id, CAST(w.i - 1 AS BIGINT) AS idx, w.raw AS raw,
        |    lower(trim(regexp_replace(w.raw, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS norm
@@ -199,7 +215,7 @@ object CcNetPipeline {
        |FROM t WHERE bucket <= 2 ORDER BY doc_id""".stripMargin
 
   private def sqlCtes(from: String, lang: String): String =
-    s"""WITH d0 AS (SELECT * FROM $from),
+    s"""WITH d0 AS (SELECT * REPLACE (nfc_normalize(text) AS text) FROM $from),
        |u AS (
        |  SELECT doc_id, CAST(w.i - 1 AS BIGINT) AS idx, w.raw AS raw,
        |    lower(trim(regexp_replace(w.raw, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS norm

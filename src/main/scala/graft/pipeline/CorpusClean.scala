@@ -30,9 +30,11 @@ object CorpusClean {
   def apply(docs: DataFrame, minQuality: Double = 0.5, lang: String = "en",
             dedupThreshold: Double = 0.9,
             idCol: String = "doc_id", textCol: String = "text",
-            blockCol: String = "source"): DataFrame =
+            blockCol: String = "source",
+            materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame =
     build(docs, minQuality, lang, idCol, textCol, blockCol,
-      f => Dedup.nearDupKeepers(f, idCol, textCol, blockCol, dedupThreshold))
+      f => Dedup.nearDupKeepers(f, idCol, textCol, blockCol, dedupThreshold),
+      materialize)
 
   /** The 100 TB variant (`corpus_clean_scaled` query): identical stages,
     * but the dedup feed is the CORPUS-WIDE MinHash→verify→CC path
@@ -52,9 +54,11 @@ object CorpusClean {
   def scaled(docs: DataFrame, minQuality: Double = 0.5, lang: String = "en",
              dedupThreshold: Double = 0.9,
              idCol: String = "doc_id", textCol: String = "text",
-             sourceCol: String = "source"): DataFrame =
+             sourceCol: String = "source",
+             materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame =
     build(docs, minQuality, lang, idCol, textCol, sourceCol,
-      f => Dedup.nearDupKeepersScaled(f, idCol, textCol, dedupThreshold))
+      f => Dedup.nearDupKeepersScaled(f, idCol, textCol, dedupThreshold),
+      materialize)
 
   /** [[apply]] with the TRAINED quality gate composed in front: documents
     * the [[QualityClassifier]] rejects (keep = 0) never reach the
@@ -75,13 +79,20 @@ object CorpusClean {
     apply(gated, minQuality, lang, dedupThreshold, idCol, textCol, blockCol)
   }
 
+  /** `materialize` pins the shared stage frame (default
+    * `localCheckpoint(true)` — single-JVM-correct; pass
+    * `_.persist(StorageLevel.DISK_ONLY)` or a reliable-checkpoint
+    * wrapper on a cluster that must survive executor loss — local
+    * checkpoints cannot be recomputed). Output is materializer-invariant
+    * (CorpusCleanSpec pins it). */
   private def build(docs: DataFrame, minQuality: Double, lang: String,
                     idCol: String, textCol: String, blockCol: String,
-                    keepersOf: DataFrame => DataFrame): DataFrame = {
-    val filtered = docs
+                    keepersOf: DataFrame => DataFrame,
+                    materialize: DataFrame => DataFrame): DataFrame = {
+    val filtered = materialize(docs
       .filter(TextAnalysis.qualityScore(col(textCol)) >= minQuality &&
-        TextAnalysis.langId(col(textCol)) === lang)
-      .localCheckpoint(true) // feeds the pair join, the CC ids, and the output
+        TextAnalysis.langId(col(textCol)) === lang))
+      // feeds the pair join, the CC ids, and the output
     val keepers = keepersOf(filtered)
       .filter(col("doc_id") === col("keeper_id"))
       .select(col("doc_id"))

@@ -141,8 +141,14 @@ object Curation {
                                     ordering: Seq[Column]): (DataFrame, DataFrame) = {
     val ranked = batch.withColumn("__rk",
       row_number().over(Window.partitionBy(col("domain")).orderBy(ordering: _*)))
+    // No broadcast HINT on the tally: at blog-corpus scale the state is a
+    // few thousand rows and statistics/AQE pick a broadcast join anyway,
+    // but the registered-domain universe of a real web crawl is tens of
+    // millions of rows — a forced broadcast would OOM the driver there,
+    // while AQE correctly falls back to a shuffle join keyed by the same
+    // domain the window just partitioned on.
     val kept = ranked
-      .join(broadcast(state.select(col("domain"), col("n_kept"))), Seq("domain"), "left")
+      .join(state.select(col("domain"), col("n_kept")), Seq("domain"), "left")
       .filter(col("__rk") <= lit(cap) - coalesce(col("n_kept"), lit(0L)))
       .drop("__rk", "n_kept")
       .localCheckpoint(true) // feeds the output AND the state update once

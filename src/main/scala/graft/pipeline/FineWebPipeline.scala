@@ -58,12 +58,19 @@ object FineWebPipeline {
 
   /** Stage-1 C4 cleaning with the preset's column contract
     * (doc_id, text) — shared by [[stages]], [[incrementalStages]], and
-    * [[benchSlice]] so the three can't diverge on the cleaned text. */
+    * [[benchSlice]] so the three can't diverge on the cleaned text.
+    * The cleaned text is NFC-normalized (r10) so every downstream key —
+    * window hashes, content hashes, decontamination shingles, DSIR
+    * buckets — sees canonical bytes: the RefinedWeb placement proof
+    * (an NFD twin defeats raw-byte dedup) applies to this preset's
+    * stage-4/5 hashing identically (FineWebPipelineSpec pins it). */
   def c4Stage(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text",
               minWordsPerLine: Int = 5, minLines: Int = 3): DataFrame =
     C4Filters.clean(docs, idCol, textCol, minWordsPerLine, minLines)
-      .select(col(idCol).cast("long").as("doc_id"), col("clean_text").as("text"))
+      .select(col(idCol).cast("long").as("doc_id"),
+        org.apache.spark.sql.graft.ArrayFunctions
+          .nfcNormalize(col("clean_text")).as("text"))
 
   /** The default benchmark slice: the C4-cleaned `doc_id % benchMod`
     * rows of `docs`. [[stages]] derives this internally when no explicit
@@ -486,7 +493,8 @@ object FineWebPipeline {
        |  SELECT doc_id, array_to_string(kept, chr(10)) AS ctext FROM c4k
        |  WHERE NOT contains(lower(text), 'lorem ipsum')
        |    AND NOT contains(text, '{') AND len(kept) >= $minLines),
-       |g0 AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, ctext AS text FROM c4),
+       |g0 AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |         nfc_normalize(ctext) AS text FROM c4),
        |g AS (SELECT doc_id, text FROM g0
        |      WHERE $rulesPass
        |        AND doc_id IN (SELECT doc_id FROM ($repSig) rs WHERE rs.pass)),

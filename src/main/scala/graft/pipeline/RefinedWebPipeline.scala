@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -10,12 +10,13 @@ import graft.text.{GopherRepetition, GopherRules, TextAnalysis}
   * query) — Penedo et al. 2023's Macrodata-Refinement ordering ("The
   * RefinedWeb Dataset for Falcon LLM"), the third preset family next to
   * [[FineWebPipeline]] and [[CcNetPipeline]], chained from operators this
-  * library already ships — including the round-9 additions it exists to
-  * integrate:
+  * library already ships:
   *
   *  1. URL gate: registered-domain blocklist
   *     ([[graft.ingest.Urls.registeredDomain]] — subdomains of a blocked
-  *     eTLD+1 drop with it);
+  *     eTLD+1 drop with it; a null/unparseable URL maps to the ''
+  *     domain group, so the kept/dropped decision never depends on
+  *     whether a blocklist was supplied);
   *  2. Unicode NFC normalization
   *     ([[org.apache.spark.sql.graft.NfcNormalize]]) — BEFORE every
   *     downstream key, so NFC/NFD twins collapse for language ID,
@@ -43,68 +44,96 @@ import graft.text.{GopherRepetition, GopherRules, TextAnalysis}
   * one hash-keyed exchange; stage 6 the banded ids-only MinHash
   * composition; stage 7 one domain-keyed window. No single-partition
   * window, nothing quadratic engine-side.
+  *
+  * Materialization: shared stage frames are pinned through `materialize`
+  * (default `localCheckpoint(true)` — correct and fast single-JVM; a
+  * cluster deployment that must survive executor loss passes
+  * `_.persist(StorageLevel.DISK_ONLY)` or a reliable-checkpoint wrapper
+  * instead — local checkpoints live on executor storage and cannot be
+  * recomputed). Output is materializer-invariant (spec-pinned).
   */
 object RefinedWebPipeline {
 
-  /** Stage frames, shared by [[apply]] and [[funnel]]. */
+  /** Stage frames, shared by [[apply]] and [[funnel]]. `funnelObs`
+    * carries the (raw, url_blocklist, language) observation handles when
+    * `observeFunnel` was set — their counts ride the SAME scan that
+    * materializes `gated`, so the funnel never re-executes the raw gate
+    * chain (read them only after an action has run on `gated` or a
+    * descendant; `Observation.get` blocks until then). */
   final case class Stages(urlGated: DataFrame, langed: DataFrame,
                           gated: DataFrame, exact: DataFrame,
-                          fuzzy: DataFrame, capped: DataFrame)
+                          fuzzy: DataFrame, capped: DataFrame,
+                          funnelObs: Option[(Observation, Observation, Observation)])
 
   def stages(docs: DataFrame, urlCol: String = "url",
              blocked: Seq[String] = Seq.empty, lang: String = "en",
              gopherTh: GopherRules.Thresholds = GopherRules.Thresholds(),
              repetitionTh: GopherRepetition.Thresholds = GopherRepetition.Thresholds(),
              threshold: Double = 0.9, cap: Int = 100,
-             idCol: String = "doc_id", textCol: String = "text"): Stages = {
+             idCol: String = "doc_id", textCol: String = "text",
+             materialize: DataFrame => DataFrame = _.localCheckpoint(true),
+             observeFunnel: Boolean = false): Stages = {
     // Widen FIRST: the interpreted HOF gates (langId markers, repetition
     // folds) are the preset's per-row CPU, and a small parquet scan
     // arrives in 1-2 partitions — without the repartition they run
     // near-single-threaded (measured 6× on the repetition stage).
-    val dom = graft.Par.widen(docs).withColumn("domain",
-      graft.ingest.Urls.registeredDomain(col(urlCol)))
-    val urlGated =
+    // Null/unparseable URLs coalesce to the '' domain group (explicit,
+    // so `isin` null semantics can't silently drop them when a blocklist
+    // is supplied but keep them when it's empty).
+    val dom0 = graft.Par.widen(docs).withColumn("domain",
+      coalesce(graft.ingest.Urls.registeredDomain(col(urlCol)), lit("")))
+    // Funnel observation points (one-pass discipline): CollectMetrics
+    // nodes ride the gated-materialization scan — the counts for stages
+    // 0-2 cost zero extra passes over the raw corpus.
+    val (obsRaw, obsUrl, obsLang) =
+      (Observation("rw_raw"), Observation("rw_url"), Observation("rw_lang"))
+    val dom = if (observeFunnel) dom0.observe(obsRaw, count(lit(1)).as("n")) else dom0
+    val urlGated0 =
       (if (blocked.isEmpty) dom else dom.filter(!col("domain").isin(blocked: _*)))
         .select(col(idCol).cast("long").as("doc_id"), col("domain"),
           col(textCol).as("text"))
+    val urlGated = if (observeFunnel) urlGated0.observe(obsUrl, count(lit(1)).as("n"))
+                   else urlGated0
     // NFC FIRST: all keys below (langId markers, md5, MinHash tokens)
     // see canonical bytes.
     val normed = urlGated.withColumn("text",
       org.apache.spark.sql.graft.ArrayFunctions.nfcNormalize(col("text")))
-    val langed = normed.filter(TextAnalysis.langId(col("text")) === lang)
-    // Checkpoint: the gated survivors feed the exact-dedup window, the
+    val langed0 = normed.filter(TextAnalysis.langId(col("text")) === lang)
+    val langed = if (observeFunnel) langed0.observe(obsLang, count(lit(1)).as("n"))
+                 else langed0
+    // Materialize: the gated survivors feed the exact-dedup window, the
     // MinHash fit, and the funnel — one materialization, three readers.
-    val gated = langed
+    val gated = materialize(langed
       .filter(GopherRules.passExpr(col("text"), gopherTh))
-      .filter(GopherRepetition.passExpr(col("text"), repetitionTh))
-      .localCheckpoint(true)
-    val exact = gated
+      .filter(GopherRepetition.passExpr(col("text"), repetitionTh)))
+    val exact = materialize(gated
       .withColumn("__k",
         min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
-      .filter(col("doc_id") === col("__k")).drop("__k")
-      .localCheckpoint(true)
+      .filter(col("doc_id") === col("__k")).drop("__k"))
     val keepers = graft.dedup.Dedup
       .nearDupKeepersScaled(exact, "doc_id", "text", threshold)
-    // Checkpoint: the MinHash composition is the preset's dominant CPU;
+    // Materialize: the MinHash composition is the preset's dominant CPU;
     // without this the funnel's near_dedup count and the caps stage each
     // re-run it (measured ~2× the stage cost at sf0.1).
-    val fuzzy = exact.join(
+    val fuzzy = materialize(exact.join(
       keepers.filter(col("doc_id") === col("keeper_id")).select(col("doc_id")),
-      Seq("doc_id"))
-      .localCheckpoint(true)
+      Seq("doc_id")))
     val capped = fuzzy
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("domain")).orderBy(col("doc_id"))))
       .filter(col("rk") <= cap)
-    Stages(urlGated, langed, gated, exact, fuzzy, capped)
+    Stages(urlGated, langed, gated, exact, fuzzy, capped,
+      if (observeFunnel) Some((obsRaw, obsUrl, obsLang)) else None)
   }
 
   def apply(docs: DataFrame, urlCol: String = "url",
             blocked: Seq[String] = Seq.empty, lang: String = "en",
             gopherTh: GopherRules.Thresholds = GopherRules.Thresholds(),
             repetitionTh: GopherRepetition.Thresholds = GopherRepetition.Thresholds(),
-            threshold: Double = 0.9, cap: Int = 100): DataFrame =
-    stages(docs, urlCol, blocked, lang, gopherTh, repetitionTh, threshold, cap)
+            threshold: Double = 0.9, cap: Int = 100,
+            materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame =
+    stages(docs, urlCol, blocked, lang, gopherTh, repetitionTh, threshold, cap,
+      materialize = materialize)
       .capped
       .select(col("doc_id"), col("domain"),
         size(TextAnalysis.tokens(lower(col("text")))).cast("long").as("n_tokens"))
@@ -112,20 +141,33 @@ object RefinedWebPipeline {
 
   /** Per-stage survivor counts (`refinedweb_funnel` query) — the ablation
     * table from the SAME stage frames [[apply]] ships (NFC is
-    * count-invariant and not a funnel row). */
+    * count-invariant and not a funnel row). One-pass discipline: stages
+    * 0-2 are observation metrics riding the scan that materializes
+    * `gated` (never a re-execution of the raw gate chain), stages 3-6
+    * count materialized frames — the whole funnel reads the raw corpus
+    * exactly once (PlanQualitySpec pins the single raw scan). */
   def funnel(docs: DataFrame, urlCol: String = "url",
              blocked: Seq[String] = Seq.empty, lang: String = "en",
              gopherTh: GopherRules.Thresholds = GopherRules.Thresholds(),
              repetitionTh: GopherRepetition.Thresholds = GopherRepetition.Thresholds(),
-             threshold: Double = 0.9, cap: Int = 100): DataFrame = {
-    val st = stages(docs, urlCol, blocked, lang, gopherTh, repetitionTh, threshold, cap)
+             threshold: Double = 0.9, cap: Int = 100,
+             materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
+    val st = stages(docs, urlCol, blocked, lang, gopherTh, repetitionTh,
+      threshold, cap, materialize = materialize, observeFunnel = true)
+    // Count the materialized frame FIRST: with the default eager
+    // materializer the metrics are already in; with a lazy one this
+    // count is the action that runs the observed plan — either way the
+    // subsequent Observation.get calls never block indefinitely.
+    val nGated = st.gated.count()
+    val (obsRaw, obsUrl, obsLang) = st.funnelObs.get
+    def n(o: Observation): Long = o.get("n").asInstanceOf[Long]
     val spark = docs.sparkSession
     import spark.implicits._
     Seq(
-      (0L, "raw", docs.count()),
-      (1L, "url_blocklist", st.urlGated.count()),
-      (2L, "language", st.langed.count()),
-      (3L, "gopher_gates", st.gated.count()),
+      (0L, "raw", n(obsRaw)),
+      (1L, "url_blocklist", n(obsUrl)),
+      (2L, "language", n(obsLang)),
+      (3L, "gopher_gates", nGated),
       (4L, "exact_dedup", st.exact.count()),
       (5L, "near_dedup", st.fuzzy.count()),
       (6L, "domain_caps", st.capped.count()))
@@ -133,7 +175,9 @@ object RefinedWebPipeline {
       .orderBy(col("stage"))
   }
 
-  /** Shared WITH-chain over a relation exposing (doc_id, text, url). */
+  /** Shared WITH-chain over a relation exposing (doc_id, text, url). The
+    * registered-domain stage replays as [[graft.ingest.Psl]]'s printed
+    * rule table + candidate-suffix equi-join. */
   private def sqlCtes(from: String, blocked: Seq[String], lang: String,
                       gopherTh: GopherRules.Thresholds,
                       repetitionTh: GopherRepetition.Thresholds,
@@ -144,11 +188,10 @@ object RefinedWebPipeline {
       else s"domain NOT IN (${blocked.map(b => s"'$b'").mkString(", ")})"
     val rulesPass = GopherRules.sqlPassExpr("text", gopherTh)
     val repSig = GopherRepetition.sqlSignals("rw4", repetitionTh)
-    s"""WITH RECURSIVE d0 AS (SELECT doc_id, text, url FROM $from),
-       |dm AS (
-       |  SELECT doc_id, text,
-       |    ${graft.ingest.Urls.sqlRegisteredDomain("url")} AS domain
-       |  FROM d0),
+    s"""WITH RECURSIVE ${graft.ingest.Psl.sqlPslCte},
+       |d0 AS (SELECT doc_id, text, url FROM $from),
+       |${graft.ingest.Psl.sqlDomainCtes("d0", "doc_id", Seq("text"), "url", "dm0")},
+       |dm AS (SELECT doc_id, text, COALESCE(domain, '') AS domain FROM dm0),
        |rw1 AS (SELECT doc_id, domain, text FROM dm WHERE $blockedSql),
        |rw2 AS (SELECT doc_id, domain, nfc_normalize(text) AS text FROM rw1),
        |rw3 AS (SELECT * FROM rw2 WHERE ${TextAnalysis.sqlLangId("text")} = '$lang'),

@@ -78,8 +78,11 @@ object FittedOracle {
       // the query returns.
       ivfStoredCenters.map(c =>
         "knn_ivf_stored" -> Ivf.sqlKnnIvf(c, k = 5, nprobe = 4)) ++
-      bpeStatsMerges.map(m =>
+      // Empty fitted lists (degenerate corpus) render invalid
+      // `FROM (VALUES )` SQL — omit the entry, the driver records the
+      // weaker rows-only check (the never-a-broken-oracle rule above).
+      bpeStatsMerges.filter(_.nonEmpty).map(m =>
         "bpe_encode_stats" -> graft.text.Bpe.sqlEncodeStats(m)) ++
-      bpePackMerges.map(m =>
+      bpePackMerges.filter(_.nonEmpty).map(m =>
         "sequence_packing_bpe" -> graft.text.Bpe.sqlPackChunksBpe(m, 512L))).toMap
 }

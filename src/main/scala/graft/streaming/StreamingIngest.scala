@@ -154,7 +154,20 @@ object StreamingIngest {
     * overwrite-on-replay — [[domainCapsViaBatchState]]'s discipline).
     * With id-ordered arrival, the finished stream equals one full
     * [[graft.pipeline.RefinedWebPipeline]] recompute (StreamingSpec
-    * pins it); the at-least-once caveats are the sink-index family's. */
+    * pins it).
+    *
+    * At-least-once replay (r10): ALL per-batch state is deterministic
+    * under re-fire. Both dedup indexes carry a `batch_id` column and
+    * every read filters to `batch_id < batchId`, so a replayed batch
+    * never sees its own failed attempt's rows and recomputes the
+    * IDENTICAL kept set; the caps tally rewrites its `batch_id=N`
+    * partition; re-appended index rows are neutralized by the
+    * dedup-on-read defenses (and removable offline —
+    * [[graft.dedup.IndexMaintenance.compactBy]] preserves the batch_id
+    * column, run it only between committed batches). A compacted index
+    * (no batch_id column) reads whole, which is correct for the same
+    * between-batches reason. Only the SINK append can duplicate under
+    * replay — the sink-format caveat shared by the whole family. */
   def refinedWebViaSinkState(docs: DataFrame, sinkPath: String,
                              stateDir: String, checkpoint: String,
                              blocked: Seq[String] = Seq.empty,
@@ -167,95 +180,121 @@ object StreamingIngest {
                              urlCol: String = "url", idCol: String = "doc_id",
                              textCol: String = "text"): DataStreamWriter[Row] = {
     require(docs.isStreaming)
-    import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-    import graft.dedup.Dedup
-    val spark = docs.sparkSession
-    def empty(fields: (String, org.apache.spark.sql.types.DataType)*): DataFrame =
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        StructType(fields.map { case (n, t) => StructField(n, t) }))
     docs.writeStream
       .foreachBatch { (batch0: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
-        val batch = batch0.localCheckpoint(true)
-        if (batch.count() > 0) {
-          // stages 1-4: stateless gates, NFC ahead of every key. Widen:
-          // a micro-batch arrives in one file's worth of partitions and
-          // the interpreted gates would otherwise run single-threaded.
-          val dom = graft.Par.widen(batch.toDF()).withColumn("domain",
-            graft.ingest.Urls.registeredDomain(col(urlCol)))
-          val gated =
-            (if (blocked.isEmpty) dom
-             else dom.filter(!col("domain").isin(blocked: _*)))
-              .select(col(idCol).cast("long").as("doc_id"), col("domain"),
-                col(textCol).as("text"))
-              .withColumn("text",
-                org.apache.spark.sql.graft.ArrayFunctions.nfcNormalize(col("text")))
-              .filter(graft.text.TextAnalysis.langId(col("text")) === lang)
-              .filter(graft.text.GopherRules.passExpr(col("text"), gopherTh))
-              .filter(graft.text.GopherRepetition.passExpr(col("text"), repetitionTh))
-              .localCheckpoint(true)
-          // stage 5: exact dedup against the content-hash index
-          val cntIdx = readIndexIfExists(spark, s"$stateDir/content_index")
-            .map(_.dropDuplicates("h"))
-            .getOrElse(empty("h" -> StringType, "keeper_id" -> LongType))
-          val novelHashes = Dedup.exactIndex(gated, "doc_id", "text")
-            .join(cntIdx.select(col("h")), Seq("h"), "left_anti")
-            .localCheckpoint(true)
-          val exact = gated.withColumn("h", md5(col("text")))
-            .join(novelHashes.select(col("h"), col("keeper_id")), Seq("h"))
-            .filter(col("doc_id") === col("keeper_id"))
-            .select(col("doc_id"), col("domain"), col("text"))
-            .localCheckpoint(true)
-          // stage 6: near-dup against history ∪ batch with the FULL
-          // recompute's component-transitive semantics (the contract the
-          // StreamingSpec pin states): signatures of EVERY exact-stage
-          // doc probe the index — not just within-batch keepers — and a
-          // whole batch cluster drops when ANY member near-matches
-          // history (in the one-shot CC that member connects the cluster
-          // into an earlier component, so its keeper loses the
-          // min-id election). Admitted = clusters untouched by history,
-          // represented by their within-batch keeper.
-          val keeperOf = Dedup
-            .nearDupKeepersScaled(exact, "doc_id", "text", threshold)
-            .localCheckpoint(true) // feeds the cluster lift AND the keeper pick
-          val sigT = Dedup.signatureTable(exact, "doc_id", "text")
-            .localCheckpoint(true)
-          val dupIds = readIndexIfExists(spark, s"$stateDir/sig_index") match {
-            case None => spark.emptyDataFrame.select(lit(0L).as("dup_id")).limit(0)
-            case Some(index0) => crossBatchNearDupIds(sigT, index0, threshold)
-          }
-          val dupClusters = keeperOf
-            .join(dupIds, keeperOf("doc_id") === col("dup_id"))
-            .select(col("keeper_id")).distinct()
-          val novel = exact
-            .join(keeperOf.filter(col("doc_id") === col("keeper_id"))
-              .join(dupClusters, Seq("keeper_id"), "left_anti")
-              .select(col("doc_id")), Seq("doc_id"))
-            .localCheckpoint(true)
-          // stage 7: per-domain caps against the batch-keyed tally — the
-          // same admit core CurationSpec pins (novel already carries its
-          // domain column)
-          val tally = readIndexIfExists(spark, s"$stateDir/caps")
-            .map(_.filter(col("batch_id") < batchId)
-              .groupBy(col("domain")).agg(sum(col("n_kept")).as("n_kept")))
-            .getOrElse(empty("domain" -> StringType, "n_kept" -> LongType))
-          val (kept, _) = graft.pipeline.Curation.domainCapsIncrementalOnDomain(
-            novel, tally, cap, Seq(col("doc_id").asc))
-          // materialized above; now land sink + all three state tables
-          kept.write.mode("append").parquet(sinkPath)
-          novelHashes.write.mode("append").parquet(s"$stateDir/content_index")
-          // signatures of EVERY exact-stage doc — admitted, cluster-dropped,
-          // or cap-dropped: the full recompute's CC reaches through all of
-          // them, so a future doc matching only a dropped doc must still
-          // drop (the index is the component map, not the admission list)
-          sigT.write.mode("append").parquet(s"$stateDir/sig_index")
-          kept.groupBy(col("domain")).agg(count(lit(1)).as("n_kept"))
-            .write.mode("overwrite").parquet(s"$stateDir/caps/batch_id=$batchId")
-        }
-        ()
+        refinedWebBatch(batch0.toDF(), batchId, sinkPath, stateDir, blocked,
+          lang, gopherTh, repetitionTh, threshold, cap, urlCol, idCol, textCol)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
+  }
+
+  /** One micro-batch of [[refinedWebViaSinkState]], exposed so the
+    * replay-determinism contract is directly testable (StreamingSpec
+    * re-fires a batch id and pins identical state). Reads a `batch_id <
+    * batchId` view of both dedup indexes when the column is present
+    * (appended form), the whole table when it is not (compacted form). */
+  def refinedWebBatch(batchDf: DataFrame, batchId: Long, sinkPath: String,
+                      stateDir: String, blocked: Seq[String], lang: String,
+                      gopherTh: graft.text.GopherRules.Thresholds,
+                      repetitionTh: graft.text.GopherRepetition.Thresholds,
+                      threshold: Double, cap: Int,
+                      urlCol: String = "url", idCol: String = "doc_id",
+                      textCol: String = "text"): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.dedup.Dedup
+    val spark = batchDf.sparkSession
+    def empty(fields: (String, org.apache.spark.sql.types.DataType)*): DataFrame =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(fields.map { case (n, t) => StructField(n, t) }))
+    def beforeThisBatch(df: DataFrame): DataFrame =
+      if (df.columns.contains("batch_id"))
+        df.filter(col("batch_id") < batchId).drop("batch_id")
+      else df
+    val batch = batchDf.localCheckpoint(true)
+    if (batch.count() > 0) {
+      // stages 1-4: stateless gates, NFC ahead of every key. Widen:
+      // a micro-batch arrives in one file's worth of partitions and
+      // the interpreted gates would otherwise run single-threaded.
+      // Null/unparseable URLs coalesce to the '' domain group (same
+      // convention as the batch preset — kept/dropped never depends on
+      // whether a blocklist was supplied).
+      val dom = graft.Par.widen(batch).withColumn("domain",
+        coalesce(graft.ingest.Urls.registeredDomain(col(urlCol)), lit("")))
+      val gated =
+        (if (blocked.isEmpty) dom
+         else dom.filter(!col("domain").isin(blocked: _*)))
+          .select(col(idCol).cast("long").as("doc_id"), col("domain"),
+            col(textCol).as("text"))
+          .withColumn("text",
+            org.apache.spark.sql.graft.ArrayFunctions.nfcNormalize(col("text")))
+          .filter(graft.text.TextAnalysis.langId(col("text")) === lang)
+          .filter(graft.text.GopherRules.passExpr(col("text"), gopherTh))
+          .filter(graft.text.GopherRepetition.passExpr(col("text"), repetitionTh))
+          .localCheckpoint(true)
+      // stage 5: exact dedup against the content-hash index
+      val cntIdx = readIndexIfExists(spark, s"$stateDir/content_index")
+        .map(df => beforeThisBatch(df).dropDuplicates("h"))
+        .getOrElse(empty("h" -> StringType, "keeper_id" -> LongType))
+      val novelHashes = Dedup.exactIndex(gated, "doc_id", "text")
+        .join(cntIdx.select(col("h")), Seq("h"), "left_anti")
+        .localCheckpoint(true)
+      val exact = gated.withColumn("h", md5(col("text")))
+        .join(novelHashes.select(col("h"), col("keeper_id")), Seq("h"))
+        .filter(col("doc_id") === col("keeper_id"))
+        .select(col("doc_id"), col("domain"), col("text"))
+        .localCheckpoint(true)
+      // stage 6: near-dup against history ∪ batch with the FULL
+      // recompute's component-transitive semantics (the contract the
+      // StreamingSpec pin states): signatures of EVERY exact-stage
+      // doc probe the index — not just within-batch keepers — and a
+      // whole batch cluster drops when ANY member near-matches
+      // history (in the one-shot CC that member connects the cluster
+      // into an earlier component, so its keeper loses the
+      // min-id election). Admitted = clusters untouched by history,
+      // represented by their within-batch keeper.
+      val keeperOf = Dedup
+        .nearDupKeepersScaled(exact, "doc_id", "text", threshold)
+        .localCheckpoint(true) // feeds the cluster lift AND the keeper pick
+      val sigT = Dedup.signatureTable(exact, "doc_id", "text")
+        .localCheckpoint(true)
+      val dupIds = readIndexIfExists(spark, s"$stateDir/sig_index") match {
+        case None => spark.emptyDataFrame.select(lit(0L).as("dup_id")).limit(0)
+        case Some(index0) =>
+          crossBatchNearDupIds(sigT, beforeThisBatch(index0), threshold)
+      }
+      val dupClusters = keeperOf
+        .join(dupIds, keeperOf("doc_id") === col("dup_id"))
+        .select(col("keeper_id")).distinct()
+      val novel = exact
+        .join(keeperOf.filter(col("doc_id") === col("keeper_id"))
+          .join(dupClusters, Seq("keeper_id"), "left_anti")
+          .select(col("doc_id")), Seq("doc_id"))
+        .localCheckpoint(true)
+      // stage 7: per-domain caps against the batch-keyed tally — the
+      // same admit core CurationSpec pins (novel already carries its
+      // domain column)
+      val tally = readIndexIfExists(spark, s"$stateDir/caps")
+        .map(_.filter(col("batch_id") < batchId)
+          .groupBy(col("domain")).agg(sum(col("n_kept")).as("n_kept")))
+        .getOrElse(empty("domain" -> StringType, "n_kept" -> LongType))
+      val (kept, _) = graft.pipeline.Curation.domainCapsIncrementalOnDomain(
+        novel, tally, cap, Seq(col("doc_id").asc))
+      // materialized above; now land sink + all three state tables
+      kept.write.mode("append").parquet(sinkPath)
+      novelHashes.withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(s"$stateDir/content_index")
+      // signatures of EVERY exact-stage doc — admitted, cluster-dropped,
+      // or cap-dropped: the full recompute's CC reaches through all of
+      // them, so a future doc matching only a dropped doc must still
+      // drop (the index is the component map, not the admission list)
+      sigT.withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(s"$stateDir/sig_index")
+      kept.groupBy(col("domain")).agg(count(lit(1)).as("n_kept"))
+        .write.mode("overwrite").parquet(s"$stateDir/caps/batch_id=$batchId")
+    }
+    ()
   }
 
   /** Streaming dedup over a stream of candidate records. Input: any
@@ -588,7 +627,12 @@ object StreamingIngest {
     val spark = docs.sparkSession
     docs.writeStream
       .foreachBatch { (batch0: org.apache.spark.sql.Dataset[Row], _: Long) =>
-        val batch = batch0.localCheckpoint(true)
+        // stage 0 (r10): NFC ahead of the paragraph-norm hashing, the
+        // same placement as the full recompute — the index stores norms
+        // of canonical bytes, so NFD twins collapse across batches too.
+        val batch = batch0.withColumn(textCol,
+            org.apache.spark.sql.graft.ArrayFunctions.nfcNormalize(col(textCol)))
+          .localCheckpoint(true)
         if (batch.count() > 0) {
           val index = readIndexIfExists(spark, indexPath)
             .map(_.dropDuplicates("h"))

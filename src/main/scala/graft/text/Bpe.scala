@@ -149,6 +149,11 @@ object Bpe {
     * Cost is bounded by |distinct tokens| · max token length — the
     * vocabulary, not the corpus. */
   private def sqlBpeCommon(merges: Seq[(String, String)]): String = {
+    // An empty merge list (degenerate corpus: fitOnDict found no pairs)
+    // would render `FROM (VALUES )` — invalid SQL. Callers must omit the
+    // oracle instead ([[graft.similarity.FittedOracle.oracleEntries]]
+    // filters empty fits → the driver records rows-only).
+    require(merges.nonEmpty, "BPE oracle needs a non-empty fitted merge list")
     val rows = merges.zipWithIndex
       .map { case ((l, r), i) => s"($i, ${sqlQuote(l)}, ${sqlQuote(r)})" }
       .mkString(",\n    ")

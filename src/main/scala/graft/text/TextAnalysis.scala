@@ -90,27 +90,32 @@ object TextAnalysis {
     }
   }
 
-  /** Unicode script classes for [[scriptMix]] — BMP code-point ranges,
-    * written once per engine (Java regex `\ uXXXX` escapes here, RE2
-    * `\ x{...}` in [[ScriptRangesSql]]; the NAME keys must stay aligned).
-    * Canonical order doubles as the dominant-script tie-break. Latin
-    * includes the Latin-1/Extended accented block; CJK covers kana,
-    * unified ideographs, and hangul. A production deployment extends the
-    * table — the expression shape is range-count + argmax either way. */
+  /** Unicode script classes for [[scriptMix]] — codepoint ranges written
+    * once per engine (`\ x{...}` escapes, which Java regex and RE2 both
+    * accept inside character classes, BMP and supplementary alike; the
+    * NAME keys must stay aligned with [[ScriptRangesSql]]). Canonical
+    * order doubles as the dominant-script tie-break. Latin includes the
+    * Latin-1/Extended accented block; CJK covers kana, unified
+    * ideographs (INCLUDING the supplementary-plane Extension B-F and
+    * Compatibility Supplement blocks, r10 — Ext-B-only text counted
+    * "none" before), and hangul; emoji (r10) covers the supplementary
+    * pictograph planes plus the BMP misc-symbols/dingbats blocks —
+    * emoji-only content is a real corpus class a profiler must not
+    * lump into "none". Both engines count CODEPOINTS (`length` is
+    * codepoint-counting in Spark and DuckDB), so an astral char is 1
+    * either way. A production deployment extends the table — the
+    * expression shape is range-count + argmax regardless. */
   val ScriptRanges: Seq[(String, String)] = Seq(
-    "latin" -> "A-Za-z\\u00C0-\\u024F",
-    "cyrillic" -> "\\u0400-\\u04FF",
-    "greek" -> "\\u0370-\\u03FF",
-    "cjk" -> "\\u3040-\\u30FF\\u3400-\\u9FFF\\uAC00-\\uD7AF",
-    "arabic" -> "\\u0600-\\u06FF")
-
-  /** RE2 twins of [[ScriptRanges]] for the DuckDB oracle. */
-  val ScriptRangesSql: Seq[(String, String)] = Seq(
     "latin" -> "A-Za-z\\x{00C0}-\\x{024F}",
     "cyrillic" -> "\\x{0400}-\\x{04FF}",
     "greek" -> "\\x{0370}-\\x{03FF}",
-    "cjk" -> "\\x{3040}-\\x{30FF}\\x{3400}-\\x{9FFF}\\x{AC00}-\\x{D7AF}",
-    "arabic" -> "\\x{0600}-\\x{06FF}")
+    "cjk" -> "\\x{3040}-\\x{30FF}\\x{3400}-\\x{9FFF}\\x{AC00}-\\x{D7AF}\\x{20000}-\\x{2FA1F}",
+    "arabic" -> "\\x{0600}-\\x{06FF}",
+    "emoji" -> "\\x{2600}-\\x{27BF}\\x{1F000}-\\x{1FAFF}")
+
+  /** RE2 twins of [[ScriptRanges]] for the DuckDB oracle (identical
+    * ranges — the `\ x{...}` escape parses the same in both engines). */
+  val ScriptRangesSql: Seq[(String, String)] = ScriptRanges
 
   /** Character count of `text` inside one script's ranges (chars, not
     * bytes — `length` after stripping everything else). */

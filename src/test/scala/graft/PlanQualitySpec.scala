@@ -271,6 +271,54 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("refinedweb_funnel reads the raw corpus exactly once (r10)") {
+    // The one-pass discipline: stages 0-2 are observation metrics riding
+    // the scan that materializes the gated frame; stages 3-6 count
+    // checkpointed frames. Pin = across ALL actions the funnel triggers,
+    // exactly ONE executed plan scans the raw documents parquet (the r9
+    // form re-executed the raw gate chain three extra times).
+    val rawScans = new java.util.concurrent.atomic.AtomicInteger(0)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      private def bump(funcName: String,
+                       qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+        // funcName == "rdd" is Par.widen's getNumPartitions probe —
+        // plan/partition-listing only, it runs no job and reads no rows.
+        if (armed.get() && funcName != "rdd") {
+          val p = qe.executedPlan.toString
+          if (p.contains("FileScan parquet") && p.contains("documents")) {
+            rawScans.incrementAndGet()
+            seen.add(s"$funcName: ${p.linesIterator.take(6).mkString(" | ")}")
+          }
+        }
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit = bump(funcName, qe)
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Thread.sleep(500) // let stragglers from earlier tests drain un-armed
+      armed.set(true)
+      SparkEntry.queries("refinedweb_funnel")(spark, dir).collect()
+      // listener delivery is async — wait for quiescence
+      var last = -1
+      var stable = 0
+      var waited = 0
+      while (stable < 3 && waited < 10000) {
+        Thread.sleep(300); waited += 300
+        val c = rawScans.get()
+        if (c == last) stable += 1 else { stable = 0; last = c }
+      }
+      assert(rawScans.get() == 1,
+        s"funnel must scan the raw documents parquet exactly once, saw ${rawScans.get()}:\n" +
+          seen.toArray.mkString("\n---\n"))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("no unbounded global window in any registered query's plan") {
     // The single-partition-window audit: every logical Window with an
     // EMPTY partition spec in a registered query's optimized plan must

@@ -147,4 +147,25 @@ class ExpressionsSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("integer literal"), err.getMessage)
   }
+
+  test("hand-rolled Md5 is byte-identical to MessageDigest (r10)") {
+    // The MinHash family's digests (token components AND band buckets)
+    // run on graft.Md5 since r10 — fuzz every length class through both
+    // implementations: empty, the 55/56/63/64 padding boundaries, long
+    // multi-block inputs, and random bytes (including invalid UTF-8).
+    val jdk = java.security.MessageDigest.getInstance("MD5")
+    val own = new org.apache.spark.sql.graft.Md5
+    val out = new Array[Byte](16)
+    val rnd = new scala.util.Random(42)
+    val lengths =
+      (0 to 70) ++ Seq(119, 120, 121, 127, 128, 129, 1000, 4096, 65537)
+    for (len <- lengths; rep <- 0 until (if (len <= 70) 3 else 1)) {
+      val buf = new Array[Byte](len + 7) // slack beyond len must be ignored
+      rnd.nextBytes(buf)
+      own.digest(buf, len, out)
+      val expect = jdk.digest(java.util.Arrays.copyOf(buf, len))
+      assert(java.util.Arrays.equals(out, expect),
+        s"digest mismatch at len=$len rep=$rep")
+    }
+  }
 }

@@ -73,6 +73,35 @@ class UrlsSpec extends SparkSpec {
     assert(regDom("http://localhost/x") == Seq("localhost"))
   }
 
+  test("registeredDomain: PSL private registries are public suffixes") {
+    // github.io / blogspot.com are PRIVATE-section PSL rules: every user
+    // site is its own registrable domain — the r9 subset collapsed all
+    // of github.io into one capped "domain".
+    assert(regDom("https://alice.github.io/blog", "https://www.alice.github.io/a",
+      "https://bob.github.io/", "https://cool.blogspot.com/p/1") ==
+      Seq("alice.github.io", "alice.github.io", "bob.github.io",
+        "cool.blogspot.com"))
+  }
+
+  test("registeredDomain: ccTLD second-level registries beyond the r9 subset") {
+    assert(regDom("https://shop.acme.com.sg/x", "https://x.y.co.il/y",
+      "https://uni.ac.at/z") ==
+      Seq("acme.com.sg", "y.co.il", "uni.ac.at"))
+  }
+
+  test("registeredDomain: wildcard and exception rules (*.ck / !www.ck)") {
+    // *.ck makes foo.ck a public suffix → bar.foo.ck registrable;
+    // !www.ck overrides the wildcard → www.ck itself registrable.
+    assert(regDom("https://bar.foo.ck/a", "https://www.ck/b",
+      "https://sub.www.ck/c") ==
+      Seq("bar.foo.ck", "www.ck", "www.ck"))
+  }
+
+  test("registeredDomain: a host that IS a public suffix maps to itself") {
+    assert(regDom("https://co.uk/", "https://github.io/") ==
+      Seq("co.uk", "github.io"))
+  }
+
   test("domainCaps: exactly the cap survives per registered domain, best-first") {
     val docs = (1L to 40L).map { i =>
       val host = if (i % 4 == 0) "example.com"

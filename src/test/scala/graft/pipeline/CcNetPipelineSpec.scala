@@ -48,6 +48,40 @@ class CcNetPipelineSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("NFC ahead of the paragraph norms: an NFD boilerplate twin collapses (r10)") {
+    val boiler = "Licensed under the café commons terms for everyone."
+    val boilerNfd =
+      java.text.Normalizer.normalize(boiler, java.text.Normalizer.Form.NFD)
+    assert(boiler != boilerNfd, "fixture must be byte-different")
+    // Raw-byte norms would differ -> each paragraph unique -> both kept;
+    // the r10 NFC stage collapses them, so doc 2 loses its NFD copy.
+    val docs = Seq(
+      (1L, boiler + "\n\nthe first unique body paragraph sits here."),
+      (2L, boilerNfd + "\n\nthe second unique body paragraph sits here."))
+      .toDF("doc_id", "text")
+    val pd = CcNetPipeline.stages(docs).pd
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pd(1L).toLowerCase.contains("licensed"), pd(1L))
+    assert(!pd(2L).toLowerCase.contains("licensed"),
+      s"doc 2 must lose the NFD boilerplate twin: ${pd(2L)}")
+  }
+
+  test("output is invariant to the stage materializer (r10)") {
+    val persisted = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.DataFrame]
+    val diskMat: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = {
+      df =>
+        val p = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        p.count()
+        persisted += p
+        p
+    }
+    try {
+      val a = CcNetPipeline(fixture).collect().toSeq
+      val b = CcNetPipeline(fixture, materialize = diskMat).collect().toSeq
+      assert(a == b, "materializer changed the output")
+    } finally persisted.foreach(_.unpersist())
+  }
+
   test("cross-fit stage 3: off-model vocabulary is pushed toward the tail") {
     import org.apache.spark.sql.functions.col
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")

@@ -52,4 +52,25 @@ class CorpusCleanSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(blocked.subsetOf(gated))
   }
+
+  test("output is invariant to the stage materializer (r10)") {
+    val docs = Seq(
+      (1L, "the quick brown fox and the lazy dog of it is in that it went to " +
+        "the market and bought some of the best fresh bread in town today", "src1"),
+      (2L, "the cat sat on the mat and it was happy to be in the sun all of the day", "src1"))
+      .toDF("doc_id", "text", "source")
+    val persisted = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.DataFrame]
+    val diskMat: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = {
+      df =>
+        val p = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        p.count()
+        persisted += p
+        p
+    }
+    try {
+      val a = CorpusClean(docs).collect().toSeq
+      val b = CorpusClean(docs, materialize = diskMat).collect().toSeq
+      assert(a == b, "materializer changed the output")
+    } finally persisted.foreach(_.unpersist())
+  }
 }

@@ -155,4 +155,27 @@ class FineWebPipelineSpec extends SparkSpec {
     assert(a.keySet == b.keySet)
     assert(a != b, "a new seed must produce a different permutation")
   }
+
+  test("NFC ahead of the dedup keys: an NFD twin collapses in exact dedup (r10)") {
+    // Same proof shape as the RefinedWeb placement spec: the twin is
+    // byte-different (raw md5/window hashes would never match) and
+    // collapses only because c4Stage NFC-normalizes the cleaned text
+    // before any hashing stage. width = 50 keeps the 38-token page
+    // window-free, so the collapse is pinned to the EXACT-dedup stage.
+    val composed = Seq(
+      "The café menu lists nine warm drinks for the cold season every day.",
+      "Our café kitchen bakes fresh bread and serves the town at dawn daily.",
+      "Visitors praise the café staff for the calm rooms and the fair prices.")
+      .mkString("\n")
+    val decomposed =
+      java.text.Normalizer.normalize(composed, java.text.Normalizer.Form.NFD)
+    assert(composed != decomposed, "fixture must be byte-different")
+    val docs = Seq((1L, composed), (2L, decomposed)).toDF("doc_id", "text")
+    val st = FineWebPipeline.stages(docs, gopherTh = th, width = 50,
+      minAvgWeightMicro = Long.MinValue)
+    assert(st.sub.select("doc_id").as[Long].collect().toSet == Set(1L, 2L),
+      "window-free fixture: both docs must reach exact dedup intact")
+    assert(st.keepers.select("doc_id").as[Long].collect().toSet == Set(1L),
+      "the NFD twin must collapse onto the min-id keeper")
+  }
 }

@@ -52,6 +52,33 @@ class RefinedWebPipelineSpec extends SparkSpec {
     assert(j < 0.9, s"raw jaccard $j")
   }
 
+  test("output is invariant to the stage materializer (r10)") {
+    // The default localCheckpoint(true) is single-JVM-correct but
+    // fault-intolerant on a cluster (executor loss kills the lineage);
+    // deployments pass persist(DISK_ONLY) instead. The materializer must
+    // never change WHAT is computed — only where the frame lives.
+    val persisted = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.DataFrame]
+    val diskMat: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = {
+      df =>
+        val p = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        p.count() // eager, like the default — the funnel observations need it
+        persisted += p
+        p
+    }
+    try {
+      val a = RefinedWebPipeline(docs, blocked = Seq("foo.co.uk"),
+        gopherTh = th, cap = 2).collect().toSeq
+      val b = RefinedWebPipeline(docs, blocked = Seq("foo.co.uk"),
+        gopherTh = th, cap = 2, materialize = diskMat).collect().toSeq
+      assert(a == b, "materializer changed the output")
+      val fa = RefinedWebPipeline.funnel(docs, blocked = Seq("foo.co.uk"),
+        gopherTh = th, cap = 2).collect().toSeq
+      val fb = RefinedWebPipeline.funnel(docs, blocked = Seq("foo.co.uk"),
+        gopherTh = th, cap = 2, materialize = diskMat).collect().toSeq
+      assert(fa == fb, "materializer changed the funnel")
+    } finally persisted.foreach(_.unpersist())
+  }
+
   test("funnel counts the planted cuts stage by stage") {
     val f = RefinedWebPipeline.funnel(docs, blocked = Seq("foo.co.uk"),
         gopherTh = th, cap = 2)

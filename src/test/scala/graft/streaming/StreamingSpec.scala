@@ -349,6 +349,51 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_._1) == Set(1L, 7L, 10L, 11L, 20L))
   }
 
+  test("refinedWeb batch state is deterministic under at-least-once replay (r10)") {
+    // The r9 form corrupted state on a re-fired batch: content_index
+    // already held the batch's own hashes, so exact/novel recomputed
+    // empty and caps/batch_id=N was overwritten with an EMPTY tally —
+    // later batches then blew the per-domain cap. r10 discipline: both
+    // dedup indexes carry batch_id and reads filter to batch_id <
+    // batchId, so a replay recomputes the IDENTICAL kept set and
+    // rewrites identical state. Pin: a run with a re-fired batch 0
+    // equals a run without, in distinct sink rows AND caps tally.
+    val th = graft.text.GopherRules.Thresholds(minWords = 5L, minStopHits = 1L)
+    val b0 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today", "https://a.site.com/1"),
+      (2L, "the first capped domain doc reads fine", "https://x.otherdom.org/2"),
+      (3L, "the second capped domain doc looks good", "https://y.otherdom.org/3"))
+    val b1 = Seq(
+      (8L, "the quick brown fox jumps over the lazy dog today", "https://b.site.com/8"),
+      (9L, "the quick brown fox jumps over the lazy dog today extra", "https://a.site.com/9"),
+      (10L, "the third capped domain doc waits long", "https://z.otherdom.org/10"))
+    def run(replay: Boolean): (Set[Long], Map[String, Long]) = {
+      val root = java.nio.file.Files.createTempDirectory("graft_rw_replay").toString
+      val (sink, state) = (s"$root/sink", s"$root/state")
+      def fire(rows: Seq[(Long, String, String)], id: Long): Unit =
+        StreamingIngest.refinedWebBatch(rows.toDF("doc_id", "text", "url"), id,
+          sink, state, Seq.empty, "en", th,
+          graft.text.GopherRepetition.Thresholds(), 0.9, 2)
+      fire(b0, 0L)
+      if (replay) fire(b0, 0L) // the at-least-once re-fire
+      fire(b1, 1L)
+      val kept = spark.read.parquet(sink).select("doc_id")
+        .distinct().as[Long].collect().toSet
+      val tally = spark.read.parquet(s"$state/caps")
+        .groupBy($"domain").agg(sum($"n_kept").as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      (kept, tally)
+    }
+    val (keptClean, tallyClean) = run(replay = false)
+    val (keptReplay, tallyReplay) = run(replay = true)
+    // batch 1: 8 exact-dups 1, 9 near-dups 1 (J = 9/10), 10 is the
+    // third otherdom doc against cap 2 — all three must drop either way
+    assert(keptClean == Set(1L, 2L, 3L), keptClean)
+    assert(keptReplay == keptClean, s"replay changed the sink: $keptReplay")
+    assert(tallyReplay == tallyClean, s"replay corrupted caps: $tallyReplay vs $tallyClean")
+    assert(tallyReplay.values.forall(_ <= 2L), s"cap exceeded: $tallyReplay")
+  }
+
   test("streaming domain caps: chained batches == one first-come pass; state bounded") {
     val root = java.nio.file.Files.createTempDirectory("graft_domcap").toString
     val (inDir, sink, state, ckpt) = (s"$root/in", s"$root/sink", s"$root/state", s"$root/ckpt")

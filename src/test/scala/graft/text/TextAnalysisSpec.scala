@@ -199,12 +199,28 @@ class TextAnalysisSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val out = TextAnalysis.scriptMix(docs).collect()
       .map(r => r.getLong(0) ->
-        (r.getLong(1), r.getLong(2), r.getLong(4), r.getString(6))).toMap
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getString(7))).toMap
     assert(out(1L) == ((10L, 0L, 0L, "latin")))
     assert(out(2L) == ((0L, 9L, 0L, "cyrillic")))
     assert(out(3L) == ((2L, 6L, 0L, "cyrillic")))
     assert(out(4L) == ((0L, 0L, 2L, "cjk")))
     assert(out(5L) == ((0L, 0L, 0L, "none")))
     assert(out(6L) == ((2L, 2L, 0L, "latin")))
+  }
+
+  test("scriptMix beyond the BMP: supplementary CJK counts as cjk, emoji as emoji (r10)") {
+    // 𠀀 (U+20000, Ext B) and 😀 (U+1F600) counted "none" in the r9 BMP
+    // ranges; both are ONE codepoint per char in both engines' length().
+    val docs = Seq(
+      (1L, "𠀀𠀁"),     // two Ext-B ideographs
+      (2L, "😀😀❤"), // two emoji + BMP heavy heart (U+2764)
+      (3L, "ok 😀")                // latin 2 vs emoji 1 -> latin
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scriptMix(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(4), r.getLong(6), r.getString(7))).toMap
+    assert(out(1L) == ((0L, 2L, 0L, "cjk")), out(1L).toString)
+    assert(out(2L) == ((0L, 0L, 3L, "emoji")), out(2L).toString)
+    assert(out(3L) == ((2L, 0L, 1L, "latin")), out(3L).toString)
   }
 }
