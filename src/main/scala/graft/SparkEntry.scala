@@ -498,6 +498,35 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
     }),
+    // Per-registered-domain corpus profile (r10): the skew report a
+    // crawl team reads BEFORE setting caps — docs and distinct hosts
+    // per eTLD+1 plus pct-of-corpus. One domain-keyed aggregate
+    // (scan-stage PSL key); the pct window runs over <= |domains|
+    // aggregate rows (global-window allowlist).
+    "domain_distribution" -> ((s, dir) => {
+      val d = withFixtureUrls(Tables.documents(s, dir))
+        .withColumn("host", graft.ingest.Urls.host(col("url")))
+        .withColumn("domain", graft.ingest.Urls.registeredDomain(col("url")))
+      d.groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("host")).as("n_hosts"))
+        .withColumn("pct", round(col("n_docs") * 100.0 /
+          sum(col("n_docs")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy()), 4))
+        .orderBy(col("n_docs").desc, col("domain"))
+    }),
+    // Soft URL word-score gate (r10) — RefinedWeb's OTHER URL filter:
+    // spam announces itself in the URL string before any fetch, so the
+    // score is a pure scan-stage expression over the url column. Paths
+    // planted by doc id exercise blocking (1.0), additive soft hits
+    // (0.5+0.5), and clean URLs.
+    "url_spam_scores" -> ((s, dir) => {
+      val docs = withSpamUrls(Tables.documents(s, dir))
+      docs.select(col("doc_id"),
+          round(graft.ingest.Urls.spamScore(col("url")), 4).as("spam_score"))
+        .withColumn("blocked", col("spam_score") >= 1.0)
+        .orderBy(col("doc_id"))
+    }),
     // Takedown/opt-out requests keyed by CONTENT HASH: the request list
     // (docs ≡ 0 mod 97 stand in for requested items) removes every copy
     // of the content — exact duplicates of a requested doc drop too.
@@ -2730,6 +2759,27 @@ object SparkEntry {
          |SELECT doc_id, source FROM d
          |WHERE domain NOT IN ('example.com', 'foo.co.uk')
          |ORDER BY doc_id""".stripMargin,
+    "domain_distribution" ->
+      s"""WITH ${graft.ingest.Psl.sqlPslCte},
+         |u AS (
+         |  SELECT doc_id, $sqlFixtureUrl AS url
+         |  FROM documents),
+         |${graft.ingest.Psl.sqlDomainCtes("u", "doc_id", Seq("url"), "url", "d")},
+         |h AS (SELECT doc_id, domain, ${graft.ingest.Urls.sqlHost("url")} AS host FROM d),
+         |g AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |        CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
+         |      FROM h GROUP BY domain)
+         |SELECT domain, n_docs, n_hosts,
+         |  round(n_docs * 100.0 / SUM(n_docs) OVER (), 4) AS pct
+         |FROM g ORDER BY n_docs DESC, domain""".stripMargin,
+    "url_spam_scores" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, $sqlSpamUrl AS url
+         |  FROM documents)
+         |SELECT doc_id,
+         |  round(${graft.ingest.Urls.sqlSpamScore("url")}, 4) AS spam_score,
+         |  (round(${graft.ingest.Urls.sqlSpamScore("url")}, 4) >= 1.0) AS blocked
+         |FROM u ORDER BY doc_id""".stripMargin,
     "takedown_requests" ->
       """SELECT doc_id, source FROM documents
         |WHERE md5(text) NOT IN
@@ -2814,6 +2864,23 @@ object SparkEntry {
   private def sqlFixtureUrl: String =
     s"'https://' || [${DomainCapHosts.map(h => s"'$h'").mkString(", ")}]" +
       "[CAST(doc_id % 10 AS INT) + 1] || '/' || source || '/' || CAST(doc_id AS VARCHAR)"
+
+  /** Spam-path suffixes planted by doc id for `url_spam_scores`: a
+    * blocking word (1.0), two additive soft words (0.5 + 0.5 = 1.0), one
+    * soft word alone (0.5, below threshold), and clean paths. */
+  private val SpamPathSuffixes = Seq(
+    "", "/casino-bonus", "/free-download/poker-night", "/betting-tips", "/about")
+
+  /** Fixture URLs with the spam-path suffixes appended (doc_id mod 5). */
+  private def withSpamUrls(docs: DataFrame): DataFrame =
+    withFixtureUrls(docs).withColumn("url", concat(col("url"),
+      element_at(array(SpamPathSuffixes.map(lit(_)): _*),
+        (col("doc_id") % 5 + 1).cast("int"))))
+
+  /** DuckDB twin of [[withSpamUrls]]'s url expression. */
+  private def sqlSpamUrl: String =
+    s"($sqlFixtureUrl || [${SpamPathSuffixes.map(x => s"'$x'").mkString(", ")}]" +
+      "[CAST(doc_id % 5 AS INT) + 1])"
 
   /** Funnel thresholds tuned to the synthetic corpus: the word-count
     * floor discriminates (doc lengths straddle 40) while the stop-hits

@@ -89,6 +89,45 @@ object Urls {
   def registeredDomain(url: Column): Column =
     org.apache.spark.sql.graft.ArrayFunctions.registeredDomain(host(url))
 
+  /** Default URL word-score list for [[spamScore]] — the RefinedWeb-style
+    * SOFT URL filter (Penedo et al. 2023 run a curated-blocklist gate
+    * plus word scoring of the URL string itself; the hard eTLD+1
+    * blocklist is [[registeredDomain]] + `excludeByKey`). Weights:
+    * 1.0 = blocking on its own, 0.5 = needs a second signal. A
+    * documented subset — production swaps in a full category list (e.g.
+    * the UT1 blocklists, public data); the expression shape is
+    * unchanged, exactly the PSL swap-point discipline. */
+  val SpamWords: Seq[(String, Double)] = Seq(
+    "casino" -> 1.0, "viagra" -> 1.0, "xvideos" -> 1.0, "escort" -> 1.0,
+    "porn" -> 1.0, "xxx" -> 0.5, "poker" -> 0.5, "betting" -> 0.5,
+    "free-download" -> 0.5, "crack" -> 0.5, "warez" -> 1.0,
+    "pharmacy" -> 0.5)
+
+  /** Word score of the URL STRING (lowercased substring hits, weights
+    * summed): RefinedWeb's soft URL gate — spam/adult content announces
+    * itself in the URL long before the page text is fetched, so this
+    * gate runs at the cheapest possible point (a pure scan-stage string
+    * expression over the url column; no fetch, no parse). Weights are
+    * halves, so the double sum is exact dyadic arithmetic on both
+    * engines ([[sqlSpamScore]] is the DuckDB twin). Null url → 0.0. */
+  def spamScore(url: Column,
+                weights: Seq[(String, Double)] = SpamWords): Column = {
+    val u = lower(coalesce(url, lit("")))
+    weights.map { case (w, wt) =>
+      when(u.contains(w), lit(wt)).otherwise(lit(0.0))
+    }.reduce(_ + _)
+  }
+
+  /** DuckDB mirror of [[spamScore]] — same words, same order, same
+    * left-assoc sum. */
+  def sqlSpamScore(colName: String,
+                   weights: Seq[(String, Double)] = SpamWords): String = {
+    val u = s"lower(COALESCE($colName, ''))"
+    weights.map { case (w, wt) =>
+      s"(CASE WHEN contains($u, '$w') THEN $wt ELSE 0.0 END)"
+    }.mkString(" + ")
+  }
+
   /** DuckDB mirror of [[canonicalize]] over a column named `colName` —
     * same regexes, same step order. The query CASE compares through
     * COALESCE because DuckDB's `array_to_string([])` is NULL where

@@ -12,11 +12,13 @@ import graft.text.{GopherRepetition, GopherRules, TextAnalysis}
   * [[FineWebPipeline]] and [[CcNetPipeline]], chained from operators this
   * library already ships:
   *
-  *  1. URL gate: registered-domain blocklist
-  *     ([[graft.ingest.Urls.registeredDomain]] — subdomains of a blocked
-  *     eTLD+1 drop with it; a null/unparseable URL maps to the ''
-  *     domain group, so the kept/dropped decision never depends on
-  *     whether a blocklist was supplied);
+  *  1. URL gate — both halves of RefinedWeb's URL filtering: the hard
+  *     registered-domain blocklist ([[graft.ingest.Urls.registeredDomain]]
+  *     — subdomains of a blocked eTLD+1 drop with it; a null/unparseable
+  *     URL maps to the '' domain group, so the kept/dropped decision
+  *     never depends on whether a blocklist was supplied) and the soft
+  *     word score of the URL string ([[graft.ingest.Urls.spamScore]],
+  *     off unless `spamWeights` is passed);
   *  2. Unicode NFC normalization
   *     ([[org.apache.spark.sql.graft.NfcNormalize]]) — BEFORE every
   *     downstream key, so NFC/NFD twins collapse for language ID,
@@ -72,7 +74,9 @@ object RefinedWebPipeline {
              threshold: Double = 0.9, cap: Int = 100,
              idCol: String = "doc_id", textCol: String = "text",
              materialize: DataFrame => DataFrame = _.localCheckpoint(true),
-             observeFunnel: Boolean = false): Stages = {
+             observeFunnel: Boolean = false,
+             spamWeights: Seq[(String, Double)] = Seq.empty,
+             spamThreshold: Double = 1.0): Stages = {
     // Widen FIRST: the interpreted HOF gates (langId markers, repetition
     // folds) are the preset's per-row CPU, and a small parquet scan
     // arrives in 1-2 partitions — without the repartition they run
@@ -88,8 +92,16 @@ object RefinedWebPipeline {
     val (obsRaw, obsUrl, obsLang) =
       (Observation("rw_raw"), Observation("rw_url"), Observation("rw_lang"))
     val dom = if (observeFunnel) dom0.observe(obsRaw, count(lit(1)).as("n")) else dom0
+    // The URL gate is both halves of RefinedWeb's URL filtering: the
+    // hard eTLD+1 blocklist AND the soft word score of the URL string
+    // (off by default — pass spamWeights to enable). Both are scan-stage
+    // expressions; nothing is fetched or parsed to reject a URL.
+    val domBlocked =
+      if (blocked.isEmpty) dom else dom.filter(!col("domain").isin(blocked: _*))
     val urlGated0 =
-      (if (blocked.isEmpty) dom else dom.filter(!col("domain").isin(blocked: _*)))
+      (if (spamWeights.isEmpty) domBlocked
+       else domBlocked.filter(
+         graft.ingest.Urls.spamScore(col(urlCol), spamWeights) < spamThreshold))
         .select(col(idCol).cast("long").as("doc_id"), col("domain"),
           col(textCol).as("text"))
     val urlGated = if (observeFunnel) urlGated0.observe(obsUrl, count(lit(1)).as("n"))
@@ -131,9 +143,12 @@ object RefinedWebPipeline {
             gopherTh: GopherRules.Thresholds = GopherRules.Thresholds(),
             repetitionTh: GopherRepetition.Thresholds = GopherRepetition.Thresholds(),
             threshold: Double = 0.9, cap: Int = 100,
-            materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame =
+            materialize: DataFrame => DataFrame = _.localCheckpoint(true),
+            spamWeights: Seq[(String, Double)] = Seq.empty,
+            spamThreshold: Double = 1.0): DataFrame =
     stages(docs, urlCol, blocked, lang, gopherTh, repetitionTh, threshold, cap,
-      materialize = materialize)
+      materialize = materialize,
+      spamWeights = spamWeights, spamThreshold = spamThreshold)
       .capped
       .select(col("doc_id"), col("domain"),
         size(TextAnalysis.tokens(lower(col("text")))).cast("long").as("n_tokens"))
@@ -151,9 +166,12 @@ object RefinedWebPipeline {
              gopherTh: GopherRules.Thresholds = GopherRules.Thresholds(),
              repetitionTh: GopherRepetition.Thresholds = GopherRepetition.Thresholds(),
              threshold: Double = 0.9, cap: Int = 100,
-             materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
+             materialize: DataFrame => DataFrame = _.localCheckpoint(true),
+             spamWeights: Seq[(String, Double)] = Seq.empty,
+             spamThreshold: Double = 1.0): DataFrame = {
     val st = stages(docs, urlCol, blocked, lang, gopherTh, repetitionTh,
-      threshold, cap, materialize = materialize, observeFunnel = true)
+      threshold, cap, materialize = materialize, observeFunnel = true,
+      spamWeights = spamWeights, spamThreshold = spamThreshold)
     // Count the materialized frame FIRST: with the default eager
     // materializer the metrics are already in; with a lazy one this
     // count is the action that runs the observed plan — either way the
@@ -181,18 +199,24 @@ object RefinedWebPipeline {
   private def sqlCtes(from: String, blocked: Seq[String], lang: String,
                       gopherTh: GopherRules.Thresholds,
                       repetitionTh: GopherRepetition.Thresholds,
-                      threshold: Double, cap: Int): String = {
+                      threshold: Double, cap: Int,
+                      spamWeights: Seq[(String, Double)] = Seq.empty,
+                      spamThreshold: Double = 1.0): String = {
     val tok = "[^ \\t\\n\\x0B\\f\\r]+"
     val blockedSql =
       if (blocked.isEmpty) "TRUE"
       else s"domain NOT IN (${blocked.map(b => s"'$b'").mkString(", ")})"
+    val spamSql =
+      if (spamWeights.isEmpty) "TRUE"
+      else s"(${graft.ingest.Urls.sqlSpamScore("url", spamWeights)}) < $spamThreshold"
     val rulesPass = GopherRules.sqlPassExpr("text", gopherTh)
     val repSig = GopherRepetition.sqlSignals("rw4", repetitionTh)
     s"""WITH RECURSIVE ${graft.ingest.Psl.sqlPslCte},
        |d0 AS (SELECT doc_id, text, url FROM $from),
-       |${graft.ingest.Psl.sqlDomainCtes("d0", "doc_id", Seq("text"), "url", "dm0")},
-       |dm AS (SELECT doc_id, text, COALESCE(domain, '') AS domain FROM dm0),
-       |rw1 AS (SELECT doc_id, domain, text FROM dm WHERE $blockedSql),
+       |${graft.ingest.Psl.sqlDomainCtes("d0", "doc_id", Seq("text", "url"), "url", "dm0")},
+       |dm AS (SELECT doc_id, text, url, COALESCE(domain, '') AS domain FROM dm0),
+       |rw1 AS (SELECT doc_id, domain, text FROM dm
+       |        WHERE $blockedSql AND $spamSql),
        |rw2 AS (SELECT doc_id, domain, nfc_normalize(text) AS text FROM rw1),
        |rw3 AS (SELECT * FROM rw2 WHERE ${TextAnalysis.sqlLangId("text")} = '$lang'),
        |rw4 AS (SELECT * FROM rw3 WHERE $rulesPass),
@@ -235,8 +259,11 @@ object RefinedWebPipeline {
   def sqlPipeline(from: String, blocked: Seq[String], lang: String = "en",
                   gopherTh: GopherRules.Thresholds = GopherRules.Thresholds(),
                   repetitionTh: GopherRepetition.Thresholds = GopherRepetition.Thresholds(),
-                  threshold: Double = 0.9, cap: Int = 100): String =
-    sqlCtes(from, blocked, lang, gopherTh, repetitionTh, threshold, cap) +
+                  threshold: Double = 0.9, cap: Int = 100,
+                  spamWeights: Seq[(String, Double)] = Seq.empty,
+                  spamThreshold: Double = 1.0): String =
+    sqlCtes(from, blocked, lang, gopherTh, repetitionTh, threshold, cap,
+      spamWeights, spamThreshold) +
       s"""
          |SELECT doc_id, domain,
          |  CAST(len(regexp_extract_all(lower(text), '[^ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tokens
@@ -246,8 +273,11 @@ object RefinedWebPipeline {
   def sqlFunnel(from: String, blocked: Seq[String], lang: String = "en",
                 gopherTh: GopherRules.Thresholds = GopherRules.Thresholds(),
                 repetitionTh: GopherRepetition.Thresholds = GopherRepetition.Thresholds(),
-                threshold: Double = 0.9, cap: Int = 100): String =
-    sqlCtes(from, blocked, lang, gopherTh, repetitionTh, threshold, cap) +
+                threshold: Double = 0.9, cap: Int = 100,
+                spamWeights: Seq[(String, Double)] = Seq.empty,
+                spamThreshold: Double = 1.0): String =
+    sqlCtes(from, blocked, lang, gopherTh, repetitionTh, threshold, cap,
+      spamWeights, spamThreshold) +
       """
         |SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS gate,
         |       CAST((SELECT COUNT(*) FROM d0) AS BIGINT) AS n_docs

@@ -330,6 +330,7 @@ class PlanQualitySpec extends SparkSpec {
     // form) — this test guards the assembled query surface.
     val allow: Map[String, String] = Map(
       "source_distribution" -> "pct-of-total over <= |sources| aggregated rows (A6 parity form)",
+      "domain_distribution" -> "pct-of-total over <= |domains| aggregate rows",
       "daily_order_deltas" -> "lag over per-day aggregate rows (<= |order dates|)",
       "bm25_topk" -> "rank over <= k rows after the TakeOrdered limit",
       "vocab_encode" -> "vocab id assignment over <= size rows after the TakeOrdered limit",

@@ -102,6 +102,18 @@ class UrlsSpec extends SparkSpec {
       Seq("co.uk", "github.io"))
   }
 
+  test("spamScore: substring hits sum; halves need a second signal (r10)") {
+    val scores = Seq(
+      "https://fun.example.com/casino-bonus",       // 1.0 blocking
+      "https://x.example.com/free-download/poker",  // 0.5 + 0.5 additive
+      "https://x.example.com/betting-tips",         // 0.5 alone
+      "https://news.example.com/article/42",        // clean
+      null)                                         // null url -> 0.0
+      .toDF("url").select(Urls.spamScore(col("url")).as("s"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(scores == Seq(1.0, 1.0, 0.5, 0.0, 0.0), scores)
+  }
+
   test("domainCaps: exactly the cap survives per registered domain, best-first") {
     val docs = (1L to 40L).map { i =>
       val host = if (i % 4 == 0) "example.com"

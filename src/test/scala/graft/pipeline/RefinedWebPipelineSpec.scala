@@ -52,6 +52,28 @@ class RefinedWebPipelineSpec extends SparkSpec {
     assert(j < 0.9, s"raw jaccard $j")
   }
 
+  test("soft URL word-score gate cuts the spam URL at stage 1 (r10)") {
+    // doc 1's twin at a spam URL: without spamWeights it survives as a
+    // distinct domain; with them it is cut BEFORE any text stage (the
+    // cheap-gate-first discipline — nothing about its text changed).
+    val spam = docs.unionByName(Seq(
+      (13L, "the casino page text itself reads perfectly fine here",
+        "https://win.spamdom.net/casino-bonus")).toDF("doc_id", "text", "url"))
+    val without = RefinedWebPipeline(spam, blocked = Seq("foo.co.uk"),
+      gopherTh = th, cap = 2).select("doc_id").as[Long].collect().toSet
+    assert(without.contains(13L), s"fixture drifted: $without")
+    val withGate = RefinedWebPipeline(spam, blocked = Seq("foo.co.uk"),
+      gopherTh = th, cap = 2,
+      spamWeights = graft.ingest.Urls.SpamWords)
+      .select("doc_id").as[Long].collect().toSet
+    assert(withGate == without - 13L, s"gate must cut exactly doc 13: $withGate")
+    val f = RefinedWebPipeline.funnel(spam, blocked = Seq("foo.co.uk"),
+      gopherTh = th, cap = 2, spamWeights = graft.ingest.Urls.SpamWords)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(f("url_blocklist") == f("raw") - 2L,
+      s"stage 1 must count the blocked-domain doc (3) AND the spam URL (13): $f")
+  }
+
   test("output is invariant to the stage materializer (r10)") {
     // The default localCheckpoint(true) is single-JVM-correct but
     // fault-intolerant on a cluster (executor loss kills the lineage);
