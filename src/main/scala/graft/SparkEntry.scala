@@ -1,5 +1,7 @@
 package graft
 
+import graft.Mat.Pinnable
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -480,7 +482,7 @@ object SparkEntry {
       val (k1, s1) = graft.pipeline.Curation.domainCapsIncremental(
         docs.filter(col("doc_id") < 250), empty, "url", 50, Seq(col("doc_id").asc))
       val (k2, _) = graft.pipeline.Curation.domainCapsIncremental(
-        docs.filter(col("doc_id") >= 250), s1.localCheckpoint(true),
+        docs.filter(col("doc_id") >= 250), s1.pinned,
         "url", 50, Seq(col("doc_id").asc))
       k1.unionByName(k2)
         .select(col("doc_id"), col("domain"))
@@ -714,7 +716,7 @@ object SparkEntry {
       val state = TextAnalysis.mergeShingleCounts(
         TextAnalysis.shingleDfCounts(history, "text", 3),
         TextAnalysis.shingleDfCounts(batch, "text", 3))
-        .localCheckpoint(true)
+        .pinned
       TextAnalysis.ngramNoveltyFromCounts(batch, "doc_id", "text", 3, 5L, state)
     }),
     // Sliding-window chunk expansion (64-token chunks, 16 overlap) — the

@@ -1,5 +1,7 @@
 package graft.analytics
 
+import graft.Mat.Pinnable
+
 import org.apache.spark.HashPartitioner
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
@@ -104,7 +106,7 @@ object PageRank {
     // as clean as it found it.
     val out = spark.createDataFrame(ranks.map { case (v, r) => Row(v, r) }, schema)
       .orderBy(col("node"))
-      .localCheckpoint(true)
+      .pinned
     e.unpersist(false); adj.unpersist(false); nodes.unpersist(false)
     out
   }

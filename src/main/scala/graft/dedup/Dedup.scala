@@ -1,5 +1,7 @@
 package graft.dedup
 
+import graft.Mat.Pinnable
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -157,7 +159,7 @@ object Dedup {
     val t = graft.Par.widen(df).select(col(idCol).as("id"), col(blockCol).as("block"),
       setExpr.as("toks"))
       .withColumn("n", size(col("toks")))
-      .localCheckpoint(true)
+      .pinned
     // Distinct key names per side: `a("block") === b("block")` over two
     // projections of the SAME checkpointed table is the ambiguous-self-join
     // shape `failAmbiguousSelfJoin` exists to reject — dataset-id
@@ -341,7 +343,7 @@ object Dedup {
     // group-by-token-set shuffle. (At cluster scale: persist/cache.)
     val groups = allDocs.groupBy(col("toks"))
       .agg(min(col("id")).as("rep"), sort_array(collect_list(col("id"))).as("members"))
-      .localCheckpoint(true)
+      .pinned
     val docs = groups.select(col("rep").as("id"), col("toks"))
       .withColumn("n", size(col("toks")))
     // All band buckets per doc in ONE native expression pass
@@ -467,7 +469,7 @@ object Dedup {
     // this the (expensive — it's the whole upstream near-dup join) pair
     // plan would re-run per derived branch.
     val p = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
-      .localCheckpoint(true)
+      .pinned
     // The LOOP runs on co-partitioned RDDs, not DataFrames: each round is
     // semantically trivial (join labels with edges, take per-node min) but
     // a DataFrame loop pays Catalyst analysis + optimization + whole-stage
@@ -545,7 +547,7 @@ object Dedup {
     import spark.implicits._
     val idName = ids.columns.head
     val p = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
-      .localCheckpoint(true)
+      .pinned
     val nParts = math.max(4L, 2L * p.count() / 1000000L).toInt
     val part = new org.apache.spark.HashPartitioner(nParts)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -725,7 +727,7 @@ object Dedup {
                  index: DataFrame, threshold: Double,
                  numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val sigT = signatureTable(incoming, idCol, textCol, numHashes, bands)
-      .localCheckpoint(true) // feeds the bucket join AND the verify re-fetch
+      .pinned // feeds the bucket join AND the verify re-fetch
     val bb = sigT.select(col("doc_id").as("bid"),
       posexplode(col("buckets")).as(Seq("band", "bucket")))
     val ib = index.select(col("doc_id").as("iid"),

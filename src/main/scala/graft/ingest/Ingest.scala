@@ -1,5 +1,7 @@
 package graft.ingest
 
+import graft.Mat.Pinnable
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -87,7 +89,7 @@ object Ingest {
     * the fetched HTML). Listings arrive the same way via
     * [[fetchListings]]. */
   def runFetched(listings: DataFrame, existing: DataFrame, fetcher: Fetcher): DataFrame = {
-    val cands = newCandidates(candidates(listings), existing).localCheckpoint(true)
+    val cands = newCandidates(candidates(listings), existing).pinned
     // null html = failed fetch -> row skipped, like the reference's
     // except/continue (crawl.py:116-124) and like a missing row in the
     // table-join path (inner join).

@@ -45,15 +45,14 @@ object CcNetPipeline {
   final case class Stages(pd: DataFrame, lg: DataFrame, tiers: DataFrame)
 
   /** `materialize` pins the shared language-gate frame (default
-    * `localCheckpoint(true)` — single-JVM-correct; a cluster deployment
-    * that must survive executor loss passes `_.persist(DISK_ONLY)` or a
-    * reliable-checkpoint wrapper instead). Output is
+    * [[graft.Mat.pin]] — the session-wide `spark.graft.materialize`
+    * knob; pass an explicit function to override per call). Output is
     * materializer-invariant (CcNetPipelineSpec pins it). */
   def stages(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
              lang: String = "en", splitRe: String = "\\n{2,}",
              nShards: Int = 1024,
              crossFitModel: Option[DataFrame] = None,
-             materialize: DataFrame => DataFrame = _.localCheckpoint(true)): Stages = {
+             materialize: DataFrame => DataFrame = graft.Mat.pin): Stages = {
     // 0. NFC normalization (r10) AHEAD of the paragraph-norm hashing —
     // the RefinedWeb placement proof applies here too: NFD twins of a
     // boilerplate paragraph would otherwise escape the norm-keyed dedup
@@ -98,7 +97,7 @@ object CcNetPipeline {
   def apply(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
             lang: String = "en", splitRe: String = "\\n{2,}",
             nShards: Int = 1024,
-            materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame =
+            materialize: DataFrame => DataFrame = graft.Mat.pin): DataFrame =
     stages(docs, idCol, textCol, lang, splitRe, nShards,
       materialize = materialize).tiers
       .filter(col("tier") =!= "tail")

@@ -31,7 +31,7 @@ object CorpusClean {
             dedupThreshold: Double = 0.9,
             idCol: String = "doc_id", textCol: String = "text",
             blockCol: String = "source",
-            materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame =
+            materialize: DataFrame => DataFrame = graft.Mat.pin): DataFrame =
     build(docs, minQuality, lang, idCol, textCol, blockCol,
       f => Dedup.nearDupKeepers(f, idCol, textCol, blockCol, dedupThreshold),
       materialize)
@@ -55,7 +55,7 @@ object CorpusClean {
              dedupThreshold: Double = 0.9,
              idCol: String = "doc_id", textCol: String = "text",
              sourceCol: String = "source",
-             materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame =
+             materialize: DataFrame => DataFrame = graft.Mat.pin): DataFrame =
     build(docs, minQuality, lang, idCol, textCol, sourceCol,
       f => Dedup.nearDupKeepersScaled(f, idCol, textCol, dedupThreshold),
       materialize)
@@ -80,11 +80,9 @@ object CorpusClean {
   }
 
   /** `materialize` pins the shared stage frame (default
-    * `localCheckpoint(true)` — single-JVM-correct; pass
-    * `_.persist(StorageLevel.DISK_ONLY)` or a reliable-checkpoint
-    * wrapper on a cluster that must survive executor loss — local
-    * checkpoints cannot be recomputed). Output is materializer-invariant
-    * (CorpusCleanSpec pins it). */
+    * [[graft.Mat.pin]] — the session-wide `spark.graft.materialize`
+    * knob; pass an explicit function to override per call). Output is
+    * materializer-invariant (CorpusCleanSpec pins it). */
   private def build(docs: DataFrame, minQuality: Double, lang: String,
                     idCol: String, textCol: String, blockCol: String,
                     keepersOf: DataFrame => DataFrame,

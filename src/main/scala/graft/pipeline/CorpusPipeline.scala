@@ -1,5 +1,7 @@
 package graft.pipeline
 
+import graft.Mat.Pinnable
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -82,7 +84,7 @@ object CorpusPipeline {
       .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy(col("red"))))
       .filter(col("doc_id") === col("keeper"))
       .select(col("doc_id"), col("red"))
-      .localCheckpoint(true)
+      .pinned
     val decontaminated = Curation.decontaminate(
         keepers, "doc_id", "red",
         scrubbed.filter(col("doc_id") % benchMod === 0), "red",

@@ -1,5 +1,7 @@
 package graft.pipeline
 
+import graft.Mat.Pinnable
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -151,7 +153,7 @@ object Curation {
       .join(state.select(col("domain"), col("n_kept")), Seq("domain"), "left")
       .filter(col("__rk") <= lit(cap) - coalesce(col("n_kept"), lit(0L)))
       .drop("__rk", "n_kept")
-      .localCheckpoint(true) // feeds the output AND the state update once
+      .pinned // feeds the output AND the state update once
     val newState = state.select(col("domain"), col("n_kept"))
       .unionByName(kept.groupBy(col("domain")).agg(count(lit(1)).as("n_kept")))
       .groupBy(col("domain")).agg(sum(col("n_kept")).as("n_kept"))
@@ -412,7 +414,7 @@ object Curation {
         col(idCol).cast("long").as("doc_id"),
         coalesce(graft.text.TextAnalysis.qualityScore(col(textCol)), lit(0.0)).as("q"),
         md5(concat_ws(":", lit(seed), col(textCol))).as("__h"))
-      .localCheckpoint(true) // feeds both rank passes
+      .pinned // feeds both rank passes
     // Pass 1: quality rank -> tier. Shard by the (bounded, rounded) score
     // value itself; within-shard row_number; bounded offset window.
     val sharded = base.withColumn("__shard",
@@ -749,7 +751,7 @@ object Curation {
       .select(col(idCol).cast("long").as("item_id"), nTok.as("n_tokens"),
         md5(col(textCol)).as("__h"))
       .filter(col("n_tokens") > 0)
-      .localCheckpoint(true) // feeds the histogram collect AND the ranked join
+      .pinned // feeds the histogram collect AND the ranked join
     val hist = base.groupBy(col("n_tokens")).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val tooLong = hist.keys.filter(_ > budget)
@@ -896,8 +898,8 @@ object Curation {
     * whole corpus — 6 scans instead of 2. (Incremental callers read
     * state from parquet, which is already materialized.) */
   def releaseManifestSketch(docs: DataFrame): DataFrame =
-    releaseManifestSketch(manifestCounts(docs).localCheckpoint(true),
-      manifestSketch(docs).localCheckpoint(true))
+    releaseManifestSketch(manifestCounts(docs).pinned,
+      manifestSketch(docs).pinned)
 
   /** DuckDB mirror of the one-shot [[releaseManifestSketch]] over a
     * relation exposing (source, lang, text). The oracle replays each
@@ -1049,13 +1051,13 @@ object Curation {
                          numHashes: Int = 64, bands: Int = 16): DataFrame = {
     import graft.dedup.Dedup
     val d = Dedup.signatureTable(docs, idCol, textCol, numHashes, bands)
-      .localCheckpoint(true) // feeds the bucket join AND the verify re-fetch
+      .pinned // feeds the bucket join AND the verify re-fetch
     val b = Dedup.signatureTable(
         benchmark.select(col(benchIdCol).as("__bid"), col(benchTextCol).as("__btxt")),
         "__bid", "__btxt", numHashes, bands)
       .select(col("doc_id").as("bench_id"), col("toks").as("btoks"),
         col("n").as("bn"), col("buckets").as("bbuckets"))
-      .localCheckpoint(true)
+      .pinned
     val db = d.select(col("doc_id"),
       posexplode(col("buckets")).as(Seq("band", "bucket")))
     val bb = b.select(col("bench_id"),
@@ -1182,7 +1184,7 @@ object Curation {
     val benchSh = benchmark
       .select(explode(array_distinct(shingles(col(benchTextCol), n))).as("sh"))
       .distinct()
-      .localCheckpoint(true) // one pass feeds both the Bloom build and the verify join
+      .pinned // one pass feeds both the Bloom build and the verify join
     // Size from `expectedItems` when the caller knows (or bounds) the
     // benchmark's distinct-shingle count — one Spark job fewer (round-4
     // advice). Oversizing only wastes filter bits, undersizing only raises

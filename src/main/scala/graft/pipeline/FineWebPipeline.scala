@@ -1,5 +1,7 @@
 package graft.pipeline
 
+import graft.Mat.Pinnable
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -111,7 +113,7 @@ object FineWebPipeline {
       .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy(col("text"))))
       .filter(col("doc_id") === col("keeper"))
       .select(col("doc_id"), col("text"))
-      .localCheckpoint(true)
+      .pinned
     // 6. decontaminate against the C4-cleaned benchmark slice (bench docs
     // self-match and drop too — the eval set never enters the corpus).
     val bench = benchOverride.getOrElse(c4.filter(col("doc_id") % benchMod === 0))
@@ -121,7 +123,7 @@ object FineWebPipeline {
       .select(col("doc_id"))
       .join(keepers, Seq("doc_id"))
       .withColumn("n_tokens", size(TextAnalysis.tokens(col("text"))).cast("long"))
-      .localCheckpoint(true) // feeds the DSIR weight build + the join-back
+      .pinned // feeds the DSIR weight build + the join-back
     // 7. DSIR per-token-average floor.
     val wts = Dsir.weights(clean, col("doc_id") % targetMod === 0,
       "doc_id", "text", dsirBuckets)
@@ -258,7 +260,7 @@ object FineWebPipeline {
       .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy(col("text"))))
       .filter(col("doc_id") === col("keeper"))
       .select(col("doc_id"), col("text"))
-      .localCheckpoint(true)
+      .pinned
     // 6. decontaminate against the FIXED eval set.
     val clean = Curation.decontaminate(keepers, "doc_id", "text",
         st.bench, "text", shingleN, overlapThreshold)
@@ -266,7 +268,7 @@ object FineWebPipeline {
       .select(col("doc_id"))
       .join(keepers, Seq("doc_id"))
       .withColumn("n_tokens", size(TextAnalysis.tokens(col("text"))).cast("long"))
-      .localCheckpoint(true)
+      .pinned
     // 7. DSIR floor with the weight table rebuilt from MERGED counts.
     //    NOTE the scope of this stage's equivalence: the weight table
     //    depends on the counts of the WHOLE corpus, so `sampled` equals

@@ -1,5 +1,7 @@
 package graft.pipeline
 
+import graft.Mat.Pinnable
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -142,12 +144,12 @@ object QualityClassifier {
     val featsArr = features(docs, idCol, textCol, numBuckets)
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("j"), col("x"))).as("fs"))
-      .localCheckpoint(true)
-    val labels = weakLabels(docs, idCol, textCol).localCheckpoint(true)
+      .pinned
+    val labels = weakLabels(docs, idCol, textCol).pinned
     // Every labeled doc has features (a label needs a bigram ⇒ ≥ 2 tokens),
     // so the inner join loses nothing.
     val train = featsArr.join(labels, Seq("doc_id"))
-      .select(col("fs"), col("y")).localCheckpoint(true)
+      .select(col("fs"), col("y")).pinned
     val w = trainWeights(train, labels.count(), numBuckets, iters, lrNum, lrDen)
     val z = featsArr.select(col("doc_id"), zExpr(w).as("z"))
     val score = sigmaMicro(coalesce(col("z"), lit(0L)))
@@ -156,7 +158,7 @@ object QualityClassifier {
       .select(col("doc_id"), score.as("score_micro"),
         when(score >= 500000L, 1).otherwise(0).cast("int").as("keep"))
       .orderBy(col("doc_id"))
-      .localCheckpoint(true)
+      .pinned
     featsArr.unpersist(false); labels.unpersist(false); train.unpersist(false)
     out
   }

@@ -48,11 +48,12 @@ import graft.text.{GopherRepetition, GopherRules, TextAnalysis}
   * window, nothing quadratic engine-side.
   *
   * Materialization: shared stage frames are pinned through `materialize`
-  * (default `localCheckpoint(true)` — correct and fast single-JVM; a
-  * cluster deployment that must survive executor loss passes
-  * `_.persist(StorageLevel.DISK_ONLY)` or a reliable-checkpoint wrapper
-  * instead — local checkpoints live on executor storage and cannot be
-  * recomputed). Output is materializer-invariant (spec-pinned).
+  * (default [[graft.Mat.pin]] — the session-wide
+  * `spark.graft.materialize` knob: localCheckpoint for speed,
+  * diskOnly/memoryAndDisk persist or a reliable checkpoint for clusters
+  * that must survive executor loss — local checkpoints live on executor
+  * storage and cannot be recomputed). An explicit parameter overrides
+  * the conf per stage. Output is materializer-invariant (spec-pinned).
   */
 object RefinedWebPipeline {
 
@@ -73,7 +74,7 @@ object RefinedWebPipeline {
              repetitionTh: GopherRepetition.Thresholds = GopherRepetition.Thresholds(),
              threshold: Double = 0.9, cap: Int = 100,
              idCol: String = "doc_id", textCol: String = "text",
-             materialize: DataFrame => DataFrame = _.localCheckpoint(true),
+             materialize: DataFrame => DataFrame = graft.Mat.pin,
              observeFunnel: Boolean = false,
              spamWeights: Seq[(String, Double)] = Seq.empty,
              spamThreshold: Double = 1.0): Stages = {
@@ -143,7 +144,7 @@ object RefinedWebPipeline {
             gopherTh: GopherRules.Thresholds = GopherRules.Thresholds(),
             repetitionTh: GopherRepetition.Thresholds = GopherRepetition.Thresholds(),
             threshold: Double = 0.9, cap: Int = 100,
-            materialize: DataFrame => DataFrame = _.localCheckpoint(true),
+            materialize: DataFrame => DataFrame = graft.Mat.pin,
             spamWeights: Seq[(String, Double)] = Seq.empty,
             spamThreshold: Double = 1.0): DataFrame =
     stages(docs, urlCol, blocked, lang, gopherTh, repetitionTh, threshold, cap,
@@ -166,7 +167,7 @@ object RefinedWebPipeline {
              gopherTh: GopherRules.Thresholds = GopherRules.Thresholds(),
              repetitionTh: GopherRepetition.Thresholds = GopherRepetition.Thresholds(),
              threshold: Double = 0.9, cap: Int = 100,
-             materialize: DataFrame => DataFrame = _.localCheckpoint(true),
+             materialize: DataFrame => DataFrame = graft.Mat.pin,
              spamWeights: Seq[(String, Double)] = Seq.empty,
              spamThreshold: Double = 1.0): DataFrame = {
     val st = stages(docs, urlCol, blocked, lang, gopherTh, repetitionTh,

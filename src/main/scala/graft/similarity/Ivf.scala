@@ -1,5 +1,7 @@
 package graft.similarity
 
+import graft.Mat.Pinnable
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -87,7 +89,7 @@ object Ivf {
       .withColumn("pn", norm(col("pv")))
       .select(col("probe_id"), col("pv"), col("pn"),
         explode(nearest(col("pv"), nprobe)).as("list"))
-      .localCheckpoint(true)
+      .pinned
     val neededLists = prob.select(col("list")).distinct()
       .collect().map(_.getInt(0)).sorted
     val cand = spark.read.parquet(path)

@@ -1,5 +1,7 @@
 package graft.similarity
 
+import graft.Mat.Pinnable
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -259,7 +261,7 @@ object Pq {
         explode(org.apache.spark.sql.graft.VectorFunctions.nearestCentroids(
           asDouble(col(vecCol)), centers, nprobe)).as("list"))
       .join(luts, Seq("probe_id"))
-      .localCheckpoint(true)
+      .pinned
     val neededLists = prob.select(col("list")).distinct()
       .collect().map(_.getInt(0)).sorted
     val cand = spark.read.parquet(path)

@@ -1,5 +1,7 @@
 package graft.similarity
 
+import graft.Mat.Pinnable
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -77,7 +79,7 @@ object Similarity {
     // scale: persist/cache.)
     val t = graft.Par.widen(emb).select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("n", norm(col("v")))
-      .localCheckpoint(true)
+      .pinned
     val a = t.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
     val b = t.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
@@ -130,7 +132,7 @@ object Similarity {
       .withColumn("n", norm(col("v")))
       .withColumn("buckets", org.apache.spark.sql.graft.VectorFunctions
         .lshTableBuckets(col("v"), planes, bitsPerTable))
-      .localCheckpoint(true)
+      .pinned
     val banded = base
       .select(col("id"), col("buckets"),
         posexplode(col("buckets")).as(Seq("table", "bucket")))
@@ -207,7 +209,7 @@ object Similarity {
       .withColumn("n", norm(col("v")))
       .withColumn("cluster", element_at(org.apache.spark.sql.graft.VectorFunctions
         .nearestCentroids(col("v"), centers, 1), 1))
-      .localCheckpoint(true) // one scan feeds both self-join sides
+      .pinned // one scan feeds both self-join sides
     val a = base.select(col("cluster"), col("id").as("id_a"),
       col("v").as("va"), col("n").as("na"))
     val b = base.select(col("cluster"), col("id").as("id_b"),

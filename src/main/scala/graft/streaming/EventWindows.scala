@@ -1,5 +1,7 @@
 package graft.streaming
 
+import graft.Mat.Pinnable
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.relational.Money
@@ -108,7 +110,7 @@ object EventWindows {
     val counts = times.agg(
       count(col("t1")).as("n1"),
       steps.indices.drop(1).map(i => count(col(s"t${i + 1}")).as(s"n${i + 1}")): _*)
-      .localCheckpoint(true)
+      .pinned
     steps.indices.map(i =>
         counts.select(lit(i + 1).as("step"), lit(steps(i)).as("name"),
           col(s"n${i + 1}").as("n_users")))

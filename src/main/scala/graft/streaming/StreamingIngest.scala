@@ -1,5 +1,7 @@
 package graft.streaming
 
+import graft.Mat.Pinnable
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 import org.apache.spark.sql.Row
@@ -88,7 +90,7 @@ object StreamingIngest {
     val spark = docs.sparkSession
     docs.writeStream
       .foreachBatch { (batch0: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
-        val batch = batch0.localCheckpoint(true)
+        val batch = batch0.pinned
         if (batch.count() > 0) {
           val tally = readIndexIfExists(spark, statePath)
             .map(_.filter(col("batch_id") < batchId)
@@ -212,7 +214,7 @@ object StreamingIngest {
       if (df.columns.contains("batch_id"))
         df.filter(col("batch_id") < batchId).drop("batch_id")
       else df
-    val batch = batchDf.localCheckpoint(true)
+    val batch = batchDf.pinned
     if (batch.count() > 0) {
       // stages 1-4: stateless gates, NFC ahead of every key. Widen:
       // a micro-batch arrives in one file's worth of partitions and
@@ -232,19 +234,19 @@ object StreamingIngest {
           .filter(graft.text.TextAnalysis.langId(col("text")) === lang)
           .filter(graft.text.GopherRules.passExpr(col("text"), gopherTh))
           .filter(graft.text.GopherRepetition.passExpr(col("text"), repetitionTh))
-          .localCheckpoint(true)
+          .pinned
       // stage 5: exact dedup against the content-hash index
       val cntIdx = readIndexIfExists(spark, s"$stateDir/content_index")
         .map(df => beforeThisBatch(df).dropDuplicates("h"))
         .getOrElse(empty("h" -> StringType, "keeper_id" -> LongType))
       val novelHashes = Dedup.exactIndex(gated, "doc_id", "text")
         .join(cntIdx.select(col("h")), Seq("h"), "left_anti")
-        .localCheckpoint(true)
+        .pinned
       val exact = gated.withColumn("h", md5(col("text")))
         .join(novelHashes.select(col("h"), col("keeper_id")), Seq("h"))
         .filter(col("doc_id") === col("keeper_id"))
         .select(col("doc_id"), col("domain"), col("text"))
-        .localCheckpoint(true)
+        .pinned
       // stage 6: near-dup against history ∪ batch with the FULL
       // recompute's component-transitive semantics (the contract the
       // StreamingSpec pin states): signatures of EVERY exact-stage
@@ -256,9 +258,9 @@ object StreamingIngest {
       // represented by their within-batch keeper.
       val keeperOf = Dedup
         .nearDupKeepersScaled(exact, "doc_id", "text", threshold)
-        .localCheckpoint(true) // feeds the cluster lift AND the keeper pick
+        .pinned // feeds the cluster lift AND the keeper pick
       val sigT = Dedup.signatureTable(exact, "doc_id", "text")
-        .localCheckpoint(true)
+        .pinned
       val dupIds = readIndexIfExists(spark, s"$stateDir/sig_index") match {
         case None => spark.emptyDataFrame.select(lit(0L).as("dup_id")).limit(0)
         case Some(index0) =>
@@ -271,7 +273,7 @@ object StreamingIngest {
         .join(keeperOf.filter(col("doc_id") === col("keeper_id"))
           .join(dupClusters, Seq("keeper_id"), "left_anti")
           .select(col("doc_id")), Seq("doc_id"))
-        .localCheckpoint(true)
+        .pinned
       // stage 7: per-domain caps against the batch-keyed tally — the
       // same admit core CurationSpec pins (novel already carries its
       // domain column)
@@ -375,7 +377,7 @@ object StreamingIngest {
     val spark = docs.sparkSession
     docs.writeStream
       .foreachBatch { (batch0: org.apache.spark.sql.Dataset[Row], _: Long) =>
-        val batch = batch0.localCheckpoint(true)
+        val batch = batch0.pinned
         if (batch.count() > 0) {
           // 1. within-batch near-dup: keep component keepers only
           val keepers = Dedup.nearDupKeepersScaled(batch, idCol, textCol, threshold)
@@ -384,10 +386,10 @@ object StreamingIngest {
           val survivors = batch
             .join(keepers, batch(idCol).cast("long") === col("_keep_id"))
             .drop("_keep_id")
-            .localCheckpoint(true)
+            .pinned
           // 2. cross-batch probe against the signature index
           val sigT = Dedup.signatureTable(survivors, idCol, textCol)
-            .localCheckpoint(true)
+            .pinned
           val dupIds = readIndexIfExists(spark, indexPath) match {
             case None => spark.emptyDataFrame.select(lit(0L).as("dup_id")).limit(0)
             case Some(index0) => crossBatchNearDupIds(sigT, index0, threshold)
@@ -395,7 +397,7 @@ object StreamingIngest {
           // 3. append novel docs + their signatures
           val novel = survivors
             .join(dupIds, survivors(idCol).cast("long") === col("dup_id"), "left_anti")
-            .localCheckpoint(true)
+            .pinned
           novel.write.mode("append").parquet(sinkPath)
           sigT.join(novel.select(col(idCol).cast("long").as("doc_id")), Seq("doc_id"))
             .write.mode("append").parquet(indexPath)
@@ -448,7 +450,7 @@ object StreamingIngest {
     val spark = docs.sparkSession
     docs.writeStream
       .foreachBatch { (batch0: org.apache.spark.sql.Dataset[Row], _: Long) =>
-        val batch = batch0.localCheckpoint(true)
+        val batch = batch0.pinned
         if (batch.count() > 0) {
           // at-least-once defense: dropDuplicates("h") — a replayed batch
           // may have appended its novel norms twice, and duplicate h rows
@@ -461,11 +463,11 @@ object StreamingIngest {
                   StructField("keeper_doc_id", LongType),
                   StructField("keeper_idx", LongType)))))
           val cleanedBatch = ParagraphDedup.dedupParagraphsIncremental(
-            batch, idCol, textCol, index, splitRe).localCheckpoint(true)
+            batch, idCol, textCol, index, splitRe).pinned
           val novel = ParagraphDedup.paragraphIndex(
               ParagraphDedup.paragraphUnits(batch, idCol, textCol, splitRe))
             .join(index.select(col("h")), Seq("h"), "left_anti")
-            .localCheckpoint(true)
+            .pinned
           cleanedBatch.write.mode("append").parquet(sinkPath)
           novel.write.mode("append").parquet(indexPath)
         }
@@ -498,7 +500,7 @@ object StreamingIngest {
     val spark = docs.sparkSession
     docs.writeStream
       .foreachBatch { (batch0: org.apache.spark.sql.Dataset[Row], _: Long) =>
-        val batch = batch0.localCheckpoint(true)
+        val batch = batch0.pinned
         if (batch.count() > 0) {
           // same at-least-once dropDuplicates("h") defense as the
           // paragraph path.
@@ -511,12 +513,12 @@ object StreamingIngest {
                   StructField("keeper_start", LongType)))))
           val cleanedBatch = SubstringDedup.cleanedIncremental(
             batch, idCol, textCol, index, width, stride, anchored)
-            .localCheckpoint(true)
+            .pinned
           val novel = SubstringDedup.windowIndex(
               SubstringDedup.windows(batch, idCol, textCol, width, stride,
                 anchored = anchored))
             .join(index.select(col("h")), Seq("h"), "left_anti")
-            .localCheckpoint(true)
+            .pinned
           cleanedBatch.write.mode("append").parquet(sinkPath)
           novel.write.mode("append").parquet(indexPath)
         }
@@ -559,7 +561,7 @@ object StreamingIngest {
         StructType(fields.map { case (n, t) => StructField(n, t) }))
     docs.writeStream
       .foreachBatch { (batch0: org.apache.spark.sql.Dataset[Row], _: Long) =>
-        val batch = batch0.localCheckpoint(true)
+        val batch = batch0.pinned
         if (batch.count() > 0) {
           val winIdx = readIndexIfExists(spark, s"$stateDir/window_index")
             .map(_.dropDuplicates("h"))
@@ -583,13 +585,13 @@ object StreamingIngest {
               graft.dedup.SubstringDedup.windows(inc.gated, "doc_id", "text",
                 width, stride, anchored = true))
             .join(winIdx.select(col("h")), Seq("h"), "left_anti")
-            .localCheckpoint(true)
+            .pinned
           val novelContent = graft.dedup.Dedup.exactIndex(inc.sub, "doc_id", "text")
             .join(cntIdx.select(col("h")), Seq("h"), "left_anti")
-            .localCheckpoint(true)
+            .pinned
           val batchCounts = Dsir.countTable(inc.clean,
               col("doc_id") % targetMod === 0, "text", dsirBuckets)
-            .localCheckpoint(true)
+            .pinned
           inc.clean.write.mode("append").parquet(sinkPath)
           novelWins.write.mode("append").parquet(s"$stateDir/window_index")
           novelContent.write.mode("append").parquet(s"$stateDir/content_index")
@@ -632,7 +634,7 @@ object StreamingIngest {
         // of canonical bytes, so NFD twins collapse across batches too.
         val batch = batch0.withColumn(textCol,
             org.apache.spark.sql.graft.ArrayFunctions.nfcNormalize(col(textCol)))
-          .localCheckpoint(true)
+          .pinned
         if (batch.count() > 0) {
           val index = readIndexIfExists(spark, indexPath)
             .map(_.dropDuplicates("h"))
@@ -646,11 +648,11 @@ object StreamingIngest {
             .filter(col("n_kept") > 0)
             .select(col("doc_id"), col("text_clean").as("text"))
             .filter(graft.text.TextAnalysis.langId(col("text")) === lang)
-            .localCheckpoint(true)
+            .pinned
           val novel = ParagraphDedup.paragraphIndex(
               ParagraphDedup.paragraphUnits(batch, idCol, textCol, splitRe))
             .join(index.select(col("h")), Seq("h"), "left_anti")
-            .localCheckpoint(true)
+            .pinned
           cleanedBatch.write.mode("append").parquet(sinkPath)
           novel.write.mode("append").parquet(indexPath)
         }

@@ -1,5 +1,7 @@
 package graft.text
 
+import graft.Mat.Pinnable
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -43,7 +45,7 @@ object SourceDivergence {
         explode(TextAnalysis.tokens(lower(col(textCol)))).as("__tok"))
       .groupBy(col(sourceCol), col("__tok"))
       .agg(count(lit(1)).as("__cst"))
-      .localCheckpoint(true)
+      .pinned
     val tokTotals = pairs.groupBy(col("__tok"))
       .agg(sum(col("__cst")).as("__ct"))
     val srcTotals = pairs.groupBy(col(sourceCol))

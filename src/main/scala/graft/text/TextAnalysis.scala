@@ -1,5 +1,7 @@
 package graft.text
 
+import graft.Mat.Pinnable
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -438,7 +440,7 @@ object TextAnalysis {
       .select(coalesce(col(sourceCol), lit("Unknown")).as("source"),
         explode(array_distinct(shingles(col(textCol), n))).as("sh"))
       .distinct()
-      .localCheckpoint(true) // one shingle pass feeds both join sides
+      .pinned // one shingle pass feeds both join sides
     val a = sh.select(col("source").as("source_a"), col("sh"))
     val b = sh.select(col("source").as("source_b"), col("sh"))
     a.join(b, Seq("sh"))
@@ -470,7 +472,7 @@ object TextAnalysis {
         explode(array_distinct(shingles(col(textCol), n))).as("sh"))
       .filter(graft.pipeline.Curation.sampleBucket(col("sh")) < rateBp)
       .distinct()
-      .localCheckpoint(true) // one shingle pass feeds both join sides
+      .pinned // one shingle pass feeds both join sides
     val a = sh.select(col("source").as("source_a"), col("sh"))
     val b = sh.select(col("source").as("source_b"), col("sh"))
     a.join(b, Seq("sh"))
