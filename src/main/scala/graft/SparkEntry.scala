@@ -529,6 +529,18 @@ object SparkEntry {
         .withColumn("blocked", col("spam_score") >= 1.0)
         .orderBy(col("doc_id"))
     }),
+    // Robots-rules URL exclusion (r10) — the compliance trio's third
+    // leg: longest-prefix-match allow/disallow per HOST, allow wins
+    // ties, unlisted hosts allowed. The planted rules exercise every
+    // branch (whole-host block, longer-allow override, exact tie,
+    // allow-only host, unlisted host).
+    "robots_exclusion" -> ((s, dir) => {
+      import s.implicits._
+      val docs = withRobotsUrls(Tables.documents(s, dir))
+      val rules = RobotsRulesFixture.rules.toDF("host", "rule", "prefix")
+      graft.ingest.Robots.decisions(docs, "url", rules)
+        .orderBy(col("doc_id"))
+    }),
     // Takedown/opt-out requests keyed by CONTENT HASH: the request list
     // (docs ≡ 0 mod 97 stand in for requested items) removes every copy
     // of the content — exact duplicates of a requested doc drop too.
@@ -2782,6 +2794,17 @@ object SparkEntry {
          |  round(${graft.ingest.Urls.sqlSpamScore("url")}, 4) AS spam_score,
          |  (round(${graft.ingest.Urls.sqlSpamScore("url")}, 4) >= 1.0) AS blocked
          |FROM u ORDER BY doc_id""".stripMargin,
+    "robots_exclusion" -> {
+      val rulesRows = RobotsRulesFixture.rules
+        .map { case (h, r, p) => s"('$h', '$r', '$p')" }.mkString(",\n    ")
+      s"""WITH u AS (
+         |  SELECT doc_id, $sqlRobotsUrl AS url
+         |  FROM documents),
+         |rr(host, rule, prefix) AS (FROM (VALUES
+         |    $rulesRows))
+         |${graft.ingest.Robots.sqlDecisions("u", "url", "rr")}
+         |ORDER BY doc_id""".stripMargin
+    },
     "takedown_requests" ->
       """SELECT doc_id, source FROM documents
         |WHERE md5(text) NOT IN
@@ -2884,6 +2907,20 @@ object SparkEntry {
     s"($sqlFixtureUrl || [${SpamPathSuffixes.map(x => s"'$x'").mkString(", ")}]" +
       "[CAST(doc_id % 5 AS INT) + 1])"
 
+  /** Fixture URLs with deterministic SECTION paths (`/sec<id mod 7>/
+    * page/<id>`) so robots prefix rules can target known sections. */
+  private def withRobotsUrls(docs: DataFrame): DataFrame =
+    docs.withColumn("url", concat(lit("https://"),
+      element_at(array(DomainCapHosts.map(lit(_)): _*),
+        (col("doc_id") % 10 + 1).cast("int")),
+      lit("/sec"), col("doc_id") % 7, lit("/page/"), col("doc_id")))
+
+  /** DuckDB twin of [[withRobotsUrls]]'s url expression. */
+  private def sqlRobotsUrl: String =
+    s"('https://' || [${DomainCapHosts.map(h => s"'$h'").mkString(", ")}]" +
+      "[CAST(doc_id % 10 AS INT) + 1] || '/sec' || CAST(doc_id % 7 AS VARCHAR)" +
+      " || '/page/' || CAST(doc_id AS VARCHAR))"
+
   /** Funnel thresholds tuned to the synthetic corpus: the word-count
     * floor discriminates (doc lengths straddle 40) while the stop-hits
     * rule is relaxed to 1 ('the' is the only required word the word-soup
@@ -2916,6 +2953,23 @@ object SparkEntry {
     }.mkString(",\n          ")
     s"(VALUES\n          $rows) t(doc_id, text)"
   }
+}
+
+/** Planted robots rules for `robots_exclusion` — every decision branch:
+  * whole-host block, section block with a longer allow punched through,
+  * an exact-length tie (allow wins), an allow-only host, and unlisted
+  * hosts (allowed by default). Shared by the query and its VALUES
+  * oracle. */
+object RobotsRulesFixture {
+  val rules: Seq[(String, String, String)] = Seq(
+    ("news.example.com", "disallow", "/"),
+    ("blog.example.com", "disallow", "/sec1"),
+    ("blog.example.com", "allow", "/sec1/page"),
+    ("docs.data.net", "disallow", "/sec"),
+    ("docs.data.net", "allow", "/sec3"),
+    ("mirror.openweb.org", "disallow", "/sec2"),
+    ("mirror.openweb.org", "allow", "/sec2"),
+    ("archive.foo.co.uk", "allow", "/"))
 }
 
 /** Shutdown cleanup for the per-app IVF store scratch dirs (`knn_ivf_stored`):

@@ -1,0 +1,102 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Robots-rules URL exclusion (`robots_exclusion` query) — the
+  * third leg of the release-compliance family beside content-hash
+  * takedowns and eTLD+1 blocklists ([[graft.pipeline.Curation
+  * .excludeByKey]]): a corpus derived from a crawl must be able to drop
+  * documents whose PATHS a site's robots rules exclude — retroactively
+  * too, because rules change after pages were fetched (the reference's
+  * crawler, `crawl.py:69-80`, fetches without consulting robots at all;
+  * at release scale the exclusion sweep is non-negotiable).
+  *
+  * Semantics: the original Robots Exclusion Protocol prefix rules with
+  * Google's documented tie-break —
+  *
+  *  - a rules table `(host, rule ∈ {allow, disallow}, prefix)` holds the
+  *    per-HOST (not per-domain: robots.txt is served per host) parsed
+  *    rule lines for the releasing crawler's user-agent;
+  *  - a URL matches a rule when its PATH starts with the rule's prefix
+  *    (byte prefix — the `*`/`$` wildcard extension is out of scope,
+  *    documented; an empty path reads as `/`);
+  *  - the LONGEST matching prefix decides; at equal length `allow`
+  *    wins; a URL with no matching rule (or an unlisted host) is
+  *    allowed.
+  *
+  * Shape: one equi-join keyed by host (no forced broadcast — robots
+  * tables for a web-scale crawl are millions of hosts; AQE picks the
+  * strategy, the [[graft.pipeline.Curation]] caps-tally lesson) carrying
+  * ids + paths + prefixes only, then one id-keyed aggregate for the
+  * longest-match election. Everything is ANSI-expressible —
+  * [[sqlDecisions]] is the 1:1 DuckDB mirror.
+  */
+object Robots {
+
+  private val PathRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
+
+  /** Path of `url` as robots matching sees it: no query/fragment, empty
+    * → `/`. */
+  def path(url: Column): Column = {
+    val p = regexp_extract(trim(url), PathRe, 1)
+    when(p === "", "/").otherwise(p)
+  }
+
+  /** DuckDB twin of [[path]]. */
+  def sqlPath(colName: String): String =
+    s"""CASE WHEN regexp_extract(trim($colName), '$PathRe', 1) = '' THEN '/'
+       |     ELSE regexp_extract(trim($colName), '$PathRe', 1) END""".stripMargin
+
+  /** Per-document robots decision: (idCol, host, allowed). `rules` must
+    * expose (host, rule, prefix) with rule ∈ {allow, disallow}. */
+  def decisions(docs: DataFrame, urlCol: String, rules: DataFrame,
+                idCol: String = "doc_id"): DataFrame = {
+    val withParts = docs.select(col(idCol),
+      Urls.host(col(urlCol)).as("host"), path(col(urlCol)).as("__path"))
+    // Longest-match election as a single aggregate: a matched rule
+    // contributes its prefix length, unmatched contributes -1 (the
+    // no-rules default), and allow wins ties — so allowed ⇔
+    // max(allow_len) >= max(disallow_len).
+    val joined = withParts.join(rules, Seq("host"), "left")
+    val matchLen = when(col("prefix").isNotNull &&
+      col("__path").startsWith(col("prefix")), length(col("prefix")))
+      .otherwise(lit(-1))
+    joined
+      .groupBy(col(idCol), col("host"))
+      .agg(
+        max(when(col("rule") === "allow", matchLen).otherwise(lit(-1)))
+          .as("__a"),
+        max(when(col("rule") === "disallow", matchLen).otherwise(lit(-1)))
+          .as("__d"))
+      .select(col(idCol), col("host"),
+        (coalesce(col("__a"), lit(-1)) >= coalesce(col("__d"), lit(-1)))
+          .as("allowed"))
+  }
+
+  /** The exclusion sweep: rows of `docs` whose URL the rules allow. */
+  def allowed(docs: DataFrame, urlCol: String, rules: DataFrame,
+              idCol: String = "doc_id"): DataFrame =
+    docs.join(
+      decisions(docs, urlCol, rules, idCol)
+        .filter(col("allowed")).select(col(idCol)),
+      Seq(idCol))
+
+  /** DuckDB mirror of [[decisions]] over relations `docsRel` (exposing
+    * idCol + urlExpr) and `rulesRel` (host, rule, prefix). */
+  def sqlDecisions(docsRel: String, urlExpr: String, rulesRel: String,
+                   idCol: String = "doc_id"): String =
+    s"""SELECT $idCol, host,
+       |  (COALESCE(MAX(CASE WHEN rule = 'allow' AND mlen >= 0 THEN mlen END), -1) >=
+       |   COALESCE(MAX(CASE WHEN rule = 'disallow' AND mlen >= 0 THEN mlen END), -1))
+       |    AS allowed
+       |FROM (
+       |  SELECT d.$idCol, d.host, r.rule,
+       |    CASE WHEN r.prefix IS NOT NULL AND starts_with(d.p, r.prefix)
+       |         THEN length(r.prefix) ELSE -1 END AS mlen
+       |  FROM (SELECT $idCol, ${Urls.sqlHost(urlExpr)} AS host,
+       |          ${sqlPath(urlExpr)} AS p
+       |        FROM $docsRel) d
+       |  LEFT JOIN $rulesRel r ON r.host = d.host)
+       |GROUP BY $idCol, host""".stripMargin
+}
