@@ -59,11 +59,28 @@ object Mat {
     }
   }
 
+  /** [[pin]] for TRANSIENT per-micro-batch frames (the streaming
+    * `foreachBatch` bodies): identical except `reliable` maps to
+    * `diskOnly`. A reliable checkpoint per stage per micro-batch would
+    * write directories Spark never deletes (reliable checkpoints are
+    * only reclaimed under `spark.cleaner.referenceTracking
+    * .cleanCheckpoints=true`, default false) — unbounded storage growth
+    * on a long stream, and pointless: the stream's own checkpoint +
+    * at-least-once batch replay is already the recovery story for
+    * in-flight frames. */
+  def pinTransient(df: DataFrame): DataFrame =
+    df.sparkSession.conf.get(ConfKey, "localCheckpoint") match {
+      case "reliable" => eager(df.persist(StorageLevel.DISK_ONLY))
+      case _ => pin(df)
+    }
+
   private def eager(df: DataFrame): DataFrame = { df.count(); df }
 
   /** `df.pinned` — postfix [[pin]], so operator code reads like the
-    * `localCheckpoint` it replaces. */
+    * `localCheckpoint` it replaces; `df.pinnedTransient` is the
+    * micro-batch variant ([[pinTransient]]). */
   implicit final class Pinnable(private val df: DataFrame) extends AnyVal {
     def pinned: DataFrame = Mat.pin(df)
+    def pinnedTransient: DataFrame = Mat.pinTransient(df)
   }
 }

@@ -323,15 +323,18 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val centers = Ivf.fitCentroids(emb, 16)
       FittedOracle.ivfStoredCenters = Some(centers)
-      // One scratch dir per (user, sf dir, Spark app): the full
-      // sanitized dir string kills hashCode collisions across sf dirs,
-      // and the app id isolates concurrent JVMs (a Bench run beside a
-      // Verify run raced overwrite-vs-read on a shared path). Per-app
-      // dirs would accumulate across runs, so register a shutdown
-      // delete; within one app, reruns overwrite in place.
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_store_" +
-        s"${System.getProperty("user.name", "u")}_" +
-        s"${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_${s.sparkContext.applicationId}"
+      // One scratch dir per (user, sf dir, Spark app) under a common
+      // parent: the full sanitized dir string kills hashCode collisions
+      // across sf dirs, and the app id isolates concurrent JVMs (a
+      // Bench run beside a Verify run raced overwrite-vs-read on a
+      // shared path). Reclamation is two-layered — a shutdown delete
+      // for clean exits, and a stale-sibling sweep at registration so
+      // dirs orphaned by CRASHED runs (OOM-kill skips shutdown hooks)
+      // are reaped by the next run instead of accumulating forever.
+      val parent = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_store_" +
+        System.getProperty("user.name", "u")
+      val path =
+        s"$parent/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_${s.sparkContext.applicationId}"
       IvfStoreScratch.deleteOnExit(path)
       Ivf.writeListPartitioned(emb, centers, path)
       Ivf.knnIvfStored(s, path, centers, emb.filter(col("vec_id") % 50 === 0), 5)
@@ -2972,18 +2975,35 @@ object RobotsRulesFixture {
     ("archive.foo.co.uk", "allow", "/"))
 }
 
-/** Shutdown cleanup for the per-app IVF store scratch dirs (`knn_ivf_stored`):
+/** Cleanup for the per-app IVF store scratch dirs (`knn_ivf_stored`):
   * per-app paths can't collide across concurrent JVMs, but they would
-  * accumulate in tmp across runs without this. Registration is idempotent
-  * per path; the delete runs once at JVM exit. */
+  * accumulate in tmp across runs without reclamation. Two layers —
+  * a shutdown delete (clean exits) and a stale-sibling sweep (crashed
+  * runs never reach their shutdown hook; the next run deletes siblings
+  * untouched for 6+ hours — far beyond any live run, so a CONCURRENT
+  * JVM's fresh store is never swept). Registration is idempotent per
+  * path; sweep failures are best-effort by design (cleanup must never
+  * fail a query). */
 object IvfStoreScratch {
+  private val StaleMs = 6L * 3600 * 1000
   private val registered = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   def deleteOnExit(path: String): Unit =
     if (registered.add(path)) {
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
         catch { case _: java.io.IOException => () }))
+      sweepStaleSiblings(new java.io.File(path))
     }
+  private def sweepStaleSiblings(dir: java.io.File): Unit = {
+    val sibs = Option(dir.getParentFile).flatMap(p => Option(p.listFiles()))
+      .getOrElse(Array.empty[java.io.File])
+    val cutoff = System.currentTimeMillis() - StaleMs
+    sibs.foreach { f =>
+      if (f.getAbsolutePath != dir.getAbsolutePath && f.lastModified() < cutoff)
+        try org.apache.commons.io.FileUtils.deleteDirectory(f)
+        catch { case _: java.io.IOException => () }
+    }
+  }
 }
 
 /** Inline PII corpus (the synthetic documents contain no PII, so the scrub

@@ -20,7 +20,9 @@ import org.apache.spark.sql.functions._
   *    rule lines for the releasing crawler's user-agent;
   *  - a URL matches a rule when its PATH starts with the rule's prefix
   *    (byte prefix — the `*`/`$` wildcard extension is out of scope,
-  *    documented; an empty path reads as `/`);
+  *    documented; an empty path reads as `/`); an EMPTY prefix never
+  *    matches — REP's bare `Disallow:` line means "nothing disallowed",
+  *    so parsers feeding this table may pass it through verbatim;
   *  - the LONGEST matching prefix decides; at equal length `allow`
   *    wins; a URL with no matching rule (or an unlisted host) is
   *    allowed.
@@ -34,19 +36,13 @@ import org.apache.spark.sql.functions._
   */
 object Robots {
 
-  private val PathRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
-
   /** Path of `url` as robots matching sees it: no query/fragment, empty
-    * → `/`. */
+    * → `/`. The regex is [[Urls.PathRe]] — one URL-path definition for
+    * the whole ingest package. */
   def path(url: Column): Column = {
-    val p = regexp_extract(trim(url), PathRe, 1)
+    val p = regexp_extract(trim(url), Urls.PathRe, 1)
     when(p === "", "/").otherwise(p)
   }
-
-  /** DuckDB twin of [[path]]. */
-  def sqlPath(colName: String): String =
-    s"""CASE WHEN regexp_extract(trim($colName), '$PathRe', 1) = '' THEN '/'
-       |     ELSE regexp_extract(trim($colName), '$PathRe', 1) END""".stripMargin
 
   /** Per-document robots decision: (idCol, host, allowed). `rules` must
     * expose (host, rule, prefix) with rule ∈ {allow, disallow}. */
@@ -59,7 +55,10 @@ object Robots {
     // no-rules default), and allow wins ties — so allowed ⇔
     // max(allow_len) >= max(disallow_len).
     val joined = withParts.join(rules, Seq("host"), "left")
-    val matchLen = when(col("prefix").isNotNull &&
+    // empty prefix never matches: REP's bare `Disallow:` means
+    // "nothing disallowed" — startsWith('') would invert it into a
+    // whole-host block (RobotsSpec pins the line as a no-op)
+    val matchLen = when(col("prefix").isNotNull && col("prefix") =!= "" &&
       col("__path").startsWith(col("prefix")), length(col("prefix")))
       .otherwise(lit(-1))
     joined
@@ -92,11 +91,13 @@ object Robots {
        |    AS allowed
        |FROM (
        |  SELECT d.$idCol, d.host, r.rule,
-       |    CASE WHEN r.prefix IS NOT NULL AND starts_with(d.p, r.prefix)
+       |    CASE WHEN r.prefix IS NOT NULL AND r.prefix <> ''
+       |              AND starts_with(d.p, r.prefix)
        |         THEN length(r.prefix) ELSE -1 END AS mlen
-       |  FROM (SELECT $idCol, ${Urls.sqlHost(urlExpr)} AS host,
-       |          ${sqlPath(urlExpr)} AS p
-       |        FROM $docsRel) d
+       |  FROM (SELECT $idCol, host, CASE WHEN p0 = '' THEN '/' ELSE p0 END AS p
+       |        FROM (SELECT $idCol, ${Urls.sqlHost(urlExpr)} AS host,
+       |                regexp_extract(trim($urlExpr), '${Urls.PathRe}', 1) AS p0
+       |              FROM $docsRel)) d
        |  LEFT JOIN $rulesRel r ON r.host = d.host)
        |GROUP BY $idCol, host""".stripMargin
 }

@@ -39,7 +39,7 @@ object Urls {
 
   private val SchemeRe = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
   private val AuthRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)"
-  private val PathRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
+  private[ingest] val PathRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
   private val QueryRe = "\\?([^#]*)"
   private val TrackingRe = "^(utm_[^=]*|fbclid|gclid)="
 
@@ -111,22 +111,26 @@ object Urls {
     * halves, so the double sum is exact dyadic arithmetic on both
     * engines ([[sqlSpamScore]] is the DuckDB twin). Null url → 0.0. */
   def spamScore(url: Column,
-                weights: Seq[(String, Double)] = SpamWords): Column = {
-    val u = lower(coalesce(url, lit("")))
-    weights.map { case (w, wt) =>
-      when(u.contains(w), lit(wt)).otherwise(lit(0.0))
-    }.reduce(_ + _)
-  }
+                weights: Seq[(String, Double)] = SpamWords): Column =
+    if (weights.isEmpty) lit(0.0) // an empty category list scores nothing
+    else {
+      val u = lower(coalesce(url, lit("")))
+      weights.map { case (w, wt) =>
+        when(u.contains(w), lit(wt)).otherwise(lit(0.0))
+      }.reduce(_ + _)
+    }
 
   /** DuckDB mirror of [[spamScore]] — same words, same order, same
-    * left-assoc sum. */
+    * left-assoc sum (and the same empty-list zero). */
   def sqlSpamScore(colName: String,
-                   weights: Seq[(String, Double)] = SpamWords): String = {
-    val u = s"lower(COALESCE($colName, ''))"
-    weights.map { case (w, wt) =>
-      s"(CASE WHEN contains($u, '$w') THEN $wt ELSE 0.0 END)"
-    }.mkString(" + ")
-  }
+                   weights: Seq[(String, Double)] = SpamWords): String =
+    if (weights.isEmpty) "0.0"
+    else {
+      val u = s"lower(COALESCE($colName, ''))"
+      weights.map { case (w, wt) =>
+        s"(CASE WHEN contains($u, '$w') THEN $wt ELSE 0.0 END)"
+      }.mkString(" + ")
+    }
 
   /** DuckDB mirror of [[canonicalize]] over a column named `colName` —
     * same regexes, same step order. The query CASE compares through

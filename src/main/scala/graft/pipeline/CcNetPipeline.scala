@@ -56,10 +56,15 @@ object CcNetPipeline {
     // 0. NFC normalization (r10) AHEAD of the paragraph-norm hashing —
     // the RefinedWeb placement proof applies here too: NFD twins of a
     // boilerplate paragraph would otherwise escape the norm-keyed dedup
-    // (CcNetPipelineSpec plants one). The cross-fit model slice gets the
-    // same treatment in [[applyCrossFit]], so fit and scoring agree.
-    val nfcDocs = docs.withColumn(textCol,
-      org.apache.spark.sql.graft.ArrayFunctions.nfcNormalize(col(textCol)))
+    // (CcNetPipelineSpec plants one). The cross-fit MODEL slice is
+    // normalized HERE, at the same point as the corpus, so fit and
+    // scoring always agree — any entry path, not just [[applyCrossFit]]
+    // (an un-normalized model would back off every accented bigram as
+    // OOV against the normalized corpus tokens).
+    def nfc(df: DataFrame, c: String): DataFrame = df.withColumn(c,
+      org.apache.spark.sql.graft.ArrayFunctions.nfcNormalize(col(c)))
+    val nfcDocs = nfc(docs, textCol)
+    val nfcModel = crossFitModel.map(nfc(_, "text"))
     // 1. paragraph dedup; fully-boilerplate docs (nothing kept) drop.
     val pd = graft.dedup.ParagraphDedup
       .dedupParagraphs(nfcDocs, idCol, textCol, minOccurrences = 2L, splitRe)
@@ -72,7 +77,7 @@ object CcNetPipeline {
     //    default; with a crossFitModel this is the PAPER's shape — the
     //    LM fit on the trusted target corpus (Wenzek et al. fit KenLM on
     //    Wikipedia), survivors priced under it with OOV backoff.
-    val tiers = crossFitModel match {
+    val tiers = nfcModel match {
       case Some(m) =>
         LmScore.perplexityBucketsCrossFit(lg, "doc_id", "text", m, "text", nShards)
       case None =>
@@ -88,9 +93,7 @@ object CcNetPipeline {
                     idCol: String = "doc_id", textCol: String = "text",
                     lang: String = "en", splitRe: String = "\\n{2,}",
                     nShards: Int = 1024): DataFrame =
-    stages(docs, idCol, textCol, lang, splitRe, nShards,
-      Some(modelDocs.withColumn("text",
-        org.apache.spark.sql.graft.ArrayFunctions.nfcNormalize(col("text"))))).tiers
+    stages(docs, idCol, textCol, lang, splitRe, nShards, Some(modelDocs)).tiers
       .filter(col("tier") =!= "tail")
       .orderBy(col("doc_id"))
 

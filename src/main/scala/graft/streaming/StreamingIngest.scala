@@ -90,7 +90,7 @@ object StreamingIngest {
     val spark = docs.sparkSession
     docs.writeStream
       .foreachBatch { (batch0: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
-        val batch = batch0.pinned
+        val batch = batch0.pinnedTransient
         if (batch.count() > 0) {
           val tally = readIndexIfExists(spark, statePath)
             .map(_.filter(col("batch_id") < batchId)
@@ -180,12 +180,15 @@ object StreamingIngest {
                                graft.text.GopherRepetition.Thresholds(),
                              threshold: Double = 0.9, cap: Int = 100,
                              urlCol: String = "url", idCol: String = "doc_id",
-                             textCol: String = "text"): DataStreamWriter[Row] = {
+                             textCol: String = "text",
+                             spamWeights: Seq[(String, Double)] = Seq.empty,
+                             spamThreshold: Double = 1.0): DataStreamWriter[Row] = {
     require(docs.isStreaming)
     docs.writeStream
       .foreachBatch { (batch0: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         refinedWebBatch(batch0.toDF(), batchId, sinkPath, stateDir, blocked,
-          lang, gopherTh, repetitionTh, threshold, cap, urlCol, idCol, textCol)
+          lang, gopherTh, repetitionTh, threshold, cap, urlCol, idCol, textCol,
+          spamWeights, spamThreshold)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -202,7 +205,9 @@ object StreamingIngest {
                       repetitionTh: graft.text.GopherRepetition.Thresholds,
                       threshold: Double, cap: Int,
                       urlCol: String = "url", idCol: String = "doc_id",
-                      textCol: String = "text"): Unit = {
+                      textCol: String = "text",
+                      spamWeights: Seq[(String, Double)] = Seq.empty,
+                      spamThreshold: Double = 1.0): Unit = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     import graft.dedup.Dedup
@@ -214,7 +219,7 @@ object StreamingIngest {
       if (df.columns.contains("batch_id"))
         df.filter(col("batch_id") < batchId).drop("batch_id")
       else df
-    val batch = batchDf.pinned
+    val batch = batchDf.pinnedTransient
     if (batch.count() > 0) {
       // stages 1-4: stateless gates, NFC ahead of every key. Widen:
       // a micro-batch arrives in one file's worth of partitions and
@@ -224,9 +229,12 @@ object StreamingIngest {
       // whether a blocklist was supplied).
       val dom = graft.Par.widen(batch).withColumn("domain",
         coalesce(graft.ingest.Urls.registeredDomain(col(urlCol)), lit("")))
+      val domBlocked =
+        if (blocked.isEmpty) dom else dom.filter(!col("domain").isin(blocked: _*))
       val gated =
-        (if (blocked.isEmpty) dom
-         else dom.filter(!col("domain").isin(blocked: _*)))
+        (if (spamWeights.isEmpty) domBlocked
+         else domBlocked.filter(
+           graft.ingest.Urls.spamScore(col(urlCol), spamWeights) < spamThreshold))
           .select(col(idCol).cast("long").as("doc_id"), col("domain"),
             col(textCol).as("text"))
           .withColumn("text",
@@ -234,19 +242,19 @@ object StreamingIngest {
           .filter(graft.text.TextAnalysis.langId(col("text")) === lang)
           .filter(graft.text.GopherRules.passExpr(col("text"), gopherTh))
           .filter(graft.text.GopherRepetition.passExpr(col("text"), repetitionTh))
-          .pinned
+          .pinnedTransient
       // stage 5: exact dedup against the content-hash index
       val cntIdx = readIndexIfExists(spark, s"$stateDir/content_index")
         .map(df => beforeThisBatch(df).dropDuplicates("h"))
         .getOrElse(empty("h" -> StringType, "keeper_id" -> LongType))
       val novelHashes = Dedup.exactIndex(gated, "doc_id", "text")
         .join(cntIdx.select(col("h")), Seq("h"), "left_anti")
-        .pinned
+        .pinnedTransient
       val exact = gated.withColumn("h", md5(col("text")))
         .join(novelHashes.select(col("h"), col("keeper_id")), Seq("h"))
         .filter(col("doc_id") === col("keeper_id"))
         .select(col("doc_id"), col("domain"), col("text"))
-        .pinned
+        .pinnedTransient
       // stage 6: near-dup against history ∪ batch with the FULL
       // recompute's component-transitive semantics (the contract the
       // StreamingSpec pin states): signatures of EVERY exact-stage
@@ -258,9 +266,9 @@ object StreamingIngest {
       // represented by their within-batch keeper.
       val keeperOf = Dedup
         .nearDupKeepersScaled(exact, "doc_id", "text", threshold)
-        .pinned // feeds the cluster lift AND the keeper pick
+        .pinnedTransient // feeds the cluster lift AND the keeper pick
       val sigT = Dedup.signatureTable(exact, "doc_id", "text")
-        .pinned
+        .pinnedTransient
       val dupIds = readIndexIfExists(spark, s"$stateDir/sig_index") match {
         case None => spark.emptyDataFrame.select(lit(0L).as("dup_id")).limit(0)
         case Some(index0) =>
@@ -273,7 +281,7 @@ object StreamingIngest {
         .join(keeperOf.filter(col("doc_id") === col("keeper_id"))
           .join(dupClusters, Seq("keeper_id"), "left_anti")
           .select(col("doc_id")), Seq("doc_id"))
-        .pinned
+        .pinnedTransient
       // stage 7: per-domain caps against the batch-keyed tally — the
       // same admit core CurationSpec pins (novel already carries its
       // domain column)
@@ -377,7 +385,7 @@ object StreamingIngest {
     val spark = docs.sparkSession
     docs.writeStream
       .foreachBatch { (batch0: org.apache.spark.sql.Dataset[Row], _: Long) =>
-        val batch = batch0.pinned
+        val batch = batch0.pinnedTransient
         if (batch.count() > 0) {
           // 1. within-batch near-dup: keep component keepers only
           val keepers = Dedup.nearDupKeepersScaled(batch, idCol, textCol, threshold)
@@ -386,10 +394,10 @@ object StreamingIngest {
           val survivors = batch
             .join(keepers, batch(idCol).cast("long") === col("_keep_id"))
             .drop("_keep_id")
-            .pinned
+            .pinnedTransient
           // 2. cross-batch probe against the signature index
           val sigT = Dedup.signatureTable(survivors, idCol, textCol)
-            .pinned
+            .pinnedTransient
           val dupIds = readIndexIfExists(spark, indexPath) match {
             case None => spark.emptyDataFrame.select(lit(0L).as("dup_id")).limit(0)
             case Some(index0) => crossBatchNearDupIds(sigT, index0, threshold)
@@ -397,7 +405,7 @@ object StreamingIngest {
           // 3. append novel docs + their signatures
           val novel = survivors
             .join(dupIds, survivors(idCol).cast("long") === col("dup_id"), "left_anti")
-            .pinned
+            .pinnedTransient
           novel.write.mode("append").parquet(sinkPath)
           sigT.join(novel.select(col(idCol).cast("long").as("doc_id")), Seq("doc_id"))
             .write.mode("append").parquet(indexPath)
@@ -450,7 +458,7 @@ object StreamingIngest {
     val spark = docs.sparkSession
     docs.writeStream
       .foreachBatch { (batch0: org.apache.spark.sql.Dataset[Row], _: Long) =>
-        val batch = batch0.pinned
+        val batch = batch0.pinnedTransient
         if (batch.count() > 0) {
           // at-least-once defense: dropDuplicates("h") — a replayed batch
           // may have appended its novel norms twice, and duplicate h rows
@@ -463,11 +471,11 @@ object StreamingIngest {
                   StructField("keeper_doc_id", LongType),
                   StructField("keeper_idx", LongType)))))
           val cleanedBatch = ParagraphDedup.dedupParagraphsIncremental(
-            batch, idCol, textCol, index, splitRe).pinned
+            batch, idCol, textCol, index, splitRe).pinnedTransient
           val novel = ParagraphDedup.paragraphIndex(
               ParagraphDedup.paragraphUnits(batch, idCol, textCol, splitRe))
             .join(index.select(col("h")), Seq("h"), "left_anti")
-            .pinned
+            .pinnedTransient
           cleanedBatch.write.mode("append").parquet(sinkPath)
           novel.write.mode("append").parquet(indexPath)
         }
@@ -500,7 +508,7 @@ object StreamingIngest {
     val spark = docs.sparkSession
     docs.writeStream
       .foreachBatch { (batch0: org.apache.spark.sql.Dataset[Row], _: Long) =>
-        val batch = batch0.pinned
+        val batch = batch0.pinnedTransient
         if (batch.count() > 0) {
           // same at-least-once dropDuplicates("h") defense as the
           // paragraph path.
@@ -513,12 +521,12 @@ object StreamingIngest {
                   StructField("keeper_start", LongType)))))
           val cleanedBatch = SubstringDedup.cleanedIncremental(
             batch, idCol, textCol, index, width, stride, anchored)
-            .pinned
+            .pinnedTransient
           val novel = SubstringDedup.windowIndex(
               SubstringDedup.windows(batch, idCol, textCol, width, stride,
                 anchored = anchored))
             .join(index.select(col("h")), Seq("h"), "left_anti")
-            .pinned
+            .pinnedTransient
           cleanedBatch.write.mode("append").parquet(sinkPath)
           novel.write.mode("append").parquet(indexPath)
         }
@@ -561,7 +569,7 @@ object StreamingIngest {
         StructType(fields.map { case (n, t) => StructField(n, t) }))
     docs.writeStream
       .foreachBatch { (batch0: org.apache.spark.sql.Dataset[Row], _: Long) =>
-        val batch = batch0.pinned
+        val batch = batch0.pinnedTransient
         if (batch.count() > 0) {
           val winIdx = readIndexIfExists(spark, s"$stateDir/window_index")
             .map(_.dropDuplicates("h"))
@@ -585,13 +593,13 @@ object StreamingIngest {
               graft.dedup.SubstringDedup.windows(inc.gated, "doc_id", "text",
                 width, stride, anchored = true))
             .join(winIdx.select(col("h")), Seq("h"), "left_anti")
-            .pinned
+            .pinnedTransient
           val novelContent = graft.dedup.Dedup.exactIndex(inc.sub, "doc_id", "text")
             .join(cntIdx.select(col("h")), Seq("h"), "left_anti")
-            .pinned
+            .pinnedTransient
           val batchCounts = Dsir.countTable(inc.clean,
               col("doc_id") % targetMod === 0, "text", dsirBuckets)
-            .pinned
+            .pinnedTransient
           inc.clean.write.mode("append").parquet(sinkPath)
           novelWins.write.mode("append").parquet(s"$stateDir/window_index")
           novelContent.write.mode("append").parquet(s"$stateDir/content_index")
@@ -634,7 +642,7 @@ object StreamingIngest {
         // of canonical bytes, so NFD twins collapse across batches too.
         val batch = batch0.withColumn(textCol,
             org.apache.spark.sql.graft.ArrayFunctions.nfcNormalize(col(textCol)))
-          .pinned
+          .pinnedTransient
         if (batch.count() > 0) {
           val index = readIndexIfExists(spark, indexPath)
             .map(_.dropDuplicates("h"))
@@ -648,11 +656,11 @@ object StreamingIngest {
             .filter(col("n_kept") > 0)
             .select(col("doc_id"), col("text_clean").as("text"))
             .filter(graft.text.TextAnalysis.langId(col("text")) === lang)
-            .pinned
+            .pinnedTransient
           val novel = ParagraphDedup.paragraphIndex(
               ParagraphDedup.paragraphUnits(batch, idCol, textCol, splitRe))
             .join(index.select(col("h")), Seq("h"), "left_anti")
-            .pinned
+            .pinnedTransient
           cleanedBatch.write.mode("append").parquet(sinkPath)
           novel.write.mode("append").parquet(indexPath)
         }

@@ -55,6 +55,21 @@ class MatSpec extends SparkSpec {
     }
   }
 
+  test("pinTransient maps reliable to diskOnly (no checkpoint dir per micro-batch)") {
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_mat_trans").toString
+    spark.conf.set(Mat.CheckpointDirKey, ckptDir)
+    try withMode(Some("reliable")) {
+      val pinned = Mat.pinTransient(docs)
+      assert(pinned.count() == 5)
+      // the stream-recovery story covers transient frames; no reliable
+      // checkpoint directories may be written for them
+      val wrote = new java.io.File(ckptDir).listFiles()
+      assert(wrote == null || wrote.isEmpty,
+        s"pinTransient must not write reliable checkpoints: ${wrote.mkString(",")}")
+      pinned.unpersist()
+    } finally spark.conf.unset(Mat.CheckpointDirKey)
+  }
+
   test("an unknown mode fails loudly, not silently un-materialized") {
     withMode(Some("ramDiskTurbo")) {
       val e = intercept[IllegalArgumentException](Mat.pin(docs))

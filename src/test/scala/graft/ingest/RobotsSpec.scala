@@ -56,6 +56,15 @@ class RobotsSpec extends SparkSpec {
     assert(d == Map(1L -> false, 2L -> false))
   }
 
+  test("REP bare 'Disallow:' (empty prefix) is a no-op, not a host block") {
+    val bare = Seq(("d.example.com", "disallow", "")).toDF("host", "rule", "prefix")
+    val out = Robots.decisions(
+        Seq((1L, "https://d.example.com/anything")).toDF("doc_id", "url"),
+        "url", bare)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(1L -> true), "empty disallow prefix must match nothing")
+  }
+
   test("allowed() keeps exactly the allowed rows") {
     val docs = Seq(
       (1L, "https://a.example.com/p", "keep-me-not"),

@@ -102,6 +102,14 @@ class UrlsSpec extends SparkSpec {
       Seq("co.uk", "github.io"))
   }
 
+  test("spamScore: an empty weight list scores 0.0, in both engines' builders") {
+    val s = Seq("https://fun.example.com/casino").toDF("url")
+      .select(Urls.spamScore(col("url"), Seq.empty).as("s"))
+      .head().getDouble(0)
+    assert(s == 0.0)
+    assert(Urls.sqlSpamScore("url", Seq.empty) == "0.0")
+  }
+
   test("spamScore: substring hits sum; halves need a second signal (r10)") {
     val scores = Seq(
       "https://fun.example.com/casino-bonus",       // 1.0 blocking

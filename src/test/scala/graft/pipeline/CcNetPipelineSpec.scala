@@ -66,6 +66,24 @@ class CcNetPipelineSpec extends SparkSpec {
       s"doc 2 must lose the NFD boilerplate twin: ${pd(2L)}")
   }
 
+  test("cross-fit model normalizes at the shared stages() entry, any path (r10)") {
+    // An NFD-decomposed model must price identically to its composed
+    // twin — the normalization lives inside stages(), so the public
+    // stages(crossFitModel=...) entry can't fit on raw bytes while the
+    // corpus is normalized.
+    val modelComposed = Seq((100L, "the café prose model fits the corpus well " +
+      "and the words repeat the common patterns of the text"))
+      .toDF("doc_id", "text")
+    val modelNfd = modelComposed.withColumn("text",
+      udf((s: String) => java.text.Normalizer
+        .normalize(s, java.text.Normalizer.Form.NFD)).apply(col("text")))
+    def tiers(m: org.apache.spark.sql.DataFrame) =
+      CcNetPipeline.stages(fixture, crossFitModel = Some(m)).tiers
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSeq
+    assert(tiers(modelNfd) == tiers(modelComposed),
+      "NFD model text must be normalized before the LM fit")
+  }
+
   test("output is invariant to the stage materializer (r10)") {
     val persisted = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.DataFrame]
     val diskMat: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = {
