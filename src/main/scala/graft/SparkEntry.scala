@@ -555,6 +555,53 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
     }),
+    // Luhn-gated credit-card scrub (r10) — the PII class regexes can't
+    // carry alone: card numbers are indistinguishable from invoice ids
+    // by shape, so validity is ARITHMETIC (the Luhn checksum, as a
+    // codegen'd native expression inside the filter lambda). Planted
+    // suffixes exercise a valid Visa, a Luhn-failing twin, a valid
+    // MC beside a Luhn-failing 13-digit serial, and a too-short run.
+    "pii_credit_cards" -> ((s, dir) =>
+      graft.pipeline.Pii.creditCards(
+        withCcTexts(Tables.documents(s, dir)), "doc_id", "text")),
+    // Mojibake repair (r10) — table-driven UTF-8-as-cp1252 un-corruption
+    // (ftfy's dominant case); both engines replay the same printed pairs
+    // as chained literal replaces. Planted suffixes are BUILT from the
+    // repair table (Encoding.moj), so fixture and table can't drift.
+    "mojibake_repair" -> ((s, dir) =>
+      graft.text.Encoding.repair(
+        withMojTexts(Tables.documents(s, dir)), "doc_id", "text")),
+    // Encoding-damage profile (r10): replacement chars, stray C0
+    // controls, mojibake markers, non-ASCII mass -> the damaged flag a
+    // pipeline gates on before any text filter runs.
+    "encoding_hygiene" -> ((s, dir) =>
+      graft.text.Encoding.hygiene(
+        withHygieneTexts(Tables.documents(s, dir)), "doc_id", "text")),
+    // Politeness frontier (r10): per-host FIFO slots at one fetch per
+    // second per host, hosts pinned to 4 workers by host rank. The
+    // worker window runs over DISTINCT hosts (global-window allowlist);
+    // the slot rank is the one host-keyed exchange.
+    "crawl_frontier" -> ((s, dir) =>
+      graft.ingest.Frontier.schedule(
+        withFixtureUrls(Tables.documents(s, dir)), "url", "doc_id",
+        delayMs = 1000L, nWorkers = 4)),
+    // Recrawl priority (r10): events as a fetch log over 35 synthetic
+    // pages (event_type x user bucket); mean inter-observation interval
+    // -> next-due time + hot/warm/cold tier (thresholds chosen inside
+    // the sf0.01 interval spread so all three tiers appear).
+    "recrawl_priority" -> ((s, dir) =>
+      graft.ingest.Frontier.recrawl(
+        Tables.events(s, dir).withColumn("page",
+          concat(col("event_type"), lit("/"), (col("user_id") % 7).cast("string"))),
+        "page", "ts", hotMs = 8600000L, warmMs = 9600000L)),
+    // Domain-level quality flags (r10): mean per-doc quality by eTLD+1
+    // with a min-docs evidence floor -> blocklist candidates. At sf0.01
+    // the floor (0.644) splits the fixture domains: openweb.org flags,
+    // example.com clears, the 50-doc domains sit under minDocs.
+    "domain_quality" -> ((s, dir) =>
+      graft.pipeline.Curation.domainQuality(
+        withFixtureUrls(Tables.documents(s, dir)), "url", "text",
+        minDocs = 60L, floor = 0.644)),
     "repetition_stats" -> ((s, dir) =>
       graft.pipeline.Curation.repetitionStats(Tables.documents(s, dir))),
     "curation_report" -> ((s, dir) =>
@@ -2813,6 +2860,27 @@ object SparkEntry {
         |WHERE md5(text) NOT IN
         |  (SELECT md5(text) FROM documents WHERE doc_id % 97 = 0)
         |ORDER BY doc_id""".stripMargin,
+    "pii_credit_cards" ->
+      graft.pipeline.Pii.sqlCreditCards("documents", "doc_id", sqlCcText),
+    "mojibake_repair" ->
+      graft.text.Encoding.sqlRepair("documents", "doc_id", sqlMojText),
+    "encoding_hygiene" ->
+      graft.text.Encoding.sqlHygiene("documents", "doc_id", sqlHygieneText),
+    "crawl_frontier" ->
+      graft.ingest.Frontier.sqlSchedule("documents", "doc_id", sqlFixtureUrl,
+        delayMs = 1000L, nWorkers = 4),
+    "recrawl_priority" ->
+      graft.ingest.Frontier.sqlRecrawl("events",
+        "(event_type || '/' || CAST(user_id % 7 AS VARCHAR))", "ts",
+        hotMs = 8600000L, warmMs = 9600000L),
+    "domain_quality" ->
+      s"""WITH ${graft.ingest.Psl.sqlPslCte},
+         |u AS (
+         |  SELECT doc_id, text, $sqlFixtureUrl AS url
+         |  FROM documents),
+         |${graft.ingest.Psl.sqlDomainCtes("u", "doc_id", Seq("text"), "url", "d")}
+         |${graft.pipeline.Curation.sqlDomainQuality("d", "text",
+             minDocs = 60L, floor = 0.644)}""".stripMargin,
     // repetition_stats oracle: the RELATIONAL formulation (explode bigrams
     // -> group -> max/sum) of the same signals the Spark side computes
     // per-row via a sorted-run fold — pinning the two formulations equal.
@@ -2923,6 +2991,71 @@ object SparkEntry {
     s"('https://' || [${DomainCapHosts.map(h => s"'$h'").mkString(", ")}]" +
       "[CAST(doc_id % 10 AS INT) + 1] || '/sec' || CAST(doc_id % 7 AS VARCHAR)" +
       " || '/page/' || CAST(doc_id AS VARCHAR))"
+
+  /** Card-number suffixes planted by doc id for `pii_credit_cards`: a
+    * Luhn-valid Visa test number, its checksum-failing twin, a valid
+    * Mastercard beside a Luhn-failing 13-digit serial (two candidates,
+    * one valid — the conditional redaction masks BOTH), and a digit run
+    * too short to be a candidate at all. */
+  private val CcTextSuffixes = Seq(
+    "",
+    " pay 4111 1111 1111 1111 today",
+    " ref 4111-1111-1111-1112 case",
+    " order 5500 0000 0000 0004 shipped serial 1234567890123 x",
+    " invoice 99 1234567 internal")
+
+  private def withCcTexts(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(col("text"),
+      element_at(array(CcTextSuffixes.map(lit(_)): _*),
+        (col("doc_id") % 5 + 1).cast("int"))))
+
+  /** DuckDB twin of [[withCcTexts]]'s text expression. */
+  private def sqlCcText: String =
+    s"(text || [${CcTextSuffixes.map(x => s"'$x'").mkString(", ")}]" +
+      "[CAST(doc_id % 5 AS INT) + 1])"
+
+  /** Mojibake suffixes planted by doc id for `mojibake_repair` — BUILT
+    * from the repair table ([[graft.text.Encoding.moj]]) so fixture and
+    * table cannot drift: accented-letter corruption, punctuation
+    * corruption, and symbol corruption. */
+  private val MojTextSuffixes: Seq[String] = {
+    import graft.text.Encoding.moj
+    Seq(
+      "",
+      s" Caf${moj("é")} d${moj("é")}j${moj("à")} vu",
+      s" don${moj("’")}t ${moj("“")}quote${moj("‘")} me ${moj("–")} ok",
+      s" 25${moj("°")}C ${moj("€")}50 ${moj("™")}")
+  }
+
+  private def withMojTexts(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(col("text"),
+      element_at(array(MojTextSuffixes.map(lit(_)): _*),
+        (col("doc_id") % 4 + 1).cast("int"))))
+
+  /** DuckDB twin of [[withMojTexts]]'s text expression. */
+  private def sqlMojText: String =
+    s"(text || [${MojTextSuffixes.map(x => s"'$x'").mkString(", ")}]" +
+      "[CAST(doc_id % 4 AS INT) + 1])"
+
+  /** Damage suffixes planted by doc id for `encoding_hygiene`:
+    * replacement characters, stray C0 controls, mojibake markers (from
+    * the repair table), and a clean ASCII tail. */
+  private val HygieneTextSuffixes: Seq[String] = Seq(
+    "",
+    " bad �� bytes",
+    " ctl\u0001\u0002\u0007x",
+    s" marker ${graft.text.Encoding.moj("é")}${graft.text.Encoding.moj("è")} twice",
+    " plain ascii tail")
+
+  private def withHygieneTexts(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(col("text"),
+      element_at(array(HygieneTextSuffixes.map(lit(_)): _*),
+        (col("doc_id") % 5 + 1).cast("int"))))
+
+  /** DuckDB twin of [[withHygieneTexts]]'s text expression. */
+  private def sqlHygieneText: String =
+    s"(text || [${HygieneTextSuffixes.map(x => s"'$x'").mkString(", ")}]" +
+      "[CAST(doc_id % 5 AS INT) + 1])"
 
   /** Funnel thresholds tuned to the synthetic corpus: the word-count
     * floor discriminates (doc lengths straddle 40) while the stop-hits

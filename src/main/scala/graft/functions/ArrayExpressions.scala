@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BooleanType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** |A ∩ B| for two SORTED string arrays, as a single merge walk.
@@ -707,6 +707,64 @@ object RegisteredDomain {
   }
 }
 
+/** Luhn checksum validity of a card-number candidate (digit run with
+  * optional space/dash separators) — the validator behind the PII
+  * scrub's credit-card class ([[graft.pipeline.Pii.creditCards]]).
+  *
+  * True iff the candidate strips to 13-19 digits whose Luhn sum (double
+  * every second digit from the right, fold >9 down by 9) is ≡ 0 mod 10.
+  * Non-digit bytes are skipped in place — no intermediate stripped
+  * string is allocated; the walk runs right-to-left directly over the
+  * UTF8String bytes (multi-byte UTF-8 units can never read as ASCII
+  * digits, so skipping is byte-safe).
+  *
+  * Native expression (vs a UDF) for the same reason as [[NfcNormalize]]:
+  * candidate validation runs inside a scan-stage `filter` lambda over
+  * every extracted run and must stay inside codegen. The DuckDB mirror
+  * is [[graft.pipeline.Pii.sqlLuhnValid]] — the identical arithmetic as
+  * list-lambda SQL over the stripped digit string.
+  */
+case class LuhnValid(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_luhn_valid"
+
+  override def nullSafeEval(v: Any): Any =
+    LuhnValid.check(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = org.apache.spark.sql.graft.LuhnValid.check($v);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LuhnValid {
+  def check(s: UTF8String): Boolean = {
+    val b = s.getBytes
+    var i = b.length - 1
+    var sum = 0
+    var nDigits = 0
+    var double2 = false
+    while (i >= 0) {
+      val c = b(i)
+      if (c >= '0' && c <= '9') {
+        var d = c - '0'
+        if (double2) { d *= 2; if (d > 9) d -= 9 }
+        sum += d
+        nDigits += 1
+        double2 = !double2
+      }
+      i -= 1
+    }
+    nDigits >= 13 && nDigits <= 19 && sum % 10 == 0
+  }
+}
+
 object ArrayFunctions {
 
   /** Codegen'd |A ∩ B| for sorted, distinct string arrays. */
@@ -750,4 +808,8 @@ object ArrayFunctions {
   def firstEqualIndex(a: Column, b: Column): Column =
     ExpressionUtils.column(
       FirstEqualIndex(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Codegen'd Luhn card-number validity; see [[LuhnValid]]. */
+  def luhnValid(candidate: Column): Column =
+    ExpressionUtils.column(LuhnValid(ExpressionUtils.expression(candidate)))
 }

@@ -92,7 +92,12 @@ object GraftExtensions {
       info("graft_nfc",
         "graft_nfc(text) - Unicode NFC normalization (canonicalize before " +
           "dedup keys/tokenization); DuckDB mirror: nfc_normalize"),
-      (args: Seq[Expression]) => NfcNormalize(args(0))))
+      (args: Seq[Expression]) => NfcNormalize(args(0))),
+    (FunctionIdentifier("graft_luhn_valid"),
+      info("graft_luhn_valid",
+        "graft_luhn_valid(candidate) - Luhn checksum validity of a 13-19 " +
+          "digit card-number run (separators permitted)"),
+      (args: Seq[Expression]) => LuhnValid(args(0))))
 
   /** Register into an ALREADY RUNNING session (the extensions config only
     * applies at builder time). */

@@ -1,0 +1,125 @@
+package graft.ingest
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [EXT] Crawl-frontier planning: politeness scheduling and
+  * change-frequency-driven recrawl priority — the two queue-shaping
+  * computations a crawler runs BEFORE any fetch happens, expressed as
+  * plain relational plans so they run at frontier scale (billions of
+  * URLs) instead of inside a single scheduler process.
+  *
+  * Scale shape: [[schedule]] is one host-keyed exchange (the per-host
+  * FIFO rank) plus a broadcast join against the ≤|hosts| worker
+  * assignment table — the global window runs over DISTINCT hosts, never
+  * over URLs (PlanQualitySpec's global-window allowlist documents the
+  * bound). [[recrawl]] is a single host-keyed aggregate.
+  */
+object Frontier {
+
+  /** Politeness schedule over a URL frontier: per-host FIFO slot (each
+    * host is fetched at most once per `delayMs` — the robots-era
+    * courtesy interval), a deterministic worker assignment (hosts hash
+    * onto `nWorkers` fetchers by host rank, so one host's queue never
+    * splits across workers and the delay is enforceable locally), and
+    * the resulting relative fetch time.
+    *
+    * Output: (idCol, host, worker, slot, scheduled_ms) ordered by
+    * scheduled time — the order a fetch loop would drain. */
+  def schedule(docs: DataFrame, urlCol: String, idCol: String,
+               delayMs: Long = 1000L, nWorkers: Int = 8): DataFrame = {
+    val hostd = docs.withColumn("host", Urls.host(col(urlCol)))
+    // worker table: bounded by |hosts| (aggregate first, window second)
+    val workers = hostd.select(col("host")).distinct()
+      .withColumn("worker",
+        ((row_number().over(Window.orderBy(col("host"))) - 1) % nWorkers)
+          .cast("long"))
+    hostd
+      .withColumn("slot",
+        (row_number().over(
+          Window.partitionBy(col("host")).orderBy(col(idCol))) - 1)
+          .cast("long"))
+      .join(broadcast(workers), Seq("host"))
+      .select(col(idCol), col("host"), col("worker"), col("slot"),
+        (col("slot") * delayMs).as("scheduled_ms"))
+      .orderBy(col("scheduled_ms"), col("host"), col(idCol))
+  }
+
+  /** DuckDB twin of [[schedule]] — `urlExpr` is the url SQL expression
+    * over `docsRel` (fixture planting happens inline). */
+  def sqlSchedule(docsRel: String, idCol: String, urlExpr: String,
+                  delayMs: Long = 1000L, nWorkers: Int = 8): String =
+    s"""WITH __h AS (
+       |  SELECT $idCol, ${Urls.sqlHost(urlExpr)} AS host FROM $docsRel),
+       |__w AS (
+       |  SELECT host,
+       |    CAST((ROW_NUMBER() OVER (ORDER BY host) - 1) % $nWorkers AS BIGINT)
+       |      AS worker
+       |  FROM (SELECT DISTINCT host FROM __h)),
+       |__s AS (
+       |  SELECT $idCol, host,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY $idCol) - 1
+       |      AS BIGINT) AS slot
+       |  FROM __h)
+       |SELECT __s.$idCol, __s.host, __w.worker, __s.slot,
+       |  __s.slot * $delayMs AS scheduled_ms
+       |FROM __s JOIN __w USING (host)
+       |ORDER BY scheduled_ms, host, $idCol""".stripMargin
+
+  /** Recrawl priority from observed fetch history (the uniform-change
+    * model of Cho & Garcia-Molina's recrawl scheduling): per page, the
+    * observation count, the mean inter-observation interval, the next
+    * due time (last observation + mean interval), and a priority tier.
+    * A page seen once has no rate estimate — tier `unknown`, no due
+    * time (crawlers fold these into a discovery queue instead).
+    *
+    * Integer discipline end-to-end: epoch milliseconds, and the mean
+    * interval is an integer division (`DIV`) of non-negative longs, so
+    * both engines agree bit-for-bit — no float timestamps anywhere. */
+  def recrawl(observations: DataFrame, pageCol: String, tsCol: String,
+              hotMs: Long, warmMs: Long): DataFrame = {
+    val g = observations
+      .groupBy(col(pageCol).as("page"))
+      .agg(count(lit(1)).as("n_obs"),
+        min(unix_millis(col(tsCol))).as("first_ms"),
+        max(unix_millis(col(tsCol))).as("last_ms"))
+      .withColumn("interval_ms",
+        when(col("n_obs") > 1,
+          expr("(last_ms - first_ms) DIV (n_obs - 1)")))
+    g.withColumn("next_due_ms",
+        when(col("interval_ms").isNotNull,
+          col("last_ms") + col("interval_ms")))
+      .withColumn("tier",
+        when(col("interval_ms").isNull, "unknown")
+          .when(col("interval_ms") < hotMs, "hot")
+          .when(col("interval_ms") < warmMs, "warm")
+          .otherwise("cold"))
+      .select(col("page"), col("n_obs"), col("first_ms"), col("last_ms"),
+        col("interval_ms"), col("next_due_ms"), col("tier"))
+      .orderBy(col("page"))
+  }
+
+  /** DuckDB twin of [[recrawl]] — `pageExpr`/`tsExpr` are SQL
+    * expressions over `obsRel`. */
+  def sqlRecrawl(obsRel: String, pageExpr: String, tsExpr: String,
+                 hotMs: Long, warmMs: Long): String =
+    s"""WITH __g AS (
+       |  SELECT $pageExpr AS page, CAST(COUNT(*) AS BIGINT) AS n_obs,
+       |    epoch_ms(MIN($tsExpr)) AS first_ms,
+       |    epoch_ms(MAX($tsExpr)) AS last_ms
+       |  FROM $obsRel GROUP BY 1),
+       |__i AS (
+       |  SELECT page, n_obs, first_ms, last_ms,
+       |    CASE WHEN n_obs > 1 THEN (last_ms - first_ms) // (n_obs - 1)
+       |         END AS interval_ms
+       |  FROM __g)
+       |SELECT page, n_obs, first_ms, last_ms, interval_ms,
+       |  CASE WHEN interval_ms IS NOT NULL THEN last_ms + interval_ms
+       |       END AS next_due_ms,
+       |  CASE WHEN interval_ms IS NULL THEN 'unknown'
+       |       WHEN interval_ms < $hotMs THEN 'hot'
+       |       WHEN interval_ms < $warmMs THEN 'warm'
+       |       ELSE 'cold' END AS tier
+       |FROM __i ORDER BY page""".stripMargin
+}

@@ -160,6 +160,54 @@ object Curation {
     (kept, newState)
   }
 
+  /** Per-registered-domain quality profile (`domain_quality` query) —
+    * the domain-LEVEL filtering signal FineWeb-class pipelines compute
+    * after per-document gates: a domain whose documents are uniformly
+    * low-quality is boilerplate/SEO-farm territory, and flagging it
+    * feeds the blocklist that [[excludeByKey]] then applies (document
+    * gates miss domains that are individually-passable but collectively
+    * worthless). `flagged` requires BOTH a mean below `floor` AND at
+    * least `minDocs` documents — a one-page domain is an estimate, not
+    * evidence.
+    *
+    * Integer discipline for the mean: per-document quality (already
+    * rounded to 4 decimals by [[graft.text.TextAnalysis.qualityScore]])
+    * is lifted to an exact integer (×10⁴) BEFORE aggregation, so the
+    * sum is order-independent long arithmetic and the one division at
+    * the end is engine-exact — float summation order can never produce
+    * a cross-engine mismatch. One domain-keyed aggregate (scan-stage
+    * PSL key), no window. */
+  def domainQuality(docs: DataFrame, urlCol: String, textCol: String,
+                    minDocs: Long, floor: Double): DataFrame =
+    docs.select(
+        graft.ingest.Urls.registeredDomain(col(urlCol)).as("domain"),
+        round(graft.text.TextAnalysis.qualityScore(col(textCol)) * 10000)
+          .cast("long").as("__qe4"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__qe4")).as("__qs"))
+      .withColumn("mean_quality",
+        round(col("__qs").cast("double") / (col("n_docs") * 10000.0), 4))
+      .withColumn("flagged",
+        col("n_docs") >= minDocs && col("mean_quality") < floor)
+      .select(col("domain"), col("n_docs"), col("mean_quality"), col("flagged"))
+      .orderBy(col("domain"))
+
+  /** DuckDB twin of [[domainQuality]]'s aggregate over a relation that
+    * already carries (domain, text) — the PSL domain CTEs are assembled
+    * by the caller ([[graft.ingest.Psl.sqlDomainCtes]]). */
+  def sqlDomainQuality(domRel: String, textCol: String,
+                       minDocs: Long, floor: Double): String =
+    s"""SELECT domain, n_docs,
+       |  round(__qs::DOUBLE / (n_docs * 10000.0), 4) AS mean_quality,
+       |  (n_docs >= $minDocs AND
+       |   round(__qs::DOUBLE / (n_docs * 10000.0), 4) < $floor) AS flagged
+       |FROM (
+       |  SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    SUM(CAST(round(${graft.text.TextAnalysis.sqlQuality(textCol)} * 10000)
+       |        AS BIGINT)) AS __qs
+       |  FROM $domRel GROUP BY domain)
+       |ORDER BY domain""".stripMargin
+
   /** Release-compliance exclusion (`takedown_requests` /
     * `domain_blocklist` queries): drop every row whose key appears in
     * the exclusion list. Two keys cover the real cases: CONTENT HASH —

@@ -343,7 +343,8 @@ class PlanQualitySpec extends SparkSpec {
       "corpus_pipeline_fineweb" -> "shard-offset prefix sum over <= nShards aggregate rows",
       "corpus_pipeline_ccnet" -> "perplexity-tier shard-offset prefix sum over <= nShards aggregate rows",
       "corpus_pipeline_ccnet_crossfit" -> "perplexity-tier shard-offset prefix sum over <= nShards aggregate rows",
-      "curriculum_order" -> "tier + shard offset prefix sums over <= nShards and <= tiers*nShards aggregate rows (both hierarchical-rank passes)")
+      "curriculum_order" -> "tier + shard offset prefix sums over <= nShards and <= tiers*nShards aggregate rows (both hierarchical-rank passes)",
+      "crawl_frontier" -> "worker assignment over <= |hosts| distinct-host rows (aggregate-first, window-second)")
     val offenders = scala.collection.mutable.SortedMap[String, Int]()
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, dir)

@@ -148,6 +148,53 @@ class ExpressionsSpec extends SparkSpec {
     assert(err.getMessage.contains("integer literal"), err.getMessage)
   }
 
+  test("luhnValid: checksum arithmetic, length gate, separators, null (r10)") {
+    // Reference Luhn in plain Scala, checked against the native expression.
+    def ref(s: String): Boolean = {
+      val ds = s.filter(_.isDigit).map(_ - '0').reverse
+      ds.length >= 13 && ds.length <= 19 &&
+        ds.zipWithIndex.map { case (d, i) =>
+          if (i % 2 == 1) { val x = d * 2; if (x > 9) x - 9 else x } else d
+        }.sum % 10 == 0
+    }
+    val cases = Seq(
+      "4111 1111 1111 1111",   // valid Visa test number, space-separated
+      "4111-1111-1111-1112",   // checksum fails by one
+      "5500000000000004",      // valid, no separators
+      "1234567890123",         // 13 digits, checksum fails
+      "0000000000000",         // 13 zeros: sum 0 -> valid
+      "123456789012",          // 12 digits: under the length floor
+      "00000000000000000000")  // 20 zeros: over the length ceiling
+    val got = cases.toDF("c")
+      .select(ArrayFunctions.luhnValid($"c")).as[Boolean].collect().toSeq
+    assert(got == cases.map(ref),
+      cases.zip(got).mkString(", "))
+    assert(got == Seq(true, false, true, false, true, false, false))
+    // null in -> null out
+    val n = Seq[Option[String]](None).toDF("c")
+      .select(ArrayFunctions.luhnValid($"c")).collect()
+    assert(n(0).isNullAt(0))
+    // interpreted mode agrees
+    val prev = spark.conf.getOption("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val got2 = cases.toDF("c")
+        .select(ArrayFunctions.luhnValid($"c")).as[Boolean].collect().toSeq
+      assert(got2 == got)
+    } finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.wholeStage", v)
+        case None => spark.conf.unset("spark.sql.codegen.wholeStage")
+      }
+    }
+    // SQL registration
+    GraftExtensions.register(spark)
+    assert(spark.sql("SELECT graft_luhn_valid('4111 1111 1111 1111')")
+      .head().getBoolean(0))
+  }
+
   test("hand-rolled Md5 is byte-identical to MessageDigest (r10)") {
     // The MinHash family's digests (token components AND band buckets)
     // run on graft.Md5 since r10 — fuzz every length class through both

@@ -601,4 +601,38 @@ class CurationSpec extends SparkSpec {
     assert(out(("TOTAL", "ALL"))._2 === out.collect {
       case ((s, l), v) if s != "TOTAL" && l != "ALL" => v._2 }.sum)
   }
+
+  test("domainQuality: floor AND evidence threshold gate the flag (r10)") {
+    val junk = "zzzz 0193 @@@@ %%%% 8syw"
+    val prose = "the cat sat on the mat and it was a fine day for this old friend"
+    val docs = Seq(
+      // low.example: 3 junk docs — flagged (>= minDocs, below floor)
+      (1L, "https://a.low.example/1", junk),
+      (2L, "https://b.low.example/2", junk),
+      (3L, "https://low.example/3", junk),
+      // good.example: 3 prose docs — above floor, not flagged
+      (4L, "https://good.example/4", prose),
+      (5L, "https://good.example/5", prose),
+      (6L, "https://www.good.example/6", prose),
+      // thin.example: junk but only 2 docs — under minDocs, not flagged
+      (7L, "https://thin.example/7", junk),
+      (8L, "https://thin.example/8", junk)).toDF("doc_id", "url", "text")
+    val out = Curation.domainQuality(docs, "url", "text", minDocs = 3L, floor = 0.4)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    // subdomains collapsed onto the registered domain
+    assert(out.keySet == Set("low.example", "good.example", "thin.example"))
+    assert(out("low.example")._1 == 3L && out("low.example")._3,
+      s"junk domain with evidence must flag: ${out("low.example")}")
+    assert(out("good.example")._1 == 3L && !out("good.example")._3)
+    assert(out("good.example")._2 > out("low.example")._2)
+    assert(out("thin.example")._1 == 2L && !out("thin.example")._3,
+      "two docs are not evidence, junk or not")
+    // identical docs -> the mean is exactly the per-doc quality (the
+    // integer-lift discipline can't drift on a uniform group)
+    val perDoc = docs.filter($"doc_id" === 4L)
+      .select(graft.text.TextAnalysis.qualityScore($"text")).head().getDouble(0)
+    assert(math.abs(out("good.example")._2 - perDoc) < 1e-9)
+  }
 }

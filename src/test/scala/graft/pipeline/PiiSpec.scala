@@ -29,6 +29,25 @@ class PiiSpec extends SparkSpec {
     assert(r.getString(4) == "nothing to see 42 here")
   }
 
+  test("creditCards: Luhn gates validity; one valid card masks ALL runs (r10)") {
+    val d = Seq(
+      (1L, "pay 4111 1111 1111 1111 today"),
+      (2L, "ref 4111-1111-1111-1112 case"),
+      (3L, "order 5500 0000 0000 0004 ok serial 1234567890123 x"),
+      (4L, "invoice 99 1234567 internal"),
+      (5L, "plain text")).toDF("doc_id", "text")
+    val out = Pii.creditCards(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((1L, 1L, "pay <CC> today")))
+    // a candidate that fails Luhn keeps its text — invoice ids survive
+    assert(out(2L) == ((1L, 0L, "ref 4111-1111-1111-1112 case")))
+    // one VALID card -> every card-like run in the doc masks, valid or not
+    assert(out(3L) == ((2L, 1L, "order <CC> ok serial <CC> x")))
+    // a 10-char digit run is below the candidate floor entirely
+    assert(out(4L) == ((0L, 0L, "invoice 99 1234567 internal")))
+    assert(out(5L) == ((0L, 0L, "plain text")))
+  }
+
   test("decontaminate flags docs sharing n-grams with the benchmark") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog entirely"),
