@@ -602,6 +602,14 @@ object SparkEntry {
       graft.pipeline.Curation.domainQuality(
         withFixtureUrls(Tables.documents(s, dir)), "url", "text",
         minDocs = 60L, floor = 0.644)),
+    // The signal made actionable (r10): same flags, composed with the
+    // broadcast anti-join cut — at sf0.01 openweb.org's 100 docs drop.
+    "domain_quality_exclusion" -> ((s, dir) =>
+      graft.pipeline.Curation.excludeFlaggedDomains(
+          withFixtureUrls(Tables.documents(s, dir)), "url", "text",
+          minDocs = 60L, floor = 0.644)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
     "repetition_stats" -> ((s, dir) =>
       graft.pipeline.Curation.repetitionStats(Tables.documents(s, dir))),
     "curation_report" -> ((s, dir) =>
@@ -2881,6 +2889,18 @@ object SparkEntry {
          |${graft.ingest.Psl.sqlDomainCtes("u", "doc_id", Seq("text"), "url", "d")}
          |${graft.pipeline.Curation.sqlDomainQuality("d", "text",
              minDocs = 60L, floor = 0.644)}""".stripMargin,
+    "domain_quality_exclusion" ->
+      s"""WITH ${graft.ingest.Psl.sqlPslCte},
+         |u AS (
+         |  SELECT doc_id, source, text, $sqlFixtureUrl AS url
+         |  FROM documents),
+         |${graft.ingest.Psl.sqlDomainCtes("u", "doc_id", Seq("source", "text"), "url", "d")},
+         |q AS (
+         |${graft.pipeline.Curation.sqlDomainQuality("d", "text",
+             minDocs = 60L, floor = 0.644)})
+         |SELECT doc_id, source FROM d
+         |WHERE COALESCE(domain, '') NOT IN (SELECT domain FROM q WHERE flagged)
+         |ORDER BY doc_id""".stripMargin,
     // repetition_stats oracle: the RELATIONAL formulation (explode bigrams
     // -> group -> max/sum) of the same signals the Spark side computes
     // per-row via a sorted-run fold — pinning the two formulations equal.

@@ -29,7 +29,12 @@ object Frontier {
     * scheduled time — the order a fetch loop would drain. */
   def schedule(docs: DataFrame, urlCol: String, idCol: String,
                delayMs: Long = 1000L, nWorkers: Int = 8): DataFrame = {
-    val hostd = docs.withColumn("host", Urls.host(col(urlCol)))
+    // null/unparseable URLs collapse to the '' host EXPLICITLY (the
+    // RefinedWeb null-domain lesson): a null host would vanish at the
+    // worker equi-join (null never equals null) and sort differently
+    // across engines — '' keeps every row and one deterministic group.
+    val hostd = docs.withColumn("host",
+      coalesce(Urls.host(col(urlCol)), lit("")))
     // worker table: bounded by |hosts| (aggregate first, window second)
     val workers = hostd.select(col("host")).distinct()
       .withColumn("worker",
@@ -51,7 +56,8 @@ object Frontier {
   def sqlSchedule(docsRel: String, idCol: String, urlExpr: String,
                   delayMs: Long = 1000L, nWorkers: Int = 8): String =
     s"""WITH __h AS (
-       |  SELECT $idCol, ${Urls.sqlHost(urlExpr)} AS host FROM $docsRel),
+       |  SELECT $idCol, COALESCE(${Urls.sqlHost(urlExpr)}, '') AS host
+       |  FROM $docsRel),
        |__w AS (
        |  SELECT host,
        |    CAST((ROW_NUMBER() OVER (ORDER BY host) - 1) % $nWorkers AS BIGINT)
@@ -78,16 +84,35 @@ object Frontier {
     * interval is an integer division (`DIV`) of non-negative longs, so
     * both engines agree bit-for-bit — no float timestamps anywhere. */
   def recrawl(observations: DataFrame, pageCol: String, tsCol: String,
-              hotMs: Long, warmMs: Long): DataFrame = {
-    val g = observations
-      .groupBy(col(pageCol).as("page"))
+              hotMs: Long, warmMs: Long): DataFrame =
+    recrawlFromStats(observationStats(observations, pageCol, tsCol),
+      hotMs, warmMs)
+
+  /** Per-page observation stats — the MERGEABLE form (count/min/max all
+    * merge across partial aggregates), which is what the streaming face
+    * persists per batch
+    * ([[graft.streaming.StreamingIngest.recrawlViaBatchState]]). Null
+    * pages collapse to '' for the same cross-engine determinism reason
+    * as [[schedule]]'s host (Spark sorts nulls first, DuckDB last — ''
+    * removes the divergence and keeps the rows grouped). */
+  def observationStats(observations: DataFrame, pageCol: String,
+                       tsCol: String): DataFrame =
+    observations
+      .groupBy(coalesce(col(pageCol), lit("")).as("page"))
       .agg(count(lit(1)).as("n_obs"),
         min(unix_millis(col(tsCol))).as("first_ms"),
         max(unix_millis(col(tsCol))).as("last_ms"))
+
+  /** The interval/tier arithmetic over a pre-aggregated
+    * (page, n_obs, first_ms, last_ms) stats table — ONE owner of the
+    * arithmetic for the batch and streaming faces. Expects one row per
+    * page (merge partial stats first). */
+  def recrawlFromStats(stats: DataFrame, hotMs: Long, warmMs: Long): DataFrame =
+    stats
       .withColumn("interval_ms",
         when(col("n_obs") > 1,
           expr("(last_ms - first_ms) DIV (n_obs - 1)")))
-    g.withColumn("next_due_ms",
+      .withColumn("next_due_ms",
         when(col("interval_ms").isNotNull,
           col("last_ms") + col("interval_ms")))
       .withColumn("tier",
@@ -98,14 +123,14 @@ object Frontier {
       .select(col("page"), col("n_obs"), col("first_ms"), col("last_ms"),
         col("interval_ms"), col("next_due_ms"), col("tier"))
       .orderBy(col("page"))
-  }
 
   /** DuckDB twin of [[recrawl]] — `pageExpr`/`tsExpr` are SQL
     * expressions over `obsRel`. */
   def sqlRecrawl(obsRel: String, pageExpr: String, tsExpr: String,
                  hotMs: Long, warmMs: Long): String =
     s"""WITH __g AS (
-       |  SELECT $pageExpr AS page, CAST(COUNT(*) AS BIGINT) AS n_obs,
+       |  SELECT COALESCE($pageExpr, '') AS page,
+       |    CAST(COUNT(*) AS BIGINT) AS n_obs,
        |    epoch_ms(MIN($tsExpr)) AS first_ms,
        |    epoch_ms(MAX($tsExpr)) AS last_ms
        |  FROM $obsRel GROUP BY 1),

@@ -179,8 +179,12 @@ object Curation {
     * PSL key), no window. */
   def domainQuality(docs: DataFrame, urlCol: String, textCol: String,
                     minDocs: Long, floor: Double): DataFrame =
+    // null/unparseable URLs group under '' explicitly (the RefinedWeb
+    // null-domain lesson: engines sort nulls differently, and a null
+    // group is an accident, not a decision)
     docs.select(
-        graft.ingest.Urls.registeredDomain(col(urlCol)).as("domain"),
+        coalesce(graft.ingest.Urls.registeredDomain(col(urlCol)), lit(""))
+          .as("domain"),
         round(graft.text.TextAnalysis.qualityScore(col(textCol)) * 10000)
           .cast("long").as("__qe4"))
       .groupBy(col("domain"))
@@ -202,11 +206,27 @@ object Curation {
        |  (n_docs >= $minDocs AND
        |   round(__qs::DOUBLE / (n_docs * 10000.0), 4) < $floor) AS flagged
        |FROM (
-       |  SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  SELECT COALESCE(domain, '') AS domain,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
        |    SUM(CAST(round(${graft.text.TextAnalysis.sqlQuality(textCol)} * 10000)
        |        AS BIGINT)) AS __qs
-       |  FROM $domRel GROUP BY domain)
+       |  FROM $domRel GROUP BY 1)
        |ORDER BY domain""".stripMargin
+
+  /** [[domainQuality]] composed with [[excludeByKey]]
+    * (`domain_quality_exclusion` query): drop every document whose
+    * registered domain was flagged — the full FineWeb-style loop from
+    * signal to cut in one plan. The flagged list is an aggregate over
+    * ≤ |domains| rows, so the exclusion stays a broadcast anti-join;
+    * the corpus scans twice (once to measure, once to cut) — inherent
+    * to any measure-then-filter aggregate, and both scans are
+    * column-pruned. */
+  def excludeFlaggedDomains(docs: DataFrame, urlCol: String, textCol: String,
+                            minDocs: Long, floor: Double): DataFrame =
+    excludeByKey(docs,
+      coalesce(graft.ingest.Urls.registeredDomain(col(urlCol)), lit("")),
+      domainQuality(docs, urlCol, textCol, minDocs, floor)
+        .filter(col("flagged")).select(col("domain")))
 
   /** Release-compliance exclusion (`takedown_requests` /
     * `domain_blocklist` queries): drop every row whose key appears in

@@ -110,6 +110,48 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
   }
 
+  /** [EXT] Streaming recrawl-priority state (r10) —
+    * [[graft.ingest.Frontier.recrawl]]'s per-page observation stats as
+    * streaming state over the same batch-keyed-partition discipline as
+    * [[domainCapsViaBatchState]]: each micro-batch OVERWRITES its
+    * `batch_id=N` partition with its own per-page
+    * (n_obs, first_ms, last_ms) aggregate. Count/min/max are all
+    * mergeable, so [[recrawlFromState]] recovers the exact batch
+    * operator's output from state alone at ANY point in the stream, and
+    * a replayed batch rewrites identical rows (deterministic under
+    * at-least-once — no tally to corrupt, no read-your-own-writes). */
+  def recrawlViaBatchState(obs: DataFrame, statePath: String,
+                           checkpoint: String, pageCol: String,
+                           tsCol: String): DataStreamWriter[Row] = {
+    require(obs.isStreaming)
+    obs.writeStream
+      .foreachBatch { (batch0: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        val stats = graft.ingest.Frontier.observationStats(
+          batch0.toDF(), pageCol, tsCol)
+        if (!stats.isEmpty)
+          stats.write.mode("overwrite").parquet(s"$statePath/batch_id=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+  }
+
+  /** Priorities from the persisted [[recrawlViaBatchState]] state: merge
+    * the per-batch partial stats (sum/min/max) and apply the shared
+    * arithmetic ([[graft.ingest.Frontier.recrawlFromStats]]) — equals
+    * the batch [[graft.ingest.Frontier.recrawl]] over the union of all
+    * observed batches (StreamingSpec pins it). */
+  def recrawlFromState(spark: SparkSession, statePath: String,
+                       hotMs: Long, warmMs: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val merged = spark.read.parquet(statePath)
+      .groupBy(col("page"))
+      .agg(sum(col("n_obs")).as("n_obs"),
+        min(col("first_ms")).as("first_ms"),
+        max(col("last_ms")).as("last_ms"))
+    graft.ingest.Frontier.recrawlFromStats(merged, hotMs, warmMs)
+  }
+
   /** Cross-batch near-dup probe shared by [[nearDupDedupViaSinkIndex]]
     * and [[refinedWebViaSinkState]]: LSH-join the batch signature table
     * against the persisted index on (band, bucket) — narrow ids only —

@@ -32,6 +32,18 @@ class FrontierSpec extends SparkSpec {
     assert(order == order.sorted)
   }
 
+  test("schedule: null/unparseable URLs keep their rows in the '' host group") {
+    val docs = Seq(
+      (1L, "https://a.example.com/x"),
+      (2L, null.asInstanceOf[String]),
+      (3L, "no-scheme-here")).toDF("doc_id", "url")
+    val out = Frontier.schedule(docs, "url", "doc_id", 1000L, 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // nothing vanishes at the worker join; both bad rows share one group
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(2L) == "" && out(3L) == "")
+  }
+
   test("recrawl: interval arithmetic, tier cuts, single-observation page") {
     val obs = Seq(
       ("a", "2024-01-01 00:00:00"), // a: 3 obs, 60 s apart -> interval 60000

@@ -634,5 +634,16 @@ class CurationSpec extends SparkSpec {
     val perDoc = docs.filter($"doc_id" === 4L)
       .select(graft.text.TextAnalysis.qualityScore($"text")).head().getDouble(0)
     assert(math.abs(out("good.example")._2 - perDoc) < 1e-9)
+    // null urls group under '' explicitly — no null group, no lost rows
+    val withNull = docs.unionByName(
+      Seq((9L, null.asInstanceOf[String], junk)).toDF("doc_id", "url", "text"))
+    val g = Curation.domainQuality(withNull, "url", "text", 3L, 0.4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(g("") == 1L)
+    // the composed cut drops exactly the flagged domain's docs
+    val kept = Curation.excludeFlaggedDomains(docs, "url", "text", 3L, 0.4)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(4L, 5L, 6L, 7L, 8L),
+      s"only low.example (flagged) drops; thin.example stays: $kept")
   }
 }

@@ -424,6 +424,47 @@ class StreamingSpec extends SparkSpec {
     assert(tally == Map("site.com" -> 7L, "other.org" -> 7L))
   }
 
+  test("streaming recrawl state: merged batch stats == one batch pass; replay-safe (r10)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_recrawl").toString
+    val (inDir, state, ckpt) = (s"$root/in", s"$root/state", s"$root/ckpt")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val batch1 = Seq(
+      ("a", ts("2024-01-01 00:00:00")), ("a", ts("2024-01-01 01:00:00")),
+      ("b", ts("2024-01-01 02:00:00")))
+    val batch2 = Seq(
+      ("a", ts("2024-01-01 03:00:00")), ("a", ts("2024-01-01 09:00:00")),
+      ("c", ts("2024-01-01 04:00:00")), ("c", ts("2024-01-01 04:30:00")))
+    def drop(rows: Seq[(String, java.sql.Timestamp)]): Unit =
+      rows.toDF("page", "ts").coalesce(1).write.mode("append").parquet(inDir)
+    def runOnce(): Unit = {
+      val obs = spark.readStream.schema("page STRING, ts TIMESTAMP").parquet(inDir)
+      val q = StreamingIngest.recrawlViaBatchState(obs, state, ckpt, "page", "ts").start()
+      q.awaitTermination()
+    }
+    drop(batch1); runOnce()
+    drop(batch2); runOnce()
+    val hot = 3 * 3600 * 1000L
+    val warm = 6 * 3600 * 1000L
+    val streamed = StreamingIngest.recrawlFromState(spark, state, hot, warm)
+      .collect().toSeq
+    val oneShot = graft.ingest.Frontier.recrawl(
+      (batch1 ++ batch2).toDF("page", "ts"), "page", "ts", hot, warm)
+      .collect().toSeq
+    // the cross-batch merge is load-bearing: page a's interval (3 h from
+    // 4 obs over 9 h -> hot/warm boundary work) only comes out right if
+    // count/min/max merged across partitions
+    assert(streamed == oneShot, s"streamed $streamed != one-shot $oneShot")
+    assert(streamed.map(r => r.getString(0) -> r.getString(6)).toMap ==
+      Map("a" -> "warm", "b" -> "unknown", "c" -> "hot"))
+    // at-least-once replay: re-firing a batch rewrites IDENTICAL state
+    // (the foreachBatch body is exactly this stats-overwrite)
+    graft.ingest.Frontier.observationStats(batch2.toDF("page", "ts"), "page", "ts")
+      .write.mode("overwrite").parquet(s"$state/batch_id=1")
+    val replayed = StreamingIngest.recrawlFromState(spark, state, hot, warm)
+      .collect().toSeq
+    assert(replayed == streamed)
+  }
+
   test("mid-stream index compaction is transparent (paragraph, window, exact schemas)") {
     // IndexMaintenanceSpec proves compaction correct OFFLINE; this pins
     // that it is safe MID-STREAM: compact the persisted index between
