@@ -23,7 +23,10 @@ import graft.text.{GopherRepetition, GopherRules, TextAnalysis}
   *     ([[org.apache.spark.sql.graft.NfcNormalize]]) — BEFORE every
   *     downstream key, so NFC/NFD twins collapse for language ID,
   *     dedup hashes, and MinHash signatures alike (the canonicalization
-  *     placement the operator was built for);
+  *     placement the operator was built for); optionally preceded by one
+  *     mojibake-repair round ([[graft.text.Encoding.fixMojibake]],
+  *     `repairEncoding` — off by default) so corrupted documents rejoin
+  *     their clean twins' byte identity ahead of the dedup keys;
   *  3. language gate ([[TextAnalysis.langId]] == target);
   *  4. Gopher rule + repetition gates ([[GopherRules.passExpr]],
   *     [[GopherRepetition.passExpr]]);
@@ -77,7 +80,8 @@ object RefinedWebPipeline {
              materialize: DataFrame => DataFrame = graft.Mat.pin,
              observeFunnel: Boolean = false,
              spamWeights: Seq[(String, Double)] = Seq.empty,
-             spamThreshold: Double = 1.0): Stages = {
+             spamThreshold: Double = 1.0,
+             repairEncoding: Boolean = false): Stages = {
     // Widen FIRST: the interpreted HOF gates (langId markers, repetition
     // folds) are the preset's per-row CPU, and a small parquet scan
     // arrives in 1-2 partitions — without the repartition they run
@@ -107,9 +111,18 @@ object RefinedWebPipeline {
           col(textCol).as("text"))
     val urlGated = if (observeFunnel) urlGated0.observe(obsUrl, count(lit(1)).as("n"))
                    else urlGated0
+    // Optional encoding repair (r10, off by default — stage 1c): one
+    // mojibake round BEFORE NFC, so a corrupted document rejoins its
+    // clean twin's byte identity ahead of every dedup key (the repair
+    // emits precomposed characters, which NFC preserves). Without it,
+    // `cafÃ©` and `café` are distinct documents forever.
+    val repaired =
+      if (repairEncoding)
+        urlGated.withColumn("text", graft.text.Encoding.fixMojibake(col("text")))
+      else urlGated
     // NFC FIRST: all keys below (langId markers, md5, MinHash tokens)
     // see canonical bytes.
-    val normed = urlGated.withColumn("text",
+    val normed = repaired.withColumn("text",
       org.apache.spark.sql.graft.ArrayFunctions.nfcNormalize(col("text")))
     val langed0 = normed.filter(TextAnalysis.langId(col("text")) === lang)
     val langed = if (observeFunnel) langed0.observe(obsLang, count(lit(1)).as("n"))
@@ -146,10 +159,12 @@ object RefinedWebPipeline {
             threshold: Double = 0.9, cap: Int = 100,
             materialize: DataFrame => DataFrame = graft.Mat.pin,
             spamWeights: Seq[(String, Double)] = Seq.empty,
-            spamThreshold: Double = 1.0): DataFrame =
+            spamThreshold: Double = 1.0,
+            repairEncoding: Boolean = false): DataFrame =
     stages(docs, urlCol, blocked, lang, gopherTh, repetitionTh, threshold, cap,
       materialize = materialize,
-      spamWeights = spamWeights, spamThreshold = spamThreshold)
+      spamWeights = spamWeights, spamThreshold = spamThreshold,
+      repairEncoding = repairEncoding)
       .capped
       .select(col("doc_id"), col("domain"),
         size(TextAnalysis.tokens(lower(col("text")))).cast("long").as("n_tokens"))

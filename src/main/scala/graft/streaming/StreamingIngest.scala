@@ -224,13 +224,14 @@ object StreamingIngest {
                              urlCol: String = "url", idCol: String = "doc_id",
                              textCol: String = "text",
                              spamWeights: Seq[(String, Double)] = Seq.empty,
-                             spamThreshold: Double = 1.0): DataStreamWriter[Row] = {
+                             spamThreshold: Double = 1.0,
+                             repairEncoding: Boolean = false): DataStreamWriter[Row] = {
     require(docs.isStreaming)
     docs.writeStream
       .foreachBatch { (batch0: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         refinedWebBatch(batch0.toDF(), batchId, sinkPath, stateDir, blocked,
           lang, gopherTh, repetitionTh, threshold, cap, urlCol, idCol, textCol,
-          spamWeights, spamThreshold)
+          spamWeights, spamThreshold, repairEncoding)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -249,7 +250,8 @@ object StreamingIngest {
                       urlCol: String = "url", idCol: String = "doc_id",
                       textCol: String = "text",
                       spamWeights: Seq[(String, Double)] = Seq.empty,
-                      spamThreshold: Double = 1.0): Unit = {
+                      spamThreshold: Double = 1.0,
+                      repairEncoding: Boolean = false): Unit = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     import graft.dedup.Dedup
@@ -279,6 +281,11 @@ object StreamingIngest {
            graft.ingest.Urls.spamScore(col(urlCol), spamWeights) < spamThreshold))
           .select(col(idCol).cast("long").as("doc_id"), col("domain"),
             col(textCol).as("text"))
+          // optional mojibake round BEFORE NFC — same stage-1c placement
+          // as the batch preset, so the faces stay output-identical
+          .transform(df => if (repairEncoding)
+            df.withColumn("text", graft.text.Encoding.fixMojibake(col("text")))
+          else df)
           .withColumn("text",
             org.apache.spark.sql.graft.ArrayFunctions.nfcNormalize(col("text")))
           .filter(graft.text.TextAnalysis.langId(col("text")) === lang)

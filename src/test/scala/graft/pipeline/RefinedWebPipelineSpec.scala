@@ -74,6 +74,26 @@ class RefinedWebPipelineSpec extends SparkSpec {
       s"stage 1 must count the blocked-domain doc (3) AND the spam URL (13): $f")
   }
 
+  test("encoding repair rejoins a mojibake twin ahead of the dedup keys (r10)") {
+    // Doc 1's UTF-8-as-cp1252 corrupted twin at another domain: on raw
+    // bytes it escapes exact dedup (different hashes) AND near dedup
+    // (the corrupted token breaks Jaccard) — the same escape route the
+    // NFD twin used, one layer lower. With repairEncoding the repair
+    // runs BEFORE NFC, so the twin collapses in exact dedup.
+    val corrupted = composed.replace("café", "caf" + graft.text.Encoding.moj("é"))
+    assert(corrupted != composed && corrupted.contains("Ã©"))
+    // its own domain, so the caps stage can't be the thing that cuts it
+    val withTwin = docs.unionByName(Seq(
+      (13L, corrupted, "https://t.fresh.org/13")).toDF("doc_id", "text", "url"))
+    val off = RefinedWebPipeline(withTwin, blocked = Seq("foo.co.uk"),
+      gopherTh = th, cap = 2).select("doc_id").as[Long].collect().toSet
+    assert(off.contains(13L), s"un-repaired twin must survive as distinct: $off")
+    val on = RefinedWebPipeline(withTwin, blocked = Seq("foo.co.uk"),
+      gopherTh = th, cap = 2, repairEncoding = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(on == off - 13L, s"repair must collapse exactly the twin: $on")
+  }
+
   test("output is invariant to the stage materializer (r10)") {
     // The default localCheckpoint(true) is single-JVM-correct but
     // fault-intolerant on a cluster (executor loss kills the lineage);
