@@ -1014,6 +1014,13 @@ object SparkEntry {
       graft.pipeline.C4Filters.clean(
         C4Fixture.docs.toDF("doc_id", "text"))
     }),
+    // C4's OTHER page gate (r10): the bad-words blocklist. Token-set
+    // membership over [a-z0-9] runs = word-boundary semantics; planted
+    // suffixes exercise one hit, substring traps (sextonbury/xxxl must
+    // NOT match), a two-hit page, and clean tails.
+    "c4_badwords" -> ((s, dir) =>
+      graft.pipeline.C4Filters.badWords(
+        withBadWordTexts(Tables.documents(s, dir)), "doc_id", "text")),
     // DSIR hashed-n-gram importance weights toward the src0 slice as
     // the in-domain target; integer micro-nat log-ratio sums.
     "dsir_weights" -> ((s, dir) =>
@@ -1073,6 +1080,13 @@ object SparkEntry {
       graft.pipeline.Curation.splitCorpus(Tables.documents(s, dir), "text", 500, 500)
         .select(col("doc_id"), col("source"), col("split"))
         .orderBy(col("doc_id"))),
+    // Split-leakage audit (r10): near-dup pairs whose members land in
+    // DIFFERENT splits — the content keying pins exact copies together,
+    // so every reported pair is a distinct-bytes near-dup crossing the
+    // train/test boundary (1,616 of 9,020 near-dup pairs at sf0.01).
+    "split_leakage" -> ((s, dir) =>
+      graft.pipeline.Curation.splitLeakage(Tables.documents(s, dir),
+        "doc_id", "text", 500, 500, 0.9)),
     // Snapshot diff between two deterministic fixture "versions": old =
     // ids % 7 != 0; new = ids % 5 != 0 with a " v2" suffix on ids % 11
     // == 0 — added/removed/changed via (id, md5) full-outer join.
@@ -1591,6 +1605,9 @@ object SparkEntry {
       graft.text.GopherRepetition.sqlSignals(valuesRel(RepetitionFixture.docs)),
     "c4_filters" ->
       graft.pipeline.C4Filters.sqlClean(valuesRel(C4Fixture.docs)),
+    "c4_badwords" ->
+      graft.pipeline.C4Filters.sqlBadWords(
+        s"(SELECT doc_id, $sqlBadWordText AS text FROM documents)"),
     "dsir_weights" ->
       graft.pipeline.Dsir.sqlWeights("documents", "source = 'src0'"),
     "curation_funnel" ->
@@ -1784,35 +1801,26 @@ object SparkEntry {
     // equality-preserving (60-bit md5 prefix), so tuple equality here is
     // the engine's bucket equality.
     "dedup_near_minhash" ->
-      """WITH tk AS (
-        |  SELECT doc_id,
-        |    list_sort(list_distinct(regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+'))) AS toks
-        |  FROM documents),
-        |t AS (SELECT doc_id, toks, len(toks) AS n FROM tk WHERE len(toks) > 0),
-        |comp AS (
-        |  SELECT tt.doc_id, kk.k AS k,
-        |    MIN(CAST(('0x' || substring(md5(tt.tok || ':' || CAST(kk.k // 4 AS VARCHAR)),
-        |                        CAST(1 + 8 * (kk.k % 4) AS INTEGER), 8))::UBIGINT AS BIGINT)) AS s
-        |  FROM (SELECT doc_id, UNNEST(toks) AS tok FROM t) tt
-        |  CROSS JOIN (SELECT UNNEST(range(0, 64)) AS k) kk
-        |  GROUP BY 1, 2),
-        |sig AS (SELECT doc_id, list(s ORDER BY k) AS sg FROM comp GROUP BY 1),
-        |band AS (
-        |  SELECT doc_id, bb.b AS band,
-        |    CAST(sg[bb.b*4+1] AS VARCHAR) || ',' || CAST(sg[bb.b*4+2] AS VARCHAR) || ',' ||
-        |    CAST(sg[bb.b*4+3] AS VARCHAR) || ',' || CAST(sg[bb.b*4+4] AS VARCHAR) AS bkey
-        |  FROM sig CROSS JOIN (SELECT UNNEST(range(0, 16)) AS b) bb),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-        |  FROM band a JOIN band c ON a.band = c.band AND a.bkey = c.bkey
-        |    AND a.doc_id < c.doc_id),
-        |jp AS (
-        |  SELECT cand.id_a, cand.id_b,
-        |    round(len(list_filter(x.toks, e -> list_contains(y.toks, e)))::DOUBLE /
-        |          nullif(len(list_distinct(x.toks || y.toks)), 0)::DOUBLE, 4) AS jaccard
-        |  FROM cand JOIN t x ON cand.id_a = x.doc_id JOIN t y ON cand.id_b = y.doc_id)
+      s"""WITH $sqlNearDupPairCtes
         |SELECT id_a, id_b, jaccard FROM jp WHERE jaccard >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+    // Near-dup pairs whose members cross the content-keyed split
+    // boundary: the same jp chain, annotated with each side's split
+    // (identical texts share a split, so only distinct-bytes near-dups
+    // can surface).
+    "split_leakage" ->
+      s"""WITH $sqlNearDupPairCtes,
+        |sp AS (SELECT doc_id,
+        |  CASE WHEN ('0x' || substring(md5(text), 1, 8))::UBIGINT % 10000 < 9000 THEN 'train'
+        |       WHEN ('0x' || substring(md5(text), 1, 8))::UBIGINT % 10000 < 9500 THEN 'val'
+        |       ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT jp.id_a, jp.id_b, jp.jaccard,
+        |  sa.split AS split_a, sb.split AS split_b
+        |FROM jp JOIN sp sa ON jp.id_a = sa.doc_id
+        |        JOIN sp sb ON jp.id_b = sb.doc_id
+        |WHERE jp.jaccard >= 0.9 AND sa.split <> sb.split
+        |ORDER BY jp.id_a, jp.id_b""".stripMargin,
     // simhash_pairs: full oracle below (bit votes over md5-prefix token
     // hashes replayed relationally since r7).
     "ngram_jaccard_pairs" ->
@@ -3056,6 +3064,60 @@ object SparkEntry {
   private def sqlMojText: String =
     s"(text || [${MojTextSuffixes.map(x => s"'$x'").mkString(", ")}]" +
       "[CAST(doc_id % 4 AS INT) + 1])"
+
+  /** The corpus-wide MinHash→band→verify near-dup chain shared by the
+    * `dedup_near_minhash` and `split_leakage` oracles: md5-quad signature
+    * components (64 hashes, 16 bands of 4), banded candidates, exact
+    * Jaccard verify in `jp`. Pre-stripped (no margin bars) so it
+    * interpolates into stripMargin templates untouched. */
+  private def sqlNearDupPairCtes: String =
+    """tk AS (
+      |  SELECT doc_id,
+      |    list_sort(list_distinct(regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+'))) AS toks
+      |  FROM documents),
+      |t AS (SELECT doc_id, toks, len(toks) AS n FROM tk WHERE len(toks) > 0),
+      |comp AS (
+      |  SELECT tt.doc_id, kk.k AS k,
+      |    MIN(CAST(('0x' || substring(md5(tt.tok || ':' || CAST(kk.k // 4 AS VARCHAR)),
+      |                        CAST(1 + 8 * (kk.k % 4) AS INTEGER), 8))::UBIGINT AS BIGINT)) AS s
+      |  FROM (SELECT doc_id, UNNEST(toks) AS tok FROM t) tt
+      |  CROSS JOIN (SELECT UNNEST(range(0, 64)) AS k) kk
+      |  GROUP BY 1, 2),
+      |sig AS (SELECT doc_id, list(s ORDER BY k) AS sg FROM comp GROUP BY 1),
+      |band AS (
+      |  SELECT doc_id, bb.b AS band,
+      |    CAST(sg[bb.b*4+1] AS VARCHAR) || ',' || CAST(sg[bb.b*4+2] AS VARCHAR) || ',' ||
+      |    CAST(sg[bb.b*4+3] AS VARCHAR) || ',' || CAST(sg[bb.b*4+4] AS VARCHAR) AS bkey
+      |  FROM sig CROSS JOIN (SELECT UNNEST(range(0, 16)) AS b) bb),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      |  FROM band a JOIN band c ON a.band = c.band AND a.bkey = c.bkey
+      |    AND a.doc_id < c.doc_id),
+      |jp AS (
+      |  SELECT cand.id_a, cand.id_b,
+      |    round(len(list_filter(x.toks, e -> list_contains(y.toks, e)))::DOUBLE /
+      |          nullif(len(list_distinct(x.toks || y.toks)), 0)::DOUBLE, 4) AS jaccard
+      |  FROM cand JOIN t x ON cand.id_a = x.doc_id JOIN t y ON cand.id_b = y.doc_id)""".stripMargin
+
+  /** Bad-word suffixes planted by doc id for `c4_badwords`: one listed
+    * word, two substring TRAPS (listed words inside larger tokens —
+    * must not match), a two-hit page, and a clean tail. */
+  private val BadWordTextSuffixes: Seq[String] = Seq(
+    "",
+    " buy viagra online today",
+    " the sextonbury parish xxxl archive",
+    " live xxx casino stream tonight",
+    " plain family picnic notes")
+
+  private def withBadWordTexts(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(col("text"),
+      element_at(array(BadWordTextSuffixes.map(lit(_)): _*),
+        (col("doc_id") % 5 + 1).cast("int"))))
+
+  /** DuckDB twin of [[withBadWordTexts]]'s text expression. */
+  private def sqlBadWordText: String =
+    s"(text || [${BadWordTextSuffixes.map(x => s"'$x'").mkString(", ")}]" +
+      "[CAST(doc_id % 5 AS INT) + 1])"
 
   /** Damage suffixes planted by doc id for `encoding_hygiene`:
     * replacement characters, stray C0 controls, mojibake markers (from

@@ -66,4 +66,57 @@ object C4Filters {
        |WHERE NOT contains(lower(text), 'lorem ipsum')
        |  AND NOT contains(text, '{') AND len(kept) >= $minLines
        |ORDER BY doc_id""".stripMargin
+
+  /** Representative subset of the word blocklist C4 pages are dropped
+    * on (Raffel et al. 2020 §2.2 cite the "List of Dirty, Naughty,
+    * Obscene or Otherwise Bad Words"; production crawls add UT1-style
+    * spam terms). Same vendored-subset discipline as the PSL
+    * ([[graft.ingest.Psl]]) and the UT1 word subset
+    * ([[graft.ingest.Urls.SpamWords]]): the SHAPE is exact — swap the
+    * list, not the code, to deploy the full ~400-entry original. Entries
+    * must be lowercase alphanumeric runs: matching is token-set
+    * membership over `[a-z0-9]+` runs, which IS word-boundary semantics
+    * (a listed word inside a larger token never matches). */
+  val BadWords: Seq[String] = Seq(
+    "porn", "erotic", "nude", "xxx", "viagra", "escort", "casino",
+    "bukkake")
+
+  /** C4's page-level bad-words gate (`c4_badwords` query): count listed
+    * words appearing as whole tokens in the page, flag the page blocked
+    * on any hit. C4 drops the page outright; emitting the decision as
+    * a column keeps the gate auditable (the caller filters on
+    * `blocked`) and the false-positive rate measurable.
+    *
+    * Token boundary = alphanumeric runs of the lowercased text, so
+    * `porn-site` hits (hyphen splits) while `sextonbury` does not
+    * (substring inside a larger run). Membership compiles to an InSet
+    * hash probe inside a native array lambda — pure per-row scan-stage
+    * work, no shuffle before the output sort. For a deny-list too big
+    * to pin in the plan, explode tokens and LEFT ANTI a broadcast table
+    * instead ([[graft.text.Stopwords.removeViaAntiJoin]]'s shape). */
+  def badWords(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text",
+               words: Seq[String] = BadWords): DataFrame = {
+    require(words.nonEmpty && words.forall(_.matches("[a-z0-9]+")),
+      "bad words must be lowercase alphanumeric runs")
+    val toks = regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0))
+    docs.select(col(idCol),
+        size(filter(toks, t => t.isInCollection(words)))
+          .cast("long").as("bad_hits"))
+      .withColumn("blocked", col("bad_hits") > 0L)
+      .orderBy(col(idCol))
+  }
+
+  /** DuckDB mirror of [[badWords]] over a relation exposing
+    * (doc_id, text). */
+  def sqlBadWords(from: String, words: Seq[String] = BadWords): String = {
+    val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""SELECT doc_id,
+       |  CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+       |    t -> list_contains($list, t))) AS BIGINT) AS bad_hits,
+       |  len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+       |    t -> list_contains($list, t))) > 0 AS blocked
+       |FROM $from
+       |ORDER BY doc_id""".stripMargin
+  }
 }

@@ -88,6 +88,39 @@ object Curation {
         .otherwise("test"))
   }
 
+  /** Near-dup pairs that CROSS a train/val/test boundary
+    * (`split_leakage` query) — the audit behind every "did the test set
+    * leak into training?" question. [[splitCorpus]]'s content keying
+    * already pins exact copies to one split; what it cannot pin is
+    * NEAR-duplicates (a crop, a boilerplate re-wrap, a paraphrase), and
+    * those are exactly what benchmark-contamination studies keep finding
+    * across published splits. This runs the corpus-wide MinHash→verify
+    * near-dup join ([[graft.dedup.Dedup.nearDupMinHash]]), annotates
+    * each pair with both members' split assignments, and keeps the
+    * pairs whose sides DISAGREE — the leaks.
+    *
+    * Scale shape: the pair table is the banded-LSH candidate output
+    * (bounded by true near-dup mass, never all-pairs); the two
+    * annotation joins key on the doc id against an (id, split)
+    * projection whose split is a pure scan-stage expression — ids and
+    * 4-byte split labels through the exchange, never text. Identical
+    * texts share a split by construction, so every reported pair is a
+    * genuinely distinct-bytes near-dup. */
+  def splitLeakage(docs: DataFrame, idCol: String, textCol: String,
+                   valBp: Int, testBp: Int,
+                   threshold: Double = 0.9): DataFrame = {
+    val pairs = graft.dedup.Dedup.nearDupMinHash(docs, idCol, textCol, threshold)
+    val splits = splitCorpus(docs, textCol, valBp, testBp)
+      .select(col(idCol).as("id"), col("split"))
+    pairs
+      .join(splits.select(col("id").as("id_a"), col("split").as("split_a")), Seq("id_a"))
+      .join(splits.select(col("id").as("id_b"), col("split").as("split_b")), Seq("id_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        col("split_a"), col("split_b"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** At most k rows per group, chosen by the given ordering (e.g. best-
     * quality-first) — the "cap each source/language at N documents"
     * curation step. One shuffle on the group key; `row_number` needs no

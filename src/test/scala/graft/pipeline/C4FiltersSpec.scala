@@ -54,4 +54,35 @@ class C4FiltersSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(!strict.contains(5L))
   }
+
+  test("bad words: whole-token hits count, substrings never match") {
+    val docs = Seq(
+      (1L, "a plain page about nothing in particular"),
+      (2L, "buy viagra online today"),                  // one hit
+      (3L, "the sextonbury parish xxxl archive"),       // traps: sex, xxx inside larger tokens
+      (4L, "live xxx casino stream with xxx reruns"),   // three hits (xxx twice + casino)
+      (5L, "visit porn-site reviews"),                  // hyphen splits the run -> hit
+      (6L, "PORN in caps still counts")                 // case-folded
+    ).toDF("doc_id", "text")
+    val out = C4Filters.badWords(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) == ((0L, false)))
+    assert(out(2L) == ((1L, true)))
+    assert(out(3L) == ((0L, false)))
+    assert(out(4L) == ((3L, true)))
+    assert(out(5L) == ((1L, true)))
+    assert(out(6L) == ((1L, true)))
+  }
+
+  test("bad words: the list is a parameter and must be boundary-safe") {
+    val docs = Seq((1L, "totally fine words")).toDF("doc_id", "text")
+    val out = C4Filters.badWords(docs, words = Seq("fine")).collect()
+    assert(out.head.getLong(1) == 1L && out.head.getBoolean(2))
+    intercept[IllegalArgumentException] {
+      C4Filters.badWords(docs, words = Seq("two words"))
+    }
+    intercept[IllegalArgumentException] {
+      C4Filters.badWords(docs, words = Seq.empty)
+    }
+  }
 }

@@ -646,4 +646,34 @@ class CurationSpec extends SparkSpec {
     assert(kept == Set(4L, 5L, 6L, 7L, 8L),
       s"only low.example (flagged) drops; thin.example stays: $kept")
   }
+
+  test("splitLeakage: exactly the cross-split distinct-bytes near-dups") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    // ten near-dup variants of the base (J = 30/32 or 30/31 >= 0.9),
+    // an exact-dup pair (same split by content keying), one unrelated doc
+    val rows = (1L to 10L).map(i => (i, s"$base extra$i")) ++
+      Seq((11L, base), (12L, base),
+        (13L, (100 to 140).map(i => s"z$i").mkString(" ")))
+    val d = rows.toDF("doc_id", "text")
+    // half/half split so the variants straddle the boundary
+    val out = Curation.splitLeakage(d, "doc_id", "text", 0, 5000, 0.9)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3), r.getString(4)))
+    // brute-force expectation: token-set Jaccard over all pairs
+    val splits = Curation.splitCorpus(d, "text", 0, 5000)
+      .select($"doc_id", $"split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val toks = rows.map { case (i, t) => i -> t.split("\\s+").toSet }.toMap
+    val expected = (for {
+      a <- rows.map(_._1); b <- rows.map(_._1) if a < b
+      j = toks(a).intersect(toks(b)).size.toDouble /
+        toks(a).union(toks(b)).size.toDouble
+      if j >= 0.9 && splits(a) != splits(b)
+    } yield (a, b, splits(a), splits(b))).toSet
+    assert(out.toSet == expected)
+    assert(out.nonEmpty, "fixture must produce at least one leak")
+    // the exact-dup pair shares a split by construction — never reported
+    assert(!out.exists(p => p._1 == 11L && p._2 == 12L))
+    assert(splits(11L) == splits(12L))
+  }
 }
