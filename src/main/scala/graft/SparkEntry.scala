@@ -274,6 +274,16 @@ object SparkEntry {
       Similarity.knnBruteForce(emb, emb.filter(col("vec_id") % 50 === 0), 5)
     }),
     "cosine_pairs" -> ((s, dir) => Similarity.cosinePairs(Tables.embeddings(s, dir), 0.4)),
+    // Margin-based bitext mining (r10) — the CCMatrix mutual-argmax
+    // recipe across the parity-split embedding sets: cosine relative to
+    // both sides' k-NN neighborhood density, mutual best, margin >= 1.05
+    // (151 of 161 mutual pairs at sf0.01). Fold-ordered averages keep
+    // the margins bit-identical across engines.
+    "bitext_mine" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bitextMine(emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1), 4, 1.05)
+    }),
     "embedding_dedup_keepers" -> ((s, dir) =>
       Similarity.embeddingDedupKeepers(Tables.embeddings(s, dir), 0.4)),
     // LSH-candidate feed -> exact verify -> CC: the 100 TB embedding-dedup
@@ -925,6 +935,16 @@ object SparkEntry {
       val merges = graft.text.Bpe.fitMerges(docs, "text", 200)
       FittedOracle.bpeStatsMerges = Some(merges)
       graft.text.Bpe.encodeStats(docs, "doc_id", "text", merges)
+    }),
+    // Tokenizer fertility by language (r10): pieces per word + bytes per
+    // piece under the corpus-fitted merges — the per-language audit
+    // behind every token-denominated budget. Integer sums end-to-end;
+    // full oracle via the printed-merges recursive-CTE replay.
+    "bpe_fertility" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = graft.text.Bpe.fitMerges(docs, "text", 200)
+      FittedOracle.bpeFertilityMerges = Some(merges)
+      graft.text.Bpe.fertilityByLang(docs, "doc_id", "text", "lang", merges)
     }),
     // Bigram LM scoring (CCNet-style quality signal): per-doc
     // predictability cost under the corpus's own bigram model, in
@@ -2189,6 +2209,7 @@ object SparkEntry {
     // rank tail over the LSH candidate set; recall vs knn_bruteforce is
     // additionally asserted in SimilaritySpec.
     "knn_lsh" -> Similarity.sqlKnnLsh(5),
+    "bitext_mine" -> Similarity.sqlBitextMine(4, 1.05),
     "lsh_bucket_assignments" -> Similarity.sqlLshBuckets(),
     "embedding_dedup_keepers" ->
       """WITH RECURSIVE n AS (

@@ -34,6 +34,7 @@ object FittedOracle {
   // silently couple.
   @volatile var bpeStatsMerges: Option[Seq[(String, String)]] = None
   @volatile var bpePackMerges: Option[Seq[(String, String)]] = None
+  @volatile var bpeFertilityMerges: Option[Seq[(String, String)]] = None
 
   /** Exact decimal print: Java's shortest round-trip representation, which
     * DuckDB's parser maps back to the same double (scientific notation
@@ -84,5 +85,7 @@ object FittedOracle {
       bpeStatsMerges.filter(_.nonEmpty).map(m =>
         "bpe_encode_stats" -> graft.text.Bpe.sqlEncodeStats(m)) ++
       bpePackMerges.filter(_.nonEmpty).map(m =>
-        "sequence_packing_bpe" -> graft.text.Bpe.sqlPackChunksBpe(m, 512L))).toMap
+        "sequence_packing_bpe" -> graft.text.Bpe.sqlPackChunksBpe(m, 512L)) ++
+      bpeFertilityMerges.filter(_.nonEmpty).map(m =>
+        "bpe_fertility" -> graft.text.Bpe.sqlFertilityByLang(m))).toMap
 }

@@ -472,4 +472,130 @@ object Similarity {
       .select(col("probe_id"), col("rk"), col("cand_id"), col("cosine"))
       .orderBy(col("probe_id"), col("rk"))
   }
+
+  /** Margin-based bitext mining (`bitext_mine` query) — the
+    * CCMatrix/LASER recipe (Artetxe & Schwenk 2019) for pairing
+    * sentences across two embedding sets (two languages, two corpus
+    * snapshots, caption↔image): raw cosine over-selects hubs (vectors
+    * close to EVERYTHING), so each pair is scored by its cosine
+    * relative to both sides' neighborhood density,
+    *
+    *   margin(x,y) = cos(x,y) / ((avgNN_k(x) + avgNN_k(y)) / 2),
+    *
+    * and a pair is emitted only when it is x's best-margin forward
+    * candidate AND y's best-margin backward candidate (mutual argmax)
+    * with margin ≥ `marginThreshold`.
+    *
+    * Arithmetic discipline: cosines come from the codegen'd native dot
+    * with the left-to-right fold DuckDB's `list_reduce` replays
+    * bit-identically; the k-NN averages fold the RANK-ORDERED cosine
+    * list the same way (never a float `avg()`, whose summation order is
+    * engine-internal), so margins — ratios of bit-identical doubles —
+    * rank identically in both engines and the mutual argmax is exact.
+    * Rounding happens only on output.
+    *
+    * Scale shape: this baseline scores the full src×tgt cross — exact,
+    * for bounded sides (the knnBruteForce contract). At corpus scale
+    * swap the pair feed for IVF-pruned candidates ([[graft.similarity
+    * .Pq]]/[[Ivf]]) and keep everything downstream: ranks, averages,
+    * and the mutual argmax only ever touch (id, id, cosine) rows —
+    * vectors never pass an exchange after the score. */
+  def bitextMine(src: DataFrame, tgt: DataFrame, k: Int = 4,
+                 marginThreshold: Double = 1.05,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val s = graft.Par.widen(src)
+      .select(col(idCol).as("src_id"), asDouble(col(vecCol)).as("sv"))
+      .withColumn("sn", norm(col("sv")))
+    val t = graft.Par.widen(tgt)
+      .select(col(idCol).as("tgt_id"), asDouble(col(vecCol)).as("tv"))
+      .withColumn("tn", norm(col("tv")))
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src_id")).orderBy(col("cos").desc, col("tgt_id").asc)
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tgt_id")).orderBy(col("cos").desc, col("src_id").asc)
+    // Pair scores once, both ranks on the same rows; vectors dropped
+    // before any exchange.
+    val ranked = s.crossJoin(t)
+      .select(col("src_id"), col("tgt_id"),
+        (dot(col("sv"), col("tv")) / (col("sn") * col("tn"))).as("cos"))
+      .withColumn("rf", row_number().over(wf).cast("long"))
+      .withColumn("rb", row_number().over(wb).cast("long"))
+      .filter(col("rf") <= k || col("rb") <= k)
+      .pinned
+    // k-NN averages as a fold over the rank-ordered list — deterministic
+    // summation order in both engines (see scaladoc).
+    def knnAvg(rows: DataFrame, key: String, rank: String, out: String) =
+      rows.filter(col(rank) <= k)
+        .groupBy(col(key))
+        .agg((aggregate(
+            transform(array_sort(collect_list(struct(col(rank), col("cos")))),
+              _.getField("cos")),
+            lit(0.0), _ + _) / count(lit(1))).as(out))
+    val af = knnAvg(ranked, "src_id", "rf", "af")
+    val ab = knnAvg(ranked, "tgt_id", "rb", "ab")
+    val m = ranked
+      .join(af, Seq("src_id")).join(ab, Seq("tgt_id"))
+      .withColumn("margin", col("cos") / ((col("af") + col("ab")) / 2))
+    val bwf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src_id")).orderBy(col("margin").desc, col("tgt_id").asc)
+    val bwb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tgt_id")).orderBy(col("margin").desc, col("src_id").asc)
+    val bestF = m.filter(col("rf") <= k)
+      .withColumn("kf", row_number().over(bwf)).filter(col("kf") === 1)
+      .select(col("src_id"), col("tgt_id"))
+    val bestB = m.filter(col("rb") <= k)
+      .withColumn("kb", row_number().over(bwb)).filter(col("kb") === 1)
+      .select(col("src_id"), col("tgt_id"))
+    m.join(bestF, Seq("src_id", "tgt_id"))
+      .join(bestB, Seq("src_id", "tgt_id"))
+      .filter(col("margin") >= marginThreshold)
+      .select(col("src_id"), col("tgt_id"),
+        round(col("cos"), 6).as("cosine"),
+        round(col("margin"), 6).as("margin"))
+      .orderBy(col("src_id"))
+  }
+
+  /** DuckDB mirror of [[bitextMine]] over the `embeddings` table split
+    * by vec_id parity (even = src side, odd = tgt side). */
+  def sqlBitextMine(k: Int = 4, marginThreshold: Double = 1.05): String =
+    s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x*x),
+       |                     (a,b) -> a+b)) AS nv
+       |  FROM embeddings),
+       |s AS (SELECT vec_id AS src_id, v, nv FROM n WHERE vec_id % 2 = 0),
+       |t AS (SELECT vec_id AS tgt_id, v, nv FROM n WHERE vec_id % 2 = 1),
+       |p AS (SELECT s.src_id, t.tgt_id,
+       |    list_reduce(list_transform(range(1, len(s.v)+1), i -> s.v[i]*t.v[i]),
+       |                (x,y) -> x+y) / (s.nv * t.nv) AS cos
+       |  FROM s CROSS JOIN t),
+       |r AS (SELECT src_id, tgt_id, cos,
+       |    row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, tgt_id) AS rf,
+       |    row_number() OVER (PARTITION BY tgt_id ORDER BY cos DESC, src_id) AS rb
+       |  FROM p),
+       |af AS (SELECT src_id, list_reduce(list(cos ORDER BY rf), (x,y) -> x+y)
+       |         / count(*) AS af
+       |  FROM (SELECT * FROM r WHERE rf <= $k) GROUP BY src_id),
+       |ab AS (SELECT tgt_id, list_reduce(list(cos ORDER BY rb), (x,y) -> x+y)
+       |         / count(*) AS ab
+       |  FROM (SELECT * FROM r WHERE rb <= $k) GROUP BY tgt_id),
+       |m AS (SELECT r.src_id, r.tgt_id, r.cos, rf, rb,
+       |    r.cos / ((af.af + ab.ab) / 2) AS margin
+       |  FROM r JOIN af USING (src_id) JOIN ab USING (tgt_id)
+       |  WHERE rf <= $k OR rb <= $k),
+       |bf AS (SELECT src_id, tgt_id FROM (
+       |    SELECT src_id, tgt_id,
+       |      row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS kk
+       |    FROM m WHERE rf <= $k) WHERE kk = 1),
+       |bb AS (SELECT src_id, tgt_id FROM (
+       |    SELECT src_id, tgt_id,
+       |      row_number() OVER (PARTITION BY tgt_id ORDER BY margin DESC, src_id) AS kk
+       |    FROM m WHERE rb <= $k) WHERE kk = 1)
+       |SELECT m.src_id, m.tgt_id, round(m.cos, 6) AS cosine,
+       |  round(m.margin, 6) AS margin
+       |FROM m JOIN bf ON m.src_id = bf.src_id AND m.tgt_id = bf.tgt_id
+       |       JOIN bb ON m.src_id = bb.src_id AND m.tgt_id = bb.tgt_id
+       |WHERE m.margin >= $marginThreshold
+       |ORDER BY m.src_id""".stripMargin
 }

@@ -318,6 +318,74 @@ object Bpe {
       .select(col(idCol), enc(col("toks")).as("n_tokens"))
   }
 
+  /** Tokenizer fertility by language (`bpe_fertility` query) — the
+    * metric multilingual-tokenizer studies report per language: pieces
+    * per whitespace word (fertility) and bytes per piece. A tokenizer
+    * fitted on one language's data charges other scripts more pieces for
+    * the same byte mass, which silently skews any token-denominated
+    * budget (packing, quotas, compute estimates) against them — this is
+    * the per-language audit behind those budgets.
+    *
+    * All three numerators/denominators are INTEGER sums (token counts,
+    * piece counts, token byte lengths), so aggregation order can never
+    * split the engines; the two ratios divide once at the end. Same
+    * scale shape as [[encodeStats]]: broadcast rank table, per-partition
+    * encode, ONE shuffle on the (bounded) language key. */
+  def fertilityByLang(docs: DataFrame, idCol: String, textCol: String,
+                      langCol: String,
+                      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(merges.zipWithIndex.toMap)
+    val enc = udf { toks: Seq[String] =>
+      var pieces = 0L
+      toks.foreach { t => pieces += encodeToken(t, bc.value).length }
+      pieces
+    }
+    graft.Par.widen(docs)
+      .select(coalesce(col(langCol), lit("und")).as("lang"),
+        TextAnalysis.tokens(lower(col(textCol))).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("lang"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        enc(col("toks")).as("n_pieces"),
+        aggregate(transform(col("toks"), t => octet_length(t).cast("long")),
+          lit(0L), _ + _).as("n_bytes"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_pieces")).as("n_pieces"),
+        sum(col("n_bytes")).as("n_bytes"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_pieces"),
+        col("n_bytes"),
+        round(col("n_pieces").cast("double") /
+          col("n_tokens").cast("double"), 4).as("fertility"),
+        round(col("n_bytes").cast("double") /
+          col("n_pieces").cast("double"), 4).as("bytes_per_piece"))
+      .orderBy(col("lang"))
+  }
+
+  /** DuckDB mirror of [[fertilityByLang]] over the fitted merges — the
+    * FULL oracle for `bpe_fertility` (r10). `strlen` is DuckDB's byte
+    * length, the twin of Spark's `octet_length`. */
+  def sqlFertilityByLang(merges: Seq[(String, String)]): String =
+    s"""WITH RECURSIVE ${sqlBpeCommon(merges)},
+       |db AS (
+       |  SELECT doc_id, COALESCE(lang, 'und') AS lang,
+       |    COALESCE(list_sum(list_transform(
+       |      regexp_extract_all(lower(text), '[^ \\t\\n\\x0B\\f\\r]+'),
+       |      t -> strlen(t))), 0) AS nb
+       |  FROM documents),
+       |j AS (
+       |  SELECT db.lang, dp.n_tokens, dp.n_pieces, db.nb
+       |  FROM doc_pieces dp JOIN db ON dp.doc_id = db.doc_id)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+       |  CAST(SUM(nb) AS BIGINT) AS n_bytes,
+       |  round(SUM(n_pieces)::DOUBLE / SUM(n_tokens)::DOUBLE, 4) AS fertility,
+       |  round(SUM(nb)::DOUBLE / SUM(n_pieces)::DOUBLE, 4) AS bytes_per_piece
+       |FROM j GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Per-document encode statistics (`bpe_encode_stats` query):
     * (doc_id, n_tokens, n_pieces, compression = round(tokens∕pieces, 4)).
     * The merge-rank table broadcasts; the encode is a per-partition map

@@ -172,4 +172,39 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.2, s"LSH recall collapsed: $recall") // buckets shrink the pool by design
     assert(lsh.subsetOf(lsh)) // sanity
   }
+
+  test("bitextMine: margin picks true pairs over the hub, mutually") {
+    // Two clean "translation" pairs plus a hub vector close to BOTH
+    // sources: raw cosine would pair the hub with either side; margin
+    // scoring (cosine relative to neighborhood density) demotes it.
+    val src = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val tgt = Seq(
+      (1L, Array(0.9f, 0.1f, 0.0f)),   // t1 ~ s0
+      (3L, Array(0.1f, 0.9f, 0.0f)),   // t3 ~ s2
+      (5L, Array(0.5f, 0.5f, 0.1f))    // hub: cos 0.70 to both sources
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bitextMine(src, tgt, k = 2, marginThreshold = 1.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.map(p => (p._1, p._2)).toSet == Set((0L, 1L), (2L, 3L)))
+    // hand-computed: cos(s0,t1) = 0.9/0.9055 ~ 0.9939; margin ~ 1.42
+    out.foreach { case (_, _, c, m) =>
+      assert(math.abs(c - 0.9939) < 1e-3, s"cosine $c")
+      assert(m > 1.40 && m < 1.45, s"margin $m")
+    }
+    // each side appears at most once — mutual argmax is one-to-one
+    assert(out.map(_._1).distinct.length == out.length)
+    assert(out.map(_._2).distinct.length == out.length)
+  }
+
+  test("bitextMine: the margin threshold is a real gate") {
+    val src = Seq((0L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val tgt = Seq((1L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.1f, 0.9f, 0.0f)),
+      (5L, Array(0.5f, 0.5f, 0.1f))).toDF("vec_id", "embedding")
+    val strict = Similarity.bitextMine(src, tgt, k = 2, marginThreshold = 1.5)
+    assert(strict.count() == 0)
+  }
 }

@@ -64,4 +64,25 @@ class BpeSpec extends SparkSpec {
     assert(a == b)
     assert(a.nonEmpty)
   }
+
+  test("fertility by language: hand-traced sums, null lang, empty doc") {
+    // Sennrich merges: low -> 1 piece, lower -> [low,e,r] = 3,
+    // newest -> [n,ew,est] = 3.
+    val merges = Bpe.fitMerges(docs, "text", 5)
+    val fix = Seq(
+      (1L, "low low low", "aa"),       // 3 toks, 3 pieces, 9 bytes
+      (2L, "lower", "aa"),             // 1 tok,  3 pieces, 5 bytes
+      (3L, "newest newest", "bb"),     // 2 toks, 6 pieces, 12 bytes
+      (4L, "low", null),               // null lang -> "und"
+      (5L, "   ", "aa")                // zero tokens -> excluded
+    ).toDF("doc_id", "text", "lang")
+    val out = Bpe.fertilityByLang(fix, "doc_id", "text", "lang", merges)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    assert(out("aa") == ((2L, 4L, 6L, 14L, 1.5, 2.3333)))
+    assert(out("bb") == ((1L, 2L, 6L, 12L, 3.0, 2.0)))
+    assert(out("und") == ((1L, 1L, 1L, 3L, 1.0, 3.0)))
+    assert(out.size == 3)
+  }
 }
