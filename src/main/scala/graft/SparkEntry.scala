@@ -1041,6 +1041,28 @@ object SparkEntry {
     "c4_badwords" -> ((s, dir) =>
       graft.pipeline.C4Filters.badWords(
         withBadWordTexts(Tables.documents(s, dir)), "doc_id", "text")),
+    // Dolma-style one-pass attribute sidecar (r10): every per-doc tagger
+    // signal in a SINGLE scan (no join between taggers, shuffle-free
+    // before the output sort) — release policies then filter the sidecar
+    // without re-reading text. Bad-word suffixes planted so bad_hits
+    // discriminates alongside the natural signals.
+    "attribute_sidecar" -> ((s, dir) =>
+      graft.pipeline.Attributes.sidecar(
+        withBadWordTexts(Tables.documents(s, dir)), "doc_id", "text",
+        FunnelThresholds)),
+    // The sidecar composition closed: a release policy (quality floor,
+    // Gopher pass, clean of bad words, English) applied as ONE semi join
+    // on ids — the policy-iteration path that never re-reads text.
+    "sidecar_policy" -> ((s, dir) => {
+      val docs = withBadWordTexts(Tables.documents(s, dir))
+      val sc = graft.pipeline.Attributes.sidecar(docs, "doc_id", "text",
+        FunnelThresholds)
+      graft.pipeline.Attributes.applyPolicy(docs, sc,
+          col("quality") >= 0.65 && col("gopher_pass") &&
+            col("bad_hits") === 0 && col("lang_pred") === "en")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
     // DSIR hashed-n-gram importance weights toward the src0 slice as
     // the in-domain target; integer micro-nat log-ratio sums.
     "dsir_weights" -> ((s, dir) =>
@@ -1628,6 +1650,15 @@ object SparkEntry {
     "c4_badwords" ->
       graft.pipeline.C4Filters.sqlBadWords(
         s"(SELECT doc_id, $sqlBadWordText AS text FROM documents)"),
+    "attribute_sidecar" ->
+      graft.pipeline.Attributes.sqlSidecar(
+        s"(SELECT doc_id, $sqlBadWordText AS text FROM documents)",
+        FunnelThresholds),
+    "sidecar_policy" ->
+      graft.pipeline.Attributes.sqlApplyPolicy(
+        s"(SELECT doc_id, source, $sqlBadWordText AS text FROM documents)",
+        "quality >= 0.65 AND gopher_pass AND bad_hits = 0 AND lang_pred = 'en'",
+        FunnelThresholds),
     "dsir_weights" ->
       graft.pipeline.Dsir.sqlWeights("documents", "source = 'src0'"),
     "curation_funnel" ->

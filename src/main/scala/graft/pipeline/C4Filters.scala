@@ -107,16 +107,20 @@ object C4Filters {
       .orderBy(col(idCol))
   }
 
+  /** DuckDB scalar twin of the [[badWords]] hit count over a text
+    * expression. */
+  def sqlBadHits(t: String, words: Seq[String] = BadWords): String = {
+    val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter(regexp_extract_all(lower($t), '[a-z0-9]+'), " +
+      s"t -> list_contains($list, t)))"
+  }
+
   /** DuckDB mirror of [[badWords]] over a relation exposing
     * (doc_id, text). */
-  def sqlBadWords(from: String, words: Seq[String] = BadWords): String = {
-    val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+  def sqlBadWords(from: String, words: Seq[String] = BadWords): String =
     s"""SELECT doc_id,
-       |  CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
-       |    t -> list_contains($list, t))) AS BIGINT) AS bad_hits,
-       |  len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
-       |    t -> list_contains($list, t))) > 0 AS blocked
+       |  CAST(${sqlBadHits("text", words)} AS BIGINT) AS bad_hits,
+       |  ${sqlBadHits("text", words)} > 0 AS blocked
        |FROM $from
        |ORDER BY doc_id""".stripMargin
-  }
 }

@@ -134,20 +134,36 @@ object TextAnalysis {
   def scriptMix(docs: DataFrame, idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame = {
     val counts = ScriptRanges.map { case (n, r) => n -> scriptCount(col(textCol), r) }
-    val mx = greatest(counts.map(_._2): _*)
-    val dominant = counts.foldRight(lit("none")) { case ((n, c), els) =>
-      when(mx > 0 && c === mx, lit(n)).otherwise(els)
-    }
     docs.select(
       (col(idCol) +:
         counts.map { case (n, c) => c.cast("long").as(s"n_$n") }) :+
-        dominant.as("dominant_script"): _*)
+        dominantScript(col(textCol)).as("dominant_script"): _*)
       .orderBy(col(idCol))
+  }
+
+  /** The dominant-script election alone (first-in-canonical-order wins
+    * ties, "none" when no script character appears) — reusable as a
+    * single attribute column ([[graft.pipeline.Attributes]]). */
+  def dominantScript(text: Column): Column = {
+    val counts = ScriptRanges.map { case (n, r) => n -> scriptCount(text, r) }
+    val mx = greatest(counts.map(_._2): _*)
+    counts.foldRight(lit("none")) { case ((n, c), els) =>
+      when(mx > 0 && c === mx, lit(n)).otherwise(els)
+    }
   }
 
   /** DuckDB mirror of one script count (RE2 ranges). */
   def sqlScriptCount(t: String, ranges: String): String =
     s"length(regexp_replace($t, '[^$ranges]', '', 'g'))"
+
+  /** DuckDB mirror of [[dominantScript]]. */
+  def sqlDominantScript(t: String): String = {
+    val counts = ScriptRangesSql.map { case (n, r) => n -> sqlScriptCount(t, r) }
+    val best = s"greatest(${counts.map(_._2).mkString(", ")})"
+    val whens = counts.map { case (n, c) =>
+      s"WHEN $best > 0 AND $c = $best THEN '$n'" }.mkString(" ")
+    s"(CASE $whens ELSE 'none' END)"
+  }
 
   // DuckDB-side mirrors of the expressions above, for SparkEntry.oracleSql.
   private def sqlToks(textExpr: String) = s"regexp_extract_all($textExpr, '[^ \\t\\n\\x0B\\f\\r]+')"

@@ -271,6 +271,21 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("attribute sidecar is one scan-stage pass; policy is one semi join") {
+    // All taggers in one projection: no keyed exchange anywhere (the
+    // only exchange is the output range sort).
+    val sidecar = planOf(SparkEntry.queries("attribute_sidecar")(spark, dir))
+    assert(!sidecar.contains("Arguments: hashpartitioning"),
+      s"sidecar must not shuffle by key:\n$sidecar")
+    // The policy application joins ids only: exactly one join, semi.
+    val policy = planOf(SparkEntry.queries("sidecar_policy")(spark, dir))
+    assert(policy.contains("LeftSemi"), s"policy must semi-join:\n$policy")
+    // one join node = at most 2 mentions (operator tree + details block)
+    val joins = ("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|" +
+      "BroadcastNestedLoopJoin|CartesianProduct)").r.findAllIn(policy).size
+    assert(joins <= 2, s"policy must be a single join ($joins):\n$policy")
+  }
+
   test("refinedweb_funnel reads the raw corpus exactly once (r10)") {
     // The one-pass discipline: stages 0-2 are observation metrics riding
     // the scan that materializes the gated frame; stages 3-6 count
