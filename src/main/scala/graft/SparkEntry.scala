@@ -284,6 +284,18 @@ object SparkEntry {
       Similarity.bitextMine(emb.filter(col("vec_id") % 2 === 0),
         emb.filter(col("vec_id") % 2 === 1), 4, 1.05)
     }),
+    // The corpus-scale bitext form (r10): candidates restricted to pairs
+    // meeting in a shared fitted quantizer's lists (src probes nprobe=2,
+    // tgt holds its own list — pairs meet at most once), same margin/
+    // mutual machinery within the pool. Full oracle via printed
+    // centroids; recall vs the exact miner pinned in SimilaritySpec.
+    "bitext_mine_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val centers = Ivf.fitCentroids(emb, 8)
+      FittedOracle.bitextCenters = Some(centers)
+      Similarity.bitextMineIvf(centers, emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1), 4, 1.05, 2)
+    }),
     "embedding_dedup_keepers" -> ((s, dir) =>
       Similarity.embeddingDedupKeepers(Tables.embeddings(s, dir), 0.4)),
     // LSH-candidate feed -> exact verify -> CC: the 100 TB embedding-dedup

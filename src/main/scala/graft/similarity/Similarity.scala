@@ -504,22 +504,67 @@ object Similarity {
                  marginThreshold: Double = 1.05,
                  idCol: String = "vec_id",
                  vecCol: String = "embedding"): DataFrame = {
-    require(k >= 1, "k must be at least 1")
     val s = graft.Par.widen(src)
       .select(col(idCol).as("src_id"), asDouble(col(vecCol)).as("sv"))
       .withColumn("sn", norm(col("sv")))
     val t = graft.Par.widen(tgt)
       .select(col(idCol).as("tgt_id"), asDouble(col(vecCol)).as("tv"))
       .withColumn("tn", norm(col("tv")))
+    marginMutual(
+      s.crossJoin(t)
+        .select(col("src_id"), col("tgt_id"),
+          (dot(col("sv"), col("tv")) / (col("sn") * col("tn"))).as("cos")),
+      k, marginThreshold)
+  }
+
+  /** [[bitextMine]] over an IVF-pruned candidate feed
+    * (`bitext_mine_ivf` query) — the corpus-scale form: both sides
+    * assign to a SHARED fitted quantizer (list side = own nearest
+    * centroid, probe side = `nprobe` nearest), candidates are the pairs
+    * meeting in a list, and the margin/mutual machinery downstream is
+    * IDENTICAL — k-NN ranks, neighborhood averages, and the mutual
+    * argmax are simply computed within the candidate pool, which is the
+    * standard production trade (CCMatrix mines against an index, not
+    * the cross product). The tgt side holds exactly ONE list, so a pair
+    * meets at most once — no candidate dedup exchange. The list
+    * equi-join shuffles both sides by list id with vectors in flight
+    * ONCE; everything after the score is (id, id, cos) rows. */
+  def bitextMineIvf(centers: IndexedSeq[IndexedSeq[Double]],
+                    src: DataFrame, tgt: DataFrame, k: Int = 4,
+                    marginThreshold: Double = 1.05, nprobe: Int = 2,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    def nearest(v: Column, n: Int) =
+      org.apache.spark.sql.graft.VectorFunctions.nearestCentroids(v, centers, n)
+    val s = graft.Par.widen(src)
+      .select(col(idCol).as("src_id"), asDouble(col(vecCol)).as("sv"))
+      .withColumn("sn", norm(col("sv")))
+      .select(col("src_id"), col("sv"), col("sn"),
+        explode(nearest(col("sv"), nprobe)).as("list"))
+    val t = graft.Par.widen(tgt)
+      .select(col(idCol).as("tgt_id"), asDouble(col(vecCol)).as("tv"))
+      .withColumn("tn", norm(col("tv")))
+      .withColumn("list", element_at(nearest(col("tv"), 1), 1))
+    marginMutual(
+      s.join(t, Seq("list"))
+        .select(col("src_id"), col("tgt_id"),
+          (dot(col("sv"), col("tv")) / (col("sn") * col("tn"))).as("cos")),
+      k, marginThreshold)
+  }
+
+  /** The margin/mutual-argmax tail shared by [[bitextMine]] and
+    * [[bitextMineIvf]]: takes scored pairs (src_id, tgt_id, cos) and
+    * returns the mutual best-margin pairs at the threshold. */
+  private def marginMutual(scored: DataFrame, k: Int,
+                           marginThreshold: Double): DataFrame = {
+    require(k >= 1, "k must be at least 1")
     val wf = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src_id")).orderBy(col("cos").desc, col("tgt_id").asc)
     val wb = org.apache.spark.sql.expressions.Window
       .partitionBy(col("tgt_id")).orderBy(col("cos").desc, col("src_id").asc)
-    // Pair scores once, both ranks on the same rows; vectors dropped
+    // Both ranks on the same rows; vectors were dropped by the caller
     // before any exchange.
-    val ranked = s.crossJoin(t)
-      .select(col("src_id"), col("tgt_id"),
-        (dot(col("sv"), col("tv")) / (col("sn") * col("tn"))).as("cos"))
+    val ranked = scored
       .withColumn("rf", row_number().over(wf).cast("long"))
       .withColumn("rb", row_number().over(wb).cast("long"))
       .filter(col("rf") <= k || col("rb") <= k)
@@ -557,20 +602,11 @@ object Similarity {
       .orderBy(col("src_id"))
   }
 
-  /** DuckDB mirror of [[bitextMine]] over the `embeddings` table split
-    * by vec_id parity (even = src side, odd = tgt side). */
-  def sqlBitextMine(k: Int = 4, marginThreshold: Double = 1.05): String =
-    s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-       |    sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x*x),
-       |                     (a,b) -> a+b)) AS nv
-       |  FROM embeddings),
-       |s AS (SELECT vec_id AS src_id, v, nv FROM n WHERE vec_id % 2 = 0),
-       |t AS (SELECT vec_id AS tgt_id, v, nv FROM n WHERE vec_id % 2 = 1),
-       |p AS (SELECT s.src_id, t.tgt_id,
-       |    list_reduce(list_transform(range(1, len(s.v)+1), i -> s.v[i]*t.v[i]),
-       |                (x,y) -> x+y) / (s.nv * t.nv) AS cos
-       |  FROM s CROSS JOIN t),
-       |r AS (SELECT src_id, tgt_id, cos,
+  /** The margin/mutual tail as SQL — CTEs over a `p`(src_id, tgt_id,
+    * cos) candidate CTE supplied by the caller, mirroring
+    * [[marginMutual]]. Pre-stripped for interpolation. */
+  private def sqlMarginTail(k: Int, marginThreshold: Double): String =
+    s"""r AS (SELECT src_id, tgt_id, cos,
        |    row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, tgt_id) AS rf,
        |    row_number() OVER (PARTITION BY tgt_id ORDER BY cos DESC, src_id) AS rb
        |  FROM p),
@@ -598,4 +634,56 @@ object Similarity {
        |       JOIN bb ON m.src_id = bb.src_id AND m.tgt_id = bb.tgt_id
        |WHERE m.margin >= $marginThreshold
        |ORDER BY m.src_id""".stripMargin
+
+  /** DuckDB mirror of [[bitextMine]] over the `embeddings` table split
+    * by vec_id parity (even = src side, odd = tgt side). */
+  def sqlBitextMine(k: Int = 4, marginThreshold: Double = 1.05): String =
+    s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x*x),
+       |                     (a,b) -> a+b)) AS nv
+       |  FROM embeddings),
+       |s AS (SELECT vec_id AS src_id, v, nv FROM n WHERE vec_id % 2 = 0),
+       |t AS (SELECT vec_id AS tgt_id, v, nv FROM n WHERE vec_id % 2 = 1),
+       |p AS (SELECT s.src_id, t.tgt_id,
+       |    list_reduce(list_transform(range(1, len(s.v)+1), i -> s.v[i]*t.v[i]),
+       |                (x,y) -> x+y) / (s.nv * t.nv) AS cos
+       |  FROM s CROSS JOIN t),
+       |${sqlMarginTail(k, marginThreshold)}""".stripMargin
+
+  /** DuckDB mirror of [[bitextMineIvf]] (same parity split): printed
+    * centroids replay the native assignment (`|c|² − 2·v·c`, lower cid
+    * breaks ties — the [[Ivf.sqlKnnIvf]] discipline), candidates meet in
+    * a list, and the margin tail is [[sqlBitextMine]]'s verbatim. */
+  def sqlBitextMineIvf(centers: IndexedSeq[IndexedSeq[Double]],
+                       k: Int = 4, marginThreshold: Double = 1.05,
+                       nprobe: Int = 2): String =
+    s"""WITH cent AS (
+       |  FROM (VALUES
+       |    ${FittedOracle.centroidValues(centers)}) cent(cid, n2, cv)),
+       |n AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x*x),
+       |                     (a,b) -> a+b)) AS nv
+       |  FROM embeddings),
+       |sc0 AS (
+       |  SELECT n.vec_id, cent.cid,
+       |    cent.n2 - 2.0 * list_reduce(
+       |      list_transform(range(1, len(n.v)+1), i -> n.v[i] * cent.cv[i]),
+       |      (a,b) -> a+b) AS sco
+       |  FROM n CROSS JOIN cent),
+       |sc AS (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id
+       |                       ORDER BY sco ASC, cid ASC) AS rn
+       |  FROM sc0),
+       |sl AS (SELECT vec_id AS src_id, cid AS list FROM sc
+       |       WHERE rn <= $nprobe AND vec_id % 2 = 0),
+       |tl AS (SELECT vec_id AS tgt_id, cid AS list FROM sc
+       |       WHERE rn = 1 AND vec_id % 2 = 1),
+       |p AS (SELECT sl.src_id, tl.tgt_id,
+       |    list_reduce(list_transform(range(1, len(x.v)+1), i -> x.v[i]*y.v[i]),
+       |                (a,b) -> a+b) / (x.nv * y.nv) AS cos
+       |  FROM sl JOIN tl USING (list)
+       |       JOIN n x ON sl.src_id = x.vec_id
+       |       JOIN n y ON tl.tgt_id = y.vec_id),
+       |${sqlMarginTail(k, marginThreshold)}""".stripMargin
 }

@@ -198,6 +198,33 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_._2).distinct.length == out.length)
   }
 
+  test("bitextMineIvf: full-probe equals exact; pruned keeps real recall") {
+    // Deterministic two-cluster embedding set: tgt[i] = src[i] + noise.
+    val rnd = new scala.util.Random(7)
+    def vec(c: Int) = Array.tabulate(8)(d =>
+      (if (d % 2 == c) 1.0f else 0.0f) + rnd.nextFloat() * 0.2f)
+    val srcRows = (0 until 20).map(i => (i * 2L, vec(i % 2)))
+    val tgtRows = (0 until 20).map(i =>
+      (i * 2L + 1L, srcRows(i)._2.map(x => x + rnd.nextFloat() * 0.05f)))
+    val src = srcRows.toDF("vec_id", "embedding")
+    val tgt = tgtRows.toDF("vec_id", "embedding")
+    val centers = Ivf.fitCentroids(src.unionByName(tgt), 4)
+    val exact = Similarity.bitextMine(src, tgt, k = 4, marginThreshold = 1.0)
+      .select("src_id", "tgt_id").as[(Long, Long)].collect().toSet
+    // nprobe = nlist => the candidate pool IS the full cross: identical.
+    val full = Similarity.bitextMineIvf(centers, src, tgt, k = 4,
+        marginThreshold = 1.0, nprobe = centers.length)
+      .select("src_id", "tgt_id").as[(Long, Long)].collect().toSet
+    assert(full == exact)
+    // pruned: bounded recall loss on the clustered fixture
+    val pruned = Similarity.bitextMineIvf(centers, src, tgt, k = 4,
+        marginThreshold = 1.0, nprobe = 1)
+      .select("src_id", "tgt_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty && pruned.nonEmpty)
+    val recall = (exact & pruned).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ivf bitext recall collapsed: $recall")
+  }
+
   test("bitextMine: the margin threshold is a real gate") {
     val src = Seq((0L, Array(1.0f, 0.0f, 0.0f)),
       (2L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
