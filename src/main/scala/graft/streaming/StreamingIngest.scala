@@ -67,6 +67,25 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
   }
 
+  /** [EXT] Streaming attribute sidecar (r10) — the Dolma tagger
+    * architecture at ingest time: each micro-batch writes ITS OWN
+    * per-document attribute rows ([[graft.pipeline.Attributes.sidecar]])
+    * to a batch-keyed partition. Attributes are a pure per-row function
+    * of the batch, so the overwrite-per-batch discipline makes replay
+    * structurally idempotent exactly as for the sketches; "the sidecar"
+    * at read time is the union of partitions, and release policies
+    * filter it without ever re-reading text
+    * ([[graft.pipeline.Attributes.applyPolicy]]). */
+  def sidecarViaBatchParts(docs: DataFrame, sidecarPath: String,
+                           checkpoint: String,
+                           th: graft.text.GopherRules.Thresholds =
+                             graft.text.GopherRules.Thresholds(),
+                           badWords: Seq[String] =
+                             graft.pipeline.C4Filters.BadWords): DataStreamWriter[Row] =
+    sketchViaBatchParts(docs,
+      b => graft.pipeline.Attributes.sidecar(b, th = th, badWords = badWords),
+      sidecarPath, checkpoint)
+
   /** [EXT] Streaming per-domain caps (r9) — the RefinedWeb domain-skew
     * gate at ingest time, over the same batch-keyed-partition state
     * discipline as [[sketchViaBatchParts]]: each micro-batch admits rows

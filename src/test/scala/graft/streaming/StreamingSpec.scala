@@ -680,6 +680,46 @@ class StreamingSpec extends SparkSpec {
       "replayed batch partition changed the merged sketch")
   }
 
+  test("streaming sidecar: union of batch parts == one-shot; policy equal") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft_sc_stream").toString
+    val (inDir, scDir, ckpt) = (s"$root/in", s"$root/sc", s"$root/ckpt")
+    val all = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    val rows = all.as[(Long, String)].collect().toSeq
+    def drop(rs: Seq[(Long, String)]): Unit =
+      rs.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+    def runOnce(): Unit = {
+      val docs = spark.readStream.schema("doc_id LONG, text STRING").parquet(inDir)
+      val q = StreamingIngest.sidecarViaBatchParts(docs, scDir, ckpt).start()
+      q.awaitTermination()
+    }
+    drop(rows.filter(_._1 < 250L)); runOnce()
+    drop(rows.filter(_._1 >= 250L)); runOnce()
+    val cols = Seq("doc_id", "n_tokens", "n_chars", "lang_pred", "quality",
+      "dominant_script", "bad_hits", "gopher_pass").map(col)
+    val streamed = spark.read.parquet(scDir).select(cols: _*)
+    val oneShot = graft.pipeline.Attributes.sidecar(all).select(cols: _*)
+    assert(streamed.exceptAll(oneShot).isEmpty && oneShot.exceptAll(streamed).isEmpty,
+      "streamed sidecar union != one-shot sidecar")
+    // a release policy over the streamed sidecar == over the one-shot
+    val policy = col("bad_hits") === 0 && col("quality") >= 0.5
+    val a = graft.pipeline.Attributes.applyPolicy(all, streamed, policy)
+      .select($"doc_id").as[Long].collect().toSet
+    val b = graft.pipeline.Attributes.applyPolicy(all, oneShot, policy)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(a == b && a.nonEmpty && a.size < rows.size)
+    // at-least-once replay: rewriting batch 0's partition changes nothing
+    // (fresh read afterwards — the pre-replay frames' file lists are stale)
+    graft.pipeline.Attributes.sidecar(
+        rows.filter(_._1 < 250L).toDF("doc_id", "text"))
+      .write.mode("overwrite").parquet(s"$scDir/batch_id=0")
+    spark.catalog.refreshByPath(scDir)
+    val replayed = spark.read.parquet(scDir).select(cols: _*)
+    assert(replayed.exceptAll(oneShot).isEmpty && oneShot.exceptAll(replayed).isEmpty,
+      "replayed batch partition changed the sidecar")
+  }
+
   test("streaming manifest: released from merged batch parts == one-shot") {
     // The incremental release manifest's streaming face: both state
     // tables (additive counts, mergeable HLL content sketch) maintain
