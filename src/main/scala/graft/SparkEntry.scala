@@ -3239,9 +3239,11 @@ object SparkEntry {
 
 /** Planted robots rules for `robots_exclusion` — every decision branch:
   * whole-host block, section block with a longer allow punched through,
-  * an exact-length tie (allow wins), an allow-only host, and unlisted
-  * hosts (allowed by default). Shared by the query and its VALUES
-  * oracle. */
+  * an exact-length tie (allow wins), an allow-only host, unlisted hosts
+  * (allowed by default), and the RFC 9309 wildcards (r10): a mid-`*`
+  * disallow, an end-anchored `$` disallow, and a wildcard disallow with
+  * a more specific wildcard allow punched through. Shared by the query
+  * and its VALUES oracle. */
 object RobotsRulesFixture {
   val rules: Seq[(String, String, String)] = Seq(
     ("news.example.com", "disallow", "/"),
@@ -3251,7 +3253,14 @@ object RobotsRulesFixture {
     ("docs.data.net", "allow", "/sec3"),
     ("mirror.openweb.org", "disallow", "/sec2"),
     ("mirror.openweb.org", "allow", "/sec2"),
-    ("archive.foo.co.uk", "allow", "/"))
+    ("archive.foo.co.uk", "allow", "/"),
+    // wildcards: shop blocks ids starting '1' in any section; cdn blocks
+    // paths ENDING in 44; static blocks all sections but re-allows sec2
+    // via the longer wildcard allow
+    ("shop.example.com", "disallow", "/sec*/page/1*"),
+    ("cdn.example.com", "disallow", "*44$"),
+    ("static.example.com", "disallow", "/sec*"),
+    ("static.example.com", "allow", "/sec2/*"))
 }
 
 /** Cleanup for the per-app IVF store scratch dirs (`knn_ivf_stored`):

@@ -73,4 +73,55 @@ class RobotsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSeq
     assert(out == Seq(2L))
   }
+
+  private def decideWith(wrules: Seq[(String, String, String)],
+                         urls: (Long, String)*): Map[Long, Boolean] =
+    Robots.decisions(urls.toDF("doc_id", "url"), "url",
+        wrules.toDF("host", "rule", "prefix"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+
+  test("wildcard *: any-sequence match, mid-pattern (r10)") {
+    val r = Seq(("w.example.com", "disallow", "/sec*/page/1*"))
+    val d = decideWith(r,
+      1L -> "https://w.example.com/sec5/page/12",   // matches
+      2L -> "https://w.example.com/sec5/page/21",   // page not starting 1
+      3L -> "https://w.example.com/other/page/12")  // no /sec prefix
+    assert(d == Map(1L -> false, 2L -> true, 3L -> true))
+  }
+
+  test("wildcard $: trailing anchor binds end-of-path (r10)") {
+    val r = Seq(("w.example.com", "disallow", "*44$"))
+    val d = decideWith(r,
+      1L -> "https://w.example.com/page/144",   // ends in 44
+      2L -> "https://w.example.com/page/1440")  // 44 not at end
+    assert(d == Map(1L -> false, 2L -> true))
+  }
+
+  test("specificity is raw pattern length: longer wildcard allow wins (r10)") {
+    val r = Seq(("w.example.com", "disallow", "/sec*"),
+      ("w.example.com", "allow", "/sec2/*"))
+    val d = decideWith(r,
+      1L -> "https://w.example.com/sec1/page/5",
+      2L -> "https://w.example.com/sec2/page/5")
+    assert(d == Map(1L -> false, 2L -> true))
+  }
+
+  test("regex metacharacters in patterns stay literal (r10)") {
+    val r = Seq(("w.example.com", "disallow", "/a.b*"),
+      ("w.example.com", "disallow", "/c+d$"))
+    val d = decideWith(r,
+      1L -> "https://w.example.com/a.b/x",  // literal dot matches
+      2L -> "https://w.example.com/axb/x",  // '.' must NOT match 'x'
+      3L -> "https://w.example.com/c+d",    // literal plus, anchored
+      4L -> "https://w.example.com/c+dd")   // anchor rejects the tail
+    assert(d == Map(1L -> false, 2L -> true, 3L -> false, 4L -> true))
+  }
+
+  test("mid-pattern $ is literal; wildcard-free decisions unchanged (r10)") {
+    val r = Seq(("w.example.com", "disallow", "/a$b"))
+    val d = decideWith(r,
+      1L -> "https://w.example.com/a$b/x",
+      2L -> "https://w.example.com/ab/x")
+    assert(d == Map(1L -> false, 2L -> true))
+  }
 }
