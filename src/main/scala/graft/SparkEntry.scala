@@ -566,6 +566,33 @@ object SparkEntry {
       graft.ingest.Robots.decisions(docs, "url", rules)
         .orderBy(col("doc_id"))
     }),
+    // The compliance trio as ONE sweep (r10): content-hash takedowns ->
+    // eTLD+1 blocklist -> robots rules (wildcards included), one
+    // text-bearing scan with broadcast marks + the host-keyed robots
+    // election over an (id, url) projection.
+    "compliance_sweep" -> ((s, dir) => {
+      import s.implicits._
+      val docs = withRobotsUrls(Tables.documents(s, dir))
+      val takedowns = docs.filter(col("doc_id") % 97 === 0)
+        .select(md5(col("text")).as("h"))
+      graft.pipeline.Compliance.sweep(docs, "doc_id", "url", "text",
+          takedowns, Seq("example.com").toDF("domain"),
+          RobotsRulesFixture.rules.toDF("host", "rule", "prefix"))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+    // Attrition per compliance leg, cumulative in sweep order — ONE
+    // aggregate over the flags frame (the funnel discipline: never a
+    // count per stage).
+    "compliance_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val docs = withRobotsUrls(Tables.documents(s, dir))
+      val takedowns = docs.filter(col("doc_id") % 97 === 0)
+        .select(md5(col("text")).as("h"))
+      graft.pipeline.Compliance.funnel(docs, "doc_id", "url", "text",
+        takedowns, Seq("example.com").toDF("domain"),
+        RobotsRulesFixture.rules.toDF("host", "rule", "prefix"))
+    }),
     // Takedown/opt-out requests keyed by CONTENT HASH: the request list
     // (docs ≡ 0 mod 97 stand in for requested items) removes every copy
     // of the content — exact duplicates of a requested doc drop too.
@@ -2935,6 +2962,38 @@ object SparkEntry {
          |${graft.ingest.Robots.sqlDecisions("u", "url", "rr")}
          |ORDER BY doc_id""".stripMargin
     },
+    "compliance_sweep" ->
+      s"""WITH ${graft.ingest.Psl.sqlPslCte},
+         |u AS (SELECT doc_id, source, text, $sqlRobotsUrl AS url
+         |      FROM documents),
+         |rr(host, rule, prefix) AS (FROM (VALUES
+         |    ${RobotsRulesFixture.rules
+              .map { case (h, r, p) => s"('$h', '$r', '$p')" }
+              .mkString(",\n    ")})),
+         |${graft.pipeline.Compliance.sqlFlagsCtes(
+              "SELECT md5(text) AS h FROM documents WHERE doc_id % 97 = 0",
+              Seq("example.com"), "rr")}
+         |SELECT doc_id, source FROM fl WHERE f1 AND f2 AND f3
+         |ORDER BY doc_id""".stripMargin,
+    "compliance_funnel" ->
+      s"""WITH ${graft.ingest.Psl.sqlPslCte},
+         |u AS (SELECT doc_id, source, text, $sqlRobotsUrl AS url
+         |      FROM documents),
+         |rr(host, rule, prefix) AS (FROM (VALUES
+         |    ${RobotsRulesFixture.rules
+              .map { case (h, r, p) => s"('$h', '$r', '$p')" }
+              .mkString(",\n    ")})),
+         |${graft.pipeline.Compliance.sqlFlagsCtes(
+              "SELECT md5(text) AS h FROM documents WHERE doc_id % 97 = 0",
+              Seq("example.com"), "rr")}
+         |SELECT count(*) AS n_raw,
+         |  CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_after_takedowns,
+         |  CAST(SUM(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_after_blocklist,
+         |  CAST(SUM(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_after_robots
+         |FROM fl""".stripMargin,
     "takedown_requests" ->
       """SELECT doc_id, source FROM documents
         |WHERE md5(text) NOT IN
