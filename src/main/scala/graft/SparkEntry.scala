@@ -130,6 +130,10 @@ object SparkEntry {
     }),
     "jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", "source", 0.9)),
+    // Blockless EXACT threshold pairs via prefix filtering — the oracle
+    // is brute force over ALL pairs, proving the pruning lossless.
+    "similarity_join_exact" -> ((s, dir) =>
+      graft.dedup.SetSimJoin.jaccardJoin(Tables.documents(s, dir), "doc_id", "text", 0.9)),
     "dedup_near_minhash" -> ((s, dir) =>
       Dedup.nearDupMinHash(Tables.documents(s, dir), "doc_id", "text", 0.9)),
     "simhash_pairs" -> ((s, dir) =>
@@ -1882,6 +1886,8 @@ object SparkEntry {
         |          nullif(len(list_distinct(a.toks || b.toks)), 0)::DOUBLE, 4) AS jaccard
         |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+    "similarity_join_exact" ->
+      graft.dedup.SetSimJoin.sqlJaccardJoin("documents", "doc_id", "text", 0.9),
     // MinHash/LSH replayed relationally (r8): md5-prefix component hashes
     // -> per-(doc, component) min -> 16 band 4-tuples -> candidate pairs
     // share >= 1 band -> exact Jaccard verify. Banding at doc granularity
