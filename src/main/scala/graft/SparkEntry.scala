@@ -134,6 +134,17 @@ object SparkEntry {
     // is brute force over ALL pairs, proving the pruning lossless.
     "similarity_join_exact" -> ((s, dir) =>
       graft.dedup.SetSimJoin.jaccardJoin(Tables.documents(s, dir), "doc_id", "text", 0.9)),
+    // Incremental face: batch (doc_id >= 250) pairs against the frozen
+    // history prefix index + within-batch — never history vs history.
+    // Oracle: the full brute force restricted to pairs whose larger id
+    // is in the batch (append-only id contract).
+    "similarity_join_incremental" -> ((s, dir) => {
+      val all = Tables.documents(s, dir)
+      graft.dedup.SetSimJoin.incremental(
+        all.filter(col("doc_id") >= 250), "doc_id", "text", 0.9,
+        graft.dedup.SetSimJoin.index(
+          all.filter(col("doc_id") < 250), "doc_id", "text", 0.9))
+    }),
     "dedup_near_minhash" -> ((s, dir) =>
       Dedup.nearDupMinHash(Tables.documents(s, dir), "doc_id", "text", 0.9)),
     "simhash_pairs" -> ((s, dir) =>
@@ -1888,6 +1899,9 @@ object SparkEntry {
         |WHERE jaccard >= 0.9 ORDER BY id_a, id_b""".stripMargin,
     "similarity_join_exact" ->
       graft.dedup.SetSimJoin.sqlJaccardJoin("documents", "doc_id", "text", 0.9),
+    "similarity_join_incremental" ->
+      graft.dedup.SetSimJoin.sqlJaccardJoin("documents", "doc_id", "text", 0.9,
+        " AND id_b >= 250"),
     // MinHash/LSH replayed relationally (r8): md5-prefix component hashes
     // -> per-(doc, component) min -> 16 band 4-tuples -> candidate pairs
     // share >= 1 band -> exact Jaccard verify. Banding at doc granularity

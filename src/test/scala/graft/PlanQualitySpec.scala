@@ -212,6 +212,23 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("exact set-similarity join: equi-joins only, pair exchange ships ids (r10)") {
+    val plan = planOf(SparkEntry.queries("similarity_join_exact")(spark, dir))
+    // The entire point of prefix filtering: the blockless exact join
+    // must never degenerate to an all-pairs physical join.
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // Candidate pairs cross their dedup exchange as (id_a, id_b) ONLY —
+    // token arrays re-join by id afterwards, they never ride the pair
+    // shuffle.
+    assert(plan.contains("hashpartitioning(id_a"),
+      s"expected the ids-only candidate-pair exchange:\n$plan")
+    val pairLine = plan.linesIterator
+      .find(l => l.contains("hashpartitioning(id_a")).get
+    assert(!pairLine.contains("toks"),
+      s"token arrays rode the candidate-pair exchange: $pairLine")
+  }
+
   test("repetition mixing broadcasts rates; the corpus never shuffles") {
     val plan = planOf(SparkEntry.queries("corpus_mix_epochs")(spark, dir))
     assert(plan.contains("BroadcastHashJoin"), plan)

@@ -95,6 +95,51 @@ class SetSimJoinSpec extends SparkSpec {
     assert(run(docs, 0.9) == Set((1L, 2L, 1.0)))
   }
 
+  test("incremental == batch-involving rows of the full join (union equivalence)") {
+    val history = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"),
+      (3L, "totally unrelated history content here")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon"),      // dup of history 1
+      (11L, "alpha beta gamma delta epsilon"),      // batch-batch dup of 10
+      (12L, "brandnew tokens unseen in history"),   // all-unseen tokens
+      (13L, "brandnew tokens unseen in history"),   // pairs with 12
+      (14L, "totally unrelated fresh content here")
+    ).toDF("doc_id", "text")
+    val t = 0.8
+    val idx = SetSimJoin.index(history, "doc_id", "text", t)
+    val got = SetSimJoin.incremental(batch, "doc_id", "text", t, idx)
+      .as[(Long, Long, Double)].collect().toSet
+    val full = brute(history.unionByName(batch), t)
+    val expect = full.filter { case (_, b, _) => b >= 10L }
+    assert(expect.exists(_._1 == 12L), "unseen-token pair must qualify")
+    assert(expect.exists { case (a, b, _) => a < 10L && b >= 10L },
+      "a history-batch pair must qualify")
+    assert(got == expect)
+    // and no history-history pair leaks out
+    assert(!got.exists { case (_, b, _) => b < 10L })
+  }
+
+  test("absorb then probe a second batch still matches the full join") {
+    val h = Seq((1L, "one two three four"), (2L, "one two three five"))
+      .toDF("doc_id", "text")
+    val b1 = Seq((10L, "one two three four"), (11L, "six seven eight nine"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((20L, "six seven eight nine"), (21L, "one two three five"))
+      .toDF("doc_id", "text")
+    val t = 0.9
+    val idx1 = SetSimJoin.absorb(
+      SetSimJoin.index(h, "doc_id", "text", t), b1, "doc_id", "text", t)
+    val got = SetSimJoin.incremental(b2, "doc_id", "text", t, idx1)
+      .as[(Long, Long, Double)].collect().toSet
+    val expect = brute(h.unionByName(b1).unionByName(b2), t)
+      .filter { case (_, b, _) => b >= 20L }
+    assert(expect.size == 2) // (11,20) via the frozen-order-unseen path, (2,21)
+    assert(got == expect)
+  }
+
   test("rejects degenerate thresholds") {
     val docs = Seq((1L, "x")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
