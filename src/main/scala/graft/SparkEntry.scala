@@ -82,6 +82,10 @@ object SparkEntry {
     // side unrolls the 10 rounds as a WITH-chain).
     "part_pagerank" -> ((s, dir) =>
       graft.analytics.PageRank.copurchaseParts(Tables.lineitem(s, dir))),
+    // TrustRank + spam mass: the host-graph anti-spam triple (seeded
+    // trust propagation vs open PageRank) on the same graph fixture.
+    "trust_propagation" -> ((s, dir) =>
+      graft.analytics.PageRank.copurchaseSpamMass(Tables.lineitem(s, dir))),
     // ---- [EXT] text analysis ----
     "text_stats" -> ((s, dir) => TextAnalysis.stats(Tables.documents(s, dir))),
     // Unicode NFC canonicalization (r9) — the stage ahead of dedup keys
@@ -1601,6 +1605,7 @@ object SparkEntry {
          |ORDER BY n_occurrences DESC, passage ASC""".stripMargin,
     "decontaminate_bloom" -> DecontaminateSql,
     "part_pagerank" -> graft.analytics.PageRank.sqlCopurchaseParts(),
+    "trust_propagation" -> graft.analytics.PageRank.sqlCopurchaseSpamMass(),
     "lm_scores" -> graft.text.LmScore.sqlScores,
     "lm_scores_crossfit" -> graft.text.LmScore.sqlScoresCrossFit,
     "lm_quality_floor" -> graft.text.LmScore.sqlQualityFloor(),

@@ -52,7 +52,26 @@ object PageRank {
     * so callers may emit multi-edges freely): (node, rank_fp) with
     * rank_fp in `Scale` fixed-point units, ordered by node. */
   def ranks(edges: DataFrame, srcCol: String, dstCol: String,
-            iterations: Int = 10, dampingPct: Int = 85): DataFrame = {
+            iterations: Int = 10, dampingPct: Int = 85): DataFrame =
+    iterate(edges, srcCol, dstCol, None, iterations, dampingPct)
+
+  /** [EXT] TrustRank (Gyöngyi, Garcia-Molina & Pedersen 2004): PageRank
+    * with teleport restricted to a trusted SEED set — trust flows out of
+    * the seeds along edges and decays with distance; nodes unreachable
+    * from any seed rank 0. Initial mass and per-round teleport are
+    * `Scale ∕ |S∩V|` and `Scale·(100−d) ∕ 100 ∕ |S∩V|` on seeds, 0
+    * elsewhere, so total trust mass matches [[ranks]]'s total rank mass
+    * and the two are directly comparable (the spam-mass premise). Seeds
+    * outside the node set are ignored; at least one must be in it. */
+  def seededRanks(edges: DataFrame, srcCol: String, dstCol: String,
+                  seeds: DataFrame, seedCol: String,
+                  iterations: Int = 10, dampingPct: Int = 85): DataFrame =
+    iterate(edges, srcCol, dstCol,
+      Some(seeds.select(col(seedCol).cast("long"))), iterations, dampingPct)
+
+  private def iterate(edges: DataFrame, srcCol: String, dstCol: String,
+                      seedsOpt: Option[DataFrame],
+                      iterations: Int, dampingPct: Int): DataFrame = {
     require(iterations >= 1, "need iterations >= 1")
     require(dampingPct >= 0 && dampingPct <= 100, "dampingPct is a percentage")
     val spark = edges.sparkSession
@@ -84,19 +103,44 @@ object PageRank {
       .as[Long].rdd.map(v => (v, ())).partitionBy(part).persist(lvl)
     val n = nodes.count()
     require(n > 0, "PageRank needs a non-empty graph")
-    val teleport = Scale * (100L - dampingPct) / 100L / n
-    var ranks = nodes.mapValues(_ => Scale / n)
+    // Per-node (teleport, initial rank): uniform over all nodes for
+    // PageRank, restricted to the in-graph seed set for TrustRank. The
+    // per-node frame is partitioned like the adjacency, so each round's
+    // final join stays narrow.
+    val tele = seedsOpt match {
+      case None =>
+        val t = Scale * (100L - dampingPct) / 100L / n
+        val r0 = Scale / n
+        nodes.mapValues(_ => (t, r0)).persist(lvl)
+      case Some(seeds) =>
+        val seedRdd = seeds.filter(col(seeds.columns.head).isNotNull)
+          .distinct().as[Long].rdd.map(v => (v, ())).partitionBy(part)
+        val inGraph = nodes.join(seedRdd).mapValues(_ => ())
+        val s = inGraph.count()
+        require(s > 0, "TrustRank needs at least one seed inside the graph")
+        val t = Scale * (100L - dampingPct) / 100L / s
+        val r0 = Scale / s
+        nodes.leftOuterJoin(inGraph)
+          .mapValues { case (_, m) => if (m.isDefined) (t, r0) else (0L, 0L) }
+          .persist(lvl)
+    }
+    var ranks = tele.mapValues(_._2)
     for (_ <- 1 to iterations) {
       val contribs = adj.join(ranks)
         .flatMap { case (_, (dsts, r)) =>
-          val c = r * dampingPct / 100L / dsts.length
-          dsts.iterator.map(d => (d, c))
+          // Zero-rank sources (pre-trust-arrival nodes) contribute
+          // nothing — skip the emission, the sums are unchanged.
+          if (r == 0L) Iterator.empty
+          else {
+            val c = r * dampingPct / 100L / dsts.length
+            dsts.iterator.map(d => (d, c))
+          }
         }
         .reduceByKey(part, _ + _)
       // Nodes with no in-edges fall back to teleport alone; the left
       // join is narrow (both sides share `part`).
-      ranks = nodes.leftOuterJoin(contribs)
-        .mapValues { case (_, c) => teleport + c.getOrElse(0L) }
+      ranks = tele.leftOuterJoin(contribs)
+        .mapValues { case ((t, _), c) => t + c.getOrElse(0L) }
     }
     val schema = StructType(Seq(
       StructField("node", LongType, nullable = false),
@@ -108,7 +152,37 @@ object PageRank {
       .orderBy(col("node"))
       .pinned
     e.unpersist(false); adj.unpersist(false); nodes.unpersist(false)
+    tele.unpersist(false)
     out
+  }
+
+  /** [EXT] Spam mass (Gyöngyi et al. 2006, `trust_propagation` query):
+    * how much of a node's PageRank is NOT accounted for by trust flowing
+    * from the seed set. Both rank vectors carry total mass ≈ `Scale`
+    * (matched teleport totals), so the comparison is direct:
+    * spam_mass_ppm = max(0, pr − tr)·10⁶ ∕ pr in integer parts-per-
+    * million — near 10⁶ means the node's rank comes almost entirely from
+    * outside the trusted neighborhood (the spam signal); trusted hubs
+    * sit near 0. Long arithmetic end-to-end (pr ≤ Scale = 10¹², ×10⁶
+    * stays far under Long.Max), bit-identical in the oracle. */
+  def spamMass(edges: DataFrame, srcCol: String, dstCol: String,
+               seeds: DataFrame, seedCol: String,
+               iterations: Int = 10, dampingPct: Int = 85): DataFrame = {
+    // Both rank vectors iterate over the same graph — materialize the
+    // (possibly expensive) edge derivation once, not per vector.
+    val e = edges.select(col(srcCol), col(dstCol)).pinned
+    val pr = ranks(e, srcCol, dstCol, iterations, dampingPct)
+      .select(col("node"), col("rank_fp").as("pr_fp"))
+    val tr = seededRanks(e, srcCol, dstCol, seeds, seedCol, iterations,
+        dampingPct)
+      .select(col("node"), col("rank_fp").as("tr_fp"))
+    pr.join(tr, Seq("node"))
+      // DIV, not `/`: Spark's `/` on longs is double division — the
+      // truncating integer quotient is what the oracle replays.
+      .withColumn("spam_mass_ppm",
+        expr("CASE WHEN pr_fp > 0 THEN " +
+          "greatest(pr_fp - tr_fp, 0L) * 1000000L DIV pr_fp ELSE 0L END"))
+      .orderBy(col("node"))
   }
 
   /** Co-purchase part graph: parts sharing an order are linked (both
@@ -137,6 +211,79 @@ object PageRank {
   def copurchaseParts(lineitem: DataFrame, iterations: Int = 10): DataFrame =
     ranks(copurchaseEdges(lineitem), "src", "dst", iterations)
       .select(col("node").as("part_id"), col("rank_fp"))
+
+  /** `trust_propagation` query: PageRank vs TrustRank vs spam mass on
+    * the co-purchase part graph, seeds = part ids ≡ 0 (mod seedMod) —
+    * the host-graph anti-spam triple demonstrated on the repo's standing
+    * graph fixture. Output: (part_id, pr_fp, tr_fp, spam_mass_ppm). */
+  def copurchaseSpamMass(lineitem: DataFrame, seedMod: Int = 50,
+                         iterations: Int = 10): DataFrame = {
+    val edges = copurchaseEdges(lineitem)
+    val seeds = lineitem.select(col("l_partkey").cast("long").as("v"))
+      .filter(col("v") % seedMod === 0).distinct()
+    spamMass(edges, "src", "dst", seeds, "v", iterations)
+      .select(col("node").as("part_id"), col("pr_fp"), col("tr_fp"),
+        col("spam_mass_ppm"))
+  }
+
+  /** Shared graph CTEs for the co-purchase oracles (li, e, deg, nodes,
+    * nn, tp). */
+  private def sqlGraphCtes(dampingPct: Int): String =
+    s"""li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e AS (
+       |  SELECT DISTINCT a.p AS src, b.p AS dst
+       |  FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p),
+       |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+       |nodes AS (SELECT DISTINCT src AS v FROM e),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |tp AS (SELECT CAST($Scale * ${100 - dampingPct} // 100 // n AS BIGINT) AS t FROM nn)""".stripMargin
+
+  /** One unrolled iteration chain `<pfx>1..<pfx>iterations` over a base
+    * CTE `<pfx>0`: per-node rank = its teleport + the damped in-neighbor
+    * contribution sum, exact long divisions. `teleExpr` references n
+    * (node alias) and may reference seeds/stp. */
+  private def sqlIterChain(pfx: String, teleExpr: String, iterations: Int,
+                           dampingPct: Int): String =
+    (1 to iterations).map { k =>
+      s"""$pfx$k AS (
+         |  SELECT n.v AS v, CAST($teleExpr + COALESCE(c.s, 0) AS BIGINT) AS r
+         |  FROM nodes n $teleJoins LEFT JOIN (
+         |    SELECT e.dst AS v,
+         |      CAST(SUM(r.r * $dampingPct // 100 // dg.d) AS BIGINT) AS s
+         |    FROM e JOIN $pfx${k - 1} r ON e.src = r.v JOIN deg dg ON dg.src = e.src
+         |    GROUP BY 1) c ON n.v = c.v)""".stripMargin
+    }.mkString(",\n")
+
+  // Every chain row needs the uniform teleport (tp), and the trust chain
+  // additionally probes seed membership (seeds, stp) — joining all three
+  // in both chains keeps the builder uniform; the PageRank chain's
+  // tele-expr simply ignores the seed columns.
+  private val teleJoins =
+    "CROSS JOIN tp CROSS JOIN stp LEFT JOIN seeds s ON n.v = s.v"
+
+  /** DuckDB mirror of [[copurchaseSpamMass]]: TWO unrolled chains (r* =
+    * PageRank, t* = TrustRank with teleport and initial mass restricted
+    * to seeds) over the shared graph CTEs, then the same ppm division. */
+  def sqlCopurchaseSpamMass(seedMod: Int = 50, iterations: Int = 10,
+                            dampingPct: Int = 85): String = {
+    s"""WITH ${sqlGraphCtes(dampingPct)},
+       |seeds AS (SELECT v FROM nodes WHERE v % $seedMod = 0),
+       |ns AS (SELECT COUNT(*) AS n FROM seeds),
+       |stp AS (SELECT CAST($Scale * ${100 - dampingPct} // 100 // n AS BIGINT) AS t FROM ns),
+       |r0 AS (SELECT v, CAST($Scale // n AS BIGINT) AS r FROM nodes CROSS JOIN nn),
+       |t0 AS (
+       |  SELECT n.v,
+       |    CAST(CASE WHEN s.v IS NOT NULL THEN $Scale // ns.n ELSE 0 END AS BIGINT) AS r
+       |  FROM nodes n CROSS JOIN ns LEFT JOIN seeds s ON n.v = s.v),
+       |${sqlIterChain("r", "tp.t", iterations, dampingPct)},
+       |${sqlIterChain("t", "CASE WHEN s.v IS NOT NULL THEN stp.t ELSE 0 END", iterations, dampingPct)}
+       |SELECT pr.v AS part_id, pr.r AS pr_fp, tr.r AS tr_fp,
+       |  CAST(CASE WHEN pr.r > 0
+       |    THEN greatest(pr.r - tr.r, 0) * 1000000 // pr.r ELSE 0 END AS BIGINT)
+       |    AS spam_mass_ppm
+       |FROM r$iterations pr JOIN t$iterations tr ON pr.v = tr.v
+       |ORDER BY part_id""".stripMargin
+  }
 
   /** DuckDB mirror of [[copurchaseParts]]: the iteration unrolls into a
     * WITH-chain (one CTE per round) replaying the exact long divisions —

@@ -50,6 +50,56 @@ class PageRankSpec extends SparkSpec {
     assert(nodes == Set(1L, 2L, 3L))
   }
 
+  test("trust decays with distance from the seed; unreachable nodes rank 0") {
+    // Path 1-2-3-4 plus an isolated pair 8-9; seed = node 1.
+    val edges = sym((1L, 2L), (2L, 3L), (3L, 4L), (8L, 9L))
+    // 40 iterations: 10 leaves parity oscillation on a path graph (trust
+    // arrives in alternating waves); near convergence decay is monotone.
+    val out = PageRank.seededRanks(edges, "src", "dst",
+        Seq(1L).toDF("v"), "v", iterations = 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Decay is monotone beyond the first hop (the degree-1 seed hands
+    // ALL its damped mass to node 2, which can out-rank it — rank
+    // follows degree structure, not raw distance).
+    assert(out(2L) > out(3L) && out(3L) > out(4L))
+    assert(out(1L) > out(4L))
+    assert(out(8L) == 0L && out(9L) == 0L)
+    // total trust mass matches the PageRank discipline (≈ Scale)
+    val total = out.values.sum
+    assert(total <= PageRank.Scale && total > PageRank.Scale - 1000L)
+  }
+
+  test("seeds outside the graph are ignored; all-outside seeds reject") {
+    val edges = sym((1L, 2L))
+    val a = PageRank.seededRanks(edges, "src", "dst", Seq(1L).toDF("v"), "v")
+      .collect().toSeq
+    val b = PageRank.seededRanks(edges, "src", "dst",
+      Seq(1L, 99L).toDF("v"), "v").collect().toSeq
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      PageRank.seededRanks(edges, "src", "dst", Seq(99L).toDF("v"), "v")
+        .collect()
+    }
+  }
+
+  test("spam mass: far-from-seed nodes carry high ppm, the seed near 0") {
+    // Seed community 1-2-3 tightly linked; spam farm 10-11-12 linked to
+    // itself only, reachable from nowhere trusted.
+    val edges = sym((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L),
+      (10L, 12L))
+    val out = PageRank.spamMass(edges, "src", "dst", Seq(1L).toDF("v"), "v")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("pr_fp"), r.getAs[Long]("tr_fp"),
+          r.getAs[Long]("spam_mass_ppm"))).toMap
+    // the spam triangle gets PR mass but zero trust: ppm = 1e6 exactly
+    for (v <- Seq(10L, 11L, 12L)) {
+      assert(out(v)._2 == 0L && out(v)._3 == 1000000L)
+    }
+    // the seed's own trust exceeds its open rank: ppm clamps at 0
+    assert(out(1L)._3 == 0L)
+    assert(out(2L)._3 < 500000L)
+  }
+
   test("more central part ranks higher in the copurchase graph") {
     // part 5 co-occurs with everyone; 6/7/8 only with 5.
     val li = Seq((1L, 5L), (1L, 6L), (2L, 5L), (2L, 7L), (3L, 5L), (3L, 8L))
