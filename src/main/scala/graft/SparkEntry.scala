@@ -293,6 +293,13 @@ object SparkEntry {
       Similarity.knnBruteForce(emb, emb.filter(col("vec_id") % 50 === 0), 5)
     }),
     "cosine_pairs" -> ((s, dir) => Similarity.cosinePairs(Tables.embeddings(s, dir), 0.4)),
+    // Hard/semi-hard negative mining for contrastive training: per
+    // anchor, top-k nearest DIFFERENT-label vectors, flagged semi-hard
+    // when within the FaceNet margin of the nearest positive.
+    "hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") % 50 === 0), 5)
+    }),
     // Margin-based bitext mining (r10) — the CCMatrix mutual-argmax
     // recipe across the parity-split embedding sets: cosine relative to
     // both sides' k-NN neighborhood density, mutual best, margin >= 1.05
@@ -2288,6 +2295,8 @@ object SparkEntry {
         |      FROM s)
         |SELECT probe_id, rk, cand_id, cosine FROM r WHERE rk <= 5
         |ORDER BY probe_id, rk""".stripMargin,
+    "hard_negatives" ->
+      Similarity.sqlHardNegatives("vec_id % 50 = 0", 5),
     "cosine_pairs" ->
       """WITH n AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -69,6 +69,92 @@ object Similarity {
       .orderBy(col("probe_id"), col("rk"))
   }
 
+  /** [EXT] Hard-negative mining (`hard_negatives` query): per anchor,
+    * the top-k most-similar candidates with a DIFFERENT label — the
+    * negatives contrastive training actually learns from (random
+    * negatives are trivially separable; the hardest ones carry the
+    * gradient). Each row is additionally flagged `semi_hard` in the
+    * FaceNet sense (Schroff et al. 2015): still ranked below the
+    * anchor's nearest POSITIVE but within `margin` of it — the band
+    * that trains stably (harder-than-positive negatives can collapse
+    * the embedding).
+    *
+    * Shape: two probe-broadcast scans of the candidate set — one for
+    * negatives (label mismatch, windowed top-k per anchor), one
+    * aggregate for the nearest-positive cosine — joined on the anchor.
+    * The candidate side never shuffles; the window exchange carries
+    * |anchors|·|cands| id+cosine rows, payload-free. Anchors with no
+    * same-label partner flag false (no positive to be semi to).
+    * Output: (anchor_id, rk, cand_id, neg_label, cosine, semi_hard). */
+  def hardNegatives(candidates: DataFrame, anchors: DataFrame, k: Int,
+                    margin: Double = 0.05, idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val cand = graft.Par.widen(candidates)
+      .select(col(idCol).as("cand_id"), col(labelCol).as("cl"),
+        asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+      .pinned // feeds both the negative scan and the positive aggregate
+    val prob = anchors.select(col(idCol).as("anchor_id"),
+        col(labelCol).as("al"), asDouble(col(vecCol)).as("pv"))
+      .withColumn("pn", norm(col("pv")))
+    def cos = round(dot(col("pv"), col("cv")) / (col("pn") * col("cn")), 6)
+    val pos = cand.join(broadcast(prob),
+        col("cl") === col("al") && col("cand_id") =!= col("anchor_id"))
+      .groupBy(col("anchor_id")).agg(max(cos).as("pos_cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor_id"))
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    cand.join(broadcast(prob), col("cl") =!= col("al"))
+      .select(col("anchor_id"), col("cand_id"), col("cl").as("neg_label"),
+        cos.as("cosine"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .join(pos, Seq("anchor_id"), "left")
+      .withColumn("semi_hard", when(col("pos_cosine").isNull, lit(false))
+        .otherwise(col("cosine") < col("pos_cosine") &&
+          col("cosine") >= col("pos_cosine") - lit(margin)))
+      .select(col("anchor_id"), col("rk"), col("cand_id"), col("neg_label"),
+        col("cosine"), col("semi_hard"))
+      .orderBy(col("anchor_id"), col("rk"))
+  }
+
+  /** DuckDB mirror of [[hardNegatives]] over the embeddings table:
+    * identical fold-ordered cosine, window, and margin arithmetic. */
+  def sqlHardNegatives(anchorWhere: String, k: Int,
+                       margin: Double = 0.05): String =
+    s"""WITH n AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+       |    sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x*x),
+       |                     (a,b) -> a+b)) AS nv
+       |  FROM embeddings),
+       |p AS (SELECT vec_id AS anchor_id, label AS al, v AS pv, nv AS pn
+       |      FROM n WHERE $anchorWhere),
+       |pos AS (
+       |  SELECT anchor_id,
+       |    max(round(list_reduce(list_transform(range(1, len(pv)+1),
+       |                                         i -> pv[i]*v[i]),
+       |                          (a,b) -> a+b) / (pn * nv), 6)) AS pos_cosine
+       |  FROM p JOIN n ON label = al AND vec_id <> anchor_id
+       |  GROUP BY 1),
+       |s AS (
+       |  SELECT anchor_id, vec_id AS cand_id, label AS neg_label,
+       |    round(list_reduce(list_transform(range(1, len(pv)+1),
+       |                                     i -> pv[i]*v[i]),
+       |                      (a,b) -> a+b) / (pn * nv), 6) AS cosine
+       |  FROM p JOIN n ON label <> al),
+       |r AS (SELECT anchor_id, cand_id, neg_label, cosine,
+       |        row_number() OVER (PARTITION BY anchor_id
+       |                           ORDER BY cosine DESC, cand_id ASC) AS rk
+       |      FROM s)
+       |SELECT r.anchor_id, rk, cand_id, neg_label, cosine,
+       |  CASE WHEN pos.pos_cosine IS NULL THEN false
+       |       ELSE cosine < pos.pos_cosine
+       |            AND cosine >= pos.pos_cosine - $margin END AS semi_hard
+       |FROM r LEFT JOIN pos ON r.anchor_id = pos.anchor_id
+       |WHERE rk <= $k
+       |ORDER BY r.anchor_id, rk""".stripMargin
+
   /** All-pairs cosine ≥ threshold (`cosine_pairs` query) — embedding-space
     * near-dup audit. Quadratic: keep for bounded id ranges / samples. */
   def cosinePairs(emb: DataFrame, threshold: Double,

@@ -262,6 +262,32 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("prefix-filtered set-sim join equals brute force on random corpora (r10)") {
+    // Random docs over a tiny vocabulary maximize near-dup collisions and
+    // exercise ties in the (df, token) order; thresholds span wide/narrow
+    // prefixes. Losslessness must hold for every draw.
+    val wordGen = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    val docGen = Gen.nonEmptyListOf(wordGen).map(_.mkString(" "))
+    val corpusGen = Gen.nonEmptyListOf(docGen)
+    forAll2(corpusGen, Gen.oneOf(0.5, 0.7, 0.9)) { (texts, t) =>
+      val df = texts.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("doc_id", "text")
+      val got = graft.dedup.SetSimJoin.jaccardJoin(df, "doc_id", "text", t)
+        .as[(Long, Long, Double)].collect().toSet
+      val tt = df.select(col("doc_id").as("id"),
+        graft.dedup.Dedup.tokenSet(col("text")).as("toks"))
+      val brute = tt.select(col("id").as("id_a"), col("toks").as("toks_a"))
+        .crossJoin(tt.select(col("id").as("id_b"), col("toks").as("toks_b")))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("jaccard",
+          round(graft.dedup.Dedup.jaccard(col("toks_a"), col("toks_b")), 4))
+        .filter(col("jaccard") >= t)
+        .select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == brute, s"threshold $t over ${texts.size} docs")
+    }
+  }
+
   test("nfcNormalize agrees with java.text.Normalizer and is idempotent (r9)") {
     val charGen = Gen.oneOf[String](
       "a", "z", "é", "é", "Å", "Å", "ö", "ö", "中", " ", "1")

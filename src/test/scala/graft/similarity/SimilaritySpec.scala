@@ -36,6 +36,36 @@ class SimilaritySpec extends SparkSpec {
     assert(!out.map(_._3).contains(0L))
   }
 
+  test("hard negatives: different-label top-k, semi-hard only inside the margin") {
+    // Anchor 0 (label 0). Positive 1 at cos ≈ 0.995. Negatives (label 1):
+    // 10 harder than the positive (NOT semi), 11 just under it (semi),
+    // 12 far below the margin band (NOT semi). Anchor 20 (label 2) has
+    // no positive partner: flags false.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.995f, 0.0999f), 0),
+      (10L, Array(0.9995f, 0.0316f), 1),
+      (11L, Array(0.99f, 0.141f), 1),
+      (12L, Array(0.8f, 0.6f), 1),
+      (20L, Array(0.0f, 1.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val anchors = emb.filter($"vec_id" === 0L || $"vec_id" === 20L)
+    val out = Similarity.hardNegatives(emb, anchors, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) ->
+        (r.getAs[Double]("cosine"), r.getAs[Boolean]("semi_hard"))).toMap
+    // ranking: 10 (≈0.9995) ahead of 11 (≈0.990) ahead of 12 (0.8)
+    val c10 = out((0L, 10L)); val c11 = out((0L, 11L)); val c12 = out((0L, 12L))
+    assert(c10._1 > c11._1 && c11._1 > c12._1)
+    assert(!c10._2, "harder-than-positive is not semi-hard")
+    assert(c11._2, "inside the margin band below the positive")
+    assert(!c12._2, "below the margin band")
+    // anchor 20: no same-label partner -> semi_hard false on all rows
+    val a20 = out.view.filterKeys(_._1 == 20L).values.toSeq
+    assert(a20.nonEmpty && a20.forall(!_._2))
+    // top-k honors k against the number of available negatives
+    assert(out.keys.count(_._1 == 0L) == 3)
+  }
+
   test("knn_lsh results are exact-cosine-correct within the bucket") {
     // Every (probe, cand) pair LSH returns must carry the same cosine the
     // brute-force path computes — LSH may MISS neighbors, never mis-score.
