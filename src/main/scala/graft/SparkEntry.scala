@@ -118,6 +118,15 @@ object SparkEntry {
       TextAnalysis.scriptMix(planted)
     }),
     "doc_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
+    // Language-vs-script disagreement audit over a planted mix of
+    // transliterated, mislabeled, consistent, and abstaining docs.
+    "lang_script_consistency" -> ((s, dir) => {
+      val planted = Tables.documents(s, dir).withColumn("text",
+        when(col("doc_id") % 5 === 0, col("text")).otherwise(
+          element_at(array(LangScriptSamples.map(lit(_)): _*),
+            (col("doc_id") % 5).cast("int"))))
+      TextAnalysis.langScriptConsistency(planted)
+    }),
     // ---- [EXT] dedup ----
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir), "text", "doc_id")),
     // Soft dedup: every copy kept, weighted 1/n_copies in integer micro-
@@ -299,6 +308,18 @@ object SparkEntry {
     "hard_negatives" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.hardNegatives(emb, emb.filter(col("vec_id") % 50 === 0), 5)
+    }),
+    // ANN quality audit: per-probe recall of the IVF index against the
+    // exact top-k — the tuning number for nlist/nprobe. Oracle via the
+    // printed-centroid channel (both sides' mirrors already proven).
+    "ann_recall_report" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val probes = emb.filter(col("vec_id") % 50 === 0)
+      val centers = Ivf.fitCentroids(emb, 16)
+      FittedOracle.recallCenters = Some(centers)
+      Similarity.recallReport(
+        Similarity.knnBruteForce(emb, probes, 5),
+        Ivf.knnIvfWith(centers, emb, probes, 5))
     }),
     // Margin-based bitext mining (r10) — the CCMatrix mutual-argmax
     // recipe across the parity-split embedding sets: cosine relative to
@@ -1868,6 +1889,15 @@ object SparkEntry {
          |  $dominant AS dominant_script
          |FROM c ORDER BY doc_id""".stripMargin
     },
+    "lang_script_consistency" -> {
+      val planted = "CASE WHEN doc_id % 5 = 0 THEN text ELSE " +
+        s"[${LangScriptSamples.map(s => s"'$s'").mkString(", ")}]" +
+        "[CAST(doc_id % 5 AS INT)] END"
+      s"""WITH p AS (SELECT doc_id, $planted AS t FROM documents)
+         |SELECT doc_id,
+         |  ${TextAnalysis.sqlLangScriptConsistency("t")}
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
     "normalize_text" -> {
       val nfc = " café Ångström"
       val nfd = " café Ångström"
@@ -2278,23 +2308,7 @@ object SparkEntry {
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY flag, status""".stripMargin,
     "knn_bruteforce" ->
-      """WITH n AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS v,
-        |    sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x*x),
-        |                     (a,b) -> a+b)) AS nv
-        |  FROM embeddings),
-        |p AS (SELECT vec_id AS probe_id, v AS pv, nv AS pn FROM n WHERE vec_id % 50 = 0),
-        |s AS (
-        |  SELECT probe_id, vec_id AS cand_id,
-        |    round(list_reduce(list_transform(range(1, len(pv)+1), i -> pv[i]*v[i]),
-        |                      (a,b) -> a+b) / (pn * nv), 6) AS cosine
-        |  FROM p JOIN n ON vec_id <> probe_id),
-        |r AS (SELECT probe_id, cand_id, cosine,
-        |        row_number() OVER (PARTITION BY probe_id
-        |                           ORDER BY cosine DESC, cand_id ASC) AS rk
-        |      FROM s)
-        |SELECT probe_id, rk, cand_id, cosine FROM r WHERE rk <= 5
-        |ORDER BY probe_id, rk""".stripMargin,
+      Similarity.sqlKnnBruteForce("vec_id % 50 = 0", 5),
     "hard_negatives" ->
       Similarity.sqlHardNegatives("vec_id % 50 = 0", 5),
     "cosine_pairs" ->
@@ -3131,6 +3145,18 @@ object SparkEntry {
     * 1-based into this list; mod 0 keeps the latin fixture text). */
   private val ScriptSamples = Seq(
     "привет мир сегодня", "你好世界今天 𠀀😀", "γεια σου κόσμε", "مرحبا بالعالم")
+
+  /** Samples planted by `lang_script_consistency` (index = doc_id mod 5,
+    * 1-based; mod 0 keeps the fixture text): a pinyin transliteration
+    * (zh prediction over latin script — inconsistent), a mislabel (en
+    * markers drowned in cyrillic mass — inconsistent), a consistent
+    * German doc, and an abstaining pure-CJK doc (no marker hits → und →
+    * vacuously consistent). */
+  private val LangScriptSamples = Seq(
+    "shi bu wo ni zai hen ma ba",
+    "the and of занимает большое количество текста здесь",
+    "der und das ist nicht ein mit",
+    "這是一個測試文本沒有標記詞")
 
   /** Deterministic per-doc URLs over the skewed host mix — shared by the
     * `domain_caps` / `domain_blocklist` queries and their oracles. */

@@ -28,6 +28,7 @@ object FittedOracle {
   @volatile var semCenters: Option[IndexedSeq[IndexedSeq[Double]]] = None
   @volatile var ivfStoredCenters: Option[IndexedSeq[IndexedSeq[Double]]] = None
   @volatile var bitextCenters: Option[IndexedSeq[IndexedSeq[Double]]] = None
+  @volatile var recallCenters: Option[IndexedSeq[IndexedSeq[Double]]] = None
   // Fitted BPE merge lists (r9): like the k-means fits, `Bpe.fitMerges`
   // is a deterministic driver fit — printable into SQL; the greedy
   // encode then replays as a recursive CTE ([[graft.text.Bpe]] SQL
@@ -83,6 +84,9 @@ object FittedOracle {
       bitextCenters.map(c =>
         "bitext_mine_ivf" -> Similarity.sqlBitextMineIvf(c, k = 4,
           marginThreshold = 1.05, nprobe = 2)) ++
+      recallCenters.map(c =>
+        "ann_recall_report" -> Ivf.sqlAnnRecall(c, k = 5, nprobe = 4,
+          probeWhere = "vec_id % 50 = 0")) ++
       // Empty fitted lists (degenerate corpus) render invalid
       // `FROM (VALUES )` SQL — omit the entry, the driver records the
       // weaker rows-only check (the never-a-broken-oracle rule above).

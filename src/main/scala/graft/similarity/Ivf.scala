@@ -199,4 +199,21 @@ object Ivf {
        |      FROM s2)
        |SELECT probe_id, rk, cand_id, cosine FROM r WHERE rk <= $k
        |ORDER BY probe_id, rk""".stripMargin
+
+  /** DuckDB mirror of the `ann_recall_report` query: the proven
+    * brute-force and printed-centroid IVF mirrors as whole subqueries
+    * (DuckDB allows WITH inside a derived table), joined per (probe,
+    * candidate), recall in exact integer basis points. */
+  def sqlAnnRecall(centers: IndexedSeq[IndexedSeq[Double]], k: Int,
+                   nprobe: Int, probeWhere: String): String =
+    s"""WITH exact AS (
+       |  FROM (${Similarity.sqlKnnBruteForce(probeWhere, k)})),
+       |approx AS (
+       |  FROM (${sqlKnnIvf(centers, k, nprobe)}))
+       |SELECT e.probe_id, count(*) AS n_exact, count(a.cand_id) AS hits,
+       |  CAST(count(a.cand_id) * 10000 // count(*) AS BIGINT) AS recall_bp
+       |FROM exact e LEFT JOIN approx a
+       |  ON e.probe_id = a.probe_id AND e.cand_id = a.cand_id
+       |GROUP BY 1
+       |ORDER BY e.probe_id""".stripMargin
 }

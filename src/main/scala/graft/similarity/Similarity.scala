@@ -155,6 +155,46 @@ object Similarity {
        |WHERE rk <= $k
        |ORDER BY r.anchor_id, rk""".stripMargin
 
+  /** [EXT] ANN recall audit (`ann_recall_report` query): per probe, how
+    * many of the EXACT top-k an approximate index actually returned —
+    * the number a team tunes nlist/nprobe against before trusting an ANN
+    * index at corpus scale. Inputs are any two (probe_id, cand_id, ...)
+    * kNN results (the repo's brute/LSH/IVF/PQ variants all share the
+    * shape). Output per probe: n_exact, hits, recall_bp = hits·10⁴ DIV
+    * n_exact (exact integer basis points — no float division). */
+  def recallReport(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val e = exact.select(col("probe_id"), col("cand_id"))
+    val a = approx.select(col("probe_id"), col("cand_id"))
+      .withColumn("__hit", lit(1))
+    e.join(a, Seq("probe_id", "cand_id"), "left")
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("n_exact"), count(col("__hit")).as("hits"))
+      .withColumn("recall_bp", expr("hits * 10000L DIV n_exact"))
+      .orderBy(col("probe_id"))
+  }
+
+  /** DuckDB mirror of [[knnBruteForce]] for a probe predicate over the
+    * embeddings table — shared by the `knn_bruteforce` oracle and the
+    * recall report's exact side. */
+  def sqlKnnBruteForce(probeWhere: String, k: Int): String =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x*x),
+       |                     (a,b) -> a+b)) AS nv
+       |  FROM embeddings),
+       |p AS (SELECT vec_id AS probe_id, v AS pv, nv AS pn FROM n WHERE $probeWhere),
+       |s AS (
+       |  SELECT probe_id, vec_id AS cand_id,
+       |    round(list_reduce(list_transform(range(1, len(pv)+1), i -> pv[i]*v[i]),
+       |                      (a,b) -> a+b) / (pn * nv), 6) AS cosine
+       |  FROM p JOIN n ON vec_id <> probe_id),
+       |r AS (SELECT probe_id, cand_id, cosine,
+       |        row_number() OVER (PARTITION BY probe_id
+       |                           ORDER BY cosine DESC, cand_id ASC) AS rk
+       |      FROM s)
+       |SELECT probe_id, rk, cand_id, cosine FROM r WHERE rk <= $k
+       |ORDER BY probe_id, rk""".stripMargin
+
   /** All-pairs cosine ≥ threshold (`cosine_pairs` query) — embedding-space
     * near-dup audit. Quadratic: keep for bounded id ranges / samples. */
   def cosinePairs(emb: DataFrame, threshold: Double,

@@ -206,6 +206,52 @@ object TextAnalysis {
     ).orderBy(col(idCol))
   }
 
+  /** Expected writing system per predicted language — the lookup behind
+    * [[langScriptConsistency]]. `zh` expects cjk even though its marker
+    * words are romanized: a zh prediction over latin-only text is
+    * exactly the transliteration/mislabel case the audit exists to
+    * surface. Extends with [[LangMarkers]]. */
+  val ExpectedScript: Seq[(String, String)] = Seq(
+    "de" -> "latin", "en" -> "latin", "es" -> "latin", "fr" -> "latin",
+    "zh" -> "cjk")
+
+  /** [EXT] Language–script consistency audit (`lang_script_consistency`
+    * query): CCNet-class pipelines run script coverage BESIDE language
+    * ID because the two disagree on real corpus classes — transliterated
+    * text (zh prediction, latin script), mislabeled text, markup-heavy
+    * pages. Per doc: the language prediction, the dominant script, the
+    * script that prediction implies, and the consistency verdict
+    * (vacuously true when either signal abstains — 'und' or 'none').
+    * Pure scan-stage composition of [[langId]] + [[dominantScript]] —
+    * shuffle-free. */
+  def langScriptConsistency(docs: DataFrame, idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val lang = langId(t)
+    val dom = dominantScript(t)
+    val expected = ExpectedScript.foldRight(lit("none")) {
+      case ((l, s), els) => when(lang === l, lit(s)).otherwise(els)
+    }
+    docs.select(
+        col(idCol), lang.as("lang_pred"), dom.as("dominant_script"),
+        expected.as("expected_script"),
+        (lang === "und" || dom === "none" || expected === dom)
+          .as("consistent"))
+      .orderBy(col(idCol))
+  }
+
+  /** DuckDB mirror of [[langScriptConsistency]] over a text expression. */
+  def sqlLangScriptConsistency(t: String): String = {
+    val lang = sqlLangId(t)
+    val dom = sqlDominantScript(t)
+    val whens = ExpectedScript.map { case (l, s) =>
+      s"WHEN $lang = '$l' THEN '$s'" }.mkString(" ")
+    val expected = s"(CASE $whens ELSE 'none' END)"
+    s"""$lang AS lang_pred, $dom AS dominant_script,
+       |  $expected AS expected_script,
+       |  ($lang = 'und' OR $dom = 'none' OR $expected = $dom) AS consistent""".stripMargin
+  }
+
   /** Predicted-language distribution (the `lang_distribution` query). */
   def langDistribution(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.groupBy(langId(col(textCol)).as("lang_pred"))

@@ -223,4 +223,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) == ((0L, 0L, 3L, "emoji")), out(2L).toString)
     assert(out(3L) == ((2L, 0L, 1L, "latin")), out(3L).toString)
   }
+
+  test("langScriptConsistency: transliteration and mislabel flag, abstentions pass (r10)") {
+    val docs = Seq(
+      (1L, "shi bu wo ni zai hen ma ba"),      // zh prediction, latin script
+      (2L, "the and of занимает большое количество текста здесь"), // en, cyrillic mass
+      (3L, "der und das ist nicht ein mit"),   // de, latin: consistent
+      (4L, "這是一個測試文本"),                 // no markers: und, vacuous
+      (5L, "")                                 // und + none
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.langScriptConsistency(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2),
+        r.getString(3), r.getBoolean(4))).toMap
+    assert(out(1L) == (("zh", "latin", "cjk", false)))
+    assert(out(2L) == (("en", "cyrillic", "latin", false)))
+    assert(out(3L) == (("de", "latin", "latin", true)))
+    assert(out(4L) == (("und", "cjk", "none", true)))
+    assert(out(5L) == (("und", "none", "none", true)))
+  }
 }
