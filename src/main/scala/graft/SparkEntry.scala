@@ -851,6 +851,11 @@ object SparkEntry {
     // Per-(source, lang) release rollup with subtotals and exact-dup pct.
     "release_manifest" -> ((s, dir) =>
       graft.pipeline.Curation.releaseManifest(Tables.documents(s, dir))),
+    // Small-cell suppression for the released stats: (source, lang)
+    // cells under k=5 docs collapse into one reconciling bucket.
+    "k_anonymous_stats" -> ((s, dir) =>
+      graft.pipeline.Curation.kAnonymousStats(Tables.documents(s, dir),
+        Seq("source", "lang"), 5)),
     // The INCREMENTAL manifest: additive counts + mergeable HLL content
     // sketch rolled up from state alone — release cost independent of
     // corpus size. The oracle replays each level's sketch directly; the
@@ -2826,6 +2831,7 @@ object SparkEntry {
         |  round((padded_chunks * 512 - total_tokens)::DOUBLE * 100.0 /
         |    nullif((padded_chunks * 512)::DOUBLE, 0), 4) AS pct_padded_waste
         |FROM b""".stripMargin,
+    "k_anonymous_stats" -> graft.pipeline.Curation.sqlKAnonymousStats(5),
     "release_manifest" ->
       """WITH t AS (
         |  SELECT COALESCE(source, 'Unknown') AS source,

@@ -788,6 +788,56 @@ object Curation {
     * makes Spark expand each row ×3 (one per grouping) keyed by the
     * 16-byte content hash — payloads never ride the exchange, and the
     * expansion factor is the (constant) number of rollup levels. */
+  /** [EXT] k-anonymous release statistics (`k_anonymous_stats` query) —
+    * small-cell suppression, the standard disclosure-control rule for
+    * published statistics tables: a released per-group breakdown must
+    * not expose groups so small that rows become attributable (a
+    * one-document (source, lang) cell IS that document). Groups with
+    * n_docs < k collapse into ONE `__suppressed__` bucket whose counts
+    * are the suppressed groups' sums, so the released table still
+    * reconciles to the corpus totals — suppression hides attribution,
+    * never mass. No row appears when nothing falls below k.
+    *
+    * Scale shape: one keyed aggregate over the corpus (the group table
+    * is ≤ |groups| rows); the split + re-union runs on that tiny frame.
+    */
+  def kAnonymousStats(docs: DataFrame, keyCols: Seq[String], k: Int,
+                      textCol: String = "text"): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one grouping column")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val g = graft.Par.widen(docs)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.text.TextAnalysis.tokenCount(col(textCol))).as("n_tokens"))
+      .pinned // one corpus aggregate feeds both branches
+    val keep = g.filter(col("n_docs") >= k)
+    val supp = g.filter(col("n_docs") < k)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .filter(col("n_docs").isNotNull)
+      .select(keyCols.map(_ => lit("__suppressed__")) ++
+        Seq(col("n_docs"), col("n_tokens")): _*)
+      .toDF(keyCols :+ "n_docs" :+ "n_tokens": _*)
+    keep.unionByName(supp)
+      .orderBy(keyCols.map(col): _*)
+  }
+
+  /** DuckDB mirror of [[kAnonymousStats]] over the documents table for
+    * (source, lang) keys. */
+  def sqlKAnonymousStats(k: Int): String = {
+    val tok = graft.text.TextAnalysis.sqlTokenCount("text")
+    s"""WITH g AS (
+       |  SELECT source, lang, count(*) AS n_docs,
+       |    CAST(SUM($tok) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1, 2)
+       |SELECT * FROM (
+       |  SELECT source, lang, n_docs, n_tokens FROM g WHERE n_docs >= $k
+       |  UNION ALL
+       |  SELECT '__suppressed__', '__suppressed__',
+       |    CAST(SUM(n_docs) AS BIGINT), CAST(SUM(n_tokens) AS BIGINT)
+       |  FROM g WHERE n_docs < $k HAVING SUM(n_docs) IS NOT NULL)
+       |ORDER BY source, lang""".stripMargin
+  }
+
   def releaseManifest(docs: DataFrame, sourceCol: String = "source",
                       langCol: String = "lang", textCol: String = "text"): DataFrame = {
     val base = graft.Par.widen(docs).select(

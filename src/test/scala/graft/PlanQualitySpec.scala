@@ -281,7 +281,7 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("script and NFC profiling are scan-stage projections, shuffle-free") {
-    for (q <- Seq("script_mix", "normalize_text")) {
+    for (q <- Seq("script_mix", "normalize_text", "lang_script_consistency")) {
       val plan = planOf(SparkEntry.queries(q)(spark, dir))
       assert(!plan.contains("Arguments: hashpartitioning"),
         s"$q must not shuffle by key:\n$plan")

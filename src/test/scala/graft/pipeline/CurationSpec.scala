@@ -676,4 +676,25 @@ class CurationSpec extends SparkSpec {
     assert(!out.exists(p => p._1 == 11L && p._2 == 12L))
     assert(splits(11L) == splits(12L))
   }
+
+  test("kAnonymousStats: cells under k collapse into one reconciling bucket (r10)") {
+    val docs = Seq(
+      (1L, "a", "en", "one two"), (2L, "a", "en", "three"),
+      (3L, "a", "en", "four five six"),                  // (a,en): 3 docs, 6 toks
+      (4L, "b", "en", "seven"),                          // (b,en): 1 doc — suppressed
+      (5L, "b", "fr", "eight nine"), (6L, "b", "fr", "ten") // (b,fr): 2 — suppressed
+    ).toDF("doc_id", "source", "lang", "text")
+    val out = Curation.kAnonymousStats(docs, Seq("source", "lang"), 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out(("a", "en")) == ((3L, 6L)))
+    assert(out(("__suppressed__", "__suppressed__")) == ((3L, 4L)))
+    assert(out.size == 2)
+    // totals reconcile: suppression hides attribution, never mass
+    assert(out.values.map(_._1).sum == 6L && out.values.map(_._2).sum == 10L)
+    // nothing below k -> no suppressed row, table unchanged
+    val none = Curation.kAnonymousStats(docs, Seq("source", "lang"), 1)
+      .collect().map(r => r.getString(0)).toSet
+    assert(!none.contains("__suppressed__"))
+  }
 }
