@@ -856,6 +856,19 @@ object SparkEntry {
     "k_anonymous_stats" -> ((s, dir) =>
       graft.pipeline.Curation.kAnonymousStats(Tables.documents(s, dir),
         Seq("source", "lang"), 5)),
+    // WARC ingestion: archives built from the fixture docs, parsed by
+    // the length-driven record walker; the oracle reconstructs the same
+    // records relationally — the gate proves parse(write(x)) == x.
+    "warc_records" -> ((s, dir) =>
+      graft.sources.Warc.records(warcBlobs(Tables.documents(s, dir)))
+        .select(col("path").as("source"), col("record_offset"),
+          col("target_uri"), col("content_length"),
+          substring(col("payload").cast("string"), 1, 15).as("payload_head"))
+        .orderBy(col("source"), col("record_offset"))),
+    "warc_html_documents" -> ((s, dir) =>
+      graft.sources.Warc.htmlDocuments(
+          graft.sources.Warc.records(warcBlobs(Tables.documents(s, dir))))
+        .orderBy(col("target_uri"))),
     // The INCREMENTAL manifest: additive counts + mergeable HLL content
     // sketch rolled up from state alone — release cost independent of
     // corpus size. The oracle replays each level's sketch directly; the
@@ -2832,6 +2845,24 @@ object SparkEntry {
         |    nullif((padded_chunks * 512)::DOUBLE, 0), 4) AS pct_padded_waste
         |FROM b""".stripMargin,
     "k_anonymous_stats" -> graft.pipeline.Curation.sqlKAnonymousStats(5),
+    "warc_records" ->
+      s"""WITH $sqlWarcCtes,
+         |o AS (
+         |  SELECT source, uri, clen, payload,
+         |    CAST(COALESCE(SUM(strlen(rec)) OVER (
+         |      PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS record_offset
+         |  FROM wr)
+         |SELECT source, record_offset, uri AS target_uri,
+         |  clen AS content_length, substring(payload, 1, 15) AS payload_head
+         |FROM o ORDER BY source, record_offset""".stripMargin,
+    "warc_html_documents" ->
+      s"""WITH $sqlWarcCtes
+         |SELECT uri AS target_uri, '2026-01-01T00:00:00Z' AS warc_date,
+         |  200 AS http_status,
+         |  '<html><body>' || text || '</body></html>' AS body
+         |FROM wr0 ORDER BY target_uri""".stripMargin,
     "release_manifest" ->
       """WITH t AS (
         |  SELECT COALESCE(source, 'Unknown') AS source,
@@ -3151,6 +3182,50 @@ object SparkEntry {
     * 1-based into this list; mod 0 keeps the latin fixture text). */
   private val ScriptSamples = Seq(
     "привет мир сегодня", "你好世界今天 𠀀😀", "γεια σου κόσμε", "مرحبا بالعالم")
+
+  /** WARC archive blobs built from the documents table (one archive per
+    * source, records ordered by doc_id) — the `warc_records` /
+    * `warc_html_documents` fixture; the oracle constructs the identical
+    * record bytes in SQL (e'\r\n' escapes), so the gate proves
+    * [[graft.sources.Warc.parse]] inverts the construction exactly. */
+  private def warcBlobs(docs: DataFrame): DataFrame = {
+    val uri = concat(lit("https://example.org/"), col("source"), lit("/"),
+      col("doc_id"))
+    val payload = concat(
+      lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html><body>"),
+      col("text"), lit("</body></html>"))
+    val rec = concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), uri,
+      lit("\r\nWARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: "),
+      octet_length(payload).cast("string"),
+      lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
+    docs.groupBy(col("source"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("doc_id"), rec.as("rec")))),
+        s => s.getField("rec")), "").as("blob"))
+      .select(col("source").as("path"), col("blob").cast("binary").as("content"))
+  }
+
+  /** The per-doc WARC construction as DuckDB CTEs `wr` (source, doc_id,
+    * uri, payload, clen, rec) — the oracle twin of [[warcBlobs]]. */
+  private val sqlWarcCtes: String =
+    // NOTE: built WITHOUT stripMargin-style leading pipes and with no
+    // line starting in `||` — this fragment embeds into outer strings
+    // whose own .stripMargin would otherwise eat the first pipe of a
+    // leading concat operator.
+    "wr0 AS (\n" +
+      "  SELECT source, doc_id, text,\n" +
+      "    'https://example.org/' || source || '/' || doc_id AS uri,\n" +
+      "    e'HTTP/1.1 200 OK\\r\\nContent-Type: text/html\\r\\n\\r\\n<html><body>' ||\n" +
+      "      text || '</body></html>' AS payload\n" +
+      "  FROM documents),\n" +
+      "wr AS (\n" +
+      "  SELECT source, doc_id, uri, payload,\n" +
+      "    CAST(strlen(payload) AS BIGINT) AS clen,\n" +
+      "    e'WARC/1.0\\r\\nWARC-Type: response\\r\\nWARC-Target-URI: ' || uri ||\n" +
+      "    e'\\r\\nWARC-Date: 2026-01-01T00:00:00Z\\r\\nContent-Length: ' ||\n" +
+      "    strlen(payload) || e'\\r\\n\\r\\n' || payload || e'\\r\\n\\r\\n' AS rec\n" +
+      "  FROM wr0)"
 
   /** Samples planted by `lang_script_consistency` (index = doc_id mod 5,
     * 1-based; mod 0 keeps the fixture text): a pinyin transliteration

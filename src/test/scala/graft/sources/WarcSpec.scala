@@ -1,0 +1,75 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the WARC parser's length-driven discipline: payloads containing
+  * the record magic survive intact, malformed archives fail loudly with
+  * offsets, and the HTTP-document projection strips headers exactly. */
+class WarcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rec(typ: String, uri: String, payload: String): String =
+    s"WARC/1.0\r\nWARC-Type: $typ\r\nWARC-Target-URI: $uri\r\n" +
+      s"WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+      s"Content-Length: ${payload.getBytes("UTF-8").length}\r\n\r\n" +
+      payload + "\r\n\r\n"
+
+  test("parse walks by Content-Length: a payload quoting WARC/1.0 survives") {
+    // The trap: record 1's payload CONTAINS the record magic — a
+    // split-on-magic parser shreds it into two garbage records.
+    val quoted = "a page about archives: WARC/1.0\r\nWARC-Type: fake\r\n end"
+    val blob = rec("response", "https://a/1", quoted) +
+      rec("response", "https://a/2", "plain")
+    val out = Warc.parse(blob.getBytes("UTF-8"))
+    assert(out.size == 2)
+    assert(new String(out.head._6, "UTF-8") == quoted)
+    assert(out(1)._3 == "https://a/2")
+    // offsets: second record starts exactly after the first's bytes
+    assert(out(1)._1 == rec("response", "https://a/1", quoted)
+      .getBytes("UTF-8").length.toLong)
+  }
+
+  test("unknown headers are tolerated; UTF-8 payload lengths are bytes") {
+    val payload = "héllo wörld" // multi-byte
+    val r = s"WARC/1.0\r\nWARC-Type: resource\r\nX-Custom: zzz\r\n" +
+      s"WARC-Target-URI: u\r\nContent-Length: ${payload.getBytes("UTF-8").length}\r\n\r\n" +
+      payload + "\r\n\r\n"
+    val out = Warc.parse(r.getBytes("UTF-8"))
+    assert(out.size == 1 && new String(out.head._6, "UTF-8") == payload)
+  }
+
+  test("malformed archives fail loudly with byte offsets") {
+    val noLen = "WARC/1.0\r\nWARC-Type: response\r\n\r\nbody\r\n\r\n"
+    val e1 = intercept[IllegalArgumentException](Warc.parse(noLen.getBytes("UTF-8")))
+    assert(e1.getMessage.contains("no Content-Length"))
+    val truncated = "WARC/1.0\r\nContent-Length: 999\r\n\r\nshort"
+    val e2 = intercept[IllegalArgumentException](Warc.parse(truncated.getBytes("UTF-8")))
+    assert(e2.getMessage.contains("past EOF"))
+    val noSep = "WARC/1.0\r\nContent-Length: 4\r\n\r\nbodyXX"
+    val e3 = intercept[IllegalArgumentException](Warc.parse(noSep.getBytes("UTF-8")))
+    assert(e3.getMessage.contains("separator"))
+    val garbage = "HTTP/1.1 200 OK\r\n"
+    val e4 = intercept[IllegalArgumentException](Warc.parse(garbage.getBytes("UTF-8")))
+    assert(e4.getMessage.contains("expected WARC/1.0"))
+  }
+
+  test("records over a DataFrame; htmlDocuments strips HTTP headers, non-responses drop") {
+    val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html>hi</html>"
+    val blob = rec("response", "https://a/1", http) +
+      rec("request", "https://a/1", "GET / HTTP/1.1\r\n") // filtered
+    val files = Seq(("f1.warc", blob.getBytes("UTF-8"))).toDF("path", "content")
+    val recs = Warc.records(files)
+    assert(recs.count() == 2)
+    val docs = Warc.htmlDocuments(recs).collect()
+    assert(docs.length == 1)
+    val r = docs.head
+    assert(r.getAs[String]("target_uri") == "https://a/1")
+    assert(r.getAs[Int]("http_status") == 200)
+    assert(r.getAs[String]("body") == "<html>hi</html>")
+  }
+
+  test("empty archive parses to zero records") {
+    assert(Warc.parse(Array.emptyByteArray).isEmpty)
+  }
+}
