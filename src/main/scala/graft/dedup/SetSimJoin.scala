@@ -177,7 +177,16 @@ object SetSimJoin {
     * equi-join of batch prefixes against (index ∪ batch) prefixes, and
     * id-keyed verify joins — O(batch × matches), never O(history²). */
   def incremental(batch: DataFrame, idCol: String, textCol: String,
-                  threshold: Double, idx: PrefixIndex): DataFrame = {
+                  threshold: Double, idx: PrefixIndex): DataFrame =
+    incrementalWithState(batch, idCol, textCol, threshold, idx)._1
+
+  /** [[incremental]] plus the batch's own token and prefix frames — the
+    * streaming face persists EXACTLY the frames the join probed
+    * ([[graft.streaming.StreamingIngest.setSimBatch]]), so state and
+    * output can never drift apart. */
+  def incrementalWithState(batch: DataFrame, idCol: String, textCol: String,
+                           threshold: Double, idx: PrefixIndex)
+      : (DataFrame, DataFrame, DataFrame) = {
     val tp = tprime(threshold)
     val bt = tokenTable(batch, idCol, textCol)
     val bPref = orderedPrefixes(bt, idx.order, tp)
@@ -192,7 +201,31 @@ object SetSimJoin {
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"))
       .distinct()
-    verify(cands, idx.tokens.unionByName(bt), threshold)
+    (verify(cands, idx.tokens.unionByName(bt), threshold), bt, bPref)
+  }
+
+  /** The ascending-(df, token) order table of a corpus — the frame the
+    * streaming face freezes at batch 0. */
+  def tokenOrder(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokenTable(df, idCol, textCol)
+      .select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+
+  /** Empty state frames for a first batch (schemas of [[PrefixIndex]]). */
+  def emptyTokens(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("id", LongType),
+        StructField("toks", ArrayType(StringType)),
+        StructField("n", IntegerType))))
+  }
+
+  def emptyPrefixes(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("id", LongType),
+        StructField("n", IntegerType), StructField("i", IntegerType),
+        StructField("tok", StringType))))
   }
 
   /** The index after absorbing a batch: the order stays FROZEN (the

@@ -83,6 +83,9 @@ object Warc {
       }
       if (len < 0) throw new IllegalArgumentException(
         s"record at byte $start has no Content-Length")
+      if (len > Int.MaxValue - 8) throw new IllegalArgumentException(
+        s"record at byte $start declares a ${len}-byte payload — beyond " +
+          "the single-array bound; split the archive upstream")
       if (pos + len > bytes.length) throw new IllegalArgumentException(
         s"record at byte $start declares $len payload bytes past EOF")
       val payload = java.util.Arrays.copyOfRange(bytes, pos, pos + len.toInt)

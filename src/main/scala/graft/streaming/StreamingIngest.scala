@@ -738,6 +738,77 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
   }
 
+  /** [EXT] Streaming EXACT near-dup pairs (r10) — the
+    * [[graft.dedup.SetSimJoin]] incremental face as a stream: each
+    * micro-batch emits every qualifying pair it forms with history ∪
+    * itself, with NO LSH misses, under the batch-keyed-partition state
+    * discipline throughout ([[graft.dedup.SetSimJoin.PrefixIndex]]'s
+    * three frames as parquet state):
+    *
+    *  - `order/` — the token order, FROZEN at batch 0 (a pure function
+    *    of batch 0's content: re-firing batch 0 rewrites it
+    *    identically). Later batches' unseen tokens rank (0, token) —
+    *    ahead of everything, the order-consistent front extension
+    *    [[graft.dedup.SetSimJoin.orderedPrefixes]] documents — so one
+    *    total order covers every pair ever formed, and drift only costs
+    *    candidate efficiency, never a pair.
+    *  - `tokens/batch_id=N`, `prefixes/batch_id=N` — overwritten by
+    *    their own batch, read `batch_id < N`: a re-fired batch sees
+    *    exactly the pre-batch state and recomputes identical pairs.
+    *  - `pairs/batch_id=N` — the batch's own output partition,
+    *    overwrite: structurally idempotent under at-least-once replay.
+    *
+    * "All pairs" at read time is the union of pairs partitions;
+    * StreamingSpec pins it equal to one [[graft.dedup.SetSimJoin
+    * .jaccardJoin]] over everything, and replays a batch to pin
+    * determinism. */
+  def setSimPairsViaBatchState(docs: DataFrame, stateDir: String,
+                               checkpoint: String, idCol: String = "doc_id",
+                               textCol: String = "text",
+                               threshold: Double = 0.9): DataStreamWriter[Row] = {
+    require(docs.isStreaming)
+    docs.writeStream
+      .foreachBatch { (batch0: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        setSimBatch(batch0.toDF(), batchId, stateDir, idCol, textCol, threshold)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+  }
+
+  /** One micro-batch of [[setSimPairsViaBatchState]], exposed for the
+    * replay-determinism spec. */
+  def setSimBatch(batchDf: DataFrame, batchId: Long, stateDir: String,
+                  idCol: String, textCol: String, threshold: Double): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType, StringType}
+    val spark = batchDf.sparkSession
+    val orderPath = s"$stateDir/order"
+    // Frozen order: batch 0 computes and (over)writes it; every batch
+    // reads it back. A restart-renumbered stream (fresh checkpoint over
+    // existing state) keeps the existing frozen order — consistency
+    // with already-indexed prefixes wins over freshness.
+    if (batchId == 0L && readIndexIfExists(spark, orderPath).isEmpty) {
+      graft.dedup.SetSimJoin.tokenOrder(batchDf, idCol, textCol)
+        .write.mode("overwrite").parquet(orderPath)
+    }
+    val order = readIndexIfExists(spark, orderPath).getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
+        StructField("tok", StringType), StructField("df", LongType)))))
+    def statePart(name: String) =
+      readIndexIfExists(spark, s"$stateDir/$name")
+        .map(_.filter(col("batch_id") < batchId).drop("batch_id"))
+    val idx = graft.dedup.SetSimJoin.PrefixIndex(order,
+      statePart("tokens").getOrElse(
+        graft.dedup.SetSimJoin.emptyTokens(spark)),
+      statePart("prefixes").getOrElse(
+        graft.dedup.SetSimJoin.emptyPrefixes(spark)))
+    val (pairs, bt, bPref) = graft.dedup.SetSimJoin
+      .incrementalWithState(batchDf, idCol, textCol, threshold, idx)
+    pairs.write.mode("overwrite").parquet(s"$stateDir/pairs/batch_id=$batchId")
+    bt.write.mode("overwrite").parquet(s"$stateDir/tokens/batch_id=$batchId")
+    bPref.write.mode("overwrite").parquet(s"$stateDir/prefixes/batch_id=$batchId")
+  }
+
   def dedupViaSinkIndex(candidates: DataFrame, sinkPath: String,
                         checkpoint: String): DataStreamWriter[Row] = {
     require(candidates.isStreaming)

@@ -875,4 +875,41 @@ class StreamingSpec extends SparkSpec {
         s"${r.getString(0)}: approx $approx vs exact $exact")
     }
   }
+
+  test("streaming exact pairs: union of batch partitions == full join; replay identical (r10)") {
+    // Three batches with dup pairs inside a batch, across adjacent
+    // batches, and across batch 0 → batch 2 (frozen-order unseen tokens
+    // in between). The union of pairs partitions must equal ONE
+    // SetSimJoin.jaccardJoin over everything, and re-firing batch 1
+    // must leave all state and output byte-identical.
+    val b0 = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "totally different words here"))
+    val b1 = Seq((10L, "brandnew unseen tokens arrive"),
+      (11L, "alpha beta gamma delta"))
+    val b2 = Seq((20L, "brandnew unseen tokens arrive"),
+      (21L, "alpha beta gamma epsilon delta"))
+    val all = b0 ++ b1 ++ b2
+    def run(replay: Boolean): Set[(Long, Long, Double)] = {
+      val root = java.nio.file.Files.createTempDirectory("graft_setsim").toString
+      def fire(rows: Seq[(Long, String)], id: Long): Unit =
+        StreamingIngest.setSimBatch(rows.toDF("doc_id", "text"), id,
+          root, "doc_id", "text", 0.8)
+      fire(b0, 0L); fire(b1, 1L)
+      if (replay) fire(b1, 1L) // at-least-once re-fire
+      fire(b2, 2L)
+      spark.read.parquet(s"$root/pairs")
+        .select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    val full = graft.dedup.SetSimJoin
+      .jaccardJoin(all.toDF("doc_id", "text"), "doc_id", "text", 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    // cross-batch 0→1 (2,11), 0→2 via new tokens (10,20), within-batch
+    // (1,2), and the near pair (21 vs the alpha family at 4/5)
+    assert(full.contains((1L, 2L, 1.0)) && full.contains((10L, 20L, 1.0)))
+    assert(full.exists { case (a, b, j) => b == 21L && j == 0.8 })
+    val clean = run(replay = false)
+    assert(clean == full, s"streamed pairs diverge: $clean vs $full")
+    assert(run(replay = true) == full, "replay changed the pair set")
+  }
 }
