@@ -41,6 +41,15 @@ import graft.Mat.Pinnable
   * aggregate on a natural key (token, id, pair); nothing is broadcast by
   * hint (the token-frequency join is vocabulary-sized — AQE decides),
   * and no stage is quadratic in the corpus.
+  *
+  * Output-bound caveat (measured, BASELINE.md 10× audit): a PAIR join's
+  * answer is quadratic in the duplication factor by definition — a
+  * 10×-replicated corpus returns 100× the pairs and pays for them
+  * (~263k verified pairs/s, cost tracking output, candidates still
+  * linear). On duplication-heavy corpora run exact dedup FIRST (the
+  * RefinedWeb stage order) or use the keepers/CC form
+  * ([[Dedup.nearDupKeepersScaled]]); this operator is the audit
+  * surface, and its cost is its answer's size.
   */
 object SetSimJoin {
 
