@@ -288,6 +288,33 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("incremental set-sim join over a random split == full-join batch rows (r10)") {
+    // Random corpora + a random split point: index the low-id half,
+    // probe the high-id half; result must equal the full join's
+    // batch-involving rows regardless of where the split lands or how
+    // token frequencies drifted between the halves.
+    val wordGen = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    val docGen = Gen.nonEmptyListOf(wordGen).map(_.mkString(" "))
+    val corpusGen = Gen.nonEmptyListOf(docGen)
+    forAll2(corpusGen, Gen.choose(0, 10)) { (texts, splitRaw) =>
+      val df = texts.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("doc_id", "text")
+      val split = (splitRaw % (texts.size + 1)).toLong
+      val hist = df.filter(col("doc_id") < split)
+      val batch = df.filter(col("doc_id") >= split)
+      whenever(hist.count() > 0 && batch.count() > 0) {
+        val idx = graft.dedup.SetSimJoin.index(hist, "doc_id", "text", 0.6)
+        val got = graft.dedup.SetSimJoin
+          .incremental(batch, "doc_id", "text", 0.6, idx)
+          .as[(Long, Long, Double)].collect().toSet
+        val full = graft.dedup.SetSimJoin.jaccardJoin(df, "doc_id", "text", 0.6)
+          .as[(Long, Long, Double)].collect().toSet
+        assert(got == full.filter(_._2 >= split),
+          s"split at $split over ${texts.size} docs")
+      }
+    }
+  }
+
   test("nfcNormalize agrees with java.text.Normalizer and is idempotent (r9)") {
     val charGen = Gen.oneOf[String](
       "a", "z", "é", "é", "Å", "Å", "ö", "ö", "中", " ", "1")
