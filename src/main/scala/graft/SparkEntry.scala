@@ -859,6 +859,22 @@ object SparkEntry {
     // WARC ingestion: archives built from the fixture docs, parsed by
     // the length-driven record walker; the oracle reconstructs the same
     // records relationally — the gate proves parse(write(x)) == x.
+    // Density-based main-content extraction over planted page chrome:
+    // nav and footer blocks are all-links (dropped), the doc text is the
+    // content block, and every third doc grows a second content section.
+    "html_main_content" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><body><div class=\"nav\"><a href=\"/\">Home</a> " +
+          "<a href=\"/a\">About</a> <a href=\"/c\">Contact</a></div><p>"),
+        col("text"),
+        lit("</p><div><a>Privacy</a> <a>Terms</a></div>"),
+        when(col("doc_id") % 3 === 0,
+          lit("<section>Read more about this topic here</section>"))
+          .otherwise(lit("")),
+        lit("</body></html>"))
+      graft.ingest.Boilerplate.mainContent(
+        Tables.documents(s, dir).withColumn("html", html))
+    }),
     "warc_records" -> ((s, dir) =>
       graft.sources.Warc.records(warcBlobs(Tables.documents(s, dir)))
         .select(col("path").as("source"), col("record_offset"),
@@ -2845,6 +2861,16 @@ object SparkEntry {
         |    nullif((padded_chunks * 512)::DOUBLE, 0), 4) AS pct_padded_waste
         |FROM b""".stripMargin,
     "k_anonymous_stats" -> graft.pipeline.Curation.sqlKAnonymousStats(5),
+    "html_main_content" ->
+      ("WITH h AS (SELECT doc_id,\n" +
+        "  '<html><body><div class=\"nav\"><a href=\"/\">Home</a> " +
+        "<a href=\"/a\">About</a> <a href=\"/c\">Contact</a></div><p>'\n" +
+        "  || text || '</p><div><a>Privacy</a> <a>Terms</a></div>' ||\n" +
+        "  CASE WHEN doc_id % 3 = 0 THEN " +
+        "'<section>Read more about this topic here</section>' ELSE '' END\n" +
+        "  || '</body></html>' AS html FROM documents),\n" +
+        graft.ingest.Boilerplate.sqlMainContent("html") +
+        "\nORDER BY doc_id"),
     "warc_records" ->
       s"""WITH $sqlWarcCtes,
          |o AS (
