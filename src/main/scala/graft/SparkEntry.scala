@@ -120,6 +120,20 @@ object SparkEntry {
     "doc_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
     // Language-vs-script disagreement audit over a planted mix of
     // transliterated, mislabeled, consistent, and abstaining docs.
+    // n-gram language ID over fitted per-language trigram profiles —
+    // the Cavnar-Trenkle heuristic with the printed-constant oracle.
+    "langid_ngram" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val prof = TextAnalysis.fitLangProfiles(docs)
+      FittedOracle.langIdProfiles = Some(prof)
+      TextAnalysis.langIdNgram(docs, prof)
+    }),
+    "langid_confusion" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val prof = TextAnalysis.fitLangProfiles(docs)
+      FittedOracle.langConfusionProfiles = Some(prof)
+      TextAnalysis.langIdConfusion(docs, prof)
+    }),
     "lang_script_consistency" -> ((s, dir) => {
       val planted = Tables.documents(s, dir).withColumn("text",
         when(col("doc_id") % 5 === 0, col("text")).otherwise(

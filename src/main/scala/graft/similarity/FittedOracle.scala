@@ -34,6 +34,11 @@ object FittedOracle {
   // encode then replays as a recursive CTE ([[graft.text.Bpe]] SQL
   // builders). One slot per query: same fit today, but they must never
   // silently couple.
+  // Fitted language trigram profiles (r10): Cavnar–Trenkle-class top-K
+  // per-language character trigrams — a bounded deterministic fit like
+  // the k-means centroids; one slot per query.
+  @volatile var langIdProfiles: Option[Seq[(String, Seq[String])]] = None
+  @volatile var langConfusionProfiles: Option[Seq[(String, Seq[String])]] = None
   @volatile var bpeStatsMerges: Option[Seq[(String, String)]] = None
   @volatile var bpePackMerges: Option[Seq[(String, String)]] = None
   @volatile var bpeFertilityMerges: Option[Seq[(String, String)]] = None
@@ -87,6 +92,18 @@ object FittedOracle {
       recallCenters.map(c =>
         "ann_recall_report" -> Ivf.sqlAnnRecall(c, k = 5, nprobe = 4,
           probeWhere = "vec_id % 50 = 0")) ++
+      langIdProfiles.filter(_.nonEmpty).map(p =>
+        "langid_ngram" ->
+          (s"WITH ${graft.text.TextAnalysis.sqlLangIdNgramCtes(
+              "documents", "doc_id", "lang", "text", p)}\n" +
+            "SELECT doc_id, lang, pred_ngram, (lang = pred_ngram) AS agree\n" +
+            "FROM pr ORDER BY doc_id")) ++
+      langConfusionProfiles.filter(_.nonEmpty).map(p =>
+        "langid_confusion" ->
+          (s"WITH ${graft.text.TextAnalysis.sqlLangIdNgramCtes(
+              "documents", "doc_id", "lang", "text", p)}\n" +
+            "SELECT lang, pred_ngram, count(*) AS n\n" +
+            "FROM pr GROUP BY 1, 2 ORDER BY lang, pred_ngram")) ++
       // Empty fitted lists (degenerate corpus) render invalid
       // `FROM (VALUES )` SQL — omit the entry, the driver records the
       // weaker rows-only check (the never-a-broken-oracle rule above).

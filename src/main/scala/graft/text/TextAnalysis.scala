@@ -252,6 +252,109 @@ object TextAnalysis {
        |  ($lang = 'und' OR $dom = 'none' OR $expected = $dom) AS consistent""".stripMargin
   }
 
+  // ---- character-n-gram language ID (Cavnar & Trenkle 1994 class) ----
+
+  /** Distinct character trigrams of the lowercased text — the features
+    * of the n-gram language classifier. Both engines enumerate start
+    * positions 1..len−2 and slice 3 codepoints, so profiles and scores
+    * replay exactly. */
+  def charTrigrams(text: Column): Column =
+    // greatest(…, 1) keeps Spark's sequence() ascending on short texts
+    // (stop < start would generate a DESCENDING sequence); the length
+    // filter then drops the sub-3-char tail slices in both engines.
+    array_distinct(filter(
+      transform(
+        sequence(lit(1), greatest(length(lower(text)) - 2, lit(1))),
+        i => lower(text).substr(i, lit(3))),
+      x => length(x) === 3))
+
+  /** Driver fit: per language label, the top-K trigrams by (document
+    * frequency desc, trigram asc) — a bounded, deterministic fit (≤
+    * K·|langs| rows collected) that prints into the oracle as exact
+    * constants ([[graft.similarity.FittedOracle.langProfiles]], the
+    * k-means/BPE printed-constant channel). */
+  def fitLangProfiles(docs: DataFrame, langCol: String = "lang",
+                      textCol: String = "text",
+                      k: Int = 50): Seq[(String, Seq[String])] = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(langCol))
+      .orderBy(col("df").desc, col("tri").asc)
+    graft.Par.widen(docs)
+      .filter(col(langCol).isNotNull)
+      .select(col(langCol).as("lang"), explode(charTrigrams(col(textCol))).as("tri"))
+      .groupBy(col("lang"), col("tri")).agg(count(lit(1)).as("df"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("rk"), col("tri"))
+      .collect()
+      .groupBy(_.getString(0)).toSeq.sortBy(_._1)
+      .map { case (lang, rows) =>
+        lang -> rows.sortBy(_.getInt(1)).map(_.getString(2)).toSeq
+      }
+  }
+
+  /** [EXT] n-gram language ID (`langid_ngram` query): score(lang) =
+    * |doc trigrams ∩ profile(lang)|, argmax with alphabetical
+    * precedence, all-zero → 'und' — the same election discipline as the
+    * marker-word [[langId]], over learned character features instead of
+    * a hand-set word list (the Cavnar–Trenkle shape with set overlap in
+    * place of rank distance — integer scores, engine-exact). Output per
+    * doc: declared label, prediction, agreement. */
+  def langIdNgram(docs: DataFrame, profiles: Seq[(String, Seq[String])],
+                  idCol: String = "doc_id", langCol: String = "lang",
+                  textCol: String = "text"): DataFrame = {
+    val tris = charTrigrams(col(textCol))
+    val scores = profiles.map { case (l, p) =>
+      l -> size(array_intersect(tris, array(p.map(lit): _*)))
+    }
+    val best = greatest(scores.map(_._2): _*)
+    val pred = scores.foldRight(lit("und")) { case ((l, s), els) =>
+      when(best > 0 && s === best, lit(l)).otherwise(els)
+    }
+    docs.select(col(idCol), col(langCol).as("lang"), pred.as("pred_ngram"))
+      .withColumn("agree", col("lang") === col("pred_ngram"))
+      .orderBy(col(idCol))
+  }
+
+  /** Declared-vs-predicted confusion counts (`langid_confusion` query) —
+    * the audit a team reads before trusting the classifier. */
+  def langIdConfusion(docs: DataFrame, profiles: Seq[(String, Seq[String])],
+                      idCol: String = "doc_id", langCol: String = "lang",
+                      textCol: String = "text"): DataFrame =
+    langIdNgram(docs, profiles, idCol, langCol, textCol)
+      .groupBy(col("lang"), col("pred_ngram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred_ngram"))
+
+  /** DuckDB trigram-set expression over a text expression. */
+  def sqlCharTrigrams(t: String): String =
+    s"list_distinct(list_filter(list_transform(range(1, greatest(length(lower($t)) - 1, 1)), i -> substring(lower($t), CAST(i AS INT), 3)), x -> length(x) = 3))"
+
+  /** DuckDB mirror of the per-doc n-gram prediction over printed
+    * profiles: `prof(lang, tris)` must be in scope. */
+  def sqlLangIdNgramCtes(rel: String, idCol: String, langCol: String,
+                         textCol: String,
+                         profiles: Seq[(String, Seq[String])]): String = {
+    val values = profiles.map { case (l, p) =>
+      s"('$l', ${p.map(t => s"'${t.replace("'", "''")}'").mkString("[", ", ", "]")})"
+    }.mkString(",\n    ")
+    s"""prof(plang, tris) AS (FROM (VALUES
+       |    $values)),
+       |sc AS (
+       |  SELECT d.$idCol AS doc_id, d.$langCol AS lang, p.plang,
+       |    len(list_filter(${sqlCharTrigrams(s"d.$textCol")},
+       |        x -> list_contains(p.tris, x))) AS s
+       |  FROM $rel d CROSS JOIN prof p),
+       |mx AS (SELECT doc_id, lang, max(s) AS best FROM sc GROUP BY 1, 2),
+       |pr AS (
+       |  SELECT mx.doc_id, mx.lang,
+       |    CASE WHEN mx.best > 0
+       |      THEN (SELECT min(plang) FROM sc
+       |            WHERE sc.doc_id = mx.doc_id AND sc.s = mx.best)
+       |      ELSE 'und' END AS pred_ngram
+       |  FROM mx)""".stripMargin
+  }
+
   /** Predicted-language distribution (the `lang_distribution` query). */
   def langDistribution(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.groupBy(langId(col(textCol)).as("lang_pred"))

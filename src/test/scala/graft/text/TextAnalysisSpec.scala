@@ -224,6 +224,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == ((2L, 0L, 1L, "latin")), out(3L).toString)
   }
 
+  test("n-gram language ID separates real languages; trigram edges (r10)") {
+    val train = Seq(
+      (1L, "de", "der schnelle braune fuchs springt über den faulen hund und die katze"),
+      (2L, "de", "ich möchte heute nicht zur schule gehen weil es regnet draußen"),
+      (3L, "en", "the quick brown fox jumps over the lazy dog and the cat"),
+      (4L, "en", "i would rather not go to school today because it is raining"),
+      (5L, "fr", "le renard brun rapide saute par dessus le chien paresseux et le chat"),
+      (6L, "fr", "je ne veux pas aller à l'école aujourd'hui parce qu'il pleut dehors")
+    ).toDF("doc_id", "lang", "text")
+    val prof = TextAnalysis.fitLangProfiles(train, k = 40)
+    assert(prof.map(_._1) == Seq("de", "en", "fr"))
+    // held-out sentences classify correctly when text actually differs
+    val test_ = Seq(
+      (10L, "de", "der hund springt über die katze und den fuchs"),
+      (11L, "en", "the dog jumps over the cat and the fox"),
+      (12L, "fr", "le chien saute par dessus le chat et le renard")
+    ).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.langIdNgram(test_, prof).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getBoolean(3))).toMap
+    assert(out(10L) == (("de", true)))
+    assert(out(11L) == (("en", true)))
+    assert(out(12L) == (("fr", true)))
+    // trigram edges: texts shorter than 3 chars yield no features -> und
+    val short = Seq((20L, "en", "ab"), (21L, "en", "")).toDF("doc_id", "lang", "text")
+    val preds = TextAnalysis.langIdNgram(short, prof).collect()
+      .map(_.getString(2)).toSet
+    assert(preds == Set("und"))
+    // confusion over the training set is diagonal
+    val conf = TextAnalysis.langIdConfusion(train, prof).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(conf.keys.forall { case (a, b) => a == b }, conf.toString)
+  }
+
   test("langScriptConsistency: transliteration and mislabel flag, abstentions pass (r10)") {
     val docs = Seq(
       (1L, "shi bu wo ni zai hen ma ba"),      // zh prediction, latin script
