@@ -430,6 +430,14 @@ object SparkEntry {
       FittedOracle.pqBooks = Some(books)
       Pq.knnPqWith(books, emb, emb.filter(col("vec_id") % 50 === 0), 5)
     }),
+    // The other half of ANN QA beside ann_recall_report: per-subspace
+    // reconstruction error of the fitted codebooks, integer-lifted sums.
+    "pq_distortion" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val books = Pq.fitCodebooks(emb, 8, 16)
+      FittedOracle.distortionBooks = Some(books)
+      Pq.distortionReport(emb, books)
+    }),
     // knn_ivf_pq: IVF list pruning + ADC over codes — the billion-scale
     // composition. FULL oracle since r9 (printed centroids + codebooks);
     // recall pinned in PqSpec.

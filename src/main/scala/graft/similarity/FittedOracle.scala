@@ -37,6 +37,7 @@ object FittedOracle {
   // Fitted language trigram profiles (r10): Cavnar–Trenkle-class top-K
   // per-language character trigrams — a bounded deterministic fit like
   // the k-means centroids; one slot per query.
+  @volatile var distortionBooks: Option[IndexedSeq[IndexedSeq[IndexedSeq[Double]]]] = None
   @volatile var langIdProfiles: Option[Seq[(String, Seq[String])]] = None
   @volatile var langConfusionProfiles: Option[Seq[(String, Seq[String])]] = None
   @volatile var bpeStatsMerges: Option[Seq[(String, String)]] = None
@@ -92,6 +93,8 @@ object FittedOracle {
       recallCenters.map(c =>
         "ann_recall_report" -> Ivf.sqlAnnRecall(c, k = 5, nprobe = 4,
           probeWhere = "vec_id % 50 = 0")) ++
+      distortionBooks.map(b =>
+        "pq_distortion" -> Pq.sqlDistortionReport(b)) ++
       langIdProfiles.filter(_.nonEmpty).map(p =>
         "langid_ngram" ->
           (s"WITH ${graft.text.TextAnalysis.sqlLangIdNgramCtes(

@@ -384,4 +384,65 @@ object Pq {
        |SELECT probe_id, rk, cand_id, adc_dist FROM r WHERE rk <= $k
        |ORDER BY probe_id, rk""".stripMargin
   }
+
+  /** [EXT] Quantization distortion audit (`pq_distortion` query) — the
+    * OTHER half of ANN QA beside recall ([[Similarity.recallReport]]):
+    * per subspace, how much squared error the chosen sub-centroids
+    * carry. A team reads this before raising m/ksub — recall tells you
+    * the index misses, distortion tells you WHY.
+    *
+    * Per (vector, subspace): err = min_j ||v_s − c_{s,j}||², computed
+    * as a left-to-right fold over the broadcast-literal codebook (the
+    * engine-exact order DuckDB's list_reduce replays), rounded to 6
+    * decimals and LIFTED ×10⁶ to a long BEFORE aggregation — sums are
+    * order-independent integer arithmetic, so the corpus-level means
+    * hash-match (the domainQuality discipline). One narrow projection +
+    * one m-row aggregate; nothing shuffles but (s, err_fp) pairs. */
+  def distortionReport(candidates: DataFrame,
+                       books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val m = books.length
+    val dsub = books.head.head.length
+    def errFp(s: Int) = {
+      val sub = slice(asDouble(col(vecCol)), s * dsub + 1, dsub)
+      val cents = array(books(s).map(c => array(c.map(lit): _*)): _*)
+      val err = array_min(transform(cents, c =>
+        aggregate(zip_with(c, sub, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x)))
+      round(round(err, 6) * 1000000).cast("long")
+    }
+    graft.Par.widen(candidates)
+      .select(posexplode(array((0 until m).map(errFp): _*)))
+      .select(col("pos").as("subspace"), col("col").as("err_fp"))
+      .groupBy(col("subspace"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(sum(col("err_fp")).cast("double") / (count(lit(1)) * 1000000.0), 6)
+          .as("mean_sq_err"),
+        round(max(col("err_fp")).cast("double") / 1000000.0, 6).as("max_sq_err"))
+      .orderBy(col("subspace"))
+  }
+
+  /** DuckDB mirror of [[distortionReport]] over printed codebooks. */
+  def sqlDistortionReport(books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]]): String = {
+    val m = books.length
+    val dsub = books.head.head.length
+    s"""WITH cb AS (
+       |  FROM (VALUES
+       |    ${FittedOracle.codebookValues(books)}) cb(s, j, n2, cv)),
+       |n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |e AS (
+       |  SELECT n.vec_id, cb.s,
+       |    min(list_reduce(
+       |      list_transform(range(1, $dsub + 1),
+       |        t -> (cb.cv[t] - v[cb.s*$dsub + t]) * (cb.cv[t] - v[cb.s*$dsub + t])),
+       |      (a, b) -> a + b)) AS err
+       |  FROM n CROSS JOIN cb GROUP BY 1, 2),
+       |f AS (SELECT s, CAST(round(round(err, 6) * 1000000) AS BIGINT) AS err_fp
+       |      FROM e)
+       |SELECT s AS subspace, count(*) AS n_vectors,
+       |  round(SUM(err_fp)::DOUBLE / (count(*) * 1000000.0), 6) AS mean_sq_err,
+       |  round(MAX(err_fp)::DOUBLE / 1000000.0, 6) AS max_sq_err
+       |FROM f GROUP BY 1 ORDER BY subspace""".stripMargin
+  }
 }

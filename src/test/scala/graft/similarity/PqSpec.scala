@@ -79,4 +79,28 @@ class PqSpec extends SparkSpec {
     val b = Pq.knnPq(corpus, probes, 5, m = 4, ksub = 8).collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  test("distortion report: more centroids strictly help; exact-fit corpus reads zero (r10)") {
+    // A corpus of exactly ksub rows: the shuffled-row init picks ALL of
+    // them (take(min(k, n)) with n == k), so every vector is its own
+    // centroid and every subspace's error is 0 to the rounding unit.
+    // (More rows than ksub would NOT guarantee zero even with few
+    // distinct values — random-row init can duplicate a point and leave
+    // another uncovered, and Lloyd never splits the duplicate.)
+    val exact = (0 until 4).map { i =>
+      (i.toLong, Array.tabulate(8)(d => if (d % 4 == i) 5.0f else 0.0f))
+    }.toDF("vec_id", "embedding")
+    val zb = Pq.fitCodebooks(exact, m = 4, ksub = 4)
+    val zr = Pq.distortionReport(exact, zb).collect()
+    assert(zr.length == 4)
+    assert(zr.forall(r => r.getAs[Double]("mean_sq_err") == 0.0 &&
+      r.getAs[Double]("max_sq_err") == 0.0), zr.mkString(","))
+    // On the jittered corpus, growing ksub cannot increase mean error.
+    def meanErr(ksub: Int): Double =
+      Pq.distortionReport(corpus, Pq.fitCodebooks(corpus, m = 4, ksub = ksub))
+        .agg(sum($"mean_sq_err")).collect().head.getDouble(0)
+    val coarse = meanErr(2)
+    val fine = meanErr(16)
+    assert(fine < coarse, s"ksub=16 ($fine) not better than ksub=2 ($coarse)")
+  }
 }
