@@ -907,6 +907,12 @@ object SparkEntry {
       graft.sources.Warc.htmlDocuments(
           graft.sources.Warc.records(warcBlobs(Tables.documents(s, dir))))
         .orderBy(col("target_uri"))),
+    // CDX capture index over the same archives: SURT urlkey, byte-precise
+    // offset/length, payload digest — the oracle rebuilds every field
+    // relationally, so the gate proves the index points at the records.
+    "warc_cdx" -> ((s, dir) =>
+      graft.sources.Warc.cdx(
+        graft.sources.Warc.records(warcBlobs(Tables.documents(s, dir))))),
     // The INCREMENTAL manifest: additive counts + mergeable HLL content
     // sketch rolled up from state alone — release cost independent of
     // corpus size. The oracle replays each level's sketch directly; the
@@ -2911,6 +2917,38 @@ object SparkEntry {
          |  200 AS http_status,
          |  '<html><body>' || text || '</body></html>' AS body
          |FROM wr0 ORDER BY target_uri""".stripMargin,
+    "warc_cdx" ->
+      s"""WITH $sqlWarcCtes,
+         |o AS (
+         |  SELECT source, uri, payload,
+         |    CAST(strlen(rec) AS BIGINT) AS record_length,
+         |    CAST(COALESCE(SUM(strlen(rec)) OVER (
+         |      PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS record_offset
+         |  FROM wr),
+         |c AS (
+         |  SELECT
+         |    array_to_string(list_reverse(
+         |        string_split(${graft.ingest.Urls.sqlHost("uri")}, '.')), ',')
+         |      || ')' ||
+         |      lower(CASE WHEN regexp_extract(trim(uri),
+         |                   '${graft.ingest.Urls.PathRe}', 1) = '' THEN '/'
+         |            ELSE regexp_extract(trim(uri),
+         |                   '${graft.ingest.Urls.PathRe}', 1) END) AS urlkey,
+         |    regexp_replace('2026-01-01T00:00:00Z', '[^0-9]', '', 'g') AS ts14,
+         |    uri AS original,
+         |    CASE WHEN trim(regexp_extract(payload,
+         |           '(?i)\r\ncontent-type: *([^;\r]+)', 1)) = '' THEN 'unk'
+         |      ELSE trim(regexp_extract(payload,
+         |           '(?i)\r\ncontent-type: *([^;\r]+)', 1)) END AS mime,
+         |    TRY_CAST(regexp_extract(payload,
+         |      '^HTTP/[0-9.]+ ([0-9]{3})', 1) AS INT) AS status,
+         |    md5(payload) AS digest, source AS filename,
+         |    record_offset, record_length
+         |  FROM o)
+         |SELECT * FROM c
+         |ORDER BY urlkey, ts14, filename, record_offset""".stripMargin,
     "release_manifest" ->
       """WITH t AS (
         |  SELECT COALESCE(source, 'Unknown') AS source,

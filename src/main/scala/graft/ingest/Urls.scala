@@ -39,7 +39,7 @@ object Urls {
 
   private val SchemeRe = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
   private val AuthRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)"
-  private[ingest] val PathRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
+  private[graft] val PathRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
   private val QueryRe = "\\?([^#]*)"
   private val TrackingRe = "^(utm_[^=]*|fbclid|gclid)="
 

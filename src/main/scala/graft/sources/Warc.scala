@@ -35,6 +35,7 @@ object Warc {
   val schema: StructType = StructType(Seq(
     StructField("path", StringType, nullable = true),
     StructField("record_offset", LongType, nullable = false),
+    StructField("record_length", LongType, nullable = false),
     StructField("warc_type", StringType, nullable = true),
     StructField("target_uri", StringType, nullable = true),
     StructField("warc_date", StringType, nullable = true),
@@ -42,12 +43,14 @@ object Warc {
     StructField("payload", BinaryType, nullable = false)))
 
   /** Parse one archive's bytes into records: (offset, type, uri, date,
-    * declared length, payload bytes). Strict: every record must carry
-    * Content-Length; truncated payloads and missing separators throw
-    * with the offending byte offset. */
-  def parse(bytes: Array[Byte]): Seq[(Long, String, String, String, Long, Array[Byte])] = {
+    * declared length, payload bytes, total record byte span — headers
+    * through the trailing separator, so offset(i+1) = offset(i) +
+    * span(i)). Strict: every record must carry Content-Length; truncated
+    * payloads and missing separators throw with the offending byte
+    * offset. */
+  def parse(bytes: Array[Byte]): Seq[(Long, String, String, String, Long, Array[Byte], Long)] = {
     val out = scala.collection.mutable.ArrayBuffer
-      .empty[(Long, String, String, String, Long, Array[Byte])]
+      .empty[(Long, String, String, String, Long, Array[Byte], Long)]
     var pos = 0
     while (pos < bytes.length) {
       val start = pos
@@ -95,7 +98,8 @@ object Warc {
         throw new IllegalArgumentException(
           s"missing record separator after payload at byte $pos")
       pos += 4
-      out += ((start.toLong, warcType, uri, date, len, payload))
+      out += ((start.toLong, warcType, uri, date, len, payload,
+        (pos - start).toLong))
     }
     out.toSeq
   }
@@ -118,11 +122,59 @@ object Warc {
     val spark = files.sparkSession
     val rdd = files.select(col(pathCol), col(contentCol)).rdd.flatMap { r =>
       val path = r.getString(0)
-      parse(r.getAs[Array[Byte]](1)).map { case (off, t, u, d, n, p) =>
-        Row(path, off, t, u, d, n, p)
+      parse(r.getAs[Array[Byte]](1)).map { case (off, t, u, d, n, p, span) =>
+        Row(path, off, span, t, u, d, n, p)
       }
     }
     spark.createDataFrame(rdd, schema)
+  }
+
+  /** [EXT] CDX capture index (`warc_cdx` query) — the lookup sidecar
+    * every WARC collection ships with (Common Crawl's cc-index, the
+    * Wayback Machine's CDX servers): one row per response capture keyed
+    * for prefix lookup, so "every capture under example.org" is an index
+    * range scan instead of a 100 TB archive walk.
+    *
+    * Fields follow the CDXJ convention:
+    *  - `urlkey`: SURT (Sort-friendly URI Reordering Transform) — host
+    *    labels reversed and comma-joined, then `)` + lowercased path
+    *    (`https://news.example.org/A/1` → `org,example,news)/a/1`), so a
+    *    lexicographic sort clusters a domain's captures; host extraction
+    *    is [[graft.ingest.Urls.host]] (userinfo/port stripped, one owner);
+    *  - `ts14`: WARC-Date collapsed to the 14-digit timestamp;
+    *  - `mime` from the HTTP Content-Type header (parameters stripped,
+    *    absent → `unk`), `status` from the HTTP status line;
+    *  - `digest`: md5 hex of the payload bytes — the engine's digest
+    *    discipline (classic CDX uses base32 SHA-1; same role, documented
+    *    divergence);
+    *  - `filename`/`record_offset`/`record_length`: exactly where the
+    *    record lives, byte-precise from the parser's walk (CC's length is
+    *    the gzip member size; ours is the uncompressed span — the store
+    *    here is uncompressed).
+    *
+    * Pure scan-stage projection of [[records]] output — no shuffle but
+    * the final presentation sort; at scale the index is written sorted by
+    * urlkey (range lookup) while the archives stay untouched. */
+  def cdx(recs: DataFrame): DataFrame = {
+    val s = col("payload").cast("string")
+    val host = graft.ingest.Urls.host(col("target_uri"))
+    val p0 = regexp_extract(trim(col("target_uri")), graft.ingest.Urls.PathRe, 1)
+    val mime0 = trim(regexp_extract(s, "(?i)\r\ncontent-type: *([^;\r]+)", 1))
+    recs.filter(col("warc_type") === "response")
+      .select(
+        concat(array_join(reverse(split(host, "\\.")), ","), lit(")"),
+          lower(when(p0 === "", "/").otherwise(p0))).as("urlkey"),
+        regexp_replace(col("warc_date"), "[^0-9]", "").as("ts14"),
+        col("target_uri").as("original"),
+        when(mime0 === "", "unk").otherwise(mime0).as("mime"),
+        { // ANSI-safe: a payload with no HTTP status line yields '' —
+          // null status, never a cast error (TRY_CAST in the mirror).
+          val st = regexp_extract(s, "^HTTP/[0-9.]+ ([0-9]{3})", 1)
+          when(st === "", lit(null)).otherwise(st).cast("int").as("status")
+        },
+        md5(col("payload")).as("digest"),
+        col("path").as("filename"), col("record_offset"), col("record_length"))
+      .orderBy(col("urlkey"), col("ts14"), col("filename"), col("record_offset"))
   }
 
   /** The HTTP-response payloads as documents: response records only,

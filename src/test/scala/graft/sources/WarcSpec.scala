@@ -72,4 +72,47 @@ class WarcSpec extends SparkSpec {
   test("empty archive parses to zero records") {
     assert(Warc.parse(Array.emptyByteArray).isEmpty)
   }
+
+  test("record_length spans headers through separator: offsets chain exactly (r10)") {
+    val blob = rec("response", "https://a/1", "first body") +
+      rec("response", "https://a/2", "second") +
+      rec("response", "https://a/3", "third and last")
+    val out = Warc.parse(blob.getBytes("UTF-8"))
+    assert(out.size == 3)
+    out.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._1 + a._7 == b._1, s"offset ${a._1} + span ${a._7} != ${b._1}")
+    }
+    assert(out.last._1 + out.last._7 == blob.getBytes("UTF-8").length.toLong)
+  }
+
+  test("cdx: SURT urlkey, mime/status extraction, digest, byte-precise pointers (r10)") {
+    // Userinfo, port, and mixed-case host/path all canonicalize away in
+    // the SURT key; the Content-Type parameter list is stripped; a
+    // header-less payload reads mime 'unk'; requests never index.
+    val http1 = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n<html>x</html>"
+    val blob = rec("response", "https://user@news.Example.org:8080/Path/One", http1) +
+      rec("response", "https://example.org/two", "no http header here") +
+      rec("request", "https://example.org/two", "GET /two HTTP/1.1\r\n")
+    val files = Seq(("arc-0.warc", blob.getBytes("UTF-8"))).toDF("path", "content")
+    val rows = Warc.cdx(Warc.records(files)).collect()
+    assert(rows.length == 2) // the request record is not a capture
+    val r1 = rows.find(_.getAs[String]("original").contains("news")).get
+    assert(r1.getAs[String]("urlkey") == "org,example,news)/path/one")
+    assert(r1.getAs[String]("ts14") == "20260101000000")
+    assert(r1.getAs[String]("mime") == "text/html")
+    assert(r1.getAs[Int]("status") == 200)
+    assert(r1.getAs[String]("digest") ==
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(http1.getBytes("UTF-8")))
+    assert(r1.getAs[String]("filename") == "arc-0.warc")
+    val r2 = rows.find(_.getAs[String]("original").endsWith("/two")).get
+    assert(r2.getAs[String]("urlkey") == "org,example)/two")
+    assert(r2.getAs[String]("mime") == "unk")
+    assert(r2.isNullAt(r2.fieldIndex("status")))
+    // the (offset, length) pointer dereferences to the exact record bytes
+    val all = blob.getBytes("UTF-8")
+    val off = r2.getAs[Long]("record_offset").toInt
+    val len = r2.getAs[Long]("record_length").toInt
+    val sliced = new String(java.util.Arrays.copyOfRange(all, off, off + len), "UTF-8")
+    assert(sliced == rec("response", "https://example.org/two", "no http header here"))
+  }
 }
