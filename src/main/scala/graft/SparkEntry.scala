@@ -422,6 +422,35 @@ object SparkEntry {
       Ivf.writeListPartitioned(emb, centers, path)
       Ivf.knnIvfStored(s, path, centers, emb.filter(col("vec_id") % 50 === 0), 5)
     }),
+    // The GROWING store (r10): history written with a quantizer fitted
+    // on history ONLY, the batch appended under the frozen centers (the
+    // FAISS `add` path — no refit, history files untouched), then
+    // searched. Assignment is a pure function of (vector, centers), so
+    // the printed-centroid oracle over the union corpus enforces
+    // appended-store == in-memory-over-everything.
+    "knn_ivf_append" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val hist = emb.filter(col("vec_id") < 250)
+      val centers = Ivf.fitCentroids(hist, 16)
+      FittedOracle.appendCenters = Some(centers)
+      val parent = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_store_" +
+        System.getProperty("user.name", "u")
+      val path = s"$parent/append_" +
+        s"${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_${s.sparkContext.applicationId}"
+      IvfStoreScratch.deleteOnExit(path)
+      Ivf.writeListPartitioned(hist, centers, path)
+      Ivf.appendToStore(emb.filter(col("vec_id") >= 250), centers, path)
+      Ivf.knnIvfStored(s, path, centers, emb.filter(col("vec_id") % 50 === 0), 5)
+    }),
+    // The drift/imbalance audit of that frozen quantizer: per-list
+    // history/batch occupancy + integer-ppm corpus share, EVERY list
+    // present (empty ones read 0).
+    "ivf_list_stats" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val centers = Ivf.fitCentroids(emb.filter(col("vec_id") < 250), 16)
+      FittedOracle.listStatsCenters = Some(centers)
+      Ivf.listStats(emb, centers, col("vec_id") >= 250)
+    }),
     // knn_pq: product-quantized ADC search (32x-compressed codes). FULL
     // oracle since r9 via printed codebooks; recall pinned in PqSpec.
     "knn_pq" -> ((s, dir) => {

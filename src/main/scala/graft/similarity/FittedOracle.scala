@@ -38,6 +38,8 @@ object FittedOracle {
   // per-language character trigrams — a bounded deterministic fit like
   // the k-means centroids; one slot per query.
   @volatile var distortionBooks: Option[IndexedSeq[IndexedSeq[IndexedSeq[Double]]]] = None
+  @volatile var appendCenters: Option[IndexedSeq[IndexedSeq[Double]]] = None
+  @volatile var listStatsCenters: Option[IndexedSeq[IndexedSeq[Double]]] = None
   @volatile var langIdProfiles: Option[Seq[(String, Seq[String])]] = None
   @volatile var langConfusionProfiles: Option[Seq[(String, Seq[String])]] = None
   @volatile var bpeStatsMerges: Option[Seq[(String, String)]] = None
@@ -95,6 +97,13 @@ object FittedOracle {
           probeWhere = "vec_id % 50 = 0")) ++
       distortionBooks.map(b =>
         "pq_distortion" -> Pq.sqlDistortionReport(b)) ++
+      // Frozen-quantizer append: assignment is a pure function of
+      // (vector, centers), so the oracle over the union corpus with the
+      // HISTORY-fitted centers IS the appended-store contract.
+      appendCenters.map(c =>
+        "knn_ivf_append" -> Ivf.sqlKnnIvf(c, k = 5, nprobe = 4)) ++
+      listStatsCenters.map(c =>
+        "ivf_list_stats" -> Ivf.sqlListStats(c, "vec_id >= 250")) ++
       langIdProfiles.filter(_.nonEmpty).map(p =>
         "langid_ngram" ->
           (s"WITH ${graft.text.TextAnalysis.sqlLangIdNgramCtes(

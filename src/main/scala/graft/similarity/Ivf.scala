@@ -2,7 +2,7 @@ package graft.similarity
 
 import graft.Mat.Pinnable
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -72,6 +72,104 @@ object Ivf {
         element_at(org.apache.spark.sql.graft.VectorFunctions
           .nearestCentroids(col("cv"), centers, 1), 1))
       .write.mode("overwrite").partitionBy("list").parquet(path)
+
+  /** Append a batch to a [[writeListPartitioned]] store under a FROZEN
+    * quantizer — how IVF indexes grow in production (the FAISS `add`
+    * path): new vectors are assigned to the EXISTING lists, never moved,
+    * never refit, so the store stays queryable mid-append and history
+    * files are untouched (each append only creates new files inside the
+    * list directories it hits — O(batch), independent of history size).
+    * The price of freezing is drift: as the corpus distribution moves
+    * away from the fitted sample, lists skew — [[listStats]] is the
+    * audit that says when to refit. Search over the appended store needs
+    * no new code: assignment is a pure function of (vector, centers), so
+    * [[knnIvfStored]] with the SAME frozen centers returns exactly what
+    * the in-memory [[knnIvfWith]] computes over the union corpus
+    * (`knn_ivf_append`'s printed-centroid oracle enforces this). */
+  def appendToStore(batch: DataFrame,
+                    centers: IndexedSeq[IndexedSeq[Double]],
+                    path: String,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit =
+    graft.Par.widen(batch)
+      .select(col(idCol).as("cand_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+      .withColumn("list",
+        element_at(org.apache.spark.sql.graft.VectorFunctions
+          .nearestCentroids(col("cv"), centers, 1), 1))
+      .write.mode("append").partitionBy("list").parquet(path)
+
+  /** [EXT] IVF list-occupancy audit (`ivf_list_stats` query) — the
+    * drift/imbalance signal a team reads before trusting a frozen
+    * quantizer ([[appendToStore]]): per list, how many history vs
+    * batch vectors landed there and the list's share of the corpus in
+    * integer ppm. A healthy index reads ≈10⁶/nlist per list; a hot
+    * list caps nprobe-search gains (its scan cost dominates) and a
+    * batch share concentrating in few lists says the corpus moved —
+    * refit. EVERY list gets a row (empty ones read 0 — an empty list
+    * is the other half of the skew story), via a driver-literal list
+    * spine; one assignment scan + one nlist-row aggregate, broadcast
+    * total join. */
+  def listStats(candidates: DataFrame,
+                centers: IndexedSeq[IndexedSeq[Double]],
+                batchFlag: Column,
+                vecCol: String = "embedding"): DataFrame = {
+    val spark = candidates.sparkSession
+    val g = graft.Par.widen(candidates)
+      .select(
+        element_at(org.apache.spark.sql.graft.VectorFunctions
+          .nearestCentroids(asDouble(col(vecCol)), centers, 1), 1).as("list"),
+        when(batchFlag, 1L).otherwise(0L).as("is_batch"))
+      .groupBy(col("list"))
+      .agg(count(lit(1)).as("n_total"), sum(col("is_batch")).as("n_batch"))
+    val spine = spark.range(centers.length).select(col("id").cast("int").as("list"))
+    val total = g.agg(sum(col("n_total")).as("corpus_total"))
+    spine.join(g, Seq("list"), "left")
+      .select(col("list"),
+        coalesce(col("n_total") - col("n_batch"), lit(0L)).as("n_history"),
+        coalesce(col("n_batch"), lit(0L)).as("n_batch"),
+        coalesce(col("n_total"), lit(0L)).as("n_total"))
+      .crossJoin(broadcast(total))
+      .withColumn("share_ppm", expr("n_total * 1000000L DIV corpus_total"))
+      .drop("corpus_total")
+      .orderBy(col("list"))
+  }
+
+  /** DuckDB mirror of [[listStats]] over printed centroids: the
+    * assignment CTE is [[sqlKnnIvf]]'s proven replay; the spine is
+    * `range(nlist)` so empty lists appear with zero counts. */
+  def sqlListStats(centers: IndexedSeq[IndexedSeq[Double]],
+                   batchWhere: String): String =
+    s"""WITH cent AS (
+       |  FROM (VALUES
+       |    ${FittedOracle.centroidValues(centers)}) cent(cid, n2, cv)),
+       |n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sc0 AS (
+       |  SELECT n.vec_id, cent.cid,
+       |    cent.n2 - 2.0 * list_reduce(
+       |      list_transform(range(1, len(n.v)+1), i -> n.v[i] * cent.cv[i]),
+       |      (a,b) -> a+b) AS sco
+       |  FROM n CROSS JOIN cent),
+       |asg AS (
+       |  SELECT vec_id, cid AS list FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY sco ASC, cid ASC) AS rn
+       |    FROM sc0) WHERE rn = 1),
+       |g AS (
+       |  SELECT list, COUNT(*) AS n_total,
+       |    SUM(CASE WHEN $batchWhere THEN 1 ELSE 0 END) AS n_batch
+       |  FROM asg GROUP BY 1),
+       |spine AS (SELECT CAST(range AS INT) AS list FROM range(${centers.length})),
+       |t AS (SELECT SUM(n_total) AS corpus_total FROM g)
+       |SELECT spine.list,
+       |  CAST(COALESCE(g.n_total - g.n_batch, 0) AS BIGINT) AS n_history,
+       |  CAST(COALESCE(g.n_batch, 0) AS BIGINT) AS n_batch,
+       |  CAST(COALESCE(g.n_total, 0) AS BIGINT) AS n_total,
+       |  CAST(COALESCE(g.n_total, 0) * 1000000 // t.corpus_total AS BIGINT)
+       |    AS share_ppm
+       |FROM spine LEFT JOIN g ON spine.list = g.list CROSS JOIN t
+       |ORDER BY spine.list""".stripMargin
 
   /** kNN over a [[writeListPartitioned]] store. The probes' nprobe list
     * ids are collected (probes are small by contract — they broadcast)

@@ -166,6 +166,42 @@ class SimilaritySpec extends SparkSpec {
     assert(fromStore.nonEmpty)
   }
 
+  test("frozen-quantizer append: grown store == rewrite-all == in-memory; listStats audits it (r10)") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(spark, dir)
+    val hist = emb.filter($"vec_id" < 25)
+    val batch = emb.filter($"vec_id" >= 25)
+    val centers = Ivf.fitCentroids(hist, nlist = 8) // frozen on history only
+    val grown = java.nio.file.Files.createTempDirectory("ivf_grow").toString
+    Ivf.writeListPartitioned(hist, centers, grown)
+    Ivf.appendToStore(batch, centers, grown)
+    val once = java.nio.file.Files.createTempDirectory("ivf_once").toString
+    Ivf.writeListPartitioned(emb, centers, once)
+    val probes = emb.filter($"vec_id".isin(0, 30))
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val fromGrown = res(Ivf.knnIvfStored(spark, grown, centers, probes, 5, nprobe = 2))
+    assert(fromGrown == res(Ivf.knnIvfStored(spark, once, centers, probes, 5, nprobe = 2)))
+    assert(fromGrown == res(Ivf.knnIvfWith(centers, emb, probes, 5, nprobe = 2)))
+    assert(fromGrown.nonEmpty)
+    // the occupancy audit: every list present, partitions reconcile,
+    // counts equal the store's own directory contents
+    val stats = Ivf.listStats(emb, centers, $"vec_id" >= 25).collect()
+    assert(stats.length == 8)
+    assert(stats.map(_.getAs[Long]("n_total")).sum == emb.count())
+    stats.foreach { r =>
+      assert(r.getAs[Long]("n_history") + r.getAs[Long]("n_batch") ==
+        r.getAs[Long]("n_total"))
+      assert(r.getAs[Long]("share_ppm") ==
+        r.getAs[Long]("n_total") * 1000000L / emb.count())
+    }
+    val perDir = spark.read.parquet(grown).groupBy("list").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    stats.filter(_.getAs[Long]("n_total") > 0).foreach { r =>
+      assert(perDir(r.getAs[Int]("list")) == r.getAs[Long]("n_total"))
+    }
+  }
+
   test("stored IVF-PQ layout prunes partitions, drops vectors, matches in-memory") {
     val dir = "/root/testdata/sf0.001"
     val emb = graft.Tables.embeddings(spark, dir)
