@@ -867,6 +867,13 @@ object SparkEntry {
         Tables.documents(s, dir), "text", "mix42", 64)
         .select(col("doc_id"), col("shard"), col("shuffle_pos"))
         .orderBy(col("shuffle_pos"))),
+    // Fixed-budget release sharding in the seeded shuffle order: the
+    // physical packaging step — per-shard doc/token counts + an
+    // order-independent xor content fingerprint. The oracle replays the
+    // shuffle rank, the prefix-sum cut, and the fingerprint exactly.
+    "release_shards" -> ((s, dir) =>
+      graft.pipeline.Curation.releaseShards(
+        Tables.documents(s, dir), "doc_id", "text", 2048L)),
     // GPT-style concat-then-chunk packing via the distributed prefix sum;
     // CurationSpec pins it equal to the single-window semantic form.
     "sequence_packing" -> ((s, dir) =>
@@ -2864,6 +2871,28 @@ object SparkEntry {
         |             / 4294967296.0) AS INT) AS shard,
         |  CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) AS BIGINT) AS shuffle_pos
         |FROM hs ORDER BY shuffle_pos""".stripMargin,
+    "release_shards" ->
+      """WITH hs AS (
+        |  SELECT doc_id, text, md5('rel42:' || text) AS h FROM documents),
+        |o AS (
+        |  SELECT text,
+        |    len(regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+'))::BIGINT
+        |      AS n_tokens,
+        |    ROW_NUMBER() OVER (ORDER BY h, doc_id) AS pos
+        |  FROM hs),
+        |c AS (
+        |  SELECT n_tokens, text,
+        |    SUM(n_tokens) OVER (ORDER BY pos ROWS UNBOUNDED PRECEDING)
+        |      - n_tokens AS off
+        |  FROM o),
+        |f AS (
+        |  SELECT CAST(FLOOR(off / 2048.0) AS BIGINT) AS shard_id, n_tokens,
+        |    CAST(('0x' || substring(md5(text), 1, 15))::UBIGINT AS BIGINT) AS fp
+        |  FROM c)
+        |SELECT shard_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        |  bit_xor(fp) AS content_fp
+        |FROM f GROUP BY 1 ORDER BY shard_id""".stripMargin,
     "sequence_packing" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -838,6 +838,38 @@ object Curation {
        |ORDER BY source, lang""".stripMargin
   }
 
+  /** [EXT] Deterministic fixed-budget release sharding (`release_shards`
+    * query) — the physical packaging step of a corpus release (the
+    * "~1000 shards of ~N tokens" layout trainers stream): docs are laid
+    * out in the SEEDED SHUFFLE order ([[shuffleCorpus]] — shards must be
+    * source-interleaved, because trainers read shards sequentially and a
+    * shard that is "all of one domain" reintroduces exactly the ordering
+    * bias the shuffle removed), then cut at token-budget boundaries via
+    * the [[packByOrder]] prefix sum: shard_id = floor(offset ∕ budget),
+    * each doc wholly in the shard where its first token falls, so shard
+    * sizes read budget ± one document — no driver state, no global
+    * window. Output is the per-shard MANIFEST a release publishes:
+    * doc/token counts and an order-independent content fingerprint
+    * (bit_xor of per-doc md5-prefix longs) any engine can re-derive to
+    * diff a re-built shard against the published one. One shuffle-order
+    * exchange + the prefix sum's range partition + one shard-keyed
+    * aggregate. */
+  def releaseShards(docs: DataFrame, idCol: String, textCol: String,
+                    budget: Long, seed: String = "rel42",
+                    nShards: Int = 64): DataFrame = {
+    val nTok = size(graft.text.TextAnalysis.tokens(lower(col(textCol)))).cast("long")
+    val fp = conv(substring(md5(col(textCol)), 1, 15), 16, 10).cast("long")
+    val ordered = shuffleCorpus(graft.Par.widen(docs), textCol, seed, nShards,
+        tieCol = idCol)
+      .select(col("shuffle_pos"), nTok.as("n_tokens"), fp.as("__fp"))
+    packByOrder(ordered, "shuffle_pos", budget)
+      .groupBy(col("chunk_id").as("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        expr("bit_xor(__fp)").as("content_fp"))
+      .orderBy(col("shard_id"))
+  }
+
   def releaseManifest(docs: DataFrame, sourceCol: String = "source",
                       langCol: String = "lang", textCol: String = "text"): DataFrame = {
     val base = graft.Par.widen(docs).select(

@@ -697,4 +697,41 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getString(0)).toSet
     assert(!none.contains("__suppressed__"))
   }
+
+  test("releaseShards: prefix-sum cut in shuffle order, totals and xor reconcile (r10)") {
+    val fixture = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val budget = 256L
+    val out = Curation.releaseShards(fixture, "doc_id", "text", budget).collect()
+    // the semantic twin: one global window over the same shuffle order
+    val nTok = size(graft.text.TextAnalysis.tokens(lower(col("text")))).cast("long")
+    val fp = conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("shuffle_pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val twin = Curation.shuffleCorpus(fixture, "text", "rel42", 64)
+      .select(col("shuffle_pos"), nTok.as("n"), fp.as("f"))
+      .withColumn("off", sum(col("n")).over(w) - col("n"))
+      .withColumn("shard_id", floor(col("off") / budget))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("sum_tokens"),
+        expr("bit_xor(f)").as("content_fp"))
+      .orderBy("shard_id").collect()
+    assert(out.toSeq.map(_.toSeq) == twin.toSeq.map(_.toSeq))
+    // shard ids are contiguous from 0; sizes read budget +- one doc
+    val ids = out.map(_.getAs[Long]("shard_id"))
+    assert(ids.toSeq == (0L until ids.length).toSeq)
+    val maxDoc = fixture.select(max(nTok)).collect().head.getLong(0)
+    out.dropRight(1).foreach { r =>
+      val t = r.getAs[Long]("sum_tokens")
+      assert(t >= budget - maxDoc + 1 && t < budget + maxDoc,
+        s"shard ${r.getAs[Long]("shard_id")} holds $t tokens")
+    }
+    // reconciliation: the manifest covers the corpus exactly
+    assert(out.map(_.getAs[Long]("n_docs")).sum == fixture.count())
+    assert(out.map(_.getAs[Long]("sum_tokens")).sum ==
+      fixture.select(sum(nTok)).collect().head.getLong(0))
+    assert(out.map(_.getAs[Long]("content_fp")).reduce(_ ^ _) ==
+      fixture.select(expr(
+        "bit_xor(cast(conv(substring(md5(text), 1, 15), 16, 10) as long))"))
+        .collect().head.getLong(0))
+  }
 }
