@@ -22,4 +22,36 @@ object Par {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
+
+  /** 1-based global rank of `df` ordered by `orderCol` (must be unique),
+    * WITHOUT a single-partition window: range-partition on the order
+    * column so partition order == global order, count rows per
+    * partition (the only driver exchange — ≤ parallelism longs), then
+    * per-partition `row_number` + the broadcast base offset. The
+    * hierarchical-rank discipline of `Curation.shuffleCorpus` /
+    * `packByOrder`, extracted for any caller that needs a total rank at
+    * data scale (e.g. the frontier's host→worker assignment, where
+    * "bounded by |hosts|" is still tens of millions of rows on a real
+    * web corpus). Output: input columns + `rank` (long). */
+  def globalRank(df: DataFrame, orderCol: String,
+                 rankCol: String = "rank"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val nParts = spark.sparkContext.defaultParallelism
+    val base = df.repartitionByRange(nParts, col(orderCol))
+      .sortWithinPartitions(col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+    val counts = base.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val maxPid = if (counts.isEmpty) -1 else counts.keys.max
+    val starts = new Array[Long](maxPid + 2)
+    var acc = 0L
+    (0 to maxPid).foreach { p => starts(p) = acc; acc += counts.getOrElse(p, 0L) }
+    val startCol = element_at(
+      array(starts.toIndexedSeq.map(lit(_)): _*), col("__pid") + 1)
+    val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+    base.withColumn(rankCol, (startCol + row_number().over(w)).cast("long"))
+      .drop("__pid")
+  }
 }

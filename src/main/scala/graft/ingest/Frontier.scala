@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: [[schedule]] is one host-keyed exchange (the per-host
   * FIFO rank) plus a broadcast join against the ≤|hosts| worker
-  * assignment table — the global window runs over DISTINCT hosts, never
-  * over URLs (PlanQualitySpec's global-window allowlist documents the
-  * bound). [[recrawl]] is a single host-keyed aggregate.
+  * assignment table, whose host rank is [[graft.Par.globalRank]]'s
+  * range-partition prefix sum — no single-partition window anywhere
+  * (r10: |hosts| is tens of millions on a real web corpus, too many to
+  * sort on one partition). [[recrawl]] is a single host-keyed
+  * aggregate.
   */
 object Frontier {
 
@@ -35,11 +37,16 @@ object Frontier {
     // across engines — '' keeps every row and one deterministic group.
     val hostd = docs.withColumn("host",
       coalesce(Urls.host(col(urlCol)), lit("")))
-    // worker table: bounded by |hosts| (aggregate first, window second)
-    val workers = hostd.select(col("host")).distinct()
-      .withColumn("worker",
-        ((row_number().over(Window.orderBy(col("host"))) - 1) % nWorkers)
-          .cast("long"))
+    // worker table: distinct hosts ranked WITHOUT a single-partition
+    // window (graft.Par.globalRank's range-partition prefix sum — at
+    // web scale |hosts| is tens of millions, too many to sort on one
+    // partition even though it's far smaller than |URLs|). Output is
+    // identical to a global ROW_NUMBER over host, which is what the
+    // oracle states.
+    val workers = graft.Par.globalRank(
+        hostd.select(col("host")).distinct(), "host")
+      .withColumn("worker", ((col("rank") - 1) % nWorkers).cast("long"))
+      .drop("rank")
     hostd
       .withColumn("slot",
         (row_number().over(

@@ -376,7 +376,10 @@ class PlanQualitySpec extends SparkSpec {
       "corpus_pipeline_ccnet" -> "perplexity-tier shard-offset prefix sum over <= nShards aggregate rows",
       "corpus_pipeline_ccnet_crossfit" -> "perplexity-tier shard-offset prefix sum over <= nShards aggregate rows",
       "curriculum_order" -> "tier + shard offset prefix sums over <= nShards and <= tiers*nShards aggregate rows (both hierarchical-rank passes)",
-      "crawl_frontier" -> "worker assignment over <= |hosts| distinct-host rows (aggregate-first, window-second)")
+      // crawl_frontier left the list in r10: its host rank moved to
+      // Par.globalRank's range-partition prefix sum (|hosts| is
+      // data-scale on a real web corpus, not config-scale).
+      "release_shards" -> "shard-offset prefix sum over <= nShards aggregate rows (shuffleCorpus order)")
     val offenders = scala.collection.mutable.SortedMap[String, Int]()
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, dir)
