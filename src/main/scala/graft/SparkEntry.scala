@@ -867,6 +867,11 @@ object SparkEntry {
         Tables.documents(s, dir), "text", "mix42", 64)
         .select(col("doc_id"), col("shard"), col("shuffle_pos"))
         .orderBy(col("shuffle_pos"))),
+    // Percentile-calibrated length gate: each language's token floor
+    // comes from its own distribution (p20 here) — integer cross-
+    // multiplied quantile, broadcast thresholds, keep = n >= floor.
+    "adaptive_length_gate" -> ((s, dir) =>
+      graft.pipeline.Curation.adaptiveLengthGate(Tables.documents(s, dir))),
     // Fixed-budget release sharding in the seeded shuffle order: the
     // physical packaging step — per-shard doc/token counts + an
     // order-independent xor content fingerprint. The oracle replays the
@@ -2871,6 +2876,8 @@ object SparkEntry {
         |             / 4294967296.0) AS INT) AS shard,
         |  CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) AS BIGINT) AS shuffle_pos
         |FROM hs ORDER BY shuffle_pos""".stripMargin,
+    "adaptive_length_gate" ->
+      graft.pipeline.Curation.sqlAdaptiveLengthGate("documents"),
     "release_shards" ->
       """WITH hs AS (
         |  SELECT doc_id, text, md5('rel42:' || text) AS h FROM documents),

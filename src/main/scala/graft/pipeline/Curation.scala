@@ -838,6 +838,85 @@ object Curation {
        |ORDER BY source, lang""".stripMargin
   }
 
+  /** Exact per-group lower percentiles of an integer signal — the
+    * calibration half of [[adaptiveLengthGate]]. threshold(g) = the
+    * smallest value v with cum_count(≤ v) · 10⁴ ≥ qBp · total(g): the
+    * classic lower-quantile definition in pure integer arithmetic (the
+    * cross-multiplied comparison needs no ceil and no float, so both
+    * engines agree bit-for-bit). Scale shape: one (group, value)
+    * aggregate — bounded by distinct signal values per group, NOT by
+    * rows — then a window over those aggregate rows and a per-group min.
+    * Output: (groupCol, threshold). */
+  def percentileThresholds(df: DataFrame, groupCol: String,
+                           valueCol: String, qBp: Int): DataFrame = {
+    require(qBp > 0 && qBp <= 10000, s"qBp must be in (0, 10000], got $qBp")
+    val g = df.groupBy(col(groupCol), col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col(groupCol))
+    g.withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__tot", sum(col("__c")).over(wTot))
+      .filter(col("__cum") * 10000 >= lit(qBp.toLong) * col("__tot"))
+      .groupBy(col(groupCol))
+      .agg(min(col("__v")).as("threshold"))
+  }
+
+  /** [EXT] Percentile-calibrated length gate (`adaptive_length_gate`
+    * query) — thresholds FROM the data instead of a hand-set constant:
+    * fixed gates (Gopher's 50-token floor, C4's line rules) assume one
+    * language's token statistics, but whitespace token counts are not
+    * comparable across languages (a Chinese sentence is a handful of
+    * whitespace tokens), so multilingual pipelines calibrate each
+    * language's floor from its own distribution (the FineWeb recipe:
+    * filters tuned per corpus slice, not copied). keep = n_tokens ≥
+    * that group's qBp-th percentile ([[percentileThresholds]]).
+    *
+    * Scale: one scan for the signal, the bounded threshold aggregate,
+    * and a broadcast join of ≤ |groups| thresholds back onto the
+    * corpus — text is read once, nothing document-scale shuffles. */
+  def adaptiveLengthGate(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text",
+                         groupCol: String = "lang",
+                         qBp: Int = 2000): DataFrame = {
+    val nTok = size(graft.text.TextAnalysis.tokens(lower(col(textCol))))
+      .cast("long")
+    val sig = graft.Par.widen(docs)
+      .select(col(idCol), coalesce(col(groupCol), lit("und")).as("grp"),
+        nTok.as("n_tokens"))
+      .pinned // feeds both the threshold fit and the gate
+    sig.join(broadcast(percentileThresholds(sig, "grp", "n_tokens", qBp)),
+        Seq("grp"))
+      .select(col(idCol), col("grp"), col("n_tokens"), col("threshold"),
+        (col("n_tokens") >= col("threshold")).as("keep"))
+      .orderBy(col(idCol))
+  }
+
+  /** DuckDB mirror of [[adaptiveLengthGate]] over a relation exposing
+    * (idCol, groupCol, textCol). */
+  def sqlAdaptiveLengthGate(rel: String, idCol: String = "doc_id",
+                            textCol: String = "text",
+                            groupCol: String = "lang",
+                            qBp: Int = 2000): String =
+    s"""WITH t AS (
+       |  SELECT $idCol, COALESCE($groupCol, 'und') AS grp,
+       |    len(regexp_extract_all(lower($textCol), '[^ \\t\\n\\x0B\\f\\r]+'))::BIGINT
+       |      AS n_tokens
+       |  FROM $rel),
+       |g AS (SELECT grp, n_tokens AS v, COUNT(*) AS c FROM t GROUP BY 1, 2),
+       |cg AS (
+       |  SELECT grp, v,
+       |    SUM(c) OVER (PARTITION BY grp ORDER BY v ROWS UNBOUNDED PRECEDING)
+       |      AS cum,
+       |    SUM(c) OVER (PARTITION BY grp) AS tot
+       |  FROM g),
+       |th AS (SELECT grp, MIN(v) AS threshold FROM cg
+       |       WHERE cum * 10000 >= $qBp * tot GROUP BY 1)
+       |SELECT t.$idCol, t.grp, t.n_tokens, th.threshold,
+       |  (t.n_tokens >= th.threshold) AS keep
+       |FROM t JOIN th USING (grp)
+       |ORDER BY t.$idCol""".stripMargin
+
   /** [EXT] Deterministic fixed-budget release sharding (`release_shards`
     * query) — the physical packaging step of a corpus release (the
     * "~1000 shards of ~N tokens" layout trainers stream): docs are laid

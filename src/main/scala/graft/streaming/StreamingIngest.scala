@@ -86,6 +86,34 @@ object StreamingIngest {
       b => graft.pipeline.Attributes.sidecar(b, th = th, badWords = badWords),
       sidecarPath, checkpoint)
 
+  /** [EXT] Streaming compliance flags (r10) — the release-compliance
+    * trio at ingest time: each micro-batch writes ITS OWN per-document
+    * leg verdicts ([[graft.pipeline.Compliance.flags]], ids + flags
+    * only — text never enters state) to a batch-keyed partition. Given
+    * FIXED lists the verdicts are a pure per-row function of the batch,
+    * so the overwrite-per-batch discipline makes replay structurally
+    * idempotent (the sidecar/sketch argument); a release sweeps the
+    * union of partitions without re-running a tagger. A list UPDATE
+    * (new takedown requests) deliberately invalidates: re-fire the
+    * affected batches and their partitions rewrite — compliance wants
+    * the re-check, never a stale verdict. */
+  def complianceViaBatchParts(docs: DataFrame, flagsPath: String,
+                              checkpoint: String,
+                              takedownHashes: DataFrame,
+                              blockedDomains: DataFrame,
+                              robotsRules: DataFrame,
+                              idCol: String = "doc_id",
+                              urlCol: String = "url",
+                              textCol: String = "text"): DataStreamWriter[Row] = {
+    import org.apache.spark.sql.functions.col
+    sketchViaBatchParts(docs,
+      b => graft.pipeline.Compliance.flags(b, idCol, urlCol, textCol,
+          takedownHashes, blockedDomains, robotsRules)
+        .select(col(idCol), col("f_takedown"), col("f_blocklist"),
+          col("f_robots")),
+      flagsPath, checkpoint)
+  }
+
   /** [EXT] Streaming per-domain caps (r9) — the RefinedWeb domain-skew
     * gate at ingest time, over the same batch-keyed-partition state
     * discipline as [[sketchViaBatchParts]]: each micro-batch admits rows

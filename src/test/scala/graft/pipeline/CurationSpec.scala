@@ -698,6 +698,34 @@ class CurationSpec extends SparkSpec {
     assert(!none.contains("__suppressed__"))
   }
 
+  test("adaptiveLengthGate: per-group integer percentile floors, hand-traced (r10)") {
+    // group en: token counts 1..10 (one each). p30 floor = smallest v
+    // with cum*10000 >= 3000*10 <=> cum >= 3 => v = 3. Keeps n >= 3.
+    // group zh: counts (1, 1, 2) — same q: cum >= 0.9 => first row
+    // (cum=1 >= 0.9) => floor 1, everything keeps (the calibration
+    // point: zh's floor must NOT be en's).
+    // null lang folds into 'und' with its own floor.
+    val docs = ((1 to 10).map(i =>
+        (i.toLong, "en", Seq.fill(i)("w").mkString(" "))) ++ Seq(
+        (21L, "zh", "w"), (22L, "zh", "w"), (23L, "zh", "w w"),
+        (31L, null, "x y z"))).toDF("doc_id", "lang", "text")
+    val out = Curation.adaptiveLengthGate(docs, qBp = 3000).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toMap
+    assert(out(1L) == (("en", 1L, 3L, false)))
+    assert(out(2L) == (("en", 2L, 3L, false)))
+    assert(out(3L) == (("en", 3L, 3L, true)))
+    assert(out(10L) == (("en", 10L, 3L, true)))
+    assert(out(21L) == (("zh", 1L, 1L, true)))
+    assert(out(23L) == (("zh", 2L, 1L, true)))
+    assert(out(31L) == (("und", 3L, 3L, true))) // its own group of one
+    assert(out.size == 14)
+    // qBp = 10000 is the max: floor = the group max, only maxima keep
+    val strict = Curation.adaptiveLengthGate(docs, qBp = 10000).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(strict(10L) && !strict(9L) && strict(23L) && !strict(21L))
+  }
+
   test("releaseShards: prefix-sum cut in shuffle order, totals and xor reconcile (r10)") {
     val fixture = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val budget = 256L

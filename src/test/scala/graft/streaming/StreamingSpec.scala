@@ -720,6 +720,58 @@ class StreamingSpec extends SparkSpec {
       "replayed batch partition changed the sidecar")
   }
 
+  test("streaming compliance flags: union of batch parts == one-shot; replay invariant (r10)") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val root = java.nio.file.Files.createTempDirectory("graft_cp_stream").toString
+    val (inDir, flDir, ckpt) = (s"$root/in", s"$root/flags", s"$root/ckpt")
+    // the ComplianceSpec fixture, streamed in two batches
+    val rows = Seq(
+      (1L, "https://ok.example.org/a", "alpha text"),
+      (2L, "https://ok.example.org/b", "taken down text"),
+      (3L, "https://bad.example.com/c", "beta text"),
+      (4L, "https://rules.example.org/private/x", "gamma text"),
+      (5L, "https://bad.example.com/d", "taken down text"),
+      (6L, "not-a-url", "delta text"))
+    val all = rows.toDF("doc_id", "url", "text")
+    val takedowns = all.filter($"doc_id" === 2L).select(md5($"text").as("h"))
+    val blocked = Seq("example.com").toDF("domain")
+    val rules = Seq(("rules.example.org", "disallow", "/private"))
+      .toDF("host", "rule", "prefix")
+    def drop(rs: Seq[(Long, String, String)]): Unit =
+      rs.toDF("doc_id", "url", "text").coalesce(1)
+        .write.mode("append").parquet(inDir)
+    def runOnce(): Unit = {
+      val docs = spark.readStream
+        .schema("doc_id LONG, url STRING, text STRING").parquet(inDir)
+      val q = StreamingIngest.complianceViaBatchParts(
+        docs, flDir, ckpt, takedowns, blocked, rules).start()
+      q.awaitTermination()
+    }
+    drop(rows.filter(_._1 <= 3L)); runOnce()
+    drop(rows.filter(_._1 > 3L)); runOnce()
+    val cols = Seq("doc_id", "f_takedown", "f_blocklist", "f_robots").map(col)
+    val streamed = spark.read.parquet(flDir).select(cols: _*)
+    val oneShot = graft.pipeline.Compliance.flags(all, "doc_id", "url", "text",
+      takedowns, blocked, rules).select(cols: _*)
+    assert(streamed.exceptAll(oneShot).isEmpty && oneShot.exceptAll(streamed).isEmpty,
+      "streamed compliance flags != one-shot flags")
+    // a sweep over the streamed flags == the one-shot sweep
+    val kept = streamed
+      .filter(col("f_takedown") && col("f_blocklist") && col("f_robots"))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 6L))
+    // at-least-once replay: rewriting batch 0's partition changes nothing
+    graft.pipeline.Compliance.flags(
+        rows.filter(_._1 <= 3L).toDF("doc_id", "url", "text"),
+        "doc_id", "url", "text", takedowns, blocked, rules)
+      .select(cols: _*)
+      .write.mode("overwrite").parquet(s"$flDir/batch_id=0")
+    spark.catalog.refreshByPath(flDir)
+    val replayed = spark.read.parquet(flDir).select(cols: _*)
+    assert(replayed.exceptAll(oneShot).isEmpty && oneShot.exceptAll(replayed).isEmpty,
+      "replayed batch partition changed the flags")
+  }
+
   test("streaming manifest: released from merged batch parts == one-shot") {
     // The incremental release manifest's streaming face: both state
     // tables (additive counts, mergeable HLL content sketch) maintain
