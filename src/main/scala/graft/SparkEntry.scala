@@ -872,6 +872,17 @@ object SparkEntry {
     // multiplied quantile, broadcast thresholds, keep = n >= floor.
     "adaptive_length_gate" -> ((s, dir) =>
       graft.pipeline.Curation.adaptiveLengthGate(Tables.documents(s, dir))),
+    // The incremental face: history contributes only its additive
+    // (lang, n_tokens, count) histogram partial — text never re-read;
+    // the batch gates under merged-state thresholds, which over the
+    // final batch equal the one-shot fit (the oracle states that).
+    "adaptive_length_gate_incremental" -> ((s, dir) => {
+      val all = Tables.documents(s, dir)
+      graft.pipeline.Curation.adaptiveLengthGateIncremental(
+        all.filter(col("doc_id") >= 250),
+        graft.pipeline.Curation.lengthHistogram(
+          all.filter(col("doc_id") < 250)))
+    }),
     // Fixed-budget release sharding in the seeded shuffle order: the
     // physical packaging step — per-shard doc/token counts + an
     // order-independent xor content fingerprint. The oracle replays the
@@ -953,6 +964,11 @@ object SparkEntry {
     // relationally, so the gate proves the index points at the records.
     "warc_cdx" -> ((s, dir) =>
       graft.sources.Warc.cdx(
+        graft.sources.Warc.records(warcBlobs(Tables.documents(s, dir))))),
+    // WET conversion records: the extracted-text sibling of the archives
+    // (strip HTTP headers, drop markup, collapse whitespace + digest).
+    "warc_wet" -> ((s, dir) =>
+      graft.sources.Warc.wetRecords(
         graft.sources.Warc.records(warcBlobs(Tables.documents(s, dir))))),
     // The INCREMENTAL manifest: additive counts + mergeable HLL content
     // sketch rolled up from state alone — release cost independent of
@@ -2878,6 +2894,23 @@ object SparkEntry {
         |FROM hs ORDER BY shuffle_pos""".stripMargin,
     "adaptive_length_gate" ->
       graft.pipeline.Curation.sqlAdaptiveLengthGate("documents"),
+    // Thresholds fit over the WHOLE relation, output restricted to the
+    // batch — exactly the merged-state semantic of the final batch.
+    "adaptive_length_gate_incremental" ->
+      graft.pipeline.Curation.sqlAdaptiveLengthGate("documents",
+        extraWhere = " AND t.doc_id >= 250"),
+    "warc_wet" ->
+      s"""WITH $sqlWarcCtes,
+         |wt AS (
+         |  SELECT uri,
+         |    trim(regexp_replace(regexp_replace(
+         |      '<html><body>' || text || '</body></html>',
+         |      '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) AS wet_text
+         |  FROM wr0)
+         |SELECT uri AS target_uri, '2026-01-01T00:00:00Z' AS warc_date,
+         |  wet_text, CAST(length(wet_text) AS BIGINT) AS n_chars,
+         |  md5(wet_text) AS digest
+         |FROM wt ORDER BY target_uri""".stripMargin,
     "release_shards" ->
       """WITH hs AS (
         |  SELECT doc_id, text, md5('rel42:' || text) AS h FROM documents),

@@ -848,18 +848,75 @@ object Curation {
     * rows — then a window over those aggregate rows and a per-group min.
     * Output: (groupCol, threshold). */
   def percentileThresholds(df: DataFrame, groupCol: String,
-                           valueCol: String, qBp: Int): DataFrame = {
+                           valueCol: String, qBp: Int): DataFrame =
+    percentileThresholdsFromCounts(
+      df.groupBy(col(groupCol), col(valueCol).as("__v"))
+        .agg(count(lit(1)).as("__c")),
+      groupCol, qBp)
+
+  /** [[percentileThresholds]] over a PRE-AGGREGATED (groupCol, __v, __c)
+    * count table — the histogram is ADDITIVE state (merge = groupBy
+    * sum), so this is also the release-time fit of the incremental face
+    * ([[adaptiveLengthGateIncremental]]). Expects one row per (group,
+    * value); merge partials first ([[mergeValueCounts]]). */
+  def percentileThresholdsFromCounts(counts: DataFrame, groupCol: String,
+                                     qBp: Int): DataFrame = {
     require(qBp > 0 && qBp <= 10000, s"qBp must be in (0, 10000], got $qBp")
-    val g = df.groupBy(col(groupCol), col(valueCol).as("__v"))
-      .agg(count(lit(1)).as("__c"))
     val w = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wTot = Window.partitionBy(col(groupCol))
-    g.withColumn("__cum", sum(col("__c")).over(w))
+    counts.withColumn("__cum", sum(col("__c")).over(w))
       .withColumn("__tot", sum(col("__c")).over(wTot))
       .filter(col("__cum") * 10000 >= lit(qBp.toLong) * col("__tot"))
       .groupBy(col(groupCol))
       .agg(min(col("__v")).as("threshold"))
+  }
+
+  /** Per-batch additive histogram partial of the gate signal — what the
+    * incremental/streaming faces persist (≤ distinct (group, value)
+    * rows per batch). */
+  def lengthHistogram(docs: DataFrame, textCol: String = "text",
+                      groupCol: String = "lang"): DataFrame =
+    graft.Par.widen(docs)
+      .groupBy(coalesce(col(groupCol), lit("und")).as("grp"),
+        size(graft.text.TextAnalysis.tokens(lower(col(textCol))))
+          .cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+
+  /** Merge histogram partials (groupBy-sum — associative, so per-batch
+    * parts ARE valid incremental state). */
+  def mergeValueCounts(parts: DataFrame): DataFrame =
+    parts.groupBy(col("grp"), col("__v"))
+      .agg(sum(col("__c")).as("__c"))
+
+  /** [EXT] The adaptive gate's INCREMENTAL face
+    * (`adaptive_length_gate_incremental` query): the batch is gated
+    * under thresholds fitted on history-state ∪ batch — history text is
+    * never re-read (its histogram partial is the state), and because
+    * the merged histogram over all batches IS the full-corpus
+    * histogram, gating the final batch under merged state equals the
+    * one-shot [[adaptiveLengthGate]] restricted to the batch (the
+    * oracle states exactly that). Mid-stream batches see thresholds
+    * from data-so-far — the honest drift of any threshold fitted
+    * before the corpus is complete; re-gate at release time from the
+    * merged state for the final verdicts. */
+  def adaptiveLengthGateIncremental(batch: DataFrame, state: DataFrame,
+                                    idCol: String = "doc_id",
+                                    textCol: String = "text",
+                                    groupCol: String = "lang",
+                                    qBp: Int = 2000): DataFrame = {
+    val merged = mergeValueCounts(
+      state.unionByName(lengthHistogram(batch, textCol, groupCol)))
+    val nTok = size(graft.text.TextAnalysis.tokens(lower(col(textCol))))
+      .cast("long")
+    graft.Par.widen(batch)
+      .select(col(idCol), coalesce(col(groupCol), lit("und")).as("grp"),
+        nTok.as("n_tokens"))
+      .join(broadcast(percentileThresholdsFromCounts(merged, "grp", qBp)),
+        Seq("grp"))
+      .select(col(idCol), col("grp"), col("n_tokens"), col("threshold"),
+        (col("n_tokens") >= col("threshold")).as("keep"))
+      .orderBy(col(idCol))
   }
 
   /** [EXT] Percentile-calibrated length gate (`adaptive_length_gate`
@@ -894,10 +951,15 @@ object Curation {
 
   /** DuckDB mirror of [[adaptiveLengthGate]] over a relation exposing
     * (idCol, groupCol, textCol). */
+  /** `extraWhere` restricts the OUTPUT rows only (e.g. `AND doc_id >=
+    * 250` — the incremental query's batch restriction); thresholds are
+    * always fitted on the whole relation, which is exactly the merged-
+    * state semantic of [[adaptiveLengthGateIncremental]]'s final batch. */
   def sqlAdaptiveLengthGate(rel: String, idCol: String = "doc_id",
                             textCol: String = "text",
                             groupCol: String = "lang",
-                            qBp: Int = 2000): String =
+                            qBp: Int = 2000,
+                            extraWhere: String = ""): String =
     s"""WITH t AS (
        |  SELECT $idCol, COALESCE($groupCol, 'und') AS grp,
        |    len(regexp_extract_all(lower($textCol), '[^ \\t\\n\\x0B\\f\\r]+'))::BIGINT
@@ -915,6 +977,7 @@ object Curation {
        |SELECT t.$idCol, t.grp, t.n_tokens, th.threshold,
        |  (t.n_tokens >= th.threshold) AS keep
        |FROM t JOIN th USING (grp)
+       |WHERE 1=1$extraWhere
        |ORDER BY t.$idCol""".stripMargin
 
   /** [EXT] Deterministic fixed-budget release sharding (`release_shards`

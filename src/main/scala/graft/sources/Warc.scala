@@ -177,6 +177,26 @@ object Warc {
       .orderBy(col("urlkey"), col("ts14"), col("filename"), col("record_offset"))
   }
 
+  /** [EXT] WET-style conversion records (`warc_wet` query) — the
+    * extracted-text sibling every WARC crawl publishes (Common Crawl's
+    * `*.warc.wet.gz`): per response capture, the tag-stripped,
+    * whitespace-collapsed plain text plus the text digest and length —
+    * what text-only pipelines consume so they never touch the raw
+    * archives. Derivation is deliberately the standard WET recipe (strip
+    * HTTP headers, drop markup, collapse whitespace), expressed as pure
+    * scan-stage string expressions so the conversion runs where the
+    * archive bytes already are; pages needing layout-aware extraction go
+    * through [[graft.ingest.Boilerplate.mainContent]] instead. */
+  def wetRecords(recs: DataFrame): DataFrame =
+    htmlDocuments(recs)
+      .withColumn("wet_text",
+        trim(regexp_replace(regexp_replace(col("body"), "<[^>]*>", " "),
+          "\\s+", " ")))
+      .select(col("target_uri"), col("warc_date"), col("wet_text"),
+        length(col("wet_text")).cast("long").as("n_chars"),
+        md5(col("wet_text")).as("digest"))
+      .orderBy(col("target_uri"))
+
   /** The HTTP-response payloads as documents: response records only,
     * HTTP headers stripped (first `\r\n\r\n`), body decoded UTF-8 —
     * (target_uri, warc_date, http_status, body), ready for the

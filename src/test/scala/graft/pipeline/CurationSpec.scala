@@ -726,6 +726,37 @@ class CurationSpec extends SparkSpec {
     assert(strict(10L) && !strict(9L) && strict(23L) && !strict(21L))
   }
 
+  test("adaptiveLengthGateIncremental: merged-state gate == one-shot on the batch (r10)") {
+    val all = ((1 to 10).map(i =>
+        (i.toLong, "en", Seq.fill(i)("w").mkString(" "))) ++ Seq(
+        (21L, "zh", "w"), (22L, "zh", "w"), (23L, "zh", "w w"))
+      ).toDF("doc_id", "lang", "text")
+    val hist = all.filter($"doc_id" <= 5L || $"doc_id" >= 21L)
+    val batch = all.filter($"doc_id" > 5L && $"doc_id" < 21L)
+    // merged partials == the direct full-corpus histogram
+    val merged = Curation.mergeValueCounts(
+        Curation.lengthHistogram(hist).unionByName(
+          Curation.lengthHistogram(batch)))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val direct = Curation.lengthHistogram(all)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == direct)
+    // gating the batch under merged state == the one-shot gate's batch rows
+    val inc = Curation.adaptiveLengthGateIncremental(
+        batch, Curation.lengthHistogram(hist), qBp = 3000)
+      .collect().map(_.toSeq).toSeq
+    val oneShot = Curation.adaptiveLengthGate(all, qBp = 3000)
+      .filter($"doc_id" > 5L && $"doc_id" < 21L)
+      .collect().map(_.toSeq).toSeq
+    assert(inc == oneShot && inc.nonEmpty)
+    // and the honest drift: the same batch against EMPTY state fits its
+    // own distribution (floor from 6..10 is 7 at p30, not the corpus's 3)
+    val cold = Curation.adaptiveLengthGateIncremental(
+        batch, Curation.lengthHistogram(all.filter(lit(false))), qBp = 3000)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(cold(6L) == 7L)
+  }
+
   test("releaseShards: prefix-sum cut in shuffle order, totals and xor reconcile (r10)") {
     val fixture = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val budget = 256L

@@ -85,6 +85,22 @@ class WarcSpec extends SparkSpec {
     assert(out.last._1 + out.last._7 == blob.getBytes("UTF-8").length.toLong)
   }
 
+  test("wetRecords: tag strip, whitespace collapse, digest; requests drop (r10)") {
+    val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+      "<html>\n  <body><p>hello   brave</p>\n<div>new\tworld</div></body></html>"
+    val blob = rec("response", "https://a/1", http) +
+      rec("request", "https://a/1", "GET / HTTP/1.1\r\n")
+    val files = Seq(("f.warc", blob.getBytes("UTF-8"))).toDF("path", "content")
+    val out = Warc.wetRecords(Warc.records(files)).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("wet_text") == "hello brave new world")
+    assert(r.getAs[Long]("n_chars") == 21L)
+    assert(r.getAs[String]("digest") ==
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(
+        "hello brave new world".getBytes("UTF-8")))
+  }
+
   test("cdx: SURT urlkey, mime/status extraction, digest, byte-precise pointers (r10)") {
     // Userinfo, port, and mixed-case host/path all canonicalize away in
     // the SURT key; the Content-Type parameter list is stripped; a
