@@ -451,6 +451,15 @@ object SparkEntry {
       FittedOracle.listStatsCenters = Some(centers)
       Ivf.listStats(emb, centers, col("vec_id") >= 250)
     }),
+    // Topic-balanced subset: cap each EMBEDDING CLUSTER (printed-centroid
+    // assignment) at k by the content-keyed md5 order — uniform sampling
+    // would inherit the corpus's topic skew.
+    "cluster_balanced_sample" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val centers = Ivf.fitCentroids(emb, 8)
+      FittedOracle.clusterSampleCenters = Some(centers)
+      Similarity.clusterBalancedSample(emb, centers, 40)
+    }),
     // knn_pq: product-quantized ADC search (32x-compressed codes). FULL
     // oracle since r9 via printed codebooks; recall pinned in PqSpec.
     "knn_pq" -> ((s, dir) => {
@@ -894,6 +903,12 @@ object SparkEntry {
     // CurationSpec pins it equal to the single-window semantic form.
     "sequence_packing" -> ((s, dir) =>
       graft.pipeline.Curation.packChunksScalable(Tables.documents(s, dir),
+        "doc_id", "text", 512L)),
+    // The attention-mask manifest of that packing: per chunk, each
+    // document fragment's [start, end) span — what resets attention at
+    // document joins inside a packed sequence.
+    "packing_boundaries" -> ((s, dir) =>
+      graft.pipeline.Curation.packingBoundaries(Tables.documents(s, dir),
         "doc_id", "text", 512L)),
     // Packing in BPE-piece units (what trainers budget in): same
     // prefix-sum assignment, n_tokens from the broadcast-rank encode.
@@ -2949,6 +2964,9 @@ object SparkEntry {
         |       ELSE CAST(FLOOR((off + n_tokens - 1) / 512.0) AS BIGINT)
         |            - CAST(FLOOR(off / 512.0) AS BIGINT) + 1 END AS n_chunks
         |FROM o ORDER BY doc_id""".stripMargin,
+    "packing_boundaries" ->
+      graft.pipeline.Curation.sqlPackingBoundaries(
+        "documents", "doc_id", "text", 512L),
     "packing_efficiency" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -652,7 +652,7 @@ object Curation {
     * 100 TB; [[packChunksScalable]] (id order) and
     * [[FineWebPipeline]] (shuffle order) are both this operator. */
   def packByOrder(df: DataFrame, orderCol: String, budget: Long,
-                  parts: Int = 0): DataFrame = {
+                  parts: Int = 0, keepOffset: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val nParts = if (parts > 0) parts else spark.sparkContext.defaultParallelism
     // Range-partition by the order column so partition order == global
@@ -685,7 +685,7 @@ object Curation {
         when(col("n_tokens") === 0, lit(0L)).otherwise(
           floor((col("offset") + col("n_tokens") - 1) / budget) -
             floor(col("offset") / budget) + 1))
-      .drop("__pid", "offset")
+      .drop("__pid" +: (if (keepOffset) Seq.empty[String] else Seq("offset")): _*)
   }
 
   /** [[packChunksScalable]] with BPE-piece budgets
@@ -710,6 +710,63 @@ object Curation {
       .select(col("__id").as(idCol), col("n_tokens"),
         col("chunk_id"), col("n_chunks"))
       .orderBy(col(idCol))
+
+  /** [EXT] Per-chunk document spans (`packing_boundaries` query) — the
+    * attention-mask manifest of concat-then-chunk packing: a trainer
+    * that packs documents into fixed sequences must know, for every
+    * sequence, WHERE each document's tokens sit ([start, end) offsets
+    * within the chunk) to reset attention / mask the loss at document
+    * boundaries — without it, concat packing silently trains across
+    * unrelated-document joins. One row per (chunk, document-fragment):
+    * a doc spanning k chunks emits k rows whose chunk-relative spans
+    * tile it exactly. Derivation is pure arithmetic on the
+    * [[packByOrder]] offsets (start = max(off − c·B, 0), end =
+    * min(off + n − c·B, B)); the fan-out is |docs| + boundary
+    * crossings, never token-scale. */
+  def packingBoundaries(docs: DataFrame, idCol: String, textCol: String,
+                        budget: Long, parts: Int = 0): DataFrame = {
+    val nTok = size(graft.text.TextAnalysis.tokens(lower(col(textCol)))).cast("long")
+    packByOrder(docs.select(col(idCol).as("__id"), nTok.as("n_tokens")),
+        "__id", budget, parts, keepOffset = true)
+      .filter(col("n_tokens") > 0) // empty docs occupy no span
+      .withColumn("__k", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .withColumn("chunk_id", col("chunk_id") + col("__k"))
+      .select(col("chunk_id"), col("__id").as(idCol),
+        greatest(col("offset") - col("chunk_id") * budget, lit(0L))
+          .as("start_in_chunk"),
+        least(col("offset") + col("n_tokens") - col("chunk_id") * budget,
+          lit(budget)).as("end_in_chunk"))
+      .orderBy(col("chunk_id"), col("start_in_chunk"), col(idCol))
+  }
+
+  /** DuckDB mirror of [[packingBoundaries]] over a relation exposing
+    * (idCol, textCol). */
+  def sqlPackingBoundaries(rel: String, idCol: String, textCol: String,
+                           budget: Long): String =
+    s"""WITH t AS (
+       |  SELECT $idCol,
+       |    len(regexp_extract_all(lower($textCol), '[^ \\t\\n\\x0B\\f\\r]+'))::BIGINT
+       |      AS n_tokens
+       |  FROM $rel),
+       |o AS (
+       |  SELECT $idCol, n_tokens,
+       |    SUM(n_tokens) OVER (ORDER BY $idCol ROWS UNBOUNDED PRECEDING)
+       |      - n_tokens AS off
+       |  FROM t),
+       |e AS (
+       |  SELECT $idCol, n_tokens, off,
+       |    CAST(FLOOR(off / $budget.0) AS BIGINT)
+       |      + UNNEST(range(0, CAST(FLOOR((off + n_tokens - 1) / $budget.0)
+       |          AS BIGINT) - CAST(FLOOR(off / $budget.0) AS BIGINT) + 1))
+       |      AS chunk_id
+       |  FROM o WHERE n_tokens > 0)
+       |SELECT chunk_id, $idCol,
+       |  CAST(GREATEST(off - chunk_id * $budget, 0) AS BIGINT)
+       |    AS start_in_chunk,
+       |  CAST(LEAST(off + n_tokens - chunk_id * $budget, $budget) AS BIGINT)
+       |    AS end_in_chunk
+       |FROM e
+       |ORDER BY chunk_id, start_in_chunk, $idCol""".stripMargin
 
   /** [[packChunks]] as a distributed prefix sum via [[packByOrder]].
     * Output is IDENTICAL to the window form (CurationSpec pins it). */

@@ -40,6 +40,7 @@ object FittedOracle {
   @volatile var distortionBooks: Option[IndexedSeq[IndexedSeq[IndexedSeq[Double]]]] = None
   @volatile var appendCenters: Option[IndexedSeq[IndexedSeq[Double]]] = None
   @volatile var listStatsCenters: Option[IndexedSeq[IndexedSeq[Double]]] = None
+  @volatile var clusterSampleCenters: Option[IndexedSeq[IndexedSeq[Double]]] = None
   @volatile var langIdProfiles: Option[Seq[(String, Seq[String])]] = None
   @volatile var langConfusionProfiles: Option[Seq[(String, Seq[String])]] = None
   @volatile var bpeStatsMerges: Option[Seq[(String, String)]] = None
@@ -104,6 +105,8 @@ object FittedOracle {
         "knn_ivf_append" -> Ivf.sqlKnnIvf(c, k = 5, nprobe = 4)) ++
       listStatsCenters.map(c =>
         "ivf_list_stats" -> Ivf.sqlListStats(c, "vec_id >= 250")) ++
+      clusterSampleCenters.map(c =>
+        "cluster_balanced_sample" -> Similarity.sqlClusterBalancedSample(c, k = 40)) ++
       langIdProfiles.filter(_.nonEmpty).map(p =>
         "langid_ngram" ->
           (s"WITH ${graft.text.TextAnalysis.sqlLangIdNgramCtes(

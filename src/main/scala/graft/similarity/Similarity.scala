@@ -812,4 +812,53 @@ object Similarity {
        |       JOIN n x ON sl.src_id = x.vec_id
        |       JOIN n y ON tl.tgt_id = y.vec_id),
        |${sqlMarginTail(k, marginThreshold)}""".stripMargin
+
+  /** [EXT] Cluster-balanced sampling (`cluster_balanced_sample` query) —
+    * topic-balanced subset selection (the DataComp/SemDeDup-era density
+    * discipline): uniform sampling inherits the corpus's topic skew, so
+    * an eval slice or a diversity-weighted training subset caps each
+    * EMBEDDING CLUSTER instead of each label. Composition of two proven
+    * pieces: the printed-centroid k-means assignment (the [[Ivf]] list
+    * expression — scan-stage, shuffle-free) feeding
+    * [[graft.pipeline.Curation.balancedSample]]'s per-class md5-order
+    * top-k (exactly min(k, |cluster|) per cluster, content-keyed
+    * determinism, one cluster-keyed exchange). */
+  def clusterBalancedSample(candidates: DataFrame,
+                            centers: IndexedSeq[IndexedSeq[Double]], k: Int,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val assigned = graft.Par.widen(candidates).select(col(idCol),
+      element_at(org.apache.spark.sql.graft.VectorFunctions
+        .nearestCentroids(asDouble(col(vecCol)), centers, 1), 1).as("cluster"))
+    graft.pipeline.Curation.balancedSample(assigned, "cluster", idCol, k)
+  }
+
+  /** DuckDB mirror of [[clusterBalancedSample]] over printed centroids:
+    * the proven assignment CTE + the `balanced_sample` md5-order rank. */
+  def sqlClusterBalancedSample(centers: IndexedSeq[IndexedSeq[Double]],
+                               k: Int): String =
+    s"""WITH cent AS (
+       |  FROM (VALUES
+       |    ${FittedOracle.centroidValues(centers)}) cent(cid, n2, cv)),
+       |n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sc0 AS (
+       |  SELECT n.vec_id, cent.cid,
+       |    cent.n2 - 2.0 * list_reduce(
+       |      list_transform(range(1, len(n.v)+1), i -> n.v[i] * cent.cv[i]),
+       |      (a,b) -> a+b) AS sco
+       |  FROM n CROSS JOIN cent),
+       |asg AS (
+       |  SELECT vec_id, cid AS cluster FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY sco ASC, cid ASC) AS rn
+       |    FROM sc0) WHERE rn = 1),
+       |r AS (
+       |  SELECT cluster, vec_id,
+       |    row_number() OVER (PARTITION BY cluster
+       |                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+       |      AS rn
+       |  FROM asg)
+       |SELECT cluster, vec_id FROM r WHERE rn <= $k
+       |ORDER BY cluster, vec_id""".stripMargin
 }

@@ -726,6 +726,44 @@ class CurationSpec extends SparkSpec {
     assert(strict(10L) && !strict(9L) && strict(23L) && !strict(21L))
   }
 
+  test("packingBoundaries: spans tile every chunk and every doc exactly (r10)") {
+    // token counts 3, 4, 2, 6 at budget 4:
+    //   doc 1 off 0: chunk 0 [0,3)
+    //   doc 2 off 3: chunk 0 [3,4) + chunk 1 [0,3)  (straddles)
+    //   doc 3 off 7: chunk 1 [3,4) + chunk 2 [0,1)  (straddles)
+    //   doc 4 off 9: chunk 2 [1,4) + chunk 3 [0,3)
+    val docs = Seq((1L, "a b c"), (2L, "d e f g"), (3L, "h i"),
+      (4L, "j k l m n o")).toDF("doc_id", "text")
+    val out = Curation.packingBoundaries(docs, "doc_id", "text", 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (0L, 1L, 0L, 3L), (0L, 2L, 3L, 4L),
+      (1L, 2L, 0L, 3L), (1L, 3L, 3L, 4L),
+      (2L, 3L, 0L, 1L), (2L, 4L, 1L, 4L),
+      (3L, 4L, 0L, 3L)))
+    // invariants on the fixture corpus: per-doc spans sum to its tokens;
+    // per-chunk spans tile [0, budget) without gap or overlap (except
+    // the final partial chunk, which ends at the total's remainder)
+    val fixture = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val b = Curation.packingBoundaries(fixture, "doc_id", "text", 64L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val perDoc = b.groupBy(_._2).view.mapValues(_.map(s => s._4 - s._3).sum).toMap
+    val nTok = fixture.select($"doc_id",
+        size(graft.text.TextAnalysis.tokens(lower($"text"))).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    nTok.filter(_._2 > 0).foreach { case (id, n) =>
+      assert(perDoc(id) == n, s"doc $id spans ${perDoc.get(id)} != $n tokens")
+    }
+    b.groupBy(_._1).foreach { case (c, spans) =>
+      val sorted = spans.sortBy(_._3)
+      assert(sorted.head._3 == 0L)
+      sorted.sliding(2).foreach {
+        case Array(x, y) => assert(x._4 == y._3, s"gap in chunk $c")
+        case _ =>
+      }
+    }
+  }
+
   test("adaptiveLengthGateIncremental: merged-state gate == one-shot on the batch (r10)") {
     val all = ((1 to 10).map(i =>
         (i.toLong, "en", Seq.fill(i)("w").mkString(" "))) ++ Seq(

@@ -202,6 +202,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("clusterBalancedSample: exactly min(k, |cluster|) per cluster, deterministic (r10)") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val centers = Ivf.fitCentroids(emb, nlist = 4)
+    val out = Similarity.clusterBalancedSample(emb, centers, 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val sizes = emb.select(org.apache.spark.sql.functions.element_at(
+        org.apache.spark.sql.graft.VectorFunctions.nearestCentroids(
+          Similarity.asDouble($"embedding"), centers, 1), 1).as("c"))
+      .groupBy("c").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val picked = out.groupBy(_._1).view.mapValues(_.length).toMap
+    sizes.foreach { case (c, n) =>
+      assert(picked.getOrElse(c, 0) == math.min(10L, n).toInt,
+        s"cluster $c picked ${picked.get(c)} of $n")
+    }
+    assert(out.toSeq ==
+      Similarity.clusterBalancedSample(emb, centers, 10)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq)
+  }
+
   test("stored IVF-PQ layout prunes partitions, drops vectors, matches in-memory") {
     val dir = "/root/testdata/sf0.001"
     val emb = graft.Tables.embeddings(spark, dir)
