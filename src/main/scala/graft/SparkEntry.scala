@@ -86,6 +86,11 @@ object SparkEntry {
     // trust propagation vs open PageRank) on the same graph fixture.
     "trust_propagation" -> ((s, dir) =>
       graft.analytics.PageRank.copurchaseSpamMass(Tables.lineitem(s, dir))),
+    // HITS hubs/authorities on the DIRECTED bipartite order->part graph
+    // (orders = pure hubs, parts = pure authorities) — L1-normalized
+    // integer half-steps, full unrolled-CTE oracle like the rank family.
+    "order_part_hits" -> ((s, dir) =>
+      graft.analytics.PageRank.orderPartHits(Tables.lineitem(s, dir))),
     // ---- [EXT] text analysis ----
     "text_stats" -> ((s, dir) => TextAnalysis.stats(Tables.documents(s, dir))),
     // Unicode NFC canonicalization (r9) — the stage ahead of dedup keys
@@ -1768,6 +1773,7 @@ object SparkEntry {
     "decontaminate_bloom" -> DecontaminateSql,
     "part_pagerank" -> graft.analytics.PageRank.sqlCopurchaseParts(),
     "trust_propagation" -> graft.analytics.PageRank.sqlCopurchaseSpamMass(),
+    "order_part_hits" -> graft.analytics.PageRank.sqlOrderPartHits(),
     "lm_scores" -> graft.text.LmScore.sqlScores,
     "lm_scores_crossfit" -> graft.text.LmScore.sqlScoresCrossFit,
     "lm_quality_floor" -> graft.text.LmScore.sqlQualityFloor(),

@@ -185,6 +185,139 @@ object PageRank {
       .orderBy(col("node"))
   }
 
+  /** [EXT] HITS hubs & authorities (Kleinberg 1999) in the same
+    * integer fixed-point discipline as [[ranks]] — the OTHER classic
+    * link-analysis pair next to PageRank/TrustRank: authority(v) =
+    * Σ hub(u) over in-edges u→v, hub(u) = Σ auth(v) over out-edges,
+    * each vector L1-normalized to `Scale` after its half-step (the
+    * sum-normalized HITS variant — rankings are normalization-
+    * invariant, and an L1 step is exact integer arithmetic where L2
+    * would need a square root). The normalizing multiply x·Scale runs
+    * in BigInt (x ≤ ΣX can exceed Long·Scale) and floors — DuckDB's
+    * HUGEINT `//` replays it exactly, so the query carries a full
+    * oracle like the rest of the rank family.
+    *
+    * Same execution shape as [[ranks]]: adjacency hash-partitioned
+    * once, one exchange per half-step; the per-half-step L1 total is
+    * one action over the node-set-sized vector. On a SYMMETRIC graph
+    * hub == auth every round (each half-step sees identical
+    * neighborhoods) — run it on a DIRECTED graph, e.g. the bipartite
+    * order→part projection ([[orderPartHits]]). */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iterations: Int = 10): DataFrame = {
+    require(iterations >= 1, "need iterations >= 1")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val lvl = StorageLevel.MEMORY_AND_DISK
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().persist(lvl)
+    val nParts = math.max(4L, e.count() / 1000000L).toInt
+    val part = new HashPartitioner(nParts)
+    val adj = e.as[(Long, Long)].rdd
+      .groupByKey(part).mapValues(_.toArray.sorted).persist(lvl)
+    val radj = e.select(col("dst"), col("src")).as[(Long, Long)].rdd
+      .groupByKey(part).mapValues(_.toArray.sorted).persist(lvl)
+    val nodes = e.select(col("src").as("v"))
+      .union(e.select(col("dst"))).distinct()
+      .as[Long].rdd.map(v => (v, ())).partitionBy(part).persist(lvl)
+    val n = nodes.count()
+    require(n > 0, "HITS needs a non-empty graph")
+    def halfStep(vec: org.apache.spark.rdd.RDD[(Long, Long)],
+                 along: org.apache.spark.rdd.RDD[(Long, Array[Long])])
+        : org.apache.spark.rdd.RDD[(Long, Long)] = {
+      val raw = along.join(vec)
+        .flatMap { case (_, (outs, x)) =>
+          if (x == 0L) Iterator.empty else outs.iterator.map(d => (d, x))
+        }
+        .reduceByKey(part, _ + _)
+      val total = raw.map(_._2).fold(0L)(_ + _)
+      nodes.leftOuterJoin(raw).mapValues { case (_, o) =>
+        val x = o.getOrElse(0L)
+        if (total == 0L || x == 0L) 0L
+        else (BigInt(x) * Scale / total).toLong
+      }
+    }
+    var hub = nodes.mapValues(_ => Scale / n)
+    var auth = hub
+    for (_ <- 1 to iterations) {
+      auth = halfStep(hub, adj)   // auth(v) = Σ hub over in-edges
+      hub = halfStep(auth, radj)  // hub(u) = Σ auth over out-edges
+    }
+    val schema = StructType(Seq(
+      StructField("node", LongType, nullable = false),
+      StructField("hub_fp", LongType, nullable = false),
+      StructField("auth_fp", LongType, nullable = false)))
+    val out = spark.createDataFrame(
+        hub.join(auth).map { case (v, (h, a)) => Row(v, h, a) }, schema)
+      .orderBy(col("node"))
+      .pinned
+    e.unpersist(false); adj.unpersist(false); radj.unpersist(false)
+    nodes.unpersist(false)
+    out
+  }
+
+  /** `order_part_hits` query: HITS on the DIRECTED bipartite
+    * order→part graph — orders are pure hubs (good baskets point at
+    * good parts), parts pure authorities. The two id spaces interleave
+    * via the reversible 2k / 2k+1 encoding so they can never collide;
+    * the output decodes. */
+  def orderPartHits(lineitem: DataFrame, iterations: Int = 10): DataFrame =
+    hits(graft.Par.widen(lineitem)
+        .select((col("l_orderkey").cast("long") * 2).as("src"),
+          (col("l_partkey").cast("long") * 2 + 1).as("dst")),
+        "src", "dst", iterations)
+      .select(
+        when(col("node") % 2 === 0, "order").otherwise("part").as("kind"),
+        expr("node DIV 2").as("id"), col("hub_fp"), col("auth_fp"))
+      .orderBy(col("kind"), col("id"))
+
+  /** DuckDB mirror of [[orderPartHits]]: the double half-step unrolls
+    * into one CTE chain per round (raw sum → L1 total → normalized
+    * vector, HUGEINT `//` replaying the BigInt floor). Every CTE is
+    * `AS MATERIALIZED`: per round, the raw-sum and vector CTEs are
+    * each referenced TWICE (total + normalize; join + next round), and
+    * DuckDB's default inlining would expand the reference tree
+    * 2^iterations-fold — observed as an fd-exhaustion storm of
+    * re-opened parquet scans, not just slowness. */
+  def sqlOrderPartHits(iterations: Int = 10): String = {
+    val iters = (1 to iterations).map { k =>
+      s"""ar$k AS MATERIALIZED (
+         |  SELECT e.dst AS v, SUM(h.r) AS s
+         |  FROM e JOIN h${k - 1} h ON e.src = h.v WHERE h.r > 0 GROUP BY 1),
+         |at$k AS MATERIALIZED (SELECT SUM(s) AS t FROM ar$k),
+         |a$k AS MATERIALIZED (
+         |  SELECT n.v,
+         |    CAST(CASE WHEN COALESCE(t.t, 0) = 0 OR COALESCE(ar.s, 0) = 0
+         |      THEN 0 ELSE ar.s::HUGEINT * $Scale // t.t END AS BIGINT) AS r
+         |  FROM nodes n CROSS JOIN at$k t LEFT JOIN ar$k ar ON n.v = ar.v),
+         |hr$k AS MATERIALIZED (
+         |  SELECT e.src AS v, SUM(a.r) AS s
+         |  FROM e JOIN a$k a ON e.dst = a.v WHERE a.r > 0 GROUP BY 1),
+         |ht$k AS MATERIALIZED (SELECT SUM(s) AS t FROM hr$k),
+         |h$k AS MATERIALIZED (
+         |  SELECT n.v,
+         |    CAST(CASE WHEN COALESCE(t.t, 0) = 0 OR COALESCE(hr.s, 0) = 0
+         |      THEN 0 ELSE hr.s::HUGEINT * $Scale // t.t END AS BIGINT) AS r
+         |  FROM nodes n CROSS JOIN ht$k t LEFT JOIN hr$k hr ON n.v = hr.v)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+       |  FROM lineitem),
+       |nodes AS MATERIALIZED (SELECT src AS v FROM e UNION SELECT dst FROM e),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |h0 AS MATERIALIZED (SELECT v, CAST($Scale // n AS BIGINT) AS r
+       |       FROM nodes CROSS JOIN nn),
+       |$iters
+       |SELECT CASE WHEN n.v % 2 = 0 THEN 'order' ELSE 'part' END AS kind,
+       |  CAST(n.v // 2 AS BIGINT) AS id, h.r AS hub_fp, a.r AS auth_fp
+       |FROM nodes n JOIN h$iterations h ON n.v = h.v
+       |     JOIN a$iterations a ON n.v = a.v
+       |ORDER BY kind, id""".stripMargin
+  }
+
   /** Co-purchase part graph: parts sharing an order are linked (both
     * directions) — the symmetric projection of the order–part bipartite
     * graph. ONE exchange keyed by the order: `collect_set` gathers each

@@ -109,4 +109,38 @@ class PageRankSpec extends SparkSpec {
     assert(out(5L) > out(6L))
     assert(out(6L) == out(7L) && out(7L) == out(8L))
   }
+
+  test("HITS: bipartite hubs/authorities separate; symmetric graph degenerates (r10)") {
+    // Orders 1-3 all buy part 5; order 1 (the big basket) also buys 6, 7.
+    val li = Seq((1L, 5L), (1L, 6L), (1L, 7L), (2L, 5L), (3L, 5L))
+      .toDF("l_orderkey", "l_partkey")
+    val out = PageRank.orderPartHits(li)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getAs[Long]("hub_fp"), r.getAs[Long]("auth_fp"))).toMap
+    // orders are pure hubs, parts pure authorities (bipartite direction)
+    out.foreach { case ((kind, _), (h, a)) =>
+      if (kind == "order") assert(a == 0L) else assert(h == 0L)
+    }
+    // part 5 (bought by every order) out-ranks the big basket's extras
+    assert(out(("part", 5L))._2 > out(("part", 6L))._2)
+    assert(out(("part", 6L))._2 == out(("part", 7L))._2)
+    // order 1's basket hits 3 parts incl. the authority: top hub
+    assert(out(("order", 1L))._1 > out(("order", 2L))._1)
+    assert(out(("order", 2L))._1 == out(("order", 3L))._1)
+    // L1 discipline: each vector's mass stays ~Scale (floor leaks only)
+    val hubs = out.values.map(_._1).sum
+    val auths = out.values.map(_._2).sum
+    assert(hubs <= PageRank.Scale && hubs > PageRank.Scale - 100L)
+    assert(auths <= PageRank.Scale && auths > PageRank.Scale - 100L)
+    // a symmetric graph collapses the pair: hub == auth everywhere
+    val symOut = PageRank.hits(
+        sym((1L, 2L), (2L, 3L), (1L, 3L)), "src", "dst")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(symOut.forall { case (h, a) => h == a })
+    // determinism across runs
+    val again = PageRank.orderPartHits(li)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getAs[Long]("hub_fp"), r.getAs[Long]("auth_fp"))).toMap
+    assert(again == out)
+  }
 }
