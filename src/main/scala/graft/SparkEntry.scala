@@ -89,8 +89,10 @@ object SparkEntry {
     // HITS hubs/authorities on the DIRECTED bipartite order->part graph
     // (orders = pure hubs, parts = pure authorities) — L1-normalized
     // integer half-steps, full unrolled-CTE oracle like the rank family.
+    // 5 rounds: HITS is power iteration on A^T·A and has visibly
+    // converged here; each extra round costs 2 L1-total actions.
     "order_part_hits" -> ((s, dir) =>
-      graft.analytics.PageRank.orderPartHits(Tables.lineitem(s, dir))),
+      graft.analytics.PageRank.orderPartHits(Tables.lineitem(s, dir), 5)),
     // ---- [EXT] text analysis ----
     "text_stats" -> ((s, dir) => TextAnalysis.stats(Tables.documents(s, dir))),
     // Unicode NFC canonicalization (r9) — the stage ahead of dedup keys
@@ -1773,7 +1775,7 @@ object SparkEntry {
     "decontaminate_bloom" -> DecontaminateSql,
     "part_pagerank" -> graft.analytics.PageRank.sqlCopurchaseParts(),
     "trust_propagation" -> graft.analytics.PageRank.sqlCopurchaseSpamMass(),
-    "order_part_hits" -> graft.analytics.PageRank.sqlOrderPartHits(),
+    "order_part_hits" -> graft.analytics.PageRank.sqlOrderPartHits(5),
     "lm_scores" -> graft.text.LmScore.sqlScores,
     "lm_scores_crossfit" -> graft.text.LmScore.sqlScoresCrossFit,
     "lm_quality_floor" -> graft.text.LmScore.sqlQualityFloor(),

@@ -224,6 +224,16 @@ object PageRank {
       .as[Long].rdd.map(v => (v, ())).partitionBy(part).persist(lvl)
     val n = nodes.count()
     require(n > 0, "HITS needs a non-empty graph")
+    // Each half-step takes an ACTION (the L1 total), so unlike [[ranks]]
+    // — one lineage, one evaluation — the raw sums MUST be persisted:
+    // an unpersisted chain would recompute every earlier round at every
+    // total, O(iterations²) passes. One action per half-step (the
+    // fold); the normalized vector itself stays lazy — the NEXT step's
+    // fold evaluates it once from the persisted raw frame. Blocks drop
+    // in one sweep at the end (they are node-set-sized, tiny next to
+    // the corpus).
+    val pinnedRaws = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.rdd.RDD[(Long, Long)]]
     def halfStep(vec: org.apache.spark.rdd.RDD[(Long, Long)],
                  along: org.apache.spark.rdd.RDD[(Long, Array[Long])])
         : org.apache.spark.rdd.RDD[(Long, Long)] = {
@@ -232,6 +242,8 @@ object PageRank {
           if (x == 0L) Iterator.empty else outs.iterator.map(d => (d, x))
         }
         .reduceByKey(part, _ + _)
+        .persist(lvl)
+      pinnedRaws += raw
       val total = raw.map(_._2).fold(0L)(_ + _)
       nodes.leftOuterJoin(raw).mapValues { case (_, o) =>
         val x = o.getOrElse(0L)
@@ -254,7 +266,7 @@ object PageRank {
       .orderBy(col("node"))
       .pinned
     e.unpersist(false); adj.unpersist(false); radj.unpersist(false)
-    nodes.unpersist(false)
+    nodes.unpersist(false); pinnedRaws.foreach(_.unpersist(false))
     out
   }
 
