@@ -1405,6 +1405,22 @@ object SparkEntry {
       Multimodal.resize(Multimodal.mediaFromDocuments(Tables.documents(s, dir)), 64)
         .select(col("media_id"), col("kind"), col("orig_bytes"), col("resized_bytes"))
         .orderBy(col("media_id"))),
+    // Perceptual image dedup: aHash signatures (stub decode, md5-prefix
+    // grays) through the SAME banded Hamming join as SimHash text dedup.
+    // Fixture plants RE-HOSTED COPIES (the real-web case this hash
+    // exists for): every image in a 15-id block carries the block
+    // anchor's payload, so the 5 images per block pair at hamming 0.
+    "image_ahash_pairs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val anchors = docs
+        .select(col("doc_id").as("aid"), encode(col("text"), "UTF-8").as("data"))
+      val media = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("media_id"),
+          (col("doc_id") - col("doc_id") % 15).as("aid"))
+        .join(anchors, Seq("aid"))
+        .select(col("media_id"), lit("image").as("kind"), col("data"))
+      Multimodal.imageAhashPairs(media)
+    }),
   )
 
   /** Exact-decontamination oracle — shared verbatim by `decontaminate` and
@@ -3349,6 +3365,7 @@ object SparkEntry {
     // media stub features (md5-prefix discipline, r9) -> brute-force kNN:
     // the whole multimodal/similarity composition replays in DuckDB.
     "media_embedding_knn" -> Multimodal.sqlMediaEmbeddingKnn(3),
+    "image_ahash_pairs" -> Multimodal.sqlImageAhashPairs(3),
     "multimodal_features" ->
       """SELECT doc_id AS media_id,
         |  CASE doc_id % 3 WHEN 1 THEN 'audio' WHEN 2 THEN 'video'

@@ -796,13 +796,26 @@ object Dedup {
     * maxDist via 4×16-bit chunk banding (pigeonhole: distance ≤ 3 implies
     * at least one identical chunk), then exact `bit_count(xor)` verify. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 3): DataFrame = {
+                   maxDist: Int = 3): DataFrame =
+    hammingPairs(
+      graft.Par.widen(df)
+        .select(col(idCol).cast("long").as("id"), tokenHashes(col(textCol)).as("hs"))
+        .select(col("id"), simhash64FromHashes("hs").as("sh")),
+      maxDist)
+
+  /** The banded Hamming self-join over ANY (id, sh) 64-bit signature
+    * frame — the tail [[simhashPairs]] always used, extracted (r10) so
+    * other signature families (e.g. image average-hash,
+    * [[graft.multimodal.Multimodal.imageAhashPairs]]) reuse the exact
+    * machinery: 4×16-bit chunk banding (lossless for maxDist ≤ 3 by
+    * pigeonhole), per-bucket JVM pair loop, first-shared-chunk
+    * ownership so output is globally duplicate-free without a
+    * dropDuplicates exchange. */
+  def hammingPairs(sig: DataFrame, maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "4-chunk banding only guarantees recall for maxDist <= 3")
-    val spark0 = df.sparkSession
+    val spark0 = sig.sparkSession
     import spark0.implicits._
-    val docs = graft.Par.widen(df)
-      .select(col(idCol).cast("long").as("id"), tokenHashes(col(textCol)).as("hs"))
-      .select(col("id"), simhash64FromHashes("hs").as("sh"))
+    val docs = sig.select(col("id").cast("long").as("id"), col("sh"))
     val chunked = docs.select(col("id"), col("sh"),
         explode(array((0 until 4).map(lit(_)): _*)).as("chunk"))
       .withColumn("ck", expr("shiftright(sh, chunk * 16) & 65535"))

@@ -135,6 +135,73 @@ object Multimodal {
       .toDF()
   }
 
+  /** [EXT] Average-hash (aHash) image signatures — the classic
+    * perceptual near-dup hash (downsample to 8×8 gray, threshold each
+    * pixel at the mean, pack 64 bits): unlike the byte-level md5 exact
+    * dedup, re-encoded/resized COPIES of an image keep their aHash
+    * close, so image dedup runs as a Hamming-ball join exactly like
+    * SimHash text dedup. The decode+downsample is the repo's
+    * ====== STUB ====== (gray pixel i = u32 md5-prefix of
+    * payload ∥ ":px" ∥ i — DuckDB-replayable, the [[fakeDecode]]
+    * discipline); everything downstream is real: the exact integer
+    * mean (Σ DIV 64), MSB-first bit pack in plain long arithmetic, and
+    * the banded Hamming self-join REUSED from the text family
+    * ([[graft.dedup.Dedup.hammingPairs]]) — one signature machinery,
+    * two modalities. Scan-stage per-row expressions; payloads never
+    * shuffle, only (id, 8-byte hash) rows reach the join. */
+  def imageAhash(media: DataFrame): DataFrame = {
+    val grays = (0 until 64).map { i =>
+      conv(substring(md5(concat(col("data"),
+        lit(s":px$i").cast("binary"))), 1, 8), 16, 10).cast("long")
+    }
+    media.filter(col("kind") === "image")
+      .select(col("media_id"), array(grays: _*).as("g"))
+      .withColumn("mean", expr("aggregate(g, 0L, (a, x) -> a + x) DIV 64"))
+      .withColumn("sh", expr(
+        "aggregate(transform(sequence(0, 63), i -> " +
+          "CASE WHEN element_at(g, i + 1) > mean " +
+          "THEN shiftleft(1L, 63 - i) ELSE 0L END), 0L, (a, x) -> a + x)"))
+      .select(col("media_id"), col("sh"))
+  }
+
+  /** Near-dup image pairs at Hamming ≤ maxDist over [[imageAhash]] —
+    * `image_ahash_pairs` query. */
+  def imageAhashPairs(media: DataFrame, maxDist: Int = 3): DataFrame =
+    graft.dedup.Dedup.hammingPairs(
+      imageAhash(media).select(col("media_id").as("id"), col("sh")), maxDist)
+
+  /** DuckDB mirror of [[imageAhashPairs]] over the planted-copy fixture
+    * (images are doc_id ≡ 0 mod 3; each carries its 15-id block
+    * anchor's payload — the re-hosted-copy case): same md5-prefix
+    * grays, integer mean, the simhash sign-bit pack, brute-force
+    * Hamming filter (the banding is a lossless candidate generator at
+    * maxDist ≤ 3, so brute force IS the semantic). */
+  def sqlImageAhashPairs(maxDist: Int): String =
+    s"""WITH img AS (
+       |  SELECT d.doc_id AS media_id, a.text AS text
+       |  FROM documents d
+       |  JOIN documents a ON a.doc_id = d.doc_id - (d.doc_id % 15)
+       |  WHERE d.doc_id % 3 = 0),
+       |g AS (
+       |  SELECT media_id, bb.i AS i,
+       |    CAST(('0x' || substring(md5(text || ':px' || bb.i), 1, 8))::UBIGINT
+       |      AS BIGINT) AS gray
+       |  FROM img CROSS JOIN (SELECT UNNEST(range(0, 64)) AS i) bb),
+       |m AS (SELECT media_id, SUM(gray) // 64 AS mean FROM g GROUP BY 1),
+       |sig AS (
+       |  SELECT g.media_id,
+       |    CAST(SUM(CASE WHEN g.gray > m.mean THEN
+       |      CASE WHEN g.i = 0 THEN -9223372036854775807 - 1
+       |           ELSE CAST(1 AS BIGINT) << CAST(63 - g.i AS INTEGER) END
+       |      ELSE 0 END) AS BIGINT) AS sh
+       |  FROM g JOIN m USING (media_id) GROUP BY 1),
+       |p AS (
+       |  SELECT a.media_id AS id_a, b.media_id AS id_b,
+       |    CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+       |  FROM sig a JOIN sig b ON a.media_id < b.media_id)
+       |SELECT id_a, id_b, hamming FROM p WHERE hamming <= $maxDist
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** Oracle-checkable metadata projection of the decode output. */
   def featureSummary(media: DataFrame): DataFrame =
     decodeFeatures(media)

@@ -63,4 +63,40 @@ class MultimodalSpec extends SparkSpec {
     assert(a.nonEmpty)
     assert(a == b)
   }
+
+  test("imageAhash: bit pack matches a JVM reference; exact copies pair at 0 (r10)") {
+    // doc_id 3 and 6 are both images (id % 3 == 0) with IDENTICAL
+    // payloads; 9 is an image with different bytes.
+    val m = Multimodal.mediaFromDocuments(
+      Seq((3L, "same bytes"), (6L, "same bytes"), (9L, "other"),
+        (1L, "same bytes") /* audio — must not pair */)
+        .toDF("doc_id", "text"))
+    val sig = Multimodal.imageAhash(m).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig.keySet == Set(3L, 6L, 9L))
+    // JVM reference: same md5-prefix grays, integer mean, MSB-first pack
+    def ref(text: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val grays = (0 until 64).map { i =>
+        val h = md.digest((text + s":px$i").getBytes("UTF-8"))
+        ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+          ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+      }
+      val mean = grays.sum / 64
+      grays.zipWithIndex.foldLeft(0L) { case (acc, (g, i)) =>
+        if (g > mean) acc + (1L << (63 - i)) else acc
+      }
+    }
+    assert(sig(3L) == ref("same bytes"))
+    assert(sig(9L) == ref("other"))
+    val pairs = Multimodal.imageAhashPairs(m).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((3L, 6L, 0L))) // the exact copy, hamming 0
+    // the shared banded machinery finds planted near-dups at hamming <= 3
+    val sigs = Seq((1L, 0x0123456789abcdefL), (2L, 0x0123456789abcdecL),
+      (3L, -1L)).toDF("id", "sh")
+    val nd = graft.dedup.Dedup.hammingPairs(sigs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(nd.toSeq == Seq((1L, 2L, 2L))) // ...ef vs ...ec differ in 2 bits
+  }
 }
