@@ -992,6 +992,18 @@ object SparkEntry {
     "warc_wet" -> ((s, dir) =>
       graft.sources.Warc.wetRecords(
         graft.sources.Warc.records(warcBlobs(Tables.documents(s, dir))))),
+    // JSONL round trip: render -> parse must be identity through two
+    // independent JSON parsers. Escape-stressing suffixes (quote,
+    // backslash, newline, tab) planted by doc_id mod 5 in both engines.
+    "jsonl_documents" -> ((s, dir) => {
+      val suf = Seq("", " \"quoted\"", " back\\slash", " line\nbreak",
+        " tab\there")
+      val docs = Tables.documents(s, dir).withColumn("text",
+        concat(col("text"), element_at(array(suf.map(lit(_)): _*),
+          (col("doc_id") % 5 + 1).cast("int"))))
+      graft.sources.Jsonl.parse(graft.sources.Jsonl.render(docs))
+        .orderBy(col("doc_id"))
+    }),
     // The INCREMENTAL manifest: additive counts + mergeable HLL content
     // sketch rolled up from state alone — release cost independent of
     // corpus size. The oracle replays each level's sketch directly; the
@@ -2938,6 +2950,20 @@ object SparkEntry {
     "adaptive_length_gate_incremental" ->
       graft.pipeline.Curation.sqlAdaptiveLengthGate("documents",
         extraWhere = " AND t.doc_id >= 250"),
+    "jsonl_documents" ->
+      s"""WITH src AS (
+         |  SELECT doc_id, source, lang,
+         |    text || ['', ' "quoted"', e' back\\\\slash', e' line\\nbreak',
+         |             e' tab\\there'][CAST(doc_id % 5 AS INT) + 1] AS text
+         |  FROM documents),
+         |l AS (SELECT ${graft.sources.Jsonl.sqlRenderExpr(
+              "doc_id", "source", "lang", "text")} AS line FROM src)
+         |SELECT CAST(json_extract_string(line, '$$.doc_id') AS BIGINT)
+         |    AS doc_id,
+         |  json_extract_string(line, '$$.source') AS source,
+         |  json_extract_string(line, '$$.lang') AS lang,
+         |  json_extract_string(line, '$$.text') AS text
+         |FROM l ORDER BY doc_id""".stripMargin,
     "warc_wet" ->
       s"""WITH $sqlWarcCtes,
          |wt AS (
