@@ -86,6 +86,14 @@ object SparkEntry {
     // trust propagation vs open PageRank) on the same graph fixture.
     "trust_propagation" -> ((s, dir) =>
       graft.analytics.PageRank.copurchaseSpamMass(Tables.lineitem(s, dir))),
+    // Label-propagation communities over the co-purchase graph: the
+    // deterministic synchronous variant (smallest-label mode ties) —
+    // the link-farm-cluster / per-community-cap signal.
+    // 3 rounds: labels flood 3 hops — the dense co-purchase graph's
+    // communities stabilize within that; each round is a full
+    // |E|-vote shuffle.
+    "part_communities" -> ((s, dir) =>
+      graft.analytics.Lpa.partCommunities(Tables.lineitem(s, dir), 3)),
     // HITS hubs/authorities on the DIRECTED bipartite order->part graph
     // (orders = pure hubs, parts = pure authorities) — L1-normalized
     // integer half-steps, full unrolled-CTE oracle like the rank family.
@@ -1804,6 +1812,7 @@ object SparkEntry {
     "part_pagerank" -> graft.analytics.PageRank.sqlCopurchaseParts(),
     "trust_propagation" -> graft.analytics.PageRank.sqlCopurchaseSpamMass(),
     "order_part_hits" -> graft.analytics.PageRank.sqlOrderPartHits(5),
+    "part_communities" -> graft.analytics.Lpa.sqlPartCommunities(3),
     "lm_scores" -> graft.text.LmScore.sqlScores,
     "lm_scores_crossfit" -> graft.text.LmScore.sqlScoresCrossFit,
     "lm_quality_floor" -> graft.text.LmScore.sqlQualityFloor(),

@@ -1,0 +1,131 @@
+package graft.analytics
+
+import graft.Mat.Pinnable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** [EXT] Synchronous label propagation (`part_communities` query) —
+  * community detection at link-graph scale (Raghavan et al. 2007): each
+  * round, every node adopts the most frequent label among its
+  * in-neighbors. Communities are the "what cluster does this host/part
+  * belong to" signal that PageRank-family scores deliberately ignore —
+  * the crawl-side uses are link-farm clusters (one community, high spam
+  * mass) and per-community quota/caps.
+  *
+  * Determinism: classic LPA breaks mode ties randomly and updates
+  * asynchronously — neither survives a cross-engine hash gate. This is
+  * the SYNCHRONOUS variant with total tie-breaks: mode ties elect the
+  * SMALLEST label (row_number over (count desc, label asc)), all nodes
+  * update together, labels start as node ids, a fixed round count.
+  * Every step is integer/rank arithmetic — bit-identical in DuckDB.
+  *
+  * Scale shape: the [[PageRank]] RDD discipline — unlike LPA's usual
+  * DataFrame-loop rendering (5 rounds of Catalyst replanning and eager
+  * checkpoints: measured 16 s vs ~4 s at sf0.1), this is ONE lazy
+  * lineage evaluated once. Adjacency hash-partitioned and persisted up
+  * front; per round, two `reduceByKey`s — (dst, label) vote counts
+  * (map-side combined), then the per-dst election as max over
+  * (count, −label), whose order IS "count desc, label asc" — and a
+  * NARROW leftOuterJoin back to the co-partitioned node vector
+  * (no-in-edge nodes keep their label). No per-round action, no global
+  * anything, nothing quadratic.
+  */
+object Lpa {
+
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int = 5): DataFrame = {
+    require(rounds >= 1, "need rounds >= 1")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().persist(lvl)
+    val nParts = math.max(4L, e.count() / 1000000L).toInt
+    val part = new org.apache.spark.HashPartitioner(nParts)
+    val adj = e.as[(Long, Long)].rdd
+      .groupByKey(part).mapValues(_.toArray.sorted).persist(lvl)
+    val nodes = e.select(col("src").as("v")).union(e.select(col("dst")))
+      .distinct().as[Long].rdd.map(v => (v, ())).partitionBy(part).persist(lvl)
+    var labels = nodes.mapPartitions(
+      _.map { case (v, _) => (v, v) }, preservesPartitioning = true)
+    for (_ <- 1 to rounds) {
+      // ONE shuffle per round (the PageRank contribs shape): votes
+      // combine map-side into per-node label→count maps, the election
+      // (count desc, label asc) runs in the finalizer.
+      val elected = adj.join(labels)
+        .flatMap { case (_, (dsts, lab)) => dsts.iterator.map(d => (d, lab)) }
+        .aggregateByKey(scala.collection.mutable.LongMap.empty[Long], part)(
+          (m, lab) => { m.update(lab, m.getOrElse(lab, 0L) + 1L); m },
+          (m1, m2) => {
+            m2.foreach { case (lab, c) =>
+              m1.update(lab, m1.getOrElse(lab, 0L) + c)
+            }
+            m1
+          })
+        .mapValues { m =>
+          var bestLab = Long.MaxValue
+          var bestC = -1L
+          m.foreach { case (lab, c) =>
+            if (c > bestC || (c == bestC && lab < bestLab)) {
+              bestC = c; bestLab = lab
+            }
+          }
+          bestLab
+        }
+      // labels and elected share `part` — this join is narrow
+      labels = labels.leftOuterJoin(elected)
+        .mapValues { case (old, o) => o.getOrElse(old) }
+    }
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("node", LongType, nullable = false),
+      StructField("community", LongType, nullable = false)))
+    val out = spark.createDataFrame(
+        labels.map { case (v, c) => org.apache.spark.sql.Row(v, c) }, schema)
+      .orderBy(col("node"))
+      .pinned
+    e.unpersist(false); adj.unpersist(false); nodes.unpersist(false)
+    out
+  }
+
+  /** `part_communities`: LPA over the co-purchase part graph
+    * ([[PageRank.copurchaseEdges]] — symmetric, so communities are the
+    * dense co-purchase clusters). */
+  def partCommunities(lineitem: DataFrame, rounds: Int = 5): DataFrame =
+    labelPropagation(PageRank.copurchaseEdges(lineitem), "src", "dst", rounds)
+      .select(col("node").as("part_id"), col("community"))
+
+  /** DuckDB mirror: one (counts → election → carry-forward) CTE triple
+    * per round, ALL MATERIALIZED (each label frame is referenced twice —
+    * default inlining would expand 2^rounds-fold, the
+    * `order_part_hits` lesson). */
+  def sqlPartCommunities(rounds: Int = 5): String = {
+    val iters = (1 to rounds).map { k =>
+      s"""cnt$k AS MATERIALIZED (
+         |  SELECT e.dst AS v, l.lab, COUNT(*) AS c
+         |  FROM e JOIN l${k - 1} l ON e.src = l.v GROUP BY 1, 2),
+         |el$k AS MATERIALIZED (
+         |  SELECT v, lab FROM (
+         |    SELECT v, lab,
+         |      row_number() OVER (PARTITION BY v
+         |                         ORDER BY c DESC, lab ASC) AS rn
+         |    FROM cnt$k) WHERE rn = 1),
+         |l$k AS MATERIALIZED (
+         |  SELECT l.v, COALESCE(el.lab, l.lab) AS lab
+         |  FROM l${k - 1} l LEFT JOIN el$k el ON l.v = el.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT a.p AS src, b.p AS dst
+       |  FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p),
+       |nodes AS MATERIALIZED (
+       |  SELECT src AS v FROM e UNION SELECT dst FROM e),
+       |l0 AS MATERIALIZED (SELECT v, v AS lab FROM nodes),
+       |$iters
+       |SELECT v AS part_id, CAST(lab AS BIGINT) AS community
+       |FROM l$rounds ORDER BY part_id""".stripMargin
+  }
+}

@@ -110,6 +110,30 @@ class PageRankSpec extends SparkSpec {
     assert(out(6L) == out(7L) && out(7L) == out(8L))
   }
 
+  test("LPA: cliques converge to one label, components never merge, ties go low (r10)") {
+    // Two disjoint symmetric triangles: each converges to its min id,
+    // and no label crosses the component gap.
+    val twoCliques = sym((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L))
+    val out = Lpa.labelPropagation(twoCliques, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).forall(out(_) == 1L), out.toString)
+    assert(Seq(10L, 11L, 12L).forall(out(_) == 10L), out.toString)
+    // directed chain: the source has no in-edges and keeps its own label
+    val chain = Seq((1L, 2L)).toDF("src", "dst")
+    val c = Lpa.labelPropagation(chain, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c(1L) == 1L && c(2L) == 1L)
+    // mode tie (labels 5 and 7 once each) elects the smaller, in ONE round
+    val tie = Seq((5L, 9L), (7L, 9L)).toDF("src", "dst")
+    val t = Lpa.labelPropagation(tie, "src", "dst", rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t(9L) == 5L)
+    // determinism
+    assert(Lpa.labelPropagation(twoCliques, "src", "dst").collect().toSeq ==
+      Lpa.labelPropagation(twoCliques, "src", "dst").collect().toSeq)
+  }
+
   test("HITS: bipartite hubs/authorities separate; symmetric graph degenerates (r10)") {
     // Orders 1-3 all buy part 5; order 1 (the big basket) also buys 6, 7.
     val li = Seq((1L, 5L), (1L, 6L), (1L, 7L), (2L, 5L), (3L, 5L))
