@@ -1018,6 +1018,11 @@ object SparkEntry {
     // engine's bucket-max rollup matching it IS the mergeability pin.
     "release_manifest_sketch" -> ((s, dir) =>
       graft.pipeline.Curation.releaseManifestSketch(Tables.documents(s, dir))),
+    // The data-card artifact: ONE (section, metric, value) table folding
+    // the audited composition/dedup/quality signals — all integer counts
+    // over proven column builders, one text scan.
+    "release_datasheet" -> ((s, dir) =>
+      graft.pipeline.Curation.releaseDatasheet(Tables.documents(s, dir))),
     // Good-Turing count-of-counts: the Zipf-health audit of the corpus.
     "token_spectrum" -> ((s, dir) =>
       TextAnalysis.tokenSpectrum(Tables.documents(s, dir), "text")),
@@ -3124,6 +3129,8 @@ object SparkEntry {
          |  FROM o)
          |SELECT * FROM c
          |ORDER BY urlkey, ts14, filename, record_offset""".stripMargin,
+    "release_datasheet" ->
+      graft.pipeline.Curation.sqlReleaseDatasheet("documents"),
     "release_manifest" ->
       """WITH t AS (
         |  SELECT COALESCE(source, 'Unknown') AS source,

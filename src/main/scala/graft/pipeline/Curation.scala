@@ -1069,6 +1069,100 @@ object Curation {
       .orderBy(col("shard_id"))
   }
 
+  /** [EXT] Release datasheet (`release_datasheet` query) — the data-card
+    * artifact (Gebru et al., "Datasheets for Datasets"): ONE long
+    * (section, metric, value) table a release publishes beside the
+    * shards, folding the repo's audited signals — corpus totals,
+    * language/source/script composition, exact-dup exposure, quality
+    * pass rates — so a consumer reads one table instead of running five
+    * operators. Every value is an INTEGER count over proven column
+    * builders (tokenCount/langId twin columns, dominantScript,
+    * gopherPass), so the whole sheet hash-matches.
+    *
+    * Shape: one corpus scan computes all per-doc signals into a pinned
+    * skinny frame; each section is then an aggregate over THAT frame
+    * (columnar, id-free, tiny), never a re-read of text. */
+  def releaseDatasheet(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val base = graft.Par.widen(docs).select(
+        coalesce(col("lang"), lit("und")).as("lang"),
+        coalesce(col("source"), lit("Unknown")).as("source"),
+        graft.text.TextAnalysis.tokenCount(t).as("n_tok"),
+        md5(t).as("h"),
+        graft.text.TextAnalysis.dominantScript(t).as("script"),
+        graft.text.GopherRules.passExpr(t).as("gpass"))
+      .pinned
+    def row(section: String, metric: Column, value: Column) =
+      Seq(lit(section).as("section"), metric.as("metric"),
+        value.cast("long").as("value"))
+    val corpus = base.agg(count(lit(1)).as("n"), sum(col("n_tok")).as("st"),
+        countDistinct(col("h")).as("d"))
+      .select(explode(array(
+        struct(row("corpus", lit("n_docs"), col("n")): _*),
+        struct(row("corpus", lit("sum_tokens"), col("st")): _*),
+        struct(row("corpus", lit("n_distinct_contents"), col("d")): _*),
+        struct(row("dedup", lit("n_exact_dup_docs"), col("n") - col("d")): _*)
+      )).as("r")).select(col("r.*"))
+    val langs = base.groupBy(col("lang"))
+      .agg(count(lit(1)).as("c"))
+      .select(row("lang", col("lang"), col("c")): _*)
+    val sources = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("c"))
+      .select(row("source", col("source"), col("c")): _*)
+    val scripts = base.groupBy(col("script"))
+      .agg(count(lit(1)).as("c"))
+      .select(row("script", col("script"), col("c")): _*)
+    val quality = base.agg(
+        sum(when(col("gpass"), 1L).otherwise(0L)).as("p"),
+        sum(when(col("gpass"), 0L).otherwise(1L)).as("f"))
+      .select(explode(array(
+        struct(row("quality", lit("gopher_pass"), col("p")): _*),
+        struct(row("quality", lit("gopher_fail"), col("f")): _*)
+      )).as("r")).select(col("r.*"))
+    corpus.unionByName(langs).unionByName(sources).unionByName(scripts)
+      .unionByName(quality)
+      .orderBy(col("section"), col("metric"))
+  }
+
+  /** DuckDB mirror of [[releaseDatasheet]] over a relation exposing
+    * (source, lang, textCol). */
+  def sqlReleaseDatasheet(rel: String, textCol: String = "text"): String =
+    s"""WITH base AS (
+       |  SELECT COALESCE(lang, 'und') AS lang,
+       |    COALESCE(source, 'Unknown') AS source,
+       |    CAST(${graft.text.TextAnalysis.sqlTokenCount(textCol)} AS BIGINT)
+       |      AS n_tok,
+       |    md5($textCol) AS h,
+       |    ${graft.text.TextAnalysis.sqlDominantScript(textCol)} AS script,
+       |    ${graft.text.GopherRules.sqlPassExpr(textCol)} AS gpass
+       |  FROM $rel)
+       |SELECT section, metric, value FROM (
+       |  SELECT 'corpus' AS section, 'n_docs' AS metric,
+       |    CAST(COUNT(*) AS BIGINT) AS value FROM base
+       |  UNION ALL
+       |  SELECT 'corpus', 'sum_tokens', CAST(SUM(n_tok) AS BIGINT) FROM base
+       |  UNION ALL
+       |  SELECT 'corpus', 'n_distinct_contents',
+       |    CAST(COUNT(DISTINCT h) AS BIGINT) FROM base
+       |  UNION ALL
+       |  SELECT 'dedup', 'n_exact_dup_docs',
+       |    CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) FROM base
+       |  UNION ALL
+       |  SELECT 'lang', lang, CAST(COUNT(*) AS BIGINT) FROM base GROUP BY lang
+       |  UNION ALL
+       |  SELECT 'source', source, CAST(COUNT(*) AS BIGINT) FROM base
+       |  GROUP BY source
+       |  UNION ALL
+       |  SELECT 'script', script, CAST(COUNT(*) AS BIGINT) FROM base
+       |  GROUP BY script
+       |  UNION ALL
+       |  SELECT 'quality', 'gopher_pass',
+       |    CAST(SUM(CASE WHEN gpass THEN 1 ELSE 0 END) AS BIGINT) FROM base
+       |  UNION ALL
+       |  SELECT 'quality', 'gopher_fail',
+       |    CAST(SUM(CASE WHEN gpass THEN 0 ELSE 1 END) AS BIGINT) FROM base)
+       |ORDER BY section, metric""".stripMargin
+
   def releaseManifest(docs: DataFrame, sourceCol: String = "source",
                       langCol: String = "lang", textCol: String = "text"): DataFrame = {
     val base = graft.Par.widen(docs).select(

@@ -726,6 +726,30 @@ class CurationSpec extends SparkSpec {
     assert(strict(10L) && !strict(9L) && strict(23L) && !strict(21L))
   }
 
+  test("releaseDatasheet: sections reconcile to corpus totals (r10)") {
+    val docs = Seq(
+      (1L, "en", "s1", "alpha beta gamma delta epsilon"),
+      (2L, "en", "s1", "alpha beta gamma delta epsilon"), // exact dup
+      (3L, "fr", "s2", "zeta eta theta iota kappa lambda"),
+      (4L, null.asInstanceOf[String], "s2", "mu nu xi")
+    ).toDF("doc_id", "lang", "source", "text")
+    val sheet = Curation.releaseDatasheet(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(sheet(("corpus", "n_docs")) == 4L)
+    assert(sheet(("corpus", "sum_tokens")) == 5L + 5L + 6L + 3L)
+    assert(sheet(("corpus", "n_distinct_contents")) == 3L)
+    assert(sheet(("dedup", "n_exact_dup_docs")) == 1L)
+    assert(sheet(("lang", "en")) == 2L && sheet(("lang", "fr")) == 1L &&
+      sheet(("lang", "und")) == 1L)
+    assert(sheet(("source", "s1")) == 2L && sheet(("source", "s2")) == 2L)
+    // sections reconcile: lang and source breakdowns each sum to n_docs
+    def secSum(s: String) = sheet.collect { case ((`s`, _), v) => v }.sum
+    assert(secSum("lang") == 4L && secSum("source") == 4L &&
+      secSum("script") == 4L)
+    assert(sheet(("quality", "gopher_pass")) +
+      sheet(("quality", "gopher_fail")) == 4L)
+  }
+
   test("packingBoundaries: spans tile every chunk and every doc exactly (r10)") {
     // token counts 3, 4, 2, 6 at budget 4:
     //   doc 1 off 0: chunk 0 [0,3)
