@@ -86,6 +86,24 @@ object StreamingIngest {
       b => graft.pipeline.Attributes.sidecar(b, th = th, badWords = badWords),
       sidecarPath, checkpoint)
 
+  /** [EXT] Streaming adaptive-gate calibration (r10) — the
+    * percentile-threshold gate's ingest face: each micro-batch writes
+    * ITS OWN additive (group, value, count) histogram partial
+    * ([[graft.pipeline.Curation.lengthHistogram]]) to a batch-keyed
+    * partition — the same structurally-replay-idempotent discipline as
+    * the sketches, because the histogram is a pure per-row aggregate of
+    * the batch. Release-time thresholds come from the MERGED partials
+    * ([[graft.pipeline.Curation.mergeValueCounts]] →
+    * `percentileThresholdsFromCounts`), which equal a one-shot fit by
+    * additivity — text is never re-read to recalibrate a quantile. */
+  def gateHistogramViaBatchParts(docs: DataFrame, histPath: String,
+                                 checkpoint: String,
+                                 textCol: String = "text",
+                                 groupCol: String = "lang"): DataStreamWriter[Row] =
+    sketchViaBatchParts(docs,
+      b => graft.pipeline.Curation.lengthHistogram(b, textCol, groupCol),
+      histPath, checkpoint)
+
   /** [EXT] Streaming compliance flags (r10) — the release-compliance
     * trio at ingest time: each micro-batch writes ITS OWN per-document
     * leg verdicts ([[graft.pipeline.Compliance.flags]], ids + flags

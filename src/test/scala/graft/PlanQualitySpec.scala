@@ -351,6 +351,48 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("release_datasheet reads the corpus exactly once (r10)") {
+    // Five sections, ONE text scan: the per-doc signal frame is pinned
+    // and every section aggregates THAT, never the parquet again.
+    val rawScans = new java.util.concurrent.atomic.AtomicInteger(0)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      private def bump(funcName: String,
+                       qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+        if (armed.get() && funcName != "rdd") {
+          val p = qe.executedPlan.toString
+          if (p.contains("FileScan parquet") && p.contains("documents")) {
+            rawScans.incrementAndGet()
+            seen.add(s"$funcName: ${p.linesIterator.take(6).mkString(" | ")}")
+          }
+        }
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit = bump(funcName, qe)
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Thread.sleep(500)
+      armed.set(true)
+      SparkEntry.queries("release_datasheet")(spark, dir).collect()
+      var last = -1
+      var stable = 0
+      var waited = 0
+      while (stable < 3 && waited < 10000) {
+        Thread.sleep(300); waited += 300
+        val c = rawScans.get()
+        if (c == last) stable += 1 else { stable = 0; last = c }
+      }
+      assert(rawScans.get() == 1,
+        s"datasheet must scan documents exactly once, saw ${rawScans.get()}:\n" +
+          seen.toArray.mkString("\n---\n"))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("no unbounded global window in any registered query's plan") {
     // The single-partition-window audit: every logical Window with an
     // EMPTY partition spec in a registered query's optimized plan must

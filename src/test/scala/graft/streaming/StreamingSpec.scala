@@ -720,6 +720,38 @@ class StreamingSpec extends SparkSpec {
       "replayed batch partition changed the sidecar")
   }
 
+  test("streaming gate histograms: merged parts == direct; release thresholds == one-shot (r10)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_gate_stream").toString
+    val (inDir, hDir, ckpt) = (s"$root/in", s"$root/hist", s"$root/ckpt")
+    val all = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"lang", $"text")
+    val rows = all.as[(Long, String, String)].collect().toSeq
+    def drop(rs: Seq[(Long, String, String)]): Unit =
+      rs.toDF("doc_id", "lang", "text").coalesce(1)
+        .write.mode("append").parquet(inDir)
+    def runOnce(): Unit = {
+      val docs = spark.readStream
+        .schema("doc_id LONG, lang STRING, text STRING").parquet(inDir)
+      val q = StreamingIngest.gateHistogramViaBatchParts(docs, hDir, ckpt).start()
+      q.awaitTermination()
+    }
+    drop(rows.filter(_._1 < 25L)); runOnce()
+    drop(rows.filter(_._1 >= 25L)); runOnce()
+    val merged = graft.pipeline.Curation.mergeValueCounts(
+      spark.read.parquet(hDir).select($"grp", $"__v", $"__c"))
+    val direct = graft.pipeline.Curation.lengthHistogram(all)
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty,
+      "merged streamed histograms != direct histogram")
+    // release-time thresholds from state == a one-shot fit
+    val fromState = graft.pipeline.Curation
+      .percentileThresholdsFromCounts(merged, "grp", 3000)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val oneShot = graft.pipeline.Curation
+      .percentileThresholdsFromCounts(direct, "grp", 3000)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fromState == oneShot && fromState.nonEmpty)
+  }
+
   test("streaming compliance flags: union of batch parts == one-shot; replay invariant (r10)") {
     import org.apache.spark.sql.functions.{col, md5}
     val root = java.nio.file.Files.createTempDirectory("graft_cp_stream").toString
