@@ -44,7 +44,12 @@ object Jsonl {
     }
   }
 
-  /** One JSONL line per document — the writer side. */
+  /** One JSONL line per document — the writer side. NULL fields null
+    * the whole line (Spark concat semantics) rather than silently
+    * rendering `"null"` strings: a corpus writer decides its null
+    * policy upstream (coalesce to sentinels, or drop) — an interchange
+    * file with ambiguous nulls is worse than a loud one. JsonlSpec pins
+    * the behavior. */
   def render(docs: DataFrame): DataFrame =
     docs.select(concat(
       lit("{\"doc_id\": "), col("doc_id").cast("string"),

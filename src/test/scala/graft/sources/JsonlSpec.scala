@@ -33,6 +33,13 @@ class JsonlSpec extends SparkSpec {
     assert(l4.contains("line\\nbreak\\r\\nand\\ttab"))
   }
 
+  test("null fields null the whole rendered line (decide upstream, not silently)") {
+    val withNull = Seq((1L, "s1", null.asInstanceOf[String], "ok"))
+      .toDF("doc_id", "source", "lang", "text")
+    val lines = Jsonl.render(withNull).collect()
+    assert(lines.length == 1 && lines.head.isNullAt(0))
+  }
+
   test("malformed lines parse to all-null rows, never kill the read") {
     val mixed = Seq(
       "{\"doc_id\": 7, \"source\": \"s\", \"lang\": \"en\", \"text\": \"ok\"}",
