@@ -103,6 +103,10 @@ object SparkEntry {
       graft.analytics.PageRank.orderPartHits(Tables.lineitem(s, dir), 5)),
     // ---- [EXT] text analysis ----
     "text_stats" -> ((s, dir) => TextAnalysis.stats(Tables.documents(s, dir))),
+    // Flesch reading ease in exact integer micro-points — the classic
+    // edu-quality feature; single-regex counts, truncating long DIVs.
+    "readability_scores" -> ((s, dir) =>
+      TextAnalysis.readability(Tables.documents(s, dir))),
     // Unicode NFC canonicalization (r9) — the stage ahead of dedup keys
     // and tokenization: NFD suffixes are planted on odd doc ids (composed
     // NFC on even), and norm_md5 proves both engines collapse them to the
@@ -2038,6 +2042,8 @@ object SparkEntry {
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
         |                        WHERE o_custkey IS NOT NULL AND o_totalprice > 300000.0)
         |ORDER BY c_custkey""".stripMargin,
+    "readability_scores" ->
+      TextAnalysis.sqlReadability("documents"),
     "text_stats" ->
       s"""SELECT doc_id,
          |  ${TextAnalysis.sqlTokenCount("text")} AS n_tokens,

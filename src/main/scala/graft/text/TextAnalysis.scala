@@ -192,6 +192,54 @@ object TextAnalysis {
   }
 
   /** Full per-document stats table (the `text_stats` query). */
+  /** [EXT] Readability scoring (`readability_scores` query) — the
+    * Flesch reading-ease family (Flesch 1948), the classic feature of
+    * educational-quality gates (FineWeb-Edu-style filtering learns on
+    * exactly these signals): words per sentence × syllables per word.
+    * All three counts are single regex passes — words = whitespace runs
+    * (the corpus token discipline), sentences = terminal-punctuation
+    * runs `[.!?]+` (min 1 — a fragment is one sentence), "syllables" =
+    * vowel-group runs `[aeiouy]+` over the lowercased text (groups
+    * can't span whitespace, so one corpus-wide count equals the per-word
+    * sum without an explode). The score is EXACT INTEGER micro-points:
+    * 206.835·10⁶ − 1.015·10⁶·W DIV S − 84.6·10⁶·Syl DIV W — truncating
+    * long division both engines replay bit-for-bit (the ppm
+    * discipline); W = 0 scores null. Scan-stage, shuffle-free. */
+  def readability(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val w = tokenCount(t)
+    val s = greatest(size(regexp_extract_all(t, lit("[.!?]+"), lit(0))), lit(1))
+      .cast("long")
+    val syl = size(regexp_extract_all(lower(t), lit("[aeiouy]+"), lit(0)))
+      .cast("long")
+    docs.select(col(idCol), w.as("n_words"), s.as("n_sentences"),
+        syl.as("n_syllable_groups"))
+      .withColumn("flesch_micro",
+        expr("CASE WHEN n_words > 0 THEN 206835000L" +
+          " - 1015000L * n_words DIV n_sentences" +
+          " - 84600000L * n_syllable_groups DIV n_words END"))
+      .orderBy(col(idCol))
+  }
+
+  /** DuckDB mirror of [[readability]]. */
+  def sqlReadability(rel: String, idCol: String = "doc_id",
+                     textCol: String = "text"): String =
+    s"""WITH r AS (
+       |  SELECT $idCol,
+       |    CAST(${sqlTokenCount(textCol)} AS BIGINT) AS n_words,
+       |    CAST(GREATEST(len(regexp_extract_all($textCol, '[.!?]+')), 1)
+       |      AS BIGINT) AS n_sentences,
+       |    CAST(len(regexp_extract_all(lower($textCol), '[aeiouy]+'))
+       |      AS BIGINT) AS n_syllable_groups
+       |  FROM $rel)
+       |SELECT $idCol, n_words, n_sentences, n_syllable_groups,
+       |  CASE WHEN n_words > 0 THEN CAST(206835000
+       |    - 1015000 * n_words // n_sentences
+       |    - 84600000 * n_syllable_groups // n_words AS BIGINT) END
+       |    AS flesch_micro
+       |FROM r ORDER BY $idCol""".stripMargin
+
   def stats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     docs.select(

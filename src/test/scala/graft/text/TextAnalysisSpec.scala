@@ -274,4 +274,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L) == (("und", "cjk", "none", true)))
     assert(out(5L) == (("und", "none", "none", true)))
   }
+
+  test("readability: hand-traced Flesch micro-points; empty text scores null (r10)") {
+    // doc 1: "See the dog. It runs!" -> W=5, S=2 ('.'+'!'), vowel groups:
+    // see(e..) lowercased: "see the dog. it runs!" -> ee, e, o, i, u = 5
+    // flesch = 206835000 - 1015000*5/2 - 84600000*5/5
+    //        = 206835000 - 2537500 - 84600000 = 119697500
+    val docs = Seq(
+      (1L, "See the dog. It runs!"),
+      (2L, "word"), // no terminal punct -> S=1; 1 vowel group 'o'
+      (3L, "")      // W=0 -> null score
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.readability(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 5L && out(1L).getLong(2) == 2L &&
+      out(1L).getLong(3) == 5L)
+    assert(out(1L).getLong(4) == 206835000L - (1015000L * 5 / 2) -
+      (84600000L * 5 / 5))
+    assert(out(1L).getLong(4) == 119697500L)
+    // one word, one implicit sentence: 206835000 - 1015000 - 84600000
+    assert(out(2L).getLong(4) == 121220000L)
+    assert(out(3L).isNullAt(4))
+    // monotonicity sanity: longer sentences + more syllables read harder
+    val hard = TextAnalysis.readability(Seq(
+      (1L, "Incomprehensibility characterizes multisyllabic terminological obfuscation")
+    ).toDF("doc_id", "text")).collect().head.getLong(4)
+    assert(hard < out(1L).getLong(4))
+  }
 }
