@@ -720,6 +720,30 @@ class StreamingSpec extends SparkSpec {
       "replayed batch partition changed the sidecar")
   }
 
+  test("JSONL parses identically as a stream (stateless scan-stage reader) (r10)") {
+    // The exchange-format reader composes with readStream.text unchanged
+    // — parsing is a pure per-row projection, so the streamed sink must
+    // equal the batch parse byte-for-byte.
+    val root = java.nio.file.Files.createTempDirectory("graft_jsonl_stream").toString
+    val (inDir, outDir, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"source", $"lang", $"text")
+    graft.sources.Jsonl.render(docs).coalesce(1)
+      .write.mode("overwrite").text(inDir)
+    val q = graft.sources.Jsonl.parse(
+        spark.readStream.text(inDir).withColumnRenamed("value", "line"))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(outDir)
+    val batch = graft.sources.Jsonl.parse(
+      graft.sources.Jsonl.render(docs).withColumnRenamed("line", "line"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streamed JSONL parse != batch parse")
+    assert(streamed.count() == docs.count())
+  }
+
   test("streaming gate histograms: merged parts == direct; release thresholds == one-shot (r10)") {
     val root = java.nio.file.Files.createTempDirectory("graft_gate_stream").toString
     val (inDir, hDir, ckpt) = (s"$root/in", s"$root/hist", s"$root/ckpt")
