@@ -99,4 +99,35 @@ class MultimodalSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(nd.toSeq == Seq((1L, 2L, 2L))) // ...ef vs ...ec differ in 2 bits
   }
+
+  test("hammingPairs banding is LOSSLESS at maxDist <= 3: random sigs == brute force (r10)") {
+    // The pigeonhole claim both modalities lean on: 4 chunks, <= 3
+    // differing bits => some 16-bit chunk is untouched, so the banded
+    // join can never miss a qualifying pair. Randomized: signatures
+    // seeded near-collided (flip 0-4 bits of shared bases) so pairs at
+    // every hamming distance 0..4 actually occur.
+    val rnd = new scala.util.Random(7)
+    val bases = Array.fill(30)(rnd.nextLong())
+    val sigRows = (0 until 120).map { i =>
+      val b = bases(i % 30)
+      val flips = i / 30 // 0..3 bit flips within a shared-base family
+      var s = b
+      (0 until flips).foreach { k => s = s ^ (1L << ((i * 7 + k * 13) % 64)) }
+      (i.toLong, s)
+    } ++ (0 until 5).map(i => ((200 + i).toLong, bases(i))) // exact dups
+    val sigs = sigRows.toDF("id", "sh")
+    for (maxDist <- Seq(0, 1, 2, 3)) {
+      val banded = graft.dedup.Dedup.hammingPairs(sigs, maxDist).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val brute = (for {
+        (ia, sa) <- sigRows; (ib, sb) <- sigRows
+        if ia < ib
+        h = java.lang.Long.bitCount(sa ^ sb)
+        if h <= maxDist
+      } yield (ia, ib, h.toLong)).toSet
+      assert(banded == brute,
+        s"maxDist=$maxDist: banded ${banded.size} != brute ${brute.size}")
+      assert(brute.nonEmpty, s"fixture must produce pairs at $maxDist")
+    }
+  }
 }
