@@ -788,6 +788,26 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("percentileThresholds == reference lower quantile over random groups (r10)") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 400).map { i =>
+      (s"g${i % 7}", (rnd.nextInt(40) + 1).toLong)
+    }
+    val df = rows.toDF("grp", "v")
+    for (qBp <- Seq(1, 500, 2500, 5000, 9999, 10000)) {
+      val got = Curation.percentileThresholds(df, "grp", "v", qBp)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = rows.groupBy(_._1).map { case (g, vs) =>
+        val sorted = vs.map(_._2).sorted
+        val n = sorted.length.toLong
+        // smallest k with k*10^4 >= qBp*n, then the k-th smallest value
+        val k = ((qBp * n + 9999) / 10000).toInt
+        g -> sorted(k - 1)
+      }
+      assert(got == want, s"qBp=$qBp: $got vs $want")
+    }
+  }
+
   test("adaptiveLengthGateIncremental: merged-state gate == one-shot on the batch (r10)") {
     val all = ((1 to 10).map(i =>
         (i.toLong, "en", Seq.fill(i)("w").mkString(" "))) ++ Seq(
