@@ -110,6 +110,65 @@ class PageRankSpec extends SparkSpec {
     assert(out(6L) == out(7L) && out(7L) == out(8L))
   }
 
+  test("LPA == plain-Scala reference over random directed graphs (r10)") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 0 until 3) {
+      val n = 40
+      val edges = (0 until 160).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val got = Lpa.labelPropagation(edges.toDF("src", "dst"), "src", "dst", 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference: synchronous rounds, mode with smallest-label ties
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      var lab = nodes.map(v => v -> v).toMap
+      for (_ <- 1 to 4) {
+        val in = edges.groupBy(_._2).view
+          .mapValues(_.map(e => lab(e._1))).toMap
+        lab = nodes.map { v =>
+          v -> in.get(v).map { ls =>
+            val counts = ls.groupBy(identity).view.mapValues(_.size)
+            counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+          }.getOrElse(lab(v))
+        }.toMap
+      }
+      assert(got == lab, s"trial $trial")
+    }
+  }
+
+  test("HITS == plain-Scala reference over a random bipartite graph (r10)") {
+    val rnd = new scala.util.Random(31)
+    val edges = (0 until 120).map(_ =>
+      (rnd.nextInt(15).toLong * 2, rnd.nextInt(10).toLong * 2 + 1)).distinct
+    val got = PageRank.hits(edges.toDF("src", "dst"), "src", "dst", 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // reference replaying the exact integer arithmetic
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val out = edges.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    val in = edges.groupBy(_._2).view.mapValues(_.map(_._1).distinct).toMap
+    val scale = PageRank.Scale
+    def half(vec: Map[Long, Long], along: Map[Long, Seq[Long]]): Map[Long, Long] = {
+      val raw = scala.collection.mutable.Map.empty[Long, Long]
+      along.foreach { case (u, outs) =>
+        val x = vec(u)
+        if (x != 0L) outs.foreach(d => raw(d) = raw.getOrElse(d, 0L) + x)
+      }
+      val total = raw.values.sum
+      nodes.map { v =>
+        val x = raw.getOrElse(v, 0L)
+        v -> (if (total == 0L || x == 0L) 0L
+              else (BigInt(x) * scale / total).toLong)
+      }.toMap
+    }
+    var hub = nodes.map(v => v -> scale / nodes.length).toMap
+    var auth = hub
+    for (_ <- 1 to 4) {
+      auth = half(hub, out)
+      hub = half(auth, in)
+    }
+    assert(got == nodes.map(v => v -> ((hub(v), auth(v)))).toMap)
+  }
+
   test("LPA: cliques converge to one label, components never merge, ties go low (r10)") {
     // Two disjoint symmetric triangles: each converges to its min id,
     // and no label crosses the component gap.
