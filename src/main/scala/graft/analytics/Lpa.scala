@@ -20,16 +20,23 @@ import org.apache.spark.sql.functions._
   * update together, labels start as node ids, a fixed round count.
   * Every step is integer/rank arithmetic — bit-identical in DuckDB.
   *
-  * Scale shape: the [[PageRank]] RDD discipline — unlike LPA's usual
-  * DataFrame-loop rendering (5 rounds of Catalyst replanning and eager
-  * checkpoints: measured 16 s vs ~4 s at sf0.1), this is ONE lazy
-  * lineage evaluated once. Adjacency hash-partitioned and persisted up
-  * front; per round, two `reduceByKey`s — (dst, label) vote counts
-  * (map-side combined), then the per-dst election as max over
-  * (count, −label), whose order IS "count desc, label asc" — and a
-  * NARROW leftOuterJoin back to the co-partitioned node vector
-  * (no-in-edge nodes keep their label). No per-round action, no global
-  * anything, nothing quadratic.
+  * Scale shape: the [[PageRank]] RDD discipline — one lazy lineage
+  * evaluated once (a DataFrame-loop draft paid Catalyst replanning +
+  * eager checkpoints per round). Adjacency hash-partitioned and
+  * persisted up front; per round, ONE vote shuffle: `aggregateByKey`
+  * combines (node, label) votes map-side into per-node label→count
+  * maps and the election — count desc, label asc, a total order —
+  * runs in the finalizer; then a NARROW leftOuterJoin back to the
+  * co-partitioned node vector (no-in-edge nodes keep their label). No
+  * per-round action, no global anything, nothing quadratic.
+  *
+  * Skew bound: a node's vote map is bounded by its DISTINCT in-neighbor
+  * labels — the map-side combine spreads the build, but one reducer
+  * merges one node's partials, so a celebrity host with millions of
+  * distinct in-labels is a single-task hotspot (inherent to LPA's
+  * per-node histogram, the same class as any aggregation on a
+  * power-law key; cap in-degree upstream if the graph carries such
+  * nodes).
   */
 object Lpa {
 
