@@ -335,6 +335,11 @@ object SparkEntry {
       Similarity.knnBruteForce(emb, emb.filter(col("vec_id") % 50 === 0), 5)
     }),
     "cosine_pairs" -> ((s, dir) => Similarity.cosinePairs(Tables.embeddings(s, dir), 0.4)),
+    // Contrastive training triplets: near-dup positives (both
+    // orientations) + each anchor's top different-label negative with
+    // the semi-hard flag — both feeds' proven mirrors composed.
+    "contrastive_triplets" -> ((s, dir) =>
+      Similarity.contrastiveTriplets(Tables.embeddings(s, dir), 0.4)),
     // Hard/semi-hard negative mining for contrastive training: per
     // anchor, top-k nearest DIFFERENT-label vectors, flagged semi-hard
     // when within the FaceNet margin of the nearest positive.
@@ -2517,6 +2522,7 @@ object SparkEntry {
     // rank tail over the LSH candidate set; recall vs knn_bruteforce is
     // additionally asserted in SimilaritySpec.
     "knn_lsh" -> Similarity.sqlKnnLsh(5),
+    "contrastive_triplets" -> Similarity.sqlContrastiveTriplets(0.4),
     "bitext_mine" -> Similarity.sqlBitextMine(4, 1.05),
     "lsh_bucket_assignments" -> Similarity.sqlLshBuckets(),
     "embedding_dedup_keepers" ->

@@ -813,6 +813,65 @@ object Similarity {
        |       JOIN n y ON tl.tgt_id = y.vec_id),
        |${sqlMarginTail(k, marginThreshold)}""".stripMargin
 
+  /** [EXT] Contrastive training triplets (`contrastive_triplets` query)
+    * — the artifact embedding fine-tuning actually consumes: (anchor,
+    * positive, negative) rows where positives are embedding-space
+    * near-dups ([[cosinePairs]] ≥ threshold, both orientations — the
+    * natural-positive recipe) and each anchor's negative is its top
+    * DIFFERENT-label neighbor with the FaceNet semi-hard flag
+    * ([[hardNegatives]], k = 1). Anchors with no cross-label candidate
+    * keep the pair with null negative columns (drop or resample
+    * downstream — silently losing the positive would bias the set).
+    * Both feeds carry proven mirrors, so the composition is a full
+    * oracle. Audit-scale pair feeds here (the all-pairs audit join);
+    * at corpus scale swap in the LSH/IVF candidate feeds for both
+    * sides — the join and flag logic downstream are unchanged. */
+  def contrastiveTriplets(emb: DataFrame, posThreshold: Double = 0.4,
+                          margin: Double = 0.05,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    val pairs = cosinePairs(emb, posThreshold, idCol, vecCol)
+    val anchors = pairs.select(col("id_a").as("anchor_id"),
+        col("id_b").as("positive_id"), col("cosine").as("cos_pos"))
+      .unionByName(pairs.select(col("id_b").as("anchor_id"),
+        col("id_a").as("positive_id"), col("cosine").as("cos_pos")))
+    val negs = hardNegatives(emb, emb, 1, margin, idCol, vecCol)
+      .select(col("anchor_id"), col("cand_id").as("negative_id"),
+        col("cosine").as("cos_neg"), col("semi_hard"))
+    anchors.join(negs, Seq("anchor_id"), "left")
+      .select(col("anchor_id"), col("positive_id"), col("cos_pos"),
+        col("negative_id"), col("cos_neg"), col("semi_hard"))
+      .orderBy(col("anchor_id"), col("positive_id"))
+  }
+
+  /** DuckDB mirror of [[contrastiveTriplets]]: the proven cosine-pair
+    * and hard-negative mirrors composed whole. */
+  def sqlContrastiveTriplets(posThreshold: Double,
+                             margin: Double = 0.05): String =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x*x),
+       |                     (a,b) -> a+b)) AS nv
+       |  FROM embeddings),
+       |cp AS (
+       |  SELECT id_a, id_b, cosine FROM (
+       |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |      round(list_reduce(list_transform(range(1, len(a.v)+1),
+       |                                       i -> a.v[i]*b.v[i]),
+       |                        (x,y) -> x+y) / (a.nv * b.nv), 6) AS cosine
+       |    FROM n a JOIN n b ON a.vec_id < b.vec_id)
+       |  WHERE cosine >= $posThreshold),
+       |anc AS (
+       |  SELECT id_a AS anchor_id, id_b AS positive_id, cosine AS cos_pos
+       |  FROM cp
+       |  UNION ALL
+       |  SELECT id_b, id_a, cosine FROM cp),
+       |hn AS (FROM (${sqlHardNegatives("1 = 1", 1, margin)}))
+       |SELECT anc.anchor_id, anc.positive_id, anc.cos_pos,
+       |  hn.cand_id AS negative_id, hn.cosine AS cos_neg, hn.semi_hard
+       |FROM anc LEFT JOIN hn ON anc.anchor_id = hn.anchor_id
+       |ORDER BY anc.anchor_id, anc.positive_id""".stripMargin
+
   /** [EXT] Cluster-balanced sampling (`cluster_balanced_sample` query) —
     * topic-balanced subset selection (the DataComp/SemDeDup-era density
     * discipline): uniform sampling inherits the corpus's topic skew, so

@@ -202,6 +202,37 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("contrastiveTriplets: near-dup positives, cross-label negatives, null when none (r10)") {
+    // ids 1,2: same label, near-identical vectors (the positive pair);
+    // id 3: different label near the pair (the hard negative);
+    // ids 10,11: an isolated same-label near-dup pair with NO other
+    // label in reach of existence — wait, negatives scan ALL labels, so
+    // to exercise the null-negative branch give every vector label 'x'
+    // except id 3. Then anchors 10/11 still find negative 3 (cross-label
+    // is global) — instead make a second corpus where ALL labels match.
+    val emb = Seq(
+      (1L, "a", Array(1.0f, 0.0f, 0.0f)),
+      (2L, "a", Array(0.999f, 0.01f, 0.0f)),
+      (3L, "b", Array(0.98f, 0.1f, 0.05f)),
+      (10L, "a", Array(0.0f, 1.0f, 0.0f)),
+      (11L, "a", Array(0.0f, 0.999f, 0.01f))
+    ).toDF("vec_id", "label", "embedding")
+    val out = Similarity.contrastiveTriplets(emb, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    // both orientations of the (1, 2) positive exist
+    assert(out.contains((1L, 2L)) && out.contains((2L, 1L)))
+    // the negative is the cross-label vector, cosine below the positive
+    val t = out((1L, 2L))
+    assert(t.getLong(3) == 3L)
+    assert(t.getDouble(4) < t.getDouble(2))
+    // the (10, 11) pair's anchors get negative 3 too (cross-label, global)
+    assert(out((10L, 11L)).getLong(3) == 3L)
+    // an all-one-label corpus: positives survive, negatives are null
+    val mono = emb.withColumn("label", lit("same"))
+    val m = Similarity.contrastiveTriplets(mono, 0.9).collect()
+    assert(m.nonEmpty && m.forall(_.isNullAt(3)))
+  }
+
   test("clusterBalancedSample: exactly min(k, |cluster|) per cluster, deterministic (r10)") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val centers = Ivf.fitCentroids(emb, nlist = 4)
