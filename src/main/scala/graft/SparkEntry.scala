@@ -712,6 +712,17 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
     }),
+    // The END-TO-END release: compliance sweep -> exact dedup -> domain
+    // caps -> shard manifest, one call, one composed WITH-chain oracle.
+    "release_run" -> ((s, dir) => {
+      import s.implicits._
+      val docs = withRobotsUrls(Tables.documents(s, dir))
+      val takedowns = docs.filter(col("doc_id") % 97 === 0)
+        .select(md5(col("text")).as("h"))
+      graft.pipeline.Release.run(docs, takedowns,
+        Seq("example.com").toDF("domain"),
+        RobotsRulesFixture.rules.toDF("host", "rule", "prefix"))
+    }),
     // Attrition per compliance leg, cumulative in sweep order — ONE
     // aggregate over the flags frame (the funnel discipline: never a
     // count per stage).
@@ -3327,6 +3338,17 @@ object SparkEntry {
          |${graft.ingest.Robots.sqlDecisions("u", "url", "rr")}
          |ORDER BY doc_id""".stripMargin
     },
+    "release_run" ->
+      s"""WITH ${graft.ingest.Psl.sqlPslCte},
+         |u AS (SELECT doc_id, source, text, $sqlRobotsUrl AS url
+         |      FROM documents),
+         |rr(host, rule, prefix) AS (FROM (VALUES
+         |    ${RobotsRulesFixture.rules
+              .map { case (h, r, p) => s"('$h', '$r', '$p')" }
+              .mkString(",\n    ")})),
+         |${graft.pipeline.Release.sqlRun(
+              "SELECT md5(text) AS h FROM documents WHERE doc_id % 97 = 0",
+              Seq("example.com"), "rr", cap = 50, shardBudget = 2048L)}""".stripMargin,
     "compliance_sweep" ->
       s"""WITH ${graft.ingest.Psl.sqlPslCte},
          |u AS (SELECT doc_id, source, text, $sqlRobotsUrl AS url

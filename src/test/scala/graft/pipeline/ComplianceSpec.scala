@@ -55,6 +55,37 @@ class ComplianceSpec extends SparkSpec {
     assert(row.getLong(3) == 2L)  // after robots: 4 drops too
   }
 
+  test("release run: every stage cuts, the manifest reconciles to the survivors (r10)") {
+    // Extend the compliance fixture with an exact duplicate of doc 1
+    // (exact dedup must drop it) and a 3-doc burst on one host with
+    // cap 2 (domain caps must drop one).
+    // NB the burst lives on its OWN registrable domain (busy-site.com):
+    // subdomains of example.org would collapse onto doc 1's eTLD+1 and
+    // the cap would hit the union, not the burst.
+    val burst = Seq(
+      (7L, "https://ok.example.org/a", "alpha text"),          // dup of 1
+      (8L, "https://a.busy-site.com/1", "busy one two three"),
+      (9L, "https://b.busy-site.com/2", "more busy text here"),
+      (10L, "https://c.busy-site.com/3", "third busy doc words")
+    ).toDF("doc_id", "url", "text")
+    val all = docs.unionByName(burst)
+    val manifest = Release.run(all, takedowns, blocked, rules,
+      cap = 2, shardBudget = 8L).collect()
+    // survivors: sweep keeps {1,6,7,8,9,10} (2,5 taken down; 3,5
+    // blocked; 4 robots); dedup drops 7; caps drop 10 (third on
+    // busy-site.com). kept = {1,6,8,9} -> 2+2+4+4 = 12 tokens ->
+    // 2 shards at budget 8.
+    assert(manifest.map(_.getAs[Long]("n_docs")).sum == 4L)
+    assert(manifest.map(_.getAs[Long]("sum_tokens")).sum == 12L)
+    assert(manifest.length == 2)
+    // and the xor fingerprint covers exactly the kept contents
+    val fp = all.filter($"doc_id".isin(1L, 6L, 8L, 9L))
+      .select(expr(
+        "bit_xor(cast(conv(substring(md5(text), 1, 15), 16, 10) as long))"))
+      .collect().head.getLong(0)
+    assert(manifest.map(_.getAs[Long]("content_fp")).reduce(_ ^ _) == fp)
+  }
+
   test("duplicate takedown hashes do not duplicate rows (mark-join dedup)") {
     val dupTd = takedowns.unionByName(takedowns)
     val n = Compliance.flags(docs, "doc_id", "url", "text",
