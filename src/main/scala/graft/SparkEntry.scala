@@ -136,6 +136,18 @@ object SparkEntry {
             (col("doc_id") % 5).cast("int"))))
       TextAnalysis.scriptMix(planted)
     }),
+    // Character-diversity quality tagger (r10): unigram codepoint
+    // entropy in integer micro-nats (per-term ⌊ln·1e6⌋ lift — the
+    // LmScore discipline, so the transcendental never meets a float
+    // sum). Fixture reuses the script samples so supplementary-plane
+    // codepoints (𠀀, 😀) exercise the codepoint-vs-UTF-16 trap.
+    "char_entropy" -> ((s, dir) => {
+      val planted = Tables.documents(s, dir).withColumn("text",
+        when(col("doc_id") % 5 === 0, col("text")).otherwise(
+          element_at(array(ScriptSamples.map(lit(_)): _*),
+            (col("doc_id") % 5).cast("int"))))
+      TextAnalysis.charEntropy(planted)
+    }),
     "doc_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
     // Language-vs-script disagreement audit over a planted mix of
     // transliterated, mislabeled, consistent, and abstaining docs.
@@ -673,6 +685,36 @@ object SparkEntry {
             org.apache.spark.sql.expressions.Window.partitionBy()), 4))
         .orderBy(col("n_docs").desc, col("domain"))
     }),
+    // ---- [EXT] hyperlink extraction -> the host-level web graph (r10)
+    // Anchors parsed by pure regexp expressions (href from the OPENING
+    // tag only, double- then single-quoted), resolved by the
+    // RFC-3986-subset chain (absolute http(s) / scheme-relative /
+    // root-relative / path-relative; javascript:/mailto:/fragment
+    // drop), endpoints collapsed to the PSL registered domain,
+    // self-loops dropped. One explode + one aggregate.
+    "host_link_graph" -> ((s, dir) =>
+      graft.ingest.Links.hostGraph(withLinkHtml(Tables.documents(s, dir)))),
+    // Anchor-term profile per TARGET domain: the off-page description
+    // signal — top-5 tokens of cross-domain anchor texts (inner HTML
+    // stripped of tags), counted per destination registered domain.
+    "anchor_texts" -> ((s, dir) =>
+      graft.ingest.Links.anchorTerms(withLinkHtml(Tables.documents(s, dir)))),
+    // TrustRank over the EXTRACTED graph — the composition the fixture
+    // rank core exists for: trust seeded at curated registered domains
+    // flows along real hyperlinks (domains lift to md5-prefix ids for
+    // the integer fixed-point core, then map back). Full oracle: the
+    // whole line — extraction, resolution, PSL collapse, id lift, and
+    // the unrolled seeded iteration chain — replays in DuckDB.
+    "web_trustrank" -> ((s, dir) =>
+      graft.ingest.Links.webTrustRank(withLinkHtml(Tables.documents(s, dir)),
+        Seq("openweb.org", "data.net"))),
+    // XML sitemap parsing (r10) — the protocol seed channel: urlset
+    // entries with freshness metadata (lastmod/changefreq/priority) and
+    // sitemapindex child pointers as typed rows; entity-escaped locs
+    // decode, loc-less blocks drop. Pure regexp scan-stage extraction.
+    "sitemap_entries" -> ((s, dir) =>
+      graft.sources.Sitemap.entries(
+        withSitemapXml(Tables.documents(s, dir)), idCol = "doc_id")),
     // Soft URL word-score gate (r10) — RefinedWeb's OTHER URL filter:
     // spam announces itself in the URL string before any fetch, so the
     // score is a pure scan-stage expression over the url column. Paths
@@ -2075,6 +2117,13 @@ object SparkEntry {
     // DuckDB's nfc_normalize is the oracle for the engine's NfcNormalize.
     // script_mix: RE2 range twins of the Java ranges; dominant via the
     // same greatest + first-in-order CASE chain.
+    "char_entropy" -> {
+      val planted = "CASE WHEN doc_id % 5 = 0 THEN text ELSE " +
+        s"[${ScriptSamples.map(s => s"'$s'").mkString(", ")}]" +
+        "[CAST(doc_id % 5 AS INT)] END"
+      s"""WITH p AS (SELECT doc_id, $planted AS t FROM documents),
+         |${TextAnalysis.sqlCharEntropy("p", "doc_id", "t")}""".stripMargin
+    },
     "script_mix" -> {
       val planted = "CASE WHEN doc_id % 5 = 0 THEN text ELSE " +
         s"[${ScriptSamples.map(s => s"'$s'").mkString(", ")}]" +
@@ -3319,6 +3368,31 @@ object SparkEntry {
          |SELECT domain, n_docs, n_hosts,
          |  round(n_docs * 100.0 / SUM(n_docs) OVER (), 4) AS pct
          |FROM g ORDER BY n_docs DESC, domain""".stripMargin,
+    "host_link_graph" ->
+      s"""WITH ${graft.ingest.Psl.sqlPslCte},
+         |dh AS (
+         |  SELECT doc_id, $sqlFixtureUrl AS url, $sqlLinkHtml AS html
+         |  FROM documents),
+         |${graft.ingest.Links.sqlHostGraph("dh", "doc_id")}""".stripMargin,
+    "anchor_texts" ->
+      s"""WITH ${graft.ingest.Psl.sqlPslCte},
+         |dh AS (
+         |  SELECT doc_id, $sqlFixtureUrl AS url, $sqlLinkHtml AS html
+         |  FROM documents),
+         |${graft.ingest.Links.sqlAnchorTerms("dh", "doc_id", 5)}""".stripMargin,
+    "web_trustrank" ->
+      s"""WITH ${graft.ingest.Psl.sqlPslCte},
+         |dh AS (
+         |  SELECT doc_id, $sqlFixtureUrl AS url, $sqlLinkHtml AS html
+         |  FROM documents),
+         |${graft.ingest.Links.sqlWebTrustRank("dh", "doc_id",
+              Seq("openweb.org", "data.net"))}""".stripMargin,
+    "sitemap_entries" -> {
+      s"""WITH sm AS (
+         |  SELECT doc_id, $sqlSitemapXml AS xml
+         |  FROM documents),
+         |${graft.sources.Sitemap.sqlEntries("sm", "doc_id")}""".stripMargin
+    },
     "url_spam_scores" ->
       s"""WITH u AS (
          |  SELECT doc_id, $sqlSpamUrl AS url
@@ -3555,6 +3629,109 @@ object SparkEntry {
   private def sqlFixtureUrl: String =
     s"'https://' || [${DomainCapHosts.map(h => s"'$h'").mkString(", ")}]" +
       "[CAST(doc_id % 10 AS INT) + 1] || '/' || source || '/' || CAST(doc_id AS VARCHAR)"
+
+  /** Fixture HTML with a full anchor zoo (r10, `host_link_graph` /
+    * `anchor_texts` / `web_trustrank`): an absolute cross-host link, a
+    * root-relative and a path-relative same-host link (self-loops at
+    * domain granularity), a scheme-relative cross-host link, plus the
+    * drop cases — fragment-only, mailto:, and an anchor with no href.
+    * Both engines construct identical bytes ([[sqlLinkHtml]]); the
+    * extraction + resolution mirror is what the oracles check. */
+  private def withLinkHtml(docs: DataFrame): DataFrame = {
+    val hosts = array(DomainCapHosts.map(lit(_)): _*)
+    withFixtureUrls(docs).withColumn("html", concat(
+      lit("<html><body><h1>Doc "), col("doc_id"), lit("</h1>"),
+      lit("<a href=\"https://"),
+      element_at(hosts, ((col("doc_id") + 3) % 10 + 1).cast("int")),
+      lit("/ref/"), col("doc_id"), lit("\">Read <b>more</b> here</a>"),
+      lit("<a href='/local/sec"), col("doc_id") % 7,
+      lit("'>Local section</a>"),
+      lit("<a href=\"notes/"), col("doc_id") % 5,
+      lit(".html\">Related notes</a>"),
+      lit("<a href=\"//"),
+      element_at(hosts, ((col("doc_id") + 5) % 10 + 1).cast("int")),
+      lit("/mirror\">Mirror copy</a>"),
+      lit("<a href=\"#top\">Back to top</a>"),
+      lit("<a href=\"mailto:info@example.com\">Mail us</a>"),
+      lit("<a name=\"x\">Not a link</a>"),
+      lit("</body></html>")))
+  }
+
+  /** DuckDB twin of [[withLinkHtml]]'s html expression. */
+  private def sqlLinkHtml: String = {
+    val hosts = s"[${DomainCapHosts.map(h => s"'$h'").mkString(", ")}]"
+    s"""'<html><body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>' ||
+       |'<a href="https://' || $hosts[CAST((doc_id + 3) % 10 AS INT) + 1] ||
+       |'/ref/' || CAST(doc_id AS VARCHAR) || '">Read <b>more</b> here</a>' ||
+       |'<a href=''/local/sec' || CAST(doc_id % 7 AS VARCHAR) ||
+       |'''>Local section</a>' ||
+       |'<a href="notes/' || CAST(doc_id % 5 AS VARCHAR) ||
+       |'.html">Related notes</a>' ||
+       |'<a href="//' || $hosts[CAST((doc_id + 5) % 10 AS INT) + 1] ||
+       |'/mirror">Mirror copy</a>' ||
+       |'<a href="#top">Back to top</a>' ||
+       |'<a href="mailto:info@example.com">Mail us</a>' ||
+       |'<a name="x">Not a link</a></body></html>'""".stripMargin
+  }
+
+  /** Fixture sitemap XML (r10, `sitemap_entries`): every 10th doc is a
+    * sitemap INDEX (two child sitemaps, one with lastmod), the rest are
+    * urlsets with a fully-tagged entry, an entity-escaped loc
+    * (`&amp;` in a query string), and a loc-less block that must drop.
+    * Both engines construct identical bytes ([[sqlSitemapXml]]). */
+  private def withSitemapXml(docs: DataFrame): DataFrame = {
+    val hosts = array(DomainCapHosts.map(lit(_)): _*)
+    val host = element_at(hosts, (col("doc_id") % 10 + 1).cast("int"))
+    val dt = concat(lit("2024-"),
+      lpad((col("doc_id") % 12 + 1).cast("string"), 2, "0"), lit("-"),
+      lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"))
+    val cf = element_at(array(lit("daily"), lit("weekly"), lit("monthly")),
+      (col("doc_id") % 3 + 1).cast("int"))
+    val pr = concat(lit("0."), (col("doc_id") % 9 + 1).cast("string"))
+    val urlset = concat(
+      lit("<?xml version=\"1.0\"?><urlset>"),
+      lit("<url><loc>https://"), host, lit("/page/"), col("doc_id"),
+      lit("</loc><lastmod>"), dt, lit("</lastmod><changefreq>"), cf,
+      lit("</changefreq><priority>"), pr, lit("</priority></url>"),
+      lit("<url><loc>https://"), host,
+      lit("/search?q=a&amp;page=2</loc></url>"),
+      lit("<url><changefreq>weekly</changefreq></url>"),
+      lit("</urlset>"))
+    val index = concat(
+      lit("<?xml version=\"1.0\"?><sitemapindex>"),
+      lit("<sitemap><loc>https://"), host,
+      lit("/sitemap-a.xml</loc><lastmod>"), dt, lit("</lastmod></sitemap>"),
+      lit("<sitemap><loc>https://"), host,
+      lit("/sitemap-b.xml</loc></sitemap>"),
+      lit("</sitemapindex>"))
+    docs.withColumn("xml",
+      when(col("doc_id") % 10 === 0, index).otherwise(urlset))
+  }
+
+  /** DuckDB twin of [[withSitemapXml]]'s xml expression. */
+  private def sqlSitemapXml: String = {
+    val host = s"[${DomainCapHosts.map(h => s"'$h'").mkString(", ")}]" +
+      "[CAST(doc_id % 10 AS INT) + 1]"
+    val dt = "'2024-' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || " +
+      "'-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')"
+    val cf = "['daily', 'weekly', 'monthly'][CAST(doc_id % 3 AS INT) + 1]"
+    val pr = "'0.' || CAST(doc_id % 9 + 1 AS VARCHAR)"
+    s"""CASE WHEN doc_id % 10 = 0 THEN
+       |  '<?xml version="1.0"?><sitemapindex>' ||
+       |  '<sitemap><loc>https://' || $host ||
+       |  '/sitemap-a.xml</loc><lastmod>' || $dt || '</lastmod></sitemap>' ||
+       |  '<sitemap><loc>https://' || $host || '/sitemap-b.xml</loc></sitemap>' ||
+       |  '</sitemapindex>'
+       |ELSE
+       |  '<?xml version="1.0"?><urlset>' ||
+       |  '<url><loc>https://' || $host || '/page/' || CAST(doc_id AS VARCHAR) ||
+       |  '</loc><lastmod>' || $dt || '</lastmod><changefreq>' || $cf ||
+       |  '</changefreq><priority>' || $pr || '</priority></url>' ||
+       |  '<url><loc>https://' || $host || '/search?q=a&amp;page=2</loc></url>' ||
+       |  '<url><changefreq>weekly</changefreq></url>' ||
+       |  '</urlset>'
+       |END""".stripMargin
+  }
 
   /** Spam-path suffixes planted by doc id for `url_spam_scores`: a
     * blocking word (1.0), two additive soft words (0.5 + 0.5 = 1.0), one

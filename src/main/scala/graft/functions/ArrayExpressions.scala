@@ -765,6 +765,76 @@ object LuhnValid {
   }
 }
 
+/** Unigram character entropy of a document in integer MICRO-NATS —
+  * the character-diversity quality signal (keyboard mashing, ASCII-art
+  * and repeated-glyph spam score near 0; natural language sits in a
+  * language-typical band), computed so the result is bit-identical
+  * across engines despite the transcendental:
+  *
+  *   H_unats = (n·⌊ln n · 10⁶⌋ − Σ_c cnt_c·⌊ln cnt_c · 10⁶⌋) ∕ n
+  *
+  * — each ln is floored to micro-nat units BEFORE any multiplication or
+  * summation (the [[graft.text.LmScore]] per-term discipline), so
+  * everything after the floor is exact integer arithmetic: any
+  * summation order, any engine. The numerator is provably non-negative
+  * (⌊⌋ is monotone and cnt ≤ n), so Long division IS floor division,
+  * matching DuckDB's `//`. Counts are per Unicode CODEPOINT (surrogate
+  * pairs are one character — the DuckDB `string_split(text, '')`
+  * domain), not UTF-16 units. Empty text → 0.
+  *
+  * Native expression (vs a UDF) for the usual reason: a quality tagger
+  * runs in the same scan-stage projection as the other per-doc signals
+  * and must stay inside whole-stage codegen. One pass, one open-address
+  * count map per row.
+  */
+case class CharEntropy(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_char_entropy"
+
+  override def nullSafeEval(v: Any): Any =
+    CharEntropy.compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = org.apache.spark.sql.graft.CharEntropy.compute($v);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharEntropy {
+  private val Unit = 1000000.0
+
+  def compute(s: UTF8String): Long = {
+    val str = s.toString
+    if (str.isEmpty) return 0L
+    // codepoint -> count; the alphabet of one document is small, a
+    // boxed HashMap is fine (the digest-heavy natives above are the
+    // ones that earn open addressing)
+    val counts = new java.util.HashMap[Integer, Array[Int]]()
+    var n = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      n += 1L
+      val slot = counts.get(cp)
+      if (slot == null) counts.put(cp, Array(1)) else slot(0) += 1
+    }
+    var sum = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()(0).toLong
+      sum += c * math.floor(math.log(c.toDouble) * Unit).toLong
+    }
+    (n * math.floor(math.log(n.toDouble) * Unit).toLong - sum) / n
+  }
+}
+
 object ArrayFunctions {
 
   /** Codegen'd |A ∩ B| for sorted, distinct string arrays. */
@@ -812,4 +882,8 @@ object ArrayFunctions {
   /** Codegen'd Luhn card-number validity; see [[LuhnValid]]. */
   def luhnValid(candidate: Column): Column =
     ExpressionUtils.column(LuhnValid(ExpressionUtils.expression(candidate)))
+
+  /** Codegen'd integer micro-nat character entropy; see [[CharEntropy]]. */
+  def charEntropy(text: Column): Column =
+    ExpressionUtils.column(CharEntropy(ExpressionUtils.expression(text)))
 }

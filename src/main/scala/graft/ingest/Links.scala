@@ -1,0 +1,340 @@
+package graft.ingest
+
+import graft.Mat.Pinnable
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Hyperlink extraction and the host-level web graph
+  * (`host_link_graph` / `anchor_texts` / `web_trustrank` queries) — the
+  * reference follows ONE link per article block (crawl.py:67-73,
+  * `block.find('a')['href']` + `urljoin`); at corpus scale the links are
+  * themselves a first-class dataset: the web graph feeds crawl
+  * prioritization ([[Frontier]]), spam detection (TrustRank over real
+  * edges instead of a fixture graph), and anchor text is the classic
+  * off-page relevance signal (the terms OTHER sites use to describe a
+  * page).
+  *
+  * Everything here is pure scan-stage column expressions —
+  * `regexp_extract_all` + HOF `transform` over the matches, then the
+  * shared RFC-3986-subset resolver — so extraction runs where the HTML
+  * bytes are, mirrors 1:1 into the DuckDB oracle, and never leaves
+  * whole-stage-friendly territory (no UDF, no parser object).
+  *
+  * Extraction contract: only well-formed `<a …>…</a>` pairs count (an
+  * unclosed anchor is dropped — the regex needs the closing tag), the
+  * href is read from the OPENING tag only (an `href="…"` inside the
+  * anchor text cannot shadow it), and double- then single-quoted
+  * attribute forms are recognized. Unquoted hrefs are out of contract
+  * (documented; real-world HTML carries them at the ~1% level and a
+  * production deployment widens the regex, not the operator shape).
+  *
+  * Resolution contract ([[resolve]] — the subset a link GRAPH needs):
+  * absolute http(s) passes through; other schemes (`javascript:`,
+  * `mailto:`, `tel:` …) drop; scheme-relative `//host/x` takes the
+  * base's scheme; root-relative `/x` takes the base's origin;
+  * path-relative `x` resolves against the base path's directory.
+  * Fragment-only, query-only, and empty hrefs drop — at host
+  * granularity they are self-loops, which the graph drops anyway. No
+  * dot-segment resolution (same documented simplification as
+  * [[Urls.canonicalize]]).
+  */
+object Links {
+
+  /** Well-formed anchor elements, lazily matched to the FIRST closing
+    * tag (nested `<a>` cannot occur in valid HTML). */
+  private[graft] val AnchorRe = "(?is)<a\\b[^>]*>.*?</a>"
+  private[graft] val OpenTagRe = "(?is)^(<a\\b[^>]*>)"
+  private[graft] val HrefDqRe = "(?is)href\\s*=\\s*\"([^\"]*)\""
+  private[graft] val HrefSqRe = "(?is)href\\s*=\\s*'([^']*)'"
+  private[graft] val InnerRe = "(?is)^<a\\b[^>]*>(.*)</a>$"
+  private[graft] val SchemeAnyRe = "^[a-zA-Z][a-zA-Z0-9+.-]*:"
+  private[graft] val HttpAbsRe = "(?i)^https?://"
+  private[graft] val OriginRe = "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)"
+  private[graft] val BaseSchemeRe = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+
+  /** All anchors of `html` in document order, as an array of
+    * (href, atext) structs. href = the opening tag's attribute
+    * (double-quoted form wins when both somehow appear); atext = inner
+    * HTML with tags stripped, trimmed. Anchors without an href (or with
+    * an empty one — indistinguishable from absent through the regex, and
+    * equally useless to a graph) keep a '' href here and drop at
+    * resolution. */
+  def anchors(html: Column): Column =
+    transform(regexp_extract_all(html, lit(AnchorRe), lit(0)), { m =>
+      val open = regexp_extract(m, OpenTagRe, 1)
+      val dq = regexp_extract(open, HrefDqRe, 1)
+      val sq = regexp_extract(open, HrefSqRe, 1)
+      val href = when(dq =!= "", dq).otherwise(sq)
+      val atext = trim(regexp_replace(
+        regexp_extract(m, InnerRe, 1), "<[^>]*>", ""))
+      struct(href.as("href"), atext.as("atext"))
+    })
+
+  /** RFC-3986-subset resolution of `href` against `base` (see the object
+    * doc for the contract). Null where the link has no place in a graph:
+    * non-http(s) schemes, fragment/query-only, empty, or a base without
+    * an origin to resolve against. */
+  def resolve(base: Column, href: Column): Column = {
+    val h = trim(href)
+    val origin = regexp_extract(base, OriginRe, 1)
+    val scheme = lower(regexp_extract(base, BaseSchemeRe, 1))
+    val dir0 = regexp_replace(regexp_extract(base, Urls.PathRe, 1), "[^/]*$", "")
+    val dir = when(dir0 === "", "/").otherwise(dir0)
+    when(h.rlike(HttpAbsRe), h)
+      .when(h.rlike(SchemeAnyRe), lit(null).cast("string"))
+      .when(origin === "", lit(null).cast("string"))
+      .when(h.startsWith("//"), concat(scheme, lit(":"), h))
+      .when(h.startsWith("/"), concat(origin, h))
+      .when(h === "" || h.startsWith("#") || h.startsWith("?"),
+        lit(null).cast("string"))
+      .otherwise(concat(origin, dir, h))
+  }
+
+  /** One row per resolvable link: (idCol, src_url, dst_url, atext).
+    * Multi-links are kept (multiplicity is graph signal); order within a
+    * page follows document order. */
+  def resolvedLinks(docs: DataFrame, idCol: String = "doc_id",
+                    urlCol: String = "url",
+                    htmlCol: String = "html"): DataFrame =
+    docs
+      .select(col(idCol), col(urlCol).as("src_url"),
+        explode(anchors(col(htmlCol))).as("a"))
+      .select(col(idCol), col("src_url"),
+        resolve(col("src_url"), col("a.href")).as("dst_url"),
+        col("a.atext").as("atext"))
+      .filter(col("dst_url").isNotNull)
+
+  /** The host-level web graph: (src_domain, dst_domain, n_links) with
+    * both endpoints collapsed to their registered domain ([[Psl]]-backed
+    * eTLD+1 — the granularity crawl policy and TrustRank operate at),
+    * self-loops dropped (intra-site navigation is noise to an
+    * inter-site graph). Shape: scan-stage extraction + ONE aggregate on
+    * the (src_domain, dst_domain) key — the explode multiplies rows by
+    * links-per-page (bounded by page size), never by corpus size. */
+  def hostGraph(docs: DataFrame, idCol: String = "doc_id",
+                urlCol: String = "url", htmlCol: String = "html"): DataFrame = {
+    val links = resolvedLinks(graft.Par.widen(docs), idCol, urlCol, htmlCol)
+      .select(Urls.registeredDomain(col("src_url")).as("src_domain"),
+        Urls.registeredDomain(col("dst_url")).as("dst_domain"))
+      .filter(col("src_domain").isNotNull && col("dst_domain").isNotNull &&
+        col("src_domain") =!= col("dst_domain"))
+    links.groupBy(col("src_domain"), col("dst_domain"))
+      .agg(count(lit(1)).as("n_links"))
+      .orderBy(col("src_domain"), col("dst_domain"))
+  }
+
+  /** Anchor-term profile per TARGET domain: the top-`k` tokens other
+    * pages use in links pointing at each registered domain — the
+    * off-page description signal (search ranking, site categorization,
+    * spam-anchor detection). Cross-domain links only (a site's own
+    * navigation describes its structure, not its reputation). One
+    * aggregate on (domain, token) + one top-k window per domain. */
+  def anchorTerms(docs: DataFrame, idCol: String = "doc_id",
+                  urlCol: String = "url", htmlCol: String = "html",
+                  k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = resolvedLinks(graft.Par.widen(docs), idCol, urlCol, htmlCol)
+      .select(Urls.registeredDomain(col("src_url")).as("src_domain"),
+        Urls.registeredDomain(col("dst_url")).as("dst_domain"),
+        col("atext"))
+      .filter(col("src_domain").isNotNull && col("dst_domain").isNotNull &&
+        col("src_domain") =!= col("dst_domain"))
+      .select(col("dst_domain").as("domain"),
+        explode(graft.text.TextAnalysis.tokens(lower(col("atext")))).as("token"))
+    terms.groupBy(col("domain"), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("domain"))
+        .orderBy(col("n").desc, col("token").asc)))
+      .filter(col("rk") <= k)
+      .orderBy(col("domain"), col("rk"))
+  }
+
+  /** TrustRank over the EXTRACTED host graph — the composition the
+    * fixture-graph operator ([[graft.analytics.PageRank.seededRanks]])
+    * exists for: trust seeded at curated domains flows along real
+    * hyperlinks; domains unreachable from any seed rank 0 (the spam
+    * side of the ledger). Domains map to stable 60-bit ids
+    * (md5-prefix — order-free, engine-reproducible, collision odds
+    * ~n²∕2⁶¹) for the integer rank core, then map back. Multi-edges
+    * collapse inside the core's adjacency build; the edge WEIGHTS are
+    * [[hostGraph]]'s to publish, not the rank's to consume (classic
+    * TrustRank is unweighted). */
+  def webTrustRank(docs: DataFrame, seeds: Seq[String],
+                   idCol: String = "doc_id", urlCol: String = "url",
+                   htmlCol: String = "html", iterations: Int = 5,
+                   dampingPct: Int = 85): DataFrame = {
+    require(seeds.nonEmpty, "TrustRank needs a trusted seed set")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def domId(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val g = hostGraph(docs, idCol, urlCol, htmlCol).pinned
+    val ids = g.select(col("src_domain").as("domain"))
+      .union(g.select(col("dst_domain")))
+      .distinct()
+      .select(col("domain"), domId(col("domain")).as("node"))
+    val edges = g.select(domId(col("src_domain")).as("src"),
+      domId(col("dst_domain")).as("dst"))
+    val ranks = graft.analytics.PageRank.seededRanks(
+      edges, "src", "dst",
+      seeds.toDF("domain").select(domId(col("domain")).as("seed")),
+      "seed", iterations, dampingPct)
+    ranks.join(ids, Seq("node"))
+      .select(col("domain"), col("rank_fp").as("trust_fp"))
+      .orderBy(col("domain"))
+  }
+
+  // ---------------------------------------------------------------- SQL
+
+  /** The resolution CASE chain over SQL expressions `base`/`href` —
+    * byte-for-byte the [[resolve]] contract. */
+  def sqlResolveExpr(base: String, href: String): String = {
+    val h = s"trim($href)"
+    val origin = s"regexp_extract($base, '$OriginRe', 1)"
+    val scheme = s"lower(regexp_extract($base, '$BaseSchemeRe', 1))"
+    val dir0 = s"regexp_replace(regexp_extract($base, '${Urls.PathRe}', 1), '[^/]*$$', '')"
+    val dir = s"(CASE WHEN $dir0 = '' THEN '/' ELSE $dir0 END)"
+    s"""CASE
+       |  WHEN regexp_matches($h, '$HttpAbsRe') THEN $h
+       |  WHEN regexp_matches($h, '$SchemeAnyRe') THEN NULL
+       |  WHEN $origin = '' THEN NULL
+       |  WHEN starts_with($h, '//') THEN $scheme || ':' || $h
+       |  WHEN starts_with($h, '/') THEN $origin || $h
+       |  WHEN $h = '' OR starts_with($h, '#') OR starts_with($h, '?') THEN NULL
+       |  ELSE $origin || $dir || $h
+       |END""".stripMargin
+  }
+
+  /** CTE chain `<out>`: resolved links (idCol, src_url, dst_url, atext)
+    * from a relation exposing (idCol, url, html) — the [[resolvedLinks]]
+    * mirror (UNNEST over the same anchor matches, the same nested
+    * group extraction, the same resolution CASE). */
+  def sqlLinkCtes(from: String, idCol: String, out: String): String = {
+    val dq = HrefDqRe
+    // the single-quote regex must escape its quotes inside a SQL literal
+    val sq = HrefSqRe.replace("'", "''")
+    s"""${out}_m AS (
+       |  SELECT $idCol, url AS src_url,
+       |    UNNEST(regexp_extract_all(html, '$AnchorRe')) AS m
+       |  FROM $from),
+       |${out}_h AS (
+       |  SELECT $idCol, src_url, m,
+       |    regexp_extract(m, '$OpenTagRe', 1) AS opentag
+       |  FROM ${out}_m),
+       |${out}_p AS (
+       |  SELECT $idCol, src_url,
+       |    CASE WHEN regexp_extract(opentag, '$dq', 1) <> ''
+       |         THEN regexp_extract(opentag, '$dq', 1)
+       |         ELSE regexp_extract(opentag, '$sq', 1) END AS href,
+       |    trim(regexp_replace(regexp_extract(m, '$InnerRe', 1),
+       |      '<[^>]*>', '', 'g')) AS atext
+       |  FROM ${out}_h),
+       |$out AS (
+       |  SELECT $idCol, src_url,
+       |    ${sqlResolveExpr("src_url", "href")} AS dst_url, atext
+       |  FROM ${out}_p
+       |  WHERE ${sqlResolveExpr("src_url", "href")} IS NOT NULL)""".stripMargin
+  }
+
+  /** [[hostGraph]] as one DuckDB query over a relation exposing
+    * (idCol, url, html). Prepend `WITH RECURSIVE ${Psl.sqlPslCte},`. */
+  def sqlHostGraph(from: String, idCol: String): String =
+    s"""${sqlLinkCtes(from, idCol, "lk")},
+       |lks AS (SELECT ROW_NUMBER() OVER (ORDER BY $idCol, dst_url) AS lid,
+       |               src_url, dst_url FROM lk),
+       |${Psl.sqlDomainCtes("(SELECT lid, src_url AS url FROM lks)", "lid", Seq.empty, "url", "sdom")},
+       |${Psl.sqlDomainCtes("(SELECT lid, dst_url AS url FROM lks)", "lid", Seq.empty, "url", "ddom")},
+       |pairs AS (
+       |  SELECT s.domain AS src_domain, d.domain AS dst_domain
+       |  FROM sdom s JOIN ddom d USING (lid)
+       |  WHERE s.domain IS NOT NULL AND d.domain IS NOT NULL
+       |    AND s.domain <> d.domain)
+       |SELECT src_domain, dst_domain, COUNT(*) AS n_links
+       |FROM pairs GROUP BY 1, 2 ORDER BY src_domain, dst_domain""".stripMargin
+
+  /** [[anchorTerms]] as one DuckDB query (same prelude contract as
+    * [[sqlHostGraph]]). */
+  def sqlAnchorTerms(from: String, idCol: String, k: Int): String =
+    s"""${sqlLinkCtes(from, idCol, "lk")},
+       |lks AS (SELECT ROW_NUMBER() OVER (ORDER BY $idCol, dst_url) AS lid,
+       |               src_url, dst_url, atext FROM lk),
+       |${Psl.sqlDomainCtes("(SELECT lid, src_url AS url FROM lks)", "lid", Seq.empty, "url", "sdom")},
+       |${Psl.sqlDomainCtes("(SELECT lid, dst_url AS url FROM lks)", "lid", Seq.empty, "url", "ddom")},
+       |terms AS (
+       |  SELECT d.domain AS domain,
+       |    UNNEST(regexp_extract_all(lower(l.atext), '[^ \\t\\n\\x0B\\f\\r]+'))
+       |      AS token
+       |  FROM lks l JOIN sdom s USING (lid) JOIN ddom d USING (lid)
+       |  WHERE s.domain IS NOT NULL AND d.domain IS NOT NULL
+       |    AND s.domain <> d.domain),
+       |counted AS (
+       |  SELECT domain, token, COUNT(*) AS n FROM terms GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT domain, token, n,
+       |    ROW_NUMBER() OVER (PARTITION BY domain
+       |                       ORDER BY n DESC, token ASC) AS rk
+       |  FROM counted)
+       |SELECT domain, token, n, rk FROM ranked WHERE rk <= $k
+       |ORDER BY domain, rk""".stripMargin
+
+  /** [[webTrustRank]] as one DuckDB query (same prelude contract): the
+    * host graph rebuilt relationally, domains lifted to the same
+    * md5-prefix ids, then the rank core's unrolled seeded chain with
+    * nodes = src ∪ dst (dangling domains keep teleport-only mass — the
+    * engine's leak semantics, replayed). */
+  def sqlWebTrustRank(from: String, idCol: String, seeds: Seq[String],
+                      iterations: Int = 5, dampingPct: Int = 85): String = {
+    val scale = graft.analytics.PageRank.Scale
+    val seedList = seeds.map(s => s"'$s'").mkString(", ")
+    val iters = (1 to iterations).map { kk =>
+      s"""t$kk AS (
+         |  SELECT n.v AS v,
+         |    CAST((CASE WHEN s.v IS NOT NULL THEN stp.t ELSE 0 END)
+         |         + COALESCE(c.s, 0) AS BIGINT) AS r
+         |  FROM gnodes n CROSS JOIN stp LEFT JOIN gseeds s ON n.v = s.v
+         |  LEFT JOIN (
+         |    SELECT e.dst AS v,
+         |      CAST(SUM(r.r * $dampingPct // 100 // dg.d) AS BIGINT) AS s
+         |    FROM ge e JOIN t${kk - 1} r ON e.src = r.v
+         |    JOIN gdeg dg ON dg.src = e.src
+         |    GROUP BY 1) c ON n.v = c.v)""".stripMargin
+    }.mkString(",\n")
+    s"""${sqlLinkCtes(from, idCol, "lk")},
+       |lks AS (SELECT ROW_NUMBER() OVER (ORDER BY $idCol, dst_url) AS lid,
+       |               src_url, dst_url FROM lk),
+       |${Psl.sqlDomainCtes("(SELECT lid, src_url AS url FROM lks)", "lid", Seq.empty, "url", "sdom")},
+       |${Psl.sqlDomainCtes("(SELECT lid, dst_url AS url FROM lks)", "lid", Seq.empty, "url", "ddom")},
+       |gpairs AS (
+       |  SELECT DISTINCT s.domain AS src_domain, d.domain AS dst_domain
+       |  FROM sdom s JOIN ddom d USING (lid)
+       |  WHERE s.domain IS NOT NULL AND d.domain IS NOT NULL
+       |    AND s.domain <> d.domain),
+       |gmap AS (
+       |  SELECT domain,
+       |    CAST(('0x' || substring(md5(domain), 1, 15))::UBIGINT AS BIGINT) AS v
+       |  FROM (SELECT src_domain AS domain FROM gpairs
+       |        UNION SELECT dst_domain FROM gpairs)),
+       |ge AS (
+       |  SELECT sm.v AS src, dm.v AS dst
+       |  FROM gpairs JOIN gmap sm ON sm.domain = src_domain
+       |  JOIN gmap dm ON dm.domain = dst_domain),
+       |gdeg AS (SELECT src, COUNT(*) AS d FROM ge GROUP BY 1),
+       |gnodes AS (SELECT DISTINCT v FROM (SELECT src AS v FROM ge
+       |                                   UNION SELECT dst FROM ge)),
+       |gseeds AS (
+       |  SELECT v FROM gmap WHERE domain IN ($seedList)),
+       |gns AS (SELECT COUNT(*) AS n FROM gseeds),
+       |stp AS (SELECT CAST($scale * ${100 - dampingPct} // 100 // n AS BIGINT)
+       |          AS t FROM gns),
+       |t0 AS (
+       |  SELECT n.v,
+       |    CAST(CASE WHEN s.v IS NOT NULL THEN $scale // gns.n ELSE 0 END
+       |      AS BIGINT) AS r
+       |  FROM gnodes n CROSS JOIN gns LEFT JOIN gseeds s ON n.v = s.v),
+       |$iters
+       |SELECT m.domain, t.r AS trust_fp
+       |FROM t$iterations t JOIN gmap m ON m.v = t.v
+       |ORDER BY m.domain""".stripMargin
+  }
+}

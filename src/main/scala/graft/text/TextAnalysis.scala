@@ -141,6 +141,46 @@ object TextAnalysis {
       .orderBy(col(idCol))
   }
 
+  /** [EXT] Unigram character entropy per document (`char_entropy`
+    * query) — the character-diversity quality tagger: repeated-glyph
+    * spam and ASCII art score near 0 micro-nats, natural language sits
+    * in a language-typical band (≈ 2.9e6–3.2e6 µnats for English prose;
+    * CJK higher — larger alphabet), so the signal separates mash from
+    * text WITHOUT a fitted model. Integer micro-nats end-to-end via the
+    * per-term ⌊ln·10⁶⌋ lift ([[org.apache.spark.sql.graft.CharEntropy]]
+    * — the LmScore discipline, one codegen'd pass per row, codepoint
+    * domain). Scan-stage, shuffle-free. */
+  def charEntropy(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    graft.Par.widen(docs).select(col(idCol),
+      coalesce(length(col(textCol)).cast("long"), lit(0L)).as("n_chars"),
+      coalesce(org.apache.spark.sql.graft.ArrayFunctions
+        .charEntropy(col(textCol)), lit(0L)).as("entropy_unats"))
+      .orderBy(col(idCol))
+
+  /** DuckDB mirror of [[charEntropy]] over a relation `rel` exposing
+    * (idCol, textExpr): per-codepoint counts (`string_split(_, '')` is
+    * codepoint-granular, matching the engine's surrogate-pair
+    * handling), the same per-count ⌊ln·10⁶⌋ floor BEFORE the integer
+    * sum, the same non-negative floor division. CTE chain + final
+    * SELECT; the caller opens the WITH. */
+  def sqlCharEntropy(rel: String, idCol: String, textExpr: String): String =
+    s"""ce_ch AS (
+       |  SELECT $idCol, UNNEST(string_split($textExpr, '')) AS c FROM $rel),
+       |ce_cc AS (
+       |  SELECT $idCol, c, COUNT(*) AS cnt FROM ce_ch WHERE c <> ''
+       |  GROUP BY 1, 2),
+       |ce_ag AS (
+       |  SELECT $idCol, CAST(SUM(cnt) AS BIGINT) AS n,
+       |    CAST(SUM(cnt * CAST(FLOOR(ln(cnt::DOUBLE) * 1000000.0) AS BIGINT))
+       |      AS BIGINT) AS s
+       |  FROM ce_cc GROUP BY 1)
+       |SELECT r.$idCol, COALESCE(a.n, 0) AS n_chars,
+       |  COALESCE((a.n * CAST(FLOOR(ln(a.n::DOUBLE) * 1000000.0) AS BIGINT)
+       |            - a.s) // a.n, 0) AS entropy_unats
+       |FROM $rel r LEFT JOIN ce_ag a ON r.$idCol = a.$idCol
+       |ORDER BY r.$idCol""".stripMargin
+
   /** The dominant-script election alone (first-in-canonical-order wins
     * ties, "none" when no script character appears) — reusable as a
     * single attribute column ([[graft.pipeline.Attributes]]). */

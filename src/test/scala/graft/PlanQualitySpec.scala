@@ -393,6 +393,25 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("link/sitemap/entropy extraction is scan-stage; graphs shuffle ids only (r10)") {
+    // host graph: extraction is per-row expressions; the only keyed
+    // exchange is the (src_domain, dst_domain) aggregate.
+    val g = planOf(SparkEntry.queries("host_link_graph")(spark, dir))
+    assert(g.linesIterator.count(_.contains("Arguments: hashpartitioning")) == 1,
+      s"expected exactly the edge-aggregate exchange:\n$g")
+    assert(!g.contains("UDF"), s"extraction must be expressions, not UDFs:\n$g")
+    // anchor terms add the per-domain top-k window: two keyed exchanges.
+    val a = planOf(SparkEntry.queries("anchor_texts")(spark, dir))
+    assert(a.linesIterator.count(_.contains("Arguments: hashpartitioning")) <= 2,
+      s"expected the term aggregate + domain window only:\n$a")
+    // sitemap parsing and the entropy tagger never shuffle by key.
+    for (q <- Seq("sitemap_entries", "char_entropy")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, dir))
+      assert(!plan.contains("Arguments: hashpartitioning"),
+        s"$q must not shuffle by key:\n$plan")
+    }
+  }
+
   test("no unbounded global window in any registered query's plan") {
     // The single-partition-window audit: every logical Window with an
     // EMPTY partition spec in a registered query's optimized plan must

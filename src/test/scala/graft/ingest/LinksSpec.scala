@@ -1,0 +1,142 @@
+package graft.ingest
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the hyperlink operators: the RFC-3986-subset resolver branch by
+  * branch, the anchor extraction contract (opening-tag href, both quote
+  * styles, tag-stripped inner text, unclosed anchors dropped), the
+  * host-graph aggregation (self-loops dropped, multiplicity counted),
+  * the cross-domain-only anchor-term profile, and TrustRank-over-real-
+  * edges semantics (unreachable domains rank 0, seeds carry mass). */
+class LinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "https://news.example.com/world/politics/story.html"
+
+  private def resolveOne(b: String, h: String): Option[String] = {
+    val r = Seq((Option(b), Option(h))).toDF("b", "h")
+      .select(Links.resolve(col("b"), col("h")).as("r"))
+      .collect().head
+    if (r.isNullAt(0)) None else Some(r.getString(0))
+  }
+
+  test("resolve: every branch of the contract") {
+    // absolute http(s) passes through untouched (case-insensitive scheme)
+    assert(resolveOne(base, "https://other.net/a?b=c").contains("https://other.net/a?b=c"))
+    assert(resolveOne(base, "HTTP://other.net/a").contains("HTTP://other.net/a"))
+    // other schemes drop
+    assert(resolveOne(base, "javascript:void(0)").isEmpty)
+    assert(resolveOne(base, "mailto:x@y.z").isEmpty)
+    assert(resolveOne(base, "tel:+1-555").isEmpty)
+    // scheme-relative takes the base scheme
+    assert(resolveOne(base, "//cdn.example.com/lib.js")
+      .contains("https://cdn.example.com/lib.js"))
+    // root-relative takes the origin
+    assert(resolveOne(base, "/about").contains("https://news.example.com/about"))
+    // path-relative resolves against the base path's directory
+    assert(resolveOne(base, "next.html")
+      .contains("https://news.example.com/world/politics/next.html"))
+    // a base with no path directory resolves relative against "/"
+    assert(resolveOne("https://x.org", "a.html").contains("https://x.org/a.html"))
+    // fragment-only / query-only / empty drop (host-level self-loops)
+    assert(resolveOne(base, "#top").isEmpty)
+    assert(resolveOne(base, "?page=2").isEmpty)
+    assert(resolveOne(base, "").isEmpty)
+    // surrounding whitespace is trimmed before classification
+    assert(resolveOne(base, "  /about  ").contains("https://news.example.com/about"))
+    // a colon in the first segment reads as a scheme (RFC: write ./a:b)
+    assert(resolveOne(base, "weird:path").isEmpty)
+    // unresolvable base: relative forms drop, absolute hrefs survive
+    assert(resolveOne("not a url", "/about").isEmpty)
+    assert(resolveOne("not a url", "https://ok.org/x").contains("https://ok.org/x"))
+    // nulls are total
+    assert(resolveOne(null, "/about").isEmpty)
+    assert(resolveOne(base, null).isEmpty)
+  }
+
+  test("anchors: opening-tag href only, both quote styles, stripped text") {
+    val html =
+      """<p>intro</p>
+        |<a class="x" href="https://a.org/1">Read <b>more</b> here</a>
+        |<a href='/rel'>single quoted</a>
+        |<a href="https://b.org/2">text with href="https://trap.org" inside</a>
+        |<a name="anchor">no href at all</a>
+        |<a href="https://c.org/unclosed">never closed
+        |""".stripMargin
+    val out = Seq(html).toDF("html")
+      .select(explode(Links.anchors(col("html"))).as("a"))
+      .select(col("a.href"), col("a.atext"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(out == Seq(
+      ("https://a.org/1", "Read more here"),
+      ("/rel", "single quoted"),
+      ("https://b.org/2", "text with href=\"https://trap.org\" inside"),
+      ("", "no href at all")))
+  }
+
+  test("hostGraph: domain collapse, self-loops dropped, multiplicity counted") {
+    val docs = Seq(
+      // two links to openweb.org (multiplicity 2), one internal self-loop
+      (1L, "https://news.example.com/a",
+        """<a href="https://mirror.openweb.org/x">one</a>
+          |<a href="//data.openweb.org/y">two</a>
+          |<a href="/internal">self</a>""".stripMargin),
+      // subdomain source collapses onto example.com; cross to foo.co.uk
+      (2L, "https://blog.example.com/b",
+        """<a href="https://archive.foo.co.uk/z">three</a>""")
+    ).toDF("doc_id", "url", "html")
+    val g = Links.hostGraph(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(g == Seq(
+      ("example.com", "foo.co.uk", 1L),
+      ("example.com", "openweb.org", 2L)))
+  }
+
+  test("anchorTerms: cross-domain texts only, top-k by count then token") {
+    val docs = Seq(
+      (1L, "https://a.example.com/1",
+        """<a href="https://docs.data.net/x">spark guide</a>
+          |<a href="https://docs.data.net/y">spark api</a>
+          |<a href="/self">own navigation words</a>""".stripMargin),
+      (2L, "https://b.example.com/2",
+        """<a href="https://docs.data.net/z">Spark tutorial</a>""")
+    ).toDF("doc_id", "url", "html")
+    val t = Links.anchorTerms(docs, k = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3))).toSeq
+    // "spark" appears 3x (lowercased), ties broken token-asc at n=1
+    assert(t == Seq(
+      ("data.net", "spark", 3L, 1),
+      ("data.net", "api", 1L, 2)))
+  }
+
+  test("webTrustRank: seeds carry mass, unreachable domains rank 0") {
+    // seed -> mid -> sink, plus an isolated pair never reached by trust
+    val docs = Seq(
+      (1L, "https://trusted.org/a", """<a href="https://mid.net/x">m</a>"""),
+      (2L, "https://mid.net/b", """<a href="https://sink.io/y">s</a>"""),
+      (3L, "https://spam-a.biz/c", """<a href="https://spam-b.biz/z">p</a>""")
+    ).toDF("doc_id", "url", "html")
+    val r = Links.webTrustRank(docs, Seq("trusted.org"), iterations = 4)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r.keySet ==
+      Set("trusted.org", "mid.net", "sink.io", "spam-a.biz", "spam-b.biz"))
+    assert(r("trusted.org") > 0L)
+    assert(r("mid.net") > 0L && r("sink.io") > 0L)
+    // trust decays with distance from the seed
+    assert(r("trusted.org") > r("mid.net") && r("mid.net") > r("sink.io"))
+    assert(r("spam-a.biz") == 0L && r("spam-b.biz") == 0L)
+  }
+
+  test("webTrustRank requires a seed inside the extracted graph") {
+    val docs = Seq(
+      (1L, "https://a.org/1", """<a href="https://b.org/2">x</a>""")
+    ).toDF("doc_id", "url", "html")
+    intercept[IllegalArgumentException] {
+      Links.webTrustRank(docs, Seq.empty)
+    }
+    intercept[Exception] {
+      Links.webTrustRank(docs, Seq("absent.example")).collect()
+    }
+  }
+}
