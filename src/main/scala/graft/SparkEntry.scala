@@ -715,6 +715,16 @@ object SparkEntry {
     "sitemap_entries" -> ((s, dir) =>
       graft.sources.Sitemap.entries(
         withSitemapXml(Tables.documents(s, dir)), idCol = "doc_id")),
+    // Sitemap-driven discovery frontier (r10): page entries only,
+    // locs canonicalized and deduplicated across sitemaps (mention
+    // count, freshest lastmod, strongest priority as integer
+    // per-mille), robots-gated, then ranked per host for fetch order.
+    "sitemap_frontier" -> ((s, dir) => {
+      import s.implicits._
+      val rules = RobotsRulesFixture.rules.toDF("host", "rule", "prefix")
+      graft.sources.Sitemap.frontier(
+        withSitemapXml(Tables.documents(s, dir)), rules, idCol = "doc_id")
+    }),
     // Soft URL word-score gate (r10) — RefinedWeb's OTHER URL filter:
     // spam announces itself in the URL string before any fetch, so the
     // score is a pure scan-stage expression over the url column. Paths
@@ -3392,6 +3402,16 @@ object SparkEntry {
          |  SELECT doc_id, $sqlSitemapXml AS xml
          |  FROM documents),
          |${graft.sources.Sitemap.sqlEntries("sm", "doc_id")}""".stripMargin
+    },
+    "sitemap_frontier" -> {
+      val rulesRows = RobotsRulesFixture.rules
+        .map { case (h, r, p) => s"('$h', '$r', '$p')" }.mkString(",\n    ")
+      s"""WITH sm AS (
+         |  SELECT doc_id, $sqlSitemapXml AS xml
+         |  FROM documents),
+         |rr(host, rule, prefix) AS (FROM (VALUES
+         |    $rulesRows)),
+         |${graft.sources.Sitemap.sqlFrontier("sm", "rr", "doc_id")}""".stripMargin
     },
     "url_spam_scores" ->
       s"""WITH u AS (

@@ -150,6 +150,17 @@ object Links {
       .orderBy(col("domain"), col("rk"))
   }
 
+  /** Merge per-batch [[hostGraph]] partials into the corpus graph: edge
+    * counts are ADDITIVE, so the merged graph of any partition of the
+    * corpus equals the one-shot graph — the property the streaming face
+    * ([[graft.streaming.StreamingIngest.linkGraphViaBatchParts]]) and
+    * any incremental ingest rely on. One (src, dst)-keyed aggregate
+    * over edge rows (never documents). */
+  def mergeEdges(parts: DataFrame): DataFrame =
+    parts.groupBy(col("src_domain"), col("dst_domain"))
+      .agg(sum(col("n_links")).as("n_links"))
+      .orderBy(col("src_domain"), col("dst_domain"))
+
   /** TrustRank over the EXTRACTED host graph — the composition the
     * fixture-graph operator ([[graft.analytics.PageRank.seededRanks]])
     * exists for: trust seeded at curated domains flows along real

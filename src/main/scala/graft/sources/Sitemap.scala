@@ -117,10 +117,87 @@ object Sitemap {
        |    $lastmod AS lastmod,
        |    CAST(NULL AS VARCHAR) AS changefreq,
        |    CAST(NULL AS DOUBLE) AS priority
-       |  FROM sb)
-       |SELECT * FROM (SELECT * FROM rows_u WHERE loc IS NOT NULL
+       |  FROM sb),
+       |sm_entries AS (SELECT * FROM rows_u WHERE loc IS NOT NULL
        |               UNION ALL
        |               SELECT * FROM rows_s WHERE loc IS NOT NULL)
+       |SELECT * FROM sm_entries
        |ORDER BY $idCol, kind, loc""".stripMargin
+  }
+
+  /** [EXT] Sitemap-driven discovery frontier (`sitemap_frontier` query) —
+    * the composition a crawler actually runs over its sitemap haul:
+    *
+    *  1. page entries only (kind 'url'), locs CANONICALIZED
+    *     ([[graft.ingest.Urls.canonicalize]] — the same URL published by
+    *     two sitemaps, or with tracking params, is ONE frontier row);
+    *  2. per canonical loc: mention count, freshest `lastmod`, the
+    *     strongest priority hint (missing priority reads as the
+    *     protocol's 0.5 default BEFORE the max, lifted to integer
+    *     per-mille — `⌊round(p·1000)⌋`, both engines on the same IEEE
+    *     multiply);
+    *  3. robots gate on the canonical loc
+    *     ([[graft.ingest.Robots.allowed]] — a sitemap may list what
+    *     robots.txt forbids; the gate wins);
+    *  4. per-host fetch rank: priority desc, lastmod desc (nulls rank
+    *     as the epoch — explicit, because Spark and DuckDB default
+    *     null ordering differently), loc asc.
+    *
+    * One aggregate on the canonical loc + the robots broadcast-shaped
+    * rule join + one host-keyed window. Output:
+    * (host, loc, n_sitemaps, lastmod, priority_pm, rk). */
+  def frontier(sitemaps: DataFrame, rules: DataFrame,
+               idCol: String = "site_id", xmlCol: String = "xml"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val urls = entries(sitemaps, idCol, xmlCol)
+      .filter(col("kind") === "url")
+      .select(graft.ingest.Urls.canonicalize(col("loc")).as("loc"),
+        col("lastmod"), col("priority"))
+    val agg = urls.groupBy(col("loc"))
+      .agg(count(lit(1)).as("n_sitemaps"),
+        max(col("lastmod")).as("lastmod"),
+        round(max(coalesce(col("priority"), lit(0.5))) * 1000.0)
+          .cast("long").as("priority_pm"))
+    graft.ingest.Robots.allowed(agg, "loc", rules, idCol = "loc")
+      .withColumn("host", graft.ingest.Urls.host(col("loc")))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("host"))
+        .orderBy(col("priority_pm").desc,
+          coalesce(col("lastmod"), lit("1970-01-01").cast("date")).desc,
+          col("loc").asc)))
+      .select(col("host"), col("loc"), col("n_sitemaps"), col("lastmod"),
+        col("priority_pm"), col("rk"))
+      .orderBy(col("host"), col("rk"))
+  }
+
+  /** [[frontier]] as a DuckDB CTE chain + final SELECT (same caller
+    * contract as [[sqlEntries]]; `rulesRel` exposes
+    * (host, rule, prefix)). */
+  def sqlFrontier(from: String, rulesRel: String,
+                  idCol: String = "site_id", xmlCol: String = "xml"): String = {
+    val prelude = sqlEntries(from, idCol, xmlCol)
+    val ctes = prelude.substring(0, prelude.indexOf("\nSELECT * FROM sm_entries"))
+    s"""$ctes,
+       |sf_u AS (
+       |  SELECT ${graft.ingest.Urls.sqlCanonicalize("loc")} AS loc,
+       |    lastmod, priority
+       |  FROM sm_entries WHERE kind = 'url'),
+       |sf_a AS (
+       |  SELECT loc, CAST(COUNT(*) AS BIGINT) AS n_sitemaps,
+       |    MAX(lastmod) AS lastmod,
+       |    CAST(round(MAX(COALESCE(priority, 0.5)) * 1000.0) AS BIGINT)
+       |      AS priority_pm
+       |  FROM sf_u GROUP BY loc),
+       |sf_d AS (${graft.ingest.Robots.sqlDecisions("sf_a", "loc", rulesRel,
+                     idCol = "loc")}),
+       |sf_g AS (
+       |  SELECT a.loc, a.n_sitemaps, a.lastmod, a.priority_pm,
+       |    ${graft.ingest.Urls.sqlHost("a.loc")} AS host
+       |  FROM sf_a a JOIN sf_d d ON a.loc = d.loc WHERE d.allowed)
+       |SELECT host, loc, n_sitemaps, lastmod, priority_pm,
+       |  ROW_NUMBER() OVER (PARTITION BY host
+       |    ORDER BY priority_pm DESC,
+       |      COALESCE(lastmod, DATE '1970-01-01') DESC, loc ASC) AS rk
+       |FROM sf_g
+       |ORDER BY host, rk""".stripMargin
   }
 }

@@ -104,6 +104,25 @@ object StreamingIngest {
       b => graft.pipeline.Curation.lengthHistogram(b, textCol, groupCol),
       histPath, checkpoint)
 
+  /** [EXT] Streaming web-graph maintenance (r10) — the host link graph
+    * at ingest time: each micro-batch writes ITS OWN
+    * [[graft.ingest.Links.hostGraph]] edge partial (domain pairs +
+    * counts, never documents or html) to a batch-keyed partition.
+    * Extraction is a pure per-row function of the batch, and edge
+    * counts are ADDITIVE, so the overwrite-per-batch discipline makes
+    * replay structurally idempotent and the merged graph
+    * ([[graft.ingest.Links.mergeEdges]] over the union of partitions)
+    * equals a one-shot extraction — rank jobs (TrustRank, LPA) read
+    * the merged edges without ever re-parsing a page. */
+  def linkGraphViaBatchParts(docs: DataFrame, edgesPath: String,
+                             checkpoint: String,
+                             idCol: String = "doc_id",
+                             urlCol: String = "url",
+                             htmlCol: String = "html"): DataStreamWriter[Row] =
+    sketchViaBatchParts(docs,
+      b => graft.ingest.Links.hostGraph(b, idCol, urlCol, htmlCol),
+      edgesPath, checkpoint)
+
   /** [EXT] Streaming compliance flags (r10) — the release-compliance
     * trio at ingest time: each micro-batch writes ITS OWN per-document
     * leg verdicts ([[graft.pipeline.Compliance.flags]], ids + flags

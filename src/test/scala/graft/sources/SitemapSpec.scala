@@ -56,6 +56,36 @@ class SitemapSpec extends SparkSpec {
       ("url", "https://b.org/1"), ("url", "https://b.org/2")))
   }
 
+  test("frontier: canonical dedup across sitemaps, robots gate, fetch rank") {
+    val sm1 =
+      """<urlset>
+        |<url><loc>https://a.org/x?utm_source=feed&amp;v=1</loc>
+        |  <lastmod>2024-02-01</lastmod><priority>0.3</priority></url>
+        |<url><loc>https://a.org/blocked/page</loc><priority>0.9</priority></url>
+        |<url><loc>https://b.net/only</loc></url>
+        |</urlset>""".stripMargin
+    // the same page again (tracking param dropped by canonicalization),
+    // fresher lastmod, stronger priority
+    val sm2 =
+      """<urlset>
+        |<url><loc>https://a.org/x?v=1</loc>
+        |  <lastmod>2024-03-01</lastmod><priority>0.8</priority></url>
+        |<url><loc>https://a.org/y</loc><priority>0.8</priority></url>
+        |</urlset>""".stripMargin
+    val rules = Seq(("a.org", "disallow", "/blocked")).toDF("host", "rule", "prefix")
+    val out = Sitemap.frontier(
+      Seq((1L, sm1), (2L, sm2)).toDF("site_id", "xml"), rules)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        Option(r.getDate(3)).map(_.toString), r.getLong(4), r.getInt(5))).toSeq
+    // /blocked dropped by robots; /x deduped (2 mentions, max lastmod,
+    // max priority 0.8 -> 800); /y ties /x on priority, loc asc breaks;
+    // b.net/only has no tags -> protocol default 0.5 -> 500
+    assert(out == Seq(
+      ("a.org", "https://a.org/x?v=1", 2L, Some("2024-03-01"), 800L, 1),
+      ("a.org", "https://a.org/y", 1L, None, 800L, 2),
+      ("b.net", "https://b.net/only", 1L, None, 500L, 1)))
+  }
+
   test("null/empty xml and malformed dates are total, never throw") {
     val out = Sitemap.entries(Seq(
       (1L, null.asInstanceOf[String]), (2L, ""), (3L, "<url>no closing"),

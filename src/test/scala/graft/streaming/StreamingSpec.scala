@@ -680,6 +680,52 @@ class StreamingSpec extends SparkSpec {
       "replayed batch partition changed the merged sketch")
   }
 
+  test("streaming link graph: merged batch edges == one-shot; replay invariant (r10)") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft_lg_stream").toString
+    val (inDir, egDir, ckpt) = (s"$root/in", s"$root/edges", s"$root/ckpt")
+    // pages on two example.com hosts linking across to openweb.org /
+    // data.net and internally (self-loops at domain granularity)
+    val all = (0L until 40L).map { i =>
+      val host = if (i % 2 == 0) "a.example.com" else "b.example.com"
+      val target = if (i % 3 == 0) "mirror.openweb.org" else "docs.data.net"
+      (i, s"https://$host/p/$i",
+        s"""<a href="https://$target/x/$i">out</a><a href="/self">in</a>""")
+    }
+    def drop(rs: Seq[(Long, String, String)]): Unit =
+      rs.toDF("doc_id", "url", "html").coalesce(1)
+        .write.mode("append").parquet(inDir)
+    def runOnce(): Unit = {
+      val docs = spark.readStream
+        .schema("doc_id LONG, url STRING, html STRING").parquet(inDir)
+      val q = StreamingIngest.linkGraphViaBatchParts(docs, egDir, ckpt).start()
+      q.awaitTermination()
+    }
+    drop(all.filter(_._1 < 20L)); runOnce()
+    drop(all.filter(_._1 >= 20L)); runOnce()
+    val cols = Seq("src_domain", "dst_domain", "n_links").map(col)
+    val merged = graft.ingest.Links.mergeEdges(
+      spark.read.parquet(egDir).select(cols: _*))
+    val oneShot = graft.ingest.Links.hostGraph(all.toDF("doc_id", "url", "html"))
+    assert(merged.exceptAll(oneShot).isEmpty && oneShot.exceptAll(merged).isEmpty,
+      "merged streamed edges != one-shot host graph")
+    // both batches contributed to the same edge keys (additivity is load-
+    // bearing, not vacuous): the one-shot counts exceed any single part's
+    val part0 = spark.read.parquet(s"$egDir/batch_id=0").select(cols: _*)
+    assert(merged.count() == part0.count() &&
+      merged.agg(org.apache.spark.sql.functions.sum("n_links")).head.getLong(0) >
+      part0.agg(org.apache.spark.sql.functions.sum("n_links")).head.getLong(0))
+    // at-least-once replay: rewriting batch 0's partition changes nothing
+    graft.ingest.Links.hostGraph(
+        all.filter(_._1 < 20L).toDF("doc_id", "url", "html"))
+      .write.mode("overwrite").parquet(s"$egDir/batch_id=0")
+    spark.catalog.refreshByPath(egDir)
+    val replayed = graft.ingest.Links.mergeEdges(
+      spark.read.parquet(egDir).select(cols: _*))
+    assert(replayed.exceptAll(oneShot).isEmpty && oneShot.exceptAll(replayed).isEmpty,
+      "replayed batch partition changed the merged graph")
+  }
+
   test("streaming sidecar: union of batch parts == one-shot; policy equal") {
     import org.apache.spark.sql.functions.col
     val root = java.nio.file.Files.createTempDirectory("graft_sc_stream").toString
