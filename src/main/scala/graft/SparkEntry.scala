@@ -725,6 +725,19 @@ object SparkEntry {
       graft.sources.Sitemap.frontier(
         withSitemapXml(Tables.documents(s, dir)), rules, idCol = "doc_id")
     }),
+    // robots.txt TEXT parsing (r10) — upstream of the rules evaluator:
+    // RFC 9309 group structure (consecutive ua lines share a header),
+    // exact-token-beats-star election, case-insensitive fields, comment
+    // strip, pre-group strays dropped, bare Disallow passed through.
+    "robots_parse" -> ((s, dir) =>
+      graft.ingest.Robots.parse(
+        withRobotsTxt(Tables.documents(s, dir)), "graftbot",
+        idCol = "doc_id")),
+    // Sitemap: directives are global (never group-scoped) — the robots
+    // side of the discovery loop, feeding Sitemap.frontier.
+    "robots_sitemaps" -> ((s, dir) =>
+      graft.ingest.Robots.sitemapPointers(
+        withRobotsTxt(Tables.documents(s, dir)), idCol = "doc_id")),
     // Soft URL word-score gate (r10) — RefinedWeb's OTHER URL filter:
     // spam announces itself in the URL string before any fetch, so the
     // score is a pure scan-stage expression over the url column. Paths
@@ -3413,6 +3426,18 @@ object SparkEntry {
          |    $rulesRows)),
          |${graft.sources.Sitemap.sqlFrontier("sm", "rr", "doc_id")}""".stripMargin
     },
+    "robots_parse" ->
+      s"""WITH rb AS (
+         |  SELECT doc_id, $sqlRobotsTxt AS robots_txt
+         |  FROM documents),
+         |${graft.ingest.Robots.sqlParse("rb", "graftbot", "doc_id",
+              "robots_txt")}""".stripMargin,
+    "robots_sitemaps" ->
+      s"""WITH rb AS (
+         |  SELECT doc_id, $sqlRobotsTxt AS robots_txt
+         |  FROM documents),
+         |${graft.ingest.Robots.sqlSitemapPointers("rb", "doc_id",
+              "robots_txt")}""".stripMargin,
     "url_spam_scores" ->
       s"""WITH u AS (
          |  SELECT doc_id, $sqlSpamUrl AS url
@@ -3751,6 +3776,49 @@ object SparkEntry {
        |  '<url><changefreq>weekly</changefreq></url>' ||
        |  '</urlset>'
        |END""".stripMargin
+  }
+
+  /** Fixture robots.txt bodies (r10, `robots_parse` / `robots_sitemaps`),
+    * one variant per doc_id mod 4, each exercising a parser branch:
+    * pre-group stray rules + exact-beats-star election + a Sitemap line
+    * inside a group (0); star-only group with a bare `Disallow:` and a
+    * wildcard (1); a two-agent shared header with mixed-case field
+    * names (2); no matching agent at all — zero rules, sitemap still
+    * global (3). `{host}` interpolates the fixture host; ONE line-
+    * template list generates both engines' construction. */
+  private val RobotsTxtVariants: Seq[Seq[String]] = Seq(
+    Seq("# corpus crawler policy", "Disallow: /pre-group-stray",
+      "User-agent: graftbot", "Disallow: /private", "Allow: /private/ok",
+      "Sitemap: https://{host}/sitemap.xml", "User-agent: *", "Disallow: /"),
+    Seq("User-agent: *", "Disallow:", "Allow: /docs", "Disallow: /tmp*/"),
+    Seq("User-Agent: GraftBot", "user-agent: otherbot", "ALLOW: /shared",
+      "Disallow: /shared/no"),
+    Seq("User-agent: otherbot", "Disallow: /",
+      "Sitemap: https://{host}/other-sitemap.xml"))
+
+  private def withRobotsTxt(docs: DataFrame): DataFrame = {
+    val host = element_at(array(DomainCapHosts.map(lit(_)): _*),
+      (col("doc_id") % 10 + 1).cast("int"))
+    def lineCol(line: String): org.apache.spark.sql.Column = {
+      val parts = line.split("\\{host\\}", -1)
+      parts.map(p => lit(p)).reduceLeft((a, b) => concat(a, host, b))
+    }
+    val variants = RobotsTxtVariants.map(v =>
+      v.map(lineCol).reduceLeft((a, b) => concat(a, lit("\n"), b)))
+    docs.withColumn("robots_txt",
+      element_at(array(variants: _*), (col("doc_id") % 4 + 1).cast("int")))
+  }
+
+  /** DuckDB twin of [[withRobotsTxt]]'s text expression. */
+  private def sqlRobotsTxt: String = {
+    val host = s"[${DomainCapHosts.map(h => s"'$h'").mkString(", ")}]" +
+      "[CAST(doc_id % 10 AS INT) + 1]"
+    def lineSql(line: String): String =
+      line.split("\\{host\\}", -1).map(p => s"'$p'").mkString(s" || $host || ")
+    val variants = RobotsTxtVariants.map(_.map(lineSql).mkString(" || chr(10) || "))
+    variants.zipWithIndex.map { case (v, i) =>
+      s"WHEN doc_id % 4 = $i THEN $v"
+    }.mkString("CASE ", "\n  ", " END")
   }
 
   /** Spam-path suffixes planted by doc id for `url_spam_scores`: a

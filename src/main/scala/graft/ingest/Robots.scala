@@ -80,6 +80,149 @@ object Robots {
     concat(lit("^"), esc, when(anch, lit("$")).otherwise(lit("")))
   }
 
+  // ------------------------------------------------------- REP parsing
+
+  /** [EXT] robots.txt TEXT parsing (`robots_parse` query) — upstream of
+    * [[decisions]]: turn raw robots.txt bodies into the (id, rule,
+    * prefix) table the evaluator consumes, per RFC 9309:
+    *
+    *  - a line is `field: value`; field names case-insensitive,
+    *    `#`-comments stripped, surrounding whitespace trimmed;
+    *    non-field noise lines are ignored;
+    *  - CONSECUTIVE `user-agent` lines form one group header (RFC 9309
+    *    ignores blank/noise lines inside a header — only an
+    *    allow/disallow line closes it); the rules that follow belong to
+    *    every agent in the header; a later `user-agent` line starts a
+    *    NEW group; rules before any group header belong to no group and
+    *    drop;
+    *  - group selection for our product token: groups naming the token
+    *    EXACTLY (case-insensitive) win; only when no group names it do
+    *    the `*` groups apply; all matching groups merge (their rules
+    *    union — RFC 9309 §2.2.1);
+    *  - `sitemap` is NOT group-scoped — [[sitemapPointers]] collects it
+    *    globally, feeding [[graft.sources.Sitemap.frontier]].
+    *
+    * Shape: one line explode (bounded by robots-file size, never corpus
+    * text), two windows per id (the group-start lag and the running
+    * group counter — robots files are hundreds of lines, the window
+    * partitions are tiny), one per-id group-election aggregate, one
+    * semi join. Everything ANSI-expressible — [[sqlParse]] mirrors 1:1.
+    */
+  def parse(robots: DataFrame, agentToken: String,
+            idCol: String = "host", txtCol: String = "robots_txt"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agent = agentToken.toLowerCase
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__idx"))
+    val lines = robots
+      .select(col(idCol), posexplode(split(coalesce(col(txtCol), lit("")),
+        "\n")).as(Seq("__idx", "__raw")))
+      .select(col(idCol), col("__idx"),
+        trim(regexp_replace(col("__raw"), "#.*$", "")).as("__line"))
+      .select(col(idCol), col("__idx"),
+        lower(trim(regexp_extract(col("__line"), "^([^:]+):", 1))).as("field"),
+        trim(regexp_extract(col("__line"), "^[^:]+:(.*)$", 1)).as("value"))
+      .filter(col("field").isin("user-agent", "allow", "disallow"))
+    val grouped = lines
+      .withColumn("__new", (col("field") === "user-agent" &&
+        coalesce(lag(col("field"), 1).over(w) =!= "user-agent", lit(true)))
+        .cast("int"))
+      .withColumn("gid", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val agents = grouped.filter(col("field") === "user-agent")
+      .select(col(idCol), col("gid"), lower(col("value")).as("agent"))
+    val elect = agents.groupBy(col(idCol), col("gid"))
+      .agg(max((col("agent") === agent).cast("int")).as("__e"),
+        max((col("agent") === "*").cast("int")).as("__s"))
+      .withColumn("__he", max(col("__e")).over(
+        Window.partitionBy(col(idCol))))
+      .filter(col("__e") === 1 || (col("__he") === 0 && col("__s") === 1))
+      .select(col(idCol), col("gid"))
+    grouped.filter(col("field").isin("allow", "disallow") && col("gid") > 0)
+      .join(elect, Seq(idCol, "gid"), "left_semi")
+      .select(col(idCol), col("field").as("rule"), col("value").as("prefix"))
+      .distinct()
+      .orderBy(col(idCol), col("rule"), col("prefix"))
+  }
+
+  /** `Sitemap:` directives of the robots bodies — global per RFC 9309
+    * (never group-scoped), URL case preserved. Feeds the sitemap reader
+    * and [[graft.sources.Sitemap.frontier]]. */
+  def sitemapPointers(robots: DataFrame, idCol: String = "host",
+                      txtCol: String = "robots_txt"): DataFrame =
+    robots
+      .select(col(idCol), explode(split(coalesce(col(txtCol), lit("")),
+        "\n")).as("__raw"))
+      .select(col(idCol),
+        trim(regexp_replace(col("__raw"), "#.*$", "")).as("__line"))
+      .filter(lower(trim(regexp_extract(col("__line"), "^([^:]+):", 1)))
+        === "sitemap")
+      .select(col(idCol),
+        trim(regexp_extract(col("__line"), "^[^:]+:(.*)$", 1)).as("loc"))
+      .filter(col("loc") =!= "")
+      .distinct()
+      .orderBy(col(idCol), col("loc"))
+
+  /** [[parse]] as a DuckDB CTE chain + final SELECT over a relation
+    * exposing (idCol, txtExpr); caller opens the WITH. */
+  def sqlParse(from: String, agentToken: String, idCol: String,
+               txtExpr: String): String = {
+    val agent = agentToken.toLowerCase.replace("'", "''")
+    s"""rp_raw AS (
+       |  SELECT $idCol, UNNEST(list_zip(
+       |    string_split(COALESCE($txtExpr, ''), chr(10)),
+       |    range(1, len(string_split(COALESCE($txtExpr, ''), chr(10))) + 1)))
+       |    AS z
+       |  FROM $from),
+       |rp_ln AS (
+       |  SELECT $idCol, z[2] AS __idx,
+       |    trim(regexp_replace(z[1], '#.*$$', '')) AS __line
+       |  FROM rp_raw),
+       |rp_f AS (
+       |  SELECT $idCol, __idx,
+       |    lower(trim(regexp_extract(__line, '^([^:]+):', 1))) AS field,
+       |    trim(regexp_extract(__line, '^[^:]+:(.*)$$', 1)) AS value
+       |  FROM rp_ln
+       |  WHERE lower(trim(regexp_extract(__line, '^([^:]+):', 1)))
+       |    IN ('user-agent', 'allow', 'disallow')),
+       |rp_g AS (
+       |  SELECT *, SUM(__new) OVER (PARTITION BY $idCol ORDER BY __idx
+       |    ROWS UNBOUNDED PRECEDING) AS gid
+       |  FROM (
+       |    SELECT *, CAST(field = 'user-agent' AND COALESCE(
+       |      LAG(field) OVER (PARTITION BY $idCol ORDER BY __idx)
+       |        <> 'user-agent', TRUE) AS INT) AS __new
+       |    FROM rp_f)),
+       |rp_e AS (
+       |  SELECT $idCol, gid FROM (
+       |    SELECT $idCol, gid,
+       |      MAX(CAST(lower(value) = '$agent' AS INT)) AS __e,
+       |      MAX(CAST(value = '*' AS INT)) AS __s,
+       |      MAX(MAX(CAST(lower(value) = '$agent' AS INT)))
+       |        OVER (PARTITION BY $idCol) AS __he
+       |    FROM rp_g WHERE field = 'user-agent'
+       |    GROUP BY $idCol, gid)
+       |  WHERE __e = 1 OR (__he = 0 AND __s = 1))
+       |SELECT DISTINCT $idCol, field AS rule, value AS prefix
+       |FROM rp_g JOIN rp_e USING ($idCol, gid)
+       |WHERE field IN ('allow', 'disallow') AND gid > 0
+       |ORDER BY $idCol, rule, prefix""".stripMargin
+  }
+
+  /** [[sitemapPointers]] as a DuckDB CTE chain + final SELECT. */
+  def sqlSitemapPointers(from: String, idCol: String,
+                         txtExpr: String): String =
+    s"""sp_ln AS (
+       |  SELECT $idCol,
+       |    trim(regexp_replace(UNNEST(string_split(COALESCE($txtExpr, ''),
+       |      chr(10))), '#.*$$', '')) AS __line
+       |  FROM $from)
+       |SELECT DISTINCT $idCol,
+       |  trim(regexp_extract(__line, '^[^:]+:(.*)$$', 1)) AS loc
+       |FROM sp_ln
+       |WHERE lower(trim(regexp_extract(__line, '^([^:]+):', 1))) = 'sitemap'
+       |  AND trim(regexp_extract(__line, '^[^:]+:(.*)$$', 1)) <> ''
+       |ORDER BY $idCol, loc""".stripMargin
+
   /** Per-document robots decision: (idCol, host, allowed). `rules` must
     * expose (host, rule, prefix) with rule ∈ {allow, disallow}; the
     * prefix column may carry RFC 9309 wildcard patterns. */

@@ -124,4 +124,85 @@ class RobotsSpec extends SparkSpec {
       2L -> "https://w.example.com/ab/x")
     assert(d == Map(1L -> false, 2L -> true))
   }
+  // ------------------------------------------------------- REP parsing
+
+  test("parse: groups, exact-beats-star election, case, strays, comments") {
+    val txt =
+      """# policy file
+        |Disallow: /stray-before-any-group
+        |User-agent: graftbot
+        |Disallow: /private   # inline comment
+        |Allow: /private/ok
+        |User-agent: *
+        |Disallow: /
+        |noise line without a field
+        |""".stripMargin
+    val rules = Robots.parse(
+      Seq(("h1", txt)).toDF("host", "robots_txt"), "GraftBot")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    // exact group wins; the star group and the pre-group stray drop
+    assert(rules == Seq(("allow", "/private/ok"), ("disallow", "/private")))
+  }
+
+  test("parse: star group applies only when no exact group exists") {
+    val txt =
+      """User-agent: otherbot
+        |Disallow: /other
+        |User-agent: *
+        |Allow: /docs
+        |Disallow:
+        |""".stripMargin
+    val rules = Robots.parse(
+      Seq(("h1", txt)).toDF("host", "robots_txt"), "graftbot")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    // the bare Disallow passes through verbatim (evaluator no-ops it)
+    assert(rules == Seq(("allow", "/docs"), ("disallow", "")))
+  }
+
+  test("parse: consecutive user-agent lines share one header") {
+    val txt =
+      """User-Agent: GraftBot
+        |user-agent: otherbot
+        |ALLOW: /shared
+        |Disallow: /shared/no
+        |User-agent: thirdbot
+        |Disallow: /third
+        |""".stripMargin
+    val rules = Robots.parse(
+      Seq(("h1", txt)).toDF("host", "robots_txt"), "graftbot")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(rules == Seq(("allow", "/shared"), ("disallow", "/shared/no")))
+  }
+
+  test("parse composes with decisions end-to-end from raw text") {
+    val txt =
+      """User-agent: graftbot
+        |Disallow: /sec
+        |Allow: /sec/open
+        |""".stripMargin
+    val rules = Robots.parse(
+      Seq(("w.example.com", txt)).toDF("host", "robots_txt"), "graftbot")
+    val d = Robots.decisions(Seq(
+        (1L, "https://w.example.com/sec/hidden"),
+        (2L, "https://w.example.com/sec/open/x"),
+        (3L, "https://w.example.com/public")).toDF("doc_id", "url"),
+      "url", rules)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(d == Map(1L -> false, 2L -> true, 3L -> true))
+  }
+
+  test("sitemapPointers: global, case-preserved, deduped, total on null") {
+    val txt =
+      """User-agent: otherbot
+        |Disallow: /
+        |Sitemap: https://h1/SiteMap-A.xml
+        |Sitemap: https://h1/SiteMap-A.xml
+        |sitemap: https://h1/b.xml   # lowercase field, comment
+        |""".stripMargin
+    val locs = Robots.sitemapPointers(Seq(
+        ("h1", txt), ("h2", null.asInstanceOf[String]))
+      .toDF("host", "robots_txt"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(locs == Seq(("h1", "https://h1/SiteMap-A.xml"), ("h1", "https://h1/b.xml")))
+  }
 }
