@@ -28,14 +28,15 @@ object Attributes {
 
   /** All per-document tagger signals in one scan. Columns reuse the
     * standalone queries' names (`n_tokens`/`quality`/`lang_pred`/
-    * `dominant_script`/`bad_hits`) so a sidecar reader can cross-check
-    * any column against the dedicated operator's output. */
+    * `dominant_script`/`bad_hits`/`entropy_unats`/`flesch_micro`) so a
+    * sidecar reader can cross-check any column against the dedicated
+    * operator's output (AttributesSpec does, per column). */
   def sidecar(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text",
               th: GopherRules.Thresholds = GopherRules.Thresholds(),
               badWords: Seq[String] = C4Filters.BadWords): DataFrame = {
     val t = col(textCol)
-    docs.select(col(idCol),
+    docs.select(Seq(col(idCol),
         TextAnalysis.tokenCount(t).as("n_tokens"),
         length(t).cast("long").as("n_chars"),
         TextAnalysis.langId(t).as("lang_pred"),
@@ -43,7 +44,12 @@ object Attributes {
         TextAnalysis.dominantScript(t).as("dominant_script"),
         size(filter(regexp_extract_all(lower(t), lit("[a-z0-9]+"), lit(0)),
           w => w.isInCollection(badWords))).cast("long").as("bad_hits"),
-        GopherRules.passExpr(t, th).as("gopher_pass"))
+        GopherRules.passExpr(t, th).as("gopher_pass"),
+        org.apache.spark.sql.graft.ArrayFunctions.charEntropy(t)
+          .as("entropy_unats")) ++
+        TextAnalysis.fleschSignalCols(t): _*)
+      .withColumn("flesch_micro", expr(TextAnalysis.FleschMicroOverSignals))
+      .drop("__fl_w", "__fl_s", "__fl_y")
       .orderBy(col(idCol))
   }
 
@@ -67,7 +73,9 @@ object Attributes {
        |  ${TextAnalysis.sqlQuality("text")} AS quality,
        |  ${TextAnalysis.sqlDominantScript("text")} AS dominant_script,
        |  CAST(${C4Filters.sqlBadHits("text", badWords)} AS BIGINT) AS bad_hits,
-       |  ${GopherRules.sqlPassExpr("text", th)} AS gopher_pass
+       |  ${GopherRules.sqlPassExpr("text", th)} AS gopher_pass,
+       |  ${TextAnalysis.sqlCharEntropyExpr("text")} AS entropy_unats,
+       |  ${TextAnalysis.sqlFleschMicroExpr("text")} AS flesch_micro
        |FROM $from
        |ORDER BY doc_id""".stripMargin
 

@@ -262,6 +262,49 @@ object TextAnalysis {
       .orderBy(col(idCol))
   }
 
+  /** The [[readability]] input signals as named columns — for surfaces
+    * that fold the Flesch score into a wider projection (the attribute
+    * sidecar) while keeping the score's integer `DIV` arithmetic in an
+    * `expr` over these names (the Column API has no integer division;
+    * a double round-trip would risk last-unit drift). */
+  def fleschSignalCols(t: Column): Seq[Column] = Seq(
+    tokenCount(t).as("__fl_w"),
+    greatest(size(regexp_extract_all(t, lit("[.!?]+"), lit(0))), lit(1))
+      .cast("long").as("__fl_s"),
+    size(regexp_extract_all(lower(t), lit("[aeiouy]+"), lit(0)))
+      .cast("long").as("__fl_y"))
+
+  /** The Flesch micro-point expression over [[fleschSignalCols]]'s
+    * names. */
+  val FleschMicroOverSignals: String =
+    "CASE WHEN __fl_w > 0 THEN 206835000L" +
+      " - 1015000L * __fl_w DIV __fl_s" +
+      " - 84600000L * __fl_y DIV __fl_w END"
+
+  /** DuckDB per-row scalar twin of the Flesch micro-point score. */
+  def sqlFleschMicroExpr(t: String): String = {
+    val w = s"CAST(${sqlTokenCount(t)} AS BIGINT)"
+    val sct = s"CAST(GREATEST(len(regexp_extract_all($t, '[.!?]+')), 1) AS BIGINT)"
+    val syl = s"CAST(len(regexp_extract_all(lower($t), '[aeiouy]+')) AS BIGINT)"
+    s"(CASE WHEN $w > 0 THEN CAST(206835000 - 1015000 * $w // $sct" +
+      s" - 84600000 * $syl // $w AS BIGINT) END)"
+  }
+
+  /** DuckDB per-row scalar twin of the native
+    * [[org.apache.spark.sql.graft.CharEntropy]] (list lambdas — the
+    * O(alphabet·length) form is oracle-side only; the engine runs the
+    * one-pass native). */
+  def sqlCharEntropyExpr(t: String): String = {
+    val cs = s"string_split($t, '')"
+    val counts =
+      s"list_transform(list_distinct($cs), c -> len(list_filter($cs, x -> x = c)))"
+    val sum = s"list_sum(list_transform($counts, " +
+      "c -> c * CAST(FLOOR(ln(c::DOUBLE) * 1000000.0) AS BIGINT)))"
+    s"CAST((CASE WHEN $t IS NULL THEN NULL WHEN length($t) = 0 THEN 0 " +
+      s"ELSE (length($t) * CAST(FLOOR(ln(length($t)::DOUBLE) * 1000000.0) " +
+      s"AS BIGINT) - CAST($sum AS BIGINT)) // length($t) END) AS BIGINT)"
+  }
+
   /** DuckDB mirror of [[readability]]. */
   def sqlReadability(rel: String, idCol: String = "doc_id",
                      textCol: String = "text"): String =

@@ -30,6 +30,10 @@ class AttributesSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val gopher = GopherRules.signals(docs).collect()
       .map(r => r.getLong(0) -> r.getBoolean(r.length - 1)).toMap
+    val entropy = TextAnalysis.charEntropy(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val flesch = TextAnalysis.readability(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
     (1L to 5L).foreach { id =>
       val row = sc(id)
       assert(row.getAs[Long]("n_tokens") == stats(id).getAs[Long]("n_tokens"), s"doc $id tokens")
@@ -38,7 +42,11 @@ class AttributesSpec extends SparkSpec {
       assert(row.getAs[String]("dominant_script") == script(id), s"doc $id script")
       assert(row.getAs[Long]("bad_hits") == bad(id), s"doc $id bad_hits")
       assert(row.getAs[Boolean]("gopher_pass") == gopher(id), s"doc $id gopher")
+      assert(row.getAs[Long]("entropy_unats") == entropy(id), s"doc $id entropy")
+      assert(row.getAs[Long]("flesch_micro") == flesch(id), s"doc $id flesch")
     }
+    // the internal flesch signal columns never leak into the sidecar
+    assert(!sc(1L).schema.fieldNames.exists(_.startsWith("__fl_")))
     // the fixture discriminates every column
     assert(sc.values.map(_.getAs[String]("lang_pred")).toSet.size >= 3)
     assert(sc.values.map(_.getAs[String]("dominant_script")).toSet == Set("latin", "cyrillic"))
