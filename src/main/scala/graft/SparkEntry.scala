@@ -1182,6 +1182,30 @@ object SparkEntry {
         blocked = Seq("foo.co.uk"),
         gopherTh = FunnelThresholds, repetitionTh = RepetitionThresholds,
         cap = 15)),
+    // The bytes-to-corpus capstone (r10): WARC archive bytes -> the
+    // length-driven record walk -> HTTP header strip -> density-based
+    // main-content extraction -> the FULL RefinedWeb preset. The Spark
+    // side parses real bytes; the oracle replays the construction
+    // relationally (the warc_records round-trip gate proves the byte
+    // walk separately), then runs the same extraction + preset chain.
+    "warc_refinedweb" -> ((s, dir) => {
+      val recs = graft.sources.Warc.records(warcBlobs(Tables.documents(s, dir)))
+      val pages = graft.sources.Warc.htmlDocuments(recs)
+        .withColumn("doc_id",
+          regexp_extract(col("target_uri"), "([0-9]+)$", 1).cast("long"))
+        .withColumnRenamed("body", "html")
+      val extracted = graft.ingest.Boilerplate.mainContent(pages)
+        .filter(col("n_kept") >= 1)
+        .select(col("doc_id"), col("main_text").as("text"))
+      val meta = pages.select(col("doc_id"),
+        regexp_extract(col("target_uri"), "example\\.org/([^/]+)/", 1)
+          .as("source"))
+      graft.pipeline.RefinedWebPipeline(
+        withFixtureUrls(extracted.join(meta, Seq("doc_id"))),
+        blocked = Seq("foo.co.uk"),
+        gopherTh = FunnelThresholds, repetitionTh = RepetitionThresholds,
+        cap = 15)
+    }),
     "refinedweb_funnel" -> ((s, dir) =>
       graft.pipeline.RefinedWebPipeline.funnel(
         withFixtureUrls(Tables.documents(s, dir)),
@@ -2792,6 +2816,26 @@ object SparkEntry {
         blocked = Seq("foo.co.uk"),
         gopherTh = FunnelThresholds, repetitionTh = RepetitionThresholds,
         cap = 15),
+    "warc_refinedweb" -> {
+      val mc = graft.ingest.Boilerplate.sqlMainContent("html")
+      val cut = mc.indexOf("SELECT doc_id, CAST(len(fs)")
+      val (mcCtes, mcSelect) = (mc.substring(0, cut).trim.stripSuffix(","),
+        mc.substring(cut))
+      val from =
+        s"""(WITH $sqlWarcCtes,
+           |h AS (SELECT doc_id,
+           |        '<html><body>' || text || '</body></html>' AS html
+           |      FROM wr0),
+           |${mcCtes.stripSuffix(",")},
+           |mcq AS ($mcSelect),
+           |ex AS (SELECT m.doc_id, m.main_text AS text, w.source
+           |       FROM mcq m JOIN wr0 w USING (doc_id) WHERE m.n_kept >= 1)
+           |SELECT doc_id, text, $sqlFixtureUrl AS url FROM ex)""".stripMargin
+      graft.pipeline.RefinedWebPipeline.sqlPipeline(from,
+        blocked = Seq("foo.co.uk"),
+        gopherTh = FunnelThresholds, repetitionTh = RepetitionThresholds,
+        cap = 15)
+    },
     "refinedweb_funnel" ->
       graft.pipeline.RefinedWebPipeline.sqlFunnel(
         s"(SELECT doc_id, text, $sqlFixtureUrl AS url FROM documents)",
