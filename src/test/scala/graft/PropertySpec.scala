@@ -331,4 +331,43 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       assert(again == out)
     }
   }
+
+  test("Links.resolve agrees with java.net.URI on the supported subset (r10)") {
+    // Bases: scheme + host [+ port] + a dot-free path; hrefs from the
+    // four RESOLVED contract classes (absolute http(s), scheme-relative,
+    // root-relative, path-relative without dot segments — dot-segment
+    // normalization is the resolver's documented simplification) plus
+    // the dropped classes, asserted to resolve to null.
+    val seg = Gen.oneOf("a", "b1", "long-segment", "x_y")
+    val baseGen = for {
+      scheme <- Gen.oneOf("http", "https")
+      host <- Gen.oneOf("ex.com", "sub.ex.org", "h-1.net:8080")
+      segs <- Gen.listOf(seg)
+      trailing <- Gen.oneOf("", "/")
+    } yield s"$scheme://$host" +
+      (if (segs.isEmpty) "" else segs.mkString("/", "/", "")) + trailing
+    val resolvedHref = Gen.oneOf(
+      Gen.const("https://other.net/abs?q=1"),
+      Gen.oneOf("//cdn.ex.com/lib.js", "//mirror.org/x"),
+      seg.map("/" + _),
+      Gen.zip(seg, seg).map { case (a, b) => s"$a/$b.html" },
+      seg.map(_ + ".html"))
+    forAll2(baseGen, Gen.listOfN(6, resolvedHref)) { (base, hrefs) =>
+      val got = hrefs.zipWithIndex.map { case (h, i) => (i, base, h) }
+        .toDF("i", "b", "h")
+        .select(col("i"), graft.ingest.Links.resolve(col("b"), col("h")))
+        .collect().sortBy(_.getInt(0)).map(_.getString(1)).toSeq
+      val want = hrefs.map(h => new java.net.URI(base).resolve(h).toString)
+      assert(got == want, s"base=$base hrefs=$hrefs")
+    }
+    // dropped classes are null regardless of base
+    forAll(baseGen) { base =>
+      val dropped = Seq("javascript:void(0)", "mailto:a@b.c", "#frag",
+        "?page=2", "")
+      val got = dropped.toDF("h")
+        .select(graft.ingest.Links.resolve(lit(base), col("h")))
+        .collect().map(_.isNullAt(0)).toSeq
+      assert(got.forall(identity), s"base=$base")
+    }
+  }
 }
