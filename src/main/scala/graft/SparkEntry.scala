@@ -1206,6 +1206,15 @@ object SparkEntry {
         gopherTh = FunnelThresholds, repetitionTh = RepetitionThresholds,
         cap = 15)
     }),
+    // Per-document outcome attribution (r10): which stage dropped each
+    // raw doc ('kept' for survivors) — the funnel's per-doc twin;
+    // grouped by outcome it reconciles exactly to the funnel deltas.
+    "refinedweb_outcomes" -> ((s, dir) =>
+      graft.pipeline.RefinedWebPipeline.outcomes(
+        withFixtureUrls(Tables.documents(s, dir)),
+        blocked = Seq("foo.co.uk"),
+        gopherTh = FunnelThresholds, repetitionTh = RepetitionThresholds,
+        cap = 15)),
     "refinedweb_funnel" -> ((s, dir) =>
       graft.pipeline.RefinedWebPipeline.funnel(
         withFixtureUrls(Tables.documents(s, dir)),
@@ -2836,6 +2845,12 @@ object SparkEntry {
         gopherTh = FunnelThresholds, repetitionTh = RepetitionThresholds,
         cap = 15)
     },
+    "refinedweb_outcomes" ->
+      graft.pipeline.RefinedWebPipeline.sqlOutcomes(
+        s"(SELECT doc_id, text, $sqlFixtureUrl AS url FROM documents)",
+        blocked = Seq("foo.co.uk"),
+        gopherTh = FunnelThresholds, repetitionTh = RepetitionThresholds,
+        cap = 15),
     "refinedweb_funnel" ->
       graft.pipeline.RefinedWebPipeline.sqlFunnel(
         s"(SELECT doc_id, text, $sqlFixtureUrl AS url FROM documents)",

@@ -209,6 +209,105 @@ object RefinedWebPipeline {
       .orderBy(col("stage"))
   }
 
+  /** [EXT] Per-document outcome attribution (`refinedweb_outcomes`
+    * query) — the artifact a pipeline team debugs with: for EVERY raw
+    * document, the stage that dropped it ('url_blocklist', 'language',
+    * 'gopher_rules', 'gopher_repetition', 'exact_dedup', 'near_dedup',
+    * 'domain_caps') or 'kept'. The funnel answers "how many survived
+    * stage k"; this answers "why is doc 1234 not in the release" —
+    * and grouped by outcome it reconciles exactly to the funnel's
+    * stage deltas (spec-pinned).
+    *
+    * Shape: stages 1-4 are per-row expressions, so their verdicts
+    * compute as FLAGS in one scan of the raw corpus — no frame re-read
+    * and the rules/repetition split comes free (the `gated` frame fused
+    * them). Only the three non-per-row stages (exact dedup, near-dup
+    * keepers, domain caps) contribute membership via ids-only left
+    * joins against the SAME materialized stage frames the pipeline
+    * ships. One scan + three id-keyed joins. */
+  def outcomes(docs: DataFrame, urlCol: String = "url",
+               blocked: Seq[String] = Seq.empty, lang: String = "en",
+               gopherTh: GopherRules.Thresholds = GopherRules.Thresholds(),
+               repetitionTh: GopherRepetition.Thresholds = GopherRepetition.Thresholds(),
+               threshold: Double = 0.9, cap: Int = 100,
+               idCol: String = "doc_id", textCol: String = "text",
+               materialize: DataFrame => DataFrame = graft.Mat.pin,
+               spamWeights: Seq[(String, Double)] = Seq.empty,
+               spamThreshold: Double = 1.0,
+               repairEncoding: Boolean = false): DataFrame = {
+    val st = stages(docs, urlCol, blocked, lang, gopherTh, repetitionTh,
+      threshold, cap, idCol, textCol, materialize = materialize,
+      spamWeights = spamWeights, spamThreshold = spamThreshold,
+      repairEncoding = repairEncoding)
+    val dom = graft.Par.widen(docs)
+      .withColumn("domain",
+        coalesce(graft.ingest.Urls.registeredDomain(col(urlCol)), lit("")))
+      .select(col(idCol).cast("long").as("doc_id"), col("domain"),
+        col(textCol).as("text"), col(urlCol).as("__url"))
+    val urlPass =
+      (if (blocked.isEmpty) lit(true)
+       else !col("domain").isin(blocked: _*)) &&
+        (if (spamWeights.isEmpty) lit(true)
+         else graft.ingest.Urls.spamScore(col("__url"), spamWeights)
+           < spamThreshold)
+    val repaired =
+      if (repairEncoding) graft.text.Encoding.fixMojibake(col("text"))
+      else col("text")
+    val normed =
+      org.apache.spark.sql.graft.ArrayFunctions.nfcNormalize(repaired)
+    val flagged = dom.select(col("doc_id"),
+      urlPass.as("__p1"),
+      (TextAnalysis.langId(normed) === lang).as("__p3"),
+      GopherRules.passExpr(normed, gopherTh).as("__p4"),
+      GopherRepetition.passExpr(normed, repetitionTh).as("__p5"))
+    def member(frame: DataFrame, flag: String): DataFrame =
+      frame.select(col("doc_id"), lit(true).as(flag))
+    val out = flagged
+      .join(member(st.exact, "__m6"), Seq("doc_id"), "left")
+      .join(member(st.fuzzy, "__m7"), Seq("doc_id"), "left")
+      .join(member(st.capped, "__m8"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(!col("__p1"), "url_blocklist")
+          .when(!col("__p3"), "language")
+          .when(!col("__p4"), "gopher_rules")
+          .when(!col("__p5"), "gopher_repetition")
+          .when(col("__m6").isNull, "exact_dedup")
+          .when(col("__m7").isNull, "near_dedup")
+          .when(col("__m8").isNull, "domain_caps")
+          .otherwise("kept").as("outcome"))
+    out.orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror of [[outcomes]] — the same CTE chain, with each doc
+    * attributed to the first stage whose survivor set it left. */
+  def sqlOutcomes(from: String, blocked: Seq[String], lang: String = "en",
+                  gopherTh: GopherRules.Thresholds = GopherRules.Thresholds(),
+                  repetitionTh: GopherRepetition.Thresholds = GopherRepetition.Thresholds(),
+                  threshold: Double = 0.9, cap: Int = 100,
+                  spamWeights: Seq[(String, Double)] = Seq.empty,
+                  spamThreshold: Double = 1.0): String =
+    sqlCtes(from, blocked, lang, gopherTh, repetitionTh, threshold, cap,
+      spamWeights, spamThreshold) +
+      s"""
+         |SELECT dm.doc_id,
+         |  CASE WHEN r1.doc_id IS NULL THEN 'url_blocklist'
+         |       WHEN r3.doc_id IS NULL THEN 'language'
+         |       WHEN r4.doc_id IS NULL THEN 'gopher_rules'
+         |       WHEN r5.doc_id IS NULL THEN 'gopher_repetition'
+         |       WHEN r6.doc_id IS NULL THEN 'exact_dedup'
+         |       WHEN r7.doc_id IS NULL THEN 'near_dedup'
+         |       WHEN r8.doc_id IS NULL THEN 'domain_caps'
+         |       ELSE 'kept' END AS outcome
+         |FROM dm
+         |LEFT JOIN rw1 r1 ON dm.doc_id = r1.doc_id
+         |LEFT JOIN rw3 r3 ON dm.doc_id = r3.doc_id
+         |LEFT JOIN rw4 r4 ON dm.doc_id = r4.doc_id
+         |LEFT JOIN rw5 r5 ON dm.doc_id = r5.doc_id
+         |LEFT JOIN rw6 r6 ON dm.doc_id = r6.doc_id
+         |LEFT JOIN rw7 r7 ON dm.doc_id = r7.doc_id
+         |LEFT JOIN rw8 r8 ON dm.doc_id = r8.doc_id
+         |ORDER BY dm.doc_id""".stripMargin
+
   /** Shared WITH-chain over a relation exposing (doc_id, text, url). The
     * registered-domain stage replays as [[graft.ingest.Psl]]'s printed
     * rule table + candidate-suffix equi-join. */

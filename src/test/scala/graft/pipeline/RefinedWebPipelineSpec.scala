@@ -133,4 +133,32 @@ class RefinedWebPipelineSpec extends SparkSpec {
     assert(f("near_dedup") == 5L)       // -9 (J = 0.9 near-dup of 7)
     assert(f("domain_caps") == 4L)      // -12 (third doc of otherdom.org)
   }
+
+  test("outcomes attribute every planted cut to its stage; kept == pipeline (r10)") {
+    val o = RefinedWebPipeline.outcomes(docs, blocked = Seq("foo.co.uk"),
+        gopherTh = th, cap = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(o == Map(
+      1L -> "kept", 2L -> "exact_dedup", 3L -> "url_blocklist",
+      4L -> "language", 5L -> "gopher_rules", 6L -> "gopher_repetition",
+      7L -> "kept", 8L -> "exact_dedup", 9L -> "near_dedup",
+      10L -> "kept", 11L -> "kept", 12L -> "domain_caps"), o.toString)
+    // kept ids == the shipped pipeline's ids (shared stage frames)
+    val kept = RefinedWebPipeline(docs, blocked = Seq("foo.co.uk"),
+      gopherTh = th, cap = 2).collect().map(_.getLong(0)).toSet
+    assert(o.filter(_._2 == "kept").keySet == kept)
+    // grouped outcomes reconcile to the funnel's stage deltas
+    val f = RefinedWebPipeline.funnel(docs, blocked = Seq("foo.co.uk"),
+        gopherTh = th, cap = 2)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    val byOutcome = o.values.groupBy(identity).view.mapValues(_.size.toLong)
+    assert(byOutcome("url_blocklist") == f("raw") - f("url_blocklist"))
+    assert(byOutcome("language") == f("url_blocklist") - f("language"))
+    assert(byOutcome("gopher_rules") + byOutcome("gopher_repetition")
+      == f("language") - f("gopher_gates"))
+    assert(byOutcome("exact_dedup") == f("gopher_gates") - f("exact_dedup"))
+    assert(byOutcome("near_dedup") == f("exact_dedup") - f("near_dedup"))
+    assert(byOutcome("domain_caps") == f("near_dedup") - f("domain_caps"))
+    assert(byOutcome("kept") == f("domain_caps"))
+  }
 }
