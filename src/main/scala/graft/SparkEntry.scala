@@ -347,6 +347,11 @@ object SparkEntry {
       Similarity.knnBruteForce(emb, emb.filter(col("vec_id") % 50 === 0), 5)
     }),
     "cosine_pairs" -> ((s, dir) => Similarity.cosinePairs(Tables.embeddings(s, dir), 0.4)),
+    // Scalar int8 quantization (r10): per-vector symmetric scale, codes
+    // via FLOOR(+0.5) (round-half modes differ across engines; floor is
+    // unambiguous), fold-ordered reconstruction-error audit.
+    "embedding_quantize" -> ((s, dir) =>
+      Similarity.scalarQuantize(Tables.embeddings(s, dir))),
     // Contrastive training triplets: near-dup positives (both
     // orientations) + each anchor's top different-label negative with
     // the semi-hard flag — both feeds' proven mirrors composed.
@@ -2634,6 +2639,7 @@ object SparkEntry {
         |                      (x,y) -> x+y) / (a.nv * b.nv), 6) AS cosine
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    "embedding_quantize" -> Similarity.sqlScalarQuantize("embeddings"),
     // knn_lsh: FULL oracle since r8 — bucket replay + the knn_bruteforce
     // rank tail over the LSH candidate set; recall vs knn_bruteforce is
     // additionally asserted in SimilaritySpec.

@@ -826,6 +826,66 @@ object Similarity {
     * oracle. Audit-scale pair feeds here (the all-pairs audit join);
     * at corpus scale swap in the LSH/IVF candidate feeds for both
     * sides — the join and flag logic downstream are unchanged. */
+  /** [EXT] Scalar int8 quantization (`embedding_quantize` query) — the
+    * STORAGE-side compression next to [[Pq]]'s search-side codes: each
+    * vector stores 4× smaller as per-vector-scaled int8
+    * (`scale = max|xᵢ| ∕ 127`, `codeᵢ = ⌊xᵢ∕scale + ½⌋` — FLOOR(+0.5)
+    * instead of round() because the two engines disagree on round-half
+    * modes while floor is unambiguous; |code| ≤ 127 by construction, no
+    * clamp). The reconstruction-error column is the quality audit a
+    * team reads before adopting the format (the [[Pq.distortionReport]]
+    * role): fold-ordered exact double arithmetic, bit-identical across
+    * engines (the cosine discipline). A zero vector quantizes to scale
+    * 0 with all-zero codes. Scan-stage, shuffle-free; codes render as a
+    * comma-joined string (the portable hash-compare form). */
+  def scalarQuantize(emb: DataFrame, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val maxabs = aggregate(v, lit(0.0), (a, x) => greatest(a, abs(x)))
+    graft.Par.widen(emb)
+      .select(col(idCol), v.as("__v"), maxabs.as("__m"))
+      .withColumn("scale", col("__m") / lit(127.0))
+      .withColumn("__codes",
+        when(col("__m") === 0.0,
+          transform(col("__v"), _ => lit(0).cast("int")))
+          .otherwise(transform(col("__v"),
+            x => floor(x / col("scale") + lit(0.5)).cast("int"))))
+      .withColumn("recon_err",
+        aggregate(zip_with(col("__v"), col("__codes"),
+          (x, c) => (x - c.cast("double") * col("scale"))
+            * (x - c.cast("double") * col("scale"))),
+          lit(0.0), (a, e) => a + e))
+      .select(col(idCol), round(col("scale"), 8).as("scale"),
+        array_join(col("__codes"), ",").as("codes"),
+        round(col("recon_err"), 8).as("recon_err"))
+      .orderBy(col(idCol))
+  }
+
+  /** DuckDB mirror of [[scalarQuantize]] over a relation exposing
+    * (idCol, vecCol float[]). */
+  def sqlScalarQuantize(rel: String, idCol: String = "vec_id",
+                        vecCol: String = "embedding"): String =
+    s"""WITH sq_e AS (
+       |  SELECT $idCol, $vecCol::DOUBLE[] AS v FROM $rel),
+       |sq_m AS (
+       |  SELECT $idCol, v,
+       |    list_reduce(list_prepend(0.0, list_transform(v, x -> abs(x))),
+       |      (a, x) -> greatest(a, x)) AS m
+       |  FROM sq_e),
+       |sq_q AS (
+       |  SELECT $idCol, v, m / 127.0 AS scale,
+       |    CASE WHEN m = 0 THEN list_transform(v, x -> 0)
+       |         ELSE list_transform(v,
+       |           x -> CAST(FLOOR(x / (m / 127.0) + 0.5) AS INT)) END AS codes
+       |  FROM sq_m)
+       |SELECT $idCol, round(scale, 8) AS scale,
+       |  array_to_string(codes, ',') AS codes,
+       |  round(list_reduce(list_prepend(0.0,
+       |    list_transform(list_zip(v, codes),
+       |      z -> (z[1] - z[2] * scale) * (z[1] - z[2] * scale))),
+       |    (a, e) -> a + e), 8) AS recon_err
+       |FROM sq_q ORDER BY $idCol""".stripMargin
+
   def contrastiveTriplets(emb: DataFrame, posThreshold: Double = 0.4,
                           margin: Double = 0.05,
                           idCol: String = "vec_id",

@@ -350,4 +350,37 @@ class SimilaritySpec extends SparkSpec {
     val strict = Similarity.bitextMine(src, tgt, k = 2, marginThreshold = 1.5)
     assert(strict.count() == 0)
   }
+  test("scalarQuantize: bounded codes, exact hand trace, small distortion (r10)") {
+    val emb = Seq(
+      (1L, Array(1.27f, -0.635f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f)),          // zero vector
+      (3L, Array(-2.0f, 1.0f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.scalarQuantize(emb).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2), r.getDouble(3)))
+      .toMap
+    // hand trace: scale = 1.27/127 = 0.01; 1.27/0.01 -> 127;
+    // -0.635/0.01 = -63.5 -> floor(-63.0) = -63 (half rounds UP, i.e.
+    // toward +inf — the documented FLOOR(+0.5) semantics); 0 -> 0
+    assert(out(1L)._1 == 0.01 && out(1L)._2 == "127,-63,0")
+    // zero vector: scale 0, all-zero codes, zero error
+    assert(out(2L) == ((0.0, "0,0,0", 0.0)))
+    // max-|x| dimension always hits ±127 exactly
+    assert(out(3L)._2.split(",").head.toInt == -127)
+    // codes bounded; distortion below (scale/2)^2 per dimension
+    out.foreach { case (id, (scale, codes, err)) =>
+      val cs = codes.split(",").map(_.toInt)
+      assert(cs.forall(c => c >= -127 && c <= 127), s"vec $id codes")
+      assert(err <= 3 * (scale / 2) * (scale / 2) + 1e-12, s"vec $id err $err")
+    }
+    // real fixture: every vector reconstructs within 0.1% of its energy
+    val fx = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val checked = Similarity.scalarQuantize(fx)
+      .join(fx.select($"vec_id",
+        aggregate(transform($"embedding", x => x.cast("double") * x.cast("double")),
+          lit(0.0), (a, e) => a + e).as("energy")), Seq("vec_id"))
+      .select(($"recon_err" <= $"energy" * 0.001).as("ok"))
+      .collect().map(_.getBoolean(0))
+    assert(checked.nonEmpty && checked.forall(identity))
+  }
 }
