@@ -352,6 +352,15 @@ object SparkEntry {
     // unambiguous), fold-ordered reconstruction-error audit.
     "embedding_quantize" -> ((s, dir) =>
       Similarity.scalarQuantize(Tables.embeddings(s, dir))),
+    // Search over the 4x-smaller store: brute-force kNN with the
+    // candidates dequantized and the probes full-precision — the
+    // adoption question as a query; recall vs the exact index is
+    // additionally asserted in SimilaritySpec.
+    "knn_quantized" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.knnBruteForce(Similarity.dequantized(emb),
+        emb.filter(col("vec_id") % 50 === 0), 5)
+    }),
     // Contrastive training triplets: near-dup positives (both
     // orientations) + each anchor's top different-label negative with
     // the semi-hard flag — both feeds' proven mirrors composed.
@@ -2640,6 +2649,7 @@ object SparkEntry {
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin,
     "embedding_quantize" -> Similarity.sqlScalarQuantize("embeddings"),
+    "knn_quantized" -> Similarity.sqlKnnQuantized("vec_id % 50 = 0", 5),
     // knn_lsh: FULL oracle since r8 — bucket replay + the knn_bruteforce
     // rank tail over the LSH candidate set; recall vs knn_bruteforce is
     // additionally asserted in SimilaritySpec.

@@ -886,6 +886,60 @@ object Similarity {
        |    (a, e) -> a + e), 8) AS recon_err
        |FROM sq_q ORDER BY $idCol""".stripMargin
 
+  /** The decode side of [[scalarQuantize]]: (idCol, vecCol) with each
+    * vector replaced by its quantize→dequantize round trip
+    * (`⌊x∕scale + ½⌋ · scale`, doubles end-to-end — for |code| ≤ 127
+    * the float path and the int path are the same value). Composes with
+    * any consumer of an embedding column; `knn_quantized` runs the
+    * brute-force search over THIS store with full-precision probes —
+    * the operational question ("can I serve search from the 4×-smaller
+    * shards?") as a query. */
+  def dequantized(emb: DataFrame, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val maxabs = aggregate(v, lit(0.0), (a, x) => greatest(a, abs(x)))
+    graft.Par.widen(emb)
+      .select(col(idCol), v.as("__v"), (maxabs / lit(127.0)).as("__s"))
+      .select(col(idCol),
+        when(col("__s") === 0.0, transform(col("__v"), _ => lit(0.0)))
+          .otherwise(transform(col("__v"),
+            x => floor(x / col("__s") + lit(0.5)) * col("__s")))
+          .as(vecCol))
+  }
+
+  /** [[dequantized]] + the brute-force rank as one DuckDB query. */
+  def sqlKnnQuantized(probeWhere: String, k: Int): String =
+    s"""WITH qe AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |qm AS (
+       |  SELECT vec_id, v,
+       |    list_reduce(list_prepend(0.0, list_transform(v, x -> abs(x))),
+       |      (a, x) -> greatest(a, x)) AS m
+       |  FROM qe),
+       |n AS (
+       |  SELECT vec_id, v, sqrt(list_reduce(list_transform(v, x -> x*x),
+       |    (a,b) -> a+b)) AS nv
+       |  FROM (
+       |    SELECT vec_id,
+       |      CASE WHEN m = 0 THEN list_transform(v, x -> 0.0)
+       |           ELSE list_transform(v,
+       |             x -> FLOOR(x / (m / 127.0) + 0.5) * (m / 127.0)) END AS v
+       |    FROM qm)),
+       |p AS (
+       |  SELECT vec_id AS probe_id, v AS pv,
+       |    sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)) AS pn
+       |  FROM qe WHERE $probeWhere),
+       |s AS (
+       |  SELECT probe_id, vec_id AS cand_id,
+       |    round(list_reduce(list_transform(range(1, len(pv)+1), i -> pv[i]*v[i]),
+       |                      (a,b) -> a+b) / (pn * nv), 6) AS cosine
+       |  FROM p JOIN n ON vec_id <> probe_id),
+       |r AS (SELECT probe_id, cand_id, cosine,
+       |        row_number() OVER (PARTITION BY probe_id
+       |                           ORDER BY cosine DESC, cand_id ASC) AS rk
+       |      FROM s)
+       |SELECT probe_id, rk, cand_id, cosine FROM r WHERE rk <= $k
+       |ORDER BY probe_id, rk""".stripMargin
+
   def contrastiveTriplets(emb: DataFrame, posThreshold: Double = 0.4,
                           margin: Double = 0.05,
                           idCol: String = "vec_id",

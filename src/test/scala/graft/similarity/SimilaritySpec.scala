@@ -383,4 +383,23 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getBoolean(0))
     assert(checked.nonEmpty && checked.forall(identity))
   }
+  test("knn over the dequantized store recalls the exact neighbors (r10)") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probes = emb.filter($"vec_id" % 50 === 0)
+    def topk(c: org.apache.spark.sql.DataFrame) =
+      Similarity.knnBruteForce(c, probes, 5).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = topk(emb)
+    val quant = topk(Similarity.dequantized(emb))
+    val recall = exact.intersect(quant).size.toDouble / exact.size
+    assert(recall >= 0.9, s"quantized recall $recall")
+    // re-quantizing the decoded store reproduces the SAME codes (the
+    // re-derived scale may drift a last bit through the ×127∕127 round
+    // trip, but codes sit ~1e-14 from integers — floor(+0.5) absorbs it)
+    val codes1 = Similarity.scalarQuantize(emb)
+      .select($"vec_id", $"codes").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val codes2 = Similarity.scalarQuantize(Similarity.dequantized(emb))
+      .select($"vec_id", $"codes").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(codes1 == codes2, "codes must be stable through decode-requantize")
+  }
 }
