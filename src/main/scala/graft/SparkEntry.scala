@@ -1208,14 +1208,22 @@ object SparkEntry {
         .withColumn("doc_id",
           regexp_extract(col("target_uri"), "([0-9]+)$", 1).cast("long"))
         .withColumnRenamed("body", "html")
+        .pinned
       val extracted = graft.ingest.Boilerplate.mainContent(pages)
         .filter(col("n_kept") >= 1)
         .select(col("doc_id"), col("main_text").as("text"))
       val meta = pages.select(col("doc_id"),
         regexp_extract(col("target_uri"), "example\\.org/([^/]+)/", 1)
           .as("source"))
+      // Pin the composed corpus BEFORE the preset: without the boundary
+      // CollapseProject inlines the (expensive) extraction expression
+      // into every downstream gate — NFC, langId, the Gopher folds, the
+      // dedup md5 — re-extracting each page ~5x (probed 50.5 s unpinned
+      // vs 19.9 s pinned at sf0.1 local[8]; the same diamond the
+      // cosinePairs scaladoc records). The pages pin above bounds the
+      // archive walk to once per blob the same way.
       graft.pipeline.RefinedWebPipeline(
-        withFixtureUrls(extracted.join(meta, Seq("doc_id"))),
+        withFixtureUrls(extracted.join(meta, Seq("doc_id"))).pinned,
         blocked = Seq("foo.co.uk"),
         gopherTh = FunnelThresholds, repetitionTh = RepetitionThresholds,
         cap = 15)
