@@ -708,6 +708,16 @@ object SparkEntry {
     // self-loops dropped. One explode + one aggregate.
     "host_link_graph" -> ((s, dir) =>
       graft.ingest.Links.hostGraph(withLinkHtml(Tables.documents(s, dir)))),
+    // The incremental face under the gate: per-batch edge partials
+    // merged by sum must equal the one-shot graph (edge counts are
+    // additive) — the oracle IS the one-shot query's, which is exactly
+    // the union-equivalence claim.
+    "host_link_graph_incremental" -> ((s, dir) => {
+      val docs = withLinkHtml(Tables.documents(s, dir))
+      val p1 = graft.ingest.Links.hostGraph(docs.filter(col("doc_id") < 250))
+      val p2 = graft.ingest.Links.hostGraph(docs.filter(col("doc_id") >= 250))
+      graft.ingest.Links.mergeEdges(p1.unionByName(p2))
+    }),
     // Anchor-term profile per TARGET domain: the off-page description
     // signal — top-5 tokens of cross-domain anchor texts (inner HTML
     // stripped of tags), counted per destination registered domain.
@@ -3475,6 +3485,12 @@ object SparkEntry {
          |  round(n_docs * 100.0 / SUM(n_docs) OVER (), 4) AS pct
          |FROM g ORDER BY n_docs DESC, domain""".stripMargin,
     "host_link_graph" ->
+      s"""WITH ${graft.ingest.Psl.sqlPslCte},
+         |dh AS (
+         |  SELECT doc_id, $sqlFixtureUrl AS url, $sqlLinkHtml AS html
+         |  FROM documents),
+         |${graft.ingest.Links.sqlHostGraph("dh", "doc_id")}""".stripMargin,
+    "host_link_graph_incremental" ->
       s"""WITH ${graft.ingest.Psl.sqlPslCte},
          |dh AS (
          |  SELECT doc_id, $sqlFixtureUrl AS url, $sqlLinkHtml AS html
