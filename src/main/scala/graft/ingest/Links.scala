@@ -45,8 +45,12 @@ object Links {
     * tag (nested `<a>` cannot occur in valid HTML). */
   private[graft] val AnchorRe = "(?is)<a\\b[^>]*>.*?</a>"
   private[graft] val OpenTagRe = "(?is)^(<a\\b[^>]*>)"
-  private[graft] val HrefDqRe = "(?is)href\\s*=\\s*\"([^\"]*)\""
-  private[graft] val HrefSqRe = "(?is)href\\s*=\\s*'([^']*)'"
+  // The attribute name needs a LEFT boundary (whitespace or a quote —
+  // never regex lookbehind, which RE2 lacks): without it `data-href`,
+  // `ng-href`, and `xlink:href` would fabricate links for anchors that
+  // carry no real href.
+  private[graft] val HrefDqRe = "(?is)[\\s\"']href\\s*=\\s*\"([^\"]*)\""
+  private[graft] val HrefSqRe = "(?is)[\\s\"']href\\s*=\\s*'([^']*)'"
   private[graft] val InnerRe = "(?is)^<a\\b[^>]*>(.*)</a>$"
   private[graft] val SchemeAnyRe = "^[a-zA-Z][a-zA-Z0-9+.-]*:"
   private[graft] val HttpAbsRe = "(?i)^https?://"
@@ -222,8 +226,9 @@ object Links {
     * mirror (UNNEST over the same anchor matches, the same nested
     * group extraction, the same resolution CASE). */
   def sqlLinkCtes(from: String, idCol: String, out: String): String = {
-    val dq = HrefDqRe
-    // the single-quote regex must escape its quotes inside a SQL literal
+    // both patterns carry single quotes (the attribute-boundary class
+    // and the quoted-value form) — escape them inside the SQL literals
+    val dq = HrefDqRe.replace("'", "''")
     val sq = HrefSqRe.replace("'", "''")
     s"""${out}_m AS (
        |  SELECT $idCol, url AS src_url,
@@ -241,11 +246,13 @@ object Links {
        |    trim(regexp_replace(regexp_extract(m, '$InnerRe', 1),
        |      '<[^>]*>', '', 'g')) AS atext
        |  FROM ${out}_h),
-       |$out AS (
+       |${out}_r AS (
        |  SELECT $idCol, src_url,
        |    ${sqlResolveExpr("src_url", "href")} AS dst_url, atext
-       |  FROM ${out}_p
-       |  WHERE ${sqlResolveExpr("src_url", "href")} IS NOT NULL)""".stripMargin
+       |  FROM ${out}_p),
+       |$out AS (
+       |  SELECT $idCol, src_url, dst_url, atext
+       |  FROM ${out}_r WHERE dst_url IS NOT NULL)""".stripMargin
   }
 
   /** [[hostGraph]] as one DuckDB query over a relation exposing

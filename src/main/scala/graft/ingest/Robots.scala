@@ -113,14 +113,21 @@ object Robots {
     import org.apache.spark.sql.expressions.Window
     val agent = agentToken.toLowerCase
     val w = Window.partitionBy(col(idCol)).orderBy(col("__idx"))
+    // CRLF is the wire format (RFC 9309 grammar): split on \r?\n so the
+    // mirror can't diverge on Java's line-terminator-aware '$' vs RE2's
+    // end-of-text '$'; trim space AND tab (RFC-legal separators — a
+    // space-only trim would leave '\t/private' as a never-matching
+    // prefix).
     val lines = robots
       .select(col(idCol), posexplode(split(coalesce(col(txtCol), lit("")),
-        "\n")).as(Seq("__idx", "__raw")))
+        "\r?\n")).as(Seq("__idx", "__raw")))
       .select(col(idCol), col("__idx"),
-        trim(regexp_replace(col("__raw"), "#.*$", "")).as("__line"))
+        trim(regexp_replace(col("__raw"), "#.*$", ""), " \t").as("__line"))
       .select(col(idCol), col("__idx"),
-        lower(trim(regexp_extract(col("__line"), "^([^:]+):", 1))).as("field"),
-        trim(regexp_extract(col("__line"), "^[^:]+:(.*)$", 1)).as("value"))
+        lower(trim(regexp_extract(col("__line"), "^([^:]+):", 1), " \t"))
+          .as("field"),
+        trim(regexp_extract(col("__line"), "^[^:]+:(.*)$", 1), " \t")
+          .as("value"))
       .filter(col("field").isin("user-agent", "allow", "disallow"))
     val grouped = lines
       .withColumn("__new", (col("field") === "user-agent" &&
@@ -151,13 +158,14 @@ object Robots {
                       txtCol: String = "robots_txt"): DataFrame =
     robots
       .select(col(idCol), explode(split(coalesce(col(txtCol), lit("")),
-        "\n")).as("__raw"))
+        "\r?\n")).as("__raw"))
       .select(col(idCol),
-        trim(regexp_replace(col("__raw"), "#.*$", "")).as("__line"))
-      .filter(lower(trim(regexp_extract(col("__line"), "^([^:]+):", 1)))
+        trim(regexp_replace(col("__raw"), "#.*$", ""), " \t").as("__line"))
+      .filter(lower(trim(regexp_extract(col("__line"), "^([^:]+):", 1), " \t"))
         === "sitemap")
       .select(col(idCol),
-        trim(regexp_extract(col("__line"), "^[^:]+:(.*)$", 1)).as("loc"))
+        trim(regexp_extract(col("__line"), "^[^:]+:(.*)$", 1), " \t")
+          .as("loc"))
       .filter(col("loc") =!= "")
       .distinct()
       .orderBy(col(idCol), col("loc"))
@@ -169,20 +177,23 @@ object Robots {
     val agent = agentToken.toLowerCase.replace("'", "''")
     s"""rp_raw AS (
        |  SELECT $idCol, UNNEST(list_zip(
-       |    string_split(COALESCE($txtExpr, ''), chr(10)),
-       |    range(1, len(string_split(COALESCE($txtExpr, ''), chr(10))) + 1)))
+       |    regexp_split_to_array(COALESCE($txtExpr, ''), '\\r?\\n'),
+       |    range(1, len(regexp_split_to_array(COALESCE($txtExpr, ''),
+       |      '\\r?\\n')) + 1)))
        |    AS z
        |  FROM $from),
        |rp_ln AS (
        |  SELECT $idCol, z[2] AS __idx,
-       |    trim(regexp_replace(z[1], '#.*$$', '')) AS __line
+       |    trim(regexp_replace(z[1], '#.*$$', ''), ' ' || chr(9)) AS __line
        |  FROM rp_raw),
        |rp_f AS (
        |  SELECT $idCol, __idx,
-       |    lower(trim(regexp_extract(__line, '^([^:]+):', 1))) AS field,
-       |    trim(regexp_extract(__line, '^[^:]+:(.*)$$', 1)) AS value
+       |    lower(trim(regexp_extract(__line, '^([^:]+):', 1), ' ' || chr(9)))
+       |      AS field,
+       |    trim(regexp_extract(__line, '^[^:]+:(.*)$$', 1), ' ' || chr(9))
+       |      AS value
        |  FROM rp_ln
-       |  WHERE lower(trim(regexp_extract(__line, '^([^:]+):', 1)))
+       |  WHERE lower(trim(regexp_extract(__line, '^([^:]+):', 1), ' ' || chr(9)))
        |    IN ('user-agent', 'allow', 'disallow')),
        |rp_g AS (
        |  SELECT *, SUM(__new) OVER (PARTITION BY $idCol ORDER BY __idx
@@ -213,14 +224,17 @@ object Robots {
                          txtExpr: String): String =
     s"""sp_ln AS (
        |  SELECT $idCol,
-       |    trim(regexp_replace(UNNEST(string_split(COALESCE($txtExpr, ''),
-       |      chr(10))), '#.*$$', '')) AS __line
+       |    trim(regexp_replace(UNNEST(regexp_split_to_array(
+       |      COALESCE($txtExpr, ''), '\\r?\\n')), '#.*$$', ''), ' ' || chr(9))
+       |      AS __line
        |  FROM $from)
        |SELECT DISTINCT $idCol,
-       |  trim(regexp_extract(__line, '^[^:]+:(.*)$$', 1)) AS loc
+       |  trim(regexp_extract(__line, '^[^:]+:(.*)$$', 1), ' ' || chr(9)) AS loc
        |FROM sp_ln
-       |WHERE lower(trim(regexp_extract(__line, '^([^:]+):', 1))) = 'sitemap'
-       |  AND trim(regexp_extract(__line, '^[^:]+:(.*)$$', 1)) <> ''
+       |WHERE lower(trim(regexp_extract(__line, '^([^:]+):', 1), ' ' || chr(9)))
+       |    = 'sitemap'
+       |  AND trim(regexp_extract(__line, '^[^:]+:(.*)$$', 1), ' ' || chr(9))
+       |    <> ''
        |ORDER BY $idCol, loc""".stripMargin
 
   /** Per-document robots decision: (idCol, host, allowed). `rules` must

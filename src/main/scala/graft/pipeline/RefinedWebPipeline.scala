@@ -255,11 +255,15 @@ object RefinedWebPipeline {
       else col("text")
     val normed =
       org.apache.spark.sql.graft.ArrayFunctions.nfcNormalize(repaired)
+    // coalesce to false: a NULL verdict (null text) must attribute to
+    // the stage whose FILTER dropped the doc — a bare when(!NULL) would
+    // skip the branch and fall through to a wrong 'exact_dedup'.
     val flagged = dom.select(col("doc_id"),
-      urlPass.as("__p1"),
-      (TextAnalysis.langId(normed) === lang).as("__p3"),
-      GopherRules.passExpr(normed, gopherTh).as("__p4"),
-      GopherRepetition.passExpr(normed, repetitionTh).as("__p5"))
+      coalesce(urlPass, lit(false)).as("__p1"),
+      coalesce(TextAnalysis.langId(normed) === lang, lit(false)).as("__p3"),
+      coalesce(GopherRules.passExpr(normed, gopherTh), lit(false)).as("__p4"),
+      coalesce(GopherRepetition.passExpr(normed, repetitionTh), lit(false))
+        .as("__p5"))
     def member(frame: DataFrame, flag: String): DataFrame =
       frame.select(col("doc_id"), lit(true).as(flag))
     val out = flagged

@@ -67,8 +67,13 @@ object Sitemap {
     }
     def rows(blockRe: String, kind: String, withMeta: Boolean) = {
       val b = col("b")
+      // try_cast, not cast: the shape regex can't validate RANGES
+      // ("2024-02-30" matches DateShape), and under Spark 4's default
+      // ANSI mode a plain cast would throw — violating the totality
+      // contract (the TRY_CAST discipline of the Warc status line).
       def guarded(c: Column, shape: String, to: String): Column =
-        when(c.rlike(shape), c).otherwise(lit(null).cast("string")).cast(to)
+        when(c.rlike(shape), c).otherwise(lit(null).cast("string"))
+          .try_cast(to)
       val meta =
         if (withMeta) Seq(field(b, "changefreq").as("changefreq"),
           guarded(field(b, "priority"), NumShape, "double").as("priority"))
@@ -95,7 +100,7 @@ object Sitemap {
     def field(tag: String) =
       s"nullif(regexp_extract(b, '${tagRe(tag)}', 1), '')"
     def guarded(x: String, shape: String, to: String) =
-      s"CAST(CASE WHEN regexp_matches($x, '$shape') THEN $x END AS $to)"
+      s"TRY_CAST(CASE WHEN regexp_matches($x, '$shape') THEN $x END AS $to)"
     val lastmod = guarded(field("lastmod"), DateShape, "DATE")
     val priority = guarded(field("priority"), NumShape, "DOUBLE")
     s"""ub AS (

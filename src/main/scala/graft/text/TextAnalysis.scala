@@ -256,9 +256,7 @@ object TextAnalysis {
     docs.select(col(idCol), w.as("n_words"), s.as("n_sentences"),
         syl.as("n_syllable_groups"))
       .withColumn("flesch_micro",
-        expr("CASE WHEN n_words > 0 THEN 206835000L" +
-          " - 1015000L * n_words DIV n_sentences" +
-          " - 84600000L * n_syllable_groups DIV n_words END"))
+        expr(fleschMicroOver("n_words", "n_sentences", "n_syllable_groups")))
       .orderBy(col(idCol))
   }
 
@@ -274,21 +272,31 @@ object TextAnalysis {
     size(regexp_extract_all(lower(t), lit("[aeiouy]+"), lit(0)))
       .cast("long").as("__fl_y"))
 
+  /** THE Flesch micro-point arithmetic, one Spark-side owner —
+    * parameterized over the signal column names so [[readability]] and
+    * the sidecar share it. */
+  def fleschMicroOver(w: String, s: String, y: String): String =
+    s"CASE WHEN $w > 0 THEN 206835000L" +
+      s" - 1015000L * $w DIV $s" +
+      s" - 84600000L * $y DIV $w END"
+
   /** The Flesch micro-point expression over [[fleschSignalCols]]'s
     * names. */
-  val FleschMicroOverSignals: String =
-    "CASE WHEN __fl_w > 0 THEN 206835000L" +
-      " - 1015000L * __fl_w DIV __fl_s" +
-      " - 84600000L * __fl_y DIV __fl_w END"
+  def FleschMicroOverSignals: String =
+    fleschMicroOver("__fl_w", "__fl_s", "__fl_y")
+
+  /** THE Flesch arithmetic's DuckDB owner, over signal SQL
+    * expressions. */
+  def sqlFleschMicroOver(w: String, s: String, y: String): String =
+    s"(CASE WHEN $w > 0 THEN CAST(206835000 - 1015000 * $w // $s" +
+      s" - 84600000 * $y // $w AS BIGINT) END)"
 
   /** DuckDB per-row scalar twin of the Flesch micro-point score. */
-  def sqlFleschMicroExpr(t: String): String = {
-    val w = s"CAST(${sqlTokenCount(t)} AS BIGINT)"
-    val sct = s"CAST(GREATEST(len(regexp_extract_all($t, '[.!?]+')), 1) AS BIGINT)"
-    val syl = s"CAST(len(regexp_extract_all(lower($t), '[aeiouy]+')) AS BIGINT)"
-    s"(CASE WHEN $w > 0 THEN CAST(206835000 - 1015000 * $w // $sct" +
-      s" - 84600000 * $syl // $w AS BIGINT) END)"
-  }
+  def sqlFleschMicroExpr(t: String): String =
+    sqlFleschMicroOver(
+      s"CAST(${sqlTokenCount(t)} AS BIGINT)",
+      s"CAST(GREATEST(len(regexp_extract_all($t, '[.!?]+')), 1) AS BIGINT)",
+      s"CAST(len(regexp_extract_all(lower($t), '[aeiouy]+')) AS BIGINT)")
 
   /** DuckDB per-row scalar twin of the native
     * [[org.apache.spark.sql.graft.CharEntropy]] (list lambdas — the
@@ -317,9 +325,7 @@ object TextAnalysis {
        |      AS BIGINT) AS n_syllable_groups
        |  FROM $rel)
        |SELECT $idCol, n_words, n_sentences, n_syllable_groups,
-       |  CASE WHEN n_words > 0 THEN CAST(206835000
-       |    - 1015000 * n_words // n_sentences
-       |    - 84600000 * n_syllable_groups // n_words AS BIGINT) END
+       |  ${sqlFleschMicroOver("n_words", "n_sentences", "n_syllable_groups")}
        |    AS flesch_micro
        |FROM r ORDER BY $idCol""".stripMargin
 

@@ -75,6 +75,19 @@ class LinksSpec extends SparkSpec {
       ("", "no href at all")))
   }
 
+  test("anchors: data-href/ng-href/xlink:href never read as the link") {
+    val html =
+      """<a data-href="https://tracker.example/x">tracked button</a>
+        |<a ng-href='https://ng.example/y'>angular</a>
+        |<a xlink:href="https://svg.example/z">svg-style</a>
+        |<a data-href="https://tracker.example/x" href="/real">both</a>
+        |""".stripMargin
+    val out = Seq(html).toDF("html")
+      .select(explode(Links.anchors(col("html"))).as("a"))
+      .select(col("a.href")).collect().map(_.getString(0)).toSeq
+    assert(out == Seq("", "", "", "/real"))
+  }
+
   test("hostGraph: domain collapse, self-loops dropped, multiplicity counted") {
     val docs = Seq(
       // two links to openweb.org (multiplicity 2), one internal self-loop

@@ -191,6 +191,15 @@ class RobotsSpec extends SparkSpec {
     assert(d == Map(1L -> false, 2L -> true, 3L -> true))
   }
 
+  test("parse: CRLF line endings and tab separators (the wire format)") {
+    val txt = "User-agent: graftbot\r\nDisallow:\t/private\r\n" +
+      "Allow: /private/ok\t\r\n"
+    val rules = Robots.parse(
+      Seq(("h1", txt)).toDF("host", "robots_txt"), "graftbot")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(rules == Seq(("allow", "/private/ok"), ("disallow", "/private")))
+  }
+
   test("sitemapPointers: global, case-preserved, deduped, total on null") {
     val txt =
       """User-agent: otherbot

@@ -161,4 +161,18 @@ class RefinedWebPipelineSpec extends SparkSpec {
     assert(byOutcome("domain_caps") == f("near_dedup") - f("domain_caps"))
     assert(byOutcome("kept") == f("domain_caps"))
   }
+
+  test("outcomes: null text attributes to the language gate, not dedup (r10)") {
+    // langId(NULL) === lang is NULL; the pipeline's filter drops the doc
+    // there, so the attribution must say 'language' (a bare when(!NULL)
+    // would fall through to a wrong 'exact_dedup').
+    val withNull = docs.unionByName(
+      Seq((13L, null.asInstanceOf[String], "https://a.site.com/13"))
+        .toDF("doc_id", "text", "url"))
+    val o = RefinedWebPipeline.outcomes(withNull, blocked = Seq("foo.co.uk"),
+        gopherTh = th, cap = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(o(13L) == "language", o.toString)
+    assert(o.filter(_._2 == "kept").keySet == Set(1L, 7L, 10L, 11L))
+  }
 }

@@ -90,9 +90,16 @@ class SitemapSpec extends SparkSpec {
     val out = Sitemap.entries(Seq(
       (1L, null.asInstanceOf[String]), (2L, ""), (3L, "<url>no closing"),
       (4L, "<urlset><url><loc>https://c.org</loc>" +
-        "<lastmod>not-a-date</lastmod></url></urlset>")
+        "<lastmod>not-a-date</lastmod></url></urlset>"),
+      // shape-valid but out-of-range: the regex can't catch this — the
+      // try_cast must (ANSI cast would throw)
+      (5L, "<urlset><url><loc>https://d.org</loc>" +
+        "<lastmod>2024-02-30</lastmod><priority>0.7</priority></url></urlset>")
     ).toDF("site_id", "xml")).collect()
-    assert(out.length == 1)
-    assert(out.head.getString(2) == "https://c.org" && out.head.isNullAt(3))
+    assert(out.length == 2)
+    val c = out.find(_.getString(2) == "https://c.org").get
+    assert(c.isNullAt(3))
+    val d = out.find(_.getString(2) == "https://d.org").get
+    assert(d.isNullAt(3) && d.getDouble(5) == 0.7)
   }
 }
