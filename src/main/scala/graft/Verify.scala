@@ -1,12 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardOpenOption}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Round-11 hardening (the r10 driver artifact came back `{}` with no way
+  * to tell a timeout from a crash from an empty gate):
+  *   - `verify_timing.jsonl` gets one line APPENDED per query as it lands,
+  *     so a truncated run leaves a partial record naming exactly where the
+  *     clock ran out;
+  *   - `verify_manifest.json` is written ONCE at the very end with the
+  *     totals — its absence marks a run that never finished;
+  *   - the default worker count scales with the box (capped at 16) instead
+  *     of the old hard-coded 4, which priced the 219-query dump at roughly
+  *     4× what the hardware had to charge.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
+    val t0 = System.nanoTime()
     val (Array(sfDir, outDir), only) = args.splitAt(2)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cores = Runtime.getRuntime.availableProcessors
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", math.min(16, cores).toString)
     // Same tmpfs shuffle-dir hardening as Bench: the box's virtio disk
     // has bursty latency; correctness runs shouldn't stall on it either.
     val localDir =
@@ -33,12 +47,26 @@ object Verify {
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(only.toSet).toMap
-    selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+    val timingPath = Paths.get(s"$outDir/verify_timing.jsonl")
+    Files.deleteIfExists(timingPath)
+    var nOk = 0; var nFail = 0
+    // Sorted order: deterministic run-to-run, and the timing log reads in
+    // the same order the driver's compare will.
+    selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val q0 = System.nanoTime()
+      val ok =
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          nOk += 1; true
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          nFail += 1; false
+        }
+      val sec = (System.nanoTime() - q0) / 1e9
+      Files.writeString(timingPath,
+        f"""{"query":"$name","sec":$sec%.3f,"ok":$ok}%n""",
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -55,6 +83,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val wall = (System.nanoTime() - t0) / 1e9
+    Files.writeString(Paths.get(s"$outDir/verify_manifest.json"),
+      f"""{"complete":true,"n_queries":${selected.size},"n_dumped":$nOk,"n_failed":$nFail,"wall_sec":$wall%.1f,"cpus":$cpus}%n""")
+    System.err.println(
+      f"[verify] done: ${selected.size} queries, $nOk dumped, $nFail failed, $wall%.1f s")
     spark.stop()
   }
 }

@@ -35,9 +35,11 @@ import org.apache.spark.sql.functions._
   * base's scheme; root-relative `/x` takes the base's origin;
   * path-relative `x` resolves against the base path's directory.
   * Fragment-only, query-only, and empty hrefs drop — at host
-  * granularity they are self-loops, which the graph drops anyway. No
-  * dot-segment resolution (same documented simplification as
-  * [[Urls.canonicalize]]).
+  * granularity they are self-loops, which the graph drops anyway.
+  * Root- and path-relative resolution removes dot segments with
+  * CPython-urljoin semantics (r11, [[removeDotSegments]]), so dst_url
+  * is safe to consume at URL granularity (frontier seeds, recrawl
+  * keys) — the same target never surfaces under `/dir/../x` spellings.
   */
 object Links {
 
@@ -75,24 +77,63 @@ object Links {
       struct(href.as("href"), atext.as("atext"))
     })
 
+  /** Dot-segment removal over a path expression, byte-matched to
+    * CPython's `urljoin` fold (the reference's resolver — probed on
+    * 3.11, urllib/parse.py): segments fold left-to-right with `.`
+    * skipped and `..` popping the previous segment (pops past the root
+    * are silently ignored — excess `..` never survives, unlike
+    * `java.net.URI`); a trailing `.`/`..` leaves a trailing slash.
+    * The accumulator is the joined-path STRING (pop = drop the last
+    * `/segment`), which collapses urljoin's `[]` vs `['']` states —
+    * they differ only in a missing leading slash that urlunparse
+    * re-adds, so the string form is observationally identical. */
+  private[graft] def removeDotSegments(path: Column): Column = {
+    val padded = when(path.rlike("/\\.\\.?$"), concat(path, lit("/")))
+      .otherwise(path)
+    val segs = split(padded, "/", -1)
+    // skip segs(0): paths here always start with '/', so the first
+    // element is the empty root marker the accumulator's "" encodes.
+    val folded = aggregate(
+      slice(segs, lit(2), greatest(size(segs) - 1, lit(0))), lit(""),
+      (acc, seg) =>
+        when(seg === ".", acc)
+          .when(seg === "..", regexp_replace(acc, "(^|/)[^/]*$", ""))
+          .otherwise(concat(acc, lit("/"), seg)))
+    when(folded === "", lit("/")).otherwise(folded)
+  }
+
   /** RFC-3986-subset resolution of `href` against `base` (see the object
     * doc for the contract). Null where the link has no place in a graph:
     * non-http(s) schemes, fragment/query-only, empty, or a base without
-    * an origin to resolve against. */
+    * an origin to resolve against.
+    *
+    * Dot segments (r10 advice): root- and path-relative hrefs get
+    * [[removeDotSegments]] over the merged path, so `../x` against
+    * `http://h/dir/page` resolves to `http://h/x`-style canonical forms
+    * instead of surfacing `/dir/../x` spellings — matching the
+    * reference's urljoin, including its quirks: absolute and
+    * protocol-relative hrefs pass through UNnormalized, and the
+    * path-relative merge (only) collapses inner empty segments
+    * (`/a//b/` + `../c` → `/a/c`). The query/fragment tail rides along
+    * untouched (a `/` inside `?q=/a/../b` is data, not a path). */
   def resolve(base: Column, href: Column): Column = {
     val h = trim(href)
     val origin = regexp_extract(base, OriginRe, 1)
     val scheme = lower(regexp_extract(base, BaseSchemeRe, 1))
     val dir0 = regexp_replace(regexp_extract(base, Urls.PathRe, 1), "[^/]*$", "")
     val dir = when(dir0 === "", "/").otherwise(dir0)
+    val hpath = regexp_extract(h, "^[^?#]*", 0)
+    val hsuffix = h.substr(length(hpath) + 1, length(h))
+    val merged = regexp_replace(concat(dir, hpath), "/{2,}", "/")
     when(h.rlike(HttpAbsRe), h)
       .when(h.rlike(SchemeAnyRe), lit(null).cast("string"))
       .when(origin === "", lit(null).cast("string"))
       .when(h.startsWith("//"), concat(scheme, lit(":"), h))
-      .when(h.startsWith("/"), concat(origin, h))
+      .when(h.startsWith("/"),
+        concat(origin, removeDotSegments(hpath), hsuffix))
       .when(h === "" || h.startsWith("#") || h.startsWith("?"),
         lit(null).cast("string"))
-      .otherwise(concat(origin, dir, h))
+      .otherwise(concat(origin, removeDotSegments(merged), hsuffix))
   }
 
   /** One row per resolvable link: (idCol, src_url, dst_url, atext).
@@ -202,22 +243,41 @@ object Links {
 
   // ---------------------------------------------------------------- SQL
 
-  /** The resolution CASE chain over SQL expressions `base`/`href` —
-    * byte-for-byte the [[resolve]] contract. */
-  def sqlResolveExpr(base: String, href: String): String = {
-    val h = s"trim($href)"
-    val origin = s"regexp_extract($base, '$OriginRe', 1)"
-    val scheme = s"lower(regexp_extract($base, '$BaseSchemeRe', 1))"
-    val dir0 = s"regexp_replace(regexp_extract($base, '${Urls.PathRe}', 1), '[^/]*$$', '')"
-    val dir = s"(CASE WHEN $dir0 = '' THEN '/' ELSE $dir0 END)"
+  /** [[removeDotSegments]] as a DuckDB expression over a path-valued
+    * SQL expression `p` (same string-accumulator fold, list_prepend
+    * seeding the empty accumulator — list_reduce errors on empty
+    * lists). */
+  def sqlRemoveDotSegments(p: String): String = {
+    val padded =
+      s"(CASE WHEN regexp_matches($p, '/\\.\\.?$$') THEN $p || '/' ELSE $p END)"
+    val fold =
+      s"""list_reduce(list_prepend('', (string_split($padded, '/'))[2:]),
+         |    (acc, seg) -> CASE WHEN seg = '.' THEN acc
+         |      WHEN seg = '..' THEN regexp_replace(acc, '(^|/)[^/]*$$', '')
+         |      ELSE acc || '/' || seg END)""".stripMargin
+    s"COALESCE(NULLIF($fold, ''), '/')"
+  }
+
+  /** The resolution CASE chain over SQL expressions — byte-for-byte the
+    * [[resolve]] contract. The caller provides `h` (the TRIMMED href),
+    * `hpath`/`hsuffix` (its path / query-fragment split), and the
+    * base-derived `origin`/`bscheme`/`dir` as plain column references
+    * (see [[sqlLinkCtes]]'s staging) — inlining them all here would
+    * repeat the regexp subtrees dozens of times. */
+  def sqlResolveExpr(h: String, hpath: String, hsuffix: String,
+                     origin: String, bscheme: String,
+                     dir: String): String = {
+    val merged =
+      s"regexp_replace($dir || $hpath, '/{2,}', '/', 'g')"
     s"""CASE
        |  WHEN regexp_matches($h, '$HttpAbsRe') THEN $h
        |  WHEN regexp_matches($h, '$SchemeAnyRe') THEN NULL
        |  WHEN $origin = '' THEN NULL
-       |  WHEN starts_with($h, '//') THEN $scheme || ':' || $h
-       |  WHEN starts_with($h, '/') THEN $origin || $h
+       |  WHEN starts_with($h, '//') THEN $bscheme || ':' || $h
+       |  WHEN starts_with($h, '/')
+       |    THEN $origin || ${sqlRemoveDotSegments(hpath)} || $hsuffix
        |  WHEN $h = '' OR starts_with($h, '#') OR starts_with($h, '?') THEN NULL
-       |  ELSE $origin || $dir || $h
+       |  ELSE $origin || ${sqlRemoveDotSegments(merged)} || $hsuffix
        |END""".stripMargin
   }
 
@@ -246,10 +306,24 @@ object Links {
        |    trim(regexp_replace(regexp_extract(m, '$InnerRe', 1),
        |      '<[^>]*>', '', 'g')) AS atext
        |  FROM ${out}_h),
+       |${out}_t AS (
+       |  SELECT $idCol, src_url, trim(href) AS h, atext FROM ${out}_p),
+       |${out}_q AS (
+       |  SELECT $idCol, src_url, h, atext,
+       |    regexp_extract(h, '^[^?#]*') AS hpath,
+       |    substring(h, length(regexp_extract(h, '^[^?#]*')) + 1) AS hsuffix,
+       |    regexp_extract(src_url, '$OriginRe', 1) AS origin,
+       |    lower(regexp_extract(src_url, '$BaseSchemeRe', 1)) AS bscheme,
+       |    CASE WHEN regexp_replace(regexp_extract(src_url, '${Urls.PathRe}', 1),
+       |                             '[^/]*$$', '') = '' THEN '/'
+       |         ELSE regexp_replace(regexp_extract(src_url, '${Urls.PathRe}', 1),
+       |                             '[^/]*$$', '') END AS dir
+       |  FROM ${out}_t),
        |${out}_r AS (
        |  SELECT $idCol, src_url,
-       |    ${sqlResolveExpr("src_url", "href")} AS dst_url, atext
-       |  FROM ${out}_p),
+       |    ${sqlResolveExpr("h", "hpath", "hsuffix",
+                             "origin", "bscheme", "dir")} AS dst_url, atext
+       |  FROM ${out}_q),
        |$out AS (
        |  SELECT $idCol, src_url, dst_url, atext
        |  FROM ${out}_r WHERE dst_url IS NOT NULL)""".stripMargin

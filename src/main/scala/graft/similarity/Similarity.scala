@@ -855,7 +855,14 @@ object Similarity {
           (x, c) => (x - c.cast("double") * col("scale"))
             * (x - c.cast("double") * col("scale"))),
           lit(0.0), (a, e) => a + e))
-      .select(col(idCol), round(col("scale"), 8).as("scale"),
+      // Full-precision scale (r10 advice): publishing round(scale, 8) while
+      // codes/recon_err were computed from the UNROUNDED scale meant the
+      // stored (scale, codes) pair reconstructed ~1e-9 differently than the
+      // audited recon_err. Both engines derive scale by the same IEEE
+      // double fold (greatest∘abs, then /127.0), so the raw value is
+      // already bit-identical across the gate — no rounding needed, and
+      // the artifact now exactly reproduces the audit.
+      .select(col(idCol), col("scale"),
         array_join(col("__codes"), ",").as("codes"),
         round(col("recon_err"), 8).as("recon_err"))
       .orderBy(col(idCol))
@@ -878,7 +885,7 @@ object Similarity {
        |         ELSE list_transform(v,
        |           x -> CAST(FLOOR(x / (m / 127.0) + 0.5) AS INT)) END AS codes
        |  FROM sq_m)
-       |SELECT $idCol, round(scale, 8) AS scale,
+       |SELECT $idCol, scale,
        |  array_to_string(codes, ',') AS codes,
        |  round(list_reduce(list_prepend(0.0,
        |    list_transform(list_zip(v, codes),

@@ -92,11 +92,15 @@ object Sitemap {
       .orderBy(col(idCol), col("kind"), col("loc"))
   }
 
-  /** [[entries]] as a DuckDB CTE chain + final SELECT over a relation
-    * exposing (idCol, xml); the caller opens the WITH
-    * (`WITH <defs>, ${sqlEntries(...)}`). */
-  def sqlEntries(from: String, idCol: String = "site_id",
-                 xmlCol: String = "xml"): String = {
+  /** [[entries]]'s CTE chain alone, ending at `sm_entries` — the
+    * composable producer both [[sqlEntries]] (which appends the final
+    * SELECT) and [[sqlFrontier]] (which chains its own CTEs after it)
+    * build on. The r10 advice flagged the old arrangement — sqlFrontier
+    * spliced sqlEntries' output by `indexOf` of an exact literal, so any
+    * formatting drift in sqlEntries would have thrown
+    * StringIndexOutOfBoundsException at query-construction time. */
+  def sqlEntriesCtes(from: String, idCol: String = "site_id",
+                     xmlCol: String = "xml"): String = {
     def field(tag: String) =
       s"nullif(regexp_extract(b, '${tagRe(tag)}', 1), '')"
     def guarded(x: String, shape: String, to: String) =
@@ -125,10 +129,17 @@ object Sitemap {
        |  FROM sb),
        |sm_entries AS (SELECT * FROM rows_u WHERE loc IS NOT NULL
        |               UNION ALL
-       |               SELECT * FROM rows_s WHERE loc IS NOT NULL)
+       |               SELECT * FROM rows_s WHERE loc IS NOT NULL)""".stripMargin
+  }
+
+  /** [[entries]] as a DuckDB CTE chain + final SELECT over a relation
+    * exposing (idCol, xml); the caller opens the WITH
+    * (`WITH <defs>, ${sqlEntries(...)}`). */
+  def sqlEntries(from: String, idCol: String = "site_id",
+                 xmlCol: String = "xml"): String =
+    s"""${sqlEntriesCtes(from, idCol, xmlCol)}
        |SELECT * FROM sm_entries
        |ORDER BY $idCol, kind, loc""".stripMargin
-  }
 
   /** [EXT] Sitemap-driven discovery frontier (`sitemap_frontier` query) —
     * the composition a crawler actually runs over its sitemap haul:
@@ -179,9 +190,7 @@ object Sitemap {
     * (host, rule, prefix)). */
   def sqlFrontier(from: String, rulesRel: String,
                   idCol: String = "site_id", xmlCol: String = "xml"): String = {
-    val prelude = sqlEntries(from, idCol, xmlCol)
-    val ctes = prelude.substring(0, prelude.indexOf("\nSELECT * FROM sm_entries"))
-    s"""$ctes,
+    s"""${sqlEntriesCtes(from, idCol, xmlCol)},
        |sf_u AS (
        |  SELECT ${graft.ingest.Urls.sqlCanonicalize("loc")} AS loc,
        |    lastmod, priority

@@ -335,8 +335,10 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
   test("Links.resolve agrees with java.net.URI on the supported subset (r10)") {
     // Bases: scheme + host [+ port] + a dot-free path; hrefs from the
     // four RESOLVED contract classes (absolute http(s), scheme-relative,
-    // root-relative, path-relative without dot segments — dot-segment
-    // normalization is the resolver's documented simplification) plus
+    // root-relative, path-relative — including dot segments that never
+    // pop past the href's own depth, where java.net.URI and CPython's
+    // urljoin agree; the underflow/empty-segment cases where the two
+    // diverge are pinned to urljoin's exact outputs in LinksSpec) plus
     // the dropped classes, asserted to resolve to null.
     val seg = Gen.oneOf("a", "b1", "long-segment", "x_y")
     val baseGen = for {
@@ -351,7 +353,10 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       Gen.oneOf("//cdn.ex.com/lib.js", "//mirror.org/x"),
       seg.map("/" + _),
       Gen.zip(seg, seg).map { case (a, b) => s"$a/$b.html" },
-      seg.map(_ + ".html"))
+      seg.map(_ + ".html"),
+      seg.map(s => s"./$s"),
+      Gen.zip(seg, seg).map { case (a, b) => s"$a/../$b" },
+      Gen.zip(seg, seg).map { case (a, b) => s"$a/./$b.html" })
     forAll2(baseGen, Gen.listOfN(6, resolvedHref)) { (base, hrefs) =>
       val got = hrefs.zipWithIndex.map { case (h, i) => (i, base, h) }
         .toDF("i", "b", "h")

@@ -55,6 +55,37 @@ class LinksSpec extends SparkSpec {
     assert(resolveOne(base, null).isEmpty)
   }
 
+  test("resolve: dot segments fold with CPython-urljoin semantics (r11)") {
+    // Every expected value below is the VERBATIM output of CPython
+    // 3.11's urllib.parse.urljoin on the same (base, href) pair — the
+    // reference's resolver (crawl.py urljoin usage) probed directly.
+    val pins = Seq(
+      ("http://h/dir/sub/page.html", "../x") -> "http://h/dir/x",
+      ("http://h/dir/", "../../../x") -> "http://h/x", // pops past root ignored
+      ("http://h/dir/", "./a/./b/../c") -> "http://h/dir/a/c",
+      ("http://h/a/", "b/..") -> "http://h/a/", // trailing .. → trailing slash
+      ("http://h/a/", "b/.") -> "http://h/a/b/",
+      ("http://h/d/e/", "..") -> "http://h/d/",
+      ("http://h/d/e/", ".") -> "http://h/d/e/",
+      ("http://h/d/e", "..") -> "http://h/",
+      // path-relative merges (only) filter inner empty segments
+      ("http://h/a//b/", "../c") -> "http://h/a/c",
+      ("http://h/a//b/", "../../c") -> "http://h/c",
+      ("http://h/d/", "a//b") -> "http://h/d/a/b",
+      // root-relative: dot removal, NO empty filtering
+      ("http://h", "/../x") -> "http://h/x",
+      ("http://h/base/", "/a//b/../c") -> "http://h/a//c",
+      // the query/fragment tail rides along untouched — a '/' inside
+      // it is data, not path
+      ("http://h/d/", "a/../b?q=/x/../y#f/.") -> "http://h/d/b?q=/x/../y#f/.",
+      // absolute and protocol-relative hrefs pass through UNnormalized
+      ("http://h/a", "http://x/p/../q") -> "http://x/p/../q",
+      ("http://h/a", "//cdn.net/p/../q") -> "http://cdn.net/p/../q")
+    pins.foreach { case ((b, h), want) =>
+      assert(resolveOne(b, h).contains(want), s"base=$b href=$h")
+    }
+  }
+
   test("anchors: opening-tag href only, both quote styles, stripped text") {
     val html =
       """<p>intro</p>

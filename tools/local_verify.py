@@ -8,7 +8,7 @@ oracle SQL from oracle_sql.json in DuckDB (with each fixture parquet
 registered as a view under its table name), sorts columns by name, and
 compares row-by-row values. Dev tool only — not part of the shipped library.
 """
-import json, math, sys
+import json, math, sys, time
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -31,7 +31,9 @@ def main(out_dir, sf_dir):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    timings = {}
     for name, sql in sorted(oracle.items()):
+        t0 = time.time()
         try:
             got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
             want = con.sql(sql).df()
@@ -62,7 +64,11 @@ def main(out_dir, sf_dir):
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
             n_fail += 1
+        timings[name] = time.time() - t0
     print(f"== {n_pass} pass, {n_fail} fail")
+    slow = sorted(timings.items(), key=lambda kv: -kv[1])[:15]
+    print("slowest oracles:", ", ".join(f"{k}={v:.1f}s" for k, v in slow))
+    print(f"compare total: {sum(timings.values()):.1f}s")
     return 1 if n_fail else 0
 
 
