@@ -1,0 +1,339 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/** [EXT] Unigram-LM (SentencePiece-class) subword tokenizer
+  * (`unigram_encode_stats` / `unigram_fertility` queries) — the OTHER
+  * member of the tokenizer family next to [[Bpe]] (Kudo 2018,
+  * "Subword Regularization"): instead of growing pieces bottom-up by
+  * merge frequency, the unigram model starts from a large seeded
+  * candidate vocabulary, fits piece probabilities by EM over the
+  * word-frequency dictionary, prunes to the target size, and encodes by
+  * VITERBI — the maximum-likelihood segmentation under the piece
+  * unigram LM. Modern multilingual pipelines budget in unigram-LM
+  * pieces; the repo's fertility audit (`bpe_fertility`) skews
+  * differently under it, which is exactly what the paired
+  * `unigram_fertility` query exposes.
+  *
+  * Training follows the [[Bpe.fitMerges]] discipline — fit on the
+  * BOUNDED word-frequency dictionary, never the token stream: seed
+  * candidates are all substrings (length ≤ `maxPieceLen`) of dictionary
+  * words weighted by word count, capped to `seedSize` by (count desc,
+  * piece asc) with every single character kept for coverage; EM rounds
+  * are HARD (Viterbi) E-steps — re-segment the dictionary under current
+  * probabilities, recount, re-normalize — a deterministic simplification
+  * of Kudo's soft EM + loss-ranked pruning (documented divergence: hard
+  * EM converges to comparable vocabularies on skewed corpora and is a
+  * pure function of the dictionary, which the oracle channel needs).
+  * At 100 TB the dictionary is still vocabulary-scale, so the collect
+  * is bounded and the cluster never re-scans the corpus per round.
+  *
+  * Probabilities live as INTEGER MICRO-NATS (`⌊ln(c∕Σc)·10⁶⌋`, the
+  * [[LmScore]] fixed-point discipline): the doubles die at fit time on
+  * the driver, and both engines' Viterbi runs in pure BIGINT addition —
+  * no float fold anywhere, so the DP is bit-identical by construction.
+  * Unknown single characters cost [[UnkMicro]] (≈ ln 1e-10); multi-char
+  * candidates must be in the vocabulary. Ties break identically in both
+  * engines: higher score, then FEWER pieces, then the LONGER last piece.
+  *
+  * The oracle is the [[graft.similarity.FittedOracle]] printed-constant
+  * channel: the fitted (piece, lp) table prints into a DuckDB MAP
+  * constant and the Viterbi DP replays as a `list_reduce` fold over
+  * positions (accumulator = the dp array as a STRUCT(s, n) list; the
+  * current position is `len(acc)` — no recursion, no aggregate-in-
+  * recursion). Character indexing is BMP-code-unit on both engines
+  * (the [[Bpe]] contract; astral input is out of contract for the
+  * fixture corpus).
+  *
+  * Scale shape: encode is a broadcast-table per-partition map over the
+  * token arrays — no shuffle; stats aggregate on doc_id / the bounded
+  * language key. Reference for semantics: Kudo 2018 §3; SentencePiece's
+  * public unigram trainer (seed → EM → prune → Viterbi encode).
+  */
+object Unigram {
+
+  /** Cost of an out-of-vocabulary single character, in micro-nats
+    * (≈ ln 1e-10 — harsh enough that any in-vocab segmentation wins,
+    * finite so encode stays total on unseen scripts). */
+  val UnkMicro: Long = -23025851L
+
+  private def lpMicro(cnt: Long, total: Long): Long =
+    math.floor(math.log(cnt.toDouble / total.toDouble) * 1e6).toLong
+
+  /** Viterbi DP over one token under integer piece log-probs. Returns
+    * (score, nPieces, backpointers) — the tournament order (score desc,
+    * pieces asc, last-piece-length desc) is the one the SQL fold
+    * replays. */
+  private def viterbiDp(tok: String, lp: collection.Map[String, Long],
+                        maxLen: Int): (Array[Long], Array[Int], Array[Int]) = {
+    val n = tok.length
+    val s = new Array[Long](n + 1)
+    val np = new Array[Int](n + 1)
+    val bk = new Array[Int](n + 1)
+    var pos = 1
+    while (pos <= n) {
+      var bestS = Long.MinValue
+      var bestN = Int.MaxValue
+      var bestK = 0
+      var k = 1
+      val kMax = math.min(maxLen, pos)
+      while (k <= kMax) {
+        val piece = tok.substring(pos - k, pos)
+        val c = lp.get(piece) match {
+          case Some(v) => v
+          case None => if (k == 1) UnkMicro else Long.MinValue
+        }
+        if (c != Long.MinValue) {
+          val cs = s(pos - k) + c
+          val cn = np(pos - k) + 1
+          if (cs > bestS || (cs == bestS &&
+            (cn < bestN || (cn == bestN && k > bestK)))) {
+            bestS = cs; bestN = cn; bestK = k
+          }
+        }
+        k += 1
+      }
+      s(pos) = bestS; np(pos) = bestN; bk(pos) = bestK
+      pos += 1
+    }
+    (s, np, bk)
+  }
+
+  /** Piece count of the Viterbi segmentation (encode hot path). */
+  private[text] def viterbiPieces(tok: String, lp: collection.Map[String, Long],
+                                  maxLen: Int): Int =
+    if (tok.isEmpty) 0 else viterbiDp(tok, lp, maxLen)._2(tok.length)
+
+  /** The Viterbi segmentation itself (EM E-step + specs). */
+  private[text] def viterbiPath(tok: String, lp: collection.Map[String, Long],
+                                maxLen: Int): List[String] = {
+    if (tok.isEmpty) return Nil
+    val bk = viterbiDp(tok, lp, maxLen)._3
+    var pos = tok.length
+    var out = List.empty[String]
+    while (pos > 0) {
+      val k = bk(pos)
+      out = tok.substring(pos - k, pos) :: out
+      pos -= k
+    }
+    out
+  }
+
+  /** Driver-side unigram fit over a word dictionary: (piece, lpMicro)
+    * sorted by piece. Pure function of the dictionary (sorted takes,
+    * commutative sums — no hash-order dependence). */
+  private[text] def fitOnDict(dict: Array[(String, Long)], vocabSize: Int,
+                              maxPieceLen: Int = 6, emRounds: Int = 3,
+                              seedSize: Int = 2000): Seq[(String, Long)] = {
+    // seed: substring counts weighted by word frequency
+    val cnt = mutable.HashMap.empty[String, Long]
+    dict.foreach { case (w, n) =>
+      var i = 0
+      while (i < w.length) {
+        var j = i + 1
+        val jMax = math.min(i + maxPieceLen, w.length)
+        while (j <= jMax) {
+          val p = w.substring(i, j)
+          cnt.update(p, cnt.getOrElse(p, 0L) + n)
+          j += 1
+        }
+        i += 1
+      }
+    }
+    if (cnt.isEmpty) return Seq.empty
+    val chars = cnt.keysIterator.filter(_.length == 1).toIndexedSeq.sorted
+    val multi = cnt.iterator.filter(_._1.length > 1).toIndexedSeq
+      .sortBy { case (p, c) => (-c, p) }
+      .take(math.max(0, seedSize - chars.size)).map(_._1)
+    var counts: Map[String, Long] =
+      (chars ++ multi).iterator.map(p => p -> cnt(p)).toMap
+    def toProbs(c: Map[String, Long]): Map[String, Long] = {
+      val tot = c.valuesIterator.sum
+      c.map { case (p, n) => p -> lpMicro(n, tot) }
+    }
+    var probs = toProbs(counts)
+    // hard-EM rounds: Viterbi re-segmentation of the dictionary,
+    // recount, renormalize. Characters keep a floor count of 1 so
+    // coverage never collapses; multi-char pieces the best
+    // segmentations stopped using drop out (implicit pruning).
+    var round = 0
+    while (round < emRounds) {
+      val ncnt = mutable.HashMap.empty[String, Long]
+      dict.foreach { case (w, n) =>
+        viterbiPath(w, probs, maxPieceLen)
+          .foreach(p => ncnt.update(p, ncnt.getOrElse(p, 0L) + n))
+      }
+      counts = counts.keysIterator.map { p =>
+        val c = ncnt.getOrElse(p, 0L)
+        p -> (if (p.length == 1) math.max(c, 1L) else c)
+      }.filter(_._2 > 0).toMap
+      probs = toProbs(counts)
+      round += 1
+    }
+    // final prune to vocabSize: every character survives; multi-char by
+    // (count desc, piece asc); renormalize over the kept set.
+    val keptChars = counts.keysIterator.filter(_.length == 1).toIndexedSeq.sorted
+    val keptMulti = counts.iterator.filter(_._1.length > 1).toIndexedSeq
+      .sortBy { case (p, c) => (-c, p) }
+      .take(math.max(0, vocabSize - keptChars.size)).map(_._1)
+    val kept = (keptChars ++ keptMulti).toSet
+    toProbs(counts.filter { case (p, _) => kept(p) })
+      .toIndexedSeq.sortBy(_._1)
+  }
+
+  /** Train on `textCol`: the [[Bpe.wordDict]] bounded dictionary, then
+    * [[fitOnDict]]. */
+  def fitPieces(docs: DataFrame, textCol: String, vocabSize: Int,
+                maxPieceLen: Int = 6, emRounds: Int = 3,
+                seedSize: Int = 2000,
+                maxVocabWords: Int = 100000): Seq[(String, Long)] =
+    fitOnDict(Bpe.wordDict(docs, textCol, maxVocabWords), vocabSize,
+      maxPieceLen, emRounds, seedSize)
+
+  private def pieceUdf(docs: DataFrame, pieces: Seq[(String, Long)],
+                       maxPieceLen: Int) = {
+    val bc = docs.sparkSession.sparkContext.broadcast(pieces.toMap)
+    udf { toks: Seq[String] =>
+      var p = 0L
+      toks.foreach(t => p += viterbiPieces(t, bc.value, maxPieceLen))
+      p
+    }
+  }
+
+  /** Per-document Viterbi encode statistics (`unigram_encode_stats`):
+    * (doc_id, n_tokens, n_pieces, compression) — the [[Bpe.encodeStats]]
+    * twin under the unigram model. Broadcast piece table, per-partition
+    * encode, no shuffle. */
+  def encodeStats(docs: DataFrame, idCol: String, textCol: String,
+                  pieces: Seq[(String, Long)],
+                  maxPieceLen: Int = 6): DataFrame = {
+    val enc = pieceUdf(docs, pieces, maxPieceLen)
+    graft.Par.widen(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextAnalysis.tokens(lower(col(textCol))).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        enc(col("toks")).as("n_pieces"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"), col("n_pieces"),
+        round(col("n_tokens").cast("double") /
+          col("n_pieces").cast("double"), 4).as("compression"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fertility by language under the unigram model
+    * (`unigram_fertility`): the [[Bpe.fertilityByLang]] audit with the
+    * Viterbi piece counts — integer sums end-to-end, one shuffle on the
+    * bounded language key. */
+  def fertilityByLang(docs: DataFrame, idCol: String, textCol: String,
+                      langCol: String, pieces: Seq[(String, Long)],
+                      maxPieceLen: Int = 6): DataFrame = {
+    val enc = pieceUdf(docs, pieces, maxPieceLen)
+    graft.Par.widen(docs)
+      .select(coalesce(col(langCol), lit("und")).as("lang"),
+        TextAnalysis.tokens(lower(col(textCol))).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("lang"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        enc(col("toks")).as("n_pieces"),
+        aggregate(transform(col("toks"), t => octet_length(t).cast("long")),
+          lit(0L), _ + _).as("n_bytes"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_pieces")).as("n_pieces"),
+        sum(col("n_bytes")).as("n_bytes"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_pieces"),
+        col("n_bytes"),
+        round(col("n_pieces").cast("double") /
+          col("n_tokens").cast("double"), 4).as("fertility"),
+        round(col("n_bytes").cast("double") /
+          col("n_pieces").cast("double"), 4).as("bytes_per_piece"))
+      .orderBy(col("lang"))
+  }
+
+  // ---------------------------------------------------------------- SQL
+
+  private def sqlQuote(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** Shared WITH-fragments of the unigram oracles: the fitted pieces as
+    * a MAP constant, the Viterbi DP as a list_reduce fold over positions
+    * (dp array = STRUCT(s BIGINT, n BIGINT) list; position = len(acc);
+    * candidates k = 1..min(L, pos) with the (score desc, pieces asc,
+    * k desc) tournament — exactly [[viterbiDp]]'s argmax), then the
+    * per-document joins the [[Bpe]] oracles established. */
+  private def sqlUnigramCommon(pieces: Seq[(String, Long)],
+                               maxPieceLen: Int): String = {
+    require(pieces.nonEmpty, "unigram oracle needs a non-empty fitted vocab")
+    val ps = pieces.map(p => sqlQuote(p._1)).mkString(", ")
+    val ls = pieces.map(_._2.toString).mkString(", ")
+    val tokRe = "[^ \\t\\n\\x0B\\f\\r]+"
+    // candidate for last-piece length k at position len(acc); NULL score
+    // for an out-of-vocab multi-char piece drops the candidate
+    val cand =
+      s"""list_filter(list_transform(range(1, least($maxPieceLen, len(acc)) + 1), k ->
+         |      {'s': acc[CAST(len(acc) - k + 1 AS INT)].s +
+         |              (CASE WHEN k = 1
+         |                THEN COALESCE(m[tok[CAST(len(acc) - k + 1 AS INT)]][1], ${UnkMicro}::BIGINT)
+         |                ELSE m[substring(tok, CAST(len(acc) - k + 1 AS INT), CAST(k AS INT))][1] END),
+         |       'n': acc[CAST(len(acc) - k + 1 AS INT)].n + 1,
+         |       'k': k}), c -> c.s IS NOT NULL)""".stripMargin
+    val best =
+      s"""list_reduce($cand,
+         |      (a, b) -> CASE WHEN b.s > a.s OR (b.s = a.s AND
+         |        (b.n < a.n OR (b.n = a.n AND b.k > a.k))) THEN b ELSE a END)""".stripMargin
+    s"""u_vm AS (SELECT MAP([$ps], [$ls]::BIGINT[]) AS m),
+       |u_dtok AS (
+       |  SELECT DISTINCT UNNEST(regexp_extract_all(lower(text), '$tokRe')) AS tok
+       |  FROM documents),
+       |u_dp AS (
+       |  SELECT tok, list_reduce(
+       |    list_prepend([{'s': CAST(0 AS BIGINT), 'n': CAST(0 AS BIGINT)}],
+       |      list_transform(range(1, length(tok) + 1),
+       |        i -> [{'s': CAST(0 AS BIGINT), 'n': CAST(0 AS BIGINT)}])),
+       |    (acc, x) -> list_append(acc,
+       |      list_transform([$best], b -> {'s': b.s, 'n': b.n})[1])) AS dp
+       |  FROM u_dtok CROSS JOIN u_vm),
+       |u_pieces AS (SELECT tok, dp[len(dp)].n AS np FROM u_dp),
+       |u_dt AS (
+       |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '$tokRe')) AS tok
+       |  FROM documents),
+       |u_doc AS (
+       |  SELECT u_dt.doc_id, COUNT(*) AS n_tokens,
+       |    CAST(SUM(u_pieces.np) AS BIGINT) AS n_pieces
+       |  FROM u_dt JOIN u_pieces USING (tok) GROUP BY u_dt.doc_id)""".stripMargin
+  }
+
+  /** DuckDB mirror of [[encodeStats]] — the FULL oracle for
+    * `unigram_encode_stats`. */
+  def sqlEncodeStats(pieces: Seq[(String, Long)],
+                     maxPieceLen: Int = 6): String =
+    s"""WITH ${sqlUnigramCommon(pieces, maxPieceLen)}
+       |SELECT doc_id, n_tokens, n_pieces,
+       |  round(n_tokens::DOUBLE / n_pieces::DOUBLE, 4) AS compression
+       |FROM u_doc WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin
+
+  /** DuckDB mirror of [[fertilityByLang]] — the FULL oracle for
+    * `unigram_fertility`. */
+  def sqlFertilityByLang(pieces: Seq[(String, Long)],
+                         maxPieceLen: Int = 6): String =
+    s"""WITH ${sqlUnigramCommon(pieces, maxPieceLen)},
+       |u_db AS (
+       |  SELECT doc_id, COALESCE(lang, 'und') AS lang,
+       |    COALESCE(list_sum(list_transform(
+       |      regexp_extract_all(lower(text), '[^ \\t\\n\\x0B\\f\\r]+'),
+       |      t -> strlen(t))), 0) AS nb
+       |  FROM documents),
+       |u_j AS (
+       |  SELECT u_db.lang, u_doc.n_tokens, u_doc.n_pieces, u_db.nb
+       |  FROM u_doc JOIN u_db ON u_doc.doc_id = u_db.doc_id)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+       |  CAST(SUM(nb) AS BIGINT) AS n_bytes,
+       |  round(SUM(n_pieces)::DOUBLE / SUM(n_tokens)::DOUBLE, 4) AS fertility,
+       |  round(SUM(nb)::DOUBLE / SUM(n_pieces)::DOUBLE, 4) AS bytes_per_piece
+       |FROM u_j GROUP BY lang ORDER BY lang""".stripMargin
+}
