@@ -1348,6 +1348,26 @@ object SparkEntry {
       FittedOracle.bpeFertilityMerges = Some(merges)
       graft.text.Bpe.fertilityByLang(docs, "doc_id", "text", "lang", merges)
     }),
+    // Unigram-LM (SentencePiece-class) tokenizer (r11): Viterbi-EM fit
+    // on the bounded word dictionary, maximum-likelihood Viterbi encode
+    // under integer micro-nat piece log-probs. Full oracle via the
+    // printed piece table + a list_reduce Viterbi DP replay in DuckDB
+    // (FittedOracle channel — same discipline as the BPE pair).
+    "unigram_encode_stats" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pieces = graft.text.Unigram.fitPieces(docs, "text", 400)
+      FittedOracle.unigramStatsPieces = Some(pieces)
+      graft.text.Unigram.encodeStats(docs, "doc_id", "text", pieces)
+    }),
+    // The fertility audit under the unigram model — multilingual
+    // budgets skew differently than under BPE (the point of having
+    // both tokenizers in the family).
+    "unigram_fertility" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pieces = graft.text.Unigram.fitPieces(docs, "text", 400)
+      FittedOracle.unigramFertilityPieces = Some(pieces)
+      graft.text.Unigram.fertilityByLang(docs, "doc_id", "text", "lang", pieces)
+    }),
     // Bigram LM scoring (CCNet-style quality signal): per-doc
     // predictability cost under the corpus's own bigram model, in
     // integer micro-nats so the iterative-free float pipeline still

@@ -46,6 +46,11 @@ object FittedOracle {
   @volatile var bpeStatsMerges: Option[Seq[(String, String)]] = None
   @volatile var bpePackMerges: Option[Seq[(String, String)]] = None
   @volatile var bpeFertilityMerges: Option[Seq[(String, String)]] = None
+  // Fitted unigram-LM piece tables (r11): (piece, micro-nat logprob) —
+  // Kudo-2018-class Viterbi-EM driver fits, integer constants printable
+  // into the SQL Viterbi replay. One slot per query (the BPE rule).
+  @volatile var unigramStatsPieces: Option[Seq[(String, Long)]] = None
+  @volatile var unigramFertilityPieces: Option[Seq[(String, Long)]] = None
 
   /** Exact decimal print: Java's shortest round-trip representation, which
     * DuckDB's parser maps back to the same double (scientific notation
@@ -127,5 +132,9 @@ object FittedOracle {
       bpePackMerges.filter(_.nonEmpty).map(m =>
         "sequence_packing_bpe" -> graft.text.Bpe.sqlPackChunksBpe(m, 512L)) ++
       bpeFertilityMerges.filter(_.nonEmpty).map(m =>
-        "bpe_fertility" -> graft.text.Bpe.sqlFertilityByLang(m))).toMap
+        "bpe_fertility" -> graft.text.Bpe.sqlFertilityByLang(m)) ++
+      unigramStatsPieces.filter(_.nonEmpty).map(p =>
+        "unigram_encode_stats" -> graft.text.Unigram.sqlEncodeStats(p)) ++
+      unigramFertilityPieces.filter(_.nonEmpty).map(p =>
+        "unigram_fertility" -> graft.text.Unigram.sqlFertilityByLang(p))).toMap
 }
