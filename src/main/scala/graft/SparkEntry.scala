@@ -341,6 +341,17 @@ object SparkEntry {
             all.filter(col("doc_id") < 250), "doc_id", "text", 20, 5)),
         width = 20, stride = 5)
     }),
+    // Completeness audit vs the TRUE ExactSubstr mass (r11): the truth
+    // is the stride-1 minLen-gram marking (tiling argument —
+    // SubstringDedup.coverage scaladoc), so the window-hash settings'
+    // missed-duplicate mass is a measured per-mille, not a scaladoc
+    // sentence. The (10, 1, false) row IS the truth setting — its
+    // coverage_pm pins 1000 as a self-check.
+    "substring_dedup_coverage" -> ((s, dir) =>
+      graft.dedup.SubstringDedup.coverage(Tables.documents(s, dir),
+        "doc_id", "text",
+        Seq((20, 5, false), (20, 1, false), (20, 5, true), (10, 1, false)),
+        minLen = 10)),
     // ---- [EXT] similarity search ----
     "knn_bruteforce" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -1939,6 +1950,9 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "substring_dedup" -> substringDedupSql(substringCte),
     "substring_dedup_anchored" -> substringDedupSql(substringAnchoredCte),
+    "substring_dedup_coverage" -> graft.dedup.SubstringDedup.sqlCoverage(
+      Seq((20, 5, false), (20, 1, false), (20, 5, true), (10, 1, false)),
+      minLen = 10),
     "substring_dedup_incremental" ->
       s"""$substringCte,
          |hist AS (SELECT DISTINCT md5(norm) AS h FROM w WHERE doc_id < 250),

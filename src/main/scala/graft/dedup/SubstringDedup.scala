@@ -27,10 +27,13 @@ import org.apache.spark.sql.functions._
   * document is rebuilt from the tokens outside every merged interval.
   *
   * Approximation contract vs true suffix-array ExactSubstr (documented,
-  * spec-pinned): (a) minimum detected match length is `width` tokens —
-  * same role as ExactSubstr's 50-token minimum; (b) a residue shorter
-  * than `width` at either end of a duplicated passage can survive
-  * (window alignment granularity); (c) two copies are detected only when
+  * spec-pinned, and since r11 MEASURED — [[coverage]] emits each
+  * setting's missed-duplicate mass against the stride-1 truth as the
+  * `substring_dedup_coverage` query): (a) minimum detected match length
+  * is `width` tokens — same role as ExactSubstr's 50-token minimum;
+  * (b) a residue shorter than `width` at either end of a duplicated
+  * passage can survive (window alignment granularity); (c) two copies
+  * are detected only when
   * their token offsets agree modulo `stride` — `stride = 1` removes this
   * caveat at width× unit fan-out, and the production middle ground,
   * content-anchored starts (anchor where md5(token) ≡ 0 mod stride),
@@ -256,6 +259,129 @@ object SubstringDedup {
     * keeper position — the WHAT-was-removed report (high-n_docs rows are
     * cross-site boilerplate). Carries the passage text, so this path
     * groups by (h, norm); the md5 key still keeps the sort keys short. */
+  /** [EXT] Completeness audit vs the TRUE ExactSubstr answer
+    * (`substring_dedup_coverage` query) — the r10 verdict asked for the
+    * window-hash form's missed-duplicate mass as a MEASURED number
+    * instead of a scaladoc sentence.
+    *
+    * The truth needs no suffix array for the MASS metric: a token lies
+    * inside a repeated substring of ≥ `minLen` tokens iff it lies
+    * inside a repeated `minLen`-gram (every length-≥m repeated
+    * substring is tiled by repeated m-grams; a repeated m-gram IS a
+    * repeated substring) — so the true removed-token mass is exactly
+    * this operator at (width = minLen, stride = 1, unanchored), which
+    * is what Lee et al.'s suffix array computes efficiently at scale.
+    * The suffix array is an EFFICIENCY device, not a different answer;
+    * at fixture scale the stride-1 window form is affordable and
+    * oracle-exact.
+    *
+    * Subset invariant (SubstringDedupSpec pins it): every token a
+    * (width ≥ minLen) setting removes sits inside a repeated width-gram
+    * whose copy occurs earlier, hence inside repeated minLen-grams with
+    * earlier copies — so removed ⊆ true and `missed = true − removed`
+    * is non-negative mass, never a set estimate.
+    *
+    * Output: one row per audited setting —
+    * (width, stride, anchored, removed_tokens, true_tokens,
+    * missed_tokens, coverage_pm = ⌊removed·1000 ∕ true⌋, 1000 when the
+    * truth mass is 0). Each setting is one marking pass + interval
+    * merge + a single-row sum; the truth scalar broadcasts onto every
+    * row. Scale: the truth pass is the stride-1 fan-out the object doc
+    * prices (width× units, ids-only exchange) — an AUDIT to run on a
+    * sampled shard at 100 TB, not per-ingest. */
+  def coverage(docs: DataFrame, idCol: String, textCol: String,
+               settings: Seq[(Int, Int, Boolean)], minLen: Int,
+               minOccurrences: Long = 2L): DataFrame = {
+    require(settings.nonEmpty, "need at least one setting to audit")
+    require(settings.forall(_._1 >= minLen),
+      "settings narrower than minLen would break the subset invariant")
+    def mass(width: Int, stride: Int, anchored: Boolean): DataFrame =
+      removedIntervals(
+        windows(docs, idCol, textCol, width, stride, anchored = anchored),
+        width, minOccurrences)
+        .agg(coalesce(sum(col("rm_end") - col("rm_start") + 1), lit(0L))
+          .as("removed_tokens"))
+    val truth = mass(minLen, 1, anchored = false)
+      .select(col("removed_tokens").as("true_tokens"))
+    settings.map { case (w, s, a) =>
+      mass(w, s, a).select(lit(w.toLong).as("width"),
+        lit(s.toLong).as("stride"), lit(a).as("anchored"),
+        col("removed_tokens"))
+    }.reduce(_.unionByName(_))
+      .crossJoin(broadcast(truth))
+      .select(col("width"), col("stride"), col("anchored"),
+        col("removed_tokens"), col("true_tokens"),
+        (col("true_tokens") - col("removed_tokens")).as("missed_tokens"),
+        // `div`, not `/`: Column./ is double division in Spark; the
+        // oracle's `//` is exact integer floor — match it exactly.
+        when(col("true_tokens") === 0L, 1000L)
+          .otherwise(expr("removed_tokens * 1000L div true_tokens"))
+          .cast("long").as("coverage_pm"))
+      .orderBy(col("width"), col("stride"), col("anchored"))
+  }
+
+  /** [[coverage]] as one DuckDB query: the shared token CTE, one
+    * marking/merge/sum chain per setting plus the truth chain, a UNION
+    * of setting rows, the truth scalar cross-joined on. */
+  def sqlCoverage(settings: Seq[(Int, Int, Boolean)], minLen: Int,
+                  minOccurrences: Long = 2L): String = {
+    def startsList(width: Int, stride: Int, anchored: Boolean): String =
+      if (anchored)
+        s"""list_filter(range(1, len(toks) - ${width - 2}),
+           |            s -> ('0x' || substring(md5(lower(toks[s])), 1, 8))::UBIGINT % $stride = 0)""".stripMargin
+      else
+        s"list_distinct(list_append(range(1, len(toks) - ${width - 2}, $stride), len(toks) - ${width - 1}))"
+    def chain(tag: String, width: Int, stride: Int, anchored: Boolean): String =
+      s"""w_$tag AS (
+         |  SELECT doc_id, CAST(s AS BIGINT) AS start,
+         |    md5(lower(array_to_string(list_slice(toks, s, s + ${width - 1}), ' '))) AS h
+         |  FROM (SELECT doc_id, toks, UNNEST(${startsList(width, stride, anchored)}) AS s
+         |        FROM sc_t WHERE len(toks) >= $width)),
+         |m_$tag AS (
+         |  SELECT doc_id, start,
+         |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn,
+         |    COUNT(*) OVER (PARTITION BY h) AS n_occ
+         |  FROM w_$tag),
+         |r_$tag AS (SELECT doc_id, start, start + ${width - 1} AS fin
+         |           FROM m_$tag WHERE rn > 1 AND n_occ >= $minOccurrences),
+         |g_$tag AS (
+         |  SELECT doc_id, start, fin,
+         |    SUM(CASE WHEN prev_fin IS NULL OR start > prev_fin + 1
+         |        THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY start) AS island
+         |  FROM (SELECT doc_id, start, fin,
+         |          MAX(fin) OVER (PARTITION BY doc_id ORDER BY start
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_fin
+         |        FROM r_$tag)),
+         |mass_$tag AS (
+         |  SELECT COALESCE(SUM(rm_end - rm_start + 1), 0) AS removed_tokens
+         |  FROM (SELECT doc_id, MIN(start) AS rm_start, MAX(fin) AS rm_end
+         |        FROM g_$tag GROUP BY doc_id, island))""".stripMargin
+    val chains = settings.zipWithIndex.map { case ((w, s, a), i) =>
+      chain(s"s$i", w, s, a)
+    }
+    val rows = settings.zipWithIndex.map { case ((w, s, a), i) =>
+      s"SELECT CAST($w AS BIGINT) AS width, CAST($s AS BIGINT) AS stride, " +
+        s"$a AS anchored, removed_tokens FROM mass_s$i"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH sc_t AS (
+       |  SELECT doc_id, regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+') AS toks
+       |  FROM documents),
+       |${chains.mkString(",\n")},
+       |${chain("tr", minLen, 1, anchored = false)},
+       |sc_rows AS (
+       |  $rows)
+       |SELECT width, stride, anchored,
+       |  CAST(sc_rows.removed_tokens AS BIGINT) AS removed_tokens,
+       |  CAST(t.removed_tokens AS BIGINT) AS true_tokens,
+       |  CAST(t.removed_tokens - sc_rows.removed_tokens AS BIGINT) AS missed_tokens,
+       |  CAST(CASE WHEN t.removed_tokens = 0 THEN 1000
+       |       ELSE sc_rows.removed_tokens * 1000 // t.removed_tokens END AS BIGINT)
+       |    AS coverage_pm
+       |FROM sc_rows CROSS JOIN mass_tr t
+       |ORDER BY width, stride, anchored""".stripMargin
+  }
+
   def audit(docs: DataFrame, idCol: String, textCol: String,
             width: Int, stride: Int, minOccurrences: Long = 2L): DataFrame =
     windows(docs, idCol, textCol, width, stride, withText = true)

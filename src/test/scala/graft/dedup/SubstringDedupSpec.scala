@@ -220,6 +220,43 @@ class SubstringDedupSpec extends SparkSpec {
     assert(afterMap == scratch)
   }
 
+  test("coverage: a sub-window duplicate the windows provably miss (r11)") {
+    // S is 5 tokens — a TRUE duplicate at minLen 4, invisible to any
+    // width-8 setting (no repeated 8-gram exists). The audit must show
+    // it as missed mass for width 8, caught by the truth chain.
+    val s5 = "omega kappa sigma theta lambda"
+    val cdocs = Seq(
+      (1L, s"$s5 filler1 filler2 filler3 filler4"),
+      (2L, s"pre1 pre2 pre3 $s5 post1 post2")).toDF("doc_id", "text")
+    val out = SubstringDedup.coverage(cdocs, "doc_id", "text",
+        Seq((8, 3, false), (4, 1, false)), minLen = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val (rm8, true8, missed8, pm8) = out((8L, 3L))
+    assert(rm8 == 0L, "no repeated 8-gram exists, width 8 must remove 0")
+    assert(true8 == 5L, "the 5-token duplicate is true mass (one copy removed)")
+    assert(missed8 == 5L && pm8 == 0L,
+      "the sub-window duplicate must surface as missed mass")
+    // the truth-as-setting row self-checks at full coverage
+    val (rm4, _, missed4, pm4) = out((4L, 1L))
+    assert(rm4 == 5L && missed4 == 0L && pm4 == 1000L)
+  }
+
+  test("coverage: removed mass is a subset of true mass on the fixture") {
+    val rows = SubstringDedup.coverage(docs, "doc_id", "text",
+        Seq((8, 3, false), (8, 1, false), (8, 3, true)), minLen = 8)
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(5) >= 0L,
+        s"missed mass negative for (${r.getLong(0)},${r.getLong(1)}) — subset broken")
+      assert(r.getLong(6) <= 1000L)
+    }
+    // stride 1 at width = minLen IS the truth: full coverage
+    val s1 = rows.find(r => r.getLong(1) == 1L).get
+    assert(s1.getLong(6) == 1000L)
+  }
+
   test("idempotence: re-running on cleaned output removes nothing") {
     val once = SubstringDedup.cleaned(docs, "doc_id", "text", 8, 3)
       .select("doc_id", "text_clean")
