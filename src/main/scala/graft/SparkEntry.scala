@@ -503,6 +503,48 @@ object SparkEntry {
       Ivf.appendToStore(emb.filter(col("vec_id") >= 250), centers, path)
       Ivf.knnIvfStored(s, path, centers, emb.filter(col("vec_id") % 50 === 0), 5)
     }),
+    // Store COMPACTION (r11): the grown store's many small per-list
+    // files rewritten as one file per list (hash-repartition by list +
+    // temp-dir swap) — content identical, layout minimal. The search
+    // after compaction must equal the in-memory search under the same
+    // frozen centers, which the shared printed-centroid oracle enforces
+    // (IvfMaintenanceSpec additionally pins the one-file-per-list
+    // layout and byte-level search identity before/after).
+    "knn_ivf_compacted" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val hist = emb.filter(col("vec_id") < 250)
+      val centers = Ivf.fitCentroids(hist, 16)
+      FittedOracle.compactedCenters = Some(centers)
+      val parent = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_store_" +
+        System.getProperty("user.name", "u")
+      val path = s"$parent/compact_" +
+        s"${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_${s.sparkContext.applicationId}"
+      IvfStoreScratch.deleteOnExit(path)
+      Ivf.writeListPartitioned(hist, centers, path)
+      Ivf.appendToStore(emb.filter(col("vec_id") >= 250), centers, path)
+      Ivf.compactStore(s, path)
+      Ivf.knnIvfStored(s, path, centers, emb.filter(col("vec_id") % 50 === 0), 5)
+    }),
+    // Quantizer REFIT (r11): when ivf_list_stats says the corpus moved,
+    // re-fit centers from the grown store, re-assign every vector,
+    // rewrite list-partitioned (the FAISS retrain loop). Search under
+    // the NEW centers over the refit store equals the in-memory search
+    // over the same corpus — the refit-centers printed oracle.
+    "knn_ivf_refit" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val hist = emb.filter(col("vec_id") < 250)
+      val histCenters = Ivf.fitCentroids(hist, 16)
+      val parent = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_store_" +
+        System.getProperty("user.name", "u")
+      val path = s"$parent/refit_" +
+        s"${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_${s.sparkContext.applicationId}"
+      IvfStoreScratch.deleteOnExit(path)
+      Ivf.writeListPartitioned(hist, histCenters, path)
+      Ivf.appendToStore(emb.filter(col("vec_id") >= 250), histCenters, path)
+      val centers = Ivf.refit(s, path, 16)
+      FittedOracle.refitCenters = Some(centers)
+      Ivf.knnIvfStored(s, path, centers, emb.filter(col("vec_id") % 50 === 0), 5)
+    }),
     // The drift/imbalance audit of that frozen quantizer: per-list
     // history/batch occupancy + integer-ppm corpus share, EVERY list
     // present (empty ones read 0).

@@ -40,6 +40,10 @@ object FittedOracle {
   @volatile var distortionBooks: Option[IndexedSeq[IndexedSeq[IndexedSeq[Double]]]] = None
   @volatile var appendCenters: Option[IndexedSeq[IndexedSeq[Double]]] = None
   @volatile var listStatsCenters: Option[IndexedSeq[IndexedSeq[Double]]] = None
+  // Store-maintenance fits (r11): compaction searches under the same
+  // frozen quantizer; refit returns NEW centers from the grown corpus.
+  @volatile var compactedCenters: Option[IndexedSeq[IndexedSeq[Double]]] = None
+  @volatile var refitCenters: Option[IndexedSeq[IndexedSeq[Double]]] = None
   @volatile var clusterSampleCenters: Option[IndexedSeq[IndexedSeq[Double]]] = None
   @volatile var langIdProfiles: Option[Seq[(String, Seq[String])]] = None
   @volatile var langConfusionProfiles: Option[Seq[(String, Seq[String])]] = None
@@ -110,6 +114,13 @@ object FittedOracle {
         "knn_ivf_append" -> Ivf.sqlKnnIvf(c, k = 5, nprobe = 4)) ++
       listStatsCenters.map(c =>
         "ivf_list_stats" -> Ivf.sqlListStats(c, "vec_id >= 250")) ++
+      // Maintenance changes WHERE bytes live (one file per list /
+      // re-assigned lists), never WHAT a probe returns — both replay
+      // as the plain printed-centroid search over the union corpus.
+      compactedCenters.map(c =>
+        "knn_ivf_compacted" -> Ivf.sqlKnnIvf(c, k = 5, nprobe = 4)) ++
+      refitCenters.map(c =>
+        "knn_ivf_refit" -> Ivf.sqlKnnIvf(c, k = 5, nprobe = 4)) ++
       clusterSampleCenters.map(c =>
         "cluster_balanced_sample" -> Similarity.sqlClusterBalancedSample(c, k = 40)) ++
       langIdProfiles.filter(_.nonEmpty).map(p =>

@@ -99,6 +99,68 @@ object Ivf {
           .nearestCentroids(col("cv"), centers, 1), 1))
       .write.mode("append").partitionBy("list").parquet(path)
 
+  /** [EXT] Compact a grown [[appendToStore]] store IN PLACE
+    * (`knn_ivf_compacted` query) — the maintenance action
+    * [[listStats]]'s file-count half motivates: every append adds new
+    * files inside the list directories it hits, so a store that has
+    * absorbed many batches reads as many small files per list (the
+    * classic small-files tax: per-file open/footer cost dominates the
+    * scan). Compaction rewrites each list as ONE file: hash-repartition
+    * by the list id (all rows of a list land in one task) + partitioned
+    * write — content identical, layout minimal. The rewrite goes to a
+    * sibling temp dir first and swaps in only after it is fully
+    * written, so a crash mid-compact leaves the original store intact
+    * (the read-your-own-overwrite hazard is structural: Spark cannot
+    * overwrite a path it is still reading). Search identity is the
+    * spec's job and the shared printed-centroid oracle's — compaction
+    * changes WHERE bytes live, never WHAT a probe returns. */
+  def compactStore(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Unit = {
+    val tmp = path + "__compacting"
+    spark.read.parquet(path)
+      .repartition(col("list"))
+      .write.mode("overwrite").partitionBy("list").parquet(tmp)
+    val dir = new java.io.File(path)
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    if (!new java.io.File(tmp).renameTo(dir))
+      throw new java.io.IOException(s"compaction swap failed for $path")
+  }
+
+  /** [EXT] Refit the quantizer from the GROWN corpus and rewrite the
+    * store under the new centers (`knn_ivf_refit` query) — the FAISS
+    * retrain loop that closes the freeze-drift story: [[appendToStore]]
+    * grows lists under frozen centers, [[listStats]] measures the skew,
+    * and when the occupancy says the corpus moved, THIS re-fits
+    * (seeded, bounded-sample — [[fitCentroids]] on the store's own
+    * vectors), re-assigns every vector, and rewrites list-partitioned
+    * (same temp-dir swap discipline as [[compactStore]]; the rewrite is
+    * also a compaction — one file per list). Returns the new centroid
+    * matrix: assignment is a pure function of (vector, centers), so
+    * search over the refit store under the returned centers equals the
+    * in-memory search over the same corpus — the printed-centroid
+    * oracle enforces it. */
+  def refit(spark: org.apache.spark.sql.SparkSession, path: String,
+            nlist: Int, seed: Long = 42L,
+            maxFitRows: Long = 100000L): IndexedSeq[IndexedSeq[Double]] = {
+    val cur = spark.read.parquet(path)
+      .select(col("cand_id").as("vec_id"), col("cv").as("embedding"))
+    val centers = fitCentroids(cur, nlist, "embedding", seed, maxFitRows)
+    val tmp = path + "__refitting"
+    graft.Par.widen(cur)
+      .select(col("vec_id").as("cand_id"), asDouble(col("embedding")).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+      .withColumn("list",
+        element_at(org.apache.spark.sql.graft.VectorFunctions
+          .nearestCentroids(col("cv"), centers, 1), 1))
+      .repartition(col("list"))
+      .write.mode("overwrite").partitionBy("list").parquet(tmp)
+    val dir = new java.io.File(path)
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    if (!new java.io.File(tmp).renameTo(dir))
+      throw new java.io.IOException(s"refit swap failed for $path")
+    centers
+  }
+
   /** [EXT] IVF list-occupancy audit (`ivf_list_stats` query) — the
     * drift/imbalance signal a team reads before trusting a frozen
     * quantizer ([[appendToStore]]): per list, how many history vs
