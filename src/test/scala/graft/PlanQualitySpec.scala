@@ -456,4 +456,55 @@ class PlanQualitySpec extends SparkSpec {
       s"unallowlisted global windows (justify bounded input or fix): " +
         s"${bad.map(n => s"$n(${offenders(n)})").mkString(", ")}")
   }
+
+  test("plan-cost pin: exchange/scan counts match the committed snapshot") {
+    // Coarse plan-COST regression pin (r10 verdict #7): the other tests
+    // here pin plan SHAPE for chosen queries; this one snapshots, for
+    // EVERY registered query, the number of shuffle Exchanges and
+    // parquet scans in the physical plan at sf0.001. A rework that
+    // quietly adds a shuffle (or re-reads a table) to a green query now
+    // fails a test instead of waiting for a bench sweep to notice.
+    // After an INTENTIONAL plan change, regenerate with
+    //   GRAFT_REGEN_PLAN_COSTS=1 sbt "testOnly graft.PlanQualitySpec"
+    // and review the snapshot diff like any other code change.
+    val snapshotPath = java.nio.file.Paths.get(
+      "src/test/resources/graft/plan_costs.json")
+    def costs(name: String): (Int, Int) = {
+      val plan = planOf(SparkEntry.queries(name)(spark, dir))
+      // formatted explain prints one "(n) <Node>" detail header per
+      // node — count those, never the tree section's duplicate lines
+      val ex = "(?m)^\\(\\d+\\) Exchange$".r.findAllIn(plan).size
+      val sc = "(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(plan).size
+      (ex, sc)
+    }
+    val current = SparkEntry.queries.keys.toSeq.sorted
+      .map(n => n -> costs(n))
+    if (sys.env.contains("GRAFT_REGEN_PLAN_COSTS")) {
+      val json = current
+        .map { case (n, (e, s)) => s"""  "$n": [$e, $s]""" }
+        .mkString("{\n", ",\n", "\n}\n")
+      java.nio.file.Files.createDirectories(snapshotPath.getParent)
+      java.nio.file.Files.writeString(snapshotPath, json)
+      info(s"regenerated $snapshotPath with ${current.size} entries")
+    } else {
+      assert(java.nio.file.Files.exists(snapshotPath),
+        s"missing $snapshotPath — regenerate with GRAFT_REGEN_PLAN_COSTS=1")
+      val want = java.nio.file.Files.readString(snapshotPath)
+      val entry = """"([^"]+)": \[(\d+), (\d+)\]""".r
+      val wanted = entry.findAllMatchIn(want)
+        .map(m => m.group(1) -> (m.group(2).toInt, m.group(3).toInt)).toMap
+      val diffs = current.flatMap { case (n, got) =>
+        wanted.get(n) match {
+          case Some(w) if w == got => None
+          case Some(w) => Some(s"$n: exchanges/scans $got, snapshot $w")
+          case None => Some(s"$n: new query — regenerate the snapshot")
+        }
+      }
+      val gone = wanted.keySet.diff(current.map(_._1).toSet)
+      assert(diffs.isEmpty && gone.isEmpty,
+        (diffs ++ gone.map(n => s"$n: removed — regenerate the snapshot"))
+          .mkString("plan-cost drift:\n  ", "\n  ",
+            "\n  (intentional? GRAFT_REGEN_PLAN_COSTS=1 and review the diff)"))
+    }
+  }
 }
