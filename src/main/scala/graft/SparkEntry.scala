@@ -761,6 +761,14 @@ object SparkEntry {
     // self-loops dropped. One explode + one aggregate.
     "host_link_graph" -> ((s, dir) =>
       graft.ingest.Links.hostGraph(withLinkHtml(Tables.documents(s, dir)))),
+    // Canonical-link dedup (r11): pages cluster by their declared
+    // <link rel="canonical"> target (resolved against the page URL,
+    // then canonicalized); self-canonical pages keep, variant clusters
+    // elect the self-canonical original else the lowest doc id. The
+    // r11 dot-segment resolver is what makes dst URLs safe as keys.
+    "canonical_link_dedup" -> ((s, dir) =>
+      graft.ingest.Links.canonicalDedup(
+        withCanonicalHtml(Tables.documents(s, dir)))),
     // The incremental face under the gate: per-batch edge partials
     // merged by sum must equal the one-shot graph (edge counts are
     // additive) — the oracle IS the one-shot query's, which is exactly
@@ -3632,6 +3640,11 @@ object SparkEntry {
          |  round(${graft.ingest.Urls.sqlSpamScore("url")}, 4) AS spam_score,
          |  (round(${graft.ingest.Urls.sqlSpamScore("url")}, 4) >= 1.0) AS blocked
          |FROM u ORDER BY doc_id""".stripMargin,
+    "canonical_link_dedup" ->
+      s"""WITH cd_t AS (
+         |  SELECT doc_id, url, $sqlCanonicalHtml AS html
+         |  FROM (SELECT doc_id, source, $sqlFixtureUrl AS url FROM documents)),
+         |${graft.ingest.Links.sqlCanonicalDedup("cd_t")}""".stripMargin,
     "robots_exclusion" -> {
       val rulesRows = RobotsRulesFixture.rules
         .map { case (h, r, p) => s"('$h', '$r', '$p')" }.mkString(",\n    ")
@@ -3904,6 +3917,42 @@ object SparkEntry {
        |'<a href="mailto:info@example.com">Mail us</a>' ||
        |'<a name="x">Not a link</a></body></html>'""".stripMargin
   }
+
+  /** Fixture HTML heads for `canonical_link_dedup` (r11): per doc_id%4 —
+    * no canonical declaration (self cluster), an absolute SELF-canonical
+    * with a tracking param canonicalize must strip, and a (4k+2, 4k+3)
+    * variant pair declaring the same syndication target — absolute
+    * single-quoted href-first vs scheme-relative double-quoted
+    * rel-first, so attribute order, quote style, and the resolver's
+    * scheme attachment are all on the gate. A rel="alternate" link sits
+    * in every head as the filter decoy. */
+  private def withCanonicalHtml(docs: DataFrame): DataFrame =
+    withFixtureUrls(docs).withColumn("html", concat(
+      lit("<html><head><link rel=\"alternate\" href=\"/feed.xml\">"),
+      when(col("doc_id") % 4 === 1,
+        concat(lit("<link rel=\"canonical\" href=\""), col("url"),
+          lit("?utm_campaign=x\">")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("<link href='https://dup.example.org/page/"),
+            expr("doc_id div 4"), lit("' rel='canonical'>")))
+        .when(col("doc_id") % 4 === 3,
+          concat(lit("<link rel=\"canonical\" href=\"//dup.example.org/page/"),
+            expr("doc_id div 4"), lit("\">")))
+        .otherwise(lit("")),
+      lit("</head><body><p>Doc "), col("doc_id"), lit("</p></body></html>")))
+
+  /** DuckDB twin of [[withCanonicalHtml]]'s html expression (expects a
+    * `url` column in scope). */
+  private def sqlCanonicalHtml: String =
+    s"""'<html><head><link rel="alternate" href="/feed.xml">' ||
+       |CASE CAST(doc_id % 4 AS INT)
+       |  WHEN 1 THEN '<link rel="canonical" href="' || url || '?utm_campaign=x">'
+       |  WHEN 2 THEN '<link href=''https://dup.example.org/page/' ||
+       |    CAST(doc_id // 4 AS VARCHAR) || ''' rel=''canonical''>'
+       |  WHEN 3 THEN '<link rel="canonical" href="//dup.example.org/page/' ||
+       |    CAST(doc_id // 4 AS VARCHAR) || '">'
+       |  ELSE '' END ||
+       |'</head><body><p>Doc ' || CAST(doc_id AS VARCHAR) || '</p></body></html>'""".stripMargin
 
   /** Fixture sitemap XML (r10, `sitemap_entries`): every 10th doc is a
     * sitemap INDEX (two child sitemaps, one with lastmod), the rest are

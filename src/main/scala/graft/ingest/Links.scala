@@ -195,6 +195,129 @@ object Links {
       .orderBy(col("domain"), col("rk"))
   }
 
+  // ------------------------------------------------- canonical links
+
+  private[graft] val LinkTagRe = "(?is)<link\\b[^>]*>"
+  private[graft] val RelDqRe = "(?is)[\\s\"']rel\\s*=\\s*\"([^\"]*)\""
+  private[graft] val RelSqRe = "(?is)[\\s\"']rel\\s*=\\s*'([^']*)'"
+
+  /** The page's `<link rel="canonical">` href, or null when the head
+    * declares none. Attribute order-free (rel before or after href),
+    * both quote styles, FIRST canonical tag wins (the de-facto rule —
+    * one canonical per page; extra declarations are author error and
+    * search engines read the first). Exact rel value `canonical` only
+    * (space-separated rel token lists are out of contract —
+    * documented; `rel="canonical alternate"` is vanishingly rare and a
+    * production widening splits the token list, not the operator). */
+  def canonicalHref(html: Column): Column = {
+    val tags = regexp_extract_all(html, lit(LinkTagRe), lit(0))
+    val canon = filter(tags, t =>
+      lower(regexp_extract(t, RelDqRe, 1)) === "canonical" ||
+        lower(regexp_extract(t, RelSqRe, 1)) === "canonical")
+    val tag = get(canon, lit(0))
+    val dq = regexp_extract(tag, HrefDqRe, 1)
+    val sq = regexp_extract(tag, HrefSqRe, 1)
+    nullif(when(dq =!= "", dq).otherwise(sq), lit(""))
+  }
+
+  /** [EXT] Canonical-link deduplication (`canonical_link_dedup` query) —
+    * the crawl-side URL-level dedup channel the reference's single-page
+    * fetches never face but any corpus crawl does: the SAME article is
+    * reachable as `?utm_campaign=…` variants, mobile mirrors, and
+    * syndication copies, and the page itself declares its canonical URL
+    * in the head. Pages cluster by their declared canonical target
+    * (resolved against the page URL — [[resolve]]'s dot-segment/
+    * relative machinery at URL granularity, which is why r11's
+    * normalization matters here — then [[Urls.canonicalize]]d so two
+    * spellings of the target are one cluster); a page without a
+    * canonical declaration is its own cluster under its own
+    * canonicalized URL. Keeper election per cluster: the page whose own
+    * canonicalized URL IS the target (the self-canonical original) wins,
+    * else lowest doc id — `COALESCE(MIN(CASE self…), MIN(id))`, one
+    * aggregate, engine-portable.
+    *
+    * Output (doc_id, url, canonical_url, keeper_doc_id, is_keeper) —
+    * the [[Urls]] `canonical_url_dedup` shape lifted from URL-string
+    * dedup to DECLARED-canonical dedup. Scale: scan-stage extraction +
+    * one exchange on the canonical key + a broadcast-sized keeper
+    * join (clusters are variant families, keeper table ≈ |clusters|). */
+  def canonicalDedup(docs: DataFrame, idCol: String = "doc_id",
+                     urlCol: String = "url",
+                     htmlCol: String = "html"): DataFrame = {
+    val resolved = resolve(col(urlCol), canonicalHref(col(htmlCol)))
+    val base = graft.Par.widen(docs)
+      .select(col(idCol).cast("long").as("doc_id"), col(urlCol).as("url"),
+        coalesce(Urls.canonicalize(resolved),
+          Urls.canonicalize(col(urlCol))).as("canonical_url"),
+        Urls.canonicalize(col(urlCol)).as("__self"))
+      .withColumn("__is_self",
+        (col("__self") === col("canonical_url")).cast("int"))
+    val keepers = base.groupBy(col("canonical_url"))
+      .agg(coalesce(
+        min(when(col("__is_self") === 1, col("doc_id"))),
+        min(col("doc_id"))).as("keeper_doc_id"))
+    base.join(keepers, Seq("canonical_url"))
+      .select(col("doc_id"), col("url"), col("canonical_url"),
+        col("keeper_doc_id"),
+        (col("doc_id") === col("keeper_doc_id")).cast("int").as("is_keeper"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[canonicalDedup]] as a DuckDB CTE chain + final SELECT over a
+    * relation exposing (doc_id, url, html). */
+  def sqlCanonicalDedup(from: String): String = {
+    val dq = HrefDqRe.replace("'", "''")
+    val sq = HrefSqRe.replace("'", "''")
+    val relDq = RelDqRe.replace("'", "''")
+    val relSq = RelSqRe.replace("'", "''")
+    s"""cd_l AS (
+       |  SELECT doc_id, url,
+       |    list_filter(regexp_extract_all(html, '$LinkTagRe'),
+       |      t -> lower(regexp_extract(t, '$relDq', 1)) = 'canonical'
+       |        OR lower(regexp_extract(t, '$relSq', 1)) = 'canonical') AS tags
+       |  FROM $from),
+       |cd_h AS (
+       |  SELECT doc_id, url,
+       |    NULLIF(CASE WHEN len(tags) >= 1 THEN
+       |      CASE WHEN regexp_extract(tags[1], '$dq', 1) <> ''
+       |           THEN regexp_extract(tags[1], '$dq', 1)
+       |           ELSE regexp_extract(tags[1], '$sq', 1) END END, '') AS href
+       |  FROM cd_l),
+       |cd_q AS (
+       |  SELECT doc_id, url, trim(href) AS h,
+       |    regexp_extract(trim(href), '^[^?#]*') AS hpath,
+       |    substring(trim(href), length(regexp_extract(trim(href), '^[^?#]*')) + 1) AS hsuffix,
+       |    regexp_extract(url, '$OriginRe', 1) AS origin,
+       |    lower(regexp_extract(url, '$BaseSchemeRe', 1)) AS bscheme,
+       |    CASE WHEN regexp_replace(regexp_extract(url, '${Urls.PathRe}', 1),
+       |                             '[^/]*$$', '') = '' THEN '/'
+       |         ELSE regexp_replace(regexp_extract(url, '${Urls.PathRe}', 1),
+       |                             '[^/]*$$', '') END AS dir
+       |  FROM cd_h),
+       |cd_r AS (
+       |  SELECT doc_id, url,
+       |    ${sqlResolveExpr("h", "hpath", "hsuffix",
+                             "origin", "bscheme", "dir")} AS resolved
+       |  FROM cd_q),
+       |cd_c AS (
+       |  SELECT doc_id, url,
+       |    COALESCE(${Urls.sqlCanonicalize("resolved")},
+       |             ${Urls.sqlCanonicalize("url")}) AS canonical_url,
+       |    CASE WHEN ${Urls.sqlCanonicalize("url")} =
+       |      COALESCE(${Urls.sqlCanonicalize("resolved")},
+       |               ${Urls.sqlCanonicalize("url")}) THEN 1 ELSE 0 END AS is_self
+       |  FROM cd_r),
+       |cd_k AS (
+       |  SELECT canonical_url,
+       |    COALESCE(MIN(CASE WHEN is_self = 1 THEN doc_id END),
+       |             MIN(doc_id)) AS keeper_doc_id
+       |  FROM cd_c GROUP BY canonical_url)
+       |SELECT c.doc_id, c.url, c.canonical_url, k.keeper_doc_id,
+       |  CAST(c.doc_id = k.keeper_doc_id AS INT) AS is_keeper
+       |FROM cd_c c JOIN cd_k k USING (canonical_url)
+       |ORDER BY c.doc_id""".stripMargin
+  }
+
   /** Merge per-batch [[hostGraph]] partials into the corpus graph: edge
     * counts are ADDITIVE, so the merged graph of any partition of the
     * corpus equals the one-shot graph — the property the streaming face

@@ -183,4 +183,66 @@ class LinksSpec extends SparkSpec {
       Links.webTrustRank(docs, Seq("absent.example")).collect()
     }
   }
+
+  test("canonicalHref: attribute order, quote styles, decoys, first wins (r11)") {
+    def one(html: String): Option[String] = {
+      val r = Seq(html).toDF("h")
+        .select(Links.canonicalHref(col("h")).as("c")).collect().head
+      if (r.isNullAt(0)) None else Some(r.getString(0))
+    }
+    assert(one("""<link rel="canonical" href="https://a.org/x">""")
+      .contains("https://a.org/x"))
+    assert(one("""<link href='https://a.org/y' rel='canonical'>""")
+      .contains("https://a.org/y"))
+    // decoys: alternate rel, stylesheet, rel value inside href
+    assert(one("""<link rel="alternate" href="/feed">""").isEmpty)
+    assert(one("""<link rel="stylesheet" href="canonical.css">""").isEmpty)
+    // first canonical wins over later declarations
+    assert(one("""<link rel="canonical" href="/first">
+                  <link rel="canonical" href="/second">""").contains("/first"))
+    // empty href reads as undeclared; no link tags at all too
+    assert(one("""<link rel="canonical" href="">""").isEmpty)
+    assert(one("<p>no head</p>").isEmpty)
+  }
+
+  test("canonicalDedup: clusters by resolved target, self-canonical keeps (r11)") {
+    val docs = Seq(
+      // 1 is a mobile variant declaring 2's URL canonical; 2 is
+      // self-canonical with a utm param canonicalize strips — 2 keeps.
+      // (A ?utm-only variant would ALSO read self-canonical after
+      // canonicalization — same page spelling — so the variant here
+      // has a genuinely different path.)
+      (1L, "https://m.ex.com/article-amp",
+        """<link rel="canonical" href="https://ex.com/article">"""),
+      (2L, "https://ex.com/article",
+        """<link rel="canonical" href="https://ex.com/article?utm_campaign=x">"""),
+      // 3/4 share a syndication target neither owns: min doc id keeps
+      (3L, "https://m.ex.com/a3",
+        """<link href='//orig.net/story/7' rel='canonical'>"""),
+      (4L, "https://amp.ex.com/a4",
+        """<link rel="canonical" href="https://orig.net/story/7">"""),
+      // 5 has no declaration: its own cluster; 6's canonical is
+      // non-http (dropped by resolve) -> falls back to its own URL
+      (5L, "https://ex.com/solo", "<p>nothing</p>"),
+      (6L, "https://ex.com/weird",
+        """<link rel="canonical" href="mailto:x@y.z">"""),
+      // 7's canonical is path-relative with a dot segment: the r11
+      // resolver folds it, landing 7 in 5's cluster
+      (7L, "https://ex.com/dir/page",
+        """<link rel="canonical" href="../solo">""")).toDF("doc_id", "url", "html")
+    val out = Links.canonicalDedup(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getLong(3), r.getInt(4)))
+      .toMap
+    assert(out(1L) == ("https://ex.com/article", 2L, 0))
+    assert(out(2L) == ("https://ex.com/article", 2L, 1),
+      "the self-canonical original must keep")
+    assert(out(3L)._1 == "https://orig.net/story/7")
+    assert(out(3L) == ("https://orig.net/story/7", 3L, 1))
+    assert(out(4L) == ("https://orig.net/story/7", 3L, 0))
+    assert(out(5L) == ("https://ex.com/solo", 5L, 1))
+    assert(out(6L) == ("https://ex.com/weird", 6L, 1),
+      "non-http canonical falls back to the page's own URL")
+    assert(out(7L) == ("https://ex.com/solo", 5L, 0),
+      "dot-segment canonical must fold into the target cluster")
+  }
 }
