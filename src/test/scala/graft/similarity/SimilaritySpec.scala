@@ -359,10 +359,13 @@ class SimilaritySpec extends SparkSpec {
     val out = Similarity.scalarQuantize(emb).collect()
       .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2), r.getDouble(3)))
       .toMap
-    // hand trace: scale = 1.27/127 = 0.01; 1.27/0.01 -> 127;
-    // -0.635/0.01 = -63.5 -> floor(-63.0) = -63 (half rounds UP, i.e.
-    // toward +inf — the documented FLOOR(+0.5) semantics); 0 -> 0
-    assert(out(1L)._1 == 0.01 && out(1L)._2 == "127,-63,0")
+    // hand trace: scale = max|x|/127 ≈ 0.01 — published at FULL
+    // precision since r11 (float32 1.27 widens to 1.2699999809…, so
+    // the exact double is what the stored artifact must carry for
+    // codes·scale to reproduce the audited recon_err bit-for-bit);
+    // 1.27/scale -> 127; -0.635/scale = -63.5 -> floor(+0.5) = -63
+    // (half rounds toward +inf); 0 -> 0
+    assert(out(1L)._1 == 1.27f.toDouble / 127.0 && out(1L)._2 == "127,-63,0")
     // zero vector: scale 0, all-zero codes, zero error
     assert(out(2L) == ((0.0, "0,0,0", 0.0)))
     // max-|x| dimension always hits ±127 exactly
