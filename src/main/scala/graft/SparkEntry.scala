@@ -823,6 +823,20 @@ object SparkEntry {
     "robots_sitemaps" -> ((s, dir) =>
       graft.ingest.Robots.sitemapPointers(
         withRobotsTxt(Tables.documents(s, dir)), idCol = "doc_id")),
+    // Crawl-delay-aware politeness (r11): elected robots Crawl-delay
+    // per host (de-facto directive — max wins on contradiction,
+    // fractional seconds to integer ms, invalid values drop), joined
+    // into the frontier schedule so each host's FIFO interval is ITS
+    // declared courtesy, defaulting where undeclared.
+    "crawl_delay_schedule" -> ((s, dir) => {
+      import s.implicits._
+      val delays = graft.ingest.Robots.crawlDelays(
+        HostRobotsRows.toDF("host", "robots_txt"), "graftbot")
+      graft.ingest.Frontier.scheduleWithDelays(
+        withFixtureUrls(Tables.documents(s, dir))
+          .select(col("doc_id"), col("url")),
+        "url", "doc_id", delays)
+    }),
     // Soft URL word-score gate (r10) — RefinedWeb's OTHER URL filter:
     // spam announces itself in the URL string before any fetch, so the
     // score is a pure scan-stage expression over the url column. Paths
@@ -3713,6 +3727,19 @@ object SparkEntry {
     "crawl_frontier" ->
       graft.ingest.Frontier.sqlSchedule("documents", "doc_id", sqlFixtureUrl,
         delayMs = 1000L, nWorkers = 4),
+    "crawl_delay_schedule" -> {
+      val rows = HostRobotsRows
+        .map { case (h, t) => s"('$h', '${t.replace("'", "''")}')" }
+        .mkString(",\n    ")
+      s"""WITH hr(host, robots_txt) AS (FROM (VALUES
+         |    $rows)),
+         |dl AS (
+         |  WITH ${graft.ingest.Robots.sqlCrawlDelays(
+                   "hr", "graftbot", "host", "robots_txt")}),
+         |${graft.ingest.Frontier.sqlScheduleWithDelays(
+             s"(SELECT doc_id, $sqlFixtureUrl AS url FROM documents)",
+             "doc_id", "url", "dl")}""".stripMargin
+    },
     "recrawl_priority" ->
       graft.ingest.Frontier.sqlRecrawl("events",
         "(event_type || '/' || CAST(user_id % 7 AS VARCHAR))", "ts",
@@ -4030,6 +4057,29 @@ object SparkEntry {
       "Disallow: /shared/no"),
     Seq("User-agent: otherbot", "Disallow: /",
       "Sitemap: https://{host}/other-sitemap.xml"))
+
+  /** Host-keyed robots bodies for `crawl_delay_schedule` (r11): per
+    * host (by index % 4) — a graftbot group WITH a Crawl-delay (an
+    * invalid value dropping beside it, a slower `*` group that must
+    * lose the election), a `*` group with TWO delays (max wins), an
+    * elected graftbot group WITHOUT a delay (the `*` group's 9s must
+    * NOT leak in — default applies), and no delay anywhere. Plain
+    * Scala strings so the Spark rows and the oracle VALUES are the
+    * same bytes by construction. */
+  private val HostRobotsRows: Seq[(String, String)] = {
+    val variants: Seq[Seq[String]] = Seq(
+      Seq("User-agent: graftbot", "Disallow: /private", "Crawl-delay: 2",
+        "Crawl-delay: fast", "User-agent: *", "Crawl-delay: 10"),
+      Seq("User-agent: *", "Crawl-delay: 0.5", "Allow: /docs",
+        "Crawl-delay: 1.5"),
+      Seq("User-agent: graftbot", "Disallow: /tmp",
+        "User-agent: *", "Crawl-delay: 9"),
+      Seq("User-agent: *", "Disallow: /drafts"))
+    DomainCapHosts.zipWithIndex.map { case (h, i) =>
+      (h, variants(i % variants.size).map(_.replace("{host}", h))
+        .mkString("\n"))
+    }
+  }
 
   private def withRobotsTxt(docs: DataFrame): DataFrame = {
     val host = element_at(array(DomainCapHosts.map(lit(_)): _*),

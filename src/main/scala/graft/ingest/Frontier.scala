@@ -58,6 +58,64 @@ object Frontier {
       .orderBy(col("scheduled_ms"), col("host"), col(idCol))
   }
 
+  /** [[schedule]] with PER-HOST courtesy intervals
+    * (`crawl_delay_schedule` query): hosts that declare a robots
+    * `crawl-delay` ([[Robots.crawlDelays]]) get their declared interval,
+    * the rest the crawler's `defaultMs` — the composition a polite
+    * fetcher actually runs, closing the loop between the robots corpus
+    * and the frontier. Same shape as [[schedule]] plus one broadcast
+    * join against the ≤|declaring hosts| delay table. */
+  def scheduleWithDelays(docs: DataFrame, urlCol: String, idCol: String,
+                         delays: DataFrame, defaultMs: Long = 1000L,
+                         nWorkers: Int = 8): DataFrame = {
+    val hostd = docs.withColumn("host",
+      coalesce(Urls.host(col(urlCol)), lit("")))
+    val workers = graft.Par.globalRank(
+        hostd.select(col("host")).distinct(), "host")
+      .withColumn("worker", ((col("rank") - 1) % nWorkers).cast("long"))
+      .drop("rank")
+    hostd
+      .withColumn("slot",
+        (row_number().over(
+          Window.partitionBy(col("host")).orderBy(col(idCol))) - 1)
+          .cast("long"))
+      .join(broadcast(workers), Seq("host"))
+      .join(broadcast(delays), Seq("host"), "left")
+      .withColumn("delay_ms",
+        coalesce(col("crawl_delay_ms"), lit(defaultMs)))
+      .select(col(idCol), col("host"), col("worker"), col("slot"),
+        col("delay_ms"), (col("slot") * col("delay_ms")).as("scheduled_ms"))
+      .orderBy(col("scheduled_ms"), col("host"), col(idCol))
+  }
+
+  /** DuckDB twin of [[scheduleWithDelays]]; `delaysRel` exposes
+    * (host, crawl_delay_ms). */
+  def sqlScheduleWithDelays(docsRel: String, idCol: String,
+                            urlExpr: String, delaysRel: String,
+                            defaultMs: Long = 1000L,
+                            nWorkers: Int = 8): String =
+    s"""__h AS (
+       |  SELECT $idCol, COALESCE(${Urls.sqlHost(urlExpr)}, '') AS host
+       |  FROM $docsRel),
+       |__w AS (
+       |  SELECT host,
+       |    CAST((ROW_NUMBER() OVER (ORDER BY host) - 1) % $nWorkers AS BIGINT)
+       |      AS worker
+       |  FROM (SELECT DISTINCT host FROM __h)),
+       |__s AS (
+       |  SELECT $idCol, host,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY $idCol) - 1
+       |      AS BIGINT) AS slot
+       |  FROM __h),
+       |__d AS (
+       |  SELECT __s.$idCol, __s.host, __s.slot,
+       |    CAST(COALESCE(d.crawl_delay_ms, $defaultMs) AS BIGINT) AS delay_ms
+       |  FROM __s LEFT JOIN $delaysRel d USING (host))
+       |SELECT __d.$idCol, __d.host, __w.worker, __d.slot, __d.delay_ms,
+       |  __d.slot * __d.delay_ms AS scheduled_ms
+       |FROM __d JOIN __w USING (host)
+       |ORDER BY scheduled_ms, host, $idCol""".stripMargin
+
   /** DuckDB twin of [[schedule]] — `urlExpr` is the url SQL expression
     * over `docsRel` (fixture planting happens inline). */
   def sqlSchedule(docsRel: String, idCol: String, urlExpr: String,

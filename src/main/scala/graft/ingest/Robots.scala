@@ -109,7 +109,27 @@ object Robots {
     * semi join. Everything ANSI-expressible — [[sqlParse]] mirrors 1:1.
     */
   def parse(robots: DataFrame, agentToken: String,
-            idCol: String = "host", txtCol: String = "robots_txt"): DataFrame = {
+            idCol: String = "host", txtCol: String = "robots_txt"): DataFrame =
+    electedRules(robots, agentToken, idCol, txtCol,
+      Seq("allow", "disallow"))
+      .select(col(idCol), col("field").as("rule"), col("value").as("prefix"))
+      .distinct()
+      .orderBy(col(idCol), col("rule"), col("prefix"))
+
+  /** The shared grouping + group-election core of [[parse]] and
+    * [[crawlDelays]]: line split, field/value extraction, consecutive
+    * user-agent header folding, agent election (exact token beats `*`,
+    * all matching groups merge), then the elected groups' rule lines
+    * for `ruleFields`. NOTE the header-closing set is `ruleFields`
+    * itself: [[parse]] never sees crawl-delay lines, so a crawl-delay
+    * between two user-agent lines does NOT close parse's header (RFC
+    * 9309 reads unknown lines as noise), while [[crawlDelays]] — whose
+    * rule set includes allow/disallow too, so its groups line up with
+    * the de-facto parsers that support the directive — treats any rule
+    * line as the header close. */
+  private def electedRules(robots: DataFrame, agentToken: String,
+                           idCol: String, txtCol: String,
+                           ruleFields: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val agent = agentToken.toLowerCase
     val w = Window.partitionBy(col(idCol)).orderBy(col("__idx"))
@@ -128,7 +148,7 @@ object Robots {
           .as("field"),
         trim(regexp_extract(col("__line"), "^[^:]+:(.*)$", 1), " \t")
           .as("value"))
-      .filter(col("field").isin("user-agent", "allow", "disallow"))
+      .filter(col("field").isin("user-agent" +: ruleFields: _*))
     val grouped = lines
       .withColumn("__new", (col("field") === "user-agent" &&
         coalesce(lag(col("field"), 1).over(w) =!= "user-agent", lit(true)))
@@ -144,12 +164,33 @@ object Robots {
         Window.partitionBy(col(idCol))))
       .filter(col("__e") === 1 || (col("__he") === 0 && col("__s") === 1))
       .select(col(idCol), col("gid"))
-    grouped.filter(col("field").isin("allow", "disallow") && col("gid") > 0)
+    grouped.filter(col("field").isin(ruleFields: _*) && col("gid") > 0)
       .join(elect, Seq(idCol, "gid"), "left_semi")
-      .select(col(idCol), col("field").as("rule"), col("value").as("prefix"))
-      .distinct()
-      .orderBy(col(idCol), col("rule"), col("prefix"))
+      .select(col(idCol), col("field"), col("value"))
   }
+
+  /** [EXT] Elected `crawl-delay` per host (`crawl_delay_schedule`'s
+    * robots half) — the de-facto politeness directive (not in RFC 9309;
+    * Bing/Yandex honor it, Google ignores it — documented): seconds,
+    * possibly fractional, group-scoped like allow/disallow. Election is
+    * [[parse]]'s (exact token beats `*`, matching groups merge); among
+    * elected values the MAX wins (the conservative read when a file
+    * contradicts itself). Output (idCol, crawl_delay_ms BIGINT) — only
+    * hosts that declare one; consumers default the rest
+    * ([[Frontier.scheduleWithDelays]]). Non-numeric values are author
+    * error and drop (the guarded-cast totality rule). */
+  def crawlDelays(robots: DataFrame, agentToken: String,
+                  idCol: String = "host",
+                  txtCol: String = "robots_txt"): DataFrame =
+    electedRules(robots, agentToken, idCol, txtCol,
+      Seq("allow", "disallow", "crawl-delay"))
+      .filter(col("field") === "crawl-delay" &&
+        col("value").rlike("^[0-9]+(\\.[0-9]+)?$"))
+      .select(col(idCol),
+        round(col("value").cast("double") * 1000.0).cast("long").as("ms"))
+      .groupBy(col(idCol))
+      .agg(max(col("ms")).as("crawl_delay_ms"))
+      .orderBy(col(idCol))
 
   /** `Sitemap:` directives of the robots bodies — global per RFC 9309
     * (never group-scoped), URL case preserved. Feeds the sitemap reader
@@ -173,8 +214,35 @@ object Robots {
   /** [[parse]] as a DuckDB CTE chain + final SELECT over a relation
     * exposing (idCol, txtExpr); caller opens the WITH. */
   def sqlParse(from: String, agentToken: String, idCol: String,
-               txtExpr: String): String = {
+               txtExpr: String): String =
+    s"""${sqlElectedRules(from, agentToken, idCol, txtExpr,
+          Seq("allow", "disallow"))}
+       |SELECT DISTINCT $idCol, field AS rule, value AS prefix
+       |FROM rp_x
+       |ORDER BY $idCol, rule, prefix""".stripMargin
+
+  /** [[crawlDelays]] as a DuckDB CTE chain + final SELECT. */
+  def sqlCrawlDelays(from: String, agentToken: String, idCol: String,
+                     txtExpr: String): String =
+    s"""${sqlElectedRules(from, agentToken, idCol, txtExpr,
+          Seq("allow", "disallow", "crawl-delay"))}
+       |SELECT $idCol,
+       |  CAST(MAX(CAST(round(CAST(value AS DOUBLE) * 1000.0) AS BIGINT))
+       |    AS BIGINT) AS crawl_delay_ms
+       |FROM rp_x
+       |WHERE field = 'crawl-delay'
+       |  AND regexp_matches(value, '^[0-9]+(\\.[0-9]+)?$$')
+       |GROUP BY $idCol
+       |ORDER BY $idCol""".stripMargin
+
+  /** Shared CTE core of [[sqlParse]]/[[sqlCrawlDelays]] — the
+    * [[electedRules]] twin, ending in `rp_x(idCol, field, value)`. */
+  private def sqlElectedRules(from: String, agentToken: String,
+                              idCol: String, txtExpr: String,
+                              fields: Seq[String]): String = {
     val agent = agentToken.toLowerCase.replace("'", "''")
+    val fieldList = ("user-agent" +: fields).map(f => s"'$f'").mkString(", ")
+    val ruleList = fields.map(f => s"'$f'").mkString(", ")
     s"""rp_raw AS (
        |  SELECT $idCol, UNNEST(list_zip(
        |    regexp_split_to_array(COALESCE($txtExpr, ''), '\\r?\\n'),
@@ -194,7 +262,7 @@ object Robots {
        |      AS value
        |  FROM rp_ln
        |  WHERE lower(trim(regexp_extract(__line, '^([^:]+):', 1), ' ' || chr(9)))
-       |    IN ('user-agent', 'allow', 'disallow')),
+       |    IN ($fieldList)),
        |rp_g AS (
        |  SELECT *, SUM(__new) OVER (PARTITION BY $idCol ORDER BY __idx
        |    ROWS UNBOUNDED PRECEDING) AS gid
@@ -212,11 +280,11 @@ object Robots {
        |        OVER (PARTITION BY $idCol) AS __he
        |    FROM rp_g WHERE field = 'user-agent'
        |    GROUP BY $idCol, gid)
-       |  WHERE __e = 1 OR (__he = 0 AND __s = 1))
-       |SELECT DISTINCT $idCol, field AS rule, value AS prefix
-       |FROM rp_g JOIN rp_e USING ($idCol, gid)
-       |WHERE field IN ('allow', 'disallow') AND gid > 0
-       |ORDER BY $idCol, rule, prefix""".stripMargin
+       |  WHERE __e = 1 OR (__he = 0 AND __s = 1)),
+       |rp_x AS (
+       |  SELECT $idCol, field, value
+       |  FROM rp_g JOIN rp_e USING ($idCol, gid)
+       |  WHERE field IN ($ruleList) AND gid > 0)""".stripMargin
   }
 
   /** [[sitemapPointers]] as a DuckDB CTE chain + final SELECT. */

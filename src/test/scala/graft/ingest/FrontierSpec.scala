@@ -80,4 +80,26 @@ class FrontierSpec extends SparkSpec {
       .head().getString(6)
     assert(eq == "cold")
   }
+
+  test("scheduleWithDelays: per-host intervals, default where undeclared (r11)") {
+    val docs = Seq(
+      (1L, "https://slow.example/a"), (2L, "https://slow.example/b"),
+      (3L, "https://slow.example/c"),
+      (4L, "https://fast.example/x"), (5L, "https://fast.example/y"),
+      (6L, "https://plain.example/p"), (7L, "https://plain.example/q"))
+      .toDF("doc_id", "url")
+    val delays = Seq(("slow.example", 5000L), ("fast.example", 200L))
+      .toDF("host", "crawl_delay_ms")
+    val out = Frontier.scheduleWithDelays(docs, "url", "doc_id", delays,
+        defaultMs = 1000L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    // slot * host delay; undeclared host gets the default
+    assert(out(1L) == (("slow.example", 0L, 5000L, 0L)))
+    assert(out(2L) == (("slow.example", 1L, 5000L, 5000L)))
+    assert(out(3L) == (("slow.example", 2L, 5000L, 10000L)))
+    assert(out(5L) == (("fast.example", 1L, 200L, 200L)))
+    assert(out(7L) == (("plain.example", 1L, 1000L, 1000L)))
+  }
 }

@@ -214,4 +214,45 @@ class RobotsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     assert(locs == Seq(("h1", "https://h1/SiteMap-A.xml"), ("h1", "https://h1/b.xml")))
   }
+
+  test("crawlDelays: election, max-on-contradiction, fractional, invalid (r11)") {
+    val txt =
+      """User-agent: graftbot
+        |Crawl-delay: 2
+        |Crawl-delay: fast
+        |Disallow: /x
+        |User-agent: *
+        |Crawl-delay: 10
+        |""".stripMargin
+    val out = Robots.crawlDelays(
+      Seq(("h1", txt)).toDF("host", "robots_txt"), "graftbot")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // elected graftbot group: 2s wins, invalid drops, star's 10s never leaks
+    assert(out == Map("h1" -> 2000L))
+    val star =
+      """User-agent: *
+        |Crawl-delay: 0.5
+        |Allow: /docs
+        |Crawl-delay: 1.5
+        |""".stripMargin
+    val out2 = Robots.crawlDelays(
+      Seq(("h2", star)).toDF("host", "robots_txt"), "graftbot")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // star applies (no exact group); contradiction takes the max; 1.5s -> 1500
+    assert(out2 == Map("h2" -> 1500L))
+  }
+
+  test("crawlDelays: an elected group without a delay yields NO row (r11)") {
+    val txt =
+      """User-agent: graftbot
+        |Disallow: /tmp
+        |User-agent: *
+        |Crawl-delay: 9
+        |""".stripMargin
+    val out = Robots.crawlDelays(
+      Seq(("h3", txt)).toDF("host", "robots_txt"), "graftbot")
+    // graftbot's group is elected and declares none; the star group's 9s
+    // must not apply — consumers fall back to their default
+    assert(out.count() == 0)
+  }
 }
