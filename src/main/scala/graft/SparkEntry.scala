@@ -357,6 +357,15 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.knnBruteForce(emb, emb.filter(col("vec_id") % 50 === 0), 5)
     }),
+    // Matryoshka truncation audit (r11): recall of prefix-truncated
+    // (re-normalized) search vs the full 64-dim top-k, per width —
+    // the store-narrowing decision as integer basis points; the full
+    // width pins 10000 as the self-check row.
+    "embedding_truncate_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.truncationRecall(emb, emb.filter(col("vec_id") % 50 === 0),
+        Seq(4, 8, 16, 64), 5)
+    }),
     "cosine_pairs" -> ((s, dir) => Similarity.cosinePairs(Tables.embeddings(s, dir), 0.4)),
     // Scalar int8 quantization (r10): per-vector symmetric scale, codes
     // via FLOOR(+0.5) (round-half modes differ across engines; floor is
@@ -1118,6 +1127,16 @@ object SparkEntry {
       val merges = graft.text.Bpe.fitMerges(docs, "text", 200)
       FittedOracle.bpePackMerges = Some(merges)
       graft.pipeline.Curation.packChunksBpe(docs, "doc_id", "text", merges, 512L)
+    }),
+    // The same packing under the unigram tokenizer (r11): Viterbi piece
+    // counts feed the identical prefix-sum chunk arithmetic — the chunk
+    // map a unigram-standardized pipeline trains on.
+    "sequence_packing_unigram" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pieces = graft.text.Unigram.fitPieces(docs, "text", 400)
+      FittedOracle.unigramPackPieces = Some(pieces)
+      graft.pipeline.Curation.packChunksUnigram(docs, "doc_id", "text",
+        pieces, 512L)
     }),
     // Contamination-free bin packing (Krell-et-al. SPFHP): whole docs
     // only, histogram-driven best-fit-decreasing on the driver, broadcast
@@ -2761,6 +2780,8 @@ object SparkEntry {
         |ORDER BY flag, status""".stripMargin,
     "knn_bruteforce" ->
       Similarity.sqlKnnBruteForce("vec_id % 50 = 0", 5),
+    "embedding_truncate_recall" ->
+      Similarity.sqlTruncationRecall("vec_id % 50 = 0", Seq(4, 8, 16, 64), 5),
     "hard_negatives" ->
       Similarity.sqlHardNegatives("vec_id % 50 = 0", 5),
     "cosine_pairs" ->

@@ -711,6 +711,23 @@ object Curation {
         col("chunk_id"), col("n_chunks"))
       .orderBy(col(idCol))
 
+  /** [[packChunksBpe]] under the unigram-LM tokenizer
+    * (`sequence_packing_unigram` query, r11): the same prefix-sum
+    * assignment over [[graft.text.Unigram.pieceCounts]]'s Viterbi
+    * units — a pipeline standardizing on the unigram model budgets in
+    * its pieces, and the two tokenizers' chunk maps genuinely differ
+    * (the fertility audits quantify why). */
+  def packChunksUnigram(docs: DataFrame, idCol: String, textCol: String,
+                        pieces: Seq[(String, Long)], budget: Long,
+                        parts: Int = 0): DataFrame =
+    packByOrder(
+        graft.text.Unigram.pieceCounts(docs, idCol, textCol, pieces)
+          .withColumnRenamed(idCol, "__id"),
+        "__id", budget, parts)
+      .select(col("__id").as(idCol), col("n_tokens"),
+        col("chunk_id"), col("n_chunks"))
+      .orderBy(col(idCol))
+
   /** [EXT] Per-chunk document spans (`packing_boundaries` query) — the
     * attention-mask manifest of concat-then-chunk packing: a trainer
     * that packs documents into fixed sequences must know, for every

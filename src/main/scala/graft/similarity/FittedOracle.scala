@@ -55,6 +55,7 @@ object FittedOracle {
   // into the SQL Viterbi replay. One slot per query (the BPE rule).
   @volatile var unigramStatsPieces: Option[Seq[(String, Long)]] = None
   @volatile var unigramFertilityPieces: Option[Seq[(String, Long)]] = None
+  @volatile var unigramPackPieces: Option[Seq[(String, Long)]] = None
 
   /** Exact decimal print: Java's shortest round-trip representation, which
     * DuckDB's parser maps back to the same double (scientific notation
@@ -147,5 +148,8 @@ object FittedOracle {
       unigramStatsPieces.filter(_.nonEmpty).map(p =>
         "unigram_encode_stats" -> graft.text.Unigram.sqlEncodeStats(p)) ++
       unigramFertilityPieces.filter(_.nonEmpty).map(p =>
-        "unigram_fertility" -> graft.text.Unigram.sqlFertilityByLang(p))).toMap
+        "unigram_fertility" -> graft.text.Unigram.sqlFertilityByLang(p)) ++
+      unigramPackPieces.filter(_.nonEmpty).map(p =>
+        "sequence_packing_unigram" ->
+          graft.text.Unigram.sqlPackChunks(p, 512L))).toMap
 }

@@ -173,6 +173,87 @@ object Similarity {
       .orderBy(col("probe_id"))
   }
 
+  /** [EXT] Truncated-embedding recall audit
+    * (`embedding_truncate_recall` query) — the Matryoshka question
+    * (Kusupati et al. 2022, MRL; OpenAI/Nomic ship truncatable
+    * embeddings on exactly this premise): how much retrieval quality
+    * survives if the store keeps only the FIRST d dimensions? Each
+    * audited width runs the exact top-k over prefix-sliced,
+    * re-normalized vectors and scores recall against the full-width
+    * top-k — one row per width: (dims, n_probes, n_exact, hits,
+    * recall_bp), integer basis points, monotone-ish in d with the
+    * full width pinning 10000 as the self-check. The decision this
+    * feeds: a 4× narrower store is a 4× cheaper brute scan and a 4×
+    * bigger IVF page budget — IF recall holds.
+    *
+    * Shape: per width, the [[knnBruteForce]] machinery (probe
+    * broadcast, window top-k) over sliced vectors, then one
+    * ids-only join + aggregate against the full-width result. Audit
+    * scale (runs on a probe sample); the store-side decision applies
+    * at any scale. */
+  def truncationRecall(emb: DataFrame, probes: DataFrame,
+                       dims: Seq[Int], k: Int,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(dims.nonEmpty, "need at least one width to audit")
+    val full = knnBruteForce(emb, probes, k, idCol, vecCol).pinned
+    def sliced(df: DataFrame, d: Int) =
+      df.select(col(idCol), slice(asDouble(col(vecCol)), 1, d).as(vecCol))
+    dims.map { d =>
+      val t = knnBruteForce(sliced(emb, d), sliced(probes, d), k,
+        idCol, vecCol)
+      full.select(col("probe_id"), col("cand_id"))
+        .join(t.select(col("probe_id"), col("cand_id"))
+          .withColumn("__hit", lit(1)), Seq("probe_id", "cand_id"), "left")
+        .agg(countDistinct(col("probe_id")).as("n_probes"),
+          count(lit(1)).as("n_exact"), count(col("__hit")).as("hits"))
+        .select(lit(d.toLong).as("dims"), col("n_probes"), col("n_exact"),
+          col("hits"), expr("hits * 10000L DIV n_exact").as("recall_bp"))
+    }.reduce(_.unionByName(_)).orderBy(col("dims"))
+  }
+
+  /** DuckDB mirror of [[truncationRecall]] over the embeddings table —
+    * the FULL oracle for `embedding_truncate_recall`. */
+  def sqlTruncationRecall(probeWhere: String, dims: Seq[Int],
+                          k: Int): String = {
+    def knnCtes(tag: String, sliceTo: Option[Int]): String = {
+      val vexpr = sliceTo match {
+        case Some(d) => s"(embedding::DOUBLE[])[1:$d]"
+        case None => "embedding::DOUBLE[]"
+      }
+      s"""n_$tag AS (
+         |  SELECT vec_id, $vexpr AS v,
+         |    sqrt(list_reduce(list_transform($vexpr, x -> x*x),
+         |                     (a,b) -> a+b)) AS nv
+         |  FROM embeddings),
+         |p_$tag AS (SELECT vec_id AS probe_id, v AS pv, nv AS pn
+         |           FROM n_$tag WHERE $probeWhere),
+         |r_$tag AS (
+         |  SELECT probe_id, cand_id FROM (
+         |    SELECT probe_id, vec_id AS cand_id,
+         |      row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY round(list_reduce(list_transform(range(1, len(pv)+1),
+         |            i -> pv[i]*v[i]), (a,b) -> a+b) / (pn * nv), 6) DESC,
+         |          vec_id ASC) AS rk
+         |    FROM p_$tag JOIN n_$tag ON vec_id <> probe_id)
+         |  WHERE rk <= $k)""".stripMargin
+    }
+    val widthCtes = dims.map(d => knnCtes(s"d$d", Some(d)))
+    val rows = dims.map { d =>
+      s"""SELECT CAST($d AS BIGINT) AS dims,
+         |    CAST(COUNT(DISTINCT f.probe_id) AS BIGINT) AS n_probes,
+         |    CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |    CAST(COUNT(t.probe_id) AS BIGINT) AS hits,
+         |    COUNT(t.probe_id) * 10000 // COUNT(*) AS recall_bp
+         |  FROM r_full f LEFT JOIN r_d$d t
+         |    ON f.probe_id = t.probe_id AND f.cand_id = t.cand_id""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH ${knnCtes("full", None)},
+       |${widthCtes.mkString(",\n")}
+       |$rows
+       |ORDER BY dims""".stripMargin
+  }
+
   /** DuckDB mirror of [[knnBruteForce]] for a probe predicate over the
     * embeddings table — shared by the `knn_bruteforce` oracle and the
     * recall report's exact side. */

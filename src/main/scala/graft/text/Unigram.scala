@@ -202,6 +202,21 @@ object Unigram {
     }
   }
 
+  /** Per-document unigram PIECE counts as a packing unit — the
+    * [[Bpe.pieceCounts]] twin: trainers budget sequences in tokenizer
+    * units, and a pipeline standardizing on the unigram model packs in
+    * ITS pieces ([[graft.pipeline.Curation.packChunksUnigram]]).
+    * Broadcast piece table, per-partition Viterbi, no shuffle. */
+  def pieceCounts(docs: DataFrame, idCol: String, textCol: String,
+                  pieces: Seq[(String, Long)],
+                  maxPieceLen: Int = 6): DataFrame = {
+    val enc = pieceUdf(docs, pieces, maxPieceLen)
+    graft.Par.widen(docs)
+      .select(col(idCol).cast("long").as(idCol),
+        TextAnalysis.tokens(lower(col(textCol))).as("toks"))
+      .select(col(idCol), enc(col("toks")).as("n_tokens"))
+  }
+
   /** Per-document Viterbi encode statistics (`unigram_encode_stats`):
     * (doc_id, n_tokens, n_pieces, compression) — the [[Bpe.encodeStats]]
     * twin under the unigram model. Broadcast piece table, per-partition
@@ -314,6 +329,29 @@ object Unigram {
        |SELECT doc_id, n_tokens, n_pieces,
        |  round(n_tokens::DOUBLE / n_pieces::DOUBLE, 4) AS compression
        |FROM u_doc WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin
+
+  /** DuckDB mirror of [[graft.pipeline.Curation.packChunksUnigram]] —
+    * the FULL oracle for `sequence_packing_unigram`: the Viterbi piece
+    * counts feed the same prefix-sum chunk arithmetic the
+    * `sequence_packing`/`sequence_packing_bpe` oracles pin. Docs with
+    * zero tokens pack 0 pieces and span 0 chunks. */
+  def sqlPackChunks(pieces: Seq[(String, Long)], budget: Long,
+                    maxPieceLen: Int = 6): String =
+    s"""WITH ${sqlUnigramCommon(pieces, maxPieceLen)},
+       |u_np AS (
+       |  SELECT d.doc_id, COALESCE(p.n_pieces, 0) AS n_tokens
+       |  FROM documents d LEFT JOIN u_doc p ON d.doc_id = p.doc_id),
+       |u_o AS (
+       |  SELECT doc_id, n_tokens,
+       |    SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS off
+       |  FROM u_np)
+       |SELECT doc_id, n_tokens,
+       |  CAST(floor(off / $budget.0) AS BIGINT) AS chunk_id,
+       |  CASE WHEN n_tokens = 0 THEN 0
+       |       ELSE CAST(floor((off + n_tokens - 1) / $budget.0) -
+       |                 floor(off / $budget.0) + 1 AS BIGINT) END AS n_chunks
+       |FROM u_o ORDER BY doc_id""".stripMargin
 
   /** DuckDB mirror of [[fertilityByLang]] — the FULL oracle for
     * `unigram_fertility`. */

@@ -405,4 +405,30 @@ class SimilaritySpec extends SparkSpec {
       .select($"vec_id", $"codes").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(codes1 == codes2, "codes must be stable through decode-requantize")
   }
+
+  test("truncationRecall: signal-bearing prefix keeps recall, noise prefix loses it (r11)") {
+    // All retrieval signal lives in dims 1-2; dims 3-8 are a shared
+    // constant — truncating to 2 must reproduce the full top-k exactly,
+    // and the full-width row must self-pin 10000.
+    val emb = (0 until 30).map { i =>
+      val a = math.cos(i * 0.41); val b = math.sin(i * 0.41)
+      (i.toLong, Array(a.toFloat, b.toFloat, 1f, 1f, 1f, 1f, 1f, 1f))
+    }.toDF("vec_id", "embedding")
+    val probes = emb.filter($"vec_id" % 7 === 0)
+    val out = Similarity.truncationRecall(emb, probes, Seq(2, 8), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(out(8L) == 10000L, "full width must self-pin 10000")
+    assert(out(2L) == 10000L, "the signal-bearing prefix must keep recall")
+    // flip the layout: constants first, signal in the tail — the same
+    // truncation must now lose most of the ranking
+    val flipped = (0 until 30).map { i =>
+      val a = math.cos(i * 0.41); val b = math.sin(i * 0.41)
+      (i.toLong, Array(1f, 1f, 1f, 1f, 1f, 1f, a.toFloat, b.toFloat))
+    }.toDF("vec_id", "embedding")
+    val low = Similarity.truncationRecall(flipped,
+        flipped.filter($"vec_id" % 7 === 0), Seq(2, 8), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(low(8L) == 10000L)
+    assert(low(2L) < 10000L, "a constant prefix cannot carry the ranking")
+  }
 }
