@@ -1453,6 +1453,15 @@ object SparkEntry {
       FittedOracle.unigramStatsPieces = Some(pieces)
       graft.text.Unigram.encodeStats(docs, "doc_id", "text", pieces)
     }),
+    // Greedy longest-match (WordPiece/MaxMatch encode family) over the
+    // SAME fitted vocab (r11): its compression column against
+    // unigram_encode_stats' measures what Viterbi buys.
+    "maxmatch_encode_stats" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pieces = graft.text.Unigram.fitPieces(docs, "text", 400)
+      FittedOracle.maxmatchPieces = Some(pieces)
+      graft.text.Unigram.maxMatchStats(docs, "doc_id", "text", pieces)
+    }),
     // The fertility audit under the unigram model — multilingual
     // budgets skew differently than under BPE (the point of having
     // both tokenizers in the family).

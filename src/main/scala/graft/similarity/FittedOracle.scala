@@ -56,6 +56,7 @@ object FittedOracle {
   @volatile var unigramStatsPieces: Option[Seq[(String, Long)]] = None
   @volatile var unigramFertilityPieces: Option[Seq[(String, Long)]] = None
   @volatile var unigramPackPieces: Option[Seq[(String, Long)]] = None
+  @volatile var maxmatchPieces: Option[Seq[(String, Long)]] = None
 
   /** Exact decimal print: Java's shortest round-trip representation, which
     * DuckDB's parser maps back to the same double (scientific notation
@@ -151,5 +152,8 @@ object FittedOracle {
         "unigram_fertility" -> graft.text.Unigram.sqlFertilityByLang(p)) ++
       unigramPackPieces.filter(_.nonEmpty).map(p =>
         "sequence_packing_unigram" ->
-          graft.text.Unigram.sqlPackChunks(p, 512L))).toMap
+          graft.text.Unigram.sqlPackChunks(p, 512L)) ++
+      maxmatchPieces.filter(_.nonEmpty).map(p =>
+        "maxmatch_encode_stats" ->
+          graft.text.Unigram.sqlMaxMatchStats(p))).toMap
 }

@@ -121,6 +121,107 @@ object Unigram {
     out
   }
 
+  /** Greedy longest-match-first segmentation over the same piece
+    * vocabulary — the WordPiece/MaxMatch ENCODE family (Wu et al. 2016;
+    * HuggingFace BERT tokenizers run exactly this loop): from the left,
+    * take the longest vocab piece at the cursor, else consume one
+    * (UNK-priced) character. No `##` continuation marking (documented
+    * simplification: the fitted vocab is positionless); no look-back —
+    * which is WHY it diverges from Viterbi: greedy grabbing a long
+    * piece can strand the remainder in singles where the
+    * maximum-likelihood split is cheaper overall. The spec pins the
+    * divergence; `maxmatch_encode_stats` measures it on the corpus
+    * (compare its compression column with `unigram_encode_stats`). */
+  private[text] def maxMatchPieces(tok: String, vocab: collection.Set[String],
+                                   maxLen: Int): Int = {
+    var pos = 0
+    var n = 0
+    while (pos < tok.length) {
+      var k = math.min(maxLen, tok.length - pos)
+      while (k > 1 && !vocab.contains(tok.substring(pos, pos + k))) k -= 1
+      pos += k
+      n += 1
+    }
+    n
+  }
+
+  /** Per-document greedy MaxMatch statistics (`maxmatch_encode_stats`):
+    * the [[encodeStats]] shape under the greedy coder — same vocab,
+    * different algorithm, so the two queries' compression columns
+    * measure what Viterbi buys. */
+  def maxMatchStats(docs: DataFrame, idCol: String, textCol: String,
+                    pieces: Seq[(String, Long)],
+                    maxPieceLen: Int = 6): DataFrame = {
+    val bc = docs.sparkSession.sparkContext
+      .broadcast(pieces.map(_._1).toSet)
+    val enc = udf { toks: Seq[String] =>
+      var p = 0L
+      toks.foreach(t => p += maxMatchPieces(t, bc.value, maxPieceLen))
+      p
+    }
+    graft.Par.widen(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextAnalysis.tokens(lower(col(textCol))).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        enc(col("toks")).as("n_pieces"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"), col("n_pieces"),
+        round(col("n_tokens").cast("double") /
+          col("n_pieces").cast("double"), 4).as("compression"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror of [[maxMatchStats]]: the greedy cursor walk as a
+    * string-position `list_reduce` fold — the accumulator is
+    * [cursor, count] (BIGINT pair); each step tries lengths
+    * min(L, len−cursor+1)…2 via the piece map and falls back to one
+    * character. The elements are dummies; only fold ORDER matters, and
+    * one element per character is an upper bound on steps (a step
+    * consumes ≥ 1 char — steps where the cursor is already past the
+    * end are identity). */
+  def sqlMaxMatchStats(pieces: Seq[(String, Long)],
+                       maxPieceLen: Int = 6): String = {
+    require(pieces.nonEmpty, "maxmatch oracle needs a non-empty fitted vocab")
+    val ps = pieces.map(p => sqlQuote(p._1)).mkString(", ")
+    val tokRe = "[^ \\t\\n\\x0B\\f\\r]+"
+    // longest k in [2, min(L, remaining)] whose substring is in vocab,
+    // else 1 — list_max over the matching lengths. The done-state guard
+    // is BRANCH-FREE arithmetic (`g` = cursor still in bounds): a CASE
+    // expression inside a list_reduce lambda miscompiles in DuckDB 1.0
+    // (returns a zeroed accumulator — bisected in r11), so steps past
+    // the end multiply their advance/count by g = 0 instead.
+    val step =
+      s"""list_transform([COALESCE(list_max(list_filter(
+         |      range(2, least($maxPieceLen, length(tok) - acc[1] + 1) + 1),
+         |      k -> len(m[substring(tok, CAST(acc[1] AS INT), CAST(k AS INT))]) > 0)),
+         |    1)],
+         |    kk -> [acc[1] + kk * CAST(acc[1] <= length(tok) AS BIGINT),
+         |           acc[2] + CAST(acc[1] <= length(tok) AS BIGINT)])[1]""".stripMargin
+    s"""WITH mm_vm AS (SELECT MAP([$ps], [$ps]) AS m),
+       |mm_dtok AS (
+       |  SELECT DISTINCT UNNEST(regexp_extract_all(lower(text), '$tokRe')) AS tok
+       |  FROM documents),
+       |mm_dp AS (
+       |  SELECT tok, list_reduce(
+       |    list_prepend([CAST(1 AS BIGINT), CAST(0 AS BIGINT)],
+       |      list_transform(range(1, length(tok) + 1),
+       |        i -> [CAST(1 AS BIGINT), CAST(0 AS BIGINT)])),
+       |    (acc, x) -> $step) AS st
+       |  FROM mm_dtok CROSS JOIN mm_vm),
+       |mm_pieces AS (SELECT tok, st[2] AS np FROM mm_dp),
+       |mm_dt AS (
+       |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '$tokRe')) AS tok
+       |  FROM documents),
+       |mm_doc AS (
+       |  SELECT mm_dt.doc_id, COUNT(*) AS n_tokens,
+       |    CAST(SUM(mm_pieces.np) AS BIGINT) AS n_pieces
+       |  FROM mm_dt JOIN mm_pieces USING (tok) GROUP BY mm_dt.doc_id)
+       |SELECT doc_id, n_tokens, n_pieces,
+       |  round(n_tokens::DOUBLE / n_pieces::DOUBLE, 4) AS compression
+       |FROM mm_doc WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin
+  }
+
   /** Driver-side unigram fit over a word dictionary: (piece, lpMicro)
     * sorted by piece. Pure function of the dictionary (sorted takes,
     * commutative sums — no hash-order dependence). */

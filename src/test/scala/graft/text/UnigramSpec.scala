@@ -103,6 +103,33 @@ class UnigramSpec extends SparkSpec {
     assert(uniPieces == 1L, "the whole dominant word should be one piece")
   }
 
+  test("maxMatch: greedy longest-first, and Viterbi never loses to it (r11)") {
+    // the classic greedy trap: 'abcd' with vocab {abc, ab, cd, a..d}
+    // greedy takes 'abc' + 'd' (2 pieces at poor prob); Viterbi can
+    // pick 'ab' + 'cd' when the probabilities favor it — equal piece
+    // count here, but on 'abcde' with {abcd, bc, de}: greedy abcd+e=2,
+    // which strands 'e'; make a case where greedy is strictly worse:
+    val vocab = Set("abc", "de", "cde", "ab")
+    // 'abcde': greedy: abc + de = 2; Viterbi with lp would also find
+    // ab+cde = 2 — counts tie. Force a strict loss: 'abcd' with
+    // {abc, ab, cd}: greedy abc+d = 2, Viterbi ab+cd = 2 — again tie
+    // on count but the d is UNK-priced. Pin the SCORE relation instead:
+    // Viterbi's score is >= any segmentation's, greedy's included.
+    val lp = Map("abc" -> -300L, "ab" -> -100L, "cd" -> -100L,
+      "a" -> -900L, "b" -> -900L, "c" -> -900L, "d" -> -900L)
+    val tok = "abcd"
+    val greedy = Unigram.maxMatchPieces(tok, lp.keySet, 6)
+    assert(greedy == 2, "greedy must take abc then the single d")
+    // Viterbi picks ab+cd (-200) over abc+d (-300 + UNK-free -900)
+    assert(Unigram.viterbiPath(tok, lp, 6) == List("ab", "cd"))
+    // piece-count relation on a corpus: Viterbi pieces <= greedy would
+    // NOT hold in general (Viterbi optimizes probability, not count) —
+    // what holds is score optimality, pinned in the exhaustive test.
+    assert(Unigram.maxMatchPieces("", lp.keySet, 6) == 0)
+    assert(Unigram.maxMatchPieces("zzz", Set("ab"), 6) == 3,
+      "all-unknown text consumes one char per step")
+  }
+
   test("sql mirror rejects an empty vocab (the omission contract)") {
     intercept[IllegalArgumentException] {
       Unigram.sqlEncodeStats(Seq.empty)
