@@ -778,6 +778,18 @@ object SparkEntry {
     "canonical_link_dedup" -> ((s, dir) =>
       graft.ingest.Links.canonicalDedup(
         withCanonicalHtml(Tables.documents(s, dir)))),
+    // The incremental face (r11): docs < 251 are history (only their
+    // keeper STATE is consulted — history pages never re-read), the
+    // rest arrive as a batch. The 251 split deliberately cuts the
+    // (250, 251) variant pair so one cluster spans the boundary: the
+    // batch page labels under the IMMUTABLE history keeper.
+    "canonical_link_dedup_incremental" -> ((s, dir) => {
+      val all = withCanonicalHtml(Tables.documents(s, dir))
+      graft.ingest.Links.canonicalDedupIncremental(
+        all.filter(col("doc_id") >= 251),
+        graft.ingest.Links.canonicalKeeperState(
+          all.filter(col("doc_id") < 251)))
+    }),
     // The incremental face under the gate: per-batch edge partials
     // merged by sum must equal the one-shot graph (edge counts are
     // additive) — the oracle IS the one-shot query's, which is exactly
@@ -3689,6 +3701,13 @@ object SparkEntry {
          |  SELECT doc_id, url, $sqlCanonicalHtml AS html
          |  FROM (SELECT doc_id, source, $sqlFixtureUrl AS url FROM documents)),
          |${graft.ingest.Links.sqlCanonicalDedup("cd_t")}""".stripMargin,
+    "canonical_link_dedup_incremental" ->
+      s"""WITH cdi_t AS (
+         |  SELECT doc_id, url, $sqlCanonicalHtml AS html
+         |  FROM (SELECT doc_id, source, $sqlFixtureUrl AS url FROM documents)),
+         |${graft.ingest.Links.sqlCanonicalDedupIncremental(
+             "(SELECT * FROM cdi_t WHERE doc_id < 251)",
+             "(SELECT * FROM cdi_t WHERE doc_id >= 251)")}""".stripMargin,
     "robots_exclusion" -> {
       val rulesRows = RobotsRulesFixture.rules
         .map { case (h, r, p) => s"('$h', '$r', '$p')" }.mkString(",\n    ")

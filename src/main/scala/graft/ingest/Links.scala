@@ -244,46 +244,112 @@ object Links {
   def canonicalDedup(docs: DataFrame, idCol: String = "doc_id",
                      urlCol: String = "url",
                      htmlCol: String = "html"): DataFrame = {
-    val resolved = resolve(col(urlCol), canonicalHref(col(htmlCol)))
-    val base = graft.Par.widen(docs)
-      .select(col(idCol).cast("long").as("doc_id"), col(urlCol).as("url"),
-        coalesce(Urls.canonicalize(resolved),
-          Urls.canonicalize(col(urlCol))).as("canonical_url"),
-        Urls.canonicalize(col(urlCol)).as("__self"))
-      .withColumn("__is_self",
-        (col("__self") === col("canonical_url")).cast("int"))
-    val keepers = base.groupBy(col("canonical_url"))
-      .agg(coalesce(
-        min(when(col("__is_self") === 1, col("doc_id"))),
-        min(col("doc_id"))).as("keeper_doc_id"))
-    base.join(keepers, Seq("canonical_url"))
+    val base = canonicalBase(docs, idCol, urlCol, htmlCol)
+    base.join(electKeepers(base), Seq("canonical_url"))
       .select(col("doc_id"), col("url"), col("canonical_url"),
         col("keeper_doc_id"),
         (col("doc_id") === col("keeper_doc_id")).cast("int").as("is_keeper"))
       .orderBy(col("doc_id"))
   }
 
-  /** [[canonicalDedup]] as a DuckDB CTE chain + final SELECT over a
-    * relation exposing (doc_id, url, html). */
-  def sqlCanonicalDedup(from: String): String = {
+  /** (doc_id, url, canonical_url, __is_self) — the shared extraction/
+    * resolution/canonicalization half of the one-shot and incremental
+    * faces. */
+  private def canonicalBase(docs: DataFrame, idCol: String,
+                            urlCol: String, htmlCol: String): DataFrame = {
+    val resolved = resolve(col(urlCol), canonicalHref(col(htmlCol)))
+    graft.Par.widen(docs)
+      .select(col(idCol).cast("long").as("doc_id"), col(urlCol).as("url"),
+        coalesce(Urls.canonicalize(resolved),
+          Urls.canonicalize(col(urlCol))).as("canonical_url"),
+        Urls.canonicalize(col(urlCol)).as("__self"))
+      .withColumn("__is_self",
+        (col("__self") === col("canonical_url")).cast("int"))
+  }
+
+  private def electKeepers(base: DataFrame): DataFrame =
+    base.groupBy(col("canonical_url"))
+      .agg(coalesce(
+        min(when(col("__is_self") === 1, col("doc_id"))),
+        min(col("doc_id"))).as("keeper_doc_id"))
+
+  /** Per-batch keeper STATE for the incremental face:
+    * (canonical_url, inv_self, keeper_doc_id) where (inv_self,
+    * keeper_doc_id) is the cluster's election argmin — kept as columns
+    * so merging is another MIN over the same struct, which makes the
+    * state MERGEABLE: `mergeCanonicalState(state(A) ∪ state(B)) ==
+    * state(A ∪ B)` (min associativity; spec-pinned), the property any
+    * batch-keyed streaming face needs. */
+  def canonicalKeeperState(docs: DataFrame, idCol: String = "doc_id",
+                           urlCol: String = "url",
+                           htmlCol: String = "html"): DataFrame =
+    canonicalBase(docs, idCol, urlCol, htmlCol)
+      .groupBy(col("canonical_url"))
+      .agg(min(struct((lit(1) - col("__is_self")).as("inv_self"),
+        col("doc_id").as("keeper_doc_id"))).as("k"))
+      .select(col("canonical_url"), col("k.inv_self").as("inv_self"),
+        col("k.keeper_doc_id").as("keeper_doc_id"))
+
+  /** Merge per-batch keeper states (one MIN-struct aggregate). */
+  def mergeCanonicalState(parts: DataFrame): DataFrame =
+    parts.groupBy(col("canonical_url"))
+      .agg(min(struct(col("inv_self"), col("keeper_doc_id"))).as("k"))
+      .select(col("canonical_url"), col("k.inv_self").as("inv_self"),
+        col("k.keeper_doc_id").as("keeper_doc_id"))
+
+  /** [EXT] Incremental canonical dedup
+    * (`canonical_link_dedup_incremental` query) — the index discipline
+    * every incremental dedup face in this repo follows: HISTORY KEEPERS
+    * ARE IMMUTABLE. A batch page whose cluster already has a keeper in
+    * `state` labels against it — even a late-arriving self-canonical
+    * original does NOT re-point the cluster (re-electing would rewrite
+    * shipped history; the one-shot face is the reconciliation tool).
+    * Clusters new to the batch elect within it (the one-shot rule).
+    * Shape: the batch's base scan + one batch-keyed election + a
+    * state join — O(batch), never history². */
+  def canonicalDedupIncremental(batch: DataFrame, state: DataFrame,
+                                idCol: String = "doc_id",
+                                urlCol: String = "url",
+                                htmlCol: String = "html"): DataFrame = {
+    val base = canonicalBase(batch, idCol, urlCol, htmlCol)
+    val hist = state.select(col("canonical_url"),
+      col("keeper_doc_id").as("__hist_keeper"))
+    base.join(electKeepers(base)
+        .withColumnRenamed("keeper_doc_id", "__batch_keeper"),
+        Seq("canonical_url"))
+      .join(hist, Seq("canonical_url"), "left")
+      .withColumn("keeper_doc_id",
+        coalesce(col("__hist_keeper"), col("__batch_keeper")))
+      .select(col("doc_id"), col("url"), col("canonical_url"),
+        col("keeper_doc_id"),
+        (col("doc_id") === col("keeper_doc_id")).cast("int").as("is_keeper"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The extraction→resolution→canonicalization half of
+    * [[sqlCanonicalDedup]] as a CTE chain ending in
+    * `<out>(doc_id, url, canonical_url, is_self)` — composable by the
+    * one-shot and incremental oracles (the [[Sitemap.sqlEntriesCtes]]
+    * discipline: produce the chain, never splice strings). */
+  def sqlCanonicalCtes(from: String, out: String): String = {
     val dq = HrefDqRe.replace("'", "''")
     val sq = HrefSqRe.replace("'", "''")
     val relDq = RelDqRe.replace("'", "''")
     val relSq = RelSqRe.replace("'", "''")
-    s"""cd_l AS (
+    s"""${out}_l AS (
        |  SELECT doc_id, url,
        |    list_filter(regexp_extract_all(html, '$LinkTagRe'),
        |      t -> lower(regexp_extract(t, '$relDq', 1)) = 'canonical'
        |        OR lower(regexp_extract(t, '$relSq', 1)) = 'canonical') AS tags
        |  FROM $from),
-       |cd_h AS (
+       |${out}_h AS (
        |  SELECT doc_id, url,
        |    NULLIF(CASE WHEN len(tags) >= 1 THEN
        |      CASE WHEN regexp_extract(tags[1], '$dq', 1) <> ''
        |           THEN regexp_extract(tags[1], '$dq', 1)
        |           ELSE regexp_extract(tags[1], '$sq', 1) END END, '') AS href
-       |  FROM cd_l),
-       |cd_q AS (
+       |  FROM ${out}_l),
+       |${out}_q AS (
        |  SELECT doc_id, url, trim(href) AS h,
        |    regexp_extract(trim(href), '^[^?#]*') AS hpath,
        |    substring(trim(href), length(regexp_extract(trim(href), '^[^?#]*')) + 1) AS hsuffix,
@@ -293,20 +359,26 @@ object Links {
        |                             '[^/]*$$', '') = '' THEN '/'
        |         ELSE regexp_replace(regexp_extract(url, '${Urls.PathRe}', 1),
        |                             '[^/]*$$', '') END AS dir
-       |  FROM cd_h),
-       |cd_r AS (
+       |  FROM ${out}_h),
+       |${out}_r AS (
        |  SELECT doc_id, url,
        |    ${sqlResolveExpr("h", "hpath", "hsuffix",
                              "origin", "bscheme", "dir")} AS resolved
-       |  FROM cd_q),
-       |cd_c AS (
+       |  FROM ${out}_q),
+       |$out AS (
        |  SELECT doc_id, url,
        |    COALESCE(${Urls.sqlCanonicalize("resolved")},
        |             ${Urls.sqlCanonicalize("url")}) AS canonical_url,
        |    CASE WHEN ${Urls.sqlCanonicalize("url")} =
        |      COALESCE(${Urls.sqlCanonicalize("resolved")},
        |               ${Urls.sqlCanonicalize("url")}) THEN 1 ELSE 0 END AS is_self
-       |  FROM cd_r),
+       |  FROM ${out}_r)""".stripMargin
+  }
+
+  /** [[canonicalDedup]] as a DuckDB CTE chain + final SELECT over a
+    * relation exposing (doc_id, url, html). */
+  def sqlCanonicalDedup(from: String): String =
+    s"""${sqlCanonicalCtes(from, "cd_c")},
        |cd_k AS (
        |  SELECT canonical_url,
        |    COALESCE(MIN(CASE WHEN is_self = 1 THEN doc_id END),
@@ -316,7 +388,33 @@ object Links {
        |  CAST(c.doc_id = k.keeper_doc_id AS INT) AS is_keeper
        |FROM cd_c c JOIN cd_k k USING (canonical_url)
        |ORDER BY c.doc_id""".stripMargin
-  }
+
+  /** [[canonicalDedupIncremental]] as one DuckDB query: the shared
+    * chain runs once over history (state election only) and once over
+    * the batch; the final labeling coalesces history keepers first —
+    * the immutability rule, stated relationally. */
+  def sqlCanonicalDedupIncremental(histFrom: String,
+                                   batchFrom: String): String =
+    s"""${sqlCanonicalCtes(histFrom, "ci_h")},
+       |${sqlCanonicalCtes(batchFrom, "ci_b")},
+       |ci_hk AS (
+       |  SELECT canonical_url,
+       |    COALESCE(MIN(CASE WHEN is_self = 1 THEN doc_id END),
+       |             MIN(doc_id)) AS hist_keeper
+       |  FROM ci_h GROUP BY canonical_url),
+       |ci_bk AS (
+       |  SELECT canonical_url,
+       |    COALESCE(MIN(CASE WHEN is_self = 1 THEN doc_id END),
+       |             MIN(doc_id)) AS batch_keeper
+       |  FROM ci_b GROUP BY canonical_url)
+       |SELECT b.doc_id, b.url, b.canonical_url,
+       |  COALESCE(h.hist_keeper, k.batch_keeper) AS keeper_doc_id,
+       |  CAST(b.doc_id = COALESCE(h.hist_keeper, k.batch_keeper) AS INT)
+       |    AS is_keeper
+       |FROM ci_b b
+       |LEFT JOIN ci_hk h USING (canonical_url)
+       |JOIN ci_bk k USING (canonical_url)
+       |ORDER BY b.doc_id""".stripMargin
 
   /** Merge per-batch [[hostGraph]] partials into the corpus graph: edge
     * counts are ADDITIVE, so the merged graph of any partition of the

@@ -245,4 +245,45 @@ class LinksSpec extends SparkSpec {
     assert(out(7L) == ("https://ex.com/solo", 5L, 0),
       "dot-segment canonical must fold into the target cluster")
   }
+
+  private def canonDocs = Seq(
+    (1L, "https://m.ex.com/a1",
+      """<link rel="canonical" href="https://orig.net/s/1">"""),
+    (2L, "https://amp.ex.com/a2",
+      """<link rel="canonical" href="https://orig.net/s/1">"""),
+    (3L, "https://ex.com/own", "<p>none</p>"),
+    // the self-canonical original of cluster s/1 — arrives LAST
+    (4L, "https://orig.net/s/1",
+      """<link rel="canonical" href="https://orig.net/s/1">"""))
+    .toDF("doc_id", "url", "html")
+
+  test("canonical keeper state merges: split-state == one-shot state (r11)") {
+    val whole = Links.canonicalKeeperState(canonDocs)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val merged = Links.mergeCanonicalState(
+        Links.canonicalKeeperState(canonDocs.filter($"doc_id" <= 2))
+          .unionByName(Links.canonicalKeeperState(canonDocs.filter($"doc_id" > 2))))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(merged == whole, "keeper state must be mergeable (min-struct)")
+    // and the merged election prefers the self-canonical doc 4 over
+    // the lower-id variants — (inv_self, id) ordering
+    assert(whole.exists { case (cu, inv, id) =>
+      cu == "https://orig.net/s/1" && inv == 0 && id == 4L })
+  }
+
+  test("incremental: history keepers immutable, new clusters elect in batch (r11)") {
+    // history = docs 1-2 (variants only — keeper by min id = 1);
+    // batch brings the SELF-CANONICAL original (4) plus a new solo (3)
+    val state = Links.canonicalKeeperState(canonDocs.filter($"doc_id" <= 2))
+    val out = Links.canonicalDedupIncremental(
+        canonDocs.filter($"doc_id" > 2), state)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getInt(4))).toMap
+    assert(out(4L) == (1L, 0),
+      "a late self-canonical original must NOT re-point the shipped cluster")
+    assert(out(3L) == (3L, 1), "a cluster new to the batch elects within it")
+    // one-shot over everything DOES re-elect — the reconciliation tool
+    val oneShot = Links.canonicalDedup(canonDocs)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(oneShot(1L) == 4L && oneShot(4L) == 4L)
+  }
 }
