@@ -244,7 +244,12 @@ object Links {
   def canonicalDedup(docs: DataFrame, idCol: String = "doc_id",
                      urlCol: String = "url",
                      htmlCol: String = "html"): DataFrame = {
-    val base = canonicalBase(docs, idCol, urlCol, htmlCol)
+    // pinned: base feeds BOTH the keeper election and the labeling
+    // join — unpinned, CollapseProject re-expands the resolver (the
+    // dot-segment fold + three canonicalize trees, all interpreted
+    // HOF territory) into every branch (the warc_refinedweb diamond;
+    // measured 55 s → ~2 s at sf0.1 with the pin)
+    val base = canonicalBase(docs, idCol, urlCol, htmlCol).pinned
     base.join(electKeepers(base), Seq("canonical_url"))
       .select(col("doc_id"), col("url"), col("canonical_url"),
         col("keeper_doc_id"),
@@ -256,16 +261,27 @@ object Links {
     * resolution/canonicalization half of the one-shot and incremental
     * faces. */
   private def canonicalBase(docs: DataFrame, idCol: String,
-                            urlCol: String, htmlCol: String): DataFrame = {
-    val resolved = resolve(col(urlCol), canonicalHref(col(htmlCol)))
+                            urlCol: String, htmlCol: String): DataFrame =
+    // STAGED selects, one heavy tree per stage: the resolver and the
+    // canonicalize trees are interpreted-HOF territory (no codegen, no
+    // subexpression elimination), so building everything in one select
+    // evaluates the canonicalize(url) tree twice per row and re-inlines
+    // the resolver into every consumer. Staging leaves each stage's
+    // output as a plain attribute — CollapseProject keeps multi-use
+    // non-cheap aliases staged, so each value computes ONCE per row.
     graft.Par.widen(docs)
       .select(col(idCol).cast("long").as("doc_id"), col(urlCol).as("url"),
-        coalesce(Urls.canonicalize(resolved),
-          Urls.canonicalize(col(urlCol))).as("canonical_url"),
-        Urls.canonicalize(col(urlCol)).as("__self"))
+        canonicalHref(col(htmlCol)).as("__href"))
+      .select(col("doc_id"), col("url"),
+        resolve(col("url"), col("__href")).as("__resolved"))
+      .select(col("doc_id"), col("url"),
+        Urls.canonicalize(col("__resolved")).as("__cr"),
+        Urls.canonicalize(col("url")).as("__self"))
+      .select(col("doc_id"), col("url"),
+        coalesce(col("__cr"), col("__self")).as("canonical_url"),
+        col("__self"))
       .withColumn("__is_self",
         (col("__self") === col("canonical_url")).cast("int"))
-  }
 
   private def electKeepers(base: DataFrame): DataFrame =
     base.groupBy(col("canonical_url"))
@@ -311,7 +327,7 @@ object Links {
                                 idCol: String = "doc_id",
                                 urlCol: String = "url",
                                 htmlCol: String = "html"): DataFrame = {
-    val base = canonicalBase(batch, idCol, urlCol, htmlCol)
+    val base = canonicalBase(batch, idCol, urlCol, htmlCol).pinned
     val hist = state.select(col("canonical_url"),
       col("keeper_doc_id").as("__hist_keeper"))
     base.join(electKeepers(base)
