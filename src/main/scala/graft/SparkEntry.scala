@@ -1536,6 +1536,13 @@ object SparkEntry {
     // discriminating — keep=1 for 30% of the corpus instead of 2% —
     // which also inflates the downstream dedup in
     // corpus_clean_classified; the trained-10-round form stays.)
+    // Calibration / reliability table for the trained gate (r11):
+    // decile score bins, observed positive rate vs mean predicted
+    // score on the labeled subset, integer per-mille — the audit that
+    // says whether the score can be read as a probability.
+    "classifier_calibration" -> ((s, dir) =>
+      graft.pipeline.QualityClassifier.calibration(
+        Tables.documents(s, dir), "doc_id", "text")),
     "quality_classifier" -> ((s, dir) =>
       graft.pipeline.QualityClassifier.classify(
         Tables.documents(s, dir), "doc_id", "text")),
@@ -2208,6 +2215,8 @@ object SparkEntry {
         |SELECT doc_id, source, n_tokens, cum_tokens
         |FROM c WHERE cum_tokens <= 400 ORDER BY doc_id""".stripMargin,
     "quality_classifier" -> graft.pipeline.QualityClassifier.sqlClassifier(),
+    "classifier_calibration" ->
+      graft.pipeline.QualityClassifier.sqlCalibration(),
     "gopher_rules" -> graft.text.GopherRules.sqlSignals("documents"),
     "gopher_rules_edge" ->
       graft.text.GopherRules.sqlSignals(valuesRel(GopherFixture.docs)),

@@ -163,6 +163,70 @@ object QualityClassifier {
     out
   }
 
+  /** [EXT] Calibration / reliability table for the trained gate
+    * (`classifier_calibration` query) — the audit a team runs before
+    * trusting the classifier's SCORES as probabilities (threshold
+    * tuning, mixture weighting, loss re-weighting all read the score
+    * as one): decile-bin the scores, and per bin compare the MEAN
+    * PREDICTED score against the OBSERVED positive rate on the labeled
+    * subset (Guo et al. 2017's reliability diagram, as a table). A
+    * well-calibrated bin has gap ≈ 0; the hard-sigmoid + weak-label
+    * training here is NOT a calibrated recipe, which is exactly what
+    * the table shows and why it ships beside the gate.
+    *
+    * All integer: bins = score_micro ∕ 100000 capped at 9; observed
+    * and predicted rates in per-mille via integer DIV (bins with no
+    * labeled docs carry nulls — never a division by zero under ANSI).
+    * One score pass + one label join + a ≤10-row aggregate. */
+  def calibration(docs: DataFrame, idCol: String, textCol: String,
+                  numBuckets: Int = 256, iters: Int = 10): DataFrame = {
+    val scored = classify(docs, idCol, textCol, numBuckets, iters)
+    val labels = weakLabels(docs, idCol, textCol)
+    scored.join(labels, Seq("doc_id"), "left")
+      .withColumn("bin", least(expr("score_micro div 100000"), lit(9L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("y")).as("n_labeled"),
+        sum(when(col("y") === 1000000L, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("y").isNotNull, col("score_micro"))).as("__sp"))
+      .select(col("bin"), col("n_docs"), col("n_labeled"), col("n_pos"),
+        when(col("n_labeled") === 0L, lit(null).cast("long"))
+          .otherwise(expr("n_pos * 1000L div n_labeled")).as("obs_pm"),
+        when(col("n_labeled") === 0L, lit(null).cast("long"))
+          .otherwise(expr("__sp div (n_labeled * 1000L)")).as("pred_pm"))
+      .withColumn("gap_pm", abs(col("pred_pm") - col("obs_pm")))
+      .orderBy(col("bin"))
+  }
+
+  /** DuckDB mirror of [[calibration]] — the FULL oracle for
+    * `classifier_calibration`: the proven classifier chain, then the
+    * bin/label aggregate (the `labels` CTE stays referenceable after
+    * `qc`). */
+  def sqlCalibration(numBuckets: Int = 256, iters: Int = 10): String =
+    s"""WITH ${sqlClassifierCtes(numBuckets, iters)},
+       |cal AS (
+       |  SELECT LEAST(qc.score_micro // 100000, 9) AS bin,
+       |    qc.score_micro, l.y
+       |  FROM qc LEFT JOIN labels l USING (doc_id)),
+       |calb AS (
+       |  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(COUNT(y) AS BIGINT) AS n_labeled,
+       |    CAST(SUM(CASE WHEN y = 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_pos,
+       |    CAST(SUM(CASE WHEN y IS NOT NULL THEN score_micro END) AS BIGINT)
+       |      AS sp
+       |  FROM cal GROUP BY bin)
+       |SELECT bin, n_docs, n_labeled, n_pos,
+       |  CASE WHEN n_labeled = 0 THEN NULL
+       |       ELSE n_pos * 1000 // n_labeled END AS obs_pm,
+       |  CASE WHEN n_labeled = 0 THEN NULL
+       |       ELSE sp // (n_labeled * 1000) END AS pred_pm,
+       |  abs(CASE WHEN n_labeled = 0 THEN NULL
+       |       ELSE sp // (n_labeled * 1000) END -
+       |      CASE WHEN n_labeled = 0 THEN NULL
+       |       ELSE n_pos * 1000 // n_labeled END) AS gap_pm
+       |FROM calb ORDER BY bin""".stripMargin
+
   /** DuckDB mirror of [[classify]] over `documents`: the full training
     * loop unrolled as `iters` CTE rounds (z → error → gradient → weight
     * update), then inference. Every intermediate is integer (or an

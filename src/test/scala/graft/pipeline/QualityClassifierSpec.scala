@@ -64,4 +64,31 @@ class QualityClassifierSpec extends SparkSpec {
       s"gated output $gated not within classifier keeps $keepIds")
     assert(gated.contains(1L)) // a fluent doc survives end-to-end
   }
+
+  test("calibration table reconciles to scores and labels (r11)") {
+    val cal = QualityClassifier.calibration(docs, "doc_id", "text")
+      .collect()
+    val scored = QualityClassifier.classify(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val labels = QualityClassifier.weakLabels(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // bin totals cover every scored doc exactly once
+    assert(cal.map(_.getLong(1)).sum == scored.size)
+    assert(cal.map(_.getLong(2)).sum == labels.size)
+    cal.foreach { r =>
+      val bin = r.getLong(0)
+      val inBin = scored.filter { case (_, s) => math.min(s / 100000, 9L) == bin }
+      assert(r.getLong(1) == inBin.size, s"bin $bin n_docs")
+      val labeled = inBin.keySet.intersect(labels.keySet)
+      assert(r.getLong(2) == labeled.size, s"bin $bin n_labeled")
+      val pos = labeled.count(labels(_) == 1000000L)
+      assert(r.getLong(3) == pos, s"bin $bin n_pos")
+      if (labeled.nonEmpty) {
+        assert(r.getLong(4) == pos * 1000L / labeled.size, s"bin $bin obs_pm")
+        val sp = labeled.toSeq.map(scored).sum
+        assert(r.getLong(5) == sp / (labeled.size * 1000L), s"bin $bin pred_pm")
+        assert(r.getLong(6) == math.abs(r.getLong(5) - r.getLong(4)))
+      } else assert(r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6))
+    }
+  }
 }
