@@ -858,6 +858,20 @@ object SparkEntry {
           .select(col("doc_id"), col("url")),
         "url", "doc_id", delays)
     }),
+    // Redirect-chain resolution (r11): bounded-hop Location walk —
+    // planted single hops, 2-chains, and a 2-cycle that must report
+    // unterminated at the cap (the fetcher's too-many-redirects).
+    "redirect_chains" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"))
+      def u(id: org.apache.spark.sql.Column) =
+        concat(lit("https://r.example/p/"), id)
+      val urls = d.select(u(col("doc_id")).as("url"))
+      val red = d.filter(col("doc_id") % 5 =!= 0)
+        .select(u(col("doc_id")).as("src_url"),
+          u(when(col("doc_id") % 5 === 3, col("doc_id") + 1)
+            .otherwise(col("doc_id") - 1)).as("dst_url"))
+      graft.ingest.Redirects.chains(urls, red)
+    }),
     // Soft URL word-score gate (r10) — RefinedWeb's OTHER URL filter:
     // spam announces itself in the URL string before any fetch, so the
     // score is a pure scan-stage expression over the url column. Paths
@@ -3785,6 +3799,16 @@ object SparkEntry {
     "crawl_frontier" ->
       graft.ingest.Frontier.sqlSchedule("documents", "doc_id", sqlFixtureUrl,
         delayMs = 1000L, nWorkers = 4),
+    "redirect_chains" ->
+      s"""WITH rdu AS (
+         |  SELECT 'https://r.example/p/' || CAST(doc_id AS VARCHAR) AS url
+         |  FROM documents),
+         |rdm AS (
+         |  SELECT 'https://r.example/p/' || CAST(doc_id AS VARCHAR) AS src_url,
+         |    'https://r.example/p/' || CAST(CASE WHEN doc_id % 5 = 3
+         |      THEN doc_id + 1 ELSE doc_id - 1 END AS VARCHAR) AS dst_url
+         |  FROM documents WHERE doc_id % 5 <> 0),
+         |${graft.ingest.Redirects.sqlChains("rdu", "rdm")}""".stripMargin,
     "crawl_delay_schedule" -> {
       val rows = HostRobotsRows
         .map { case (h, t) => s"('$h', '${t.replace("'", "''")}')" }
