@@ -85,9 +85,12 @@ object Bench {
     // ignored" — by design (the reader sees an empty dir exactly once,
     // on the run after a crash). Benign and audited; silence the file-
     // index logger so the bench tail stays readable (r10 verdict).
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.datasources.InMemoryFileIndex",
-      org.apache.logging.log4j.Level.ERROR)
+    // (BENCH_r10's lines came from the DataSource logger specifically —
+    // silence both it and the file index.)
+    Seq("org.apache.spark.sql.execution.datasources.InMemoryFileIndex",
+      "org.apache.spark.sql.execution.datasources.DataSource")
+      .foreach(org.apache.logging.log4j.core.config.Configurator.setLevel(
+        _, org.apache.logging.log4j.Level.ERROR))
     // Warmup: exercise the scan, the dedup/minhash codegen paths, and the
     // vector arithmetic on tiny slices so first-query timings measure the
     // query, not JVM/codegen startup (whichever query runs first otherwise
