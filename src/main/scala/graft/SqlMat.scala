@@ -23,10 +23,12 @@ package graft
   *     its own name is recursive and is left alone (DuckDB rejects the
   *     hint on recursive CTEs);
   *   - reference counting is word-boundary occurrences of the name
-  *     outside the definition's own body and header. Over-counting
-  *     (a CTE name that also appears as a column name or inside a
-  *     string literal) only over-materializes — safe, at worst a lost
-  *     pushdown on a small intermediate.
+  *     outside the definition's own body and header, over text whose
+  *     single-quoted literals are masked out (r12) — a literal that
+  *     contains `name AS (` or a CTE's name is data, not code, and
+  *     must neither define nor count. Residual over-counting (a CTE
+  *     name that also appears as a column name) only over-materializes
+  *     — safe, at worst a lost pushdown on a small intermediate.
   *
   * Applied centrally in [[SparkEntry.oracleSql]] so every registered
   * oracle gets the same treatment and new chains can't regress the gate
@@ -36,6 +38,28 @@ object SqlMat {
 
   private val CteDef =
     "(?m)(^|,|\\b(?i:WITH)\\s|\\b(?i:RECURSIVE)\\s)(\\s*)([A-Za-z_][A-Za-z0-9_]*) AS \\(".r
+
+  /** Same-length copy of `sql` with every single-quoted literal's
+    * CONTENT blanked to 'x' (quotes kept, so offsets line up 1:1 with
+    * the original). Definition detection and reference counting run on
+    * this masked text so a string literal that happens to contain
+    * `name AS (` — or a CTE's name — can neither create a phantom
+    * definition (the r11 ADVICE hazard: MATERIALIZED injected inside
+    * data text) nor skew a reference count. The `''` escape folds
+    * naturally: the closing quote ends one span and the next quote
+    * opens another, exactly as [[matchParen]] walks them. */
+  private def maskLiterals(sql: String): String = {
+    val out = sql.toCharArray
+    var i = 0
+    while (i < out.length) {
+      if (out(i) == '\'') {
+        i += 1
+        while (i < out.length && out(i) != '\'') { out(i) = 'x'; i += 1 }
+      }
+      i += 1
+    }
+    new String(out)
+  }
 
   /** End index (exclusive) of the paren group opening at `open`
     * (index of '('), or -1 if unbalanced. */
@@ -60,10 +84,13 @@ object SqlMat {
 
   def materializeShared(sql: String): String = {
     if (!sql.contains(" AS (")) return sql
+    // All detection/counting runs over the literal-masked text (same
+    // offsets as `sql`); only the final rewrite touches the original.
+    val masked = maskLiterals(sql)
     // (name, headerStart, bodyOpen, bodyEnd) per top-level-looking def
-    val defs = CteDef.findAllMatchIn(sql).flatMap { m =>
+    val defs = CteDef.findAllMatchIn(masked).flatMap { m =>
       val open = m.end - 1
-      val close = matchParen(sql, open)
+      val close = matchParen(masked, open)
       if (close < 0) None
       else Some((m.group(3), m.start(3), open, close))
     }.toList
@@ -75,10 +102,10 @@ object SqlMat {
     }.toSet
     val toMaterialize = defs.filter { case (name, defStart, open, close) =>
       val re = ("\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
-      val body = sql.substring(open, close)
+      val body = masked.substring(open, close)
       val recursive = re.findFirstIn(body).isDefined
       lazy val outside =
-        re.findAllMatchIn(sql).count(m => m.start < defStart || m.start >= close)
+        re.findAllMatchIn(masked).count(m => m.start < defStart || m.start >= close)
       !shadowed(name) && !recursive && outside >= 2
     }
     // rewrite right-to-left so earlier offsets stay valid

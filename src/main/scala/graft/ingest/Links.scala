@@ -205,15 +205,17 @@ object Links {
     * declares none. Attribute order-free (rel before or after href),
     * both quote styles, FIRST canonical tag wins (the de-facto rule —
     * one canonical per page; extra declarations are author error and
-    * search engines read the first). Exact rel value `canonical` only
-    * (space-separated rel token lists are out of contract —
-    * documented; `rel="canonical alternate"` is vanishingly rare and a
-    * production widening splits the token list, not the operator). */
+    * search engines read the first). `rel` is an HTML TOKEN LIST:
+    * the value splits on whitespace and `canonical` matches as a token
+    * (r12 widening — `rel="canonical alternate"` qualifies; the exact
+    * match that preceded it missed list-valued rels). */
   def canonicalHref(html: Column): Column = {
     val tags = regexp_extract_all(html, lit(LinkTagRe), lit(0))
+    def hasTok(rel: Column): Column =
+      array_contains(split(lower(rel), "\\s+"), "canonical")
     val canon = filter(tags, t =>
-      lower(regexp_extract(t, RelDqRe, 1)) === "canonical" ||
-        lower(regexp_extract(t, RelSqRe, 1)) === "canonical")
+      hasTok(regexp_extract(t, RelDqRe, 1)) ||
+        hasTok(regexp_extract(t, RelSqRe, 1)))
     val tag = get(canon, lit(0))
     val dq = regexp_extract(tag, HrefDqRe, 1)
     val sq = regexp_extract(tag, HrefSqRe, 1)
@@ -277,11 +279,16 @@ object Links {
       .select(col("doc_id"), col("url"),
         Urls.canonicalize(col("__resolved")).as("__cr"),
         Urls.canonicalize(col("url")).as("__self"))
+      // null-key guard (r12): a row whose own URL is null/uncanonicalizable
+      // would otherwise carry a NULL cluster key and silently vanish in the
+      // keeper equi-join — out-of-contract rows surface as their own
+      // single-doc clusters under a per-doc sentinel instead.
       .select(col("doc_id"), col("url"),
-        coalesce(col("__cr"), col("__self")).as("canonical_url"),
+        coalesce(col("__cr"), col("__self"),
+          concat(lit("urn:graft:null-url:"), col("doc_id"))).as("canonical_url"),
         col("__self"))
       .withColumn("__is_self",
-        (col("__self") === col("canonical_url")).cast("int"))
+        coalesce((col("__self") === col("canonical_url")).cast("int"), lit(0)))
 
   private def electKeepers(base: DataFrame): DataFrame =
     base.groupBy(col("canonical_url"))
@@ -355,8 +362,10 @@ object Links {
     s"""${out}_l AS (
        |  SELECT doc_id, url,
        |    list_filter(regexp_extract_all(html, '$LinkTagRe'),
-       |      t -> lower(regexp_extract(t, '$relDq', 1)) = 'canonical'
-       |        OR lower(regexp_extract(t, '$relSq', 1)) = 'canonical') AS tags
+       |      t -> list_contains(string_split_regex(
+       |             lower(regexp_extract(t, '$relDq', 1)), '\\s+'), 'canonical')
+       |        OR list_contains(string_split_regex(
+       |             lower(regexp_extract(t, '$relSq', 1)), '\\s+'), 'canonical')) AS tags
        |  FROM $from),
        |${out}_h AS (
        |  SELECT doc_id, url,
@@ -384,10 +393,12 @@ object Links {
        |$out AS (
        |  SELECT doc_id, url,
        |    COALESCE(${Urls.sqlCanonicalize("resolved")},
-       |             ${Urls.sqlCanonicalize("url")}) AS canonical_url,
+       |             ${Urls.sqlCanonicalize("url")},
+       |             'urn:graft:null-url:' || doc_id) AS canonical_url,
        |    CASE WHEN ${Urls.sqlCanonicalize("url")} =
        |      COALESCE(${Urls.sqlCanonicalize("resolved")},
-       |               ${Urls.sqlCanonicalize("url")}) THEN 1 ELSE 0 END AS is_self
+       |               ${Urls.sqlCanonicalize("url")},
+       |               'urn:graft:null-url:' || doc_id) THEN 1 ELSE 0 END AS is_self
        |  FROM ${out}_r)""".stripMargin
   }
 

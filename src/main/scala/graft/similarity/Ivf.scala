@@ -120,10 +120,35 @@ object Ivf {
     spark.read.parquet(path)
       .repartition(col("list"))
       .write.mode("overwrite").partitionBy("list").parquet(tmp)
-    val dir = new java.io.File(path)
-    org.apache.commons.io.FileUtils.deleteDirectory(dir)
-    if (!new java.io.File(tmp).renameTo(dir))
-      throw new java.io.IOException(s"compaction swap failed for $path")
+    swapStore(path, tmp)
+  }
+
+  /** Backup-first store swap (shared by [[compactStore]] / [[refit]]):
+    * live → `path__old`, tmp → live, delete the backup. At NO point is
+    * the data only in a temp sibling — a crash before the second move
+    * leaves the complete store at `path__old` (restore = rename it
+    * back; the next maintenance run also clears a stale backup), a
+    * crash after it leaves the new store live plus a deletable backup.
+    * `Files.move` raises a diagnosed error instead of `renameTo`'s
+    * silent false; ATOMIC_MOVE pins the same-filesystem contract this
+    * layout relies on (the tmp sibling lives beside the store
+    * precisely so the moves are renames — a store on a mount where
+    * directory rename is a copy should use a transactional table
+    * format instead). */
+  private def swapStore(path: String, tmp: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val live = Paths.get(path)
+    val bak = Paths.get(path + "__old")
+    if (Files.exists(bak)) // stale backup from an interrupted swap
+      org.apache.commons.io.FileUtils.deleteDirectory(bak.toFile)
+    Files.move(live, bak, StandardCopyOption.ATOMIC_MOVE)
+    try Files.move(Paths.get(tmp), live, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: java.io.IOException =>
+        Files.move(bak, live, StandardCopyOption.ATOMIC_MOVE) // restore
+        throw e
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(bak.toFile)
   }
 
   /** [EXT] Refit the quantizer from the GROWN corpus and rewrite the
@@ -154,10 +179,7 @@ object Ivf {
           .nearestCentroids(col("cv"), centers, 1), 1))
       .repartition(col("list"))
       .write.mode("overwrite").partitionBy("list").parquet(tmp)
-    val dir = new java.io.File(path)
-    org.apache.commons.io.FileUtils.deleteDirectory(dir)
-    if (!new java.io.File(tmp).renameTo(dir))
-      throw new java.io.IOException(s"refit swap failed for $path")
+    swapStore(path, tmp)
     centers
   }
 

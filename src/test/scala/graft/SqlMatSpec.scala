@@ -65,6 +65,25 @@ class SqlMatSpec extends AnyFunSuite {
       "shadowed names must stay plain CTEs — DuckDB rejects the hint")
   }
 
+  test("string literals are masked: data text can neither define nor count") {
+    // literal containing a line that looks like a CTE definition — a
+    // naive pass would inject MATERIALIZED inside the data text
+    val sql =
+      """WITH a AS (SELECT 'x AS (' AS t),
+        |b AS (SELECT t FROM a UNION ALL SELECT t FROM a)
+        |SELECT * FROM b""".stripMargin
+    val out = SqlMat.materializeShared(sql)
+    assert(out.contains("'x AS ('"), "literal text must survive byte-identical")
+    assert(out.contains("a AS MATERIALIZED"), "real shared CTE still hinted")
+    // literal mentioning a CTE's name must not inflate its ref count
+    val sql2 =
+      """WITH zq AS (SELECT 1 AS x),
+        |w AS (SELECT x, 'zq zq zq' AS note FROM zq)
+        |SELECT * FROM w""".stripMargin
+    assert(!SqlMat.materializeShared(sql2).contains("zq AS MATERIALIZED"),
+      "one code reference + literal mentions must stay inlined")
+  }
+
   test("plain SELECT without CTEs passes through unchanged; idempotent") {
     val plain = "SELECT l_returnflag, sum(l_quantity) FROM lineitem GROUP BY 1"
     assert(SqlMat.materializeShared(plain) == plain)

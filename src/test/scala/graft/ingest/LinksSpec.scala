@@ -203,6 +203,26 @@ class LinksSpec extends SparkSpec {
     // empty href reads as undeclared; no link tags at all too
     assert(one("""<link rel="canonical" href="">""").isEmpty)
     assert(one("<p>no head</p>").isEmpty)
+    // rel is a token list (r12): canonical matches as a token, and a
+    // token that merely CONTAINS it does not
+    assert(one("""<link rel="canonical alternate" href="/tok">""")
+      .contains("/tok"))
+    assert(one("""<link rel='alternate canonical' href='/tok2'>""")
+      .contains("/tok2"))
+    assert(one("""<link rel="noncanonical" href="/no">""").isEmpty)
+  }
+
+  test("canonicalDedup: null page URL surfaces as its own sentinel cluster (r12)") {
+    val docs = Seq(
+      (1L, "https://ex.com/a", """<link rel="canonical" href="/a">"""),
+      (2L, null.asInstanceOf[String], "<p>fetch lost its URL</p>"))
+      .toDF("doc_id", "url", "html")
+    val out = Links.canonicalDedup(docs).collect()
+    assert(out.length == 2, "out-of-contract rows must stay visible")
+    val r2 = out.find(_.getLong(0) == 2L).get
+    assert(r2.getString(2) == "urn:graft:null-url:2" &&
+      r2.getLong(3) == 2L && r2.getInt(4) == 1,
+      "null-URL doc = its own cluster, keeper itself")
   }
 
   test("canonicalDedup: clusters by resolved target, self-canonical keeps (r11)") {

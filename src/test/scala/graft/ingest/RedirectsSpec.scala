@@ -43,4 +43,31 @@ class RedirectsSpec extends SparkSpec {
     assert(full.getString(1) == "h9" && full.getLong(2) == 9L &&
       full.getBoolean(3))
   }
+
+  test("duplicate (src -> dst) map rows dedupe to min(dst) — no fan-out") {
+    val urls = Seq("a").toDF("url")
+    // conflicting duplicates at both hops: without the per-src dedup the
+    // walk would emit up to 2^2 rows for one URL
+    val red = Seq(
+      ("a", "b"), ("a", "c"), ("a", "b"),
+      ("b", "t1"), ("b", "t2")
+    ).toDF("src_url", "dst_url")
+    val rows = Redirects.chains(urls, red, maxHops = 8).collect()
+    assert(rows.length == 1, s"one input URL must yield one chain row: ${rows.toSeq}")
+    val r = rows.head
+    assert(r.getString(0) == "a" && r.getString(1) == "t1" &&
+      r.getLong(2) == 2L && r.getBoolean(3),
+      "deterministic pick = min(dst) at every hop")
+  }
+
+  test("settled rows leave the walk: hop-k join input = still-walking rows only") {
+    val urls = Seq("a", "b", "c", "d", "solo").toDF("url")
+    val red = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src_url", "dst_url")
+    val trace = scala.collection.mutable.ArrayBuffer.empty[Long]
+    Redirects.chains(urls, red, maxHops = 4, hopTrace = trace).collect()
+    // hop 1 sees all 5; d and solo settle there; then the chain suffixes
+    // drain one per hop (a->b->c->d is the longest walker)
+    assert(trace.toSeq == Seq(5L, 3L, 2L, 1L),
+      s"join input must shrink with the walked set, got $trace")
+  }
 }

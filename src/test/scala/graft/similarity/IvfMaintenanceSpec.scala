@@ -44,6 +44,14 @@ class IvfMaintenanceSpec extends SparkSpec {
     val after = Ivf.knnIvfStored(spark, path, centers, probes, 5).collect().toSeq
     assert(after == before, "compaction changed search results")
     assert(!new java.io.File(path + "__compacting").exists(), "temp residue")
+    assert(!new java.io.File(path + "__old").exists(), "backup residue")
+    // r12 swap discipline: a stale __old backup from an interrupted
+    // earlier swap must not block the next maintenance run
+    new java.io.File(path + "__old/stale").mkdirs()
+    Ivf.compactStore(spark, path)
+    assert(!new java.io.File(path + "__old").exists(), "stale backup cleared")
+    val again = Ivf.knnIvfStored(spark, path, centers, probes, 5).collect().toSeq
+    assert(again == before, "re-compaction changed search results")
   }
 
   test("refit: store search under new centers equals in-memory search") {
