@@ -1497,6 +1497,22 @@ object SparkEntry {
       FittedOracle.unigramFertilityPieces = Some(pieces)
       graft.text.Unigram.fertilityByLang(docs, "doc_id", "text", "lang", pieces)
     }),
+    // Hard-vs-soft-EM fit fidelity audit (r12, the verdict's #2): the
+    // production hard-EM fit against a Kudo-2018 soft-EM (forward-
+    // backward expected-count) reference fit of the SAME dictionary,
+    // same seed/prune — fertility_delta per language is exactly what
+    // the hard E-step simplification costs. Vocab overlap between the
+    // two fits is pinned in UnigramSoftSpec; both fits print into one
+    // DuckDB oracle (two Viterbi folds).
+    "unigram_fit_divergence" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val hard = graft.text.Unigram.fitPieces(docs, "text", 400)
+      val soft = graft.text.Unigram.fitPiecesSoft(docs, "text", 400)
+      FittedOracle.unigramDivHard = Some(hard)
+      FittedOracle.unigramDivSoft = Some(soft)
+      graft.text.Unigram.fertilityCompare(docs, "doc_id", "text", "lang",
+        hard, soft)
+    }),
     // Bigram LM scoring (CCNet-style quality signal): per-doc
     // predictability cost under the corpus's own bigram model, in
     // integer micro-nats so the iterative-free float pipeline still

@@ -57,6 +57,10 @@ object FittedOracle {
   @volatile var unigramFertilityPieces: Option[Seq[(String, Long)]] = None
   @volatile var unigramPackPieces: Option[Seq[(String, Long)]] = None
   @volatile var maxmatchPieces: Option[Seq[(String, Long)]] = None
+  // Hard- vs soft-EM fit pair (r12): the divergence audit prints BOTH
+  // fitted tables into one oracle.
+  @volatile var unigramDivHard: Option[Seq[(String, Long)]] = None
+  @volatile var unigramDivSoft: Option[Seq[(String, Long)]] = None
 
   /** Exact decimal print: Java's shortest round-trip representation, which
     * DuckDB's parser maps back to the same double (scientific notation
@@ -155,5 +159,9 @@ object FittedOracle {
           graft.text.Unigram.sqlPackChunks(p, 512L)) ++
       maxmatchPieces.filter(_.nonEmpty).map(p =>
         "maxmatch_encode_stats" ->
-          graft.text.Unigram.sqlMaxMatchStats(p))).toMap
+          graft.text.Unigram.sqlMaxMatchStats(p)) ++
+      (for { h <- unigramDivHard.filter(_.nonEmpty)
+             s <- unigramDivSoft.filter(_.nonEmpty) } yield
+        "unigram_fit_divergence" ->
+          graft.text.Unigram.sqlFertilityCompare(h, s))).toMap
 }

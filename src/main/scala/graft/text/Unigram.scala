@@ -24,11 +24,16 @@ import scala.collection.mutable
   * piece asc) with every single character kept for coverage; EM rounds
   * are HARD (Viterbi) E-steps — re-segment the dictionary under current
   * probabilities, recount, re-normalize — a deterministic simplification
-  * of Kudo's soft EM + loss-ranked pruning (documented divergence: hard
-  * EM converges to comparable vocabularies on skewed corpora and is a
-  * pure function of the dictionary, which the oracle channel needs).
-  * At 100 TB the dictionary is still vocabulary-scale, so the collect
-  * is bounded and the cluster never re-scans the corpus per round.
+  * of Kudo's soft EM + loss-ranked pruning. MEASURED divergence (r12,
+  * vs the in-repo [[fitOnDictSoft]] soft-EM reference on the sf0.001
+  * dictionary, UnigramSoftSpec): the hard fit's vocab is STRICTLY
+  * CONTAINED in the soft fit's (55 vs 259 pieces, Jaccard 0.21) — the
+  * gap is the E-steps' pruning asymmetry (Viterbi zeroes any piece off
+  * every best path; forward-backward keeps fractional mass), and the
+  * per-language fertility cost of the smaller hard vocab is what the
+  * `unigram_fit_divergence` query reports. At 100 TB the dictionary is
+  * still vocabulary-scale, so the collect is bounded and the cluster
+  * never re-scans the corpus per round.
   *
   * Probabilities live as INTEGER MICRO-NATS (`⌊ln(c∕Σc)·10⁶⌋`, the
   * [[LmScore]] fixed-point discipline): the doubles die at fit time on
@@ -222,13 +227,11 @@ object Unigram {
        |FROM mm_doc WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin
   }
 
-  /** Driver-side unigram fit over a word dictionary: (piece, lpMicro)
-    * sorted by piece. Pure function of the dictionary (sorted takes,
-    * commutative sums — no hash-order dependence). */
-  private[text] def fitOnDict(dict: Array[(String, Long)], vocabSize: Int,
-                              maxPieceLen: Int = 6, emRounds: Int = 3,
-                              seedSize: Int = 2000): Seq[(String, Long)] = {
-    // seed: substring counts weighted by word frequency
+  /** Substring counts of the dictionary (length ≤ maxPieceLen),
+    * weighted by word frequency — the shared candidate seed of the
+    * hard- and soft-EM fits. */
+  private def seedCounts(dict: Array[(String, Long)],
+                         maxPieceLen: Int): mutable.HashMap[String, Long] = {
     val cnt = mutable.HashMap.empty[String, Long]
     dict.foreach { case (w, n) =>
       var i = 0
@@ -243,13 +246,30 @@ object Unigram {
         i += 1
       }
     }
-    if (cnt.isEmpty) return Seq.empty
+    cnt
+  }
+
+  /** Seed-vocabulary cap: every single character survives (coverage);
+    * multi-char candidates by (count desc, piece asc) up to seedSize. */
+  private def seedVocab(cnt: mutable.HashMap[String, Long],
+                        seedSize: Int): IndexedSeq[String] = {
     val chars = cnt.keysIterator.filter(_.length == 1).toIndexedSeq.sorted
     val multi = cnt.iterator.filter(_._1.length > 1).toIndexedSeq
       .sortBy { case (p, c) => (-c, p) }
       .take(math.max(0, seedSize - chars.size)).map(_._1)
+    chars ++ multi
+  }
+
+  /** Driver-side unigram fit over a word dictionary: (piece, lpMicro)
+    * sorted by piece. Pure function of the dictionary (sorted takes,
+    * commutative sums — no hash-order dependence). */
+  private[text] def fitOnDict(dict: Array[(String, Long)], vocabSize: Int,
+                              maxPieceLen: Int = 6, emRounds: Int = 3,
+                              seedSize: Int = 2000): Seq[(String, Long)] = {
+    val cnt = seedCounts(dict, maxPieceLen)
+    if (cnt.isEmpty) return Seq.empty
     var counts: Map[String, Long] =
-      (chars ++ multi).iterator.map(p => p -> cnt(p)).toMap
+      seedVocab(cnt, seedSize).iterator.map(p => p -> cnt(p)).toMap
     def toProbs(c: Map[String, Long]): Map[String, Long] = {
       val tot = c.valuesIterator.sum
       c.map { case (p, n) => p -> lpMicro(n, tot) }
@@ -291,6 +311,144 @@ object Unigram {
                 seedSize: Int = 2000,
                 maxVocabWords: Int = 100000): Seq[(String, Long)] =
     fitOnDict(Bpe.wordDict(docs, textCol, maxVocabWords), vocabSize,
+      maxPieceLen, emRounds, seedSize)
+
+  // -------------------------------------------------- soft-EM reference
+
+  /** ln 1e-10 — [[UnkMicro]] in nats, the lattice cost of an
+    * out-of-vocab single character during the soft E-step. */
+  private val UnkLog: Double = UnkMicro.toDouble / 1e6
+
+  private def logSumExp(a: Double, b: Double): Double =
+    if (a == Double.NegativeInfinity) b
+    else if (b == Double.NegativeInfinity) a
+    else { val m = math.max(a, b); m + math.log1p(math.exp(math.min(a, b) - m)) }
+
+  /** Accumulate the EXPECTED piece counts of one dictionary word into
+    * `out` — the forward-backward pass over the segmentation lattice
+    * that makes the E-step soft (Kudo 2018 §3.2: every segmentation
+    * contributes, weighted by its posterior, where the hard fit keeps
+    * only the Viterbi path). Log-domain throughout; `n` is the word's
+    * corpus count. */
+  private[text] def addExpectedCounts(w: String, n: Long,
+                                lp: collection.Map[String, Double],
+                                maxLen: Int,
+                                out: mutable.HashMap[String, Double]): Unit = {
+    val L = w.length
+    def cost(i: Int, j: Int): Double = lp.get(w.substring(i, j)) match {
+      case Some(v) => v
+      case None => if (j - i == 1) UnkLog else Double.NegativeInfinity
+    }
+    val alpha = Array.fill(L + 1)(Double.NegativeInfinity)
+    alpha(0) = 0.0
+    var pos = 1
+    while (pos <= L) {
+      var k = 1
+      val kMax = math.min(maxLen, pos)
+      while (k <= kMax) {
+        val c = cost(pos - k, pos)
+        if (c != Double.NegativeInfinity &&
+          alpha(pos - k) != Double.NegativeInfinity)
+          alpha(pos) = logSumExp(alpha(pos), alpha(pos - k) + c)
+        k += 1
+      }
+      pos += 1
+    }
+    val z = alpha(L)
+    if (z == Double.NegativeInfinity) return
+    val beta = Array.fill(L + 1)(Double.NegativeInfinity)
+    beta(L) = 0.0
+    pos = L - 1
+    while (pos >= 0) {
+      var k = 1
+      val kMax = math.min(maxLen, L - pos)
+      while (k <= kMax) {
+        val c = cost(pos, pos + k)
+        if (c != Double.NegativeInfinity &&
+          beta(pos + k) != Double.NegativeInfinity)
+          beta(pos) = logSumExp(beta(pos), c + beta(pos + k))
+        k += 1
+      }
+      pos -= 1
+    }
+    var i = 0
+    while (i < L) {
+      var k = 1
+      val kMax = math.min(maxLen, L - i)
+      while (k <= kMax) {
+        val c = cost(i, i + k)
+        if (c != Double.NegativeInfinity &&
+          alpha(i) != Double.NegativeInfinity &&
+          beta(i + k) != Double.NegativeInfinity) {
+          val e = math.exp(alpha(i) + c + beta(i + k) - z) * n
+          val p = w.substring(i, i + k)
+          out.update(p, out.getOrElse(p, 0.0) + e)
+        }
+        k += 1
+      }
+      i += 1
+    }
+  }
+
+  /** SOFT-EM reference fit (Kudo 2018's E-step, not the hard Viterbi
+    * simplification [[fitOnDict]] ships): same seed, same rounds, same
+    * char floor and final prune — the ONLY difference is the E-step,
+    * which replaces the Viterbi re-segmentation count with the
+    * forward-backward EXPECTED count over all segmentations. Exists to
+    * MEASURE the hard fit's divergence (`unigram_fit_divergence` query;
+    * UnigramSoftSpec pins the vocab overlap), the way the F113 coverage
+    * audit measured the window-dedup approximation: the documented
+    * divergence becomes a number. Deterministic: expected counts
+    * accumulate in dictionary order, totals sum in sorted piece order,
+    * and the doubles die at fit time in the same micro-nat floor as the
+    * hard fit. (Kudo additionally prunes by likelihood LOSS per round;
+    * both fits here prune once, by count, at the end — so the measured
+    * delta isolates hard-vs-soft E-steps under a shared prune rule.) */
+  private[text] def fitOnDictSoft(dict: Array[(String, Long)], vocabSize: Int,
+                                  maxPieceLen: Int = 6, emRounds: Int = 3,
+                                  seedSize: Int = 2000): Seq[(String, Long)] = {
+    val cnt = seedCounts(dict, maxPieceLen)
+    if (cnt.isEmpty) return Seq.empty
+    var counts: Map[String, Double] =
+      seedVocab(cnt, seedSize).iterator.map(p => p -> cnt(p).toDouble).toMap
+    def sortedTotal(c: Map[String, Double]): Double =
+      c.toIndexedSeq.sortBy(_._1).iterator.map(_._2).sum
+    def toLogProbs(c: Map[String, Double]): Map[String, Double] = {
+      val tot = sortedTotal(c)
+      c.map { case (p, n) => p -> math.log(n / tot) }
+    }
+    var lp = toLogProbs(counts)
+    var round = 0
+    while (round < emRounds) {
+      val exp = mutable.HashMap.empty[String, Double]
+      dict.foreach { case (w, n) =>
+        addExpectedCounts(w, n, lp, maxPieceLen, exp)
+      }
+      counts = counts.keysIterator.map { p =>
+        val c = exp.getOrElse(p, 0.0)
+        p -> (if (p.length == 1) math.max(c, 1.0) else c)
+      }.filter(_._2 > 0.0).toMap
+      lp = toLogProbs(counts)
+      round += 1
+    }
+    val keptChars = counts.keysIterator.filter(_.length == 1).toIndexedSeq.sorted
+    val keptMulti = counts.iterator.filter(_._1.length > 1).toIndexedSeq
+      .sortBy { case (p, c) => (-c, p) }
+      .take(math.max(0, vocabSize - keptChars.size)).map(_._1)
+    val kept = (keptChars ++ keptMulti).toSet
+    val final_ = counts.filter { case (p, _) => kept(p) }
+    val tot = sortedTotal(final_)
+    final_.iterator
+      .map { case (p, c) => p -> math.floor(math.log(c / tot) * 1e6).toLong }
+      .toIndexedSeq.sortBy(_._1)
+  }
+
+  /** [[fitPiecesSoft]] = [[fitOnDictSoft]] over the bounded dictionary. */
+  def fitPiecesSoft(docs: DataFrame, textCol: String, vocabSize: Int,
+                    maxPieceLen: Int = 6, emRounds: Int = 3,
+                    seedSize: Int = 2000,
+                    maxVocabWords: Int = 100000): Seq[(String, Long)] =
+    fitOnDictSoft(Bpe.wordDict(docs, textCol, maxVocabWords), vocabSize,
       maxPieceLen, emRounds, seedSize)
 
   private def pieceUdf(docs: DataFrame, pieces: Seq[(String, Long)],
@@ -370,6 +528,56 @@ object Unigram {
       .orderBy(col("lang"))
   }
 
+  /** Per-language fertility under TWO fits of the same dictionary
+    * (`unigram_fit_divergence` query): the hard-EM production fit vs
+    * the [[fitOnDictSoft]] soft-EM reference, encoded by the SAME
+    * integer Viterbi, so `fertility_delta` is exactly what the hard
+    * E-step costs (or buys) per language. One text scan, both encodes
+    * per row, one bounded-key shuffle. */
+  def fertilityCompare(docs: DataFrame, idCol: String, textCol: String,
+                       langCol: String, piecesHard: Seq[(String, Long)],
+                       piecesSoft: Seq[(String, Long)],
+                       maxPieceLen: Int = 6): DataFrame = {
+    // one UDF, both tables: per token, piece counts under each fit plus
+    // the ABSOLUTE per-token difference — the aggregate deltas can
+    // cancel across tokens, the abs-diff cannot, so a zero
+    // pieces_absdiff is a real "the pruned vocab encodes every token to
+    // the same length" finding, not an artifact of summation.
+    val bcH = docs.sparkSession.sparkContext.broadcast(piecesHard.toMap)
+    val bcS = docs.sparkSession.sparkContext.broadcast(piecesSoft.toMap)
+    val enc = udf { toks: Seq[String] =>
+      var ph = 0L; var ps = 0L; var ad = 0L
+      toks.foreach { t =>
+        val h = viterbiPieces(t, bcH.value, maxPieceLen)
+        val s = viterbiPieces(t, bcS.value, maxPieceLen)
+        ph += h; ps += s; ad += math.abs(h - s)
+      }
+      (ph, ps, ad)
+    }
+    def fert(c: org.apache.spark.sql.Column) =
+      c.cast("double") / col("n_tokens").cast("double")
+    graft.Par.widen(docs)
+      .select(coalesce(col(langCol), lit("und")).as("lang"),
+        TextAnalysis.tokens(lower(col(textCol))).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("lang"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        enc(col("toks")).as("e"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("e._1")).as("pieces_hard"),
+        sum(col("e._2")).as("pieces_soft"),
+        sum(col("e._3")).as("pieces_absdiff"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        col("pieces_hard"), col("pieces_soft"), col("pieces_absdiff"),
+        round(fert(col("pieces_hard")), 4).as("fertility_hard"),
+        round(fert(col("pieces_soft")), 4).as("fertility_soft"),
+        round(fert(col("pieces_hard")) - fert(col("pieces_soft")), 4)
+          .as("fertility_delta"))
+      .orderBy(col("lang"))
+  }
+
   // ---------------------------------------------------------------- SQL
 
   private def sqlQuote(s: String): String = "'" + s.replace("'", "''") + "'"
@@ -381,7 +589,8 @@ object Unigram {
     * k desc) tournament — exactly [[viterbiDp]]'s argmax), then the
     * per-document joins the [[Bpe]] oracles established. */
   private def sqlUnigramCommon(pieces: Seq[(String, Long)],
-                               maxPieceLen: Int): String = {
+                               maxPieceLen: Int,
+                               pfx: String = "u"): String = {
     require(pieces.nonEmpty, "unigram oracle needs a non-empty fitted vocab")
     val ps = pieces.map(p => sqlQuote(p._1)).mkString(", ")
     val ls = pieces.map(_._2.toString).mkString(", ")
@@ -400,26 +609,26 @@ object Unigram {
       s"""list_reduce($cand,
          |      (a, b) -> CASE WHEN b.s > a.s OR (b.s = a.s AND
          |        (b.n < a.n OR (b.n = a.n AND b.k > a.k))) THEN b ELSE a END)""".stripMargin
-    s"""u_vm AS (SELECT MAP([$ps], [$ls]::BIGINT[]) AS m),
-       |u_dtok AS (
+    s"""${pfx}_vm AS (SELECT MAP([$ps], [$ls]::BIGINT[]) AS m),
+       |${pfx}_dtok AS (
        |  SELECT DISTINCT UNNEST(regexp_extract_all(lower(text), '$tokRe')) AS tok
        |  FROM documents),
-       |u_dp AS (
+       |${pfx}_dp AS (
        |  SELECT tok, list_reduce(
        |    list_prepend([{'s': CAST(0 AS BIGINT), 'n': CAST(0 AS BIGINT)}],
        |      list_transform(range(1, length(tok) + 1),
        |        i -> [{'s': CAST(0 AS BIGINT), 'n': CAST(0 AS BIGINT)}])),
        |    (acc, x) -> list_append(acc,
        |      list_transform([$best], b -> {'s': b.s, 'n': b.n})[1])) AS dp
-       |  FROM u_dtok CROSS JOIN u_vm),
-       |u_pieces AS (SELECT tok, dp[len(dp)].n AS np FROM u_dp),
-       |u_dt AS (
+       |  FROM ${pfx}_dtok CROSS JOIN ${pfx}_vm),
+       |${pfx}_pieces AS (SELECT tok, dp[len(dp)].n AS np FROM ${pfx}_dp),
+       |${pfx}_dt AS (
        |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '$tokRe')) AS tok
        |  FROM documents),
-       |u_doc AS (
-       |  SELECT u_dt.doc_id, COUNT(*) AS n_tokens,
-       |    CAST(SUM(u_pieces.np) AS BIGINT) AS n_pieces
-       |  FROM u_dt JOIN u_pieces USING (tok) GROUP BY u_dt.doc_id)""".stripMargin
+       |${pfx}_doc AS (
+       |  SELECT ${pfx}_dt.doc_id, COUNT(*) AS n_tokens,
+       |    CAST(SUM(${pfx}_pieces.np) AS BIGINT) AS n_pieces
+       |  FROM ${pfx}_dt JOIN ${pfx}_pieces USING (tok) GROUP BY ${pfx}_dt.doc_id)""".stripMargin
   }
 
   /** DuckDB mirror of [[encodeStats]] — the FULL oracle for
@@ -453,6 +662,37 @@ object Unigram {
        |       ELSE CAST(floor((off + n_tokens - 1) / $budget.0) -
        |                 floor(off / $budget.0) + 1 AS BIGINT) END AS n_chunks
        |FROM u_o ORDER BY doc_id""".stripMargin
+
+  /** DuckDB mirror of [[fertilityCompare]] — the FULL oracle for
+    * `unigram_fit_divergence`: TWO printed piece tables, TWO Viterbi
+    * folds (prefix-disambiguated CTE chains), one per-language join. */
+  def sqlFertilityCompare(piecesHard: Seq[(String, Long)],
+                          piecesSoft: Seq[(String, Long)],
+                          maxPieceLen: Int = 6): String =
+    s"""WITH ${sqlUnigramCommon(piecesHard, maxPieceLen, "uh")},
+       |${sqlUnigramCommon(piecesSoft, maxPieceLen, "us")},
+       |fc_tok AS (
+       |  SELECT h.tok, h.np AS ph, s2.np AS ps, abs(h.np - s2.np) AS ad
+       |  FROM uh_pieces h JOIN us_pieces s2 USING (tok)),
+       |fc_doc AS (
+       |  SELECT dt.doc_id, COUNT(*) AS n_tokens,
+       |    CAST(SUM(t.ph) AS BIGINT) AS ph,
+       |    CAST(SUM(t.ps) AS BIGINT) AS ps,
+       |    CAST(SUM(t.ad) AS BIGINT) AS ad
+       |  FROM uh_dt dt JOIN fc_tok t USING (tok) GROUP BY dt.doc_id),
+       |fc_j AS (
+       |  SELECT COALESCE(d.lang, 'und') AS lang, f.n_tokens, f.ph, f.ps, f.ad
+       |  FROM fc_doc f JOIN documents d ON d.doc_id = f.doc_id)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(ph) AS BIGINT) AS pieces_hard,
+       |  CAST(SUM(ps) AS BIGINT) AS pieces_soft,
+       |  CAST(SUM(ad) AS BIGINT) AS pieces_absdiff,
+       |  round(SUM(ph)::DOUBLE / SUM(n_tokens)::DOUBLE, 4) AS fertility_hard,
+       |  round(SUM(ps)::DOUBLE / SUM(n_tokens)::DOUBLE, 4) AS fertility_soft,
+       |  round(SUM(ph)::DOUBLE / SUM(n_tokens)::DOUBLE -
+       |        SUM(ps)::DOUBLE / SUM(n_tokens)::DOUBLE, 4) AS fertility_delta
+       |FROM fc_j GROUP BY lang ORDER BY lang""".stripMargin
 
   /** DuckDB mirror of [[fertilityByLang]] — the FULL oracle for
     * `unigram_fertility`. */
