@@ -1768,6 +1768,22 @@ object SparkEntry {
         .select(col("media_id"), lit("image").as("kind"), col("data"))
       Multimodal.imageAhashPairs(media)
     }),
+    // REAL-codec aHash (r12): the same planted-copy fixture rendered as
+    // actual 16x16 PNGs (deterministic per-pixel grays from the anchor
+    // text), decoded back through javax.imageio, area-averaged to the
+    // 8x8 grid, hashed, Hamming-joined. The oracle replays the PLANTED
+    // pixels numerically, so a pass proves ImageIO's decode returned
+    // exactly the encoded image — the stub remains only as the fallback
+    // for formats the JDK can't read.
+    "image_ahash_real_pairs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val anchored = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("media_id"),
+          (col("doc_id") - col("doc_id") % 15).as("aid"))
+        .join(docs.select(col("doc_id").as("aid"), col("text")), Seq("aid"))
+        .select(col("media_id"), col("text"))
+      Multimodal.imageAhashPairsDecoded(Multimodal.pngMediaFromAnchors(anchored))
+    }),
   )
 
   /** Exact-decontamination oracle — shared verbatim by `decontaminate` and
@@ -3885,6 +3901,7 @@ object SparkEntry {
     // the whole multimodal/similarity composition replays in DuckDB.
     "media_embedding_knn" -> Multimodal.sqlMediaEmbeddingKnn(3),
     "image_ahash_pairs" -> Multimodal.sqlImageAhashPairs(3),
+    "image_ahash_real_pairs" -> Multimodal.sqlImageAhashRealPairs(3),
     "multimodal_features" ->
       """SELECT doc_id AS media_id,
         |  CASE doc_id % 3 WHEN 1 THEN 'audio' WHEN 2 THEN 'video'

@@ -8,14 +8,19 @@ import org.apache.spark.sql.functions._
   * typed metadata, and per-media compute runs as partition-local typed
   * transformations.
   *
-  * The CODECS ARE STUBBED — this container has no image/audio libraries,
-  * so `decodeStub` derives features deterministically from the payload
-  * bytes (clearly marked below). Everything AROUND the stub is the real
-  * engineering and is tested: the schema, the `Dataset[T]`/`mapPartitions`
-  * batch shape (one codec instance per PARTITION, not per row — exactly
-  * how a JNI decoder or an inference session is amortized at scale), the
-  * 1→N frame-sampling generator, and the driver-oracle-checkable metadata
-  * columns.
+  * Codec status (r12): IMAGE DECODE IS REAL — [[imageAhashDecoded]]
+  * decodes PNG/BMP/GIF/JPEG through the JDK's own `javax.imageio`
+  * registry (no new dependency) and falls back to the deterministic
+  * stub only for formats the JDK can't read, with the
+  * `image_ahash_real_pairs` gate checking real decoded pixels
+  * end-to-end. Audio/video decode REMAINS STUBBED — this container has
+  * no such libraries — so those features derive deterministically from
+  * payload bytes (clearly marked below). Everything AROUND the stubs is
+  * the real engineering and is tested: the schema, the
+  * `Dataset[T]`/`mapPartitions` batch shape (one codec instance per
+  * PARTITION, not per row — exactly how a JNI decoder or an inference
+  * session is amortized at scale), the 1→N frame-sampling generator,
+  * and the driver-oracle-checkable metadata columns.
   *
   * Scale notes: media payloads never shuffle — every operator here is a
   * narrow map/flatMap over the scan; only extracted features (small,
@@ -169,6 +174,199 @@ object Multimodal {
   def imageAhashPairs(media: DataFrame, maxDist: Int = 3): DataFrame =
     graft.dedup.Dedup.hammingPairs(
       imageAhash(media).select(col("media_id").as("id"), col("sh")), maxDist)
+
+  // ------------------------------------------------ real codec path (r12)
+
+  /** Decode `data` with the JDK's OWN codec registry (`javax.imageio` —
+    * PNG/BMP/GIF/JPEG readers ship in every JRE; zero new dependencies)
+    * and downsample to aHash's 8×8 integer grayscale grid: per pixel
+    * gray = (299·r + 587·g + 114·b) / 1000 (integer Rec-601 luma), per
+    * block value = block-sum / block-pixel-count (integer area
+    * average over exact `⌊k·dim∕8⌋` boundaries). `None` when no
+    * registered reader accepts the bytes or the image is smaller than
+    * the grid — the caller falls back to the deterministic stub, which
+    * keeps the operator TOTAL on formats the JDK can't read (the
+    * retained-stub contract; the stub is no longer the only path). */
+  private[multimodal] def decodeGray8(data: Array[Byte]): Option[Array[Long]] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+      catch { case _: java.io.IOException => null; case _: RuntimeException => null }
+    if (img == null || img.getWidth < 8 || img.getHeight < 8) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val out = new Array[Long](64)
+      var by = 0
+      while (by < 8) {
+        val y0 = by * h / 8
+        val y1 = (by + 1) * h / 8
+        var bx = 0
+        while (bx < 8) {
+          val x0 = bx * w / 8
+          val x1 = (bx + 1) * w / 8
+          var sum = 0L
+          var n = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xff
+              val g = (rgb >> 8) & 0xff
+              val b = rgb & 0xff
+              sum += (299L * r + 587L * g + 114L * b) / 1000L
+              n += 1
+              x += 1
+            }
+            y += 1
+          }
+          out(by * 8 + bx) = sum / n
+          bx += 1
+        }
+        by += 1
+      }
+      Some(out)
+    }
+  }
+
+  /** The [[imageAhash]] stub grays as driver/executor-side Scala — the
+    * fallback arm of [[imageAhashDecoded]], bit-identical to the column
+    * expression (u32 md5 prefix of payload ∥ ":px" ∥ i). */
+  private def stubGray64(md: java.security.MessageDigest,
+                         data: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](64)
+    var i = 0
+    while (i < 64) {
+      md.reset()
+      md.update(data)
+      md.update((":px" + i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val h = md.digest()
+      out(i) = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+        ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+      i += 1
+    }
+    out
+  }
+
+  /** 64 grays → the aHash long: exact integer mean (Σ / 64), MSB-first
+    * sign pack — the [[imageAhash]] arithmetic in plain Scala. */
+  private[multimodal] def packAhash(g: Array[Long]): Long = {
+    var sum = 0L
+    var i = 0
+    while (i < 64) { sum += g(i); i += 1 }
+    val mean = sum / 64
+    var sh = 0L
+    i = 0
+    while (i < 64) {
+      if (g(i) > mean) sh |= (1L << (63 - i))
+      i += 1
+    }
+    sh
+  }
+
+  /** aHash over REAL decoded pixels where the JDK can decode the
+    * payload, the deterministic stub elsewhere — one total operator,
+    * two arms. Partition-mapped like [[decodeFeatures]] (codec state
+    * per partition: the in-memory-only ImageIO mode is set once, the
+    * stub's digest instance is reused). Payloads never shuffle; only
+    * (id, 8-byte hash) rows leave the scan stage. */
+  def imageAhashDecoded(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "image")
+      .select("media_id", "kind", "data").as[MediaRow]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { m =>
+          val g = decodeGray8(m.data).getOrElse(stubGray64(md, m.data))
+          (m.media_id, packAhash(g))
+        }
+      }
+      .toDF("media_id", "sh")
+  }
+
+  /** Near-dup image pairs over [[imageAhashDecoded]] —
+    * `image_ahash_real_pairs` query (real-codec arm on its PNG
+    * fixture). */
+  def imageAhashPairsDecoded(media: DataFrame, maxDist: Int = 3): DataFrame =
+    graft.dedup.Dedup.hammingPairs(
+      imageAhashDecoded(media).select(col("media_id").as("id"), col("sh")),
+      maxDist)
+
+  /** Deterministic 16×16 grayscale PNG per row of `anchored(media_id,
+    * text)` — the ENCODE half of the real-codec roundtrip: pixel
+    * idx = y·16+x carries gray = first byte of md5(text ∥ ":q" ∥ idx),
+    * a function DuckDB replays numerically, so the oracle checks the
+    * REAL ImageIO decode end-to-end (encode → PNG bytes → decode →
+    * 2×2 area average → hash) without ever decoding in SQL. Copies
+    * come from the caller feeding block-anchor texts, as in the stub
+    * fixture. */
+  def pngMediaFromAnchors(anchored: DataFrame): DataFrame = {
+    val spark = anchored.sparkSession
+    import spark.implicits._
+    anchored.select(col("media_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, text) =>
+          val img = new java.awt.image.BufferedImage(
+            16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var idx = 0
+          while (idx < 256) {
+            md.reset()
+            md.update((text + ":q" + idx)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            val gray = md.digest()(0) & 0xff
+            img.setRGB(idx % 16, idx / 16, (gray << 16) | (gray << 8) | gray)
+            idx += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, "image", bos.toByteArray)
+        }
+      }
+      .toDF("media_id", "kind", "data")
+  }
+
+  /** DuckDB mirror of the real-codec pipeline over the PNG fixture:
+    * the 16×16 planted grays replay from the md5 byte, the 2×2 area
+    * average and luma are exact integer identities on equal channels
+    * ((299+587+114)·v / 1000 = v), then the [[sqlImageAhashPairs]]
+    * mean/pack/Hamming tail. What this checks is that ImageIO's
+    * PNG decode returned EXACTLY the planted pixels — a lossy or
+    * color-managed roundtrip would flip hash bits and fail the gate. */
+  def sqlImageAhashRealPairs(maxDist: Int): String =
+    s"""WITH img AS (
+       |  SELECT d.doc_id AS media_id, a.text AS text
+       |  FROM documents d
+       |  JOIN documents a ON a.doc_id = d.doc_id - (d.doc_id % 15)
+       |  WHERE d.doc_id % 3 = 0),
+       |px AS (
+       |  SELECT media_id, pp.i AS i,
+       |    CAST(('0x' || substring(md5(text || ':q' || pp.i), 1, 2))::UBIGINT
+       |      AS BIGINT) AS gray
+       |  FROM img CROSS JOIN (SELECT UNNEST(range(0, 256)) AS i) pp),
+       |g AS (
+       |  SELECT media_id,
+       |    ((i // 16) // 2) * 8 + (i % 16) // 2 AS bi,
+       |    SUM(gray) // 4 AS gray
+       |  FROM px GROUP BY media_id, ((i // 16) // 2) * 8 + (i % 16) // 2),
+       |m AS (SELECT media_id, SUM(gray) // 64 AS mean FROM g GROUP BY 1),
+       |sig AS (
+       |  SELECT g.media_id,
+       |    CAST(SUM(CASE WHEN g.gray > m.mean THEN
+       |      CASE WHEN g.bi = 0 THEN -9223372036854775807 - 1
+       |           ELSE CAST(1 AS BIGINT) << CAST(63 - g.bi AS INTEGER) END
+       |      ELSE 0 END) AS BIGINT) AS sh
+       |  FROM g JOIN m USING (media_id) GROUP BY 1),
+       |p AS (
+       |  SELECT a.media_id AS id_a, b.media_id AS id_b,
+       |    CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+       |  FROM sig a JOIN sig b ON a.media_id < b.media_id)
+       |SELECT id_a, id_b, hamming FROM p WHERE hamming <= $maxDist
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** DuckDB mirror of [[imageAhashPairs]] over the planted-copy fixture
     * (images are doc_id ≡ 0 mod 3; each carries its 15-id block

@@ -100,6 +100,69 @@ class MultimodalSpec extends SparkSpec {
     assert(nd.toSeq == Seq((1L, 2L, 2L))) // ...ef vs ...ec differ in 2 bits
   }
 
+  test("decodeGray8: PNG and BMP roundtrip the planted pixels exactly (r12)") {
+    // 16x16 image, pixel (x,y) gray = (x * 16 + y) mod 256 — every 2x2
+    // block average is hand-computable
+    def plant(): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val v = (x * 16 + y) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def expected: Array[Long] = {
+      val g = Array.tabulate(16, 16)((y, x) => ((x * 16 + y) % 256).toLong)
+      Array.tabulate(64) { bi =>
+        val by = bi / 8; val bx = bi % 8
+        (g(2 * by)(2 * bx) + g(2 * by)(2 * bx + 1) +
+          g(2 * by + 1)(2 * bx) + g(2 * by + 1)(2 * bx + 1)) / 4
+      }
+    }
+    for (fmt <- Seq("png", "bmp")) {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(plant(), fmt, bos), s"no $fmt writer")
+      val got = Multimodal.decodeGray8(bos.toByteArray)
+      assert(got.isDefined, s"$fmt must decode")
+      assert(got.get.toSeq == expected.toSeq, s"$fmt pixel roundtrip")
+    }
+    // undecodable bytes and sub-grid images fall back (None)
+    assert(Multimodal.decodeGray8("not an image".getBytes("UTF-8")).isEmpty)
+    val tiny = new java.awt.image.BufferedImage(
+      4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(tiny, "png", bos)
+    assert(Multimodal.decodeGray8(bos.toByteArray).isEmpty,
+      "sub-8x8 images are out of the grid's contract")
+  }
+
+  test("imageAhashDecoded: stub fallback equals the column path; real copies pair (r12)") {
+    // text payloads are undecodable -> the decoded operator must fall
+    // back to EXACTLY the stub column path's signatures
+    val m = Multimodal.mediaFromDocuments(
+      Seq((3L, "same bytes"), (6L, "same bytes"), (9L, "other"))
+        .toDF("doc_id", "text"))
+    val stub = Multimodal.imageAhash(m).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dec = Multimodal.imageAhashDecoded(m).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dec == stub, "fallback arm must be bit-identical to the stub path")
+    // real PNGs from anchors: same text -> identical pixels -> hamming 0
+    val png = Multimodal.pngMediaFromAnchors(
+      Seq((3L, "block anchor text"), (6L, "block anchor text"),
+        (9L, "a different article")).toDF("media_id", "text"))
+    val rows = png.collect()
+    assert(rows.forall(r => {
+      val b = r.getAs[Array[Byte]]("data")
+      // PNG magic: the payloads really are encoded images
+      (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+    }))
+    val pairs = Multimodal.imageAhashPairsDecoded(png).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.contains((3L, 6L, 0L)), s"planted copy must pair: ${pairs.toSeq}")
+  }
+
   test("hammingPairs banding is LOSSLESS at maxDist <= 3: random sigs == brute force (r10)") {
     // The pigeonhole claim both modalities lean on: 4 chunks, <= 3
     // differing bits => some 16-bit chunk is untouched, so the banded
