@@ -1784,6 +1784,53 @@ object SparkEntry {
         .select(col("media_id"), col("text"))
       Multimodal.imageAhashPairsDecoded(Multimodal.pngMediaFromAnchors(anchored))
     }),
+    // ---- E1+E2 capstone (r12): the reference's WHOLE loop end-to-end ----
+    // A Trigger.AvailableNow micro-batch crawl (each batch = one 6-hour
+    // tick re-fetching the SAME seed listings, whose content has grown)
+    // through the sink-keyed anti-join dedup and real extraction, then
+    // the four dashboard artifacts over the GROWN table as one frame
+    // (crawl.py:155-162 + app.py:112-142 as a single oracle-checked
+    // query). The oracle replays batch-equivalence: the streaming-grown
+    // sink must equal the one-shot distinct article set, on which every
+    // dashboard section is plain SQL over `documents`.
+    "crawl_then_dashboard" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val base = docs.select(col("doc_id"), col("text"),
+          coalesce(col("source"), lit("Unknown")).as("src"))
+        .withColumn("url", concat(lit("https://ex.com/a/"), col("doc_id")))
+        .withColumn("tick", (col("doc_id") % 3).cast("int"))
+        .withColumn("pdate", date_format(
+          date_add(lit("2024-01-01").cast("date"),
+            (col("doc_id") % 365).cast("int")), "yyyy-MM-dd"))
+      val pages = base.select(col("url").as("sources"),
+        concat(lit("<h1>Doc "), col("doc_id"), lit("</h1><p>"), col("text"),
+          lit("</p><time datetime=\""), col("pdate"),
+          lit("\">x</time>"))
+          .as("html"))
+      val listings = base
+        .withColumn("block", concat(lit("<article><a href=\""),
+          col("url"), lit("\">t</a></article>")))
+        .join(Seq(0, 1, 2).toDF("tick2"), col("tick") <= col("tick2"))
+        .groupBy(col("tick2"), col("src"))
+        .agg(concat_ws("", transform(
+          array_sort(collect_list(struct(col("doc_id"), col("block")))),
+          x => x.getField("block"))).as("html"))
+        .select(col("tick2").as("tick"), col("src").as("source"), col("html"))
+      val parent = s"${System.getProperty("java.io.tmpdir")}/graft_crawl_" +
+        System.getProperty("user.name", "u")
+      val root = s"$parent/run_${s.sparkContext.applicationId}_${System.nanoTime()}"
+      IvfStoreScratch.deleteOnExit(root)
+      (0 until 3).foreach { t =>
+        listings.filter(col("tick") === t).select("source", "html")
+          .coalesce(1).write.mode("append").parquet(s"$root/in")
+      }
+      val stream = s.readStream.schema("source STRING, html STRING")
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+      graft.streaming.StreamingIngest.crawlLoop(
+        stream, pages, s"$root/sink", s"$root/ckpt").start().awaitTermination()
+      graft.analytics.Dashboard.composite(s.read.parquet(s"$root/sink"))
+    }),
   )
 
   /** Exact-decontamination oracle — shared verbatim by `decontaminate` and
@@ -3902,6 +3949,47 @@ object SparkEntry {
     "media_embedding_knn" -> Multimodal.sqlMediaEmbeddingKnn(3),
     "image_ahash_pairs" -> Multimodal.sqlImageAhashPairs(3),
     "image_ahash_real_pairs" -> Multimodal.sqlImageAhashRealPairs(3),
+    // crawl_then_dashboard: batch-equivalence — the streaming-grown sink
+    // IS the one-shot distinct article set (each tick's re-crawls drop
+    // in the sink-key anti-join), so the dashboard replays from
+    // `documents` with the fixture's derivations inlined.
+    "crawl_then_dashboard" ->
+      s"""WITH arts AS (
+         |  SELECT doc_id,
+         |    'https://ex.com/a/' || CAST(doc_id AS VARCHAR) AS sources,
+         |    text AS content,
+         |    COALESCE(source, 'Unknown') AS src,
+         |    strftime(DATE '2024-01-01' + (doc_id % 365) * INTERVAL 1 DAY,
+         |             '%Y-%m-%d') AS pdate
+         |  FROM documents),
+         |tl_counts AS (SELECT pdate, COUNT(*) AS n FROM arts GROUP BY pdate),
+         |tl_bounds AS (SELECT MIN(pdate) AS lo, MAX(pdate) AS hi FROM tl_counts),
+         |tl_spine AS (
+         |  SELECT strftime(CAST(UNNEST(generate_series(CAST(lo AS TIMESTAMP),
+         |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE), '%Y-%m-%d') AS pdate
+         |  FROM tl_bounds),
+         |words AS (
+         |  SELECT word, COUNT(*) AS n
+         |  FROM (SELECT UNNEST(regexp_extract_all(lower(content), '[a-zA-Z]+')) AS word
+         |        FROM arts)
+         |  WHERE length(word) >= 3 AND word NOT IN ${Stopwords.sqlInList}
+         |  GROUP BY word ORDER BY n DESC, word ASC LIMIT 150)
+         |SELECT section, k, v, n FROM (
+         |  SELECT 'total' AS section, 'articles' AS k, CAST(NULL AS VARCHAR) AS v,
+         |    (SELECT COUNT(*) FROM arts)::BIGINT AS n
+         |  UNION ALL
+         |  SELECT 'source', src, NULL, COUNT(*)::BIGINT FROM arts GROUP BY src
+         |  UNION ALL
+         |  SELECT 'timeline', sp.pdate, NULL, COALESCE(c.n, 0)::BIGINT
+         |  FROM tl_spine sp LEFT JOIN tl_counts c USING (pdate)
+         |  UNION ALL
+         |  SELECT 'recent', CAST(rk AS VARCHAR), sources, CAST(NULL AS BIGINT)
+         |  FROM (SELECT sources,
+         |          row_number() OVER (ORDER BY pdate DESC, sources DESC) AS rk
+         |        FROM arts) WHERE rk <= 5
+         |  UNION ALL
+         |  SELECT 'word', word, NULL, n::BIGINT FROM words)
+         |ORDER BY section, k""".stripMargin,
     "multimodal_features" ->
       """SELECT doc_id AS media_id,
         |  CASE doc_id % 3 WHEN 1 THEN 'audio' WHEN 2 THEN 'video'

@@ -484,6 +484,46 @@ object StreamingIngest {
       .schema("source STRING, html STRING")
       .parquet(dir)
 
+  /** [EXT] The reference's ENTIRE crawl loop as one streaming operator
+    * (`crawl_then_dashboard` capstone; `crawl.py:155-162`): a stream of
+    * fetched LISTING pages drives, per micro-batch (one batch = one
+    * 6-hour tick; `Trigger.AvailableNow` here = the run-once backfill),
+    * the full E1 pipeline — selector-cascade candidates → anti-join
+    * against the SINK's OWN key set (the 100 TB dedup shape: the
+    * streaming engine holds no state, re-crawled listings re-discover
+    * old articles and the anti-join drops them exactly like the
+    * reference's `find_one` probe) → article-page join → extraction →
+    * append. `pages` is the static fetched-article table (the
+    * [[graft.ingest.Fetcher]] seam in a live deployment — swap the join
+    * for `runFetched`'s per-partition HTTP enrichment, everything else
+    * unchanged). Materialize-before-append: the batch's records read
+    * the sink lazily through the anti-join, so they pin BEFORE the
+    * append touches the same path. */
+  def crawlLoop(listings: DataFrame, pages: DataFrame, sinkPath: String,
+                checkpoint: String): DataStreamWriter[Row] = {
+    require(listings.isStreaming)
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val spark = listings.sparkSession
+    listings.writeStream
+      .foreachBatch { (batch0: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val batch = batch0.pinnedTransient
+        if (batch.count() > 0) {
+          val existing = readIndexIfExists(spark, sinkPath)
+            .map(_.select(col("sources")))
+            .getOrElse(spark.createDataFrame(
+              spark.sparkContext.emptyRDD[Row],
+              StructType(Seq(StructField("sources", StringType)))))
+          graft.ingest.Ingest.run(batch, pages, existing)
+            .pinnedTransient
+            .write.mode("append").parquet(sinkPath)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+  }
+
   /** The 100 TB dedup shape (ST2 scale path, SURVEY §2.8): instead of
     * unbounded `dropDuplicates` state in the state store, each micro-batch
     * anti-joins against the SINK's own key set and appends only novel

@@ -441,7 +441,8 @@ class PlanQualitySpec extends SparkSpec {
       // Par.globalRank's range-partition prefix sum (|hosts| is
       // data-scale on a real web corpus, not config-scale).
       "release_shards" -> "shard-offset prefix sum over <= nShards aggregate rows (shuffleCorpus order)",
-      "release_run" -> "the releaseShards tail: shard-offset prefix sum over <= nShards aggregate rows")
+      "release_run" -> "the releaseShards tail: shard-offset prefix sum over <= nShards aggregate rows",
+      "crawl_then_dashboard" -> "recent-5 rank over <= 5 rows after the TakeOrdered limit")
     val offenders = scala.collection.mutable.SortedMap[String, Int]()
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, dir)

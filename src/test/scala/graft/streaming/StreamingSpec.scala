@@ -158,6 +158,44 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq == Seq("https://ex.com/a/1", "https://ex.com/a/2", "https://ex.com/a/3"))
   }
 
+  test("crawlLoop: streaming re-crawl over growing listings == one-shot ingest (r12)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_crawlloop").toString
+    val (inDir, sink, ckpt) = (s"$root/in", s"$root/sink", s"$root/ckpt")
+    val pages = Seq(
+      ("https://ex.com/a/1",
+        "<h1>One</h1><p>Body 1.</p><time datetime=\"2024-01-01\">x</time>"),
+      ("https://ex.com/a/2",
+        "<h1>Two</h1><p>Body 2.</p><time datetime=\"2024-01-02\">x</time>"),
+      ("https://ex.com/a/3",
+        "<h1>Three</h1><p>Body 3.</p><time datetime=\"2024-01-03\">x</time>"))
+      .toDF("sources", "html")
+    // tick 1 lists a1+a2; tick 2 RE-lists both and adds a3 (the 6-hour
+    // re-crawl of the same seed) — a1/a2 must not re-append
+    val tick1 =
+      """<article><a href="/a/1">x</a></article>
+        |<article><a href="/a/2">y</a></article>""".stripMargin
+    val tick2 = tick1 + "\n<article><a href=\"/a/3\">z</a></article>"
+    Seq(("https://ex.com/l", tick1)).toDF("source", "html")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    Seq(("https://ex.com/l", tick2)).toDF("source", "html")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    val stream = spark.readStream.schema("source STRING, html STRING")
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    StreamingIngest.crawlLoop(stream, pages, sink, ckpt).start()
+      .awaitTermination()
+    val cols = Seq("title", "sources", "content", "source", "published_at")
+    val grown = spark.read.parquet(sink)
+      .select(cols.head, cols.tail: _*).collect().toSet
+    // batch-equivalence: the grown sink equals one-shot E1 over the
+    // final tick's listing against an empty sink
+    val oneShot = graft.ingest.Ingest.run(
+        Seq(("https://ex.com/l", tick2)).toDF("source", "html"),
+        pages, Seq.empty[String].toDF("sources"))
+      .select(cols.head, cols.tail: _*).collect().toSet
+    assert(grown.size == 3, s"each article exactly once: $grown")
+    assert(grown == oneShot, "streaming-grown sink != one-shot ingest")
+  }
+
   test("sink-index dedup: anti-join per micro-batch, no engine state (ST2 scale path)") {
     val root = java.nio.file.Files.createTempDirectory("graft_sinkidx").toString
     val (inDir, sink, ckpt) = (s"$root/in", s"$root/sink", s"$root/ckpt")
