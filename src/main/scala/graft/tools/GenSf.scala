@@ -1,0 +1,254 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Statistically-true scale-up generator for the driver's synthetic
+  * fixture family — the r11 verdict's #1 ask: the round-9 multi-sf
+  * scaling audit used EXACT 10× replication of `documents`, which the
+  * audit itself flagged as distorting df-threshold stage OUTPUTS (a
+  * 10×-repeated doc IS boilerplate by document frequency, so the late
+  * preset stages legitimately empty). This main re-derives each table's
+  * GENERATIVE process from the three driver scale points (measured in
+  * r12 over /root/testdata/sf{0.001,0.01,0.1}; the distributions below
+  * each cite their measurement) and emits any multiple of the sf0.1
+  * sizes as FRESH draws — same marginals, new rows — so quality gates,
+  * dedup and df statistics behave like the real fixture family instead
+  * of collapsing.
+  *
+  * Measured process per table (sf0.1 figures):
+  *  - documents: 5,000 rows; lang ~ {en .412, de .140, es .149, fr .148,
+  *    zh .151}; source = "src" + (doc_id % 20); token count ~ U{10..100};
+  *    tokens iid uniform over a 30-word vocabulary (~3,700 each in en)
+  *    plus a rare "dup" token at ~0.095%; ~8 exact-copy text pairs per
+  *    5,000 docs (rate ≈ 0.0016/doc).
+  *  - events: 100,000 rows; ts ~ U[2024-01-01, 2024-01-31); user_id ~
+  *    U{0..0.015·n}; event_type uniform over 5; value ~ Exp(mean 50)
+  *    rounded to cents (quantiles 14.6/34.8/68.9/114.3 match); props =
+  *    {"k": U{0..99}}.
+  *  - lineitem: 600,000 INDEPENDENT rows — l_orderkey ~ U{0..|orders|):
+  *    per-order line counts are Poisson(4) including the observed 2,764
+  *    zero-line orders; l_linenumber ~ U{1..7} (not unique per order);
+  *    qty U{1..50}; price U[900, 105,000]; discount k/100 for k in 0..10;
+  *    tax k/100 for k in 0..8; returnflag/linestatus uniform; shipdate
+  *    INDEPENDENT ~ U[1995-01-02, 2001-11-04] (ship−order gaps span
+  *    −2,399..+2,496 days — not anchored to the order).
+  *  - orders: custkey uniform; orderdate ~ U over the 2,405 days in
+  *    [1995-01-01, 2001-08-01]; totalprice U[1,000, 500,000]; status/
+  *    priority uniform.
+  *  - customer/supplier/part: uniform balances/sizes over the observed
+  *    ranges; part names = 8 adjectives × 8 nouns; brands Brand#0..24;
+  *    6 types.
+  *  - embeddings: unit-norm 64-dim; labels uniform over 10 with a FAINT
+  *    cluster signal (within-label mean cosine ≈ 8·10⁻⁴ vs ≈0 across —
+  *    v = normalize(g + 0.028·center(label)), g ~ N(0, I/64)).
+  *  - region/nation: fixed dimension tables, copied from the base dir.
+  *
+  * Everything is a PURE FUNCTION of (seed, table, row, field) through a
+  * splitmix64 mixer — generation is one `spark.range` per table with no
+  * driver loops and no shuffles, i.e. it would generate 100 TB the same
+  * way it generates 1 GB. Usage:
+  *
+  *   runMain graft.tools.GenSf <outDir> <multiplier> [<baseDirForDims>]
+  *
+  * multiplier 10 over the sf0.1 base sizes = "sf1".
+  */
+object GenSf {
+
+  val Seed = 42L
+
+  // ---- splitmix64-keyed uniforms: pure (table, row, field) -> [0,1) ----
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+  private def u(table: Long, row: Long, field: Long): Double =
+    (mix(mix(mix(Seed ^ table) ^ row) ^ field) >>> 11).toDouble / (1L << 53).toDouble
+
+  /** Two-uniform Box–Muller gaussian (field, field+1). */
+  private def gauss(table: Long, row: Long, field: Long): Double = {
+    val u1 = math.max(u(table, row, field), 1e-300)
+    val u2 = u(table, row, field + 1)
+    math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
+  }
+
+  private def r2(x: Double): Double = math.round(x * 100.0) / 100.0
+
+  // ---- documents ----
+  private val Vocab: IndexedSeq[String] = IndexedSeq(
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup0",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window")
+    .filterNot(_ == "dup0") // 30 common words; "dup" is drawn separately
+  require(Vocab.size == 30)
+  private val Langs = IndexedSeq("en", "de", "es", "fr", "zh")
+  private val LangCum = IndexedSeq(0.412, 0.552, 0.701, 0.850, 1.0)
+
+  private def pickLang(x: Double): String =
+    Langs(LangCum.indexWhere(x < _) match { case -1 => 4; case i => i })
+
+  /** Token stream of one document — pure function of doc id. */
+  private def docText(id: Long): String = {
+    val n = 10 + (u(1, id, 0) * 91).toInt
+    val sb = new StringBuilder
+    var i = 0
+    while (i < n) {
+      if (i > 0) sb.append(' ')
+      if (u(1, id, 100 + 2 * i) < 0.00095) sb.append("dup")
+      else sb.append(Vocab((u(1, id, 101 + 2 * i) * 30).toInt))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** (text, lang) of one document, exact-copy pairs included: a doc may
+    * copy a strictly earlier doc's text+lang at the measured ~0.0016
+    * rate (re-hosted copies keep their language; one hop only — the
+    * SOURCE of a copy is always an original, so chains don't form). */
+  private def docTextLang(id: Long): (String, String) = {
+    def original(j: Long) = (docText(j), pickLang(u(1, j, 1)))
+    if (id >= 100 && u(1, id, 2) < 0.0016) original((u(1, id, 3) * id).toLong)
+    else original(id)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val outDir = args(0)
+    val mult = args(1).toDouble
+    val baseDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(16, Runtime.getRuntime.availableProcessors).toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    generate(spark, outDir, mult, baseDir)
+    spark.stop()
+  }
+
+  def generate(spark: SparkSession, outDir: String, mult: Double,
+               baseDir: String = "/root/testdata/sf0.1"): Unit = {
+    import spark.implicits._
+
+    def sz(base: Long): Long = (base * mult).toLong
+    val nDocs = sz(5000)
+    val nEvents = sz(100000)
+    val nOrders = sz(150000)
+    val nLines = sz(600000)
+    val nCust = sz(15000)
+    val nPart = sz(20000)
+    val nSupp = sz(1000)
+    val nEmb = sz(2000)
+    val parts = spark.sparkContext.defaultParallelism * 2
+
+    // documents
+    spark.range(0, nDocs, 1, parts).map { id =>
+      val (text, lang) = docTextLang(id)
+      (id, text, lang, "src" + (id % 20), text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    // events
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val spanMs = 30L * 24 * 3600 * 1000
+    val nUsers = math.max(1L, (nEvents * 0.015).toLong)
+    val types = IndexedSeq("view", "click", "purchase", "signup", "error")
+    spark.range(0, nEvents, 1, parts).map { id =>
+      val ts = new java.sql.Timestamp(t0 + (u(2, id, 0) * spanMs).toLong)
+      (id, ts, (u(2, id, 1) * nUsers).toLong,
+        types((u(2, id, 2) * 5).toInt),
+        r2(-50.0 * math.log(1.0 - u(2, id, 3))),
+        s"""{"k": ${(u(2, id, 4) * 100).toInt}}""")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
+    // orders
+    val d0 = java.sql.Timestamp.valueOf("1995-01-01 00:00:00").getTime
+    val dayMs = 24L * 3600 * 1000
+    val statuses = IndexedSeq("F", "O", "P")
+    val prios = IndexedSeq("1-URGENT", "2-HIGH", "3-MEDIUM",
+      "4-NOT SPECIFIED", "5-LOW")
+    spark.range(0, nOrders, 1, parts).map { id =>
+      (id, (u(3, id, 0) * nCust).toLong,
+        statuses((u(3, id, 1) * 3).toInt),
+        r2(1000.0 + u(3, id, 2) * 499000.0),
+        new java.sql.Timestamp(d0 + (u(3, id, 3) * 2405).toLong * dayMs),
+        prios((u(3, id, 4) * 5).toInt))
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+
+    // lineitem — independent rows; orderkey uniform => Poisson line counts
+    val s0 = java.sql.Timestamp.valueOf("1995-01-02 00:00:00").getTime
+    val flags = IndexedSeq("A", "N", "R")
+    spark.range(0, nLines, 1, parts).map { id =>
+      ((u(4, id, 0) * nOrders).toLong, (u(4, id, 1) * nPart).toLong,
+        (u(4, id, 2) * nSupp).toLong, 1 + (u(4, id, 3) * 7).toInt,
+        (1 + (u(4, id, 4) * 50).toInt).toDouble,
+        r2(900.0 + u(4, id, 5) * 104100.0),
+        (u(4, id, 6) * 11).toInt / 100.0,
+        (u(4, id, 7) * 9).toInt / 100.0,
+        flags((u(4, id, 8) * 3).toInt),
+        if (u(4, id, 9) < 0.5) "F" else "O",
+        new java.sql.Timestamp(s0 + (u(4, id, 10) * 2498).toLong * dayMs))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+
+    // customer / supplier / part
+    val segs = IndexedSeq("AUTOMOBILE", "BUILDING", "FURNITURE",
+      "HOUSEHOLD", "MACHINERY")
+    spark.range(0, nCust, 1, parts).map { id =>
+      (id, f"Customer#$id%09d", (u(5, id, 0) * 25).toInt,
+        r2(-1000.0 + u(5, id, 1) * 11000.0), segs((u(5, id, 2) * 5).toInt))
+    }.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+    spark.range(0, nSupp, 1, parts).map { id =>
+      (id, f"Supplier#$id%09d", (u(6, id, 0) * 25).toInt,
+        r2(-1000.0 + u(6, id, 1) * 11000.0))
+    }.toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.mode("overwrite").parquet(s"$outDir/supplier.parquet")
+    val adjs = IndexedSeq("blue", "cold", "hot", "large", "new", "old", "red", "small")
+    val nouns = IndexedSeq("anvil", "bolt", "gear", "gizmo", "plate", "ring", "rod", "widget")
+    val ptypes = IndexedSeq("ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD")
+    spark.range(0, nPart, 1, parts).map { id =>
+      (id, adjs((u(7, id, 0) * 8).toInt) + " " + nouns((u(7, id, 1) * 8).toInt),
+        "Brand#" + (u(7, id, 2) * 25).toInt, ptypes((u(7, id, 3) * 6).toInt),
+        1 + (u(7, id, 4) * 50).toInt,
+        math.round((900.0 + u(7, id, 5) * 100.0) * 10.0) / 10.0)
+    }.toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$outDir/part.parquet")
+
+    // embeddings — unit vectors with the measured faint label pull
+    spark.range(0, nEmb, 1, parts).map { id =>
+      val label = (u(8, id, 0) * 10).toInt
+      val dim = 64
+      val v = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        v(i) = gauss(8, id, 10 + 2 * i) / 8.0 + // N(0, 1/64)
+          0.028 * gauss(9, label.toLong, 10 + 2 * i) / 8.0
+        i += 1
+      }
+      var nrm = 0.0
+      v.foreach(x => nrm += x * x)
+      nrm = math.sqrt(nrm)
+      (id, v.map(x => (x / nrm).toFloat), label)
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    // fixed dimensions: copied from the base fixture
+    for (t <- Seq("region", "nation"))
+      spark.read.parquet(s"$baseDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+
+    System.err.println(s"[gensf] wrote multiplier=$mult corpus to $outDir: " +
+      s"docs=$nDocs events=$nEvents orders=$nOrders lineitem=$nLines " +
+      s"customer=$nCust part=$nPart supplier=$nSupp embeddings=$nEmb")
+  }
+}
