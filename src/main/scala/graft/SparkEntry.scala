@@ -82,6 +82,11 @@ object SparkEntry {
     // side unrolls the 10 rounds as a WITH-chain).
     "part_pagerank" -> ((s, dir) =>
       graft.analytics.PageRank.copurchaseParts(Tables.lineitem(s, dir))),
+    // F130: the fixed-iteration contract, measured — per-round L1/L-inf
+    // residuals + changed-node counts for the rank loop above, so "10
+    // rounds converged" is a hash-checked decay curve, not an argument.
+    "part_pagerank_convergence" -> ((s, dir) =>
+      graft.analytics.PageRank.copurchaseConvergence(Tables.lineitem(s, dir))),
     // TrustRank + spam mass: the host-graph anti-spam triple (seeded
     // trust propagation vs open PageRank) on the same graph fixture.
     "trust_propagation" -> ((s, dir) =>
@@ -646,6 +651,16 @@ object SparkEntry {
           date_format(Dates.parsePublished(col("raw")), "yyyy-MM-dd HH:mm:ss").as("ts_str"))
         .orderBy(col("raw"))
     }),
+    // F127: the dateutil free-text tail — ordinal days, dotted/Sept
+    // months, comma-less month-name forms — through the SAME cascade,
+    // so the pre-normalization chain is cross-engine hash-checked.
+    "parse_published_freetext" -> ((s, _) => {
+      import s.implicits._
+      IngestFixture.rawDatesFree.toDF("raw")
+        .select(col("raw"),
+          date_format(Dates.parsePublished(col("raw")), "yyyy-MM-dd HH:mm:ss").as("ts_str"))
+        .orderBy(col("raw"))
+    }),
     // ---- [EXT] event-time windows + JSON (streaming-capable shapes) ----
     "events_hourly" -> ((s, dir) => EventWindows.tumblingHourly(Tables.events(s, dir))),
     "events_sliding" -> ((s, dir) => EventWindows.slidingHourly(Tables.events(s, dir))),
@@ -1039,6 +1054,24 @@ object SparkEntry {
         .select(col("doc_id"), col("source"),
           TextAnalysis.qualityScore(col("text")).as("quality"),
           graft.pipeline.Curation.sampleBucket(col("text")).as("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+    // F128: exact-k weighted sampling without replacement (A-ES
+    // exponential clocks) — quality-proportional budget cut, planned as
+    // one TakeOrderedAndProject (the distributed reservoir).
+    "weighted_reservoir" -> ((s, dir) => {
+      // quality is computed ONCE below the reservoir: recomputing it
+      // above the limit leaves Limit(Project(Project(Sort))) — the
+      // CollapseProject diamond (BASELINE.md) — which misses the
+      // TakeOrderedAndProject strategy patterns and degrades the top-k
+      // into a full global range-sort (plan-pinned in PlanQualitySpec).
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+      graft.pipeline.Curation.weightedReservoir(docs, "doc_id", "text",
+          col("quality"), 100)
+        .select(col("doc_id"), col("source"), col("quality"),
+          col("res_clock"))
         .orderBy(col("doc_id"))
     }),
     // Whole-source mirror detection: shared distinct 3-gram counts per
@@ -1487,6 +1520,15 @@ object SparkEntry {
       val pieces = graft.text.Unigram.fitPieces(docs, "text", 400)
       FittedOracle.maxmatchPieces = Some(pieces)
       graft.text.Unigram.maxMatchStats(docs, "doc_id", "text", pieces)
+    }),
+    // F129: decode round-trip — detokenized bytes must equal the
+    // canonical text under BOTH coders; the oracle derives the
+    // canonical form independently from raw text, so the hash gate
+    // checks Spark's reassembled BYTES, not just piece counts.
+    "tokenizer_roundtrip" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pieces = graft.text.Unigram.fitPieces(docs, "text", 400)
+      graft.text.Unigram.roundTrip(docs, "doc_id", "text", pieces)
     }),
     // The fertility audit under the unigram model — multilingual
     // budgets skew differently than under BPE (the point of having
@@ -2214,6 +2256,8 @@ object SparkEntry {
          |ORDER BY n_occurrences DESC, passage ASC""".stripMargin,
     "decontaminate_bloom" -> DecontaminateSql,
     "part_pagerank" -> graft.analytics.PageRank.sqlCopurchaseParts(),
+    "part_pagerank_convergence" ->
+      graft.analytics.PageRank.sqlCopurchaseConvergence(),
     "trust_propagation" -> graft.analytics.PageRank.sqlCopurchaseSpamMass(),
     "order_part_hits" -> graft.analytics.PageRank.sqlOrderPartHits(5),
     "part_communities" -> graft.analytics.Lpa.sqlPartCommunities(3),
@@ -2975,6 +3019,13 @@ object SparkEntry {
          |FROM (VALUES $values) t(raw)
          |ORDER BY raw""".stripMargin
     },
+    "parse_published_freetext" -> {
+      val values = graft.IngestFixture.rawDatesFree
+        .map(r => s"('${r.replace("'", "''")}')").mkString(", ")
+      s"""SELECT raw, strftime(${Dates.duckDbParse("raw")}, '%Y-%m-%d %H:%M:%S') AS ts_str
+         |FROM (VALUES $values) t(raw)
+         |ORDER BY raw""".stripMargin
+    },
     "events_hourly" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
@@ -3201,6 +3252,28 @@ object SparkEntry {
          |WHERE CAST(('0x' || substring(md5(text), 1, 8))::UBIGINT % 10000 AS BIGINT) < $q * 10000.0
          |ORDER BY doc_id""".stripMargin
     },
+    "weighted_reservoir" -> {
+      val q = graft.text.TextAnalysis.sqlQuality("text")
+      val clock = graft.pipeline.Curation.sqlReservoirClock("text", q)
+      s"""SELECT doc_id, source, quality, res_clock FROM (
+         |  SELECT doc_id, source, $q AS quality, $clock AS res_clock
+         |  FROM documents WHERE $q > 0.0
+         |  ORDER BY res_clock, doc_id LIMIT 100)
+         |ORDER BY doc_id""".stripMargin
+    },
+    // Fit-free round-trip oracle: the canonical form is derived from
+    // RAW text here (lowercase + ASCII-ws collapse — SplitWhitespace's
+    // byte set), so equality proves the Spark-side decode reassembly.
+    "tokenizer_roundtrip" ->
+      """SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(toks, ' ')) AS viterbi_md5,
+        |  md5(array_to_string(toks, ' ')) AS maxmatch_md5,
+        |  1 AS viterbi_ok, 1 AS maxmatch_ok
+        |FROM (SELECT doc_id,
+        |        regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+') AS toks
+        |      FROM documents)
+        |WHERE len(toks) > 0
+        |ORDER BY doc_id""".stripMargin,
     // bpe_merges: the one fit whose output IS the fit — the oracle
     // recomputes the training loop itself as a recursive CTE (printed
     // constants would be circular here).
@@ -4815,4 +4888,20 @@ object IngestFixture {
     "Tue, 01 Mar 2024 10:15:30 GMT", "Fri, 05 Jul 2024 23:59:01 +0200",
     "01 Mar 2024 10:15:30", "15 Mar 2024", "March 1, 2024 10:30 AM",
     "2024/03/01", "Sat, 32 Jan 2024 00:00:00 GMT")
+
+  /** The dateutil free-text tail (r12): ordinal suffixes, dotted/Sept
+    * month tokens, comma-less month-name forms, single-digit days —
+    * plus the documented-out-of-contract negatives ('of'-phrases,
+    * defaulted-field dates, impossible days) that must stay null. */
+  val rawDatesFree: Seq[String] = Seq(
+    "March 3rd, 2024", "August 21st, 2024 3:05 PM", "June 2nd, 2024",
+    "22nd February 2024", "23rd March 2024", "1st Mar 2024",
+    "3th March 2024", // dateutil strips ANY digit+suffix, grammatical or not
+    "Sept. 5, 2024", "Sept 5, 2024", "Mar. 3 2024",
+    "3 Mar 2024", "3 Mar 2024 10:15:30", "3 March 2024 10:15:30",
+    "March 3 2024", "March 3 2024 10:30 AM", "Mar 3 2024",
+    "Feb 31st, 2024",      // impossible day: null in both engines
+    "3rd of March 2024",   // 'of' = dateutil fuzzy mode: out of contract
+    "March 2024",          // defaulted day: nondeterministic in dateutil
+    "the 3rd quarter")     // ordinal strips, then no format matches
 }

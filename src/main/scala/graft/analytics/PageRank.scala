@@ -156,6 +156,85 @@ object PageRank {
     out
   }
 
+  /** F130: convergence residuals for the fixed-iteration contract
+    * (`part_pagerank_convergence` query) — every rank operator here runs
+    * a FIXED round count ([[ranks]], [[seededRanks]], [[hits]],
+    * [[graft.analytics.Lpa]]), defended until now by argument
+    * ("converged here"). This emits the per-round L1/L∞ residuals and
+    * changed-node counts, so "10 rounds suffice" is a measured decay
+    * curve: round k's row is Σ|r_k − r_{k−1}|, max|r_k − r_{k−1}|, and
+    * #{v : r_k(v) ≠ r_{k−1}(v)}, all in the same `Scale` fixed-point
+    * units as the ranks themselves — integer arithmetic end-to-end, so
+    * the full curve hash-matches the oracle's unrolled replay.
+    *
+    * Execution shape: the [[ranks]] loop plus one narrow co-partitioned
+    * join per round (r_k ⋈ r_{k−1}, both hash-partitioned by `part`) —
+    * NO extra action per round: per-round delta triples reduce by their
+    * round tag and the whole curve materializes in ONE job whose
+    * shuffle outputs are shared with the rank chain. Output is
+    * `iterations` rows — config-scale, never node-scale. */
+  def convergence(edges: DataFrame, srcCol: String, dstCol: String,
+                  iterations: Int = 10, dampingPct: Int = 85): DataFrame = {
+    require(iterations >= 1, "need iterations >= 1")
+    require(dampingPct >= 0 && dampingPct <= 100, "dampingPct is a percentage")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val lvl = StorageLevel.MEMORY_AND_DISK
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .persist(lvl)
+    val nParts = math.max(4L, e.count() / 1000000L).toInt
+    val part = new HashPartitioner(nParts)
+    val adj = e.as[(Long, Long)].rdd
+      .groupByKey(part)
+      .mapValues(ds => ds.toArray.distinct.sorted)
+      .persist(lvl)
+    val nodes = e.select(col("src").as("v"))
+      .union(e.select(col("dst"))).distinct()
+      .as[Long].rdd.map(v => (v, ())).partitionBy(part).persist(lvl)
+    val n = nodes.count()
+    require(n > 0, "PageRank needs a non-empty graph")
+    val t = Scale * (100L - dampingPct) / 100L / n
+    val r0 = Scale / n
+    val tele = nodes.mapValues(_ => t).persist(lvl)
+    var ranks = nodes.mapValues(_ => r0)
+    var deltas = List.empty[org.apache.spark.rdd.RDD[(Long, (Long, Long, Long))]]
+    for (k <- 1 to iterations) {
+      val contribs = adj.join(ranks)
+        .flatMap { case (_, (dsts, r)) =>
+          if (r == 0L) Iterator.empty
+          else {
+            val c = r * dampingPct / 100L / dsts.length
+            dsts.iterator.map(d => (d, c))
+          }
+        }
+        .reduceByKey(part, _ + _)
+      val prev = ranks
+      val next = tele.leftOuterJoin(contribs)
+        .mapValues { case (tp, c) => tp + c.getOrElse(0L) }
+      deltas ::= next.join(prev).map { case (_, (a, b)) =>
+        val d = math.abs(a - b)
+        (k.toLong, (d, d, if (d != 0L) 1L else 0L))
+      }
+      ranks = next
+    }
+    val curve = spark.sparkContext.union(deltas.reverse)
+      .reduceByKey((a, b) => (a._1 + b._1, math.max(a._2, b._2), a._3 + b._3))
+    val schema = StructType(Seq(
+      StructField("round", LongType, nullable = false),
+      StructField("l1_delta_fp", LongType, nullable = false),
+      StructField("linf_delta_fp", LongType, nullable = false),
+      StructField("n_changed", LongType, nullable = false)))
+    val out = spark.createDataFrame(
+        curve.map { case (k, (s, m, c)) => Row(k, s, m, c) }, schema)
+      .orderBy(col("round"))
+      .pinned
+    e.unpersist(false); adj.unpersist(false); nodes.unpersist(false)
+    tele.unpersist(false)
+    out
+  }
+
   /** [EXT] Spam mass (Gyöngyi et al. 2006, `trust_propagation` query):
     * how much of a node's PageRank is NOT accounted for by trust flowing
     * from the seed set. Both rank vectors carry total mass ≈ `Scale`
@@ -357,6 +436,12 @@ object PageRank {
     ranks(copurchaseEdges(lineitem), "src", "dst", iterations)
       .select(col("node").as("part_id"), col("rank_fp"))
 
+  /** `part_pagerank_convergence` query: [[convergence]] residual curve
+    * on the standing co-purchase graph fixture. */
+  def copurchaseConvergence(lineitem: DataFrame,
+                            iterations: Int = 10): DataFrame =
+    convergence(copurchaseEdges(lineitem), "src", "dst", iterations)
+
   /** `trust_propagation` query: PageRank vs TrustRank vs spam mass on
     * the co-purchase part graph, seeds = part ids ≡ 0 (mod seedMod) —
     * the host-graph anti-spam triple demonstrated on the repo's standing
@@ -428,6 +513,42 @@ object PageRank {
        |    AS spam_mass_ppm
        |FROM r$iterations pr JOIN t$iterations tr ON pr.v = tr.v
        |ORDER BY part_id""".stripMargin
+  }
+
+  /** DuckDB mirror of [[copurchaseConvergence]]: the
+    * [[sqlCopurchaseParts]] chain, then one delta aggregate per
+    * consecutive round pair, UNION ALL'd into the curve. Same exact
+    * long divisions; ABS/MAX/SUM over BIGINTs replay bit-identically. */
+  def sqlCopurchaseConvergence(iterations: Int = 10,
+                               dampingPct: Int = 85): String = {
+    val iters = (1 to iterations).map { k =>
+      s"""r$k AS (
+         |  SELECT n.v AS v, CAST(tp.t + COALESCE(c.s, 0) AS BIGINT) AS r
+         |  FROM nodes n CROSS JOIN tp LEFT JOIN (
+         |    SELECT e.dst AS v,
+         |      CAST(SUM(r.r * $dampingPct // 100 // dg.d) AS BIGINT) AS s
+         |    FROM e JOIN r${k - 1} r ON e.src = r.v JOIN deg dg ON dg.src = e.src
+         |    GROUP BY 1) c ON n.v = c.v)""".stripMargin
+    }.mkString(",\n")
+    val curve = (1 to iterations).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS round,
+         |  CAST(SUM(ABS(a.r - b.r)) AS BIGINT) AS l1_delta_fp,
+         |  CAST(MAX(ABS(a.r - b.r)) AS BIGINT) AS linf_delta_fp,
+         |  CAST(SUM(CASE WHEN a.r <> b.r THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+         |FROM r$k a JOIN r${k - 1} b ON a.v = b.v""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e AS (
+       |  SELECT DISTINCT a.p AS src, b.p AS dst
+       |  FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p),
+       |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+       |nodes AS (SELECT DISTINCT src AS v FROM e),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |tp AS (SELECT CAST($Scale * ${100 - dampingPct} // 100 // n AS BIGINT) AS t FROM nn),
+       |r0 AS (SELECT v, CAST($Scale // n AS BIGINT) AS r FROM nodes CROSS JOIN nn),
+       |$iters
+       |$curve
+       |ORDER BY round""".stripMargin
   }
 
   /** DuckDB mirror of [[copurchaseParts]]: the iteration unrolls into a

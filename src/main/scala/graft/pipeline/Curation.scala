@@ -67,6 +67,53 @@ object Curation {
   def sampleWeighted(df: DataFrame, keyCol: String, weight: Column): DataFrame =
     df.filter(sampleBucket(col(keyCol)).cast("double") < weight * 10000.0)
 
+  /** F128: EXACT-k weighted sampling without replacement (Efraimidis &
+    * Spiliotis 2006's A-ES in its exponential-clocks form): each row
+    * draws an exponential "arrival time" with rate = its weight —
+    * t_i = −ln(u_i)∕w_i — and the k EARLIEST arrivals win. P(row i
+    * arrives first) = w_i∕Σw, then the property recurses over the
+    * remainder: exactly successive weighted draws without replacement.
+    * [[sampleWeighted]] keeps each row independently (output size is
+    * random); this returns exactly min(k, eligible) rows — the "give me
+    * the 10M best-quality-biased documents" budget cut.
+    *
+    * Determinism/cross-engine: u_i = (md5-prefix(seed ‖ ':' ‖ key)+1) ∕
+    * 2^32 ∈ (0,1] — the [[sampleBucket]] hash discipline, re-drawable in
+    * any engine, seeded so audits can draw independent replicates. The
+    * key is materialized as ⌊−10^9·ln(u)∕w⌋ (integer nano-clock; the
+    * LmScore micro-nat discipline — double ln then one floor, IEEE-
+    * identical both engines), totally ordered by (clock, id). Rows with
+    * weight ≤ 0 can never win an exponential race: filtered, matching
+    * A-ES's w > 0 domain.
+    *
+    * Scale shape: pure per-row expressions + one global top-k —
+    * Catalyst plans `TakeOrderedAndProject`, the mergeable per-partition
+    * partial top-k (this IS a distributed weighted reservoir: each
+    * partition keeps its k best clocks, the driver merges k-sized
+    * heaps). No shuffle of data rows, no RNG state, no collect. */
+  def weightedReservoir(df: DataFrame, idCol: String, keyCol: String,
+                        weight: Column, k: Int,
+                        seed: String = "res"): DataFrame = {
+    val h = conv(substring(md5(concat_ws(":", lit(seed), col(keyCol))),
+      1, 8), 16, 10).cast("long")
+    val u = (h + lit(1L)).cast("double") / lit(4294967296.0)
+    val clock = floor((lit(-1.0e9) * log(u)) / weight).cast("long")
+    df.filter(weight > lit(0.0))
+      .withColumn("res_clock", clock)
+      .orderBy(col("res_clock"), col(idCol))
+      .limit(k)
+  }
+
+  /** DuckDB expression for [[weightedReservoir]]'s integer nano-clock
+    * over a text key (the oracle mirror — same hash, same ln, same
+    * floor). `wExpr` must be the exact weight expression both engines
+    * compute identically. */
+  def sqlReservoirClock(keyExpr: String, wExpr: String,
+                        seed: String = "res"): String =
+    s"CAST(FLOOR((-1000000000.0 * ln((('0x' || substring(md5('$seed:' || " +
+      s"$keyExpr), 1, 8))::UBIGINT + 1)::DOUBLE / 4294967296.0)) / " +
+      s"($wExpr)) AS BIGINT)"
+
   /** Deterministic train/val/test split (`corpus_split` query): name a
     * split for each row from its [[sampleBucket]] — the last `testBp` basis
     * points are test, the `valBp` before them val, the rest train.

@@ -150,6 +150,21 @@ object Unigram {
     n
   }
 
+  /** The greedy segmentation itself — [[maxMatchPieces]]'s cursor walk
+    * emitting the pieces (decode/round-trip path). */
+  private[text] def maxMatchPath(tok: String, vocab: collection.Set[String],
+                                 maxLen: Int): List[String] = {
+    var pos = 0
+    val out = List.newBuilder[String]
+    while (pos < tok.length) {
+      var k = math.min(maxLen, tok.length - pos)
+      while (k > 1 && !vocab.contains(tok.substring(pos, pos + k))) k -= 1
+      out += tok.substring(pos, pos + k)
+      pos += k
+    }
+    out.result()
+  }
+
   /** Per-document greedy MaxMatch statistics (`maxmatch_encode_stats`):
     * the [[encodeStats]] shape under the greedy coder — same vocab,
     * different algorithm, so the two queries' compression columns
@@ -494,6 +509,51 @@ object Unigram {
       .select(col("doc_id"), col("n_tokens"), col("n_pieces"),
         round(col("n_tokens").cast("double") /
           col("n_pieces").cast("double"), 4).as("compression"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** F129: decode round-trip audit (`tokenizer_roundtrip`) — the
+    * losslessness contract every tokenizer owes its trainer: detokenize
+    * (concatenate pieces per token, re-join tokens with single spaces)
+    * must reproduce the canonical text EXACTLY, under BOTH coders over
+    * the same fitted vocab (Viterbi and greedy MaxMatch). SentencePiece
+    * ships this as its self-test; a gapped, overlapped or reordered
+    * segmentation anywhere in the DP/cursor code would corrupt training
+    * text silently — this query makes it a hash mismatch instead.
+    *
+    * The oracle is deliberately fit-free: DuckDB computes the canonical
+    * form (lowercase, ASCII-whitespace-collapsed — SplitWhitespace's
+    * byte set) INDEPENDENTLY from the raw text and asserts both decode
+    * md5s equal it with both ok flags 1, so the gate proves Spark's
+    * reassembled bytes — not just piece counts — are right. Broadcast
+    * piece table, per-partition decode, no shuffle. */
+  def roundTrip(docs: DataFrame, idCol: String, textCol: String,
+                pieces: Seq[(String, Long)],
+                maxPieceLen: Int = 6): DataFrame = {
+    val sc = docs.sparkSession.sparkContext
+    val bcLp = sc.broadcast(pieces.toMap)
+    val bcV = sc.broadcast(pieces.iterator.map(_._1).toSet)
+    val vit = udf { toks: Seq[String] =>
+      toks.iterator.map(t => viterbiPath(t, bcLp.value, maxPieceLen).mkString)
+        .mkString(" ")
+    }
+    val mm = udf { toks: Seq[String] =>
+      toks.iterator.map(t => maxMatchPath(t, bcV.value, maxPieceLen).mkString)
+        .mkString(" ")
+    }
+    graft.Par.widen(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextAnalysis.tokens(lower(col(textCol))).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        array_join(col("toks"), " ").as("canon"),
+        vit(col("toks")).as("dec_v"), mm(col("toks")).as("dec_m"))
+      .select(col("doc_id"), col("n_tokens"),
+        md5(col("dec_v")).as("viterbi_md5"),
+        md5(col("dec_m")).as("maxmatch_md5"),
+        (col("dec_v") === col("canon")).cast("int").as("viterbi_ok"),
+        (col("dec_m") === col("canon")).cast("int").as("maxmatch_ok"))
       .orderBy(col("doc_id"))
   }
 

@@ -47,6 +47,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("weighted reservoir races with a partial top-k, not a global sort (F128)") {
+    // The distributed-reservoir claim IS this plan shape: each partition
+    // keeps its k best exponential clocks, the driver merges k-sized
+    // heaps. A global sort here would shuffle the whole corpus.
+    val plan = planOf(SparkEntry.queries("weighted_reservoir")(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("whole-stage codegen covers the dedup verify pipeline") {
     // AQE finalizes (and codegen-wraps) stages only on execution, so run
     // the query and inspect the executed plan.

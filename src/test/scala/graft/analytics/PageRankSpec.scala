@@ -37,6 +37,39 @@ class PageRankSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("convergence curve == plain-Scala replay; residuals decay (F130)") {
+    // exact integer replay of the fixed-point loop over a small graph
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (3L, 4L), (4L, 1L))
+    val iters = 8
+    val d = 85
+    val adj = edges.groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.sorted).toMap
+    val vs = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = vs.size.toLong
+    val t = PageRank.Scale * (100L - d) / 100L / n
+    var r = vs.map(_ -> PageRank.Scale / n).toMap
+    val want = (1 to iters).map { k =>
+      val contrib = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for (v <- vs; ds <- adj.get(v); if r(v) != 0L) {
+        val c = r(v) * d / 100L / ds.length
+        ds.foreach(dst => contrib(dst) += c)
+      }
+      val next = vs.map(v => v -> (t + contrib(v))).toMap
+      val diffs = vs.map(v => math.abs(next(v) - r(v)))
+      val row = (k.toLong, diffs.sum, diffs.max,
+        diffs.count(_ != 0L).toLong)
+      r = next
+      row
+    }
+    val got = PageRank.convergence(edges.toDF("src", "dst"), "src", "dst",
+        iterations = iters, dampingPct = d)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+      .toSeq
+    assert(got == want, s"got $got want $want")
+    // the curve is a decay: the late-half residual is far below round 1's
+    assert(got.last._2 < got.head._2 / 4, s"no decay: $got")
+  }
+
   test("copurchase edges symmetrize the order-part projection") {
     val li = Seq((100L, 1L), (100L, 2L), (100L, 2L), (101L, 2L), (101L, 3L),
         (102L, 9L))

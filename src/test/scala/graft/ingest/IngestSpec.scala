@@ -85,6 +85,38 @@ class IngestSpec extends SparkSpec {
     assert(parsed(8).getTimestamp(0).toString.startsWith("2024-03-01")) // trimmed
   }
 
+  test("free-text tail: ordinals, dotted/Sept months, comma-less forms (F127)") {
+    // dateutil's tokenizer strips ordinal suffixes (grammatical or not)
+    // and the trailing dot of a month token; 'Sept' aliases September.
+    val ok = Seq(
+      "March 3rd, 2024" -> "2024-03-03",
+      "August 21st, 2024 3:05 PM" -> "2024-08-21",
+      "22nd February 2024" -> "2024-02-22",
+      "3th March 2024" -> "2024-03-03", // any digit+suffix strips
+      "Sept. 5, 2024" -> "2024-09-05",
+      "Sept 5, 2024" -> "2024-09-05",
+      "Mar. 3 2024" -> "2024-03-03",
+      "3 Mar 2024" -> "2024-03-03", // single-digit day, 'd' pattern
+      "March 3 2024 10:30 AM" -> "2024-03-03",
+      "Mar 3 2024" -> "2024-03-03")
+    val parsed = ok.map(_._1).toDF("raw")
+      .select(Dates.parsePublished($"raw").as("ts")).collect()
+      .map(_.getTimestamp(0).toString.take(10))
+    ok.map(_._2).zip(parsed).foreach { case (want, got) =>
+      assert(want == got, s"expected $want got $got")
+    }
+    // time-of-day survives the ordinal strip
+    val withTime = Seq("August 21st, 2024 3:05 PM").toDF("raw")
+      .select(Dates.parsePublished($"raw").as("ts")).head.getTimestamp(0)
+    assert(withTime.toString.startsWith("2024-08-21 15:05"))
+    // out-of-contract negatives stay null: impossible day, 'of'-phrase
+    // (dateutil fuzzy mode), defaulted-day month-year, non-dates
+    val nulls = Seq("Feb 31st, 2024", "3rd of March 2024", "March 2024",
+      "the 3rd quarter").toDF("raw")
+      .select(Dates.parsePublished($"raw").as("ts")).collect()
+    assert(nulls.forall(_.isNullAt(0)))
+  }
+
   test("ambiguous slash dates follow dateutil's default month-first rule") {
     // The reference runs dateutil.parser.parse with dayfirst=False:
     // '01/03/2024' is JANUARY 3; a month slot > 12 falls through to the

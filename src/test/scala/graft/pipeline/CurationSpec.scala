@@ -68,6 +68,59 @@ class CurationSpec extends SparkSpec {
     assert(w.contains(1L) == w.contains(2L))
   }
 
+  test("weightedReservoir: exact k, JVM-reference clocks, w<=0 excluded (F128)") {
+    // plain-Scala reference for the exponential clock — same md5
+    // prefix, same u mapping, same nano floor as the column expression
+    def clockRef(seed: String, key: String, w: Double): Long = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$key".getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(
+        dig.take(4).map(b => f"$b%02x").mkString, 16)
+      math.floor(-1.0e9 * math.log((h + 1).toDouble / 4294967296.0) / w).toLong
+    }
+    val rows = Seq((1L, "aa", 1.0), (2L, "bb", 5.0), (3L, "cc", 2.0),
+      (4L, "dd", 0.0), (5L, "ee", -1.0)).toDF("id", "key", "w")
+    val got = Curation.weightedReservoir(rows, "id", "key", $"w", 2)
+      .select("id", "res_clock").as[(Long, Long)].collect().toMap
+    val want = Seq((1L, "aa", 1.0), (2L, "bb", 5.0), (3L, "cc", 2.0))
+      .map { case (id, k, w) => id -> clockRef("res", k, w) }
+      .sortBy { case (id, c) => (c, id) }.take(2).toMap
+    assert(got == want, s"got $got want $want")
+    assert(!got.contains(4L) && !got.contains(5L)) // w <= 0 never races
+    // exactly min(k, eligible): k larger than the eligible set
+    assert(Curation.weightedReservoir(rows, "id", "key", $"w", 10).count() == 3)
+  }
+
+  test("weightedReservoir: selection frequency tracks w/sum(w) over seeds (F128)") {
+    // A-ES property: P(first arrival = i) = w_i / sum(w). 400 seeded
+    // replicates of k=1 over weights {1, 2, 7}: the JVM reference IS
+    // the column expression (pinned above), so frequencies can be
+    // checked cheaply off-Spark.
+    def pick(seed: String): String = {
+      val items = Seq(("a", 1.0), ("b", 2.0), ("c", 7.0))
+      items.minBy { case (key, w) =>
+        val dig = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$seed:$key".getBytes("UTF-8"))
+        val h = java.lang.Long.parseLong(
+          dig.take(4).map(b => f"$b%02x").mkString, 16)
+        (math.floor(-1.0e9 * math.log((h + 1).toDouble / 4294967296.0) / w).toLong,
+          key)
+      }._1
+    }
+    val n = 400
+    val freq = (0 until n).map(i => pick(s"seed$i"))
+      .groupBy(identity).view.mapValues(_.size.toDouble / n).toMap
+    // 3-sigma bands: sd = sqrt(p(1-p)/400) ~ 0.023 at p=0.7
+    assert(math.abs(freq("c") - 0.7) < 0.07, s"c: ${freq("c")}")
+    assert(math.abs(freq("b") - 0.2) < 0.06, s"b: ${freq("b")}")
+    assert(math.abs(freq.getOrElse("a", 0.0) - 0.1) < 0.05, s"a: ${freq.getOrElse("a", 0.0)}")
+    // and one Spark draw agrees with the reference at a sample seed
+    val df = Seq(("a", 1.0), ("b", 2.0), ("c", 7.0)).toDF("key", "w")
+    val sparkPick = Curation.weightedReservoir(df, "key", "key", $"w", 1,
+      seed = "seed7").select("key").as[String].head()
+    assert(sparkPick == pick("seed7"))
+  }
+
   test("quotaPerGroup caps each group by the given order") {
     val out = Curation.quotaPerGroup(docs, "source", 2,
       Seq($"doc_id".asc)).select("source", "doc_id", "rk")

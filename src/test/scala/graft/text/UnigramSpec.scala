@@ -130,6 +130,32 @@ class UnigramSpec extends SparkSpec {
       "all-unknown text consumes one char per step")
   }
 
+  test("roundTrip: decode == canonical under both coders; flags all 1 (F129)") {
+    val docs = Seq(
+      (1L, "Hello   WORLD"),              // case + run collapse
+      (2L, "  spark  \t streams\nfast "), // every ASCII ws byte class
+      (3L, "xyzzy q9!"),                  // UNK chars: single-char pieces
+      (4L, "   \t  "),                    // all-ws: filtered (no tokens)
+      (5L, "the data table")
+    ).toDF("doc_id", "text")
+    val pieces = Unigram.fitOnDict(
+      Array(("hello", 3L), ("world", 3L), ("spark", 2L), ("streams", 2L),
+        ("fast", 2L), ("the", 5L), ("data", 4L), ("table", 4L)), 40, L)
+    val out = Unigram.roundTrip(docs, "doc_id", "text", pieces, L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(2), r.getString(3), r.getInt(4), r.getInt(5))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 5L)) // all-ws doc filtered
+    out.foreach { case (id, (vm, mm, vok, mok)) =>
+      assert(vok == 1 && mok == 1, s"doc $id flags: $vok $mok")
+      assert(vm == mm, s"doc $id: coder md5s differ")
+    }
+    // the md5 is of the canonical form, computable independently
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(out(2L)._1 == md5hex("spark streams fast"))
+    assert(out(3L)._1 == md5hex("xyzzy q9!"))
+  }
+
   test("sql mirror rejects an empty vocab (the omission contract)") {
     intercept[IllegalArgumentException] {
       Unigram.sqlEncodeStats(Seq.empty)
