@@ -1927,7 +1927,7 @@ object SparkEntry {
        |benchsh AS (
        |  SELECT DISTINCT UNNEST(list_distinct(list_transform(range(1, len(toks) - 1),
        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
-       |  FROM tok0 WHERE doc_id % 97 = 0),
+       |  FROM tok0 WHERE doc_id % 97 = 0 AND doc_id < 5000),
        |su AS (
        |  SELECT doc_id, CAST((s - 1) // 20 AS BIGINT) AS idx,
        |    array_to_string(list_slice(stoks, s, least(s + 19, len(stoks))), ' ') AS raw

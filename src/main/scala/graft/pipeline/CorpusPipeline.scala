@@ -54,7 +54,8 @@ object CorpusPipeline {
             benchMod: Int = 97, overlapThreshold: Long = 5L,
             spanTokens: Int = 20, spanMinOcc: Long = 3L,
             gopherTh: Option[graft.text.GopherRules.Thresholds] = None,
-            repetitionTh: Option[graft.text.GopherRepetition.Thresholds] = None)
+            repetitionTh: Option[graft.text.GopherRepetition.Thresholds] = None,
+            benchCap: Long = 5000L)
       : DataFrame = {
     val scrubbed = docs.select(col("doc_id"), Pii.redact(col("text")).as("red"))
     val spanDeduped = graft.dedup.ParagraphDedup.rebuilt(
@@ -85,9 +86,18 @@ object CorpusPipeline {
       .filter(col("doc_id") === col("keeper"))
       .select(col("doc_id"), col("red"))
       .pinned
+    // The benchmark stand-in is BOUNDED (id mod-slice AND id < benchCap):
+    // an eval suite is external and CONSTANT-SIZE by contract, while a
+    // pure mod-slice grows with the corpus — at 10× this fixture family
+    // the grown slice's distinct trigram set closes over the vocabulary's
+    // whole trigram space and flags EVERY document (measured: the r12
+    // true-scale audit read 0 output rows, BASELINE.md). The cap keeps
+    // the slice fixed at its sf≤0.1 contents at any corpus size, which
+    // is exactly how a real benchmark behaves as training data grows.
     val decontaminated = Curation.decontaminate(
         keepers, "doc_id", "red",
-        scrubbed.filter(col("doc_id") % benchMod === 0), "red",
+        scrubbed.filter(col("doc_id") % benchMod === 0 &&
+          col("doc_id") < benchCap), "red",
         3, overlapThreshold)
       .filter(col("contaminated") === 0)
       .select(col("doc_id"))

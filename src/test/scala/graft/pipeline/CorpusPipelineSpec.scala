@@ -72,4 +72,25 @@ class CorpusPipelineSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(ids == Set(8L))
   }
+
+  test("benchmark slice is capped: mod-members past benchCap are not benchmark (r12)") {
+    // A pure mod-slice benchmark GROWS with the corpus — at 10× the
+    // fixture family its trigram set closed over the vocabulary and
+    // flagged everything (BASELINE.md r12 true-scale audit). The cap
+    // models the real contract: an eval suite is constant-size.
+    // doc 7000 is ≡ 0 (mod 7) but past the cap, so doc 9 sharing its
+    // text must SURVIVE; with the cap lifted both drop.
+    val docs = Seq(
+      (7000L, body("q")),
+      (9L, body("q") + " extra1 extra2"),
+      (8L, body("r"))
+    ).toDF("doc_id", "text")
+    val capped = CorpusPipeline(docs, sampleBp = 10000, benchMod = 7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(capped == Set(9L, 7000L, 8L))
+    val uncapped = CorpusPipeline(docs, sampleBp = 10000, benchMod = 7,
+        benchCap = Long.MaxValue)
+      .select("doc_id").as[Long].collect().toSet
+    assert(uncapped == Set(8L))
+  }
 }
