@@ -577,6 +577,16 @@ object SparkEntry {
       FittedOracle.clusterSampleCenters = Some(centers)
       Similarity.clusterBalancedSample(emb, centers, 40)
     }),
+    // F132: embedding-cluster composition drift between two snapshot
+    // stand-ins (vec_id parity) under ONE shared quantizer — the
+    // release-to-release topic-mix audit, integer ppm shares.
+    "cluster_drift" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val centers = Ivf.fitCentroids(emb, 8)
+      FittedOracle.driftCenters = Some(centers)
+      Similarity.clusterDrift(emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 =!= 0), centers)
+    }),
     // knn_pq: product-quantized ADC search (32x-compressed codes). FULL
     // oracle since r9 via printed codebooks; recall pinned in PqSpec.
     "knn_pq" -> ((s, dir) => {
@@ -1054,6 +1064,22 @@ object SparkEntry {
         .select(col("doc_id"), col("source"),
           TextAnalysis.qualityScore(col("text")).as("quality"),
           graft.pipeline.Curation.sampleBucket(col("text")).as("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+    // F131: the reservoir's mergeable-state face — two disjoint batch
+    // reservoirs merged must equal the one-shot cut (the oracle IS the
+    // one-shot form, so hash-equality proves the merge).
+    "weighted_reservoir_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+      val halves = Seq(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0))
+        .map(graft.pipeline.Curation.weightedReservoir(_, "doc_id", "text",
+          col("quality"), 100))
+      graft.pipeline.Curation.mergeReservoirs(halves, "doc_id", 100)
+        .select(col("doc_id"), col("source"), col("quality"),
+          col("res_clock"))
         .orderBy(col("doc_id"))
     }),
     // F128: exact-k weighted sampling without replacement (A-ES
@@ -3253,6 +3279,17 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin
     },
     "weighted_reservoir" -> {
+      val q = graft.text.TextAnalysis.sqlQuality("text")
+      val clock = graft.pipeline.Curation.sqlReservoirClock("text", q)
+      s"""SELECT doc_id, source, quality, res_clock FROM (
+         |  SELECT doc_id, source, $q AS quality, $clock AS res_clock
+         |  FROM documents WHERE $q > 0.0
+         |  ORDER BY res_clock, doc_id LIMIT 100)
+         |ORDER BY doc_id""".stripMargin
+    },
+    // The incremental face's oracle IS the one-shot cut over the whole
+    // corpus — hash-equality against it proves the merge identity.
+    "weighted_reservoir_incremental" -> {
       val q = graft.text.TextAnalysis.sqlQuality("text")
       val clock = graft.pipeline.Curation.sqlReservoirClock("text", q)
       s"""SELECT doc_id, source, quality, res_clock FROM (

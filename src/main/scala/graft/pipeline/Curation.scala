@@ -114,6 +114,25 @@ object Curation {
       s"$keyExpr), 1, 8))::UBIGINT + 1)::DOUBLE / 4294967296.0)) / " +
       s"($wExpr)) AS BIGINT)"
 
+  /** Merge [[weightedReservoir]] states (`weighted_reservoir_incremental`
+    * query): a reservoir over a UNION of batches equals the k best
+    * clocks over the union of each batch's reservoir — the clock is a
+    * pure function of (seed, key, weight), so a row outside its own
+    * batch's top k can never enter the global top k. That makes the
+    * k-row reservoir a MERGEABLE state: batches/partitions/days keep k
+    * rows each, merge is union + re-take, associative and commutative —
+    * the incremental face of the budget cut (the oracle replays the
+    * ONE-SHOT form over the whole corpus; hash-equality IS the merge
+    * proof). Inputs must carry `res_clock` (i.e. be reservoir outputs
+    * under the same seed and k). */
+  def mergeReservoirs(parts: Seq[DataFrame], idCol: String,
+                      k: Int): DataFrame = {
+    require(parts.nonEmpty, "need at least one reservoir state")
+    parts.reduce(_.unionByName(_))
+      .orderBy(col("res_clock"), col(idCol))
+      .limit(k)
+  }
+
   /** Deterministic train/val/test split (`corpus_split` query): name a
     * split for each row from its [[sampleBucket]] — the last `testBp` basis
     * points are test, the `valBp` before them val, the rest train.

@@ -45,6 +45,9 @@ object FittedOracle {
   @volatile var compactedCenters: Option[IndexedSeq[IndexedSeq[Double]]] = None
   @volatile var refitCenters: Option[IndexedSeq[IndexedSeq[Double]]] = None
   @volatile var clusterSampleCenters: Option[IndexedSeq[IndexedSeq[Double]]] = None
+  // Snapshot-drift audit (r12): one shared quantizer assigns BOTH
+  // snapshot stand-ins, so the composition ppm tables are comparable.
+  @volatile var driftCenters: Option[IndexedSeq[IndexedSeq[Double]]] = None
   @volatile var langIdProfiles: Option[Seq[(String, Seq[String])]] = None
   @volatile var langConfusionProfiles: Option[Seq[(String, Seq[String])]] = None
   @volatile var bpeStatsMerges: Option[Seq[(String, String)]] = None
@@ -129,6 +132,8 @@ object FittedOracle {
         "knn_ivf_refit" -> Ivf.sqlKnnIvf(c, k = 5, nprobe = 4)) ++
       clusterSampleCenters.map(c =>
         "cluster_balanced_sample" -> Similarity.sqlClusterBalancedSample(c, k = 40)) ++
+      driftCenters.map(c =>
+        "cluster_drift" -> Similarity.sqlClusterDrift(c)) ++
       langIdProfiles.filter(_.nonEmpty).map(p =>
         "langid_ngram" ->
           (s"WITH ${graft.text.TextAnalysis.sqlLangIdNgramCtes(

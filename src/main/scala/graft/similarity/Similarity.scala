@@ -1094,6 +1094,104 @@ object Similarity {
     graft.pipeline.Curation.balancedSample(assigned, "cluster", idCol, k)
   }
 
+  /** F132: embedding-cluster composition drift between two corpus
+    * snapshots (`cluster_drift` query) — the release-to-release "did our
+    * topic mix shift" audit. Training-mix stability is a first-class
+    * release gate (the DataComp/DoReMi framing: domain/topic shares ARE
+    * the mixture), and source labels can't see a drift that happens
+    * INSIDE a source — embedding clusters can. Both snapshots are
+    * assigned under ONE shared printed-centroid quantizer (a release
+    * pins its codebook precisely so its composition numbers are
+    * comparable across snapshots); per cluster: counts, integer
+    * parts-per-million shares per side (n·10⁶ ∕ total, truncating —
+    * the ppm discipline), and the share delta. A cluster spine reports
+    * absent clusters as explicit zero rows rather than dropping them —
+    * a topic vanishing IS the signal.
+    *
+    * Scale shape: assignment is the scan-stage argmin expression
+    * (shuffle-free); each side then reduces to ≤ k aggregate rows, and
+    * the spine/total joins are broadcast-size. Nothing node-scale ever
+    * shuffles. */
+  def clusterDrift(before: DataFrame, after: DataFrame,
+                   centers: IndexedSeq[IndexedSeq[Double]],
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val spark = before.sparkSession
+    import spark.implicits._
+    def assigned(df: DataFrame) = graft.Par.widen(df)
+      .select(element_at(org.apache.spark.sql.graft.VectorFunctions
+        .nearestCentroids(asDouble(col(vecCol)), centers, 1), 1).as("cluster"))
+    def sideCounts(df: DataFrame, name: String) = assigned(df)
+      .groupBy(col("cluster")).agg(count(lit(1)).as(name))
+    val b = sideCounts(before, "n_before")
+    val a = sideCounts(after, "n_after")
+    val spine = centers.indices.toDF("cluster")
+      .select(col("cluster").cast("int").as("cluster"))
+    // Pinned: the k-row count table feeds BOTH the totals aggregate and
+    // the final projection — without materialization each consumer
+    // re-runs the full two-sided assignment scan (4 parquet scans and
+    // 10 exchanges observed in the plan-cost pin; 2 and ~5 pinned).
+    val joined = spine
+      .join(b, Seq("cluster"), "left")
+      .join(a, Seq("cluster"), "left")
+      .select(col("cluster"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+      .pinned
+    val totals = joined.agg(sum(col("n_before")).as("tb"),
+      sum(col("n_after")).as("ta"))
+    // Integer (truncating) ppm divisions — Spark's DIV == DuckDB's //
+    // on non-negative longs, the established fixed-point discipline.
+    joined.crossJoin(broadcast(totals))
+      .select(col("cluster"), col("n_before"), col("n_after"),
+        expr("n_before * 1000000 DIV tb").as("share_before_ppm"),
+        expr("n_after * 1000000 DIV ta").as("share_after_ppm"))
+      .withColumn("delta_ppm",
+        col("share_after_ppm") - col("share_before_ppm"))
+      .orderBy(col("cluster"))
+  }
+
+  /** DuckDB mirror of [[clusterDrift]] over printed centroids and the
+    * vec_id-parity snapshot stand-ins: the proven assignment CTE, one
+    * count aggregate per side, the cluster spine via range(k), and the
+    * same truncating ppm divisions. */
+  def sqlClusterDrift(centers: IndexedSeq[IndexedSeq[Double]]): String =
+    s"""WITH cent AS (
+       |  FROM (VALUES
+       |    ${FittedOracle.centroidValues(centers)}) cent(cid, n2, cv)),
+       |n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sc0 AS (
+       |  SELECT n.vec_id, cent.cid,
+       |    cent.n2 - 2.0 * list_reduce(
+       |      list_transform(range(1, len(n.v)+1), i -> n.v[i] * cent.cv[i]),
+       |      (a,b) -> a+b) AS sco
+       |  FROM n CROSS JOIN cent),
+       |asg AS (
+       |  SELECT vec_id, cid AS cluster FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY sco ASC, cid ASC) AS rn
+       |    FROM sc0) WHERE rn = 1),
+       |b AS (SELECT cluster, COUNT(*) AS n_before FROM asg
+       |      WHERE vec_id % 2 = 0 GROUP BY 1),
+       |a AS (SELECT cluster, COUNT(*) AS n_after FROM asg
+       |      WHERE vec_id % 2 <> 0 GROUP BY 1),
+       |spine AS (SELECT UNNEST(range(${centers.length}))::INT AS cluster),
+       |j AS (
+       |  SELECT s.cluster,
+       |    COALESCE(b.n_before, 0)::BIGINT AS n_before,
+       |    COALESCE(a.n_after, 0)::BIGINT AS n_after
+       |  FROM spine s LEFT JOIN b ON s.cluster = b.cluster
+       |               LEFT JOIN a ON s.cluster = a.cluster),
+       |t AS (SELECT SUM(n_before)::BIGINT AS tb, SUM(n_after)::BIGINT AS ta FROM j)
+       |SELECT j.cluster, j.n_before, j.n_after,
+       |  CAST(j.n_before * 1000000 // t.tb AS BIGINT) AS share_before_ppm,
+       |  CAST(j.n_after * 1000000 // t.ta AS BIGINT) AS share_after_ppm,
+       |  CAST(j.n_after * 1000000 // t.ta - j.n_before * 1000000 // t.tb
+       |    AS BIGINT) AS delta_ppm
+       |FROM j CROSS JOIN t
+       |ORDER BY j.cluster""".stripMargin
+
   /** DuckDB mirror of [[clusterBalancedSample]] over printed centroids:
     * the proven assignment CTE + the `balanced_sample` md5-order rank. */
   def sqlClusterBalancedSample(centers: IndexedSeq[IndexedSeq[Double]],

@@ -121,6 +121,25 @@ class CurationSpec extends SparkSpec {
     assert(sparkPick == pick("seed7"))
   }
 
+  test("mergeReservoirs: batch reservoirs merge to the one-shot cut (F131)") {
+    val rows = (1L to 40L).map(i => (i, s"key$i", 1.0 + (i % 7)))
+      .toDF("id", "key", "w")
+    val oneShot = Curation.weightedReservoir(rows, "id", "key", $"w", 5)
+      .select("id").as[Long].collect().toSet
+    // three arbitrary disjoint batches, each keeping its own k=5 state
+    val parts = Seq(rows.filter($"id" % 3 === 0), rows.filter($"id" % 3 === 1),
+      rows.filter($"id" % 3 === 2))
+      .map(Curation.weightedReservoir(_, "id", "key", $"w", 5))
+    val merged = Curation.mergeReservoirs(parts, "id", 5)
+      .select("id").as[Long].collect().toSet
+    assert(merged == oneShot)
+    // associativity: merging a merged pair with the third part agrees
+    val pair = Curation.mergeReservoirs(parts.take(2), "id", 5)
+    val assoc = Curation.mergeReservoirs(Seq(pair, parts(2)), "id", 5)
+      .select("id").as[Long].collect().toSet
+    assert(assoc == oneShot)
+  }
+
   test("quotaPerGroup caps each group by the given order") {
     val out = Curation.quotaPerGroup(docs, "source", 2,
       Seq($"doc_id".asc)).select("source", "doc_id", "rk")

@@ -406,6 +406,27 @@ class SimilaritySpec extends SparkSpec {
     assert(codes1 == codes2, "codes must be stable through decode-requantize")
   }
 
+  test("clusterDrift: planted mix shift in exact ppm; absent cluster reports zeros (F132)") {
+    // Two well-separated centroids plus an unused third: BEFORE is 3:1
+    // toward cluster 0, AFTER is 1:3 — the drift must land in exact
+    // truncating ppm, and the unused centroid must still report a row.
+    val centers = IndexedSeq(IndexedSeq(1.0, 0.0), IndexedSeq(0.0, 1.0),
+      IndexedSeq(-1.0, -1.0))
+    def emb(xs: Seq[(Long, (Float, Float))]) =
+      xs.map { case (id, (x, y)) => (id, Array(x, y)) }.toDF("vec_id", "embedding")
+    val before = emb(Seq(1L -> (1f, 0.1f), 2L -> (0.9f, 0f), 3L -> (1f, 0f),
+      4L -> (0.1f, 1f)))
+    val after = emb(Seq(5L -> (1f, 0f), 6L -> (0f, 1f), 7L -> (0.1f, 0.9f),
+      8L -> (0f, 1f)))
+    val got = Similarity.clusterDrift(before, after, centers)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      (0, 3L, 1L, 750000L, 250000L, -500000L),
+      (1, 1L, 3L, 250000L, 750000L, 500000L),
+      (2, 0L, 0L, 0L, 0L, 0L)), got.toString)
+  }
+
   test("truncationRecall: signal-bearing prefix keeps recall, noise prefix loses it (r11)") {
     // All retrieval signal lives in dims 1-2; dims 3-8 are a shared
     // constant — truncating to 2 must reproduce the full top-k exactly,
