@@ -1066,6 +1066,18 @@ object SparkEntry {
           graft.pipeline.Curation.sampleBucket(col("text")).as("bucket"))
         .orderBy(col("doc_id"))
     }),
+    // F133: stratified exact-k — min(k, |source|) quality-biased rows
+    // per source, one rank window on the group key.
+    "weighted_reservoir_by_source" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+      graft.pipeline.Curation.weightedReservoirPerGroup(docs, "source",
+          "doc_id", "text", col("quality"), 5)
+        .select(col("doc_id"), col("source"), col("quality"),
+          col("res_clock"))
+        .orderBy(col("doc_id"))
+    }),
     // F131: the reservoir's mergeable-state face — two disjoint batch
     // reservoirs merged must equal the one-shot cut (the oracle IS the
     // one-shot form, so hash-equality proves the merge).
@@ -3285,6 +3297,17 @@ object SparkEntry {
          |  SELECT doc_id, source, $q AS quality, $clock AS res_clock
          |  FROM documents WHERE $q > 0.0
          |  ORDER BY res_clock, doc_id LIMIT 100)
+         |ORDER BY doc_id""".stripMargin
+    },
+    "weighted_reservoir_by_source" -> {
+      val q = graft.text.TextAnalysis.sqlQuality("text")
+      val clock = graft.pipeline.Curation.sqlReservoirClock("text", q)
+      s"""SELECT doc_id, source, quality, res_clock FROM (
+         |  SELECT doc_id, source, $q AS quality, $clock AS res_clock,
+         |    row_number() OVER (PARTITION BY source
+         |                       ORDER BY $clock, doc_id) AS rk
+         |  FROM documents WHERE $q > 0.0)
+         |WHERE rk <= 5
          |ORDER BY doc_id""".stripMargin
     },
     // The incremental face's oracle IS the one-shot cut over the whole

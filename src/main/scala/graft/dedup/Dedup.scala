@@ -402,30 +402,48 @@ object Dedup {
           ids(i) = t._1; ns(i) = t._2; bks(i) = t._3.toArray
           i += 1
         }
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Int)]
-        var lo = 0
-        var j = 1
-        while (j < m) {
-          val nj = ns(j)
-          while (lo < j && ns(lo).toDouble < nj.toDouble * pruneT) lo += 1
-          var i2 = lo
-          while (i2 < j) {
-            // first equal bucket position decides the owning band
-            val ba = bks(i2); val bb = bks(j)
-            var k = 0
-            var fe = -1
-            val kn = math.min(ba.length, bb.length)
-            while (fe < 0 && k < kn) { if (ba(k) == bb(k)) fe = k; k += 1 }
-            if (fe == band && ids(i2) != ids(j)) {
-              val (a, b) = if (ids(i2) < ids(j)) (ids(i2), ids(j)) else (ids(j), ids(i2))
-              val (na, nb) = if (ids(i2) < ids(j)) (ns(i2), ns(j)) else (ns(j), ns(i2))
-              out += ((a, b, na, nb))
+        // STREAMED emission (r12): the former ArrayBuffer materialized a
+        // bucket group's ENTIRE pair list — O(m²) heap in the bucket
+        // size, and the m100 true-scale audit drove one dense group past
+        // a 24 GiB heap (BASELINE.md). The lazy iterator keeps memory at
+        // the O(m) member arrays regardless of how many pairs a group
+        // emits; emission set and order are bit-identical to the buffer.
+        new scala.collection.AbstractIterator[(Long, Long, Int, Int)] {
+          private var j = 1
+          private var lo = 0
+          private var i2 = -1 // -1 marks "entering row j": advance lo
+          private var ready: (Long, Long, Int, Int) = _
+          private def findNext(): Unit = {
+            while (ready == null && j < m) {
+              if (i2 < 0) {
+                val nj = ns(j)
+                while (lo < j && ns(lo).toDouble < nj.toDouble * pruneT) lo += 1
+                i2 = lo
+              }
+              if (i2 < j) {
+                // first equal bucket position decides the owning band
+                val ba = bks(i2); val bb = bks(j)
+                var k = 0
+                var fe = -1
+                val kn = math.min(ba.length, bb.length)
+                while (fe < 0 && k < kn) { if (ba(k) == bb(k)) fe = k; k += 1 }
+                if (fe == band && ids(i2) != ids(j)) {
+                  val (a, b) =
+                    if (ids(i2) < ids(j)) (ids(i2), ids(j)) else (ids(j), ids(i2))
+                  val (na, nb) =
+                    if (ids(i2) < ids(j)) (ns(i2), ns(j)) else (ns(j), ns(i2))
+                  ready = (a, b, na, nb)
+                }
+                i2 += 1
+              } else { j += 1; i2 = -1 }
             }
-            i2 += 1
           }
-          j += 1
+          override def hasNext: Boolean = { if (ready == null) findNext(); ready != null }
+          override def next(): (Long, Long, Int, Int) = {
+            if (!hasNext) throw new NoSuchElementException("empty pair iterator")
+            val r = ready; ready = null; r
+          }
         }
-        out
       }
       .toDF("id_a", "id_b", "n_a", "n_b")
       // Rebalance before the verify walk: generated pairs inherit the
@@ -834,33 +852,42 @@ object Dedup {
       .flatMap { case (chunk, ms) =>
         val m = ms.length
         val arr = ms.toArray
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-        var i = 0
-        while (i < m) {
-          var j = i + 1
-          while (j < m) {
-            val (ida, sha) = arr(i)
-            val (idb, shb) = arr(j)
-            if (ida != idb) {
-              val x = sha ^ shb
-              // first shared 16-bit chunk owns the pair
-              var fe = -1
-              var k = 0
-              while (fe < 0 && k < 4) {
-                if (((x >>> (k * 16)) & 0xFFFFL) == 0L) fe = k
-                k += 1
-              }
-              val hamming = java.lang.Long.bitCount(x)
-              if (fe == chunk && hamming <= maxDist) {
-                if (ida < idb) out += ((ida, idb, hamming.toLong))
-                else out += ((idb, ida, hamming.toLong))
-              }
+        // Streamed like the MinHash generator above: a dense chunk
+        // bucket's pair list is O(m²) — never buffer it.
+        new scala.collection.AbstractIterator[(Long, Long, Long)] {
+          private var i = 0
+          private var j = 1
+          private var ready: (Long, Long, Long) = _
+          private def findNext(): Unit = {
+            while (ready == null && i < m - 1) {
+              if (j < m) {
+                val (ida, sha) = arr(i)
+                val (idb, shb) = arr(j)
+                if (ida != idb) {
+                  val x = sha ^ shb
+                  // first shared 16-bit chunk owns the pair
+                  var fe = -1
+                  var k = 0
+                  while (fe < 0 && k < 4) {
+                    if (((x >>> (k * 16)) & 0xFFFFL) == 0L) fe = k
+                    k += 1
+                  }
+                  val hamming = java.lang.Long.bitCount(x)
+                  if (fe == chunk && hamming <= maxDist) {
+                    ready = if (ida < idb) (ida, idb, hamming.toLong)
+                            else (idb, ida, hamming.toLong)
+                  }
+                }
+                j += 1
+              } else { i += 1; j = i + 1 }
             }
-            j += 1
           }
-          i += 1
+          override def hasNext: Boolean = { if (ready == null) findNext(); ready != null }
+          override def next(): (Long, Long, Long) = {
+            if (!hasNext) throw new NoSuchElementException("empty pair iterator")
+            val r = ready; ready = null; r
+          }
         }
-        out
       }
       .toDF("id_a", "id_b", "hamming")
       .orderBy(col("id_a"), col("id_b"))

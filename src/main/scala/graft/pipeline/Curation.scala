@@ -114,6 +114,32 @@ object Curation {
       s"$keyExpr), 1, 8))::UBIGINT + 1)::DOUBLE / 4294967296.0)) / " +
       s"($wExpr)) AS BIGINT)"
 
+  /** F133: the stratified face of [[weightedReservoir]] — exactly
+    * min(k, |group|) weight-biased rows PER GROUP (`weighted_reservoir_
+    * by_source` query): per-language token budgets, per-source eval
+    * slices, per-domain caps with a quality bias. Same exponential
+    * clocks; selection is one rank window over the group key — a single
+    * keyed exchange, the [[balancedSample]] plan shape with weights.
+    * Groups stay independent: adding a group never changes another
+    * group's picks (the clock is row-content-keyed), so per-group states
+    * merge exactly like [[mergeReservoirs]]. */
+  def weightedReservoirPerGroup(df: DataFrame, groupCol: String,
+                                idCol: String, keyCol: String,
+                                weight: Column, k: Int,
+                                seed: String = "res"): DataFrame = {
+    val h = conv(substring(md5(concat_ws(":", lit(seed), col(keyCol))),
+      1, 8), 16, 10).cast("long")
+    val u = (h + lit(1L)).cast("double") / lit(4294967296.0)
+    val clock = floor((lit(-1.0e9) * log(u)) / weight).cast("long")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("res_clock"), col(idCol))
+    df.filter(weight > lit(0.0))
+      .withColumn("res_clock", clock)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** Merge [[weightedReservoir]] states (`weighted_reservoir_incremental`
     * query): a reservoir over a UNION of batches equals the k best
     * clocks over the union of each batch's reservoir — the clock is a

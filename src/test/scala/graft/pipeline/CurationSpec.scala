@@ -121,6 +121,25 @@ class CurationSpec extends SparkSpec {
     assert(sparkPick == pick("seed7"))
   }
 
+  test("weightedReservoirPerGroup: per-group exact-k, group-independent picks (F133)") {
+    val rows = (1L to 30L).map(i =>
+      (i, s"key$i", if (i <= 20) "g1" else "g2", 1.0 + (i % 5)))
+      .toDF("id", "key", "grp", "w")
+    val out = Curation.weightedReservoirPerGroup(rows, "grp", "id", "key",
+        $"w", 3)
+      .select("grp", "id").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(out("g1").size == 3 && out("g2").size == 3)
+    // per-group picks == the plain reservoir run on that group alone
+    val g1Alone = Curation.weightedReservoir(rows.filter($"grp" === "g1"),
+        "id", "key", $"w", 3).select("id").as[Long].collect().toSet
+    assert(out("g1") == g1Alone)
+    // k above a small group's size keeps exactly the group
+    val tiny = Curation.weightedReservoirPerGroup(
+        rows.filter($"id" <= 2), "grp", "id", "key", $"w", 10)
+    assert(tiny.count() == 2)
+  }
+
   test("mergeReservoirs: batch reservoirs merge to the one-shot cut (F131)") {
     val rows = (1L to 40L).map(i => (i, s"key$i", 1.0 + (i % 7)))
       .toDF("id", "key", "w")
