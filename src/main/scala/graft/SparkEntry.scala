@@ -242,6 +242,15 @@ object SparkEntry {
     // ~4e-8 per pair under pinned seeds, so the outputs hash-match.
     "dedup_keepers_scaled" -> ((s, dir) =>
       Dedup.nearDupKeepersScaled(Tables.documents(s, dir), "doc_id", "text", 0.9)),
+    // F134: the production LSH safety valve — band buckets over the cap
+    // are dropped from candidate generation, bounding the quadratic mass
+    // of degenerate corpora. The cap (4096) NEVER binds at any driver
+    // fixture scale (spec-pinned equal to the uncapped form), so the
+    // exact-CC oracle stays fully valid; it binds only in the m100-class
+    // regimes the true-scale audit documented.
+    "dedup_keepers_capped" -> ((s, dir) =>
+      Dedup.nearDupKeepersScaled(Tables.documents(s, dir), "doc_id", "text",
+        0.9, maxBucket = 4096)),
     // Cluster-size histogram of the scaled dedup path — the audit
     // artifact, and another end-to-end oracle check of MinHash->CC.
     "dedup_cluster_sizes" -> ((s, dir) =>
@@ -2851,6 +2860,28 @@ object SparkEntry {
         |       THEN 1 ELSE 0 END AS novel
         |FROM cc LEFT JOIN cm USING (keeper_id) ORDER BY cc.doc_id""".stripMargin,
     "dedup_keepers_scaled" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |         list_distinct(regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+')) AS toks
+        |  FROM documents),
+        |jp AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      round(len(list_filter(a.toks, x -> list_contains(b.toks, x)))::DOUBLE /
+        |            nullif(len(list_distinct(a.toks || b.toks)), 0)::DOUBLE, 4) AS jaccard
+        |    FROM t a JOIN t b ON a.doc_id < b.doc_id)
+        |  WHERE jaccard >= 0.9),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+        |          UNION ALL SELECT id_b, id_a FROM jp),
+        |reach AS (
+        |  SELECT doc_id AS id, doc_id AS label FROM documents
+        |  UNION
+        |  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id)
+        |SELECT id AS doc_id, MIN(label) AS keeper_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // Identical exact-CC replay: the 4096 cap never binds at sf0.01
+    // (spec-pinned), so the capped form's contract IS the uncapped one.
+    "dedup_keepers_capped" ->
       """WITH RECURSIVE t AS (
         |  SELECT doc_id,
         |         list_distinct(regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+')) AS toks

@@ -322,10 +322,27 @@ object Dedup {
     * [[nearDupKeepersScaled]] runs connected components on the rep graph
     * (cliques of exact dups collapse to one node) and only then fans out
     * members. */
+  /** `maxBucket` (F134) is the production LSH safety valve: a band
+    * bucket holding more than `maxBucket` DISTINCT-SET representatives
+    * is dropped from candidate generation (its Σm² pair mass is what
+    * turns degenerate corpora quadratic — the r12 m100 audit measured a
+    * single dense bucket OOM a 24 GiB heap pre-streaming and TB-scale
+    * shuffle spill post-streaming, BASELINE.md). Recall contract: a
+    * pair is emitted only in its FIRST shared band, so the cap loses
+    * any pair whose first shared band's bucket is over the cap — the
+    * deliberate degradation, confined to degenerate near-identical
+    * regimes. On real corpora mega-buckets are exact-dup artifacts
+    * that the rep-grouping above already collapsed, so at any cap ≫
+    * the true cluster width the valve never fires — the fixture
+    * scales are far under every cap used, which is what keeps the
+    * capped query's exact-CC oracle valid (spec-pinned equal to
+    * uncapped). */
   private[graft] def minHashRepPairs(df: DataFrame, idCol: String, textCol: String,
                               threshold: Double, numHashes: Int,
-                              bands: Int): (DataFrame, DataFrame) = {
+                              bands: Int,
+                              maxBucket: Int = Int.MaxValue): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    require(maxBucket > 1, "maxBucket must admit at least a pair")
     // Jaccard is a function of the token SET alone, so collapse exact-
     // duplicate sets to one representative before any LSH work: signatures,
     // banding fan-out and verification all run per DISTINCT set (web-scale
@@ -387,7 +404,7 @@ object Dedup {
     val candidates = banded
       .groupBy(col("band"), col("bucket"))
       .agg(collect_list(struct(col("id"), col("n"), col("buckets"))).as("ms"))
-      .filter(size(col("ms")) > 1)
+      .filter(size(col("ms")) > 1 && size(col("ms")) <= maxBucket)
       .select(col("band"), col("ms"))
       .as[(Int, Seq[(Long, Int, Seq[Long])])]
       .flatMap { case (band, ms) =>
@@ -689,8 +706,10 @@ object Dedup {
     * seed-pinned, so on a given corpus the output is deterministic (the
     * DuckDB oracle runs the exact quadratic CC and hash-matches). */
   def nearDupKeepersScaled(df: DataFrame, idCol: String, textCol: String,
-                           threshold: Double): DataFrame = {
-    val (groups, repPairs) = minHashRepPairs(df, idCol, textCol, threshold, 64, 16)
+                           threshold: Double,
+                           maxBucket: Int = Int.MaxValue): DataFrame = {
+    val (groups, repPairs) =
+      minHashRepPairs(df, idCol, textCol, threshold, 64, 16, maxBucket)
     // Components over the REP graph only: a clique of m exact dups is one
     // node here, so CC touches ~|distinct sets| edges instead of the m²
     // member fan-out the pair query materializes. A group's rep is its min

@@ -115,6 +115,38 @@ class DedupSpec extends SparkSpec {
     assert(scaled == exact)
   }
 
+  test("maxBucket valve: no-op above the widest bucket, binds on a planted mega-bucket (F134)") {
+    // Below the cap the capped form must be BIT-IDENTICAL to uncapped —
+    // that identity is what licenses dedup_keepers_capped's exact-CC
+    // oracle at the driver fixture scales.
+    val base = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i k"),   // near dup of 1
+      (3L, "p q r s t u v w x y"),
+      (4L, "p q r s t u v w x z")    // near dup of 3
+    ).toDF("doc_id", "text")
+    val un = Dedup.nearDupKeepersScaled(base, "doc_id", "text", 0.9)
+      .collect().toSeq
+    val capped = Dedup.nearDupKeepersScaled(base, "doc_id", "text", 0.9,
+      maxBucket = 4096).collect().toSeq
+    assert(un == capped)
+    // A planted family of near-identical DISTINCT sets forms one dense
+    // bucket; a cap below the family width drops its pairs (every
+    // member keeps itself) while an unrelated small cluster SURVIVES.
+    val mega = (1L to 12L).map(i => (i, ("a b c d e f g h i j k l m n o p q r s " +
+        s"w$i"))) :+ (100L, "zz yy xx ww vv") :+ (101L, "zz yy xx ww vv uu")
+    val megaDf = mega.toDF("doc_id", "text")
+    val cut = Dedup.nearDupKeepersScaled(megaDf, "doc_id", "text", 0.8,
+        maxBucket = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 12L).forall(i => cut(i) == i), s"mega-bucket pairs must drop: $cut")
+    assert(cut(101L) == 100L, "small bucket must survive the valve")
+    // and without the cap the mega family DOES cluster (sanity)
+    val free = Dedup.nearDupKeepersScaled(megaDf, "doc_id", "text", 0.8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 12L).forall(i => free(i) == 1L))
+  }
+
   test("electKeepersByQuality: best-quality member represents the cluster") {
     // Docs 1/2/3 form one near-dup cluster: the texts share 8 of 10
     // distinct tokens (J = 0.8 >= 0.7). Doc 3 is the CLEAN copy — its
