@@ -81,9 +81,9 @@ object FineWebPipeline {
   def benchSlice(docs: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text",
                  minWordsPerLine: Int = 5, minLines: Int = 3,
-                 benchMod: Int = 10): DataFrame =
+                 benchMod: Int = 10, benchCap: Long = 5000L): DataFrame =
     c4Stage(docs, idCol, textCol, minWordsPerLine, minLines)
-      .filter(col("doc_id") % benchMod === 0)
+      .filter(col("doc_id") % benchMod === 0 && col("doc_id") < benchCap)
 
   def stages(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
              minWordsPerLine: Int = 5, minLines: Int = 3,
@@ -116,7 +116,13 @@ object FineWebPipeline {
       .pinned
     // 6. decontaminate against the C4-cleaned benchmark slice (bench docs
     // self-match and drop too — the eval set never enters the corpus).
-    val bench = benchOverride.getOrElse(c4.filter(col("doc_id") % benchMod === 0))
+    // Capped like CorpusPipeline.benchCap (r12): a pure mod-slice
+    // benchmark GROWS with the corpus and its shingle set eventually
+    // closes over the fixture vocabulary (measured zeroing at 10x,
+    // BASELINE.md) — an eval suite is constant-size by contract. The
+    // 5000 cap is a no-op at every driver fixture scale.
+    val bench = benchOverride.getOrElse(
+      c4.filter(col("doc_id") % benchMod === 0 && col("doc_id") < 5000L))
     val clean = Curation.decontaminate(keepers, "doc_id", "text",
         bench, "text", shingleN, overlapThreshold)
       .filter(col("contaminated") === 0)
@@ -537,7 +543,7 @@ object FineWebPipeline {
        |benchsh AS (SELECT DISTINCT UNNEST(list_distinct(list_transform(range(1, len(btoks) - 1),
        |              i -> btoks[i] || ' ' || btoks[i+1] || ' ' || btoks[i+2]))) AS sh
        |            FROM (SELECT regexp_extract_all(lower(text), '$tok') AS btoks
-       |                  FROM g0 WHERE doc_id % $benchMod = 0)),
+       |                  FROM g0 WHERE doc_id % $benchMod = 0 AND doc_id < 5000)),
        |docsh AS (SELECT doc_id, UNNEST(list_distinct(list_transform(range(1, len(ltoks) - 1),
        |            i -> ltoks[i] || ' ' || ltoks[i+1] || ' ' || ltoks[i+2]))) AS sh FROM keep),
        |ovl AS (SELECT d2.doc_id, COUNT(*) AS n FROM docsh d2 JOIN benchsh USING (sh) GROUP BY 1),
