@@ -99,6 +99,11 @@ object SparkEntry {
     // |E|-vote shuffle.
     "part_communities" -> ((s, dir) =>
       graft.analytics.Lpa.partCommunities(Tables.lineitem(s, dir), 3)),
+    // F135: the convergence curve for the label family — per-round
+    // churn + community count, so the fixed 3-round choice above is a
+    // hash-checked "no/low churn by round 3", not an argument.
+    "part_communities_convergence" -> ((s, dir) =>
+      graft.analytics.Lpa.partCommunitiesConvergence(Tables.lineitem(s, dir), 3)),
     // HITS hubs/authorities on the DIRECTED bipartite order->part graph
     // (orders = pure hubs, parts = pure authorities) — L1-normalized
     // integer half-steps, full unrolled-CTE oracle like the rank family.
@@ -2308,6 +2313,8 @@ object SparkEntry {
     "trust_propagation" -> graft.analytics.PageRank.sqlCopurchaseSpamMass(),
     "order_part_hits" -> graft.analytics.PageRank.sqlOrderPartHits(5),
     "part_communities" -> graft.analytics.Lpa.sqlPartCommunities(3),
+    "part_communities_convergence" ->
+      graft.analytics.Lpa.sqlPartCommunitiesConvergence(3),
     "lm_scores" -> graft.text.LmScore.sqlScores,
     "lm_scores_crossfit" -> graft.text.LmScore.sqlScoresCrossFit,
     "lm_quality_floor" -> graft.text.LmScore.sqlQualityFloor(),

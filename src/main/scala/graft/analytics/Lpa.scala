@@ -105,6 +105,91 @@ object Lpa {
     labelPropagation(PageRank.copurchaseEdges(lineitem), "src", "dst", rounds)
       .select(col("node").as("part_id"), col("community"))
 
+  /** F135: LPA's convergence curve (`part_communities_convergence`) —
+    * the [[PageRank.convergence]] contract for the label family: per
+    * round, how many nodes CHANGED label and how many distinct
+    * communities remain. LPA's natural stopping rule is "no label
+    * changed"; running it at a fixed round count (the cross-engine
+    * determinism requirement) is licensed only if the churn curve shows
+    * the fixture converged — this makes that a hash-checked number.
+    * Same loop, plus one narrow co-partitioned join per round for the
+    * churn flags and a (round, label) distinct for the community count;
+    * NO per-round action — the whole curve is one job sharing the vote
+    * shuffles. Output is `rounds` rows, config-scale. */
+  def convergence(edges: DataFrame, srcCol: String, dstCol: String,
+                  rounds: Int = 5): DataFrame = {
+    require(rounds >= 1, "need rounds >= 1")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().persist(lvl)
+    val nParts = math.max(4L, e.count() / 1000000L).toInt
+    val part = new org.apache.spark.HashPartitioner(nParts)
+    val adj = e.as[(Long, Long)].rdd
+      .groupByKey(part).mapValues(_.toArray.sorted).persist(lvl)
+    val nodes = e.select(col("src").as("v")).union(e.select(col("dst")))
+      .distinct().as[Long].rdd.map(v => (v, ())).partitionBy(part).persist(lvl)
+    var labels = nodes.mapPartitions(
+      _.map { case (v, _) => (v, v) }, preservesPartitioning = true)
+    var churn = List.empty[org.apache.spark.rdd.RDD[(Long, Long)]]
+    var labs = List.empty[org.apache.spark.rdd.RDD[(Long, Long)]]
+    for (k <- 1 to rounds) {
+      val elected = adj.join(labels)
+        .flatMap { case (_, (dsts, lab)) => dsts.iterator.map(d => (d, lab)) }
+        .aggregateByKey(scala.collection.mutable.LongMap.empty[Long], part)(
+          (m, lab) => { m.update(lab, m.getOrElse(lab, 0L) + 1L); m },
+          (m1, m2) => {
+            m2.foreach { case (lab, c) =>
+              m1.update(lab, m1.getOrElse(lab, 0L) + c)
+            }
+            m1
+          })
+        .mapValues { m =>
+          var bestLab = Long.MaxValue
+          var bestC = -1L
+          m.foreach { case (lab, c) =>
+            if (c > bestC || (c == bestC && lab < bestLab)) {
+              bestC = c; bestLab = lab
+            }
+          }
+          bestLab
+        }
+      val prev = labels
+      labels = prev.leftOuterJoin(elected)
+        .mapValues { case (old, o) => o.getOrElse(old) }
+      val next = labels
+      churn ::= next.join(prev).map { case (_, (a, b)) =>
+        (k.toLong, if (a != b) 1L else 0L)
+      }
+      labs ::= next.map { case (_, lab) => (k.toLong, lab) }
+    }
+    val sc = spark.sparkContext
+    val changed = sc.union(churn.reverse).reduceByKey(_ + _)
+    val comms = sc.union(labs.reverse).distinct()
+      .map { case (k, _) => (k, 1L) }.reduceByKey(_ + _)
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("round", LongType, nullable = false),
+      StructField("n_changed", LongType, nullable = false),
+      StructField("n_communities", LongType, nullable = false)))
+    val out = spark.createDataFrame(
+        changed.join(comms).map { case (k, (ch, nc)) =>
+          org.apache.spark.sql.Row(k, ch, nc)
+        }, schema)
+      .orderBy(col("round"))
+      .pinned
+    e.unpersist(false); adj.unpersist(false); nodes.unpersist(false)
+    out
+  }
+
+  /** [[convergence]] on the standing co-purchase graph fixture. */
+  def partCommunitiesConvergence(lineitem: DataFrame,
+                                 rounds: Int = 5): DataFrame =
+    convergence(PageRank.copurchaseEdges(lineitem), "src", "dst", rounds)
+
   /** DuckDB mirror: one (counts → election → carry-forward) CTE triple
     * per round, ALL MATERIALIZED (each label frame is referenced twice —
     * default inlining would expand 2^rounds-fold, the
@@ -134,5 +219,43 @@ object Lpa {
        |$iters
        |SELECT v AS part_id, CAST(lab AS BIGINT) AS community
        |FROM l$rounds ORDER BY part_id""".stripMargin
+  }
+
+  /** DuckDB mirror of [[partCommunitiesConvergence]]: the
+    * [[sqlPartCommunities]] chain, then one churn/community aggregate
+    * per consecutive round pair (the l-frames are already MATERIALIZED,
+    * so the extra references stay linear). */
+  def sqlPartCommunitiesConvergence(rounds: Int = 5): String = {
+    val iters = (1 to rounds).map { k =>
+      s"""cnt$k AS MATERIALIZED (
+         |  SELECT e.dst AS v, l.lab, COUNT(*) AS c
+         |  FROM e JOIN l${k - 1} l ON e.src = l.v GROUP BY 1, 2),
+         |el$k AS MATERIALIZED (
+         |  SELECT v, lab FROM (
+         |    SELECT v, lab,
+         |      row_number() OVER (PARTITION BY v
+         |                         ORDER BY c DESC, lab ASC) AS rn
+         |    FROM cnt$k) WHERE rn = 1),
+         |l$k AS MATERIALIZED (
+         |  SELECT l.v, COALESCE(el.lab, l.lab) AS lab
+         |  FROM l${k - 1} l LEFT JOIN el$k el ON l.v = el.v)""".stripMargin
+    }.mkString(",\n")
+    val curve = (1 to rounds).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS round,
+         |  CAST(SUM(CASE WHEN a.lab <> b.lab THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_changed,
+         |  CAST(COUNT(DISTINCT a.lab) AS BIGINT) AS n_communities
+         |FROM l$k a JOIN l${k - 1} b ON a.v = b.v""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT a.p AS src, b.p AS dst
+       |  FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p),
+       |nodes AS MATERIALIZED (
+       |  SELECT src AS v FROM e UNION SELECT dst FROM e),
+       |l0 AS MATERIALIZED (SELECT v, v AS lab FROM nodes),
+       |$iters
+       |$curve
+       |ORDER BY round""".stripMargin
   }
 }

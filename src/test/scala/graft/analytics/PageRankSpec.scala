@@ -169,6 +169,37 @@ class PageRankSpec extends SparkSpec {
     }
   }
 
+  test("LPA convergence curve == plain-Scala churn replay (F135)") {
+    val rnd = new scala.util.Random(31)
+    val n = 30
+    val edges = (0 until 120).map(_ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val rounds = 4
+    val got = Lpa.convergence(edges.toDF("src", "dst"), "src", "dst", rounds)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // reference replay: per-round churn + distinct-community count
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    var lab = nodes.map(v => v -> v).toMap
+    val want = (1 to rounds).map { k =>
+      val in = edges.groupBy(_._2).view
+        .mapValues(_.map(e => lab(e._1))).toMap
+      val next = nodes.map { v =>
+        v -> in.get(v).map { ls =>
+          val counts = ls.groupBy(identity).view.mapValues(_.size)
+          counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }.getOrElse(lab(v))
+      }.toMap
+      val changed = nodes.count(v => next(v) != lab(v)).toLong
+      lab = next
+      (k.toLong, changed, lab.values.toSet.size.toLong)
+    }
+    assert(got == want, s"got $got want $want")
+    // labels flood inward: round-1 churn dominates, communities shrink
+    assert(got.head._2 >= got.last._2)
+    assert(got.head._3 >= got.last._3)
+  }
+
   test("HITS == plain-Scala reference over a random bipartite graph (r10)") {
     val rnd = new scala.util.Random(31)
     val edges = (0 until 120).map(_ =>
