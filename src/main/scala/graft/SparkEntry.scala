@@ -111,6 +111,13 @@ object SparkEntry {
     // converged here; each extra round costs 2 L1-total actions.
     "order_part_hits" -> ((s, dir) =>
       graft.analytics.PageRank.orderPartHits(Tables.lineitem(s, dir), 5)),
+    // F136: the half-step residual curve — "visibly converged" above
+    // becomes per-round hub/auth L1 deltas, hash-checked. Completes the
+    // measured fixed-iteration contract across all three iterative
+    // families (rank F130, labels F135, HITS here).
+    "order_part_hits_convergence" -> ((s, dir) =>
+      graft.analytics.PageRank.orderPartHitsConvergence(
+        Tables.lineitem(s, dir), 5)),
     // ---- [EXT] text analysis ----
     "text_stats" -> ((s, dir) => TextAnalysis.stats(Tables.documents(s, dir))),
     // Flesch reading ease in exact integer micro-points — the classic
@@ -2312,6 +2319,8 @@ object SparkEntry {
       graft.analytics.PageRank.sqlCopurchaseConvergence(),
     "trust_propagation" -> graft.analytics.PageRank.sqlCopurchaseSpamMass(),
     "order_part_hits" -> graft.analytics.PageRank.sqlOrderPartHits(5),
+    "order_part_hits_convergence" ->
+      graft.analytics.PageRank.sqlOrderPartHitsConvergence(5),
     "part_communities" -> graft.analytics.Lpa.sqlPartCommunities(3),
     "part_communities_convergence" ->
       graft.analytics.Lpa.sqlPartCommunitiesConvergence(3),

@@ -349,6 +349,98 @@ object PageRank {
     out
   }
 
+  /** F136: HITS convergence residuals (`order_part_hits_convergence`) —
+    * the [[convergence]] contract for the double half-step: per round,
+    * L1 deltas of BOTH normalized vectors (hub and authority, in the
+    * same `Scale` fixed-point units), so the registered 5-round choice
+    * is a measured decay curve across all three iterative families
+    * (rank F130, labels F135, HITS here). Same loop as [[hits]] — the
+    * per-half-step L1-total actions and raw-persist discipline are
+    * inherited — plus one narrow co-partitioned delta join per vector
+    * per round; the delta triples reduce by round tag in ONE final job
+    * over the persisted raws. Output is `iterations` rows. Round 1's
+    * authority delta is measured against the uniform start (hub and
+    * auth begin equal), mirroring the oracle's h0 join. */
+  def hitsConvergence(edges: DataFrame, srcCol: String, dstCol: String,
+                      iterations: Int = 10): DataFrame = {
+    require(iterations >= 1, "need iterations >= 1")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val lvl = StorageLevel.MEMORY_AND_DISK
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().persist(lvl)
+    val nParts = math.max(4L, e.count() / 1000000L).toInt
+    val part = new HashPartitioner(nParts)
+    val adj = e.as[(Long, Long)].rdd
+      .groupByKey(part).mapValues(_.toArray.sorted).persist(lvl)
+    val radj = e.select(col("dst"), col("src")).as[(Long, Long)].rdd
+      .groupByKey(part).mapValues(_.toArray.sorted).persist(lvl)
+    val nodes = e.select(col("src").as("v"))
+      .union(e.select(col("dst"))).distinct()
+      .as[Long].rdd.map(v => (v, ())).partitionBy(part).persist(lvl)
+    val n = nodes.count()
+    require(n > 0, "HITS needs a non-empty graph")
+    val pinnedRaws = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.rdd.RDD[(Long, Long)]]
+    def halfStep(vec: org.apache.spark.rdd.RDD[(Long, Long)],
+                 along: org.apache.spark.rdd.RDD[(Long, Array[Long])])
+        : org.apache.spark.rdd.RDD[(Long, Long)] = {
+      val raw = along.join(vec)
+        .flatMap { case (_, (outs, x)) =>
+          if (x == 0L) Iterator.empty else outs.iterator.map(d => (d, x))
+        }
+        .reduceByKey(part, _ + _)
+        .persist(lvl)
+      pinnedRaws += raw
+      val total = raw.map(_._2).fold(0L)(_ + _)
+      nodes.leftOuterJoin(raw).mapValues { case (_, o) =>
+        val x = o.getOrElse(0L)
+        if (total == 0L || x == 0L) 0L
+        else (BigInt(x) * Scale / total).toLong
+      }
+    }
+    var hub = nodes.mapValues(_ => Scale / n)
+    var auth = hub
+    var deltas = List.empty[org.apache.spark.rdd.RDD[(Long, (Long, Long))]]
+    for (k <- 1 to iterations) {
+      val prevHub = hub
+      val prevAuth = auth
+      auth = halfStep(hub, adj)
+      hub = halfStep(auth, radj)
+      val dh = hub.join(prevHub).map { case (_, (a, b)) =>
+        (k.toLong, (math.abs(a - b), 0L))
+      }
+      val da = auth.join(prevAuth).map { case (_, (a, b)) =>
+        (k.toLong, (0L, math.abs(a - b)))
+      }
+      deltas = da :: dh :: deltas
+    }
+    val curve = spark.sparkContext.union(deltas.reverse)
+      .reduceByKey((x, y) => (x._1 + y._1, x._2 + y._2))
+    val schema = StructType(Seq(
+      StructField("round", LongType, nullable = false),
+      StructField("l1_hub_delta_fp", LongType, nullable = false),
+      StructField("l1_auth_delta_fp", LongType, nullable = false)))
+    val out = spark.createDataFrame(
+        curve.map { case (k, (h, a)) => Row(k, h, a) }, schema)
+      .orderBy(col("round"))
+      .pinned
+    e.unpersist(false); adj.unpersist(false); radj.unpersist(false)
+    nodes.unpersist(false); pinnedRaws.foreach(_.unpersist(false))
+    out
+  }
+
+  /** [[hitsConvergence]] on the standing order→part bipartite fixture
+    * (the [[orderPartHits]] 2k/2k+1 encoding). */
+  def orderPartHitsConvergence(lineitem: DataFrame,
+                               iterations: Int = 10): DataFrame =
+    hitsConvergence(graft.Par.widen(lineitem)
+        .select((col("l_orderkey").cast("long") * 2).as("src"),
+          (col("l_partkey").cast("long") * 2 + 1).as("dst")),
+        "src", "dst", iterations)
+
   /** `order_part_hits` query: HITS on the DIRECTED bipartite
     * order→part graph — orders are pure hubs (good baskets point at
     * good parts), parts pure authorities. The two id spaces interleave
@@ -407,6 +499,54 @@ object PageRank {
        |FROM nodes n JOIN h$iterations h ON n.v = h.v
        |     JOIN a$iterations a ON n.v = a.v
        |ORDER BY kind, id""".stripMargin
+  }
+
+  /** DuckDB mirror of [[orderPartHitsConvergence]]: the
+    * [[sqlOrderPartHits]] chain (all CTEs MATERIALIZED — the extra
+    * delta references would otherwise compound the 2^iterations
+    * inlining), then one L1-delta aggregate per round for each vector;
+    * round 1's authority delta joins h0 (the shared uniform start). */
+  def sqlOrderPartHitsConvergence(iterations: Int = 10): String = {
+    val iters = (1 to iterations).map { k =>
+      s"""ar$k AS MATERIALIZED (
+         |  SELECT e.dst AS v, SUM(h.r) AS s
+         |  FROM e JOIN h${k - 1} h ON e.src = h.v WHERE h.r > 0 GROUP BY 1),
+         |at$k AS MATERIALIZED (SELECT SUM(s) AS t FROM ar$k),
+         |a$k AS MATERIALIZED (
+         |  SELECT n.v,
+         |    CAST(CASE WHEN COALESCE(t.t, 0) = 0 OR COALESCE(ar.s, 0) = 0
+         |      THEN 0 ELSE ar.s::HUGEINT * $Scale // t.t END AS BIGINT) AS r
+         |  FROM nodes n CROSS JOIN at$k t LEFT JOIN ar$k ar ON n.v = ar.v),
+         |hr$k AS MATERIALIZED (
+         |  SELECT e.src AS v, SUM(a.r) AS s
+         |  FROM e JOIN a$k a ON e.dst = a.v WHERE a.r > 0 GROUP BY 1),
+         |ht$k AS MATERIALIZED (SELECT SUM(s) AS t FROM hr$k),
+         |h$k AS MATERIALIZED (
+         |  SELECT n.v,
+         |    CAST(CASE WHEN COALESCE(t.t, 0) = 0 OR COALESCE(hr.s, 0) = 0
+         |      THEN 0 ELSE hr.s::HUGEINT * $Scale // t.t END AS BIGINT) AS r
+         |  FROM nodes n CROSS JOIN ht$k t LEFT JOIN hr$k hr ON n.v = hr.v)"""
+        .stripMargin
+    }.mkString(",\n")
+    val curve = (1 to iterations).map { k =>
+      val prevA = if (k == 1) "h0" else s"a${k - 1}"
+      s"""SELECT CAST($k AS BIGINT) AS round,
+         |  (SELECT CAST(SUM(ABS(x.r - y.r)) AS BIGINT)
+         |   FROM h$k x JOIN h${k - 1} y ON x.v = y.v) AS l1_hub_delta_fp,
+         |  (SELECT CAST(SUM(ABS(x.r - y.r)) AS BIGINT)
+         |   FROM a$k x JOIN $prevA y ON x.v = y.v) AS l1_auth_delta_fp"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+       |  FROM lineitem),
+       |nodes AS MATERIALIZED (SELECT src AS v FROM e UNION SELECT dst FROM e),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |h0 AS MATERIALIZED (SELECT v, CAST($Scale // n AS BIGINT) AS r
+       |       FROM nodes CROSS JOIN nn),
+       |$iters
+       |$curve
+       |ORDER BY round""".stripMargin
   }
 
   /** Co-purchase part graph: parts sharing an order are linked (both

@@ -200,6 +200,38 @@ class PageRankSpec extends SparkSpec {
     assert(got.head._3 >= got.last._3)
   }
 
+  test("HITS convergence curve == plain-Scala residual replay (F136)") {
+    val edges = Seq((0L, 101L), (0L, 103L), (2L, 101L), (2L, 105L),
+      (4L, 103L), (4L, 105L), (6L, 101L))
+    val iters = 4
+    val got = PageRank.hitsConvergence(edges.toDF("src", "dst"),
+        "src", "dst", iters)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // exact integer replay of the double half-step + L1 deltas
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.size
+    def half(vec: Map[Long, Long], along: Seq[(Long, Long)]): Map[Long, Long] = {
+      val raw = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      along.foreach { case (s, d) => if (vec(s) != 0L) raw(d) += vec(s) }
+      val total = raw.values.sum
+      nodes.map(v => v -> (if (total == 0L || raw(v) == 0L) 0L
+        else (BigInt(raw(v)) * PageRank.Scale / total).toLong)).toMap
+    }
+    val rev = edges.map { case (s, d) => (d, s) }
+    var hub = nodes.map(_ -> PageRank.Scale / n).toMap
+    var auth = hub
+    val want = (1 to iters).map { k =>
+      val (ph, pa) = (hub, auth)
+      auth = half(hub, edges)
+      hub = half(auth, rev)
+      (k.toLong, nodes.map(v => math.abs(hub(v) - ph(v))).sum,
+        nodes.map(v => math.abs(auth(v) - pa(v))).sum)
+    }
+    assert(got == want, s"got $got want $want")
+    // power iteration settles: the late residuals sit far below round 1
+    assert(got.last._2 < got.head._2 / 4 && got.last._3 < got.head._3 / 4)
+  }
+
   test("HITS == plain-Scala reference over a random bipartite graph (r10)") {
     val rnd = new scala.util.Random(31)
     val edges = (0 until 120).map(_ =>
