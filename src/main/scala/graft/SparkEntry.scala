@@ -5010,5 +5010,11 @@ object IngestFixture {
     "Feb 31st, 2024",      // impossible day: null in both engines
     "3rd of March 2024",   // 'of' = dateutil fuzzy mode: out of contract
     "March 2024",          // defaulted day: nondeterministic in dateutil
-    "the 3rd quarter")     // ordinal strips, then no format matches
+    "the 3rd quarter",     // ordinal strips, then no format matches
+    // Multi-occurrence pin (r13 advice): DuckDB regexp_replace is
+    // first-match-only without the 'g' option; every format has exactly
+    // one day token, so a two-ordinal string can never PARSE under
+    // either normalization — the pin locks the null on both engines
+    // while exercising the global-replace path the mirrors now share.
+    "1st March 3rd, 2024")
 }

@@ -762,7 +762,8 @@ object Dedup {
     * independent of corpus history size. */
   def newKeepers(incoming: DataFrame, idCol: String, textCol: String,
                  index: DataFrame, threshold: Double,
-                 numHashes: Int = 64, bands: Int = 16): DataFrame = {
+                 numHashes: Int = 64, bands: Int = 16,
+                 maxBucket: Int = 4096): DataFrame = {
     val sigT = signatureTable(incoming, idCol, textCol, numHashes, bands)
       .pinned // feeds the bucket join AND the verify re-fetch
     val bb = sigT.select(col("doc_id").as("bid"),
@@ -782,7 +783,13 @@ object Dedup {
     // Batch-internal components, then lift each component's history match
     // (min over members) to the whole component: a doc chained to history
     // only THROUGH a batch sibling still dedups away.
-    val inKeepers = nearDupKeepersScaled(incoming, idCol, textCol, threshold)
+    // Batch-internal CC runs under the F134 valve too (r13): an
+    // incremental build's batches see the same degenerate-corpus risk as
+    // the full recompute, and the incoming×index bucket join above is
+    // already output-bound per batch — the within-batch pair generation
+    // was the one uncapped quadratic left on this path.
+    val inKeepers = nearDupKeepersScaled(incoming, idCol, textCol, threshold,
+      maxBucket)
     val compMatch = inKeepers
       .join(matches, inKeepers("doc_id") === matches("bid"))
       .groupBy(col("keeper_id")).agg(min(col("ex_keeper")).as("comp_ex"))

@@ -117,11 +117,16 @@ object Dates {
   }
 
   /** DuckDB expression mirroring [[parsePublished]] for oracle SQL
-    * (same pattern constants; RE2 backreference dialect). */
+    * (same pattern constants; RE2 backreference dialect). The three
+    * non-anchored replaces pass the 'g' option: Spark's regexp_replace
+    * is always global while DuckDB's defaults to first-match-only, so
+    * without it a raw string carrying TWO ordinals ("3rd ... 21st")
+    * would diverge between the engines (the ^-anchored weekday strip is
+    * first-only by construction and needs no flag). */
   def duckDbParse(rawExpr: String): String = {
     val pre = s"regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
-      s"trim($rawExpr), '$WeekdayPrefix', ''), '$OrdinalPat', '\\1'), " +
-      s"'$MonthDotPat', '\\1'), '$SeptPat', 'Sep')"
+      s"trim($rawExpr), '$WeekdayPrefix', ''), '$OrdinalPat', '\\1', 'g'), " +
+      s"'$MonthDotPat', '\\1', 'g'), '$SeptPat', 'Sep', 'g')"
     "COALESCE(" +
       DuckDbFormats.map(f => s"try_strptime($pre, '$f')").mkString(", ") +
       ")"

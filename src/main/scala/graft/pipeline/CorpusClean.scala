@@ -55,9 +55,16 @@ object CorpusClean {
              dedupThreshold: Double = 0.9,
              idCol: String = "doc_id", textCol: String = "text",
              sourceCol: String = "source",
-             materialize: DataFrame => DataFrame = graft.Mat.pin): DataFrame =
+             materialize: DataFrame => DataFrame = graft.Mat.pin,
+             maxBucket: Int = 4096): DataFrame =
+    // `maxBucket` (r13): the F134 LSH safety valve rides the production
+    // entry point — the default never binds at driver fixture scales
+    // (oracle stays the exact corpus-wide CC), and on a degenerate
+    // corpus it bounds the Σm² bucket pair mass the m100 audit measured
+    // spilling TB-scale. Pass Int.MaxValue to disable.
     build(docs, minQuality, lang, idCol, textCol, sourceCol,
-      f => Dedup.nearDupKeepersScaled(f, idCol, textCol, dedupThreshold),
+      f => Dedup.nearDupKeepersScaled(f, idCol, textCol, dedupThreshold,
+        maxBucket),
       materialize)
 
   /** [[apply]] with the TRAINED quality gate composed in front: documents

@@ -93,7 +93,8 @@ object FineWebPipeline {
              benchMod: Int = 10, shingleN: Int = 3, overlapThreshold: Long = 5L,
              targetMod: Int = 3, dsirBuckets: Int = 256,
              minAvgWeightMicro: Long = -400000L,
-             benchOverride: Option[DataFrame] = None): Stages = {
+             benchOverride: Option[DataFrame] = None,
+             benchCap: Long = 5000L): Stages = {
     // 1. C4 line/page cleaning — the cleaned text becomes THE text.
     val c4 = c4Stage(docs, idCol, textCol, minWordsPerLine, minLines)
     // 2+3. Gopher rule + repetition gates: pure per-row filters.
@@ -120,9 +121,12 @@ object FineWebPipeline {
     // benchmark GROWS with the corpus and its shingle set eventually
     // closes over the fixture vocabulary (measured zeroing at 10x,
     // BASELINE.md) — an eval suite is constant-size by contract. The
-    // 5000 cap is a no-op at every driver fixture scale.
+    // default 5000 cap is a no-op at every driver fixture scale; the
+    // parameter (r13 advice) keeps [[benchSlice]] callers, this internal
+    // slice, and the SQL mirror on ONE knob — a caller-tuned cap can no
+    // longer silently disagree with the literal the chain hashes.
     val bench = benchOverride.getOrElse(
-      c4.filter(col("doc_id") % benchMod === 0 && col("doc_id") < 5000L))
+      c4.filter(col("doc_id") % benchMod === 0 && col("doc_id") < benchCap))
     val clean = Curation.decontaminate(keepers, "doc_id", "text",
         bench, "text", shingleN, overlapThreshold)
       .filter(col("contaminated") === 0)
@@ -348,11 +352,11 @@ object FineWebPipeline {
             targetMod: Int = 3, dsirBuckets: Int = 256,
             minAvgWeightMicro: Long = -400000L,
             seed: String = "fineweb", nShards: Int = 16,
-            budget: Long = 64L): DataFrame = {
+            budget: Long = 64L, benchCap: Long = 5000L): DataFrame = {
     val st = stages(docs, idCol, textCol, minWordsPerLine, minLines,
       gopherTh, repetitionTh, width, stride, minTokens,
       benchMod, shingleN, overlapThreshold, targetMod, dsirBuckets,
-      minAvgWeightMicro)
+      minAvgWeightMicro, benchCap = benchCap)
     // 8+9. seeded shuffle, then pack in SHUFFLE order — via the
     // hierarchical prefix sum ([[Curation.packByOrder]]), so even the
     // pack stage has no single-partition window: the whole preset is
@@ -381,11 +385,12 @@ object FineWebPipeline {
              width: Int = 20, stride: Int = 5, minTokens: Int = 20,
              benchMod: Int = 10, shingleN: Int = 3, overlapThreshold: Long = 5L,
              targetMod: Int = 3, dsirBuckets: Int = 256,
-             minAvgWeightMicro: Long = -400000L): DataFrame = {
+             minAvgWeightMicro: Long = -400000L,
+             benchCap: Long = 5000L): DataFrame = {
     val st = stages(docs, idCol, textCol, minWordsPerLine, minLines,
       gopherTh, repetitionTh, width, stride, minTokens,
       benchMod, shingleN, overlapThreshold, targetMod, dsirBuckets,
-      minAvgWeightMicro)
+      minAvgWeightMicro, benchCap = benchCap)
     val spark = docs.sparkSession
     import spark.implicits._
     Seq(
@@ -410,10 +415,11 @@ object FineWebPipeline {
                   benchMod: Int = 10, shingleN: Int = 3, overlapThreshold: Long = 5L,
                   targetMod: Int = 3, dsirBuckets: Int = 256,
                   minAvgWeightMicro: Long = -400000L,
-                  seed: String = "fineweb", budget: Long = 64L): String =
+                  seed: String = "fineweb", budget: Long = 64L,
+                  benchCap: Long = 5000L): String =
     sqlCtes(from, minWordsPerLine, minLines, gopherTh, repetitionTh,
       width, stride, minTokens, benchMod, shingleN, overlapThreshold,
-      targetMod, dsirBuckets, minAvgWeightMicro) +
+      targetMod, dsirBuckets, minAvgWeightMicro, benchCap) +
       s""",
          |shf AS (SELECT doc_id, n_tokens,
          |          CAST(ROW_NUMBER() OVER (ORDER BY md5('$seed:' || text), doc_id) AS BIGINT)
@@ -443,10 +449,11 @@ object FineWebPipeline {
                      width: Int = 20, stride: Int = 5, minTokens: Int = 20,
                      benchMod: Int = 10, shingleN: Int = 3, overlapThreshold: Long = 5L,
                      targetMod: Int = 3, dsirBuckets: Int = 256,
-                     minAvgWeightMicro: Long = -400000L): String =
+                     minAvgWeightMicro: Long = -400000L,
+                     benchCap: Long = 5000L): String =
     sqlCtes(from, minWordsPerLine, minLines, gopherTh, repetitionTh,
       width, stride, minTokens, benchMod, shingleN, overlapThreshold,
-      targetMod, dsirBuckets, minAvgWeightMicro) +
+      targetMod, dsirBuckets, minAvgWeightMicro, benchCap) +
       s"""
          |SELECT doc_id, text, n_tokens FROM samp
          |WHERE doc_id >= $split ORDER BY doc_id""".stripMargin
@@ -460,10 +467,11 @@ object FineWebPipeline {
                 width: Int = 20, stride: Int = 5, minTokens: Int = 20,
                 benchMod: Int = 10, shingleN: Int = 3, overlapThreshold: Long = 5L,
                 targetMod: Int = 3, dsirBuckets: Int = 256,
-                minAvgWeightMicro: Long = -400000L): String =
+                minAvgWeightMicro: Long = -400000L,
+                benchCap: Long = 5000L): String =
     sqlCtes(from, minWordsPerLine, minLines, gopherTh, repetitionTh,
       width, stride, minTokens, benchMod, shingleN, overlapThreshold,
-      targetMod, dsirBuckets, minAvgWeightMicro) +
+      targetMod, dsirBuckets, minAvgWeightMicro, benchCap) +
       """
         |SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS gate,
         |       CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_docs
@@ -482,7 +490,8 @@ object FineWebPipeline {
                       width: Int, stride: Int, minTokens: Int,
                       benchMod: Int, shingleN: Int, overlapThreshold: Long,
                       targetMod: Int, dsirBuckets: Int,
-                      minAvgWeightMicro: Long): String = {
+                      minAvgWeightMicro: Long,
+                      benchCap: Long = 5000L): String = {
     require(shingleN == 3, "oracle shingle CTEs are written for n = 3")
     val tok = "[^ \\t\\n\\x0B\\f\\r]+"
     val wm1 = width - 1          // slice end offset
@@ -543,7 +552,7 @@ object FineWebPipeline {
        |benchsh AS (SELECT DISTINCT UNNEST(list_distinct(list_transform(range(1, len(btoks) - 1),
        |              i -> btoks[i] || ' ' || btoks[i+1] || ' ' || btoks[i+2]))) AS sh
        |            FROM (SELECT regexp_extract_all(lower(text), '$tok') AS btoks
-       |                  FROM g0 WHERE doc_id % $benchMod = 0 AND doc_id < 5000)),
+       |                  FROM g0 WHERE doc_id % $benchMod = 0 AND doc_id < $benchCap)),
        |docsh AS (SELECT doc_id, UNNEST(list_distinct(list_transform(range(1, len(ltoks) - 1),
        |            i -> ltoks[i] || ' ' || ltoks[i+1] || ' ' || ltoks[i+2]))) AS sh FROM keep),
        |ovl AS (SELECT d2.doc_id, COUNT(*) AS n FROM docsh d2 JOIN benchsh USING (sh) GROUP BY 1),

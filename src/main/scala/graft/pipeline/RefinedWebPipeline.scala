@@ -81,7 +81,8 @@ object RefinedWebPipeline {
              observeFunnel: Boolean = false,
              spamWeights: Seq[(String, Double)] = Seq.empty,
              spamThreshold: Double = 1.0,
-             repairEncoding: Boolean = false): Stages = {
+             repairEncoding: Boolean = false,
+             maxBucket: Int = 4096): Stages = {
     // Widen FIRST: the interpreted HOF gates (langId markers, repetition
     // folds) are the preset's per-row CPU, and a small parquet scan
     // arrives in 1-2 partitions — without the repartition they run
@@ -136,8 +137,17 @@ object RefinedWebPipeline {
       .withColumn("__k",
         min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
       .filter(col("doc_id") === col("__k")).drop("__k"))
+    // The F134 LSH safety valve rides the production entry point (r13):
+    // a degenerate corpus (near-identical boilerplate at scale) packs one
+    // band bucket with >maxBucket distinct-set reps, whose Σm² candidate
+    // mass is the TB-scale spill the m100 audit measured — the cap drops
+    // such buckets from candidate generation. 4096 never binds at any
+    // driver fixture scale (bucket widths are orders of magnitude under
+    // it — the preset oracles stay exact-CC green), and on real corpora
+    // mega-buckets are exact-dup artifacts the rep-grouping already
+    // collapsed; pass Int.MaxValue to disable.
     val keepers = graft.dedup.Dedup
-      .nearDupKeepersScaled(exact, "doc_id", "text", threshold)
+      .nearDupKeepersScaled(exact, "doc_id", "text", threshold, maxBucket)
     // Materialize: the MinHash composition is the preset's dominant CPU;
     // without this the funnel's near_dedup count and the caps stage each
     // re-run it (measured ~2× the stage cost at sf0.1).
@@ -160,11 +170,12 @@ object RefinedWebPipeline {
             materialize: DataFrame => DataFrame = graft.Mat.pin,
             spamWeights: Seq[(String, Double)] = Seq.empty,
             spamThreshold: Double = 1.0,
-            repairEncoding: Boolean = false): DataFrame =
+            repairEncoding: Boolean = false,
+            maxBucket: Int = 4096): DataFrame =
     stages(docs, urlCol, blocked, lang, gopherTh, repetitionTh, threshold, cap,
       materialize = materialize,
       spamWeights = spamWeights, spamThreshold = spamThreshold,
-      repairEncoding = repairEncoding)
+      repairEncoding = repairEncoding, maxBucket = maxBucket)
       .capped
       .select(col("doc_id"), col("domain"),
         size(TextAnalysis.tokens(lower(col("text")))).cast("long").as("n_tokens"))
@@ -184,10 +195,12 @@ object RefinedWebPipeline {
              threshold: Double = 0.9, cap: Int = 100,
              materialize: DataFrame => DataFrame = graft.Mat.pin,
              spamWeights: Seq[(String, Double)] = Seq.empty,
-             spamThreshold: Double = 1.0): DataFrame = {
+             spamThreshold: Double = 1.0,
+             maxBucket: Int = 4096): DataFrame = {
     val st = stages(docs, urlCol, blocked, lang, gopherTh, repetitionTh,
       threshold, cap, materialize = materialize, observeFunnel = true,
-      spamWeights = spamWeights, spamThreshold = spamThreshold)
+      spamWeights = spamWeights, spamThreshold = spamThreshold,
+      maxBucket = maxBucket)
     // Count the materialized frame FIRST: with the default eager
     // materializer the metrics are already in; with a lazy one this
     // count is the action that runs the observed plan — either way the
@@ -234,11 +247,12 @@ object RefinedWebPipeline {
                materialize: DataFrame => DataFrame = graft.Mat.pin,
                spamWeights: Seq[(String, Double)] = Seq.empty,
                spamThreshold: Double = 1.0,
-               repairEncoding: Boolean = false): DataFrame = {
+               repairEncoding: Boolean = false,
+               maxBucket: Int = 4096): DataFrame = {
     val st = stages(docs, urlCol, blocked, lang, gopherTh, repetitionTh,
       threshold, cap, idCol, textCol, materialize = materialize,
       spamWeights = spamWeights, spamThreshold = spamThreshold,
-      repairEncoding = repairEncoding)
+      repairEncoding = repairEncoding, maxBucket = maxBucket)
     val dom = graft.Par.widen(docs)
       .withColumn("domain",
         coalesce(graft.ingest.Urls.registeredDomain(col(urlCol)), lit("")))

@@ -309,13 +309,14 @@ object StreamingIngest {
                              textCol: String = "text",
                              spamWeights: Seq[(String, Double)] = Seq.empty,
                              spamThreshold: Double = 1.0,
-                             repairEncoding: Boolean = false): DataStreamWriter[Row] = {
+                             repairEncoding: Boolean = false,
+                             maxBucket: Int = 4096): DataStreamWriter[Row] = {
     require(docs.isStreaming)
     docs.writeStream
       .foreachBatch { (batch0: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         refinedWebBatch(batch0.toDF(), batchId, sinkPath, stateDir, blocked,
           lang, gopherTh, repetitionTh, threshold, cap, urlCol, idCol, textCol,
-          spamWeights, spamThreshold, repairEncoding)
+          spamWeights, spamThreshold, repairEncoding, maxBucket)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -335,7 +336,8 @@ object StreamingIngest {
                       textCol: String = "text",
                       spamWeights: Seq[(String, Double)] = Seq.empty,
                       spamThreshold: Double = 1.0,
-                      repairEncoding: Boolean = false): Unit = {
+                      repairEncoding: Boolean = false,
+                      maxBucket: Int = 4096): Unit = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     import graft.dedup.Dedup
@@ -398,7 +400,10 @@ object StreamingIngest {
       // min-id election). Admitted = clusters untouched by history,
       // represented by their within-batch keeper.
       val keeperOf = Dedup
-        .nearDupKeepersScaled(exact, "doc_id", "text", threshold)
+        // under the F134 valve (r13) like every production face — the
+        // default cap never binds at fixture scale (StreamingSpec's
+        // batch-vs-full-recompute pins stay exact)
+        .nearDupKeepersScaled(exact, "doc_id", "text", threshold, maxBucket)
         .pinnedTransient // feeds the cluster lift AND the keeper pick
       val sigT = Dedup.signatureTable(exact, "doc_id", "text")
         .pinnedTransient
@@ -551,7 +556,8 @@ object StreamingIngest {
                                indexPath: String, checkpoint: String,
                                threshold: Double = 0.9,
                                idCol: String = "doc_id",
-                               textCol: String = "text"): DataStreamWriter[Row] = {
+                               textCol: String = "text",
+                               maxBucket: Int = 4096): DataStreamWriter[Row] = {
     require(docs.isStreaming)
     import org.apache.spark.sql.functions._
     import graft.dedup.Dedup
@@ -560,8 +566,11 @@ object StreamingIngest {
       .foreachBatch { (batch0: org.apache.spark.sql.Dataset[Row], _: Long) =>
         val batch = batch0.pinnedTransient
         if (batch.count() > 0) {
-          // 1. within-batch near-dup: keep component keepers only
-          val keepers = Dedup.nearDupKeepersScaled(batch, idCol, textCol, threshold)
+          // 1. within-batch near-dup: keep component keepers only —
+          // under the F134 valve (r13), same default as every
+          // production face; never binds at fixture scale
+          val keepers = Dedup.nearDupKeepersScaled(batch, idCol, textCol,
+              threshold, maxBucket)
             .filter(col("doc_id") === col("keeper_id"))
             .select(col("doc_id").as("_keep_id"))
           val survivors = batch

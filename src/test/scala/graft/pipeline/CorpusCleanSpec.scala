@@ -51,6 +51,13 @@ class CorpusCleanSpec extends SparkSpec {
         graft.text.TextAnalysis.langId(col("text")) === "en")
       .select("doc_id").as[Long].collect().toSet
     assert(blocked.subsetOf(gated))
+    // F134 valve (r13): the scaled face now defaults maxBucket = 4096 —
+    // at fixture scale no band bucket approaches the cap, so the
+    // default-capped output must equal the uncapped one bit-for-bit
+    // (the exact-CC oracle for `corpus_clean_scaled` rests on this).
+    val uncapped = CorpusClean.scaled(docs, maxBucket = Int.MaxValue)
+      .select("doc_id").as[Long].collect().toSet
+    assert(scaled == uncapped, "default valve must not bind at fixture scale")
   }
 
   test("output is invariant to the stage materializer (r10)") {

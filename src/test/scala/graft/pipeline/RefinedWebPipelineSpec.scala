@@ -121,6 +121,20 @@ class RefinedWebPipelineSpec extends SparkSpec {
     } finally persisted.foreach(_.unpersist())
   }
 
+  test("the F134 valve rides the preset and never binds at fixture scale (r13)") {
+    // The production entry point now defaults maxBucket = 4096 — the
+    // degenerate-corpus safeguard the m100 audit proved out. At any
+    // driver fixture scale no band bucket approaches the cap, so the
+    // default-capped preset must be BIT-identical to the uncapped one
+    // (which is what keeps the exact-CC oracle valid for the preset
+    // queries after the r13 plumbing).
+    val capped = RefinedWebPipeline(docs, blocked = Seq("foo.co.uk"),
+      gopherTh = th, cap = 2).collect().toSeq
+    val uncapped = RefinedWebPipeline(docs, blocked = Seq("foo.co.uk"),
+      gopherTh = th, cap = 2, maxBucket = Int.MaxValue).collect().toSeq
+    assert(capped == uncapped, "default valve must not bind at fixture scale")
+  }
+
   test("funnel counts the planted cuts stage by stage") {
     val f = RefinedWebPipeline.funnel(docs, blocked = Seq("foo.co.uk"),
         gopherTh = th, cap = 2)
