@@ -87,6 +87,13 @@ object SparkEntry {
     // rounds converged" is a hash-checked decay curve, not an argument.
     "part_pagerank_convergence" -> ((s, dir) =>
       graft.analytics.PageRank.copurchaseConvergence(Tables.lineitem(s, dir))),
+    // F137 (r13): the F130 curve put to WORK — tolerance-driven early
+    // stop. The loop exits when the L1 residual crosses 1e-6 of total
+    // mass (measured: round 7 of 10); both the early-stopped vector and
+    // the data-dependent stop round are hash-checked (the oracle derives
+    // the stop from the same rule over the unrolled chain).
+    "part_pagerank_earlystop" -> ((s, dir) =>
+      graft.analytics.PageRank.copurchaseEarlyStop(Tables.lineitem(s, dir))),
     // TrustRank + spam mass: the host-graph anti-spam triple (seeded
     // trust propagation vs open PageRank) on the same graph fixture.
     "trust_propagation" -> ((s, dir) =>
@@ -104,6 +111,12 @@ object SparkEntry {
     // hash-checked "no/low churn by round 3", not an argument.
     "part_communities_convergence" -> ((s, dir) =>
       graft.analytics.Lpa.partCommunitiesConvergence(Tables.lineitem(s, dir), 3)),
+    // F137 (r13): churn-driven early stop for the label family — stop
+    // when ≤1200 nodes changed label (measured: round 3 of a 5-round
+    // budget; this dense graph never reaches zero churn in budget,
+    // exactly what a positive threshold is for).
+    "part_communities_earlystop" -> ((s, dir) =>
+      graft.analytics.Lpa.partCommunitiesEarlyStop(Tables.lineitem(s, dir))),
     // HITS hubs/authorities on the DIRECTED bipartite order->part graph
     // (orders = pure hubs, parts = pure authorities) — L1-normalized
     // integer half-steps, full unrolled-CTE oracle like the rank family.
@@ -118,6 +131,11 @@ object SparkEntry {
     "order_part_hits_convergence" -> ((s, dir) =>
       graft.analytics.PageRank.orderPartHitsConvergence(
         Tables.lineitem(s, dir), 5)),
+    // F137 (r13): combined hub+auth residual early stop for HITS —
+    // tolerance 3e9 fp (~0.3% of the two normalized masses), measured
+    // crossing at round 5 of an 8-round budget.
+    "order_part_hits_earlystop" -> ((s, dir) =>
+      graft.analytics.PageRank.orderPartHitsEarlyStop(Tables.lineitem(s, dir))),
     // ---- [EXT] text analysis ----
     "text_stats" -> ((s, dir) => TextAnalysis.stats(Tables.documents(s, dir))),
     // Flesch reading ease in exact integer micro-points — the classic
@@ -2317,13 +2335,19 @@ object SparkEntry {
     "part_pagerank" -> graft.analytics.PageRank.sqlCopurchaseParts(),
     "part_pagerank_convergence" ->
       graft.analytics.PageRank.sqlCopurchaseConvergence(),
+    "part_pagerank_earlystop" ->
+      graft.analytics.PageRank.sqlCopurchaseEarlyStop(),
     "trust_propagation" -> graft.analytics.PageRank.sqlCopurchaseSpamMass(),
     "order_part_hits" -> graft.analytics.PageRank.sqlOrderPartHits(5),
     "order_part_hits_convergence" ->
       graft.analytics.PageRank.sqlOrderPartHitsConvergence(5),
+    "order_part_hits_earlystop" ->
+      graft.analytics.PageRank.sqlOrderPartHitsEarlyStop(),
     "part_communities" -> graft.analytics.Lpa.sqlPartCommunities(3),
     "part_communities_convergence" ->
       graft.analytics.Lpa.sqlPartCommunitiesConvergence(3),
+    "part_communities_earlystop" ->
+      graft.analytics.Lpa.sqlPartCommunitiesEarlyStop(),
     "lm_scores" -> graft.text.LmScore.sqlScores,
     "lm_scores_crossfit" -> graft.text.LmScore.sqlScoresCrossFit,
     "lm_quality_floor" -> graft.text.LmScore.sqlQualityFloor(),

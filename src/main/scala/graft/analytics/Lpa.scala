@@ -98,6 +98,86 @@ object Lpa {
     out
   }
 
+  /** [EXT] Convergence-driven early stop for LPA (r13): propagate until
+    * the round's churn — #{v : label changed}, the column the F135
+    * curve measures — drops to `maxChurn` or below, or `maxRounds` is
+    * hit. LPA's natural stopping rule is churn = 0 (the default);
+    * a positive `maxChurn` stops at "practically settled" on graphs
+    * whose label frontier rings forever. Returns ((node, community),
+    * stop round), bit-identical to `labelPropagation(rounds = stop)`
+    * (spec-pinned) — same vote/election arithmetic, the stop only adds
+    * a per-round churn action over the persisted co-partitioned
+    * vectors (two label vectors live at any moment). */
+  def labelPropagationUntil(edges: DataFrame, srcCol: String, dstCol: String,
+                            maxChurn: Long = 0L, maxRounds: Int = 50)
+      : (DataFrame, Int) = {
+    require(maxChurn >= 0L, "maxChurn is a non-negative node count")
+    require(maxRounds >= 1, "need maxRounds >= 1")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().persist(lvl)
+    val nParts = math.max(4L, e.count() / 1000000L).toInt
+    val part = new org.apache.spark.HashPartitioner(nParts)
+    val adj = e.as[(Long, Long)].rdd
+      .groupByKey(part).mapValues(_.toArray.sorted).persist(lvl)
+    val nodes = e.select(col("src").as("v")).union(e.select(col("dst")))
+      .distinct().as[Long].rdd.map(v => (v, ())).partitionBy(part).persist(lvl)
+    var labels = nodes.mapPartitions(
+      _.map { case (v, _) => (v, v) }, preservesPartitioning = true)
+      .persist(lvl)
+    var stop = maxRounds
+    var k = 0
+    var settled = false
+    while (k < maxRounds && !settled) {
+      k += 1
+      val elected = adj.join(labels)
+        .flatMap { case (_, (dsts, lab)) => dsts.iterator.map(d => (d, lab)) }
+        .aggregateByKey(scala.collection.mutable.LongMap.empty[Long], part)(
+          (m, lab) => { m.update(lab, m.getOrElse(lab, 0L) + 1L); m },
+          (m1, m2) => {
+            m2.foreach { case (lab, c) =>
+              m1.update(lab, m1.getOrElse(lab, 0L) + c)
+            }
+            m1
+          })
+        .mapValues { m =>
+          var bestLab = Long.MaxValue
+          var bestC = -1L
+          m.foreach { case (lab, c) =>
+            if (c > bestC || (c == bestC && lab < bestLab)) {
+              bestC = c; bestLab = lab
+            }
+          }
+          bestLab
+        }
+      val prev = labels
+      labels = prev.leftOuterJoin(elected)
+        .mapValues { case (old, o) => o.getOrElse(old) }
+        .persist(lvl)
+      // churn action materializes the new vector's blocks too — one
+      // evaluation serves the stop decision and the next round's votes
+      val churn = labels.join(prev)
+        .map { case (_, (a, b)) => if (a != b) 1L else 0L }.fold(0L)(_ + _)
+      prev.unpersist(false)
+      if (churn <= maxChurn) { settled = true; stop = k }
+    }
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("node", LongType, nullable = false),
+      StructField("community", LongType, nullable = false)))
+    val out = spark.createDataFrame(
+        labels.map { case (v, c) => org.apache.spark.sql.Row(v, c) }, schema)
+      .orderBy(col("node"))
+      .pinned
+    e.unpersist(false); adj.unpersist(false); nodes.unpersist(false)
+    labels.unpersist(false)
+    (out, stop)
+  }
+
   /** `part_communities`: LPA over the co-purchase part graph
     * ([[PageRank.copurchaseEdges]] — symmetric, so communities are the
     * dense co-purchase clusters). */
@@ -134,6 +214,17 @@ object Lpa {
       .distinct().as[Long].rdd.map(v => (v, ())).partitionBy(part).persist(lvl)
     var labels = nodes.mapPartitions(
       _.map { case (v, _) => (v, v) }, preservesPartitioning = true)
+    // The F130 raw-persist discipline (r13): each round's label vector
+    // feeds THREE consumers — the next round's vote shuffle, the churn
+    // join, and the community counter. The vote SHUFFLES are shared
+    // across branches by map-output reuse regardless, but every narrow
+    // tail (the co-partitioned leftOuterJoin + carry-forward) re-ran per
+    // consumer, and at local-scheduler granularity those re-walks made
+    // this the repo's heaviest probe (20.4 s fresh-JVM vs 8.0 s for the
+    // label query itself). Persisting each round's vector turns all
+    // three reads into block fetches — one evaluation per round, blocks
+    // dropped before return.
+    var pinnedLabels = List.empty[org.apache.spark.rdd.RDD[(Long, Long)]]
     var churn = List.empty[org.apache.spark.rdd.RDD[(Long, Long)]]
     var labs = List.empty[org.apache.spark.rdd.RDD[(Long, Long)]]
     for (k <- 1 to rounds) {
@@ -160,6 +251,8 @@ object Lpa {
       val prev = labels
       labels = prev.leftOuterJoin(elected)
         .mapValues { case (old, o) => o.getOrElse(old) }
+        .persist(lvl)
+      pinnedLabels ::= labels
       val next = labels
       churn ::= next.join(prev).map { case (_, (a, b)) =>
         (k.toLong, if (a != b) 1L else 0L)
@@ -182,6 +275,7 @@ object Lpa {
       .orderBy(col("round"))
       .pinned
     e.unpersist(false); adj.unpersist(false); nodes.unpersist(false)
+    pinnedLabels.foreach(_.unpersist(false))
     out
   }
 
@@ -189,6 +283,22 @@ object Lpa {
   def partCommunitiesConvergence(lineitem: DataFrame,
                                  rounds: Int = 5): DataFrame =
     convergence(PageRank.copurchaseEdges(lineitem), "src", "dst", rounds)
+
+  /** `part_communities_earlystop` query (r13): [[labelPropagationUntil]]
+    * on the standing fixture — the F135 churn curve put to work. The
+    * measured curve (2000 → 1692 → 1115 changed nodes) crosses the
+    * default 1200-node churn threshold at round 3 of the 5-round
+    * budget; zero-churn full settlement is beyond this dense graph's
+    * budget, which is exactly the case a positive threshold exists for.
+    * Output: (part_id, community, stop_round); the oracle derives the
+    * stop from the same churn rule over the unrolled chain. */
+  def partCommunitiesEarlyStop(lineitem: DataFrame, maxChurn: Long = 1200L,
+                               maxRounds: Int = 5): DataFrame = {
+    val (df, stop) = labelPropagationUntil(
+      PageRank.copurchaseEdges(lineitem), "src", "dst", maxChurn, maxRounds)
+    df.select(col("node").as("part_id"), col("community"),
+      lit(stop.toLong).as("stop_round"))
+  }
 
   /** DuckDB mirror: one (counts → election → carry-forward) CTE triple
     * per round, ALL MATERIALIZED (each label frame is referenced twice —
@@ -257,5 +367,54 @@ object Lpa {
        |$iters
        |$curve
        |ORDER BY round""".stripMargin
+  }
+
+  /** DuckDB mirror of [[partCommunitiesEarlyStop]]: the
+    * [[sqlPartCommunities]] chain to the round budget (MATERIALIZED
+    * throughout), per-round churn, the stop round as
+    * `MIN(round) WHERE churn <= maxChurn` (budget fallback = the
+    * engine's loop exit), and a CASE over the per-round label frames. */
+  def sqlPartCommunitiesEarlyStop(maxChurn: Long = 1200L,
+                                  maxRounds: Int = 5): String = {
+    val iters = (1 to maxRounds).map { k =>
+      s"""cnt$k AS MATERIALIZED (
+         |  SELECT e.dst AS v, l.lab, COUNT(*) AS c
+         |  FROM e JOIN l${k - 1} l ON e.src = l.v GROUP BY 1, 2),
+         |el$k AS MATERIALIZED (
+         |  SELECT v, lab FROM (
+         |    SELECT v, lab,
+         |      row_number() OVER (PARTITION BY v
+         |                         ORDER BY c DESC, lab ASC) AS rn
+         |    FROM cnt$k) WHERE rn = 1),
+         |l$k AS MATERIALIZED (
+         |  SELECT l.v, COALESCE(el.lab, l.lab) AS lab
+         |  FROM l${k - 1} l LEFT JOIN el$k el ON l.v = el.v)""".stripMargin
+    }.mkString(",\n")
+    val curve = (1 to maxRounds).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS round,
+         |  CAST(SUM(CASE WHEN a.lab <> b.lab THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS churn
+         |FROM l$k a JOIN l${k - 1} b ON a.v = b.v""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val cases = (1 to maxRounds).map(k => s"WHEN $k THEN x$k.lab").mkString(" ")
+    val joins = (1 to maxRounds)
+      .map(k => s"JOIN l$k x$k ON n.v = x$k.v").mkString("\n|")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT a.p AS src, b.p AS dst
+       |  FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p),
+       |nodes AS MATERIALIZED (
+       |  SELECT src AS v FROM e UNION SELECT dst FROM e),
+       |l0 AS MATERIALIZED (SELECT v, v AS lab FROM nodes),
+       |$iters,
+       |curve AS ($curve),
+       |stopr AS (SELECT CAST(COALESCE(MIN(round), $maxRounds) AS BIGINT) AS k
+       |          FROM curve WHERE churn <= $maxChurn)
+       |SELECT n.v AS part_id,
+       |  CAST(CASE stopr.k $cases END AS BIGINT) AS community,
+       |  stopr.k AS stop_round
+       |FROM nodes n CROSS JOIN stopr
+       |$joins
+       |ORDER BY part_id""".stripMargin
   }
 }

@@ -55,6 +55,39 @@ object PageRank {
             iterations: Int = 10, dampingPct: Int = 85): DataFrame =
     iterate(edges, srcCol, dstCol, None, iterations, dampingPct)
 
+  /** [EXT] Convergence-driven early stop (r13, the F130 curves put to
+    * work): iterate until the round's L1 residual Σ|r_k − r_{k−1}| drops
+    * below `tolFp` (in `Scale` fixed-point units) or `maxIterations` is
+    * hit, whichever first. Returns (ranks, stop round); the vector is
+    * BIT-identical to `ranks(iterations = stop)` — the loop arithmetic
+    * is the same code path, tolerance mode only adds the per-round
+    * residual action (PageRankSpec pins the identity, and pins the stop
+    * round against the measured F130 curve).
+    *
+    * Cost of stopping: unlike [[ranks]]' one-lineage-one-evaluation
+    * shape, a data-dependent stop NEEDS a per-round action, so each
+    * round's vector is persisted and the residual is one narrow
+    * co-partitioned join + sum over node-scale data — the same
+    * discipline [[hits]] already pays for its normalization totals.
+    * Worth it exactly when rounds are expensive and the curve is steep:
+    * the measured fixture curve drops 4 decades in 6 rounds, so a
+    * tolerance stop saves 30-40% of the |E|-shuffle rounds at any scale
+    * where the graph dwarfs the node-vector bookkeeping. */
+  def ranksUntil(edges: DataFrame, srcCol: String, dstCol: String,
+                 tolFp: Long, maxIterations: Int = 50,
+                 dampingPct: Int = 85): (DataFrame, Int) =
+    iterateUntil(edges, srcCol, dstCol, None, tolFp, maxIterations, dampingPct)
+
+  /** [[ranksUntil]] for the TrustRank teleport (seeded) variant — same
+    * core, same bit-identity contract vs [[seededRanks]]. */
+  def seededRanksUntil(edges: DataFrame, srcCol: String, dstCol: String,
+                       seeds: DataFrame, seedCol: String,
+                       tolFp: Long, maxIterations: Int = 50,
+                       dampingPct: Int = 85): (DataFrame, Int) =
+    iterateUntil(edges, srcCol, dstCol,
+      Some(seeds.select(col(seedCol).cast("long"))), tolFp, maxIterations,
+      dampingPct)
+
   /** [EXT] TrustRank (Gyöngyi, Garcia-Molina & Pedersen 2004): PageRank
     * with teleport restricted to a trusted SEED set — trust flows out of
     * the seeds along edges and decays with distance; nodes unreachable
@@ -154,6 +187,94 @@ object PageRank {
     e.unpersist(false); adj.unpersist(false); nodes.unpersist(false)
     tele.unpersist(false)
     out
+  }
+
+  /** Tolerance-mode twin of [[iterate]] — identical per-round
+    * arithmetic (the bit-identity contract of [[ranksUntil]] rests on
+    * this), plus the per-round residual action the data-dependent stop
+    * requires. Each round's vector is persisted BEFORE the residual
+    * action so the next round's vote join reads blocks instead of
+    * re-walking the chain; the round-k vector is unpersisted as soon as
+    * round k+1 is materialized (two vectors live at any moment, the
+    * power-iteration memory floor). */
+  private def iterateUntil(edges: DataFrame, srcCol: String, dstCol: String,
+                           seedsOpt: Option[DataFrame], tolFp: Long,
+                           maxIterations: Int, dampingPct: Int)
+      : (DataFrame, Int) = {
+    require(tolFp >= 0L, "tolFp is a non-negative fixed-point residual")
+    require(maxIterations >= 1, "need maxIterations >= 1")
+    require(dampingPct >= 0 && dampingPct <= 100, "dampingPct is a percentage")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val lvl = StorageLevel.MEMORY_AND_DISK
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .persist(lvl)
+    val nParts = math.max(4L, e.count() / 1000000L).toInt
+    val part = new HashPartitioner(nParts)
+    val adj = e.as[(Long, Long)].rdd
+      .groupByKey(part)
+      .mapValues(ds => ds.toArray.distinct.sorted)
+      .persist(lvl)
+    val nodes = e.select(col("src").as("v"))
+      .union(e.select(col("dst"))).distinct()
+      .as[Long].rdd.map(v => (v, ())).partitionBy(part).persist(lvl)
+    val n = nodes.count()
+    require(n > 0, "PageRank needs a non-empty graph")
+    val tele = seedsOpt match {
+      case None =>
+        val t = Scale * (100L - dampingPct) / 100L / n
+        val r0 = Scale / n
+        nodes.mapValues(_ => (t, r0)).persist(lvl)
+      case Some(seeds) =>
+        val seedRdd = seeds.filter(col(seeds.columns.head).isNotNull)
+          .distinct().as[Long].rdd.map(v => (v, ())).partitionBy(part)
+        val inGraph = nodes.join(seedRdd).mapValues(_ => ())
+        val s = inGraph.count()
+        require(s > 0, "TrustRank needs at least one seed inside the graph")
+        val t = Scale * (100L - dampingPct) / 100L / s
+        val r0 = Scale / s
+        nodes.leftOuterJoin(inGraph)
+          .mapValues { case (_, m) => if (m.isDefined) (t, r0) else (0L, 0L) }
+          .persist(lvl)
+    }
+    var ranks = tele.mapValues(_._2).persist(lvl)
+    var stop = maxIterations
+    var k = 0
+    var converged = false
+    while (k < maxIterations && !converged) {
+      k += 1
+      val contribs = adj.join(ranks)
+        .flatMap { case (_, (dsts, r)) =>
+          if (r == 0L) Iterator.empty
+          else {
+            val c = r * dampingPct / 100L / dsts.length
+            dsts.iterator.map(d => (d, c))
+          }
+        }
+        .reduceByKey(part, _ + _)
+      val prev = ranks
+      val next = tele.leftOuterJoin(contribs)
+        .mapValues { case ((t, _), c) => t + c.getOrElse(0L) }
+        .persist(lvl)
+      // The residual action also materializes `next`'s blocks — one
+      // evaluation serves both the stop decision and the next round.
+      val l1 = next.join(prev)
+        .map { case (_, (a, b)) => math.abs(a - b) }.fold(0L)(_ + _)
+      prev.unpersist(false)
+      ranks = next
+      if (l1 < tolFp) { converged = true; stop = k }
+    }
+    val schema = StructType(Seq(
+      StructField("node", LongType, nullable = false),
+      StructField("rank_fp", LongType, nullable = false)))
+    val out = spark.createDataFrame(ranks.map { case (v, r) => Row(v, r) }, schema)
+      .orderBy(col("node"))
+      .pinned
+    e.unpersist(false); adj.unpersist(false); nodes.unpersist(false)
+    tele.unpersist(false); ranks.unpersist(false)
+    (out, stop)
   }
 
   /** F130: convergence residuals for the fixed-iteration contract
@@ -349,6 +470,90 @@ object PageRank {
     out
   }
 
+  /** [EXT] Convergence-driven early stop for HITS (r13): iterate until
+    * the round's COMBINED L1 residual — Σ|h_k − h_{k−1}| +
+    * Σ|a_k − a_{k−1}| over the normalized vectors, the two columns the
+    * F136 curve measures — drops below `tolFp`, or `maxIterations`.
+    * Returns ((node, hub_fp, auth_fp), stop round), bit-identical to
+    * `hits(iterations = stop)` (spec-pinned): the half-step arithmetic
+    * is the same code, and the delta joins are read-only over the
+    * persisted normalized vectors. HITS already pays one action per
+    * half-step for its L1 normalization totals, so the stop adds only
+    * the two narrow node-scale delta sums per round. */
+  def hitsUntil(edges: DataFrame, srcCol: String, dstCol: String,
+                tolFp: Long, maxIterations: Int = 50): (DataFrame, Int) = {
+    require(tolFp >= 0L, "tolFp is a non-negative fixed-point residual")
+    require(maxIterations >= 1, "need maxIterations >= 1")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val lvl = StorageLevel.MEMORY_AND_DISK
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().persist(lvl)
+    val nParts = math.max(4L, e.count() / 1000000L).toInt
+    val part = new HashPartitioner(nParts)
+    val adj = e.as[(Long, Long)].rdd
+      .groupByKey(part).mapValues(_.toArray.sorted).persist(lvl)
+    val radj = e.select(col("dst"), col("src")).as[(Long, Long)].rdd
+      .groupByKey(part).mapValues(_.toArray.sorted).persist(lvl)
+    val nodes = e.select(col("src").as("v"))
+      .union(e.select(col("dst"))).distinct()
+      .as[Long].rdd.map(v => (v, ())).partitionBy(part).persist(lvl)
+    val n = nodes.count()
+    require(n > 0, "HITS needs a non-empty graph")
+    val pinned = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.rdd.RDD[(Long, Long)]]
+    def halfStep(vec: org.apache.spark.rdd.RDD[(Long, Long)],
+                 along: org.apache.spark.rdd.RDD[(Long, Array[Long])])
+        : org.apache.spark.rdd.RDD[(Long, Long)] = {
+      val raw = along.join(vec)
+        .flatMap { case (_, (outs, x)) =>
+          if (x == 0L) Iterator.empty else outs.iterator.map(d => (d, x))
+        }
+        .reduceByKey(part, _ + _)
+        .persist(lvl)
+      pinned += raw
+      val total = raw.map(_._2).fold(0L)(_ + _)
+      val normed = nodes.leftOuterJoin(raw).mapValues { case (_, o) =>
+        val x = o.getOrElse(0L)
+        if (total == 0L || x == 0L) 0L
+        else (BigInt(x) * Scale / total).toLong
+      }.persist(lvl)
+      pinned += normed
+      normed
+    }
+    var hub = nodes.mapValues(_ => Scale / n).persist(lvl)
+    pinned += hub
+    var auth = hub
+    var stop = maxIterations
+    var k = 0
+    var converged = false
+    while (k < maxIterations && !converged) {
+      k += 1
+      val prevHub = hub
+      val prevAuth = auth
+      auth = halfStep(hub, adj)
+      hub = halfStep(auth, radj)
+      val dh = hub.join(prevHub)
+        .map { case (_, (a, b)) => math.abs(a - b) }.fold(0L)(_ + _)
+      val da = auth.join(prevAuth)
+        .map { case (_, (a, b)) => math.abs(a - b) }.fold(0L)(_ + _)
+      if (dh + da < tolFp) { converged = true; stop = k }
+    }
+    val schema = StructType(Seq(
+      StructField("node", LongType, nullable = false),
+      StructField("hub_fp", LongType, nullable = false),
+      StructField("auth_fp", LongType, nullable = false)))
+    val out = spark.createDataFrame(
+        hub.join(auth).map { case (v, (h, a)) => Row(v, h, a) }, schema)
+      .orderBy(col("node"))
+      .pinned
+    e.unpersist(false); adj.unpersist(false); radj.unpersist(false)
+    nodes.unpersist(false); pinned.foreach(_.unpersist(false))
+    (out, stop)
+  }
+
   /** F136: HITS convergence residuals (`order_part_hits_convergence`) —
     * the [[convergence]] contract for the double half-step: per round,
     * L1 deltas of BOTH normalized vectors (hub and authority, in the
@@ -440,6 +645,27 @@ object PageRank {
         .select((col("l_orderkey").cast("long") * 2).as("src"),
           (col("l_partkey").cast("long") * 2 + 1).as("dst")),
         "src", "dst", iterations)
+
+  /** `order_part_hits_earlystop` query (r13): [[hitsUntil]] on the
+    * standing bipartite fixture — the F136 curve put to work. The
+    * default tolerance (3·10⁹ fp units combined hub+auth residual,
+    * ~0.3% of the two Scale-normalized masses) is crossed at round 5 of
+    * the 8-round budget on the measured curve. Output decodes like
+    * [[orderPartHits]] plus the stop round; oracle derives the stop
+    * from the same combined-residual rule over the unrolled chain. */
+  def orderPartHitsEarlyStop(lineitem: DataFrame,
+                             tolFp: Long = 3000000000L,
+                             maxIterations: Int = 8): DataFrame = {
+    val (df, stop) = hitsUntil(graft.Par.widen(lineitem)
+        .select((col("l_orderkey").cast("long") * 2).as("src"),
+          (col("l_partkey").cast("long") * 2 + 1).as("dst")),
+        "src", "dst", tolFp, maxIterations)
+    df.select(
+        when(col("node") % 2 === 0, "order").otherwise("part").as("kind"),
+        expr("node DIV 2").as("id"), col("hub_fp"), col("auth_fp"),
+        lit(stop.toLong).as("stop_round"))
+      .orderBy(col("kind"), col("id"))
+  }
 
   /** `order_part_hits` query: HITS on the DIRECTED bipartite
     * order→part graph — orders are pure hubs (good baskets point at
@@ -549,6 +775,69 @@ object PageRank {
        |ORDER BY round""".stripMargin
   }
 
+  /** DuckDB mirror of [[orderPartHitsEarlyStop]]: the
+    * [[sqlOrderPartHits]] chain to the round budget (all MATERIALIZED),
+    * the combined hub+auth residual per round (round 1's authority
+    * delta joins h0, the shared uniform start — the engine's
+    * `auth = hub` initialization), the stop round, and a CASE over the
+    * per-round vector pairs. */
+  def sqlOrderPartHitsEarlyStop(tolFp: Long = 3000000000L,
+                                maxIterations: Int = 8): String = {
+    val iters = (1 to maxIterations).map { k =>
+      s"""ar$k AS MATERIALIZED (
+         |  SELECT e.dst AS v, SUM(h.r) AS s
+         |  FROM e JOIN h${k - 1} h ON e.src = h.v WHERE h.r > 0 GROUP BY 1),
+         |at$k AS MATERIALIZED (SELECT SUM(s) AS t FROM ar$k),
+         |a$k AS MATERIALIZED (
+         |  SELECT n.v,
+         |    CAST(CASE WHEN COALESCE(t.t, 0) = 0 OR COALESCE(ar.s, 0) = 0
+         |      THEN 0 ELSE ar.s::HUGEINT * $Scale // t.t END AS BIGINT) AS r
+         |  FROM nodes n CROSS JOIN at$k t LEFT JOIN ar$k ar ON n.v = ar.v),
+         |hr$k AS MATERIALIZED (
+         |  SELECT e.src AS v, SUM(a.r) AS s
+         |  FROM e JOIN a$k a ON e.dst = a.v WHERE a.r > 0 GROUP BY 1),
+         |ht$k AS MATERIALIZED (SELECT SUM(s) AS t FROM hr$k),
+         |h$k AS MATERIALIZED (
+         |  SELECT n.v,
+         |    CAST(CASE WHEN COALESCE(t.t, 0) = 0 OR COALESCE(hr.s, 0) = 0
+         |      THEN 0 ELSE hr.s::HUGEINT * $Scale // t.t END AS BIGINT) AS r
+         |  FROM nodes n CROSS JOIN ht$k t LEFT JOIN hr$k hr ON n.v = hr.v)"""
+        .stripMargin
+    }.mkString(",\n")
+    val curve = (1 to maxIterations).map { k =>
+      val prevA = if (k == 1) "h0" else s"a${k - 1}"
+      s"""SELECT CAST($k AS BIGINT) AS round,
+         |  (SELECT CAST(SUM(ABS(x.r - y.r)) AS BIGINT)
+         |   FROM h$k x JOIN h${k - 1} y ON x.v = y.v) +
+         |  (SELECT CAST(SUM(ABS(x.r - y.r)) AS BIGINT)
+         |   FROM a$k x JOIN $prevA y ON x.v = y.v) AS l1""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val hubCases = (1 to maxIterations).map(k => s"WHEN $k THEN xh$k.r").mkString(" ")
+    val authCases = (1 to maxIterations).map(k => s"WHEN $k THEN xa$k.r").mkString(" ")
+    val joins = (1 to maxIterations)
+      .map(k => s"JOIN h$k xh$k ON n.v = xh$k.v JOIN a$k xa$k ON n.v = xa$k.v")
+      .mkString("\n|")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+       |  FROM lineitem),
+       |nodes AS MATERIALIZED (SELECT src AS v FROM e UNION SELECT dst FROM e),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |h0 AS MATERIALIZED (SELECT v, CAST($Scale // n AS BIGINT) AS r
+       |       FROM nodes CROSS JOIN nn),
+       |$iters,
+       |curve AS ($curve),
+       |stopr AS (SELECT CAST(COALESCE(MIN(round), $maxIterations) AS BIGINT) AS k
+       |          FROM curve WHERE l1 < $tolFp)
+       |SELECT CASE WHEN n.v % 2 = 0 THEN 'order' ELSE 'part' END AS kind,
+       |  CAST(n.v // 2 AS BIGINT) AS id,
+       |  CAST(CASE stopr.k $hubCases END AS BIGINT) AS hub_fp,
+       |  CAST(CASE stopr.k $authCases END AS BIGINT) AS auth_fp,
+       |  stopr.k AS stop_round
+       |FROM nodes n CROSS JOIN stopr
+       |$joins
+       |ORDER BY kind, id""".stripMargin
+  }
+
   /** Co-purchase part graph: parts sharing an order are linked (both
     * directions) — the symmetric projection of the order–part bipartite
     * graph. ONE exchange keyed by the order: `collect_set` gathers each
@@ -581,6 +870,24 @@ object PageRank {
   def copurchaseConvergence(lineitem: DataFrame,
                             iterations: Int = 10): DataFrame =
     convergence(copurchaseEdges(lineitem), "src", "dst", iterations)
+
+  /** `part_pagerank_earlystop` query (r13): [[ranksUntil]] on the
+    * standing co-purchase fixture — the F130 curve put to work. The
+    * default tolerance (10⁶ fp units = one millionth of the total rank
+    * mass) is crossed at round 7 of the registered 10 on the measured
+    * curve, so the loop ships three rounds early with a sub-tolerance
+    * residual. Output: (part_id, rank_fp, stop_round) — both the
+    * early-stopped VECTOR and the data-dependent stop round are
+    * hash-checked: the oracle replays the unrolled chain, derives the
+    * stop round from the same residual rule, and selects that round's
+    * vector. */
+  def copurchaseEarlyStop(lineitem: DataFrame, tolFp: Long = 1000000L,
+                          maxIterations: Int = 10): DataFrame = {
+    val (df, stop) = ranksUntil(copurchaseEdges(lineitem), "src", "dst",
+      tolFp, maxIterations)
+    df.select(col("node").as("part_id"), col("rank_fp"),
+      lit(stop.toLong).as("stop_round"))
+  }
 
   /** `trust_propagation` query: PageRank vs TrustRank vs spam mass on
     * the co-purchase part graph, seeds = part ids ≡ 0 (mod seedMod) —
@@ -716,5 +1023,53 @@ object PageRank {
        |r0 AS (SELECT v, CAST($Scale // n AS BIGINT) AS r FROM nodes CROSS JOIN nn),
        |$iters
        |SELECT v AS part_id, r AS rank_fp FROM r$iterations ORDER BY part_id""".stripMargin
+  }
+
+  /** DuckDB mirror of [[copurchaseEarlyStop]]: the unrolled chain (each
+    * round MATERIALIZED — every r_k is referenced three times here:
+    * next round, residual curve, final vector pick — the
+    * `order_part_hits` inlining lesson), the residual curve, the stop
+    * round as `MIN(round) WHERE l1 < tol` (falling back to the round
+    * budget, exactly the engine's loop exit), and a CASE over the
+    * per-round vectors to ship the stop round's ranks. */
+  def sqlCopurchaseEarlyStop(tolFp: Long = 1000000L, maxIterations: Int = 10,
+                             dampingPct: Int = 85): String = {
+    val iters = (1 to maxIterations).map { k =>
+      s"""r$k AS MATERIALIZED (
+         |  SELECT n.v AS v, CAST(tp.t + COALESCE(c.s, 0) AS BIGINT) AS r
+         |  FROM nodes n CROSS JOIN tp LEFT JOIN (
+         |    SELECT e.dst AS v,
+         |      CAST(SUM(r.r * $dampingPct // 100 // dg.d) AS BIGINT) AS s
+         |    FROM e JOIN r${k - 1} r ON e.src = r.v JOIN deg dg ON dg.src = e.src
+         |    GROUP BY 1) c ON n.v = c.v)""".stripMargin
+    }.mkString(",\n")
+    val curve = (1 to maxIterations).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS round,
+         |  CAST(SUM(ABS(a.r - b.r)) AS BIGINT) AS l1
+         |FROM r$k a JOIN r${k - 1} b ON a.v = b.v""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val cases = (1 to maxIterations).map(k => s"WHEN $k THEN x$k.r").mkString(" ")
+    val joins = (1 to maxIterations)
+      .map(k => s"JOIN r$k x$k ON n.v = x$k.v").mkString("\n|")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT a.p AS src, b.p AS dst
+       |  FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p),
+       |deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS v FROM e),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |tp AS (SELECT CAST($Scale * ${100 - dampingPct} // 100 // n AS BIGINT) AS t FROM nn),
+       |r0 AS MATERIALIZED (
+       |  SELECT v, CAST($Scale // n AS BIGINT) AS r FROM nodes CROSS JOIN nn),
+       |$iters,
+       |curve AS ($curve),
+       |stopr AS (SELECT CAST(COALESCE(MIN(round), $maxIterations) AS BIGINT) AS k
+       |          FROM curve WHERE l1 < $tolFp)
+       |SELECT n.v AS part_id,
+       |  CAST(CASE stopr.k $cases END AS BIGINT) AS rank_fp,
+       |  stopr.k AS stop_round
+       |FROM nodes n CROSS JOIN stopr
+       |$joins
+       |ORDER BY part_id""".stripMargin
   }
 }

@@ -70,6 +70,45 @@ class PageRankSpec extends SparkSpec {
     assert(got.last._2 < got.head._2 / 4, s"no decay: $got")
   }
 
+  test("early-stop variants are bit-identical to fixed rounds at the stop round (F137)") {
+    // The tolerance-mode contract: whatever round the residual rule
+    // stops at, the shipped vector equals the fixed-round run of
+    // exactly that length — the early stop changes WHEN you stop, never
+    // WHAT a round computes.
+    val base = sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L), (2L, 5L))
+    val (pr, kPr) = PageRank.ranksUntil(base, "src", "dst",
+      tolFp = 100000L, maxIterations = 40)
+    assert(kPr < 40, s"rank loop should converge in budget, stop=$kPr")
+    assert(pr.collect().toSeq ==
+      PageRank.ranks(base, "src", "dst", kPr).collect().toSeq)
+    // TrustRank face (same core, seeded teleport)
+    val seeds = Seq(1L).toDF("v")
+    val (tr, kTr) = PageRank.seededRanksUntil(base, "src", "dst", seeds, "v",
+      tolFp = 100000L, maxIterations = 40)
+    assert(kTr < 40)
+    assert(tr.collect().toSeq ==
+      PageRank.seededRanks(base, "src", "dst", seeds, "v", kTr).collect().toSeq)
+    // HITS on a directed bipartite graph (combined hub+auth residual)
+    val bip = Seq((2L, 1L), (2L, 3L), (4L, 1L), (4L, 5L), (6L, 5L))
+      .toDF("src", "dst")
+    val (h, kH) = PageRank.hitsUntil(bip, "src", "dst",
+      tolFp = 10000000L, maxIterations = 40)
+    assert(kH < 40)
+    assert(h.collect().toSeq ==
+      PageRank.hits(bip, "src", "dst", kH).collect().toSeq)
+    // LPA: zero churn (full settlement) on a two-triangle fixture — a
+    // 2-node component would oscillate forever under synchronous
+    // updates (the classic bipartite label swap), so both components
+    // are odd cycles that genuinely settle
+    val cliq = sym((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L))
+    val (lp, kL) = Lpa.labelPropagationUntil(cliq, "src", "dst",
+      maxChurn = 0L, maxRounds = 20)
+    assert(kL < 20)
+    assert(lp.collect().toSeq ==
+      Lpa.labelPropagation(cliq, "src", "dst", kL).collect().toSeq)
+  }
+
   test("copurchase edges symmetrize the order-part projection") {
     val li = Seq((100L, 1L), (100L, 2L), (100L, 2L), (101L, 2L), (101L, 3L),
         (102L, 9L))
