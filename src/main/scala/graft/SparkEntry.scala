@@ -1589,6 +1589,18 @@ object SparkEntry {
       FittedOracle.unigramStatsPieces = Some(pieces)
       graft.text.Unigram.encodeStats(docs, "doc_id", "text", pieces)
     }),
+    // F138 (r13, the verdict's #2): the PROMOTED soft fit — Kudo 2018's
+    // forward-backward E-step WITH §3.2 loss-ranked iterative pruning —
+    // as a production fit mode. Same encode, same printed-constants
+    // oracle replay; only the fitted table differs, which is the point:
+    // every downstream consumer is fit-mode-agnostic.
+    "unigram_encode_stats_soft" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pieces = graft.text.Unigram.fit(docs, "text", 400,
+        mode = graft.text.Unigram.SoftEm)
+      FittedOracle.unigramStatsSoftPieces = Some(pieces)
+      graft.text.Unigram.encodeStats(docs, "doc_id", "text", pieces)
+    }),
     // Greedy longest-match (WordPiece/MaxMatch encode family) over the
     // SAME fitted vocab (r11): its compression column against
     // unigram_encode_stats' measures what Viterbi buys.
@@ -1902,6 +1914,23 @@ object SparkEntry {
         .join(docs.select(col("doc_id").as("aid"), col("text")), Seq("aid"))
         .select(col("media_id"), col("text"))
       Multimodal.imageAhashPairsDecoded(Multimodal.pngMediaFromAnchors(anchored))
+    }),
+    // F139 (r13): the F124 move repeated for AUDIO — the planted-copy
+    // fixture rendered as real 256-sample PCM WAVs (deterministic u16
+    // samples from the anchor text), decoded back through
+    // javax.sound.sampled, block-averaged to a 64-bin amplitude grid,
+    // hashed, Hamming-joined. The oracle replays the PLANTED samples
+    // numerically, so a pass proves the JDK's WAV decode returned
+    // exactly the encoded frames; the stub remains only as the
+    // fallback for codecs the JDK can't read (MP3/AAC, and video).
+    "audio_ahash_real_pairs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val anchored = docs.filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id").as("media_id"),
+          (col("doc_id") - col("doc_id") % 15).as("aid"))
+        .join(docs.select(col("doc_id").as("aid"), col("text")), Seq("aid"))
+        .select(col("media_id"), col("text"))
+      Multimodal.audioAhashPairsDecoded(Multimodal.wavMediaFromAnchors(anchored))
     }),
     // ---- E1+E2 capstone (r12): the reference's WHOLE loop end-to-end ----
     // A Trigger.AvailableNow micro-batch crawl (each batch = one 6-hour
@@ -4153,6 +4182,7 @@ object SparkEntry {
     "media_embedding_knn" -> Multimodal.sqlMediaEmbeddingKnn(3),
     "image_ahash_pairs" -> Multimodal.sqlImageAhashPairs(3),
     "image_ahash_real_pairs" -> Multimodal.sqlImageAhashRealPairs(3),
+    "audio_ahash_real_pairs" -> Multimodal.sqlAudioAhashRealPairs(3),
     // crawl_then_dashboard: batch-equivalence — the streaming-grown sink
     // IS the one-shot distinct article set (each tick's re-crawls drop
     // in the sink-key anti-join), so the dashboard replays from

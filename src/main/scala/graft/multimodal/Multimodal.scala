@@ -8,13 +8,17 @@ import org.apache.spark.sql.functions._
   * typed metadata, and per-media compute runs as partition-local typed
   * transformations.
   *
-  * Codec status (r12): IMAGE DECODE IS REAL — [[imageAhashDecoded]]
+  * Codec status (r13): IMAGE DECODE IS REAL — [[imageAhashDecoded]]
   * decodes PNG/BMP/GIF/JPEG through the JDK's own `javax.imageio`
   * registry (no new dependency) and falls back to the deterministic
   * stub only for formats the JDK can't read, with the
   * `image_ahash_real_pairs` gate checking real decoded pixels
-  * end-to-end. Audio/video decode REMAINS STUBBED — this container has
-  * no such libraries — so those features derive deterministically from
+  * end-to-end. AUDIO PCM DECODE IS REAL TOO (r13) —
+  * [[audioAhashDecoded]] decodes WAV/AIFF/AU through the JDK's
+  * `javax.sound.sampled` registry with the same fallback contract and
+  * the `audio_ahash_real_pairs` gate checking real decoded frames;
+  * compressed audio (MP3/AAC) and ALL video decode REMAIN STUBBED —
+  * this container has no such codecs — deriving deterministically from
   * payload bytes (clearly marked below). Everything AROUND the stubs is
   * the real engineering and is tested: the schema, the
   * `Dataset[T]`/`mapPartitions` batch shape (one codec instance per
@@ -391,6 +395,183 @@ object Multimodal {
        |    CAST(SUM(CASE WHEN g.gray > m.mean THEN
        |      CASE WHEN g.i = 0 THEN -9223372036854775807 - 1
        |           ELSE CAST(1 AS BIGINT) << CAST(63 - g.i AS INTEGER) END
+       |      ELSE 0 END) AS BIGINT) AS sh
+       |  FROM g JOIN m USING (media_id) GROUP BY 1),
+       |p AS (
+       |  SELECT a.media_id AS id_a, b.media_id AS id_b,
+       |    CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+       |  FROM sig a JOIN sig b ON a.media_id < b.media_id)
+       |SELECT id_a, id_b, hamming FROM p WHERE hamming <= $maxDist
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ------------------------------------------------ real audio path (r13)
+
+  /** Sample count of the planted WAV fixture — 64 blocks of 4. */
+  private val WavSamples = 256
+
+  /** Decode `data` with the JDK's OWN audio registry
+    * (`javax.sound.sampled` — WAV/AIFF/AU PCM readers ship in every
+    * JRE; zero new dependencies, the F124 move repeated for audio) and
+    * reduce the signed 16-bit mono PCM stream to a 64-block unsigned
+    * amplitude grid: u_i = sample_i + 32768 ∈ [0, 65535], block value =
+    * block-sum / block-frame-count (integer area average over exact
+    * `⌊k·n∕64⌋` boundaries — the [[decodeGray8]] discipline on a 1-D
+    * signal). `None` when no registered reader accepts the bytes, the
+    * decoded format is not 16-bit signed mono PCM, or fewer than 64
+    * frames decode — the caller falls back to the deterministic stub,
+    * keeping the operator TOTAL on formats the JDK can't read
+    * (compressed codecs stay env-blocked and loudly documented). */
+  private[multimodal] def decodeAudio64(data: Array[Byte]): Option[Array[Long]] = {
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(data))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => null
+        case _: java.io.IOException => null
+      }
+    if (ais == null) None
+    else {
+      val fmt = ais.getFormat
+      if (fmt.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) {
+        ais.close(); None
+      } else {
+        val bytes = ais.readAllBytes()
+        ais.close()
+        val n = bytes.length / 2
+        if (n < 64) None
+        else {
+          val big = fmt.isBigEndian
+          val u = new Array[Long](n)
+          var i = 0
+          while (i < n) {
+            val b0 = bytes(2 * i) & 0xff
+            val b1 = bytes(2 * i + 1) & 0xff
+            val s = (if (big) (b0 << 8) | b1 else (b1 << 8) | b0).toShort
+            u(i) = s.toLong + 32768L
+            i += 1
+          }
+          val out = new Array[Long](64)
+          var b = 0
+          while (b < 64) {
+            val i0 = b * n / 64
+            val i1 = (b + 1) * n / 64
+            var sum = 0L
+            var c = 0L
+            var j = i0
+            while (j < i1) { sum += u(j); c += 1; j += 1 }
+            out(b) = sum / c
+            b += 1
+          }
+          Some(out)
+        }
+      }
+    }
+  }
+
+  /** aHash-style audio fingerprint over REAL decoded samples where the
+    * JDK can decode the payload, the deterministic stub elsewhere — the
+    * [[imageAhashDecoded]] contract for the audio column: block
+    * amplitudes thresholded at their mean, MSB-first 64-bit pack, so
+    * re-containered copies of a clip land at Hamming 0 and the banded
+    * Hamming join dedups audio exactly like images and text. Payloads
+    * never shuffle; only (id, 8-byte hash) rows leave the scan. */
+  def audioAhashDecoded(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "audio")
+      .select("media_id", "kind", "data").as[MediaRow]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { m =>
+          val g = decodeAudio64(m.data).getOrElse(stubGray64(md, m.data))
+          (m.media_id, packAhash(g))
+        }
+      }
+      .toDF("media_id", "sh")
+  }
+
+  /** Near-dup audio pairs over [[audioAhashDecoded]] —
+    * `audio_ahash_real_pairs` query (real-codec arm on its WAV
+    * fixture). */
+  def audioAhashPairsDecoded(media: DataFrame, maxDist: Int = 3): DataFrame =
+    graft.dedup.Dedup.hammingPairs(
+      audioAhashDecoded(media).select(col("media_id").as("id"), col("sh")),
+      maxDist)
+
+  /** Deterministic 256-sample WAV per row of `anchored(media_id, text)`
+    * — the ENCODE half of the audio roundtrip ([[pngMediaFromAnchors]]
+    * for sound): sample i carries the unsigned 16-bit value
+    * u16(md5(text ∥ ":s" ∥ i)[0..1]) stored signed as u − 32768 in
+    * 16-bit little-endian mono PCM at 8 kHz, written through
+    * `AudioSystem.write` into real WAVE container bytes. DuckDB replays
+    * the planted u16s numerically, so the oracle checks the REAL
+    * `javax.sound.sampled` decode end-to-end (encode → WAV bytes →
+    * decode → block average → hash) without ever decoding in SQL. */
+  def wavMediaFromAnchors(anchored: DataFrame): DataFrame = {
+    val spark = anchored.sparkSession
+    import spark.implicits._
+    anchored.select(col("media_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, text) =>
+          val pcm = new Array[Byte](WavSamples * 2)
+          var i = 0
+          while (i < WavSamples) {
+            md.reset()
+            md.update((text + ":s" + i)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            val h = md.digest()
+            val u = ((h(0) & 0xff) << 8) | (h(1) & 0xff)
+            val s = u - 32768
+            pcm(2 * i) = (s & 0xff).toByte
+            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(
+            8000f, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, WavSamples.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          (id, "audio", bos.toByteArray)
+        }
+      }
+      .toDF("media_id", "kind", "data")
+  }
+
+  /** DuckDB mirror of the real-audio pipeline over the WAV fixture:
+    * the 256 planted u16 samples replay from the md5 prefix, the
+    * 4-sample block average is exact integer arithmetic, then the
+    * shared mean/pack/Hamming tail. A pass proves the JDK's WAV decode
+    * returned EXACTLY the planted PCM frames — any header
+    * misalignment, endianness slip, or sample-width coercion would
+    * flip hash bits and fail the gate. Audio ids are the
+    * `doc_id ≡ 1 (mod 3)` rows of the standing media fixture, carrying
+    * their 15-id block anchor's clip (the re-containered-copy case). */
+  def sqlAudioAhashRealPairs(maxDist: Int): String =
+    s"""WITH aud AS (
+       |  SELECT d.doc_id AS media_id, a.text AS text
+       |  FROM documents d
+       |  JOIN documents a ON a.doc_id = d.doc_id - (d.doc_id % 15)
+       |  WHERE d.doc_id % 3 = 1),
+       |px AS (
+       |  SELECT media_id, pp.i AS i,
+       |    CAST(('0x' || substring(md5(text || ':s' || pp.i), 1, 4))::UBIGINT
+       |      AS BIGINT) AS u
+       |  FROM aud CROSS JOIN (SELECT UNNEST(range(0, $WavSamples)) AS i) pp),
+       |g AS (
+       |  SELECT media_id, i // 4 AS bi, SUM(u) // 4 AS gray
+       |  FROM px GROUP BY media_id, i // 4),
+       |m AS (SELECT media_id, SUM(gray) // 64 AS mean FROM g GROUP BY 1),
+       |sig AS (
+       |  SELECT g.media_id,
+       |    CAST(SUM(CASE WHEN g.gray > m.mean THEN
+       |      CASE WHEN g.bi = 0 THEN -9223372036854775807 - 1
+       |           ELSE CAST(1 AS BIGINT) << CAST(63 - g.bi AS INTEGER) END
        |      ELSE 0 END) AS BIGINT) AS sh
        |  FROM g JOIN m USING (media_id) GROUP BY 1),
        |p AS (

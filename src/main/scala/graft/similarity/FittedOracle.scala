@@ -64,6 +64,9 @@ object FittedOracle {
   // fitted tables into one oracle.
   @volatile var unigramDivHard: Option[Seq[(String, Long)]] = None
   @volatile var unigramDivSoft: Option[Seq[(String, Long)]] = None
+  // Promoted production soft fit (r13): loss-ranked-pruned Kudo table —
+  // the encode replay is fit-mode-agnostic, same printed-constants path.
+  @volatile var unigramStatsSoftPieces: Option[Seq[(String, Long)]] = None
 
   /** Exact decimal print: Java's shortest round-trip representation, which
     * DuckDB's parser maps back to the same double (scientific notation
@@ -157,6 +160,8 @@ object FittedOracle {
         "bpe_fertility" -> graft.text.Bpe.sqlFertilityByLang(m)) ++
       unigramStatsPieces.filter(_.nonEmpty).map(p =>
         "unigram_encode_stats" -> graft.text.Unigram.sqlEncodeStats(p)) ++
+      unigramStatsSoftPieces.filter(_.nonEmpty).map(p =>
+        "unigram_encode_stats_soft" -> graft.text.Unigram.sqlEncodeStats(p)) ++
       unigramFertilityPieces.filter(_.nonEmpty).map(p =>
         "unigram_fertility" -> graft.text.Unigram.sqlFertilityByLang(p)) ++
       unigramPackPieces.filter(_.nonEmpty).map(p =>

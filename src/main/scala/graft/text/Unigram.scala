@@ -466,6 +466,142 @@ object Unigram {
     fitOnDictSoft(Bpe.wordDict(docs, textCol, maxVocabWords), vocabSize,
       maxPieceLen, emRounds, seedSize)
 
+  // ------------------------------------ promoted soft path (r13, F138)
+
+  /** Best ALTERNATIVE segmentation log-prob of piece `p` — the Viterbi
+    * DP over `p`'s characters using every vocab entry EXCEPT `p`
+    * itself. Finite whenever single-character coverage holds (the char
+    * floor guarantees it), so every multi-char piece has a well-defined
+    * removal cost. */
+  private def altSegLogProb(p: String, lp: collection.Map[String, Double],
+                            maxLen: Int): Double = {
+    val L = p.length
+    val dp = Array.fill(L + 1)(Double.NegativeInfinity)
+    dp(0) = 0.0
+    var pos = 1
+    while (pos <= L) {
+      var k = 1
+      val kMax = math.min(maxLen, pos)
+      while (k <= kMax) {
+        // the piece itself spans [0, L) exactly once — skip that arc
+        if (!(pos == L && k == L)) {
+          val sub = p.substring(pos - k, pos)
+          val c = lp.get(sub) match {
+            case Some(v) => v
+            case None => if (k == 1) UnkLog else Double.NegativeInfinity
+          }
+          if (c != Double.NegativeInfinity &&
+            dp(pos - k) != Double.NegativeInfinity &&
+            dp(pos - k) + c > dp(pos)) dp(pos) = dp(pos - k) + c
+        }
+        k += 1
+      }
+      pos += 1
+    }
+    dp(L)
+  }
+
+  /** The PRODUCTION soft fit (Kudo 2018 §3.2 in full): soft-EM rounds
+    * over the seed vocabulary, then ITERATIVE LOSS-RANKED pruning — per
+    * prune step, each multi-char piece's removal loss is its expected
+    * count times (its own log-prob minus its best alternative
+    * segmentation by the remaining vocab), i.e. exactly how much corpus
+    * log-likelihood dies if its occurrences re-segment without it; the
+    * lowest-loss quarter drops (never below the target), one soft-EM
+    * round re-estimates, repeat until the vocab budget is met. This is
+    * the piece Kudo's trainer runs that the F123 audit fit
+    * ([[fitOnDictSoft]]) deliberately omitted — that audit isolates the
+    * E-step delta under a SHARED count prune and keeps its contract;
+    * this path is the promoted production fit the r12 verdict asked
+    * for. Deterministic like the audit fit: dictionary-order
+    * accumulation, sorted-piece totals, loss ties broken by piece asc,
+    * micro-nat floor at print. */
+  private[text] def fitOnDictSoftPruned(dict: Array[(String, Long)],
+                                        vocabSize: Int,
+                                        maxPieceLen: Int = 6,
+                                        emRounds: Int = 3,
+                                        seedSize: Int = 2000,
+                                        keepPct: Int = 75): Seq[(String, Long)] = {
+    require(keepPct > 0 && keepPct < 100, "keepPct is a percentage")
+    val cnt = seedCounts(dict, maxPieceLen)
+    if (cnt.isEmpty) return Seq.empty
+    var counts: Map[String, Double] =
+      seedVocab(cnt, seedSize).iterator.map(p => p -> cnt(p).toDouble).toMap
+    def sortedTotal(c: Map[String, Double]): Double =
+      c.toIndexedSeq.sortBy(_._1).iterator.map(_._2).sum
+    def toLogProbs(c: Map[String, Double]): Map[String, Double] = {
+      val tot = sortedTotal(c)
+      c.map { case (p, n) => p -> math.log(n / tot) }
+    }
+    def emRound(lp0: Map[String, Double],
+                c0: Map[String, Double]): Map[String, Double] = {
+      val exp = mutable.HashMap.empty[String, Double]
+      dict.foreach { case (w, n) => addExpectedCounts(w, n, lp0, maxPieceLen, exp) }
+      c0.keysIterator.map { p =>
+        val c = exp.getOrElse(p, 0.0)
+        p -> (if (p.length == 1) math.max(c, 1.0) else c)
+      }.filter(_._2 > 0.0).toMap
+    }
+    var round = 0
+    while (round < emRounds) {
+      counts = emRound(toLogProbs(counts), counts)
+      round += 1
+    }
+    // Loss-ranked prune loop: shrink the multi-char tail toward the
+    // budget, re-estimating between steps so later losses see the
+    // re-segmented probability mass.
+    val nChars = counts.keysIterator.count(_.length == 1)
+    val targetMulti = math.max(0, vocabSize - nChars)
+    var multi = counts.keysIterator.count(_.length > 1)
+    while (multi > targetMulti) {
+      val lp = toLogProbs(counts)
+      val keepN = math.max(targetMulti, multi * keepPct / 100)
+      val kept = counts.iterator.filter(_._1.length > 1).toIndexedSeq
+        .map { case (p, c) =>
+          val loss = c * (lp(p) - altSegLogProb(p, lp, maxPieceLen))
+          (p, loss)
+        }
+        .sortBy { case (p, loss) => (-loss, p) }
+        .take(keepN).iterator.map(_._1).toSet
+      counts = counts.filter { case (p, _) => p.length == 1 || kept(p) }
+      counts = emRound(toLogProbs(counts), counts)
+      multi = counts.keysIterator.count(_.length > 1)
+    }
+    val tot = sortedTotal(counts)
+    counts.iterator
+      .map { case (p, c) => p -> math.floor(math.log(c / tot) * 1e6).toLong }
+      .toIndexedSeq.sortBy(_._1)
+  }
+
+  /** [[fitOnDictSoftPruned]] over the bounded dictionary. */
+  def fitPiecesSoftPruned(docs: DataFrame, textCol: String, vocabSize: Int,
+                          maxPieceLen: Int = 6, emRounds: Int = 3,
+                          seedSize: Int = 2000, keepPct: Int = 75,
+                          maxVocabWords: Int = 100000): Seq[(String, Long)] =
+    fitOnDictSoftPruned(Bpe.wordDict(docs, textCol, maxVocabWords), vocabSize,
+      maxPieceLen, emRounds, seedSize, keepPct)
+
+  /** Fit-mode switch for the production unigram path (r13): `HardEm` is
+    * the established Viterbi-EM fit ([[fitPieces]]); `SoftEm` is the
+    * Kudo-faithful forward-backward fit with loss-ranked pruning
+    * ([[fitPiecesSoftPruned]]). Both produce the same (piece, micro-nat
+    * log-prob) table shape, so every downstream consumer — Viterbi and
+    * MaxMatch coders, packing, fertility — is fit-mode-agnostic. */
+  sealed trait FitMode
+  case object HardEm extends FitMode
+  case object SoftEm extends FitMode
+
+  /** The production fit entry: one knob selects the E-step family. */
+  def fit(docs: DataFrame, textCol: String, vocabSize: Int,
+          maxPieceLen: Int = 6, emRounds: Int = 3, seedSize: Int = 2000,
+          maxVocabWords: Int = 100000,
+          mode: FitMode = HardEm): Seq[(String, Long)] = mode match {
+    case HardEm => fitPieces(docs, textCol, vocabSize, maxPieceLen,
+      emRounds, seedSize, maxVocabWords)
+    case SoftEm => fitPiecesSoftPruned(docs, textCol, vocabSize, maxPieceLen,
+      emRounds, seedSize, maxVocabWords = maxVocabWords)
+  }
+
   private def pieceUdf(docs: DataFrame, pieces: Seq[(String, Long)],
                        maxPieceLen: Int) = {
     val bc = docs.sparkSession.sparkContext.broadcast(pieces.toMap)

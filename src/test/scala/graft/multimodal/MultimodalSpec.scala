@@ -163,6 +163,79 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.contains((3L, 6L, 0L)), s"planted copy must pair: ${pairs.toSeq}")
   }
 
+  test("decodeAudio64: WAV roundtrips the planted samples exactly (F139)") {
+    // 256 samples, sample i carries u16 = (i * 181) mod 65536 — every
+    // 4-sample block average is hand-computable
+    def wav(big: Boolean): Array[Byte] = {
+      val pcm = new Array[Byte](512)
+      for (i <- 0 until 256) {
+        val s = ((i * 181) % 65536) - 32768
+        if (big) {
+          pcm(2 * i) = ((s >> 8) & 0xff).toByte
+          pcm(2 * i + 1) = (s & 0xff).toByte
+        } else {
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        }
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, big)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 256L)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val expected = Array.tabulate(64) { b =>
+      (0 until 4).map(j => ((4 * b + j) * 181L) % 65536L).sum / 4
+    }
+    // WAVE is little-endian on disk; both source endiannesses must
+    // decode to the same planted samples
+    for (big <- Seq(false, true)) {
+      val got = Multimodal.decodeAudio64(wav(big))
+      assert(got.isDefined, s"wav(big=$big) must decode")
+      assert(got.get.toSeq == expected.toSeq, s"sample roundtrip big=$big")
+    }
+    // undecodable bytes and sub-64-frame clips fall back (None)
+    assert(Multimodal.decodeAudio64("not audio".getBytes("UTF-8")).isEmpty)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val shortAis = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](40)), fmt, 20L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(shortAis,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    assert(Multimodal.decodeAudio64(bos.toByteArray).isEmpty,
+      "sub-64-frame clips are out of the grid's contract")
+  }
+
+  test("audioAhashDecoded: stub fallback equals the stub arithmetic; real copies pair (F139)") {
+    // text payloads are undecodable -> the decoded audio operator must
+    // fall back to EXACTLY the signatures the stub column path computes
+    // (relabel the same payloads as images to read the stub's answer)
+    val m = Multimodal.mediaFromDocuments(
+      Seq((1L, "same clip"), (4L, "same clip"), (7L, "other clip"))
+        .toDF("doc_id", "text"))
+    val stub = Multimodal.imageAhash(m.withColumn("kind", lit("image")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dec = Multimodal.audioAhashDecoded(m).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dec == stub, "fallback arm must be bit-identical to the stub arithmetic")
+    // real WAVs from anchors: same text -> identical samples -> hamming 0
+    val wavs = Multimodal.wavMediaFromAnchors(
+      Seq((1L, "block anchor text"), (4L, "block anchor text"),
+        (7L, "a different clip")).toDF("media_id", "text"))
+    val rows = wavs.collect()
+    assert(rows.forall(r => {
+      val b = r.getAs[Array[Byte]]("data")
+      // RIFF....WAVE magic: the payloads really are WAV containers
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+    }))
+    val pairs = Multimodal.audioAhashPairsDecoded(wavs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.contains((1L, 4L, 0L)), s"planted copy must pair: ${pairs.toSeq}")
+  }
+
   test("hammingPairs banding is LOSSLESS at maxDist <= 3: random sigs == brute force (r10)") {
     // The pigeonhole claim both modalities lean on: 4 chunks, <= 3
     // differing bits => some 16-bit chunk is untouched, so the banded

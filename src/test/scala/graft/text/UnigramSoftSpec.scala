@@ -45,6 +45,38 @@ class UnigramSoftSpec extends SparkSpec {
     }
   }
 
+  test("loss-ranked prune: a piece with no alternative value drops first (F138)") {
+    // "xy" appears only inside "xyz"-family words where "xy" decomposes
+    // into cheap singles, while "qu" always rides high-count words whose
+    // alternative (q + u, both rare) is expensive — so under Kudo's
+    // removal-loss ranking "qu" MUST outrank "xy" whenever both carry
+    // mass. The dict spans 11 distinct characters (always kept), so a
+    // 12-piece budget admits exactly ONE multi-char survivor.
+    val dict = Array(("quite", 50L), ("quick", 50L), ("xyaaa", 2L), ("xybbb", 1L))
+    val pruned = Unigram.fitOnDictSoftPruned(dict, vocabSize = 12,
+      maxPieceLen = 2, emRounds = 2, seedSize = 60)
+    val multi = pruned.map(_._1).filter(_.length > 1)
+    val chars = dict.flatMap(_._1.toSeq).distinct.map(_.toString).toSet
+    assert(chars.forall(c => pruned.exists(_._1 == c)), "char coverage")
+    assert(multi == Seq("qu"),
+      s"loss ranking must keep the irreplaceable piece, kept: $multi")
+  }
+
+  test("promoted fit mode: SoftEm == the loss-pruned path; budget respected (F138)") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val viaMode = Unigram.fit(docs, "text", 400, mode = Unigram.SoftEm)
+    val direct = Unigram.fitPiecesSoftPruned(docs, "text", 400)
+    assert(viaMode == direct, "the mode switch must be a pure dispatch")
+    assert(viaMode.size <= 400, s"vocab budget: ${viaMode.size}")
+    val hard = Unigram.fit(docs, "text", 400) // default HardEm
+    assert(hard == Unigram.fitPieces(docs, "text", 400))
+    // the promoted soft fit retains more of the requested budget than
+    // the hard fit's implicitly-aggressive Viterbi pruning (the F123
+    // finding the promotion answers)
+    assert(viaMode.size >= hard.size,
+      s"soft=${viaMode.size} hard=${hard.size}")
+  }
+
   test("hard vs soft fit on the sf0.001 dictionary: overlap pinned") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val hard = Unigram.fitPieces(docs, "text", 400).map(_._1).toSet

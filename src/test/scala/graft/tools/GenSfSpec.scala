@@ -45,6 +45,32 @@ class GenSfSpec extends SparkSpec {
     assert(a == b, "generation must be deterministic")
   }
 
+  test("seeded protocol: same seed regenerates byte-exact, new seed redraws (r13)") {
+    // The BASELINE.md scale tables are regenerable from their recorded
+    // (seed, multiplier) pairs alone — the contract is (1) an explicit
+    // seed reproduces the default-seed corpus exactly when equal, and
+    // (2) a different seed is a genuinely fresh draw of the SAME
+    // process (marginals hold, rows differ).
+    import org.apache.spark.sql.functions._
+    val same = java.nio.file.Files.createTempDirectory("gensf_seed42").toString
+    GenSf.generate(spark, same, 0.1, seed = GenSf.DefaultSeed)
+    val a = spark.read.parquet(s"$dir/documents.parquet")
+      .orderBy("doc_id").collect().toSeq
+    val b = spark.read.parquet(s"$same/documents.parquet")
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b, "explicit default seed must reproduce the corpus byte-exact")
+    val fresh = java.nio.file.Files.createTempDirectory("gensf_seed7").toString
+    GenSf.generate(spark, fresh, 0.1, seed = 7L)
+    val c = spark.read.parquet(s"$fresh/documents.parquet")
+    assert(c.count() == 500, "sizes are seed-invariant")
+    val cRows = c.orderBy("doc_id").collect().toSeq
+    assert(cRows != a, "a different seed must redraw the rows")
+    val langs = c.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(langs.keySet == Set("en", "de", "es", "fr", "zh"),
+      "marginal process is seed-invariant")
+  }
+
   test("lineitem: Poisson line counts, uniform marginals in range") {
     import org.apache.spark.sql.functions._
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
