@@ -1923,6 +1923,23 @@ object SparkEntry {
     // numerically, so a pass proves the JDK's WAV decode returned
     // exactly the encoded frames; the stub remains only as the
     // fallback for codecs the JDK can't read (MP3/AAC, and video).
+    // F140 (r13): REAL image resize — the planted 16x16 PNGs downscaled
+    // to 8x8 by exact per-channel integer area averaging (pure JDK, no
+    // implementation-defined filtering), re-encoded lossless, decoded
+    // BACK, and emitted pixel by pixel. The oracle computes the 2x2
+    // block means numerically from the planted grays, so the hash gate
+    // proves the whole encode->decode->resize->encode->decode chain is
+    // bit-exact; the byte-decimation stub remains only as the fallback
+    // arm for undecodable payloads.
+    "image_resize_real" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val anchored = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("media_id"),
+          (col("doc_id") - col("doc_id") % 15).as("aid"))
+        .join(docs.select(col("doc_id").as("aid"), col("text")), Seq("aid"))
+        .select(col("media_id"), col("text"))
+      Multimodal.imageResizeReal(anchored)
+    }),
     "audio_ahash_real_pairs" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val anchored = docs.filter(col("doc_id") % 3 === 1)
@@ -4183,6 +4200,7 @@ object SparkEntry {
     "image_ahash_pairs" -> Multimodal.sqlImageAhashPairs(3),
     "image_ahash_real_pairs" -> Multimodal.sqlImageAhashRealPairs(3),
     "audio_ahash_real_pairs" -> Multimodal.sqlAudioAhashRealPairs(3),
+    "image_resize_real" -> Multimodal.sqlImageResizeReal,
     // crawl_then_dashboard: batch-equivalence — the streaming-grown sink
     // IS the one-shot distinct article set (each tick's re-crawls drop
     // in the sink-key anti-join), so the dashboard replays from

@@ -404,6 +404,144 @@ object Multimodal {
        |SELECT id_a, id_b, hamming FROM p WHERE hamming <= $maxDist
        |ORDER BY id_a, id_b""".stripMargin
 
+  // ------------------------------------------------ real resize path (r13)
+
+  /** REAL image downscale (F140, the F124 move for the resize kernel):
+    * per output pixel, the integer area average of its exact
+    * `⌊k·dim∕n⌋`-bounded source block, computed per RGB channel — the
+    * same arithmetic [[decodeGray8]] proved bit-exact, generalized to
+    * color and an arbitrary target grid. Pure JDK: decode through the
+    * `javax.imageio` registry, averaged in plain long arithmetic (no
+    * `getScaledInstance`/`AffineTransform` — their filtering is
+    * implementation-defined, which would break cross-engine replay),
+    * re-encoded as lossless PNG. `None` when the payload doesn't decode
+    * or is smaller than the target grid — callers keep the
+    * deterministic stub for those rows (the retained-stub contract). */
+  private[multimodal] def resizeRgb(data: Array[Byte], w: Int,
+                                    h: Int): Option[Array[Byte]] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+      catch { case _: java.io.IOException => null; case _: RuntimeException => null }
+    if (img == null || img.getWidth < w || img.getHeight < h) None
+    else {
+      val sw = img.getWidth
+      val sh = img.getHeight
+      val out = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var oy = 0
+      while (oy < h) {
+        val y0 = oy * sh / h
+        val y1 = (oy + 1) * sh / h
+        var ox = 0
+        while (ox < w) {
+          val x0 = ox * sw / w
+          val x1 = (ox + 1) * sw / w
+          var sr = 0L; var sg = 0L; var sb = 0L; var n = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff
+              sg += (rgb >> 8) & 0xff
+              sb += rgb & 0xff
+              n += 1
+              x += 1
+            }
+            y += 1
+          }
+          out.setRGB(ox, oy,
+            (((sr / n).toInt) << 16) | (((sg / n).toInt) << 8) | (sb / n).toInt)
+          ox += 1
+        }
+        oy += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      Some(bos.toByteArray)
+    }
+  }
+
+  /** Dimension-targeted image resize over REAL decoded pixels where the
+    * JDK can decode, the byte-decimation stub elsewhere — the
+    * production face of [[resize]] (which remains the stub operator the
+    * stub fixtures pin). Output carries both payloads' byte sizes plus
+    * a decoded flag so callers can audit the arm split. */
+  def resizeImagesDecoded(media: DataFrame, targetW: Int = 8,
+                          targetH: Int = 8,
+                          stubTargetBytes: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "data").as[MediaRow]
+      .filter(_.kind == "image")
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { m =>
+          resizeRgb(m.data, targetW, targetH) match {
+            case Some(png) =>
+              (m.media_id, m.kind, m.data.length.toLong, png.length.toLong,
+                1, png)
+            case None =>
+              val n = m.data.length
+              val resized =
+                if (n <= stubTargetBytes) m.data
+                else {
+                  val step = math.max(1, n / stubTargetBytes)
+                  m.data.indices.collect { case i if i % step == 0 => m.data(i) }
+                    .take(stubTargetBytes).toArray
+                }
+              (m.media_id, m.kind, n.toLong, resized.length.toLong, 0, resized)
+          }
+        }
+      }
+      .toDF("media_id", "kind", "orig_bytes", "resized_bytes", "decoded", "data")
+  }
+
+  /** `image_resize_real` query: the planted-PNG fixture resized 16×16 →
+    * 8×8 through [[resizeImagesDecoded]], then the OUTPUT PNGs decoded
+    * BACK engine-side ([[decodeGray8]] — on an 8×8 image its blocks are
+    * single pixels) and emitted as (media_id, pix_idx, gray) rows. The
+    * oracle replays the planted 16×16 grays numerically and takes the
+    * exact 2×2 integer block means, so a hash match proves the WHOLE
+    * chain — encode → PNG → decode → area-average resize → re-encode →
+    * re-decode — returned exactly the arithmetic pixels (any lossy or
+    * color-managed step anywhere would shift a mean). */
+  def imageResizeReal(anchored: DataFrame): DataFrame = {
+    val spark = anchored.sparkSession
+    import spark.implicits._
+    resizeImagesDecoded(pngMediaFromAnchors(anchored), 8, 8)
+      .select("media_id", "data").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { case (id, png) =>
+          decodeGray8(png).iterator.flatMap { g =>
+            g.iterator.zipWithIndex.map { case (v, i) => (id, i.toLong, v) }
+          }
+        }
+      }
+      .toDF("media_id", "pix_idx", "gray")
+      .orderBy(col("media_id"), col("pix_idx"))
+  }
+
+  /** DuckDB mirror of [[imageResizeReal]] — planted grays, 2×2 integer
+    * block means, one row per resized pixel. */
+  def sqlImageResizeReal: String =
+    s"""WITH img AS (
+       |  SELECT d.doc_id AS media_id, a.text AS text
+       |  FROM documents d
+       |  JOIN documents a ON a.doc_id = d.doc_id - (d.doc_id % 15)
+       |  WHERE d.doc_id % 3 = 0),
+       |px AS (
+       |  SELECT media_id, pp.i AS i,
+       |    CAST(('0x' || substring(md5(text || ':q' || pp.i), 1, 2))::UBIGINT
+       |      AS BIGINT) AS gray
+       |  FROM img CROSS JOIN (SELECT UNNEST(range(0, 256)) AS i) pp)
+       |SELECT media_id,
+       |  ((i // 16) // 2) * 8 + (i % 16) // 2 AS pix_idx,
+       |  CAST(SUM(gray) // 4 AS BIGINT) AS gray
+       |FROM px GROUP BY media_id, ((i // 16) // 2) * 8 + (i % 16) // 2
+       |ORDER BY media_id, pix_idx""".stripMargin
+
   // ------------------------------------------------ real audio path (r13)
 
   /** Sample count of the planted WAV fixture — 64 blocks of 4. */

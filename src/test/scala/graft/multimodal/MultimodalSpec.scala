@@ -163,6 +163,45 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.contains((3L, 6L, 0L)), s"planted copy must pair: ${pairs.toSeq}")
   }
 
+  test("resizeRgb: exact per-channel area averages; fallback arm equals the stub (F140)") {
+    // 16x16 with distinct per-channel gradients — every 2x2 block mean
+    // is hand-computable per channel
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.setRGB(x, y, ((x * 16) << 16) | ((y * 16) << 8) | ((x + y) * 8))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val out = Multimodal.resizeRgb(bos.toByteArray, 8, 8)
+    assert(out.isDefined)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.get))
+    assert(back.getWidth == 8 && back.getHeight == 8)
+    for (oy <- 0 until 8; ox <- 0 until 8) {
+      val rgb = back.getRGB(ox, oy)
+      def mean(f: (Int, Int) => Int) =
+        (f(2 * ox, 2 * oy) + f(2 * ox + 1, 2 * oy) +
+          f(2 * ox, 2 * oy + 1) + f(2 * ox + 1, 2 * oy + 1)) / 4
+      assert(((rgb >> 16) & 0xff) == mean((x, _) => x * 16), s"r at $ox,$oy")
+      assert(((rgb >> 8) & 0xff) == mean((_, y) => y * 16), s"g at $ox,$oy")
+      assert((rgb & 0xff) == mean((x, y) => (x + y) * 8), s"b at $ox,$oy")
+    }
+    // undecodable and sub-grid payloads refuse (stub arm takes over)
+    assert(Multimodal.resizeRgb("not an image".getBytes("UTF-8"), 8, 8).isEmpty)
+    // the operator's fallback arm must equal the stub operator's
+    // byte-decimation on the same undecodable payloads
+    val m = Multimodal.mediaFromDocuments(
+      Seq((3L, "some text payload standing in for bytes"), (6L, "tiny"))
+        .toDF("doc_id", "text"))
+    val stub = Multimodal.resize(m, 64).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("data").toSeq).toMap
+    val dec = Multimodal.resizeImagesDecoded(m, 8, 8, 64).collect()
+      .map(r => (r.getLong(0), r.getInt(4), r.getAs[Array[Byte]]("data").toSeq))
+    assert(dec.forall(_._2 == 0), "text payloads must take the stub arm")
+    assert(dec.map(t => t._1 -> t._3).toMap == stub,
+      "fallback arm must be bit-identical to the stub operator")
+  }
+
   test("decodeAudio64: WAV roundtrips the planted samples exactly (F139)") {
     // 256 samples, sample i carries u16 = (i * 181) mod 65536 — every
     // 4-sample block average is hand-computable
