@@ -1915,6 +1915,22 @@ object SparkEntry {
         .select(col("media_id"), col("text"))
       Multimodal.imageAhashPairsDecoded(Multimodal.pngMediaFromAnchors(anchored))
     }),
+    // F141 (r13): REAL multi-frame demux — animated GIF is the one
+    // frame-sequence container the JDK ships a codec for, so the frame
+    // sampler's decode arm is real there: planted 8x8 indexed-gray
+    // frames written through the JDK's own GIF sequence writer, demuxed
+    // back, per-frame integer gray means hash-checked against the
+    // numerically replayed plants. MP4-class containers remain the
+    // loudly-documented env-blocked stub arm.
+    "video_frames_real" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val anchored = docs.filter(col("doc_id") % 3 === 2)
+        .select(col("doc_id").as("media_id"),
+          (col("doc_id") - col("doc_id") % 15).as("aid"))
+        .join(docs.select(col("doc_id").as("aid"), col("text")), Seq("aid"))
+        .select(col("media_id"), col("text"))
+      Multimodal.videoFramesReal(anchored)
+    }),
     // F139 (r13): the F124 move repeated for AUDIO — the planted-copy
     // fixture rendered as real 256-sample PCM WAVs (deterministic u16
     // samples from the anchor text), decoded back through
@@ -4201,6 +4217,7 @@ object SparkEntry {
     "image_ahash_real_pairs" -> Multimodal.sqlImageAhashRealPairs(3),
     "audio_ahash_real_pairs" -> Multimodal.sqlAudioAhashRealPairs(3),
     "image_resize_real" -> Multimodal.sqlImageResizeReal,
+    "video_frames_real" -> Multimodal.sqlVideoFramesReal,
     // crawl_then_dashboard: batch-equivalence — the streaming-grown sink
     // IS the one-shot distinct article set (each tick's re-crawls drop
     // in the sink-key anti-join), so the dashboard replays from

@@ -542,6 +542,202 @@ object Multimodal {
        |FROM px GROUP BY media_id, ((i // 16) // 2) * 8 + (i % 16) // 2
        |ORDER BY media_id, pix_idx""".stripMargin
 
+  // ------------------------------------------ real frame-sample path (r13)
+
+  /** Exact 256-gray indexed palette — GIF is palette-based, and the
+    * JDK's GIF writer passes an IndexColorModel through LOSSLESSLY
+    * while quantizing anything else; planting frames in this model is
+    * what makes the container roundtrip bit-exact. */
+  private def grayPalette: java.awt.image.IndexColorModel = {
+    val g = Array.tabulate(256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, g, g, g)
+  }
+
+  /** Decode a MULTI-FRAME payload through the JDK's imageio registry
+    * (GIF is the one shipped container with real frame sequences) into
+    * per-frame 64-bin grayscale means: frame f → its [[decodeGray8]]
+    * grid's overall integer mean. `None` when the bytes don't decode,
+    * expose no frame count, or any frame is under the 8×8 grid — the
+    * caller falls back to the deterministic stub (MP4-class containers
+    * stay env-blocked and loudly documented). */
+  private[multimodal] def decodeFrameMeans(data: Array[Byte]): Option[Array[Long]] = {
+    val iis =
+      try javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(data))
+      catch { case _: java.io.IOException => null }
+    if (iis == null) None
+    else {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); None }
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, false)
+          val n =
+            try reader.getNumImages(true)
+            catch { case _: java.io.IOException => -1 }
+          if (n < 1) None
+          else {
+            val out = new Array[Long](n)
+            var f = 0
+            var ok = true
+            while (ok && f < n) {
+              val img =
+                try reader.read(f)
+                catch { case _: java.io.IOException => null }
+              if (img == null || img.getWidth < 8 || img.getHeight < 8) ok = false
+              else {
+                // luma mean over the whole frame in exact integer
+                // arithmetic — sum of per-pixel Rec-601 lumas / count
+                var sum = 0L
+                var cnt = 0L
+                var y = 0
+                while (y < img.getHeight) {
+                  var x = 0
+                  while (x < img.getWidth) {
+                    val rgb = img.getRGB(x, y)
+                    val r = (rgb >> 16) & 0xff
+                    val g = (rgb >> 8) & 0xff
+                    val b = rgb & 0xff
+                    sum += (299L * r + 587L * g + 114L * b) / 1000L
+                    cnt += 1
+                    x += 1
+                  }
+                  y += 1
+                }
+                out(f) = sum / cnt
+                f += 1
+              }
+            }
+            if (ok) Some(out) else None
+          }
+        } finally { reader.dispose(); iis.close() }
+      }
+    }
+  }
+
+  /** Frame sampling over REAL decoded containers where the JDK can
+    * demux (animated GIF), the deterministic stub elsewhere — the
+    * [[sampleFrames]] contract with real frames: one row per frame,
+    * carrying the frame's exact integer gray mean as the
+    * oracle-checkable feature. Stub arm: the [[sampleFrames]] slice
+    * generator's frame count with mean = first byte of md5(slice)
+    * (deterministic, spec-pinned). */
+  def sampleFramesDecoded(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "video")
+      .select("media_id", "kind", "data").as[MediaRow]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { m =>
+          decodeFrameMeans(m.data) match {
+            case Some(means) =>
+              means.iterator.zipWithIndex.map { case (g, i) =>
+                (m.media_id, i, g, 1)
+              }
+            case None =>
+              val nFrames = (m.data.length % 7) + 1
+              (0 until nFrames).iterator.map { i =>
+                val step = math.max(1, m.data.length / nFrames)
+                val from = math.min(i * step, m.data.length)
+                val until = math.min(from + step, m.data.length)
+                md.reset()
+                md.update(m.data.slice(from, until))
+                (m.media_id, i, (md.digest()(0) & 0xff).toLong, 0)
+              }
+          }
+        }
+      }
+      .toDF("media_id", "frame_idx", "mean_gray", "decoded")
+  }
+
+  /** Deterministic animated GIF per row of `anchored(media_id, text)` —
+    * the ENCODE half of the frame roundtrip: nFrames = (|text| mod 3)+2
+    * frames of 8×8 indexed-gray pixels, frame f pixel idx carrying
+    * gray = first byte of md5(text ∥ ":f" ∥ f ∥ ":p" ∥ idx), written
+    * through the JDK's own GIF sequence writer. DuckDB replays the
+    * planted grays numerically, so the oracle checks the REAL
+    * multi-frame demux end-to-end. */
+  def gifMediaFromAnchors(anchored: DataFrame): DataFrame = {
+    val spark = anchored.sparkSession
+    import spark.implicits._
+    anchored.select(col("media_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, text) =>
+          val nFrames = (text.length % 3) + 2
+          val bos = new java.io.ByteArrayOutputStream()
+          val writer = javax.imageio.ImageIO
+            .getImageWritersByFormatName("gif").next()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < nFrames) {
+            val img = new java.awt.image.BufferedImage(
+              8, 8, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED,
+              grayPalette)
+            var idx = 0
+            while (idx < 64) {
+              md.reset()
+              md.update((text + ":f" + f + ":p" + idx)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              val gray = md.digest()(0) & 0xff
+              img.setRGB(idx % 8, idx / 8, (gray << 16) | (gray << 8) | gray)
+              idx += 1
+            }
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, null), null)
+            f += 1
+          }
+          writer.endWriteSequence()
+          ios.close()
+          writer.dispose()
+          (id, "video", bos.toByteArray)
+        }
+      }
+      .toDF("media_id", "kind", "data")
+  }
+
+  /** `video_frames_real` query: the planted-GIF fixture demuxed back
+    * through [[sampleFramesDecoded]] — (media_id, frame_idx, mean_gray)
+    * per real decoded frame. Video ids are the `doc_id ≡ 2 (mod 3)`
+    * rows of the standing media fixture with their 15-id block anchors
+    * (the re-hosted-clip case). */
+  def videoFramesReal(anchored: DataFrame): DataFrame =
+    sampleFramesDecoded(gifMediaFromAnchors(anchored))
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("mean_gray"))
+      .orderBy(col("media_id"), col("frame_idx"))
+
+  /** DuckDB mirror of [[videoFramesReal]]: planted per-frame grays from
+    * the md5 byte, exact integer mean over each frame's 64 pixels (the
+    * luma of a gray pixel is the gray itself — (299+587+114)·v∕1000 =
+    * v), one row per (media, frame). A pass proves the JDK's GIF
+    * sequence writer+reader roundtripped every planted frame. */
+  def sqlVideoFramesReal: String =
+    s"""WITH vid AS (
+       |  SELECT d.doc_id AS media_id, a.text AS text
+       |  FROM documents d
+       |  JOIN documents a ON a.doc_id = d.doc_id - (d.doc_id % 15)
+       |  WHERE d.doc_id % 3 = 2),
+       |fr AS (
+       |  SELECT media_id, text, UNNEST(range(0, (length(text) % 3) + 2)) AS f
+       |  FROM vid),
+       |px AS (
+       |  SELECT media_id, f, pp.i AS i,
+       |    CAST(('0x' || substring(md5(text || ':f' || f || ':p' || pp.i), 1, 2))::UBIGINT
+       |      AS BIGINT) AS gray
+       |  FROM fr CROSS JOIN (SELECT UNNEST(range(0, 64)) AS i) pp)
+       |SELECT media_id, CAST(f AS BIGINT) AS frame_idx,
+       |  CAST(SUM(gray) // 64 AS BIGINT) AS mean_gray
+       |FROM px GROUP BY media_id, f
+       |ORDER BY media_id, frame_idx""".stripMargin
+
   // ------------------------------------------------ real audio path (r13)
 
   /** Sample count of the planted WAV fixture — 64 blocks of 4. */

@@ -275,6 +275,48 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.contains((1L, 4L, 0L)), s"planted copy must pair: ${pairs.toSeq}")
   }
 
+  test("decodeFrameMeans: GIF sequence roundtrips planted frames exactly (F141)") {
+    // the encode half on a known text, decoded back by hand-replayed
+    // expectation: frame f mean = sum of 64 planted md5 bytes // 64
+    val gifs = Multimodal.gifMediaFromAnchors(
+      Seq((1L, "anchor text one"), (2L, "anchor text one"),
+        (3L, "a different clip text")).toDF("media_id", "text"))
+    val rows = gifs.collect()
+    assert(rows.forall(r => {
+      val b = r.getAs[Array[Byte]]("data")
+      b(0) == 'G' && b(1) == 'I' && b(2) == 'F' // GIF87a/89a magic
+    }))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def expected(text: String): Seq[Long] = {
+      val nFrames = (text.length % 3) + 2
+      (0 until nFrames).map { f =>
+        (0 until 64).map { p =>
+          md.reset()
+          md.update((text + ":f" + f + ":p" + p).getBytes("UTF-8"))
+          (md.digest()(0) & 0xff).toLong
+        }.sum / 64
+      }
+    }
+    rows.foreach { r =>
+      val got = Multimodal.decodeFrameMeans(r.getAs[Array[Byte]]("data"))
+      assert(got.isDefined, "planted GIF must demux")
+      val text = if (r.getLong(0) == 3L) "a different clip text"
+                 else "anchor text one"
+      assert(got.get.toSeq == expected(text),
+        s"frame means for media ${r.getLong(0)}")
+    }
+    // undecodable bytes refuse — stub arm takes over with the slice
+    // generator's count and the documented md5-byte stub mean
+    assert(Multimodal.decodeFrameMeans("not a video".getBytes("UTF-8")).isEmpty)
+    val m = Multimodal.mediaFromDocuments(
+      Seq((2L, "plain text payload here")).toDF("doc_id", "text"))
+    val dec = Multimodal.sampleFramesDecoded(m).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getInt(3)))
+    val payload = "plain text payload here".getBytes("UTF-8")
+    assert(dec.length == (payload.length % 7) + 1, "stub frame count")
+    assert(dec.forall(_._3 == 0), "undecodable payloads take the stub arm")
+  }
+
   test("hammingPairs banding is LOSSLESS at maxDist <= 3: random sigs == brute force (r10)") {
     // The pigeonhole claim both modalities lean on: 4 chunks, <= 3
     // differing bits => some 16-bit chunk is untouched, so the banded
