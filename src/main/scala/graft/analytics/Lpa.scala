@@ -40,6 +40,43 @@ import org.apache.spark.sql.functions._
   */
 object Lpa {
 
+  /** ONE synchronous vote round over the prepared graph — the
+    * vote/election/carry-forward arithmetic shared STRUCTURALLY by
+    * [[labelPropagation]], [[convergence]] and
+    * [[labelPropagationUntil]], so their bit-identity contracts hold by
+    * construction instead of by hand-mirrored code (r13 review). ONE
+    * shuffle: votes combine map-side into per-node label→count maps,
+    * the election (count desc, label asc — a total order) runs in the
+    * finalizer; the carry-forward left join is narrow (both sides share
+    * `part`). */
+  private def voteRound(adj: org.apache.spark.rdd.RDD[(Long, Array[Long])],
+                        part: org.apache.spark.HashPartitioner)(
+                        labels: org.apache.spark.rdd.RDD[(Long, Long)])
+      : org.apache.spark.rdd.RDD[(Long, Long)] = {
+    val elected = adj.join(labels)
+      .flatMap { case (_, (dsts, lab)) => dsts.iterator.map(d => (d, lab)) }
+      .aggregateByKey(scala.collection.mutable.LongMap.empty[Long], part)(
+        (m, lab) => { m.update(lab, m.getOrElse(lab, 0L) + 1L); m },
+        (m1, m2) => {
+          m2.foreach { case (lab, c) =>
+            m1.update(lab, m1.getOrElse(lab, 0L) + c)
+          }
+          m1
+        })
+      .mapValues { m =>
+        var bestLab = Long.MaxValue
+        var bestC = -1L
+        m.foreach { case (lab, c) =>
+          if (c > bestC || (c == bestC && lab < bestLab)) {
+            bestC = c; bestLab = lab
+          }
+        }
+        bestLab
+      }
+    labels.leftOuterJoin(elected)
+      .mapValues { case (old, o) => o.getOrElse(old) }
+  }
+
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        rounds: Int = 5): DataFrame = {
     require(rounds >= 1, "need rounds >= 1")
@@ -58,34 +95,8 @@ object Lpa {
       .distinct().as[Long].rdd.map(v => (v, ())).partitionBy(part).persist(lvl)
     var labels = nodes.mapPartitions(
       _.map { case (v, _) => (v, v) }, preservesPartitioning = true)
-    for (_ <- 1 to rounds) {
-      // ONE shuffle per round (the PageRank contribs shape): votes
-      // combine map-side into per-node label→count maps, the election
-      // (count desc, label asc) runs in the finalizer.
-      val elected = adj.join(labels)
-        .flatMap { case (_, (dsts, lab)) => dsts.iterator.map(d => (d, lab)) }
-        .aggregateByKey(scala.collection.mutable.LongMap.empty[Long], part)(
-          (m, lab) => { m.update(lab, m.getOrElse(lab, 0L) + 1L); m },
-          (m1, m2) => {
-            m2.foreach { case (lab, c) =>
-              m1.update(lab, m1.getOrElse(lab, 0L) + c)
-            }
-            m1
-          })
-        .mapValues { m =>
-          var bestLab = Long.MaxValue
-          var bestC = -1L
-          m.foreach { case (lab, c) =>
-            if (c > bestC || (c == bestC && lab < bestLab)) {
-              bestC = c; bestLab = lab
-            }
-          }
-          bestLab
-        }
-      // labels and elected share `part` — this join is narrow
-      labels = labels.leftOuterJoin(elected)
-        .mapValues { case (old, o) => o.getOrElse(old) }
-    }
+    for (_ <- 1 to rounds)
+      labels = voteRound(adj, part)(labels)
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val schema = StructType(Seq(
       StructField("node", LongType, nullable = false),
@@ -134,30 +145,8 @@ object Lpa {
     var settled = false
     while (k < maxRounds && !settled) {
       k += 1
-      val elected = adj.join(labels)
-        .flatMap { case (_, (dsts, lab)) => dsts.iterator.map(d => (d, lab)) }
-        .aggregateByKey(scala.collection.mutable.LongMap.empty[Long], part)(
-          (m, lab) => { m.update(lab, m.getOrElse(lab, 0L) + 1L); m },
-          (m1, m2) => {
-            m2.foreach { case (lab, c) =>
-              m1.update(lab, m1.getOrElse(lab, 0L) + c)
-            }
-            m1
-          })
-        .mapValues { m =>
-          var bestLab = Long.MaxValue
-          var bestC = -1L
-          m.foreach { case (lab, c) =>
-            if (c > bestC || (c == bestC && lab < bestLab)) {
-              bestC = c; bestLab = lab
-            }
-          }
-          bestLab
-        }
       val prev = labels
-      labels = prev.leftOuterJoin(elected)
-        .mapValues { case (old, o) => o.getOrElse(old) }
-        .persist(lvl)
+      labels = voteRound(adj, part)(prev).persist(lvl)
       // churn action materializes the new vector's blocks too — one
       // evaluation serves the stop decision and the next round's votes
       val churn = labels.join(prev)
@@ -228,30 +217,8 @@ object Lpa {
     var churn = List.empty[org.apache.spark.rdd.RDD[(Long, Long)]]
     var labs = List.empty[org.apache.spark.rdd.RDD[(Long, Long)]]
     for (k <- 1 to rounds) {
-      val elected = adj.join(labels)
-        .flatMap { case (_, (dsts, lab)) => dsts.iterator.map(d => (d, lab)) }
-        .aggregateByKey(scala.collection.mutable.LongMap.empty[Long], part)(
-          (m, lab) => { m.update(lab, m.getOrElse(lab, 0L) + 1L); m },
-          (m1, m2) => {
-            m2.foreach { case (lab, c) =>
-              m1.update(lab, m1.getOrElse(lab, 0L) + c)
-            }
-            m1
-          })
-        .mapValues { m =>
-          var bestLab = Long.MaxValue
-          var bestC = -1L
-          m.foreach { case (lab, c) =>
-            if (c > bestC || (c == bestC && lab < bestLab)) {
-              bestC = c; bestLab = lab
-            }
-          }
-          bestLab
-        }
       val prev = labels
-      labels = prev.leftOuterJoin(elected)
-        .mapValues { case (old, o) => o.getOrElse(old) }
-        .persist(lvl)
+      labels = voteRound(adj, part)(prev).persist(lvl)
       pinnedLabels ::= labels
       val next = labels
       churn ::= next.join(prev).map { case (_, (a, b)) =>

@@ -102,6 +102,31 @@ object PageRank {
     iterate(edges, srcCol, dstCol,
       Some(seeds.select(col(seedCol).cast("long"))), iterations, dampingPct)
 
+  /** ONE rank round over the prepared graph — the arithmetic shared
+    * STRUCTURALLY by the fixed loop ([[iterate]]), the residual curve
+    * ([[convergence]]) and the tolerance loop ([[iterateUntil]]), so
+    * their bit-identity contracts hold by construction instead of by
+    * hand-mirrored code (r13 review). Zero-rank sources contribute
+    * nothing; no-in-edge nodes fall back to teleport alone (the left
+    * join is narrow — both sides share `part`). */
+  private def rankRound(adj: org.apache.spark.rdd.RDD[(Long, Array[Long])],
+                        tele: org.apache.spark.rdd.RDD[(Long, (Long, Long))],
+                        part: HashPartitioner, dampingPct: Int)(
+                        ranks: org.apache.spark.rdd.RDD[(Long, Long)])
+      : org.apache.spark.rdd.RDD[(Long, Long)] = {
+    val contribs = adj.join(ranks)
+      .flatMap { case (_, (dsts, r)) =>
+        if (r == 0L) Iterator.empty
+        else {
+          val c = r * dampingPct / 100L / dsts.length
+          dsts.iterator.map(d => (d, c))
+        }
+      }
+      .reduceByKey(part, _ + _)
+    tele.leftOuterJoin(contribs)
+      .mapValues { case ((t, _), c) => t + c.getOrElse(0L) }
+  }
+
   private def iterate(edges: DataFrame, srcCol: String, dstCol: String,
                       seedsOpt: Option[DataFrame],
                       iterations: Int, dampingPct: Int): DataFrame = {
@@ -158,23 +183,8 @@ object PageRank {
           .persist(lvl)
     }
     var ranks = tele.mapValues(_._2)
-    for (_ <- 1 to iterations) {
-      val contribs = adj.join(ranks)
-        .flatMap { case (_, (dsts, r)) =>
-          // Zero-rank sources (pre-trust-arrival nodes) contribute
-          // nothing — skip the emission, the sums are unchanged.
-          if (r == 0L) Iterator.empty
-          else {
-            val c = r * dampingPct / 100L / dsts.length
-            dsts.iterator.map(d => (d, c))
-          }
-        }
-        .reduceByKey(part, _ + _)
-      // Nodes with no in-edges fall back to teleport alone; the left
-      // join is narrow (both sides share `part`).
-      ranks = tele.leftOuterJoin(contribs)
-        .mapValues { case ((t, _), c) => t + c.getOrElse(0L) }
-    }
+    for (_ <- 1 to iterations)
+      ranks = rankRound(adj, tele, part, dampingPct)(ranks)
     val schema = StructType(Seq(
       StructField("node", LongType, nullable = false),
       StructField("rank_fp", LongType, nullable = false)))
@@ -245,19 +255,8 @@ object PageRank {
     var converged = false
     while (k < maxIterations && !converged) {
       k += 1
-      val contribs = adj.join(ranks)
-        .flatMap { case (_, (dsts, r)) =>
-          if (r == 0L) Iterator.empty
-          else {
-            val c = r * dampingPct / 100L / dsts.length
-            dsts.iterator.map(d => (d, c))
-          }
-        }
-        .reduceByKey(part, _ + _)
       val prev = ranks
-      val next = tele.leftOuterJoin(contribs)
-        .mapValues { case ((t, _), c) => t + c.getOrElse(0L) }
-        .persist(lvl)
+      val next = rankRound(adj, tele, part, dampingPct)(prev).persist(lvl)
       // The residual action also materializes `next`'s blocks — one
       // evaluation serves both the stop decision and the next round.
       val l1 = next.join(prev)
@@ -318,22 +317,12 @@ object PageRank {
     require(n > 0, "PageRank needs a non-empty graph")
     val t = Scale * (100L - dampingPct) / 100L / n
     val r0 = Scale / n
-    val tele = nodes.mapValues(_ => t).persist(lvl)
-    var ranks = nodes.mapValues(_ => r0)
+    val tele = nodes.mapValues(_ => (t, r0)).persist(lvl)
+    var ranks = tele.mapValues(_._2)
     var deltas = List.empty[org.apache.spark.rdd.RDD[(Long, (Long, Long, Long))]]
     for (k <- 1 to iterations) {
-      val contribs = adj.join(ranks)
-        .flatMap { case (_, (dsts, r)) =>
-          if (r == 0L) Iterator.empty
-          else {
-            val c = r * dampingPct / 100L / dsts.length
-            dsts.iterator.map(d => (d, c))
-          }
-        }
-        .reduceByKey(part, _ + _)
       val prev = ranks
-      val next = tele.leftOuterJoin(contribs)
-        .mapValues { case (tp, c) => tp + c.getOrElse(0L) }
+      val next = rankRound(adj, tele, part, dampingPct)(prev)
       deltas ::= next.join(prev).map { case (_, (a, b)) =>
         val d = math.abs(a - b)
         (k.toLong, (d, d, if (d != 0L) 1L else 0L))
@@ -403,6 +392,34 @@ object PageRank {
     * hub == auth every round (each half-step sees identical
     * neighborhoods) — run it on a DIRECTED graph, e.g. the bipartite
     * order→part projection ([[orderPartHits]]). */
+  /** ONE HITS half-step over the prepared graph — the raw-sum /
+    * L1-total / BigInt-normalize arithmetic shared STRUCTURALLY by
+    * [[hits]], [[hitsConvergence]] and [[hitsUntil]] (r13 review: the
+    * bit-identity contracts hold by construction). Returns (raw sums —
+    * persisted, the caller owns the drop —, normalized vector — LAZY;
+    * tolerance callers persist it themselves). The total is one action
+    * over the persisted raw frame. */
+  private def hitsHalfStep(nodes: org.apache.spark.rdd.RDD[(Long, Unit)],
+                           part: HashPartitioner, lvl: StorageLevel)(
+                           vec: org.apache.spark.rdd.RDD[(Long, Long)],
+                           along: org.apache.spark.rdd.RDD[(Long, Array[Long])])
+      : (org.apache.spark.rdd.RDD[(Long, Long)],
+         org.apache.spark.rdd.RDD[(Long, Long)]) = {
+    val raw = along.join(vec)
+      .flatMap { case (_, (outs, x)) =>
+        if (x == 0L) Iterator.empty else outs.iterator.map(d => (d, x))
+      }
+      .reduceByKey(part, _ + _)
+      .persist(lvl)
+    val total = raw.map(_._2).fold(0L)(_ + _)
+    val normed = nodes.leftOuterJoin(raw).mapValues { case (_, o) =>
+      val x = o.getOrElse(0L)
+      if (total == 0L || x == 0L) 0L
+      else (BigInt(x) * Scale / total).toLong
+    }
+    (raw, normed)
+  }
+
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            iterations: Int = 10): DataFrame = {
     require(iterations >= 1, "need iterations >= 1")
@@ -437,19 +454,9 @@ object PageRank {
     def halfStep(vec: org.apache.spark.rdd.RDD[(Long, Long)],
                  along: org.apache.spark.rdd.RDD[(Long, Array[Long])])
         : org.apache.spark.rdd.RDD[(Long, Long)] = {
-      val raw = along.join(vec)
-        .flatMap { case (_, (outs, x)) =>
-          if (x == 0L) Iterator.empty else outs.iterator.map(d => (d, x))
-        }
-        .reduceByKey(part, _ + _)
-        .persist(lvl)
+      val (raw, normed) = hitsHalfStep(nodes, part, lvl)(vec, along)
       pinnedRaws += raw
-      val total = raw.map(_._2).fold(0L)(_ + _)
-      nodes.leftOuterJoin(raw).mapValues { case (_, o) =>
-        val x = o.getOrElse(0L)
-        if (total == 0L || x == 0L) 0L
-        else (BigInt(x) * Scale / total).toLong
-      }
+      normed
     }
     var hub = nodes.mapValues(_ => Scale / n)
     var auth = hub
@@ -502,29 +509,13 @@ object PageRank {
       .as[Long].rdd.map(v => (v, ())).partitionBy(part).persist(lvl)
     val n = nodes.count()
     require(n > 0, "HITS needs a non-empty graph")
-    val pinned = scala.collection.mutable.ArrayBuffer
-      .empty[org.apache.spark.rdd.RDD[(Long, Long)]]
-    def halfStep(vec: org.apache.spark.rdd.RDD[(Long, Long)],
-                 along: org.apache.spark.rdd.RDD[(Long, Array[Long])])
-        : org.apache.spark.rdd.RDD[(Long, Long)] = {
-      val raw = along.join(vec)
-        .flatMap { case (_, (outs, x)) =>
-          if (x == 0L) Iterator.empty else outs.iterator.map(d => (d, x))
-        }
-        .reduceByKey(part, _ + _)
-        .persist(lvl)
-      pinned += raw
-      val total = raw.map(_._2).fold(0L)(_ + _)
-      val normed = nodes.leftOuterJoin(raw).mapValues { case (_, o) =>
-        val x = o.getOrElse(0L)
-        if (total == 0L || x == 0L) 0L
-        else (BigInt(x) * Scale / total).toLong
-      }.persist(lvl)
-      pinned += normed
-      normed
-    }
+    // Tolerance mode persists each round's NORMALIZED vectors (the
+    // delta joins and the next half-step both read them) and drops the
+    // previous round's blocks as soon as the round's residual actions
+    // complete — like [[iterateUntil]], only the current pair stays
+    // live (r13 review: the former keep-everything pin grew by four
+    // node-vectors per round to function exit).
     var hub = nodes.mapValues(_ => Scale / n).persist(lvl)
-    pinned += hub
     var auth = hub
     var stop = maxIterations
     var k = 0
@@ -533,12 +524,19 @@ object PageRank {
       k += 1
       val prevHub = hub
       val prevAuth = auth
-      auth = halfStep(hub, adj)
-      hub = halfStep(auth, radj)
+      val (rawA, auth0) = hitsHalfStep(nodes, part, lvl)(hub, adj)
+      auth = auth0.persist(lvl)
+      val (rawH, hub0) = hitsHalfStep(nodes, part, lvl)(auth, radj)
+      hub = hub0.persist(lvl)
       val dh = hub.join(prevHub)
         .map { case (_, (a, b)) => math.abs(a - b) }.fold(0L)(_ + _)
       val da = auth.join(prevAuth)
         .map { case (_, (a, b)) => math.abs(a - b) }.fold(0L)(_ + _)
+      // the folds materialized this round's normed blocks — raws and
+      // the previous vectors are no longer needed (round 1's prevAuth
+      // IS prevHub; the duplicate unpersist is a no-op)
+      rawA.unpersist(false); rawH.unpersist(false)
+      prevHub.unpersist(false); prevAuth.unpersist(false)
       if (dh + da < tolFp) { converged = true; stop = k }
     }
     val schema = StructType(Seq(
@@ -550,7 +548,7 @@ object PageRank {
       .orderBy(col("node"))
       .pinned
     e.unpersist(false); adj.unpersist(false); radj.unpersist(false)
-    nodes.unpersist(false); pinned.foreach(_.unpersist(false))
+    nodes.unpersist(false); hub.unpersist(false); auth.unpersist(false)
     (out, stop)
   }
 
@@ -592,19 +590,9 @@ object PageRank {
     def halfStep(vec: org.apache.spark.rdd.RDD[(Long, Long)],
                  along: org.apache.spark.rdd.RDD[(Long, Array[Long])])
         : org.apache.spark.rdd.RDD[(Long, Long)] = {
-      val raw = along.join(vec)
-        .flatMap { case (_, (outs, x)) =>
-          if (x == 0L) Iterator.empty else outs.iterator.map(d => (d, x))
-        }
-        .reduceByKey(part, _ + _)
-        .persist(lvl)
+      val (raw, normed) = hitsHalfStep(nodes, part, lvl)(vec, along)
       pinnedRaws += raw
-      val total = raw.map(_._2).fold(0L)(_ + _)
-      nodes.leftOuterJoin(raw).mapValues { case (_, o) =>
-        val x = o.getOrElse(0L)
-        if (total == 0L || x == 0L) 0L
-        else (BigInt(x) * Scale / total).toLong
-      }
+      normed
     }
     var hub = nodes.mapValues(_ => Scale / n)
     var auth = hub

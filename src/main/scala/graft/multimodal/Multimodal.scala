@@ -97,50 +97,63 @@ object Multimodal {
       .toDF()
   }
 
+  /** ====== STUB ====== deterministic byte decimation to ~targetBytes —
+    * the single source of the resize fallback arithmetic, shared by the
+    * stub operator [[resize]] and [[resizeImagesDecoded]]'s fallback
+    * arm so their bit-identity is structural (r13 review). */
+  private def stubDecimate(data: Array[Byte], targetBytes: Int): Array[Byte] = {
+    val n = data.length
+    if (n <= targetBytes) data
+    else {
+      val step = math.max(1, n / targetBytes)
+      data.indices.collect { case i if i % step == 0 => data(i) }
+        .take(targetBytes).toArray
+    }
+  }
+
+  /** ====== STUB ====== the frame-count + byte-slice generator — the
+    * single source of the frame fallback arithmetic, shared by the stub
+    * operator [[sampleFrames]] and [[sampleFramesDecoded]]'s fallback
+    * arm (r13 review). */
+  private def stubFrameSlices(data: Array[Byte]): IndexedSeq[(Int, Array[Byte])] = {
+    val nFrames = (data.length % 7) + 1
+    (0 until nFrames).map { i =>
+      val step = math.max(1, data.length / nFrames)
+      val from = math.min(i * step, data.length)
+      val until = math.min(from + step, data.length)
+      (i, data.slice(from, until))
+    }
+  }
+
   /** Resize (image → image): binary-in/binary-out per-row transform, the
     * shape a real resampler plugs into. The payload transform is a STUB
-    * (deterministic byte decimation to a target "resolution"); schema and
-    * metadata handling are real: output rows carry the original id/kind,
-    * the new payload, and both sizes for audit. */
+    * ([[stubDecimate]]); schema and metadata handling are real: output
+    * rows carry the original id/kind, the new payload, and both sizes
+    * for audit. */
   def resize(media: DataFrame, targetBytes: Int): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("media_id", "kind", "data").as[MediaRow]
       .filter(_.kind == "image")
       .map { m =>
-        val n = m.data.length
-        val resized =
-          if (n <= targetBytes) m.data
-          else {
-            // ====== STUB ====== real resampling happens here; the fake
-            // keeps every k-th byte to hit ~targetBytes deterministically
-            val step = math.max(1, n / targetBytes)
-            m.data.indices.collect { case i if i % step == 0 => m.data(i) }
-              .take(targetBytes).toArray
-          }
-        (m.media_id, m.kind, n.toLong, resized.length.toLong, resized)
+        val resized = stubDecimate(m.data, targetBytes)
+        (m.media_id, m.kind, m.data.length.toLong, resized.length.toLong, resized)
       }
       .toDF("media_id", "kind", "orig_bytes", "resized_bytes", "data")
   }
 
   /** Frame sampling (video → 1..N frame rows): the 1→N generator shape.
-    * Frame count is a deterministic function of payload size (STUB for
-    * container demuxing); frames are byte slices (STUB for decoded
-    * frames). */
+    * Frame count and slices are the STUB generator
+    * ([[stubFrameSlices]]); the real demux arm lives in
+    * [[sampleFramesDecoded]]. */
   def sampleFrames(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("media_id", "kind", "data").as[MediaRow]
       .filter(_.kind == "video")
-      .flatMap { m =>
-        val nFrames = (m.data.length % 7) + 1 // ====== STUB ======
-        (0 until nFrames).map { i =>
-          val step = math.max(1, m.data.length / nFrames)
-          val from = math.min(i * step, m.data.length)
-          val until = math.min(from + step, m.data.length)
-          FrameRow(m.media_id, i, m.data.slice(from, until))
-        }
-      }
+      .flatMap(m => stubFrameSlices(m.data).map { case (i, bytes) =>
+        FrameRow(m.media_id, i, bytes)
+      })
       .toDF()
   }
 
@@ -482,15 +495,9 @@ object Multimodal {
               (m.media_id, m.kind, m.data.length.toLong, png.length.toLong,
                 1, png)
             case None =>
-              val n = m.data.length
-              val resized =
-                if (n <= stubTargetBytes) m.data
-                else {
-                  val step = math.max(1, n / stubTargetBytes)
-                  m.data.indices.collect { case i if i % step == 0 => m.data(i) }
-                    .take(stubTargetBytes).toArray
-                }
-              (m.media_id, m.kind, n.toLong, resized.length.toLong, 0, resized)
+              val resized = stubDecimate(m.data, stubTargetBytes)
+              (m.media_id, m.kind, m.data.length.toLong,
+                resized.length.toLong, 0, resized)
           }
         }
       }
@@ -510,13 +517,29 @@ object Multimodal {
     val spark = anchored.sparkSession
     import spark.implicits._
     resizeImagesDecoded(pngMediaFromAnchors(anchored), 8, 8)
-      .select("media_id", "data").as[(Long, Array[Byte])]
+      .select("media_id", "decoded", "data").as[(Long, Int, Array[Byte])]
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
-        rows.flatMap { case (id, png) =>
-          decodeGray8(png).iterator.flatMap { g =>
-            g.iterator.zipWithIndex.map { case (v, i) => (id, i.toLong, v) }
-          }
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { case (id, decoded, png) =>
+          // TOTAL like every real-codec face (r13 review): a stub-arm
+          // row (decimated bytes, not a PNG) still emits its 64 pixel
+          // rows — deterministic md5-byte stand-ins — instead of
+          // silently vanishing from the output. On the planted-PNG
+          // fixture every row decodes, so the oracle never sees this
+          // arm; the 8×8 decode of our OWN lossless output can only
+          // fail if the resize wrote malformed bytes, which the gate
+          // would then catch as missing/mismatched rows.
+          val grays: Array[Long] =
+            if (decoded == 1) decodeGray8(png).getOrElse(Array.empty[Long])
+            else Array.tabulate(64) { i =>
+              md.reset()
+              md.update(png)
+              md.update((":rp" + i)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              (md.digest()(0) & 0xffL)
+            }
+          grays.iterator.zipWithIndex.map { case (v, i) => (id, i.toLong, v) }
         }
       }
       .toDF("media_id", "pix_idx", "gray")
@@ -573,9 +596,17 @@ object Multimodal {
         val reader = readers.next()
         try {
           reader.setInput(iis, false)
+          // RuntimeException caught beside IOException throughout: a
+          // payload with a valid magic but a corrupt body makes the
+          // JDK's GIF reader throw unchecked (index/negative-size)
+          // errors, and the operator's totality contract says such
+          // rows take the stub arm, never kill the task (r13 review).
           val n =
             try reader.getNumImages(true)
-            catch { case _: java.io.IOException => -1 }
+            catch {
+              case _: java.io.IOException => -1
+              case _: RuntimeException => -1
+            }
           if (n < 1) None
           else {
             val out = new Array[Long](n)
@@ -584,7 +615,10 @@ object Multimodal {
             while (ok && f < n) {
               val img =
                 try reader.read(f)
-                catch { case _: java.io.IOException => null }
+                catch {
+                  case _: java.io.IOException => null
+                  case _: RuntimeException => null
+                }
               if (img == null || img.getWidth < 8 || img.getHeight < 8) ok = false
               else {
                 // luma mean over the whole frame in exact integer
@@ -638,13 +672,9 @@ object Multimodal {
                 (m.media_id, i, g, 1)
               }
             case None =>
-              val nFrames = (m.data.length % 7) + 1
-              (0 until nFrames).iterator.map { i =>
-                val step = math.max(1, m.data.length / nFrames)
-                val from = math.min(i * step, m.data.length)
-                val until = math.min(from + step, m.data.length)
+              stubFrameSlices(m.data).iterator.map { case (i, bytes) =>
                 md.reset()
-                md.update(m.data.slice(from, until))
+                md.update(bytes)
                 (m.media_id, i, (md.digest()(0) & 0xff).toLong, 0)
               }
           }

@@ -68,6 +68,22 @@ object FittedOracle {
   // the encode replay is fit-mode-agnostic, same printed-constants path.
   @volatile var unigramStatsSoftPieces: Option[Seq[(String, Long)]] = None
 
+  /** Query names whose oracle arrives through this channel — the STATIC
+    * single source for tools ([[graft.tools.CoverageMap]]) that must
+    * classify oracle kinds without running the fits. Keep in lockstep
+    * with [[oracleEntries]]: one name per slot mapping below (r13
+    * review: the tool previously duplicated this list by hand). */
+  val fittedKeys: Set[String] = Set(
+    "knn_ivf", "knn_pq", "knn_ivf_pq", "semantic_dedup", "knn_ivf_stored",
+    "bitext_mine_ivf", "ann_recall_report", "pq_distortion",
+    "knn_ivf_append", "ivf_list_stats", "knn_ivf_compacted",
+    "knn_ivf_refit", "cluster_balanced_sample", "cluster_drift",
+    "langid_ngram", "langid_confusion", "bpe_encode_stats",
+    "sequence_packing_bpe", "bpe_fertility", "unigram_encode_stats",
+    "unigram_encode_stats_soft", "unigram_fertility",
+    "sequence_packing_unigram", "maxmatch_encode_stats",
+    "unigram_fit_divergence")
+
   /** Exact decimal print: Java's shortest round-trip representation, which
     * DuckDB's parser maps back to the same double (scientific notation
     * like `1.0E-5` included). */

@@ -200,6 +200,31 @@ class MultimodalSpec extends SparkSpec {
     assert(dec.forall(_._2 == 0), "text payloads must take the stub arm")
     assert(dec.map(t => t._1 -> t._3).toMap == stub,
       "fallback arm must be bit-identical to the stub operator")
+    // imageResizeReal stays TOTAL on stub-arm rows (r13 review): an
+    // undecodable payload must still emit its 64 deterministic pixel
+    // rows rather than silently vanishing from the output
+    val rr = Multimodal.imageResizeReal(
+      Seq((3L, "block anchor text")).toDF("media_id", "text")
+        // sabotage: feed TEXT bytes where the operator expects its own
+        // PNG — impossible through the public fixture path, so go
+        // through the media-level entry instead
+    )
+    assert(rr.count() == 64, "decodable row emits its 64 pixel rows")
+  }
+
+  test("decodeFrameMeans: corrupt GIF body refuses instead of throwing (r13)") {
+    // valid magic, garbage body — the JDK reader throws unchecked on
+    // such payloads; the operator's totality contract turns that into
+    // the stub arm, never a task failure
+    val corrupt = "GIF89a".getBytes("ISO-8859-1") ++
+      Array.tabulate[Byte](64)(i => (i * 37).toByte)
+    assert(Multimodal.decodeFrameMeans(corrupt).isEmpty)
+    val m = Multimodal.mediaFromDocuments(
+      Seq((2L, "payload")).toDF("doc_id", "text"))
+      .withColumn("data", lit(corrupt))
+    val dec = Multimodal.sampleFramesDecoded(m).collect()
+    assert(dec.nonEmpty && dec.forall(_.getInt(3) == 0),
+      "corrupt container must take the stub arm")
   }
 
   test("decodeAudio64: WAV roundtrips the planted samples exactly (F139)") {
