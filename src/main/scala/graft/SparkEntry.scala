@@ -98,6 +98,13 @@ object SparkEntry {
     // trust propagation vs open PageRank) on the same graph fixture.
     "trust_propagation" -> ((s, dir) =>
       graft.analytics.PageRank.copurchaseSpamMass(Tables.lineitem(s, dir))),
+    // F137 completed across the FOURTH iterative family (r13): the
+    // spam-mass triple with both loops tolerance-stopped on their own
+    // residual curves — two independent data-dependent stop rounds,
+    // both derived by the oracle from the same rules.
+    "trust_propagation_earlystop" -> ((s, dir) =>
+      graft.analytics.PageRank.copurchaseSpamMassEarlyStop(
+        Tables.lineitem(s, dir))),
     // Label-propagation communities over the co-purchase graph: the
     // deterministic synchronous variant (smallest-label mode ties) —
     // the link-farm-cluster / per-community-cap signal.
@@ -2400,6 +2407,8 @@ object SparkEntry {
     "part_pagerank_earlystop" ->
       graft.analytics.PageRank.sqlCopurchaseEarlyStop(),
     "trust_propagation" -> graft.analytics.PageRank.sqlCopurchaseSpamMass(),
+    "trust_propagation_earlystop" ->
+      graft.analytics.PageRank.sqlCopurchaseSpamMassEarlyStop(),
     "order_part_hits" -> graft.analytics.PageRank.sqlOrderPartHits(5),
     "order_part_hits_convergence" ->
       graft.analytics.PageRank.sqlOrderPartHitsConvergence(5),

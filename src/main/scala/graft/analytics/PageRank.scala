@@ -891,6 +891,103 @@ object PageRank {
         col("spam_mass_ppm"))
   }
 
+  /** `trust_propagation_earlystop` query (r13): the spam-mass triple
+    * with BOTH rank vectors tolerance-stopped — F137 completed across
+    * the fourth iterative family at query level. Each loop stops on its
+    * OWN residual curve (the two decay at different rates: open
+    * PageRank spreads mass everywhere, seeded trust concentrates), so
+    * the output carries two independent data-dependent stop rounds,
+    * both derived by the oracle from the same rules over the two
+    * unrolled chains. The ppm division runs on the early-stopped
+    * vectors — the production composition a tolerance-mode deployment
+    * would ship. */
+  def copurchaseSpamMassEarlyStop(lineitem: DataFrame,
+                                  tolFp: Long = 1000000L,
+                                  maxIterations: Int = 10,
+                                  seedMod: Int = 50): DataFrame = {
+    val edges = copurchaseEdges(lineitem).pinned
+    val seeds = lineitem.select(col("l_partkey").cast("long").as("v"))
+      .filter(col("v") % seedMod === 0).distinct()
+    val (pr, kPr) = ranksUntil(edges, "src", "dst", tolFp, maxIterations)
+    val (tr, kTr) = seededRanksUntil(edges, "src", "dst", seeds, "v",
+      tolFp, maxIterations)
+    pr.select(col("node"), col("rank_fp").as("pr_fp"))
+      .join(tr.select(col("node"), col("rank_fp").as("tr_fp")), Seq("node"))
+      .withColumn("spam_mass_ppm",
+        expr("CASE WHEN pr_fp > 0 THEN " +
+          "greatest(pr_fp - tr_fp, 0L) * 1000000L DIV pr_fp ELSE 0L END"))
+      .select(col("node").as("part_id"), col("pr_fp"), col("tr_fp"),
+        col("spam_mass_ppm"),
+        lit(kPr.toLong).as("pr_stop"), lit(kTr.toLong).as("tr_stop"))
+      .orderBy(col("part_id"))
+  }
+
+  /** DuckDB mirror of [[copurchaseSpamMassEarlyStop]]: both unrolled
+    * chains MATERIALIZED (each round frame now has three readers), one
+    * residual curve and stop round PER chain, CASE-selected vectors,
+    * then the same ppm division. */
+  def sqlCopurchaseSpamMassEarlyStop(tolFp: Long = 1000000L,
+                                     maxIterations: Int = 10,
+                                     seedMod: Int = 50,
+                                     dampingPct: Int = 85): String = {
+    def chain(pfx: String, teleExpr: String): String =
+      (1 to maxIterations).map { k =>
+        s"""$pfx$k AS MATERIALIZED (
+           |  SELECT n.v AS v, CAST($teleExpr + COALESCE(c.s, 0) AS BIGINT) AS r
+           |  FROM nodes n $teleJoins LEFT JOIN (
+           |    SELECT e.dst AS v,
+           |      CAST(SUM(r.r * $dampingPct // 100 // dg.d) AS BIGINT) AS s
+           |    FROM e JOIN $pfx${k - 1} r ON e.src = r.v JOIN deg dg ON dg.src = e.src
+           |    GROUP BY 1) c ON n.v = c.v)""".stripMargin
+      }.mkString(",\n")
+    def curve(pfx: String): String =
+      (1 to maxIterations).map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS round,
+           |  CAST(SUM(ABS(a.r - b.r)) AS BIGINT) AS l1
+           |FROM $pfx$k a JOIN $pfx${k - 1} b ON a.v = b.v""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    def cases(pfx: String, stop: String): String =
+      s"CASE $stop.k " +
+        (1 to maxIterations).map(k => s"WHEN $k THEN x$pfx$k.r").mkString(" ") +
+        " END"
+    def joins(pfx: String): String =
+      (1 to maxIterations)
+        .map(k => s"JOIN $pfx$k x$pfx$k ON n.v = x$pfx$k.v").mkString("\n|")
+    s"""WITH ${sqlGraphCtes(dampingPct)},
+       |seeds AS (SELECT v FROM nodes WHERE v % $seedMod = 0),
+       |ns AS (SELECT COUNT(*) AS n FROM seeds),
+       |stp AS (SELECT CAST($Scale * ${100 - dampingPct} // 100 // n AS BIGINT) AS t FROM ns),
+       |r0 AS MATERIALIZED (
+       |  SELECT v, CAST($Scale // n AS BIGINT) AS r FROM nodes CROSS JOIN nn),
+       |t0 AS MATERIALIZED (
+       |  SELECT n.v,
+       |    CAST(CASE WHEN s.v IS NOT NULL THEN $Scale // ns.n ELSE 0 END AS BIGINT) AS r
+       |  FROM nodes n CROSS JOIN ns LEFT JOIN seeds s ON n.v = s.v),
+       |${chain("r", "tp.t")},
+       |${chain("t", "CASE WHEN s.v IS NOT NULL THEN stp.t ELSE 0 END")},
+       |cr AS (${curve("r")}),
+       |ct AS (${curve("t")}),
+       |stopr AS (SELECT CAST(COALESCE(MIN(round), $maxIterations) AS BIGINT) AS k
+       |          FROM cr WHERE l1 < $tolFp),
+       |stopt AS (SELECT CAST(COALESCE(MIN(round), $maxIterations) AS BIGINT) AS k
+       |          FROM ct WHERE l1 < $tolFp),
+       |pick AS (
+       |  SELECT n.v AS part_id,
+       |    CAST(${cases("r", "stopr")} AS BIGINT) AS pr_fp,
+       |    CAST(${cases("t", "stopt")} AS BIGINT) AS tr_fp,
+       |    stopr.k AS pr_stop, stopt.k AS tr_stop
+       |  FROM nodes n CROSS JOIN stopr CROSS JOIN stopt
+       |${joins("r")}
+       |${joins("t")})
+       |SELECT part_id, pr_fp, tr_fp,
+       |  CAST(CASE WHEN pr_fp > 0
+       |    THEN greatest(pr_fp - tr_fp, 0) * 1000000 // pr_fp ELSE 0 END AS BIGINT)
+       |    AS spam_mass_ppm,
+       |  pr_stop, tr_stop
+       |FROM pick
+       |ORDER BY part_id""".stripMargin
+  }
+
   /** Shared graph CTEs for the co-purchase oracles (li, e, deg, nodes,
     * nn, tp). */
   private def sqlGraphCtes(dampingPct: Int): String =
