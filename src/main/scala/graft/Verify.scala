@@ -49,6 +49,35 @@ object Verify {
       else SparkEntry.queries.view.filterKeys(only.toSet).toMap
     val timingPath = Paths.get(s"$outDir/verify_timing.jsonl")
     Files.deleteIfExists(timingPath)
+    // Discarded JIT/codegen warmup (r13 verdict #5): without it the
+    // alphabetically-first heavy query absorbs ~25 s of one-time class
+    // loading, codegen, and parquet-writer setup, so the gate's timing
+    // table charged `adaptive_length_gate` / `canonical_link_dedup_*`
+    // 4-13× their warm cost every round. One untimed pass of a cheap
+    // registered query through the SAME write path (DataFrame exec +
+    // parquet commit) pays that once, outside the table; the scratch
+    // tree lives under tmpdir, never in outDir (the driver globs it).
+    locally {
+      val warm = SparkEntry.queries.get("totals")
+        .orElse(selected.headOption.map(_._2))
+      warm.foreach { fn =>
+        val w0 = System.nanoTime()
+        val scratch = Files.createTempDirectory("graft-verify-warmup")
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(scratch.resolve("warmup").toString)
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] warmup failed (ignored): ${e.getMessage}")
+        } finally {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(scratch.toFile)
+        }
+        System.err.println(
+          f"[verify] warmup done in ${(System.nanoTime() - w0) / 1e9}%.1f s")
+      }
+    }
     var nOk = 0; var nFail = 0
     // Sorted order: deterministic run-to-run, and the timing log reads in
     // the same order the driver's compare will.
@@ -67,6 +96,15 @@ object Verify {
       Files.writeString(timingPath,
         f"""{"query":"$name","sec":$sec%.3f,"ok":$ok}%n""",
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      // Same inter-query cleanup as Bench/BenchOne (r14): leaked
+      // persist blocks from iterative operators thrash later queries'
+      // storage memory — measured here as canonical_link_dedup_
+      // incremental reading 35.9 s in the gate vs 6.9 s fresh-JVM at
+      // the SAME sf. The gate's timing table is the round's public
+      // per-query record; it must read in family with the warm probes.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      spark.catalog.clearCache()
+      System.gc()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -513,10 +513,18 @@ object Multimodal {
     * chain — encode → PNG → decode → area-average resize → re-encode →
     * re-decode — returned exactly the arithmetic pixels (any lossy or
     * color-managed step anywhere would shift a mean). */
-  def imageResizeReal(anchored: DataFrame): DataFrame = {
-    val spark = anchored.sparkSession
+  def imageResizeReal(anchored: DataFrame): DataFrame =
+    imageResizeRealFromMedia(pngMediaFromAnchors(anchored))
+
+  /** [[imageResizeReal]]'s media-level face: the resize→re-decode chain
+    * over an ALREADY-built media frame — the seam that lets a spec (and
+    * any caller with real payloads) drive the stub arm with undecodable
+    * bytes, which the anchored face can't reach (it always feeds its own
+    * lossless PNGs; r13 ADVICE). */
+  def imageResizeRealFromMedia(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
     import spark.implicits._
-    resizeImagesDecoded(pngMediaFromAnchors(anchored), 8, 8)
+    resizeImagesDecoded(media, 8, 8)
       .select("media_id", "decoded", "data").as[(Long, Int, Array[Byte])]
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
@@ -576,13 +584,51 @@ object Multimodal {
     new java.awt.image.IndexColorModel(8, 256, g, g, g)
   }
 
+  /** Per-frame GIF image-descriptor placement: (left, top, w, h) from
+    * the native metadata tree. Real-world animated GIFs often store
+    * frame 2+ as a sub-rect DELTA over the previous canvas (nonzero
+    * offset / smaller-than-screen size + disposal rules);
+    * [[decodeFrameMeans]] reads RAW frames without compositing, so such
+    * frames must be REJECTED to the stub arm rather than averaged over
+    * the wrong region (r13 ADVICE). Any metadata failure reads as
+    * "placed" — reject. */
+  private def gifFramePlacement(reader: javax.imageio.ImageReader,
+                                f: Int): Option[(Int, Int)] =
+    try {
+      val root = reader.getImageMetadata(f)
+        .getAsTree("javax_imageio_gif_image_1.0")
+        .asInstanceOf[org.w3c.dom.Element]
+      val nodes = root.getElementsByTagName("ImageDescriptor")
+      if (nodes.getLength == 0) None
+      else {
+        val e = nodes.item(0).asInstanceOf[org.w3c.dom.Element]
+        def at(a: String): Int = {
+          val v = e.getAttribute(a)
+          if (v == null || v.isEmpty) 0 else v.toInt
+        }
+        Some((at("imageLeftPosition"), at("imageTopPosition")))
+      }
+    } catch {
+      case _: java.io.IOException => None
+      case _: RuntimeException => None
+    }
+
   /** Decode a MULTI-FRAME payload through the JDK's imageio registry
     * (GIF is the one shipped container with real frame sequences) into
     * per-frame 64-bin grayscale means: frame f → its [[decodeGray8]]
-    * grid's overall integer mean. `None` when the bytes don't decode,
-    * expose no frame count, or any frame is under the 8×8 grid — the
-    * caller falls back to the deterministic stub (MP4-class containers
-    * stay env-blocked and loudly documented). */
+    * grid's overall integer mean.
+    *
+    * RAW-frame semantics: frames are read as stored, with NO disposal
+    * compositing — correct only when every frame is a full-canvas
+    * raster. Frames declaring a nonzero image-descriptor offset or a
+    * size different from frame 0's canvas (the delta-encoded animation
+    * idiom) are therefore rejected to the stub arm, never averaged over
+    * a sub-rect ([[gifFramePlacement]]).
+    *
+    * `None` when the bytes don't decode, expose no frame count, any
+    * frame is under the 8×8 grid, or any GIF frame is placed/resized —
+    * the caller falls back to the deterministic stub (MP4-class
+    * containers stay env-blocked and loudly documented). */
   private[multimodal] def decodeFrameMeans(data: Array[Byte]): Option[Array[Long]] = {
     val iis =
       try javax.imageio.ImageIO.createImageInputStream(
@@ -609,9 +655,16 @@ object Multimodal {
             }
           if (n < 1) None
           else {
+            val isGif =
+              try "gif".equalsIgnoreCase(reader.getFormatName)
+              catch {
+                case _: java.io.IOException => false
+                case _: RuntimeException => false
+              }
             val out = new Array[Long](n)
             var f = 0
             var ok = true
+            var w0 = -1; var h0 = -1
             while (ok && f < n) {
               val img =
                 try reader.read(f)
@@ -619,7 +672,13 @@ object Multimodal {
                   case _: java.io.IOException => null
                   case _: RuntimeException => null
                 }
-              if (img == null || img.getWidth < 8 || img.getHeight < 8) ok = false
+              if (f == 0 && img != null) { w0 = img.getWidth; h0 = img.getHeight }
+              // non-composited read: every frame must be a full-canvas,
+              // unplaced raster (see scaladoc) — delta frames → stub arm
+              if (img == null || img.getWidth < 8 || img.getHeight < 8 ||
+                  img.getWidth != w0 || img.getHeight != h0 ||
+                  (isGif && !gifFramePlacement(reader, f).contains((0, 0))))
+                ok = false
               else {
                 // luma mean over the whole frame in exact integer
                 // arithmetic — sum of per-pixel Rec-601 lumas / count

@@ -67,22 +67,20 @@ object FittedOracle {
   // Promoted production soft fit (r13): loss-ranked-pruned Kudo table —
   // the encode replay is fit-mode-agnostic, same printed-constants path.
   @volatile var unigramStatsSoftPieces: Option[Seq[(String, Long)]] = None
+  // Soft-mode consumer twins (r14, the r13 verdict's #3): the fertility
+  // and packing consumers under the promoted soft fit — same replay
+  // builders, only the printed table differs (the fit-mode-agnosticism
+  // claim, now demonstrated on the consumers and not just the encode).
+  @volatile var unigramFertilitySoftPieces: Option[Seq[(String, Long)]] = None
+  @volatile var unigramPackSoftPieces: Option[Seq[(String, Long)]] = None
 
   /** Query names whose oracle arrives through this channel — the STATIC
     * single source for tools ([[graft.tools.CoverageMap]]) that must
-    * classify oracle kinds without running the fits. Keep in lockstep
-    * with [[oracleEntries]]: one name per slot mapping below (r13
-    * review: the tool previously duplicated this list by hand). */
-  val fittedKeys: Set[String] = Set(
-    "knn_ivf", "knn_pq", "knn_ivf_pq", "semantic_dedup", "knn_ivf_stored",
-    "bitext_mine_ivf", "ann_recall_report", "pq_distortion",
-    "knn_ivf_append", "ivf_list_stats", "knn_ivf_compacted",
-    "knn_ivf_refit", "cluster_balanced_sample", "cluster_drift",
-    "langid_ngram", "langid_confusion", "bpe_encode_stats",
-    "sequence_packing_bpe", "bpe_fertility", "unigram_encode_stats",
-    "unigram_encode_stats_soft", "unigram_fertility",
-    "sequence_packing_unigram", "maxmatch_encode_stats",
-    "unigram_fit_divergence")
+    * classify oracle kinds without running the fits. Derived from the
+    * same [[slots]] list that builds [[oracleEntries]] (r13 ADVICE: the
+    * two were hand-maintained twins that could silently drift — now a
+    * new slot name appears in both or in neither, by construction). */
+  val fittedKeys: Set[String] = slots.map(_._1).toSet
 
   /** Exact decimal print: Java's shortest round-trip representation, which
     * DuckDB's parser maps back to the same double (scientific notation
@@ -113,81 +111,93 @@ object FittedOracle {
       }
     }.mkString(",\n    ")
 
+  /** THE single (query name, fitted SQL if its fit has run) list —
+    * [[fittedKeys]] takes the names, [[oracleEntries]] the populated
+    * SQL. The Option's `map` keeps every builder lazy: an un-run fit
+    * costs nothing and emits nothing. */
+  private def slots: Seq[(String, Option[String])] = Seq(
+    "knn_ivf" -> ivfCenters.map(c => Ivf.sqlKnnIvf(c, k = 5, nprobe = 4)),
+    "knn_pq" -> pqBooks.map(b => Pq.sqlKnnPq(b, k = 5)),
+    "knn_ivf_pq" -> (for { c <- ivfPqCenters; b <- ivfPqBooks }
+      yield Pq.sqlKnnIvfPq(c, b, k = 5, nprobe = 4)),
+    "semantic_dedup" ->
+      semCenters.map(c => Similarity.sqlSemanticDedupKeepers(c, 0.4)),
+    // Same replay as knn_ivf: the stored layout changes WHERE bytes
+    // live (list-partitioned directories, pruned scans), never WHAT
+    // the query returns.
+    "knn_ivf_stored" ->
+      ivfStoredCenters.map(c => Ivf.sqlKnnIvf(c, k = 5, nprobe = 4)),
+    "bitext_mine_ivf" -> bitextCenters.map(c =>
+      Similarity.sqlBitextMineIvf(c, k = 4, marginThreshold = 1.05,
+        nprobe = 2)),
+    "ann_recall_report" -> recallCenters.map(c =>
+      Ivf.sqlAnnRecall(c, k = 5, nprobe = 4,
+        probeWhere = "vec_id % 50 = 0")),
+    "pq_distortion" -> distortionBooks.map(b => Pq.sqlDistortionReport(b)),
+    // Frozen-quantizer append: assignment is a pure function of
+    // (vector, centers), so the oracle over the union corpus with the
+    // HISTORY-fitted centers IS the appended-store contract.
+    "knn_ivf_append" ->
+      appendCenters.map(c => Ivf.sqlKnnIvf(c, k = 5, nprobe = 4)),
+    "ivf_list_stats" ->
+      listStatsCenters.map(c => Ivf.sqlListStats(c, "vec_id >= 250")),
+    // Maintenance changes WHERE bytes live (one file per list /
+    // re-assigned lists), never WHAT a probe returns — both replay
+    // as the plain printed-centroid search over the union corpus.
+    "knn_ivf_compacted" ->
+      compactedCenters.map(c => Ivf.sqlKnnIvf(c, k = 5, nprobe = 4)),
+    "knn_ivf_refit" ->
+      refitCenters.map(c => Ivf.sqlKnnIvf(c, k = 5, nprobe = 4)),
+    "cluster_balanced_sample" -> clusterSampleCenters.map(c =>
+      Similarity.sqlClusterBalancedSample(c, k = 40)),
+    "cluster_drift" -> driftCenters.map(c => Similarity.sqlClusterDrift(c)),
+    "langid_ngram" -> langIdProfiles.filter(_.nonEmpty).map(p =>
+      s"WITH ${graft.text.TextAnalysis.sqlLangIdNgramCtes(
+          "documents", "doc_id", "lang", "text", p)}\n" +
+        "SELECT doc_id, lang, pred_ngram, (lang = pred_ngram) AS agree\n" +
+        "FROM pr ORDER BY doc_id"),
+    "langid_confusion" -> langConfusionProfiles.filter(_.nonEmpty).map(p =>
+      s"WITH ${graft.text.TextAnalysis.sqlLangIdNgramCtes(
+          "documents", "doc_id", "lang", "text", p)}\n" +
+        "SELECT lang, pred_ngram, count(*) AS n\n" +
+        "FROM pr GROUP BY 1, 2 ORDER BY lang, pred_ngram"),
+    // Empty fitted lists (degenerate corpus) render invalid
+    // `FROM (VALUES )` SQL — omit the entry, the driver records the
+    // weaker rows-only check (the never-a-broken-oracle rule above).
+    "bpe_encode_stats" -> bpeStatsMerges.filter(_.nonEmpty).map(m =>
+      graft.text.Bpe.sqlEncodeStats(m)),
+    "sequence_packing_bpe" -> bpePackMerges.filter(_.nonEmpty).map(m =>
+      graft.text.Bpe.sqlPackChunksBpe(m, 512L)),
+    "bpe_fertility" -> bpeFertilityMerges.filter(_.nonEmpty).map(m =>
+      graft.text.Bpe.sqlFertilityByLang(m)),
+    "unigram_encode_stats" -> unigramStatsPieces.filter(_.nonEmpty).map(p =>
+      graft.text.Unigram.sqlEncodeStats(p)),
+    "unigram_encode_stats_soft" ->
+      unigramStatsSoftPieces.filter(_.nonEmpty).map(p =>
+        graft.text.Unigram.sqlEncodeStats(p)),
+    "unigram_fertility" ->
+      unigramFertilityPieces.filter(_.nonEmpty).map(p =>
+        graft.text.Unigram.sqlFertilityByLang(p)),
+    // The soft-fit consumer twins (r14) reuse the hard twins' replay
+    // builders verbatim — the printed table is the only difference.
+    "unigram_fertility_soft" ->
+      unigramFertilitySoftPieces.filter(_.nonEmpty).map(p =>
+        graft.text.Unigram.sqlFertilityByLang(p)),
+    "sequence_packing_unigram" ->
+      unigramPackPieces.filter(_.nonEmpty).map(p =>
+        graft.text.Unigram.sqlPackChunks(p, 512L)),
+    "sequence_packing_unigram_soft" ->
+      unigramPackSoftPieces.filter(_.nonEmpty).map(p =>
+        graft.text.Unigram.sqlPackChunks(p, 512L)),
+    "maxmatch_encode_stats" -> maxmatchPieces.filter(_.nonEmpty).map(p =>
+      graft.text.Unigram.sqlMaxMatchStats(p)),
+    "unigram_fit_divergence" ->
+      (for { h <- unigramDivHard.filter(_.nonEmpty)
+             s <- unigramDivSoft.filter(_.nonEmpty) } yield
+        graft.text.Unigram.sqlFertilityCompare(h, s)))
+
   /** The oracle entries whose SQL depends on a stashed fit — appended to
     * `SparkEntry.oracleSql` after the queries have run. */
   def oracleEntries: Map[String, String] =
-    (ivfCenters.map(c => "knn_ivf" -> Ivf.sqlKnnIvf(c, k = 5, nprobe = 4)) ++
-      pqBooks.map(b => "knn_pq" -> Pq.sqlKnnPq(b, k = 5)) ++
-      (for { c <- ivfPqCenters; b <- ivfPqBooks }
-        yield "knn_ivf_pq" -> Pq.sqlKnnIvfPq(c, b, k = 5, nprobe = 4)) ++
-      semCenters.map(c =>
-        "semantic_dedup" -> Similarity.sqlSemanticDedupKeepers(c, 0.4)) ++
-      // Same replay as knn_ivf: the stored layout changes WHERE bytes
-      // live (list-partitioned directories, pruned scans), never WHAT
-      // the query returns.
-      ivfStoredCenters.map(c =>
-        "knn_ivf_stored" -> Ivf.sqlKnnIvf(c, k = 5, nprobe = 4)) ++
-      bitextCenters.map(c =>
-        "bitext_mine_ivf" -> Similarity.sqlBitextMineIvf(c, k = 4,
-          marginThreshold = 1.05, nprobe = 2)) ++
-      recallCenters.map(c =>
-        "ann_recall_report" -> Ivf.sqlAnnRecall(c, k = 5, nprobe = 4,
-          probeWhere = "vec_id % 50 = 0")) ++
-      distortionBooks.map(b =>
-        "pq_distortion" -> Pq.sqlDistortionReport(b)) ++
-      // Frozen-quantizer append: assignment is a pure function of
-      // (vector, centers), so the oracle over the union corpus with the
-      // HISTORY-fitted centers IS the appended-store contract.
-      appendCenters.map(c =>
-        "knn_ivf_append" -> Ivf.sqlKnnIvf(c, k = 5, nprobe = 4)) ++
-      listStatsCenters.map(c =>
-        "ivf_list_stats" -> Ivf.sqlListStats(c, "vec_id >= 250")) ++
-      // Maintenance changes WHERE bytes live (one file per list /
-      // re-assigned lists), never WHAT a probe returns — both replay
-      // as the plain printed-centroid search over the union corpus.
-      compactedCenters.map(c =>
-        "knn_ivf_compacted" -> Ivf.sqlKnnIvf(c, k = 5, nprobe = 4)) ++
-      refitCenters.map(c =>
-        "knn_ivf_refit" -> Ivf.sqlKnnIvf(c, k = 5, nprobe = 4)) ++
-      clusterSampleCenters.map(c =>
-        "cluster_balanced_sample" -> Similarity.sqlClusterBalancedSample(c, k = 40)) ++
-      driftCenters.map(c =>
-        "cluster_drift" -> Similarity.sqlClusterDrift(c)) ++
-      langIdProfiles.filter(_.nonEmpty).map(p =>
-        "langid_ngram" ->
-          (s"WITH ${graft.text.TextAnalysis.sqlLangIdNgramCtes(
-              "documents", "doc_id", "lang", "text", p)}\n" +
-            "SELECT doc_id, lang, pred_ngram, (lang = pred_ngram) AS agree\n" +
-            "FROM pr ORDER BY doc_id")) ++
-      langConfusionProfiles.filter(_.nonEmpty).map(p =>
-        "langid_confusion" ->
-          (s"WITH ${graft.text.TextAnalysis.sqlLangIdNgramCtes(
-              "documents", "doc_id", "lang", "text", p)}\n" +
-            "SELECT lang, pred_ngram, count(*) AS n\n" +
-            "FROM pr GROUP BY 1, 2 ORDER BY lang, pred_ngram")) ++
-      // Empty fitted lists (degenerate corpus) render invalid
-      // `FROM (VALUES )` SQL — omit the entry, the driver records the
-      // weaker rows-only check (the never-a-broken-oracle rule above).
-      bpeStatsMerges.filter(_.nonEmpty).map(m =>
-        "bpe_encode_stats" -> graft.text.Bpe.sqlEncodeStats(m)) ++
-      bpePackMerges.filter(_.nonEmpty).map(m =>
-        "sequence_packing_bpe" -> graft.text.Bpe.sqlPackChunksBpe(m, 512L)) ++
-      bpeFertilityMerges.filter(_.nonEmpty).map(m =>
-        "bpe_fertility" -> graft.text.Bpe.sqlFertilityByLang(m)) ++
-      unigramStatsPieces.filter(_.nonEmpty).map(p =>
-        "unigram_encode_stats" -> graft.text.Unigram.sqlEncodeStats(p)) ++
-      unigramStatsSoftPieces.filter(_.nonEmpty).map(p =>
-        "unigram_encode_stats_soft" -> graft.text.Unigram.sqlEncodeStats(p)) ++
-      unigramFertilityPieces.filter(_.nonEmpty).map(p =>
-        "unigram_fertility" -> graft.text.Unigram.sqlFertilityByLang(p)) ++
-      unigramPackPieces.filter(_.nonEmpty).map(p =>
-        "sequence_packing_unigram" ->
-          graft.text.Unigram.sqlPackChunks(p, 512L)) ++
-      maxmatchPieces.filter(_.nonEmpty).map(p =>
-        "maxmatch_encode_stats" ->
-          graft.text.Unigram.sqlMaxMatchStats(p)) ++
-      (for { h <- unigramDivHard.filter(_.nonEmpty)
-             s <- unigramDivSoft.filter(_.nonEmpty) } yield
-        "unigram_fit_divergence" ->
-          graft.text.Unigram.sqlFertilityCompare(h, s))).toMap
+    slots.collect { case (name, Some(sql)) => name -> sql }.toMap
 }

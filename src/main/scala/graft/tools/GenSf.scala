@@ -120,10 +120,27 @@ object GenSf {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println(
+        "usage: GenSf <outDir> <mult> [<seed>] [<baseDir>]\n" +
+          "  NOTE: r13 inserted <seed> as the third arg (was <baseDir>);\n" +
+          "  a non-numeric third arg is still accepted as <baseDir>.")
+      sys.exit(2)
+    }
     val outDir = args(0)
     val mult = args(1).toDouble
-    val seed = if (args.length > 2) args(2).toLong else DefaultSeed
-    val baseDir = if (args.length > 3) args(3) else "/root/testdata/sf0.1"
+    // Back-compat (r13 ADVICE): the third slot was <baseDir> before the
+    // seed arg landed. A numeric args(2) is a seed; anything else is an
+    // old-style baseDir invocation — never a NumberFormatException crash.
+    val (seed, baseDir) = args.drop(2) match {
+      case Array()                             => (DefaultSeed, "/root/testdata/sf0.1")
+      case Array(s) if s.matches("-?\\d+")     => (s.toLong, "/root/testdata/sf0.1")
+      case Array(dir)                          => (DefaultSeed, dir)
+      case Array(s, dir)                       => (s.toLong, dir)
+      case _ =>
+        System.err.println("usage: GenSf <outDir> <mult> [<seed>] [<baseDir>]")
+        sys.exit(2); throw new IllegalStateException
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(16, Runtime.getRuntime.availableProcessors).toString)
     val spark = SparkSession.builder()

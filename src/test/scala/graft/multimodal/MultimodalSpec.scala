@@ -204,12 +204,66 @@ class MultimodalSpec extends SparkSpec {
     // undecodable payload must still emit its 64 deterministic pixel
     // rows rather than silently vanishing from the output
     val rr = Multimodal.imageResizeReal(
-      Seq((3L, "block anchor text")).toDF("media_id", "text")
-        // sabotage: feed TEXT bytes where the operator expects its own
-        // PNG — impossible through the public fixture path, so go
-        // through the media-level entry instead
-    )
+      Seq((3L, "block anchor text")).toDF("media_id", "text"))
     assert(rr.count() == 64, "decodable row emits its 64 pixel rows")
+    // ...and ACTUALLY drive the decoded==0 branch (r13 ADVICE): the
+    // anchored face always feeds its own PNGs, so sabotage goes through
+    // the media-level seam with TEXT bytes where a PNG is expected —
+    // the stand-in rows must be the spec'd md5(resized-bytes ∥ ":rp"+i)
+    // first-byte grays, all 64 of them
+    val sab = Multimodal.imageResizeRealFromMedia(m.filter($"media_id" === 3L))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(sab.length == 64, "stub-arm row must still emit 64 pixel rows")
+    val stubBytes = stub(3L).toArray
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    sab.foreach { case (i, gray) =>
+      mdig.reset()
+      mdig.update(stubBytes)
+      mdig.update((":rp" + i).getBytes("UTF-8"))
+      assert(gray == (mdig.digest()(0) & 0xffL), s"stand-in gray at $i")
+    }
+  }
+
+  test("decodeFrameMeans: placed (delta) GIF frames refuse to the stub arm (r13 ADVICE)") {
+    // decodeFrameMeans reads RAW frames without disposal compositing —
+    // a frame stored as a sub-canvas delta (nonzero image-descriptor
+    // offset) would average over the wrong region, so it must REJECT
+    def gif(offsetSecond: Boolean): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      for (f <- 0 until 2) {
+        val img = new java.awt.image.BufferedImage(
+          8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        for (i <- 0 until 64)
+          img.setRGB(i % 8, i / 8, 0x404040 + f * 0x080808)
+        val meta =
+          if (offsetSecond && f == 1) {
+            val m = writer.getDefaultImageMetadata(
+              javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img),
+              null)
+            val fmt = "javax_imageio_gif_image_1.0"
+            val root = m.getAsTree(fmt).asInstanceOf[org.w3c.dom.Element]
+            val desc = root.getElementsByTagName("ImageDescriptor").item(0)
+              .asInstanceOf[org.w3c.dom.Element]
+            desc.setAttribute("imageLeftPosition", "8")
+            m.setFromTree(fmt, root)
+            m
+          } else null
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
+      }
+      writer.endWriteSequence()
+      ios.close(); writer.dispose()
+      bos.toByteArray
+    }
+    // control: the same 2-frame GIF with all frames at (0,0) decodes...
+    assert(Multimodal.decodeFrameMeans(gif(offsetSecond = false)).exists(_.length == 2))
+    // ...and offsetting frame 2 flips the whole payload to the stub arm
+    assert(Multimodal.decodeFrameMeans(gif(offsetSecond = true)).isEmpty,
+      "a placed frame must reject the payload (non-composited read)")
   }
 
   test("decodeFrameMeans: corrupt GIF body refuses instead of throwing (r13)") {
