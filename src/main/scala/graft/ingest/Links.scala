@@ -454,25 +454,18 @@ object Links {
       .agg(sum(col("n_links")).as("n_links"))
       .orderBy(col("src_domain"), col("dst_domain"))
 
-  /** TrustRank over the EXTRACTED host graph — the composition the
-    * fixture-graph operator ([[graft.analytics.PageRank.seededRanks]])
-    * exists for: trust seeded at curated domains flows along real
-    * hyperlinks; domains unreachable from any seed rank 0 (the spam
-    * side of the ledger). Domains map to stable 60-bit ids
-    * (md5-prefix — order-free, engine-reproducible, collision odds
-    * ~n²∕2⁶¹) for the integer rank core, then map back. Multi-edges
-    * collapse inside the core's adjacency build; the edge WEIGHTS are
+  /** Stable 60-bit domain id for the integer rank core (md5-prefix —
+    * order-free, engine-reproducible, collision odds ~n²∕2⁶¹). */
+  private def domId(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Shared graph lift for the TrustRank faces: the extracted host
+    * graph's (edges in id space, id↔domain map). Multi-edges collapse
+    * inside the core's adjacency build; the edge WEIGHTS are
     * [[hostGraph]]'s to publish, not the rank's to consume (classic
     * TrustRank is unweighted). */
-  def webTrustRank(docs: DataFrame, seeds: Seq[String],
-                   idCol: String = "doc_id", urlCol: String = "url",
-                   htmlCol: String = "html", iterations: Int = 5,
-                   dampingPct: Int = 85): DataFrame = {
-    require(seeds.nonEmpty, "TrustRank needs a trusted seed set")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    def domId(c: Column): Column =
-      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  private def trustGraph(docs: DataFrame, idCol: String, urlCol: String,
+                         htmlCol: String): (DataFrame, DataFrame) = {
     val g = hostGraph(docs, idCol, urlCol, htmlCol).pinned
     val ids = g.select(col("src_domain").as("domain"))
       .union(g.select(col("dst_domain")))
@@ -480,6 +473,59 @@ object Links {
       .select(col("domain"), domId(col("domain")).as("node"))
     val edges = g.select(domId(col("src_domain")).as("src"),
       domId(col("dst_domain")).as("dst"))
+    (edges, ids)
+  }
+
+  /** TrustRank over the EXTRACTED host graph — the composition the
+    * fixture-graph operator ([[graft.analytics.PageRank.seededRanks]])
+    * exists for: trust seeded at curated domains flows along real
+    * hyperlinks; domains unreachable from any seed rank 0 (the spam
+    * side of the ledger).
+    *
+    * PRODUCTION DEFAULT (r14, the r13 verdict's #2): tolerance-stopped —
+    * the seeded chain iterates until its L1 residual Σ|r_k − r_{k−1}|
+    * drops below `tolFp`, then ships; `maxIterations` is a safety rail,
+    * not the expected round count. The defaults come from the measured
+    * convergence curves (F130/F135-F137): 10⁶ fp units = one millionth
+    * of the total trust mass, the family-wide tolerance every earlystop
+    * oracle pins; seeded chains concentrate fast, so the data-dependent
+    * stop saves whole |E|-shuffle rounds wherever the graph dwarfs the
+    * node-vector bookkeeping. Output (domain, trust_fp, stop_round) —
+    * the vector is BIT-identical to [[webTrustRankFixed]] at
+    * `iterations = stop_round` (the shared-round-body contract,
+    * LinksSpec-pinned). Fixed-round twin for oracle chains:
+    * [[webTrustRankFixed]]. */
+  def webTrustRank(docs: DataFrame, seeds: Seq[String],
+                   idCol: String = "doc_id", urlCol: String = "url",
+                   htmlCol: String = "html", tolFp: Long = 1000000L,
+                   maxIterations: Int = 50,
+                   dampingPct: Int = 85): DataFrame = {
+    require(seeds.nonEmpty, "TrustRank needs a trusted seed set")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (edges, ids) = trustGraph(docs, idCol, urlCol, htmlCol)
+    val (ranks, stop) = graft.analytics.PageRank.seededRanksUntil(
+      edges, "src", "dst",
+      seeds.toDF("domain").select(domId(col("domain")).as("seed")),
+      "seed", tolFp, maxIterations, dampingPct)
+    ranks.join(ids, Seq("node"))
+      .select(col("domain"), col("rank_fp").as("trust_fp"),
+        lit(stop.toLong).as("stop_round"))
+      .orderBy(col("domain"))
+  }
+
+  /** Fixed-round twin of [[webTrustRank]] — the cross-engine oracle
+    * face (an unrolled SQL chain needs a static round count) and the
+    * deterministic-cost choice where a scheduler must know the round
+    * budget up front. Same graph lift, same rank core, no stop column. */
+  def webTrustRankFixed(docs: DataFrame, seeds: Seq[String],
+                        idCol: String = "doc_id", urlCol: String = "url",
+                        htmlCol: String = "html", iterations: Int = 5,
+                        dampingPct: Int = 85): DataFrame = {
+    require(seeds.nonEmpty, "TrustRank needs a trusted seed set")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (edges, ids) = trustGraph(docs, idCol, urlCol, htmlCol)
     val ranks = graft.analytics.PageRank.seededRanks(
       edges, "src", "dst",
       seeds.toDF("domain").select(domId(col("domain")).as("seed")),
@@ -675,6 +721,87 @@ object Links {
        |$iters
        |SELECT m.domain, t.r AS trust_fp
        |FROM t$iterations t JOIN gmap m ON m.v = t.v
+       |ORDER BY m.domain""".stripMargin
+  }
+
+  /** [[webTrustRank]] (the tolerance production face) as one DuckDB
+    * query: the [[sqlWebTrustRank]] graph lift, the chain MATERIALIZED
+    * (each round frame now has three readers — curve twice, final join
+    * once), one residual-curve row per round, the stop round derived by
+    * the SAME `l1 < tolFp` rule the Scala loop applies, and the
+    * CASE-selected stop-round vector — the
+    * [[graft.analytics.PageRank.sqlCopurchaseEarlyStop]] recipe on the
+    * extracted host graph. */
+  def sqlWebTrustRankEarlyStop(from: String, idCol: String,
+                               seeds: Seq[String], tolFp: Long = 1000000L,
+                               maxIterations: Int = 10,
+                               dampingPct: Int = 85): String = {
+    val scale = graft.analytics.PageRank.Scale
+    val seedList = seeds.map(s => s"'$s'").mkString(", ")
+    val iters = (1 to maxIterations).map { kk =>
+      s"""t$kk AS MATERIALIZED (
+         |  SELECT n.v AS v,
+         |    CAST((CASE WHEN s.v IS NOT NULL THEN stp.t ELSE 0 END)
+         |         + COALESCE(c.s, 0) AS BIGINT) AS r
+         |  FROM gnodes n CROSS JOIN stp LEFT JOIN gseeds s ON n.v = s.v
+         |  LEFT JOIN (
+         |    SELECT e.dst AS v,
+         |      CAST(SUM(r.r * $dampingPct // 100 // dg.d) AS BIGINT) AS s
+         |    FROM ge e JOIN t${kk - 1} r ON e.src = r.v
+         |    JOIN gdeg dg ON dg.src = e.src
+         |    GROUP BY 1) c ON n.v = c.v)""".stripMargin
+    }.mkString(",\n")
+    val curve = (1 to maxIterations).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS round,
+         |  CAST(SUM(ABS(a.r - b.r)) AS BIGINT) AS l1
+         |FROM t$k a JOIN t${k - 1} b ON a.v = b.v""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val cases = (1 to maxIterations).map(k => s"WHEN $k THEN x$k.r").mkString(" ")
+    val joins = (1 to maxIterations)
+      .map(k => s"JOIN t$k x$k ON n.v = x$k.v").mkString("\n|")
+    s"""${sqlLinkCtes(from, idCol, "lk")},
+       |lks AS (SELECT ROW_NUMBER() OVER (ORDER BY $idCol, dst_url) AS lid,
+       |               src_url, dst_url FROM lk),
+       |${Psl.sqlDomainCtes("(SELECT lid, src_url AS url FROM lks)", "lid", Seq.empty, "url", "sdom")},
+       |${Psl.sqlDomainCtes("(SELECT lid, dst_url AS url FROM lks)", "lid", Seq.empty, "url", "ddom")},
+       |gpairs AS (
+       |  SELECT DISTINCT s.domain AS src_domain, d.domain AS dst_domain
+       |  FROM sdom s JOIN ddom d USING (lid)
+       |  WHERE s.domain IS NOT NULL AND d.domain IS NOT NULL
+       |    AND s.domain <> d.domain),
+       |gmap AS (
+       |  SELECT domain,
+       |    CAST(('0x' || substring(md5(domain), 1, 15))::UBIGINT AS BIGINT) AS v
+       |  FROM (SELECT src_domain AS domain FROM gpairs
+       |        UNION SELECT dst_domain FROM gpairs)),
+       |ge AS MATERIALIZED (
+       |  SELECT sm.v AS src, dm.v AS dst
+       |  FROM gpairs JOIN gmap sm ON sm.domain = src_domain
+       |  JOIN gmap dm ON dm.domain = dst_domain),
+       |gdeg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM ge GROUP BY 1),
+       |gnodes AS MATERIALIZED (
+       |  SELECT DISTINCT v FROM (SELECT src AS v FROM ge
+       |                          UNION SELECT dst FROM ge)),
+       |gseeds AS (
+       |  SELECT v FROM gmap WHERE domain IN ($seedList)),
+       |gns AS (SELECT COUNT(*) AS n FROM gseeds),
+       |stp AS (SELECT CAST($scale * ${100 - dampingPct} // 100 // n AS BIGINT)
+       |          AS t FROM gns),
+       |t0 AS MATERIALIZED (
+       |  SELECT n.v,
+       |    CAST(CASE WHEN s.v IS NOT NULL THEN $scale // gns.n ELSE 0 END
+       |      AS BIGINT) AS r
+       |  FROM gnodes n CROSS JOIN gns LEFT JOIN gseeds s ON n.v = s.v),
+       |$iters,
+       |curve AS ($curve),
+       |stopr AS (SELECT CAST(COALESCE(MIN(round), $maxIterations) AS BIGINT) AS k
+       |          FROM curve WHERE l1 < $tolFp)
+       |SELECT m.domain,
+       |  CAST(CASE stopr.k $cases END AS BIGINT) AS trust_fp,
+       |  stopr.k AS stop_round
+       |FROM gnodes n CROSS JOIN stopr
+       |$joins
+       |JOIN gmap m ON m.v = n.v
        |ORDER BY m.domain""".stripMargin
   }
 }

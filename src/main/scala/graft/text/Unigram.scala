@@ -591,11 +591,24 @@ object Unigram {
   case object HardEm extends FitMode
   case object SoftEm extends FitMode
 
-  /** The production fit entry: one knob selects the E-step family. */
+  /** The production fit entry: one knob selects the E-step family.
+    *
+    * DEFAULT = `SoftEm` (r14, the r13 verdict's #3 decided): Kudo
+    * 2018's trainer IS soft-EM — the §2.2 M-step re-estimates piece
+    * probabilities from forward-backward EXPECTED counts, and §3.2
+    * prunes by each piece's likelihood-loss contribution; hard
+    * (Viterbi-count) EM is this repo's earlier simplification. The
+    * choice is real, not a tie-break: on the standing sf0.001
+    * dictionary the two fits' vocabularies overlap at Jaccard 0.21
+    * (UnigramSoftSpec) and the fertility deltas per language are
+    * hash-pinned by `unigram_fit_divergence`. Queries that pin
+    * hard-fit constants call [[fitPieces]] (or pass `HardEm`)
+    * explicitly — the default steers NEW consumers to the faithful
+    * trainer. */
   def fit(docs: DataFrame, textCol: String, vocabSize: Int,
           maxPieceLen: Int = 6, emRounds: Int = 3, seedSize: Int = 2000,
           maxVocabWords: Int = 100000,
-          mode: FitMode = HardEm): Seq[(String, Long)] = mode match {
+          mode: FitMode = SoftEm): Seq[(String, Long)] = mode match {
     case HardEm => fitPieces(docs, textCol, vocabSize, maxPieceLen,
       emRounds, seedSize, maxVocabWords)
     case SoftEm => fitPiecesSoftPruned(docs, textCol, vocabSize, maxPieceLen,

@@ -161,7 +161,7 @@ class LinksSpec extends SparkSpec {
       (2L, "https://mid.net/b", """<a href="https://sink.io/y">s</a>"""),
       (3L, "https://spam-a.biz/c", """<a href="https://spam-b.biz/z">p</a>""")
     ).toDF("doc_id", "url", "html")
-    val r = Links.webTrustRank(docs, Seq("trusted.org"), iterations = 4)
+    val r = Links.webTrustRankFixed(docs, Seq("trusted.org"), iterations = 4)
       .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
     assert(r.keySet ==
       Set("trusted.org", "mid.net", "sink.io", "spam-a.biz", "spam-b.biz"))
@@ -170,6 +170,27 @@ class LinksSpec extends SparkSpec {
     // trust decays with distance from the seed
     assert(r("trusted.org") > r("mid.net") && r("mid.net") > r("sink.io"))
     assert(r("spam-a.biz") == 0L && r("spam-b.biz") == 0L)
+  }
+
+  test("webTrustRank (production tolerance face): bit-identical to the " +
+      "fixed twin at the stop round (r14)") {
+    val docs = Seq(
+      (1L, "https://trusted.org/a", """<a href="https://mid.net/x">m</a>"""),
+      (2L, "https://mid.net/b", """<a href="https://sink.io/y">s</a>"""),
+      (3L, "https://spam-a.biz/c", """<a href="https://spam-b.biz/z">p</a>""")
+    ).toDF("doc_id", "url", "html")
+    val tol = Links.webTrustRank(docs, Seq("trusted.org"),
+        tolFp = 1000000L, maxIterations = 10)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    val stop = tol.head._3
+    assert(tol.forall(_._3 == stop), "one stop round for the whole vector")
+    assert(stop >= 1 && stop < 10,
+      s"the fixture chain must stop EARLY to demonstrate anything: $stop")
+    val fixedAtStop = Links.webTrustRankFixed(docs, Seq("trusted.org"),
+        iterations = stop.toInt)
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    assert(tol.map(t => (t._1, t._2)).toSeq == fixedAtStop.toSeq,
+      "tolerance-stopped vector must equal fixed(iterations = stop)")
   }
 
   test("webTrustRank requires a seed inside the extracted graph") {

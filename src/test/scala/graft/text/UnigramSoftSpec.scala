@@ -68,7 +68,11 @@ class UnigramSoftSpec extends SparkSpec {
     val direct = Unigram.fitPiecesSoftPruned(docs, "text", 400)
     assert(viaMode == direct, "the mode switch must be a pure dispatch")
     assert(viaMode.size <= 400, s"vocab budget: ${viaMode.size}")
-    val hard = Unigram.fit(docs, "text", 400) // default HardEm
+    // r14: the DEFAULT is now the Kudo-faithful soft trainer; hard-EM
+    // stays reachable only by explicit request
+    assert(Unigram.fit(docs, "text", 400) == direct,
+      "default mode must be SoftEm (r13 verdict #3)")
+    val hard = Unigram.fit(docs, "text", 400, mode = Unigram.HardEm)
     assert(hard == Unigram.fitPieces(docs, "text", 400))
     // the promoted soft fit retains more of the requested budget than
     // the hard fit's implicitly-aggressive Viterbi pruning (the F123
