@@ -85,8 +85,18 @@ object Verify {
       val q0 = System.nanoTime()
       val ok =
         try {
-          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          // The dump must be ONE parquet file in the query's own order
+          // (the driver's compare is row-order-sensitive), but a bare
+          // coalesce(1) collapses the WHOLE plan — sort, joins, regex
+          // extraction — into a single task (measured: 30 s for a plan
+          // that runs 1.3 s wide). localCheckpoint executes the plan at
+          // full parallelism and pins the ordered partitions; the
+          // coalesce then just concatenates cached blocks in partition
+          // order (narrow, order-preserving) inside the writer task.
+          val mat = fn(spark, sfDir).localCheckpoint()
+          try mat.coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
+          finally mat.unpersist(false)
           nOk += 1; true
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
