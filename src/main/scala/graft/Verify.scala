@@ -93,10 +93,22 @@ object Verify {
           // full parallelism and pins the ordered partitions; the
           // coalesce then just concatenates cached blocks in partition
           // order (narrow, order-preserving) inside the writer task.
-          val mat = fn(spark, sfDir).localCheckpoint()
-          try mat.coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
-          finally mat.unpersist(false)
+          // The checkpoint does hold a full block copy of the result
+          // (r14 review) — if a huge dump ever can't afford that, fall
+          // back to the old streaming single-task write rather than
+          // failing the query: correct output, just the slow shape.
+          try {
+            val mat = fn(spark, sfDir).localCheckpoint()
+            try mat.coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            finally mat.unpersist(false)
+          } catch { case e: Throwable =>
+            System.err.println(
+              s"[verify] $name checkpointed dump failed (${e.getMessage}); " +
+                "retrying with the streaming single-task write")
+            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+          }
           nOk += 1; true
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -659,7 +659,7 @@ private[graft] object EntriesIngest {
          |  FROM documents),
          |${graft.ingest.Links.sqlWebTrustRankEarlyStop("dh", "doc_id",
               Seq("openweb.org", "data.net"),
-              tolFp = 100000000000L)}""".stripMargin,
+              tolFp = 100000000000L, maxIterations = 10)}""".stripMargin,
     "sitemap_entries" -> {
       s"""WITH sm AS (
          |  SELECT doc_id, $sqlSitemapXml AS xml

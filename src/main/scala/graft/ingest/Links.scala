@@ -731,10 +731,17 @@ object Links {
     * the SAME `l1 < tolFp` rule the Scala loop applies, and the
     * CASE-selected stop-round vector — the
     * [[graft.analytics.PageRank.sqlCopurchaseEarlyStop]] recipe on the
-    * extracted host graph. */
+    * extracted host graph.
+    *
+    * `tolFp` and `maxIterations` carry NO defaults deliberately (r14
+    * review): the Scala face's production defaults (1 ppm, rail 50)
+    * cannot be mirrored by an unrolled chain of practical length, so a
+    * defaulted pair here would silently diverge from a defaulted
+    * [[webTrustRank]] call. The caller must pin the SAME two values on
+    * both sides (the registered query pins (10¹¹, 10)). */
   def sqlWebTrustRankEarlyStop(from: String, idCol: String,
-                               seeds: Seq[String], tolFp: Long = 1000000L,
-                               maxIterations: Int = 10,
+                               seeds: Seq[String], tolFp: Long,
+                               maxIterations: Int,
                                dampingPct: Int = 85): String = {
     val scale = graft.analytics.PageRank.Scale
     val seedList = seeds.map(s => s"'$s'").mkString(", ")

@@ -136,9 +136,10 @@ object GenSf {
       case Array()                             => (DefaultSeed, "/root/testdata/sf0.1")
       case Array(s) if s.matches("-?\\d+")     => (s.toLong, "/root/testdata/sf0.1")
       case Array(dir)                          => (DefaultSeed, dir)
-      case Array(s, dir)                       => (s.toLong, dir)
+      case Array(s, dir) if s.matches("-?\\d+") => (s.toLong, dir)
       case _ =>
-        System.err.println("usage: GenSf <outDir> <mult> [<seed>] [<baseDir>]")
+        System.err.println(
+          "usage: GenSf <outDir> <mult> [<seed>] [<baseDir>] (seed must be an integer)")
         sys.exit(2); throw new IllegalStateException
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",

@@ -53,14 +53,48 @@ object ScaleAudit {
     s"$self:$scalaLib:/opt/spark/jars/*"
   }
 
-  private def corpusDir(mult: Int): String = s"/tmp/gensf_m$mult"
+  /** Corpus directory per (mult, seed): the documented default seed
+    * keeps the BASELINE.md paths (`/tmp/gensf_m10`); any other seed
+    * gets its own suffixed directory so a cached default-seed corpus
+    * can never be silently benched under a different seed label. A
+    * `_gensf_seed` marker written at generation time double-checks
+    * even the default path (a marker-less legacy dir is trusted only
+    * for the default seed). */
+  private def corpusDir(mult: Int, seed: Long): String =
+    if (seed == GenSf.DefaultSeed) s"/tmp/gensf_m$mult"
+    else s"/tmp/gensf_m${mult}_s$seed"
+
+  private def seedMarker(dir: String) = Paths.get(dir, "_gensf_seed")
+
+  /** True when `dir` holds a usable corpus for `seed` — exists AND its
+    * marker (when present) matches. */
+  private def corpusUsable(dir: String, seed: Long): Boolean =
+    Files.exists(Paths.get(s"$dir/documents.parquet")) && {
+      val m = seedMarker(dir)
+      if (Files.exists(m)) Files.readString(m).trim == seed.toString
+      else seed == GenSf.DefaultSeed
+    }
 
   /** Run BenchOne in a fresh JVM; returns (query -> seconds) parsed
     * from its BENCHONE lines (warmup rows included — caller drops). */
   private def benchFresh(sfDir: String, queries: Seq[String]): Map[String, Double] = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
-    val cmd = Seq(javaBin) ++ AddOpens ++ Seq(
-      "-Xms16g", "-Xmx16g", "-XX:+AlwaysPreTouch",
+    // Same heap discipline as build.sbt: 16g + pre-touch on the bench
+    // box, auto-shrunk on smaller machines, SPARK_DRIVER_MEM always
+    // wins — a hard-coded 16g would fail JVM startup on a contributor
+    // box and abort the audit after the corpus-generation phase.
+    val physGiB =
+      try java.lang.management.ManagementFactory
+        .getPlatformMXBean(classOf[com.sun.management.OperatingSystemMXBean])
+        .getTotalMemorySize >> 30
+      catch { case _: Throwable => 0L }
+    val mem = sys.env.getOrElse("SPARK_DRIVER_MEM",
+      if (physGiB >= 48) "16g" else if (physGiB >= 12) "4g" else "2g")
+    val preTouch =
+      if (physGiB >= 48 || sys.env.contains("SPARK_DRIVER_MEM"))
+        Seq("-XX:+AlwaysPreTouch") else Seq.empty[String]
+    val cmd = Seq(javaBin) ++ AddOpens ++ Seq(s"-Xms$mem", s"-Xmx$mem") ++
+      preTouch ++ Seq(
       "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
       "-Duser.language=en", "-Duser.country=US",
       "-cp", childClasspath, "graft.BenchOne", sfDir) ++ queries
@@ -102,13 +136,19 @@ object ScaleAudit {
     var mults = Seq(1, 10)
     var seed = 42L
     val queries = scala.collection.mutable.ArrayBuffer.empty[String]
+    def optValue(flag: String, i: Int): String = {
+      require(i + 1 < args.length, s"$flag needs a value\n" +
+        "usage: ScaleAudit [--regen] [--out p] [--mults 1,10] [--seed 42] <queries...>")
+      args(i + 1)
+    }
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "--regen" => regen = true
-        case "--out" => i += 1; out = args(i)
-        case "--mults" => i += 1; mults = args(i).split(",").map(_.trim.toInt).toSeq
-        case "--seed" => i += 1; seed = args(i).toLong
+        case "--out" => out = optValue("--out", i); i += 1
+        case "--mults" =>
+          mults = optValue("--mults", i).split(",").map(_.trim.toInt).toSeq; i += 1
+        case "--seed" => seed = optValue("--seed", i).toLong; i += 1
         case q => queries += q
       }
       i += 1
@@ -118,10 +158,11 @@ object ScaleAudit {
     val unknown = queries.filterNot(graft.SparkEntry.queries.keySet)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
 
-    // 1. corpora — regenerate missing (or all, under --regen) with ONE
-    // shared session, stopped before any timing JVM starts.
-    val need = mults.map(m => m -> corpusDir(m))
-      .filter { case (_, d) => regen || !Files.exists(Paths.get(s"$d/documents.parquet")) }
+    // 1. corpora — regenerate missing or seed-mismatched (or all, under
+    // --regen) with ONE shared session, stopped before any timing JVM
+    // starts.
+    val need = mults.map(m => m -> corpusDir(m, seed))
+      .filter { case (_, d) => regen || !corpusUsable(d, seed) }
     if (need.nonEmpty) {
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
         math.min(16, Runtime.getRuntime.availableProcessors).toString)
@@ -135,13 +176,14 @@ object ScaleAudit {
       need.foreach { case (m, d) =>
         System.err.println(s"[scale-audit] generating $d (mult=$m seed=$seed)")
         GenSf.generate(spark, d, m.toDouble, seed = seed)
+        Files.writeString(seedMarker(d), seed.toString)
       }
       spark.stop()
     }
 
     // 2. one fresh JVM per corpus, identical query order, totals warmup
     val cols = mults.map { m =>
-      m -> benchFresh(corpusDir(m), "totals" +: queries.toSeq)
+      m -> benchFresh(corpusDir(m, seed), "totals" +: queries.toSeq)
     }
 
     // 3. the BASELINE.md-shaped table
