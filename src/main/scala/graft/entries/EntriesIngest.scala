@@ -274,6 +274,16 @@ private[graft] object EntriesIngest {
       graft.ingest.Links.webTrustRank(withLinkHtml(Tables.documents(s, dir)),
         Seq("openweb.org", "data.net"), tolFp = 100000000000L,
         maxIterations = 10)),
+    // Host communities (r14): LPA over the extracted + symmetrized host
+    // graph — the webTrustRank composition for the LABEL family, churn-
+    // stopped at LPA's natural rule (churn = 0) under an 8-round rail.
+    // Vector, community-representative DOMAIN names, and the data-
+    // dependent stop round all hash-checked against the unrolled vote
+    // chain.
+    "host_communities_earlystop" -> ((s, dir) =>
+      graft.ingest.Links.hostCommunities(
+        withLinkHtml(Tables.documents(s, dir)), maxChurn = 0L,
+        maxRounds = 8)),
     // XML sitemap parsing (r10) — the protocol seed channel: urlset
     // entries with freshness metadata (lastmod/changefreq/priority) and
     // sitemapindex child pointers as typed rows; entity-escaped locs
@@ -660,6 +670,13 @@ private[graft] object EntriesIngest {
          |${graft.ingest.Links.sqlWebTrustRankEarlyStop("dh", "doc_id",
               Seq("openweb.org", "data.net"),
               tolFp = 100000000000L, maxIterations = 10)}""".stripMargin,
+    "host_communities_earlystop" ->
+      s"""WITH ${graft.ingest.Psl.sqlPslCte},
+         |dh AS (
+         |  SELECT doc_id, $sqlFixtureUrl AS url, $sqlLinkHtml AS html
+         |  FROM documents),
+         |${graft.ingest.Links.sqlHostCommunitiesEarlyStop("dh", "doc_id",
+              maxChurn = 0L, maxRounds = 8)}""".stripMargin,
     "sitemap_entries" -> {
       s"""WITH sm AS (
          |  SELECT doc_id, $sqlSitemapXml AS xml

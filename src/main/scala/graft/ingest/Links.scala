@@ -514,6 +514,39 @@ object Links {
       .orderBy(col("domain"))
   }
 
+  /** [EXT] Host communities (r14): label propagation over the
+    * extracted host graph — the [[webTrustRank]] composition for the
+    * LABEL family, closing the production-default story across both
+    * web-scale graph faces. The directed link graph is SYMMETRIZED
+    * first (a link either way is co-membership evidence for community
+    * detection; LPA on the raw directed graph would leave link-sink
+    * domains voteless), then [[graft.analytics.Lpa.labelPropagationUntil]]
+    * runs with LPA's natural stop (churn = 0) under a round rail —
+    * the production default, like [[webTrustRank]]'s tolerance stop.
+    * Labels lift back through the id map (every label IS some node's
+    * id — labels start as own-id and elections only ever pick existing
+    * labels), so the output names each domain's community by its
+    * representative DOMAIN: (domain, community_domain, stop_round),
+    * ordered by domain. Oracle: [[sqlHostCommunitiesEarlyStop]] with
+    * the SAME (maxChurn, maxRounds) pinned on both sides. */
+  def hostCommunities(docs: DataFrame, idCol: String = "doc_id",
+                      urlCol: String = "url", htmlCol: String = "html",
+                      maxChurn: Long = 0L,
+                      maxRounds: Int = 50): DataFrame = {
+    val (edges, ids) = trustGraph(docs, idCol, urlCol, htmlCol)
+    val sym = edges.union(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+    val (labels, stop) = graft.analytics.Lpa.labelPropagationUntil(
+      sym, "src", "dst", maxChurn, maxRounds)
+    labels
+      .join(ids, Seq("node"))
+      .join(ids.select(col("node").as("community"),
+        col("domain").as("community_domain")), Seq("community"))
+      .select(col("domain"), col("community_domain"),
+        lit(stop.toLong).as("stop_round"))
+      .orderBy(col("domain"))
+  }
+
   /** Fixed-round twin of [[webTrustRank]] — the cross-engine oracle
     * face (an unrolled SQL chain needs a static round count) and the
     * deterministic-cost choice where a scheduler must know the round
@@ -809,6 +842,79 @@ object Links {
        |FROM gnodes n CROSS JOIN stopr
        |$joins
        |JOIN gmap m ON m.v = n.v
+       |ORDER BY m.domain""".stripMargin
+  }
+
+  /** [[hostCommunities]] as one DuckDB query: the [[sqlWebTrustRank]]
+    * graph lift, edges symmetrized, then the
+    * [[graft.analytics.Lpa.sqlPartCommunitiesEarlyStop]] vote chain
+    * (count in-neighbor labels → elect max-count lowest-label →
+    * carry forward, MATERIALIZED throughout), per-round churn, the stop
+    * as `MIN(round) WHERE churn <= maxChurn` with the round-rail
+    * fallback, and the stop-round labels lifted back to domains.
+    * No defaults on (maxChurn, maxRounds) — the [[sqlWebTrustRankEarlyStop]]
+    * rule: pin the SAME pair on both engine sides. */
+  def sqlHostCommunitiesEarlyStop(from: String, idCol: String,
+                                  maxChurn: Long, maxRounds: Int): String = {
+    val iters = (1 to maxRounds).map { k =>
+      s"""cnt$k AS MATERIALIZED (
+         |  SELECT e.dst AS v, l.lab, COUNT(*) AS c
+         |  FROM gse e JOIN l${k - 1} l ON e.src = l.v GROUP BY 1, 2),
+         |el$k AS MATERIALIZED (
+         |  SELECT v, lab FROM (
+         |    SELECT v, lab,
+         |      row_number() OVER (PARTITION BY v
+         |                         ORDER BY c DESC, lab ASC) AS rn
+         |    FROM cnt$k) WHERE rn = 1),
+         |l$k AS MATERIALIZED (
+         |  SELECT l.v, COALESCE(el.lab, l.lab) AS lab
+         |  FROM l${k - 1} l LEFT JOIN el$k el ON l.v = el.v)""".stripMargin
+    }.mkString(",\n")
+    val curve = (1 to maxRounds).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS round,
+         |  CAST(SUM(CASE WHEN a.lab <> b.lab THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS churn
+         |FROM l$k a JOIN l${k - 1} b ON a.v = b.v""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val cases = (1 to maxRounds).map(k => s"WHEN $k THEN x$k.lab").mkString(" ")
+    val joins = (1 to maxRounds)
+      .map(k => s"JOIN l$k x$k ON n.v = x$k.v").mkString("\n|")
+    s"""${sqlLinkCtes(from, idCol, "lk")},
+       |lks AS (SELECT ROW_NUMBER() OVER (ORDER BY $idCol, dst_url) AS lid,
+       |               src_url, dst_url FROM lk),
+       |${Psl.sqlDomainCtes("(SELECT lid, src_url AS url FROM lks)", "lid", Seq.empty, "url", "sdom")},
+       |${Psl.sqlDomainCtes("(SELECT lid, dst_url AS url FROM lks)", "lid", Seq.empty, "url", "ddom")},
+       |gpairs AS (
+       |  SELECT DISTINCT s.domain AS src_domain, d.domain AS dst_domain
+       |  FROM sdom s JOIN ddom d USING (lid)
+       |  WHERE s.domain IS NOT NULL AND d.domain IS NOT NULL
+       |    AND s.domain <> d.domain),
+       |gmap AS (
+       |  SELECT domain,
+       |    CAST(('0x' || substring(md5(domain), 1, 15))::UBIGINT AS BIGINT) AS v
+       |  FROM (SELECT src_domain AS domain FROM gpairs
+       |        UNION SELECT dst_domain FROM gpairs)),
+       |ge AS (
+       |  SELECT sm.v AS src, dm.v AS dst
+       |  FROM gpairs JOIN gmap sm ON sm.domain = src_domain
+       |  JOIN gmap dm ON dm.domain = dst_domain),
+       |gse AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM ge UNION ALL SELECT dst, src FROM ge)),
+       |nodes AS MATERIALIZED (
+       |  SELECT DISTINCT src AS v FROM gse),
+       |l0 AS MATERIALIZED (SELECT v, v AS lab FROM nodes),
+       |$iters,
+       |curve AS ($curve),
+       |stopr AS (SELECT CAST(COALESCE(MIN(round), $maxRounds) AS BIGINT) AS k
+       |          FROM curve WHERE churn <= $maxChurn)
+       |SELECT m.domain,
+       |  cm.domain AS community_domain,
+       |  stopr.k AS stop_round
+       |FROM nodes n CROSS JOIN stopr
+       |$joins
+       |JOIN gmap m ON m.v = n.v
+       |JOIN gmap cm ON cm.v = CASE stopr.k $cases END
        |ORDER BY m.domain""".stripMargin
   }
 }

@@ -193,6 +193,38 @@ class LinksSpec extends SparkSpec {
       "tolerance-stopped vector must equal fixed(iterations = stop)")
   }
 
+  test("hostCommunities: disjoint link clusters get distinct communities; " +
+      "churn-stop fires before the rail (r14)") {
+    // two disjoint TRIANGLE clusters — LPA must never merge them, and
+    // symmetrized odd cycles settle to zero churn inside the rail (a
+    // 2-node pair would oscillate forever: the synchronous-LPA
+    // even-cycle trap the graft.analytics.Lpa scaladoc documents)
+    val docs = Seq(
+      (1L, "https://a1.org/x", """<a href="https://a2.net/y">1</a>"""),
+      (2L, "https://a2.net/y", """<a href="https://a3.co/z">2</a>"""),
+      (3L, "https://a3.co/z", """<a href="https://a1.org/x">3</a>"""),
+      (4L, "https://b1.io/x", """<a href="https://b2.dev/y">4</a>"""),
+      (5L, "https://b2.dev/y", """<a href="https://b3.app/z">5</a>"""),
+      (6L, "https://b3.app/z", """<a href="https://b1.io/x">6</a>""")
+    ).toDF("doc_id", "url", "html")
+    val r = Links.hostCommunities(docs, maxChurn = 0L, maxRounds = 8)
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+    val byDomain = r.map(t => t._1 -> t._2).toMap
+    val aSet = Set("a1.org", "a2.net", "a3.co")
+    val bSet = Set("b1.io", "b2.dev", "b3.app")
+    assert(byDomain.keySet == aSet ++ bSet)
+    assert(aSet.map(byDomain).size == 1, s"one a-community: $byDomain")
+    assert(bSet.map(byDomain).size == 1, s"one b-community: $byDomain")
+    assert(byDomain("a1.org") != byDomain("b1.io"),
+      "disjoint clusters must not merge")
+    // community names are member domains (the id-lift totality claim)
+    assert(aSet.contains(byDomain("a1.org")))
+    assert(bSet.contains(byDomain("b1.io")))
+    val stop = r.head._3
+    assert(r.forall(_._3 == stop) && stop >= 1 && stop < 8,
+      s"zero-churn settlement must land before the rail: $stop")
+  }
+
   test("webTrustRank requires a seed inside the extracted graph") {
     val docs = Seq(
       (1L, "https://a.org/1", """<a href="https://b.org/2">x</a>""")
