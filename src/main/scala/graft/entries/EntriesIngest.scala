@@ -274,6 +274,17 @@ private[graft] object EntriesIngest {
       graft.ingest.Links.webTrustRank(withLinkHtml(Tables.documents(s, dir)),
         Seq("openweb.org", "data.net"), tolFp = 100000000000L,
         maxIterations = 10)),
+    // Web spam mass (r14): the Gyöngyi anti-spam triple on the REAL
+    // extracted host graph — open PageRank vs seeded TrustRank vs
+    // spam-mass ppm, BOTH chains tolerance-stopped on their own
+    // residual curves (the spamMassUntil production default face).
+    // Same curve-derived tolerance as web_trustrank_earlystop; the
+    // oracle derives both stop rounds independently from its two
+    // materialized chains.
+    "web_spam_mass_earlystop" -> ((s, dir) =>
+      graft.ingest.Links.webSpamMass(withLinkHtml(Tables.documents(s, dir)),
+        Seq("openweb.org", "data.net"), tolFp = 100000000000L,
+        maxIterations = 10)),
     // Host communities (r14): LPA over the extracted + symmetrized host
     // graph — the webTrustRank composition for the LABEL family, churn-
     // stopped at LPA's natural rule (churn = 0) under an 8-round rail.
@@ -677,6 +688,14 @@ private[graft] object EntriesIngest {
          |  FROM documents),
          |${graft.ingest.Links.sqlHostCommunitiesEarlyStop("dh", "doc_id",
               maxChurn = 0L, maxRounds = 8)}""".stripMargin,
+    "web_spam_mass_earlystop" ->
+      s"""WITH ${graft.ingest.Psl.sqlPslCte},
+         |dh AS (
+         |  SELECT doc_id, $sqlFixtureUrl AS url, $sqlLinkHtml AS html
+         |  FROM documents),
+         |${graft.ingest.Links.sqlWebSpamMassEarlyStop("dh", "doc_id",
+              Seq("openweb.org", "data.net"),
+              tolFp = 100000000000L, maxIterations = 10)}""".stripMargin,
     "sitemap_entries" -> {
       s"""WITH sm AS (
          |  SELECT doc_id, $sqlSitemapXml AS xml

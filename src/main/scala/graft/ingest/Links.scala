@@ -514,6 +514,37 @@ object Links {
       .orderBy(col("domain"))
   }
 
+  /** [EXT] Web spam mass (r14): the Gyöngyi et al. 2006 anti-spam
+    * triple on the EXTRACTED host graph — open PageRank vs seeded
+    * TrustRank vs spam-mass ppm, with BOTH chains tolerance-stopped on
+    * their own residual curves
+    * ([[graft.analytics.PageRank.spamMassUntil]], the production
+    * default face) and domains lifted back through the id map. This is
+    * the composition the fixture-graph `trust_propagation` queries
+    * rehearse, on real extracted hyperlink edges: a domain whose
+    * PageRank is unaccounted for by trust flowing from the curated
+    * seeds is the spam signal. Output (domain, pr_fp, tr_fp,
+    * spam_mass_ppm, pr_stop, tr_stop), ordered by domain. Oracle:
+    * [[sqlWebSpamMassEarlyStop]] with the SAME (tolFp, maxIterations)
+    * pinned on both sides. */
+  def webSpamMass(docs: DataFrame, seeds: Seq[String],
+                  idCol: String = "doc_id", urlCol: String = "url",
+                  htmlCol: String = "html", tolFp: Long = 1000000L,
+                  maxIterations: Int = 50,
+                  dampingPct: Int = 85): DataFrame = {
+    require(seeds.nonEmpty, "spam mass needs a trusted seed set")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (edges, ids) = trustGraph(docs, idCol, urlCol, htmlCol)
+    graft.analytics.PageRank.spamMassUntil(edges, "src", "dst",
+        seeds.toDF("domain").select(domId(col("domain")).as("seed")),
+        "seed", tolFp, maxIterations, dampingPct)
+      .join(ids, Seq("node"))
+      .select(col("domain"), col("pr_fp"), col("tr_fp"),
+        col("spam_mass_ppm"), col("pr_stop"), col("tr_stop"))
+      .orderBy(col("domain"))
+  }
+
   /** [EXT] Host communities (r14): label propagation over the
     * extracted host graph — the [[webTrustRank]] composition for the
     * LABEL family, closing the production-default story across both
@@ -842,6 +873,110 @@ object Links {
        |FROM gnodes n CROSS JOIN stopr
        |$joins
        |JOIN gmap m ON m.v = n.v
+       |ORDER BY m.domain""".stripMargin
+  }
+
+  /** [[webSpamMass]] as one DuckDB query: the [[sqlWebTrustRank]] graph
+    * lift, then BOTH rank chains MATERIALIZED (open PageRank seeded
+    * uniformly over gnodes; TrustRank seeded over gseeds), one residual
+    * curve and stop round PER chain (each stops on its OWN curve — the
+    * [[graft.analytics.PageRank.sqlCopurchaseSpamMassEarlyStop]]
+    * recipe), CASE-selected vectors, and the same truncating ppm
+    * division the engine runs. No defaults on (tolFp, maxIterations) —
+    * pin the SAME pair on both engine sides. */
+  def sqlWebSpamMassEarlyStop(from: String, idCol: String,
+                              seeds: Seq[String], tolFp: Long,
+                              maxIterations: Int,
+                              dampingPct: Int = 85): String = {
+    val scale = graft.analytics.PageRank.Scale
+    val seedList = seeds.map(s => s"'$s'").mkString(", ")
+    def chain(pfx: String, teleExpr: String): String =
+      (1 to maxIterations).map { k =>
+        s"""$pfx$k AS MATERIALIZED (
+           |  SELECT n.v AS v, CAST($teleExpr + COALESCE(c.s, 0) AS BIGINT) AS r
+           |  FROM gnodes n CROSS JOIN ptp CROSS JOIN stp
+           |  LEFT JOIN gseeds s ON n.v = s.v
+           |  LEFT JOIN (
+           |    SELECT e.dst AS v,
+           |      CAST(SUM(r.r * $dampingPct // 100 // dg.d) AS BIGINT) AS s
+           |    FROM ge e JOIN $pfx${k - 1} r ON e.src = r.v
+           |    JOIN gdeg dg ON dg.src = e.src
+           |    GROUP BY 1) c ON n.v = c.v)""".stripMargin
+      }.mkString(",\n")
+    def curve(pfx: String): String =
+      (1 to maxIterations).map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS round,
+           |  CAST(SUM(ABS(a.r - b.r)) AS BIGINT) AS l1
+           |FROM $pfx$k a JOIN $pfx${k - 1} b ON a.v = b.v""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    def cases(pfx: String, stop: String): String =
+      s"CASE $stop.k " +
+        (1 to maxIterations).map(k => s"WHEN $k THEN x$pfx$k.r").mkString(" ") +
+        " END"
+    def joins(pfx: String): String =
+      (1 to maxIterations)
+        .map(k => s"JOIN $pfx$k x$pfx$k ON n.v = x$pfx$k.v").mkString("\n|")
+    s"""${sqlLinkCtes(from, idCol, "lk")},
+       |lks AS (SELECT ROW_NUMBER() OVER (ORDER BY $idCol, dst_url) AS lid,
+       |               src_url, dst_url FROM lk),
+       |${Psl.sqlDomainCtes("(SELECT lid, src_url AS url FROM lks)", "lid", Seq.empty, "url", "sdom")},
+       |${Psl.sqlDomainCtes("(SELECT lid, dst_url AS url FROM lks)", "lid", Seq.empty, "url", "ddom")},
+       |gpairs AS (
+       |  SELECT DISTINCT s.domain AS src_domain, d.domain AS dst_domain
+       |  FROM sdom s JOIN ddom d USING (lid)
+       |  WHERE s.domain IS NOT NULL AND d.domain IS NOT NULL
+       |    AND s.domain <> d.domain),
+       |gmap AS (
+       |  SELECT domain,
+       |    CAST(('0x' || substring(md5(domain), 1, 15))::UBIGINT AS BIGINT) AS v
+       |  FROM (SELECT src_domain AS domain FROM gpairs
+       |        UNION SELECT dst_domain FROM gpairs)),
+       |ge AS MATERIALIZED (
+       |  SELECT sm.v AS src, dm.v AS dst
+       |  FROM gpairs JOIN gmap sm ON sm.domain = src_domain
+       |  JOIN gmap dm ON dm.domain = dst_domain),
+       |gdeg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM ge GROUP BY 1),
+       |gnodes AS MATERIALIZED (
+       |  SELECT DISTINCT v FROM (SELECT src AS v FROM ge
+       |                          UNION SELECT dst FROM ge)),
+       |gnn AS (SELECT COUNT(*) AS n FROM gnodes),
+       |ptp AS (SELECT CAST($scale * ${100 - dampingPct} // 100 // n AS BIGINT)
+       |          AS t FROM gnn),
+       |gseeds AS (
+       |  SELECT v FROM gmap WHERE domain IN ($seedList)),
+       |gns AS (SELECT COUNT(*) AS n FROM gseeds),
+       |stp AS (SELECT CAST($scale * ${100 - dampingPct} // 100 // n AS BIGINT)
+       |          AS t FROM gns),
+       |p0 AS MATERIALIZED (
+       |  SELECT v, CAST($scale // n AS BIGINT) AS r
+       |  FROM gnodes CROSS JOIN gnn),
+       |t0 AS MATERIALIZED (
+       |  SELECT n.v,
+       |    CAST(CASE WHEN s.v IS NOT NULL THEN $scale // gns.n ELSE 0 END
+       |      AS BIGINT) AS r
+       |  FROM gnodes n CROSS JOIN gns LEFT JOIN gseeds s ON n.v = s.v),
+       |${chain("p", "ptp.t")},
+       |${chain("t", "CASE WHEN s.v IS NOT NULL THEN stp.t ELSE 0 END")},
+       |pcurve AS (${curve("p")}),
+       |tcurve AS (${curve("t")}),
+       |pstop AS (SELECT CAST(COALESCE(MIN(round), $maxIterations) AS BIGINT) AS k
+       |          FROM pcurve WHERE l1 < $tolFp),
+       |tstop AS (SELECT CAST(COALESCE(MIN(round), $maxIterations) AS BIGINT) AS k
+       |          FROM tcurve WHERE l1 < $tolFp),
+       |sel AS (
+       |  SELECT n.v,
+       |    CAST(${cases("p", "pstop")} AS BIGINT) AS pr_fp,
+       |    CAST(${cases("t", "tstop")} AS BIGINT) AS tr_fp,
+       |    pstop.k AS pr_stop, tstop.k AS tr_stop
+       |  FROM gnodes n CROSS JOIN pstop CROSS JOIN tstop
+       |  ${joins("p")}
+       |  ${joins("t")})
+       |SELECT m.domain, s.pr_fp, s.tr_fp,
+       |  CAST(CASE WHEN s.pr_fp > 0
+       |    THEN GREATEST(s.pr_fp - s.tr_fp, 0) * 1000000 // s.pr_fp
+       |    ELSE 0 END AS BIGINT) AS spam_mass_ppm,
+       |  s.pr_stop, s.tr_stop
+       |FROM sel s JOIN gmap m ON m.v = s.v
        |ORDER BY m.domain""".stripMargin
   }
 

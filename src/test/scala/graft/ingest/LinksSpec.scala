@@ -193,6 +193,31 @@ class LinksSpec extends SparkSpec {
       "tolerance-stopped vector must equal fixed(iterations = stop)")
   }
 
+  test("webSpamMass: domains unreached by seed trust carry FULL spam mass; " +
+      "each chain stops on its own curve (r14)") {
+    val docs = Seq(
+      (1L, "https://trusted.org/a", """<a href="https://mid.net/x">m</a>"""),
+      (2L, "https://mid.net/b", """<a href="https://sink.io/y">s</a>"""),
+      (3L, "https://spam-a.biz/c", """<a href="https://spam-b.biz/z">p</a>""")
+    ).toDF("doc_id", "url", "html")
+    val r = Links.webSpamMass(docs, Seq("trusted.org"),
+        tolFp = 100000000000L, maxIterations = 10)
+      .collect()
+      .map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5)))
+      .toMap
+    // every node holds teleport PageRank mass, but trust reaches only
+    // the seed's forward cone — the isolated pair is 100% spam mass
+    assert(r("spam-b.biz")._1 > 0L && r("spam-b.biz")._2 == 0L)
+    assert(r("spam-b.biz")._3 == 1000000L, s"full spam ppm: ${r("spam-b.biz")}")
+    assert(r("spam-a.biz")._3 == 1000000L)
+    // the seed itself is trust-saturated: tr >= pr, so ppm = 0
+    assert(r("trusted.org")._3 == 0L, s"seed must carry 0 ppm: ${r("trusted.org")}")
+    // one stop round per CHAIN, shared by all rows
+    assert(r.values.map(_._4).toSet.size == 1)
+    assert(r.values.map(_._5).toSet.size == 1)
+  }
+
   test("hostCommunities: disjoint link clusters get distinct communities; " +
       "churn-stop fires before the rail (r14)") {
     // two disjoint TRIANGLE clusters — LPA must never merge them, and
