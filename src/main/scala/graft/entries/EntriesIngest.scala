@@ -271,7 +271,7 @@ private[graft] object EntriesIngest {
     // rank inversion (round 4→5) with the survivor gap already 2× the
     // subsequent per-round drift.
     "web_trustrank_earlystop" -> ((s, dir) =>
-      graft.ingest.Links.webTrustRank(withLinkHtml(Tables.documents(s, dir)),
+      graft.ingest.Links.webTrustRankUntil(withLinkHtml(Tables.documents(s, dir)),
         Seq("openweb.org", "data.net"), tolFp = 100000000000L,
         maxIterations = 10)),
     // Web spam mass (r14): the Gyöngyi anti-spam triple on the REAL
@@ -285,8 +285,28 @@ private[graft] object EntriesIngest {
       graft.ingest.Links.webSpamMass(withLinkHtml(Tables.documents(s, dir)),
         Seq("openweb.org", "data.net"), tolFp = 100000000000L,
         maxIterations = 10)),
+    // The INCREMENTAL spam-mass face (r15): the triple reads the
+    // MAINTAINED host-graph state (per-batch hostGraph partials merged
+    // by sum — the F106 discipline; the 250 split matches
+    // host_link_graph_incremental) instead of re-extracting the corpus.
+    // Edge counts are additive and the rank cores consume the edge SET,
+    // so the maintained-state run is bit-equal to the full recompute —
+    // which is exactly what the oracle replays (the one-shot chain over
+    // ALL documents). State pinned: in production it is a persisted
+    // index read back, never a live recomputation fused into the plan.
+    "web_spam_mass_incremental" -> ((s, dir) => {
+      val docs = withLinkHtml(Tables.documents(s, dir))
+      val state = graft.ingest.Links.mergeEdges(
+        graft.ingest.Links.hostGraph(docs.filter(col("doc_id") < 250))
+          .unionByName(
+            graft.ingest.Links.hostGraph(docs.filter(col("doc_id") >= 250))))
+        .pinned
+      graft.ingest.Links.webSpamMassFromHostGraph(state,
+        Seq("openweb.org", "data.net"), tolFp = 100000000000L,
+        maxIterations = 10)
+    }),
     // Host communities (r14): LPA over the extracted + symmetrized host
-    // graph — the webTrustRank composition for the LABEL family, churn-
+    // graph — the webTrustRankUntil composition for the LABEL family, churn-
     // stopped at LPA's natural rule (churn = 0) under an 8-round rail.
     // Vector, community-representative DOMAIN names, and the data-
     // dependent stop round all hash-checked against the unrolled vote
@@ -689,6 +709,17 @@ private[graft] object EntriesIngest {
          |${graft.ingest.Links.sqlHostCommunitiesEarlyStop("dh", "doc_id",
               maxChurn = 0L, maxRounds = 8)}""".stripMargin,
     "web_spam_mass_earlystop" ->
+      s"""WITH ${graft.ingest.Psl.sqlPslCte},
+         |dh AS (
+         |  SELECT doc_id, $sqlFixtureUrl AS url, $sqlLinkHtml AS html
+         |  FROM documents),
+         |${graft.ingest.Links.sqlWebSpamMassEarlyStop("dh", "doc_id",
+              Seq("openweb.org", "data.net"),
+              tolFp = 100000000000L, maxIterations = 10)}""".stripMargin,
+    // Incremental == batch: the oracle for the maintained-state run IS
+    // the one-shot chain over all documents — merged per-batch edge
+    // partials must reproduce it exactly.
+    "web_spam_mass_incremental" ->
       s"""WITH ${graft.ingest.Psl.sqlPslCte},
          |dh AS (
          |  SELECT doc_id, $sqlFixtureUrl AS url, $sqlLinkHtml AS html

@@ -249,14 +249,19 @@ private[graft] object EntriesPipeline {
     }),
     // Contamination-free bin packing (Krell-et-al. SPFHP): whole docs
     // only, histogram-driven best-fit-decreasing on the driver, broadcast
-    // slot arithmetic. Rows-only by declared design (driver loop, like
-    // BPE); contract pinned by CurationSpec.
+    // slot arithmetic. FULL oracle (r15): the fitted slot table prints
+    // into a VALUES replay (FittedOracle discipline) — DuckDB re-runs
+    // the chunk expansion, rank window, and slot-join arithmetic against
+    // the driver fit's exact constants.
     "sequence_packing_bins" -> ((s, dir) => {
       val chunks = graft.pipeline.Curation.chunkTexts(
         Tables.documents(s, dir), "doc_id", "text", 64, 0)
         .select((col("doc_id") * 100000 + col("chunk_idx")).as("item_id"),
           col("chunk_text"))
-      graft.pipeline.Curation.packBinsHistogram(chunks, "item_id", "chunk_text", 128)
+      val (assigned, slots) = graft.pipeline.Curation
+        .packBinsHistogramWithSlots(chunks, "item_id", "chunk_text", 128)
+      FittedOracle.packBinsSlots = Some(slots)
+      assigned
     }),
     // Packing-efficiency audit: concat-chunk waste vs pad-per-doc waste
     // and the boundary-contamination counts, one row, from the same

@@ -92,6 +92,18 @@ private[graft] object EntriesTokenizer {
       val pieces = graft.text.Unigram.fitPieces(docs, "text", 400)
       graft.text.Unigram.roundTrip(docs, "doc_id", "text", pieces)
     }),
+    // The losslessness contract under the PRODUCTION-DEFAULT soft-EM fit
+    // (r15, the r14 verdict's #3): soft-EM is what `Unigram.fit` now
+    // means, so detokenize∘encode = id must hold for ITS vocab too —
+    // same fit-free oracle (canonical form derived from raw text), only
+    // the Spark-side piece table differs. A soft table with gapped
+    // coverage would surface here as a hash mismatch, exactly like the
+    // hard twin.
+    "tokenizer_roundtrip_soft" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pieces = graft.text.Unigram.fit(docs, "text", 400)
+      graft.text.Unigram.roundTrip(docs, "doc_id", "text", pieces)
+    }),
     // The fertility audit under the unigram model — multilingual
     // budgets skew differently than under BPE (the point of having
     // both tokenizers in the family).
@@ -448,6 +460,19 @@ private[graft] object EntriesTokenizer {
     // RAW text here (lowercase + ASCII-ws collapse — SplitWhitespace's
     // byte set), so equality proves the Spark-side decode reassembly.
     "tokenizer_roundtrip" ->
+      """SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(toks, ' ')) AS viterbi_md5,
+        |  md5(array_to_string(toks, ' ')) AS maxmatch_md5,
+        |  1 AS viterbi_ok, 1 AS maxmatch_ok
+        |FROM (SELECT doc_id,
+        |        regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+') AS toks
+        |      FROM documents)
+        |WHERE len(toks) > 0
+        |ORDER BY doc_id""".stripMargin,
+    // Identical fit-free oracle for the soft-fit twin: losslessness
+    // means the decode md5s equal the canonical-text md5 regardless of
+    // which vocab segmented it.
+    "tokenizer_roundtrip_soft" ->
       """SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
         |  md5(array_to_string(toks, ' ')) AS viterbi_md5,
         |  md5(array_to_string(toks, ' ')) AS maxmatch_md5,

@@ -465,8 +465,17 @@ object Links {
     * [[hostGraph]]'s to publish, not the rank's to consume (classic
     * TrustRank is unweighted). */
   private def trustGraph(docs: DataFrame, idCol: String, urlCol: String,
-                         htmlCol: String): (DataFrame, DataFrame) = {
-    val g = hostGraph(docs, idCol, urlCol, htmlCol).pinned
+                         htmlCol: String): (DataFrame, DataFrame) =
+    trustGraphFromHost(hostGraph(docs, idCol, urlCol, htmlCol))
+
+  /** The same graph lift over an ALREADY-EXTRACTED host graph — the
+    * seam the incremental faces enter through: a maintained
+    * `(src_domain, dst_domain, n_links)` state ([[mergeEdges]] over
+    * per-batch [[hostGraph]] partials) is a valid input wherever a
+    * fresh extraction is, because edge counts are additive and the rank
+    * cores consume the UNWEIGHTED edge set. */
+  private def trustGraphFromHost(g0: DataFrame): (DataFrame, DataFrame) = {
+    val g = g0.pinned
     val ids = g.select(col("src_domain").as("domain"))
       .union(g.select(col("dst_domain")))
       .distinct()
@@ -495,7 +504,7 @@ object Links {
     * `iterations = stop_round` (the shared-round-body contract,
     * LinksSpec-pinned). Fixed-round twin for oracle chains:
     * [[webTrustRankFixed]]. */
-  def webTrustRank(docs: DataFrame, seeds: Seq[String],
+  def webTrustRankUntil(docs: DataFrame, seeds: Seq[String],
                    idCol: String = "doc_id", urlCol: String = "url",
                    htmlCol: String = "html", tolFp: Long = 1000000L,
                    maxIterations: Int = 50,
@@ -531,11 +540,31 @@ object Links {
                   idCol: String = "doc_id", urlCol: String = "url",
                   htmlCol: String = "html", tolFp: Long = 1000000L,
                   maxIterations: Int = 50,
-                  dampingPct: Int = 85): DataFrame = {
+                  dampingPct: Int = 85): DataFrame =
+    webSpamMassFromHostGraph(hostGraph(docs, idCol, urlCol, htmlCol),
+      seeds, tolFp, maxIterations, dampingPct)
+
+  /** [EXT] The INCREMENTAL spam-mass face (r15, the r14 verdict's #7):
+    * the same Gyöngyi triple over a MAINTAINED host-graph state instead
+    * of a fresh per-run extraction. At 100 TB the extraction (HTML
+    * regex + URL resolution + PSL collapse over every page) dwarfs the
+    * rank iterations; F106 already maintains the graph incrementally
+    * ([[mergeEdges]] over per-batch [[hostGraph]] partials, edge counts
+    * additive), so the anti-spam pipeline should read that state, not
+    * re-crawl the corpus. Because the rank cores consume the unweighted
+    * edge SET and merged counts never invent or drop an edge,
+    * spam mass over the maintained state is BIT-equal to the full
+    * recompute — the incremental == batch discipline, and exactly what
+    * the `web_spam_mass_incremental` oracle (the one-shot
+    * [[sqlWebSpamMassEarlyStop]]) checks. */
+  def webSpamMassFromHostGraph(hostGraph: DataFrame, seeds: Seq[String],
+                               tolFp: Long = 1000000L,
+                               maxIterations: Int = 50,
+                               dampingPct: Int = 85): DataFrame = {
     require(seeds.nonEmpty, "spam mass needs a trusted seed set")
-    val spark = docs.sparkSession
+    val spark = hostGraph.sparkSession
     import spark.implicits._
-    val (edges, ids) = trustGraph(docs, idCol, urlCol, htmlCol)
+    val (edges, ids) = trustGraphFromHost(hostGraph)
     graft.analytics.PageRank.spamMassUntil(edges, "src", "dst",
         seeds.toDF("domain").select(domId(col("domain")).as("seed")),
         "seed", tolFp, maxIterations, dampingPct)
@@ -546,14 +575,14 @@ object Links {
   }
 
   /** [EXT] Host communities (r14): label propagation over the
-    * extracted host graph — the [[webTrustRank]] composition for the
+    * extracted host graph — the [[webTrustRankUntil]] composition for the
     * LABEL family, closing the production-default story across both
     * web-scale graph faces. The directed link graph is SYMMETRIZED
     * first (a link either way is co-membership evidence for community
     * detection; LPA on the raw directed graph would leave link-sink
     * domains voteless), then [[graft.analytics.Lpa.labelPropagationUntil]]
     * runs with LPA's natural stop (churn = 0) under a round rail —
-    * the production default, like [[webTrustRank]]'s tolerance stop.
+    * the production default, like [[webTrustRankUntil]]'s tolerance stop.
     * Labels lift back through the id map (every label IS some node's
     * id — labels start as own-id and elections only ever pick existing
     * labels), so the output names each domain's community by its
@@ -578,7 +607,7 @@ object Links {
       .orderBy(col("domain"))
   }
 
-  /** Fixed-round twin of [[webTrustRank]] — the cross-engine oracle
+  /** Fixed-round twin of [[webTrustRankUntil]] — the cross-engine oracle
     * face (an unrolled SQL chain needs a static round count) and the
     * deterministic-cost choice where a scheduler must know the round
     * budget up front. Same graph lift, same rank core, no stop column. */
@@ -728,7 +757,7 @@ object Links {
        |SELECT domain, token, n, rk FROM ranked WHERE rk <= $k
        |ORDER BY domain, rk""".stripMargin
 
-  /** [[webTrustRank]] as one DuckDB query (same prelude contract): the
+  /** [[webTrustRankUntil]] as one DuckDB query (same prelude contract): the
     * host graph rebuilt relationally, domains lifted to the same
     * md5-prefix ids, then the rank core's unrolled seeded chain with
     * nodes = src ∪ dst (dangling domains keep teleport-only mass — the
@@ -788,7 +817,7 @@ object Links {
        |ORDER BY m.domain""".stripMargin
   }
 
-  /** [[webTrustRank]] (the tolerance production face) as one DuckDB
+  /** [[webTrustRankUntil]] (the tolerance production face) as one DuckDB
     * query: the [[sqlWebTrustRank]] graph lift, the chain MATERIALIZED
     * (each round frame now has three readers — curve twice, final join
     * once), one residual-curve row per round, the stop round derived by
@@ -801,7 +830,7 @@ object Links {
     * review): the Scala face's production defaults (1 ppm, rail 50)
     * cannot be mirrored by an unrolled chain of practical length, so a
     * defaulted pair here would silently diverge from a defaulted
-    * [[webTrustRank]] call. The caller must pin the SAME two values on
+    * [[webTrustRankUntil]] call. The caller must pin the SAME two values on
     * both sides (the registered query pins (10¹¹, 10)). */
   def sqlWebTrustRankEarlyStop(from: String, idCol: String,
                                seeds: Seq[String], tolFp: Long,

@@ -1314,11 +1314,15 @@ object Curation {
     *
     * Output: (item_id, n_tokens, seq_id, seq_fill) — seq_fill is the
     * sequence's total token load (padding = budget − seq_fill). Empty
-    * items (0 tokens) are dropped (they occupy no space). Rows-only at
-    * the driver gate by declared design — the strategy construction is
-    * an engine-internal loop like BPE/k-means — with the contract pinned
-    * by CurationSpec: a hand-traced packing, exactly-once assignment, no
-    * overfull sequence, waste ≤ the pad-per-doc alternative, and
+    * items (0 tokens) are dropped (they occupy no space). The strategy
+    * construction is an engine-internal driver loop like BPE/k-means —
+    * but deterministic over the collected histogram, so the fitted slot
+    * table is a printed constant: [[packBinsHistogramWithSlots]] exposes
+    * it and [[sqlPackBinsChunks]] replays the rank-window + slot-join
+    * arithmetic in DuckDB (the [[graft.similarity.FittedOracle]]
+    * discipline), giving the query a FULL oracle. CurationSpec
+    * additionally pins a hand-traced packing, exactly-once assignment,
+    * no overfull sequence, waste ≤ the pad-per-doc alternative, and
     * partitioning invariance.
     *
     * Scale shape: one histogram aggregate + one length-keyed rank window
@@ -1327,7 +1331,18 @@ object Curation {
     * rank — the documented mitigation is the same pre-filter two-step as
     * [[balancedSample]]. */
   def packBinsHistogram(items: DataFrame, idCol: String, textCol: String,
-                        budget: Int): DataFrame = {
+                        budget: Int): DataFrame =
+    packBinsHistogramWithSlots(items, idCol, textCol, budget)._1
+
+  /** [[packBinsHistogram]] plus its fitted SLOT TABLE — the driver
+    * SPFHP's `(length, cum_start, multiplicity, strat_count, seq_offset,
+    * seq_fill)` rows, a deterministic function of the histogram alone.
+    * Entry closures stash the slots in
+    * [[graft.similarity.FittedOracle.packBinsSlots]] so the oracle SQL
+    * replays the assignment with the SAME constants the query used. */
+  def packBinsHistogramWithSlots(items: DataFrame, idCol: String,
+                                 textCol: String, budget: Int)
+      : (DataFrame, Seq[(Int, Long, Int, Long, Long, Int)]) = {
     require(budget > 0, "budget must be positive")
     val spark = items.sparkSession
     import spark.implicits._
@@ -1394,7 +1409,7 @@ object Curation {
     val slots = rows.toSeq
       .toDF("l", "cum_start", "m", "strat_count", "seq_offset", "seq_fill")
     val w = Window.partitionBy(col("n_tokens")).orderBy(col("__h"), col("item_id"))
-    base.withColumn("__r", row_number().over(w).cast("long") - 1)
+    val assigned = base.withColumn("__r", row_number().over(w).cast("long") - 1)
       .join(broadcast(slots), col("n_tokens") === col("l") &&
         col("__r") >= col("cum_start") &&
         col("__r") < col("cum_start") + col("m") * col("strat_count"))
@@ -1402,6 +1417,54 @@ object Curation {
         expr("seq_offset + (__r - cum_start) div m").as("seq_id"),
         col("seq_fill"))
       .orderBy(col("item_id"))
+    (assigned, rows.toSeq)
+  }
+
+  /** DuckDB replay of the `sequence_packing_bins` composition: 64-token
+    * non-overlapping [[chunkTexts]] expansion (overlap 0 keeps every
+    * start ≤ n), item_id = doc_id·100000 + chunk_idx, then the
+    * [[packBinsHistogram]] assignment — md5-keyed rank within each
+    * length class joined against the PRINTED slot table, seq_id by the
+    * same `//` arithmetic (Spark `DIV` ≡ DuckDB `//` on non-negative
+    * longs). The slot VALUES are the driver fit's exact output, so the
+    * gate checks the distributed rank/join half against an independent
+    * engine while pinning the driver half bit-for-bit. */
+  def sqlPackBinsChunks(slots: Seq[(Int, Long, Int, Long, Long, Int)],
+                        chunkTokens: Int, budget: Int): String = {
+    val values = slots.map { case (l, cs, m, sc, so, sf) =>
+      s"($l, $cs, $m, $sc, $so, $sf)" }.mkString(",\n    ")
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[^ \\t\\n\\x0B\\f\\r]+') AS toks
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, toks, len(toks) AS n,
+       |    [x FOR x IN range(1, len(toks) + 1, $chunkTokens)] AS starts
+       |  FROM t WHERE len(toks) > 0),
+       |items AS (
+       |  SELECT doc_id * 100000 + w.idx AS item_id,
+       |    array_to_string(list_slice(toks, w.st, least(w.st + ${chunkTokens - 1}, n)), ' ') AS chunk_text
+       |  FROM (SELECT doc_id, toks, n,
+       |          UNNEST(list_transform(range(1, len(starts) + 1),
+       |            j -> {'idx': j - 1, 'st': starts[j]})) AS w
+       |        FROM s)),
+       |it AS (
+       |  SELECT item_id,
+       |    len(regexp_extract_all(chunk_text, '[^ \\t\\n\\x0B\\f\\r]+')) AS n_tokens,
+       |    md5(chunk_text) AS h
+       |  FROM items
+       |  WHERE len(regexp_extract_all(chunk_text, '[^ \\t\\n\\x0B\\f\\r]+')) > 0),
+       |r AS (
+       |  SELECT item_id, n_tokens,
+       |    row_number() OVER (PARTITION BY n_tokens ORDER BY h, item_id) - 1 AS rk
+       |  FROM it),
+       |slots(l, cum_start, m, strat_count, seq_offset, seq_fill) AS (VALUES
+       |    $values)
+       |SELECT r.item_id, CAST(r.n_tokens AS INT) AS n_tokens,
+       |  CAST(seq_offset + (rk - cum_start) // m AS BIGINT) AS seq_id,
+       |  CAST(seq_fill AS INT) AS seq_fill
+       |FROM r JOIN slots ON r.n_tokens = l
+       |  AND rk >= cum_start AND rk < cum_start + m * strat_count
+       |ORDER BY r.item_id""".stripMargin
   }
 
   // ---- incremental release manifest (mergeable state) ----

@@ -73,6 +73,13 @@ object FittedOracle {
   // claim, now demonstrated on the consumers and not just the encode).
   @volatile var unigramFertilitySoftPieces: Option[Seq[(String, Long)]] = None
   @volatile var unigramPackSoftPieces: Option[Seq[(String, Long)]] = None
+  // SPFHP bin-packing slot table (r15, the r14 verdict's #1): the
+  // histogram-driven best-fit-decreasing strategy construction is a
+  // deterministic driver loop over a bounded collected histogram — its
+  // (length, cum_start, multiplicity, strat_count, seq_offset, seq_fill)
+  // slot rows print into a VALUES oracle that replays the distributed
+  // rank-window + broadcast-join assignment in DuckDB.
+  @volatile var packBinsSlots: Option[Seq[(Int, Long, Int, Long, Long, Int)]] = None
 
   /** Query names whose oracle arrives through this channel — the STATIC
     * single source for tools ([[graft.tools.CoverageMap]]) that must
@@ -191,6 +198,12 @@ object FittedOracle {
         graft.text.Unigram.sqlPackChunks(p, 512L)),
     "maxmatch_encode_stats" -> maxmatchPieces.filter(_.nonEmpty).map(p =>
       graft.text.Unigram.sqlMaxMatchStats(p)),
+    // The chunking (64) and budget (128) constants mirror the entry
+    // closure's composition exactly — the builder replays chunk
+    // expansion + rank + slot join around the printed driver fit.
+    "sequence_packing_bins" -> packBinsSlots.filter(_.nonEmpty).map(sl =>
+      graft.pipeline.Curation.sqlPackBinsChunks(sl, chunkTokens = 64,
+        budget = 128)),
     "unigram_fit_divergence" ->
       (for { h <- unigramDivHard.filter(_.nonEmpty)
              s <- unigramDivSoft.filter(_.nonEmpty) } yield

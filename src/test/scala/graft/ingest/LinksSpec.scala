@@ -154,7 +154,7 @@ class LinksSpec extends SparkSpec {
       ("data.net", "api", 1L, 2)))
   }
 
-  test("webTrustRank: seeds carry mass, unreachable domains rank 0") {
+  test("webTrustRankUntil: seeds carry mass, unreachable domains rank 0") {
     // seed -> mid -> sink, plus an isolated pair never reached by trust
     val docs = Seq(
       (1L, "https://trusted.org/a", """<a href="https://mid.net/x">m</a>"""),
@@ -172,14 +172,14 @@ class LinksSpec extends SparkSpec {
     assert(r("spam-a.biz") == 0L && r("spam-b.biz") == 0L)
   }
 
-  test("webTrustRank (production tolerance face): bit-identical to the " +
+  test("webTrustRankUntil (production tolerance face): bit-identical to the " +
       "fixed twin at the stop round (r14)") {
     val docs = Seq(
       (1L, "https://trusted.org/a", """<a href="https://mid.net/x">m</a>"""),
       (2L, "https://mid.net/b", """<a href="https://sink.io/y">s</a>"""),
       (3L, "https://spam-a.biz/c", """<a href="https://spam-b.biz/z">p</a>""")
     ).toDF("doc_id", "url", "html")
-    val tol = Links.webTrustRank(docs, Seq("trusted.org"),
+    val tol = Links.webTrustRankUntil(docs, Seq("trusted.org"),
         tolFp = 1000000L, maxIterations = 10)
       .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
     val stop = tol.head._3
@@ -218,6 +218,26 @@ class LinksSpec extends SparkSpec {
     assert(r.values.map(_._5).toSet.size == 1)
   }
 
+  test("webSpamMassFromHostGraph: the maintained-state run is bit-equal " +
+      "to the full recompute (incremental == batch, r15)") {
+    val docs = Seq(
+      (1L, "https://trusted.org/a", """<a href="https://mid.net/x">m</a>"""),
+      (2L, "https://mid.net/b", """<a href="https://sink.io/y">s</a>"""),
+      (3L, "https://spam-a.biz/c", """<a href="https://spam-b.biz/z">p</a>"""),
+      (4L, "https://mid.net/c", """<a href="https://sink.io/w">s2</a>""")
+    ).toDF("doc_id", "url", "html")
+    // the split cuts the duplicated (mid.net -> sink.io) edge across the
+    // two batches, so mergeEdges' additivity is load-bearing
+    val state = Links.mergeEdges(
+      Links.hostGraph(docs.filter($"doc_id" <= 2))
+        .unionByName(Links.hostGraph(docs.filter($"doc_id" > 2))))
+    val inc = Links.webSpamMassFromHostGraph(state, Seq("trusted.org"),
+      tolFp = 100000000000L, maxIterations = 10).collect().toSeq
+    val full = Links.webSpamMass(docs, Seq("trusted.org"),
+      tolFp = 100000000000L, maxIterations = 10).collect().toSeq
+    assert(inc == full)
+  }
+
   test("hostCommunities: disjoint link clusters get distinct communities; " +
       "churn-stop fires before the rail (r14)") {
     // two disjoint TRIANGLE clusters — LPA must never merge them, and
@@ -250,15 +270,15 @@ class LinksSpec extends SparkSpec {
       s"zero-churn settlement must land before the rail: $stop")
   }
 
-  test("webTrustRank requires a seed inside the extracted graph") {
+  test("webTrustRankUntil requires a seed inside the extracted graph") {
     val docs = Seq(
       (1L, "https://a.org/1", """<a href="https://b.org/2">x</a>""")
     ).toDF("doc_id", "url", "html")
     intercept[IllegalArgumentException] {
-      Links.webTrustRank(docs, Seq.empty)
+      Links.webTrustRankUntil(docs, Seq.empty)
     }
     intercept[Exception] {
-      Links.webTrustRank(docs, Seq("absent.example")).collect()
+      Links.webTrustRankUntil(docs, Seq("absent.example")).collect()
     }
   }
 
