@@ -103,6 +103,22 @@ private[graft] object EntriesMultimodal {
         .select(col("media_id"), col("text"))
       Multimodal.videoFramesReal(anchored)
     }),
+    // r15 (the r14 verdict's #6): real GIFs store most frames as
+    // PARTIAL updates — sub-rect deltas at image-descriptor offsets
+    // under disposal rules — so the demux now composites a real canvas
+    // instead of rejecting placed frames to the stub. This fixture
+    // plants genuine delta-encoded animations (4x4 rects at per-frame
+    // offsets, accumulate disposal) through the JDK's own writer; the
+    // oracle replays the canvas state numerically per frame.
+    "video_frames_composited" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val anchored = docs.filter(col("doc_id") % 3 === 2)
+        .select(col("doc_id").as("media_id"),
+          (col("doc_id") - col("doc_id") % 15).as("aid"))
+        .join(docs.select(col("doc_id").as("aid"), col("text")), Seq("aid"))
+        .select(col("media_id"), col("text"))
+      Multimodal.videoFramesComposited(anchored)
+    }),
     // F139 (r13): the F124 move repeated for AUDIO — the planted-copy
     // fixture rendered as real 256-sample PCM WAVs (deterministic u16
     // samples from the anchor text), decoded back through
@@ -214,6 +230,7 @@ private[graft] object EntriesMultimodal {
     "audio_ahash_real_pairs" -> Multimodal.sqlAudioAhashRealPairs(3),
     "image_resize_real" -> Multimodal.sqlImageResizeReal,
     "video_frames_real" -> Multimodal.sqlVideoFramesReal,
+    "video_frames_composited" -> Multimodal.sqlVideoFramesComposited,
     // crawl_then_dashboard: batch-equivalence — the streaming-grown sink
     // IS the one-shot distinct article set (each tick's re-crawls drop
     // in the sink-key anti-join), so the dashboard replays from

@@ -584,16 +584,17 @@ object Multimodal {
     new java.awt.image.IndexColorModel(8, 256, g, g, g)
   }
 
-  /** Per-frame GIF image-descriptor placement: (left, top, w, h) from
-    * the native metadata tree. Real-world animated GIFs often store
-    * frame 2+ as a sub-rect DELTA over the previous canvas (nonzero
-    * offset / smaller-than-screen size + disposal rules);
-    * [[decodeFrameMeans]] reads RAW frames without compositing, so such
-    * frames must be REJECTED to the stub arm rather than averaged over
-    * the wrong region (r13 ADVICE). Any metadata failure reads as
-    * "placed" — reject. */
-  private def gifFramePlacement(reader: javax.imageio.ImageReader,
-                                f: Int): Option[(Int, Int)] =
+  /** Per-frame GIF control tuple from the native metadata tree:
+    * (left, top, disposalMethod) — the image-descriptor placement plus
+    * the graphic-control disposal rule ("none" when the extension is
+    * absent, the GIF89a default). Real-world animated GIFs routinely
+    * store frame 2+ as a sub-rect DELTA over the previous canvas;
+    * [[decodeGifComposited]] applies these controls to a real canvas
+    * (r15 — the r14 verdict's #6 replaced the r13 reject-to-stub rule
+    * with actual compositing). Any metadata failure reads as
+    * undecodable — reject to the stub arm. */
+  private def gifFrameControl(reader: javax.imageio.ImageReader,
+                              f: Int): Option[(Int, Int, String)] =
     try {
       val root = reader.getImageMetadata(f)
         .getAsTree("javax_imageio_gif_image_1.0")
@@ -606,29 +607,168 @@ object Multimodal {
           val v = e.getAttribute(a)
           if (v == null || v.isEmpty) 0 else v.toInt
         }
-        Some((at("imageLeftPosition"), at("imageTopPosition")))
+        val gce = root.getElementsByTagName("GraphicControlExtension")
+        val disp =
+          if (gce.getLength == 0) "none"
+          else {
+            val d = gce.item(0).asInstanceOf[org.w3c.dom.Element]
+              .getAttribute("disposalMethod")
+            if (d == null || d.isEmpty) "none" else d
+          }
+        Some((at("imageLeftPosition"), at("imageTopPosition"), disp))
       }
     } catch {
       case _: java.io.IOException => None
       case _: RuntimeException => None
     }
 
+  /** GIF logical-screen size from the stream metadata — the display
+    * canvas every frame places into. Absent/corrupt metadata → None
+    * (the caller falls back to the frames' union extent). */
+  private def gifLogicalScreen(
+      reader: javax.imageio.ImageReader): Option[(Int, Int)] =
+    try {
+      val root = reader.getStreamMetadata
+        .getAsTree("javax_imageio_gif_stream_1.0")
+        .asInstanceOf[org.w3c.dom.Element]
+      val nodes = root.getElementsByTagName("LogicalScreenDescriptor")
+      if (nodes.getLength == 0) None
+      else {
+        val e = nodes.item(0).asInstanceOf[org.w3c.dom.Element]
+        Some((e.getAttribute("logicalScreenWidth").toInt,
+          e.getAttribute("logicalScreenHeight").toInt))
+      }
+    } catch {
+      case _: java.io.IOException => None
+      case _: RuntimeException => None
+      case _: NullPointerException => None
+    }
+
+  /** Exact integer Rec-601 luma mean over a raster — sum of per-pixel
+    * `(299R + 587G + 114B) / 1000` over all pixels, divided by count.
+    * For a gray pixel the luma IS the gray (299+587+114 = 1000), the
+    * identity every planted-fixture oracle replays. */
+  private def lumaMean(img: java.awt.image.BufferedImage): Long = {
+    var sum = 0L
+    var cnt = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff
+        val g = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        sum += (299L * r + 587L * g + 114L * b) / 1000L
+        cnt += 1
+        x += 1
+      }
+      y += 1
+    }
+    sum / cnt
+  }
+
+  /** COMPOSITED GIF demux (r15, the r14 verdict's #6): real animated
+    * GIFs store most frames as partial updates — a sub-rect raster
+    * placed at an image-descriptor offset, composited over the living
+    * canvas under a per-frame disposal rule — so the reject-to-stub
+    * rule r13 shipped made the stub arm the COMMON case in the wild.
+    * This is the real decode: frame f's feature is the luma mean of the
+    * WHOLE canvas after drawing frame f, exactly what a viewer shows.
+    *
+    *  - canvas = logical screen, widened to the frames' union extent
+    *    when a frame escapes it (defensive: such files exist); pixels
+    *    no frame ever covers render BLACK (luma 0) — viewers disagree
+    *    between background color and transparency here, and black keeps
+    *    the mean total and deterministic;
+    *  - placement honors (left, top); transparent pixels leave the
+    *    underlying canvas visible (Java2D bitmask transparency);
+    *  - disposal: `none`/`doNotDispose` accumulate,
+    *    `restoreToBackgroundColor` clears the frame's rect back to
+    *    black, `restoreToPrevious` restores the pre-frame canvas;
+    *  - a full-canvas opaque frame sequence composites to exactly the
+    *    raw per-frame means, so the pre-r15 planted fixture is
+    *    bit-identical through this path (MultimodalSpec pins it).
+    *
+    * `None` (→ stub arm) when any frame's metadata or raster fails to
+    * decode, or the canvas is under the 8×8 grid floor. */
+  private def decodeGifComposited(reader: javax.imageio.ImageReader,
+                                  n: Int): Option[Array[Long]] = {
+    val ctrls = new Array[(Int, Int, String)](n)
+    val dims = new Array[(Int, Int)](n)
+    var f = 0
+    var ok = true
+    while (ok && f < n) {
+      gifFrameControl(reader, f) match {
+        case Some(c) =>
+          ctrls(f) = c
+          try dims(f) = (reader.getWidth(f), reader.getHeight(f))
+          catch {
+            case _: java.io.IOException => ok = false
+            case _: RuntimeException => ok = false
+          }
+        case None => ok = false
+      }
+      f += 1
+    }
+    if (!ok) None
+    else {
+      val (lw, lh) = gifLogicalScreen(reader).getOrElse((0, 0))
+      val cw = math.max(lw, (0 until n).map(i => ctrls(i)._1 + dims(i)._1).max)
+      val ch = math.max(lh, (0 until n).map(i => ctrls(i)._2 + dims(i)._2).max)
+      if (cw < 8 || ch < 8) None
+      else {
+        val canvas = new java.awt.image.BufferedImage(
+          cw, ch, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g2 = canvas.createGraphics()
+        try {
+          val out = new Array[Long](n)
+          f = 0
+          while (ok && f < n) {
+            val img =
+              try reader.read(f)
+              catch {
+                case _: java.io.IOException => null
+                case _: RuntimeException => null
+              }
+            if (img == null) ok = false
+            else {
+              val (left, top, disp) = ctrls(f)
+              val snapshot =
+                if (disp == "restoreToPrevious") canvas.copyData(null) else null
+              g2.drawImage(img, left, top, null)
+              out(f) = lumaMean(canvas)
+              disp match {
+                case "restoreToBackgroundColor" =>
+                  g2.setColor(java.awt.Color.BLACK)
+                  g2.fillRect(left, top, img.getWidth, img.getHeight)
+                case "restoreToPrevious" => canvas.setData(snapshot)
+                case _ => ()
+              }
+              f += 1
+            }
+          }
+          if (ok) Some(out) else None
+        } finally g2.dispose()
+      }
+    }
+  }
+
   /** Decode a MULTI-FRAME payload through the JDK's imageio registry
     * (GIF is the one shipped container with real frame sequences) into
-    * per-frame 64-bin grayscale means: frame f → its [[decodeGray8]]
-    * grid's overall integer mean.
+    * per-frame grayscale means.
     *
-    * RAW-frame semantics: frames are read as stored, with NO disposal
-    * compositing — correct only when every frame is a full-canvas
-    * raster. Frames declaring a nonzero image-descriptor offset or a
-    * size different from frame 0's canvas (the delta-encoded animation
-    * idiom) are therefore rejected to the stub arm, never averaged over
-    * a sub-rect ([[gifFramePlacement]]).
+    * GIF takes the COMPOSITED path ([[decodeGifComposited]], r15):
+    * placement offsets, sub-canvas partial updates, transparency and
+    * disposal rules all apply to a real canvas, and frame f's mean is
+    * the canvas luma after drawing frame f — what a viewer shows. Other
+    * multi-frame containers keep the raw full-frame rule (every frame
+    * equal-sized) since they carry no placement semantics.
     *
-    * `None` when the bytes don't decode, expose no frame count, any
-    * frame is under the 8×8 grid, or any GIF frame is placed/resized —
-    * the caller falls back to the deterministic stub (MP4-class
-    * containers stay env-blocked and loudly documented). */
+    * `None` when the bytes don't decode, expose no frame count, or the
+    * canvas is under the 8×8 grid — the caller falls back to the
+    * deterministic stub (MP4-class containers stay env-blocked and
+    * loudly documented). */
   private[multimodal] def decodeFrameMeans(data: Array[Byte]): Option[Array[Long]] = {
     val iis =
       try javax.imageio.ImageIO.createImageInputStream(
@@ -661,48 +801,32 @@ object Multimodal {
                 case _: java.io.IOException => false
                 case _: RuntimeException => false
               }
-            val out = new Array[Long](n)
-            var f = 0
-            var ok = true
-            var w0 = -1; var h0 = -1
-            while (ok && f < n) {
-              val img =
-                try reader.read(f)
-                catch {
-                  case _: java.io.IOException => null
-                  case _: RuntimeException => null
-                }
-              if (f == 0 && img != null) { w0 = img.getWidth; h0 = img.getHeight }
-              // non-composited read: every frame must be a full-canvas,
-              // unplaced raster (see scaladoc) — delta frames → stub arm
-              if (img == null || img.getWidth < 8 || img.getHeight < 8 ||
-                  img.getWidth != w0 || img.getHeight != h0 ||
-                  (isGif && !gifFramePlacement(reader, f).contains((0, 0))))
-                ok = false
-              else {
-                // luma mean over the whole frame in exact integer
-                // arithmetic — sum of per-pixel Rec-601 lumas / count
-                var sum = 0L
-                var cnt = 0L
-                var y = 0
-                while (y < img.getHeight) {
-                  var x = 0
-                  while (x < img.getWidth) {
-                    val rgb = img.getRGB(x, y)
-                    val r = (rgb >> 16) & 0xff
-                    val g = (rgb >> 8) & 0xff
-                    val b = rgb & 0xff
-                    sum += (299L * r + 587L * g + 114L * b) / 1000L
-                    cnt += 1
-                    x += 1
+            if (isGif) decodeGifComposited(reader, n)
+            else {
+              // non-GIF sequences carry no placement semantics: raw
+              // equal-size full frames, frame mean = raster mean
+              val out = new Array[Long](n)
+              var f = 0
+              var ok = true
+              var w0 = -1; var h0 = -1
+              while (ok && f < n) {
+                val img =
+                  try reader.read(f)
+                  catch {
+                    case _: java.io.IOException => null
+                    case _: RuntimeException => null
                   }
-                  y += 1
+                if (f == 0 && img != null) { w0 = img.getWidth; h0 = img.getHeight }
+                if (img == null || img.getWidth < 8 || img.getHeight < 8 ||
+                    img.getWidth != w0 || img.getHeight != h0)
+                  ok = false
+                else {
+                  out(f) = lumaMean(img)
+                  f += 1
                 }
-                out(f) = sum / cnt
-                f += 1
               }
+              if (ok) Some(out) else None
             }
-            if (ok) Some(out) else None
           }
         } finally { reader.dispose(); iis.close() }
       }
@@ -792,6 +916,94 @@ object Multimodal {
       .toDF("media_id", "kind", "data")
   }
 
+  /** Deterministic PARTIAL-UPDATE animated GIF per row of
+    * `anchored(media_id, text)` — the encode half of the COMPOSITED
+    * frame roundtrip (r15): frame 0 is the full 8×8 base raster (grays
+    * planted like [[gifMediaFromAnchors]]), every later frame f is a
+    * 4×4 sub-rect DELTA placed at `((2f) mod 5, (3f) mod 5)` with grays
+    * md5(text ∥ ":f" ∥ f ∥ ":p" ∥ rectIdx), disposal `doNotDispose` so
+    * updates accumulate — the partial-update idiom real animated GIFs
+    * use. Placement and disposal ride the per-frame image metadata
+    * through the JDK's own GIF sequence writer, so the bytes are a real
+    * delta-encoded animation, not a synthetic metadata pose. */
+  def gifPartialMediaFromAnchors(anchored: DataFrame): DataFrame = {
+    val spark = anchored.sparkSession
+    import spark.implicits._
+    anchored.select(col("media_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def gray(text: String, f: Int, idx: Int): Int = {
+          md.reset()
+          md.update((text + ":f" + f + ":p" + idx)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          md.digest()(0) & 0xff
+        }
+        rows.map { case (id, text) =>
+          val nFrames = (text.length % 3) + 2
+          val bos = new java.io.ByteArrayOutputStream()
+          val writer = javax.imageio.ImageIO
+            .getImageWritersByFormatName("gif").next()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < nFrames) {
+            val full = f == 0
+            val side = if (full) 8 else 4
+            val img = new java.awt.image.BufferedImage(
+              side, side, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED,
+              grayPalette)
+            var idx = 0
+            while (idx < side * side) {
+              val g = gray(text, f, idx)
+              img.setRGB(idx % side, idx / side, (g << 16) | (g << 8) | g)
+              idx += 1
+            }
+            val meta = writer.getDefaultImageMetadata(
+              new javax.imageio.ImageTypeSpecifier(img), null)
+            val fmt = "javax_imageio_gif_image_1.0"
+            val root = meta.getAsTree(fmt).asInstanceOf[org.w3c.dom.Element]
+            val desc = root.getElementsByTagName("ImageDescriptor").item(0)
+              .asInstanceOf[org.w3c.dom.Element]
+            desc.setAttribute("imageLeftPosition",
+              (if (full) 0 else (f * 2) % 5).toString)
+            desc.setAttribute("imageTopPosition",
+              (if (full) 0 else (f * 3) % 5).toString)
+            // the default image metadata carries interlaceFlag=TRUE,
+            // and the JDK pair mis-roundtrips interlaced sub-8-row
+            // rasters (rows read back zeroed) — plant progressive
+            desc.setAttribute("interlaceFlag", "FALSE")
+            val gceN = root.getElementsByTagName("GraphicControlExtension")
+            val gce =
+              if (gceN.getLength > 0)
+                gceN.item(0).asInstanceOf[org.w3c.dom.Element]
+              else {
+                val e = new javax.imageio.metadata
+                  .IIOMetadataNode("GraphicControlExtension")
+                e.setAttribute("userInputFlag", "FALSE")
+                e.setAttribute("transparentColorFlag", "FALSE")
+                e.setAttribute("delayTime", "10")
+                e.setAttribute("transparentColorIndex", "0")
+                root.appendChild(e)
+                e
+              }
+            gce.setAttribute("disposalMethod", "doNotDispose")
+            meta.setFromTree(fmt, root)
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, meta), null)
+            f += 1
+          }
+          writer.endWriteSequence()
+          ios.close()
+          writer.dispose()
+          (id, "video", bos.toByteArray)
+        }
+      }
+      .toDF("media_id", "kind", "data")
+  }
+
   /** `video_frames_real` query: the planted-GIF fixture demuxed back
     * through [[sampleFramesDecoded]] — (media_id, frame_idx, mean_gray)
     * per real decoded frame. Video ids are the `doc_id ≡ 2 (mod 3)`
@@ -825,6 +1037,59 @@ object Multimodal {
        |SELECT media_id, CAST(f AS BIGINT) AS frame_idx,
        |  CAST(SUM(gray) // 64 AS BIGINT) AS mean_gray
        |FROM px GROUP BY media_id, f
+       |ORDER BY media_id, frame_idx""".stripMargin
+
+  /** `video_frames_composited` query (r15): the PARTIAL-UPDATE planted
+    * fixture ([[gifPartialMediaFromAnchors]]) demuxed through the real
+    * composited arm — per-frame canvas luma means after applying
+    * placement offsets and accumulate disposal. Same output shape as
+    * [[videoFramesReal]]; a pass proves the decoder composites exactly
+    * (offsets honored, earlier canvas preserved outside each delta
+    * rect, later deltas overwriting earlier ones where they overlap). */
+  def videoFramesComposited(anchored: DataFrame): DataFrame =
+    sampleFramesDecoded(gifPartialMediaFromAnchors(anchored))
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("mean_gray"))
+      .orderBy(col("media_id"), col("frame_idx"))
+
+  /** DuckDB mirror of [[videoFramesComposited]]: the canvas state is
+    * replayed NUMERICALLY — pixel (x, y) at frame f holds the planted
+    * gray of the LATEST delta g ∈ [1, f] whose 4×4 rect at
+    * `((2g) mod 5, (3g) mod 5)` covers it, else the frame-0 base gray;
+    * the mean is the exact integer sum over the 8×8 canvas div 64. A
+    * pass proves the JDK demux + canvas compositing reproduced every
+    * placed delta bit-for-bit. */
+  def sqlVideoFramesComposited: String =
+    s"""WITH vid AS (
+       |  SELECT d.doc_id AS media_id, a.text AS text
+       |  FROM documents d
+       |  JOIN documents a ON a.doc_id = d.doc_id - (d.doc_id % 15)
+       |  WHERE d.doc_id % 3 = 2),
+       |fr AS (
+       |  SELECT media_id, text, UNNEST(range(0, (length(text) % 3) + 2)) AS f
+       |  FROM vid),
+       |px AS (
+       |  SELECT media_id, text, f, pp.p AS p, pp.p % 8 AS x, pp.p // 8 AS y
+       |  FROM fr CROSS JOIN (SELECT UNNEST(range(0, 64)) AS p) pp),
+       |cov AS (
+       |  SELECT media_id, text, f, p, x, y, max(gg.g) AS g
+       |  FROM px LEFT JOIN (SELECT UNNEST(range(1, 4)) AS g) gg
+       |    ON gg.g <= px.f
+       |    AND px.x >= (gg.g * 2) % 5 AND px.x < (gg.g * 2) % 5 + 4
+       |    AND px.y >= (gg.g * 3) % 5 AND px.y < (gg.g * 3) % 5 + 4
+       |  GROUP BY media_id, text, f, p, x, y),
+       |val AS (
+       |  SELECT media_id, f, p,
+       |    CASE WHEN g IS NULL THEN
+       |      ('0x' || substring(md5(text || ':f0:p' || p), 1, 2))::UBIGINT
+       |    ELSE
+       |      ('0x' || substring(md5(text || ':f' || g || ':p' ||
+       |         ((y - (g * 3) % 5) * 4 + (x - (g * 2) % 5))), 1, 2))::UBIGINT
+       |    END AS gray
+       |  FROM cov)
+       |SELECT media_id, CAST(f AS BIGINT) AS frame_idx,
+       |  CAST(SUM(gray) // 64 AS BIGINT) AS mean_gray
+       |FROM val GROUP BY media_id, f
        |ORDER BY media_id, frame_idx""".stripMargin
 
   // ------------------------------------------------ real audio path (r13)

@@ -224,10 +224,11 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("decodeFrameMeans: placed (delta) GIF frames refuse to the stub arm (r13 ADVICE)") {
-    // decodeFrameMeans reads RAW frames without disposal compositing —
+  test("decodeFrameMeans: placed (delta) GIF frames COMPOSITE onto the " +
+      "canvas (r15 — supersedes the r13 reject-to-stub rule)") {
     // a frame stored as a sub-canvas delta (nonzero image-descriptor
-    // offset) would average over the wrong region, so it must REJECT
+    // offset) must be drawn at its offset over the living canvas; the
+    // frame feature is the mean of the WHOLE canvas, viewer semantics
     def gif(offsetSecond: Boolean): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
       val writer = javax.imageio.ImageIO
@@ -259,11 +260,107 @@ class MultimodalSpec extends SparkSpec {
       ios.close(); writer.dispose()
       bos.toByteArray
     }
-    // control: the same 2-frame GIF with all frames at (0,0) decodes...
-    assert(Multimodal.decodeFrameMeans(gif(offsetSecond = false)).exists(_.length == 2))
-    // ...and offsetting frame 2 flips the whole payload to the stub arm
-    assert(Multimodal.decodeFrameMeans(gif(offsetSecond = true)).isEmpty,
-      "a placed frame must reject the payload (non-composited read)")
+    // control: the same 2-frame GIF with all frames at (0,0) decodes to
+    // the two solid-frame means (read them back rather than assuming
+    // the planted values — TYPE_BYTE_GRAY/palette quantization may
+    // shift the absolute grays, but solid frames stay solid)
+    val control = Multimodal.decodeFrameMeans(gif(offsetSecond = false))
+    assert(control.exists(_.length == 2))
+    val v0 = control.get(0)
+    val v1 = control.get(1)
+    // placing frame 2 at left=8 extends the canvas to 16x8: frame 1
+    // covers the left half (right half never drawn -> black), frame 2
+    // adds the right half — whole-canvas means, exact integer division
+    val placed = Multimodal.decodeFrameMeans(gif(offsetSecond = true))
+    assert(placed.exists(_.length == 2),
+      "a placed frame must now decode through the composited real arm")
+    assert(placed.get(0) == 64L * v0 / 128L, s"got ${placed.get.toSeq}")
+    assert(placed.get(1) == (64L * v0 + 64L * v1) / 128L,
+      s"got ${placed.get.toSeq}")
+  }
+
+  test("decodeFrameMeans: disposal rules composite like a viewer (r15)") {
+    // frames planted in the exact 256-gray indexed palette so the
+    // decoded grays equal the planted ones bit-for-bit
+    val g = Array.tabulate(256)(_.toByte)
+    val pal = new java.awt.image.IndexColorModel(8, 256, g, g, g)
+    def frame(side: Int, gray: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(side, side,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, pal)
+      for (i <- 0 until side * side)
+        img.setRGB(i % side, i / side, (gray << 16) | (gray << 8) | gray)
+      img
+    }
+    def gif(frames: Seq[(Int, Int, Int, Int, String)]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { case (side, left, top, gray, disposal) =>
+        val img = frame(side, gray)
+        val meta = writer.getDefaultImageMetadata(
+          new javax.imageio.ImageTypeSpecifier(img), null)
+        val fmt = "javax_imageio_gif_image_1.0"
+        val root = meta.getAsTree(fmt).asInstanceOf[org.w3c.dom.Element]
+        val desc = root.getElementsByTagName("ImageDescriptor").item(0)
+          .asInstanceOf[org.w3c.dom.Element]
+        desc.setAttribute("imageLeftPosition", left.toString)
+        desc.setAttribute("imageTopPosition", top.toString)
+        // default metadata says interlaceFlag=TRUE and the JDK pair
+        // mis-roundtrips interlaced sub-8-row rasters — write progressive
+        desc.setAttribute("interlaceFlag", "FALSE")
+        val gceN = root.getElementsByTagName("GraphicControlExtension")
+        val gce =
+          if (gceN.getLength > 0)
+            gceN.item(0).asInstanceOf[org.w3c.dom.Element]
+          else {
+            val e = new javax.imageio.metadata
+              .IIOMetadataNode("GraphicControlExtension")
+            e.setAttribute("userInputFlag", "FALSE")
+            e.setAttribute("transparentColorFlag", "FALSE")
+            e.setAttribute("delayTime", "10")
+            e.setAttribute("transparentColorIndex", "0")
+            root.appendChild(e)
+            e
+          }
+        gce.setAttribute("disposalMethod", disposal)
+        meta.setFromTree(fmt, root)
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, meta), null)
+      }
+      writer.endWriteSequence()
+      ios.close(); writer.dispose()
+      bos.toByteArray
+    }
+    // accumulate (doNotDispose): the 4x4 delta at (2,2) overwrites only
+    // its rect; the rest of the canvas keeps frame 0's gray
+    val acc = Multimodal.decodeFrameMeans(gif(Seq(
+      (8, 0, 0, 100, "doNotDispose"), (4, 2, 2, 200, "doNotDispose"))))
+    assert(acc.exists(_.toSeq == Seq(100L, (48L * 100 + 16L * 200) / 64L)),
+      s"accumulate: ${acc.map(_.toSeq)}")
+    // restoreToBackgroundColor: frame 0's rect clears to black after
+    // sampling, so frame 1's canvas is its own 16 pixels over black
+    val bg = Multimodal.decodeFrameMeans(gif(Seq(
+      (8, 0, 0, 100, "restoreToBackgroundColor"),
+      (4, 0, 0, 200, "doNotDispose"))))
+    assert(bg.exists(_.toSeq == Seq(100L, 16L * 200 / 64L)),
+      s"restoreToBackgroundColor: ${bg.map(_.toSeq)}")
+    // restoreToPrevious: frame 1's delta is sampled, then the canvas
+    // reverts, so frame 2 composites over frame 0's canvas, not frame 1's
+    val prev = Multimodal.decodeFrameMeans(gif(Seq(
+      (8, 0, 0, 100, "doNotDispose"),
+      (4, 2, 2, 200, "restoreToPrevious"),
+      (4, 0, 0, 50, "doNotDispose"))))
+    assert(prev.exists(_.toSeq == Seq(100L,
+      (48L * 100 + 16L * 200) / 64L, (48L * 100 + 16L * 50) / 64L)),
+      s"restoreToPrevious: ${prev.map(_.toSeq)}")
+    // the pre-r15 full-frame fixture path is bit-identical through the
+    // composited arm: full-canvas opaque frames leave nothing uncovered
+    val full = Multimodal.decodeFrameMeans(gif(Seq(
+      (8, 0, 0, 100, "doNotDispose"), (8, 0, 0, 200, "doNotDispose"))))
+    assert(full.exists(_.toSeq == Seq(100L, 200L)), s"full frames: ${full.map(_.toSeq)}")
   }
 
   test("decodeFrameMeans: corrupt GIF body refuses instead of throwing (r13)") {
