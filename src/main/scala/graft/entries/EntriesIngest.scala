@@ -315,6 +315,20 @@ private[graft] object EntriesIngest {
       graft.ingest.Links.hostCommunities(
         withLinkHtml(Tables.documents(s, dir)), maxChurn = 0L,
         maxRounds = 8)),
+    // The INCREMENTAL communities face (r15): LPA reads the maintained
+    // edge state (same merged partials as web_spam_mass_incremental) —
+    // the label-family twin of the spam-mass composition; the oracle is
+    // the one-shot chain over all documents (incremental == batch).
+    "host_communities_incremental" -> ((s, dir) => {
+      val docs = withLinkHtml(Tables.documents(s, dir))
+      val state = graft.ingest.Links.mergeEdges(
+        graft.ingest.Links.hostGraph(docs.filter(col("doc_id") < 250))
+          .unionByName(
+            graft.ingest.Links.hostGraph(docs.filter(col("doc_id") >= 250))))
+        .pinned
+      graft.ingest.Links.hostCommunitiesFromHostGraph(state,
+        maxChurn = 0L, maxRounds = 8)
+    }),
     // XML sitemap parsing (r10) — the protocol seed channel: urlset
     // entries with freshness metadata (lastmod/changefreq/priority) and
     // sitemapindex child pointers as typed rows; entity-escaped locs
@@ -727,6 +741,13 @@ private[graft] object EntriesIngest {
          |${graft.ingest.Links.sqlWebSpamMassEarlyStop("dh", "doc_id",
               Seq("openweb.org", "data.net"),
               tolFp = 100000000000L, maxIterations = 10)}""".stripMargin,
+    "host_communities_incremental" ->
+      s"""WITH ${graft.ingest.Psl.sqlPslCte},
+         |dh AS (
+         |  SELECT doc_id, $sqlFixtureUrl AS url, $sqlLinkHtml AS html
+         |  FROM documents),
+         |${graft.ingest.Links.sqlHostCommunitiesEarlyStop("dh", "doc_id",
+              maxChurn = 0L, maxRounds = 8)}""".stripMargin,
     "sitemap_entries" -> {
       s"""WITH sm AS (
          |  SELECT doc_id, $sqlSitemapXml AS xml

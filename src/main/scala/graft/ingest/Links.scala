@@ -592,8 +592,22 @@ object Links {
   def hostCommunities(docs: DataFrame, idCol: String = "doc_id",
                       urlCol: String = "url", htmlCol: String = "html",
                       maxChurn: Long = 0L,
-                      maxRounds: Int = 50): DataFrame = {
-    val (edges, ids) = trustGraph(docs, idCol, urlCol, htmlCol)
+                      maxRounds: Int = 50): DataFrame =
+    hostCommunitiesFromHostGraph(hostGraph(docs, idCol, urlCol, htmlCol),
+      maxChurn, maxRounds)
+
+  /** [EXT] The INCREMENTAL communities face (r15): LPA over a
+    * MAINTAINED host-graph state — the [[webSpamMassFromHostGraph]]
+    * seam for the label family. Same argument: at 100 TB the per-page
+    * extraction dwarfs the vote rounds, and F106's merged edge state is
+    * a lossless stand-in for a fresh extraction because the vote core
+    * consumes the (symmetrized) edge SET. Oracle: the one-shot chain
+    * (`host_communities_incremental` == `host_communities_earlystop`
+    * recomputed from raw HTML). */
+  def hostCommunitiesFromHostGraph(hostGraph: DataFrame,
+                                   maxChurn: Long = 0L,
+                                   maxRounds: Int = 50): DataFrame = {
+    val (edges, ids) = trustGraphFromHost(hostGraph)
     val sym = edges.union(
       edges.select(col("dst").as("src"), col("src").as("dst")))
     val (labels, stop) = graft.analytics.Lpa.labelPropagationUntil(
