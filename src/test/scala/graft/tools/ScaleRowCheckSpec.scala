@@ -1,0 +1,77 @@
+package graft.tools
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Enforces the no-heavy-without-a-scale-row rule (r15, the r14
+  * verdict's #5): every query above the wall-clock threshold in the
+  * committed per-query bench artifact must hold a numeric scale row in
+  * BASELINE.md. The synthetic case proves the checker actually detects a
+  * missing row (a checker that can't fail enforces nothing); the real
+  * case runs it over the committed artifacts. */
+class ScaleRowCheckSpec extends AnyFunSuite {
+
+  /** In-sweep seconds above which a query owes a scale row. The r14
+    * bench's heavy tier sits at 9-14 s and the audited set reaches down
+    * to ~5 s; everything below runs at the scan floor where a multi-sf
+    * row measures fixture overhead, not the operator. */
+  private val ThresholdSec = 5.0
+
+  test("synthetic: a heavy query without a scale row is detected; " +
+      "adding its row clears it") {
+    val perq = Map("q_heavy" -> 9.2, "q_light" -> 0.3, "q_other" -> 7.0)
+    val registered = Set("q_heavy", "q_light", "q_other")
+    val without = Seq(
+      "## Some audit",
+      "| query | m1 | m10 | ratio |",
+      "|---|---|---|---|",
+      "| q_other | 7.0 | 21.0 | 3.0x |",
+      "prose mentioning q_heavy does not count")
+    assert(ScaleRowCheck.missing(perq, without, registered, ThresholdSec)
+      == Seq("q_heavy"))
+    val withRow = without :+ "| q_heavy | 9.2 | 30.1 | 3.3x |"
+    assert(ScaleRowCheck.missing(perq, withRow, registered, ThresholdSec)
+      .isEmpty)
+    // a light query never owes a row, with or without one
+    assert(!ScaleRowCheck.heavy(perq, ThresholdSec).contains("q_light"))
+  }
+
+  test("synthetic: prose rows and non-registered first cells never count " +
+      "as coverage") {
+    val perq = Map("q_heavy" -> 9.2)
+    val registered = Set("q_heavy")
+    val decoys = Seq(
+      "| q_heavy | valve-capped MinHash keepers over gated survivors |", // no digits
+      "| other_label | 9.9 | 12.1 |") // not a registered query
+    assert(ScaleRowCheck.scaleRowQueries(decoys, registered).isEmpty)
+    assert(ScaleRowCheck.missing(perq, decoys, registered, ThresholdSec)
+      == Seq("q_heavy"))
+  }
+
+  test("committed artifacts: every heavy in the latest per-query bench " +
+      "has a BASELINE.md scale row") {
+    val root = java.nio.file.Paths.get(".")
+    val perqFiles = java.nio.file.Files.list(root).toArray.toSeq
+      .map(_.toString.stripPrefix("./"))
+      .filter(_.matches("BENCH_r\\d+_perq\\.json"))
+      .sortBy(f => "\\d+".r.findFirstIn(f).get.toInt)
+    assert(perqFiles.nonEmpty,
+      "no BENCH_r{N}_perq.json committed — write the per-query artifact " +
+        "at the round's definitive idle sweep (the r14 verdict's #8 made " +
+        "it mechanical; this spec makes it mandatory)")
+    val perq = ScaleRowCheck.parsePerQuery(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(perqFiles.last)))
+    assert(perq.nonEmpty, s"${perqFiles.last} parsed to an empty map")
+    val baseline = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get("BASELINE.md"))
+      .toArray.toSeq.map(_.toString)
+    val registered = graft.SparkEntry.queries.keySet
+    // the artifact and registry may drift within a round (a new query
+    // lands before the next sweep) — enforcement covers the intersection
+    val known = perq.view.filterKeys(registered).toMap
+    val miss = ScaleRowCheck.missing(known, baseline, registered, ThresholdSec)
+    assert(miss.isEmpty,
+      s"heavy queries (>= $ThresholdSec s in ${perqFiles.last}) without a " +
+        s"BASELINE.md scale row: ${miss.mkString(", ")} — run: sbt " +
+        s"""'runMain graft.tools.ScaleAudit ${miss.mkString(" ")}'""")
+  }
+}
