@@ -167,6 +167,31 @@ object Lpa {
     (out, stop)
   }
 
+  /** [EXT] SCALE-FREE churn stop (r15): threshold = `maxChurnPpm`
+    * parts-per-million of |V|, so the same setting means the same
+    * RELATIVE settledness at every corpus size. The r15 scale audit
+    * measured why this matters: the absolute-count face
+    * ([[labelPropagationUntil]]) went 12.0× at m10 because a fixed
+    * 1200-flip threshold is relatively 10× tighter on a 10× graph and
+    * the stop runs deeper into the rail — absolute churn counts do not
+    * transfer across scales, residual FRACTIONS do (the trust/spam
+    * faces' fixed-point-of-total-mass tolerances are already
+    * scale-free). One extra |E|-scan aggregate derives |V|; the stop
+    * rule `churn · 10⁶ ≤ ppm · |V|` is integer-exact (equivalent to
+    * `churn ≤ ⌊ppm·|V|∕10⁶⌋` for integer churn — the form the DuckDB
+    * oracle replays). */
+  def labelPropagationUntilPpm(edges: DataFrame, srcCol: String,
+                               dstCol: String, maxChurnPpm: Long = 0L,
+                               maxRounds: Int = 50): (DataFrame, Int) = {
+    require(maxChurnPpm >= 0L, "maxChurnPpm is a non-negative ppm of |V|")
+    val n = edges
+      .select(col(srcCol).cast("long").as("v"))
+      .union(edges.select(col(dstCol).cast("long").as("v")))
+      .filter(col("v").isNotNull).distinct().count()
+    labelPropagationUntil(edges, srcCol, dstCol,
+      n * maxChurnPpm / 1000000L, maxRounds)
+  }
+
   /** `part_communities`: LPA over the co-purchase part graph
     * ([[PageRank.copurchaseEdges]] — symmetric, so communities are the
     * dense co-purchase clusters). */
@@ -263,6 +288,20 @@ object Lpa {
                                maxRounds: Int = 5): DataFrame = {
     val (df, stop) = labelPropagationUntil(
       PageRank.copurchaseEdges(lineitem), "src", "dst", maxChurn, maxRounds)
+    df.select(col("node").as("part_id"), col("community"),
+      lit(stop.toLong).as("stop_round"))
+  }
+
+  /** The scale-free twin (`part_communities_earlystop_ppm`, r15): stop
+    * at ≤ 40% of |V| still churning — on the sf0.01 fixture that is
+    * threshold 800 against curve (2000, 1692, 1115, 714, 132), stop
+    * round 4 of 5, deliberately DIFFERENT from the absolute twin's
+    * round 3 so the gate distinguishes the two rules. */
+  def partCommunitiesEarlyStopPpm(lineitem: DataFrame,
+                                  maxChurnPpm: Long = 400000L,
+                                  maxRounds: Int = 5): DataFrame = {
+    val (df, stop) = labelPropagationUntilPpm(
+      PageRank.copurchaseEdges(lineitem), "src", "dst", maxChurnPpm, maxRounds)
     df.select(col("node").as("part_id"), col("community"),
       lit(stop.toLong).as("stop_round"))
   }
@@ -377,6 +416,57 @@ object Lpa {
        |curve AS ($curve),
        |stopr AS (SELECT CAST(COALESCE(MIN(round), $maxRounds) AS BIGINT) AS k
        |          FROM curve WHERE churn <= $maxChurn)
+       |SELECT n.v AS part_id,
+       |  CAST(CASE stopr.k $cases END AS BIGINT) AS community,
+       |  stopr.k AS stop_round
+       |FROM nodes n CROSS JOIN stopr
+       |$joins
+       |ORDER BY part_id""".stripMargin
+  }
+
+  /** DuckDB mirror of [[partCommunitiesEarlyStopPpm]]: the
+    * [[sqlPartCommunitiesEarlyStop]] chain with the stop rule derived
+    * from |V| inside the query — `churn · 10⁶ ≤ ppm · COUNT(nodes)`,
+    * the integer-exact form of the Spark side's
+    * `churn ≤ ⌊ppm·|V|∕10⁶⌋` (equivalent for integer churn). */
+  def sqlPartCommunitiesEarlyStopPpm(maxChurnPpm: Long = 400000L,
+                                     maxRounds: Int = 5): String = {
+    val iters = (1 to maxRounds).map { k =>
+      s"""cnt$k AS MATERIALIZED (
+         |  SELECT e.dst AS v, l.lab, COUNT(*) AS c
+         |  FROM e JOIN l${k - 1} l ON e.src = l.v GROUP BY 1, 2),
+         |el$k AS MATERIALIZED (
+         |  SELECT v, lab FROM (
+         |    SELECT v, lab,
+         |      row_number() OVER (PARTITION BY v
+         |                         ORDER BY c DESC, lab ASC) AS rn
+         |    FROM cnt$k) WHERE rn = 1),
+         |l$k AS MATERIALIZED (
+         |  SELECT l.v, COALESCE(el.lab, l.lab) AS lab
+         |  FROM l${k - 1} l LEFT JOIN el$k el ON l.v = el.v)""".stripMargin
+    }.mkString(",\n")
+    val curve = (1 to maxRounds).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS round,
+         |  CAST(SUM(CASE WHEN a.lab <> b.lab THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS churn
+         |FROM l$k a JOIN l${k - 1} b ON a.v = b.v""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val cases = (1 to maxRounds).map(k => s"WHEN $k THEN x$k.lab").mkString(" ")
+    val joins = (1 to maxRounds)
+      .map(k => s"JOIN l$k x$k ON n.v = x$k.v").mkString("\n|")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT a.p AS src, b.p AS dst
+       |  FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p),
+       |nodes AS MATERIALIZED (
+       |  SELECT src AS v FROM e UNION SELECT dst FROM e),
+       |nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+       |l0 AS MATERIALIZED (SELECT v, v AS lab FROM nodes),
+       |$iters,
+       |curve AS ($curve),
+       |stopr AS (SELECT CAST(COALESCE(MIN(round), $maxRounds) AS BIGINT) AS k
+       |          FROM curve CROSS JOIN nv
+       |          WHERE churn * 1000000 <= $maxChurnPpm * nv.n)
        |SELECT n.v AS part_id,
        |  CAST(CASE stopr.k $cases END AS BIGINT) AS community,
        |  stopr.k AS stop_round

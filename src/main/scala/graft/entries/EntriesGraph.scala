@@ -73,6 +73,14 @@ private[graft] object EntriesGraph {
     // exactly what a positive threshold is for).
     "part_communities_earlystop" -> ((s, dir) =>
       graft.analytics.Lpa.partCommunitiesEarlyStop(Tables.lineitem(s, dir))),
+    // r15: the SCALE-FREE churn stop — threshold = 40% of |V| derived
+    // inside the run, so the same setting means the same relative
+    // settledness at every corpus size (the m10 audit showed absolute
+    // flip counts go relatively 10x tighter on a 10x graph). Fixture
+    // stop: round 4 of 5 (threshold 800 vs curve 2000/1692/1115/714),
+    // deliberately different from the absolute twin's round 3.
+    "part_communities_earlystop_ppm" -> ((s, dir) =>
+      graft.analytics.Lpa.partCommunitiesEarlyStopPpm(Tables.lineitem(s, dir))),
     // HITS hubs/authorities on the DIRECTED bipartite order->part graph
     // (orders = pure hubs, parts = pure authorities) — L1-normalized
     // integer half-steps, full unrolled-CTE oracle like the rank family.
@@ -113,5 +121,7 @@ private[graft] object EntriesGraph {
       graft.analytics.Lpa.sqlPartCommunitiesConvergence(3),
     "part_communities_earlystop" ->
       graft.analytics.Lpa.sqlPartCommunitiesEarlyStop(),
+    "part_communities_earlystop_ppm" ->
+      graft.analytics.Lpa.sqlPartCommunitiesEarlyStopPpm(),
   )
 }

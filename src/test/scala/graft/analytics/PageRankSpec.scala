@@ -107,6 +107,15 @@ class PageRankSpec extends SparkSpec {
     assert(kL < 20)
     assert(lp.collect().toSeq ==
       Lpa.labelPropagation(cliq, "src", "dst", kL).collect().toSeq)
+    // scale-free churn stop (r15): |V| = 6, so 500000 ppm = an absolute
+    // threshold of 3 — the ppm face must be bit-identical to the
+    // absolute face at the derived count, including the stop round
+    val (lpP, kP) = Lpa.labelPropagationUntilPpm(cliq, "src", "dst",
+      maxChurnPpm = 500000L, maxRounds = 20)
+    val (lpA, kA) = Lpa.labelPropagationUntil(cliq, "src", "dst",
+      maxChurn = 3L, maxRounds = 20)
+    assert(kP == kA)
+    assert(lpP.collect().toSeq == lpA.collect().toSeq)
   }
 
   test("copurchase edges symmetrize the order-part projection") {
