@@ -123,6 +123,18 @@ object Lpa {
                             maxChurn: Long = 0L, maxRounds: Int = 50)
       : (DataFrame, Int) = {
     require(maxChurn >= 0L, "maxChurn is a non-negative node count")
+    untilCore(edges, srcCol, dstCol, _ => maxChurn, maxRounds)
+  }
+
+  /** Shared loop for the absolute and ppm churn stops: the threshold is
+    * derived from |V| AFTER the node RDD is built and persisted, so the
+    * ppm face pays one cheap count on the persisted vector instead of
+    * re-deriving the whole edge set (r15 review — the copurchase edge
+    * construction is the dominant cost of the part_communities family,
+    * and a naive wrapper executed it twice). */
+  private def untilCore(edges: DataFrame, srcCol: String, dstCol: String,
+                        thresholdOf: (=> Long) => Long, maxRounds: Int)
+      : (DataFrame, Int) = {
     require(maxRounds >= 1, "need maxRounds >= 1")
     val spark = edges.sparkSession
     import spark.implicits._
@@ -140,6 +152,10 @@ object Lpa {
     var labels = nodes.mapPartitions(
       _.map { case (v, _) => (v, v) }, preservesPartitioning = true)
       .persist(lvl)
+    // |V| from the persisted node vector — by-name, so the absolute
+    // face (a constant function) never forces the count; the ppm face
+    // pays one cheap co-partitioned count
+    val maxChurn = thresholdOf(nodes.count())
     var stop = maxRounds
     var k = 0
     var settled = false
@@ -176,7 +192,8 @@ object Lpa {
     * the stop runs deeper into the rail — absolute churn counts do not
     * transfer across scales, residual FRACTIONS do (the trust/spam
     * faces' fixed-point-of-total-mass tolerances are already
-    * scale-free). One extra |E|-scan aggregate derives |V|; the stop
+    * scale-free). |V| comes from ONE count on the loop's own persisted
+    * node vector (not a second edge derivation); the stop
     * rule `churn · 10⁶ ≤ ppm · |V|` is integer-exact (equivalent to
     * `churn ≤ ⌊ppm·|V|∕10⁶⌋` for integer churn — the form the DuckDB
     * oracle replays). */
@@ -184,12 +201,8 @@ object Lpa {
                                dstCol: String, maxChurnPpm: Long = 0L,
                                maxRounds: Int = 50): (DataFrame, Int) = {
     require(maxChurnPpm >= 0L, "maxChurnPpm is a non-negative ppm of |V|")
-    val n = edges
-      .select(col(srcCol).cast("long").as("v"))
-      .union(edges.select(col(dstCol).cast("long").as("v")))
-      .filter(col("v").isNotNull).distinct().count()
-    labelPropagationUntil(edges, srcCol, dstCol,
-      n * maxChurnPpm / 1000000L, maxRounds)
+    untilCore(edges, srcCol, dstCol, n => n * maxChurnPpm / 1000000L,
+      maxRounds)
   }
 
   /** `part_communities`: LPA over the co-purchase part graph
@@ -306,43 +319,31 @@ object Lpa {
       lit(stop.toLong).as("stop_round"))
   }
 
-  /** DuckDB mirror: one (counts → election → carry-forward) CTE triple
-    * per round, ALL MATERIALIZED (each label frame is referenced twice —
-    * default inlining would expand 2^rounds-fold, the
-    * `order_part_hits` lesson). */
-  def sqlPartCommunities(rounds: Int = 5): String = {
-    val iters = (1 to rounds).map { k =>
-      s"""cnt$k AS MATERIALIZED (
-         |  SELECT e.dst AS v, l.lab, COUNT(*) AS c
-         |  FROM e JOIN l${k - 1} l ON e.src = l.v GROUP BY 1, 2),
-         |el$k AS MATERIALIZED (
-         |  SELECT v, lab FROM (
-         |    SELECT v, lab,
-         |      row_number() OVER (PARTITION BY v
-         |                         ORDER BY c DESC, lab ASC) AS rn
-         |    FROM cnt$k) WHERE rn = 1),
-         |l$k AS MATERIALIZED (
-         |  SELECT l.v, COALESCE(el.lab, l.lab) AS lab
-         |  FROM l${k - 1} l LEFT JOIN el$k el ON l.v = el.v)""".stripMargin
-    }.mkString(",\n")
+  // ------------------------------------------------- shared SQL template
+  // The four DuckDB mirrors below differ only in their tails; the
+  // prelude (graph + l0), the per-round (counts -> election ->
+  // carry-forward) triple, the churn curve, and the stop-select are
+  // emitted from ONE template each so an election or MATERIALIZED-hint
+  // fix can never drift between mirrors (r15 review).
+
+  /** Prelude CTEs: co-purchase edge derivation, node set, initial
+    * labels. `extraCtes` (e.g. a node-count CTE) splices between
+    * `nodes` and `l0`, complete with its trailing ",\n". */
+  private def lpaPrelude(extraCtes: String = ""): String =
     s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
        |e AS MATERIALIZED (
        |  SELECT DISTINCT a.p AS src, b.p AS dst
        |  FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p),
        |nodes AS MATERIALIZED (
        |  SELECT src AS v FROM e UNION SELECT dst FROM e),
-       |l0 AS MATERIALIZED (SELECT v, v AS lab FROM nodes),
-       |$iters
-       |SELECT v AS part_id, CAST(lab AS BIGINT) AS community
-       |FROM l$rounds ORDER BY part_id""".stripMargin
-  }
+       |${extraCtes}l0 AS MATERIALIZED (SELECT v, v AS lab FROM nodes)""".stripMargin
 
-  /** DuckDB mirror of [[partCommunitiesConvergence]]: the
-    * [[sqlPartCommunities]] chain, then one churn/community aggregate
-    * per consecutive round pair (the l-frames are already MATERIALIZED,
-    * so the extra references stay linear). */
-  def sqlPartCommunitiesConvergence(rounds: Int = 5): String = {
-    val iters = (1 to rounds).map { k =>
+  /** One (counts -> election -> carry-forward) CTE triple per round,
+    * ALL MATERIALIZED (each label frame is referenced twice — default
+    * inlining would expand 2^rounds-fold, the `order_part_hits`
+    * lesson). */
+  private def lpaIters(rounds: Int): String =
+    (1 to rounds).map { k =>
       s"""cnt$k AS MATERIALIZED (
          |  SELECT e.dst AS v, l.lab, COUNT(*) AS c
          |  FROM e JOIN l${k - 1} l ON e.src = l.v GROUP BY 1, 2),
@@ -356,6 +357,43 @@ object Lpa {
          |  SELECT l.v, COALESCE(el.lab, l.lab) AS lab
          |  FROM l${k - 1} l LEFT JOIN el$k el ON l.v = el.v)""".stripMargin
     }.mkString(",\n")
+
+  /** Per-round churn rows (the early-stop curves). */
+  private def lpaChurnCurve(rounds: Int): String =
+    (1 to rounds).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS round,
+         |  CAST(SUM(CASE WHEN a.lab <> b.lab THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS churn
+         |FROM l$k a JOIN l${k - 1} b ON a.v = b.v""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
+  /** Curve + stop-round + vector-at-stop tail shared by both early-stop
+    * mirrors; `stoprSql` is the one clause that differs (absolute
+    * threshold vs ppm-of-|V|). */
+  private def lpaStopTail(maxRounds: Int, stoprSql: String): String = {
+    val cases = (1 to maxRounds).map(k => s"WHEN $k THEN x$k.lab").mkString(" ")
+    val joins = (1 to maxRounds)
+      .map(k => s"JOIN l$k x$k ON n.v = x$k.v").mkString("\n")
+    s"""curve AS (${lpaChurnCurve(maxRounds)}),
+       |stopr AS ($stoprSql)
+       |SELECT n.v AS part_id,
+       |  CAST(CASE stopr.k $cases END AS BIGINT) AS community,
+       |  stopr.k AS stop_round
+       |FROM nodes n CROSS JOIN stopr
+       |$joins
+       |ORDER BY part_id""".stripMargin
+  }
+
+  /** DuckDB mirror of [[partCommunities]]. */
+  def sqlPartCommunities(rounds: Int = 5): String =
+    s"""${lpaPrelude()},
+       |${lpaIters(rounds)}
+       |SELECT v AS part_id, CAST(lab AS BIGINT) AS community
+       |FROM l$rounds ORDER BY part_id""".stripMargin
+
+  /** DuckDB mirror of [[partCommunitiesConvergence]]: the label chain,
+    * then one churn/community aggregate per round. */
+  def sqlPartCommunitiesConvergence(rounds: Int = 5): String = {
     val curve = (1 to rounds).map { k =>
       s"""SELECT CAST($k AS BIGINT) AS round,
          |  CAST(SUM(CASE WHEN a.lab <> b.lab THEN 1 ELSE 0 END) AS BIGINT)
@@ -363,66 +401,22 @@ object Lpa {
          |  CAST(COUNT(DISTINCT a.lab) AS BIGINT) AS n_communities
          |FROM l$k a JOIN l${k - 1} b ON a.v = b.v""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-       |e AS MATERIALIZED (
-       |  SELECT DISTINCT a.p AS src, b.p AS dst
-       |  FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p),
-       |nodes AS MATERIALIZED (
-       |  SELECT src AS v FROM e UNION SELECT dst FROM e),
-       |l0 AS MATERIALIZED (SELECT v, v AS lab FROM nodes),
-       |$iters
+    s"""${lpaPrelude()},
+       |${lpaIters(rounds)}
        |$curve
        |ORDER BY round""".stripMargin
   }
 
-  /** DuckDB mirror of [[partCommunitiesEarlyStop]]: the
-    * [[sqlPartCommunities]] chain to the round budget (MATERIALIZED
-    * throughout), per-round churn, the stop round as
-    * `MIN(round) WHERE churn <= maxChurn` (budget fallback = the
-    * engine's loop exit), and a CASE over the per-round label frames. */
+  /** DuckDB mirror of [[partCommunitiesEarlyStop]]: unrolled chain, the
+    * churn curve, the first round at or under the ABSOLUTE threshold,
+    * and the label vector at that round. */
   def sqlPartCommunitiesEarlyStop(maxChurn: Long = 1200L,
-                                  maxRounds: Int = 5): String = {
-    val iters = (1 to maxRounds).map { k =>
-      s"""cnt$k AS MATERIALIZED (
-         |  SELECT e.dst AS v, l.lab, COUNT(*) AS c
-         |  FROM e JOIN l${k - 1} l ON e.src = l.v GROUP BY 1, 2),
-         |el$k AS MATERIALIZED (
-         |  SELECT v, lab FROM (
-         |    SELECT v, lab,
-         |      row_number() OVER (PARTITION BY v
-         |                         ORDER BY c DESC, lab ASC) AS rn
-         |    FROM cnt$k) WHERE rn = 1),
-         |l$k AS MATERIALIZED (
-         |  SELECT l.v, COALESCE(el.lab, l.lab) AS lab
-         |  FROM l${k - 1} l LEFT JOIN el$k el ON l.v = el.v)""".stripMargin
-    }.mkString(",\n")
-    val curve = (1 to maxRounds).map { k =>
-      s"""SELECT CAST($k AS BIGINT) AS round,
-         |  CAST(SUM(CASE WHEN a.lab <> b.lab THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS churn
-         |FROM l$k a JOIN l${k - 1} b ON a.v = b.v""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    val cases = (1 to maxRounds).map(k => s"WHEN $k THEN x$k.lab").mkString(" ")
-    val joins = (1 to maxRounds)
-      .map(k => s"JOIN l$k x$k ON n.v = x$k.v").mkString("\n|")
-    s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-       |e AS MATERIALIZED (
-       |  SELECT DISTINCT a.p AS src, b.p AS dst
-       |  FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p),
-       |nodes AS MATERIALIZED (
-       |  SELECT src AS v FROM e UNION SELECT dst FROM e),
-       |l0 AS MATERIALIZED (SELECT v, v AS lab FROM nodes),
-       |$iters,
-       |curve AS ($curve),
-       |stopr AS (SELECT CAST(COALESCE(MIN(round), $maxRounds) AS BIGINT) AS k
-       |          FROM curve WHERE churn <= $maxChurn)
-       |SELECT n.v AS part_id,
-       |  CAST(CASE stopr.k $cases END AS BIGINT) AS community,
-       |  stopr.k AS stop_round
-       |FROM nodes n CROSS JOIN stopr
-       |$joins
-       |ORDER BY part_id""".stripMargin
-  }
+                                  maxRounds: Int = 5): String =
+    s"""${lpaPrelude()},
+       |${lpaIters(maxRounds)},
+       |${lpaStopTail(maxRounds,
+          s"SELECT CAST(COALESCE(MIN(round), $maxRounds) AS BIGINT) AS k\n" +
+            s"          FROM curve WHERE churn <= $maxChurn")}""".stripMargin
 
   /** DuckDB mirror of [[partCommunitiesEarlyStopPpm]]: the
     * [[sqlPartCommunitiesEarlyStop]] chain with the stop rule derived
@@ -430,48 +424,11 @@ object Lpa {
     * the integer-exact form of the Spark side's
     * `churn ≤ ⌊ppm·|V|∕10⁶⌋` (equivalent for integer churn). */
   def sqlPartCommunitiesEarlyStopPpm(maxChurnPpm: Long = 400000L,
-                                     maxRounds: Int = 5): String = {
-    val iters = (1 to maxRounds).map { k =>
-      s"""cnt$k AS MATERIALIZED (
-         |  SELECT e.dst AS v, l.lab, COUNT(*) AS c
-         |  FROM e JOIN l${k - 1} l ON e.src = l.v GROUP BY 1, 2),
-         |el$k AS MATERIALIZED (
-         |  SELECT v, lab FROM (
-         |    SELECT v, lab,
-         |      row_number() OVER (PARTITION BY v
-         |                         ORDER BY c DESC, lab ASC) AS rn
-         |    FROM cnt$k) WHERE rn = 1),
-         |l$k AS MATERIALIZED (
-         |  SELECT l.v, COALESCE(el.lab, l.lab) AS lab
-         |  FROM l${k - 1} l LEFT JOIN el$k el ON l.v = el.v)""".stripMargin
-    }.mkString(",\n")
-    val curve = (1 to maxRounds).map { k =>
-      s"""SELECT CAST($k AS BIGINT) AS round,
-         |  CAST(SUM(CASE WHEN a.lab <> b.lab THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS churn
-         |FROM l$k a JOIN l${k - 1} b ON a.v = b.v""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    val cases = (1 to maxRounds).map(k => s"WHEN $k THEN x$k.lab").mkString(" ")
-    val joins = (1 to maxRounds)
-      .map(k => s"JOIN l$k x$k ON n.v = x$k.v").mkString("\n|")
-    s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-       |e AS MATERIALIZED (
-       |  SELECT DISTINCT a.p AS src, b.p AS dst
-       |  FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p),
-       |nodes AS MATERIALIZED (
-       |  SELECT src AS v FROM e UNION SELECT dst FROM e),
-       |nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
-       |l0 AS MATERIALIZED (SELECT v, v AS lab FROM nodes),
-       |$iters,
-       |curve AS ($curve),
-       |stopr AS (SELECT CAST(COALESCE(MIN(round), $maxRounds) AS BIGINT) AS k
-       |          FROM curve CROSS JOIN nv
-       |          WHERE churn * 1000000 <= $maxChurnPpm * nv.n)
-       |SELECT n.v AS part_id,
-       |  CAST(CASE stopr.k $cases END AS BIGINT) AS community,
-       |  stopr.k AS stop_round
-       |FROM nodes n CROSS JOIN stopr
-       |$joins
-       |ORDER BY part_id""".stripMargin
-  }
+                                     maxRounds: Int = 5): String =
+    s"""${lpaPrelude("nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),\n")},
+       |${lpaIters(maxRounds)},
+       |${lpaStopTail(maxRounds,
+          s"SELECT CAST(COALESCE(MIN(round), $maxRounds) AS BIGINT) AS k\n" +
+            "          FROM curve CROSS JOIN nv\n" +
+            s"          WHERE churn * 1000000 <= $maxChurnPpm * nv.n")}""".stripMargin
 }

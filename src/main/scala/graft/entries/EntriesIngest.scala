@@ -23,6 +23,20 @@ import graft.EntryFixtures._
   * comments and oracle SQL are unchanged — this is a pure move. */
 private[graft] object EntriesIngest {
 
+  /** The maintained host-graph STATE both incremental graph consumers
+    * read (r15): per-batch `Links.hostGraph` partials merged by sum —
+    * the F106 discipline — with the same 250 batch boundary as
+    * `host_link_graph_incremental`. Pinned because in production it is
+    * a persisted index read back from storage, never a live
+    * recomputation fused into the consumer's plan. */
+  private def mergedHostState(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    graft.ingest.Links.mergeEdges(
+      graft.ingest.Links.hostGraph(docs.filter(col("doc_id") < 250))
+        .unionByName(
+          graft.ingest.Links.hostGraph(docs.filter(col("doc_id") >= 250))))
+      .pinned
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- ingest path (reference crawl.py E1) ----
     "ingest_articles" -> ((s, _) => {
@@ -294,17 +308,11 @@ private[graft] object EntriesIngest {
     // which is exactly what the oracle replays (the one-shot chain over
     // ALL documents). State pinned: in production it is a persisted
     // index read back, never a live recomputation fused into the plan.
-    "web_spam_mass_incremental" -> ((s, dir) => {
-      val docs = withLinkHtml(Tables.documents(s, dir))
-      val state = graft.ingest.Links.mergeEdges(
-        graft.ingest.Links.hostGraph(docs.filter(col("doc_id") < 250))
-          .unionByName(
-            graft.ingest.Links.hostGraph(docs.filter(col("doc_id") >= 250))))
-        .pinned
-      graft.ingest.Links.webSpamMassFromHostGraph(state,
+    "web_spam_mass_incremental" -> ((s, dir) =>
+      graft.ingest.Links.webSpamMassFromHostGraph(
+        mergedHostState(withLinkHtml(Tables.documents(s, dir))),
         Seq("openweb.org", "data.net"), tolFp = 100000000000L,
-        maxIterations = 10)
-    }),
+        maxIterations = 10)),
     // Host communities (r14): LPA over the extracted + symmetrized host
     // graph — the webTrustRankUntil composition for the LABEL family, churn-
     // stopped at LPA's natural rule (churn = 0) under an 8-round rail.
@@ -319,16 +327,10 @@ private[graft] object EntriesIngest {
     // edge state (same merged partials as web_spam_mass_incremental) —
     // the label-family twin of the spam-mass composition; the oracle is
     // the one-shot chain over all documents (incremental == batch).
-    "host_communities_incremental" -> ((s, dir) => {
-      val docs = withLinkHtml(Tables.documents(s, dir))
-      val state = graft.ingest.Links.mergeEdges(
-        graft.ingest.Links.hostGraph(docs.filter(col("doc_id") < 250))
-          .unionByName(
-            graft.ingest.Links.hostGraph(docs.filter(col("doc_id") >= 250))))
-        .pinned
-      graft.ingest.Links.hostCommunitiesFromHostGraph(state,
-        maxChurn = 0L, maxRounds = 8)
-    }),
+    "host_communities_incremental" -> ((s, dir) =>
+      graft.ingest.Links.hostCommunitiesFromHostGraph(
+        mergedHostState(withLinkHtml(Tables.documents(s, dir))),
+        maxChurn = 0L, maxRounds = 8)),
     // XML sitemap parsing (r10) — the protocol seed channel: urlset
     // entries with freshness metadata (lastmod/changefreq/priority) and
     // sitemapindex child pointers as typed rows; entity-escaped locs

@@ -350,6 +350,21 @@ private[graft] object EntriesTokenizer {
     }),
   )
 
+  /** Fit-free round-trip oracle shared by the hard and soft twins: the
+    * canonical form derives from RAW text (lowercase + ASCII-ws
+    * collapse — SplitWhitespace's byte set), so equality proves the
+    * Spark-side decode reassembly under WHICHEVER vocab ran. */
+  private val sqlRoundtripOracle: String =
+    """SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  md5(array_to_string(toks, ' ')) AS viterbi_md5,
+      |  md5(array_to_string(toks, ' ')) AS maxmatch_md5,
+      |  1 AS viterbi_ok, 1 AS maxmatch_ok
+      |FROM (SELECT doc_id,
+      |        regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+') AS toks
+      |      FROM documents)
+      |WHERE len(toks) > 0
+      |ORDER BY doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "decontaminate_bloom" -> DecontaminateSql,
     "lm_scores" -> graft.text.LmScore.sqlScores,
@@ -459,29 +474,11 @@ private[graft] object EntriesTokenizer {
     // Fit-free round-trip oracle: the canonical form is derived from
     // RAW text here (lowercase + ASCII-ws collapse — SplitWhitespace's
     // byte set), so equality proves the Spark-side decode reassembly.
-    "tokenizer_roundtrip" ->
-      """SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-        |  md5(array_to_string(toks, ' ')) AS viterbi_md5,
-        |  md5(array_to_string(toks, ' ')) AS maxmatch_md5,
-        |  1 AS viterbi_ok, 1 AS maxmatch_ok
-        |FROM (SELECT doc_id,
-        |        regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+') AS toks
-        |      FROM documents)
-        |WHERE len(toks) > 0
-        |ORDER BY doc_id""".stripMargin,
-    // Identical fit-free oracle for the soft-fit twin: losslessness
-    // means the decode md5s equal the canonical-text md5 regardless of
-    // which vocab segmented it.
-    "tokenizer_roundtrip_soft" ->
-      """SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-        |  md5(array_to_string(toks, ' ')) AS viterbi_md5,
-        |  md5(array_to_string(toks, ' ')) AS maxmatch_md5,
-        |  1 AS viterbi_ok, 1 AS maxmatch_ok
-        |FROM (SELECT doc_id,
-        |        regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+') AS toks
-        |      FROM documents)
-        |WHERE len(toks) > 0
-        |ORDER BY doc_id""".stripMargin,
+    "tokenizer_roundtrip" -> sqlRoundtripOracle,
+    // The soft-fit twin shares ONE oracle constant: losslessness means
+    // the decode md5s equal the canonical-text md5 regardless of which
+    // vocab segmented it, and the two queries must never drift apart.
+    "tokenizer_roundtrip_soft" -> sqlRoundtripOracle,
     // bpe_merges: the one fit whose output IS the fit — the oracle
     // recomputes the training loop itself as a recursive CTE (printed
     // constants would be circular here).

@@ -668,6 +668,11 @@ object Multimodal {
     sum / cnt
   }
 
+  /** Canvas ceiling for [[decodeGifComposited]] — payloads declaring a
+    * larger logical screen / union extent reject to the stub arm before
+    * any allocation. */
+  private val MaxGifCanvasPixels = 16L * 1024L * 1024L
+
   /** COMPOSITED GIF demux (r15, the r14 verdict's #6): real animated
     * GIFs store most frames as partial updates — a sub-rect raster
     * placed at an image-descriptor offset, composited over the living
@@ -716,7 +721,13 @@ object Multimodal {
       val (lw, lh) = gifLogicalScreen(reader).getOrElse((0, 0))
       val cw = math.max(lw, (0 until n).map(i => ctrls(i)._1 + dims(i)._1).max)
       val ch = math.max(lh, (0 until n).map(i => ctrls(i)._2 + dims(i)._2).max)
-      if (cw < 8 || ch < 8) None
+      // canvas dims come straight from untrusted header fields (u16
+      // logical screen + u16 placement + frame dims) and the allocation
+      // happens before any raster decodes — an uncapped 40000×40000
+      // header would OOM the task and 65535+65535 overflows Int, both
+      // violating the totality contract (stub arm, never a task kill).
+      // 16 MPx ≈ 64 MB INT_RGB, far above any real animated GIF.
+      if (cw < 8 || ch < 8 || cw.toLong * ch.toLong > MaxGifCanvasPixels) None
       else {
         val canvas = new java.awt.image.BufferedImage(
           cw, ch, java.awt.image.BufferedImage.TYPE_INT_RGB)

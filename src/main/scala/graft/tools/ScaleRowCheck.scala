@@ -39,15 +39,18 @@ object ScaleRowCheck {
   private val Row = """^\|\s*`?([A-Za-z0-9_]+)`?\s*\|(.+)\|\s*$""".r
 
   /** Query names holding a SCALE ROW in the baseline text: first table
-    * cell is the (registered) query name, and the rest of the row carries
-    * at least one digit — the `| query | m1 | m10 | ratio |` shape every
-    * ScaleAudit tier emits. The `registered` filter keeps prose tables
-    * (op inventories, gate telemetry keyed by other labels) from
-    * accidentally counting. */
+    * cell is the (registered) query name, and at least TWO further
+    * cells carry digits — the `| query | m1 | m10 | ratio |` shape
+    * every ScaleAudit tier emits. A single numeric cell (a one-scale
+    * bench or telemetry row) is NOT multi-sf evidence and must not
+    * satisfy the enforcement (r15 review). The `registered` filter
+    * keeps prose tables (op inventories, gate telemetry keyed by other
+    * labels) from accidentally counting. */
   def scaleRowQueries(baselineLines: Seq[String],
                       registered: Set[String]): Set[String] =
     baselineLines.collect {
-      case Row(name, rest) if registered(name) && rest.exists(_.isDigit) =>
+      case Row(name, rest) if registered(name) &&
+          rest.split('|').count(_.exists(_.isDigit)) >= 2 =>
         name
     }.toSet
 

@@ -361,6 +361,15 @@ class MultimodalSpec extends SparkSpec {
     val full = Multimodal.decodeFrameMeans(gif(Seq(
       (8, 0, 0, 100, "doNotDispose"), (8, 0, 0, 200, "doNotDispose"))))
     assert(full.exists(_.toSeq == Seq(100L, 200L)), s"full frames: ${full.map(_.toSeq)}")
+    // canvas bomb: the logical-screen descriptor is attacker-controlled
+    // header bytes — patch a valid GIF to declare 40000x40000 (~6.4 GB
+    // INT_RGB) and the decoder must REFUSE to the stub arm before
+    // allocating, never OOM the task (r15 review)
+    val bomb = gif(Seq((8, 0, 0, 100, "doNotDispose"))).clone()
+    bomb(6) = 0x40.toByte; bomb(7) = 0x9c.toByte // width 40000 (u16 LE)
+    bomb(8) = 0x40.toByte; bomb(9) = 0x9c.toByte // height 40000
+    assert(Multimodal.decodeFrameMeans(bomb).isEmpty,
+      "oversized declared canvas must take the stub arm")
   }
 
   test("decodeFrameMeans: corrupt GIF body refuses instead of throwing (r13)") {

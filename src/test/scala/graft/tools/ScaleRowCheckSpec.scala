@@ -41,6 +41,8 @@ class ScaleRowCheckSpec extends AnyFunSuite {
     val registered = Set("q_heavy")
     val decoys = Seq(
       "| q_heavy | valve-capped MinHash keepers over gated survivors |", // no digits
+      "| q_heavy | 13.8 s total in one sweep |", // ONE numeric cell — a
+      // single-scale bench/telemetry row is not multi-sf evidence
       "| other_label | 9.9 | 12.1 |") // not a registered query
     assert(ScaleRowCheck.scaleRowQueries(decoys, registered).isEmpty)
     assert(ScaleRowCheck.missing(perq, decoys, registered, ThresholdSec)
