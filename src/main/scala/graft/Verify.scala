@@ -16,6 +16,48 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   *     4× what the hardware had to charge.
   */
 object Verify {
+  /** Ordered single-file parquet dump, picking its execution shape by
+    * ESTIMATED result size (r16, the r15 verdict's #5):
+    *
+    *  - small (the overwhelmingly common case): `localCheckpoint` executes
+    *    the plan at full parallelism and pins the ordered partitions, the
+    *    `coalesce(1)` then just concatenates cached blocks in partition
+    *    order (narrow, order-preserving) inside the writer task — a bare
+    *    coalesce(1) would collapse the WHOLE plan (sort, joins, regex)
+    *    into one task (measured: 30 s for a plan that runs 1.3 s wide);
+    *  - large by Catalyst's estimate (`optimizedPlan.stats.sizeInBytes >
+    *    maxCheckpointBytes`): take the streaming single-task write FIRST.
+    *    The checkpoint arm materializes a full block copy of the result,
+    *    and the old OOM-catch fallback only ran AFTER a first attempt
+    *    that could destabilize the JVM (r15 ADVICE #4) — a heap-breaking
+    *    result must never reach the checkpoint attempt at all. Catalyst
+    *    over-estimates freely (join products, unfiltered scans); an
+    *    over-estimate merely buys the slow-but-correct shape.
+    *
+    * The try/catch fallback stays as a backstop for UNDER-estimates.
+    * Returns the arm used, for the log line and the spec. */
+  private[graft] def dumpOrdered(df: org.apache.spark.sql.DataFrame,
+                                 path: String,
+                                 maxCheckpointBytes: BigInt): String = {
+    val estimate = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (estimate > maxCheckpointBytes) {
+      df.coalesce(1).write.mode("overwrite").parquet(path)
+      "stream-estimated"
+    } else {
+      try {
+        val mat = df.localCheckpoint()
+        try { mat.coalesce(1).write.mode("overwrite").parquet(path); "checkpoint" }
+        finally mat.unpersist(false)
+      } catch { case e: Throwable =>
+        System.err.println(
+          s"[verify] checkpointed dump failed (${e.getMessage}); " +
+            "retrying with the streaming single-task write")
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        "stream-fallback"
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val t0 = System.nanoTime()
     val (Array(sfDir, outDir), only) = args.splitAt(2)
@@ -86,29 +128,16 @@ object Verify {
       val ok =
         try {
           // The dump must be ONE parquet file in the query's own order
-          // (the driver's compare is row-order-sensitive), but a bare
-          // coalesce(1) collapses the WHOLE plan — sort, joins, regex
-          // extraction — into a single task (measured: 30 s for a plan
-          // that runs 1.3 s wide). localCheckpoint executes the plan at
-          // full parallelism and pins the ordered partitions; the
-          // coalesce then just concatenates cached blocks in partition
-          // order (narrow, order-preserving) inside the writer task.
-          // The checkpoint does hold a full block copy of the result
-          // (r14 review) — if a huge dump ever can't afford that, fall
-          // back to the old streaming single-task write rather than
-          // failing the query: correct output, just the slow shape.
-          try {
-            val mat = fn(spark, sfDir).localCheckpoint()
-            try mat.coalesce(1).write.mode("overwrite")
-              .parquet(s"$outDir/$name")
-            finally mat.unpersist(false)
-          } catch { case e: Throwable =>
-            System.err.println(
-              s"[verify] $name checkpointed dump failed (${e.getMessage}); " +
-                "retrying with the streaming single-task write")
-            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-              .parquet(s"$outDir/$name")
-          }
+          // (the driver's compare is row-order-sensitive); dumpOrdered
+          // picks the parallel-checkpoint shape or, for results whose
+          // Catalyst size estimate exceeds the budget (default 4 GiB on
+          // the 16 GiB heap; override for smaller boxes), the streaming
+          // single-task write FIRST — never an OOM-then-retry.
+          val maxCp = BigInt(sys.env.getOrElse(
+            "GRAFT_VERIFY_MAX_CHECKPOINT_BYTES", (4L << 30).toString))
+          val arm = dumpOrdered(fn(spark, sfDir), s"$outDir/$name", maxCp)
+          if (arm != "checkpoint")
+            System.err.println(s"[verify] $name dumped via $arm arm")
           nOk += 1; true
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")

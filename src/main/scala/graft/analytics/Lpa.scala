@@ -196,11 +196,17 @@ object Lpa {
     * node vector (not a second edge derivation); the stop
     * rule `churn · 10⁶ ≤ ppm · |V|` is integer-exact (equivalent to
     * `churn ≤ ⌊ppm·|V|∕10⁶⌋` for integer churn — the form the DuckDB
-    * oracle replays). */
+    * oracle replays). `maxChurnPpm` is bounded to [0, 10⁶]: above 10⁶
+    * the fraction is meaningless (every round would stop), and a huge
+    * Long would overflow `n * maxChurnPpm` to negative — silently
+    * disabling the stop here while DuckDB's BIGINT multiply errors —
+    * so both engines stay in the proven-equivalent integer range
+    * (r15 ADVICE). */
   def labelPropagationUntilPpm(edges: DataFrame, srcCol: String,
                                dstCol: String, maxChurnPpm: Long = 0L,
                                maxRounds: Int = 50): (DataFrame, Int) = {
-    require(maxChurnPpm >= 0L, "maxChurnPpm is a non-negative ppm of |V|")
+    require(maxChurnPpm >= 0L && maxChurnPpm <= 1000000L,
+      "maxChurnPpm is a ppm of |V| in [0, 1000000]")
     untilCore(edges, srcCol, dstCol, n => n * maxChurnPpm / 1000000L,
       maxRounds)
   }

@@ -242,7 +242,8 @@ private[graft] object EntriesPipeline {
     // differs.
     "sequence_packing_unigram_soft" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pieces = graft.text.Unigram.fit(docs, "text", 400)
+      val pieces = graft.text.Unigram.fit(docs, "text", 400,
+        mode = graft.text.Unigram.SoftEm)
       FittedOracle.unigramPackSoftPieces = Some(pieces)
       graft.pipeline.Curation.packChunksUnigram(docs, "doc_id", "text",
         pieces, 512L)

@@ -101,7 +101,8 @@ private[graft] object EntriesTokenizer {
     // hard twin.
     "tokenizer_roundtrip_soft" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pieces = graft.text.Unigram.fit(docs, "text", 400)
+      val pieces = graft.text.Unigram.fit(docs, "text", 400,
+        mode = graft.text.Unigram.SoftEm)
       graft.text.Unigram.roundTrip(docs, "doc_id", "text", pieces)
     }),
     // The fertility audit under the unigram model — multilingual
@@ -120,7 +121,8 @@ private[graft] object EntriesTokenizer {
     // hash-checked number on the CONSUMER, not just on the encode.
     "unigram_fertility_soft" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pieces = graft.text.Unigram.fit(docs, "text", 400)
+      val pieces = graft.text.Unigram.fit(docs, "text", 400,
+        mode = graft.text.Unigram.SoftEm)
       FittedOracle.unigramFertilitySoftPieces = Some(pieces)
       graft.text.Unigram.fertilityByLang(docs, "doc_id", "text", "lang", pieces)
     }),

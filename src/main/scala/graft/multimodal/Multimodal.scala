@@ -640,32 +640,42 @@ object Multimodal {
       }
     } catch {
       case _: java.io.IOException => None
-      case _: RuntimeException => None
-      case _: NullPointerException => None
+      case _: RuntimeException => None // includes the attr-absent NPEs
     }
 
   /** Exact integer Rec-601 luma mean over a raster — sum of per-pixel
     * `(299R + 587G + 114B) / 1000` over all pixels, divided by count.
     * For a gray pixel the luma IS the gray (299+587+114 = 1000), the
     * identity every planted-fixture oracle replays. */
-  private def lumaMean(img: java.awt.image.BufferedImage): Long = {
+  private def lumaMean(img: java.awt.image.BufferedImage): Long =
+    lumaSumRect(img, 0, 0, img.getWidth, img.getHeight) /
+      (img.getWidth.toLong * img.getHeight.toLong)
+
+  /** The same per-pixel-floored luma, summed over a sub-rect only —
+    * the incremental-compositing primitive: [[decodeGifComposited]]
+    * rescans each frame's DIRTY RECT (before/after draw and disposal)
+    * instead of the whole canvas, so decode cost is O(Σ frame rects),
+    * not O(nFrames × canvasPixels) (r15 ADVICE — a few-KB GIF
+    * declaring a 4000×4000 screen with thousands of 1×1 delta frames
+    * must not buy ~10¹⁰ getRGB calls in one task row). Same integer
+    * arithmetic, so the full-canvas mean is bit-identical. */
+  private def lumaSumRect(img: java.awt.image.BufferedImage,
+                          x0: Int, y0: Int, w: Int, h: Int): Long = {
     var sum = 0L
-    var cnt = 0L
-    var y = 0
-    while (y < img.getHeight) {
-      var x = 0
-      while (x < img.getWidth) {
+    var y = y0
+    while (y < y0 + h) {
+      var x = x0
+      while (x < x0 + w) {
         val rgb = img.getRGB(x, y)
         val r = (rgb >> 16) & 0xff
         val g = (rgb >> 8) & 0xff
         val b = rgb & 0xff
         sum += (299L * r + 587L * g + 114L * b) / 1000L
-        cnt += 1
         x += 1
       }
       y += 1
     }
-    sum / cnt
+    sum
   }
 
   /** Canvas ceiling for [[decodeGifComposited]] — payloads declaring a
@@ -690,7 +700,14 @@ object Multimodal {
     *    underlying canvas visible (Java2D bitmask transparency);
     *  - disposal: `none`/`doNotDispose` accumulate,
     *    `restoreToBackgroundColor` clears the frame's rect back to
-    *    black, `restoreToPrevious` restores the pre-frame canvas;
+    *    BLACK — a deliberate, deterministic approximation: modern
+    *    viewers render this disposal as clear-to-TRANSPARENT (the
+    *    GIF background color index is near-universally ignored), and
+    *    transparent over this RGB canvas's black base IS black, so
+    *    the approximation matches dominant browser behavior; wild
+    *    GIFs relying on a literal palette background color deviate
+    *    here (r15 ADVICE — claim narrowed to what is implemented);
+    *    `restoreToPrevious` restores the pre-frame canvas;
     *  - a full-canvas opaque frame sequence composites to exactly the
     *    raw per-frame means, so the pre-r15 planted fixture is
     *    bit-identical through this path (MultimodalSpec pins it).
@@ -734,6 +751,15 @@ object Multimodal {
         val g2 = canvas.createGraphics()
         try {
           val out = new Array[Long](n)
+          val totalPx = cw.toLong * ch.toLong
+          // Incremental luma sum: the canvas starts all-black (sum 0);
+          // each frame only touches its own rect (draw, background
+          // clear, previous-restore are all rect-local), so the sum is
+          // maintained by rescanning the DIRTY RECT before/after each
+          // mutation — O(Σ frame rects) total, never O(n × canvas)
+          // (r15 ADVICE CPU-amplification fix). Snapshots for
+          // restoreToPrevious copy the rect only, for the same reason.
+          var lumaSum = 0L
           f = 0
           while (ok && f < n) {
             val img =
@@ -745,16 +771,30 @@ object Multimodal {
             if (img == null) ok = false
             else {
               val (left, top, disp) = ctrls(f)
-              val snapshot =
-                if (disp == "restoreToPrevious") canvas.copyData(null) else null
-              g2.drawImage(img, left, top, null)
-              out(f) = lumaMean(canvas)
-              disp match {
-                case "restoreToBackgroundColor" =>
-                  g2.setColor(java.awt.Color.BLACK)
-                  g2.fillRect(left, top, img.getWidth, img.getHeight)
-                case "restoreToPrevious" => canvas.setData(snapshot)
-                case _ => ()
+              // clip to the canvas: drawImage/fillRect clip silently,
+              // and the rect sums must walk the same clipped region
+              val fw = math.min(img.getWidth, cw - left)
+              val fh = math.min(img.getHeight, ch - top)
+              if (fw <= 0 || fh <= 0) out(f) = lumaSum / totalPx // empty rect: canvas unchanged
+              else {
+                val rect = new java.awt.Rectangle(left, top, fw, fh)
+                val before = lumaSumRect(canvas, left, top, fw, fh)
+                val snapshot =
+                  if (disp == "restoreToPrevious") canvas.getData(rect) else null
+                g2.drawImage(img, left, top, null)
+                val after = lumaSumRect(canvas, left, top, fw, fh)
+                lumaSum += after - before
+                out(f) = lumaSum / totalPx
+                disp match {
+                  case "restoreToBackgroundColor" =>
+                    g2.setColor(java.awt.Color.BLACK)
+                    g2.fillRect(left, top, fw, fh)
+                    lumaSum -= after // rect is now all-black (luma 0)
+                  case "restoreToPrevious" =>
+                    canvas.setData(snapshot)
+                    lumaSum += before - after
+                  case _ => ()
+                }
               }
               f += 1
             }

@@ -28,7 +28,9 @@ class ScaleRowCheckSpec extends AnyFunSuite {
       "prose mentioning q_heavy does not count")
     assert(ScaleRowCheck.missing(perq, without, registered, ThresholdSec)
       == Seq("q_heavy"))
-    val withRow = without :+ "| q_heavy | 9.2 | 30.1 | 3.3x |"
+    // the fix-row must land INSIDE the scale table (r16 anchoring —
+    // a row floating after prose has no header context)
+    val withRow = without.patch(4, Seq("| q_heavy | 9.2 | 30.1 | 3.3x |"), 0)
     assert(ScaleRowCheck.missing(perq, withRow, registered, ThresholdSec)
       .isEmpty)
     // a light query never owes a row, with or without one
@@ -40,6 +42,8 @@ class ScaleRowCheckSpec extends AnyFunSuite {
     val perq = Map("q_heavy" -> 9.2)
     val registered = Set("q_heavy")
     val decoys = Seq(
+      "| query | m1 | m10 | ratio |",
+      "|---|---|---|---|",
       "| q_heavy | valve-capped MinHash keepers over gated survivors |", // no digits
       "| q_heavy | 13.8 s total in one sweep |", // ONE numeric cell — a
       // single-scale bench/telemetry row is not multi-sf evidence
@@ -47,6 +51,50 @@ class ScaleRowCheckSpec extends AnyFunSuite {
     assert(ScaleRowCheck.scaleRowQueries(decoys, registered).isEmpty)
     assert(ScaleRowCheck.missing(perq, decoys, registered, ThresholdSec)
       == Seq("q_heavy"))
+  }
+
+  test("synthetic: a digit-bearing row under a NON-scale table header is " +
+      "not multi-sf evidence (r16 header anchoring, the r15 ADVICE)") {
+    val perq = Map("q_heavy" -> 9.2)
+    val registered = Set("q_heavy")
+    // a single-scale bench table: seconds + row-count columns both carry
+    // digits, which satisfied the pre-r16 >=2-digit-cells rule without
+    // any multi-sf evidence
+    val benchTable = Seq(
+      "| query | seconds | rows |",
+      "|---|---|---|",
+      "| q_heavy | 9.2 | 45000 |")
+    assert(ScaleRowCheck.scaleRowQueries(benchTable, registered).isEmpty)
+    assert(ScaleRowCheck.missing(perq, benchTable, registered, ThresholdSec)
+      == Seq("q_heavy"))
+    // the same row under a real ScaleAudit header DOES count...
+    val scaleTable = Seq(
+      "| query | m1 | m10 (10×) | ratio |",
+      "|---|---|---|---|",
+      "| q_heavy | 9.2 | 30.1 | 3.3× |")
+    assert(ScaleRowCheck.scaleRowQueries(scaleTable, registered)
+      == Set("q_heavy"))
+    // ...and the sf-style header shape counts too
+    val sfTable = Seq(
+      "| query | sf0.1 | 10× docs | ratio | read |",
+      "|---|---|---|---|---|",
+      "| q_heavy | 9.2 s | 30.1 s | 3.3× | sublinear |")
+    assert(ScaleRowCheck.scaleRowQueries(sfTable, registered)
+      == Set("q_heavy"))
+    // a blank line ends a table: a stray digit row AFTER the scale table
+    // has no header context
+    val detached = scaleTable.updated(2, "| q_other | 1 | 2 | 3 |") ++
+      Seq("", "| q_heavy | 9.2 | 30.1 | 3.3× |")
+    assert(!ScaleRowCheck.scaleRowQueries(detached, registered + "q_other")
+      .contains("q_heavy"))
+  }
+
+  test("synthetic: a registered query absent from the per-query artifact " +
+      "is a failure, not an exemption (r16, the r15 verdict's #2)") {
+    val perq = Map("q_a" -> 1.0, "q_b" -> 9.0)
+    assert(ScaleRowCheck.absentFromArtifact(perq, Set("q_a", "q_b")).isEmpty)
+    assert(ScaleRowCheck.absentFromArtifact(perq, Set("q_a", "q_b", "q_new"))
+      == Seq("q_new"))
   }
 
   test("committed artifacts: every heavy in the latest per-query bench " +
