@@ -40,7 +40,15 @@ object Verify {
                                  path: String,
                                  maxCheckpointBytes: BigInt): String = {
     val estimate = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (estimate > maxCheckpointBytes) {
+    // Leaves Catalyst can't size (RDD-backed frames: localCheckpoint
+    // pins, createDataFrame outputs — the iterative operators' shape)
+    // report spark.sql.defaultSizeInBytes = Long.MaxValue, and any plan
+    // containing one estimates >= that sentinel. "Unknown" must mean
+    // the ESTABLISHED checkpoint arm (those results are small in
+    // practice and the catch-fallback still backstops), not the
+    // single-task slow shape for a third of the gate.
+    val unknown = estimate >= BigInt(Long.MaxValue)
+    if (!unknown && estimate > maxCheckpointBytes) {
       df.coalesce(1).write.mode("overwrite").parquet(path)
       "stream-estimated"
     } else {

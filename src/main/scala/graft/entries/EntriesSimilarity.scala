@@ -119,6 +119,35 @@ private[graft] object EntriesSimilarity {
       FittedOracle.semCenters = Some(centers)
       Similarity.semanticDedupKeepersWith(centers, emb, 0.4)
     }),
+    // SemDeDup as a DOCUMENT-corpus dedup stage (r16, the r15 verdict's
+    // #1): semantic keepers over the EMBEDDED subset (coverage is
+    // partial in production — the %5 filter models it), documents
+    // without an embedding keep themselves. FULL printed-centroid
+    // oracle; the paraphrase-vs-MinHash claim is SemanticDedupSpec's.
+    "dedup_semantic" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") % 5 =!= 4)
+      val centers = Ivf.fitCentroids(emb, 8)
+      FittedOracle.semDocsCenters = Some(centers)
+      Similarity.semanticDedupDocsWith(centers, docs, emb, 0.4)
+    }),
+    // The frozen-state incremental face (r16): quantizer fitted on the
+    // HISTORY half, index = history's KEEPER embedding rows (the
+    // persisted-keepers contract), batch = the other half. FULL oracle:
+    // the DuckDB replay runs BOTH CC passes (history -> keeper index,
+    // batch-internal components) plus the cluster-equal cosine match.
+    "dedup_semantic_incremental" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val hist = emb.filter(col("vec_id") % 2 === 0)
+      val batch = emb.filter(col("vec_id") % 2 =!= 0)
+      val centers = Ivf.fitCentroids(hist, 8)
+      FittedOracle.semIncCenters = Some(centers)
+      val histKeeperIds = Similarity
+        .semanticDedupKeepersWith(centers, hist, 0.4)
+        .filter(col("vec_id") === col("keeper_vec_id")).select("vec_id")
+      val index = hist.join(histKeeperIds, Seq("vec_id"))
+      Similarity.semanticDedupIncrementalWith(centers, batch, index, 0.4)
+    }),
     "knn_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.knnLsh(emb, emb.filter(col("vec_id") % 50 === 0), 5)

@@ -80,6 +80,11 @@ object FittedOracle {
   // slot rows print into a VALUES oracle that replays the distributed
   // rank-window + broadcast-join assignment in DuckDB.
   @volatile var packBinsSlots: Option[Seq[(Int, Long, Int, Long, Long, Int)]] = None
+  // Document-family SemDeDup faces (r16, the r15 verdict's #1): the doc
+  // face fits on the COVERED embedding subset, the incremental face on
+  // the HISTORY half only (the frozen-quantizer state contract).
+  @volatile var semDocsCenters: Option[IndexedSeq[IndexedSeq[Double]]] = None
+  @volatile var semIncCenters: Option[IndexedSeq[IndexedSeq[Double]]] = None
 
   /** Query names whose oracle arrives through this channel — the STATIC
     * single source for tools ([[graft.tools.CoverageMap]]) that must
@@ -129,6 +134,13 @@ object FittedOracle {
       yield Pq.sqlKnnIvfPq(c, b, k = 5, nprobe = 4)),
     "semantic_dedup" ->
       semCenters.map(c => Similarity.sqlSemanticDedupKeepers(c, 0.4)),
+    // The r16 document-family faces share the proven semantic CTE chain;
+    // the subset WHEREs mirror the query closures exactly.
+    "dedup_semantic" -> semDocsCenters.map(c =>
+      Similarity.sqlSemanticDedupDocs(c, 0.4, "vec_id % 5 <> 4")),
+    "dedup_semantic_incremental" -> semIncCenters.map(c =>
+      Similarity.sqlSemanticDedupIncremental(c, 0.4,
+        "vec_id % 2 = 0", "vec_id % 2 = 1")),
     // Same replay as knn_ivf: the stored layout changes WHERE bytes
     // live (list-partitioned directories, pruned scans), never WHAT
     // the query returns.

@@ -478,6 +478,198 @@ object Similarity {
        |SELECT id AS vec_id, MIN(label) AS keeper_vec_id
        |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin
 
+  /** [EXT] SemDeDup as a DOCUMENT-corpus dedup stage (`dedup_semantic`
+    * query; r16, the r15 verdict's #1): the dedup family covered exact
+    * (md5), lexical-near (MinHash/SimHash), substring, canonical and
+    * perceptual-image — this is the "same meaning, different words"
+    * modality none of those can see (a paraphrase shares no shingles, so
+    * its Jaccard is ~0 and every lexical path keeps both copies;
+    * SemanticDedupSpec plants exactly that pair and proves MinHash
+    * misses it while this face merges it).
+    *
+    * Composition of [[semanticDedupKeepersWith]] with the production
+    * reality that EMBEDDING COVERAGE IS PARTIAL — you can only
+    * semantically dedup what you embedded (embedding generation is its
+    * own budgeted pipeline stage): semantic keepers run over the
+    * embedded subset; documents without an embedding keep themselves via
+    * a LEFT join + coalesce. Output is the engine-wide keeper-table
+    * shape (doc_id, keeper_id), so every downstream keeper consumer
+    * (cluster-size histogram, survivor anti-joins) composes unchanged.
+    *
+    * Scale shape: the keeper table is one cluster-bounded pair join +
+    * CC over the EMBEDDED subset (Σ|cluster|², never corpus-quadratic);
+    * the doc-side join is a plain equi-join on the id — no text column
+    * ever enters a shuffle. */
+  def semanticDedupDocsWith(centers: IndexedSeq[IndexedSeq[Double]],
+                            docs: DataFrame, emb: DataFrame,
+                            threshold: Double,
+                            docIdCol: String = "doc_id",
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val keepers = semanticDedupKeepersWith(centers, emb, threshold,
+      idCol, vecCol)
+    docs.select(col(docIdCol).cast("long").as("doc_id"))
+      .join(keepers.withColumnRenamed("vec_id", "doc_id"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("keeper_vec_id"), col("doc_id")).as("keeper_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [EXT] INCREMENTAL semantic dedup under a FROZEN quantizer
+    * (`dedup_semantic_incremental` query; r16, the r15 verdict's #1) —
+    * the [[graft.dedup.Dedup.newKeepers]] discipline transplanted to the
+    * embedding modality: history is represented ONLY by its persisted
+    * KEEPER embedding rows (`index`), the quantizer stays the one fitted
+    * when history was built (the IVF `appendToStore` freeze — assignment
+    * is a pure function of (vector, centers), so batch rows land in the
+    * same clusters a full recompute would put them in), and no
+    * connected-components recompute ever touches historical docs:
+    *
+    *  1. assign the batch under the frozen centers (scan-stage argmin,
+    *     shuffle-free);
+    *  2. batch × index equi-join ON THE CLUSTER ID, exact cosine ≥
+    *     threshold → per batch doc its min matching HISTORY KEEPER id
+    *     (the index holds keepers only, so the match IS the component
+    *     label — the persisted-keepers contract);
+    *  3. [[semanticDedupKeepersWith]] WITHIN the batch (batches carry
+    *     their own dups);
+    *  4. a batch component with any history match dedups wholesale to
+    *     the min matched keeper; otherwise its min member becomes a NEW
+    *     keeper (novel = 1 on exactly that row).
+    *
+    * Output: (vec_id, keeper_vec_id, novel) per batch row. Per-batch
+    * cost is O(|batch| · avg-cluster-occupancy) — independent of history
+    * size, the same contract as the MinHash incremental face. Like that
+    * face, history components can never MERGE through a batch row (the
+    * min-match rule picks one) — the known, documented asymmetry vs a
+    * full recompute, pinned by SemanticDedupSpec's containment test. */
+  def semanticDedupIncrementalWith(centers: IndexedSeq[IndexedSeq[Double]],
+                                   batch: DataFrame, index: DataFrame,
+                                   threshold: Double,
+                                   idCol: String = "vec_id",
+                                   vecCol: String = "embedding"): DataFrame = {
+    def prep(df: DataFrame) = graft.Par.widen(df)
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("n", norm(col("v")))
+      .withColumn("cluster",
+        element_at(org.apache.spark.sql.graft.VectorFunctions
+          .nearestCentroids(col("v"), centers, 1), 1))
+    val b = prep(batch)
+      .select(col("cluster"), col("id").as("bid"), col("v").as("bv"),
+        col("n").as("bn"))
+    val ix = prep(index)
+      .select(col("cluster"), col("id").as("iid"), col("v").as("iv"),
+        col("n").as("in_"))
+    val matches = b.join(ix, Seq("cluster"))
+      .filter(round(dot(col("bv"), col("iv")) / (col("bn") * col("in_")), 6)
+        >= threshold)
+      .groupBy(col("bid")).agg(min(col("iid")).as("ex_keeper"))
+    val inKeepers = semanticDedupKeepersWith(centers, batch, threshold,
+      idCol, vecCol)
+    val compMatch = inKeepers
+      .join(matches, inKeepers("vec_id") === matches("bid"))
+      .groupBy(col("keeper_vec_id")).agg(min(col("ex_keeper")).as("comp_ex"))
+    inKeepers.join(compMatch, Seq("keeper_vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("comp_ex"), col("keeper_vec_id")).as("keeper_vec_id"),
+        (col("comp_ex").isNull && col("vec_id") === col("keeper_vec_id"))
+          .cast("int").as("novel"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The shared assignment + within-subset pair/CC CTE chain of the
+    * semantic-dedup oracles, parameterized by the embedding subset —
+    * identical arithmetic to [[sqlSemanticDedupKeepers]] (proven since
+    * r9), with a WHERE carving the subset. Emits CTEs `cent, n, sc, asg,
+    * cp, edges, reach, k` where `k` is (id, keeper). */
+  private def sqlSemanticCtes(centers: IndexedSeq[IndexedSeq[Double]],
+                              threshold: Double, embWhere: String): String =
+    s"""cent AS (
+       |  FROM (VALUES
+       |    ${FittedOracle.centroidValues(centers)}) cent(cid, n2, cv)),
+       |n AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x*x),
+       |                     (a,b) -> a+b)) AS nv
+       |  FROM embeddings WHERE $embWhere),
+       |sc AS (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id
+       |                       ORDER BY sco ASC, cid ASC) AS rn
+       |  FROM (
+       |    SELECT n.vec_id, cent.cid,
+       |      cent.n2 - 2.0 * list_reduce(
+       |        list_transform(range(1, len(n.v)+1), i -> n.v[i] * cent.cv[i]),
+       |        (a,b) -> a+b) AS sco
+       |    FROM n CROSS JOIN cent)),
+       |asg AS (SELECT vec_id, cid AS cluster FROM sc WHERE rn = 1),
+       |cp AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |      round(list_reduce(list_transform(range(1, len(x.v)+1), i -> x.v[i]*y.v[i]),
+       |                        (p,q) -> p+q) / (x.nv * y.nv), 6) AS cosine
+       |    FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |    JOIN n x ON a.vec_id = x.vec_id JOIN n y ON b.vec_id = y.vec_id)
+       |  WHERE cosine >= $threshold),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM cp
+       |          UNION ALL SELECT id_b, id_a FROM cp),
+       |reach AS (
+       |  SELECT vec_id AS id, vec_id AS label FROM embeddings WHERE $embWhere
+       |  UNION
+       |  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id),
+       |k AS (SELECT id, MIN(label) AS keeper FROM reach GROUP BY id)""".stripMargin
+
+  /** DuckDB mirror of [[semanticDedupDocsWith]] — the FULL oracle for
+    * `dedup_semantic`: the proven semantic CTE chain over the covered
+    * embedding subset, then the documents LEFT join + keep-self
+    * coalesce. */
+  def sqlSemanticDedupDocs(centers: IndexedSeq[IndexedSeq[Double]],
+                           threshold: Double, embWhere: String): String =
+    s"""WITH RECURSIVE ${sqlSemanticCtes(centers, threshold, embWhere)}
+       |SELECT d.doc_id, COALESCE(k.keeper, d.doc_id) AS keeper_id
+       |FROM documents d LEFT JOIN k ON d.doc_id = k.id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** DuckDB mirror of [[semanticDedupIncrementalWith]] — the FULL oracle
+    * for `dedup_semantic_incremental`. TWO CC passes replay the state
+    * contract end-to-end: the history half's CC derives the persisted
+    * KEEPER index (`hk`), the batch half's CC the within-batch
+    * components; the cross join is cluster-equal + cosine ≥ threshold
+    * against keeper rows only, lifted to the batch component by min —
+    * the exact arithmetic of steps 1-4 in the operator's scaladoc. */
+  def sqlSemanticDedupIncremental(centers: IndexedSeq[IndexedSeq[Double]],
+                                  threshold: Double, histWhere: String,
+                                  batchWhere: String): String = {
+    val hist = sqlSemanticCtes(centers, threshold, histWhere)
+      .replaceAll("\\b(cent|n|sc|asg|cp|edges|reach|k)\\b", "h_$1")
+    val batch = sqlSemanticCtes(centers, threshold, batchWhere)
+      .replaceAll("\\b(cent|n|sc|asg|cp|edges|reach|k)\\b", "b_$1")
+    s"""WITH RECURSIVE $hist,
+       |$batch,
+       |hk AS (
+       |  SELECT a.vec_id, a.cluster, x.v, x.nv
+       |  FROM h_asg a JOIN h_k kk ON a.vec_id = kk.id AND kk.id = kk.keeper
+       |  JOIN h_n x ON a.vec_id = x.vec_id),
+       |m AS (
+       |  SELECT b.vec_id AS bid, MIN(h.vec_id) AS ex_keeper
+       |  FROM (SELECT a.vec_id, a.cluster, x.v, x.nv
+       |        FROM b_asg a JOIN b_n x ON a.vec_id = x.vec_id) b
+       |  JOIN hk h ON b.cluster = h.cluster
+       |  WHERE round(list_reduce(
+       |      list_transform(range(1, len(b.v)+1), i -> b.v[i] * h.v[i]),
+       |      (p,q) -> p+q) / (b.nv * h.nv), 6) >= $threshold
+       |  GROUP BY 1),
+       |cm AS (
+       |  SELECT kk.keeper AS comp, MIN(m.ex_keeper) AS comp_ex
+       |  FROM b_k kk JOIN m ON kk.id = m.bid GROUP BY 1)
+       |SELECT kk.id AS vec_id,
+       |  COALESCE(cm.comp_ex, kk.keeper) AS keeper_vec_id,
+       |  CAST(cm.comp_ex IS NULL AND kk.id = kk.keeper AS INT) AS novel
+       |FROM b_k kk LEFT JOIN cm ON kk.keeper = cm.comp
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** Deterministic pseudo-random hyperplanes (unit-free — only the sign of
     * the projection matters). Fixed seed: buckets are stable across runs. */
   def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
