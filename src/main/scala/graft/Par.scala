@@ -23,6 +23,38 @@ object Par {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
+  /** Partition count for the iterative graph loops (PageRank/HITS/LPA/CC
+    * adjacency + per-round vote shuffles): sized by BOTH the cluster and
+    * the data — `max(defaultParallelism, rows/1e6)` — instead of the old
+    * `max(4, rows/1e6)` constant floor. The old floor was tuned for
+    * neither end (guide §2: partitioning must be scale-adaptive): at
+    * local[32] every graph round ran on 4 cores (measured 1.7-2.4× whole-
+    * query cost on the HITS/LPA/TrustRank families, r16), and on a real
+    * cluster 4 partitions would serialize the |E|-scale rounds entirely.
+    * `rows/1e6` still grows the count once data dwarfs the cluster, same
+    * as before. Result-invariant: every consumer reduces with integer
+    * sums / commutative elections, and the outputs are sorted. */
+  def graphParts(df: org.apache.spark.sql.DataFrame, rows: Long): Int =
+    math.max(df.sparkSession.sparkContext.defaultParallelism.toLong,
+      rows / 1000000L).toInt
+
+  /** Node set of a two-long-column edge frame, as an RDD already
+    * partitioned by the graph loop's partitioner: ONE shuffle — flatMap
+    * both endpoints, reduceByKey straight into `part`. The former
+    * DataFrame `union + distinct` paid its own exchange AND a second
+    * `partitionBy(part)` shuffle to land on the loop's partitioner
+    * (measured ~1.5 s of the HITS setup at sf0.1, r16). Same node set,
+    * same final partitioning — integer keys, order-free set semantics. */
+  def nodeSet(e: org.apache.spark.sql.DataFrame,
+              part: org.apache.spark.HashPartitioner)
+      : org.apache.spark.rdd.RDD[(Long, Unit)] = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    e.as[(Long, Long)].rdd
+      .flatMap { case (s, d) => Iterator((s, ()), (d, ())) }
+      .reduceByKey(part, (a, _) => a)
+  }
+
   /** 1-based global rank of `df` ordered by `orderCol` (must be unique),
     * WITHOUT a single-partition window: range-partition on the order
     * column so partition order == global order, count rows per

@@ -86,13 +86,12 @@ object Lpa {
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct().persist(lvl)
-    val nParts = math.max(4L, e.count() / 1000000L).toInt
+      .persist(lvl)
+    val nParts = graft.Par.graphParts(e, e.count())
     val part = new org.apache.spark.HashPartitioner(nParts)
     val adj = e.as[(Long, Long)].rdd
-      .groupByKey(part).mapValues(_.toArray.sorted).persist(lvl)
-    val nodes = e.select(col("src").as("v")).union(e.select(col("dst")))
-      .distinct().as[Long].rdd.map(v => (v, ())).partitionBy(part).persist(lvl)
+      .groupByKey(part).mapValues(_.toArray.distinct.sorted).persist(lvl)
+    val nodes = graft.Par.nodeSet(e, part).persist(lvl)
     var labels = nodes.mapPartitions(
       _.map { case (v, _) => (v, v) }, preservesPartitioning = true)
     for (_ <- 1 to rounds)
@@ -142,13 +141,12 @@ object Lpa {
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct().persist(lvl)
-    val nParts = math.max(4L, e.count() / 1000000L).toInt
+      .persist(lvl)
+    val nParts = graft.Par.graphParts(e, e.count())
     val part = new org.apache.spark.HashPartitioner(nParts)
     val adj = e.as[(Long, Long)].rdd
-      .groupByKey(part).mapValues(_.toArray.sorted).persist(lvl)
-    val nodes = e.select(col("src").as("v")).union(e.select(col("dst")))
-      .distinct().as[Long].rdd.map(v => (v, ())).partitionBy(part).persist(lvl)
+      .groupByKey(part).mapValues(_.toArray.distinct.sorted).persist(lvl)
+    val nodes = graft.Par.nodeSet(e, part).persist(lvl)
     var labels = nodes.mapPartitions(
       _.map { case (v, _) => (v, v) }, preservesPartitioning = true)
       .persist(lvl)
@@ -238,13 +236,12 @@ object Lpa {
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct().persist(lvl)
-    val nParts = math.max(4L, e.count() / 1000000L).toInt
+      .persist(lvl)
+    val nParts = graft.Par.graphParts(e, e.count())
     val part = new org.apache.spark.HashPartitioner(nParts)
     val adj = e.as[(Long, Long)].rdd
-      .groupByKey(part).mapValues(_.toArray.sorted).persist(lvl)
-    val nodes = e.select(col("src").as("v")).union(e.select(col("dst")))
-      .distinct().as[Long].rdd.map(v => (v, ())).partitionBy(part).persist(lvl)
+      .groupByKey(part).mapValues(_.toArray.distinct.sorted).persist(lvl)
+    val nodes = graft.Par.nodeSet(e, part).persist(lvl)
     var labels = nodes.mapPartitions(
       _.map { case (v, _) => (v, v) }, preservesPartitioning = true)
     // The F130 raw-persist discipline (r13): each round's label vector

@@ -146,7 +146,7 @@ object PageRank {
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .persist(lvl)
-    val nParts = math.max(4L, e.count() / 1000000L).toInt
+    val nParts = graft.Par.graphParts(e, e.count())
     val part = new HashPartitioner(nParts)
     // Adjacency dedups multi-edges per node (a sorted primitive array —
     // cheaper than a corpus-wide DISTINCT exchange, and the sort makes
@@ -156,9 +156,7 @@ object PageRank {
       .groupByKey(part)
       .mapValues(ds => ds.toArray.distinct.sorted)
       .persist(lvl)
-    val nodes = e.select(col("src").as("v"))
-      .union(e.select(col("dst"))).distinct()
-      .as[Long].rdd.map(v => (v, ())).partitionBy(part).persist(lvl)
+    val nodes = graft.Par.nodeSet(e, part).persist(lvl)
     val n = nodes.count()
     require(n > 0, "PageRank needs a non-empty graph")
     // Per-node (teleport, initial rank): uniform over all nodes for
@@ -221,15 +219,13 @@ object PageRank {
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .persist(lvl)
-    val nParts = math.max(4L, e.count() / 1000000L).toInt
+    val nParts = graft.Par.graphParts(e, e.count())
     val part = new HashPartitioner(nParts)
     val adj = e.as[(Long, Long)].rdd
       .groupByKey(part)
       .mapValues(ds => ds.toArray.distinct.sorted)
       .persist(lvl)
-    val nodes = e.select(col("src").as("v"))
-      .union(e.select(col("dst"))).distinct()
-      .as[Long].rdd.map(v => (v, ())).partitionBy(part).persist(lvl)
+    val nodes = graft.Par.nodeSet(e, part).persist(lvl)
     val n = nodes.count()
     require(n > 0, "PageRank needs a non-empty graph")
     val tele = seedsOpt match {
@@ -304,15 +300,13 @@ object PageRank {
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .persist(lvl)
-    val nParts = math.max(4L, e.count() / 1000000L).toInt
+    val nParts = graft.Par.graphParts(e, e.count())
     val part = new HashPartitioner(nParts)
     val adj = e.as[(Long, Long)].rdd
       .groupByKey(part)
       .mapValues(ds => ds.toArray.distinct.sorted)
       .persist(lvl)
-    val nodes = e.select(col("src").as("v"))
-      .union(e.select(col("dst"))).distinct()
-      .as[Long].rdd.map(v => (v, ())).partitionBy(part).persist(lvl)
+    val nodes = graft.Par.nodeSet(e, part).persist(lvl)
     val n = nodes.count()
     require(n > 0, "PageRank needs a non-empty graph")
     val t = Scale * (100L - dampingPct) / 100L / n
@@ -469,16 +463,14 @@ object PageRank {
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct().persist(lvl)
-    val nParts = math.max(4L, e.count() / 1000000L).toInt
+      .persist(lvl)
+    val nParts = graft.Par.graphParts(e, e.count())
     val part = new HashPartitioner(nParts)
     val adj = e.as[(Long, Long)].rdd
-      .groupByKey(part).mapValues(_.toArray.sorted).persist(lvl)
+      .groupByKey(part).mapValues(_.toArray.distinct.sorted).persist(lvl)
     val radj = e.select(col("dst"), col("src")).as[(Long, Long)].rdd
-      .groupByKey(part).mapValues(_.toArray.sorted).persist(lvl)
-    val nodes = e.select(col("src").as("v"))
-      .union(e.select(col("dst"))).distinct()
-      .as[Long].rdd.map(v => (v, ())).partitionBy(part).persist(lvl)
+      .groupByKey(part).mapValues(_.toArray.distinct.sorted).persist(lvl)
+    val nodes = graft.Par.nodeSet(e, part).persist(lvl)
     val n = nodes.count()
     require(n > 0, "HITS needs a non-empty graph")
     // Each half-step takes an ACTION (the L1 total), so unlike [[ranks]]
@@ -537,16 +529,14 @@ object PageRank {
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct().persist(lvl)
-    val nParts = math.max(4L, e.count() / 1000000L).toInt
+      .persist(lvl)
+    val nParts = graft.Par.graphParts(e, e.count())
     val part = new HashPartitioner(nParts)
     val adj = e.as[(Long, Long)].rdd
-      .groupByKey(part).mapValues(_.toArray.sorted).persist(lvl)
+      .groupByKey(part).mapValues(_.toArray.distinct.sorted).persist(lvl)
     val radj = e.select(col("dst"), col("src")).as[(Long, Long)].rdd
-      .groupByKey(part).mapValues(_.toArray.sorted).persist(lvl)
-    val nodes = e.select(col("src").as("v"))
-      .union(e.select(col("dst"))).distinct()
-      .as[Long].rdd.map(v => (v, ())).partitionBy(part).persist(lvl)
+      .groupByKey(part).mapValues(_.toArray.distinct.sorted).persist(lvl)
+    val nodes = graft.Par.nodeSet(e, part).persist(lvl)
     val n = nodes.count()
     require(n > 0, "HITS needs a non-empty graph")
     // Tolerance mode persists each round's NORMALIZED vectors (the
@@ -613,16 +603,14 @@ object PageRank {
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct().persist(lvl)
-    val nParts = math.max(4L, e.count() / 1000000L).toInt
+      .persist(lvl)
+    val nParts = graft.Par.graphParts(e, e.count())
     val part = new HashPartitioner(nParts)
     val adj = e.as[(Long, Long)].rdd
-      .groupByKey(part).mapValues(_.toArray.sorted).persist(lvl)
+      .groupByKey(part).mapValues(_.toArray.distinct.sorted).persist(lvl)
     val radj = e.select(col("dst"), col("src")).as[(Long, Long)].rdd
-      .groupByKey(part).mapValues(_.toArray.sorted).persist(lvl)
-    val nodes = e.select(col("src").as("v"))
-      .union(e.select(col("dst"))).distinct()
-      .as[Long].rdd.map(v => (v, ())).partitionBy(part).persist(lvl)
+      .groupByKey(part).mapValues(_.toArray.distinct.sorted).persist(lvl)
+    val nodes = graft.Par.nodeSet(e, part).persist(lvl)
     val n = nodes.count()
     require(n > 0, "HITS needs a non-empty graph")
     val pinnedRaws = scala.collection.mutable.ArrayBuffer

@@ -399,70 +399,24 @@ object Dedup {
     // The mega-bucket of a dense corpus is one group = one task; its pair
     // loop is tens of ms, and the emitted survivors rebalance right after.
     val pruneT = threshold - 0.5e-4
-    val spark0 = df.sparkSession
-    import spark0.implicits._
+    // The pair loop runs as a Catalyst GENERATOR over the grouped rows
+    // (org.apache.spark.sql.graft.MinHashCandidatePairs, r16): the former
+    // typed `.as[...].flatMap` paid a full Catalyst deserializer per
+    // bucket group (ArrayData → Scala tuples of WrappedArrays) plus a
+    // serializer per emitted pair — measured 1.45 s vs 0.15 s for the
+    // identical loop reading ArrayData directly at sf0.1 (~10× on the
+    // stage, the dominant candidate-generation cost; guide §4). Emission
+    // set, size-prune window, first-band ownership, id normalization, and
+    // the r12 streamed O(m)-memory discipline all live inside the
+    // generator, unchanged; the plan keeps a `Generate` node where
+    // `SerializeFromObject/MapElements` used to sit, so the banding
+    // projection and grouping stay visible to the plan pins and AQE.
     val candidates = banded
       .groupBy(col("band"), col("bucket"))
       .agg(collect_list(struct(col("id"), col("n"), col("buckets"))).as("ms"))
       .filter(size(col("ms")) > 1 && size(col("ms")) <= maxBucket)
-      .select(col("band"), col("ms"))
-      .as[(Int, Seq[(Long, Int, Seq[Long])])]
-      .flatMap { case (band, ms) =>
-        val m = ms.length
-        val ids = new Array[Long](m)
-        val ns = new Array[Int](m)
-        val bks = new Array[Array[Long]](m)
-        val order = ms.toArray.sortBy(_._2)
-        var i = 0
-        while (i < m) {
-          val t = order(i)
-          ids(i) = t._1; ns(i) = t._2; bks(i) = t._3.toArray
-          i += 1
-        }
-        // STREAMED emission (r12): the former ArrayBuffer materialized a
-        // bucket group's ENTIRE pair list — O(m²) heap in the bucket
-        // size, and the m100 true-scale audit drove one dense group past
-        // a 24 GiB heap (BASELINE.md). The lazy iterator keeps memory at
-        // the O(m) member arrays regardless of how many pairs a group
-        // emits; emission set and order are bit-identical to the buffer.
-        new scala.collection.AbstractIterator[(Long, Long, Int, Int)] {
-          private var j = 1
-          private var lo = 0
-          private var i2 = -1 // -1 marks "entering row j": advance lo
-          private var ready: (Long, Long, Int, Int) = _
-          private def findNext(): Unit = {
-            while (ready == null && j < m) {
-              if (i2 < 0) {
-                val nj = ns(j)
-                while (lo < j && ns(lo).toDouble < nj.toDouble * pruneT) lo += 1
-                i2 = lo
-              }
-              if (i2 < j) {
-                // first equal bucket position decides the owning band
-                val ba = bks(i2); val bb = bks(j)
-                var k = 0
-                var fe = -1
-                val kn = math.min(ba.length, bb.length)
-                while (fe < 0 && k < kn) { if (ba(k) == bb(k)) fe = k; k += 1 }
-                if (fe == band && ids(i2) != ids(j)) {
-                  val (a, b) =
-                    if (ids(i2) < ids(j)) (ids(i2), ids(j)) else (ids(j), ids(i2))
-                  val (na, nb) =
-                    if (ids(i2) < ids(j)) (ns(i2), ns(j)) else (ns(j), ns(i2))
-                  ready = (a, b, na, nb)
-                }
-                i2 += 1
-              } else { j += 1; i2 = -1 }
-            }
-          }
-          override def hasNext: Boolean = { if (ready == null) findNext(); ready != null }
-          override def next(): (Long, Long, Int, Int) = {
-            if (!hasNext) throw new NoSuchElementException("empty pair iterator")
-            val r = ready; ready = null; r
-          }
-        }
-      }
-      .toDF("id_a", "id_b", "n_a", "n_b")
+      .select(org.apache.spark.sql.graft.ArrayFunctions
+        .minHashCandidatePairs(col("band"), col("ms"), pruneT))
       // Rebalance before the verify walk: generated pairs inherit the
       // bucket grouping, where one mega-bucket's pairs land together —
       // without this (small) exchange the verify stage is
@@ -518,9 +472,10 @@ object Dedup {
     // DataFrame API remains the operator's boundary.
     //
     // Partition count scales with the graph (~1M directed edges per
-    // partition, floor 4), not with the session shuffle width sized for
-    // the big scans upstream.
-    val nParts = math.max(4L, 2L * p.count() / 1000000L).toInt
+    // partition, floor = the session parallelism — Par.graphParts),
+    // not with the session shuffle width sized for the big scans
+    // upstream.
+    val nParts = graft.Par.graphParts(p, 2L * p.count())
     val part = new org.apache.spark.HashPartitioner(nParts)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = p.as[(Long, Long)].rdd
@@ -583,7 +538,7 @@ object Dedup {
     val idName = ids.columns.head
     val p = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
       .pinned
-    val nParts = math.max(4L, 2L * p.count() / 1000000L).toInt
+    val nParts = graft.Par.graphParts(p, 2L * p.count())
     val part = new org.apache.spark.HashPartitioner(nParts)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 

@@ -6,6 +6,7 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BooleanType, DataType, IntegerType, LongType, StringType}
@@ -835,6 +836,278 @@ object CharEntropy {
   }
 }
 
+/** The integer statistics under ALL NINE Gopher repetition signals
+  * ([[graft.text.GopherRepetition]]), in ONE compiled pass per document —
+  * struct(n_line, d_line, c_line, cd_line, n_para, d_para, c_para,
+  * cd_para, nch, top2, top3, top4, dup5, dup10), all longs.
+  *
+  * Why native: the declarative signal set ran FIVE interpreted
+  * sort+fold HOF chains (one per n-gram size) plus four split/filter
+  * unit passes per row, with no common-subexpression elimination across
+  * the nine signal trees — measured at ~1.3 s per corpus pass at sf0.1,
+  * the single most expensive per-row gate in the preset pipelines
+  * (guide §4: prefer compiled expressions on the hot path). Here one
+  * pass tokenizes, counts n-gram occurrences in hash maps (equal grams
+  * need no sort — max/sum over counts are order-free), and walks
+  * lines/paragraphs once.
+  *
+  * Division and round(…, 4) stay DECLARATIVE on top of these integers
+  * ([[graft.text.GopherRepetition.signalCols]]), so the cross-engine
+  * float discipline is untouched — the fused expression only replaces
+  * exact integer arithmetic, and its parity with the former HOF
+  * formulation is pinned by GopherRepetitionSpec.
+  *
+  * Children: (raw text, LOWERCASED text) — the caller passes
+  * `lower(t)` so case folding stays Spark's own `Lower` (engine-exact);
+  * lines/paragraphs read the raw child, tokens/n-grams the lowered one
+  * (exactly the columns the declarative form derived them from).
+  */
+case class GopherRepetitionStats(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = GopherRepetitionStats.schema
+  override def prettyName: String = "graft_gopher_repetition_stats"
+
+  override def nullSafeEval(raw: Any, lowered: Any): Any =
+    GopherRepetitionStats.compute(
+      raw.asInstanceOf[UTF8String], lowered.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (r, l) =>
+      s"${ev.value} = org.apache.spark.sql.graft.GopherRepetitionStats" +
+        s".compute($r, $l);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object GopherRepetitionStats {
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  val schema: StructType = StructType(Seq(
+    "n_line", "d_line", "c_line", "cd_line",
+    "n_para", "d_para", "c_para", "cd_para",
+    "nch", "top2", "top3", "top4", "dup5", "dup10")
+    .map(StructField(_, LongType, nullable = false)))
+
+  private val ParaRe = java.util.regex.Pattern.compile("\n{2,}")
+
+  /** Spark `trim` semantics: ASCII space (0x20) only — `\t` is content. */
+  private def isSpaceOnly(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) { if (s.charAt(i) != ' ') return false; i += 1 }
+    true
+  }
+
+  private def codePoints(s: String): Long =
+    s.codePointCount(0, s.length).toLong
+
+  /** (count, distinct count, char sum, distinct char sum) over the
+    * non-space-only units — `length()` counts CODE POINTS, matching
+    * Spark/DuckDB `length`. */
+  private def unitStats(units: Array[String]): (Long, Long, Long, Long) = {
+    var n = 0L; var c = 0L; var d = 0L; var cd = 0L
+    val seen = new java.util.HashSet[String]()
+    var i = 0
+    while (i < units.length) {
+      val u = units(i)
+      if (!isSpaceOnly(u)) {
+        val ch = codePoints(u)
+        n += 1; c += ch
+        if (seen.add(u)) { d += 1; cd += ch }
+      }
+      i += 1
+    }
+    (n, d, c, cd)
+  }
+
+  /** (top, dup) for word n-grams of the token array: top = max over
+    * grams occurring ≥ 2× of count · non-space chars, dup = Σ over the
+    * same grams — count-keyed hash map; equal grams need no sort, and
+    * max/sum are order-independent, so this equals the former
+    * sorted-run fold bit-for-bit. */
+  private def gramStats(toks: Array[String], tokChars: Array[Long],
+                        n: Int): (Long, Long) = {
+    val m = toks.length
+    if (m < n) return (0L, 0L)
+    val counts = new java.util.HashMap[String, Array[Long]]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i + n <= m) {
+      sb.setLength(0)
+      var k = 0
+      var ch = 0L
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        ch += tokChars(i + k)
+        k += 1
+      }
+      val key = sb.toString
+      val slot = counts.get(key)
+      if (slot == null) counts.put(key, Array(1L, ch)) else slot(0) += 1L
+      i += 1
+    }
+    var top = 0L; var dup = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val slot = it.next()
+      if (slot(0) >= 2L) {
+        val mass = slot(0) * slot(1)
+        if (mass > top) top = mass
+        dup += mass
+      }
+    }
+    (top, dup)
+  }
+
+  def compute(raw: UTF8String, lowered: UTF8String): InternalRow = {
+    val rs = raw.toString
+    val (nl, dl, cl, cdl) = unitStats(rs.split("\n", -1))
+    val (np, dp, cp, cdp) = unitStats(ParaRe.split(rs, -1))
+    val tokArr = SplitWhitespace.split(lowered).asInstanceOf[
+      org.apache.spark.sql.catalyst.util.GenericArrayData]
+    val m = tokArr.numElements()
+    val toks = new Array[String](m)
+    val tokChars = new Array[Long](m)
+    var nch = 0L
+    var i = 0
+    while (i < m) {
+      toks(i) = tokArr.getUTF8String(i).toString
+      tokChars(i) = codePoints(toks(i))
+      nch += tokChars(i)
+      i += 1
+    }
+    val (t2, _) = gramStats(toks, tokChars, 2)
+    val (t3, _) = gramStats(toks, tokChars, 3)
+    val (t4, _) = gramStats(toks, tokChars, 4)
+    val (_, d5) = gramStats(toks, tokChars, 5)
+    val (_, d10) = gramStats(toks, tokChars, 10)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nl, dl, cl, cdl, np, dp, cp, cdp, nch, t2, t3, t4, d5, d10))
+  }
+}
+
+/** The MinHash LSH candidate-pair generator as a Catalyst GENERATOR
+  * (the `explode` family): one input row per (band, bucket) group —
+  * (band, ms: array<struct<id, n, buckets>>) — streams out the group's
+  * size-pruned, first-band-owned candidate pairs (id_a, id_b, n_a, n_b).
+  *
+  * Why a Generator (r16): the pair loop was a typed `Dataset.flatMap`,
+  * which paid a full Catalyst deserializer per group (ArrayData → Scala
+  * tuples of WrappedArrays) plus a serializer per emitted pair —
+  * measured 1.45 s vs 0.15 s for the identical loop reading ArrayData
+  * directly at sf0.1 (~10× on the stage, the dominant candidate cost;
+  * guide §4). A Generator keeps the loop in plain JVM over InternalRows
+  * AND keeps the plan transparent — `Generate graft_minhash_pairs`
+  * appears where `SerializeFromObject/MapElements` used to, upstream
+  * banding/grouping stay visible to the plan pins, and AQE still plans
+  * the surrounding exchanges.
+  *
+  * Per-pair semantics are IDENTICAL to the flatMap form (PlanQualitySpec
+  * pins the shape; the dedup oracles pin the outputs):
+  *  - members sorted by set size (stable), two-pointer window applies
+  *    the size prune (J ≥ t forces min(|A|,|B|) ≥ pruneT·max — same
+  *    double arithmetic);
+  *  - a pair is emitted only in its FIRST shared band (no global
+  *    dropDuplicates), ids normalized to id_a < id_b;
+  *  - STREAMED emission (the r12 discipline): O(m) member arrays per
+  *    group regardless of how many pairs it emits — GenerateExec
+  *    consumes the iterator lazily.
+  */
+case class MinHashCandidatePairs(left: Expression, right: Expression,
+                                 pruneT: Double)
+    extends BinaryExpression with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(IntegerType,
+    ArrayType(StructType(Seq(
+      StructField("id", LongType),
+      StructField("n", IntegerType),
+      StructField("buckets", ArrayType(LongType, containsNull = false))))))
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("id_a", LongType, nullable = false),
+    StructField("id_b", LongType, nullable = false),
+    StructField("n_a", IntegerType, nullable = false),
+    StructField("n_b", IntegerType, nullable = false)))
+  override def prettyName: String = "graft_minhash_pairs"
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val band = left.eval(input).asInstanceOf[Int]
+    val ms = right.eval(input).asInstanceOf[ArrayData]
+    val m = ms.numElements()
+    val rawIds = new Array[Long](m)
+    val rawNs = new Array[Int](m)
+    val rawBks = new Array[Array[Long]](m)
+    var q = 0
+    while (q < m) {
+      val st = ms.getStruct(q, 3)
+      rawIds(q) = st.getLong(0)
+      rawNs(q) = st.getInt(1)
+      rawBks(q) = st.getArray(2).toLongArray()
+      q += 1
+    }
+    // sort by set size — stable, matching the former ms.toArray.sortBy(_._2)
+    val order = Array.range(0, m).sortBy(rawNs)
+    val ids = new Array[Long](m)
+    val ns = new Array[Int](m)
+    val bks = new Array[Array[Long]](m)
+    var i = 0
+    while (i < m) {
+      val t = order(i)
+      ids(i) = rawIds(t); ns(i) = rawNs(t); bks(i) = rawBks(t)
+      i += 1
+    }
+    new scala.collection.AbstractIterator[InternalRow] {
+      private var j = 1
+      private var lo = 0
+      private var i2 = -1 // -1 marks "entering row j": advance lo
+      private var ready: InternalRow = _
+      private def findNext(): Unit = {
+        while (ready == null && j < m) {
+          if (i2 < 0) {
+            val nj = ns(j)
+            while (lo < j && ns(lo).toDouble < nj.toDouble * pruneT) lo += 1
+            i2 = lo
+          }
+          if (i2 < j) {
+            // first equal bucket position decides the owning band
+            val ba = bks(i2); val bb = bks(j)
+            var k = 0
+            var fe = -1
+            val kn = math.min(ba.length, bb.length)
+            while (fe < 0 && k < kn) { if (ba(k) == bb(k)) fe = k; k += 1 }
+            if (fe == band && ids(i2) != ids(j)) {
+              val (a, b) =
+                if (ids(i2) < ids(j)) (ids(i2), ids(j)) else (ids(j), ids(i2))
+              val (na, nb) =
+                if (ids(i2) < ids(j)) (ns(i2), ns(j)) else (ns(j), ns(i2))
+              ready = new org.apache.spark.sql.catalyst.expressions
+                .GenericInternalRow(Array[Any](a, b, na, nb))
+            }
+            i2 += 1
+          } else { j += 1; i2 = -1 }
+        }
+      }
+      override def hasNext: Boolean = { if (ready == null) findNext(); ready != null }
+      override def next(): InternalRow = {
+        if (!hasNext) throw new NoSuchElementException("empty pair iterator")
+        val r = ready; ready = null; r
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object ArrayFunctions {
 
   /** Codegen'd |A ∩ B| for sorted, distinct string arrays. */
@@ -886,4 +1159,16 @@ object ArrayFunctions {
   /** Codegen'd integer micro-nat character entropy; see [[CharEntropy]]. */
   def charEntropy(text: Column): Column =
     ExpressionUtils.column(CharEntropy(ExpressionUtils.expression(text)))
+
+  /** One-pass integer stats under the nine Gopher repetition signals;
+    * see [[GopherRepetitionStats]]. Pass `lower(raw)` as `lowered`. */
+  def gopherRepetitionStats(raw: Column, lowered: Column): Column =
+    ExpressionUtils.column(GopherRepetitionStats(
+      ExpressionUtils.expression(raw), ExpressionUtils.expression(lowered)))
+
+  /** LSH candidate-pair generator over (band, bucket-member structs);
+    * see [[MinHashCandidatePairs]]. */
+  def minHashCandidatePairs(band: Column, ms: Column, pruneT: Double): Column =
+    ExpressionUtils.column(MinHashCandidatePairs(
+      ExpressionUtils.expression(band), ExpressionUtils.expression(ms), pruneT))
 }

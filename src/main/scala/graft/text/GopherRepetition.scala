@@ -133,8 +133,42 @@ object GopherRepetition {
   }
 
   /** The nine ROUNDED signal expressions over a text column, in output
-    * order. */
+    * order — computed from the integer statistics of ONE compiled pass
+    * ([[org.apache.spark.sql.graft.GopherRepetitionStats]], r16): the
+    * former per-signal HOF chains ran five interpreted sort+fold n-gram
+    * walks plus four unit passes per row with no subexpression sharing
+    * (~1.3 s per corpus pass at sf0.1, the costliest per-row gate in
+    * the presets — guide §4). The division + round(…, 4) arithmetic
+    * below is byte-identical to the former formulation (the fused
+    * expression only supplies the exact integers; parity with the
+    * declarative twin is pinned by GopherRepetitionSpec). */
   private def signalCols(t: Column): Seq[(String, Column)] = {
+    val st = org.apache.spark.sql.graft.ArrayFunctions
+      .gopherRepetitionStats(t, lower(t))
+    def f(name: String): Column = st.getField(name)
+    def unitFrac(n: Column, d: Column) =
+      round((n - d).cast("double") / nullif(n.cast("double"), lit(0.0)), 4)
+    def charFrac(c: Column, cd: Column) =
+      round((c - cd).cast("double") / nullif(c.cast("double"), lit(0.0)), 4)
+    val nch = nullif(f("nch").cast("double"), lit(0.0))
+    def gramFrac(x: Column) = round(x.cast("double") / nch, 4)
+    Seq(
+      "dup_line_frac" -> unitFrac(f("n_line"), f("d_line")),
+      "dup_para_frac" -> unitFrac(f("n_para"), f("d_para")),
+      "dup_line_char_frac" -> charFrac(f("c_line"), f("cd_line")),
+      "dup_para_char_frac" -> charFrac(f("c_para"), f("cd_para")),
+      "top_2gram_char_frac" -> gramFrac(f("top2")),
+      "top_3gram_char_frac" -> gramFrac(f("top3")),
+      "top_4gram_char_frac" -> gramFrac(f("top4")),
+      "dup_5gram_char_frac" -> gramFrac(f("dup5")),
+      "dup_10gram_char_frac" -> gramFrac(f("dup10")))
+  }
+
+  /** The former HOF formulation, kept as the parity cross-check twin
+    * (the [[graft.dedup.Dedup.minHashBandBucketsDeclarative]]
+    * discipline) — GopherRepetitionSpec pins it equal to the fused
+    * [[signalCols]] on the edge fixtures. */
+  private[text] def signalColsDeclarative(t: Column): Seq[(String, Column)] = {
     val lines = nonEmptyUnits(t, "\\n")
     val paras = nonEmptyUnits(t, "\\n{2,}")
     val nch = nullif(charSum(TextAnalysis.tokens(lower(t))).cast("double"),

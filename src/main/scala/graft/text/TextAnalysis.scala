@@ -440,7 +440,18 @@ object TextAnalysis {
   def langIdNgram(docs: DataFrame, profiles: Seq[(String, Seq[String])],
                   idCol: String = "doc_id", langCol: String = "lang",
                   textCol: String = "text"): DataFrame = {
-    val tris = charTrigrams(col(textCol))
+    // Pin the per-doc trigram set ONCE: the election below references the
+    // trigram expression 2·|langs| times (each score appears in `best`
+    // and again in its `when` arm), and the interpreted HOF trigram
+    // extraction gets no common-subexpression elimination — it re-ran
+    // ~10× per row (measured as the dominant cost of langid_confusion,
+    // r16; guide §1.2 step 2). The intersect/argmax arithmetic is
+    // unchanged — identical predictions.
+    val withTris = graft.Par.widen(docs)
+      .select(col(idCol), col(langCol).as("lang"),
+        charTrigrams(col(textCol)).as("__tris"))
+      .pinned
+    val tris = col("__tris")
     val scores = profiles.map { case (l, p) =>
       l -> size(array_intersect(tris, array(p.map(lit): _*)))
     }
@@ -448,7 +459,7 @@ object TextAnalysis {
     val pred = scores.foldRight(lit("und")) { case ((l, s), els) =>
       when(best > 0 && s === best, lit(l)).otherwise(els)
     }
-    docs.select(col(idCol), col(langCol).as("lang"), pred.as("pred_ngram"))
+    withTris.select(col(idCol), col("lang"), pred.as("pred_ngram"))
       .withColumn("agree", col("lang") === col("pred_ngram"))
       .orderBy(col(idCol))
   }

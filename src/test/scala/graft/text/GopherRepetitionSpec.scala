@@ -89,4 +89,36 @@ class GopherRepetitionSpec extends SparkSpec {
     val df = GopherRepetition.signals(Seq((1L, "x")).toDF("doc_id", "text"))
     assert(df.columns.toSeq == cols)
   }
+
+  test("fused stats expression == declarative HOF twin on edge inputs (r16)") {
+    import org.apache.spark.sql.functions.col
+    // Every semantic edge the one-pass native rewrite must preserve:
+    // tab-only lines (Spark trim strips 0x20 ONLY — a "\t" line is
+    // content), trailing newlines (split keeps trailing empties),
+    // space-padded duplicate units, multi-codepoint chars (length
+    // counts CODE POINTS), case-folding length changes (İ lowercases
+    // to two codepoints), astral chars, nulls, empties, and the
+    // planted per-family fixture docs.
+    val edge = Seq(
+      (1L, "a b\na b\nc d"),
+      (2L, "\t\n \nx\n\n\ny y y y y y"),
+      (3L, "İstanbul İstanbul İstanbul yes\n\nİstanbul İstanbul İstanbul yes"),
+      (4L, "𝕏 𝕏 𝕏 𝕏 plain\n𝕏 𝕏 𝕏 𝕏 plain"),
+      (5L, ""),
+      (6L, null.asInstanceOf[String]),
+      (7L, "one two three four five " + (1 to 40).map(i => s"w$i").mkString(" ") +
+        " one two three four five"),
+      (8L, "  padded  \n  padded  \nother"),
+      (9L, "x\n\n\nx\n\ny\n")) ++
+      graft.RepetitionFixture.docs
+    val df = edge.toDF("doc_id", "text")
+    // rebuild the declarative signal table inline
+    val decl = df.select(col("doc_id") +:
+      GopherRepetition.signalColsDeclarative(col("text"))
+        .map { case (n, c) => c.as(n) }: _*)
+    val a = GopherRepetition.signals(df).drop("pass").orderBy("doc_id").collect()
+    val b = decl.orderBy("doc_id").collect()
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"\nfused $x\ndecl  $y") }
+  }
 }
