@@ -20,7 +20,38 @@ object Par {
     */
   def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (inputPartitions(df) < target) df.repartition(target) else df
+  }
+
+  /** Partition count of `df`'s execution, memoized per (session,
+    * canonicalized plan) — r16. `df.rdd.getNumPartitions` physically
+    * plans the subtree and builds a throwaway RDD DAG just to read one
+    * int: measured 0.15-0.2 s per call warm at sf0.1, and [[widen]]
+    * fronts nearly every operator (109 call sites, several hundred
+    * invocations per bench sweep — tens of seconds of pure planning).
+    * The split count of a given logical plan is stable within a session
+    * (Spark caches file listings per session, guide §6), so the first
+    * inspection per distinct plan is remembered: semanticHash buckets,
+    * `sameResult` verifies — a hash collision can never return the
+    * wrong entry. The memo is capped and only ever a performance hint:
+    * a hypothetical stale count could mis-size ONE widen decision,
+    * never change row contents (widen outputs are partition-invariant
+    * by the repo's determinism contract). */
+  private val partsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, Int),
+    List[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int)]]()
+
+  private def inputPartitions(df: DataFrame): Int = {
+    val plan = df.queryExecution.analyzed
+    val key = (df.sparkSession, plan.semanticHash())
+    val bucket = partsMemo.getOrDefault(key, Nil)
+    bucket.find(_._1.sameResult(plan)).map(_._2).getOrElse {
+      val computed = df.rdd.getNumPartitions
+      if (partsMemo.size > 512) partsMemo.clear() // bound, not a contract
+      partsMemo.merge(key, List((plan, computed)),
+        (old, one) => (one.head :: old).take(8))
+      computed
+    }
   }
 
   /** Partition count for the iterative graph loops (PageRank/HITS/LPA/CC

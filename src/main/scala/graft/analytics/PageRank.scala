@@ -127,11 +127,25 @@ object PageRank {
       .mapValues { case ((t, _), c) => t + c.getOrElse(0L) }
   }
 
-  private def iterate(edges: DataFrame, srcCol: String, dstCol: String,
-                      seedsOpt: Option[DataFrame],
-                      iterations: Int, dampingPct: Int): DataFrame = {
-    require(iterations >= 1, "need iterations >= 1")
-    require(dampingPct >= 0 && dampingPct <= 100, "dampingPct is a percentage")
+  /** The prepared iterative-graph state shared by every rank loop over
+    * one edge frame: edges persisted, adjacency hash-partitioned with
+    * per-node dedup, node set co-partitioned, |V| counted. Extracted
+    * (r16) so the spam-mass faces prepare the graph ONCE for their two
+    * rank chains — the former shape rebuilt the edge decode, adjacency
+    * groupByKey and node-set shuffle per chain (guide §2.4: remove
+    * shuffles outright). Callers own [[PreparedGraph.unpersistAll]] once
+    * their results materialize. */
+  private final case class PreparedGraph(
+      e: DataFrame, part: HashPartitioner,
+      adj: org.apache.spark.rdd.RDD[(Long, Array[Long])],
+      nodes: org.apache.spark.rdd.RDD[(Long, Unit)], n: Long) {
+    def unpersistAll(): Unit = {
+      e.unpersist(false); adj.unpersist(false); nodes.unpersist(false); ()
+    }
+  }
+
+  private def prepareGraph(edges: DataFrame, srcCol: String,
+                           dstCol: String): PreparedGraph = {
     val spark = edges.sparkSession
     import spark.implicits._
     // Materialize the (possibly expensive) edge derivation once as a
@@ -159,40 +173,73 @@ object PageRank {
     val nodes = graft.Par.nodeSet(e, part).persist(lvl)
     val n = nodes.count()
     require(n > 0, "PageRank needs a non-empty graph")
-    // Per-node (teleport, initial rank): uniform over all nodes for
-    // PageRank, restricted to the in-graph seed set for TrustRank. The
-    // per-node frame is partitioned like the adjacency, so each round's
-    // final join stays narrow.
-    val tele = seedsOpt match {
+    PreparedGraph(e, part, adj, nodes, n)
+  }
+
+  /** Per-node (teleport, initial rank), persisted: uniform over all
+    * nodes for PageRank, restricted to the in-graph seed set for
+    * TrustRank. Partitioned like the adjacency, so each round's final
+    * join stays narrow. Caller owns the unpersist. */
+  private def teleOf(g: PreparedGraph, seedsOpt: Option[DataFrame],
+                     dampingPct: Int)
+      : org.apache.spark.rdd.RDD[(Long, (Long, Long))] = {
+    val lvl = StorageLevel.MEMORY_AND_DISK
+    seedsOpt match {
       case None =>
-        val t = Scale * (100L - dampingPct) / 100L / n
-        val r0 = Scale / n
-        nodes.mapValues(_ => (t, r0)).persist(lvl)
+        val t = Scale * (100L - dampingPct) / 100L / g.n
+        val r0 = Scale / g.n
+        g.nodes.mapValues(_ => (t, r0)).persist(lvl)
       case Some(seeds) =>
+        val spark = seeds.sparkSession
+        import spark.implicits._
         val seedRdd = seeds.filter(col(seeds.columns.head).isNotNull)
-          .distinct().as[Long].rdd.map(v => (v, ())).partitionBy(part)
-        val inGraph = nodes.join(seedRdd).mapValues(_ => ())
+          .distinct().as[Long].rdd.map(v => (v, ())).partitionBy(g.part)
+        val inGraph = g.nodes.join(seedRdd).mapValues(_ => ())
         val s = inGraph.count()
         require(s > 0, "TrustRank needs at least one seed inside the graph")
         val t = Scale * (100L - dampingPct) / 100L / s
         val r0 = Scale / s
-        nodes.leftOuterJoin(inGraph)
+        g.nodes.leftOuterJoin(inGraph)
           .mapValues { case (_, m) => if (m.isDefined) (t, r0) else (0L, 0L) }
           .persist(lvl)
     }
+  }
+
+  /** The fixed-round rank chain over a prepared graph — one lazy
+    * lineage, evaluated when the caller materializes it. */
+  private def fixedRanks(g: PreparedGraph,
+                         tele: org.apache.spark.rdd.RDD[(Long, (Long, Long))],
+                         iterations: Int, dampingPct: Int)
+      : org.apache.spark.rdd.RDD[(Long, Long)] = {
     var ranks = tele.mapValues(_._2)
     for (_ <- 1 to iterations)
-      ranks = rankRound(adj, tele, part, dampingPct)(ranks)
+      ranks = rankRound(g.adj, tele, g.part, dampingPct)(ranks)
+    ranks
+  }
+
+  private def rankDf(ranks: org.apache.spark.rdd.RDD[(Long, Long)],
+                     spark: org.apache.spark.sql.SparkSession): DataFrame = {
     val schema = StructType(Seq(
       StructField("node", LongType, nullable = false),
       StructField("rank_fp", LongType, nullable = false)))
+    spark.createDataFrame(ranks.map { case (v, r) => Row(v, r) }, schema)
+  }
+
+  private def iterate(edges: DataFrame, srcCol: String, dstCol: String,
+                      seedsOpt: Option[DataFrame],
+                      iterations: Int, dampingPct: Int): DataFrame = {
+    require(iterations >= 1, "need iterations >= 1")
+    require(dampingPct >= 0 && dampingPct <= 100, "dampingPct is a percentage")
+    val g = prepareGraph(edges, srcCol, dstCol)
+    val tele = teleOf(g, seedsOpt, dampingPct)
+    val ranks = fixedRanks(g, tele, iterations, dampingPct)
     // Materialize the (node-set-sized, small) result eagerly, then drop
     // every block the iteration pinned: the operator leaves the session
     // as clean as it found it.
-    val out = spark.createDataFrame(ranks.map { case (v, r) => Row(v, r) }, schema)
+    val out = rankDf(ranks, edges.sparkSession)
       .orderBy(col("node"))
       .pinned
-    e.unpersist(false); adj.unpersist(false); nodes.unpersist(false)
+    g.unpersistAll()
     tele.unpersist(false)
     out
   }
@@ -205,46 +252,14 @@ object PageRank {
     * re-walking the chain; the round-k vector is unpersisted as soon as
     * round k+1 is materialized (two vectors live at any moment, the
     * power-iteration memory floor). */
-  private def iterateUntil(edges: DataFrame, srcCol: String, dstCol: String,
-                           seedsOpt: Option[DataFrame], tolFp: Long,
-                           maxIterations: Int, dampingPct: Int)
-      : (DataFrame, Int) = {
-    require(tolFp >= 0L, "tolFp is a non-negative fixed-point residual")
-    require(maxIterations >= 1, "need maxIterations >= 1")
-    require(dampingPct >= 0 && dampingPct <= 100, "dampingPct is a percentage")
-    val spark = edges.sparkSession
-    import spark.implicits._
+  /** The tolerance-stopped rank chain over a prepared graph — returns
+    * the PERSISTED final vector (caller unpersists after materializing
+    * its result) and the stop round. */
+  private def untilRanks(g: PreparedGraph,
+                         tele: org.apache.spark.rdd.RDD[(Long, (Long, Long))],
+                         tolFp: Long, maxIterations: Int, dampingPct: Int)
+      : (org.apache.spark.rdd.RDD[(Long, Long)], Int) = {
     val lvl = StorageLevel.MEMORY_AND_DISK
-    val e = edges
-      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .filter(col("src").isNotNull && col("dst").isNotNull)
-      .persist(lvl)
-    val nParts = graft.Par.graphParts(e, e.count())
-    val part = new HashPartitioner(nParts)
-    val adj = e.as[(Long, Long)].rdd
-      .groupByKey(part)
-      .mapValues(ds => ds.toArray.distinct.sorted)
-      .persist(lvl)
-    val nodes = graft.Par.nodeSet(e, part).persist(lvl)
-    val n = nodes.count()
-    require(n > 0, "PageRank needs a non-empty graph")
-    val tele = seedsOpt match {
-      case None =>
-        val t = Scale * (100L - dampingPct) / 100L / n
-        val r0 = Scale / n
-        nodes.mapValues(_ => (t, r0)).persist(lvl)
-      case Some(seeds) =>
-        val seedRdd = seeds.filter(col(seeds.columns.head).isNotNull)
-          .distinct().as[Long].rdd.map(v => (v, ())).partitionBy(part)
-        val inGraph = nodes.join(seedRdd).mapValues(_ => ())
-        val s = inGraph.count()
-        require(s > 0, "TrustRank needs at least one seed inside the graph")
-        val t = Scale * (100L - dampingPct) / 100L / s
-        val r0 = Scale / s
-        nodes.leftOuterJoin(inGraph)
-          .mapValues { case (_, m) => if (m.isDefined) (t, r0) else (0L, 0L) }
-          .persist(lvl)
-    }
     var ranks = tele.mapValues(_._2).persist(lvl)
     var stop = maxIterations
     var k = 0
@@ -252,7 +267,7 @@ object PageRank {
     while (k < maxIterations && !converged) {
       k += 1
       val prev = ranks
-      val next = rankRound(adj, tele, part, dampingPct)(prev).persist(lvl)
+      val next = rankRound(g.adj, tele, g.part, dampingPct)(prev).persist(lvl)
       // The residual action also materializes `next`'s blocks — one
       // evaluation serves both the stop decision and the next round.
       val l1 = next.join(prev)
@@ -261,13 +276,23 @@ object PageRank {
       ranks = next
       if (l1 < tolFp) { converged = true; stop = k }
     }
-    val schema = StructType(Seq(
-      StructField("node", LongType, nullable = false),
-      StructField("rank_fp", LongType, nullable = false)))
-    val out = spark.createDataFrame(ranks.map { case (v, r) => Row(v, r) }, schema)
+    (ranks, stop)
+  }
+
+  private def iterateUntil(edges: DataFrame, srcCol: String, dstCol: String,
+                           seedsOpt: Option[DataFrame], tolFp: Long,
+                           maxIterations: Int, dampingPct: Int)
+      : (DataFrame, Int) = {
+    require(tolFp >= 0L, "tolFp is a non-negative fixed-point residual")
+    require(maxIterations >= 1, "need maxIterations >= 1")
+    require(dampingPct >= 0 && dampingPct <= 100, "dampingPct is a percentage")
+    val g = prepareGraph(edges, srcCol, dstCol)
+    val tele = teleOf(g, seedsOpt, dampingPct)
+    val (ranks, stop) = untilRanks(g, tele, tolFp, maxIterations, dampingPct)
+    val out = rankDf(ranks, edges.sparkSession)
       .orderBy(col("node"))
       .pinned
-    e.unpersist(false); adj.unpersist(false); nodes.unpersist(false)
+    g.unpersistAll()
     tele.unpersist(false); ranks.unpersist(false)
     (out, stop)
   }
@@ -294,24 +319,9 @@ object PageRank {
     require(iterations >= 1, "need iterations >= 1")
     require(dampingPct >= 0 && dampingPct <= 100, "dampingPct is a percentage")
     val spark = edges.sparkSession
-    import spark.implicits._
-    val lvl = StorageLevel.MEMORY_AND_DISK
-    val e = edges
-      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .filter(col("src").isNotNull && col("dst").isNotNull)
-      .persist(lvl)
-    val nParts = graft.Par.graphParts(e, e.count())
-    val part = new HashPartitioner(nParts)
-    val adj = e.as[(Long, Long)].rdd
-      .groupByKey(part)
-      .mapValues(ds => ds.toArray.distinct.sorted)
-      .persist(lvl)
-    val nodes = graft.Par.nodeSet(e, part).persist(lvl)
-    val n = nodes.count()
-    require(n > 0, "PageRank needs a non-empty graph")
-    val t = Scale * (100L - dampingPct) / 100L / n
-    val r0 = Scale / n
-    val tele = nodes.mapValues(_ => (t, r0)).persist(lvl)
+    val g = prepareGraph(edges, srcCol, dstCol)
+    val (adj, part) = (g.adj, g.part)
+    val tele = teleOf(g, None, dampingPct)
     var ranks = tele.mapValues(_._2)
     var deltas = List.empty[org.apache.spark.rdd.RDD[(Long, (Long, Long, Long))]]
     for (k <- 1 to iterations) {
@@ -334,7 +344,7 @@ object PageRank {
         curve.map { case (k, (s, m, c)) => Row(k, s, m, c) }, schema)
       .orderBy(col("round"))
       .pinned
-    e.unpersist(false); adj.unpersist(false); nodes.unpersist(false)
+    g.unpersistAll()
     tele.unpersist(false)
     out
   }
@@ -356,15 +366,29 @@ object PageRank {
   def spamMass(edges: DataFrame, srcCol: String, dstCol: String,
                seeds: DataFrame, seedCol: String,
                iterations: Int = 10, dampingPct: Int = 85): DataFrame = {
-    // Both rank vectors iterate over the same graph — materialize the
-    // (possibly expensive) edge derivation once, not per vector.
-    val e = edges.select(col(srcCol), col(dstCol)).pinned
-    val pr = ranks(e, srcCol, dstCol, iterations, dampingPct)
-      .select(col("node"), col("rank_fp").as("pr_fp"))
-    val tr = seededRanks(e, srcCol, dstCol, seeds, seedCol, iterations,
-        dampingPct)
-      .select(col("node"), col("rank_fp").as("tr_fp"))
-    pr.join(tr, Seq("node"))
+    require(iterations >= 1, "need iterations >= 1")
+    require(dampingPct >= 0 && dampingPct <= 100, "dampingPct is a percentage")
+    // Both rank vectors iterate over the same graph — prepare it ONCE
+    // (r16): the former shape pinned the edge derivation and then called
+    // ranks()/seededRanks() back-to-back, each rebuilding the edge
+    // persist, the adjacency groupByKey and the node-set shuffle over
+    // the same pinned edges (guide §2.4 — the two chains share every
+    // piece of that state; only their teleport vectors differ).
+    // prepareGraph's own persist now materializes the derivation once,
+    // so the former extra localCheckpoint pass is gone too.
+    val g = prepareGraph(edges.select(col(srcCol), col(dstCol)),
+      srcCol, dstCol)
+    val telePr = teleOf(g, None, dampingPct)
+    val teleTr = teleOf(g,
+      Some(seeds.select(col(seedCol).cast("long"))), dampingPct)
+    val pr = rankDf(fixedRanks(g, telePr, iterations, dampingPct),
+      edges.sparkSession).pinned
+    val tr = rankDf(fixedRanks(g, teleTr, iterations, dampingPct),
+      edges.sparkSession).pinned
+    g.unpersistAll()
+    telePr.unpersist(false); teleTr.unpersist(false)
+    pr.select(col("node"), col("rank_fp").as("pr_fp"))
+      .join(tr.select(col("node"), col("rank_fp").as("tr_fp")), Seq("node"))
       // DIV, not `/`: Spark's `/` on longs is double division — the
       // truncating integer quotient is what the oracle replays.
       .withColumn("spam_mass_ppm",
@@ -388,13 +412,23 @@ object PageRank {
                     seeds: DataFrame, seedCol: String,
                     tolFp: Long = 1000000L, maxIterations: Int = 50,
                     dampingPct: Int = 85): DataFrame = {
-    // Both rank vectors iterate over the same graph — materialize the
-    // (possibly expensive) edge derivation once, not per vector.
-    val e = edges.select(col(srcCol), col(dstCol)).pinned
-    val (pr, kPr) = ranksUntil(e, srcCol, dstCol, tolFp, maxIterations,
-      dampingPct)
-    val (tr, kTr) = seededRanksUntil(e, srcCol, dstCol, seeds, seedCol,
-      tolFp, maxIterations, dampingPct)
+    require(tolFp >= 0L, "tolFp is a non-negative fixed-point residual")
+    require(maxIterations >= 1, "need maxIterations >= 1")
+    require(dampingPct >= 0 && dampingPct <= 100, "dampingPct is a percentage")
+    // Both rank vectors iterate over the same graph — prepare it once
+    // for both tolerance chains (r16, see [[spamMass]]).
+    val g = prepareGraph(edges.select(col(srcCol), col(dstCol)),
+      srcCol, dstCol)
+    val telePr = teleOf(g, None, dampingPct)
+    val teleTr = teleOf(g,
+      Some(seeds.select(col(seedCol).cast("long"))), dampingPct)
+    val (prR, kPr) = untilRanks(g, telePr, tolFp, maxIterations, dampingPct)
+    val pr = rankDf(prR, edges.sparkSession).pinned
+    val (trR, kTr) = untilRanks(g, teleTr, tolFp, maxIterations, dampingPct)
+    val tr = rankDf(trR, edges.sparkSession).pinned
+    g.unpersistAll()
+    telePr.unpersist(false); teleTr.unpersist(false)
+    prR.unpersist(false); trR.unpersist(false)
     pr.select(col("node"), col("rank_fp").as("pr_fp"))
       .join(tr.select(col("node"), col("rank_fp").as("tr_fp")), Seq("node"))
       // DIV, not `/`: Spark's `/` on longs is double division — the
